@@ -1,0 +1,93 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Query/config model mirroring the reference API surface (SURVEY.md §1.3;
+  * reference: request/MountRequest.java, request/SearchRequest.java).
+  * Re-expressed as Scala case classes; a facet = one attribute of the
+  * entity profile, stored as a 2-column DataFrame (id, value).
+  */
+
+/** Similarity operation kinds (reference: operations named in
+  * request/MountSpecs.java — numerical_topk, temporal_topk, categorical_topk,
+  * textual_topk, spatial_knn, pivot_based). */
+sealed trait SimOp
+object SimOp {
+  case object Numerical   extends SimOp  // value: Double
+  case object Temporal    extends SimOp  // value: Timestamp (scored as epoch seconds)
+  case object Categorical extends SimOp  // value: Array[String] token set
+  case object Textual     extends SimOp  // value: String, compared via q-grams
+  case object Spatial     extends SimOp  // value: struct(lon: Double, lat: Double)
+  /** Multi-metric "pivot_based" facet: value Array[Double], one of the Lp /
+    * haversine / jaccard metrics (reference: pivoting/metrics/). */
+  case class Metric(name: String) extends SimOp
+}
+
+/** Normalization applied to a numerical facet at mount time
+  * (reference: numerical/{ZNormal,UnityNormal}.java). */
+sealed trait Normalizer
+object Normalizer {
+  case object None  extends Normalizer
+  case object Z     extends Normalizer
+  case object Unity extends Normalizer
+}
+
+/** Descriptor of one mounted attribute — the rebuild's DatasetIdentifier
+  * (reference: manager/DatasetIdentifier.java:1-231). */
+case class AttributeSpec(
+    name: String,
+    op: SimOp,
+    tokenDelim: String = ",",
+    qgram: Int = 3,
+    normalizer: Normalizer = Normalizer.None,
+    queryable: Boolean = true)
+
+/** A mounted attribute: spec + its (id, value) DataFrame. The `df` must have
+  * exactly two columns named `id` and `value`. */
+case class Facet(spec: AttributeSpec, df: DataFrame)
+
+/** One per-attribute query condition (reference: request/SearchSpecs.java:8-26).
+  * `value` is a Column literal of the facet's value type.
+  * `weights` — one entry per weight combination (reference evaluates all
+  * combinations in one query, RankAggregator.java:104-129).
+  */
+case class FacetQuery(
+    column: String,
+    value: Column,
+    weights: Seq[Double] = Seq(1.0),
+    decay: Double = graft.functions.SimKernels.DefaultDecay,
+    scale: Option[Double] = None,
+    filter: Option[String] = None)
+
+/** Rank-aggregation algorithm selector. All three aggregation algorithms of
+  * the reference (threshold / no_random_access / partial_random_access,
+  * ranking/{Threshold,NoRandomAccess,PartialRandomAccess}Ranking.java)
+  * compute the same top-k on exact scores; our batch plan computes exact
+  * scores for the full candidate union, which is an exact superset of all
+  * three (see SURVEY.md §7.2). The selector is honored for API parity.
+  */
+sealed trait Algorithm
+object Algorithm {
+  case object Threshold           extends Algorithm
+  case object NoRandomAccess      extends Algorithm
+  case object PartialRandomAccess extends Algorithm
+  case object PivotBased          extends Algorithm
+  def parse(s: String): Algorithm = s.toLowerCase match {
+    case "no_random_access"      => NoRandomAccess
+    case "partial_random_access" => PartialRandomAccess
+    case "pivot_based"           => PivotBased
+    case _                       => Threshold
+  }
+}
+
+/** A full top-k multi-attribute similarity query
+  * (reference: request/SearchRequest.java:9-23). */
+case class SimQuery(
+    k: Int,
+    facets: Seq[FacetQuery],
+    algorithm: Algorithm = Algorithm.Threshold)
+
+object Limits {
+  /** Max k for multi-attribute queries (reference: Constants.java:42 K_MAX). */
+  val KMax = 50
+}
