@@ -44,11 +44,13 @@ object SimKernels {
   // ------------------------------------------------------------------- sets
 
   /** Jaccard similarity |a ∩ b| / |a ∪ b| over token arrays (set semantics:
-    * duplicates ignored). Empty-union pairs score 0. */
+    * duplicates ignored). Empty-union pairs score 0. A null array (missing
+    * attribute) also scores 0 — the reference's missing-value contract
+    * (reference: RankAggregator.java:239-242). */
   def jaccardSim(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val uni   = size(array_union(a, b)).cast("double")
-    when(uni === 0.0, lit(0.0)).otherwise(inter / uni)
+    coalesce(when(uni === 0.0, lit(0.0)).otherwise(inter / uni), lit(0.0))
   }
 
   /** Jaccard distance 1 - sim. */
@@ -56,15 +58,25 @@ object SimKernels {
     lit(1.0) - jaccardSim(a, b)
 
   /** Split a delimited string into a distinct, trimmed, non-empty token set
-    * (reference: categorical/TokenSet + TokenSetCollectionReader.java:48-120). */
+    * (reference: categorical/TokenSet + TokenSetCollectionReader.java:48-120).
+    * The delimiter is a literal string, not a regex (Pattern.quote), so
+    * delimiters like "|", "+", "." behave as users expect. Divergence from
+    * the reference (which passes the delimiter to String.split as a regex
+    * and does not trim): documented, deliberate. */
   def tokenize(s: Column, delim: String): Column =
-    array_distinct(filter(transform(split(s, delim), t => trim(t)), t => t =!= ""))
+    array_distinct(filter(
+      transform(split(s, java.util.regex.Pattern.quote(delim)), t => trim(t)),
+      t => t =!= ""))
 
-  /** Sliding q-grams of a string as a distinct token set; strings shorter
-    * than q yield the whole string as a single gram. */
+  /** Sliding q-grams of a string as a distinct token set. Empty/null strings
+    * yield an empty set (the reference's ingestion skips empty values and
+    * Lucene NGramTokenizer(q,q) emits no grams below length q); non-empty
+    * strings shorter than q yield the whole string as a single gram —
+    * a documented divergence that keeps short values queryable. */
   def qgrams(s: Column, q: Int): Column = {
     val n = greatest(length(s) - (q - 1), lit(1))
-    array_distinct(transform(sequence(lit(1), n), i => s.substr(i, lit(q))))
+    when(s.isNull || length(s) === 0, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(sequence(lit(1), n), i => s.substr(i, lit(q)))))
   }
 
   // ---------------------------------------------------------------- spatial
@@ -79,13 +91,20 @@ object SimKernels {
   }
 
   /** Great-circle angle in decimal degrees (NOT meters) — mirrors the pivot
-    * path's HaversineDistance.java:80-117 which returns Math.toDegrees(angle). */
+    * path's HaversineDistance.calc (HaversineDistance.java:42-61) which
+    * returns Math.toDegrees(angle). Deliberate divergences from the
+    * reference, both documented: (1) the reference applies cos/sin to the
+    * FIRST ordinate, which its own docs label lon — i.e. lat/lon roles
+    * swapped; we use the textbook (correct) formula. (2) the reference
+    * clamps sqrt(a) to 1 before asin (line 54); we do the same via
+    * least(), since FP rounding near antipodal points can push a above 1
+    * and an unclamped asin would return NaN and poison top-k ordering. */
   def haversineDeg(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {
     val dLat = radians(lat2 - lat1) / 2
     val dLon = radians(lon2 - lon1) / 2
     val a = sin(dLat) * sin(dLat) +
       cos(radians(lat1)) * cos(radians(lat2)) * sin(dLon) * sin(dLon)
-    degrees(lit(2.0) * asin(sqrt(a)))
+    degrees(lit(2.0) * asin(least(sqrt(a), lit(1.0))))
   }
 
   // ----------------------------------------------------------- double[] Lp

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-facet rank aggregation: the rebuild of the reference's
+  * Threshold / NRA / PRA aggregators
+  * (reference: ranking/RankAggregator.java:29-277,
+  * ranking/ThresholdRanking.java:189-289,
+  * ranking/NoRandomAccessRanking.java:64-269,
+  * ranking/PartialRandomAccessRanking.java:112-316).
+  *
+  * Batch-Spark plan (SURVEY.md §7.2): the union of the per-facet top-M
+  * candidate id-sets is scored EXACTLY against every facet ("random access"
+  * becomes a broadcast join), then one global top-k per weight combination.
+  * This yields scores at least as exact as TA and strictly more exact than
+  * NRA/PRA, which may emit lower-bound scores — the reference itself patches
+  * estimated scores to exact ones when collecting stats
+  * (SearchHandler.java:759-767).
+  *
+  * Scale design (100 TB): each facet's top-M is a shuffle-free
+  * TakeOrderedAndProject over the facet scan; the candidate id-set
+  * (<= M * |facets| <= 50k * facets rows) is broadcast to the facet scans for
+  * the exact-scoring join, so no large table is ever shuffled; the final
+  * group-by/top-k runs over candidate rows only.
+  */
+object RankAggregate {
+
+  /** Exact weighted top-k over the candidate union.
+    *
+    * @param facets  bound facets; `weightPerCombo` must have `nCombos` entries each
+    * @param k       result size per combination (reference caps at K_MAX=50,
+    *                Constants.java:42)
+    * @param m       per-facet candidate list size (reference: k * 1000,
+    *                SearchHandler.java:318-320)
+    * @return columns (combo: int, rank: int, id, score: double) — `score`
+    *         rounded to 6 decimals; ranking order is (rounded score desc, id)
+    *         so results are bit-deterministic across engines.
+    */
+  def topK(spark: SparkSession, facets: Seq[BoundFacet], k: Int, m: Int): DataFrame = {
+    require(facets.nonEmpty)
+    val nCombos = facets.head.weightPerCombo.size
+    require(facets.forall(_.weightPerCombo.size == nCombos))
+    facets.foreach(f => f.weightPerCombo.foreach(w =>
+      require(w > 0 && w < 1 || facets.size == 1,
+        s"weight $w out of (0,1) for facet ${f.name}"))) // reference: weights/Validator.java:14-22
+
+    // Phase 1: deterministic per-facet candidates + calibrated decayed sims.
+    val cands = facets
+      .map(f => FacetSearch.topM(f.dist, m).select(col("id")))
+      .reduce(_ union _)
+      .distinct()
+
+    // Phase 2: exact score for every candidate on every facet. Inner join per
+    // facet (broadcast the small candidate set); ids missing from a facet
+    // simply contribute no row => similarity 0 in the sum below, matching the
+    // reference's missing-value contract (RankAggregator.java:239-242).
+    val perFacet = facets.zipWithIndex.map { case (f, i) =>
+      FacetSearch.decayed(f, k)
+        .join(broadcast(cands), Seq("id"))
+        .select(col("id"), lit(i).as("f"), col("s"))
+    }
+    val all = perFacet.reduce(_ union _)
+
+    // One aggregate pass computes every weight combination's score.
+    val scoreCols: Seq[Column] = (0 until nCombos).map { c =>
+      val wExpr = facets.zipWithIndex
+        .map { case (f, i) => when(col("f") === i, lit(f.weightPerCombo(c))) }
+        .reduce((a, b) => coalesce(a, b))
+      val sumW = facets.map(_.weightPerCombo(c)).sum
+      round(sum(wExpr * col("s")) / lit(sumW), 6).as(s"score_$c")
+    }
+    val scored = all.groupBy(col("id")).agg(scoreCols.head, scoreCols.tail: _*)
+
+    // Per-combo global top-k (driver loop over <= nCombos small sorts;
+    // each is TakeOrderedAndProject over candidate rows only).
+    import org.apache.spark.sql.expressions.Window
+    (0 until nCombos).map { c =>
+      val w = Window.orderBy(col(s"score_$c").desc, col("id"))
+      scored
+        .select(lit(c).as("combo"), col("id"), col(s"score_$c").as("score"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+    }.reduce(_ union _)
+  }
+}
