@@ -1,9 +1,10 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.SimKernels
+import graft.operators.{BoundFacet, FacetSearch, RankAggregate}
 
 /** The declared query inventory: one entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB-oracle SQL twin (same column names, same
@@ -155,6 +156,228 @@ object Queries {
       |FROM g ORDER BY dist, c_custkey LIMIT 10""".stripMargin
 
   // ----------------------------------------------------------------------
+  // R1–R5 + A1 + A2: multi-facet rank aggregation over orders
+  // (numerical o_totalprice, temporal o_orderdate, categorical
+  // o_orderpriority tokens), with dynamic per-facet scale calibration.
+  // reference: ranking/ThresholdRanking.java:189-289, RankAggregator.java:236-259
+  // ----------------------------------------------------------------------
+  private def d(v: Double): String = v.toString + "::DOUBLE"
+
+  private val orderQDateUs: Long = java.time.LocalDateTime
+    .parse("1997-06-15T00:00:00").toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+
+  private def orderFacets(s: SparkSession, dir: String,
+      combos: Seq[Seq[Double]]): Seq[BoundFacet] = {
+    val o = t(s, dir, "orders")
+    val num = o.select(col("o_orderkey").as("id"),
+      SimKernels.absDist(col("o_totalprice"), lit(150000.0)).as("d"))
+    val tmp = o.select(col("o_orderkey").as("id"),
+      abs(unix_micros(col("o_orderdate").cast("timestamp")) - lit(orderQDateUs))
+        .cast("double").as("d"))
+    val cat = o.select(col("o_orderkey").as("id"),
+      SimKernels.jaccardDist(SimKernels.tokenize(col("o_orderpriority"), "-"),
+        array(lit("1"), lit("URGENT"))).as("d"))
+    Seq(
+      BoundFacet("o_totalprice", num, combos.map(_(0))),
+      BoundFacet("o_orderdate", tmp, combos.map(_(1))),
+      BoundFacet("o_orderpriority", cat, combos.map(_(2)), jaccard = true))
+  }
+
+  /** SQL fragments (id, d) mirroring [[orderFacets]]; element = (sql, isJaccard). */
+  private val orderFacetSqls: Seq[(String, Boolean)] = Seq(
+    ("SELECT o_orderkey AS id, abs(o_totalprice - 150000.0) AS d FROM orders", false),
+    (s"SELECT o_orderkey AS id, abs(epoch_us(o_orderdate) - epoch_us(TIMESTAMP '1997-06-15 00:00:00'))::DOUBLE AS d FROM orders", false),
+    (s"SELECT o_orderkey AS id, (1.0::DOUBLE - ${sqlJaccard(sqlTokens("o_orderpriority", "-"), "['1','URGENT']")}) AS d FROM orders", true))
+
+  /** Decayed-similarity SQL for a facet distance `dExpr`, mirroring
+    * SimKernels.decaySim / decaySimJaccard with scale subquery `scSub`. */
+  private def sqlDecay(dExpr: String, scSub: String, jaccard: Boolean): String = {
+    val e = s"exp(-0.05::DOUBLE * $dExpr / $scSub)"
+    if (jaccard) s"(CASE WHEN $dExpr = 1.0 THEN 0.0::DOUBLE ELSE $e END)" else e
+  }
+
+  /** Generated DuckDB mirror of RankAggregate.topK over SQL facet fragments.
+    * Same candidate semantics (top-M per facet ordered by (d, id)), same
+    * k-th-distance scale guard, same left-associative weighted score, same
+    * (rounded score desc, id) ranking. */
+  private def rankAggSql(facetSqls: Seq[(String, Boolean)], combos: Seq[Seq[Double]],
+      k: Int, m: Int, idOut: String): String = {
+    val n = facetSqls.size
+    val ctes = facetSqls.zipWithIndex.map { case ((fs, _), i) =>
+      s"f$i AS ($fs),\nc$i AS (SELECT id FROM f$i ORDER BY d, id LIMIT $m),\n" +
+        s"sc$i AS (SELECT CASE WHEN max(d) IS NULL OR max(d) <= 0 THEN 1.0::DOUBLE ELSE max(d) END AS sc " +
+        s"FROM (SELECT d FROM f$i ORDER BY d, id LIMIT $k))"
+    }
+    val candU = (0 until n).map(i => s"SELECT id FROM c$i").mkString(" UNION ALL ")
+    val joins = facetSqls.zipWithIndex.map { case ((_, jac), i) =>
+      val sim = sqlDecay("d", s"(SELECT sc FROM sc$i)", jac)
+      s"LEFT JOIN (SELECT id, $sim AS s FROM f$i) j$i ON j$i.id = cand.id"
+    }
+    val sCols = (0 until n).map(i => s"coalesce(j$i.s, 0.0::DOUBLE) AS s_$i").mkString(", ")
+    val comboSelects = combos.zipWithIndex.map { case (ws, c) =>
+      val num = ws.zipWithIndex.map { case (w, i) => s"${d(w)} * s_$i" }.mkString(" + ")
+      val den = ws.map(d).mkString(" + ")
+      s"SELECT $c::BIGINT AS combo, id, round(($num) / ($den), 6) AS score FROM pivoted"
+    }.mkString(" UNION ALL ")
+    s"""WITH ${ctes.mkString(",\n")},
+       |cand AS (SELECT DISTINCT id FROM ($candU)),
+       |pivoted AS (SELECT cand.id, $sCols FROM cand ${joins.mkString("\n")}),
+       |combos AS ($comboSelects)
+       |SELECT combo, id AS $idOut, score, rank::BIGINT AS rank FROM (
+       |  SELECT combo, id, score, row_number() OVER (PARTITION BY combo ORDER BY score DESC, id) AS rank FROM combos
+       |) WHERE rank <= $k""".stripMargin
+  }
+
+  private val combos1 = Seq(Seq(0.4, 0.35, 0.25))
+  private val combos2 = Seq(Seq(0.4, 0.35, 0.25), Seq(0.2, 0.3, 0.5))
+
+  private val multiFacet: (SparkSession, String) => DataFrame = (s, dir) =>
+    RankAggregate.topK(s, orderFacets(s, dir, combos1), 10, 10000)
+      .withColumnRenamed("id", "o_orderkey")
+
+  private val multiFacetSql = rankAggSql(orderFacetSqls, combos1, 10, 10000, "o_orderkey")
+
+  // R5 multi-weight: every weight combination evaluated in one pass
+  // (reference: RankAggregator.java:104-129)
+  private val multiWeight: (SparkSession, String) => DataFrame = (s, dir) =>
+    RankAggregate.topK(s, orderFacets(s, dir, combos2), 10, 10000)
+      .withColumnRenamed("id", "o_orderkey")
+
+  private val multiWeightSql = rankAggSql(orderFacetSqls, combos2, 10, 10000, "o_orderkey")
+
+  // ----------------------------------------------------------------------
+  // A5 similarity matrix: k x k pairwise weighted similarity over the top-k
+  // result entities (reference: engine/processor/ResultMatrix.java:62-124)
+  // ----------------------------------------------------------------------
+  private val simMatrix: (SparkSession, String) => DataFrame = (s, dir) => {
+    val facets = orderFacets(s, dir, combos1)
+    val k = 5
+    val ids = RankAggregate.topK(s, facets, k, 1000 * k).select(col("id"))
+    val scales = facets.map(f => FacetSearch.kthDistanceScale(f.dist, k))
+    val vals = t(s, dir, "orders").select(col("o_orderkey").as("id"),
+      col("o_totalprice").as("v0"),
+      unix_micros(col("o_orderdate").cast("timestamp")).cast("double").as("v1"),
+      SimKernels.tokenize(col("o_orderpriority"), "-").as("v2"))
+    val tv = ids.join(vals, "id")
+    val pa = tv.select(col("id").as("lid"), col("v0").as("a0"), col("v1").as("a1"), col("v2").as("a2"))
+    val pb = tv.select(col("id").as("rid"), col("v0").as("b0"), col("v1").as("b1"), col("v2").as("b2"))
+    val s0 = exp(lit(-0.05) * abs(col("a0") - col("b0")) / lit(scales(0)))
+    val s1 = exp(lit(-0.05) * abs(col("a1") - col("b1")) / lit(scales(1)))
+    val dj = SimKernels.jaccardDist(col("a2"), col("b2"))
+    val s2 = when(dj === 1.0, lit(0.0)).otherwise(exp(lit(-0.05) * dj / lit(scales(2))))
+    val ws = combos1.head
+    pa.crossJoin(pb).select(col("lid"), col("rid"),
+        round((lit(ws(0)) * s0 + lit(ws(1)) * s1 + lit(ws(2)) * s2) / lit(ws.sum), 6).as("sim"))
+      .orderBy(col("lid"), col("rid"))
+  }
+
+  private val simMatrixSql = {
+    val k = 5
+    val topkSql = rankAggSql(orderFacetSqls, combos1, k, 1000 * k, "id")
+    val jac = sqlJaccard("a.v2", "b.v2")
+    val ws = combos1.head
+    val s0 = sqlDecay("abs(a.v0 - b.v0)", "(SELECT sc FROM sc0)", jaccard = false)
+    val s1 = sqlDecay("abs(a.v1 - b.v1)", "(SELECT sc FROM sc1)", jaccard = false)
+    val s2 = sqlDecay(s"(1.0::DOUBLE - $jac)", "(SELECT sc FROM sc2)", jaccard = true)
+    // splice the top-k CTEs: reuse everything up to the final SELECT
+    val withBody = topkSql.substring("WITH ".length, topkSql.indexOf(",\ncand AS"))
+    s"""WITH $withBody,
+       |cand AS (SELECT DISTINCT id FROM (SELECT id FROM c0 UNION ALL SELECT id FROM c1 UNION ALL SELECT id FROM c2)),
+       |pivoted AS (SELECT cand.id,
+       |  coalesce(j0.s, 0.0::DOUBLE) AS s_0, coalesce(j1.s, 0.0::DOUBLE) AS s_1, coalesce(j2.s, 0.0::DOUBLE) AS s_2
+       |  FROM cand
+       |  LEFT JOIN (SELECT id, ${sqlDecay("d", "(SELECT sc FROM sc0)", false)} AS s FROM f0) j0 ON j0.id = cand.id
+       |  LEFT JOIN (SELECT id, ${sqlDecay("d", "(SELECT sc FROM sc1)", false)} AS s FROM f1) j1 ON j1.id = cand.id
+       |  LEFT JOIN (SELECT id, ${sqlDecay("d", "(SELECT sc FROM sc2)", true)} AS s FROM f2) j2 ON j2.id = cand.id),
+       |tk AS (SELECT id FROM (
+       |  SELECT id, row_number() OVER (ORDER BY round((${d(ws(0))} * s_0 + ${d(ws(1))} * s_1 + ${d(ws(2))} * s_2) / (${ws.map(d).mkString(" + ")}), 6) DESC, id) AS rank
+       |  FROM pivoted) WHERE rank <= $k),
+       |vals AS (SELECT o_orderkey AS id, o_totalprice AS v0, epoch_us(o_orderdate)::DOUBLE AS v1, ${sqlTokens("o_orderpriority", "-")} AS v2 FROM orders),
+       |tv AS (SELECT vals.* FROM vals JOIN tk ON vals.id = tk.id)
+       |SELECT a.id AS lid, b.id AS rid,
+       |  round((${d(ws(0))} * $s0 + ${d(ws(1))} * $s1 + ${d(ws(2))} * $s2) / (${ws.map(d).mkString(" + ")}), 6) AS sim
+       |FROM tv a, tv b ORDER BY lid, rid""".stripMargin
+  }
+
+  // ----------------------------------------------------------------------
+  // A3 ingest statistics (reference: numerical/DoubleNumReader.java:24-56;
+  // we compute the true avg, NOT the reference's (max-min)/count bug —
+  // documented divergence)
+  // ----------------------------------------------------------------------
+  private val ingestStats: (SparkSession, String) => DataFrame = (s, dir) =>
+    t(s, dir, "customer").agg(
+      count(col("c_acctbal")).as("cnt"),
+      min(col("c_acctbal")).as("min_bal"),
+      max(col("c_acctbal")).as("max_bal"),
+      round(avg(col("c_acctbal")), 6).as("avg_bal"),
+      round(stddev_samp(col("c_acctbal")), 6).as("std_bal"))
+
+  private val ingestStatsSql =
+    """SELECT count(c_acctbal) AS cnt, min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+      |round(avg(c_acctbal), 6) AS avg_bal, round(stddev_samp(c_acctbal), 6) AS std_bal
+      |FROM customer""".stripMargin
+
+  // ----------------------------------------------------------------------
+  // A4 z-normalization applied to data and query value
+  // (reference: numerical/ZNormal.java:23-26, SearchHandler.java:454-461)
+  // ----------------------------------------------------------------------
+  private val normTopk: (SparkSession, String) => DataFrame = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val row = c.agg(avg(col("c_acctbal")), stddev_samp(col("c_acctbal"))).head
+    val (m, sd) = (row.getDouble(0), row.getDouble(1))
+    val z = (col("c_acctbal") - lit(m)) / lit(sd)
+    val zq = (5000.0 - m) / sd
+    c.select(col("c_custkey"), round(z, 6).as("z"),
+        round(abs(z - lit(zq)), 6).as("dist"))
+      .orderBy(col("dist"), col("c_custkey"))
+      .limit(10)
+  }
+
+  private val normTopkSql =
+    """WITH st AS (SELECT avg(c_acctbal) AS m, stddev_samp(c_acctbal) AS sd FROM customer)
+      |SELECT c_custkey, round((c_acctbal - m) / sd, 6) AS z,
+      |  round(abs((c_acctbal - m) / sd - (5000.0 - m) / sd), 6) AS dist
+      |FROM customer, st ORDER BY dist, c_custkey LIMIT 10""".stripMargin
+
+  // ----------------------------------------------------------------------
+  // R7 weight auto-estimation: p-th percentile of the facet's decayed scores
+  // with p = 100 - 100k/n, via explicit deterministic linear interpolation
+  // (reference: weights/Estimator.java:145-189, RankAggregator.java:167-192)
+  // ----------------------------------------------------------------------
+  private val weightEst: (SparkSession, String) => DataFrame = (s, dir) => {
+    val k = 10
+    val c = t(s, dir, "customer")
+    val dist = c.select(col("c_custkey").as("id"),
+      SimKernels.absDist(col("c_acctbal"), lit(5000.0)).as("d"))
+    val sc = FacetSearch.kthDistanceScale(dist, k)
+    val scores = dist.select(col("id"), SimKernels.decaySim(col("d"), 0.05, lit(sc)).as("s"))
+    val n = scores.count()
+    val p = 1.0 - 10.0 / n
+    val idx = p * (n - 1)
+    val lo = math.floor(idx).toLong
+    val frac = idx - math.floor(idx)
+    import org.apache.spark.sql.expressions.Window
+    val ranked = scores.withColumn("rn", row_number().over(Window.orderBy(col("s"), col("id"))))
+    val picked = ranked.where(col("rn") === lo + 1 || col("rn") === lo + 2)
+      .orderBy(col("rn")).select(col("s")).collect().map(_.getDouble(0))
+    val est = if (picked.length < 2) picked(0) else picked(0) + (picked(1) - picked(0)) * frac
+    s.range(1).select(round(lit(est), 6).as("weight"))
+  }
+
+  private val weightEstSql =
+    s"""WITH f AS (SELECT c_custkey AS id, abs(c_acctbal - 5000.0) AS d FROM customer),
+       |sc AS (SELECT CASE WHEN max(d) IS NULL OR max(d) <= 0 THEN 1.0::DOUBLE ELSE max(d) END AS sc
+       |       FROM (SELECT d FROM f ORDER BY d, id LIMIT 10)),
+       |s AS (SELECT id, exp(-0.05::DOUBLE * d / (SELECT sc FROM sc)) AS s FROM f),
+       |o AS (SELECT s, row_number() OVER (ORDER BY s, id) AS rn FROM s),
+       |par AS (SELECT (1.0::DOUBLE - 10.0::DOUBLE / count(*)) * (count(*) - 1) AS idx FROM s),
+       |sel AS (SELECT CAST(floor(idx) AS BIGINT) AS lo, idx - floor(idx) AS frac FROM par)
+       |SELECT round(slo + (coalesce(shi, slo) - slo) * frac, 6) AS weight FROM (
+       |  SELECT (SELECT s FROM o, sel WHERE rn = lo + 1) AS slo,
+       |         (SELECT s FROM o, sel WHERE rn = lo + 2) AS shi,
+       |         (SELECT frac FROM sel) AS frac)""".stripMargin
+
+  // ----------------------------------------------------------------------
   // registry
   // ----------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -164,6 +387,12 @@ object Queries {
     "q_cat_topk"      -> catTopk,
     "q_text_topk"     -> textTopk,
     "q_spatial_knn"   -> spatialKnn,
+    "q_multifacet"    -> multiFacet,
+    "q_multiweight"   -> multiWeight,
+    "q_sim_matrix"    -> simMatrix,
+    "q_ingest_stats"  -> ingestStats,
+    "q_norm_topk"     -> normTopk,
+    "q_weight_est"    -> weightEst,
   )
 
   val oracles: Map[String, String] = Map(
@@ -173,5 +402,11 @@ object Queries {
     "q_cat_topk"      -> catTopkSql,
     "q_text_topk"     -> textTopkSql,
     "q_spatial_knn"   -> spatialKnnSql,
+    "q_multifacet"    -> multiFacetSql,
+    "q_multiweight"   -> multiWeightSql,
+    "q_sim_matrix"    -> simMatrixSql,
+    "q_ingest_stats"  -> ingestStatsSql,
+    "q_norm_topk"     -> normTopkSql,
+    "q_weight_est"    -> weightEstSql,
   )
 }

@@ -62,25 +62,31 @@ object RankAggregate {
     }
     val all = perFacet.reduce(_ union _)
 
-    // One aggregate pass computes every weight combination's score.
-    val scoreCols: Seq[Column] = (0 until nCombos).map { c =>
-      val wExpr = facets.zipWithIndex
-        .map { case (f, i) => when(col("f") === i, lit(f.weightPerCombo(c))) }
-        .reduce((a, b) => coalesce(a, b))
-      val sumW = facets.map(_.weightPerCombo(c)).sum
-      round(sum(wExpr * col("s")) / lit(sumW), 6).as(s"score_$c")
-    }
-    val scored = all.groupBy(col("id")).agg(scoreCols.head, scoreCols.tail: _*)
+    // Pivot to one row per candidate with one similarity column per facet.
+    // Each conditional sum collapses at most ONE row, so it is exact and
+    // order-independent; the weighted score is then a fixed-order expression
+    // (w_0*s_0 + w_1*s_1 + ...) / (w_0 + w_1 + ...) — bit-deterministic and
+    // reproducible by a left-associative SQL expression in any engine.
+    val pivotCols: Seq[Column] = facets.indices.map(i =>
+      coalesce(sum(when(col("f") === i, col("s"))), lit(0.0)).as(s"s_$i"))
+    val pivoted = all.groupBy(col("id")).agg(pivotCols.head, pivotCols.tail: _*)
 
     // Per-combo global top-k (driver loop over <= nCombos small sorts;
-    // each is TakeOrderedAndProject over candidate rows only).
+    // each is TakeOrderedAndProject over candidate rows only). Missing
+    // facet => s_i = 0, the reference's missing-value contract (A1).
     import org.apache.spark.sql.expressions.Window
     (0 until nCombos).map { c =>
-      val w = Window.orderBy(col(s"score_$c").desc, col("id"))
-      scored
-        .select(lit(c).as("combo"), col("id"), col(s"score_$c").as("score"))
+      val sumW = facets.map(_.weightPerCombo(c)).sum // left-assoc fold
+      val num = facets.zipWithIndex
+        .map { case (f, i) => lit(f.weightPerCombo(c)) * col(s"s_$i") }
+        .reduce(_ + _) // left-assoc
+      val w = Window.orderBy(col("score").desc, col("id"))
+      pivoted
+        .select(lit(c.toLong).as("combo"), col("id"),
+          round(num / lit(sumW), 6).as("score"))
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= k)
+        .withColumn("rank", col("rank").cast("long"))
     }.reduce(_ union _)
   }
 }
