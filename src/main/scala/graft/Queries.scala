@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.SimKernels
-import graft.operators.{BoundFacet, FacetSearch, RankAggregate}
+import graft.functions.{SimKernels, TextKernels}
+import graft.operators.{AnnSearch, BoundFacet, Dedup, FacetSearch, RankAggregate}
 
 /** The declared query inventory: one entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB-oracle SQL twin (same column names, same
@@ -378,6 +378,228 @@ object Queries {
        |         (SELECT frac FROM sel) AS frac)""".stripMargin
 
   // ----------------------------------------------------------------------
+  // LLM-data-pipeline operators over documents / embeddings
+  // ----------------------------------------------------------------------
+
+  /** DuckDB mirror of TextKernels.wordTokens. */
+  private def sqlWords(col: String): String =
+    s"list_filter(list_transform(string_split($col, ' '), x -> trim(x)), x -> x <> '')"
+
+  /** DuckDB mirror of TextKernels.wordShingles2 over a token-list column. */
+  private def sqlShingles2(w: String): String =
+    s"list_distinct([$w[i] || ' ' || $w[i+1] for i in range(1, greatest(len($w) - 1, 0) + 1)])"
+
+  private def sqlFingerprint(col: String): String =
+    s"md5(trim(regexp_replace(lower($col), '[^a-z0-9]+', ' ', 'g')))"
+
+  // -- near-duplicate detection: banded MinHash + LSH bucket join + exact
+  //    Jaccard verify (threshold 0.8 cleanly separates the corpus: planted
+  //    near-dups sit at j>=0.9, the background at j<=0.25)
+  private val dedupMinhash: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val shingles = TextKernels.wordShingles2(TextKernels.wordTokens(col("text")))
+    Dedup.minhashPairs(docs, "doc_id", shingles, 0.8)
+      .orderBy(col("a"), col("b"))
+  }
+
+  private val dedupMinhashSql = {
+    val sigs = (0 until Dedup.NumHashes)
+      .map(i => s"list_min(list_transform(g, x -> md5('$i:' || x))) AS s_$i").mkString(",\n  ")
+    val bands = (0 until Dedup.NumBands).map { b =>
+      val parts = (0 until Dedup.RowsPerBand).map(r => s"s_${b * Dedup.RowsPerBand + r}")
+      s"md5(${parts.mkString(" || '|' || ")}) AS b$b"
+    }.mkString(", ")
+    val bandEq = (0 until Dedup.NumBands).map(b => s"x.b$b = y.b$b").mkString(" OR ")
+    s"""WITH tk AS (SELECT doc_id, ${sqlWords("text")} AS w FROM documents),
+       |sh AS (SELECT doc_id, ${sqlShingles2("w")} AS g FROM tk),
+       |sig AS (SELECT doc_id, g,
+       |  $sigs
+       |FROM sh),
+       |band AS (SELECT doc_id, $bands FROM sig),
+       |cand AS (SELECT x.doc_id AS a, y.doc_id AS b FROM band x, band y
+       |         WHERE x.doc_id < y.doc_id AND ($bandEq))
+       |SELECT c.a, c.b, ${sqlJaccard("sa.g", "sb.g")} AS j
+       |FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
+       |WHERE ${sqlJaccard("sa.g", "sb.g")} >= 0.8 ORDER BY a, b""".stripMargin
+  }
+
+  // -- exact-duplicate groups + per-document fingerprints
+  private val dedupExact: (SparkSession, String) => DataFrame = (s, dir) =>
+    Dedup.exactGroups(t(s, dir, "documents"), "doc_id", col("text")).orderBy(col("fp"))
+
+  private val dedupExactSql =
+    s"""SELECT fp, count(*) AS cnt, min(doc_id) AS keeper
+       |FROM (SELECT doc_id, ${sqlFingerprint("text")} AS fp FROM documents)
+       |GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin
+
+  private val fingerprintQ: (SparkSession, String) => DataFrame = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextKernels.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  private val fingerprintSql =
+    s"""SELECT doc_id, ${sqlFingerprint("text")} AS fp FROM documents ORDER BY doc_id""".stripMargin
+
+  // -- 16-bit SimHash fingerprints (near-dup by small hamming distance)
+  private val simhashQ: (SparkSession, String) => DataFrame = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextKernels.simhash16(TextKernels.wordTokens(col("text"))).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  private val simhashSql = {
+    val bits = (0 until 16).map { j =>
+      val contrib = s"list_sum(list_transform(hs, h -> CASE WHEN instr('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1 >= 8 THEN 1 ELSE -1 END))"
+      s"(CASE WHEN $contrib > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH tk AS (SELECT doc_id, ${sqlWords("text")} AS w FROM documents),
+       |h AS (SELECT doc_id, list_transform(list_distinct(w), t -> md5(t)) AS hs FROM tk)
+       |SELECT doc_id, ($bits)::BIGINT AS simhash FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  // -- text quality statistics
+  private val enStops = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  private val textStats: (SparkSession, String) => DataFrame = (s, dir) => {
+    val w = TextKernels.wordTokens(col("text"))
+    val stopArr = array(enStops.map(lit): _*)
+    t(s, dir, "documents").select(col("doc_id"),
+        size(w).cast("long").as("n_tokens"),
+        size(array_distinct(w)).cast("long").as("n_distinct"),
+        round(aggregate(w, lit(0), (a, x) => a + length(x)).cast("double") / size(w), 6)
+          .as("avg_token_len"),
+        round(size(filter(w, x => array_contains(stopArr, x))).cast("double") / size(w), 6)
+          .as("stop_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textStatsSql = {
+    val stops = enStops.map(x => s"'$x'").mkString("[", ",", "]")
+    s"""WITH tk AS (SELECT doc_id, ${sqlWords("text")} AS w FROM documents)
+       |SELECT doc_id, len(w)::BIGINT AS n_tokens, len(list_distinct(w))::BIGINT AS n_distinct,
+       |  round(list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w), 6) AS avg_token_len,
+       |  round(len(list_filter(w, x -> list_contains($stops, x)))::DOUBLE / len(w), 6) AS stop_ratio
+       |FROM tk ORDER BY doc_id""".stripMargin
+  }
+
+  // -- language identification: stopword-hit argmax with fixed tie-break
+  private val langStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> enStops,
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "auf", "zu", "den"),
+    "es" -> Seq("el", "los", "las", "de", "y", "en", "es", "por", "con", "del"),
+    "fr" -> Seq("le", "les", "et", "est", "un", "une", "avec", "pour", "dans", "au"))
+
+  private val langId: (SparkSession, String) => DataFrame = (s, dir) => {
+    val wd = array_distinct(TextKernels.wordTokens(col("text")))
+    val scores = langStops.map { case (l, ws) =>
+      l -> size(array_intersect(wd, array(ws.map(lit): _*)))
+    }
+    // argmax with ties broken by list order (en > de > es > fr)
+    val pred = scores.zipWithIndex.init.foldRight(lit(scores.last._1)) {
+      case (((l, sc), i), els) =>
+        val geRest = scores.drop(i + 1).map(o => sc >= o._2).reduce(_ && _)
+        when(geRest, lit(l)).otherwise(els)
+    }
+    t(s, dir, "documents").select(
+        col("doc_id") +: pred.as("lang_pred") +:
+          scores.map { case (l, sc) => sc.cast("long").as(s"s_$l") }: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  private val langIdSql = {
+    def arr(ws: Seq[String]) = ws.map(x => s"'$x'").mkString("[", ",", "]")
+    val scoreCols = langStops.map { case (l, ws) =>
+      s"len(list_intersect(wd, ${arr(ws)}))::BIGINT AS s_$l"
+    }.mkString(",\n  ")
+    val langs = langStops.map(_._1)
+    val pred = langs.init.zipWithIndex.foldRight(s"'${langs.last}'") {
+      case ((l, i), els) =>
+        val geRest = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"CASE WHEN $geRest THEN '$l' ELSE $els END"
+    }
+    s"""WITH tk AS (SELECT doc_id, list_distinct(${sqlWords("text")}) AS wd FROM documents),
+       |sc AS (SELECT doc_id,
+       |  $scoreCols
+       |FROM tk)
+       |SELECT doc_id, $pred AS lang_pred, s_en, s_de, s_es, s_fr FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  // -- BPE-ish token counting via regex (word / number / punctuation runs)
+  private val tokenCount: (SparkSession, String) => DataFrame = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("n_bpe"))
+      .orderBy(col("doc_id"))
+
+  private val tokenCountSql =
+    """SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS n_bpe
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------------
+  // similarity search over embeddings (brute-force baseline + LSH bucket)
+  // ----------------------------------------------------------------------
+  private def queryVec(s: SparkSession, dir: String): Seq[Double] =
+    t(s, dir, "embeddings").where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+
+  private val annCosine: (SparkSession, String) => DataFrame = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    AnnSearch.bruteCosineTopK(e.where(col("vec_id") =!= 0), "vec_id", col("v"),
+      queryVec(s, dir), 10)
+  }
+
+  private val annCosineSql =
+    """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cos
+      |FROM embeddings, q WHERE vec_id <> 0
+      |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+
+  private def sqlSig8(v: String): String =
+    (0 until 8).map(j => s"(CASE WHEN $v[${j + 1}] >= 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString("(", " + ", ")::BIGINT")
+
+  private val annLsh: (SparkSession, String) => DataFrame = (s, dir) => {
+    val qv = queryVec(s, dir)
+    val qsig = AnnSearch.signature8(qv)
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("sig", AnnSearch.signature8(col("v")))
+      .where(col("sig") === lit(qsig) && col("vec_id") =!= 0)
+    AnnSearch.bruteCosineTopK(e, "vec_id", col("v"), qv, 5)
+  }
+
+  private val annLshSql =
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv, ${sqlSig8("(embedding::DOUBLE[])")} AS qsig
+       |           FROM embeddings WHERE vec_id = 0),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v, ${sqlSig8("(embedding::DOUBLE[])")} AS sig FROM embeddings)
+       |SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS cos
+       |FROM e, q WHERE sig = qsig AND vec_id <> 0
+       |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
+
+  // -- embedding near-duplicate pairs, LSH-bucketed (same-signature join)
+  private val dedupEmbedding: (SparkSession, String) => DataFrame = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("sig", AnnSearch.signature8(col("v")))
+    val a = e.select(col("vec_id").as("a"), col("v").as("va"), col("sig"))
+    val b = e.select(col("vec_id").as("b"), col("v").as("vb"), col("sig"))
+    a.join(b, Seq("sig"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), round(SimKernels.cosineSim(col("va"), col("vb")), 6).as("cos"))
+      .where(col("cos") >= 0.4)
+      .orderBy(col("a"), col("b"))
+  }
+
+  private val dedupEmbeddingSql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, ${sqlSig8("(embedding::DOUBLE[])")} AS sig FROM embeddings)
+       |SELECT x.vec_id AS a, y.vec_id AS b, round(list_cosine_similarity(x.v, y.v), 6) AS cos
+       |FROM e x JOIN e y ON x.sig = y.sig AND x.vec_id < y.vec_id
+       |WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.4
+       |ORDER BY a, b""".stripMargin
+
+  // ----------------------------------------------------------------------
   // registry
   // ----------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -393,6 +615,16 @@ object Queries {
     "q_ingest_stats"  -> ingestStats,
     "q_norm_topk"     -> normTopk,
     "q_weight_est"    -> weightEst,
+    "q_dedup_minhash" -> dedupMinhash,
+    "q_dedup_exact"   -> dedupExact,
+    "q_fingerprint"   -> fingerprintQ,
+    "q_simhash"       -> simhashQ,
+    "q_text_stats"    -> textStats,
+    "q_lang_id"       -> langId,
+    "q_token_count"   -> tokenCount,
+    "q_ann_cosine"    -> annCosine,
+    "q_ann_lsh"       -> annLsh,
+    "q_dedup_embedding" -> dedupEmbedding,
   )
 
   val oracles: Map[String, String] = Map(
@@ -408,5 +640,15 @@ object Queries {
     "q_ingest_stats"  -> ingestStatsSql,
     "q_norm_topk"     -> normTopkSql,
     "q_weight_est"    -> weightEstSql,
+    "q_dedup_minhash" -> dedupMinhashSql,
+    "q_dedup_exact"   -> dedupExactSql,
+    "q_fingerprint"   -> fingerprintSql,
+    "q_simhash"       -> simhashSql,
+    "q_text_stats"    -> textStatsSql,
+    "q_lang_id"       -> langIdSql,
+    "q_token_count"   -> tokenCountSql,
+    "q_ann_cosine"    -> annCosineSql,
+    "q_ann_lsh"       -> annLshSql,
+    "q_dedup_embedding" -> dedupEmbeddingSql,
   )
 }

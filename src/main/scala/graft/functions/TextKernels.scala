@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis kernel library for large-scale training-data pipelines:
+  * tokenization, shingling, portable MinHash signatures, SimHash
+  * fingerprints, normalization and document fingerprinting.
+  *
+  * Everything is a pure Catalyst column expression (codegen-friendly, no
+  * UDFs). Hashing is md5-based so that the DuckDB oracle can reproduce every
+  * value bit-for-bit: both engines produce the identical 32-char hex digest
+  * for the identical UTF-8 string, and lexicographic min over hex strings is
+  * engine-independent. At production scale a 64/128-bit integer murmur hash
+  * would be cheaper; the plan shape (shingle -> N signatures -> banded
+  * buckets -> bucket join) is unchanged.
+  */
+object TextKernels {
+
+  /** Whitespace word tokens, trimmed, non-empty, in document order
+    * (duplicates preserved — needed for shingles and stats). */
+  def wordTokens(s: Column): Column =
+    filter(transform(split(s, " "), t => trim(t)), t => t =!= "")
+
+  /** Distinct word 2-shingles ("w_i w_{i+1}"). Documents with fewer than two
+    * tokens yield an empty set. */
+  def wordShingles2(w: Column): Column =
+    when(size(w) < 2, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(w) - 1),
+        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1)))))
+
+  /** MinHash signature i over a shingle set: lexicographic min of
+    * md5("<i>:" + shingle). One column per hash function. */
+  def minhashSig(g: Column, i: Int): Column =
+    array_min(transform(g, x => md5(concat(lit(s"$i:"), x))))
+
+  /** LSH band key: md5 of rowsPerBand consecutive signatures joined by '|'
+    * (banded MinHash — candidate pairs must collide on at least one band). */
+  def bandKey(sigs: Seq[Column], band: Int, rowsPerBand: Int): Column =
+    md5(concat_ws("|", sigs.slice(band * rowsPerBand, (band + 1) * rowsPerBand): _*))
+
+  /** 16-bit SimHash over a token array: bit j of each token's md5 is derived
+    * from hex nibble j (>= 8 -> +1, else -1); fingerprint bit j is set when
+    * the signed sum over tokens is positive. Integer arithmetic only —
+    * bit-exact in any engine. */
+  def simhash16(tokens: Column): Column = {
+    val hs = transform(array_distinct(tokens), t => md5(t))
+    val bits = (0 until 16).map { j =>
+      val contrib = aggregate(hs, lit(0), (acc, h) =>
+        acc + when(conv(substring(h, j + 1, 1), 16, 10).cast("int") >= 8, 1).otherwise(-1))
+      when(contrib > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Canonical text normalization for fingerprinting: lower-case, collapse
+    * every non-alphanumeric run to a single space, trim. */
+  def normalizeText(s: Column): Column =
+    trim(regexp_replace(lower(s), "[^a-z0-9]+", " "))
+
+  /** Document fingerprint: md5 of the normalized text. */
+  def fingerprint(s: Column): Column = md5(normalizeText(s))
+}

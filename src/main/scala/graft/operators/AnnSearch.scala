@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.SimKernels
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k — a single scan with a codegen'd
+  * dot-product expression and a TakeOrderedAndProject top-k; embarrassingly
+  * parallel and shuffle-free, linear in corpus size.
+  *
+  * Scale path: LSH-bucketed search — an 8-bit sign signature partitions the
+  * corpus into 256 buckets; the query probes only its own bucket (multi-probe
+  * = flip low-confidence bits for better recall). The signature here uses
+  * axis-aligned hyperplanes (sign of the first 8 coordinates), which keeps
+  * every value bit-deterministic across engines; production would use seeded
+  * random hyperplanes — the plan (signature -> bucket equi-filter/join ->
+  * exact re-rank) is identical.
+  */
+object AnnSearch {
+
+  /** 8-bit axis-hyperplane signature of a double-array column (1-indexed). */
+  def signature8(v: Column): Column =
+    (0 until 8).map { j =>
+      when(element_at(v, j + 1) >= 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Scala mirror of [[signature8]] for a driver-side query vector. */
+  def signature8(v: Seq[Double]): Long =
+    (0 until 8).map(j => if (v(j) >= 0.0) 1L << j else 0L).sum
+
+  /** Brute-force cosine top-k (query vector as literal array), cosine rounded
+    * to 6 decimals and used as the (deterministic) ranking key. */
+  def bruteCosineTopK(emb: DataFrame, id: String, vec: Column,
+      q: Seq[Double], k: Int): DataFrame = {
+    val qc = array(q.map(lit): _*)
+    emb.select(col(id), round(SimKernels.cosineSim(vec, qc), 6).as("cos"))
+      .orderBy(col("cos").desc, col(id))
+      .limit(k)
+  }
+}

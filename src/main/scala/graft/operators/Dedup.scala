@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{SimKernels, TextKernels}
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design (100 TB): candidate generation is ALWAYS bucketed —
+  * MinHash band keys (near-dup), exact fingerprints (exact dup), or LSH
+  * signatures (embeddings). The only join is an equi-join on the bucket key,
+  * which Spark executes as a shuffle on the (small-cardinality-per-bucket)
+  * key; no all-pairs/cross join ever touches the full corpus. Verification
+  * (exact Jaccard / cosine) runs only on the candidate pairs.
+  */
+object Dedup {
+
+  val NumHashes = 16
+  val NumBands = 4
+  val RowsPerBand = 4
+
+  /** (id, shingles) -> near-duplicate pairs (a, b, j) with Jaccard >= minJ.
+    *
+    * Plan: shingle -> 16 md5 MinHash signatures -> 4 banded bucket keys ->
+    * explode -> self-equi-join on (band, key) with a < b -> distinct pairs ->
+    * re-join the shingle sets -> exact Jaccard verification. Probability a
+    * true pair with similarity s collides: 1 - (1 - s^4)^4 (~1.0 at s>=0.9).
+    */
+  def minhashPairs(docs: DataFrame, id: String, shingles: Column, minJ: Double): DataFrame = {
+    val sh = docs.select(col(id).as("id"), shingles.as("g"))
+    val sigs = (0 until NumHashes).map(i => TextKernels.minhashSig(col("g"), i))
+    val bands = (0 until NumBands).map(b => TextKernels.bandKey(sigs, b, RowsPerBand))
+    val banded = sh
+      .select(col("id"), posexplode(array(bands: _*)).as(Seq("band", "bv")))
+    val pairs = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    pairs
+      .join(sh.select(col("id").as("a"), col("g").as("ga")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("g").as("gb")), Seq("b"))
+      .select(col("a"), col("b"), SimKernels.jaccardSim(col("ga"), col("gb")).as("j"))
+      .where(col("j") >= minJ)
+  }
+
+  /** Exact-duplicate groups by normalized-text fingerprint:
+    * (fp, cnt, keeper = min id). */
+  def exactGroups(docs: DataFrame, id: String, text: Column): DataFrame =
+    docs.select(col(id).as("id"), TextKernels.fingerprint(text).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("cnt"), min(col("id")).as("keeper"))
+      .where(col("cnt") > 1)
+}
