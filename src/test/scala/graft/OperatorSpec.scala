@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{SimKernels, TextKernels}
+import graft.operators._
+
+/** Operator tests, including the brute-force top-k oracle for the
+  * rank-aggregation plan (FIXTURES.md test pyramid, tier 4). */
+class OperatorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("FacetSearch.topM: deterministic under ties (ordered by d then id)") {
+    val dist = Seq((3L, 1.0), (1L, 1.0), (2L, 0.5), (4L, 1.0)).toDF("id", "d")
+    val got = FacetSearch.topM(dist, 3).select("id").as[Long].collect().toSeq
+    assert(got == Seq(2L, 1L, 3L))
+  }
+
+  test("FacetSearch.kthDistanceScale: k-th distance; all-zero prefix guards to 1.0") {
+    val dist = Seq((1L, 0.0), (2L, 2.0), (3L, 5.0)).toDF("id", "d")
+    assert(FacetSearch.kthDistanceScale(dist, 2) == 2.0)
+    val zeros = Seq((1L, 0.0), (2L, 0.0)).toDF("id", "d")
+    assert(FacetSearch.kthDistanceScale(zeros, 2) == 1.0)
+  }
+
+  test("RankAggregate.topK matches a brute-force oracle (2 facets, exact scoring)") {
+    val rnd = new scala.util.Random(7)
+    val n = 60
+    val v0 = (0 until n).map(i => i.toLong -> rnd.nextDouble() * 100)
+    val v1 = (0 until n).map(i => i.toLong -> rnd.nextDouble() * 10)
+    val (q0, q1) = (50.0, 5.0)
+    val f0 = v0.toDF("id", "v").select(col("id"), abs(col("v") - q0).as("d"))
+    val f1 = v1.toDF("id", "v").select(col("id"), abs(col("v") - q1).as("d"))
+    val k = 5
+    val facets = Seq(
+      BoundFacet("f0", f0, Seq(0.6)), BoundFacet("f1", f1, Seq(0.4)))
+    val got = RankAggregate.topK(spark, facets, k, n)
+      .orderBy("rank").select("id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    // brute force in plain Scala with the same semantics
+    def kth(ds: Seq[Double]) = { val s = ds.sorted.take(k); if (s.max <= 0) 1.0 else s.max }
+    val s0 = kth(v0.map(x => math.abs(x._2 - q0)))
+    val s1 = kth(v1.map(x => math.abs(x._2 - q1)))
+    val exp = (0 until n).map { i =>
+      val a = math.exp(-0.05 * math.abs(v0(i)._2 - q0) / s0)
+      val b = math.exp(-0.05 * math.abs(v1(i)._2 - q1) / s1)
+      val sc = BigDecimal((0.6 * a + 0.4 * b) / (0.6 + 0.4))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (i.toLong, sc)
+    }.sortBy { case (id, sc) => (-sc, id) }.take(k)
+    assert(got == exp)
+  }
+
+  test("RankAggregate: missing facet value contributes similarity 0") {
+    val f0 = Seq((1L, 0.0), (2L, 1.0)).toDF("id", "d")
+    val f1 = Seq((1L, 5.0)).toDF("id", "d") // id 2 missing here
+    val facets = Seq(BoundFacet("a", f0, Seq(0.5)), BoundFacet("b", f1, Seq(0.5)))
+    val rows = RankAggregate.topK(spark, facets, 2, 10)
+      .select("id", "score").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // id 1: (0.5*exp(0) + 0.5*exp(-0.05*5/5)) / 1 ; id 2: (0.5*exp(-0.05*1/1) + 0) / 1
+    val exp1 = BigDecimal(0.5 * 1.0 + 0.5 * math.exp(-0.05))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp2 = BigDecimal(0.5 * math.exp(-0.05))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows(1L) == exp1 && rows(2L) == exp2)
+  }
+
+  test("RankAggregate: weight validation rejects out-of-range weights") {
+    val f0 = Seq((1L, 0.0)).toDF("id", "d")
+    val facets = Seq(BoundFacet("a", f0, Seq(1.5)), BoundFacet("b", f0, Seq(0.5)))
+    intercept[IllegalArgumentException] {
+      RankAggregate.topK(spark, facets, 1, 10)
+    }
+  }
+
+  test("Dedup.exactGroups: finds crafted duplicate groups") {
+    val docs = Seq(
+      (1L, "Hello, world!"), (2L, "hello WORLD"), (3L, "unique text"),
+      (4L, "Another doc"), (5L, "another DOC!!")).toDF("doc_id", "text")
+    val got = Dedup.exactGroups(docs, "doc_id", col("text"))
+      .select("keeper", "cnt").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 4L -> 2L))
+  }
+
+  test("Dedup.minhashPairs: finds a crafted near-duplicate, skips unrelated docs") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 30).map(i => if (i == 30) "zz" else s"w$i").mkString(" ")
+    val other = (100 to 130).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val sh = TextKernels.wordShingles2(TextKernels.wordTokens(col("text")))
+    val pairs = Dedup.minhashPairs(docs, "doc_id", sh, 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((1L, 2L)))
+  }
+
+  test("AnnSearch.signature8: Column and Scala mirrors agree") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 20).map(i => i.toLong -> Seq.fill(16)(rnd.nextDouble() * 2 - 1))
+    val df = vecs.toDF("id", "v")
+    val got = df.select(col("id"), AnnSearch.signature8(col("v")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vecs.foreach { case (id, v) =>
+      assert(got(id) == AnnSearch.signature8(v), s"id $id")
+    }
+  }
+
+  test("AnnSearch.bruteCosineTopK: self-similarity ranks first") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0 until 25).map(i => i.toLong -> Seq.fill(8)(rnd.nextDouble() * 2 - 1))
+    val df = vecs.toDF("id", "v")
+    val q = vecs(7)._2
+    val top = AnnSearch.bruteCosineTopK(df, "id", col("v"), q, 3).collect()
+    assert(top.head.getLong(0) == 7L && top.head.getDouble(1) == 1.0)
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextKernels._
+
+class TextKernelSpec extends SparkTestBase {
+
+  private def eval1(c: Column): Any = spark.range(1).select(c.as("r")).head.get(0)
+
+  test("wordTokens: splits, trims, keeps duplicates and order") {
+    assert(eval1(wordTokens(lit("the  quick the fox "))) == Seq("the", "quick", "the", "fox"))
+  }
+
+  test("wordShingles2: fewer than two tokens -> empty; adjacent pairs; distinct") {
+    assert(eval1(wordShingles2(wordTokens(lit("solo")))) == Seq())
+    assert(eval1(wordShingles2(wordTokens(lit("")))) == Seq())
+    assert(eval1(wordShingles2(wordTokens(lit("a b c a b")))) ==
+      Seq("a b", "b c", "c a"))
+  }
+
+  test("simhash16: 16-bit range, deterministic, equal input -> equal hash") {
+    val h1 = eval1(simhash16(wordTokens(lit("spark join stream")))).asInstanceOf[Long]
+    val h2 = eval1(simhash16(wordTokens(lit("spark join stream")))).asInstanceOf[Long]
+    val h3 = eval1(simhash16(wordTokens(lit("completely different words here")))).asInstanceOf[Long]
+    assert(h1 == h2)
+    assert(h1 >= 0L && h1 < 65536L && h3 >= 0L && h3 < 65536L)
+    assert(h1 != h3) // distinct texts give distinct hashes (no collision for this pair)
+  }
+
+  test("simhash16: near-identical texts have small hamming distance") {
+    val h1 = eval1(simhash16(wordTokens(lit("alpha beta gamma delta epsilon zeta eta theta")))).asInstanceOf[Long]
+    val h2 = eval1(simhash16(wordTokens(lit("alpha beta gamma delta epsilon zeta eta iota")))).asInstanceOf[Long]
+    assert(java.lang.Long.bitCount(h1 ^ h2) <= 6)
+  }
+
+  test("normalizeText / fingerprint: canonicalization and idempotence") {
+    assert(eval1(normalizeText(lit("  Hello,   WORLD!! 42  "))) == "hello world 42")
+    val f1 = eval1(fingerprint(lit("Hello, world!")))
+    val f2 = eval1(fingerprint(lit("hello WORLD")))
+    assert(f1 == f2) // same normalized form
+    assert(f1.asInstanceOf[String].length == 32)
+  }
+
+  test("minhashSig: identical shingle sets give identical signatures") {
+    val g1 = wordShingles2(wordTokens(lit("a b c d e")))
+    val g2 = wordShingles2(wordTokens(lit("a b c d e")))
+    (0 until 4).foreach { i =>
+      assert(eval1(minhashSig(g1, i)) == eval1(minhashSig(g2, i)))
+    }
+    // different seeds give (almost surely) different signatures
+    assert(eval1(minhashSig(g1, 0)) != eval1(minhashSig(g1, 1)))
+  }
+}
