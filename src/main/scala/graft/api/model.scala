@@ -32,6 +32,12 @@ object Normalizer {
   case object Unity extends Normalizer
 }
 
+/** Ingest-time statistics of a numerical attribute (A3; reference:
+  * numerical/DoubleNumReader.java:24-56 — without reproducing its
+  * avg=(max-min)/count bug). Needed at query time to normalize the query
+  * value with the same transform applied to the data (A4). */
+case class ColumnStats(count: Long, min: Double, max: Double, avg: Double, stddev: Double)
+
 /** Descriptor of one mounted attribute — the rebuild's DatasetIdentifier
   * (reference: manager/DatasetIdentifier.java:1-231). */
 case class AttributeSpec(
@@ -40,7 +46,8 @@ case class AttributeSpec(
     tokenDelim: String = ",",
     qgram: Int = 3,
     normalizer: Normalizer = Normalizer.None,
-    queryable: Boolean = true)
+    queryable: Boolean = true,
+    stats: Option[ColumnStats] = None)
 
 /** A mounted attribute: spec + its (id, value) DataFrame. The `df` must have
   * exactly two columns named `id` and `value`. */

@@ -42,8 +42,8 @@ object RankAggregate {
     val nCombos = facets.head.weightPerCombo.size
     require(facets.forall(_.weightPerCombo.size == nCombos))
     facets.foreach(f => f.weightPerCombo.foreach(w =>
-      require(w > 0 && w < 1 || facets.size == 1,
-        s"weight $w out of (0,1) for facet ${f.name}"))) // reference: weights/Validator.java:14-22
+      require(w > 0 && w <= 1,
+        s"weight $w out of (0,1] for facet ${f.name}"))) // reference: weights/Validator.java:14-22 (1.0 admitted — the reference's own golden query uses it)
 
     // Phase 1: deterministic per-facet candidates + calibrated decayed sims.
     val cands = facets

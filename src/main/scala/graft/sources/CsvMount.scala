@@ -1,0 +1,173 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.api.{AttributeSpec, ColumnStats, Facet, Normalizer, SimOp}
+import graft.functions.SimKernels
+
+/** CSV mount path: reads one attribute (facet) per MountSpec into a 2-column
+  * DataFrame (id, value), typed by the declared similarity operation —
+  * the rebuild of the reference's DataIngestor + per-type readers
+  * (reference: manager/DataIngestor.java:69-541,
+  * numerical/DoubleNumReader.java:242-305,
+  * categorical/TokenSetCollectionReader.java:48-120,
+  * spatial/LocationReader.java:110-176, temporal/DateTimeReader.java).
+  *
+  * Scale note: mounting is a plain `spark.read.csv` scan plus codegen'd
+  * column expressions — no driver materialization; the per-attribute frames
+  * stay distributed and lazily evaluated (cacheable by the caller).
+  */
+object CsvMount {
+
+  /** One attribute to mount (reference: request/MountSpecs.java:1-60). */
+  final case class MountSpec(
+      operation: String,
+      dataset: String,
+      keyColumn: String,
+      searchColumns: Seq[String],
+      aliasColumn: Option[String] = None,
+      separator: String = ",",
+      tokenDelimiter: String = ";",
+      header: Boolean = true,
+      qgram: Int = 3,
+      normalized: Option[String] = None,
+      maxLines: Option[Int] = None)
+
+  /** The reference's 13 accepted datetime patterns
+    * (temporal/DateTimeParser.java:16), translated to Spark's datetime
+    * pattern dialect (week-year "YYYY" is invalid in Spark and means the
+    * same as "yyyy" for this use; documented divergence). */
+  val DatePatterns: Seq[String] = Seq(
+    "yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss'Z'",
+    "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'", "yyyy-MM-dd HH:mm:ssX",
+    "yyyy-MM-dd HH:mm:ss", "yyyyMMddHHmmss", "yyyy-MM-dd HH:mm:ss.SSX",
+    "yyyy-MM-dd", "dd/MM-yyyy", "dd/MM/yyyy", "yyyy-MM", "yyyy", "HH:mm:ss")
+
+  /** F7: parse a datetime string through the ordered pattern chain to epoch
+    * milliseconds (the reference ingests DATE_TIME as epoch-ms doubles,
+    * DataIngestor.java:326-368). */
+  def datetimeToEpochMs(c: Column): Column = {
+    val ts = coalesce(DatePatterns.map(p => try_to_timestamp(c, lit(p))): _*)
+    (unix_micros(ts) / lit(1000L)).cast("double")
+  }
+
+  /** Driver-side twin of [[datetimeToEpochMs]] for query values (F9). */
+  def parseDatetimeMs(s: String): Option[Double] = {
+    val javaPatterns = Seq(
+      "yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss'Z'",
+      "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'", "yyyy-MM-dd HH:mm:ssX",
+      "yyyy-MM-dd HH:mm:ss", "yyyyMMddHHmmss", "yyyy-MM-dd HH:mm:ss.SSX",
+      "yyyy-MM-dd", "dd/MM-yyyy", "dd/MM/yyyy", "yyyy-MM", "yyyy", "HH:mm:ss")
+    javaPatterns.iterator.flatMap { p =>
+      try {
+        val fmt = new java.text.SimpleDateFormat(p)
+        fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+        fmt.setLenient(false)
+        Some(fmt.parse(s).getTime.toDouble)
+      } catch { case _: Exception => None }
+    }.nextOption()
+  }
+
+  /** F8: parse a WKT POINT column into (lon, lat). */
+  def wktPoint(c: Column): (Column, Column) = {
+    val num = "([-+0-9.eE]+)"
+    (regexp_extract(c, s"POINT\\s*\\(\\s*$num\\s+$num\\s*\\)", 1).cast("double"),
+      regexp_extract(c, s"POINT\\s*\\(\\s*$num\\s+$num\\s*\\)", 2).cast("double"))
+  }
+
+  /** Driver-side WKT POINT parse for query values (F9). */
+  def parseWktPoint(s: String): Option[(Double, Double)] = {
+    val m = java.util.regex.Pattern
+      .compile("POINT\\s*\\(\\s*([-+0-9.eE]+)\\s+([-+0-9.eE]+)\\s*\\)")
+      .matcher(s)
+    if (m.find()) Some((m.group(1).toDouble, m.group(2).toDouble)) else None
+  }
+
+  /** Ingest statistics for a numerical attribute (A3). The reference's
+    * DoubleNumReader computes avg as (max-min)/count — a bug we deliberately
+    * do NOT reproduce (documented divergence, SURVEY.md §2.5 A3). */
+  def stats(df: DataFrame): ColumnStats = {
+    val r = df.agg(count(col("value")), min(col("value")), max(col("value")),
+      avg(col("value")), stddev_samp(col("value"))).head
+    ColumnStats(r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+      if (r.isNullAt(4)) 0.0 else r.getDouble(4))
+  }
+
+  /** Mount one attribute: returns the typed (id, value) facet frame.
+    * For numerical facets with `normalized` set, z / unity normalization is
+    * applied to the data at mount time (A4, numerical/ZNormal.java:23-26);
+    * the same transform must be applied to query values at search time.
+    */
+  def mount(spark: SparkSession, directory: String, spec: MountSpec): Facet = {
+    val raw0 = spark.read
+      .option("header", spec.header.toString)
+      .option("sep", spec.separator)
+      .csv(s"$directory/${spec.dataset}")
+    val raw = spec.maxLines.map(raw0.limit).getOrElse(raw0) // P5
+    val id = col(spec.keyColumn).as("id")
+    val name = spec.aliasColumn.getOrElse(spec.searchColumns.head)
+
+    def numericLike(op: SimOp): Facet = {
+      val vcol = if (op == SimOp.Temporal)
+        datetimeToEpochMs(col(spec.searchColumns.head))
+      else col(spec.searchColumns.head).cast("double")
+      var df = raw.select(id, vcol.as("value")).na.drop(Seq("id", "value")) // P4
+      var norm: Normalizer = Normalizer.None
+      var stOpt: Option[ColumnStats] = None
+      if (op == SimOp.Numerical) {
+        val st = stats(df) // A3: ingest-time stats
+        stOpt = Some(st)
+        spec.normalized.foreach { n =>
+          norm = n match {
+            case "z"     => Normalizer.Z
+            case "unity" => Normalizer.Unity
+            case other   => throw new IllegalArgumentException(s"unknown normalization $other")
+          }
+          val expr = norm match {
+            case Normalizer.Z     => SimKernels.zNorm(col("value"), st.avg, st.stddev)
+            case Normalizer.Unity => SimKernels.unityNorm(col("value"), st.avg, st.min, st.max)
+            case Normalizer.None  => col("value")
+          }
+          df = df.select(col("id"), expr.as("value"))
+        }
+      }
+      Facet(AttributeSpec(name, op, spec.tokenDelimiter, spec.qgram, norm, stats = stOpt), df)
+    }
+
+    spec.operation match {
+      case "numerical_topk" => numericLike(SimOp.Numerical) // S1
+      case "temporal_topk"  => numericLike(SimOp.Temporal)  // S4 + F7
+      case "categorical_topk" => // S2
+        val toks = SimKernels.tokenize(col(spec.searchColumns.head), spec.tokenDelimiter)
+        val df = raw.select(id, toks.as("value"))
+          .na.drop(Seq("id")).where(size(col("value")) > 0)
+        Facet(AttributeSpec(name, SimOp.Categorical, spec.tokenDelimiter, spec.qgram), df)
+      case "textual_topk" => // S2 (q-gram sets derived at search time)
+        val df = raw.select(id, col(spec.searchColumns.head).as("value"))
+          .na.drop(Seq("id", "value")).where(length(col("value")) > 0)
+        Facet(AttributeSpec(name, SimOp.Textual, spec.tokenDelimiter, spec.qgram), df)
+      case "spatial_knn" => // S3 + F8
+        val (lonC, latC) = spec.searchColumns match {
+          case Seq(wkt) => wktPoint(col(wkt))
+          case Seq(lon, lat) => (col(lon).cast("double"), col(lat).cast("double"))
+          case other => throw new IllegalArgumentException(s"bad search_column $other")
+        }
+        val df = raw.select(id, struct(lonC.as("lon"), latC.as("lat")).as("value"))
+          .na.drop(Seq("id")).where(col("value.lon").isNotNull && col("value.lat").isNotNull)
+        Facet(AttributeSpec(name, SimOp.Spatial, spec.tokenDelimiter, spec.qgram), df)
+      case other => throw new IllegalArgumentException(s"unknown operation $other")
+    }
+  }
+
+  /** S5: mount a lookup dictionary (term -> vector of doubles), e.g. the
+    * GDELT GloVe dictionary (term;v1,v2,...); non-queryable
+    * (lookup/DictionaryReader.java:1-191). */
+  def mountVectorDictionary(spark: SparkSession, path: String, separator: String = ";",
+      vectorDelimiter: String = ","): DataFrame =
+    spark.read.option("header", "false").option("sep", separator).csv(path)
+      .select(col("_c0").as("term"),
+        transform(split(col("_c1"), java.util.regex.Pattern.quote(vectorDelimiter)),
+          x => x.cast("double")).as("vector"))
+      .na.drop(Seq("term"))
+}
