@@ -96,7 +96,7 @@ object Queries {
     val toks = SimKernels.tokenize(col("p_name"), " ")
     val qarr = array(lit("red"), lit("widget"))
     t(s, dir, "part")
-      .select(col("p_partkey"), SimKernels.jaccardSim(toks, qarr).as("sim"))
+      .select(col("p_partkey"), SimKernels.jaccardSimDistinct(toks, qarr).as("sim"))
       .orderBy(col("sim").desc, col("p_partkey"))
       .limit(10)
   }
@@ -118,7 +118,7 @@ object Queries {
     val qGrams = textQuery.sliding(3).toSeq.distinct
     t(s, dir, "documents")
       .select(col("doc_id"),
-        SimKernels.jaccardSim(SimKernels.qgrams(col("text"), 3),
+        SimKernels.jaccardSimDistinct(SimKernels.qgrams(col("text"), 3),
           array(qGrams.map(lit): _*)).as("sim"))
       .orderBy(col("sim").desc, col("doc_id"))
       .limit(10)
@@ -175,7 +175,7 @@ object Queries {
       abs(unix_micros(col("o_orderdate").cast("timestamp")) - lit(orderQDateUs))
         .cast("double").as("d"))
     val cat = o.select(col("o_orderkey").as("id"),
-      SimKernels.jaccardDist(SimKernels.tokenize(col("o_orderpriority"), "-"),
+      SimKernels.jaccardDistDistinct(SimKernels.tokenize(col("o_orderpriority"), "-"),
         array(lit("1"), lit("URGENT"))).as("d"))
     Seq(
       BoundFacet("o_totalprice", num, combos.map(_(0))),
@@ -263,7 +263,7 @@ object Queries {
     val pb = tv.select(col("id").as("rid"), col("v0").as("b0"), col("v1").as("b1"), col("v2").as("b2"))
     val s0 = exp(lit(-0.05) * abs(col("a0") - col("b0")) / lit(scales(0)))
     val s1 = exp(lit(-0.05) * abs(col("a1") - col("b1")) / lit(scales(1)))
-    val dj = SimKernels.jaccardDist(col("a2"), col("b2"))
+    val dj = SimKernels.jaccardDistDistinct(col("a2"), col("b2"))
     val s2 = when(dj === 1.0, lit(0.0)).otherwise(exp(lit(-0.05) * dj / lit(scales(2))))
     val ws = combos1.head
     pa.crossJoin(pb).select(col("lid"), col("rid"),
@@ -404,7 +404,7 @@ object Queries {
 
   private val dedupMinhashSql = {
     val sigs = (0 until Dedup.NumHashes)
-      .map(i => s"list_min(list_transform(g, x -> md5('$i:' || x))) AS s_$i").mkString(",\n  ")
+      .map(i => s"list_min(list_transform(hv, h -> substr(h, ${i + 1}, 8))) AS s_$i").mkString(",\n  ")
     val bands = (0 until Dedup.NumBands).map { b =>
       val parts = (0 until Dedup.RowsPerBand).map(r => s"s_${b * Dedup.RowsPerBand + r}")
       s"md5(${parts.mkString(" || '|' || ")}) AS b$b"
@@ -412,9 +412,10 @@ object Queries {
     val bandEq = (0 until Dedup.NumBands).map(b => s"x.b$b = y.b$b").mkString(" OR ")
     s"""WITH tk AS (SELECT doc_id, ${sqlWords("text")} AS w FROM documents),
        |sh AS (SELECT doc_id, ${sqlShingles2("w")} AS g FROM tk),
-       |sig AS (SELECT doc_id, g,
+       |hv AS (SELECT doc_id, list_transform(g, x -> md5(x)) AS hv FROM sh),
+       |sig AS (SELECT doc_id,
        |  $sigs
-       |FROM sh),
+       |FROM hv),
        |band AS (SELECT doc_id, $bands FROM sig),
        |cand AS (SELECT x.doc_id AS a, y.doc_id AS b FROM band x, band y
        |         WHERE x.doc_id < y.doc_id AND ($bandEq))

@@ -82,12 +82,12 @@ object SimSearchEngine {
             .map(_.trim).filter(_.nonEmpty).distinct.toSeq
           case other => throw new IllegalArgumentException(s"bad token-set query $other")
         }
-        SimKernels.jaccardDist(v, array(toks.map(lit): _*))
+        SimKernels.jaccardDistDistinct(v, array(toks.map(lit): _*))
       case SimOp.Textual =>
         val q = spec.value.toString
         val qGrams = (if (q.length < f.spec.qgram) Seq(q)
           else q.sliding(f.spec.qgram).toSeq).distinct
-        SimKernels.jaccardDist(SimKernels.qgrams(v, f.spec.qgram), array(qGrams.map(lit): _*))
+        SimKernels.jaccardDistDistinct(SimKernels.qgrams(v, f.spec.qgram), array(qGrams.map(lit): _*))
       case SimOp.Spatial =>
         val (qLon, qLat) = spec.value match {
           case s: String => CsvMount.parseWktPoint(s)

@@ -57,6 +57,20 @@ object SimKernels {
   def jaccardDist(a: Column, b: Column): Column =
     lit(1.0) - jaccardSim(a, b)
 
+  /** Jaccard similarity for arrays KNOWN to be distinct (tokenize/qgrams
+    * output): |∩| / (|a| + |b| - |∩|) — same exact value as [[jaccardSim]]
+    * but skips materializing the union array, which roughly halves the cost
+    * of a wide set-similarity scan. */
+  def jaccardSimDistinct(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni   = size(a).cast("double") + size(b).cast("double") - inter
+    coalesce(when(uni === 0.0, lit(0.0)).otherwise(inter / uni), lit(0.0))
+  }
+
+  /** Jaccard distance over known-distinct arrays. */
+  def jaccardDistDistinct(a: Column, b: Column): Column =
+    lit(1.0) - jaccardSimDistinct(a, b)
+
   /** Split a delimited string into a distinct, trimmed, non-empty token set
     * (reference: categorical/TokenSet + TokenSetCollectionReader.java:48-120).
     * The delimiter is a literal string, not a regex (Pattern.quote), so

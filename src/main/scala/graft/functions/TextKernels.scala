@@ -30,10 +30,18 @@ object TextKernels {
         sequence(lit(1), size(w) - 1),
         i => concat(element_at(w, i), lit(" "), element_at(w, i + 1)))))
 
-  /** MinHash signature i over a shingle set: lexicographic min of
-    * md5("<i>:" + shingle). One column per hash function. */
-  def minhashSig(g: Column, i: Int): Column =
-    array_min(transform(g, x => md5(concat(lit(s"$i:"), x))))
+  /** Per-shingle md5 digests — compute ONCE per row, then derive every
+    * MinHash signature from it (16 md5s per shingle would be the naive
+    * alternative; one digest is 16x cheaper and the 8-hex-char windows of a
+    * single md5 are independent enough across shingles for LSH candidate
+    * generation, which is exact-verified downstream anyway). */
+  def shingleHashes(g: Column): Column = transform(g, x => md5(x))
+
+  /** MinHash signature i over pre-computed shingle digests: lexicographic
+    * min of the 8-char window starting at hex position i. Supports
+    * i in [0, 24] for a 32-char md5. */
+  def minhashSig(hv: Column, i: Int): Column =
+    array_min(transform(hv, h => substring(h, i + 1, 8)))
 
   /** LSH band key: md5 of rowsPerBand consecutive signatures joined by '|'
     * (banded MinHash — candidate pairs must collide on at least one band). */

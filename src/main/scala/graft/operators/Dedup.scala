@@ -28,11 +28,17 @@ object Dedup {
     * true pair with similarity s collides: 1 - (1 - s^4)^4 (~1.0 at s>=0.9).
     */
   def minhashPairs(docs: DataFrame, id: String, shingles: Column, minJ: Double): DataFrame = {
-    val sh = docs.select(col(id).as("id"), shingles.as("g"))
-    val sigs = (0 until NumHashes).map(i => TextKernels.minhashSig(col("g"), i))
+    // Cache the shingle sets and band keys: the LSH self-join and the
+    // verification join would otherwise each recompute the signatures per
+    // document per side. (At 100 TB scale this intermediate is the one you
+    // persist/checkpoint; its size is O(corpus tokens).)
+    val sh = docs.select(col(id).as("id"), shingles.as("g")).cache()
+    val sigs = (0 until NumHashes).map(i => TextKernels.minhashSig(col("hv"), i))
     val bands = (0 until NumBands).map(b => TextKernels.bandKey(sigs, b, RowsPerBand))
     val banded = sh
+      .select(col("id"), TextKernels.shingleHashes(col("g")).as("hv"))
       .select(col("id"), posexplode(array(bands: _*)).as(Seq("band", "bv")))
+      .cache()
     val pairs = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
@@ -42,7 +48,7 @@ object Dedup {
     pairs
       .join(sh.select(col("id").as("a"), col("g").as("ga")), Seq("a"))
       .join(sh.select(col("id").as("b"), col("g").as("gb")), Seq("b"))
-      .select(col("a"), col("b"), SimKernels.jaccardSim(col("ga"), col("gb")).as("j"))
+      .select(col("a"), col("b"), SimKernels.jaccardSimDistinct(col("ga"), col("gb")).as("j"))
       .where(col("j") >= minJ)
   }
 

@@ -51,8 +51,13 @@ object FacetSearch {
 
   /** Decayed similarity column for a calibrated facet
     * (reference: measure/DecayedSimilarity.java:42-99). */
-  def decayed(f: BoundFacet, k: Int): DataFrame = {
-    val s = f.scale.getOrElse(kthDistanceScale(f.dist, k))
+  def decayed(f: BoundFacet, k: Int): DataFrame =
+    decayedWithScale(f, f.scale.getOrElse(kthDistanceScale(f.dist, k)))
+
+  /** As [[decayed]] but with an externally computed scale (lets the caller
+    * derive the scale from an already-materialized candidate list instead of
+    * re-scanning the facet). */
+  def decayedWithScale(f: BoundFacet, s: Double): DataFrame = {
     val sim =
       if (f.jaccard) SimKernels.decaySimJaccard(col("d"), f.decay, lit(s))
       else SimKernels.decaySim(col("d"), f.decay, lit(s))

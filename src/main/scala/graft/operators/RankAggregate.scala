@@ -45,18 +45,28 @@ object RankAggregate {
       require(w > 0 && w <= 1,
         s"weight $w out of (0,1] for facet ${f.name}"))) // reference: weights/Validator.java:14-22 (1.0 admitted — the reference's own golden query uses it)
 
-    // Phase 1: deterministic per-facet candidates + calibrated decayed sims.
-    val cands = facets
-      .map(f => FacetSearch.topM(f.dist, m).select(col("id")))
-      .reduce(_ union _)
-      .distinct()
+    // Phase 1: deterministic per-facet candidates. Each top-M is one
+    // shuffle-free TakeOrderedAndProject scan; the (<= m)-row result is
+    // cached so both the scale calibration and the candidate union read it
+    // without re-scanning the facet.
+    val topMs = facets.map(f => FacetSearch.topM(f.dist, m).cache())
+    val scales = facets.zip(topMs).map { case (f, tm) =>
+      f.scale.getOrElse {
+        val ds = tm.orderBy(col("d"), col("id")).limit(k)
+          .select(col("d")).collect().map(_.getDouble(0))
+        if (ds.isEmpty || ds.max <= 0.0) 1.0 else ds.max
+      }
+    }
+    val cands = topMs.map(_.select(col("id"))).reduce(_ union _).distinct()
 
     // Phase 2: exact score for every candidate on every facet. Inner join per
     // facet (broadcast the small candidate set); ids missing from a facet
     // simply contribute no row => similarity 0 in the sum below, matching the
     // reference's missing-value contract (RankAggregator.java:239-242).
+    // This is the only pass that scans the facets in full ("random access"
+    // becomes a broadcast-semi join pushed into the scan).
     val perFacet = facets.zipWithIndex.map { case (f, i) =>
-      FacetSearch.decayed(f, k)
+      FacetSearch.decayedWithScale(f, scales(i))
         .join(broadcast(cands), Seq("id"))
         .select(col("id"), lit(i).as("f"), col("s"))
     }

@@ -44,12 +44,14 @@ class TextKernelSpec extends SparkTestBase {
   }
 
   test("minhashSig: identical shingle sets give identical signatures") {
-    val g1 = wordShingles2(wordTokens(lit("a b c d e")))
-    val g2 = wordShingles2(wordTokens(lit("a b c d e")))
+    val g1 = shingleHashes(wordShingles2(wordTokens(lit("a b c d e"))))
+    val g2 = shingleHashes(wordShingles2(wordTokens(lit("a b c d e"))))
     (0 until 4).foreach { i =>
       assert(eval1(minhashSig(g1, i)) == eval1(minhashSig(g2, i)))
     }
-    // different seeds give (almost surely) different signatures
+    // different hash windows give (almost surely) different signatures
     assert(eval1(minhashSig(g1, 0)) != eval1(minhashSig(g1, 1)))
+    // every signature is an 8-hex-char window
+    assert(eval1(minhashSig(g1, 3)).asInstanceOf[String].length == 8)
   }
 }
