@@ -601,6 +601,39 @@ object Queries {
        |ORDER BY a, b""".stripMargin
 
   // ----------------------------------------------------------------------
+  // Q9 pivot-equivalent multi-metric search (F5 Lp metrics): weighted
+  // decayed multi-metric top-k with exact scoring — the semantics of the
+  // reference's RR*-tree distance-browsing search, realized as per-metric
+  // candidate generation + exact re-rank (SURVEY.md §7.4; reference:
+  // pivoting/rtree/MultiMetricSimilaritySearch.java:69-131, exactDistance
+  // :298-312). Scale calibration is the deterministic k-th distance; the
+  // reference derives epsilon thresholds from an UNSEEDED random sample
+  // (PivotAllocation.java:169-247, Collections.shuffle), so its own pivot
+  // fixture is irreproducible by design — documented divergence.
+  // ----------------------------------------------------------------------
+  private val pivotMultimetric: (SparkSession, String) => DataFrame = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+    val qc = array(queryVec(s, dir).map(lit): _*)
+    val f0 = e.select(col("id"), SimKernels.l2Dist(col("v"), qc).as("d"))
+    val f1 = e.select(col("id"), SimKernels.l1Dist(col("v"), qc).as("d"))
+    RankAggregate.topK(s,
+      Seq(BoundFacet("euclidean", f0, Seq(0.6)), BoundFacet("manhattan", f1, Seq(0.4))),
+      10, 10000)
+      .withColumnRenamed("id", "vec_id")
+  }
+
+  private val pivotMultimetricSql = {
+    val qSub = "(SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q"
+    val l2 = "sqrt(list_sum([(v[i] - qv[i]) * (v[i] - qv[i]) for i in range(1, 65)]))"
+    val l1 = "list_sum([abs(v[i] - qv[i]) for i in range(1, 65)])"
+    def facet(d: String) =
+      s"SELECT vec_id AS id, $d AS d FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e, $qSub"
+    rankAggSql(Seq((facet(l2), false), (facet(l1), false)),
+      Seq(Seq(0.6, 0.4)), 10, 10000, "vec_id")
+  }
+
+  // ----------------------------------------------------------------------
   // registry
   // ----------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -626,6 +659,7 @@ object Queries {
     "q_ann_cosine"    -> annCosine,
     "q_ann_lsh"       -> annLsh,
     "q_dedup_embedding" -> dedupEmbedding,
+    "q_pivot_multimetric" -> pivotMultimetric,
   )
 
   val oracles: Map[String, String] = Map(
@@ -651,5 +685,6 @@ object Queries {
     "q_ann_cosine"    -> annCosineSql,
     "q_ann_lsh"       -> annLshSql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
+    "q_pivot_multimetric" -> pivotMultimetricSql,
   )
 }

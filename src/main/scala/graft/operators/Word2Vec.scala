@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** F11: word2vec set embedding — transform a keyword-set attribute into the
+  * mean of its tokens' dictionary vectors
+  * (reference: lookup/Word2VectorTransformer.java:42-97, applied at mount by
+  * Coordinator.java:608-643).
+  *
+  * Reference semantics reproduced exactly:
+  *  - dictionary keys are lower-case; tokens are lower-cased for lookup;
+  *  - compound tokens ("new+york") average their components' vectors
+  *    (recursively in the reference; one level suffices since components
+  *    cannot contain '+' again);
+  *  - missing tokens/components contribute a zero vector but still count in
+  *    the divisor (vec = sum(found) / |tokens|);
+  *  - an empty token set maps to a NaN vector.
+  *
+  * Plan shape (100 TB-safe): explode tokens -> broadcast-join the (small)
+  * dictionary -> per-dimension partial sums via groupBy(id, pos) — one
+  * shuffle keyed by entity id, no driver materialization.
+  */
+object Word2Vec {
+
+  /** @param tokensDf (id, tokens: array<string>)
+    * @param dict     (term, vector: array<double>) — lower-case terms
+    * @param dim      vector dimensionality */
+  def transform(tokensDf: DataFrame, dict: DataFrame, dim: Int): DataFrame = {
+    val d = dict.select(col("term").as("_t"), col("vector").as("_v"))
+    val terms = tokensDf.select(col("id"), size(col("tokens")).as("ntok"),
+      explode(col("tokens")).as("term"))
+    val comps = terms.select(col("id"), col("ntok"),
+      size(split(col("term"), "\\+")).as("ncomp"),
+      explode(split(col("term"), "\\+")).as("c"))
+    val joined = comps.join(broadcast(d), lower(col("c")) === col("_t"))
+    val dims = joined
+      .select(col("id"), col("ntok"), col("ncomp"), posexplode(col("_v")).as(Seq("pos", "x")))
+      .groupBy(col("id"), col("pos"))
+      .agg(sum(col("x") / (col("ncomp") * col("ntok"))).as("x"))
+      .groupBy(col("id"))
+      .agg(org.apache.spark.sql.functions.transform(
+        array_sort(collect_list(struct(col("pos"), col("x")))),
+        s => s.getField("x")).as("vec"))
+    val zeros = array_repeat(lit(0.0), dim)
+    val nans = array_repeat(lit(Double.NaN), dim)
+    tokensDf.select(col("id"), size(col("tokens")).as("ntok"))
+      .join(dims, Seq("id"), "left")
+      .select(col("id"),
+        when(col("ntok") === 0, nans)
+          .otherwise(coalesce(col("vec"), zeros)).as("vector"))
+  }
+}

@@ -164,10 +164,12 @@ object CsvMount {
     * GDELT GloVe dictionary (term;v1,v2,...); non-queryable
     * (lookup/DictionaryReader.java:1-191). */
   def mountVectorDictionary(spark: SparkSession, path: String, separator: String = ";",
-      vectorDelimiter: String = ","): DataFrame =
-    spark.read.option("header", "false").option("sep", separator).csv(path)
-      .select(col("_c0").as("term"),
-        transform(split(col("_c1"), java.util.regex.Pattern.quote(vectorDelimiter)),
+      vectorDelimiter: String = ",", header: Boolean = true): DataFrame = {
+    val raw = spark.read.option("header", header.toString).option("sep", separator).csv(path)
+    val cols = raw.columns
+    raw.select(col(cols(0)).as("term"),
+        transform(split(col(cols(1)), java.util.regex.Pattern.quote(vectorDelimiter)),
           x => x.cast("double")).as("vector"))
       .na.drop(Seq("term"))
+  }
 }
