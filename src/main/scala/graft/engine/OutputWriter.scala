@@ -1,0 +1,57 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+
+/** Result sinks (S11/S12) — the rebuild of the reference's OutputWriter
+  * (reference: engine/OutputWriter.java:33-160) and the REST response shape
+  * (engine/SearchResponse.java:1-88, serialized by SimSearchController).
+  */
+object OutputWriter {
+
+  /** S11: JSON file sink (one JSON object per line, Spark-native). */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").json(path)
+
+  /** S11: CSV sink with the reference's configurable delimiter/quote/header
+    * (request/SearchOutput.java:8-29). */
+  def writeCsv(df: DataFrame, path: String, delimiter: String = ",",
+      quote: String = "\"", header: Boolean = true): Unit =
+    df.coalesce(1).write.mode("overwrite")
+      .option("sep", delimiter).option("quote", quote)
+      .option("header", header.toString)
+      .csv(path)
+
+  /** S11: tabular console/txt rendering of the first n rows. */
+  def toTabular(df: DataFrame, n: Int = 50): String = {
+    val cols = df.columns
+    val rows = df.limit(n).collect().map(_.toSeq.map(v => String.valueOf(v)))
+    val widths = cols.indices.map(i => (cols(i).length +: rows.map(_(i).length)).max)
+    def line(vals: Seq[String]) =
+      vals.zip(widths).map { case (v, w) => v.padTo(w, ' ') }.mkString("| ", " | ", " |")
+    (line(cols.toSeq) +: rows.map(r => line(r))).mkString("\n")
+  }
+
+  /** S12: serialize a (combo, rank, id, score) result into the reference's
+    * SearchResponse JSON shape — one response object per weight combination,
+    * each with its rankedResults array. */
+  def toJsonResponse(df: DataFrame): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createArrayNode()
+    val byCombo = df.collect()
+      .map(r => (r.getLong(r.fieldIndex("combo")), r.getLong(r.fieldIndex("rank")),
+        String.valueOf(r.get(r.fieldIndex("id"))), r.getDouble(r.fieldIndex("score"))))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    byCombo.foreach { case (_, rows) =>
+      val resp = mapper.createObjectNode()
+      val ranked = mapper.createArrayNode()
+      rows.sortBy(_._2).foreach { case (_, rank, id, score) =>
+        val o = mapper.createObjectNode()
+        o.put("id", id); o.put("rank", rank); o.put("score", score); o.put("exact", true)
+        ranked.add(o)
+      }
+      resp.set[com.fasterxml.jackson.databind.JsonNode]("rankedResults", ranked)
+      root.add(resp)
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+}

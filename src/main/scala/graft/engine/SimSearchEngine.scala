@@ -111,21 +111,68 @@ object SimSearchEngine {
     * both weight combinations — by k * d_k; we match the fixture's
     * observable behavior and document the divergence from the code-as-read.
     */
+  /** R7: weight auto-estimation for a facet with no user weights — the p-th
+    * percentile of the facet's decayed candidate scores with
+    * p = 100 - 100k/n, linearly interpolated
+    * (reference: weights/Estimator.java:145-189 proc(k), invoked from
+    * RankAggregator.java:167-192). */
+  def estimateWeight(scored: DataFrame, k: Int): Double = {
+    import org.apache.spark.sql.expressions.Window
+    val n = scored.count()
+    if (n == 0) return 1.0
+    val p = math.max(0.0, 1.0 - k.toDouble / n)
+    val idx = p * (n - 1)
+    val lo = math.floor(idx).toLong
+    val frac = idx - math.floor(idx)
+    val picked = scored
+      .withColumn("rn", row_number().over(Window.orderBy(col("s"), col("id"))))
+      .where(col("rn") === lo + 1 || col("rn") === lo + 2)
+      .orderBy(col("rn")).select(col("s")).collect().map(_.getDouble(0))
+    val est = if (picked.length < 2) picked(0) else picked(0) + (picked(1) - picked(0)) * frac
+    math.min(1.0, math.max(1e-9, est))
+  }
+
+  /** P3: cross-attribute residual boolean filter — restrict the searchable
+    * entities to those satisfying `filter` over the referenced mounted
+    * attributes. The reference can only push such filters to in-situ
+    * sources and IGNORES them on ingested data with a notice
+    * (SearchHandler.java:707-713); we apply them uniformly by semi-joining
+    * an eligible-id set built from the referenced facets. */
+  private def eligibleIds(catalog: Catalog, filter: String): DataFrame = {
+    val referenced = catalog.list.map(_._1).filter(name =>
+      java.util.regex.Pattern.compile(s"\\b${java.util.regex.Pattern.quote(name)}\\b")
+        .matcher(filter).find())
+    require(referenced.nonEmpty, s"filter references no mounted attribute: $filter")
+    val joined = referenced.map { name =>
+      catalog.get(name).df.select(col("id"), col("value").as(name))
+    }.reduce((a, b) => a.join(b, Seq("id")))
+    joined.where(expr(filter)).select(col("id"))
+  }
+
   def search(spark: SparkSession, catalog: Catalog, k: Int,
-      specs: Seq[SearchSpec]): DataFrame = {
+      specs: Seq[SearchSpec], residualFilter: Option[String] = None): DataFrame = {
     require(specs.nonEmpty, "no query conditions")
     require(specs.size == 1 || k <= KMax, s"k > $KMax for multi-attribute query") // A2
-    val nCombos = specs.map(_.weights.size).max
+    val nCombos = math.max(1, specs.map(_.weights.size).max)
     val m = if (specs.size > 1) InflationFactor * k else k
+    val eligible = residualFilter.map(eligibleIds(catalog, _))
     val facets = specs.map { s =>
       val f = catalog.get(s.column)
       require(f.spec.queryable, s"attribute ${s.column} is not queryable") // P6
-      val dist = distStream(f, s)
+      val dist0 = distStream(f, s)
+      val dist = eligible.map(e => dist0.join(e, Seq("id"), "left_semi")).getOrElse(dist0)
       val scale = s.scale.getOrElse(k * FacetSearch.kthDistanceScale(dist, k))
-      val ws = if (s.weights.size == nCombos) s.weights
-        else Seq.fill(nCombos)(s.weights.headOption.getOrElse(1.0))
-      BoundFacet(s.column, dist, ws, s.decay, Some(scale),
-        jaccard = f.spec.op == SimOp.Categorical || f.spec.op == SimOp.Textual)
+      val jac = f.spec.op == SimOp.Categorical || f.spec.op == SimOp.Textual
+      val ws =
+        if (s.weights.size == nCombos) s.weights
+        else if (s.weights.nonEmpty) Seq.fill(nCombos)(s.weights.head)
+        else { // R7: auto-estimate from the candidate score distribution
+          val cand = FacetSearch.topM(dist, m)
+          val scored = FacetSearch.decayedWithScale(
+            BoundFacet(s.column, cand, Seq(1.0), s.decay, Some(scale), jac), scale)
+          Seq.fill(nCombos)(estimateWeight(scored, k))
+        }
+      BoundFacet(s.column, dist, ws, s.decay, Some(scale), jac)
     }
     RankAggregate.topK(spark, facets, k, m)
   }

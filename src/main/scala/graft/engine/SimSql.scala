@@ -1,0 +1,109 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.api.SimOp
+import graft.engine.SimSearchEngine.{Catalog, SearchSpec}
+
+/** SQL-like front-end (§3.2 of SURVEY.md) — the rebuild of the reference's
+  * SqlParser (reference: engine/SqlParser.java:50-197). Grammar:
+  *
+  * {{{
+  * SELECT *[, extra_col, ...]
+  * [FROM instance]
+  * WHERE col ~= 'value' [AND col2 ~= 'v2' ...] [AND <boolean filter> ...]
+  * [WEIGHTS w1, w2, ...]
+  * [ALGORITHM threshold|no_random_access|partial_random_access|pivot_based]
+  * [LIMIT k];
+  * }}}
+  *
+  * `~=` marks a similarity condition; all other WHERE conjuncts form a
+  * residual boolean filter. Divergence from the reference (documented):
+  * the reference IGNORES residual filters on ingested data with a notice
+  * (SearchHandler.java:707-713); we apply them uniformly — Spark pushes
+  * them into the facet scans.
+  */
+object SimSql {
+
+  final case class ParsedQuery(
+      extraColumns: Seq[String],
+      sims: Seq[(String, String)], // (column, raw value)
+      weights: Seq[Double],
+      algorithm: Option[String],
+      k: Int,
+      residualFilter: Option[String])
+
+  private val SimCond = """(?i)([\w.]+)\s*~=\s*'([^']*)'""".r
+
+  def parse(sql: String): ParsedQuery = {
+    val s = sql.trim.stripSuffix(";").replaceAll("\\s+", " ").trim
+    require(s.toUpperCase.startsWith("SELECT"), s"not a SELECT: $s")
+
+    def section(name: String): Option[String] = {
+      val m = java.util.regex.Pattern
+        .compile(s"(?i)\\b$name\\b\\s+(.*?)(?=\\s+\\bWEIGHTS\\b|\\s+\\bALGORITHM\\b|\\s+\\bLIMIT\\b|$$)")
+        .matcher(s)
+      if (m.find()) Some(m.group(1).trim) else None
+    }
+
+    val selectList = s.substring("SELECT".length,
+      "(?i)\\b(FROM|WHERE)\\b".r.findFirstMatchIn(s).map(_.start).getOrElse(s.length)).trim
+    val extras = selectList.split(",").map(_.trim).filter(c => c.nonEmpty && c != "*").toSeq
+
+    val whereBody = section("WHERE").getOrElse(
+      throw new IllegalArgumentException("query has no WHERE clause"))
+    // split top-level AND conjuncts, re-merging the AND that belongs to a
+    // BETWEEN x AND y predicate
+    val rawConjuncts = whereBody.split("(?i)\\bAND\\b").map(_.trim).filter(_.nonEmpty)
+    val conjuncts = rawConjuncts.foldLeft(List.empty[String]) { (acc, c) =>
+      acc match {
+        case h :: t if h.matches("(?is).*\\bBETWEEN\\s+\\S+$") => s"$h AND $c" :: t
+        case _ => c :: acc
+      }
+    }.reverse.toArray
+    val (simConds, residuals) = conjuncts.partition(c => SimCond.findFirstIn(c).isDefined)
+    val sims = simConds.toSeq.map { c =>
+      val m = SimCond.findFirstMatchIn(c).get
+      (m.group(1), m.group(2))
+    }
+    if (sims.isEmpty) // reference: deliberate failure case (queries.sql Q6)
+      throw new IllegalArgumentException("query involves no similarity condition (~=)")
+
+    val weights = section("WEIGHTS")
+      .map(_.split(",").map(_.trim.toDouble).toSeq).getOrElse(Seq.empty)
+    val algorithm = "(?i)\\bALGORITHM\\s+(\\w+)".r.findFirstMatchIn(s).map(_.group(1).toLowerCase)
+    val k = "(?i)\\bLIMIT\\s+(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toInt).getOrElse(50) // SqlParser.java:83-86
+    val residual = if (residuals.isEmpty) None else Some(residuals.mkString(" AND "))
+    ParsedQuery(extras, sims, weights, algorithm, k, residual)
+  }
+
+  /** Execute a parsed query against a mounted catalog: similarity top-k +
+    * extra-column projection (A6) with date formatting (F13). */
+  def execute(spark: SparkSession, catalog: Catalog, q: ParsedQuery): DataFrame = {
+    val specs = q.sims.zipWithIndex.map { case ((colName, raw), i) =>
+      val f = catalog.get(colName)
+      val value: Any = f.spec.op match {
+        case SimOp.Categorical => raw.split(",").map(_.trim).filter(_.nonEmpty).distinct.toSeq
+        case SimOp.Numerical => raw.toDouble
+        case _ => raw
+      }
+      val w = if (q.weights.isDefinedAt(i)) Seq(q.weights(i)) else Seq.empty
+      SearchSpec(colName, value, w, filter = None)
+    }
+    val topk = SimSearchEngine.search(spark, catalog, q.k, specs,
+      residualFilter = q.residualFilter)
+    q.extraColumns.foldLeft(topk) { (acc, c) =>
+      val f = catalog.get(c)
+      val v = f.spec.op match {
+        case SimOp.Temporal => // F13: epoch ms -> yyyy-MM-dd HH:mm:ss
+          date_format(timestamp_millis(col("value").cast("long")), "yyyy-MM-dd HH:mm:ss")
+        case _ => col("value")
+      }
+      acc.join(f.df.select(col("id"), v.as(c)), Seq("id"), "left")
+    }
+  }
+
+  def run(spark: SparkSession, catalog: Catalog, sql: String): DataFrame =
+    execute(spark, catalog, parse(sql))
+}

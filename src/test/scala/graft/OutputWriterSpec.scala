@@ -1,0 +1,35 @@
+package graft
+
+import graft.engine.OutputWriter
+
+class OutputWriterSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def resultDf = Seq(
+    (0L, 1L, "a", 0.9), (0L, 2L, "b", 0.8), (1L, 1L, "b", 0.95)
+  ).toDF("combo", "rank", "id", "score")
+
+  test("S11: json and csv sinks round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-out").toString
+    OutputWriter.writeJson(resultDf, s"$dir/j")
+    assert(spark.read.json(s"$dir/j").count() == 3)
+    OutputWriter.writeCsv(resultDf, s"$dir/c", delimiter = "|")
+    val back = spark.read.option("sep", "|").option("header", "true").csv(s"$dir/c")
+    assert(back.count() == 3 && back.columns.toSeq == Seq("combo", "rank", "id", "score"))
+  }
+
+  test("S11: tabular text rendering") {
+    val txt = OutputWriter.toTabular(resultDf.orderBy("combo", "rank"))
+    assert(txt.linesIterator.size == 4)
+    assert(txt.contains("| combo") && txt.contains("| a"))
+  }
+
+  test("S12: SearchResponse JSON shape, one object per weight combination") {
+    val json = OutputWriter.toJsonResponse(resultDf)
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    assert(tree.size() == 2)
+    assert(tree.get(0).get("rankedResults").size() == 2)
+    assert(tree.get(0).get("rankedResults").get(0).get("id").asText() == "a")
+    assert(tree.get(1).get("rankedResults").get(0).get("score").asDouble() == 0.95)
+  }
+}
