@@ -634,6 +634,29 @@ object Queries {
   }
 
   // ----------------------------------------------------------------------
+  // multimodal: binary payload + partition-batched (stub) decode pipeline
+  // ----------------------------------------------------------------------
+  private val multimodalMeta: (SparkSession, String) => DataFrame = (s, dir) => {
+    val media = t(s, dir, "documents").select(
+      col("doc_id").as("id"),
+      when(col("doc_id") % 2 === 1, lit("video")).otherwise(lit("image")).as("kind"),
+      encode(col("text"), "UTF-8").as("data"))
+    graft.multimodal.Multimodal.decode(media).toDF()
+      .select(col("id").as("doc_id"), col("kind"), col("nBytes").as("n_bytes"),
+        col("width"), col("height"), col("nFrames").as("n_frames"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val multimodalMetaSql =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 1 THEN 'video' ELSE 'image' END AS kind,
+      |  octet_length(encode(text))::BIGINT AS n_bytes,
+      |  (16 + octet_length(encode(text)) % 64)::INTEGER AS width,
+      |  (16 + octet_length(encode(text)) % 48)::INTEGER AS height,
+      |  (CASE WHEN doc_id % 2 = 1 THEN 1 + octet_length(encode(text)) % 30 ELSE 1 END)::INTEGER AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------------
   // registry
   // ----------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -660,6 +683,7 @@ object Queries {
     "q_ann_lsh"       -> annLsh,
     "q_dedup_embedding" -> dedupEmbedding,
     "q_pivot_multimetric" -> pivotMultimetric,
+    "q_multimodal_meta" -> multimodalMeta,
   )
 
   val oracles: Map[String, String] = Map(
@@ -686,5 +710,6 @@ object Queries {
     "q_ann_lsh"       -> annLshSql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_pivot_multimetric" -> pivotMultimetricSql,
+    "q_multimodal_meta" -> multimodalMetaSql,
   )
 }

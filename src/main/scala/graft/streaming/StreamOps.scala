@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming operators for the training-data pipeline. The
+  * reference engine has no streaming at all (SURVEY.md §2.7); these are the
+  * charter's stream-side additions, built on watermarks + windowed
+  * aggregation + watermarked stream dedup so state is bounded and the plan
+  * scales out with the shuffle.
+  */
+object StreamOps {
+
+  /** Sliding/tumbling windowed counts per key with a watermark bound on
+    * state. `events` must be a streaming DataFrame with an event-time
+    * column. */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+      window: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col(keyCol), col("cnt"))
+
+  /** Streaming exact dedup on a key within the watermark horizon — the
+    * stream-side twin of Dedup.exactGroups. State is dropped once the
+    * watermark passes, so it is bounded by (arrival rate x horizon). */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String, keyCols: Seq[String],
+      watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  /** Streaming windowed top-k preparation: per-window per-key aggregate
+    * value sums; the bounded top-k itself is applied by the sink query
+    * (complete-mode aggregation or a downstream batch rank over the sink
+    * table — Structured Streaming cannot rank incrementally without
+    * arbitrary state). */
+  def windowedValueSums(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, window: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window), col(keyCol))
+      .agg(sum(col(valueCol)).as("total"))
+      .select(col("window.start").as("window_start"), col(keyCol), col("total"))
+}

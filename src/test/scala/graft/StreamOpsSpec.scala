@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamOps
+
+class StreamOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedCounts: watermarked tumbling-window counts per key") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val out = StreamOps.windowedCounts(
+      input.toDF().toDF("ts", "event_type"), "ts", "event_type", "10 minutes", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("wc").outputMode("update").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:01:00"), "click"), (ts("2024-01-01 00:02:00"), "click"),
+        (ts("2024-01-01 00:03:00"), "view"), (ts("2024-01-01 00:11:00"), "click"))
+      q.processAllAvailable()
+      val rows = spark.table("wc").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(rows.contains(("2024-01-01 00:00:00.0", "click", 2L)))
+      assert(rows.contains(("2024-01-01 00:00:00.0", "view", 1L)))
+      assert(rows.contains(("2024-01-01 00:10:00.0", "click", 1L)))
+    } finally q.stop()
+  }
+
+  test("dedupWithinWatermark: duplicate keys inside the horizon collapse") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Long)]
+    val out = StreamOps.dedupWithinWatermark(
+      input.toDF().toDF("ts", "fp", "doc_id"), "ts", Seq("fp"), "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dd").outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:01:00"), "fpA", 1L),
+        (ts("2024-01-01 00:02:00"), "fpA", 2L), // dup of fpA within horizon
+        (ts("2024-01-01 00:03:00"), "fpB", 3L))
+      q.processAllAvailable()
+      val fps = spark.table("dd").select("fp").collect().map(_.getString(0)).toSeq
+      assert(fps.sorted == Seq("fpA", "fpB"))
+    } finally q.stop()
+  }
+
+  test("windowedValueSums: per-window per-key sums") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val out = StreamOps.windowedValueSums(
+      input.toDF().toDF("ts", "user", "value"), "ts", "user", "value", "1 hour", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("ws").outputMode("update").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:05:00"), "u1", 2.0), (ts("2024-01-01 00:40:00"), "u1", 3.0),
+        (ts("2024-01-01 00:10:00"), "u2", 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("ws").collect()
+        .map(r => (r.getString(1), r.getDouble(2))).toSet
+      assert(rows == Set(("u1", 5.0), ("u2", 7.0)))
+    } finally q.stop()
+  }
+}
