@@ -657,6 +657,63 @@ object Queries {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------------------------------
+  // events: batch twins of the streaming operators — tumbling-window
+  // aggregation and gap-based sessionization (exact integer arithmetic on
+  // epoch microseconds, so both engines hash-match bit-for-bit)
+  // ----------------------------------------------------------------------
+  private val WindowUs = 600L * 1000000L // 10 minutes
+
+  private val windowAgg: (SparkSession, String) => DataFrame = (s, dir) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+      .selectExpr(s"(ts DIV 1000) DIV $WindowUs * $WindowUs AS window_start_us",
+        "event_type", "value")
+      .groupBy(col("window_start_us"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 6).as("sum_value"))
+      .orderBy(col("window_start_us"), col("event_type"))
+  }
+
+  private val windowAggSql =
+    s"""SELECT epoch_us(ts) // $WindowUs * $WindowUs AS window_start_us, event_type,
+       |  count(*) AS cnt, round(sum("value"), 6) AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Gap-based sessionization: a new session starts when a user's
+    * inter-event gap exceeds 30 minutes; output per-user session counts and
+    * bounds. Window functions (lag + running sum) — identical ANSI
+    * semantics in Spark and DuckDB. */
+  private val sessionize: (SparkSession, String) => DataFrame = (s, dir) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = 1800L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val e = t(s, dir, "events")
+      .selectExpr("event_id", "user_id", "ts DIV 1000 AS ts_us")
+      .withColumn("new_sess",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L)
+          .when(lag(col("ts_us"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    e.groupBy(col("user_id"))
+      .agg(max(col("sess_id")).as("n_sessions"), count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("first_us"), max(col("ts_us")).as("last_us"))
+      .orderBy(col("user_id"))
+  }
+
+  private val sessionizeSql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL THEN 1
+      |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000 THEN 1
+      |         ELSE 0 END AS new_sess
+      |  FROM events),
+      |s AS (SELECT user_id, ts_us,
+      |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS sess_id FROM e)
+      |SELECT user_id, max(sess_id)::BIGINT AS n_sessions, count(*) AS n_events,
+      |  min(ts_us) AS first_us, max(ts_us) AS last_us
+      |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ----------------------------------------------------------------------
   // registry
   // ----------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -684,6 +741,8 @@ object Queries {
     "q_dedup_embedding" -> dedupEmbedding,
     "q_pivot_multimetric" -> pivotMultimetric,
     "q_multimodal_meta" -> multimodalMeta,
+    "q_window_agg"    -> windowAgg,
+    "q_sessionize"    -> sessionize,
   )
 
   val oracles: Map[String, String] = Map(
@@ -711,5 +770,7 @@ object Queries {
     "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_pivot_multimetric" -> pivotMultimetricSql,
     "q_multimodal_meta" -> multimodalMetaSql,
+    "q_window_agg"    -> windowAggSql,
+    "q_sessionize"    -> sessionizeSql,
   )
 }
