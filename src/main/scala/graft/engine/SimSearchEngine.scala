@@ -150,7 +150,8 @@ object SimSearchEngine {
   }
 
   def search(spark: SparkSession, catalog: Catalog, k: Int,
-      specs: Seq[SearchSpec], residualFilter: Option[String] = None): DataFrame = {
+      specs: Seq[SearchSpec], residualFilter: Option[String] = None,
+      detailed: Boolean = false): DataFrame = {
     require(specs.nonEmpty, "no query conditions")
     require(specs.size == 1 || k <= KMax, s"k > $KMax for multi-attribute query") // A2
     val nCombos = math.max(1, specs.map(_.weights.size).max)
@@ -174,6 +175,7 @@ object SimSearchEngine {
         }
       BoundFacet(s.column, dist, ws, s.decay, Some(scale), jac)
     }
-    RankAggregate.topK(spark, facets, k, m)
+    if (detailed) RankAggregate.topKDetailed(spark, facets, k, m)
+    else RankAggregate.topK(spark, facets, k, m)
   }
 }

@@ -37,7 +37,18 @@ object RankAggregate {
     *         rounded to 6 decimals; ranking order is (rounded score desc, id)
     *         so results are bit-deterministic across engines.
     */
-  def topK(spark: SparkSession, facets: Seq[BoundFacet], k: Int, m: Int): DataFrame = {
+  /** As [[topK]] but additionally returns one raw (unrounded) decayed
+    * similarity column per facet, named `s_<facetName>` — the reference's
+    * per-attribute scores in RankedResult.attributes
+    * (engine/processor/RankedResult.java:14-176). */
+  def topKDetailed(spark: SparkSession, facets: Seq[BoundFacet], k: Int, m: Int): DataFrame =
+    run(spark, facets, k, m, detailed = true)
+
+  def topK(spark: SparkSession, facets: Seq[BoundFacet], k: Int, m: Int): DataFrame =
+    run(spark, facets, k, m, detailed = false)
+
+  private def run(spark: SparkSession, facets: Seq[BoundFacet], k: Int, m: Int,
+      detailed: Boolean): DataFrame = {
     require(facets.nonEmpty)
     val nCombos = facets.head.weightPerCombo.size
     require(facets.forall(_.weightPerCombo.size == nCombos))
@@ -85,7 +96,7 @@ object RankAggregate {
     // each is TakeOrderedAndProject over candidate rows only). Missing
     // facet => s_i = 0, the reference's missing-value contract (A1).
     import org.apache.spark.sql.expressions.Window
-    (0 until nCombos).map { c =>
+    val result = (0 until nCombos).map { c =>
       val sumW = facets.map(_.weightPerCombo(c)).sum // left-assoc fold
       val num = facets.zipWithIndex
         .map { case (f, i) => lit(f.weightPerCombo(c)) * col(s"s_$i") }
@@ -98,5 +109,12 @@ object RankAggregate {
         .where(col("rank") <= k)
         .withColumn("rank", col("rank").cast("long"))
     }.reduce(_ union _)
+    if (!detailed) result
+    else {
+      val perFacetCols = facets.zipWithIndex.map { case (f, i) =>
+        col(s"s_$i").as(s"s_${f.name}")
+      }
+      result.join(pivoted.select(col("id") +: perFacetCols: _*), Seq("id"))
+    }
   }
 }

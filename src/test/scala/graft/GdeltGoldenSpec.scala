@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import com.fasterxml.jackson.databind.ObjectMapper
 
 import graft.engine.SimSearchEngine
@@ -16,25 +18,24 @@ class GdeltGoldenSpec extends SparkTestBase {
 
   private val gdelt = "/root/reference/data/gdelt"
 
-  test("GDELT golden: search.json reproduces search_results.json (both weight combos)") {
-    val specs = Seq(
-      MountSpec("spatial_knn", "sample.csv", "article_id",
-        Seq("longitude", "latitude"), aliasColumn = Some("position")),
-      MountSpec("categorical_topk", "sample.csv", "article_id",
-        Seq("persons"), tokenDelimiter = ";"),
-      MountSpec("temporal_topk", "sample.csv", "article_id", Seq("timestamp")),
-      MountSpec("numerical_topk", "sample.csv", "article_id", Seq("positive_sentiment")),
-      MountSpec("numerical_topk", "sample.csv", "article_id", Seq("negative_sentiment")))
-    val catalog = new Catalog(specs.map(CsvMount.mount(spark, gdelt, _)))
+  test("GDELT golden: the committed fixture files replay end-to-end (ids, ranks, aggregate AND per-attribute scores)") {
+    // parse the reference's own request JSONs — no hand-translated specs
+    val (dirs, mountSpecs) =
+      graft.engine.RequestParser.parseMount(s"$gdelt/standalone/sources.json")
+    val dataDir = "/root/reference/" + dirs("localPath1").stripPrefix("./")
+    val catalog = new Catalog(mountSpecs.map(CsvMount.mount(spark, dataDir, _)))
     assert(catalog.size == 5)
 
-    val res = SimSearchEngine.search(spark, catalog, 5, Seq(
-        SearchSpec("persons", Seq("joe biden", "donald trump"), Seq(1.0, 0.8)),
-        SearchSpec("timestamp", "2019-11-04 08:45:00", Seq(1.0, 0.4)),
-        SearchSpec("position", "POINT(-74.94 42.15)", Seq(1.0, 0.7))))
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(3), r.getString(1), r.getDouble(2)))
-      .groupBy(_._1)
+    val (k, algorithm, specs, _) =
+      graft.engine.RequestParser.parseSearch(s"$gdelt/standalone/search.json")
+    assert(k == 5 && algorithm == "threshold" && specs.size == 3)
+
+    val rows = SimSearchEngine.search(spark, catalog, k, specs, detailed = true).collect()
+    val res = rows.map { r =>
+      (r.getLong(r.fieldIndex("combo")), r.getLong(r.fieldIndex("rank")),
+        r.getString(r.fieldIndex("id")), r.getDouble(r.fieldIndex("score")),
+        specs.map(s => s.column -> r.getDouble(r.fieldIndex(s"s_${s.column}"))).toMap)
+    }.groupBy(_._1)
 
     val golden = new ObjectMapper()
       .readTree(new java.io.File(s"$gdelt/standalone/search_results.json"))
@@ -45,12 +46,18 @@ class GdeltGoldenSpec extends SparkTestBase {
       assert(got.size == exp.size(), s"combo $combo size")
       (0 until exp.size()).foreach { i =>
         val e = exp.get(i)
-        val (_, rank, id, score) = got(i)
+        val (_, rank, id, score, attrScores) = got(i)
         assert(id == e.get("id").asText(), s"combo $combo rank ${i + 1} id")
         assert(rank == e.get("rank").asLong(), s"combo $combo rank ${i + 1}")
         // our engine rounds the aggregate score to 6 decimals by design
         assert(math.abs(score - e.get("score").asDouble()) < 5e-7,
           s"combo $combo rank ${i + 1} score $score vs ${e.get("score").asDouble()}")
+        // per-attribute scores are unrounded -> 1e-9 (FIXTURES.md policy)
+        e.get("attributes").elements().asScala.foreach { a =>
+          val name = a.get("name").asText()
+          assert(math.abs(attrScores(name) - a.get("score").asDouble()) < 1e-9,
+            s"combo $combo rank ${i + 1} attribute $name")
+        }
       }
     }
   }
