@@ -168,19 +168,22 @@ object Queries {
 
   private def orderFacets(s: SparkSession, dir: String,
       combos: Seq[Seq[Double]]): Seq[BoundFacet] = {
-    val o = t(s, dir, "orders")
-    val num = o.select(col("o_orderkey").as("id"),
-      SimKernels.absDist(col("o_totalprice"), lit(150000.0)).as("d"))
-    val tmp = o.select(col("o_orderkey").as("id"),
+    // All three facets read the same table: compute the three distance
+    // columns in ONE projected scan and cache it, so the per-facet top-M
+    // passes and the exact-scoring joins reuse a single parquet read
+    // (single-table fast path; vertically-decomposed facets would each
+    // scan their own source).
+    val o = t(s, dir, "orders").select(col("o_orderkey").as("id"),
+      SimKernels.absDist(col("o_totalprice"), lit(150000.0)).as("d0"),
       abs(unix_micros(col("o_orderdate").cast("timestamp")) - lit(orderQDateUs))
-        .cast("double").as("d"))
-    val cat = o.select(col("o_orderkey").as("id"),
+        .cast("double").as("d1"),
       SimKernels.jaccardDistDistinct(SimKernels.tokenize(col("o_orderpriority"), "-"),
-        array(lit("1"), lit("URGENT"))).as("d"))
+        array(lit("1"), lit("URGENT"))).as("d2")).cache()
     Seq(
-      BoundFacet("o_totalprice", num, combos.map(_(0))),
-      BoundFacet("o_orderdate", tmp, combos.map(_(1))),
-      BoundFacet("o_orderpriority", cat, combos.map(_(2)), jaccard = true))
+      BoundFacet("o_totalprice", o.select(col("id"), col("d0").as("d")), combos.map(_(0))),
+      BoundFacet("o_orderdate", o.select(col("id"), col("d1").as("d")), combos.map(_(1))),
+      BoundFacet("o_orderpriority", o.select(col("id"), col("d2").as("d")),
+        combos.map(_(2)), jaccard = true))
   }
 
   /** SQL fragments (id, d) mirroring [[orderFacets]]; element = (sql, isJaccard). */

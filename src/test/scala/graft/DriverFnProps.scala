@@ -29,7 +29,8 @@ object DriverFnProps extends Properties("driver-fns") {
       val dt = java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
       val compact = f"${dt.getYear}%04d${dt.getMonthValue}%02d${dt.getDayOfMonth}%02d" +
         f"${dt.getHour}%02d${dt.getMinute}%02d${dt.getSecond}%02d"
-      val iso = dt.toString.take(19) // yyyy-MM-ddTHH:mm:ss
+      val iso = dt.format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd'T'HH:mm:ss")) // LocalDateTime.toString would drop :00 seconds
       (CsvMount.parseDatetimeMs(compact), CsvMount.parseDatetimeMs(iso)) match {
         case (Some(a), Some(b)) => a == b && a == epochSec * 1000.0
         case _ => false
