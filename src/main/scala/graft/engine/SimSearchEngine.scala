@@ -30,13 +30,15 @@ object SimSearchEngine {
       scale: Option[Double] = None,
       filter: Option[String] = None)
 
-  /** Mounted-attribute catalog with listing (A8) and removal (A9). */
+  /** Mounted-attribute catalog with listing (A8), append (the reference's
+    * /append endpoint) and removal (A9). */
   final class Catalog(initial: Seq[Facet]) {
     private var facets: Map[String, Facet] = initial.map(f => f.spec.name -> f).toMap
     def get(name: String): Facet = facets.getOrElse(name,
       throw new IllegalArgumentException(s"attribute $name is not mounted"))
     def list: Seq[(String, String)] = // (name, operation)
       facets.values.map(f => f.spec.name -> f.spec.op.toString).toSeq.sorted
+    def add(f: Facet): Unit = facets += (f.spec.name -> f)
     def remove(name: String): Unit = facets -= name
     def size: Int = facets.size
   }
@@ -177,5 +179,46 @@ object SimSearchEngine {
     }
     if (detailed) RankAggregate.topKDetailed(spark, facets, k, m)
     else RankAggregate.topK(spark, facets, k, m)
+  }
+
+  /** A5: k x k pairwise weighted similarity over a set of result entities
+    * (reference: engine/processor/ResultMatrix.java:62-124; skipped there
+    * when k > 50 — enforced here too). Uses the same per-facet decay scales
+    * as [[search]] (combo 0 weights). */
+  def similarityMatrix(spark: SparkSession, catalog: Catalog, k: Int,
+      specs: Seq[SearchSpec]): DataFrame = {
+    require(k <= KMax, s"similarity matrix capped at K_MAX=$KMax")
+    val ids = search(spark, catalog, k, specs)
+      .where(col("combo") === 0).select(col("id"))
+    val withVals = specs.zipWithIndex.foldLeft(ids) { case (acc, (s, i)) =>
+      acc.join(catalog.get(s.column).df.select(col("id"), col("value").as(s"v$i")),
+        Seq("id"), "left")
+    }
+    val a = withVals.select(col("id").as("lid") +:
+      specs.indices.map(i => col(s"v$i").as(s"a$i")): _*)
+    val b = withVals.select(col("id").as("rid") +:
+      specs.indices.map(i => col(s"v$i").as(s"b$i")): _*)
+    val sims = specs.zipWithIndex.map { case (s, i) =>
+      val f = catalog.get(s.column)
+      val scale = s.scale.getOrElse(k * FacetSearch.kthDistanceScale(distStream(f, s), k))
+      val d: Column = f.spec.op match {
+        case SimOp.Numerical | SimOp.Temporal => SimKernels.absDist(col(s"a$i"), col(s"b$i"))
+        case SimOp.Categorical => SimKernels.jaccardDistDistinct(col(s"a$i"), col(s"b$i"))
+        case SimOp.Textual => SimKernels.jaccardDistDistinct(
+          SimKernels.qgrams(col(s"a$i"), f.spec.qgram), SimKernels.qgrams(col(s"b$i"), f.spec.qgram))
+        case SimOp.Spatial => SimKernels.geoDistDeg(
+          col(s"a$i").getField("lon"), col(s"a$i").getField("lat"),
+          col(s"b$i").getField("lon"), col(s"b$i").getField("lat"))
+        case other => throw new IllegalArgumentException(s"unsupported op $other")
+      }
+      val jac = f.spec.op == SimOp.Categorical || f.spec.op == SimOp.Textual
+      val sim = if (jac) SimKernels.decaySimJaccard(d, s.decay, lit(scale))
+        else SimKernels.decaySim(d, s.decay, lit(scale))
+      coalesce(sim, lit(0.0)) // missing value => similarity 0
+    }
+    val ws = specs.map(_.weights.headOption.getOrElse(1.0))
+    val num = ws.zip(sims).map { case (w, s) => lit(w) * s }.reduce(_ + _)
+    a.crossJoin(b).select(col("lid"), col("rid"),
+      round(num / lit(ws.sum), 6).as("sim")).orderBy(col("lid"), col("rid"))
   }
 }

@@ -40,4 +40,29 @@ object AnnSearch {
       .orderBy(col("cos").desc, col(id))
       .limit(k)
   }
+
+  // ------------------------------------------------------------------ IVF
+
+  /** Index of the nearest centroid (L2), ties to the lowest index. The
+    * centroid list is small (O(sqrt N) in practice) and inlined as
+    * literals, so assignment is a single codegen'd projection — at scale
+    * this is the partitioning key that keeps each probe local. */
+  def ivfCluster(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val ds = centroids.map(c => SimKernels.l2Dist(vec, array(c.map(lit): _*)))
+    (array_position(array(ds: _*), array_min(array(ds: _*))) - 1).cast("int")
+  }
+
+  /** IVF top-k: assign every vector to its nearest centroid, probe only the
+    * query's `nProbe` nearest centroid buckets, exact cosine re-rank inside
+    * the probed buckets. `centroids` would come from k-means in a real
+    * pipeline; any fixed list works for the plan shape. */
+  def ivfTopK(emb: DataFrame, id: String, vec: Column, centroids: Seq[Seq[Double]],
+      q: Seq[Double], k: Int, nProbe: Int): DataFrame = {
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val probed = centroids.indices.sortBy(i => (l2(q, centroids(i)), i)).take(nProbe)
+    val assigned = emb.withColumn("cluster", ivfCluster(vec, centroids))
+      .where(col("cluster").isin(probed: _*))
+    bruteCosineTopK(assigned, id, vec, q, k)
+  }
 }

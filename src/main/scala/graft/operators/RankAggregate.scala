@@ -95,19 +95,40 @@ object RankAggregate {
     // Per-combo global top-k (driver loop over <= nCombos small sorts;
     // each is TakeOrderedAndProject over candidate rows only). Missing
     // facet => s_i = 0, the reference's missing-value contract (A1).
+    // TA-style exactness bound (detailed mode only): an entity OUTSIDE the
+    // candidate union scores at most tau = sum_f w_f * s_f(M-th) / sum w —
+    // the decayed similarity of each facet's M-th candidate bounds every
+    // unseen entity's facet similarity (decay is monotone in distance). A
+    // result with score >= tau is provably in the true top-k; mirrors the
+    // reference's per-result `exact` flag (RankedResult.setExact).
+    lazy val sMth: Seq[Double] = facets.zip(topMs).zip(scales).map {
+      case ((f, tm), sc) =>
+        if (tm.count() < m) 0.0 // candidate list exhausted the facet: no unseen entities
+        else {
+          val maxd = tm.agg(max(col("d"))).head.getDouble(0)
+          if (f.jaccard && maxd == 1.0) 0.0 else math.exp(-f.decay * maxd / sc)
+        }
+    }
+
     import org.apache.spark.sql.expressions.Window
     val result = (0 until nCombos).map { c =>
-      val sumW = facets.map(_.weightPerCombo(c)).sum // left-assoc fold
+      val ws = facets.map(_.weightPerCombo(c))
+      val sumW = ws.sum // left-assoc fold
       val num = facets.zipWithIndex
         .map { case (f, i) => lit(f.weightPerCombo(c)) * col(s"s_$i") }
         .reduce(_ + _) // left-assoc
       val w = Window.orderBy(col("score").desc, col("id"))
-      pivoted
+      val base = pivoted
         .select(lit(c.toLong).as("combo"), col("id"),
           round(num / lit(sumW), 6).as("score"))
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= k)
         .withColumn("rank", col("rank").cast("long"))
+      if (!detailed) base
+      else {
+        val tau = ws.zip(sMth).map { case (wf, s) => wf * s }.sum / sumW
+        base.withColumn("exact", col("score") >= lit(tau))
+      }
     }.reduce(_ union _)
     if (!detailed) result
     else {
