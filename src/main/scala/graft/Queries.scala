@@ -22,6 +22,15 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Spread an under-split source across the cluster before expensive
+    * per-row compute: the single-file test parquet plans as one partition,
+    * which would serialize md5/fold-heavy expressions onto one core. A real
+    * large source arrives already split; the guard makes this a no-op then. */
+  private def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par / 2) df.repartition(par) else df
+  }
+
   /** DuckDB SQL for the same trimmed/distinct/non-empty tokenization that
     * SimKernels.tokenize performs. */
   private def sqlTokens(col: String, delim: String): String =
@@ -116,7 +125,7 @@ object Queries {
 
   private val textTopk: (SparkSession, String) => DataFrame = (s, dir) => {
     val qGrams = textQuery.sliding(3).toSeq.distinct
-    t(s, dir, "documents")
+    spread(t(s, dir, "documents"))
       .select(col("doc_id"),
         SimKernels.jaccardSimDistinct(SimKernels.qgrams(col("text"), 3),
           array(qGrams.map(lit): _*)).as("sim"))
@@ -173,7 +182,7 @@ object Queries {
     // passes and the exact-scoring joins reuse a single parquet read
     // (single-table fast path; vertically-decomposed facets would each
     // scan their own source).
-    val o = t(s, dir, "orders").select(col("o_orderkey").as("id"),
+    val o = spread(t(s, dir, "orders")).select(col("o_orderkey").as("id"),
       SimKernels.absDist(col("o_totalprice"), lit(150000.0)).as("d0"),
       abs(unix_micros(col("o_orderdate").cast("timestamp")) - lit(orderQDateUs))
         .cast("double").as("d1"),
@@ -429,7 +438,7 @@ object Queries {
 
   // -- exact-duplicate groups + per-document fingerprints
   private val dedupExact: (SparkSession, String) => DataFrame = (s, dir) =>
-    Dedup.exactGroups(t(s, dir, "documents"), "doc_id", col("text")).orderBy(col("fp"))
+    Dedup.exactGroups(spread(t(s, dir, "documents")), "doc_id", col("text")).orderBy(col("fp"))
 
   private val dedupExactSql =
     s"""SELECT fp, count(*) AS cnt, min(doc_id) AS keeper
@@ -437,7 +446,7 @@ object Queries {
        |GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin
 
   private val fingerprintQ: (SparkSession, String) => DataFrame = (s, dir) =>
-    t(s, dir, "documents")
+    spread(t(s, dir, "documents"))
       .select(col("doc_id"), TextKernels.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
@@ -446,7 +455,7 @@ object Queries {
 
   // -- 16-bit SimHash fingerprints (near-dup by small hamming distance)
   private val simhashQ: (SparkSession, String) => DataFrame = (s, dir) =>
-    t(s, dir, "documents")
+    spread(t(s, dir, "documents"))
       .select(col("doc_id"),
         TextKernels.simhash16(TextKernels.wordTokens(col("text"))).as("simhash"))
       .orderBy(col("doc_id"))
@@ -467,7 +476,7 @@ object Queries {
   private val textStats: (SparkSession, String) => DataFrame = (s, dir) => {
     val w = TextKernels.wordTokens(col("text"))
     val stopArr = array(enStops.map(lit): _*)
-    t(s, dir, "documents").select(col("doc_id"),
+    spread(t(s, dir, "documents")).select(col("doc_id"),
         size(w).cast("long").as("n_tokens"),
         size(array_distinct(w)).cast("long").as("n_distinct"),
         round(aggregate(w, lit(0), (a, x) => a + length(x)).cast("double") / size(w), 6)
@@ -504,7 +513,7 @@ object Queries {
         val geRest = scores.drop(i + 1).map(o => sc >= o._2).reduce(_ && _)
         when(geRest, lit(l)).otherwise(els)
     }
-    t(s, dir, "documents").select(
+    spread(t(s, dir, "documents")).select(
         col("doc_id") +: pred.as("lang_pred") +:
           scores.map { case (l, sc) => sc.cast("long").as(s"s_$l") }: _*)
       .orderBy(col("doc_id"))
@@ -530,7 +539,7 @@ object Queries {
 
   // -- BPE-ish token counting via regex (word / number / punctuation runs)
   private val tokenCount: (SparkSession, String) => DataFrame = (s, dir) =>
-    t(s, dir, "documents")
+    spread(t(s, dir, "documents"))
       .select(col("doc_id"),
         size(regexp_extract_all(lower(col("text")),
           lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("n_bpe"))
@@ -548,7 +557,7 @@ object Queries {
       .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
 
   private val annCosine: (SparkSession, String) => DataFrame = (s, dir) => {
-    val e = t(s, dir, "embeddings")
+    val e = spread(t(s, dir, "embeddings"))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     AnnSearch.bruteCosineTopK(e.where(col("vec_id") =!= 0), "vec_id", col("v"),
       queryVec(s, dir), 10)
@@ -567,7 +576,7 @@ object Queries {
   private val annLsh: (SparkSession, String) => DataFrame = (s, dir) => {
     val qv = queryVec(s, dir)
     val qsig = AnnSearch.signature8(qv)
-    val e = t(s, dir, "embeddings")
+    val e = spread(t(s, dir, "embeddings"))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("sig", AnnSearch.signature8(col("v")))
       .where(col("sig") === lit(qsig) && col("vec_id") =!= 0)
@@ -584,7 +593,7 @@ object Queries {
 
   // -- embedding near-duplicate pairs, LSH-bucketed (same-signature join)
   private val dedupEmbedding: (SparkSession, String) => DataFrame = (s, dir) => {
-    val e = t(s, dir, "embeddings")
+    val e = spread(t(s, dir, "embeddings"))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("sig", AnnSearch.signature8(col("v")))
     val a = e.select(col("vec_id").as("a"), col("v").as("va"), col("sig"))
@@ -615,7 +624,7 @@ object Queries {
   // fixture is irreproducible by design — documented divergence.
   // ----------------------------------------------------------------------
   private val pivotMultimetric: (SparkSession, String) => DataFrame = (s, dir) => {
-    val e = t(s, dir, "embeddings")
+    val e = spread(t(s, dir, "embeddings"))
       .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
     val qc = array(queryVec(s, dir).map(lit): _*)
     val f0 = e.select(col("id"), SimKernels.l2Dist(col("v"), qc).as("d"))
@@ -640,7 +649,7 @@ object Queries {
   // multimodal: binary payload + partition-batched (stub) decode pipeline
   // ----------------------------------------------------------------------
   private val multimodalMeta: (SparkSession, String) => DataFrame = (s, dir) => {
-    val media = t(s, dir, "documents").select(
+    val media = spread(t(s, dir, "documents")).select(
       col("doc_id").as("id"),
       when(col("doc_id") % 2 === 1, lit("video")).otherwise(lit("image")).as("kind"),
       encode(col("text"), "UTF-8").as("data"))

@@ -53,19 +53,6 @@ case class AttributeSpec(
   * exactly two columns named `id` and `value`. */
 case class Facet(spec: AttributeSpec, df: DataFrame)
 
-/** One per-attribute query condition (reference: request/SearchSpecs.java:8-26).
-  * `value` is a Column literal of the facet's value type.
-  * `weights` — one entry per weight combination (reference evaluates all
-  * combinations in one query, RankAggregator.java:104-129).
-  */
-case class FacetQuery(
-    column: String,
-    value: Column,
-    weights: Seq[Double] = Seq(1.0),
-    decay: Double = graft.functions.SimKernels.DefaultDecay,
-    scale: Option[Double] = None,
-    filter: Option[String] = None)
-
 /** Rank-aggregation algorithm selector. All three aggregation algorithms of
   * the reference (threshold / no_random_access / partial_random_access,
   * ranking/{Threshold,NoRandomAccess,PartialRandomAccess}Ranking.java)
@@ -87,14 +74,9 @@ object Algorithm {
   }
 }
 
-/** A full top-k multi-attribute similarity query
-  * (reference: request/SearchRequest.java:9-23). */
-case class SimQuery(
-    k: Int,
-    facets: Seq[FacetQuery],
-    algorithm: Algorithm = Algorithm.Threshold)
-
 object Limits {
   /** Max k for multi-attribute queries (reference: Constants.java:42 K_MAX). */
   val KMax = 50
+  /** Per-facet candidate inflation: M = k * this (reference: Constants.java:44). */
+  val InflationFactor = 1000
 }

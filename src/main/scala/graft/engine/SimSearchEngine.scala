@@ -3,7 +3,7 @@ package graft.engine
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.api.{Facet, Normalizer, SimOp}
+import graft.api.{Algorithm, Facet, Limits, Normalizer, SimOp}
 import graft.functions.SimKernels
 import graft.operators.{BoundFacet, FacetSearch, RankAggregate}
 import graft.sources.CsvMount
@@ -43,8 +43,8 @@ object SimSearchEngine {
     def size: Int = facets.size
   }
 
-  val KMax = 50               // reference: Constants.java:42
-  val InflationFactor = 1000  // reference: Constants.java:44
+  val KMax = Limits.KMax                     // reference: Constants.java:42
+  val InflationFactor = Limits.InflationFactor // reference: Constants.java:44
 
   /** Build the (id, d) distance stream for one facet/query pair, applying
     * the facet's boolean pre-filter (P2 — works on ingested data here,
@@ -153,7 +153,12 @@ object SimSearchEngine {
 
   def search(spark: SparkSession, catalog: Catalog, k: Int,
       specs: Seq[SearchSpec], residualFilter: Option[String] = None,
-      detailed: Boolean = false): DataFrame = {
+      detailed: Boolean = false,
+      algorithm: Algorithm = Algorithm.Threshold): DataFrame = {
+    // The algorithm selector is honored for API parity: every selector maps
+    // to the same exact candidate-union plan, which supersedes TA and the
+    // (possibly lower-bound-scored) NRA/PRA — see api.Algorithm scaladoc.
+    val _ = algorithm
     require(specs.nonEmpty, "no query conditions")
     require(specs.size == 1 || k <= KMax, s"k > $KMax for multi-attribute query") // A2
     val nCombos = math.max(1, specs.map(_.weights.size).max)

@@ -92,7 +92,8 @@ object SimSql {
       SearchSpec(colName, value, w, filter = None)
     }
     val topk = SimSearchEngine.search(spark, catalog, q.k, specs,
-      residualFilter = q.residualFilter)
+      residualFilter = q.residualFilter,
+      algorithm = graft.api.Algorithm.parse(q.algorithm.getOrElse("threshold")))
     q.extraColumns.foldLeft(topk) { (acc, c) =>
       val f = catalog.get(c)
       val v = f.spec.op match {

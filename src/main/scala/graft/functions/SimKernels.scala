@@ -175,12 +175,17 @@ object SimKernels {
 
   // ---------------------------------------------------------- normalization
 
-  /** Z-normalization (v - mean) / stddev (reference: numerical/ZNormal.java:23-26). */
+  /** Z-normalization (v - mean) / stddev (reference: numerical/ZNormal.java:23-26).
+    * Divergence (deliberate, documented): a degenerate distribution
+    * (stddev = 0) maps to constant 0 here, where the reference would emit
+    * +/-Infinity. The driver-side Double stats come from an `agg` result
+    * (single-row collect), not a data scan. */
   def zNorm(v: Column, mean: Double, stddev: Double): Column =
     if (stddev == 0.0) lit(0.0) else (v - mean) / stddev
 
   /** Unity normalization (v - mean) / (max - min)
-    * (reference: numerical/UnityNormal.java:53-56). */
+    * (reference: numerical/UnityNormal.java:53-56). Same degenerate-case
+    * divergence as [[zNorm]]: max = min maps to constant 0. */
   def unityNorm(v: Column, mean: Double, min: Double, max: Double): Column =
     if (max == min) lit(0.0) else (v - mean) / (max - min)
 }

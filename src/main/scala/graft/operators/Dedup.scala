@@ -32,7 +32,12 @@ object Dedup {
     // verification join would otherwise each recompute the signatures per
     // document per side. (At 100 TB scale this intermediate is the one you
     // persist/checkpoint; its size is O(corpus tokens).)
-    val sh = docs.select(col(id).as("id"), shingles.as("g")).cache()
+    // Repartition first when the source arrives under-split (a single small
+    // parquet file plans as ONE partition and would hash every shingle on
+    // one core); a splittable 100 TB source already arrives well-split.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread = if (docs.rdd.getNumPartitions < par / 2) docs.repartition(par) else docs
+    val sh = spread.select(col(id).as("id"), shingles.as("g")).cache()
     val sigs = (0 until NumHashes).map(i => TextKernels.minhashSig(col("hv"), i))
     val bands = (0 until NumBands).map(b => TextKernels.bandKey(sigs, b, RowsPerBand))
     val banded = sh
