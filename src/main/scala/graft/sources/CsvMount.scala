@@ -69,11 +69,16 @@ object CsvMount {
     }.nextOption()
   }
 
-  /** F8: parse a WKT POINT column into (lon, lat). */
+  /** F8: parse a WKT POINT column into (lon, lat). Non-matching rows yield
+    * NULL (regexp_extract returns '' on no match, which would throw under
+    * ANSI casting), so the NOT-NULL guard can drop them. */
   def wktPoint(c: Column): (Column, Column) = {
     val num = "([-+0-9.eE]+)"
-    (regexp_extract(c, s"POINT\\s*\\(\\s*$num\\s+$num\\s*\\)", 1).cast("double"),
-      regexp_extract(c, s"POINT\\s*\\(\\s*$num\\s+$num\\s*\\)", 2).cast("double"))
+    def part(i: Int): Column = {
+      val x = regexp_extract(c, s"POINT\\s*\\(\\s*$num\\s+$num\\s*\\)", i)
+      when(x === "", lit(null)).otherwise(x).cast("double")
+    }
+    (part(1), part(2))
   }
 
   /** Driver-side WKT POINT parse for query values (F9). */
