@@ -600,7 +600,7 @@ object Queries {
     val b = e.select(col("vec_id").as("b"), col("v").as("vb"), col("sig"))
     a.join(b, Seq("sig"))
       .where(col("a") < col("b"))
-      .select(col("a"), col("b"), round(SimKernels.cosineSim(col("va"), col("vb")), 6).as("cos"))
+      .select(col("a"), col("b"), round(graft.functions.NativeKernels.cosineSim(col("va"), col("vb")), 6).as("cos"))
       .where(col("cos") >= 0.4)
       .orderBy(col("a"), col("b"))
   }
@@ -627,8 +627,8 @@ object Queries {
     val e = spread(t(s, dir, "embeddings"))
       .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
     val qc = array(queryVec(s, dir).map(lit): _*)
-    val f0 = e.select(col("id"), SimKernels.l2Dist(col("v"), qc).as("d"))
-    val f1 = e.select(col("id"), SimKernels.l1Dist(col("v"), qc).as("d"))
+    val f0 = e.select(col("id"), graft.functions.NativeKernels.l2Dist(col("v"), qc).as("d"))
+    val f1 = e.select(col("id"), graft.functions.NativeKernels.l1Dist(col("v"), qc).as("d"))
     RankAggregate.topK(s,
       Seq(BoundFacet("euclidean", f0, Seq(0.6)), BoundFacet("manhattan", f1, Seq(0.4))),
       10, 10000)

@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expressions (with `doGenCode`) for the array-distance hot
+  * path. Spark's higher-order functions (`aggregate`, `zip_with`) evaluate a
+  * closure per element per row in interpreted mode — fine for prototyping,
+  * but a 64-dim fold over billions of rows deserves a compiled loop inside
+  * whole-stage codegen. Accumulation order is the same sequential
+  * left-to-right as the fold versions in [[SimKernels]], so results are
+  * bit-identical and the DuckDB oracles are unaffected.
+  *
+  * Preconditions: both inputs are array<double> with non-null elements
+  * (enforced upstream by the `cast("array<double>")` the callers apply);
+  * lengths are compared up to the shorter input.
+  */
+object NativeKernels {
+
+  private abstract class ArrayPairExpression extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+
+    /** Java loop body: given array vars `a`, `b` and length `n`, set `result`. */
+    protected def loopCode(a: String, b: String, n: String, result: String): String
+    protected def compute(a: ArrayData, b: ArrayData): Double
+
+    override def nullSafeEval(l: Any, r: Any): Any =
+      compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |${loopCode(a, b, n, ev.value)}
+         """.stripMargin
+      })
+  }
+
+  /** Cosine similarity in one pass (dot + both norms); zero-norm inputs
+    * score 0 (mirrors SimKernels.cosineSim). */
+  private case class CosineSimExpr(left: Expression, right: Expression)
+      extends ArrayPairExpression {
+    override def prettyName: String = "cosine_sim_native"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+
+    override protected def compute(a: ArrayData, b: ArrayData): Double = {
+      val n = math.min(a.numElements(), b.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val x = a.getDouble(i); val y = b.getDouble(i)
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (math.sqrt(na) == 0.0 || math.sqrt(nb) == 0.0) 0.0 else dot / d
+    }
+
+    override protected def loopCode(a: String, b: String, n: String, result: String): String =
+      s"""
+         |double dot = 0.0, na = 0.0, nb = 0.0;
+         |for (int i = 0; i < $n; i++) {
+         |  double x = $a.getDouble(i); double y = $b.getDouble(i);
+         |  dot += x * y; na += x * x; nb += y * y;
+         |}
+         |na = java.lang.Math.sqrt(na); nb = java.lang.Math.sqrt(nb);
+         |$result = (na == 0.0 || nb == 0.0) ? 0.0 : dot / (na * nb);
+       """.stripMargin
+  }
+
+  /** L2 (Euclidean) distance. */
+  private case class L2DistExpr(left: Expression, right: Expression)
+      extends ArrayPairExpression {
+    override def prettyName: String = "l2_dist_native"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+
+    override protected def compute(a: ArrayData, b: ArrayData): Double = {
+      val n = math.min(a.numElements(), b.numElements())
+      var s = 0.0; var i = 0
+      while (i < n) { val d = a.getDouble(i) - b.getDouble(i); s += d * d; i += 1 }
+      math.sqrt(s)
+    }
+
+    override protected def loopCode(a: String, b: String, n: String, result: String): String =
+      s"""
+         |double s = 0.0;
+         |for (int i = 0; i < $n; i++) {
+         |  double d = $a.getDouble(i) - $b.getDouble(i); s += d * d;
+         |}
+         |$result = java.lang.Math.sqrt(s);
+       """.stripMargin
+  }
+
+  /** L1 (Manhattan) distance. */
+  private case class L1DistExpr(left: Expression, right: Expression)
+      extends ArrayPairExpression {
+    override def prettyName: String = "l1_dist_native"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+
+    override protected def compute(a: ArrayData, b: ArrayData): Double = {
+      val n = math.min(a.numElements(), b.numElements())
+      var s = 0.0; var i = 0
+      while (i < n) { s += math.abs(a.getDouble(i) - b.getDouble(i)); i += 1 }
+      s
+    }
+
+    override protected def loopCode(a: String, b: String, n: String, result: String): String =
+      s"""
+         |double s = 0.0;
+         |for (int i = 0; i < $n; i++) {
+         |  s += java.lang.Math.abs($a.getDouble(i) - $b.getDouble(i));
+         |}
+         |$result = s;
+       """.stripMargin
+  }
+
+  import GraftColumnBridge.{column, expression}
+
+  def cosineSim(a: Column, b: Column): Column =
+    column(CosineSimExpr(expression(a), expression(b)))
+  def l2Dist(a: Column, b: Column): Column =
+    column(L2DistExpr(expression(a), expression(b)))
+  def l1Dist(a: Column, b: Column): Column =
+    column(L1DistExpr(expression(a), expression(b)))
+}

@@ -36,7 +36,10 @@ object AnnSearch {
   def bruteCosineTopK(emb: DataFrame, id: String, vec: Column,
       q: Seq[Double], k: Int): DataFrame = {
     val qc = array(q.map(lit): _*)
-    emb.select(col(id), round(SimKernels.cosineSim(vec, qc), 6).as("cos"))
+    // native codegen'd kernel: bit-identical to SimKernels.cosineSim
+    // (same sequential accumulation), compiled loop instead of interpreted
+    // higher-order functions
+    emb.select(col(id), round(graft.functions.NativeKernels.cosineSim(vec, qc), 6).as("cos"))
       .orderBy(col("cos").desc, col(id))
       .limit(k)
   }

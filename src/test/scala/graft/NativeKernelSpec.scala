@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{NativeKernels, SimKernels}
+
+/** The native codegen'd kernels must be BIT-IDENTICAL to the higher-order-
+  * function reference implementations (same sequential accumulation order)
+  * — this is what keeps the DuckDB oracles valid after the swap. */
+class NativeKernelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def randomPairs(n: Int, dim: Int) = {
+    val rnd = new scala.util.Random(31)
+    (0 until n).map { i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextDouble() * 2 - 1), Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+    }.toDF("id", "a", "b")
+  }
+
+  test("cosine/l1/l2: native == higher-order-function versions, bit for bit") {
+    val df = randomPairs(200, 64)
+    val cmp = df.select(
+      (NativeKernels.cosineSim(col("a"), col("b")) === SimKernels.cosineSim(col("a"), col("b"))).as("c"),
+      (NativeKernels.l2Dist(col("a"), col("b")) === SimKernels.l2Dist(col("a"), col("b"))).as("l2"),
+      (NativeKernels.l1Dist(col("a"), col("b")) === SimKernels.l1Dist(col("a"), col("b"))).as("l1"))
+      .collect()
+    assert(cmp.forall(r => r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2)))
+  }
+
+  test("native kernels: zero-norm guard and null propagation") {
+    val df = Seq(
+      (1L, Some(Seq(0.0, 0.0)), Some(Seq(1.0, 2.0))),
+      (2L, Option.empty[Seq[Double]], Some(Seq(1.0, 2.0)))
+    ).toDF("id", "a", "b")
+    val rows = df.select(col("id"), NativeKernels.cosineSim(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(rows(1L) == 0.0)
+    assert(rows(2L) == null) // null array -> null (nullIntolerant)
+  }
+
+  test("native kernels run inside whole-stage codegen") {
+    // a local-relation plan collapses to LocalTableScan; use a real source
+    val dir = java.nio.file.Files.createTempDirectory("graft-nk").toString
+    randomPairs(10, 8).write.mode("overwrite").parquet(s"$dir/p")
+    val df = spark.read.parquet(s"$dir/p")
+    val plan = df.select(NativeKernels.cosineSim(col("a"), col("b")))
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators fused into a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project"), plan.take(300))
+    assert(plan.contains("cosine_sim_native"))
+  }
+}
