@@ -726,6 +726,53 @@ object Queries {
       |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ----------------------------------------------------------------------
+  // F4 haversine-degrees spatial knn (pivot-path metric): transcendental
+  // ops differ by ulps across engines, so the distance is rounded to 6
+  // decimals and used as the ordering key on both sides
+  // ----------------------------------------------------------------------
+  private val haversineKnn: (SparkSession, String) => DataFrame = (s, dir) => {
+    val lon = pmod(col("c_acctbal"), lit(360.0)) - lit(180.0)
+    val lat = (col("c_custkey") * lit(13L) % lit(180L)).cast("double") - lit(90.0)
+    t(s, dir, "customer")
+      .select(col("c_custkey"),
+        round(SimKernels.haversineDeg(lon, lat, lit(10.0), lit(20.0)), 6).as("dist"))
+      .orderBy(col("dist"), col("c_custkey"))
+      .limit(10)
+  }
+
+  private val haversineKnnSql =
+    """WITH g AS (SELECT c_custkey,
+      |  fmod(c_acctbal, 360.0::DOUBLE) - 180.0 AS lon,
+      |  ((c_custkey * 13) % 180)::DOUBLE - 90.0 AS lat FROM customer),
+      |h AS (SELECT c_custkey,
+      |  radians(20.0 - lat) / 2 AS dlat, radians(10.0 - lon) / 2 AS dlon,
+      |  radians(lat) AS rlat FROM g),
+      |a AS (SELECT c_custkey,
+      |  sin(dlat) * sin(dlat) + cos(rlat) * cos(radians(20.0::DOUBLE)) * sin(dlon) * sin(dlon) AS a FROM h)
+      |SELECT c_custkey, round(degrees(2.0 * asin(least(sqrt(a), 1.0::DOUBLE))), 6) AS dist
+      |FROM a ORDER BY dist, c_custkey LIMIT 10""".stripMargin
+
+  // ----------------------------------------------------------------------
+  // F5 Chebyshev (L-inf) top-k over embeddings — max of exact abs diffs,
+  // order-independent, so values match bit-for-bit without rounding
+  // ----------------------------------------------------------------------
+  private val chebyshevTopk: (SparkSession, String) => DataFrame = (s, dir) => {
+    val e = spread(t(s, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val qc = array(queryVec(s, dir).map(lit): _*)
+    e.where(col("vec_id") =!= 0)
+      .select(col("vec_id"), SimKernels.chebyshevDist(col("v"), qc).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(10)
+  }
+
+  private val chebyshevTopkSql =
+    """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0)
+      |SELECT vec_id, list_aggregate([abs(v[i] - qv[i]) for i in range(1, 65)], 'max') AS dist
+      |FROM e, q ORDER BY dist, vec_id LIMIT 10""".stripMargin
+
+  // ----------------------------------------------------------------------
   // registry
   // ----------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -755,6 +802,8 @@ object Queries {
     "q_multimodal_meta" -> multimodalMeta,
     "q_window_agg"    -> windowAgg,
     "q_sessionize"    -> sessionize,
+    "q_haversine_knn" -> haversineKnn,
+    "q_chebyshev_topk" -> chebyshevTopk,
   )
 
   val oracles: Map[String, String] = Map(
@@ -784,5 +833,7 @@ object Queries {
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_window_agg"    -> windowAggSql,
     "q_sessionize"    -> sessionizeSql,
+    "q_haversine_knn" -> haversineKnnSql,
+    "q_chebyshev_topk" -> chebyshevTopkSql,
   )
 }
