@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{NativeKernels, TextKernels}
+import graft.operators._
+
+/** Scalability probe: replicates the sf0.1 corpus 1x/4x/16x in memory and
+  * times the flagship operators, to verify the scaling behavior the plans
+  * promise (linear scans, candidate-bounded aggregation, bucketed dedup).
+  * Replica texts get disjoint vocabularies (every word prefixed by the
+  * replica tag) so near-duplicate structure does not change with scale.
+  * Prints one JSON line per (operator, multiplier). Results recorded in
+  * SCALING.md. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("md5(cast(id as string))").count() // warmup
+
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val qv = emb0.where(col("vec_id") === 0).select(col("v")).head.getSeq[Double](0)
+
+    def timeIt(f: => Long): Double = {
+      val t0 = System.nanoTime(); val n = f; val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(s"  rows=$n"); dt
+    }
+
+    // -1 = untimed warmup pass (codegen + JIT compilation dominate the first
+    // execution of each operator; timing starts after they are compiled)
+    Seq(-1, 1, 4, 16).foreach { mult0 =>
+      val mult = math.abs(mult0)
+      val docs = (0 until mult).map { i =>
+        docs0.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          regexp_replace(col("text"), "([a-z]+)", s"r$i$$1").as("text"))
+      }.reduce(_ union _).repartition(cpus.toInt).cache()
+      docs.count() // materialize outside the timer
+
+      val emb = (0 until mult).map { i =>
+        emb0.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"), col("v"))
+      }.reduce(_ union _).repartition(cpus.toInt).cache()
+      emb.count()
+
+      val tMinhash = timeIt {
+        val sh = TextKernels.wordShingles2(TextKernels.wordTokens(col("text")))
+        Dedup.minhashPairs(docs, "doc_id", sh, 0.8).count()
+      }
+      val tAnn = timeIt {
+        AnnSearch.bruteCosineTopK(emb, "vec_id", col("v"), qv, 10).count()
+      }
+      val tRankAgg = timeIt {
+        val f0 = emb.select(col("vec_id").as("id"), NativeKernels.l2Dist(col("v"),
+          array(qv.map(lit): _*)).as("d"))
+        val f1 = emb.select(col("vec_id").as("id"), NativeKernels.l1Dist(col("v"),
+          array(qv.map(lit): _*)).as("d"))
+        RankAggregate.topK(spark,
+          Seq(BoundFacet("l2", f0, Seq(0.6)), BoundFacet("l1", f1, Seq(0.4))),
+          10, 10000).count()
+      }
+      if (mult0 > 0)
+        println(s"""{"mult":$mult,"docs":${docs.count()},"minhash_sec":$tMinhash,"ann_sec":$tAnn,"rankagg_sec":$tRankAgg}""")
+      docs.unpersist(); emb.unpersist()
+    }
+    spark.stop()
+  }
+}
