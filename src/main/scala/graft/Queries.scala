@@ -773,6 +773,36 @@ object Queries {
       |FROM e, q ORDER BY dist, vec_id LIMIT 10""".stripMargin
 
   // ----------------------------------------------------------------------
+  // F11 word2vec transform with a deterministic synthetic dictionary:
+  // vector(term) = the 16 md5 hex nibbles of the term (exact small ints),
+  // so the per-dimension mean sums integers exactly in any order; the
+  // output is rounded to 6 decimals to absorb the divide-then-sum vs
+  // sum-then-divide ulp difference between engine and oracle.
+  // ----------------------------------------------------------------------
+  private val word2vecQ: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = spread(t(s, dir, "documents"))
+      .select(col("doc_id").as("id"), TextKernels.wordTokens(col("text")).as("tokens"))
+    val dict = docs.select(explode(col("tokens")).as("term")).distinct()
+      .select(col("term"), org.apache.spark.sql.functions.transform(
+        sequence(lit(1), lit(16)),
+        j => (conv(substring(md5(col("term")), j, lit(1)), 16, 10)).cast("double")).as("vector"))
+    val out = graft.operators.Word2Vec.transform(docs, dict, 16)
+    out.select(col("id").as("doc_id") +:
+        (0 until 16).map(j => round(element_at(col("vector"), j + 1), 6).as(s"v$j")): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  private val word2vecSql = {
+    val dims = (0 until 16).map { j =>
+      s"round(list_sum(list_transform(w, t -> (instr('0123456789abcdef', substr(md5(t), ${j + 1}, 1)) - 1)::DOUBLE)) / len(w), 6) AS v$j"
+    }.mkString(",\n  ")
+    s"""WITH tk AS (SELECT doc_id, ${sqlWords("text")} AS w FROM documents)
+       |SELECT doc_id,
+       |  $dims
+       |FROM tk ORDER BY doc_id""".stripMargin
+  }
+
+  // ----------------------------------------------------------------------
   // registry
   // ----------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -804,6 +834,7 @@ object Queries {
     "q_sessionize"    -> sessionize,
     "q_haversine_knn" -> haversineKnn,
     "q_chebyshev_topk" -> chebyshevTopk,
+    "q_word2vec"      -> word2vecQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -835,5 +866,6 @@ object Queries {
     "q_sessionize"    -> sessionizeSql,
     "q_haversine_knn" -> haversineKnnSql,
     "q_chebyshev_topk" -> chebyshevTopkSql,
+    "q_word2vec"      -> word2vecSql,
   )
 }
