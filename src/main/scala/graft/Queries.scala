@@ -803,6 +803,41 @@ object Queries {
   }
 
   // ----------------------------------------------------------------------
+  // text quality scoring: repetition ratio (most frequent token share),
+  // char-bigram entropy, punctuation ratio — the classic training-data
+  // quality filters, all as pure expressions
+  // ----------------------------------------------------------------------
+  private val qualityQ: (SparkSession, String) => DataFrame = (s, dir) => {
+    val w = TextKernels.wordTokens(col("text"))
+    val rep = array_max(org.apache.spark.sql.functions.transform(array_distinct(w),
+      t => size(filter(w, x => x === t)))).cast("double") / size(w)
+    val grams = org.apache.spark.sql.functions.transform(
+      sequence(lit(1), greatest(length(col("text")) - 1, lit(1))),
+      i => col("text").substr(i, lit(2)))
+    val n = size(grams).cast("double")
+    val ent = -aggregate(
+      org.apache.spark.sql.functions.transform(array_distinct(grams),
+        g => size(filter(grams, x => x === g)).cast("double")),
+      lit(0.0), (acc, c) => acc + c / n * log2(c / n))
+    val punct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[a-z0-9 ]", ""))).cast("double") / length(col("text"))
+    spread(t(s, dir, "documents"))
+      .select(col("doc_id"), rep.as("rep_ratio"),
+        round(ent, 6).as("bigram_entropy"), punct.as("alnum_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qualitySql =
+    """WITH tk AS (SELECT doc_id, text, list_filter(list_transform(string_split(text, ' '), x -> trim(x)), x -> x <> '') AS w FROM documents),
+      |g AS (SELECT doc_id, text, w, [substr(text, i, 2) for i in range(1, greatest(length(text) - 1, 1) + 1)] AS grams FROM tk)
+      |SELECT doc_id,
+      |  list_max(list_transform(list_distinct(w), t -> len(list_filter(w, x -> x = t))))::DOUBLE / len(w) AS rep_ratio,
+      |  round(-list_sum(list_transform(list_distinct(grams),
+      |    gr -> len(list_filter(grams, x -> x = gr))::DOUBLE / len(grams) * log2(len(list_filter(grams, x -> x = gr))::DOUBLE / len(grams)))), 6) AS bigram_entropy,
+      |  (length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')))::DOUBLE / length(text) AS alnum_ratio
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------------
   // registry
   // ----------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -835,6 +870,7 @@ object Queries {
     "q_haversine_knn" -> haversineKnn,
     "q_chebyshev_topk" -> chebyshevTopk,
     "q_word2vec"      -> word2vecQ,
+    "q_quality"       -> qualityQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -867,5 +903,6 @@ object Queries {
     "q_haversine_knn" -> haversineKnnSql,
     "q_chebyshev_topk" -> chebyshevTopkSql,
     "q_word2vec"      -> word2vecSql,
+    "q_quality"       -> qualitySql,
   )
 }

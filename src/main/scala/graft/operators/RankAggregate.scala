@@ -61,13 +61,22 @@ object RankAggregate {
     // cached so both the scale calibration and the candidate union read it
     // without re-scanning the facet.
     val topMs = facets.map(f => FacetSearch.topM(f.dist, m).cache())
-    val scales = facets.zip(topMs).map { case (f, tm) =>
-      f.scale.getOrElse {
-        val ds = tm.orderBy(col("d"), col("id")).limit(k)
-          .select(col("d")).collect().map(_.getDouble(0))
-        if (ds.isEmpty || ds.max <= 0.0) 1.0 else ds.max
+    // Calibrate every facet's scale concurrently: each is an independent
+    // Spark job (the reference runs one thread per facet for the same
+    // reason, SearchHandler.java:717-720); sequential submission would
+    // serialize |facets| small jobs on the driver.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val scales = Await.result(Future.sequence(facets.zip(topMs).map { case (f, tm) =>
+      Future {
+        f.scale.getOrElse {
+          val ds = tm.orderBy(col("d"), col("id")).limit(k)
+            .select(col("d")).collect().map(_.getDouble(0))
+          if (ds.isEmpty || ds.max <= 0.0) 1.0 else ds.max
+        }
       }
-    }
+    }), Duration.Inf)
     val cands = topMs.map(_.select(col("id"))).reduce(_ union _).distinct()
 
     // Phase 2: exact score for every candidate on every facet. Inner join per

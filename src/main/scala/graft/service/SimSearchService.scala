@@ -1,0 +1,109 @@
+package graft.service
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+import graft.engine.{OutputWriter, RequestParser, SimSearchEngine}
+import graft.engine.SimSearchEngine.Catalog
+import graft.sources.CsvMount
+
+/** Minimal REST service exposing the reference's endpoint surface
+  * (reference: service/SimSearchController.java:44 — /index, /catalog,
+  * /search, /delete) on the JDK's built-in HttpServer; Spring Boot would be
+  * an external dependency this build intentionally avoids. One catalog per
+  * api key (multi-tenant isolation like the reference's
+  * api_key -> Coordinator map, SimSearchController.java:58-80).
+  */
+final class SimSearchService(spark: SparkSession, port: Int) {
+
+  private val catalogs = new java.util.concurrent.ConcurrentHashMap[String, Catalog]()
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  private def respond(x: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    x.getResponseHeaders.add("Content-Type", "application/json")
+    x.sendResponseHeaders(code, bytes.length)
+    x.getResponseBody.write(bytes)
+    x.close()
+  }
+
+  private def bodyFile(x: HttpExchange): java.nio.file.Path = {
+    val tmp = java.nio.file.Files.createTempFile("graft-req", ".json")
+    java.nio.file.Files.copy(x.getRequestBody, tmp,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    tmp
+  }
+
+  private def apiKey(x: HttpExchange): String =
+    Option(x.getRequestHeaders.getFirst("api_key")).getOrElse("")
+
+  /** POST /index: body = mount request (sources.json shape) with directory
+    * paths resolvable on this host. Returns a fresh api_key. */
+  private def handleIndex(x: HttpExchange): Unit = {
+    val tmp = bodyFile(x)
+    try {
+      val (dirs, specs) = RequestParser.parseMount(tmp.toString)
+      val facets = specs.map { spec =>
+        // resolve the spec's source directory: single-source requests use it directly
+        CsvMount.mount(spark, dirs.values.head, spec)
+      }
+      val key = java.util.UUID.randomUUID().toString
+      catalogs.put(key, new Catalog(facets))
+      respond(x, 200, s"""{"apiKey":"$key","attributes":${facets.size}}""")
+    } catch {
+      case e: Exception => respond(x, 400, s"""{"error":"${e.getMessage}"}""")
+    } finally java.nio.file.Files.delete(tmp)
+  }
+
+  /** POST /search: body = search request (search.json shape). */
+  private def handleSearch(x: HttpExchange): Unit = {
+    val cat = catalogs.get(apiKey(x))
+    if (cat == null) { respond(x, 401, """{"error":"unknown api_key"}"""); return }
+    val tmp = bodyFile(x)
+    try {
+      val (k, algorithm, specs, _) = RequestParser.parseSearch(tmp.toString)
+      val res = SimSearchEngine.search(spark, cat, k, specs,
+        algorithm = graft.api.Algorithm.parse(algorithm))
+      respond(x, 200, OutputWriter.toJsonResponse(res))
+    } catch {
+      case e: Exception => respond(x, 400, s"""{"error":"${e.getMessage}"}""")
+    } finally java.nio.file.Files.delete(tmp)
+  }
+
+  /** GET /catalog: attribute listing (A8). */
+  private def handleCatalog(x: HttpExchange): Unit = {
+    val cat = catalogs.get(apiKey(x))
+    if (cat == null) { respond(x, 401, """{"error":"unknown api_key"}"""); return }
+    val items = cat.list.map { case (n, op) => s"""{"column":"$n","operation":"$op"}""" }
+    respond(x, 200, items.mkString("[", ",", "]"))
+  }
+
+  /** DELETE /delete?column=name: unmount one attribute (A9). */
+  private def handleDelete(x: HttpExchange): Unit = {
+    val cat = catalogs.get(apiKey(x))
+    if (cat == null) { respond(x, 401, """{"error":"unknown api_key"}"""); return }
+    val q = Option(x.getRequestURI.getQuery).getOrElse("")
+    val col = q.split("&").map(_.split("=", 2)).collectFirst {
+      case Array("column", v) => v
+    }
+    col match {
+      case Some(c) => cat.remove(c); respond(x, 200, s"""{"removed":"$c"}""")
+      case None => respond(x, 400, """{"error":"missing column parameter"}""")
+    }
+  }
+
+  def start(): Int = {
+    server.createContext("/simsearch/api/index", handleIndex _)
+    server.createContext("/simsearch/api/search", handleSearch _)
+    server.createContext("/simsearch/api/catalog", handleCatalog _)
+    server.createContext("/simsearch/api/delete", handleDelete _)
+    server.setExecutor(null)
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = server.stop(0)
+}

@@ -1,0 +1,68 @@
+package graft
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.service.SimSearchService
+
+/** Drives the REST surface end-to-end over a real socket: mount the GDELT
+  * fixture via POST /index, search via POST /search with the committed
+  * search.json body, list and unmount attributes. */
+class SimSearchServiceSpec extends SparkTestBase {
+
+  private def http(method: String, url: String, body: Option[String],
+      headers: Map[String, String] = Map.empty): (Int, String) = {
+    val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+    body.foreach { b =>
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(b.getBytes(StandardCharsets.UTF_8))
+    }
+    val code = conn.getResponseCode
+    val in = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val out = new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    conn.disconnect()
+    (code, out)
+  }
+
+  test("REST lifecycle: /index -> /catalog -> /search (golden body) -> /delete") {
+    val svc = new SimSearchService(spark, 0)
+    val port = svc.start()
+    try {
+      val base = s"http://127.0.0.1:$port/simsearch/api"
+      val gdelt = "/root/reference/data/gdelt"
+
+      // /index with the committed sources.json, directory rewritten to this host
+      val sources = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$gdelt/standalone/sources.json")), StandardCharsets.UTF_8)
+        .replace("./data/gdelt/", gdelt)
+      val (c1, b1) = http("POST", s"$base/index", Some(sources))
+      assert(c1 == 200, b1)
+      val key = new ObjectMapper().readTree(b1).get("apiKey").asText()
+
+      val (c2, b2) = http("GET", s"$base/catalog", None, Map("api_key" -> key))
+      assert(c2 == 200 && new ObjectMapper().readTree(b2).size() == 5)
+
+      val search = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$gdelt/standalone/search.json")), StandardCharsets.UTF_8)
+      val (c3, b3) = http("POST", s"$base/search", Some(search), Map("api_key" -> key))
+      assert(c3 == 200, b3)
+      val resp = new ObjectMapper().readTree(b3)
+      assert(resp.size() == 2) // one response per weight combination
+      assert(resp.get(0).get("rankedResults").size() == 5)
+      assert(resp.get(0).get("rankedResults").get(0).get("id").asText() == "20191104154500-1733")
+
+      val (c4, _) = http("DELETE", s"$base/delete?column=persons", None, Map("api_key" -> key))
+      assert(c4 == 200)
+      val (_, b5) = http("GET", s"$base/catalog", None, Map("api_key" -> key))
+      assert(new ObjectMapper().readTree(b5).size() == 4)
+
+      // unknown key rejected
+      val (c6, _) = http("GET", s"$base/catalog", None, Map("api_key" -> "nope"))
+      assert(c6 == 401)
+    } finally svc.stop()
+  }
+}
