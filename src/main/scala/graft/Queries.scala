@@ -838,6 +838,40 @@ object Queries {
       |FROM g ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------------------------------
+  // batch similarity JOIN (two-sided): a 50-document query corpus joined
+  // against the full corpus by shingle Jaccard >= 0.8 through band-bucket
+  // candidates (never all-pairs)
+  // ----------------------------------------------------------------------
+  private val simJoinQ: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = spread(t(s, dir, "documents"))
+    val queries = docs.where(col("doc_id") < 50)
+    val sh = TextKernels.wordShingles2(TextKernels.wordTokens(col("text")))
+    graft.operators.SimJoin
+      .jaccardJoin(queries, "doc_id", sh, docs, "doc_id", sh, 0.8)
+      .orderBy(col("l_id"), col("r_id"))
+  }
+
+  private val simJoinSql = {
+    val sigs = (0 until Dedup.NumHashes)
+      .map(i => s"list_min(list_transform(hv, h -> substr(h, ${i + 1}, 8))) AS s_$i").mkString(",\n  ")
+    val bands = (0 until Dedup.NumBands).map { b =>
+      val parts = (0 until Dedup.RowsPerBand).map(r => s"s_${b * Dedup.RowsPerBand + r}")
+      s"md5(${parts.mkString(" || '|' || ")}) AS b$b"
+    }.mkString(", ")
+    val bandEq = (0 until Dedup.NumBands).map(b => s"l.b$b = r.b$b").mkString(" OR ")
+    s"""WITH tk AS (SELECT doc_id, ${sqlWords("text")} AS w FROM documents),
+       |sh AS (SELECT doc_id, ${sqlShingles2("w")} AS g FROM tk),
+       |hv AS (SELECT doc_id, list_transform(g, x -> md5(x)) AS hv FROM sh),
+       |sig AS (SELECT doc_id, $sigs FROM hv),
+       |band AS (SELECT doc_id, $bands FROM sig),
+       |cand AS (SELECT DISTINCT l.doc_id AS l_id, r.doc_id AS r_id
+       |         FROM band l, band r WHERE l.doc_id < 50 AND ($bandEq))
+       |SELECT c.l_id, c.r_id, ${sqlJaccard("sl.g", "sr.g")} AS j
+       |FROM cand c JOIN sh sl ON sl.doc_id = c.l_id JOIN sh sr ON sr.doc_id = c.r_id
+       |WHERE ${sqlJaccard("sl.g", "sr.g")} >= 0.8 ORDER BY l_id, r_id""".stripMargin
+  }
+
+  // ----------------------------------------------------------------------
   // registry
   // ----------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -871,6 +905,7 @@ object Queries {
     "q_chebyshev_topk" -> chebyshevTopk,
     "q_word2vec"      -> word2vecQ,
     "q_quality"       -> qualityQ,
+    "q_sim_join"      -> simJoinQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -904,5 +939,6 @@ object Queries {
     "q_chebyshev_topk" -> chebyshevTopkSql,
     "q_word2vec"      -> word2vecSql,
     "q_quality"       -> qualitySql,
+    "q_sim_join"      -> simJoinSql,
   )
 }
