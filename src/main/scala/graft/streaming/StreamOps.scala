@@ -31,6 +31,30 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming near-duplicate suppression: a document is dropped when ANY of
+    * its MinHash band keys was already seen within the watermark horizon —
+    * the stream-side twin of Dedup.minhashPairs' candidate generation
+    * (near-dups collide on >= 1 band with probability 1-(1-s^r)^b). A kept
+    * document may still be re-emitted once per band in the raw stream, so
+    * the final dedup keys on the document id. State = one entry per band
+    * key within the horizon. */
+  def minhashDedupStream(docs: DataFrame, tsCol: String, idCol: String,
+      textCol: String, watermark: String): DataFrame = {
+    import graft.functions.TextKernels
+    val sh = TextKernels.wordShingles2(TextKernels.wordTokens(col(textCol)))
+    val hv = TextKernels.shingleHashes(sh)
+    val sigs = (0 until graft.operators.Dedup.NumHashes)
+      .map(i => TextKernels.minhashSig(hv, i))
+    val bands = (0 until graft.operators.Dedup.NumBands)
+      .map(b => TextKernels.bandKey(sigs, b, graft.operators.Dedup.RowsPerBand))
+    docs
+      .select(col(tsCol), col(idCol), posexplode(array(bands: _*)).as(Seq("band", "bv")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("band", "bv")
+      .dropDuplicatesWithinWatermark(idCol) // watermark propagates; re-defining it is disallowed
+      .select(col(tsCol), col(idCol))
+  }
+
   /** Streaming windowed top-k preparation: per-window per-key aggregate
     * value sums; the bounded top-k itself is applied by the sink query
     * (complete-mode aggregation or a downstream batch rank over the sink

@@ -53,6 +53,29 @@ class EngineEdgeSpec extends SparkTestBase {
     }
   }
 
+  test("A4: z-normalized mount transforms data and query consistently") {
+    val f = CsvMount.mount(spark, "/root/reference/data/gdelt",
+      MountSpec("numerical_topk", "sample.csv", "article_id",
+        Seq("positive_sentiment"), normalized = Some("z")))
+    val st = f.spec.stats.get
+    // mounted values are z-scores: mean ~ 0, stddev ~ 1
+    val r = f.df.agg(avg(col("value")), stddev_samp(col("value"))).head
+    assert(math.abs(r.getDouble(0)) < 1e-9 && math.abs(r.getDouble(1) - 1.0) < 1e-9)
+    // searching with a RAW query value normalizes it with the same stats:
+    // the top result for q = mean is the entity whose value is closest to
+    // the mean, and with k=1 the scale self-calibrates to d_1 so the top
+    // score is exactly round(exp(-0.05), 6)
+    val res = SimSearchEngine.search(spark, new Catalog(Seq(f)), 1,
+      Seq(SearchSpec("positive_sentiment", st.avg, Seq(1.0)))).collect()
+    val expectedId = f.df
+      .orderBy(abs(col("value")), col("id")).select(col("id")).head.getString(0)
+    assert(res.length == 1)
+    assert(res.head.get(res.head.fieldIndex("id")) == expectedId)
+    val expScore = BigDecimal(math.exp(-0.05))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(res.head.getDouble(res.head.fieldIndex("score")) == expScore)
+  }
+
   test("P5: max_lines caps ingestion") {
     val f = CsvMount.mount(spark, "/root/reference/data/gdelt",
       MountSpec("numerical_topk", "sample.csv", "article_id",

@@ -48,6 +48,27 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("minhashDedupStream: near-duplicate documents are suppressed within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 30).map(i => if (i == 30) "zz" else s"w$i").mkString(" ")
+    val other = (100 to 130).map(i => s"x$i").mkString(" ")
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamOps.minhashDedupStream(
+      input.toDF().toDF("ts", "doc_id", "text"), "ts", "doc_id", "text", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("mhd").outputMode("append").start()
+    try {
+      input.addData((ts("2024-01-01 00:01:00"), 1L, base))
+      q.processAllAvailable()
+      input.addData(
+        (ts("2024-01-01 00:02:00"), 2L, nearDup), // collides with doc 1's bands
+        (ts("2024-01-01 00:03:00"), 3L, other))   // disjoint vocabulary -> kept
+      q.processAllAvailable()
+      val kept = spark.table("mhd").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("windowedValueSums: per-window per-key sums") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
