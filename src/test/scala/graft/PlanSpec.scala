@@ -49,6 +49,30 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("bucketed tables: co-located join plans without a shuffle") {
+    import spark.implicits._
+    // warehouse.dir is a static conf; tables land in ./spark-warehouse
+    // (gitignored) and are dropped below
+    val a = (0 until 1000).map(i => (i.toLong, i * 2.0)).toDF("id", "x")
+    val b = (0 until 1000).map(i => (i.toLong, s"v$i")).toDF("id", "y")
+    a.write.mode("overwrite").bucketBy(8, "id").sortBy("id").saveAsTable("graft_bucket_a")
+    b.write.mode("overwrite").bucketBy(8, "id").sortBy("id").saveAsTable("graft_bucket_b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a merge join
+      val joined = spark.table("graft_bucket_a").join(spark.table("graft_bucket_b"), "id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"),
+        "bucketed-by-join-key tables must join without shuffling:\n" + plan.take(800))
+      assert(joined.count() == 1000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
+    }
+  }
+
   test("windowed aggregation: map-side partial aggregation before the shuffle") {
     val plan = planOf(Queries.all("q_window_agg")(spark, dir))
     // two HashAggregate nodes (partial + final) around one Exchange
