@@ -203,9 +203,17 @@ object SimSearchEngine {
       specs.indices.map(i => col(s"v$i").as(s"a$i")): _*)
     val b = withVals.select(col("id").as("rid") +:
       specs.indices.map(i => col(s"v$i").as(s"b$i")): _*)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val scalesF = Future.sequence(specs.map { s =>
+      Future(s.scale.getOrElse(
+        k * FacetSearch.kthDistanceScale(distStream(catalog.get(s.column), s), k)))
+    })
+    val scalesByIdx = Await.result(scalesF, Duration.Inf)
     val sims = specs.zipWithIndex.map { case (s, i) =>
       val f = catalog.get(s.column)
-      val scale = s.scale.getOrElse(k * FacetSearch.kthDistanceScale(distStream(f, s), k))
+      val scale = scalesByIdx(i)
       val d: Column = f.spec.op match {
         case SimOp.Numerical | SimOp.Temporal => SimKernels.absDist(col(s"a$i"), col(s"b$i"))
         case SimOp.Categorical => SimKernels.jaccardDistDistinct(col(s"a$i"), col(s"b$i"))
