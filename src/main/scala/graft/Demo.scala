@@ -26,7 +26,7 @@ object Demo {
     val gdelt = "/root/reference/data/gdelt"
     val (dirs, mountSpecs) = RequestParser.parseMount(s"$gdelt/standalone/sources.json")
     val dataDir = "/root/reference/" + dirs.values.head.stripPrefix("./")
-    val catalog = new Catalog(mountSpecs.map(CsvMount.mount(spark, dataDir, _)))
+    val catalog = new Catalog(mountSpecs.map { case (_, spec) => CsvMount.mount(spark, dataDir, spec) })
     println(s"mounted attributes: ${catalog.list.map(_._1).mkString(", ")}")
 
     val (k, algorithm, specs, _) = RequestParser.parseSearch(s"$gdelt/standalone/search.json")

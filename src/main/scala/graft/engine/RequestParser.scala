@@ -20,9 +20,11 @@ object RequestParser {
     mapper.readTree(new java.io.File(path))
 
   /** Parse a mount request (sources.json shape). Returns
-    * (sourceName -> directory, mount specs). Only csv sources are
-    * materialized here; jdbc sources map to JdbcMount (S7/S8). */
-  def parseMount(path: String): (Map[String, String], Seq[MountSpec]) = {
+    * (sourceName -> directory, (sourceName, mount spec) pairs) so that a
+    * multi-source request resolves each dataset against ITS OWN source
+    * directory. Only csv sources are materialized here; jdbc sources map to
+    * JdbcMount (S7/S8). */
+  def parseMount(path: String): (Map[String, String], Seq[(String, MountSpec)]) = {
     val root = readFile(path)
     val dirs = root.get("sources").elements().asScala.map { s =>
       s.get("name").asText() -> s.get("directory").asText()
@@ -34,7 +36,7 @@ object RequestParser {
         case a if a.isArray => a.elements().asScala.map(_.asText()).toSeq
         case v => Seq(v.asText())
       }
-      MountSpec(
+      m.get("source").asText() -> MountSpec(
         operation = m.get("operation").asText(),
         dataset = m.get("dataset").asText(),
         keyColumn = m.get("key_column").asText(),

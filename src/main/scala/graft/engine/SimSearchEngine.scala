@@ -55,18 +55,23 @@ object SimSearchEngine {
     val v = col("value")
     val d: Column = f.spec.op match {
       case SimOp.Numerical =>
-        val q0 = spec.value match {
-          case "max" => f.df.agg(max(v)).head.getDouble(0) // F12
-          case x: Double => x
-          case x: Int => x.toDouble
-          case x: String => x.toDouble
-          case other => throw new IllegalArgumentException(s"bad numeric query $other")
-        }
-        // normalize the query value with the mount-time transform (A4)
-        val q = (f.spec.normalizer, f.spec.stats) match {
-          case (Normalizer.Z, Some(st)) => if (st.stddev == 0) 0.0 else (q0 - st.avg) / st.stddev
-          case (Normalizer.Unity, Some(st)) => if (st.max == st.min) 0.0 else (q0 - st.avg) / (st.max - st.min)
-          case _ => q0
+        val q = spec.value match {
+          // F12: "max" reads the facet frame, whose values are ALREADY in
+          // the mount-time-normalized space — do not re-normalize it
+          case "max" => f.df.agg(max(v)).head.getDouble(0)
+          case other =>
+            val q0 = other match {
+              case x: Double => x
+              case x: Int => x.toDouble
+              case x: String => x.toDouble
+              case bad => throw new IllegalArgumentException(s"bad numeric query $bad")
+            }
+            // normalize the RAW query value with the mount-time transform (A4)
+            (f.spec.normalizer, f.spec.stats) match {
+              case (Normalizer.Z, Some(st)) => if (st.stddev == 0) 0.0 else (q0 - st.avg) / st.stddev
+              case (Normalizer.Unity, Some(st)) => if (st.max == st.min) 0.0 else (q0 - st.avg) / (st.max - st.min)
+              case _ => q0
+            }
         }
         SimKernels.absDist(v, lit(q))
       case SimOp.Temporal =>
@@ -169,7 +174,10 @@ object SimSearchEngine {
       require(f.spec.queryable, s"attribute ${s.column} is not queryable") // P6
       val dist0 = distStream(f, s)
       val dist = eligible.map(e => dist0.join(e, Seq("id"), "left_semi")).getOrElse(dist0)
-      val scale = s.scale.getOrElse(k * FacetSearch.kthDistanceScale(dist, k))
+      // k * d_k only when d_k is a genuine nonzero distance; the degenerate
+      // all-exact-match prefix keeps the plain 1.0 guard (no multiplier)
+      val scale = s.scale.getOrElse(
+        FacetSearch.kthDistance(dist, k).map(k * _).getOrElse(1.0))
       val jac = f.spec.op == SimOp.Categorical || f.spec.op == SimOp.Textual
       val ws =
         if (s.weights.size == nCombos) s.weights
@@ -193,7 +201,19 @@ object SimSearchEngine {
   def similarityMatrix(spark: SparkSession, catalog: Catalog, k: Int,
       specs: Seq[SearchSpec]): DataFrame = {
     require(k <= KMax, s"similarity matrix capped at K_MAX=$KMax")
-    val ids = search(spark, catalog, k, specs)
+    // Calibrate the per-facet scales ONCE (concurrently), then hand them to
+    // search() via explicit SearchSpec.scale so neither pass recomputes them.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val scalesF = Future.sequence(specs.map { s =>
+      Future(s.scale.getOrElse(
+        FacetSearch.kthDistance(distStream(catalog.get(s.column), s), k)
+          .map(k * _).getOrElse(1.0)))
+    })
+    val scalesByIdx = Await.result(scalesF, Duration.Inf)
+    val calibrated = specs.zip(scalesByIdx).map { case (s, sc) => s.copy(scale = Some(sc)) }
+    val ids = search(spark, catalog, k, calibrated)
       .where(col("combo") === 0).select(col("id"))
     val withVals = specs.zipWithIndex.foldLeft(ids) { case (acc, (s, i)) =>
       acc.join(catalog.get(s.column).df.select(col("id"), col("value").as(s"v$i")),
@@ -203,14 +223,6 @@ object SimSearchEngine {
       specs.indices.map(i => col(s"v$i").as(s"a$i")): _*)
     val b = withVals.select(col("id").as("rid") +:
       specs.indices.map(i => col(s"v$i").as(s"b$i")): _*)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val scalesF = Future.sequence(specs.map { s =>
-      Future(s.scale.getOrElse(
-        k * FacetSearch.kthDistanceScale(distStream(catalog.get(s.column), s), k)))
-    })
-    val scalesByIdx = Await.result(scalesF, Duration.Inf)
     val sims = specs.zipWithIndex.map { case (s, i) =>
       val f = catalog.get(s.column)
       val scale = scalesByIdx(i)

@@ -35,10 +35,21 @@ object SimSql {
       residualFilter: Option[String])
 
   private val SimCond = """(?i)([\w.]+)\s*~=\s*'([^']*)'""".r
+  private val LitMask = "(\\d+)".r
 
   def parse(sql: String): ParsedQuery = {
-    val s = sql.trim.stripSuffix(";").replaceAll("\\s+", " ").trim
-    require(s.toUpperCase.startsWith("SELECT"), s"not a SELECT: $s")
+    val s0 = sql.trim.stripSuffix(";").replaceAll("\\s+", " ").trim
+    require(s0.toUpperCase.startsWith("SELECT"), s"not a SELECT: $s0")
+    // mask quoted literals so AND / WEIGHTS / ALGORITHM / LIMIT appearing
+    // INSIDE a value (e.g. name ~= 'Bread AND Butter') cannot confuse the
+    // keyword grammar; masks are restored into the parsed values below
+    val literals = scala.collection.mutable.ArrayBuffer[String]()
+    val s = "'([^']*)'".r.replaceAllIn(s0, m => {
+      literals += m.group(1)
+      "'" + (literals.size - 1) + "'"
+    })
+    def unmask(v: String): String = LitMask.replaceAllIn(v,
+      m => scala.util.matching.Regex.quoteReplacement(literals(m.group(1).toInt)))
 
     def section(name: String): Option[String] = {
       val m = java.util.regex.Pattern
@@ -65,7 +76,7 @@ object SimSql {
     val (simConds, residuals) = conjuncts.partition(c => SimCond.findFirstIn(c).isDefined)
     val sims = simConds.toSeq.map { c =>
       val m = SimCond.findFirstMatchIn(c).get
-      (m.group(1), m.group(2))
+      (m.group(1), unmask(m.group(2)))
     }
     if (sims.isEmpty) // reference: deliberate failure case (queries.sql Q6)
       throw new IllegalArgumentException("query involves no similarity condition (~=)")
@@ -74,7 +85,7 @@ object SimSql {
       .map(_.split(",").map(_.trim.toDouble).toSeq).getOrElse(Seq.empty)
     val algorithm = "(?i)\\bALGORITHM\\s+(\\w+)".r.findFirstMatchIn(s).map(_.group(1).toLowerCase)
     val k = "(?i)\\bLIMIT\\s+(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toInt).getOrElse(50) // SqlParser.java:83-86
-    val residual = if (residuals.isEmpty) None else Some(residuals.mkString(" AND "))
+    val residual = if (residuals.isEmpty) None else Some(unmask(residuals.mkString(" AND ")))
     ParsedQuery(extras, sims, weights, algorithm, k, residual)
   }
 

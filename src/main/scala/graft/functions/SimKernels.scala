@@ -25,10 +25,6 @@ object SimKernels {
   /** Reference default decay constant (Constants.java:38). */
   val DefaultDecay: Double = 0.05
 
-  /** Candidate inflation factor: per-facet candidate list size M = k * this
-    * (reference: Constants.java:44, SearchHandler.java:318-320). */
-  val InflationFactor: Int = 1000
-
   // ---------------------------------------------------------------- numeric
 
   /** |v - q| */

@@ -44,9 +44,17 @@ object FacetSearch {
     * deterministic top-k, guarded to 1.0 when zero/undefined so that decay
     * over an all-zero-distance prefix stays well-defined.
     */
-  def kthDistanceScale(dist: DataFrame, k: Int): Double = {
+  def kthDistanceScale(dist: DataFrame, k: Int): Double =
+    kthDistance(dist, k).getOrElse(1.0)
+
+  /** The raw k-th candidate distance, or None when it is zero/undefined —
+    * callers that post-multiply the scale (e.g. the engine's k * d_k fixture
+    * semantics) must distinguish a genuine d_k from the 1.0 guard, or a
+    * facet whose whole top-k matches the query exactly would get scale = k
+    * instead of the guard. */
+  def kthDistance(dist: DataFrame, k: Int): Option[Double] = {
     val ds = topM(dist, k).select(col("d")).collect().map(_.getDouble(0))
-    if (ds.isEmpty || ds.max <= 0.0) 1.0 else ds.max
+    if (ds.isEmpty || ds.max <= 0.0) None else Some(ds.max)
   }
 
   /** Decayed similarity column for a calibrated facet

@@ -59,7 +59,10 @@ object RankAggregate {
     // Phase 1: deterministic per-facet candidates. Each top-M is one
     // shuffle-free TakeOrderedAndProject scan; the (<= m)-row result is
     // cached so both the scale calibration and the candidate union read it
-    // without re-scanning the facet.
+    // without re-scanning the facet. Cache lifetime: entries are small
+    // (<= m rows) and MEMORY_AND_DISK, so a long-lived session sheds them
+    // via LRU eviction; they cannot be unpersisted here because the
+    // returned DataFrame is lazy and still references them.
     val topMs = facets.map(f => FacetSearch.topM(f.dist, m).cache())
     // Calibrate every facet's scale concurrently: each is an independent
     // Spark job (the reference runs one thread per facet for the same

@@ -22,6 +22,19 @@ final class SimSearchService(spark: SparkSession, port: Int) {
   private val catalogs = new java.util.concurrent.ConcurrentHashMap[String, Catalog]()
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def errorBody(e: Exception): String =
+    s"""{"error":"${jsonEscape(Option(e.getMessage).getOrElse(e.toString))}"}"""
+
   private def respond(x: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     x.getResponseHeaders.add("Content-Type", "application/json")
@@ -46,15 +59,14 @@ final class SimSearchService(spark: SparkSession, port: Int) {
     val tmp = bodyFile(x)
     try {
       val (dirs, specs) = RequestParser.parseMount(tmp.toString)
-      val facets = specs.map { spec =>
-        // resolve the spec's source directory: single-source requests use it directly
-        CsvMount.mount(spark, dirs.values.head, spec)
+      val facets = specs.map { case (source, spec) =>
+        CsvMount.mount(spark, dirs(source), spec) // each spec against ITS source
       }
       val key = java.util.UUID.randomUUID().toString
       catalogs.put(key, new Catalog(facets))
       respond(x, 200, s"""{"apiKey":"$key","attributes":${facets.size}}""")
     } catch {
-      case e: Exception => respond(x, 400, s"""{"error":"${e.getMessage}"}""")
+      case e: Exception => respond(x, 400, errorBody(e))
     } finally java.nio.file.Files.delete(tmp)
   }
 
@@ -69,7 +81,7 @@ final class SimSearchService(spark: SparkSession, port: Int) {
         algorithm = graft.api.Algorithm.parse(algorithm))
       respond(x, 200, OutputWriter.toJsonResponse(res))
     } catch {
-      case e: Exception => respond(x, 400, s"""{"error":"${e.getMessage}"}""")
+      case e: Exception => respond(x, 400, errorBody(e))
     } finally java.nio.file.Files.delete(tmp)
   }
 

@@ -31,13 +31,17 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
-  /** Streaming near-duplicate suppression: a document is dropped when ANY of
-    * its MinHash band keys was already seen within the watermark horizon —
-    * the stream-side twin of Dedup.minhashPairs' candidate generation
-    * (near-dups collide on >= 1 band with probability 1-(1-s^r)^b). A kept
-    * document may still be re-emitted once per band in the raw stream, so
-    * the final dedup keys on the document id. State = one entry per band
-    * key within the horizon. */
+  /** Streaming near-duplicate suppression (conservative): a document is
+    * dropped only when EVERY one of its MinHash band keys was already seen
+    * within the watermark horizon — dropDuplicatesWithinWatermark removes
+    * duplicate band ROWS, so a document survives if at least one band is
+    * novel. P(all b bands collide | similarity s) = s^(r*b), ~1 for exact
+    * and extreme near-duplicates, which is what a streaming filter should
+    * suppress without false positives. The aggressive drop-on-ANY-band
+    * variant needs a windowed per-document band count (group by id, keep
+    * when count == b) at the cost of emission delayed to window close;
+    * batch dedup (Dedup.minhashPairs) remains the exact-recall path.
+    * State = one entry per band key within the horizon. */
   def minhashDedupStream(docs: DataFrame, tsCol: String, idCol: String,
       textCol: String, watermark: String): DataFrame = {
     import graft.functions.TextKernels

@@ -76,6 +76,41 @@ class EngineEdgeSpec extends SparkTestBase {
     assert(res.head.getDouble(res.head.fieldIndex("score")) == expScore)
   }
 
+  test("F12 regression: 'max' keyword on a normalized facet is not re-normalized") {
+    val f = CsvMount.mount(spark, "/root/reference/data/gdelt",
+      MountSpec("numerical_topk", "sample.csv", "article_id",
+        Seq("positive_sentiment"), normalized = Some("z")))
+    // top-1 for "max" must be the entity holding the maximum raw value
+    val expectedId = f.df.orderBy(col("value").desc, col("id"))
+      .select(col("id")).head.getString(0)
+    val res = SimSearchEngine.search(spark, new Catalog(Seq(f)), 1,
+      Seq(SearchSpec("positive_sentiment", "max", Seq(1.0)))).collect()
+    assert(res.head.get(res.head.fieldIndex("id")) == expectedId)
+  }
+
+  test("scale guard regression: all-zero top-k distances keep scale 1.0 (not k)") {
+    import spark.implicits._
+    val k = 2
+    // facet x: ids 0..4 match the query exactly (top-k all d=0 -> guard
+    // scale 1.0), id 5 sits at d=1; facet y makes ids 1..4 score ~0 so
+    // id 5 lands in the top-k and its s_x exposes the scale used
+    val xs = (Seq.fill(5)(7.0) ++ Seq(8.0)).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val ys = (0 to 5).map(i => i.toLong ->
+      (if (i == 5) 0.0 else if (i == 0) 10.0 else 10000.0))
+    val fx = graft.api.Facet(graft.api.AttributeSpec("x", graft.api.SimOp.Numerical),
+      xs.toDF("id", "value"))
+    val fy = graft.api.Facet(graft.api.AttributeSpec("y", graft.api.SimOp.Numerical),
+      ys.toDF("id", "value"))
+    val res = SimSearchEngine.search(spark, new Catalog(Seq(fx, fy)), k,
+      Seq(SearchSpec("x", 7.0, Seq(0.5)), SearchSpec("y", 0.0, Seq(0.5))),
+      detailed = true).collect()
+    val sx5 = res.find(r => r.getLong(r.fieldIndex("id")) == 5L)
+      .map(r => r.getDouble(r.fieldIndex("s_x")))
+    // with the guard (scale=1.0), id 5's x-similarity is exp(-0.05*1/1.0);
+    // the pre-fix behavior (scale=k) would give exp(-0.05/5)=0.990050
+    assert(sx5.contains(math.exp(-0.05)), s"got $sx5")
+  }
+
   test("P5: max_lines caps ingestion") {
     val f = CsvMount.mount(spark, "/root/reference/data/gdelt",
       MountSpec("numerical_topk", "sample.csv", "article_id",

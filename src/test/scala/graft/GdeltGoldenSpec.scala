@@ -23,7 +23,7 @@ class GdeltGoldenSpec extends SparkTestBase {
     val (dirs, mountSpecs) =
       graft.engine.RequestParser.parseMount(s"$gdelt/standalone/sources.json")
     val dataDir = "/root/reference/" + dirs("localPath1").stripPrefix("./")
-    val catalog = new Catalog(mountSpecs.map(CsvMount.mount(spark, dataDir, _)))
+    val catalog = new Catalog(mountSpecs.map { case (_, spec) => CsvMount.mount(spark, dataDir, spec) })
     assert(catalog.size == 5)
 
     val (k, algorithm, specs, _) =

@@ -86,6 +86,14 @@ class SimSqlSpec extends SparkTestBase {
     }
   }
 
+  test("parse regression: grammar keywords inside quoted values are literal") {
+    val q = SimSql.parse(
+      "SELECT * WHERE persons ~= 'Bread AND Butter' AND timestamp ~= 'x WEIGHTS y LIMIT 3' LIMIT 5")
+    assert(q.sims == Seq("persons" -> "Bread AND Butter",
+      "timestamp" -> "x WEIGHTS y LIMIT 3"))
+    assert(q.k == 5 && q.weights.isEmpty && q.residualFilter.isEmpty)
+  }
+
   test("residual boolean filter restricts the searchable entities (P3)") {
     val sql = """SELECT * WHERE position ~= 'POINT(-74.94 42.15)'
                  AND positive_sentiment > 2.75 LIMIT 5"""
