@@ -37,16 +37,23 @@ object OutputWriter {
   def toJsonResponse(df: DataFrame): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createArrayNode()
+    // The per-result exact flag (reference: RankedResult.setExact) is only
+    // computed by the detailed search (RankAggregate tau bound); serialize
+    // it when present and OMIT it otherwise — never assert exactness the
+    // engine did not establish.
+    val hasExact = df.columns.contains("exact")
     val byCombo = df.collect()
       .map(r => (r.getLong(r.fieldIndex("combo")), r.getLong(r.fieldIndex("rank")),
-        String.valueOf(r.get(r.fieldIndex("id"))), r.getDouble(r.fieldIndex("score"))))
+        String.valueOf(r.get(r.fieldIndex("id"))), r.getDouble(r.fieldIndex("score")),
+        if (hasExact) Some(r.getBoolean(r.fieldIndex("exact"))) else None))
       .groupBy(_._1).toSeq.sortBy(_._1)
     byCombo.foreach { case (_, rows) =>
       val resp = mapper.createObjectNode()
       val ranked = mapper.createArrayNode()
-      rows.sortBy(_._2).foreach { case (_, rank, id, score) =>
+      rows.sortBy(_._2).foreach { case (_, rank, id, score, exact) =>
         val o = mapper.createObjectNode()
-        o.put("id", id); o.put("rank", rank); o.put("score", score); o.put("exact", true)
+        o.put("id", id); o.put("rank", rank); o.put("score", score)
+        exact.foreach(e => o.put("exact", e))
         ranked.add(o)
       }
       resp.set[com.fasterxml.jackson.databind.JsonNode]("rankedResults", ranked)

@@ -19,37 +19,85 @@ object RequestParser {
   private def readFile(path: String): JsonNode =
     mapper.readTree(new java.io.File(path))
 
-  /** Parse a mount request (sources.json shape). Returns
-    * (sourceName -> directory, (sourceName, mount spec) pairs) so that a
-    * multi-source request resolves each dataset against ITS OWN source
-    * directory. Only csv sources are materialized here; jdbc sources map to
-    * JdbcMount (S7/S8). */
-  def parseMount(path: String): (Map[String, String], Seq[(String, MountSpec)]) = {
+  /** A fully-routed mount request: csv datasets resolved against their
+    * source directories, jdbc datasets routed to [[graft.sources.JdbcMount]]
+    * specs (the reference's multi-source request shape mixes both —
+    * data/gdelt/service/simsearch-multiple-sources.py:11). */
+  final case class MountRequest(
+      dirs: Map[String, String],
+      csv: Seq[(String, MountSpec)],
+      jdbc: Seq[graft.sources.JdbcMount.JdbcSpec])
+
+  /** Parse a mount request (sources.json shape), routing each search entry
+    * to its source's mount path: csv -> (directory, MountSpec), jdbc ->
+    * JdbcSpec (S7/S8). A search entry referencing a source of any other
+    * type (restapi/simsearch are declared out of scope) fails with a clear
+    * message instead of an NPE on the missing `directory` field. */
+  def parseMountRequest(path: String): MountRequest = {
     val root = readFile(path)
-    val dirs = root.get("sources").elements().asScala.map { s =>
-      s.get("name").asText() -> s.get("directory").asText()
+    val sources = root.get("sources").elements().asScala.toSeq
+    def srcType(s: JsonNode): String =
+      Option(s.get("type")).map(_.asText()).getOrElse("csv")
+    def srcOpt(s: JsonNode, field: String): Option[String] =
+      Option(s.get(field)).map(_.asText()).filter(_.nonEmpty)
+    val dirs = sources.filter(srcType(_) == "csv").map { s =>
+      val name = s.get("name").asText()
+      name -> srcOpt(s, "directory").getOrElse(
+        throw new IllegalArgumentException(s"csv source '$name' has no directory"))
     }.toMap
-    val specs = root.get("search").elements().asScala.map { m =>
+    val jdbcSources = sources.filter(srcType(_) == "jdbc")
+      .map(s => s.get("name").asText() -> s).toMap
+    val typeOf = sources.map(s => s.get("name").asText() -> srcType(s)).toMap
+
+    val csvSpecs = scala.collection.mutable.ArrayBuffer[(String, MountSpec)]()
+    val jdbcSpecs = scala.collection.mutable.ArrayBuffer[graft.sources.JdbcMount.JdbcSpec]()
+    root.get("search").elements().asScala.foreach { m =>
       def opt(field: String): Option[String] =
         Option(m.get(field)).map(_.asText()).filter(_.nonEmpty)
       val searchCols = m.get("search_column") match {
         case a if a.isArray => a.elements().asScala.map(_.asText()).toSeq
         case v => Seq(v.asText())
       }
-      m.get("source").asText() -> MountSpec(
-        operation = m.get("operation").asText(),
-        dataset = m.get("dataset").asText(),
-        keyColumn = m.get("key_column").asText(),
-        searchColumns = searchCols,
-        aliasColumn = opt("alias_column"),
-        separator = opt("separator").getOrElse(","),
-        tokenDelimiter = opt("token_delimiter").getOrElse(";"),
-        header = opt("header").forall(_.toBoolean),
-        qgram = opt("qgram").map(_.toInt).getOrElse(3),
-        normalized = opt("normalized"),
-        maxLines = opt("max_lines").map(_.toInt))
-    }.toSeq
-    (dirs, specs)
+      val src = m.get("source").asText()
+      if (dirs.contains(src)) {
+        csvSpecs += src -> MountSpec(
+          operation = m.get("operation").asText(),
+          dataset = m.get("dataset").asText(),
+          keyColumn = m.get("key_column").asText(),
+          searchColumns = searchCols,
+          aliasColumn = opt("alias_column"),
+          separator = opt("separator").getOrElse(","),
+          tokenDelimiter = opt("token_delimiter").getOrElse(";"),
+          header = opt("header").forall(_.toBoolean),
+          qgram = opt("qgram").map(_.toInt).getOrElse(3),
+          normalized = opt("normalized"),
+          maxLines = opt("max_lines").map(_.toInt))
+      } else jdbcSources.get(src) match {
+        case Some(j) =>
+          jdbcSpecs += graft.sources.JdbcMount.JdbcSpec(
+            url = srcOpt(j, "url").getOrElse(
+              throw new IllegalArgumentException(s"jdbc source '$src' has no url")),
+            table = m.get("dataset").asText(),
+            keyColumn = opt("key_column").getOrElse("id"),
+            valueColumn = searchCols.head,
+            operation = m.get("operation").asText(),
+            driver = srcOpt(j, "driver"),
+            user = srcOpt(j, "username"),
+            password = srcOpt(j, "password"),
+            tokenDelimiter = opt("token_delimiter").getOrElse(","),
+            qgram = opt("qgram").map(_.toInt).getOrElse(3))
+        case None => throw new IllegalArgumentException(
+          s"search entry references source '$src' of unsupported type " +
+            s"'${typeOf.getOrElse(src, "undeclared")}' (supported: csv, jdbc)")
+      }
+    }
+    MountRequest(dirs, csvSpecs.toSeq, jdbcSpecs.toSeq)
+  }
+
+  /** Back-compat view of [[parseMountRequest]]: the csv part only. */
+  def parseMount(path: String): (Map[String, String], Seq[(String, MountSpec)]) = {
+    val r = parseMountRequest(path)
+    (r.dirs, r.csv)
   }
 
   /** Parse a search request (search.json shape): (k, algorithm, specs,

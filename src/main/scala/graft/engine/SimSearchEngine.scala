@@ -39,7 +39,12 @@ object SimSearchEngine {
     def list: Seq[(String, String)] = // (name, operation)
       facets.values.map(f => f.spec.name -> f.spec.op.toString).toSeq.sorted
     def add(f: Facet): Unit = facets += (f.spec.name -> f)
-    def remove(name: String): Unit = facets -= name
+    /** @return whether the attribute was mounted (callers surface 404 on false) */
+    def remove(name: String): Boolean = {
+      val had = facets.contains(name)
+      facets -= name
+      had
+    }
     def size: Int = facets.size
   }
 

@@ -58,10 +58,10 @@ final class SimSearchService(spark: SparkSession, port: Int) {
   private def handleIndex(x: HttpExchange): Unit = {
     val tmp = bodyFile(x)
     try {
-      val (dirs, specs) = RequestParser.parseMount(tmp.toString)
-      val facets = specs.map { case (source, spec) =>
-        CsvMount.mount(spark, dirs(source), spec) // each spec against ITS source
-      }
+      val req = RequestParser.parseMountRequest(tmp.toString)
+      val facets = req.csv.map { case (source, spec) =>
+        CsvMount.mount(spark, req.dirs(source), spec) // each spec against ITS source
+      } ++ req.jdbc.map(graft.sources.JdbcMount.mount(spark, _))
       val key = java.util.UUID.randomUUID().toString
       catalogs.put(key, new Catalog(facets))
       respond(x, 200, s"""{"apiKey":"$key","attributes":${facets.size}}""")
@@ -77,7 +77,9 @@ final class SimSearchService(spark: SparkSession, port: Int) {
     val tmp = bodyFile(x)
     try {
       val (k, algorithm, specs, _) = RequestParser.parseSearch(tmp.toString)
-      val res = SimSearchEngine.search(spark, cat, k, specs,
+      // detailed mode computes the per-result TA exactness bound so the
+      // response's `exact` flags are real, not asserted (RankedResult.setExact)
+      val res = SimSearchEngine.search(spark, cat, k, specs, detailed = true,
         algorithm = graft.api.Algorithm.parse(algorithm))
       respond(x, 200, OutputWriter.toJsonResponse(res))
     } catch {
@@ -89,7 +91,9 @@ final class SimSearchService(spark: SparkSession, port: Int) {
   private def handleCatalog(x: HttpExchange): Unit = {
     val cat = catalogs.get(apiKey(x))
     if (cat == null) { respond(x, 401, """{"error":"unknown api_key"}"""); return }
-    val items = cat.list.map { case (n, op) => s"""{"column":"$n","operation":"$op"}""" }
+    val items = cat.list.map { case (n, op) =>
+      s"""{"column":"${jsonEscape(n)}","operation":"${jsonEscape(op)}"}"""
+    }
     respond(x, 200, items.mkString("[", ",", "]"))
   }
 
@@ -99,10 +103,14 @@ final class SimSearchService(spark: SparkSession, port: Int) {
     if (cat == null) { respond(x, 401, """{"error":"unknown api_key"}"""); return }
     val q = Option(x.getRequestURI.getQuery).getOrElse("")
     val col = q.split("&").map(_.split("=", 2)).collectFirst {
-      case Array("column", v) => v
+      case Array("column", v) =>
+        java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
     }
     col match {
-      case Some(c) => cat.remove(c); respond(x, 200, s"""{"removed":"$c"}""")
+      case Some(c) if cat.remove(c) =>
+        respond(x, 200, s"""{"removed":"${jsonEscape(c)}"}""")
+      case Some(c) =>
+        respond(x, 404, s"""{"error":"attribute not mounted: ${jsonEscape(c)}"}""")
       case None => respond(x, 400, """{"error":"missing column parameter"}""")
     }
   }

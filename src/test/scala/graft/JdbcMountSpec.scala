@@ -61,6 +61,49 @@ class JdbcMountSpec extends SparkTestBase {
     assert(plan.contains("IsNotNull"), plan.take(500))
   }
 
+  test("mount request routing: mixed csv/jdbc sources, clear error for restapi") {
+    // the reference's multi-source request shape
+    // (data/gdelt/service/simsearch-multiple-sources.py:11)
+    val req = s"""{
+      "sources": [
+        {"name": "db", "type": "jdbc", "url": "$url", "username": "u", "password": "p"},
+        {"name": "files", "type": "csv", "directory": "/tmp/data/"},
+        {"name": "es", "type": "restapi", "url": "http://example.invalid/idx/_search"}
+      ],
+      "search": [
+        {"operation": "numerical_topk", "source": "db", "dataset": "items",
+         "key_column": "ITEM_ID", "search_column": "PRICE"},
+        {"operation": "categorical_topk", "source": "files", "dataset": "d.csv",
+         "key_column": "id", "search_column": "tags"}
+      ]
+    }"""
+    val tmp = java.nio.file.Files.createTempFile("graft-mount", ".json")
+    java.nio.file.Files.write(tmp, req.getBytes("UTF-8"))
+    try {
+      val parsed = graft.engine.RequestParser.parseMountRequest(tmp.toString)
+      assert(parsed.csv.map(_._1) == Seq("files"))
+      assert(parsed.jdbc.size == 1)
+      val j = parsed.jdbc.head
+      assert(j.url == url && j.table == "items" && j.keyColumn == "ITEM_ID" &&
+        j.valueColumn == "PRICE" && j.user.contains("u") && j.password.contains("p"))
+      // a jdbc spec parsed from the request actually mounts and answers
+      // (credentials stripped: Derby maps user "u" to schema U, and `items`
+      // lives in the default APP schema of this embedded test database)
+      val res = SimSearchEngine.search(spark,
+        new Catalog(Seq(JdbcMount.mount(spark, j.copy(user = None, password = None)))),
+        3, Seq(SearchSpec("PRICE", 503.0, Seq(1.0)))).collect()
+      assert(res.length == 3)
+
+      // a search entry against the restapi source fails with a clear message
+      val bad = req.replace(""""source": "files"""", """"source": "es"""")
+      java.nio.file.Files.write(tmp, bad.getBytes("UTF-8"))
+      val e = intercept[IllegalArgumentException] {
+        graft.engine.RequestParser.parseMountRequest(tmp.toString)
+      }
+      assert(e.getMessage.contains("restapi"))
+    } finally java.nio.file.Files.delete(tmp)
+  }
+
   test("S8: ingest-on-mount caches the typed facet") {
     val f = JdbcMount.mount(spark,
       JdbcSpec(url, "items", "ITEM_ID", "PRICE", "numerical_topk", ingest = true))

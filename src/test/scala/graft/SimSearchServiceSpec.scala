@@ -54,11 +54,18 @@ class SimSearchServiceSpec extends SparkTestBase {
       assert(resp.size() == 2) // one response per weight combination
       assert(resp.get(0).get("rankedResults").size() == 5)
       assert(resp.get(0).get("rankedResults").get(0).get("id").asText() == "20191104154500-1733")
+      // detailed mode computed a real per-result exact flag (not asserted true)
+      assert(resp.get(0).get("rankedResults").get(0).get("exact").isBoolean)
 
       val (c4, _) = http("DELETE", s"$base/delete?column=persons", None, Map("api_key" -> key))
       assert(c4 == 200)
       val (_, b5) = http("GET", s"$base/catalog", None, Map("api_key" -> key))
       assert(new ObjectMapper().readTree(b5).size() == 4)
+
+      // unknown attribute -> 404 with the URL-decoded name escaped into the body
+      val (c5a, b5a) = http("DELETE", s"$base/delete?column=no%20such%22col", None,
+        Map("api_key" -> key))
+      assert(c5a == 404 && b5a.contains("no such\\\"col"), b5a)
 
       // unknown key rejected
       val (c6, _) = http("GET", s"$base/catalog", None, Map("api_key" -> "nope"))

@@ -94,6 +94,19 @@ class SimSqlSpec extends SparkTestBase {
     assert(q.k == 5 && q.weights.isEmpty && q.residualFilter.isEmpty)
   }
 
+  test("parse regression: unquoted numerics in residuals survive unmasking (Q5b)") {
+    // the masked-literal indices must never collide with user numerics:
+    // quoted '3' is a placeholder-sized literal, 1/3.5/2.75 are raw numbers
+    val q = SimSql.parse(
+      "SELECT * WHERE name ~= '3' AND x BETWEEN 1 AND 3.5 AND pos ~= 'POINT (1 2)' AND y > 2.75 LIMIT 5")
+    assert(q.sims == Seq("name" -> "3", "pos" -> "POINT (1 2)"))
+    assert(q.residualFilter.contains("x BETWEEN 1 AND 3.5 AND y > 2.75"))
+    // and the reference corpus Q5b residual comes through verbatim
+    val q5b = SimSql.parse(fixtureStatements(7))
+    assert(q5b.residualFilter.contains(
+      "negative_sentiment BETWEEN 1 AND 3.5 AND positive_sentiment > 2.75"))
+  }
+
   test("residual boolean filter restricts the searchable entities (P3)") {
     val sql = """SELECT * WHERE position ~= 'POINT(-74.94 42.15)'
                  AND positive_sentiment > 2.75 LIMIT 5"""
