@@ -15,9 +15,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm up the JVM/codegen paths so the first timed query is not charged
-    // for one-time initialization.
-    spark.range(1000).selectExpr("md5(cast(id as string)) h").count()
+    // Warm up the JVM/codegen/JIT paths so the first timed query is not
+    // charged for one-time initialization: md5 + higher-order array ops
+    // (the minhash/simhash hot loop), a shuffle aggregate, a global sort,
+    // and a small join. Cold-vs-steady-state profiling shows these paths
+    // cost multiple seconds on their first few million invocations.
+    locally {
+      val w = spark.range(20000).selectExpr("cast(id as string) s", "id % 97 k")
+      w.selectExpr(
+        "array_min(transform(sequence(0,15), i -> substring(md5(s), i+1, 8))) m").count()
+      w.selectExpr(
+        "aggregate(transform(split(s, ''), c -> length(c)), 0, (a, x) -> a + x) n").count()
+      w.groupBy("k").agg(org.apache.spark.sql.functions.count_distinct(
+        org.apache.spark.sql.functions.col("s"))).count()
+      w.orderBy("s").limit(10).count()
+      w.as("a").join(w.as("b"), "k").count()
+    }
     var errors = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

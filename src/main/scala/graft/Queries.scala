@@ -262,10 +262,21 @@ object Queries {
   // result entities (reference: engine/processor/ResultMatrix.java:62-124)
   // ----------------------------------------------------------------------
   private val simMatrix: (SparkSession, String) => DataFrame = (s, dir) => {
-    val facets = orderFacets(s, dir, combos1)
+    val facets0 = orderFacets(s, dir, combos1)
     val k = 5
+    // calibrate all three facet scales in ONE tagged job, then hand them to
+    // topK via BoundFacet.scale so the aggregation does not recompute them
+    val kth = facets0.zipWithIndex.map { case (f, i) =>
+      FacetSearch.topM(f.dist, k).select(lit(i).as("f"), col("d"))
+    }.reduce(_ union _)
+      .groupBy(col("f")).agg(max(col("d")).as("dk"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val scales = facets0.indices.map { i =>
+      val dk = kth.getOrElse(i, 0.0)
+      if (dk <= 0.0) 1.0 else dk
+    }
+    val facets = facets0.zip(scales).map { case (f, sc) => f.copy(scale = Some(sc)) }
     val ids = RankAggregate.topK(s, facets, k, 1000 * k).select(col("id"))
-    val scales = facets.map(f => FacetSearch.kthDistanceScale(f.dist, k))
     val vals = t(s, dir, "orders").select(col("o_orderkey").as("id"),
       col("o_totalprice").as("v0"),
       unix_micros(col("o_orderdate").cast("timestamp")).cast("double").as("v1"),

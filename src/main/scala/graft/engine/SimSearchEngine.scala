@@ -174,15 +174,32 @@ object SimSearchEngine {
     val nCombos = math.max(1, specs.map(_.weights.size).max)
     val m = if (specs.size > 1) InflationFactor * k else k
     val eligible = residualFilter.map(eligibleIds(catalog, _))
-    val facets = specs.map { s =>
+    val dists = specs.map { s =>
       val f = catalog.get(s.column)
       require(f.spec.queryable, s"attribute ${s.column} is not queryable") // P6
       val dist0 = distStream(f, s)
-      val dist = eligible.map(e => dist0.join(e, Seq("id"), "left_semi")).getOrElse(dist0)
+      eligible.map(e => dist0.join(e, Seq("id"), "left_semi")).getOrElse(dist0)
+    }
+    // Calibrate every uncalibrated facet's k-th candidate distance in ONE
+    // tagged Spark job (union only (f, d) so id types never conflict) —
+    // sequential per-facet collects would pay |facets| job overheads.
+    val needScale = specs.zipWithIndex.filter(_._1.scale.isEmpty)
+    val kth: Map[Int, Double] =
+      if (needScale.isEmpty) Map.empty
+      else needScale.map { case (_, i) =>
+        FacetSearch.topM(dists(i), k).select(lit(i).as("f"), col("d"))
+      }.reduce(_ union _)
+        .groupBy(col("f")).agg(max(col("d")).as("dk"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val facets = specs.zipWithIndex.map { case (s, i) =>
+      val f = catalog.get(s.column)
+      val dist = dists(i)
       // k * d_k only when d_k is a genuine nonzero distance; the degenerate
       // all-exact-match prefix keeps the plain 1.0 guard (no multiplier)
-      val scale = s.scale.getOrElse(
-        FacetSearch.kthDistance(dist, k).map(k * _).getOrElse(1.0))
+      val scale = s.scale.getOrElse {
+        val dk = kth.getOrElse(i, 0.0)
+        if (dk <= 0.0) 1.0 else k * dk
+      }
       val jac = f.spec.op == SimOp.Categorical || f.spec.op == SimOp.Textual
       val ws =
         if (s.weights.size == nCombos) s.weights
@@ -206,17 +223,24 @@ object SimSearchEngine {
   def similarityMatrix(spark: SparkSession, catalog: Catalog, k: Int,
       specs: Seq[SearchSpec]): DataFrame = {
     require(k <= KMax, s"similarity matrix capped at K_MAX=$KMax")
-    // Calibrate the per-facet scales ONCE (concurrently), then hand them to
-    // search() via explicit SearchSpec.scale so neither pass recomputes them.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val scalesF = Future.sequence(specs.map { s =>
-      Future(s.scale.getOrElse(
-        FacetSearch.kthDistance(distStream(catalog.get(s.column), s), k)
-          .map(k * _).getOrElse(1.0)))
-    })
-    val scalesByIdx = Await.result(scalesF, Duration.Inf)
+    // Calibrate the per-facet scales ONCE (a single tagged Spark job), then
+    // hand them to search() via explicit SearchSpec.scale so neither pass
+    // recomputes them.
+    val need = specs.zipWithIndex.filter(_._1.scale.isEmpty)
+    val kth: Map[Int, Double] =
+      if (need.isEmpty) Map.empty
+      else need.map { case (s, i) =>
+        FacetSearch.topM(distStream(catalog.get(s.column), s), k)
+          .select(lit(i).as("f"), col("d"))
+      }.reduce(_ union _)
+        .groupBy(col("f")).agg(max(col("d")).as("dk"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val scalesByIdx = specs.zipWithIndex.map { case (s, i) =>
+      s.scale.getOrElse {
+        val dk = kth.getOrElse(i, 0.0)
+        if (dk <= 0.0) 1.0 else k * dk
+      }
+    }
     val calibrated = specs.zip(scalesByIdx).map { case (s, sc) => s.copy(scale = Some(sc)) }
     val ids = search(spark, catalog, k, calibrated)
       .where(col("combo") === 0).select(col("id"))

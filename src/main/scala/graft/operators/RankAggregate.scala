@@ -64,22 +64,29 @@ object RankAggregate {
     // via LRU eviction; they cannot be unpersisted here because the
     // returned DataFrame is lazy and still references them.
     val topMs = facets.map(f => FacetSearch.topM(f.dist, m).cache())
-    // Calibrate every facet's scale concurrently: each is an independent
-    // Spark job (the reference runs one thread per facet for the same
-    // reason, SearchHandler.java:717-720); sequential submission would
-    // serialize |facets| small jobs on the driver.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val scales = Await.result(Future.sequence(facets.zip(topMs).map { case (f, tm) =>
-      Future {
-        f.scale.getOrElse {
-          val ds = tm.orderBy(col("d"), col("id")).limit(k)
-            .select(col("d")).collect().map(_.getDouble(0))
-          if (ds.isEmpty || ds.max <= 0.0) 1.0 else ds.max
-        }
+    // Calibrate every facet's scale in ONE Spark job: tag each facet's
+    // deterministic top-k with its index, union, and take max(d) per facet
+    // (= the k-th candidate distance; boundary ties make the value
+    // independent of which tied ids the limit keeps). The reference runs one
+    // thread per facet for the same reason (SearchHandler.java:717-720);
+    // one tagged job beats |facets| separate jobs on per-job overhead and
+    // populates all the topM caches in a single pass. Only (f, d) is
+    // unioned so facets with different id types still combine.
+    val needScale = facets.zipWithIndex.filter(_._1.scale.isEmpty)
+    val kth: Map[Int, Double] =
+      if (needScale.isEmpty) Map.empty
+      else needScale.map { case (_, i) =>
+        topMs(i).orderBy(col("d"), col("id")).limit(k)
+          .select(lit(i).as("f"), col("d"))
+      }.reduce(_ union _)
+        .groupBy(col("f")).agg(max(col("d")).as("dk"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val scales = facets.zipWithIndex.map { case (f, i) =>
+      f.scale.getOrElse {
+        val dk = kth.getOrElse(i, 0.0) // absent = empty facet -> guard
+        if (dk <= 0.0) 1.0 else dk
       }
-    }), Duration.Inf)
+    }
     val cands = topMs.map(_.select(col("id"))).reduce(_ union _).distinct()
 
     // Phase 2: exact score for every candidate on every facet. Inner join per
@@ -113,13 +120,19 @@ object RankAggregate {
     // unseen entity's facet similarity (decay is monotone in distance). A
     // result with score >= tau is provably in the true top-k; mirrors the
     // reference's per-result `exact` flag (RankedResult.setExact).
-    lazy val sMth: Seq[Double] = facets.zip(topMs).zip(scales).map {
-      case ((f, tm), sc) =>
-        if (tm.count() < m) 0.0 // candidate list exhausted the facet: no unseen entities
-        else {
-          val maxd = tm.agg(max(col("d"))).head.getDouble(0)
-          if (f.jaccard && maxd == 1.0) 0.0 else math.exp(-f.decay * maxd / sc)
-        }
+    lazy val sMth: Seq[Double] = {
+      // one tagged job for all facets' (count, max d) over the cached topMs
+      val stats = topMs.zipWithIndex.map { case (tm, i) =>
+        tm.select(lit(i).as("f"), col("d"))
+      }.reduce(_ union _)
+        .groupBy(col("f")).agg(count(lit(1)).as("n"), max(col("d")).as("maxd"))
+        .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      facets.zip(scales).zipWithIndex.map { case ((f, sc), i) =>
+        val (n, maxd) = stats.getOrElse(i, (0L, 0.0))
+        if (n < m) 0.0 // candidate list exhausted the facet: no unseen entities
+        else if (f.jaccard && maxd == 1.0) 0.0
+        else math.exp(-f.decay * maxd / sc)
+      }
     }
 
     import org.apache.spark.sql.expressions.Window
