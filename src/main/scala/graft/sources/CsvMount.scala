@@ -104,11 +104,36 @@ object CsvMount {
     * applied to the data at mount time (A4, numerical/ZNormal.java:23-26);
     * the same transform must be applied to query values at search time.
     */
+  /** S6: remote CSV — the reference streams HTTP/FTP CSVs through the same
+    * ingest path as local files (io/DataFileReader.java URL branch). Spark
+    * has no http:// Hadoop filesystem, so a remote dataset is spooled to a
+    * local temp file once at mount time (= the reference's ingest-on-mount
+    * semantics; at cluster scale the spool target would be a shared
+    * staging path, or the data would be registered behind an HTTP-capable
+    * FileSystem plugin).
+    */
+  private[graft] def spoolRemote(url: String): String = {
+    val src = java.net.URI.create(url).toURL
+    val tmp = java.nio.file.Files.createTempFile("graft-remote-", ".csv")
+    val in = src.openStream()
+    try java.nio.file.Files.copy(in, tmp,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    tmp.toFile.deleteOnExit()
+    tmp.toString
+  }
+
+  private def isRemote(directory: String): Boolean =
+    Seq("http://", "https://", "ftp://").exists(directory.startsWith)
+
   def mount(spark: SparkSession, directory: String, spec: MountSpec): Facet = {
+    val path =
+      if (isRemote(directory)) spoolRemote(s"${directory.stripSuffix("/")}/${spec.dataset}")
+      else s"$directory/${spec.dataset}"
     val raw0 = spark.read
       .option("header", spec.header.toString)
       .option("sep", spec.separator)
-      .csv(s"$directory/${spec.dataset}")
+      .csv(path)
     val raw = spec.maxLines.map(raw0.limit).getOrElse(raw0) // P5
     val id = col(spec.keyColumn).as("id")
     val name = spec.aliasColumn.getOrElse(spec.searchColumns.head)
