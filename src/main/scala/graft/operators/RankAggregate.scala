@@ -135,26 +135,36 @@ object RankAggregate {
       }
     }
 
+    // All combos in ONE pass: per-combo scores become an exploded
+    // (combo, score) column pair, ranked by a single window partitioned by
+    // combo. A per-combo union of branches would re-execute the whole
+    // pivot subtree once per combination (Spark unions share no common
+    // subexpressions) and sort each branch on a single partition.
     import org.apache.spark.sql.expressions.Window
-    val result = (0 until nCombos).map { c =>
+    val scoreCols: Seq[Column] = (0 until nCombos).map { c =>
       val ws = facets.map(_.weightPerCombo(c))
-      val sumW = ws.sum // left-assoc fold
       val num = facets.zipWithIndex
         .map { case (f, i) => lit(f.weightPerCombo(c)) * col(s"s_$i") }
         .reduce(_ + _) // left-assoc
-      val w = Window.orderBy(col("score").desc, col("id"))
-      val base = pivoted
-        .select(lit(c.toLong).as("combo"), col("id"),
-          round(num / lit(sumW), 6).as("score"))
-        .withColumn("rank", row_number().over(w))
-        .where(col("rank") <= k)
-        .withColumn("rank", col("rank").cast("long"))
+      round(num / lit(ws.sum), 6)
+    }
+    val w = Window.partitionBy(col("combo")).orderBy(col("score").desc, col("id"))
+    val base = pivoted
+      .select(col("id"), posexplode(array(scoreCols: _*)).as(Seq("combo", "score")))
+      .select(col("combo").cast("long").as("combo"), col("id"), col("score"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .withColumn("rank", col("rank").cast("long"))
+    val result =
       if (!detailed) base
       else {
-        val tau = ws.zip(sMth).map { case (wf, s) => wf * s }.sum / sumW
-        base.withColumn("exact", col("score") >= lit(tau))
+        val taus = (0 until nCombos).map { c =>
+          val ws = facets.map(_.weightPerCombo(c))
+          ws.zip(sMth).map { case (wf, s) => wf * s }.sum / ws.sum
+        }
+        base.withColumn("exact", col("score") >=
+          element_at(array(taus.map(lit): _*), col("combo").cast("int") + 1))
       }
-    }.reduce(_ union _)
     if (!detailed) result
     else {
       val perFacetCols = facets.zipWithIndex.map { case (f, i) =>
