@@ -30,6 +30,36 @@ object Bench {
         org.apache.spark.sql.functions.col("s"))).count()
       w.orderBy("s").limit(10).count()
       w.as("a").join(w.as("b"), "k").count()
+      // the minhash/LSH shape: md5 arrays -> posexplode -> bucket self-join
+      // -> set-overlap verify
+      // volume matters: C2 only compiles the md5/array hot loop after ~10^5
+      // invocations, so the pass is sized near the real queries' row counts
+      spark.range(20000)
+        .selectExpr("transform(sequence(0, 24), i -> md5(cast(id + i as string))) hv")
+        .selectExpr(
+          "array_min(transform(hv, h -> substring(h, 1, 8))) m",
+          "aggregate(transform(hv, h -> length(h)), 0, (a, x) -> a + x) n")
+        .agg(org.apache.spark.sql.functions.count_distinct(
+          org.apache.spark.sql.functions.col("m"))).count()
+      val b = spark.range(3000)
+        .selectExpr("id", "md5(cast(id % 60 as string)) bv", "sequence(0, id % 20) g")
+      b.as("x").join(b.as("y"),
+          org.apache.spark.sql.functions.col("x.bv") ===
+            org.apache.spark.sql.functions.col("y.bv") &&
+            org.apache.spark.sql.functions.col("x.id") <
+              org.apache.spark.sql.functions.col("y.id"))
+        .selectExpr("size(array_intersect(x.g, y.g)) / size(array_union(x.g, y.g)) j")
+        .agg(org.apache.spark.sql.functions.sum("j")).count()
+      // the rank-aggregation shape: top-M facets -> candidate union ->
+      // broadcast-join scoring -> pivot -> exploded per-combo window top-k
+      val fd = spark.range(30000)
+        .selectExpr("id", "abs(cast(id as double) - 1500.0) d")
+        .select(org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.col("d"))
+      val fs = Seq(
+        graft.operators.BoundFacet("wa", fd, Seq(0.5, 0.6)),
+        graft.operators.BoundFacet("wb", fd, Seq(0.5, 0.4)))
+      graft.operators.RankAggregate.topK(spark, fs, 3, 300).count()
     }
     var errors = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

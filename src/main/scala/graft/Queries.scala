@@ -276,12 +276,17 @@ object Queries {
       if (dk <= 0.0) 1.0 else dk
     }
     val facets = facets0.zip(scales).map { case (f, sc) => f.copy(scale = Some(sc)) }
-    val ids = RankAggregate.topK(s, facets, k, 1000 * k).select(col("id"))
+    // k <= K_MAX = 50 ids: collect them once so the k x k matrix job filters
+    // the value scan directly instead of re-executing the whole rank-agg DAG
+    // as a join input (the reference's ResultMatrix also works off the
+    // already-materialized ranked list, ResultMatrix.java:62-71)
+    val ids = RankAggregate.topK(s, facets, k, 1000 * k)
+      .select(col("id")).collect().map(_.getLong(0)).toSeq
     val vals = t(s, dir, "orders").select(col("o_orderkey").as("id"),
       col("o_totalprice").as("v0"),
       unix_micros(col("o_orderdate").cast("timestamp")).cast("double").as("v1"),
       SimKernels.tokenize(col("o_orderpriority"), "-").as("v2"))
-    val tv = ids.join(vals, "id")
+    val tv = vals.where(col("id").isin(ids: _*))
     val pa = tv.select(col("id").as("lid"), col("v0").as("a0"), col("v1").as("a1"), col("v2").as("a2"))
     val pb = tv.select(col("id").as("rid"), col("v0").as("b0"), col("v1").as("b1"), col("v2").as("b2"))
     val s0 = exp(lit(-0.05) * abs(col("a0") - col("b0")) / lit(scales(0)))
