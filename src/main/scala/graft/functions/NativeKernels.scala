@@ -128,4 +128,24 @@ object NativeKernels {
     column(L2DistExpr(expression(a), expression(b)))
   def l1Dist(a: Column, b: Column): Column =
     column(L1DistExpr(expression(a), expression(b)))
+
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  private def binary(name: String, f: (Expression, Expression) => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(NativeKernels.getClass.getCanonicalName, name),
+      args => {
+        require(args.length == 2, s"$name takes exactly 2 arguments, got ${args.length}")
+        f(args(0), args(1))
+      })
+
+  /** SQL-facing descriptors for [[graft.GraftExtensions]]: each native
+    * kernel as a `graft_*` function callable from `spark.sql`. */
+  val sqlFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      binary("graft_cosine_sim", CosineSimExpr.apply),
+      binary("graft_l2_dist", L2DistExpr.apply),
+      binary("graft_l1_dist", L1DistExpr.apply))
 }

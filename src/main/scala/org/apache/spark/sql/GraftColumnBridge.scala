@@ -8,4 +8,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Apply a [[SparkSessionExtensions]]' injected functions to an ALREADY
+    * RUNNING session's registry (`registerFunctions` is `private[sql]`).
+    * The normal path — `spark.sql.extensions=graft.GraftExtensions` at
+    * session build — needs no bridge; this serves sessions created before
+    * the library was on the classpath (e.g. notebook kernels). */
+  def applyFunctionExtensions(ext: SparkSessionExtensions, spark: SparkSession): Unit =
+    ext.registerFunctions(
+      spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry)
 }

@@ -1,0 +1,47 @@
+package graft
+
+/** The SparkSessionExtensions surface: graft kernels as SQL functions. */
+class GraftExtensionsSpec extends SparkTestBase {
+
+  test("graft_* SQL functions register and run inside spark.sql") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  graft_cosine_sim(array(1.0d, 2.0d, 3.0d), array(1.0d, 2.0d, 3.0d)) c,
+        |  graft_l2_dist(array(0.0d, 0.0d), array(3.0d, 4.0d)) l2,
+        |  graft_l1_dist(array(0.0d, 0.0d), array(3.0d, 4.0d)) l1
+        |""".stripMargin).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(1) == 5.0)
+    assert(r.getDouble(2) == 7.0)
+  }
+
+  test("registered functions agree with the Column API over real embeddings") {
+    GraftExtensions.register(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) v").limit(50)
+    emb.createOrReplaceTempView("emb_ext")
+    val viaSql = spark.sql(
+      """SELECT a.vec_id ia, b.vec_id ib, graft_cosine_sim(a.v, b.v) c
+        |FROM emb_ext a JOIN emb_ext b ON a.vec_id < b.vec_id""".stripMargin)
+      .orderBy("ia", "ib").collect().map(_.getDouble(2))
+    val viaCol = {
+      import org.apache.spark.sql.functions._
+      val a = emb.select(col("vec_id").as("ia"), col("v").as("va"))
+      val b = emb.select(col("vec_id").as("ib"), col("v").as("vb"))
+      a.join(b, col("ia") < col("ib"))
+        .select(col("ia"), col("ib"),
+          graft.functions.NativeKernels.cosineSim(col("va"), col("vb")).as("c"))
+        .orderBy("ia", "ib").collect().map(_.getDouble(2))
+    }
+    assert(viaSql.length == viaCol.length && viaSql.sameElements(viaCol))
+  }
+
+  test("arity is validated with a clear message") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_l2_dist(array(1.0d))").head()
+    }
+    assert(e.getMessage.contains("2 arguments") || e.getMessage.contains("graft_l2_dist"))
+  }
+}
