@@ -607,6 +607,44 @@ object Queries {
        |FROM e, q WHERE sig = qsig AND vec_id <> 0
        |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
 
+  // -- IVF ANN: nearest-centroid assignment, 2-probe, exact cosine re-rank.
+  //    Centroids are fixed exactly-representable literals (k-means would
+  //    produce them in a real pipeline; any fixed list exercises the same
+  //    partition-pruned plan shape).
+  private val ivfCentroids: Seq[Seq[Double]] = Seq(
+    Seq.fill(64)(0.25),
+    Seq.fill(64)(-0.25),
+    (0 until 64).map(j => if (j % 2 == 0) 0.5 else -0.5).toSeq,
+    (0 until 64).map(j => if (j < 32) 0.5 else -0.5).toSeq)
+
+  private val annIvf: (SparkSession, String) => DataFrame = (s, dir) => {
+    val e = spread(t(s, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    AnnSearch.ivfTopK(e.where(col("vec_id") =!= 0), "vec_id", col("v"),
+      ivfCentroids, queryVec(s, dir), 10, 2)
+  }
+
+  private val annIvfSql = {
+    def cLit(c: Seq[Double]) =
+      c.map(x => if (x == math.floor(x)) s"${x.toLong}.0" else x.toString)
+        .mkString("([", ", ", "]::DOUBLE[])")
+    // centroid literals are inlined (DuckDB cannot correlate an outer column
+    // into a list comprehension inside a subquery)
+    def l2(v: String, c: Seq[Double]) =
+      s"sqrt(list_sum([($v[k] - ${cLit(c)}[k]) * ($v[k] - ${cLit(c)}[k]) for k in range(1, 65)]))"
+    def ds(v: String) = ivfCentroids.map(c => l2(v, c)).mkString("[", ", ", "]")
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |probe AS (SELECT idx FROM (
+       |    SELECT unnest([0, 1, 2, 3]) AS idx, unnest(${ds("qv")}) AS pd FROM q)
+       |  ORDER BY pd, idx LIMIT 2),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0),
+       |asn AS (SELECT vec_id, v,
+       |  (list_position(${ds("v")}, list_aggregate(${ds("v")}, 'min')) - 1) AS cluster FROM e)
+       |SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS cos
+       |FROM asn, q WHERE cluster IN (SELECT idx FROM probe)
+       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   // -- embedding near-duplicate pairs, LSH-bucketed (same-signature join)
   private val dedupEmbedding: (SparkSession, String) => DataFrame = (s, dir) => {
     val e = spread(t(s, dir, "embeddings"))
@@ -888,6 +926,28 @@ object Queries {
   }
 
   // ----------------------------------------------------------------------
+  // salted skew join: the hot-key mitigation must be RESULT-INVARIANT —
+  // the oracle is the plain unsalted join + aggregate
+  // ----------------------------------------------------------------------
+  private val skewJoinQ: (SparkSession, String) => DataFrame = (s, dir) => {
+    val li = spread(t(s, dir, "lineitem"))
+      .select(col("l_orderkey").as("k"), col("l_quantity").cast("long").as("qty"))
+    val od = t(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("cust"))
+    graft.operators.SkewJoin.saltedInnerJoin(li, od, "k", 8)
+      .groupBy(pmod(col("cust"), lit(10)).as("cust_mod"))
+      .agg(count(lit(1)).as("cnt"), sum(col("qty")).as("qty_sum"))
+      .orderBy(col("cust_mod"))
+  }
+
+  private val skewJoinSql =
+    """SELECT o_custkey % 10 AS cust_mod, count(*)::BIGINT AS cnt,
+      |  sum(l_quantity::BIGINT)::BIGINT AS qty_sum
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ----------------------------------------------------------------------
   // registry
   // ----------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -912,6 +972,8 @@ object Queries {
     "q_token_count"   -> tokenCount,
     "q_ann_cosine"    -> annCosine,
     "q_ann_lsh"       -> annLsh,
+    "q_ann_ivf"       -> annIvf,
+    "q_skew_join"     -> skewJoinQ,
     "q_dedup_embedding" -> dedupEmbedding,
     "q_pivot_multimetric" -> pivotMultimetric,
     "q_multimodal_meta" -> multimodalMeta,
@@ -946,6 +1008,8 @@ object Queries {
     "q_token_count"   -> tokenCountSql,
     "q_ann_cosine"    -> annCosineSql,
     "q_ann_lsh"       -> annLshSql,
+    "q_ann_ivf"       -> annIvfSql,
+    "q_skew_join"     -> skewJoinSql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_pivot_multimetric" -> pivotMultimetricSql,
     "q_multimodal_meta" -> multimodalMetaSql,
