@@ -11,13 +11,18 @@ import graft.engine.SimSearchEngine.Catalog
 import graft.sources.CsvMount
 
 /** Minimal REST service exposing the reference's endpoint surface
-  * (reference: service/SimSearchController.java:44 — /index, /catalog,
-  * /search, /delete) on the JDK's built-in HttpServer; Spring Boot would be
-  * an external dependency this build intentionally avoids. One catalog per
-  * api key (multi-tenant isolation like the reference's
-  * api_key -> Coordinator map, SimSearchController.java:58-80).
+  * (reference: service/SimSearchController.java:44 — /index, /append,
+  * /catalog, /search, /delete, /assignKey, /revokeKey, /listKeys) on the
+  * JDK's built-in HttpServer; Spring Boot would be an external dependency
+  * this build intentionally avoids. One catalog per api key (multi-tenant
+  * isolation like the reference's api_key -> Coordinator map,
+  * SimSearchController.java:58-80). Key administration endpoints are gated
+  * by `adminKey` when provided (the reference's admin_api_key). The
+  * reference's /_settings (query timeout knob) has no counterpart: the
+  * batch plans compute exact results without a ranking timeout (SURVEY §4).
   */
-final class SimSearchService(spark: SparkSession, port: Int) {
+final class SimSearchService(spark: SparkSession, port: Int,
+    adminKey: Option[String] = None) {
 
   private val catalogs = new java.util.concurrent.ConcurrentHashMap[String, Catalog]()
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -70,6 +75,55 @@ final class SimSearchService(spark: SparkSession, port: Int) {
     } finally java.nio.file.Files.delete(tmp)
   }
 
+  /** POST /append: mount additional attributes into an EXISTING catalog
+    * (reference: SimSearchController.java:366-418). */
+  private def handleAppend(x: HttpExchange): Unit = {
+    val cat = catalogs.get(apiKey(x))
+    if (cat == null) { respond(x, 401, """{"error":"unknown api_key"}"""); return }
+    val tmp = bodyFile(x)
+    try {
+      val req = RequestParser.parseMountRequest(tmp.toString)
+      val facets = req.csv.map { case (source, spec) =>
+        CsvMount.mount(spark, req.dirs(source), spec)
+      } ++ req.jdbc.map(graft.sources.JdbcMount.mount(spark, _))
+      facets.foreach(cat.add)
+      respond(x, 200, s"""{"appended":${facets.size},"attributes":${cat.size}}""")
+    } catch {
+      case e: Exception => respond(x, 400, errorBody(e))
+    } finally java.nio.file.Files.delete(tmp)
+  }
+
+  /** POST /assignKey: create a fresh api key with an empty catalog
+    * (reference: SimSearchController.java:219-250; admin-gated). */
+  private def handleAssignKey(x: HttpExchange): Unit = {
+    if (!isAdmin(x)) { respond(x, 403, """{"error":"admin key required"}"""); return }
+    val key = java.util.UUID.randomUUID().toString
+    catalogs.put(key, new Catalog(Seq.empty))
+    respond(x, 200, s"""{"apiKey":"$key"}""")
+  }
+
+  /** POST /revokeKey: drop a key and its catalog
+    * (reference: SimSearchController.java:252-282; admin-gated). */
+  private def handleRevokeKey(x: HttpExchange): Unit = {
+    if (!isAdmin(x)) { respond(x, 403, """{"error":"admin key required"}"""); return }
+    val target = Option(x.getRequestHeaders.getFirst("target_key")).getOrElse("")
+    if (catalogs.remove(target) != null)
+      respond(x, 200, s"""{"revoked":"${jsonEscape(target)}"}""")
+    else respond(x, 404, """{"error":"unknown target_key"}""")
+  }
+
+  /** POST /listKeys (reference: SimSearchController.java:284-314; admin-gated). */
+  private def handleListKeys(x: HttpExchange): Unit = {
+    if (!isAdmin(x)) { respond(x, 403, """{"error":"admin key required"}"""); return }
+    import scala.jdk.CollectionConverters._
+    val keys = catalogs.keys().asScala.toSeq.sorted
+      .map(k => s""""${jsonEscape(k)}"""").mkString("[", ",", "]")
+    respond(x, 200, s"""{"keys":$keys}""")
+  }
+
+  private def isAdmin(x: HttpExchange): Boolean =
+    adminKey.forall(_ == Option(x.getRequestHeaders.getFirst("admin_api_key")).getOrElse(""))
+
   /** POST /search: body = search request (search.json shape). */
   private def handleSearch(x: HttpExchange): Unit = {
     val cat = catalogs.get(apiKey(x))
@@ -117,9 +171,13 @@ final class SimSearchService(spark: SparkSession, port: Int) {
 
   def start(): Int = {
     server.createContext("/simsearch/api/index", handleIndex _)
+    server.createContext("/simsearch/api/append", handleAppend _)
     server.createContext("/simsearch/api/search", handleSearch _)
     server.createContext("/simsearch/api/catalog", handleCatalog _)
     server.createContext("/simsearch/api/delete", handleDelete _)
+    server.createContext("/simsearch/api/assignKey", handleAssignKey _)
+    server.createContext("/simsearch/api/revokeKey", handleRevokeKey _)
+    server.createContext("/simsearch/api/listKeys", handleListKeys _)
     server.setExecutor(null)
     server.start()
     server.getAddress.getPort

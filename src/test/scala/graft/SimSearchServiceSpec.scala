@@ -72,4 +72,49 @@ class SimSearchServiceSpec extends SparkTestBase {
       assert(c6 == 401)
     } finally svc.stop()
   }
+
+  test("REST key admin + /append: assignKey -> append -> search -> revokeKey") {
+    val svc = new SimSearchService(spark, 0, adminKey = Some("root-key"))
+    val port = svc.start()
+    try {
+      val base = s"http://127.0.0.1:$port/simsearch/api"
+      val gdelt = "/root/reference/data/gdelt"
+      val admin = Map("admin_api_key" -> "root-key")
+
+      // admin gating: wrong/missing admin key is rejected
+      val (cBad, _) = http("POST", s"$base/assignKey", None, Map("admin_api_key" -> "wrong"))
+      assert(cBad == 403)
+
+      val (c1, b1) = http("POST", s"$base/assignKey", None, admin)
+      assert(c1 == 200, b1)
+      val key = new ObjectMapper().readTree(b1).get("apiKey").asText()
+
+      // the fresh key starts with an empty catalog; /append fills it
+      val (_, bCat0) = http("GET", s"$base/catalog", None, Map("api_key" -> key))
+      assert(new ObjectMapper().readTree(bCat0).size() == 0)
+      val sources = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$gdelt/standalone/sources.json")),
+        StandardCharsets.UTF_8).replace("./data/gdelt/", gdelt)
+      val (c2, b2) = http("POST", s"$base/append", Some(sources), Map("api_key" -> key))
+      assert(c2 == 200, b2)
+      assert(new ObjectMapper().readTree(b2).get("attributes").asInt() == 5)
+
+      // the appended catalog answers the golden search
+      val search = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$gdelt/standalone/search.json")), StandardCharsets.UTF_8)
+      val (c3, b3) = http("POST", s"$base/search", Some(search), Map("api_key" -> key))
+      assert(c3 == 200, b3)
+      assert(new ObjectMapper().readTree(b3).get(0).get("rankedResults").size() == 5)
+
+      // listKeys sees it; revokeKey removes it; catalog then 401s
+      val (c4, b4) = http("POST", s"$base/listKeys", None, admin)
+      assert(c4 == 200 && b4.contains(key))
+      val (c5, _) = http("POST", s"$base/revokeKey", None, admin + ("target_key" -> key))
+      assert(c5 == 200)
+      val (c6, _) = http("GET", s"$base/catalog", None, Map("api_key" -> key))
+      assert(c6 == 401)
+      val (c7, _) = http("POST", s"$base/revokeKey", None, admin + ("target_key" -> key))
+      assert(c7 == 404)
+    } finally svc.stop()
+  }
 }
