@@ -73,6 +73,24 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("IVF ANN: single scan, cluster filter, shuffle-free top-k") {
+    val plan = planOf(Queries.all("q_ann_ivf")(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"))
+    // the only allowed Exchange is spread()'s round-robin split of the
+    // single-file test source — no hash/range shuffle of the corpus
+    assert(!plan.contains("hashpartitioning") && !plan.contains("rangepartitioning"),
+      "IVF probe must stay a scan+filter+top-k, no key shuffle:\n" + plan.take(800))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("salted skew join: shuffle join on the salted key, no broadcast of the large side") {
+    val plan = planOf(Queries.all("q_skew_join")(spark, dir))
+    assert(!plan.contains("CartesianProduct"))
+    // the small side is replicated via explode, then joined on (key, salt)
+    assert(plan.contains("Generate") || plan.contains("explode"),
+      "salt replication must appear in the plan:\n" + plan.take(800))
+  }
+
   test("windowed aggregation: map-side partial aggregation before the shuffle") {
     val plan = planOf(Queries.all("q_window_agg")(spark, dir))
     // two HashAggregate nodes (partial + final) around one Exchange
