@@ -430,7 +430,9 @@ object Queries {
       .orderBy(col("a"), col("b"))
   }
 
-  private val dedupMinhashSql = {
+  /** DuckDB mirror of Dedup.minhashPairs over any shingle CTE chain ending
+    * in `sh(doc_id, g)`. */
+  private def minhashPairsSql(shingleCtes: String, minJ: Double): String = {
     val sigs = (0 until Dedup.NumHashes)
       .map(i => s"list_min(list_transform(hv, h -> substr(h, ${i + 1}, 8))) AS s_$i").mkString(",\n  ")
     val bands = (0 until Dedup.NumBands).map { b =>
@@ -438,8 +440,7 @@ object Queries {
       s"md5(${parts.mkString(" || '|' || ")}) AS b$b"
     }.mkString(", ")
     val bandEq = (0 until Dedup.NumBands).map(b => s"x.b$b = y.b$b").mkString(" OR ")
-    s"""WITH tk AS (SELECT doc_id, ${sqlWords("text")} AS w FROM documents),
-       |sh AS (SELECT doc_id, ${sqlShingles2("w")} AS g FROM tk),
+    s"""WITH $shingleCtes,
        |hv AS (SELECT doc_id, list_transform(g, x -> md5(x)) AS hv FROM sh),
        |sig AS (SELECT doc_id,
        |  $sigs
@@ -449,8 +450,23 @@ object Queries {
        |         WHERE x.doc_id < y.doc_id AND ($bandEq))
        |SELECT c.a, c.b, ${sqlJaccard("sa.g", "sb.g")} AS j
        |FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
-       |WHERE ${sqlJaccard("sa.g", "sb.g")} >= 0.8 ORDER BY a, b""".stripMargin
+       |WHERE ${sqlJaccard("sa.g", "sb.g")} >= $minJ ORDER BY a, b""".stripMargin
   }
+
+  private val dedupMinhashSql = minhashPairsSql(
+    s"""tk AS (SELECT doc_id, ${sqlWords("text")} AS w FROM documents),
+       |sh AS (SELECT doc_id, ${sqlShingles2("w")} AS g FROM tk)""".stripMargin, 0.8)
+
+  // -- n-gram Jaccard near-dup: same banded MinHash pipeline over character
+  //    3-gram shingles (catches near-dups that word shingles miss when
+  //    whitespace/punctuation differ)
+  private val dedupNgram: (SparkSession, String) => DataFrame = (s, dir) =>
+    Dedup.minhashPairs(t(s, dir, "documents"), "doc_id",
+      SimKernels.qgrams(col("text"), 3), 0.8)
+      .orderBy(col("a"), col("b"))
+
+  private val dedupNgramSql = minhashPairsSql(
+    s"sh AS (SELECT doc_id, ${sqlQgrams3("text")} AS g FROM documents)", 0.8)
 
   // -- exact-duplicate groups + per-document fingerprints
   private val dedupExact: (SparkSession, String) => DataFrame = (s, dir) =>
@@ -964,6 +980,7 @@ object Queries {
     "q_norm_topk"     -> normTopk,
     "q_weight_est"    -> weightEst,
     "q_dedup_minhash" -> dedupMinhash,
+    "q_dedup_ngram"   -> dedupNgram,
     "q_dedup_exact"   -> dedupExact,
     "q_fingerprint"   -> fingerprintQ,
     "q_simhash"       -> simhashQ,
@@ -1000,6 +1017,7 @@ object Queries {
     "q_norm_topk"     -> normTopkSql,
     "q_weight_est"    -> weightEstSql,
     "q_dedup_minhash" -> dedupMinhashSql,
+    "q_dedup_ngram"   -> dedupNgramSql,
     "q_dedup_exact"   -> dedupExactSql,
     "q_fingerprint"   -> fingerprintSql,
     "q_simhash"       -> simhashSql,
