@@ -36,9 +36,11 @@ object Queries {
   private def sqlTokens(col: String, delim: String): String =
     s"list_distinct(list_filter(list_transform(string_split($col, '$delim'), x -> trim(x)), x -> x <> ''))"
 
-  /** DuckDB SQL for SimKernels.qgrams(col, 3). */
-  private def sqlQgrams3(col: String): String =
-    s"list_distinct([substr($col, i, 3) for i in range(1, greatest(length($col) - 2, 1) + 1)])"
+  /** DuckDB SQL for SimKernels.qgrams(col, q). */
+  private def sqlQgramsN(col: String, q: Int): String =
+    s"list_distinct([substr($col, i, $q) for i in range(1, greatest(length($col) - ${q - 1}, 1) + 1)])"
+
+  private def sqlQgrams3(col: String): String = sqlQgramsN(col, 3)
 
   /** DuckDB SQL Jaccard similarity of two (already-distinct) lists, as DOUBLE. */
   private def sqlJaccard(a: String, b: String): String =
@@ -458,15 +460,22 @@ object Queries {
        |sh AS (SELECT doc_id, ${sqlShingles2("w")} AS g FROM tk)""".stripMargin, 0.8)
 
   // -- n-gram Jaccard near-dup: same banded MinHash pipeline over character
-  //    3-gram shingles (catches near-dups that word shingles miss when
-  //    whitespace/punctuation differ)
+  //    10-gram shingles of the 200-char head window (catches near-dups that
+  //    word shingles miss when whitespace/punctuation differ). Char-gram
+  //    dedup is a short-text technique, and gram width must span word
+  //    boundaries: full-document grams are ~20x the shingle volume of word
+  //    shingles, and sub-word grams (q<=5) are shared by nearly all
+  //    documents of a small-vocabulary corpus, flooding the LSH bands with
+  //    spurious candidates (measured 86x candidate blowup at q=5 here).
+  //    The word-shingle pipeline (q_dedup_minhash) remains the
+  //    full-document path.
   private val dedupNgram: (SparkSession, String) => DataFrame = (s, dir) =>
     Dedup.minhashPairs(t(s, dir, "documents"), "doc_id",
-      SimKernels.qgrams(col("text"), 3), 0.8)
+      SimKernels.qgrams(substring(col("text"), 1, 200), 10), 0.8)
       .orderBy(col("a"), col("b"))
 
   private val dedupNgramSql = minhashPairsSql(
-    s"sh AS (SELECT doc_id, ${sqlQgrams3("text")} AS g FROM documents)", 0.8)
+    s"sh AS (SELECT doc_id, ${sqlQgramsN("substr(text, 1, 200)", 10)} AS g FROM documents)", 0.8)
 
   // -- exact-duplicate groups + per-document fingerprints
   private val dedupExact: (SparkSession, String) => DataFrame = (s, dir) =>
