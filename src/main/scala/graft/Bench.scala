@@ -50,6 +50,12 @@ object Bench {
               org.apache.spark.sql.functions.col("y.id"))
         .selectExpr("size(array_intersect(x.g, y.g)) / size(array_union(x.g, y.g)) j")
         .agg(org.apache.spark.sql.functions.sum("j")).count()
+      // token-set kernels: split/trim/distinct + array set ops
+      w.selectExpr(
+        "size(array_intersect(split(s, '0'), split(s, '1'))) ni",
+        "size(array_union(array_distinct(split(s, '0')), split(s, '1'))) nu")
+        .agg(org.apache.spark.sql.functions.sum("ni"),
+          org.apache.spark.sql.functions.sum("nu")).count()
       // the rank-aggregation shape: top-M facets -> candidate union ->
       // broadcast-join scoring -> pivot -> exploded per-combo window top-k
       val fd = spark.range(30000)
