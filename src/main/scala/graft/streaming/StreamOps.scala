@@ -59,6 +59,62 @@ object StreamOps {
       .select(col(tsCol), col(idCol))
   }
 
+  /** One closed session: emitted when the inactivity gap elapses, either
+    * observed in-batch or by event-time state timeout. */
+  final case class Session(key: String, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  // not `private`: Catalyst's generated (de)serializers need access
+  final case class SessionEvent(key: String, ts: java.sql.Timestamp)
+  final case class SessionState(start: Long, end: Long, n: Long)
+
+  /** Streaming sessionization with custom state — the stream-side twin of
+    * the batch sessionize query, built on `flatMapGroupsWithState` with an
+    * event-time timeout: per-key state holds the open session (start, end,
+    * count); an event within `gapMs` of the open session extends it, a
+    * later event closes and emits it; when the watermark passes
+    * (end + gap), the timeout closes the session with no further event.
+    * State is one fixed-size record per active key — bounded by key
+    * cardinality, not stream length. */
+  def sessionizeStream(events: DataFrame, tsCol: String, keyCol: String,
+      gapMs: Long, watermark: String): org.apache.spark.sql.Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    events.select(col(keyCol).cast("string").as("key"), col(tsCol).as("ts"))
+      .withWatermark("ts", watermark)
+      .as[SessionEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(key, t(s.start), t(s.end), s.n))
+          } else {
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            it.map(_.ts.getTime).toSeq.sorted.foreach { e =>
+              cur = cur match {
+                case Some(s) if e - s.end <= gapMs =>
+                  Some(SessionState(s.start, math.max(s.end, e), s.n + 1))
+                case Some(s) =>
+                  closed ::= Session(key, t(s.start), t(s.end), s.n)
+                  Some(SessionState(e, e, 1))
+                case None => Some(SessionState(e, e, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** Streaming windowed top-k preparation: per-window per-key aggregate
     * value sums; the bounded top-k itself is applied by the sink query
     * (complete-mode aggregation or a downstream batch rank over the sink

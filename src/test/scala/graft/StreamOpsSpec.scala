@@ -69,6 +69,38 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionizeStream: flatMapGroupsWithState closes sessions by gap and by timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val out = StreamOps.sessionizeStream(
+      input.toDF().toDF("ts", "user"), "ts", "user",
+      gapMs = 5 * 60 * 1000L, watermark = "1 minute")
+    val q = out.writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // one batch containing a full session AND its successor: the gap is
+      // observed in-batch, so the first session closes immediately
+      input.addData(
+        (ts("2024-01-01 00:01:00"), "u1"), (ts("2024-01-01 00:03:00"), "u1"),
+        (ts("2024-01-01 00:20:00"), "u1"))
+      q.processAllAvailable()
+      val inBatch = spark.table("sess").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3)))
+      assert(inBatch.toSeq == Seq(("u1", "2024-01-01 00:01:00.0", "2024-01-01 00:03:00.0", 2L)))
+
+      // advance the watermark far past u1's open session (00:20) + gap:
+      // the event-time timeout must close it with no further u1 event
+      input.addData((ts("2024-01-01 01:00:00"), "u2"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 01:10:00"), "u2"))
+      q.processAllAvailable()
+      val all = spark.table("sess").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(3))).toSet
+      assert(all.contains(("u1", "2024-01-01 00:20:00.0", 1L)),
+        s"timeout-closed session missing from $all")
+    } finally q.stop()
+  }
+
   test("windowedValueSums: per-window per-key sums") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
