@@ -15,8 +15,11 @@ import org.apache.spark.sql.{GraftColumnBridge, SparkSession, SparkSessionExtens
   * session that was built without the config.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.NativeKernels.sqlFunctions.foreach(ext.injectFunction)
+    // whole-operator extension: fused multi-facet top-M (plans/MultiTopM)
+    ext.injectPlannerStrategy(_ => graft.plans.MultiTopM.Strategy)
+  }
 }
 
 object GraftExtensions {

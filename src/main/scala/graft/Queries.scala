@@ -177,24 +177,27 @@ object Queries {
   private val orderQDateUs: Long = java.time.LocalDateTime
     .parse("1997-06-15T00:00:00").toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
 
-  private def orderFacets(s: SparkSession, dir: String,
-      combos: Seq[Seq[Double]]): Seq[BoundFacet] = {
-    // All three facets read the same table: compute the three distance
-    // columns in ONE projected scan and cache it, so the per-facet top-M
-    // passes and the exact-scoring joins reuse a single parquet read
-    // (single-table fast path; vertically-decomposed facets would each
-    // scan their own source).
-    val o = spread(t(s, dir, "orders")).select(col("o_orderkey").as("id"),
+  /** The three order facets as SHARED-source facets: the distance columns
+    * are computed ONCE in a cached codegen'd projection; phase-1 candidate
+    * generation then fuses all three top-M heaps into a single pass of that
+    * cache via the custom MultiTopM operator (plans/MultiTopM.scala) —
+    * whose per-row expression eval is interpreted, so it is handed plain
+    * attribute refs, not the kernel expressions — and phase-2 scoring
+    * selects each precomputed distance column from the same cache. */
+  private def orderShared(s: SparkSession, dir: String, combos: Seq[Seq[Double]])
+      : (DataFrame, Column, Seq[RankAggregate.SharedFacet]) = {
+    val o = spread(t(s, dir, "orders")).select(col("o_orderkey"),
       SimKernels.absDist(col("o_totalprice"), lit(150000.0)).as("d0"),
       abs(unix_micros(col("o_orderdate").cast("timestamp")) - lit(orderQDateUs))
         .cast("double").as("d1"),
       SimKernels.jaccardDistDistinct(SimKernels.tokenize(col("o_orderpriority"), "-"),
         array(lit("1"), lit("URGENT"))).as("d2")).cache()
-    Seq(
-      BoundFacet("o_totalprice", o.select(col("id"), col("d0").as("d")), combos.map(_(0))),
-      BoundFacet("o_orderdate", o.select(col("id"), col("d1").as("d")), combos.map(_(1))),
-      BoundFacet("o_orderpriority", o.select(col("id"), col("d2").as("d")),
-        combos.map(_(2)), jaccard = true))
+    val fs = Seq(
+      RankAggregate.SharedFacet("o_totalprice", col("d0"), combos.map(_(0))),
+      RankAggregate.SharedFacet("o_orderdate", col("d1"), combos.map(_(1))),
+      RankAggregate.SharedFacet("o_orderpriority", col("d2"), combos.map(_(2)),
+        jaccard = true))
+    (o, col("o_orderkey"), fs)
   }
 
   /** SQL fragments (id, d) mirroring [[orderFacets]]; element = (sql, isJaccard). */
@@ -245,17 +248,21 @@ object Queries {
   private val combos1 = Seq(Seq(0.4, 0.35, 0.25))
   private val combos2 = Seq(Seq(0.4, 0.35, 0.25), Seq(0.2, 0.3, 0.5))
 
-  private val multiFacet: (SparkSession, String) => DataFrame = (s, dir) =>
-    RankAggregate.topK(s, orderFacets(s, dir, combos1), 10, 10000)
+  private val multiFacet: (SparkSession, String) => DataFrame = (s, dir) => {
+    val (o, id, fs) = orderShared(s, dir, combos1)
+    RankAggregate.topKShared(s, o, id, fs, 10, 10000)
       .withColumnRenamed("id", "o_orderkey")
+  }
 
   private val multiFacetSql = rankAggSql(orderFacetSqls, combos1, 10, 10000, "o_orderkey")
 
   // R5 multi-weight: every weight combination evaluated in one pass
   // (reference: RankAggregator.java:104-129)
-  private val multiWeight: (SparkSession, String) => DataFrame = (s, dir) =>
-    RankAggregate.topK(s, orderFacets(s, dir, combos2), 10, 10000)
+  private val multiWeight: (SparkSession, String) => DataFrame = (s, dir) => {
+    val (o, id, fs) = orderShared(s, dir, combos2)
+    RankAggregate.topKShared(s, o, id, fs, 10, 10000)
       .withColumnRenamed("id", "o_orderkey")
+  }
 
   private val multiWeightSql = rankAggSql(orderFacetSqls, combos2, 10, 10000, "o_orderkey")
 
@@ -264,25 +271,23 @@ object Queries {
   // result entities (reference: engine/processor/ResultMatrix.java:62-124)
   // ----------------------------------------------------------------------
   private val simMatrix: (SparkSession, String) => DataFrame = (s, dir) => {
-    val facets0 = orderFacets(s, dir, combos1)
+    val (o, oid, fs) = orderShared(s, dir, combos1)
     val k = 5
-    // calibrate all three facet scales in ONE tagged job, then hand them to
-    // topK via BoundFacet.scale so the aggregation does not recompute them
-    val kth = facets0.zipWithIndex.map { case (f, i) =>
-      FacetSearch.topM(f.dist, k).select(lit(i).as("f"), col("d"))
-    }.reduce(_ union _)
-      .groupBy(col("f")).agg(max(col("d")).as("dk"))
+    // calibrate all three facet scales in ONE fused MultiTopM scan, then
+    // hand them to topKShared so the aggregation does not recompute them
+    val kth = graft.plans.MultiTopM(o, oid, fs.map(_.dist), k)
+      .groupBy(col("facet")).agg(max(col("d")).as("dk"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    val scales = facets0.indices.map { i =>
+    val scales = fs.indices.map { i =>
       val dk = kth.getOrElse(i, 0.0)
       if (dk <= 0.0) 1.0 else dk
     }
-    val facets = facets0.zip(scales).map { case (f, sc) => f.copy(scale = Some(sc)) }
+    val cal = fs.zip(scales).map { case (f, sc) => f.copy(scale = Some(sc)) }
     // k <= K_MAX = 50 ids: collect them once so the k x k matrix job filters
     // the value scan directly instead of re-executing the whole rank-agg DAG
     // as a join input (the reference's ResultMatrix also works off the
     // already-materialized ranked list, ResultMatrix.java:62-71)
-    val ids = RankAggregate.topK(s, facets, k, 1000 * k)
+    val ids = RankAggregate.topKShared(s, o, oid, cal, k, 1000 * k)
       .select(col("id")).collect().map(_.getLong(0)).toSeq
     val vals = t(s, dir, "orders").select(col("o_orderkey").as("id"),
       col("o_totalprice").as("v0"),

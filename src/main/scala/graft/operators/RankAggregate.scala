@@ -47,8 +47,36 @@ object RankAggregate {
   def topK(spark: SparkSession, facets: Seq[BoundFacet], k: Int, m: Int): DataFrame =
     run(spark, facets, k, m, detailed = false)
 
+  /** One facet of a [[topKShared]] query: a distance COLUMN over the shared
+    * source (instead of a standalone dist frame). */
+  final case class SharedFacet(
+      name: String,
+      dist: org.apache.spark.sql.Column,
+      weightPerCombo: Seq[Double],
+      decay: Double = graft.functions.SimKernels.DefaultDecay,
+      scale: Option[Double] = None,
+      jaccard: Boolean = false)
+
+  /** As [[topK]] for facets sharing ONE source frame: phase 1 computes ALL
+    * per-facet top-M candidate lists in a single pass of the source through
+    * the custom [[graft.plans.MultiTopM]] operator, instead of one
+    * `orderBy.limit` scan per facet. Phase 2 (exact scoring of the
+    * candidate union) still reads the full per-facet distance streams, so
+    * results are identical to [[topK]]. */
+  def topKShared(spark: SparkSession, source: DataFrame,
+      id: org.apache.spark.sql.Column, facets: Seq[SharedFacet],
+      k: Int, m: Int, detailed: Boolean = false): DataFrame = {
+    val multi = graft.plans.MultiTopM(source, id, facets.map(_.dist), m).cache()
+    val topMs = facets.indices.map(i =>
+      multi.where(col("facet") === i).select(col("id"), col("d")))
+    val bound = facets.map(f => BoundFacet(f.name,
+      source.select(id.as("id"), f.dist.cast("double").as("d")),
+      f.weightPerCombo, f.decay, f.scale, f.jaccard))
+    run(spark, bound, k, m, detailed, Some(topMs))
+  }
+
   private def run(spark: SparkSession, facets: Seq[BoundFacet], k: Int, m: Int,
-      detailed: Boolean): DataFrame = {
+      detailed: Boolean, topMsIn: Option[Seq[DataFrame]] = None): DataFrame = {
     require(facets.nonEmpty)
     val nCombos = facets.head.weightPerCombo.size
     require(facets.forall(_.weightPerCombo.size == nCombos))
@@ -63,7 +91,7 @@ object RankAggregate {
     // (<= m rows) and MEMORY_AND_DISK, so a long-lived session sheds them
     // via LRU eviction; they cannot be unpersisted here because the
     // returned DataFrame is lazy and still references them.
-    val topMs = facets.map(f => FacetSearch.topM(f.dist, m).cache())
+    val topMs = topMsIn.getOrElse(facets.map(f => FacetSearch.topM(f.dist, m).cache()))
     // Calibrate every facet's scale in ONE Spark job: tag each facet's
     // deterministic top-k with its index, union, and take max(d) per facet
     // (= the k-th candidate distance; boundary ties make the value
