@@ -177,13 +177,15 @@ object Queries {
   private val orderQDateUs: Long = java.time.LocalDateTime
     .parse("1997-06-15T00:00:00").toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
 
-  /** The three order facets as SHARED-source facets: the distance columns
-    * are computed ONCE in a cached codegen'd projection; phase-1 candidate
-    * generation then fuses all three top-M heaps into a single pass of that
-    * cache via the custom MultiTopM operator (plans/MultiTopM.scala) —
-    * whose per-row expression eval is interpreted, so it is handed plain
-    * attribute refs, not the kernel expressions — and phase-2 scoring
-    * selects each precomputed distance column from the same cache. */
+  /** The three order facets over ONE cached codegen'd distance projection.
+    * Returned both as the shared frame + SharedFacet columns (for the
+    * MultiTopM paths) and buildable as per-facet BoundFacets below.
+    *
+    * Candidate generation strategy is m-dependent (measured, DebugAB):
+    * the fused MultiTopM scan wins when m << rows-per-partition (the 100 TB
+    * shape, and the k=5 calibration here); at m = 10000 ~ 2x the local
+    * partition row count the bounded heaps cannot prune, so the aggregation
+    * queries keep the per-facet TakeOrderedAndProject passes over the cache. */
   private def orderShared(s: SparkSession, dir: String, combos: Seq[Seq[Double]])
       : (DataFrame, Column, Seq[RankAggregate.SharedFacet]) = {
     val o = spread(t(s, dir, "orders")).select(col("o_orderkey"),
@@ -198,6 +200,15 @@ object Queries {
       RankAggregate.SharedFacet("o_orderpriority", col("d2"), combos.map(_(2)),
         jaccard = true))
     (o, col("o_orderkey"), fs)
+  }
+
+  private def orderFacets(s: SparkSession, dir: String,
+      combos: Seq[Seq[Double]]): Seq[BoundFacet] = {
+    val (o, id, fs) = orderShared(s, dir, combos)
+    fs.zipWithIndex.map { case (f, i) =>
+      BoundFacet(f.name, o.select(id.as("id"), col(s"d$i").as("d")),
+        f.weightPerCombo, f.decay, f.scale, f.jaccard)
+    }
   }
 
   /** SQL fragments (id, d) mirroring [[orderFacets]]; element = (sql, isJaccard). */
@@ -248,21 +259,17 @@ object Queries {
   private val combos1 = Seq(Seq(0.4, 0.35, 0.25))
   private val combos2 = Seq(Seq(0.4, 0.35, 0.25), Seq(0.2, 0.3, 0.5))
 
-  private val multiFacet: (SparkSession, String) => DataFrame = (s, dir) => {
-    val (o, id, fs) = orderShared(s, dir, combos1)
-    RankAggregate.topKShared(s, o, id, fs, 10, 10000)
+  private val multiFacet: (SparkSession, String) => DataFrame = (s, dir) =>
+    RankAggregate.topK(s, orderFacets(s, dir, combos1), 10, 10000)
       .withColumnRenamed("id", "o_orderkey")
-  }
 
   private val multiFacetSql = rankAggSql(orderFacetSqls, combos1, 10, 10000, "o_orderkey")
 
   // R5 multi-weight: every weight combination evaluated in one pass
   // (reference: RankAggregator.java:104-129)
-  private val multiWeight: (SparkSession, String) => DataFrame = (s, dir) => {
-    val (o, id, fs) = orderShared(s, dir, combos2)
-    RankAggregate.topKShared(s, o, id, fs, 10, 10000)
+  private val multiWeight: (SparkSession, String) => DataFrame = (s, dir) =>
+    RankAggregate.topK(s, orderFacets(s, dir, combos2), 10, 10000)
       .withColumnRenamed("id", "o_orderkey")
-  }
 
   private val multiWeightSql = rankAggSql(orderFacetSqls, combos2, 10, 10000, "o_orderkey")
 
@@ -283,11 +290,15 @@ object Queries {
       if (dk <= 0.0) 1.0 else dk
     }
     val cal = fs.zip(scales).map { case (f, sc) => f.copy(scale = Some(sc)) }
+    val bound = cal.zipWithIndex.map { case (f, i) =>
+      BoundFacet(f.name, o.select(oid.as("id"), col(s"d$i").as("d")),
+        f.weightPerCombo, f.decay, f.scale, f.jaccard)
+    }
     // k <= K_MAX = 50 ids: collect them once so the k x k matrix job filters
     // the value scan directly instead of re-executing the whole rank-agg DAG
     // as a join input (the reference's ResultMatrix also works off the
     // already-materialized ranked list, ResultMatrix.java:62-71)
-    val ids = RankAggregate.topKShared(s, o, oid, cal, k, 1000 * k)
+    val ids = RankAggregate.topK(s, bound, k, 1000 * k)
       .select(col("id")).collect().map(_.getLong(0)).toSeq
     val vals = t(s, dir, "orders").select(col("o_orderkey").as("id"),
       col("o_totalprice").as("v0"),

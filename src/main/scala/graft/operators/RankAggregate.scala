@@ -62,7 +62,13 @@ object RankAggregate {
     * the custom [[graft.plans.MultiTopM]] operator, instead of one
     * `orderBy.limit` scan per facet. Phase 2 (exact scoring of the
     * candidate union) still reads the full per-facet distance streams, so
-    * results are identical to [[topK]]. */
+    * results are identical to [[topK]].
+    *
+    * Choose this when m is well under the source's rows-per-partition (the
+    * large-cluster shape: |facets| full scans collapse into one); when m is
+    * comparable to partition row counts the per-task heaps cannot prune and
+    * [[topK]]'s codegen'd per-facet TakeOrdered passes over a cached
+    * projection measure faster (DebugAB). */
   def topKShared(spark: SparkSession, source: DataFrame,
       id: org.apache.spark.sql.Column, facets: Seq[SharedFacet],
       k: Int, m: Int, detailed: Boolean = false): DataFrame = {

@@ -29,9 +29,7 @@ class PlanSpec extends SparkTestBase {
   test("rank aggregation: broadcasts the candidate set, never shuffles a facet table") {
     val plan = planOf(Queries.all("q_multifacet")(spark, dir))
     assert(plan.contains("BroadcastHashJoin"))
-    // phase-1 candidates come from the fused single-scan multi-top-M
-    // operator (plans/MultiTopM.scala) instead of per-facet TakeOrdered scans
-    assert(plan.contains("MultiTopM"))
+    assert(plan.contains("TakeOrderedAndProject"))
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("SortMergeJoin"),
       "facet scans must stream against the broadcast candidates")
