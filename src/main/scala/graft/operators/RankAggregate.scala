@@ -62,7 +62,11 @@ object RankAggregate {
     * the custom [[graft.plans.MultiTopM]] operator, instead of one
     * `orderBy.limit` scan per facet. Phase 2 (exact scoring of the
     * candidate union) still reads the full per-facet distance streams, so
-    * results are identical to [[topK]].
+    * results are identical to [[topK]] for null-free distance streams (the
+    * mount contract, P4 na.drop). For a NULLABLE distance expression the
+    * two differ: MultiTopM excludes null distances from the candidates,
+    * while a composed orderBy would rank them first (ASC = NULLS FIRST) —
+    * the exclusion is the intended semantics.
     *
     * Choose this when m is well under the source's rows-per-partition (the
     * large-cluster shape: |facets| full scans collapse into one); when m is

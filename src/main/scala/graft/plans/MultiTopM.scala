@@ -11,7 +11,6 @@ import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType}
-import org.apache.spark.unsafe.types.UTF8String
 
 /** Whole-operator custom plan — the "(c)" rung of the extension ladder
   * (custom LogicalPlan + Strategy + SparkPlan, registered through
@@ -91,7 +90,7 @@ object MultiTopM {
         iter.foreach { row =>
           val rawId = idExpr.eval(row)
           if (rawId != null) {
-            var stored: Any = null // copy unsafe-backed values once, lazily
+            var stored: Any = null // copy buffer-backed values once, lazily
             var f = 0
             while (f < distExprs.length) {
               val dAny = distExprs(f).eval(row)
@@ -99,11 +98,16 @@ object MultiTopM {
                 val d = dAny.asInstanceOf[Double]
                 val h = heaps(f)
                 val full = h.size >= mLocal
-                if (!full || cmp.compare(Cand(d, rawId), h.peek()) < 0) {
-                  if (stored == null) stored = rawId match {
-                    case u: UTF8String => u.copy()
-                    case x => x
-                  }
+                // allocation-free admission test: compare fields against the
+                // current worst BEFORE building a Cand (this runs per row
+                // per facet over the whole scan)
+                val admit = !full || {
+                  val worst = h.peek()
+                  val c = java.lang.Double.compare(d, worst.d)
+                  c < 0 || (c == 0 && idOrdering.compare(rawId, worst.idVal) < 0)
+                }
+                if (admit) {
+                  if (stored == null) stored = InternalRow.copyValue(rawId)
                   if (full) h.poll()
                   h.add(Cand(d, stored))
                 }
@@ -132,9 +136,17 @@ object MultiTopM {
 
   /** All facets' deterministic top-M in one scan of `df`.
     *
+    * Null contract: rows with a null id or a null distance are EXCLUDED
+    * from that facet's candidate list (a composed `orderBy(d)` would rank
+    * null distances first — Spark ASC is NULLS FIRST — which is never the
+    * intended candidate semantics). Facet streams built by the mount paths
+    * are null-free anyway (P4 `na.drop`); callers with nullable distance
+    * expressions must treat null as "no candidate", as this operator does.
+    *
     * @param dists (facetName ignored for output; order = facet index)
     * @return (facet: int, id, d) — exactly the rows of
-    *         `df.select(id, d_i).orderBy(d, id).limit(m)` for each facet i
+    *         `df.select(id, d_i).where(d.isNotNull).orderBy(d, id).limit(m)`
+    *         for each facet i
     */
   def apply(df: DataFrame, idCol: Column, dists: Seq[Column], m: Int): DataFrame = {
     val spark = df.sparkSession

@@ -121,8 +121,12 @@ final class SimSearchService(spark: SparkSession, port: Int,
     respond(x, 200, s"""{"keys":$keys}""")
   }
 
+  /** Fail CLOSED: with no adminKey configured the key-management endpoints
+    * are disabled outright — otherwise an unauthenticated client could
+    * enumerate every tenant's api key via /listKeys and bypass the
+    * capability-token isolation. */
   private def isAdmin(x: HttpExchange): Boolean =
-    adminKey.forall(_ == Option(x.getRequestHeaders.getFirst("admin_api_key")).getOrElse(""))
+    adminKey.exists(_ == Option(x.getRequestHeaders.getFirst("admin_api_key")).getOrElse(""))
 
   /** POST /search: body = search request (search.json shape). */
   private def handleSearch(x: HttpExchange): Unit = {

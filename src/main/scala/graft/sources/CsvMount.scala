@@ -112,16 +112,23 @@ object CsvMount {
     * staging path, or the data would be registered behind an HTTP-capable
     * FileSystem plugin).
     */
-  private[graft] def spoolRemote(url: String): String = {
-    val src = java.net.URI.create(url).toURL
-    val tmp = java.nio.file.Files.createTempFile("graft-remote-", ".csv")
-    val in = src.openStream()
-    try java.nio.file.Files.copy(in, tmp,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    finally in.close()
-    tmp.toFile.deleteOnExit()
-    tmp.toString
-  }
+  // one spool file per distinct URL for the JVM lifetime: repeated /index
+  // or /append mounts of the same remote dataset must not re-download or
+  // grow /tmp without bound (the spooled path stays referenced by the lazy
+  // mounted frame, so eager per-mount deletion is not an option)
+  private val spoolCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def spoolRemote(url: String): String =
+    spoolCache.computeIfAbsent(url, { u =>
+      val src = java.net.URI.create(u).toURL
+      val tmp = java.nio.file.Files.createTempFile("graft-remote-", ".csv")
+      val in = src.openStream()
+      try java.nio.file.Files.copy(in, tmp,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      tmp.toFile.deleteOnExit()
+      tmp.toString
+    })
 
   private def isRemote(directory: String): Boolean =
     Seq("http://", "https://", "ftp://").exists(directory.startsWith)

@@ -99,7 +99,10 @@ object StreamOps {
             it.map(_.ts.getTime).toSeq.sorted.foreach { e =>
               cur = cur match {
                 case Some(s) if e - s.end <= gapMs =>
-                  Some(SessionState(s.start, math.max(s.end, e), s.n + 1))
+                  // min() so a late-but-within-watermark event arriving in a
+                  // LATER batch can still extend the session backwards,
+                  // matching the batch twin's sorted-event semantics
+                  Some(SessionState(math.min(s.start, e), math.max(s.end, e), s.n + 1))
                 case Some(s) =>
                   closed ::= Session(key, t(s.start), t(s.end), s.n)
                   Some(SessionState(e, e, 1))

@@ -73,6 +73,20 @@ class SimSearchServiceSpec extends SparkTestBase {
     } finally svc.stop()
   }
 
+  test("key admin endpoints fail CLOSED when no admin key is configured") {
+    val svc = new SimSearchService(spark, 0) // no adminKey
+    val port = svc.start()
+    try {
+      val base = s"http://127.0.0.1:$port/simsearch/api"
+      // without a configured admin key, nothing may administer keys — not
+      // even requests carrying arbitrary admin_api_key headers
+      val (c1, _) = http("POST", s"$base/listKeys", None)
+      val (c2, _) = http("POST", s"$base/assignKey", None, Map("admin_api_key" -> ""))
+      val (c3, _) = http("POST", s"$base/revokeKey", None, Map("admin_api_key" -> "x"))
+      assert(c1 == 403 && c2 == 403 && c3 == 403)
+    } finally svc.stop()
+  }
+
   test("REST key admin + /append: assignKey -> append -> search -> revokeKey") {
     val svc = new SimSearchService(spark, 0, adminKey = Some("root-key"))
     val port = svc.start()

@@ -88,7 +88,12 @@ class StreamOpsSpec extends SparkTestBase {
           r.getTimestamp(2).toString, r.getLong(3)))
       assert(inBatch.toSeq == Seq(("u1", "2024-01-01 00:01:00.0", "2024-01-01 00:03:00.0", 2L)))
 
-      // advance the watermark far past u1's open session (00:20) + gap:
+      // a late-but-within-watermark u1 event in a LATER batch must extend
+      // the open session BACKWARDS (start moves from 00:20 to 00:19:30)
+      input.addData((ts("2024-01-01 00:19:30"), "u1"))
+      q.processAllAvailable()
+
+      // advance the watermark far past u1's open session + gap:
       // the event-time timeout must close it with no further u1 event
       input.addData((ts("2024-01-01 01:00:00"), "u2"))
       q.processAllAvailable()
@@ -96,8 +101,8 @@ class StreamOpsSpec extends SparkTestBase {
       q.processAllAvailable()
       val all = spark.table("sess").collect()
         .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(3))).toSet
-      assert(all.contains(("u1", "2024-01-01 00:20:00.0", 1L)),
-        s"timeout-closed session missing from $all")
+      assert(all.contains(("u1", "2024-01-01 00:19:30.0", 2L)),
+        s"timeout-closed, backwards-extended session missing from $all")
     } finally q.stop()
   }
 
