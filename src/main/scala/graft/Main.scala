@@ -1,0 +1,109 @@
+package graft
+
+import java.io.{BufferedReader, PrintStream}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.engine.{OutputWriter, RequestParser, SimSearchEngine, SimSql}
+import graft.engine.SimSearchEngine.Catalog
+import graft.sources.{CsvMount, JdbcMount}
+
+/** Standalone interactive terminal — the rebuild of the reference's
+  * console entry point (reference: Runner.java:116-173, README.md
+  * "Standalone execution"): a numbered menu for mount / delete / catalog /
+  * search plus a SQL terminal accepting the `~=` SELECT dialect with `\d`
+  * (list attributes) and `\q` (quit). The REPL reads from an injected
+  * reader and writes to an injected stream so the whole surface is
+  * drivable by tests.
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-simsearch")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    repl(spark, new BufferedReader(new java.io.InputStreamReader(System.in)), System.out)
+    spark.stop()
+  }
+
+  private val Menu =
+    "**********Choose a number corresponding to a functionality:**********\n" +
+      "1: MOUNT SOURCES; 2: DELETE SOURCES; 3: CATALOG; 4: SEARCH; " +
+      "5: SQL TERMINAL; 0: EXIT. Your choice: "
+
+  /** Drive one interactive session over `in`/`out`; returns on EOF or 0. */
+  def repl(spark: SparkSession, in: BufferedReader, out: PrintStream): Unit = {
+    val catalog = new Catalog(Seq.empty)
+    var running = true
+    def prompt(msg: String): Option[String] = {
+      out.print(msg)
+      Option(in.readLine()).map(_.trim).filter(_.nonEmpty)
+    }
+    while (running) {
+      out.print(Menu)
+      Option(in.readLine()).map(_.trim) match {
+        case None | Some("0") => running = false
+        case Some("1") =>
+          prompt("Path to the mount request (sources.json): ").foreach { path =>
+            try {
+              val req = RequestParser.parseMountRequest(path)
+              val facets = req.csv.map { case (source, spec) =>
+                CsvMount.mount(spark, req.dirs(source), spec)
+              } ++ req.jdbc.map(JdbcMount.mount(spark, _))
+              facets.foreach(catalog.add)
+              out.println(s"Mounted ${facets.size} attribute(s); " +
+                s"catalog now holds ${catalog.size}.")
+            } catch {
+              case e: Exception => out.println(s"Mount failed: ${e.getMessage}")
+            }
+          }
+        case Some("2") =>
+          prompt("Attribute to remove: ").foreach { name =>
+            if (catalog.remove(name)) out.println(s"Removed $name.")
+            else out.println(s"Attribute $name is not mounted.")
+          }
+        case Some("3") =>
+          if (catalog.size == 0) out.println("Catalog is empty.")
+          else catalog.list.foreach { case (n, op) => out.println(s"$n: $op") }
+        case Some("4") =>
+          prompt("Path to the search request (search.json): ").foreach { path =>
+            try {
+              val (k, algorithm, specs, _) = RequestParser.parseSearch(path)
+              val res = SimSearchEngine.search(spark, catalog, k, specs,
+                detailed = true, algorithm = graft.api.Algorithm.parse(algorithm))
+              out.println(OutputWriter.toJsonResponse(res))
+            } catch {
+              case e: Exception => out.println(s"Search failed: ${e.getMessage}")
+            }
+          }
+        case Some("5") =>
+          out.println("Entering SQL terminal for SELECT queries. " +
+            "Type \\d to list queryable attributes. Type \\q to exit.")
+          var sqlMode = true
+          while (sqlMode) {
+            out.print("SQL > ")
+            Option(in.readLine()).map(_.trim) match {
+              case None => sqlMode = false
+              case Some(q) if q.startsWith("\\q") => sqlMode = false
+              case Some(q) if q.startsWith("\\d") =>
+                catalog.list.foreach { case (n, op) => out.println(s"$n: $op") }
+              case Some("") => ()
+              case Some(q) if q.toUpperCase.startsWith("SELECT") =>
+                try out.println(OutputWriter.toTabular(SimSql.run(spark, catalog, q)))
+                catch { case e: Exception => out.println(s"Query failed: ${e.getMessage}") }
+              case Some(_) =>
+                out.println("SQL terminal accepts SELECT statements only.")
+            }
+          }
+          out.println("SQL terminal closed.")
+        case Some(other) =>
+          out.println(s"Unknown choice: $other")
+      }
+    }
+  }
+}
