@@ -967,6 +967,52 @@ object Queries {
   }
 
   // ----------------------------------------------------------------------
+  // end-to-end training-data pipeline: the LLM operators COMPOSED —
+  // quality filter -> exact-dup removal (keep min doc_id per fingerprint)
+  // -> near-dup removal (drop the higher id of each verified MinHash pair)
+  // -> per-survivor token count. One declarative plan; every stage is the
+  // same operator the standalone queries verify individually.
+  // ----------------------------------------------------------------------
+  private val pipelineQ: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = spread(t(s, dir, "documents"))
+    val w = TextKernels.wordTokens(col("text"))
+    val quality = docs
+      .select(col("doc_id"), col("text"), size(w).cast("long").as("n_tokens"))
+      .where(col("n_tokens") >= 40)
+    val keepers = quality
+      .select(col("doc_id"), TextKernels.fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val shingles = TextKernels.wordShingles2(TextKernels.wordTokens(col("text")))
+    val nearDupLosers = Dedup.minhashPairs(docs, "doc_id", shingles, 0.8)
+      .select(col("b").as("doc_id")).distinct()
+    quality
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val pipelineSql = {
+    val pairs = minhashPairsSql(
+      s"""tk0 AS (SELECT doc_id, ${sqlWords("text")} AS w FROM documents),
+         |sh AS (SELECT doc_id, ${sqlShingles2("w")} AS g FROM tk0)""".stripMargin, 0.8)
+    s"""WITH pairs AS ($pairs),
+       |quality AS (
+       |  SELECT doc_id, text, len(${sqlWords("text")})::BIGINT AS n_tokens
+       |  FROM documents WHERE len(${sqlWords("text")}) >= 40),
+       |keepers AS (
+       |  SELECT min(doc_id) AS doc_id
+       |  FROM (SELECT doc_id, ${sqlFingerprint("text")} AS fp FROM quality)
+       |  GROUP BY fp),
+       |losers AS (SELECT DISTINCT b AS doc_id FROM pairs)
+       |SELECT q.doc_id, q.n_tokens FROM quality q
+       |WHERE q.doc_id IN (SELECT doc_id FROM keepers)
+       |  AND q.doc_id NOT IN (SELECT doc_id FROM losers)
+       |ORDER BY q.doc_id""".stripMargin
+  }
+
+  // ----------------------------------------------------------------------
   // salted skew join: the hot-key mitigation must be RESULT-INVARIANT —
   // the oracle is the plain unsalted join + aggregate
   // ----------------------------------------------------------------------
@@ -1016,6 +1062,7 @@ object Queries {
     "q_ann_lsh"       -> annLsh,
     "q_ann_ivf"       -> annIvf,
     "q_skew_join"     -> skewJoinQ,
+    "q_pipeline"      -> pipelineQ,
     "q_dedup_embedding" -> dedupEmbedding,
     "q_pivot_multimetric" -> pivotMultimetric,
     "q_multimodal_meta" -> multimodalMeta,
@@ -1053,6 +1100,7 @@ object Queries {
     "q_ann_lsh"       -> annLshSql,
     "q_ann_ivf"       -> annIvfSql,
     "q_skew_join"     -> skewJoinSql,
+    "q_pipeline"      -> pipelineSql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_pivot_multimetric" -> pivotMultimetricSql,
     "q_multimodal_meta" -> multimodalMetaSql,
