@@ -50,6 +50,27 @@ class MultiTopMSpec extends SparkTestBase {
     assert(fused.forall(_._1.startsWith("doc-")))
   }
 
+  test("property: equals composed plans on random data with ties (20 rounds)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42) // deterministic rounds
+    (1 to 20).foreach { round =>
+      val n = 1 + rnd.nextInt(200)
+      val m = 1 + rnd.nextInt(n + 20) // sometimes m > n
+      // coarse distance grid so ties are common (the tie-break is the point)
+      val rows = (0 until n).map(i =>
+        (rnd.nextLong(), rnd.nextInt(5).toDouble, rnd.nextInt(3).toDouble))
+      val df = rows.toDF("id", "x", "y").repartition(1 + rnd.nextInt(7))
+      val fused = MultiTopM(df, col("id"), Seq(col("x"), col("y")), m)
+        .orderBy(col("facet"), col("d"), col("id"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      val composed = Seq("x", "y").zipWithIndex.flatMap { case (c, i) =>
+        df.select(col("id"), col(c).as("d")).orderBy(col("d"), col("id")).limit(m)
+          .collect().map(r => (i, r.getLong(0), r.getDouble(1)))
+      }
+      assert(fused == composed, s"round $round: n=$n m=$m")
+    }
+  }
+
   test("plans as ONE scan through the custom exec node") {
     val (o, id, dists) = ordersDists
     val plan = MultiTopM(o, id, dists, 10).queryExecution.executedPlan.toString
