@@ -42,18 +42,27 @@ object OutputWriter {
     // it when present and OMIT it otherwise — never assert exactness the
     // engine did not establish.
     val hasExact = df.columns.contains("exact")
+    // detailed mode also carries one raw per-attribute similarity column per
+    // facet, named s_<facet> — serialized as the reference's per-result
+    // attributes map (RankedResult.attributes)
+    val attrCols = df.columns.filter(_.startsWith("s_")).toSeq
     val byCombo = df.collect()
       .map(r => (r.getLong(r.fieldIndex("combo")), r.getLong(r.fieldIndex("rank")),
         String.valueOf(r.get(r.fieldIndex("id"))), r.getDouble(r.fieldIndex("score")),
-        if (hasExact) Some(r.getBoolean(r.fieldIndex("exact"))) else None))
+        if (hasExact) Some(r.getBoolean(r.fieldIndex("exact"))) else None,
+        attrCols.map(c => c.stripPrefix("s_") -> r.getDouble(r.fieldIndex(c)))))
       .groupBy(_._1).toSeq.sortBy(_._1)
     byCombo.foreach { case (_, rows) =>
       val resp = mapper.createObjectNode()
       val ranked = mapper.createArrayNode()
-      rows.sortBy(_._2).foreach { case (_, rank, id, score, exact) =>
+      rows.sortBy(_._2).foreach { case (_, rank, id, score, exact, attrs) =>
         val o = mapper.createObjectNode()
         o.put("id", id); o.put("rank", rank); o.put("score", score)
         exact.foreach(e => o.put("exact", e))
+        if (attrs.nonEmpty) {
+          val a = o.putObject("attributes")
+          attrs.foreach { case (name, s) => a.put(name, s) }
+        }
         ranked.add(o)
       }
       resp.set[com.fasterxml.jackson.databind.JsonNode]("rankedResults", ranked)

@@ -56,6 +56,10 @@ class SimSearchServiceSpec extends SparkTestBase {
       assert(resp.get(0).get("rankedResults").get(0).get("id").asText() == "20191104154500-1733")
       // detailed mode computed a real per-result exact flag (not asserted true)
       assert(resp.get(0).get("rankedResults").get(0).get("exact").isBoolean)
+      // ... and the per-attribute similarity map (RankedResult.attributes)
+      val attrs = resp.get(0).get("rankedResults").get(0).get("attributes")
+      assert(attrs != null && attrs.size() == 3, b3.take(600))
+      assert(attrs.has("persons") && attrs.has("timestamp") && attrs.has("position"))
 
       val (c4, _) = http("DELETE", s"$base/delete?column=persons", None, Map("api_key" -> key))
       assert(c4 == 200)
