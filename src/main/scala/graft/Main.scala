@@ -27,8 +27,8 @@ object Main {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    repl(spark, new BufferedReader(new java.io.InputStreamReader(System.in)), System.out)
-    spark.stop()
+    try repl(spark, new BufferedReader(new java.io.InputStreamReader(System.in)), System.out)
+    finally spark.stop() // even when stdin dies mid-session
   }
 
   private val Menu =
@@ -51,10 +51,7 @@ object Main {
         case Some("1") =>
           prompt("Path to the mount request (sources.json): ").foreach { path =>
             try {
-              val req = RequestParser.parseMountRequest(path)
-              val facets = req.csv.map { case (source, spec) =>
-                CsvMount.mount(spark, req.dirs(source), spec)
-              } ++ req.jdbc.map(JdbcMount.mount(spark, _))
+              val facets = RequestParser.mountAll(spark, path)
               facets.foreach(catalog.add)
               out.println(s"Mounted ${facets.size} attribute(s); " +
                 s"catalog now holds ${catalog.size}.")
@@ -73,10 +70,15 @@ object Main {
         case Some("4") =>
           prompt("Path to the search request (search.json): ").foreach { path =>
             try {
-              val (k, algorithm, specs, _) = RequestParser.parseSearch(path)
+              val (k, algorithm, specs, extras) = RequestParser.parseSearch(path)
               val res = SimSearchEngine.search(spark, catalog, k, specs,
                 detailed = true, algorithm = graft.api.Algorithm.parse(algorithm))
               out.println(OutputWriter.toJsonResponse(res))
+              // A6: requested extra columns are shown as a ranked table
+              // (the reference's JSON response carries only scores)
+              if (extras.nonEmpty)
+                out.println(OutputWriter.toTabular(
+                  SimSql.projectExtras(catalog, res, extras), 1000))
             } catch {
               case e: Exception => out.println(s"Search failed: ${e.getMessage}")
             }
@@ -94,7 +96,8 @@ object Main {
                 catalog.list.foreach { case (n, op) => out.println(s"$n: $op") }
               case Some("") => ()
               case Some(q) if q.toUpperCase.startsWith("SELECT") =>
-                try out.println(OutputWriter.toTabular(SimSql.run(spark, catalog, q)))
+                // k <= 50 per combo; 1000 covers every legal combo count
+                try out.println(OutputWriter.toTabular(SimSql.run(spark, catalog, q), 1000))
                 catch { case e: Exception => out.println(s"Query failed: ${e.getMessage}") }
               case Some(_) =>
                 out.println("SQL terminal accepts SELECT statements only.")

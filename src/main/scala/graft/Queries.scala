@@ -983,33 +983,40 @@ object Queries {
       .select(col("doc_id"), TextKernels.fingerprint(col("text")).as("fp"))
       .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
+    // genuine composition: near-dup detection runs over the exact-dedup
+    // SURVIVORS, so a document is only dropped for near-duplicating a
+    // document that itself survived the earlier stages
+    val survivors = quality.join(keepers, Seq("doc_id"), "left_semi")
     val shingles = TextKernels.wordShingles2(TextKernels.wordTokens(col("text")))
-    val nearDupLosers = Dedup.minhashPairs(docs, "doc_id", shingles, 0.8)
+    val nearDupLosers = Dedup.minhashPairs(survivors, "doc_id", shingles, 0.8)
       .select(col("b").as("doc_id")).distinct()
-    quality
-      .join(keepers, Seq("doc_id"), "left_semi")
+    survivors
       .join(nearDupLosers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_tokens"))
       .orderBy(col("doc_id"))
   }
 
   private val pipelineSql = {
+    val qualityPred = s"len(${sqlWords("text")}) >= 40"
+    // exact-dedup survivors of the quality stage, self-contained so the
+    // pairs CTE chain (which cannot see the outer CTEs) can reuse it
+    val survivorsSub =
+      s"""(SELECT doc_id, text, len(${sqlWords("text")})::BIGINT AS n_tokens
+         | FROM documents WHERE $qualityPred
+         |   AND doc_id IN (
+         |     SELECT min(doc_id) FROM (
+         |       SELECT doc_id, ${sqlFingerprint("text")} AS fp
+         |       FROM documents WHERE $qualityPred)
+         |     GROUP BY fp))""".stripMargin
     val pairs = minhashPairsSql(
-      s"""tk0 AS (SELECT doc_id, ${sqlWords("text")} AS w FROM documents),
+      s"""tk0 AS (SELECT doc_id, ${sqlWords("text")} AS w FROM $survivorsSub sv0),
          |sh AS (SELECT doc_id, ${sqlShingles2("w")} AS g FROM tk0)""".stripMargin, 0.8)
     s"""WITH pairs AS ($pairs),
-       |quality AS (
-       |  SELECT doc_id, text, len(${sqlWords("text")})::BIGINT AS n_tokens
-       |  FROM documents WHERE len(${sqlWords("text")}) >= 40),
-       |keepers AS (
-       |  SELECT min(doc_id) AS doc_id
-       |  FROM (SELECT doc_id, ${sqlFingerprint("text")} AS fp FROM quality)
-       |  GROUP BY fp),
+       |survivors AS (SELECT * FROM $survivorsSub sv),
        |losers AS (SELECT DISTINCT b AS doc_id FROM pairs)
-       |SELECT q.doc_id, q.n_tokens FROM quality q
-       |WHERE q.doc_id IN (SELECT doc_id FROM keepers)
-       |  AND q.doc_id NOT IN (SELECT doc_id FROM losers)
-       |ORDER BY q.doc_id""".stripMargin
+       |SELECT doc_id, n_tokens FROM survivors
+       |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+       |ORDER BY doc_id""".stripMargin
   }
 
   // ----------------------------------------------------------------------

@@ -21,14 +21,17 @@ object OutputWriter {
       .option("header", header.toString)
       .csv(path)
 
-  /** S11: tabular console/txt rendering of the first n rows. */
+  /** S11: tabular console/txt rendering of the first n rows; a truncated
+    * listing says so instead of silently dropping rows. */
   def toTabular(df: DataFrame, n: Int = 50): String = {
     val cols = df.columns
-    val rows = df.limit(n).collect().map(_.toSeq.map(v => String.valueOf(v)))
+    val collected = df.limit(n + 1).collect()
+    val rows = collected.take(n).map(_.toSeq.map(v => String.valueOf(v)))
     val widths = cols.indices.map(i => (cols(i).length +: rows.map(_(i).length)).max)
     def line(vals: Seq[String]) =
       vals.zip(widths).map { case (v, w) => v.padTo(w, ' ') }.mkString("| ", " | ", " |")
-    (line(cols.toSeq) +: rows.map(r => line(r))).mkString("\n")
+    val body = (line(cols.toSeq) +: rows.map(r => line(r))).mkString("\n")
+    if (collected.length > n) body + s"\n... (showing first $n rows)" else body
   }
 
   /** S12: serialize a (combo, rank, id, score) result into the reference's

@@ -100,6 +100,16 @@ object RequestParser {
     (r.dirs, r.csv)
   }
 
+  /** Parse AND mount a whole request — the one mount-routing implementation
+    * shared by the REST /index and /append handlers and the standalone
+    * terminal. */
+  def mountAll(spark: org.apache.spark.sql.SparkSession, path: String): Seq[graft.api.Facet] = {
+    val req = parseMountRequest(path)
+    req.csv.map { case (source, spec) =>
+      graft.sources.CsvMount.mount(spark, req.dirs(source), spec)
+    } ++ req.jdbc.map(graft.sources.JdbcMount.mount(spark, _))
+  }
+
   /** Parse a search request (search.json shape): (k, algorithm, specs,
     * extraColumns). Values may be strings or arrays (token sets); weights
     * are decimal strings, one per combination. */

@@ -89,6 +89,20 @@ object SimSql {
     ParsedQuery(extras, sims, weights, algorithm, k, residual)
   }
 
+  /** A6/F13: join requested extra columns onto a ranked result, formatting
+    * temporal values — shared by the SQL front-end and the standalone
+    * terminal's JSON search path. */
+  def projectExtras(catalog: Catalog, ranked: DataFrame, extras: Seq[String]): DataFrame =
+    extras.foldLeft(ranked) { (acc, c) =>
+      val f = catalog.get(c)
+      val v = f.spec.op match {
+        case SimOp.Temporal => // F13: epoch ms -> yyyy-MM-dd HH:mm:ss
+          date_format(timestamp_millis(col("value").cast("long")), "yyyy-MM-dd HH:mm:ss")
+        case _ => col("value")
+      }
+      acc.join(f.df.select(col("id"), v.as(c)), Seq("id"), "left")
+    }
+
   /** Execute a parsed query against a mounted catalog: similarity top-k +
     * extra-column projection (A6) with date formatting (F13). */
   def execute(spark: SparkSession, catalog: Catalog, q: ParsedQuery): DataFrame = {
@@ -105,15 +119,7 @@ object SimSql {
     val topk = SimSearchEngine.search(spark, catalog, q.k, specs,
       residualFilter = q.residualFilter,
       algorithm = graft.api.Algorithm.parse(q.algorithm.getOrElse("threshold")))
-    q.extraColumns.foldLeft(topk) { (acc, c) =>
-      val f = catalog.get(c)
-      val v = f.spec.op match {
-        case SimOp.Temporal => // F13: epoch ms -> yyyy-MM-dd HH:mm:ss
-          date_format(timestamp_millis(col("value").cast("long")), "yyyy-MM-dd HH:mm:ss")
-        case _ => col("value")
-      }
-      acc.join(f.df.select(col("id"), v.as(c)), Seq("id"), "left")
-    }
+    projectExtras(catalog, topk, q.extraColumns)
   }
 
   def run(spark: SparkSession, catalog: Catalog, sql: String): DataFrame =

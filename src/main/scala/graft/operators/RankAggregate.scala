@@ -205,8 +205,14 @@ object RankAggregate {
       }
     if (!detailed) result
     else {
+      // disambiguate duplicate facet names (the same column may be queried
+      // twice with different values/weights): a repeated name would yield
+      // two identically-named s_ columns and serializers would silently
+      // drop one facet's score
+      val names = facets.map(_.name)
       val perFacetCols = facets.zipWithIndex.map { case (f, i) =>
-        col(s"s_$i").as(s"s_${f.name}")
+        val n = if (names.count(_ == f.name) > 1) s"s_${f.name}_$i" else s"s_${f.name}"
+        col(s"s_$i").as(n)
       }
       result.join(pivoted.select(col("id") +: perFacetCols: _*), Seq("id"))
     }

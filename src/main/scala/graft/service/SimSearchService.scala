@@ -63,10 +63,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
   private def handleIndex(x: HttpExchange): Unit = {
     val tmp = bodyFile(x)
     try {
-      val req = RequestParser.parseMountRequest(tmp.toString)
-      val facets = req.csv.map { case (source, spec) =>
-        CsvMount.mount(spark, req.dirs(source), spec) // each spec against ITS source
-      } ++ req.jdbc.map(graft.sources.JdbcMount.mount(spark, _))
+      val facets = RequestParser.mountAll(spark, tmp.toString)
       val key = java.util.UUID.randomUUID().toString
       catalogs.put(key, new Catalog(facets))
       respond(x, 200, s"""{"apiKey":"$key","attributes":${facets.size}}""")
@@ -82,10 +79,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
     if (cat == null) { respond(x, 401, """{"error":"unknown api_key"}"""); return }
     val tmp = bodyFile(x)
     try {
-      val req = RequestParser.parseMountRequest(tmp.toString)
-      val facets = req.csv.map { case (source, spec) =>
-        CsvMount.mount(spark, req.dirs(source), spec)
-      } ++ req.jdbc.map(graft.sources.JdbcMount.mount(spark, _))
+      val facets = RequestParser.mountAll(spark, tmp.toString)
       facets.foreach(cat.add)
       respond(x, 200, s"""{"appended":${facets.size},"attributes":${cat.size}}""")
     } catch {
