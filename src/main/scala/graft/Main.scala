@@ -6,7 +6,6 @@ import org.apache.spark.sql.SparkSession
 
 import graft.engine.{OutputWriter, RequestParser, SimSearchEngine, SimSql}
 import graft.engine.SimSearchEngine.Catalog
-import graft.sources.{CsvMount, JdbcMount}
 
 /** Standalone interactive terminal — the rebuild of the reference's
   * console entry point (reference: Runner.java:116-173, README.md

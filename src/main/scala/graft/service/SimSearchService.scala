@@ -8,7 +8,6 @@ import org.apache.spark.sql.SparkSession
 
 import graft.engine.{OutputWriter, RequestParser, SimSearchEngine}
 import graft.engine.SimSearchEngine.Catalog
-import graft.sources.CsvMount
 
 /** Minimal REST service exposing the reference's endpoint surface
   * (reference: service/SimSearchController.java:44 — /index, /append,
