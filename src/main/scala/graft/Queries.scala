@@ -985,8 +985,11 @@ object Queries {
       .select(col("doc_id"))
     // genuine composition: near-dup detection runs over the exact-dedup
     // SURVIVORS, so a document is only dropped for near-duplicating a
-    // document that itself survived the earlier stages
-    val survivors = quality.join(keepers, Seq("doc_id"), "left_semi")
+    // document that itself survived the earlier stages. Cached: the
+    // subtree (filter + fingerprint groupBy + semi join) feeds the MinHash
+    // stage several times — including its partition probe, which
+    // materializes AQE stages — and must compute once.
+    val survivors = quality.join(keepers, Seq("doc_id"), "left_semi").cache()
     val shingles = TextKernels.wordShingles2(TextKernels.wordTokens(col("text")))
     val nearDupLosers = Dedup.minhashPairs(survivors, "doc_id", shingles, 0.8)
       .select(col("b").as("doc_id")).distinct()
