@@ -129,6 +129,77 @@ object NativeKernels {
   def l1Dist(a: Column, b: Column): Column =
     column(L1DistExpr(expression(a), expression(b)))
 
+  // ----------------------------------------------------------- MinHash/LSH
+
+  /** All LSH band keys of a shingle-set column in ONE pass — the native
+    * twin of the composed TextKernels chain (md5 per shingle -> 16
+    * lexicographic-min 8-hex-char windows -> md5 per 4-signature band),
+    * bit-identical including the empty-set edge (no shingles -> every
+    * signature NULL -> concat_ws skips them -> md5 of ""). The composed
+    * form walks the digest array once per signature through interpreted
+    * higher-order functions; this computes every window minimum in the
+    * single digest pass. */
+  private case class BandKeysExpr(child: Expression,
+      numHashes: Int, numBands: Int, rowsPerBand: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "band_keys_native"
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val sigs = new Array[String](numHashes)
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val hex = org.apache.commons.codec.digest.DigestUtils
+            .md5Hex(arr.getUTF8String(i).getBytes)
+          var j = 0
+          while (j < numHashes) {
+            val w = hex.substring(j, j + 8)
+            if (sigs(j) == null || w.compareTo(sigs(j)) < 0) sigs(j) = w
+            j += 1
+          }
+        }
+        i += 1
+      }
+      val keys = new Array[Any](numBands)
+      var b = 0
+      while (b < numBands) {
+        // concat_ws semantics: null signatures are skipped entirely
+        val parts = sigs.slice(b * rowsPerBand, (b + 1) * rowsPerBand).filter(_ != null)
+        keys(b) = UTF8String.fromString(
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(
+            parts.mkString("|").getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        b += 1
+      }
+      new GenericArrayData(keys)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      // stays inside whole-stage codegen by calling this expression's own
+      // compiled (JIT'd) kernel — the win is the single-pass algorithm, not
+      // per-operator bytecode
+      val ref = ctx.addReferenceObj("bandKeysExpr", this)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+    }
+  }
+
+  /** One-pass LSH band keys over a shingle array (graft.operators.Dedup
+    * constants by default). */
+  def bandKeys(shingles: Column, numHashes: Int, numBands: Int,
+      rowsPerBand: Int): Column =
+    column(BandKeysExpr(expression(shingles), numHashes, numBands, rowsPerBand))
+
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 

@@ -38,11 +38,12 @@ object Dedup {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val spread = if (docs.rdd.getNumPartitions < par / 2) docs.repartition(par) else docs
     val sh = spread.select(col(id).as("id"), shingles.as("g")).cache()
-    val sigs = (0 until NumHashes).map(i => TextKernels.minhashSig(col("hv"), i))
-    val bands = (0 until NumBands).map(b => TextKernels.bandKey(sigs, b, RowsPerBand))
+    // native one-pass band keys (bit-identical to the composed
+    // shingleHashes -> minhashSig -> bandKey chain, NativeKernelSpec)
     val banded = sh
-      .select(col("id"), TextKernels.shingleHashes(col("g")).as("hv"))
-      .select(col("id"), posexplode(array(bands: _*)).as(Seq("band", "bv")))
+      .select(col("id"), posexplode(
+        graft.functions.NativeKernels.bandKeys(col("g"), NumHashes, NumBands, RowsPerBand))
+        .as(Seq("band", "bv")))
       .cache()
     val pairs = banded.as("x")
       .join(banded.as("y"),

@@ -45,14 +45,13 @@ object StreamOps {
   def minhashDedupStream(docs: DataFrame, tsCol: String, idCol: String,
       textCol: String, watermark: String): DataFrame = {
     import graft.functions.TextKernels
+    import graft.operators.Dedup
     val sh = TextKernels.wordShingles2(TextKernels.wordTokens(col(textCol)))
-    val hv = TextKernels.shingleHashes(sh)
-    val sigs = (0 until graft.operators.Dedup.NumHashes)
-      .map(i => TextKernels.minhashSig(hv, i))
-    val bands = (0 until graft.operators.Dedup.NumBands)
-      .map(b => TextKernels.bandKey(sigs, b, graft.operators.Dedup.RowsPerBand))
     docs
-      .select(col(tsCol), col(idCol), posexplode(array(bands: _*)).as(Seq("band", "bv")))
+      .select(col(tsCol), col(idCol), posexplode(
+        graft.functions.NativeKernels.bandKeys(
+          sh, Dedup.NumHashes, Dedup.NumBands, Dedup.RowsPerBand))
+        .as(Seq("band", "bv")))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("band", "bv")
       .dropDuplicatesWithinWatermark(idCol) // watermark propagates; re-defining it is disallowed

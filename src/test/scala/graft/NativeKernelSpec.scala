@@ -49,4 +49,23 @@ class NativeKernelSpec extends SparkTestBase {
     assert(plan.contains("*(1) Project"), plan.take(300))
     assert(plan.contains("cosine_sim_native"))
   }
+
+  test("band_keys_native is bit-identical to the composed TextKernels chain") {
+    import graft.functions.TextKernels
+    import graft.operators.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      // include the empty-shingle edge: a sub-2-token text yields no shingles
+      .select(col("doc_id"), col("text"))
+      .union(Seq((99990L, "one"), (99991L, "")).toDF("doc_id", "text"))
+    val sh = TextKernels.wordShingles2(TextKernels.wordTokens(col("text")))
+    val hv = TextKernels.shingleHashes(sh)
+    val sigs = (0 until Dedup.NumHashes).map(i => TextKernels.minhashSig(hv, i))
+    val composed = array((0 until Dedup.NumBands)
+      .map(b => TextKernels.bandKey(sigs, b, Dedup.RowsPerBand)): _*)
+    val native = graft.functions.NativeKernels.bandKeys(
+      sh, Dedup.NumHashes, Dedup.NumBands, Dedup.RowsPerBand)
+    val mismatches = docs.select(col("doc_id"), composed.as("c"), native.as("n"))
+      .where(not(col("c") === col("n"))).count()
+    assert(mismatches == 0)
+  }
 }
