@@ -988,7 +988,10 @@ object Queries {
     // document that itself survived the earlier stages. Cached: the
     // subtree (filter + fingerprint groupBy + semi join) feeds the MinHash
     // stage several times — including its partition probe, which
-    // materializes AQE stages — and must compute once.
+    // materializes AQE stages — and must compute once. Cache lifetime
+    // follows the RankAggregate rationale: the returned frame is lazy and
+    // still references the entry, so it cannot be unpersisted here;
+    // entries are MEMORY_AND_DISK and shed via LRU in long sessions.
     val survivors = quality.join(keepers, Seq("doc_id"), "left_semi").cache()
     val shingles = TextKernels.wordShingles2(TextKernels.wordTokens(col("text")))
     val nearDupLosers = Dedup.minhashPairs(survivors, "doc_id", shingles, 0.8)

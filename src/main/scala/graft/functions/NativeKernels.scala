@@ -145,23 +145,40 @@ object NativeKernels {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String
 
+    require(numHashes >= 1 && numHashes <= 25,
+      s"numHashes must be in [1, 25] (8-char windows of a 32-char md5), got $numHashes")
+    require(numBands * rowsPerBand <= numHashes,
+      s"bands x rows ($numBands x $rowsPerBand) exceed $numHashes signatures")
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      child.dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string> shingles, got ${other.simpleString}")
+      }
+    }
     override def dataType: DataType =
       org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.StringType, containsNull = false)
-    override def nullIntolerant: Boolean = true
+    // a NULL shingle array must yield the SAME keys as the composed chain:
+    // every signature NULL -> concat_ws skips them -> md5("") per band
+    // (never a NULL result — concat_ws never returns null)
+    override def nullable: Boolean = false
     override def prettyName: String = "band_keys_native"
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
+    def computeKeys(input: ArrayData): ArrayData = {
+      val n = if (input == null) 0 else input.numElements()
       val sigs = new Array[String](numHashes)
       var i = 0
       while (i < n) {
-        if (!arr.isNullAt(i)) {
+        if (!input.isNullAt(i)) {
           val hex = org.apache.commons.codec.digest.DigestUtils
-            .md5Hex(arr.getUTF8String(i).getBytes)
+            .md5Hex(input.getUTF8String(i).getBytes)
           var j = 0
           while (j < numHashes) {
             val w = hex.substring(j, j + 8)
@@ -184,13 +201,26 @@ object NativeKernels {
       new GenericArrayData(keys)
     }
 
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+      computeKeys(child.eval(input).asInstanceOf[ArrayData])
+
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       // stays inside whole-stage codegen by calling this expression's own
       // compiled (JIT'd) kernel — the win is the single-pass algorithm, not
-      // per-operator bytecode
+      // per-operator bytecode. A null child value maps to the md5("") keys
+      // (see nullable above), so isNull is constant false.
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
       val ref = ctx.addReferenceObj("bandKeysExpr", this)
-      nullSafeCodeGen(ctx, ev, c =>
-        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+      val childGen = child.genCode(ctx)
+      val arrCls = classOf[ArrayData].getName
+      ev.copy(
+        code = code"""
+          ${childGen.code}
+          $arrCls ${ev.value} = ($arrCls) $ref.computeKeys(
+            ${childGen.isNull} ? null : ${childGen.value});
+        """,
+        isNull = FalseLiteral)
     }
   }
 

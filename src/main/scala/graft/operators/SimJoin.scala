@@ -21,12 +21,10 @@ object SimJoin {
       minJ: Double): DataFrame = {
     def banded(df: DataFrame, id: String, shingles: Column, side: String): DataFrame = {
       val sh = df.select(col(id).as(s"${side}_id"), shingles.as(s"${side}_g"))
-      val hv = TextKernels.shingleHashes(col(s"${side}_g"))
-      val sigs = (0 until Dedup.NumHashes).map(i => TextKernels.minhashSig(hv, i))
-      val bands = (0 until Dedup.NumBands).map(b =>
-        TextKernels.bandKey(sigs, b, Dedup.RowsPerBand))
       sh.select(col(s"${side}_id"), col(s"${side}_g"),
-        posexplode(array(bands: _*)).as(Seq("band", "bv")))
+        posexplode(graft.functions.NativeKernels.bandKeys(col(s"${side}_g"),
+          Dedup.NumHashes, Dedup.NumBands, Dedup.RowsPerBand))
+          .as(Seq("band", "bv")))
     }
     val l = banded(left, leftId, leftShingles, "l").cache()
     val r = banded(right, rightId, rightShingles, "r").cache()

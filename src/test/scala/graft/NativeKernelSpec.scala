@@ -56,7 +56,8 @@ class NativeKernelSpec extends SparkTestBase {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       // include the empty-shingle edge: a sub-2-token text yields no shingles
       .select(col("doc_id"), col("text"))
-      .union(Seq((99990L, "one"), (99991L, "")).toDF("doc_id", "text"))
+      .union(Seq((99990L, Some("one")), (99991L, Some("")),
+        (99992L, Option.empty[String])).toDF("doc_id", "text"))
     val sh = TextKernels.wordShingles2(TextKernels.wordTokens(col("text")))
     val hv = TextKernels.shingleHashes(sh)
     val sigs = (0 until Dedup.NumHashes).map(i => TextKernels.minhashSig(hv, i))
@@ -64,8 +65,10 @@ class NativeKernelSpec extends SparkTestBase {
       .map(b => TextKernels.bandKey(sigs, b, Dedup.RowsPerBand)): _*)
     val native = graft.functions.NativeKernels.bandKeys(
       sh, Dedup.NumHashes, Dedup.NumBands, Dedup.RowsPerBand)
+    // null-SAFE comparison: a native-NULL-vs-composed-value divergence must
+    // COUNT as a mismatch, not be filtered by three-valued logic
     val mismatches = docs.select(col("doc_id"), composed.as("c"), native.as("n"))
-      .where(not(col("c") === col("n"))).count()
+      .where(not(col("c") <=> col("n"))).count()
     assert(mismatches == 0)
   }
 }
