@@ -448,9 +448,9 @@ object Queries {
       .orderBy(col("a"), col("b"))
   }
 
-  /** DuckDB mirror of Dedup.minhashPairs over any shingle CTE chain ending
-    * in `sh(doc_id, g)`. */
-  private def minhashPairsSql(shingleCtes: String, minJ: Double): String = {
+  /** DuckDB CTE chain mirroring Dedup.minhashPairs over any shingle CTE
+    * chain ending in `sh(doc_id, g)`; the final CTE is `prs(a, b, j)`. */
+  private def minhashPairsCtes(shingleCtes: String, minJ: Double): String = {
     val sigs = (0 until Dedup.NumHashes)
       .map(i => s"list_min(list_transform(hv, h -> substr(h, ${i + 1}, 8))) AS s_$i").mkString(",\n  ")
     val bands = (0 until Dedup.NumBands).map { b =>
@@ -458,18 +458,24 @@ object Queries {
       s"md5(${parts.mkString(" || '|' || ")}) AS b$b"
     }.mkString(", ")
     val bandEq = (0 until Dedup.NumBands).map(b => s"x.b$b = y.b$b").mkString(" OR ")
-    s"""WITH $shingleCtes,
+    s"""$shingleCtes,
        |hv AS (SELECT doc_id, list_transform(g, x -> md5(x)) AS hv FROM sh),
        |sig AS (SELECT doc_id,
        |  $sigs
        |FROM hv),
        |band AS (SELECT doc_id, $bands FROM sig),
        |cand AS (SELECT x.doc_id AS a, y.doc_id AS b FROM band x, band y
-       |         WHERE x.doc_id < y.doc_id AND ($bandEq))
-       |SELECT c.a, c.b, ${sqlJaccard("sa.g", "sb.g")} AS j
+       |         WHERE x.doc_id < y.doc_id AND ($bandEq)),
+       |prs AS (SELECT c.a, c.b, ${sqlJaccard("sa.g", "sb.g")} AS j
        |FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
-       |WHERE ${sqlJaccard("sa.g", "sb.g")} >= $minJ ORDER BY a, b""".stripMargin
+       |WHERE ${sqlJaccard("sa.g", "sb.g")} >= $minJ)""".stripMargin
   }
+
+  /** DuckDB mirror of Dedup.minhashPairs over any shingle CTE chain ending
+    * in `sh(doc_id, g)`. */
+  private def minhashPairsSql(shingleCtes: String, minJ: Double): String =
+    s"""WITH ${minhashPairsCtes(shingleCtes, minJ)}
+       |SELECT a, b, j FROM prs ORDER BY a, b""".stripMargin
 
   private val dedupMinhashSql = minhashPairsSql(
     s"""tk AS (SELECT doc_id, ${sqlWords("text")} AS w FROM documents),
@@ -492,6 +498,127 @@ object Queries {
 
   private val dedupNgramSql = minhashPairsSql(
     s"sh AS (SELECT doc_id, ${sqlQgramsN("substr(text, 1, 200)", 10)} AS g FROM documents)", 0.8)
+
+  // -- near-dup CLUSTERING: pairwise hits -> transitive dedup groups
+  //    (connected components, min-reachable-id as the cluster label). The
+  //    pair source is the char-10-gram MinHash pipeline above; the cluster
+  //    step is Dedup.clusters (distributed min-label propagation).
+  private val dedupCluster: (SparkSession, String) => DataFrame = (s, dir) => {
+    val pairs = Dedup.minhashPairs(t(s, dir, "documents"), "doc_id",
+      SimKernels.qgrams(substring(col("text"), 1, 200), 10), 0.8)
+    Dedup.clusters(pairs)
+      .select(col("n").cast("long").as("doc_id"), col("c").cast("long").as("cluster"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Transitive closure of the pair graph by recursive CTE: every node's
+    * cluster is the least node it can reach (DuckDB mirrors the min-label
+    * fixpoint exactly). */
+  private val dedupClusterSql =
+    s"""WITH RECURSIVE ${minhashPairsCtes(
+      s"sh AS (SELECT doc_id, ${sqlQgramsN("substr(text, 1, 200)", 10)} AS g FROM documents)", 0.8)},
+       |edges AS (SELECT a AS x, b AS y FROM prs UNION SELECT b AS x, a AS y FROM prs),
+       |r AS (SELECT x AS n, y AS m FROM edges
+       |      UNION SELECT r.n, e.y FROM r JOIN edges e ON r.m = e.x)
+       |SELECT n::BIGINT AS doc_id, least(n, min(m))::BIGINT AS cluster
+       |FROM r GROUP BY n ORDER BY doc_id""".stripMargin
+
+  // -- deterministic sampling (hash-keyed keep/drop; engine-portable)
+  /** DuckDB mirror of Sampling.hashPct: integer value of the first 6 hex
+    * chars of md5(id), mod 100 — spelled as an explicit base-16 digit sum
+    * (instr over the hex alphabet), all integer arithmetic. */
+  private def sqlHashPct(idExpr: String): String = {
+    val terms = (1 to 6).map { i =>
+      s"(instr('0123456789abcdef', substr(md5(($idExpr)::VARCHAR), $i, 1)) - 1) * ${math.pow(16, 6 - i).toLong}"
+    }
+    s"((${terms.mkString(" + ")}) % 100)"
+  }
+
+  private val sampleHash: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.operators.Sampling.sample(t(s, dir, "documents"), col("doc_id"), 37)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  private val sampleHashSql =
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE ${sqlHashPct("doc_id")} < 37 ORDER BY doc_id""".stripMargin
+
+  private val sampleStratified: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.operators.Sampling.stratified(
+        t(s, dir, "documents"), col("lang"), col("doc_id"), 0.3)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  private val sampleStratifiedSql =
+    """WITH r AS (SELECT doc_id, lang,
+      |  row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn,
+      |  count(*) OVER (PARTITION BY lang) AS cnt FROM documents)
+      |SELECT doc_id, lang FROM r WHERE rn <= floor(cnt * 0.3) ORDER BY doc_id""".stripMargin
+
+  // -- source/domain mixing: per-source keep rates, deterministic
+  private val sourceMix: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.operators.Sampling.mix(t(s, dir, "documents"),
+        col("source"), col("doc_id"), Map("src0" -> 90, "src1" -> 10), 50)
+      .groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("source"))
+
+  private val sourceMixSql =
+    s"""SELECT source, count(*) AS cnt FROM documents
+       |WHERE ${sqlHashPct("doc_id")} <
+       |  (CASE WHEN source = 'src0' THEN 90 WHEN source = 'src1' THEN 10 ELSE 50 END)
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  // -- sequence packing: concat-then-chunk offsets (2048-token windows)
+  private val packChunks: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.operators.Packing.packOffsets(t(s, dir, "documents"),
+        col("doc_id"), size(TextKernels.wordTokens(col("text"))), 2048L)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  private val packChunksSql =
+    s"""WITH tk AS (SELECT doc_id, len(${sqlWords("text")}) AS n_tok FROM documents),
+       |c AS (SELECT doc_id, n_tok, sum(n_tok) OVER (ORDER BY doc_id) AS cum FROM tk)
+       |SELECT doc_id, n_tok::BIGINT AS n_tok, (cum - n_tok)::BIGINT AS start,
+       |  ((cum - n_tok) // 2048)::BIGINT AS chunk FROM c ORDER BY doc_id""".stripMargin
+
+  // -- per-document characteristic terms (tf·idf top-3, ratio-idf variant)
+  private val tfidfQ: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.operators.TfIdf.topTerms(spread(t(s, dir, "documents")),
+        col("doc_id"), TextKernels.wordTokens(col("text")), 3)
+      .orderBy(col("doc_id"), col("rank"))
+
+  private val tfidfSql =
+    s"""WITH w AS (SELECT doc_id, unnest(${sqlWords("text")}) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |sc AS (SELECT doc_id, term, tf, tf * n_docs / df AS score,
+       |  row_number() OVER (PARTITION BY doc_id ORDER BY tf * n_docs / df DESC, term) AS rk
+       |  FROM tf JOIN df USING (term) CROSS JOIN n)
+       |SELECT doc_id, term, tf::BIGINT AS tf, score, rk::BIGINT AS rank
+       |FROM sc WHERE rk <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  // -- PII / pattern scrubbing: match counts + masked length. The corpus is
+  //    synthetic lowercase prose, so the email/URL counts exercise the
+  //    zero path while the keyword pattern exercises real matches.
+  private val ScrubKw = "(key|hash|table)"
+
+  private val scrubQ: (SparkSession, String) => DataFrame = (s, dir) =>
+    spread(t(s, dir, "documents")).select(
+        col("doc_id"),
+        TextKernels.scrubCount(col("text"), TextKernels.EmailPattern).cast("long").as("n_email"),
+        TextKernels.scrubCount(col("text"), TextKernels.UrlPattern).cast("long").as("n_url"),
+        TextKernels.scrubCount(col("text"), ScrubKw).cast("long").as("n_kw"),
+        length(TextKernels.scrub(col("text"), ScrubKw, "<X>")).cast("long").as("masked_len"))
+      .orderBy(col("doc_id"))
+
+  private val scrubSql =
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]+'))::BIGINT AS n_email,
+       |  len(regexp_extract_all(text, 'https?://[^ ]+'))::BIGINT AS n_url,
+       |  len(regexp_extract_all(text, '$ScrubKw'))::BIGINT AS n_kw,
+       |  length(regexp_replace(text, '$ScrubKw', '<X>', 'g'))::BIGINT AS masked_len
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   // -- exact-duplicate groups + per-document fingerprints
   private val dedupExact: (SparkSession, String) => DataFrame = (s, dir) =>
@@ -1086,6 +1213,13 @@ object Queries {
     "q_word2vec"      -> word2vecQ,
     "q_quality"       -> qualityQ,
     "q_sim_join"      -> simJoinQ,
+    "q_dedup_cluster" -> dedupCluster,
+    "q_sample_hash"   -> sampleHash,
+    "q_sample_stratified" -> sampleStratified,
+    "q_source_mix"    -> sourceMix,
+    "q_pack_chunks"   -> packChunks,
+    "q_tfidf"         -> tfidfQ,
+    "q_scrub"         -> scrubQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1124,5 +1258,12 @@ object Queries {
     "q_word2vec"      -> word2vecSql,
     "q_quality"       -> qualitySql,
     "q_sim_join"      -> simJoinSql,
+    "q_dedup_cluster" -> dedupClusterSql,
+    "q_sample_hash"   -> sampleHashSql,
+    "q_sample_stratified" -> sampleStratifiedSql,
+    "q_source_mix"    -> sourceMixSql,
+    "q_pack_chunks"   -> packChunksSql,
+    "q_tfidf"         -> tfidfSql,
+    "q_scrub"         -> scrubSql,
   )
 }

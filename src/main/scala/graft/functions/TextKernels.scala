@@ -69,4 +69,20 @@ object TextKernels {
 
   /** Document fingerprint: md5 of the normalized text. */
   def fingerprint(s: Column): Column = md5(normalizeText(s))
+
+  /** PII / pattern scrubbing. The patterns stay within the regex subset
+    * that Java regex and RE2 (DuckDB) interpret identically — character
+    * classes, alternation, + and ? — so scrub counts and masked text are
+    * engine-portable. Both are codegen'd expressions; at corpus scale the
+    * regex engine is the cost, not the plan (narrow per-row map). */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]+"
+  val UrlPattern = "https?://[^ ]+"
+
+  /** Number of non-overlapping matches of `pattern` in `s`. */
+  def scrubCount(s: Column, pattern: String): Column =
+    regexp_count(s, lit(pattern))
+
+  /** `s` with every match of `pattern` masked by `repl`. */
+  def scrub(s: Column, pattern: String, repl: String): Column =
+    regexp_replace(s, pattern, repl)
 }

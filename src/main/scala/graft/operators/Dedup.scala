@@ -65,4 +65,51 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("cnt"), min(col("id")).as("keeper"))
       .where(col("cnt") > 1)
+
+  /** Connected components over a near-duplicate pair list: (node, cluster)
+    * where cluster = the minimum node id reachable through the pair graph.
+    * This is the step that turns pairwise near-dup hits into dedup GROUPS —
+    * at corpus scale a document can be near-duplicate to many others and
+    * the keep-one-per-group decision needs the transitive closure, not the
+    * pair list.
+    *
+    * Algorithm: distributed min-label propagation — every round each node
+    * adopts the minimum label among itself and its neighbours (one
+    * equi-join + one map-side-combining min aggregation per round, both
+    * plain shuffles on the node id). Rounds needed = graph diameter.
+    * Near-duplicate graphs are clique-like (a dup group collides in most
+    * bands), so the diameter is small (1-3) and this outperforms the
+    * O(log n)-round star-contraction algorithms that pay bigger constants
+    * per round; the `maxRounds` guard bounds pathological chain graphs.
+    * Each round materializes and caches its label frame and unpersists the
+    * previous one, so the lineage (and any recomputation) stays one round
+    * deep — at 100 TB this is where you would checkpoint instead.
+    */
+  def clusters(pairs: DataFrame, a: String = "a", b: String = "b",
+               maxRounds: Int = 50): DataFrame = {
+    val e = pairs.select(col(a).as("x"), col(b).as("y"))
+      .union(pairs.select(col(b).as("x"), col(a).as("y")))
+      .distinct().cache()
+    var labels = e.select(col("x").as("n")).distinct()
+      .select(col("n"), col("n").as("c")).cache()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val next = e.as("e").join(labels.as("l"), col("e.y") === col("l.n"))
+        .select(col("e.x").as("n"), col("l.c").as("c"))
+        .union(labels)
+        .groupBy("n").agg(min("c").as("c"))
+        .cache()
+      next.count() // materialize before dropping the previous round
+      // labels are monotonically non-increasing per node, so "changed" is
+      // exactly the rows whose label shrank this round
+      changed = next.as("nw").join(labels.as("ol"), col("nw.n") === col("ol.n"))
+        .where(col("nw.c") < col("ol.c")).count()
+      labels.unpersist()
+      labels = next
+      round += 1
+    }
+    e.unpersist()
+    labels
+  }
 }

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-document characteristic-term extraction (tf·idf top-k) — the
+  * "what is this document about" feature a corpus-curation pipeline uses
+  * for topic balancing and near-topic dedup triage.
+  *
+  * The idf factor is the rational ratio N/df, not log(N/df): log is a
+  * transcendental whose last ulp differs across libm implementations, while
+  * integer multiply and one correctly-rounded IEEE division are bit-exact
+  * in every engine — a hard requirement for the cross-engine oracle gate.
+  * (The rankings differ from log-idf in general; this is this library's
+  * documented scoring definition, not an approximation of another one.)
+  *
+  * Scale design (100 TB): one shuffle for the (doc, term) counts (map-side
+  * combined), one shuffle keyed on term to attach document frequencies, one
+  * window keyed on doc for the top-k rank — each a plain hash shuffle on a
+  * high-cardinality key, nothing global. The corpus-size N joins in as a
+  * broadcast 1-row frame (no driver collect in the plan).
+  */
+object TfIdf {
+
+  /** Top-k terms per document: (doc_id, term, tf, score, rank) where
+    * score = tf * N / df, rank 1..k by (score desc, term asc). */
+  def topTerms(docs: DataFrame, id: Column, tokens: Column, k: Int): DataFrame = {
+    val words = docs.select(id.as("doc_id"), explode(tokens).as("term"))
+    val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * col("n_docs") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"),
+        col("score"), col("rank").cast("long").as("rank"))
+  }
+}
