@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextKernels
+import graft.operators.{Dedup, Packing, Sampling, TfIdf}
+
+/** Round-4 pipeline operators: dedup clustering, deterministic sampling,
+  * sequence packing, tf-idf, scrubbing. */
+class PipelineOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- clusters
+
+  test("clusters: components of a chain longer than one propagation round") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("a", "b")
+    val got = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("clusters: merging two chains through a bridge node") {
+    // 1-2, 3-4 separate; bridge 2-3 merges them under min id 1
+    val pairs = Seq((3L, 4L), (1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == Set(1L) && got.keySet == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("clusters: empty pair list yields empty labels") {
+    val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.clusters(pairs).count() == 0)
+  }
+
+  // ---------------------------------------------------------------- sampling
+
+  private val ids = spark.range(0, 1000).toDF("id")
+
+  test("hash sample is deterministic, a filter, and rate-proportional") {
+    val s1 = Sampling.sample(ids, col("id"), 37).as[Long].collect().toSet
+    val s2 = Sampling.sample(ids, col("id"), 37).as[Long].collect().toSet
+    assert(s1 == s2)
+    // a 37% hash sample of 1000 uniform ids lands near 370
+    assert(s1.size > 250 && s1.size < 500)
+    // monotone in the rate: a smaller sample is a subset of a larger one
+    val s3 = Sampling.sample(ids, col("id"), 10).as[Long].collect().toSet
+    assert(s3.subsetOf(s1) && Sampling.sample(ids, col("id"), 0).count() == 0)
+  }
+
+  test("stratified sample keeps exactly floor(frac * |stratum|) per stratum") {
+    val df = spark.range(0, 300)
+      .select(col("id"), (col("id") % 3).cast("string").as("g"))
+    val kept = Sampling.stratified(df, col("g"), col("id"), 0.25)
+    val byG = kept.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(byG == Map("0" -> 25L, "1" -> 25L, "2" -> 25L))
+    // deterministic
+    assert(kept.as[(Long, String)].collect().toSet ==
+      Sampling.stratified(df, col("g"), col("id"), 0.25).as[(Long, String)].collect().toSet)
+  }
+
+  test("mix applies per-group rates with a default") {
+    val df = spark.range(0, 600)
+      .select(col("id"), concat(lit("s"), (col("id") % 3)).as("src"))
+    val kept = Sampling.mix(df, col("src"), col("id"),
+      Map("s0" -> 100, "s1" -> 0), 50)
+    val byG = kept.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(byG.getOrElse("s0", 0L) == 200L) // rate 100 keeps all
+    assert(!byG.contains("s1"))             // rate 0 keeps none
+    val s2 = byG.getOrElse("s2", 0L)        // default 50% keeps about half
+    assert(s2 > 60 && s2 < 140)
+  }
+
+  // ----------------------------------------------------------------- packing
+
+  test("packOffsets matches a sequential prefix sum, across bucket splits") {
+    val rows = (0L until 100L).map(i => (i, 1L + (i * 7) % 13))
+    val df = rows.toDF("id", "n")
+    // tiny buckets force multi-bucket offsets; chunk size forces rollover
+    val got = Packing.packOffsets(df, col("id"), col("n"), 16L, buckets = 7)
+      .select("id", "start", "chunk").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    var cum = 0L
+    rows.zip(got).foreach { case ((id, n), (gid, start, chunk)) =>
+      assert(gid == id && start == cum && chunk == cum / 16, s"id $id")
+      cum += n
+    }
+  }
+
+  test("packOffsets on sparse non-dense ids still assigns id-order offsets") {
+    val df = Seq((5L, 10L), (100L, 10L), (1000L, 10L), (7L, 5L)).toDF("id", "n")
+    val got = Packing.packOffsets(df, col("id"), col("n"), 8L, buckets = 3)
+      .select("id", "start").as[(Long, Long)].collect().toMap
+    assert(got == Map(5L -> 0L, 7L -> 10L, 100L -> 15L, 1000L -> 25L))
+  }
+
+  // ------------------------------------------------------------------ tf-idf
+
+  test("tf-idf ranks corpus-rare repeated terms highest") {
+    val docs = Seq(
+      (1L, "apple apple banana shared"),
+      (2L, "banana cherry shared"),
+      (3L, "shared cherry date date date")).toDF("doc_id", "text")
+    val got = TfIdf.topTerms(docs, col("doc_id"), TextKernels.wordTokens(col("text")), 2)
+      .select("doc_id", "term", "rank").as[(Long, String, Long)]
+      .collect().toSet
+    // doc 1: apple tf=2 df=1 -> 6.0; banana tf=1 df=2 -> 1.5
+    // doc 3: date tf=3 df=1 -> 9.0; cherry tf=1 df=2 -> 1.5
+    assert(got.contains((1L, "apple", 1L)) && got.contains((1L, "banana", 2L)))
+    assert(got.contains((3L, "date", 1L)) && got.contains((3L, "cherry", 2L)))
+    // every doc got exactly 2 ranked terms
+    assert(got.groupBy(_._1).forall(_._2.size == 2))
+  }
+
+  test("tf-idf breaks score ties by term, ranks are dense per doc") {
+    val docs = Seq((1L, "b a"), (2L, "x y")).toDF("doc_id", "text")
+    val got = TfIdf.topTerms(docs, col("doc_id"), TextKernels.wordTokens(col("text")), 2)
+      .select("doc_id", "term", "rank").as[(Long, String, Long)].collect().toSet
+    // all four terms have tf=1 df=1 -> equal scores; term order decides
+    assert(got == Set((1L, "a", 1L), (1L, "b", 2L), (2L, "x", 1L), (2L, "y", 2L)))
+  }
+
+  // ------------------------------------------------------------------- scrub
+
+  test("scrub counts and masks email/url/keyword patterns") {
+    val df = Seq(
+      (1L, "contact bob@example.com or see https://x.io/a now"),
+      (2L, "plain text no matches")).toDF("id", "text")
+    val got = df.select(
+      col("id"),
+      TextKernels.scrubCount(col("text"), TextKernels.EmailPattern).as("ne"),
+      TextKernels.scrubCount(col("text"), TextKernels.UrlPattern).as("nu"),
+      TextKernels.scrub(col("text"), TextKernels.UrlPattern, "<URL>").as("m"))
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    assert(got(0)._2 == 1 && got(0)._3 == 1)
+    assert(got(0)._4 == "contact bob@example.com or see <URL> now")
+    assert(got(1)._2 == 0 && got(1)._3 == 0 && got(1)._4 == "plain text no matches")
+  }
+}
