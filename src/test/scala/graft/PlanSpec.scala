@@ -97,4 +97,56 @@ class PlanSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(plan).size >= 2)
     assert(plan.contains("Exchange"))
   }
+
+  test("hash sample: a narrow filter — no shuffle, no window, pruned scan") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = planOf(graft.operators.Sampling.sample(docs, col("doc_id"), 37)
+      .select("doc_id", "lang"))
+    assert(!plan.contains("Exchange"), "sampling must not shuffle")
+    assert(!plan.contains("Window"))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      "scan must prune to the two projected columns")
+  }
+
+  test("stratified sample: exactly one shuffle, keyed on the stratum") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = planOf(graft.operators.Sampling.stratified(
+      docs, col("lang"), col("doc_id"), 0.3))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"one stratum shuffle expected:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition") &&
+      !plan.contains("Exchange rangepartitioning"),
+      "no global sort/single-partition stage")
+  }
+
+  test("packing: per-bucket windows plus a broadcast of the bucket offsets — " +
+    "never a global single-partition window over the data") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = planOf(graft.operators.Packing.packOffsets(docs,
+      col("doc_id"), size(TextKernels.wordTokens(col("text"))), 2048L))
+    assert(plan.contains("BroadcastHashJoin"),
+      "bucket offsets must broadcast-join back onto the data")
+    // the only SinglePartition exchange feeds the bucket-totals prefix sum
+    // (|buckets| rows), downstream of a partial aggregation
+    val dataWindows = "Window \\[sum".r.findAllIn(plan).size
+    assert(dataWindows >= 1 && plan.contains("Exchange hashpartitioning"),
+      "per-bucket running sums must be hash-partitioned by bucket")
+  }
+
+  test("cluster propagation round: equi-joins only, no cartesian product") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val plan = planOf(graft.operators.Dedup.clusters(pairs))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("tf-idf: corpus size joins as a broadcast, term/doc shuffles are hash-keyed") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = planOf(graft.operators.TfIdf.topTerms(docs,
+      col("doc_id"), TextKernels.wordTokens(col("text")), 3))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "the 1-row corpus count must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("Exchange hashpartitioning"))
+  }
 }
