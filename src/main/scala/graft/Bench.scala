@@ -66,6 +66,16 @@ object Bench {
         graft.operators.BoundFacet("wa", fd, Seq(0.5, 0.6)),
         graft.operators.BoundFacet("wb", fd, Seq(0.5, 0.4)))
       graft.operators.RankAggregate.topK(spark, fs, 3, 300).count()
+      // regex scan (scrub/fingerprint) + windowed prefix-sum (packing,
+      // stratified sampling) shapes
+      w.selectExpr(
+        "length(regexp_replace(s, '(1|2|3)', 'x')) r",
+        "regexp_count(s, '(4|5)') c").agg(
+          org.apache.spark.sql.functions.sum("r"),
+          org.apache.spark.sql.functions.sum("c")).count()
+      w.selectExpr("s", "k",
+        "sum(length(s)) OVER (PARTITION BY k ORDER BY s) cum",
+        "row_number() OVER (PARTITION BY k ORDER BY s) rn").count()
     }
     var errors = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

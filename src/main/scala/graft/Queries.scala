@@ -1096,8 +1096,10 @@ object Queries {
   // ----------------------------------------------------------------------
   // end-to-end training-data pipeline: the LLM operators COMPOSED —
   // quality filter -> exact-dup removal (keep min doc_id per fingerprint)
-  // -> near-dup removal (drop the higher id of each verified MinHash pair)
-  // -> per-survivor token count. One declarative plan; every stage is the
+  // -> near-dup removal (connected components over the verified MinHash
+  // pairs; keep each component's min-id representative — pair-local "drop
+  // the higher id" would keep extra members of a group whose pairs all
+  // point at larger ids) -> per-survivor token count. Every stage is the
   // same operator the standalone queries verify individually.
   // ----------------------------------------------------------------------
   private val pipelineQ: (SparkSession, String) => DataFrame = (s, dir) => {
@@ -1121,8 +1123,9 @@ object Queries {
     // entries are MEMORY_AND_DISK and shed via LRU in long sessions.
     val survivors = quality.join(keepers, Seq("doc_id"), "left_semi").cache()
     val shingles = TextKernels.wordShingles2(TextKernels.wordTokens(col("text")))
-    val nearDupLosers = Dedup.minhashPairs(survivors, "doc_id", shingles, 0.8)
-      .select(col("b").as("doc_id")).distinct()
+    val pairs = Dedup.minhashPairs(survivors, "doc_id", shingles, 0.8)
+    val nearDupLosers = Dedup.clusters(pairs)
+      .where(col("c") < col("n")).select(col("n").as("doc_id"))
     survivors
       .join(nearDupLosers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_tokens"))
@@ -1144,9 +1147,12 @@ object Queries {
     val pairs = minhashPairsSql(
       s"""tk0 AS (SELECT doc_id, ${sqlWords("text")} AS w FROM $survivorsSub sv0),
          |sh AS (SELECT doc_id, ${sqlShingles2("w")} AS g FROM tk0)""".stripMargin, 0.8)
-    s"""WITH pairs AS ($pairs),
+    s"""WITH RECURSIVE pairs AS ($pairs),
        |survivors AS (SELECT * FROM $survivorsSub sv),
-       |losers AS (SELECT DISTINCT b AS doc_id FROM pairs)
+       |edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b AS x, a AS y FROM pairs),
+       |r AS (SELECT x AS n, y AS m FROM edges
+       |      UNION SELECT r.n, e.y FROM r JOIN edges e ON r.m = e.x),
+       |losers AS (SELECT n AS doc_id FROM r GROUP BY n HAVING min(m) < n)
        |SELECT doc_id, n_tokens FROM survivors
        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
        |ORDER BY doc_id""".stripMargin

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{NativeKernels, TextKernels}
+import graft.functions.{NativeKernels, SimKernels, TextKernels}
 import graft.operators._
 
 /** Scalability probe: replicates the sf0.1 corpus 1x/4x/16x in memory and
@@ -67,8 +67,23 @@ object ScaleProbe {
           Seq(BoundFacet("l2", f0, Seq(0.6)), BoundFacet("l1", f1, Seq(0.4))),
           10, 10000).count()
       }
+      // round-4 pipeline ops: clustering over a materialized pair list
+      // (pair generation is the minhash probe above), packing's two-phase
+      // prefix sum, and tf-idf's two keyed shuffles
+      val pairs = Dedup.minhashPairs(docs, "doc_id",
+        SimKernels.qgrams(substring(col("text"), 1, 200), 10), 0.8).cache()
+      pairs.count()
+      val tCluster = timeIt { Dedup.clusters(pairs).count() }
+      pairs.unpersist()
+      val tPack = timeIt {
+        Packing.packOffsets(docs, col("doc_id"),
+          size(TextKernels.wordTokens(col("text"))), 2048L).count()
+      }
+      val tTfidf = timeIt {
+        TfIdf.topTerms(docs, col("doc_id"), TextKernels.wordTokens(col("text")), 3).count()
+      }
       if (mult0 > 0)
-        println(s"""{"mult":$mult,"docs":${docs.count()},"minhash_sec":$tMinhash,"ann_sec":$tAnn,"rankagg_sec":$tRankAgg}""")
+        println(s"""{"mult":$mult,"docs":${docs.count()},"minhash_sec":$tMinhash,"ann_sec":$tAnn,"rankagg_sec":$tRankAgg,"cluster_sec":$tCluster,"pack_sec":$tPack,"tfidf_sec":$tTfidf}""")
       docs.unpersist(); emb.unpersist()
     }
     spark.stop()

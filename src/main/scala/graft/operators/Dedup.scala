@@ -86,25 +86,82 @@ object Dedup {
     * deep — at 100 TB this is where you would checkpoint instead.
     */
   def clusters(pairs: DataFrame, a: String = "a", b: String = "b",
-               maxRounds: Int = 50): DataFrame = {
+               maxRounds: Int = 50, localEdgeLimit: Long = 2000000L): DataFrame = {
+    // duplicate edges are harmless to a min-aggregation, so no distinct()
+    // pass; near-dup pair generators emit unique (a < b) pairs anyway
     val e = pairs.select(col(a).as("x"), col(b).as("y"))
       .union(pairs.select(col(b).as("x"), col(a).as("y")))
-      .distinct().cache()
+      .cache()
+    // Size-gated local fast path — the same philosophy as Spark's broadcast
+    // join: when the EDGE LIST (not the corpus) fits on the driver, a local
+    // union-find beats rounds of tiny distributed jobs by orders of
+    // magnitude. Near-dup graphs are sparse (pairs, not documents), so even
+    // 100 TB corpora often land here; the propagation loop below covers the
+    // genuinely large case. Integral ids only — anything else stays
+    // distributed.
+    val idType = e.schema("x").dataType
+    val integral = idType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val nEdges = e.count()
+    if (integral && nEdges <= localEdgeLimit) {
+      val edges = e.select(col("x").cast("long"), col("y").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(v: Long): Long = {
+        var r = v
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = v // path compression
+        while (parent.getOrElse(c, c) != r) { val p = parent(c); parent(c) = r; c = p }
+        r
+      }
+      edges.foreach { case (x, y) =>
+        parent.getOrElseUpdate(x, x); parent.getOrElseUpdate(y, y)
+        val (rx, ry) = (find(x), find(y))
+        if (rx != ry) parent(rx) = ry
+      }
+      val nodes = parent.keys.toArray
+      val minOfRoot = scala.collection.mutable.HashMap.empty[Long, Long]
+      nodes.foreach { n =>
+        val r = find(n)
+        minOfRoot(r) = math.min(minOfRoot.getOrElse(r, n), n)
+      }
+      e.unpersist()
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val out = nodes.sorted.map(n => (n, minOfRoot(find(n)))).toSeq
+        .toDF("n", "c")
+      return out.select(col("n").cast(idType).as("n"), col("c").cast(idType).as("c"))
+    }
     var labels = e.select(col("x").as("n")).distinct()
       .select(col("n"), col("n").as("c")).cache()
-    var changed = 1L
+    // Convergence test for numeric ids in the SAME job that materializes
+    // the round: labels are monotonically non-increasing per node over a
+    // fixed node set, so the label sum strictly decreases until the
+    // fixpoint — one exact decimal aggregate per round replaces a count +
+    // a changed-rows join. Non-numeric ids (no sum) pay the join instead.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("c").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = if (integral) labelSum(labels) else null // null when empty -> 1 round
+    var converged = false
     var round = 0
-    while (changed > 0 && round < maxRounds) {
+    while (!converged && round < maxRounds) {
       val next = e.as("e").join(labels.as("l"), col("e.y") === col("l.n"))
         .select(col("e.x").as("n"), col("l.c").as("c"))
         .union(labels)
         .groupBy("n").agg(min("c").as("c"))
         .cache()
-      next.count() // materialize before dropping the previous round
-      // labels are monotonically non-increasing per node, so "changed" is
-      // exactly the rows whose label shrank this round
-      changed = next.as("nw").join(labels.as("ol"), col("nw.n") === col("ol.n"))
-        .where(col("nw.c") < col("ol.c")).count()
+      if (integral) {
+        val s = labelSum(next)
+        converged = java.util.Objects.equals(s, prevSum)
+        prevSum = s
+      } else {
+        converged = next.as("nw")
+          .join(labels.as("ol"), col("nw.n") === col("ol.n"))
+          .where(col("nw.c") =!= col("ol.c")).count() == 0
+      }
       labels.unpersist()
       labels = next
       round += 1

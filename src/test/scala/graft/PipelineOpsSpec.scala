@@ -15,21 +15,37 @@ class PipelineOpsSpec extends SparkTestBase {
   test("clusters: components of a chain longer than one propagation round") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
       .toDF("a", "b")
-    val got = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
-      10L -> 10L, 11L -> 10L))
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L)
+    // local union-find fast path (default gate) and the distributed
+    // propagation loop (gate forced off) must agree exactly
+    val local = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    val dist = Dedup.clusters(pairs, localEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(local == expected && dist == expected)
   }
 
-  test("clusters: merging two chains through a bridge node") {
+  test("clusters: merging two chains through a bridge node, both paths") {
     // 1-2, 3-4 separate; bridge 2-3 merges them under min id 1
     val pairs = Seq((3L, 4L), (1L, 2L), (2L, 3L)).toDF("a", "b")
-    val got = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
-    assert(got.values.toSet == Set(1L) && got.keySet == Set(1L, 2L, 3L, 4L))
+    for (limit <- Seq(0L, 2000000L)) {
+      val got = Dedup.clusters(pairs, localEdgeLimit = limit)
+        .as[(Long, Long)].collect().toMap
+      assert(got.values.toSet == Set(1L) && got.keySet == Set(1L, 2L, 3L, 4L))
+    }
   }
 
   test("clusters: empty pair list yields empty labels") {
     val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Dedup.clusters(pairs).count() == 0)
+    assert(Dedup.clusters(pairs, localEdgeLimit = 0L).count() == 0)
+  }
+
+  test("clusters: non-integral ids take the distributed path and agree") {
+    val pairs = Seq(("d1", "d2"), ("d2", "d3"), ("x9", "x8")).toDF("a", "b")
+    val got = Dedup.clusters(pairs).as[(String, String)].collect().toMap
+    assert(got == Map("d1" -> "d1", "d2" -> "d1", "d3" -> "d1",
+      "x9" -> "x8", "x8" -> "x8"))
   }
 
   // ---------------------------------------------------------------- sampling

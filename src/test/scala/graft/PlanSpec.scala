@@ -134,8 +134,10 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("cluster propagation round: equi-joins only, no cartesian product") {
+    // force the distributed propagation loop (the local union-find fast
+    // path has no plan to audit)
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
-    val plan = planOf(graft.operators.Dedup.clusters(pairs))
+    val plan = planOf(graft.operators.Dedup.clusters(pairs, localEdgeLimit = 0L))
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
