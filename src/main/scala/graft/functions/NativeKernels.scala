@@ -139,7 +139,13 @@ object NativeKernels {
     * form walks the digest array once per signature through interpreted
     * higher-order functions; this computes every window minimum in the
     * single digest pass. */
-  private case class BandKeysExpr(child: Expression,
+  // private[functions], NOT private: Scala-private nested classes compile to
+  // JVM-inaccessible classes, and Janino then rejects the generated
+  // `((NativeKernels$BandKeysExpr) references[i]).computeKeys(...)` call with
+  // "no applicable method" — silently disabling whole-stage codegen for every
+  // plan containing this expression. private[functions] keeps the source
+  // surface closed but emits a public class the generated code can call.
+  private[functions] case class BandKeysExpr(child: Expression,
       numHashes: Int, numBands: Int, rowsPerBand: Int)
       extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -242,11 +248,47 @@ object NativeKernels {
         f(args(0), args(1))
       })
 
+  /** graft_hash_pct(id): the portable md5 hash bucket in [0, 100) the
+    * deterministic sampling operators key on ([[graft.operators.Sampling]]),
+    * composed from built-in codegen'd expressions (the analyzer applies the
+    * same string->binary coercion the Column API gets). */
+  private def hashPctExpr(id: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Literal, Md5, Pmod, Substring}
+    import org.apache.spark.sql.types.{LongType, StringType}
+    Pmod(Cast(Conv(Substring(Md5(Cast(Cast(id, StringType),
+      org.apache.spark.sql.types.BinaryType)), Literal(1), Literal(6)),
+      Literal(16), Literal(10)), LongType), Literal(100L))
+  }
+
+  /** Foldable-int extraction for literal SQL arguments. */
+  private def litInt(name: String, e: Expression): Int = {
+    require(e.foldable, s"$name expects a literal integer argument")
+    e.eval() match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"$name expects an integer literal, got $other")
+    }
+  }
+
   /** SQL-facing descriptors for [[graft.GraftExtensions]]: each native
     * kernel as a `graft_*` function callable from `spark.sql`. */
   val sqlFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       binary("graft_cosine_sim", CosineSimExpr.apply),
       binary("graft_l2_dist", L2DistExpr.apply),
-      binary("graft_l1_dist", L1DistExpr.apply))
+      binary("graft_l1_dist", L1DistExpr.apply),
+      (FunctionIdentifier("graft_hash_pct"),
+        new ExpressionInfo(NativeKernels.getClass.getCanonicalName, "graft_hash_pct"),
+        args => {
+          require(args.length == 1, s"graft_hash_pct takes exactly 1 argument, got ${args.length}")
+          hashPctExpr(args(0))
+        }),
+      (FunctionIdentifier("graft_band_keys"),
+        new ExpressionInfo(NativeKernels.getClass.getCanonicalName, "graft_band_keys"),
+        args => {
+          require(args.length == 4,
+            s"graft_band_keys(shingles, numHashes, numBands, rowsPerBand) takes 4 arguments, got ${args.length}")
+          BandKeysExpr(args(0), litInt("graft_band_keys", args(1)),
+            litInt("graft_band_keys", args(2)), litInt("graft_band_keys", args(3)))
+        }))
 }

@@ -44,4 +44,38 @@ class GraftExtensionsSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("2 arguments") || e.getMessage.contains("graft_l2_dist"))
   }
+
+  test("graft_hash_pct matches Sampling.hashPct and bounds to [0, 100)") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    val viaSql = spark.sql(
+      "SELECT id, graft_hash_pct(id) p FROM range(0, 500)")
+      .orderBy("id").collect().map(_.getLong(1))
+    val viaCol = spark.range(0, 500)
+      .select(col("id"), graft.operators.Sampling.hashPct(col("id")).as("p"))
+      .orderBy("id").collect().map(_.getLong(1))
+    assert(viaSql.sameElements(viaCol))
+    assert(viaSql.forall(p => p >= 0 && p < 100))
+  }
+
+  test("graft_band_keys matches the Column API and validates literal args") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    docs.createOrReplaceTempView("docs_ext")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_band_keys(
+        |  array_distinct(filter(transform(split(text, ' '), t -> trim(t)), t -> t != '')),
+        |  16, 4, 4) bk FROM docs_ext""".stripMargin)
+      .orderBy("doc_id").collect().map(_.getSeq[String](1))
+    val toks = array_distinct(graft.functions.TextKernels.wordTokens(col("text")))
+    val viaCol = docs.select(col("doc_id"),
+        graft.functions.NativeKernels.bandKeys(toks, 16, 4, 4).as("bk"))
+      .orderBy("doc_id").collect().map(_.getSeq[String](1))
+    assert(viaSql.length == 50 && viaSql.zip(viaCol).forall { case (a, b) => a == b })
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_band_keys(array('a'), 16, 4)").head()
+    }
+    assert(e.getMessage.contains("4 arguments") || e.getMessage.contains("graft_band_keys"))
+  }
 }

@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Strict codegen regression for the band-keys expression.
+  *
+  * UnsafeProjection.create CATCHES Janino compile errors and silently falls
+  * back to interpreted evaluation — which is exactly how a Scala-`private`
+  * BandKeysExpr disabled whole-stage codegen for every MinHash plan without
+  * failing a single test. GenerateUnsafeProjection.generate does NOT catch:
+  * a compile regression fails this test instead of degrading silently.
+  */
+class BandKeysCodegenSpec extends AnyFunSuite {
+
+  test("BandKeysExpr compiles under strict UnsafeProjection codegen and evaluates") {
+    val e = NativeKernels.BandKeysExpr(
+      BoundReference(0, ArrayType(StringType), nullable = true), 16, 4, 4)
+    val proj = GenerateUnsafeProjection.generate(Seq(e)) // throws on compile error
+    val arr = new GenericArrayData(
+      Array[Any](UTF8String.fromString("ab"), UTF8String.fromString("cd")))
+    val out = proj(new GenericInternalRow(Array[Any](arr))).getArray(0)
+    assert(out.numElements() == 4)
+    // generated code agrees with interpreted eval
+    val interp = e.eval(new GenericInternalRow(Array[Any](arr)))
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert((0 until 4).forall(i =>
+      out.getUTF8String(i).toString == interp.getUTF8String(i).toString))
+  }
+}
