@@ -402,11 +402,15 @@ object Queries {
     val idx = p * (n - 1)
     val lo = math.floor(idx).toLong
     val frac = idx - math.floor(idx)
-    import org.apache.spark.sql.expressions.Window
-    val ranked = scores.withColumn("rn", row_number().over(Window.orderBy(col("s"), col("id"))))
-    val picked = ranked.where(col("rn") === lo + 1 || col("rn") === lo + 2)
-      .orderBy(col("rn")).select(col("s")).collect().map(_.getDouble(0))
-    val est = if (picked.length < 2) picked(0) else picked(0) + (picked(1) - picked(0)) * frac
+    // the two interpolation rows sit at ascending ranks lo+1 and lo+2 with
+    // lo ~ n-11, i.e. inside the top (n-lo) rows from the END — a
+    // shuffle-free TakeOrdered heap on the inverted order fetches them;
+    // ranking the whole facet through a global single-partition window
+    // (the naive formulation) sorts 100% of the data to read 2 rows
+    val tail = scores.orderBy(col("s").desc, col("id").desc)
+      .limit((n - lo).toInt)
+      .select(col("s")).collect().map(_.getDouble(0)).reverse
+    val est = if (tail.length < 2) tail(0) else tail(0) + (tail(1) - tail(0)) * frac
     s.range(1).select(round(lit(est), 6).as("weight"))
   }
 
@@ -846,11 +850,18 @@ object Queries {
   // fixture is irreproducible by design — documented divergence.
   // ----------------------------------------------------------------------
   private val pivotMultimetric: (SparkSession, String) => DataFrame = (s, dir) => {
-    val e = spread(t(s, dir, "embeddings"))
-      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+    // both metric distances in ONE cached projection (the orderShared
+    // pattern): phase-1 top-M and phase-2 exact scoring would otherwise
+    // re-read + re-cast the embedding parquet once per facet per phase
     val qc = array(queryVec(s, dir).map(lit): _*)
-    val f0 = e.select(col("id"), graft.functions.NativeKernels.l2Dist(col("v"), qc).as("d"))
-    val f1 = e.select(col("id"), graft.functions.NativeKernels.l1Dist(col("v"), qc).as("d"))
+    val base = spread(t(s, dir, "embeddings"))
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("id"),
+        graft.functions.NativeKernels.l2Dist(col("v"), qc).as("d0"),
+        graft.functions.NativeKernels.l1Dist(col("v"), qc).as("d1"))
+      .cache()
+    val f0 = base.select(col("id"), col("d0").as("d"))
+    val f1 = base.select(col("id"), col("d1").as("d"))
     RankAggregate.topK(s,
       Seq(BoundFacet("euclidean", f0, Seq(0.6)), BoundFacet("manhattan", f1, Seq(0.4))),
       10, 10000)
