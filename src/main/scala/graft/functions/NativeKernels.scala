@@ -20,12 +20,20 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   */
 object NativeKernels {
 
-  private abstract class ArrayPairExpression extends BinaryExpression {
+  private[functions] abstract class ArrayPairExpression extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullIntolerant: Boolean = true
 
-    /** Java loop body: given array vars `a`, `b` and length `n`, set `result`. */
-    protected def loopCode(a: String, b: String, n: String, result: String): String
+    /** Java loop body: given array vars `a`, `b` and length `n`, set
+      * `result`. EVERY local the body declares must come from
+      * `ctx.freshName` — fixed names collide when two kernel expressions
+      * land in one generated function (a projection computing both l2 and
+      * l1), and a literal `i` collides with UnsafeProjection's input-row
+      * PARAMETER `i` (Java forbids shadowing parameters); either way
+      * Janino rejects the code and Spark silently disables codegen for
+      * the plan (BandKeysCodegenSpec compiles strictly to catch this). */
+    protected def loopCode(ctx: CodegenContext, a: String, b: String,
+        n: String, result: String): String
     protected def compute(a: ArrayData, b: ArrayData): Double
 
     override def nullSafeEval(l: Any, r: Any): Any =
@@ -36,14 +44,14 @@ object NativeKernels {
         val n = ctx.freshName("n")
         s"""
            |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |${loopCode(a, b, n, ev.value)}
+           |${loopCode(ctx, a, b, n, ev.value)}
          """.stripMargin
       })
   }
 
   /** Cosine similarity in one pass (dot + both norms); zero-norm inputs
     * score 0 (mirrors SimKernels.cosineSim). */
-  private case class CosineSimExpr(left: Expression, right: Expression)
+  private[functions] case class CosineSimExpr(left: Expression, right: Expression)
       extends ArrayPairExpression {
     override def prettyName: String = "cosine_sim_native"
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -60,20 +68,24 @@ object NativeKernels {
       if (math.sqrt(na) == 0.0 || math.sqrt(nb) == 0.0) 0.0 else dot / d
     }
 
-    override protected def loopCode(a: String, b: String, n: String, result: String): String =
+    override protected def loopCode(ctx: CodegenContext, a: String, b: String,
+        n: String, result: String): String = {
+      val (dot, na, nb, i, x, y) = (ctx.freshName("dot"), ctx.freshName("na"),
+        ctx.freshName("nb"), ctx.freshName("i"), ctx.freshName("x"), ctx.freshName("y"))
       s"""
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < $n; i++) {
-         |  double x = $a.getDouble(i); double y = $b.getDouble(i);
-         |  dot += x * y; na += x * x; nb += y * y;
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $a.getDouble($i); double $y = $b.getDouble($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |na = java.lang.Math.sqrt(na); nb = java.lang.Math.sqrt(nb);
-         |$result = (na == 0.0 || nb == 0.0) ? 0.0 : dot / (na * nb);
+         |$na = java.lang.Math.sqrt($na); $nb = java.lang.Math.sqrt($nb);
+         |$result = ($na == 0.0 || $nb == 0.0) ? 0.0 : $dot / ($na * $nb);
        """.stripMargin
+    }
   }
 
   /** L2 (Euclidean) distance. */
-  private case class L2DistExpr(left: Expression, right: Expression)
+  private[functions] case class L2DistExpr(left: Expression, right: Expression)
       extends ArrayPairExpression {
     override def prettyName: String = "l2_dist_native"
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -86,18 +98,21 @@ object NativeKernels {
       math.sqrt(s)
     }
 
-    override protected def loopCode(a: String, b: String, n: String, result: String): String =
+    override protected def loopCode(ctx: CodegenContext, a: String, b: String,
+        n: String, result: String): String = {
+      val (s, i, d) = (ctx.freshName("s"), ctx.freshName("i"), ctx.freshName("d"))
       s"""
-         |double s = 0.0;
-         |for (int i = 0; i < $n; i++) {
-         |  double d = $a.getDouble(i) - $b.getDouble(i); s += d * d;
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i); $s += $d * $d;
          |}
-         |$result = java.lang.Math.sqrt(s);
+         |$result = java.lang.Math.sqrt($s);
        """.stripMargin
+    }
   }
 
   /** L1 (Manhattan) distance. */
-  private case class L1DistExpr(left: Expression, right: Expression)
+  private[functions] case class L1DistExpr(left: Expression, right: Expression)
       extends ArrayPairExpression {
     override def prettyName: String = "l1_dist_native"
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -110,14 +125,17 @@ object NativeKernels {
       s
     }
 
-    override protected def loopCode(a: String, b: String, n: String, result: String): String =
+    override protected def loopCode(ctx: CodegenContext, a: String, b: String,
+        n: String, result: String): String = {
+      val (s, i) = (ctx.freshName("s"), ctx.freshName("i"))
       s"""
-         |double s = 0.0;
-         |for (int i = 0; i < $n; i++) {
-         |  s += java.lang.Math.abs($a.getDouble(i) - $b.getDouble(i));
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += java.lang.Math.abs($a.getDouble($i) - $b.getDouble($i));
          |}
-         |$result = s;
+         |$result = $s;
        """.stripMargin
+    }
   }
 
   import GraftColumnBridge.{column, expression}

@@ -18,6 +18,21 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class BandKeysCodegenSpec extends AnyFunSuite {
 
+  test("array-distance kernels compile under strict UnsafeProjection codegen") {
+    import org.apache.spark.sql.types.DoubleType
+    val a = BoundReference(0, ArrayType(DoubleType), nullable = true)
+    val b = BoundReference(1, ArrayType(DoubleType), nullable = true)
+    val proj = GenerateUnsafeProjection.generate(Seq(
+      NativeKernels.CosineSimExpr(a, b),
+      NativeKernels.L2DistExpr(a, b),
+      NativeKernels.L1DistExpr(a, b)))
+    val arr = new GenericArrayData(Array[Any](3.0, 4.0))
+    val zero = new GenericArrayData(Array[Any](0.0, 0.0))
+    val out = proj(new GenericInternalRow(Array[Any](zero, arr)))
+    assert(out.getDouble(0) == 0.0) // zero-norm guard
+    assert(out.getDouble(1) == 5.0 && out.getDouble(2) == 7.0)
+  }
+
   test("BandKeysExpr compiles under strict UnsafeProjection codegen and evaluates") {
     val e = NativeKernels.BandKeysExpr(
       BoundReference(0, ArrayType(StringType), nullable = true), 16, 4, 4)
