@@ -658,6 +658,75 @@ object Queries {
        |SELECT doc_id, ($bits)::BIGINT AS simhash FROM h ORDER BY doc_id""".stripMargin
   }
 
+  // -- SimHash near-dup PAIRS: 64-bit fingerprints as 4 x 16-bit bands,
+  //    band-bucket join (pigeonhole: hamming <= 3 collides on >= 1 band),
+  //    hamming verify via bit_count(xor). Complements q_dedup_minhash:
+  //    SimHash hamming tracks weighted-feature overlap and verifies with
+  //    one integer op per candidate instead of an array intersection.
+  private val simhashPairsQ: (SparkSession, String) => DataFrame = (s, dir) =>
+    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id",
+      TextKernels.wordTokens(col("text")), maxHamming = 3)
+      .orderBy(col("a"), col("b"))
+
+  private val simhashPairsSql = {
+    // 64 signed bit-sums: bit j of a token's md5 = bit (j%4) of hex nibble
+    // (j/4); sum over distinct tokens of (2*bit - 1)
+    def bitSum(j: Int) = {
+      val nib = s"(instr('0123456789abcdef', substr(h, ${j / 4 + 1}, 1)) - 1)"
+      s"list_sum(list_transform(hs, h -> (($nib // ${1 << (j % 4)}) % 2) * 2 - 1))"
+    }
+    val bands = (0 until 4).map { b =>
+      (0 until 16).map(j => s"(CASE WHEN ${bitSum(b * 16 + j)} > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString("(", " + ", s") AS b$b")
+    }.mkString(",\n  ")
+    val bandEq = (0 until 4).map(b => s"x.b$b = y.b$b").mkString(" OR ")
+    val ham = (0 until 4).map(b => s"bit_count(xor(x.b$b, y.b$b)::BIGINT)").mkString(" + ")
+    s"""WITH tk AS (SELECT doc_id, list_distinct(${sqlWords("text")}) AS w FROM documents),
+       |hv AS (SELECT doc_id, list_transform(w, t -> md5(t)) AS hs FROM tk),
+       |bd AS (SELECT doc_id,
+       |  $bands
+       |FROM hv)
+       |SELECT a, b, hamming FROM (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, ($ham)::BIGINT AS hamming
+       |  FROM bd x JOIN bd y ON x.doc_id < y.doc_id AND ($bandEq))
+       |WHERE hamming <= 3 ORDER BY a, b""".stripMargin
+  }
+
+  // -- benchmark decontamination: count distinct word 2-shingles each
+  //    training document shares with the UNION of an eval set's shingles
+  //    (eval set = doc_id % 50 == 0). The eval shingle set is small by
+  //    nature (benchmarks are tiny vs the corpus), so it broadcasts into
+  //    the corpus scan; the count is a two-phase hash aggregate.
+  private val ContamEvalMod = 50
+  private val ContamFlagMin = 5
+
+  private val contaminationQ: (SparkSession, String) => DataFrame = (s, dir) => {
+    val sh = spread(t(s, dir, "documents")).select(col("doc_id"),
+      explode(TextKernels.wordShingles2(TextKernels.wordTokens(col("text")))).as("g"))
+    val evalSet = sh.where(col("doc_id") % ContamEvalMod === 0).select(col("g")).distinct()
+    val counts = sh.where(col("doc_id") % ContamEvalMod =!= 0)
+      .join(broadcast(evalSet), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    t(s, dir, "documents").where(col("doc_id") % ContamEvalMod =!= 0).select(col("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).cast("long").as("n_shared"),
+        when(coalesce(col("n_shared"), lit(0L)) >= ContamFlagMin, 1L).otherwise(0L)
+          .cast("long").as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val contaminationSql =
+    s"""WITH tk AS (SELECT doc_id, ${sqlWords("text")} AS w FROM documents),
+       |sh AS (SELECT doc_id, unnest(${sqlShingles2("w")}) AS g FROM tk),
+       |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % $ContamEvalMod = 0),
+       |ct AS (SELECT doc_id, count(*) AS n_shared
+       |       FROM sh JOIN ev USING (g) WHERE doc_id % $ContamEvalMod <> 0 GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(ct.n_shared, 0)::BIGINT AS n_shared,
+       |  (CASE WHEN coalesce(ct.n_shared, 0) >= $ContamFlagMin THEN 1 ELSE 0 END)::BIGINT AS contaminated
+       |FROM documents d LEFT JOIN ct ON d.doc_id = ct.doc_id
+       |WHERE d.doc_id % $ContamEvalMod <> 0 ORDER BY d.doc_id""".stripMargin
+
   // -- text quality statistics
   private val enStops = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
@@ -1237,6 +1306,8 @@ object Queries {
     "q_pack_chunks"   -> packChunks,
     "q_tfidf"         -> tfidfQ,
     "q_scrub"         -> scrubQ,
+    "q_simhash_pairs" -> simhashPairsQ,
+    "q_contamination" -> contaminationQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1282,5 +1353,7 @@ object Queries {
     "q_pack_chunks"   -> packChunksSql,
     "q_tfidf"         -> tfidfSql,
     "q_scrub"         -> scrubSql,
+    "q_simhash_pairs" -> simhashPairsSql,
+    "q_contamination" -> contaminationSql,
   )
 }

@@ -62,6 +62,45 @@ object TextKernels {
     bits.reduce(_ + _)
   }
 
+  /** 64-bit SimHash over a token array, returned as FOUR 16-bit band values
+    * (array<int>, little-endian bit order within each band). Keeping the
+    * bands separate serves both sides of the near-dup pipeline: each band is
+    * directly an LSH bucket key (two fingerprints within hamming distance 3
+    * must agree on at least one of the 4 bands — pigeonhole), and the full
+    * hamming distance is the sum of per-band `bit_count(xor)`s without any
+    * 64-bit sign gymnastics. Bit j of a token's contribution is bit
+    * (j mod 4) of hex nibble (j div 4) of the token's md5 — integer
+    * arithmetic only, bit-exact in any engine (the DuckDB oracle mirrors it
+    * with instr/div/mod).
+    *
+    * The 64 signed bit-sums accumulate in ONE pass over the tokens (array
+    * accumulator + zip_with); the band extraction lives in a separate
+    * projection whose input is referenced 64 times, which CollapseProject
+    * deliberately does not inline (non-cheap, multi-use) — so the aggregate
+    * runs once per document, not once per bit. */
+  def simhash64Sums(tokens: Column): Column = {
+    val hs = transform(array_distinct(tokens), t => md5(t))
+    // transform over the char array (split evaluated once per token — a
+    // subtree referenced from N lambda sites would be re-evaluated N times,
+    // as subexpression elimination does not reach inside lambda bodies)
+    def contrib(h: Column): Column =
+      flatten(transform(slice(split(h, ""), 1, 16), c => {
+        val n = conv(c, 16, 10).cast("int")
+        def bit(d: Int) = ((n / d).cast("int") % 2) * 2 - 1
+        array(bit(1), bit(2), bit(4), bit(8))
+      }))
+    aggregate(hs, array_repeat(lit(0), 64), (acc, h) => zip_with(acc, contrib(h), (a, b) => a + b))
+  }
+
+  /** The 4 x 16-bit bands from the signed bit-sums of [[simhash64Sums]]:
+    * band b bit j set when sums(16*b + j) > 0. */
+  def simhash64Bands(sums: Column): Column =
+    array((0 until 4).map { b =>
+      (0 until 16).map { j =>
+        when(element_at(sums, b * 16 + j + 1) > 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
+
   /** Canonical text normalization for fingerprinting: lower-case, collapse
     * every non-alphanumeric run to a single space, trim. */
   def normalizeText(s: Column): Column =

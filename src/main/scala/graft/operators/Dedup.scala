@@ -58,6 +58,48 @@ object Dedup {
       .where(col("j") >= minJ)
   }
 
+  /** (id, tokens) -> near-duplicate pairs (a, b, hamming) with 64-bit
+    * SimHash hamming distance <= maxHamming (<= 3 is exhaustive).
+    *
+    * Plan: one-pass 64-bit SimHash signed bit-sums -> 4 x 16-bit band
+    * values -> explode -> self-equi-join on (band, value) -> distinct pairs
+    * -> re-join the bands -> hamming = sum of per-band bit_count(xor).
+    * By pigeonhole, two fingerprints within hamming 3 agree on at least one
+    * of the 4 bands, so maxHamming <= 3 misses nothing; the 16-bit band
+    * space (65536 values/band) keeps buckets sparse at corpus scale — the
+    * same never-all-pairs discipline as [[minhashPairs]]. Unlike MinHash
+    * (set Jaccard), SimHash hamming tracks weighted feature overlap and
+    * runs one cheap verify op per candidate instead of an array
+    * intersection. */
+  def simhashPairs(docs: DataFrame, id: String, tokens: Column, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, s"4 bands of 16 bits only guarantee capture up to hamming 3, got $maxHamming")
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread = if (docs.rdd.getNumPartitions < par / 2) docs.repartition(par) else docs
+    // two projections: the one-pass bit-sum aggregate, then the 64-reference
+    // band extraction (kept un-collapsed by CollapseProject's cost guard)
+    val bd = spread.select(col(id).as("id"), TextKernels.simhash64Sums(tokens).as("sums"))
+      .select(col("id"), TextKernels.simhash64Bands(col("sums")).as("bands"))
+    // The bands array rides along through the explode so the hamming verify
+    // runs INSIDE the bucket join, before any distinct: on a self-similar
+    // corpus the candidate volume can be 1000x the result volume, and a
+    // distinct over raw candidates would be the dominant shuffle. Verified
+    // survivors carry at most 4 duplicates (one per colliding band), so the
+    // final distinct is cheap.
+    val ex = bd.select(col("id"), col("bands"),
+      posexplode(col("bands")).as(Seq("band", "bv"))).cache()
+    val hamming = (0 until 4).map { i =>
+      bit_count(element_at(col("x.bands"), i + 1)
+        .bitwiseXOR(element_at(col("y.bands"), i + 1)).cast("long"))
+    }.reduce(_ + _)
+    ex.as("x")
+      .join(ex.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"), hamming.cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Exact-duplicate groups by normalized-text fingerprint:
     * (fp, cnt, keeper = min id). */
   def exactGroups(docs: DataFrame, id: String, text: Column): DataFrame =

@@ -135,6 +135,37 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == Set((1L, "a", 1L), (1L, "b", 2L), (2L, "x", 1L), (2L, "y", 2L)))
   }
 
+  // ----------------------------------------------------------- simhash pairs
+
+  test("simhashPairs == brute-force hamming<=3 pairs (pigeonhole capture is exhaustive)") {
+    // deterministic corpus: 3 template families with per-doc small edits, so
+    // some pairs land within hamming 3 and most do not
+    val vocab = Seq("spark", "join", "stream", "window", "shuffle", "batch",
+      "column", "schema", "codegen", "plan", "stage", "task", "executor",
+      "driver", "cache", "hash", "sort", "merge", "scan", "sink")
+    val docs = (0 until 30).map { i =>
+      val fam = i % 3
+      val toks = (0 until 12).map(j => vocab((fam * 7 + j * 3) % vocab.size)) :+
+        vocab((fam * 7 + i / 3) % vocab.size)
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+
+    val bands = docs.select(col("doc_id"),
+        TextKernels.simhash64Bands(TextKernels.simhash64Sums(
+          TextKernels.wordTokens(col("text")))).as("bands"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val expected = (for {
+      a <- bands.keys; b <- bands.keys if a < b
+      h = bands(a).zip(bands(b)).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+      if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(expected.nonEmpty, "fixture must contain at least one near-dup pair")
+
+    val got = Dedup.simhashPairs(docs, "doc_id", TextKernels.wordTokens(col("text")))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   // ------------------------------------------------------------------- scrub
 
   test("scrub counts and masks email/url/keyword patterns") {

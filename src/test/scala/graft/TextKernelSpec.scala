@@ -35,6 +35,21 @@ class TextKernelSpec extends SparkTestBase {
     assert(java.lang.Long.bitCount(h1 ^ h2) <= 6)
   }
 
+  test("simhash64: four 16-bit bands, deterministic, near texts -> small hamming") {
+    def bands(text: String): Seq[Int] =
+      eval1(simhash64Bands(simhash64Sums(wordTokens(lit(text)))))
+        .asInstanceOf[scala.collection.Seq[Int]].toSeq
+    def hamming(x: Seq[Int], y: Seq[Int]): Int =
+      x.zip(y).map { case (a, b) => Integer.bitCount(a ^ b) }.sum
+    val b1 = bands("alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    val b2 = bands("alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    val b3 = bands("alpha beta gamma delta epsilon zeta eta theta iota lambda")
+    val b4 = bands("utterly disjoint vocabulary chosen for maximal difference everywhere")
+    assert(b1.size == 4 && b1.forall(v => v >= 0 && v < 65536))
+    assert(hamming(b1, b2) == 0)          // deterministic
+    assert(hamming(b1, b3) < hamming(b1, b4)) // one-token edit ≪ disjoint text
+  }
+
   test("normalizeText / fingerprint: canonicalization and idempotence") {
     assert(eval1(normalizeText(lit("  Hello,   WORLD!! 42  "))) == "hello world 42")
     val f1 = eval1(fingerprint(lit("Hello, world!")))
