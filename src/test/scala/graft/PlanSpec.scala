@@ -142,6 +142,28 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("simhash pairs: band-bucket equi-join, verify before distinct, no cartesian") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = planOf(Dedup.simhashPairs(docs, "doc_id",
+      TextKernels.wordTokens(col("text"))))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    // the hamming filter must sit below the distinct's exchange: on a
+    // self-similar corpus raw candidates can be 1000x the verified pairs,
+    // and a distinct-first plan would shuffle all of them
+    val filterIdx = plan.indexOf("bit_count")
+    val distinctIdx = plan.indexOf("HashAggregate")
+    assert(filterIdx >= 0 && distinctIdx >= 0 && distinctIdx < filterIdx,
+      "hamming verify must run inside the join, upstream of the distinct:\n" + plan.take(1200))
+  }
+
+  test("contamination: eval shingle set broadcasts into the corpus scan") {
+    val plan = planOf(Queries.all("q_contamination")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the eval shingle set must broadcast:\n" + plan.take(800))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("tf-idf: corpus size joins as a broadcast, term/doc shuffles are hash-keyed") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val plan = planOf(graft.operators.TfIdf.topTerms(docs,
