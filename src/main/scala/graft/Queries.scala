@@ -1014,6 +1014,48 @@ object Queries {
       .orderBy(col("user_id"))
   }
 
+  /** Latest-per-key compaction (CDC / keep-newest-version): one row per
+    * user — the event with the maximum (ts, event_id). Implemented as a
+    * two-phase max(struct) aggregate (map-side combine; the shuffle carries
+    * one row per key per partition), NOT a row_number window (which would
+    * shuffle every event). event_id uniqueness makes the struct ordering —
+    * and therefore the surviving row — deterministic. */
+  private val compactQ: (SparkSession, String) => DataFrame = (s, dir) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+      .selectExpr("user_id", "named_struct('ts_us', ts DIV 1000, 'event_id', event_id, 'value', value) AS rec")
+      .groupBy(col("user_id"))
+      .agg(max(col("rec")).as("m"))
+      .select(col("user_id"), col("m.event_id").as("event_id"),
+        col("m.ts_us").as("ts_us"), col("m.value").as("value"))
+      .orderBy(col("user_id"))
+  }
+
+  private val compactSql =
+    """SELECT user_id, event_id, ts_us, value FROM (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // -- int8 embedding quantization: per-dim [min,max] calibration (64-group
+  //    aggregate, broadcast back), exact integer codes. See operators/Quantize.
+  private val quantizeQ: (SparkSession, String) => DataFrame = (s, dir) => {
+    val e = spread(t(s, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    graft.operators.Quantize.int8(e, col("vec_id"), col("v"))
+      .select(col("id").as("vec_id"), col("dim"), col("code"))
+      .orderBy(col("vec_id"), col("dim"))
+  }
+
+  private val quantizeSql =
+    """WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+      |                   unnest(embedding::DOUBLE[]) AS x FROM embeddings),
+      |st AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM ex GROUP BY dim)
+      |SELECT vec_id, dim::BIGINT AS dim,
+      |  (CASE WHEN hi = lo THEN 0
+      |        ELSE least(floor((x - lo) / (hi - lo) * 256), 255) END)::BIGINT AS code
+      |FROM ex JOIN st USING (dim) ORDER BY vec_id, dim""".stripMargin
+
   private val sessionizeSql =
     """WITH e AS (
       |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
@@ -1308,6 +1350,8 @@ object Queries {
     "q_scrub"         -> scrubQ,
     "q_simhash_pairs" -> simhashPairsQ,
     "q_contamination" -> contaminationQ,
+    "q_compact"       -> compactQ,
+    "q_quantize"      -> quantizeQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1355,5 +1399,7 @@ object Queries {
     "q_scrub"         -> scrubSql,
     "q_simhash_pairs" -> simhashPairsSql,
     "q_contamination" -> contaminationSql,
+    "q_compact"       -> compactSql,
+    "q_quantize"      -> quantizeSql,
   )
 }

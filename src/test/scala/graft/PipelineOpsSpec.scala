@@ -166,6 +166,25 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  // ---------------------------------------------------------------- quantize
+
+  test("int8 quantization: codes in [0,255], extremes map to 0/255, decode error bounded") {
+    val vecs = Seq(
+      (1L, Seq(0.0, -1.0, 5.0)),
+      (2L, Seq(1.0, 1.0, 5.0)),   // dim 3 constant -> code 0
+      (3L, Seq(0.5, 0.25, 5.0))).toDF("vec_id", "v")
+    val got = graft.operators.Quantize.int8(vecs, col("vec_id"), col("v"))
+      .as[(Long, Long, Long)].collect().map { case (id, d, c) => (id, d) -> c }.toMap
+    assert(got.values.forall(c => c >= 0 && c <= 255))
+    assert(got((1L, 1L)) == 0 && got((2L, 1L)) == 255)  // lo -> 0, hi -> 255
+    assert(got((1L, 2L)) == 0 && got((2L, 2L)) == 255)
+    assert(got.filter(_._1._2 == 3L).values.forall(_ == 0)) // constant dim
+    // mid-range value decodes within half a quantization step
+    val (lo, hi) = (0.0, 1.0)
+    val decoded = lo + (got((3L, 1L)) + 0.5) / 256.0 * (hi - lo)
+    assert(math.abs(decoded - 0.5) <= (hi - lo) / 256.0)
+  }
+
   // ------------------------------------------------------------------- scrub
 
   test("scrub counts and masks email/url/keyword patterns") {

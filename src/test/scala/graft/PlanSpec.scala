@@ -164,6 +164,27 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("quantization: per-dim stats broadcast back; the corpus is never key-shuffled") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val plan = planOf(graft.operators.Quantize.int8(emb, col("vec_id"), col("v")))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the 64-row dim-stats frame must broadcast:\n" + plan.take(800))
+    assert(!plan.contains("CartesianProduct"))
+    // the only hash shuffle feeds the 64-group stats aggregate (with a
+    // partial aggregate below it), not the exploded corpus join
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "dim stats must partial-aggregate map-side")
+  }
+
+  test("compaction: two-phase max(struct) aggregate, no window over raw events") {
+    val plan = planOf(Queries.all("q_compact")(spark, dir))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2 ||
+      "SortAggregate".r.findAllIn(plan).size >= 2,
+      "keep-latest must map-side combine:\n" + plan.take(800))
+    assert(!plan.contains("Window"), "no row_number window over the full event stream")
+  }
+
   test("tf-idf: corpus size joins as a broadcast, term/doc shuffles are hash-keyed") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val plan = planOf(graft.operators.TfIdf.topTerms(docs,
