@@ -254,6 +254,106 @@ object NativeKernels {
       rowsPerBand: Int): Column =
     column(BandKeysExpr(expression(shingles), numHashes, numBands, rowsPerBand))
 
+  // ------------------------------------------------------------ SimHash64
+
+  /** 64-bit SimHash bands of a token array in ONE pass — the native twin of
+    * TextKernels.simhash64Sums+simhash64Bands, bit-identical including the
+    * edges: a NULL token array, an empty array, or ANY null token all yield
+    * [0,0,0,0] (in the composed chain a null poisons the whole accumulator
+    * and `when(null > 0)` falls through to 0 for every bit). The composed
+    * form allocates a 64-int array per token through interpreted
+    * higher-order functions; this accumulates into one local int[64]. */
+  private[functions] case class SimhashBandsExpr(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      child.dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string> tokens, got ${other.simpleString}")
+      }
+    }
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, containsNull = false)
+    override def nullable: Boolean = false
+    override def prettyName: String = "simhash_bands_native"
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+
+    def computeBands(input: ArrayData): ArrayData = {
+      val sums = new Array[Int](64)
+      var ok = input != null
+      if (ok) {
+        // distinct tokens, as array_distinct does in the composed chain
+        val seen = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+        val n = input.numElements()
+        var i = 0
+        while (i < n && ok) {
+          if (input.isNullAt(i)) ok = false
+          else {
+            val t = input.getUTF8String(i)
+            if (seen.add(t.clone())) { // clone: the backing buffer may be reused
+              val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(t.getBytes)
+              var nib = 0
+              while (nib < 16) {
+                val c = hex.charAt(nib)
+                val v = if (c <= '9') c - '0' else c - 'a' + 10
+                var k = 0
+                while (k < 4) {
+                  sums(nib * 4 + k) += (((v >> k) & 1) << 1) - 1
+                  k += 1
+                }
+                nib += 1
+              }
+            }
+          }
+          i += 1
+        }
+      }
+      if (!ok) java.util.Arrays.fill(sums, 0)
+      val out = new Array[Any](4)
+      var b = 0
+      while (b < 4) {
+        var band = 0
+        var j = 0
+        while (j < 16) {
+          if (sums(b * 16 + j) > 0) band |= 1 << j
+          j += 1
+        }
+        out(b) = band
+        b += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+      computeBands(child.eval(input).asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+      val ref = ctx.addReferenceObj("simhashBandsExpr", this)
+      val childGen = child.genCode(ctx)
+      val arrCls = classOf[ArrayData].getName
+      ev.copy(
+        code = code"""
+          ${childGen.code}
+          $arrCls ${ev.value} = ($arrCls) $ref.computeBands(
+            ${childGen.isNull} ? null : ${childGen.value});
+        """,
+        isNull = FalseLiteral)
+    }
+  }
+
+  /** One-pass 64-bit SimHash bands (4 x 16-bit ints) over a token array. */
+  def simhashBands(tokens: Column): Column =
+    column(SimhashBandsExpr(expression(tokens)))
+
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
@@ -308,5 +408,12 @@ object NativeKernels {
             s"graft_band_keys(shingles, numHashes, numBands, rowsPerBand) takes 4 arguments, got ${args.length}")
           BandKeysExpr(args(0), litInt("graft_band_keys", args(1)),
             litInt("graft_band_keys", args(2)), litInt("graft_band_keys", args(3)))
+        }),
+      (FunctionIdentifier("graft_simhash_bands"),
+        new ExpressionInfo(NativeKernels.getClass.getCanonicalName, "graft_simhash_bands"),
+        args => {
+          require(args.length == 1,
+            s"graft_simhash_bands takes exactly 1 argument, got ${args.length}")
+          SimhashBandsExpr(args(0))
         }))
 }

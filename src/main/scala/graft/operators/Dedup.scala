@@ -77,8 +77,10 @@ object Dedup {
     val spread = if (docs.rdd.getNumPartitions < par / 2) docs.repartition(par) else docs
     // two projections: the one-pass bit-sum aggregate, then the 64-reference
     // band extraction (kept un-collapsed by CollapseProject's cost guard)
-    val bd = spread.select(col(id).as("id"), TextKernels.simhash64Sums(tokens).as("sums"))
-      .select(col("id"), TextKernels.simhash64Bands(col("sums")).as("bands"))
+    // native one-pass fingerprint (bit-identical to the composed
+    // simhash64Sums -> simhash64Bands chain, NativeKernelSpec)
+    val bd = spread.select(col(id).as("id"),
+      graft.functions.NativeKernels.simhashBands(tokens).as("bands"))
     // The bands array rides along through the explode so the hamming verify
     // runs INSIDE the bucket join, before any distinct: on a self-similar
     // corpus the candidate volume can be 1000x the result volume, and a

@@ -71,4 +71,22 @@ class NativeKernelSpec extends SparkTestBase {
       .where(not(col("c") <=> col("n"))).count()
     assert(mismatches == 0)
   }
+
+  test("simhash_bands_native is bit-identical to the composed TextKernels chain") {
+    import graft.functions.TextKernels
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), TextKernels.wordTokens(col("text")).as("w"))
+      // edges: empty token array, null array, a null token mid-array
+      .union(Seq(
+        (99990L, Some(Seq("one"))),
+        (99991L, Some(Seq.empty[String])),
+        (99992L, Option.empty[Seq[String]])).toDF("doc_id", "w"))
+      .union(spark.sql("SELECT 99993L AS doc_id, array('a', CAST(NULL AS STRING), 'b') AS w"))
+    val composed = TextKernels.simhash64Bands(TextKernels.simhash64Sums(col("w")))
+      .cast("array<int>")
+    val native = graft.functions.NativeKernels.simhashBands(col("w"))
+    val mismatches = docs.select(col("doc_id"), composed.as("c"), native.as("n"))
+      .where(not(col("c") <=> col("n"))).count()
+    assert(mismatches == 0)
+  }
 }

@@ -33,6 +33,21 @@ class BandKeysCodegenSpec extends AnyFunSuite {
     assert(out.getDouble(1) == 5.0 && out.getDouble(2) == 7.0)
   }
 
+  test("SimhashBandsExpr compiles under strict UnsafeProjection codegen and evaluates") {
+    val e = NativeKernels.SimhashBandsExpr(
+      BoundReference(0, ArrayType(StringType), nullable = true))
+    val proj = GenerateUnsafeProjection.generate(Seq(e))
+    val toks = new GenericArrayData(Array[Any](
+      UTF8String.fromString("spark"), UTF8String.fromString("join")))
+    val out = proj(new GenericInternalRow(Array[Any](toks)))
+    val bands = out.getArray(0)
+    assert(bands.numElements() == 4)
+    (0 until 4).foreach(i => assert(bands.getInt(i) >= 0 && bands.getInt(i) < 65536))
+    // null input array -> the all-zero fingerprint, never a null result
+    val outNull = proj(new GenericInternalRow(Array[Any](null)))
+    assert((0 until 4).forall(i => outNull.getArray(0).getInt(i) == 0))
+  }
+
   test("BandKeysExpr compiles under strict UnsafeProjection codegen and evaluates") {
     val e = NativeKernels.BandKeysExpr(
       BoundReference(0, ArrayType(StringType), nullable = true), 16, 4, 4)
