@@ -82,8 +82,24 @@ object ScaleProbe {
       val tTfidf = timeIt {
         TfIdf.topTerms(docs, col("doc_id"), TextKernels.wordTokens(col("text")), 3).count()
       }
+      // late-round-4 ops: SimHash banded near-dup (native fingerprint),
+      // int8 quantization (broadcast dim-stats), contamination (broadcast
+      // eval shingle set)
+      val tSimhash = timeIt {
+        Dedup.simhashPairs(docs, "doc_id", TextKernels.wordTokens(col("text"))).count()
+      }
+      val tQuantize = timeIt {
+        Quantize.int8(emb, col("vec_id"), col("v")).count()
+      }
+      val tContam = timeIt {
+        val sh = docs.select(col("doc_id"),
+          explode(TextKernels.wordShingles2(TextKernels.wordTokens(col("text")))).as("g"))
+        val ev = sh.where(col("doc_id") % 50 === 0).select(col("g")).distinct()
+        sh.where(col("doc_id") % 50 =!= 0).join(broadcast(ev), Seq("g"))
+          .groupBy(col("doc_id")).agg(count(lit(1))).count()
+      }
       if (mult0 > 0)
-        println(s"""{"mult":$mult,"docs":${docs.count()},"minhash_sec":$tMinhash,"ann_sec":$tAnn,"rankagg_sec":$tRankAgg,"cluster_sec":$tCluster,"pack_sec":$tPack,"tfidf_sec":$tTfidf}""")
+        println(s"""{"mult":$mult,"docs":${docs.count()},"minhash_sec":$tMinhash,"ann_sec":$tAnn,"rankagg_sec":$tRankAgg,"cluster_sec":$tCluster,"pack_sec":$tPack,"tfidf_sec":$tTfidf,"simhash_sec":$tSimhash,"quantize_sec":$tQuantize,"contam_sec":$tContam}""")
       docs.unpersist(); emb.unpersist()
     }
     spark.stop()

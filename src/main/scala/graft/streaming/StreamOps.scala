@@ -117,6 +117,23 @@ object StreamOps {
       }
   }
 
+  /** Streaming latest-per-key compaction — the stream-side twin of the
+    * batch q_compact (CDC keep-newest-version). A stateful max(struct)
+    * aggregate: update mode re-emits a key whenever a newer (ts, tiebreak)
+    * record for it arrives; state is one struct per key — bounded by key
+    * cardinality, not stream length. The struct comparison makes the
+    * surviving row deterministic when `tiebreakCol` is unique. */
+  def compactLatest(events: DataFrame, tsCol: String, keyCol: String,
+      tiebreakCol: String, valueCols: Seq[String]): DataFrame = {
+    val rec = struct(col(tsCol).as("ts") +: col(tiebreakCol).as("tb") +:
+      valueCols.map(col): _*)
+    events
+      .groupBy(col(keyCol))
+      .agg(max(rec).as("m"))
+      .select(col(keyCol) +: col("m.ts").as(tsCol) +:
+        col("m.tb").as(tiebreakCol) +: valueCols.map(c => col(s"m.$c").as(c)): _*)
+  }
+
   /** Streaming windowed top-k preparation: per-window per-key aggregate
     * value sums; the bounded top-k itself is applied by the sink query
     * (complete-mode aggregation or a downstream batch rank over the sink

@@ -48,6 +48,34 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("compactLatest: update mode re-emits a key only when a newer record arrives") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Long, Double)]
+    val out = StreamOps.compactLatest(
+      input.toDF().toDF("ts", "user_id", "event_id", "value"),
+      "ts", "user_id", "event_id", Seq("value"))
+    val q = out.writeStream.format("memory").queryName("cl").outputMode("update").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:01:00"), 7L, 1L, 1.0),
+        (ts("2024-01-01 00:05:00"), 7L, 2L, 2.0), // newer for user 7
+        (ts("2024-01-01 00:02:00"), 8L, 3L, 3.0))
+      q.processAllAvailable()
+      // an OLDER record for user 7 must not displace the kept one
+      input.addData((ts("2024-01-01 00:03:00"), 7L, 4L, 4.0))
+      q.processAllAvailable()
+      val latest = spark.table("cl").collect()
+        .map(r => (r.getLong(0), (r.getTimestamp(1), r.getLong(2), r.getDouble(3))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1.getTime) }
+      assert(latest(7L) == ((ts("2024-01-01 00:05:00"), 2L, 2.0)))
+      assert(latest(8L) == ((ts("2024-01-01 00:02:00"), 3L, 3.0)))
+      // the last update batch for user 7 still carries event 2, not the stale 4
+      val after = spark.table("cl").collect().filter(_.getLong(0) == 7L)
+        .map(r => r.getLong(2))
+      assert(after.forall(_ == 2L))
+    } finally q.stop()
+  }
+
   test("minhashDedupStream: near-duplicate documents are suppressed within the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
