@@ -23,13 +23,8 @@ object Queries {
     s.read.parquet(s"$dir/$name.parquet")
 
   /** Spread an under-split source across the cluster before expensive
-    * per-row compute: the single-file test parquet plans as one partition,
-    * which would serialize md5/fold-heavy expressions onto one core. A real
-    * large source arrives already split; the guard makes this a no-op then. */
-  private def spread(df: DataFrame): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par / 2) df.repartition(par) else df
-  }
+    * per-row compute (shared guard — see [[graft.operators.Dedup.spread]]). */
+  private def spread(df: DataFrame): DataFrame = Dedup.spread(df)
 
   /** DuckDB SQL for the same trimmed/distinct/non-empty tokenization that
     * SimKernels.tokenize performs. */
@@ -681,11 +676,14 @@ object Queries {
     }.mkString(",\n  ")
     val bandEq = (0 until 4).map(b => s"x.b$b = y.b$b").mkString(" OR ")
     val ham = (0 until 4).map(b => s"bit_count(xor(x.b$b, y.b$b)::BIGINT)").mkString(" + ")
+    // the all-zero fingerprint (contentless doc) is excluded, mirroring
+    // Dedup.simhashPairs' guard against the empty-doc all-pairs blowup
     s"""WITH tk AS (SELECT doc_id, list_distinct(${sqlWords("text")}) AS w FROM documents),
        |hv AS (SELECT doc_id, list_transform(w, t -> md5(t)) AS hs FROM tk),
-       |bd AS (SELECT doc_id,
+       |bd0 AS (SELECT doc_id,
        |  $bands
-       |FROM hv)
+       |FROM hv),
+       |bd AS (SELECT * FROM bd0 WHERE NOT (b0 = 0 AND b1 = 0 AND b2 = 0 AND b3 = 0))
        |SELECT a, b, hamming FROM (
        |  SELECT x.doc_id AS a, y.doc_id AS b, ($ham)::BIGINT AS hamming
        |  FROM bd x JOIN bd y ON x.doc_id < y.doc_id AND ($bandEq))
@@ -697,16 +695,15 @@ object Queries {
   //    (eval set = doc_id % 50 == 0). The eval shingle set is small by
   //    nature (benchmarks are tiny vs the corpus), so it broadcasts into
   //    the corpus scan; the count is a two-phase hash aggregate.
-  private val ContamEvalMod = 50
+  private[graft] val ContamEvalMod = 50
   private val ContamFlagMin = 5
 
   private val contaminationQ: (SparkSession, String) => DataFrame = (s, dir) => {
-    val sh = spread(t(s, dir, "documents")).select(col("doc_id"),
-      explode(TextKernels.wordShingles2(TextKernels.wordTokens(col("text")))).as("g"))
-    val evalSet = sh.where(col("doc_id") % ContamEvalMod === 0).select(col("g")).distinct()
-    val counts = sh.where(col("doc_id") % ContamEvalMod =!= 0)
-      .join(broadcast(evalSet), Seq("g"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    val counts = graft.operators.Contamination.sharedShingleCounts(
+        t(s, dir, "documents"), col("doc_id"),
+        TextKernels.wordShingles2(TextKernels.wordTokens(col("text"))),
+        col("doc_id") % ContamEvalMod === 0)
+      .withColumnRenamed("id", "doc_id")
     t(s, dir, "documents").where(col("doc_id") % ContamEvalMod =!= 0).select(col("doc_id"))
       .join(counts, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -1031,10 +1028,13 @@ object Queries {
       .orderBy(col("user_id"))
   }
 
+  // the window orders on epoch_us(ts), NOT raw ts: the parquet column is
+  // TIMESTAMP(NANOS), and a nano-resolution ORDER BY could break ties
+  // differently from the Spark side's microsecond-truncated ts DIV 1000
   private val compactSql =
     """SELECT user_id, event_id, ts_us, value FROM (
       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
-      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
       |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin
 
   // -- int8 embedding quantization: per-dim [min,max] calibration (64-group

@@ -92,11 +92,9 @@ object ScaleProbe {
         Quantize.int8(emb, col("vec_id"), col("v")).count()
       }
       val tContam = timeIt {
-        val sh = docs.select(col("doc_id"),
-          explode(TextKernels.wordShingles2(TextKernels.wordTokens(col("text")))).as("g"))
-        val ev = sh.where(col("doc_id") % 50 === 0).select(col("g")).distinct()
-        sh.where(col("doc_id") % 50 =!= 0).join(broadcast(ev), Seq("g"))
-          .groupBy(col("doc_id")).agg(count(lit(1))).count()
+        Contamination.sharedShingleCounts(docs, col("doc_id"),
+          TextKernels.wordShingles2(TextKernels.wordTokens(col("text"))),
+          col("doc_id") % Queries.ContamEvalMod === 0).count()
       }
       if (mult0 > 0)
         println(s"""{"mult":$mult,"docs":${docs.count()},"minhash_sec":$tMinhash,"ann_sec":$tAnn,"rankagg_sec":$tRankAgg,"cluster_sec":$tCluster,"pack_sec":$tPack,"tfidf_sec":$tTfidf,"simhash_sec":$tSimhash,"quantize_sec":$tQuantize,"contam_sec":$tContam}""")

@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: how many distinct shingles does each training
+  * document share with the union of an eval/benchmark set's shingles?
+  *
+  * Scale design (100 TB): benchmark sets are tiny relative to the corpus,
+  * so the eval shingle union builds once and BROADCASTS into the corpus
+  * scan — the corpus itself is never shuffled by the join; the per-document
+  * count is a two-phase hash aggregate over the matched rows only.
+  */
+object Contamination {
+
+  /** (id, n_shared) for every non-eval document with at least one shared
+    * shingle. `shingles` must be a distinct-element array column (e.g.
+    * TextKernels.wordShingles2), so `count` counts distinct shared shingles.
+    * Documents with zero overlap emit no row — left-join the doc list and
+    * coalesce to 0 for a full listing. */
+  def sharedShingleCounts(docs: DataFrame, id: Column, shingles: Column,
+      isEval: Column): DataFrame = {
+    val sh = Dedup.spread(docs)
+      .select(id.as("id"), isEval.as("is_eval"), explode(shingles).as("g"))
+    val evalSet = sh.where(col("is_eval")).select(col("g")).distinct()
+    sh.where(!col("is_eval"))
+      .join(broadcast(evalSet), Seq("g"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+  }
+}

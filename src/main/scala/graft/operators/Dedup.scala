@@ -20,6 +20,15 @@ object Dedup {
   val NumBands = 4
   val RowsPerBand = 4
 
+  /** Repartition a source that arrives under-split (a single small parquet
+    * file plans as ONE partition and would serialize per-row hashing onto
+    * one core); a splittable large source already arrives well-split and
+    * this is a no-op. Shared by every shingle/fingerprint pipeline. */
+  def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par / 2) df.repartition(par) else df
+  }
+
   /** (id, shingles) -> near-duplicate pairs (a, b, j) with Jaccard >= minJ.
     *
     * Plan: shingle -> 16 md5 MinHash signatures -> 4 banded bucket keys ->
@@ -32,12 +41,7 @@ object Dedup {
     // verification join would otherwise each recompute the signatures per
     // document per side. (At 100 TB scale this intermediate is the one you
     // persist/checkpoint; its size is O(corpus tokens).)
-    // Repartition first when the source arrives under-split (a single small
-    // parquet file plans as ONE partition and would hash every shingle on
-    // one core); a splittable 100 TB source already arrives well-split.
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val spread = if (docs.rdd.getNumPartitions < par / 2) docs.repartition(par) else docs
-    val sh = spread.select(col(id).as("id"), shingles.as("g")).cache()
+    val sh = spread(docs).select(col(id).as("id"), shingles.as("g")).cache()
     // native one-pass band keys (bit-identical to the composed
     // shingleHashes -> minhashSig -> bandKey chain, NativeKernelSpec)
     val banded = sh
@@ -73,14 +77,17 @@ object Dedup {
     * intersection. */
   def simhashPairs(docs: DataFrame, id: String, tokens: Column, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, s"4 bands of 16 bits only guarantee capture up to hamming 3, got $maxHamming")
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val spread = if (docs.rdd.getNumPartitions < par / 2) docs.repartition(par) else docs
-    // two projections: the one-pass bit-sum aggregate, then the 64-reference
-    // band extraction (kept un-collapsed by CollapseProject's cost guard)
-    // native one-pass fingerprint (bit-identical to the composed
-    // simhash64Sums -> simhash64Bands chain, NativeKernelSpec)
-    val bd = spread.select(col(id).as("id"),
-      graft.functions.NativeKernels.simhashBands(tokens).as("bands"))
+    // Native one-pass fingerprint (bit-identical to the composed
+    // simhash64Sums -> simhash64Bands chain, NativeKernelSpec). The
+    // all-zero fingerprint is excluded: it marks a contentless document
+    // (empty/null/null-poisoned token array — a contentful doc hits it
+    // only with probability ~2^-64), and k contentless docs would
+    // otherwise collide on every band into k(k-1)/2 hamming-0 pairs —
+    // the degenerate blowup minhashPairs avoids because
+    // jaccard(empty, empty) = 0 fails its verify.
+    val bd = spread(docs).select(col(id).as("id"),
+        graft.functions.NativeKernels.simhashBands(tokens).as("bands"))
+      .where(col("bands") =!= array(lit(0), lit(0), lit(0), lit(0)))
     // The bands array rides along through the explode so the hamming verify
     // runs INSIDE the bucket join, before any distinct: on a self-similar
     // corpus the candidate volume can be 1000x the result volume, and a

@@ -119,10 +119,14 @@ object StreamOps {
 
   /** Streaming latest-per-key compaction — the stream-side twin of the
     * batch q_compact (CDC keep-newest-version). A stateful max(struct)
-    * aggregate: update mode re-emits a key whenever a newer (ts, tiebreak)
-    * record for it arrives; state is one struct per key — bounded by key
-    * cardinality, not stream length. The struct comparison makes the
-    * surviving row deterministic when `tiebreakCol` is unique. */
+    * aggregate: the kept record never regresses (a stale arrival cannot
+    * displace a newer one), and state is one struct per key — bounded by
+    * key cardinality, not stream length. Emission caveat: update mode
+    * re-emits a key's CURRENT maximum whenever any input arrives for it,
+    * including when that input was stale and the maximum is unchanged —
+    * consumers must upsert by key, not treat each emitted row as "a newer
+    * version arrived". The struct comparison makes the surviving row
+    * deterministic when `tiebreakCol` is unique. */
   def compactLatest(events: DataFrame, tsCol: String, keyCol: String,
       tiebreakCol: String, valueCols: Seq[String]): DataFrame = {
     val rec = struct(col(tsCol).as("ts") +: col(tiebreakCol).as("tb") +:

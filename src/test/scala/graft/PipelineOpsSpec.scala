@@ -143,17 +143,21 @@ class PipelineOpsSpec extends SparkTestBase {
     val vocab = Seq("spark", "join", "stream", "window", "shuffle", "batch",
       "column", "schema", "codegen", "plan", "stage", "task", "executor",
       "driver", "cache", "hash", "sort", "merge", "scan", "sink")
-    val docs = (0 until 30).map { i =>
+    val docs = ((0 until 30).map { i =>
       val fam = i % 3
       val toks = (0 until 12).map(j => vocab((fam * 7 + j * 3) % vocab.size)) :+
         vocab((fam * 7 + i / 3) % vocab.size)
       (i.toLong, toks.mkString(" "))
-    }.toDF("doc_id", "text")
+    } ++ Seq((100L, ""), (101L, "   "), (102L, " "))) // contentless docs
+      .toDF("doc_id", "text")
 
+    // brute force over NON-zero fingerprints only: contentless docs map to
+    // [0,0,0,0] and are excluded by the operator (empty-doc blowup guard)
     val bands = docs.select(col("doc_id"),
         TextKernels.simhash64Bands(TextKernels.simhash64Sums(
           TextKernels.wordTokens(col("text")))).as("bands"))
       .as[(Long, Seq[Int])].collect().toMap
+      .filter { case (_, b) => b.exists(_ != 0) }
     val expected = (for {
       a <- bands.keys; b <- bands.keys if a < b
       h = bands(a).zip(bands(b)).map { case (x, y) => Integer.bitCount(x ^ y) }.sum

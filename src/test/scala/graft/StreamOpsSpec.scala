@@ -48,7 +48,7 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
-  test("compactLatest: update mode re-emits a key only when a newer record arrives") {
+  test("compactLatest: the kept record never regresses when a stale update arrives") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Long, Double)]
     val out = StreamOps.compactLatest(
@@ -69,7 +69,8 @@ class StreamOpsSpec extends SparkTestBase {
         .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1.getTime) }
       assert(latest(7L) == ((ts("2024-01-01 00:05:00"), 2L, 2.0)))
       assert(latest(8L) == ((ts("2024-01-01 00:02:00"), 3L, 3.0)))
-      // the last update batch for user 7 still carries event 2, not the stale 4
+      // every emission for user 7 (update mode may re-emit on the stale
+      // batch) still carries event 2 — the stale record never surfaces
       val after = spark.table("cl").collect().filter(_.getLong(0) == 7L)
         .map(r => r.getLong(2))
       assert(after.forall(_ == 2L))
