@@ -690,13 +690,15 @@ object Queries {
        |WHERE hamming <= 3 ORDER BY a, b""".stripMargin
   }
 
-  // -- benchmark decontamination: count distinct word 2-shingles each
-  //    training document shares with the UNION of an eval set's shingles
-  //    (eval set = doc_id % 50 == 0). The eval shingle set is small by
-  //    nature (benchmarks are tiny vs the corpus), so it broadcasts into
-  //    the corpus scan; the count is a two-phase hash aggregate.
+  // -- benchmark decontamination: what FRACTION of each training document's
+  //    distinct word 2-shingles appears in the UNION of an eval set's
+  //    shingles (eval set = doc_id % 50 == 0)? A ratio, not an absolute
+  //    count: on a shared-vocabulary corpus every doc shares SOME shingles
+  //    (background ratio here ~0.42), while true eval near-copies sit at
+  //    >= 0.7. The eval shingle union is small by nature (benchmarks are
+  //    tiny vs the corpus), so it broadcasts into the corpus scan.
   private[graft] val ContamEvalMod = 50
-  private val ContamFlagMin = 5
+  private[graft] val ContamRatio = 0.7
 
   private val contaminationQ: (SparkSession, String) => DataFrame = (s, dir) => {
     val counts = graft.operators.Contamination.sharedShingleCounts(
@@ -704,11 +706,15 @@ object Queries {
         TextKernels.wordShingles2(TextKernels.wordTokens(col("text"))),
         col("doc_id") % ContamEvalMod === 0)
       .withColumnRenamed("id", "doc_id")
+    val ns = coalesce(col("n_shingles"), lit(0L))
+    val nh = coalesce(col("n_shared"), lit(0L))
     t(s, dir, "documents").where(col("doc_id") % ContamEvalMod =!= 0).select(col("doc_id"))
       .join(counts, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("n_shared"), lit(0L)).cast("long").as("n_shared"),
-        when(coalesce(col("n_shared"), lit(0L)) >= ContamFlagMin, 1L).otherwise(0L)
+        ns.cast("long").as("n_shingles"),
+        nh.cast("long").as("n_shared"),
+        round(nh.cast("double") / greatest(ns, lit(1L)), 6).as("ratio"),
+        when(nh.cast("double") / greatest(ns, lit(1L)) >= ContamRatio, 1L).otherwise(0L)
           .cast("long").as("contaminated"))
       .orderBy(col("doc_id"))
   }
@@ -716,11 +722,15 @@ object Queries {
   private val contaminationSql =
     s"""WITH tk AS (SELECT doc_id, ${sqlWords("text")} AS w FROM documents),
        |sh AS (SELECT doc_id, unnest(${sqlShingles2("w")}) AS g FROM tk),
-       |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % $ContamEvalMod = 0),
-       |ct AS (SELECT doc_id, count(*) AS n_shared
-       |       FROM sh JOIN ev USING (g) WHERE doc_id % $ContamEvalMod <> 0 GROUP BY doc_id)
-       |SELECT d.doc_id, coalesce(ct.n_shared, 0)::BIGINT AS n_shared,
-       |  (CASE WHEN coalesce(ct.n_shared, 0) >= $ContamFlagMin THEN 1 ELSE 0 END)::BIGINT AS contaminated
+       |ev AS (SELECT DISTINCT g AS eg FROM sh WHERE doc_id % $ContamEvalMod = 0),
+       |ct AS (SELECT doc_id, count(*) AS n_shingles, count(eg) AS n_shared
+       |       FROM sh LEFT JOIN ev ON sh.g = ev.eg
+       |       WHERE doc_id % $ContamEvalMod <> 0 GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(ct.n_shingles, 0)::BIGINT AS n_shingles,
+       |  coalesce(ct.n_shared, 0)::BIGINT AS n_shared,
+       |  round(coalesce(ct.n_shared, 0)::DOUBLE / greatest(coalesce(ct.n_shingles, 0), 1), 6) AS ratio,
+       |  (CASE WHEN coalesce(ct.n_shared, 0)::DOUBLE / greatest(coalesce(ct.n_shingles, 0), 1) >= $ContamRatio
+       |        THEN 1 ELSE 0 END)::BIGINT AS contaminated
        |FROM documents d LEFT JOIN ct ON d.doc_id = ct.doc_id
        |WHERE d.doc_id % $ContamEvalMod <> 0 ORDER BY d.doc_id""".stripMargin
 
@@ -1221,7 +1231,9 @@ object Queries {
   // -> near-dup removal (connected components over the verified MinHash
   // pairs; keep each component's min-id representative — pair-local "drop
   // the higher id" would keep extra members of a group whose pairs all
-  // point at larger ids) -> per-survivor token count. Every stage is the
+  // point at larger ids) -> benchmark decontamination (drop the eval set
+  // itself and every doc sharing >= ContamFlagMin distinct shingles with
+  // its shingle union) -> per-survivor token count. Every stage is the
   // same operator the standalone queries verify individually.
   // ----------------------------------------------------------------------
   private val pipelineQ: (SparkSession, String) => DataFrame = (s, dir) => {
@@ -1248,8 +1260,17 @@ object Queries {
     val pairs = Dedup.minhashPairs(survivors, "doc_id", shingles, 0.8)
     val nearDupLosers = Dedup.clusters(pairs)
       .where(col("c") < col("n")).select(col("n").as("doc_id"))
+    // decontamination runs against the FULL corpus's eval set (the
+    // benchmark is external to the pipeline's survivorship); ratio rule —
+    // see the q_contamination note
+    val contaminated = graft.operators.Contamination.sharedShingleCounts(
+        docs, col("doc_id"), shingles, col("doc_id") % ContamEvalMod === 0)
+      .where(col("n_shared").cast("double") / col("n_shingles") >= ContamRatio)
+      .select(col("id").as("doc_id"))
     survivors
       .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .where(col("doc_id") % ContamEvalMod =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_tokens"))
       .orderBy(col("doc_id"))
   }
@@ -1274,9 +1295,19 @@ object Queries {
        |edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b AS x, a AS y FROM pairs),
        |r AS (SELECT x AS n, y AS m FROM edges
        |      UNION SELECT r.n, e.y FROM r JOIN edges e ON r.m = e.x),
-       |losers AS (SELECT n AS doc_id FROM r GROUP BY n HAVING min(m) < n)
+       |losers AS (SELECT n AS doc_id FROM r GROUP BY n HAVING min(m) < n),
+       |tkc AS (SELECT doc_id, ${sqlWords("text")} AS w FROM documents),
+       |shc AS (SELECT doc_id, unnest(${sqlShingles2("w")}) AS g FROM tkc),
+       |ev AS (SELECT DISTINCT g AS eg FROM shc WHERE doc_id % $ContamEvalMod = 0),
+       |contam AS (SELECT doc_id FROM (
+       |  SELECT doc_id, count(*) AS n_shingles, count(eg) AS n_shared
+       |  FROM shc LEFT JOIN ev ON shc.g = ev.eg
+       |  WHERE doc_id % $ContamEvalMod <> 0 GROUP BY doc_id)
+       |  WHERE n_shared::DOUBLE / n_shingles >= $ContamRatio)
        |SELECT doc_id, n_tokens FROM survivors
        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+       |  AND doc_id % $ContamEvalMod <> 0
+       |  AND doc_id NOT IN (SELECT doc_id FROM contam)
        |ORDER BY doc_id""".stripMargin
   }
 

@@ -13,18 +13,25 @@ import org.apache.spark.sql.functions._
   */
 object Contamination {
 
-  /** (id, n_shared) for every non-eval document with at least one shared
-    * shingle. `shingles` must be a distinct-element array column (e.g.
-    * TextKernels.wordShingles2), so `count` counts distinct shared shingles.
-    * Documents with zero overlap emit no row — left-join the doc list and
-    * coalesce to 0 for a full listing. */
+  /** (id, n_shingles, n_shared) for every non-eval document with at least
+    * one shingle: its distinct-shingle count and how many of those appear
+    * in the eval set's shingle union. `shingles` must be a distinct-element
+    * array column (e.g. TextKernels.wordShingles2). Both counts come from
+    * ONE aggregation over a left join against the broadcast eval set, so
+    * the corpus is scanned once and never shuffled by the join. The usual
+    * contamination rule is the RATIO n_shared / n_shingles (an absolute
+    * count mis-fires on corpora with a shared common vocabulary); documents
+    * with zero shingles emit no row — left-join the doc list for a full
+    * listing. */
   def sharedShingleCounts(docs: DataFrame, id: Column, shingles: Column,
       isEval: Column): DataFrame = {
     val sh = Dedup.spread(docs)
       .select(id.as("id"), isEval.as("is_eval"), explode(shingles).as("g"))
     val evalSet = sh.where(col("is_eval")).select(col("g")).distinct()
+      .withColumn("hit", lit(1))
     sh.where(!col("is_eval"))
-      .join(broadcast(evalSet), Seq("g"))
-      .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(evalSet), Seq("g"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_shared"))
   }
 }
