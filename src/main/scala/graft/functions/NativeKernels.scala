@@ -378,6 +378,16 @@ object NativeKernels {
       Literal(16), Literal(10)), LongType), Literal(100L))
   }
 
+  /** graft_fingerprint(text): md5 of the canonical normalization
+    * (TextKernels.fingerprint), composed from built-in codegen'd
+    * expressions. */
+  private def fingerprintExpr(s: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Lower, Md5, RegExpReplace, StringTrim}
+    import org.apache.spark.sql.types.BinaryType
+    Md5(Cast(new StringTrim(RegExpReplace(Lower(s),
+      Literal("[^a-z0-9]+"), Literal(" "))), BinaryType))
+  }
+
   /** Foldable-int extraction for literal SQL arguments. */
   private def litInt(name: String, e: Expression): Int = {
     require(e.foldable, s"$name expects a literal integer argument")
@@ -415,5 +425,12 @@ object NativeKernels {
           require(args.length == 1,
             s"graft_simhash_bands takes exactly 1 argument, got ${args.length}")
           SimhashBandsExpr(args(0))
+        }),
+      (FunctionIdentifier("graft_fingerprint"),
+        new ExpressionInfo(NativeKernels.getClass.getCanonicalName, "graft_fingerprint"),
+        args => {
+          require(args.length == 1,
+            s"graft_fingerprint takes exactly 1 argument, got ${args.length}")
+          fingerprintExpr(args(0))
         }))
 }

@@ -1,0 +1,17 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Scratch: print the formatted physical plan of a named query. */
+object DebugPlan {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    println(SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString)
+    spark.stop()
+  }
+}

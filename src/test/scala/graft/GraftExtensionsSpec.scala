@@ -78,4 +78,23 @@ class GraftExtensionsSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("4 arguments") || e.getMessage.contains("graft_band_keys"))
   }
+
+  test("graft_simhash_bands and graft_fingerprint match their Column-API twins") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    docs.createOrReplaceTempView("docs_ext2")
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |  graft_simhash_bands(filter(transform(split(text, ' '), t -> trim(t)), t -> t != '')) sb,
+        |  graft_fingerprint(text) fp
+        |FROM docs_ext2""".stripMargin)
+      .orderBy("doc_id").collect().map(r => (r.getSeq[Int](1), r.getString(2)))
+    val viaCol = docs.select(col("doc_id"),
+        graft.functions.NativeKernels.simhashBands(
+          graft.functions.TextKernels.wordTokens(col("text"))).as("sb"),
+        graft.functions.TextKernels.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id").collect().map(r => (r.getSeq[Int](1), r.getString(2)))
+    assert(viaSql.length == 50 && viaSql.zip(viaCol).forall { case (a, b) => a == b })
+  }
 }
