@@ -138,6 +138,45 @@ object StreamOps {
         col("m.tb").as(tiebreakCol) +: valueCols.map(c => col(s"m.$c").as(c)): _*)
   }
 
+  /** Streaming similarity search: answer a STREAM of query vectors against
+    * a static vector corpus. Structured Streaming cannot rank arbitrary
+    * state incrementally, so this uses the standard foreachBatch shape:
+    * each micro-batch of queries BROADCASTS into one scan of the (cached)
+    * corpus — all queries in the batch share the scan — scores with the
+    * native cosine kernel, and ranks per query.
+    *
+    * Candidate generation follows the batch ANN operators: by default the
+    * corpus is pre-bucketed by [[graft.operators.AnnSearch.signature8]] and
+    * a query only scores its own bucket (the q_ann_lsh shape); `brute =
+    * true` scores the full corpus per query (exact, the q_ann_cosine
+    * shape). The per-query ranking window runs over candidate rows only.
+    * Results (query_id, vec_id, cos, rank) append to `writeBatch`. */
+  def annStream(queryStream: DataFrame, queryId: String, queryVec: String,
+      corpus: DataFrame, corpusId: String, corpusVec: String, k: Int,
+      brute: Boolean = false)(writeBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.AnnSearch
+    val prepared = corpus
+      .select(col(corpusId).as("vec_id"), col(corpusVec).as("v"))
+      .withColumn("sig", AnnSearch.signature8(col("v")))
+      .cache()
+    queryStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val q = batch.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
+        .withColumn("qsig", AnnSearch.signature8(col("qv")))
+      val joined =
+        if (brute) prepared.crossJoin(broadcast(q))
+        else prepared.join(broadcast(q), col("sig") === col("qsig"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+      val ranked = joined
+        .select(col("query_id"), col("vec_id"),
+          round(graft.functions.NativeKernels.cosineSim(col("v"), col("qv")), 6).as("cos"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= k)
+      writeBatch(ranked, batchId)
+    }.start()
+  }
+
   /** Streaming windowed top-k preparation: per-window per-key aggregate
     * value sums; the bounded top-k itself is applied by the sink query
     * (complete-mode aggregation or a downstream batch rank over the sink

@@ -77,6 +77,37 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("annStream: streamed queries match the batch brute-force top-k per query") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .where(col("vec_id") >= 10) // reserve a few vectors as queries
+    val queryVecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .where(col("vec_id") < 3).as[(Long, Seq[Double])].collect()
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Long)]
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamOps.annStream(
+      input.toDF().toDF("qid", "qv"), "qid", "qv", corpus, "vec_id", "v", 5,
+      brute = true) { (batch, _) =>
+      results ++= batch.as[(Long, Long, Double, Long)].collect()
+    }
+    try {
+      input.addData(queryVecs.map { case (id, v) => (id, v.toSeq) }.toSeq: _*)
+      q.processAllAvailable()
+      assert(results.map(_._1).toSet == queryVecs.map(_._1).toSet)
+      queryVecs.foreach { case (qid, qv) =>
+        val expected = graft.operators.AnnSearch
+          .bruteCosineTopK(corpus, "vec_id", col("v"), qv, 5)
+          .as[(Long, Double)].collect().toSeq
+        val got = results.filter(_._1 == qid).sortBy(_._4)
+          .map(r => (r._2, r._3)).toSeq
+        assert(got == expected, s"query $qid mismatch")
+      }
+    } finally q.stop()
+  }
+
   test("minhashDedupStream: near-duplicate documents are suppressed within the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
