@@ -1,0 +1,72 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Federated similarity search (SURVEY §2 S10/Q8): fan a search request out
+  * to remote graft REST instances and rank-merge their responses — the
+  * rebuild of the reference's federated SimSearch source, which forwards
+  * the query to other SimSearch deployments and aggregates the partial
+  * ranked lists.
+  *
+  * Semantics: for a HORIZONTALLY sharded corpus (each entity's attributes
+  * live wholly in one instance), every globally-top-k entity is in its own
+  * shard's local top-k, so the merge (union -> sort by (score desc, id) ->
+  * take k) is EXACT — provided all shards score on a COMMON decay scale.
+  * Pass explicit per-facet `scale` values in the request (the engine
+  * supports them end-to-end) to pin that common scale; without them each
+  * shard calibrates its scale from its local k-th distances and the merged
+  * ranking is approximate, exactly as in the reference's federated mode.
+  *
+  * Scale design: the coordinator handles only ranked lists (<= k x combos
+  * rows per instance, k <= 50) — never shard data; all heavy work stays
+  * inside the remote instances' own Spark plans.
+  */
+object Federated {
+
+  final case class Instance(baseUrl: String, apiKey: String)
+
+  private def post(url: String, body: String, apiKey: String): String = {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setRequestProperty("api_key", apiKey)
+    conn.setRequestProperty("Content-Type", "application/json")
+    val out = conn.getOutputStream
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val code = conn.getResponseCode
+    val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val resp = try new String(is.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally is.close()
+    if (code != 200)
+      throw new java.io.IOException(s"federated instance $url returned $code: ${resp.take(400)}")
+    resp
+  }
+
+  /** Run `searchJson` (the reference's search-request shape) against every
+    * instance and merge: per weight combination, union the ranked lists,
+    * keep each id's best score, rank by (score desc, id), take k.
+    * Output columns: (combo, rank, id, score) — the engine's shape. */
+  def search(spark: SparkSession, instances: Seq[Instance], searchJson: String): DataFrame = {
+    require(instances.nonEmpty, "federated search needs at least one instance")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val k = mapper.readTree(searchJson).get("k").asText().toInt
+    val responses = instances.map(i =>
+      mapper.readTree(post(s"${i.baseUrl}/search", searchJson, i.apiKey)))
+    val nCombos = responses.map(_.size()).min
+    val rows = (0 until nCombos).flatMap { c =>
+      val merged = responses
+        .flatMap(_.get(c).get("rankedResults").elements().asScala
+          .map(n => (n.get("id").asText(), n.get("score").asDouble())))
+        .groupBy(_._1).map { case (id, vs) => (id, vs.map(_._2).max) }.toSeq
+      merged.sortBy { case (id, s) => (-s, id) }.take(k).zipWithIndex.map {
+        case ((id, score), i) => (c.toLong, (i + 1).toLong, id, score)
+      }
+    }
+    import spark.implicits._
+    rows.toDF("combo", "rank", "id", "score")
+  }
+}
