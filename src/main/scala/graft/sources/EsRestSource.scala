@@ -1,0 +1,94 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.api.SimOp
+
+/** Elasticsearch in-situ source (SURVEY §2 S9/Q7): per-facet top-M
+  * similarity search pushed down to an ES-compatible REST endpoint as a
+  * `function_score` decay (numbers/dates/geo) or `match` (keywords/text)
+  * query — the reference's DSL templates reproduced verbatim
+  * (reference: engine/processor/insitu/ElasticSearchRestQuery.java:123-158,
+  * manager/insitu/HttpRestConnector.java).
+  *
+  * Like the reference, the ES path allows NO random access: the source
+  * yields its ranked top-M stream only, so rank aggregation over an ES
+  * facet scores unseen entities as 0 (the NRA lower-bound semantics the
+  * reference enforces for in-situ REST sources, SearchHandler.java:296-307).
+  *
+  * The client (DSL construction, hit parsing, filter wrapping) is fully
+  * real; the test suite drives it against a stub HTTP server because the
+  * build environment has no Elasticsearch deployment.
+  */
+object EsRestSource {
+
+  /** The ES search-request body for one similarity operation. Scale/decay
+    * constants are the reference's: scale "1" (numeric), "1d" (temporal),
+    * "100m" (spatial), decay 0.99999; categorical/textual use `match`. */
+  def buildQuery(op: SimOp, keyCol: String, valCol: String, value: String,
+      size: Int, filter: Option[String] = None): String = {
+    def decay(scale: String) =
+      s"""{"function_score": {"query": {"exists": { "field": "$valCol" }},""" +
+        s""""exp": {"$valCol": {"origin": "$value","scale": "$scale","decay" : 0.99999}}}}"""
+    val core = op match {
+      case SimOp.Numerical => decay("1")
+      case SimOp.Temporal => decay("1d")
+      case SimOp.Spatial => decay("100m")
+      case SimOp.Categorical | SimOp.Textual =>
+        s"""{ "match": { "$valCol": "$value" } }"""
+      case other => throw new IllegalArgumentException(s"unsupported ES operation: $other")
+    }
+    // the reference admits only object/array filter contexts and IGNORES
+    // anything else with a notice (ElasticSearchRestQuery.java:147-153)
+    val wrapped = filter match {
+      case Some(f) if f.matches("\\[[^\\[]*\\]|\\{(.*?)\\}") =>
+        s"""{"bool": {"must": [$core], "filter": $f}}"""
+      case Some(_) =>
+        System.err.println("NOTICE: Unsupported boolean filters specified in this query will be ignored.")
+        core
+      case None => core
+    }
+    s"""{"_source": ["$keyCol", "$valCol"], "query": $wrapped,"size": $size}"""
+  }
+
+  private def post(url: String, body: String, headers: Map[String, String]): String = {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setRequestProperty("Content-Type", "application/json")
+    headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+    val out = conn.getOutputStream
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val code = conn.getResponseCode
+    val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val resp = try new String(is.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally is.close()
+    if (code != 200)
+      throw new java.io.IOException(s"ES endpoint $url returned $code: ${resp.take(400)}")
+    resp
+  }
+
+  /** Execute the top-M similarity query against `<baseUrl>/<index>/_search`
+    * and parse the hits into (id, value, score) rows, ES-ranked (score
+    * descending — ES already orders hits by relevance). */
+  def topM(spark: SparkSession, baseUrl: String, index: String, op: SimOp,
+      keyCol: String, valCol: String, value: String, m: Int,
+      filter: Option[String] = None,
+      headers: Map[String, String] = Map.empty): DataFrame = {
+    val body = buildQuery(op, keyCol, valCol, value, m, filter)
+    val resp = post(s"$baseUrl/$index/_search", body, headers)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val hits = mapper.readTree(resp).path("hits").path("hits")
+    val rows = hits.elements().asScala.map { h =>
+      val src = h.path("_source")
+      (src.path(keyCol).asText(), src.path(valCol).asText(),
+        h.path("_score").asDouble())
+    }.toSeq
+    import spark.implicits._
+    rows.toDF("id", "value", "score")
+  }
+}

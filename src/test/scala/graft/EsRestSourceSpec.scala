@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.api.SimOp
+import graft.sources.EsRestSource
+
+/** The ES in-situ client (S9/Q7) against a stub _search endpoint: the DSL
+  * the client emits must match the reference's templates, and the hit
+  * parsing must yield the ranked (id, value, score) frame. The stub stands
+  * in for Elasticsearch (none exists in the build env); the client under
+  * test is the real one. */
+class EsRestSourceSpec extends SparkTestBase {
+
+  private val mapper = new ObjectMapper()
+
+  /** Start a stub ES endpoint capturing request bodies and returning a
+    * canned hits payload. Returns (port, receivedBodies, stop). */
+  private def stubEs(hitsJson: String): (Int, java.util.List[String], () => Unit) = {
+    val received = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/articles/_search", (x: HttpExchange) => {
+      received.add(new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+      val out = hitsJson.getBytes(StandardCharsets.UTF_8)
+      x.getResponseHeaders.add("Content-Type", "application/json")
+      x.sendResponseHeaders(200, out.length)
+      x.getResponseBody.write(out)
+      x.close()
+    })
+    server.start()
+    (server.getAddress.getPort, received, () => server.stop(0))
+  }
+
+  private val cannedHits =
+    """{"hits": {"total": {"value": 3}, "hits": [
+      |  {"_id": "a1", "_score": 0.97, "_source": {"article_id": "a1", "positive_sentiment": "3.9"}},
+      |  {"_id": "a2", "_score": 0.85, "_source": {"article_id": "a2", "positive_sentiment": "3.1"}},
+      |  {"_id": "a3", "_score": 0.41, "_source": {"article_id": "a3", "positive_sentiment": "1.2"}}
+      |]}}""".stripMargin
+
+  test("numerical/temporal/spatial queries emit the reference's function_score decay DSL") {
+    val (port, received, stop) = stubEs(cannedHits)
+    try {
+      val df = EsRestSource.topM(spark, s"http://127.0.0.1:$port", "articles",
+        SimOp.Numerical, "article_id", "positive_sentiment", "3.95", 50)
+      val rows = df.collect().map(r => (r.getString(0), r.getDouble(2)))
+      assert(rows.toSeq == Seq(("a1", 0.97), ("a2", 0.85), ("a3", 0.41)))
+
+      val q = mapper.readTree(received.get(0))
+      assert(q.get("size").asInt() == 50)
+      assert(q.get("_source").get(0).asText() == "article_id")
+      val exp = q.get("query").get("function_score").get("exp").get("positive_sentiment")
+      assert(exp.get("origin").asText() == "3.95" && exp.get("scale").asText() == "1")
+      assert(math.abs(exp.get("decay").asDouble() - 0.99999) < 1e-12)
+
+      // temporal and spatial differ only in the scale unit
+      val qt = mapper.readTree(EsRestSource.buildQuery(
+        SimOp.Temporal, "article_id", "timestamp", "2019-11-04 08:45:00", 10))
+      assert(qt.get("query").get("function_score").get("exp")
+        .get("timestamp").get("scale").asText() == "1d")
+      val qs = mapper.readTree(EsRestSource.buildQuery(
+        SimOp.Spatial, "article_id", "position", "POINT(-74.94 42.15)", 10))
+      assert(qs.get("query").get("function_score").get("exp")
+        .get("position").get("scale").asText() == "100m")
+    } finally stop()
+  }
+
+  test("categorical/textual queries emit match; object filters wrap in bool/filter; junk filters are ignored") {
+    val q = mapper.readTree(EsRestSource.buildQuery(
+      SimOp.Categorical, "article_id", "persons", "joe biden", 25))
+    assert(q.get("query").get("match").get("persons").asText() == "joe biden")
+
+    val f = """{"term": {"source": "cnn"}}"""
+    val qf = mapper.readTree(EsRestSource.buildQuery(
+      SimOp.Textual, "article_id", "persons", "joe biden", 25, Some(f)))
+    val b = qf.get("query").get("bool")
+    assert(b.get("must").get(0).get("match") != null)
+    assert(b.get("filter").get("term").get("source").asText() == "cnn")
+
+    // non-object/array filter: ignored with a notice, not injected
+    val qj = mapper.readTree(EsRestSource.buildQuery(
+      SimOp.Textual, "article_id", "persons", "joe biden", 25, Some("source = cnn")))
+    assert(qj.get("query").get("match") != null && qj.get("query").get("bool") == null)
+  }
+
+  test("a non-200 endpoint raises instead of returning an empty frame") {
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/articles/_search", (x: HttpExchange) => {
+      val out = """{"error": "index_not_found"}""".getBytes(StandardCharsets.UTF_8)
+      x.sendResponseHeaders(404, out.length); x.getResponseBody.write(out); x.close()
+    })
+    server.start()
+    try {
+      val e = intercept[java.io.IOException] {
+        EsRestSource.topM(spark, s"http://127.0.0.1:${server.getAddress.getPort}",
+          "articles", SimOp.Numerical, "article_id", "v", "1", 5)
+      }
+      assert(e.getMessage.contains("404"))
+    } finally server.stop(0)
+  }
+}
