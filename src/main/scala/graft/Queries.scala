@@ -1232,8 +1232,8 @@ object Queries {
   // pairs; keep each component's min-id representative — pair-local "drop
   // the higher id" would keep extra members of a group whose pairs all
   // point at larger ids) -> benchmark decontamination (drop the eval set
-  // itself and every doc sharing >= ContamFlagMin distinct shingles with
-  // its shingle union) -> per-survivor token count. Every stage is the
+  // itself and every doc whose shared-shingle RATIO n_shared/n_shingles
+  // reaches ContamRatio) -> per-survivor token count. Every stage is the
   // same operator the standalone queries verify individually.
   // ----------------------------------------------------------------------
   private val pipelineQ: (SparkSession, String) => DataFrame = (s, dir) => {

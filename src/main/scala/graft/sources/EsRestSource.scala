@@ -26,9 +26,14 @@ object EsRestSource {
 
   /** The ES search-request body for one similarity operation. Scale/decay
     * constants are the reference's: scale "1" (numeric), "1d" (temporal),
-    * "100m" (spatial), decay 0.99999; categorical/textual use `match`. */
-  def buildQuery(op: SimOp, keyCol: String, valCol: String, value: String,
+    * "100m" (spatial), decay 0.99999; categorical/textual use `match`.
+    * Column names and the query value are JSON-escaped before templating —
+    * the emitted DSL shape is the reference's, but a value containing a
+    * quote must not yield a malformed request body. */
+  def buildQuery(op: SimOp, keyCol0: String, valCol0: String, value0: String,
       size: Int, filter: Option[String] = None): String = {
+    val (keyCol, valCol, value) = (RestClient.jsonEscape(keyCol0),
+      RestClient.jsonEscape(valCol0), RestClient.jsonEscape(value0))
     def decay(scale: String) =
       s"""{"function_score": {"query": {"exists": { "field": "$valCol" }},""" +
         s""""exp": {"$valCol": {"origin": "$value","scale": "$scale","decay" : 0.99999}}}}"""
@@ -38,7 +43,6 @@ object EsRestSource {
       case SimOp.Spatial => decay("100m")
       case SimOp.Categorical | SimOp.Textual =>
         s"""{ "match": { "$valCol": "$value" } }"""
-      case other => throw new IllegalArgumentException(s"unsupported ES operation: $other")
     }
     // the reference admits only object/array filter contexts and IGNORES
     // anything else with a notice (ElasticSearchRestQuery.java:147-153)
@@ -53,34 +57,32 @@ object EsRestSource {
     s"""{"_source": ["$keyCol", "$valCol"], "query": $wrapped,"size": $size}"""
   }
 
-  private def post(url: String, body: String, headers: Map[String, String]): String = {
-    val conn = new java.net.URL(url).openConnection()
-      .asInstanceOf[java.net.HttpURLConnection]
-    conn.setRequestMethod("POST")
-    conn.setDoOutput(true)
-    conn.setRequestProperty("Content-Type", "application/json")
-    headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
-    val out = conn.getOutputStream
-    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val code = conn.getResponseCode
-    val is = if (code < 400) conn.getInputStream else conn.getErrorStream
-    val resp = try new String(is.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-    finally is.close()
-    if (code != 200)
-      throw new java.io.IOException(s"ES endpoint $url returned $code: ${resp.take(400)}")
-    resp
-  }
+  /** The index's `max_result_window` setting (default 10000) — the
+    * reference discovers it at mount time and clamps every request's size
+    * to it (HttpRestConnector.getMaxResultCount); a real ES rejects any
+    * `size` above the window with HTTP 400. Absent/unreadable settings
+    * fall back to the ES default. */
+  def maxResultWindow(baseUrl: String, index: String,
+      headers: Map[String, String] = Map.empty): Int =
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(RestClient.get(s"$baseUrl/$index/_settings", headers))
+      val w = root.findValue("max_result_window")
+      if (w == null) 10000 else w.asText().toInt
+    } catch { case _: java.io.IOException => 10000 }
 
   /** Execute the top-M similarity query against `<baseUrl>/<index>/_search`
     * and parse the hits into (id, value, score) rows, ES-ranked (score
-    * descending — ES already orders hits by relevance). */
+    * descending — ES already orders hits by relevance). The request size is
+    * clamped to the index's max_result_window (`window`; pass the value
+    * from [[maxResultWindow]], discovered once at mount time). */
   def topM(spark: SparkSession, baseUrl: String, index: String, op: SimOp,
       keyCol: String, valCol: String, value: String, m: Int,
       filter: Option[String] = None,
-      headers: Map[String, String] = Map.empty): DataFrame = {
-    val body = buildQuery(op, keyCol, valCol, value, m, filter)
-    val resp = post(s"$baseUrl/$index/_search", body, headers)
+      headers: Map[String, String] = Map.empty,
+      window: Int = 10000): DataFrame = {
+    val body = buildQuery(op, keyCol, valCol, value, math.min(m, window), filter)
+    val resp = RestClient.post(s"$baseUrl/$index/_search", body, headers)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val hits = mapper.readTree(resp).path("hits").path("hits")
     val rows = hits.elements().asScala.map { h =>

@@ -27,36 +27,37 @@ object Federated {
 
   final case class Instance(baseUrl: String, apiKey: String)
 
-  private def post(url: String, body: String, apiKey: String): String = {
-    val conn = new java.net.URL(url).openConnection()
-      .asInstanceOf[java.net.HttpURLConnection]
-    conn.setRequestMethod("POST")
-    conn.setDoOutput(true)
-    conn.setRequestProperty("api_key", apiKey)
-    conn.setRequestProperty("Content-Type", "application/json")
-    val out = conn.getOutputStream
-    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val code = conn.getResponseCode
-    val is = if (code < 400) conn.getInputStream else conn.getErrorStream
-    val resp = try new String(is.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-    finally is.close()
-    if (code != 200)
-      throw new java.io.IOException(s"federated instance $url returned $code: ${resp.take(400)}")
-    resp
-  }
-
   /** Run `searchJson` (the reference's search-request shape) against every
-    * instance and merge: per weight combination, union the ranked lists,
-    * keep each id's best score, rank by (score desc, id), take k.
-    * Output columns: (combo, rank, id, score) — the engine's shape. */
+    * instance IN PARALLEL and merge: per weight combination, union the
+    * ranked lists, keep each id's best score, rank by (score desc, id),
+    * take k. Output columns: (combo, rank, id, score) — the engine's
+    * shape. Any failing instance, and any instance whose response is not
+    * an array of the same combo count as the others, raises — a silent
+    * partial merge would misreport the global ranking. */
   def search(spark: SparkSession, instances: Seq[Instance], searchJson: String): DataFrame = {
     require(instances.nonEmpty, "federated search needs at least one instance")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val k = mapper.readTree(searchJson).get("k").asText().toInt
-    val responses = instances.map(i =>
-      mapper.readTree(post(s"${i.baseUrl}/search", searchJson, i.apiKey)))
-    val nCombos = responses.map(_.size()).min
+    // fan-out: the shards run their Spark plans concurrently, so the
+    // coordinator pays max(shard latency), not the sum
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val responses = Await.result(
+      Future.sequence(instances.map(i => Future(
+        mapper.readTree(RestClient.post(s"${i.baseUrl}/search", searchJson,
+          Map("api_key" -> i.apiKey)))))),
+      scala.concurrent.duration.Duration.Inf)
+    responses.zip(instances).foreach { case (r, i) =>
+      if (!r.isArray)
+        throw new java.io.IOException(
+          s"federated instance ${i.baseUrl} returned a non-array response: ${r.toString.take(200)}")
+    }
+    val nCombos = responses.head.size()
+    responses.zip(instances).foreach { case (r, i) =>
+      if (r.size() != nCombos)
+        throw new java.io.IOException(
+          s"federated instance ${i.baseUrl} returned ${r.size()} combos, expected $nCombos")
+    }
     val rows = (0 until nCombos).flatMap { c =>
       val merged = responses
         .flatMap(_.get(c).get("rankedResults").elements().asScala

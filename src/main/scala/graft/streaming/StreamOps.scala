@@ -150,17 +150,22 @@ object StreamOps {
     * a query only scores its own bucket (the q_ann_lsh shape); `brute =
     * true` scores the full corpus per query (exact, the q_ann_cosine
     * shape). The per-query ranking window runs over candidate rows only.
-    * Results (query_id, vec_id, cos, rank) append to `writeBatch`. */
+    * Results (query_id, vec_id, cos, rank) append to `writeBatch`.
+    *
+    * Cache lifecycle: the prepared corpus projection is cached for the
+    * stream's lifetime (every micro-batch scans it) and unpersisted when
+    * the returned query terminates; stop the query before starting a
+    * replacement to avoid holding two copies. */
   def annStream(queryStream: DataFrame, queryId: String, queryVec: String,
       corpus: DataFrame, corpusId: String, corpusVec: String, k: Int,
       brute: Boolean = false)(writeBatch: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.expressions.Window
     import graft.operators.AnnSearch
-    val prepared = corpus
-      .select(col(corpusId).as("vec_id"), col(corpusVec).as("v"))
-      .withColumn("sig", AnnSearch.signature8(col("v")))
-      .cache()
+    val base = corpus.select(col(corpusId).as("vec_id"), col(corpusVec).as("v"))
+    // the LSH signature column only exists on the bucketed path
+    val prepared = (if (brute) base
+      else base.withColumn("sig", AnnSearch.signature8(col("v")))).cache()
     queryStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val q = batch.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
         .withColumn("qsig", AnnSearch.signature8(col("qv")))
@@ -175,6 +180,22 @@ object StreamOps {
         .where(col("rank") <= k)
       writeBatch(ranked, batchId)
     }.start()
+      .tap(q => {
+        val spark = corpus.sparkSession
+        spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+          override def onQueryStarted(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+          override def onQueryProgress(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+          override def onQueryTerminated(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+            if (e.id == q.id) { prepared.unpersist(); spark.streams.removeListener(this) }
+        })
+      })
+  }
+
+  private implicit class Tap[A](private val a: A) extends AnyVal {
+    def tap(f: A => Unit): A = { f(a); a }
   }
 
   /** Streaming windowed top-k preparation: per-window per-key aggregate

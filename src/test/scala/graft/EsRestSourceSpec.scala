@@ -86,6 +86,37 @@ class EsRestSourceSpec extends SparkTestBase {
     assert(qj.get("query").get("match") != null && qj.get("query").get("bool") == null)
   }
 
+  test("request size clamps to max_result_window; settings discovery parses the index setting") {
+    val (port, received, stop) = stubEs(cannedHits)
+    val server2 = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server2.createContext("/articles/_settings", (x: HttpExchange) => {
+      val out = ("""{"articles": {"settings": {"index": """ +
+        """{"max_result_window": "2500", "number_of_shards": "1"}}}}""")
+        .getBytes(StandardCharsets.UTF_8)
+      x.sendResponseHeaders(200, out.length); x.getResponseBody.write(out); x.close()
+    })
+    server2.start()
+    try {
+      val window = EsRestSource.maxResultWindow(
+        s"http://127.0.0.1:${server2.getAddress.getPort}", "articles")
+      assert(window == 2500)
+      // unreachable settings endpoint -> ES default
+      assert(EsRestSource.maxResultWindow("http://127.0.0.1:1", "articles") == 10000)
+
+      EsRestSource.topM(spark, s"http://127.0.0.1:$port", "articles",
+        SimOp.Numerical, "article_id", "positive_sentiment", "3.95", 50000,
+        window = window)
+      val q = mapper.readTree(received.get(received.size() - 1))
+      assert(q.get("size").asInt() == 2500, "size must clamp to the window")
+    } finally { stop(); server2.stop(0) }
+  }
+
+  test("quotes in the query value are escaped, not spliced raw into the body") {
+    val q = mapper.readTree(EsRestSource.buildQuery(
+      SimOp.Textual, "article_id", "persons", """say "hello" \now""", 5))
+    assert(q.get("query").get("match").get("persons").asText() == """say "hello" \now""")
+  }
+
   test("a non-200 endpoint raises instead of returning an empty frame") {
     val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
     server.createContext("/articles/_search", (x: HttpExchange) => {
