@@ -23,7 +23,13 @@ final case class BoundFacet(
     weightPerCombo: Seq[Double],
     decay: Double = SimKernels.DefaultDecay,
     scale: Option[Double] = None,
-    jaccard: Boolean = false)
+    jaccard: Boolean = false,
+    // A no-random-access facet (ES in-situ / federated remote): `dist`'s
+    // `d` column already IS the similarity (higher = better, bounded list
+    // of at most the remote's top-M). Candidates outside the list score 0 —
+    // the reference's NRA lower-bound semantics for in-situ REST sources
+    // (SearchHandler.java:296-307). decay/scale/jaccard are ignored.
+    preScored: Boolean = false)
 
 object FacetSearch {
 

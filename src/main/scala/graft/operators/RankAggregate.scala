@@ -101,7 +101,11 @@ object RankAggregate {
     // (<= m rows) and MEMORY_AND_DISK, so a long-lived session sheds them
     // via LRU eviction; they cannot be unpersisted here because the
     // returned DataFrame is lazy and still references them.
-    val topMs = topMsIn.getOrElse(facets.map(f => FacetSearch.topM(f.dist, m).cache()))
+    // pre-scored (NRA) facets rank by similarity DESC — their list is the
+    // entire knowledge of the facet (no random access)
+    val topMs = topMsIn.getOrElse(facets.map(f =>
+      (if (f.preScored) f.dist.orderBy(col("d").desc, col("id")).limit(m)
+       else FacetSearch.topM(f.dist, m)).cache()))
     // Calibrate every facet's scale in ONE Spark job: tag each facet's
     // deterministic top-k with its index, union, and take max(d) per facet
     // (= the k-th candidate distance; boundary ties make the value
@@ -110,7 +114,8 @@ object RankAggregate {
     // one tagged job beats |facets| separate jobs on per-job overhead and
     // populates all the topM caches in a single pass. Only (f, d) is
     // unioned so facets with different id types still combine.
-    val needScale = facets.zipWithIndex.filter(_._1.scale.isEmpty)
+    val needScale = facets.zipWithIndex.filter { case (f, _) =>
+      f.scale.isEmpty && !f.preScored } // NRA facets have no distance to calibrate
     val kth: Map[Int, Double] =
       if (needScale.isEmpty) Map.empty
       else needScale.map { case (_, i) =>
@@ -134,7 +139,12 @@ object RankAggregate {
     // This is the only pass that scans the facets in full ("random access"
     // becomes a broadcast-semi join pushed into the scan).
     val perFacet = facets.zipWithIndex.map { case (f, i) =>
-      FacetSearch.decayedWithScale(f, scales(i))
+      // NRA facets join their bounded ranked list (their whole knowledge);
+      // full facets stream their complete decayed scores
+      val stream =
+        if (f.preScored) topMs(i).select(col("id"), col("d").as("s"))
+        else FacetSearch.decayedWithScale(f, scales(i))
+      stream
         .join(broadcast(cands), Seq("id"))
         .select(col("id"), lit(i).as("f"), col("s"))
     }
@@ -159,15 +169,20 @@ object RankAggregate {
     // result with score >= tau is provably in the true top-k; mirrors the
     // reference's per-result `exact` flag (RankedResult.setExact).
     lazy val sMth: Seq[Double] = {
-      // one tagged job for all facets' (count, max d) over the cached topMs
+      // one tagged job for all facets' (count, max d, min d) over the
+      // cached topMs; full facets bound unseen entities via the decayed
+      // M-th DISTANCE (max d), pre-scored facets directly via the M-th
+      // (minimum) listed SIMILARITY
       val stats = topMs.zipWithIndex.map { case (tm, i) =>
         tm.select(lit(i).as("f"), col("d"))
       }.reduce(_ union _)
-        .groupBy(col("f")).agg(count(lit(1)).as("n"), max(col("d")).as("maxd"))
-        .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+        .groupBy(col("f"))
+        .agg(count(lit(1)).as("n"), max(col("d")).as("maxd"), min(col("d")).as("mind"))
+        .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
       facets.zip(scales).zipWithIndex.map { case ((f, sc), i) =>
-        val (n, maxd) = stats.getOrElse(i, (0L, 0.0))
+        val (n, maxd, mind) = stats.getOrElse(i, (0L, 0.0, 0.0))
         if (n < m) 0.0 // candidate list exhausted the facet: no unseen entities
+        else if (f.preScored) mind
         else if (f.jaccard && maxd == 1.0) 0.0
         else math.exp(-f.decay * maxd / sc)
       }

@@ -93,4 +93,20 @@ object EsRestSource {
     import spark.implicits._
     rows.toDF("id", "value", "score")
   }
+
+  /** The ES attribute as a facet for a MIXED query (in-situ + ingested
+    * attributes aggregated together): its ranked list becomes a pre-scored
+    * no-random-access [[graft.operators.BoundFacet]] — candidates outside
+    * the list score 0, the reference's NRA restriction for REST sources. */
+  def facet(spark: SparkSession, baseUrl: String, index: String, op: SimOp,
+      keyCol: String, valCol: String, value: String, m: Int,
+      weightPerCombo: Seq[Double], filter: Option[String] = None,
+      headers: Map[String, String] = Map.empty,
+      window: Int = 10000): graft.operators.BoundFacet = {
+    import org.apache.spark.sql.functions.col
+    graft.operators.BoundFacet(valCol,
+      topM(spark, baseUrl, index, op, keyCol, valCol, value, m, filter, headers, window)
+        .select(col("id"), col("score").as("d")),
+      weightPerCombo, preScored = true)
+  }
 }

@@ -117,6 +117,27 @@ class EsRestSourceSpec extends SparkTestBase {
     assert(q.get("query").get("match").get("persons").asText() == """say "hello" \now""")
   }
 
+  test("mixed query: an ES facet aggregates with a local facet under NRA semantics") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val (port, _, stop) = stubEs(cannedHits) // ranked: a1 .97, a2 .85, a3 .41
+    try {
+      val esFacet = EsRestSource.facet(spark, s"http://127.0.0.1:$port", "articles",
+        SimOp.Numerical, "article_id", "positive_sentiment", "3.95", 50, Seq(0.5))
+      val local = graft.operators.BoundFacet("local",
+        Seq(("a1", 4.0), ("a2", 0.0), ("a4", 1.0)).toDF("id", "d"),
+        Seq(0.5), scale = Some(1.0))
+      val got = graft.operators.RankAggregate
+        .topK(spark, Seq(local, esFacet), 10, 10)
+        .select("id", "score").as[(String, Double)].collect().toMap
+      // a2: local sim exp(-0.05*0) = 1, ES 0.85 -> (0.5*1 + 0.5*0.85)
+      assert(got("a2") == 0.925)
+      // a3: ES only (0.41/2); a4: local only (exp(-0.05)/2)
+      assert(got("a3") == 0.205)
+      assert(got.keySet == Set("a1", "a2", "a3", "a4"))
+    } finally stop()
+  }
+
   test("a non-200 endpoint raises instead of returning an empty frame") {
     val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
     server.createContext("/articles/_search", (x: HttpExchange) => {

@@ -66,6 +66,27 @@ class OperatorSpec extends SparkTestBase {
     assert(rows(1L) == exp1 && rows(2L) == exp2)
   }
 
+  test("RankAggregate: a pre-scored (NRA) facet mixes with a full facet; unseen ids score 0") {
+    // full facet: distances for ids 1..6 (scale pinned to 1.0, decay d=0 -> sim 1)
+    val dists = Seq((1L, 0.0), (2L, 1.0), (3L, 2.0), (4L, 3.0), (5L, 4.0), (6L, 5.0))
+    val full = BoundFacet("local", dists.toDF("id", "d"), Seq(0.5), scale = Some(1.0))
+    // NRA facet: a remote ranked list covering only ids 2, 7 (id 7 is
+    // outside the full facet entirely)
+    val nra = BoundFacet("remote", Seq((2L, 0.9), (7L, 0.8)).toDF("id", "d"),
+      Seq(0.5), preScored = true)
+    val got = RankAggregate.topK(spark, Seq(full, nra), 10, 10)
+      .select("id", "score").as[(Long, Double)].collect().toMap
+    def decay(d: Double) = math.exp(-SimKernels.DefaultDecay * d)
+    def expect(d: Double, s: Double) = BigDecimal((0.5 * decay(d) + 0.5 * s) / 1.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(2L) == expect(1.0, 0.9))          // both facets contribute
+    assert(got(1L) == expect(0.0, 0.0))          // unseen by the NRA list -> 0
+    assert(got(7L) == BigDecimal(0.5 * 0.8).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) // unseen by the full facet -> 0
+    // all candidates from both lists are ranked
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+  }
+
   test("RankAggregate: weight validation rejects out-of-range weights") {
     val f0 = Seq((1L, 0.0)).toDF("id", "d")
     val facets = Seq(BoundFacet("a", f0, Seq(1.5)), BoundFacet("b", f0, Seq(0.5)))
