@@ -692,23 +692,26 @@ object Queries {
 
   // -- benchmark decontamination: what FRACTION of each training document's
   //    distinct word 2-shingles appears in the UNION of an eval set's
-  //    shingles (eval set = doc_id % 50 == 0)? A ratio, not an absolute
-  //    count: on a shared-vocabulary corpus every doc shares SOME shingles
-  //    (background ratio here ~0.42), while true eval near-copies sit at
-  //    >= 0.7. The eval shingle union is small by nature (benchmarks are
-  //    tiny vs the corpus), so it broadcasts into the corpus scan.
-  private[graft] val ContamEvalMod = 50
+  //    shingles (eval set = a FIXED list of docs, doc_id < 10)? A ratio,
+  //    not an absolute count: on a shared-vocabulary corpus every doc
+  //    shares SOME shingles (background ratio here ~0.42-0.47), while true
+  //    eval near-copies sit at >= 0.7. And a FIXED eval set, not a corpus
+  //    percentage: benchmarks do not grow with the corpus, and a
+  //    percentage-sized eval union eventually covers the whole shingle
+  //    space, flagging everything. The eval shingle union is small by
+  //    nature, so it broadcasts into the corpus scan.
+  private[graft] val ContamEvalMax = 10
   private[graft] val ContamRatio = 0.7
 
   private val contaminationQ: (SparkSession, String) => DataFrame = (s, dir) => {
     val counts = graft.operators.Contamination.sharedShingleCounts(
         t(s, dir, "documents"), col("doc_id"),
         TextKernels.wordShingles2(TextKernels.wordTokens(col("text"))),
-        col("doc_id") % ContamEvalMod === 0)
+        col("doc_id") < ContamEvalMax)
       .withColumnRenamed("id", "doc_id")
     val ns = coalesce(col("n_shingles"), lit(0L))
     val nh = coalesce(col("n_shared"), lit(0L))
-    t(s, dir, "documents").where(col("doc_id") % ContamEvalMod =!= 0).select(col("doc_id"))
+    t(s, dir, "documents").where(col("doc_id") >= ContamEvalMax).select(col("doc_id"))
       .join(counts, Seq("doc_id"), "left")
       .select(col("doc_id"),
         ns.cast("long").as("n_shingles"),
@@ -722,17 +725,17 @@ object Queries {
   private val contaminationSql =
     s"""WITH tk AS (SELECT doc_id, ${sqlWords("text")} AS w FROM documents),
        |sh AS (SELECT doc_id, unnest(${sqlShingles2("w")}) AS g FROM tk),
-       |ev AS (SELECT DISTINCT g AS eg FROM sh WHERE doc_id % $ContamEvalMod = 0),
+       |ev AS (SELECT DISTINCT g AS eg FROM sh WHERE doc_id < $ContamEvalMax),
        |ct AS (SELECT doc_id, count(*) AS n_shingles, count(eg) AS n_shared
        |       FROM sh LEFT JOIN ev ON sh.g = ev.eg
-       |       WHERE doc_id % $ContamEvalMod <> 0 GROUP BY doc_id)
+       |       WHERE doc_id >= $ContamEvalMax GROUP BY doc_id)
        |SELECT d.doc_id, coalesce(ct.n_shingles, 0)::BIGINT AS n_shingles,
        |  coalesce(ct.n_shared, 0)::BIGINT AS n_shared,
        |  round(coalesce(ct.n_shared, 0)::DOUBLE / greatest(coalesce(ct.n_shingles, 0), 1), 6) AS ratio,
        |  (CASE WHEN coalesce(ct.n_shared, 0)::DOUBLE / greatest(coalesce(ct.n_shingles, 0), 1) >= $ContamRatio
        |        THEN 1 ELSE 0 END)::BIGINT AS contaminated
        |FROM documents d LEFT JOIN ct ON d.doc_id = ct.doc_id
-       |WHERE d.doc_id % $ContamEvalMod <> 0 ORDER BY d.doc_id""".stripMargin
+       |WHERE d.doc_id >= $ContamEvalMax ORDER BY d.doc_id""".stripMargin
 
   // -- text quality statistics
   private val enStops = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -1264,12 +1267,12 @@ object Queries {
     // benchmark is external to the pipeline's survivorship); ratio rule —
     // see the q_contamination note
     val contaminated = graft.operators.Contamination.sharedShingleCounts(
-        docs, col("doc_id"), shingles, col("doc_id") % ContamEvalMod === 0)
+        docs, col("doc_id"), shingles, col("doc_id") < ContamEvalMax)
       .where(col("n_shared").cast("double") / col("n_shingles") >= ContamRatio)
       .select(col("id").as("doc_id"))
     survivors
       .join(nearDupLosers, Seq("doc_id"), "left_anti")
-      .where(col("doc_id") % ContamEvalMod =!= 0)
+      .where(col("doc_id") >= ContamEvalMax)
       .join(contaminated, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_tokens"))
       .orderBy(col("doc_id"))
@@ -1298,15 +1301,15 @@ object Queries {
        |losers AS (SELECT n AS doc_id FROM r GROUP BY n HAVING min(m) < n),
        |tkc AS (SELECT doc_id, ${sqlWords("text")} AS w FROM documents),
        |shc AS (SELECT doc_id, unnest(${sqlShingles2("w")}) AS g FROM tkc),
-       |ev AS (SELECT DISTINCT g AS eg FROM shc WHERE doc_id % $ContamEvalMod = 0),
+       |ev AS (SELECT DISTINCT g AS eg FROM shc WHERE doc_id < $ContamEvalMax),
        |contam AS (SELECT doc_id FROM (
        |  SELECT doc_id, count(*) AS n_shingles, count(eg) AS n_shared
        |  FROM shc LEFT JOIN ev ON shc.g = ev.eg
-       |  WHERE doc_id % $ContamEvalMod <> 0 GROUP BY doc_id)
+       |  WHERE doc_id >= $ContamEvalMax GROUP BY doc_id)
        |  WHERE n_shared::DOUBLE / n_shingles >= $ContamRatio)
        |SELECT doc_id, n_tokens FROM survivors
        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
-       |  AND doc_id % $ContamEvalMod <> 0
+       |  AND doc_id >= $ContamEvalMax
        |  AND doc_id NOT IN (SELECT doc_id FROM contam)
        |ORDER BY doc_id""".stripMargin
   }

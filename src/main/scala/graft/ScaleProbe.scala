@@ -94,7 +94,7 @@ object ScaleProbe {
       val tContam = timeIt {
         Contamination.sharedShingleCounts(docs, col("doc_id"),
           TextKernels.wordShingles2(TextKernels.wordTokens(col("text"))),
-          col("doc_id") % Queries.ContamEvalMod === 0).count()
+          col("doc_id") < Queries.ContamEvalMax).count()
       }
       if (mult0 > 0)
         println(s"""{"mult":$mult,"docs":${docs.count()},"minhash_sec":$tMinhash,"ann_sec":$tAnn,"rankagg_sec":$tRankAgg,"cluster_sec":$tCluster,"pack_sec":$tPack,"tfidf_sec":$tTfidf,"simhash_sec":$tSimhash,"quantize_sec":$tQuantize,"contam_sec":$tContam}""")

@@ -25,8 +25,22 @@ object Contamination {
     * listing. */
   def sharedShingleCounts(docs: DataFrame, id: Column, shingles: Column,
       isEval: Column): DataFrame = {
+    // Materialize the shingle array in its own projection below the
+    // explode (a composed shingle expression handed straight to explode()
+    // is re-derived inside the Generate's lambda per element access), and
+    // use explode_OUTER + an explicit not-null guard instead of explode:
+    // for a plain explode, InferFiltersFromGenerate synthesizes a
+    // `size(gs) > 0` predicate whose pushdown drags the ENTIRE shingle
+    // expression below the spread repartition onto the raw scan — on an
+    // under-split source that serializes the corpus tokenization onto one
+    // core (measured 11.5s vs 1s at sf0.1). No filter is inferred for an
+    // outer generate, and a predicate on the GENERATED column cannot be
+    // pushed below the Generate, so the guard stays where the work is
+    // already parallel.
     val sh = Dedup.spread(docs)
-      .select(id.as("id"), isEval.as("is_eval"), explode(shingles).as("g"))
+      .select(id.as("id"), isEval.as("is_eval"), shingles.as("gs"))
+      .select(col("id"), col("is_eval"), explode_outer(col("gs")).as("g"))
+      .where(col("g").isNotNull)
     val evalSet = sh.where(col("is_eval")).select(col("g")).distinct()
       .withColumn("hit", lit(1))
     sh.where(!col("is_eval"))
