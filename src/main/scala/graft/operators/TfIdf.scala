@@ -26,7 +26,16 @@ object TfIdf {
   /** Top-k terms per document: (doc_id, term, tf, score, rank) where
     * score = tf * N / df, rank 1..k by (score desc, term asc). */
   def topTerms(docs: DataFrame, id: Column, tokens: Column, k: Int): DataFrame = {
-    val words = docs.select(id.as("doc_id"), explode(tokens).as("term"))
+    // token array materialized below an explode_OUTER + not-null guard —
+    // same rationale as Contamination.sharedShingleCounts: a plain explode
+    // of the composed expression lets InferFiltersFromGenerate push the
+    // whole tokenization below the spread repartition onto the raw scan
+    // (single-core on an under-split source), and the Generate's lambda
+    // re-derives the expression per element. Null token ELEMENTS (which
+    // wordTokens never produces) are dropped rather than counted as a term.
+    val words = Dedup.spread(docs).select(id.as("doc_id"), tokens.as("ts"))
+      .select(col("doc_id"), explode_outer(col("ts")).as("term"))
+      .where(col("term").isNotNull)
     val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
