@@ -164,6 +164,24 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("explode-heavy operators: no tokenization expression sinks into the file scan") {
+    // InferFiltersFromGenerate + pushdown can drag a composed shingle/token
+    // expression below the spread repartition onto the raw (often
+    // 1-partition) scan, serializing the corpus tokenization onto one core.
+    // The explode_outer + not-null guard keeps the scan's DataFilters free
+    // of higher-order functions. (q_pipeline is exempt: its QUALITY filter
+    // size(tokens) >= 40 is a user predicate, and filtering at the scan is
+    // the scale-correct plan — fewer rows materialize; only the
+    // single-file local fixture serializes it.)
+    for (q <- Seq("q_contamination", "q_tfidf")) {
+      val plan = planOf(Queries.all(q)(spark, dir))
+      val scanLines = plan.linesIterator.filter(_.contains("FileScan")).toSeq
+      assert(scanLines.nonEmpty)
+      scanLines.foreach(l => assert(!l.contains("lambdafunction"),
+        s"$q: a lambda (tokenization) reached the scan filters:\n${l.take(400)}"))
+    }
+  }
+
   test("quantization: per-dim stats broadcast back; the corpus is never key-shuffled") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
