@@ -619,6 +619,17 @@ object Queries {
        |  length(regexp_replace(text, '$ScrubKw', '<X>', 'g'))::BIGINT AS masked_len
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -- compression-ratio quality signal: deflate(size)/raw(size) per doc.
+  //    Not SQL-expressible (DuckDB has no deflate function), so this query
+  //    has NO oracle twin — the driver records the weaker rows-only check;
+  //    value-level behavior is locked by NativeKernelSpec instead.
+  private val compressRatioQ: (SparkSession, String) => DataFrame = (s, dir) =>
+    spread(t(s, dir, "documents"))
+      .select(col("doc_id"),
+        round(graft.functions.NativeKernels.compressRatio(col("text")), 6)
+          .as("deflate_ratio"))
+      .orderBy(col("doc_id"))
+
   // -- exact-duplicate groups + per-document fingerprints
   private val dedupExact: (SparkSession, String) => DataFrame = (s, dir) =>
     Dedup.exactGroups(spread(t(s, dir, "documents")), "doc_id", col("text")).orderBy(col("fp"))
@@ -1386,6 +1397,7 @@ object Queries {
     "q_contamination" -> contaminationQ,
     "q_compact"       -> compactQ,
     "q_quantize"      -> quantizeQ,
+    "q_compress_ratio" -> compressRatioQ,
   )
 
   val oracles: Map[String, String] = Map(

@@ -354,6 +354,56 @@ object NativeKernels {
   def simhashBands(tokens: Column): Column =
     column(SimhashBandsExpr(expression(tokens)))
 
+  // ------------------------------------------------------- compression ratio
+
+  /** Deflate-compressed size over raw UTF-8 size — the classic
+    * compression-based text-quality signal (templated/repetitive documents
+    * compress far better than natural prose; extremely low ratios flag
+    * boilerplate, extremely high ones flag random noise). Level 6,
+    * JDK Deflater (pure-JVM zlib) — deterministic across JVMs. NULL input
+    * -> NULL; empty string -> ratio over the 8-byte deflate header
+    * (finite, deterministic). */
+  private[functions] case class CompressRatioExpr(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      child.dataType match {
+        case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a string, got ${other.simpleString}")
+      }
+    }
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "compress_ratio_native"
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+
+    def ratio(s: org.apache.spark.unsafe.types.UTF8String): Double = {
+      val raw = s.getBytes
+      val d = new java.util.zip.Deflater(6)
+      try {
+        d.setInput(raw); d.finish()
+        val buf = new Array[Byte](8192)
+        var compressed = 0L
+        while (!d.finished()) compressed += d.deflate(buf)
+        compressed.toDouble / math.max(raw.length, 1)
+      } finally d.end()
+    }
+
+    override protected def nullSafeEval(v: Any): Any =
+      ratio(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("compressRatioExpr", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.ratio($c);")
+    }
+  }
+
+  /** Deflate compression ratio of a string column. */
+  def compressRatio(s: Column): Column = column(CompressRatioExpr(expression(s)))
+
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
@@ -432,5 +482,12 @@ object NativeKernels {
           require(args.length == 1,
             s"graft_fingerprint takes exactly 1 argument, got ${args.length}")
           fingerprintExpr(args(0))
+        }),
+      (FunctionIdentifier("graft_compress_ratio"),
+        new ExpressionInfo(NativeKernels.getClass.getCanonicalName, "graft_compress_ratio"),
+        args => {
+          require(args.length == 1,
+            s"graft_compress_ratio takes exactly 1 argument, got ${args.length}")
+          CompressRatioExpr(args(0))
         }))
 }

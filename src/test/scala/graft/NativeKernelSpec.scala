@@ -72,6 +72,23 @@ class NativeKernelSpec extends SparkTestBase {
     assert(mismatches == 0)
   }
 
+  test("compress_ratio: repetitive text compresses below prose; deterministic; null-safe") {
+    val df = Seq(
+      (1L, Some("the " * 200)),                                  // highly repetitive
+      (2L, Some((0 until 200).map(i => s"w${i * 7919 % 9973}").mkString(" "))), // varied
+      (3L, Option.empty[String])).toDF("id", "s")
+    val got = df.select(col("id"),
+        graft.functions.NativeKernels.compressRatio(col("s")).as("r"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L).get < got(2L).get, s"repetitive must compress better: $got")
+    assert(got(1L).get > 0.0 && got(2L).get < 1.2)
+    assert(got(3L).isEmpty) // null propagates
+    // determinism across evaluations
+    val again = df.where(col("id") === 1L)
+      .select(graft.functions.NativeKernels.compressRatio(col("s"))).head.getDouble(0)
+    assert(again == got(1L).get)
+  }
+
   test("simhash_bands_native is bit-identical to the composed TextKernels chain") {
     import graft.functions.TextKernels
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

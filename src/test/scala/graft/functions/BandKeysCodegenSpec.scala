@@ -48,6 +48,16 @@ class BandKeysCodegenSpec extends AnyFunSuite {
     assert((0 until 4).forall(i => outNull.getArray(0).getInt(i) == 0))
   }
 
+  test("CompressRatioExpr compiles under strict UnsafeProjection codegen and evaluates") {
+    val e = NativeKernels.CompressRatioExpr(
+      BoundReference(0, StringType, nullable = true))
+    val proj = GenerateUnsafeProjection.generate(Seq(e))
+    val out = proj(new GenericInternalRow(
+      Array[Any](UTF8String.fromString("abc abc abc abc abc abc"))))
+    assert(out.getDouble(0) > 0.0 && out.getDouble(0) < 1.2)
+    assert(proj(new GenericInternalRow(Array[Any](null))).isNullAt(0))
+  }
+
   test("BandKeysExpr compiles under strict UnsafeProjection codegen and evaluates") {
     val e = NativeKernels.BandKeysExpr(
       BoundReference(0, ArrayType(StringType), nullable = true), 16, 4, 4)
