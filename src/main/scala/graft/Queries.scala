@@ -582,7 +582,7 @@ object Queries {
 
   // -- per-document characteristic terms (tf·idf top-3, ratio-idf variant)
   private val tfidfQ: (SparkSession, String) => DataFrame = (s, dir) =>
-    graft.operators.TfIdf.topTerms(spread(t(s, dir, "documents")),
+    graft.operators.TfIdf.topTerms(t(s, dir, "documents"), // topTerms spreads internally
         col("doc_id"), TextKernels.wordTokens(col("text")), 3)
       .orderBy(col("doc_id"), col("rank"))
 

@@ -380,16 +380,21 @@ object NativeKernels {
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
 
+    // one Deflater (native zlib stream) and scratch buffer per task thread,
+    // reset per row — allocating/ending a native stream per row would
+    // dominate the actual deflate cost for short documents
+    @transient private lazy val local =
+      ThreadLocal.withInitial[(java.util.zip.Deflater, Array[Byte])](() =>
+        (new java.util.zip.Deflater(6), new Array[Byte](8192)))
+
     def ratio(s: org.apache.spark.unsafe.types.UTF8String): Double = {
       val raw = s.getBytes
-      val d = new java.util.zip.Deflater(6)
-      try {
-        d.setInput(raw); d.finish()
-        val buf = new Array[Byte](8192)
-        var compressed = 0L
-        while (!d.finished()) compressed += d.deflate(buf)
-        compressed.toDouble / math.max(raw.length, 1)
-      } finally d.end()
+      val (d, buf) = local.get()
+      d.reset()
+      d.setInput(raw); d.finish()
+      var compressed = 0L
+      while (!d.finished()) compressed += d.deflate(buf)
+      compressed.toDouble / math.max(raw.length, 1)
     }
 
     override protected def nullSafeEval(v: Any): Any =

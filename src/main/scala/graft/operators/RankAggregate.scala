@@ -93,6 +93,12 @@ object RankAggregate {
     facets.foreach(f => f.weightPerCombo.foreach(w =>
       require(w > 0 && w <= 1,
         s"weight $w out of (0,1] for facet ${f.name}"))) // reference: weights/Validator.java:14-22 (1.0 admitted — the reference's own golden query uses it)
+    // mixed-source queries make heterogeneous id types a real hazard: the
+    // candidate union would silently widen (bigint 7 vs string "007" never
+    // matching back) — fail fast and make the caller cast to a common type
+    val idTypes = facets.map(_.dist.schema("id").dataType).distinct
+    require(idTypes.size == 1,
+      s"facet id types must match, got ${idTypes.mkString(", ")}; cast ids to a common type")
 
     // Phase 1: deterministic per-facet candidates. Each top-M is one
     // shuffle-free TakeOrderedAndProject scan; the (<= m)-row result is
@@ -181,8 +187,14 @@ object RankAggregate {
         .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
       facets.zip(scales).zipWithIndex.map { case ((f, sc), i) =>
         val (n, maxd, mind) = stats.getOrElse(i, (0L, 0.0, 0.0))
-        if (n < m) 0.0 // candidate list exhausted the facet: no unseen entities
-        else if (f.preScored) mind
+        if (f.preScored) {
+          // the remote's fetch bound is ITS OWN m (not this aggregation's),
+          // so a short list proves nothing about exhaustion — always bound
+          // unseen entities by the minimum listed similarity; an empty
+          // list means the remote found no matches at all
+          if (n == 0) 0.0 else mind
+        }
+        else if (n < m) 0.0 // candidate list exhausted the facet: no unseen entities
         else if (f.jaccard && maxd == 1.0) 0.0
         else math.exp(-f.decay * maxd / sc)
       }

@@ -97,16 +97,31 @@ object EsRestSource {
   /** The ES attribute as a facet for a MIXED query (in-situ + ingested
     * attributes aggregated together): its ranked list becomes a pre-scored
     * no-random-access [[graft.operators.BoundFacet]] — candidates outside
-    * the list score 0, the reference's NRA restriction for REST sources. */
+    * the list score 0, the reference's NRA restriction for REST sources.
+    *
+    * Score comparability: the decay operations (Numerical/Temporal/
+    * Spatial) already yield `function_score` values in (0, 1], directly
+    * comparable with ingested facets' decayed similarities. A `match`
+    * query's BM25 _score is UNBOUNDED (routinely 2-15), so for
+    * Categorical/Textual the list is max-normalized (score / top score)
+    * into (0, 1] — otherwise the ES facet would swamp every ingested
+    * facet regardless of weights. */
   def facet(spark: SparkSession, baseUrl: String, index: String, op: SimOp,
       keyCol: String, valCol: String, value: String, m: Int,
       weightPerCombo: Seq[Double], filter: Option[String] = None,
       headers: Map[String, String] = Map.empty,
       window: Int = 10000): graft.operators.BoundFacet = {
-    import org.apache.spark.sql.functions.col
-    graft.operators.BoundFacet(valCol,
-      topM(spark, baseUrl, index, op, keyCol, valCol, value, m, filter, headers, window)
-        .select(col("id"), col("score").as("d")),
-      weightPerCombo, preScored = true)
+    import org.apache.spark.sql.functions.{broadcast, col, max, when}
+    val ranked = topM(spark, baseUrl, index, op, keyCol, valCol, value, m,
+      filter, headers, window)
+    val scored = op match {
+      case SimOp.Categorical | SimOp.Textual =>
+        val top = ranked.agg(max(col("score")).as("top"))
+        ranked.crossJoin(broadcast(top))
+          .select(col("id"),
+            when(col("top") > 0, col("score") / col("top")).otherwise(0.0).as("d"))
+      case _ => ranked.select(col("id"), col("score").as("d"))
+    }
+    graft.operators.BoundFacet(valCol, scored, weightPerCombo, preScored = true)
   }
 }
