@@ -138,6 +138,28 @@ class EsRestSourceSpec extends SparkTestBase {
     } finally stop()
   }
 
+  test("match-query facets are max-normalized into (0,1]; decay facets pass through") {
+    // BM25-like unbounded scores for a match (Textual) query
+    val bm25Hits =
+      """{"hits": {"hits": [
+        |  {"_score": 8.4, "_source": {"article_id": "a1", "persons": "x"}},
+        |  {"_score": 4.2, "_source": {"article_id": "a2", "persons": "y"}},
+        |  {"_score": 2.1, "_source": {"article_id": "a3", "persons": "z"}}
+        |]}}""".stripMargin
+    val (port, _, stop) = stubEs(bm25Hits)
+    try {
+      val f = EsRestSource.facet(spark, s"http://127.0.0.1:$port", "articles",
+        SimOp.Textual, "article_id", "persons", "joe", 10, Seq(1.0))
+      val got = f.dist.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      assert(got("a1") == 1.0 && got("a2") == 0.5 && got("a3") == 0.25)
+      // decay ops keep the raw (already (0,1]) function_score values
+      val fd = EsRestSource.facet(spark, s"http://127.0.0.1:$port", "articles",
+        SimOp.Numerical, "article_id", "persons", "1", 10, Seq(1.0))
+      val gd = fd.dist.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      assert(gd("a1") == 8.4) // pass-through (stub score; real decay <= 1)
+    } finally stop()
+  }
+
   test("a non-200 endpoint raises instead of returning an empty frame") {
     val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
     server.createContext("/articles/_search", (x: HttpExchange) => {

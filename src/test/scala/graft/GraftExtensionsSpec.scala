@@ -79,6 +79,20 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(e.getMessage.contains("4 arguments") || e.getMessage.contains("graft_band_keys"))
   }
 
+  test("graft_compress_ratio matches the Column API and bounds sensibly") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(30)
+    docs.createOrReplaceTempView("docs_ext3")
+    val viaSql = spark.sql("SELECT doc_id, graft_compress_ratio(text) r FROM docs_ext3")
+      .orderBy("doc_id").collect().map(_.getDouble(1))
+    val viaCol = docs.select(col("doc_id"),
+        graft.functions.NativeKernels.compressRatio(col("text")).as("r"))
+      .orderBy("doc_id").collect().map(_.getDouble(1))
+    assert(viaSql.sameElements(viaCol))
+    assert(viaSql.forall(r => r > 0.0 && r < 1.2))
+  }
+
   test("graft_simhash_bands and graft_fingerprint match their Column-API twins") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions._
