@@ -27,6 +27,37 @@ object Federated {
 
   final case class Instance(baseUrl: String, apiKey: String)
 
+  /** A remote instance's attribute as a facet for a LOCAL mixed query —
+    * the reference's federated in-situ path: POST the singleton query
+    * template `{k=M, queries:[{column, value, weights:[1.0]}]}` (reference:
+    * insitu/SimSearchRestQuery.java:92) and wrap the returned ranked list
+    * as a pre-scored no-random-access BoundFacet. The remote's scores are
+    * decayed similarities in (0,1], directly comparable with local facets;
+    * entities outside the list score 0 (the reference's NRA restriction
+    * for federated sources, SearchHandler.java:296-307). `valueJson` is
+    * the JSON literal for the query value (e.g. `"\"max\""` or
+    * `"[\"a\",\"b\"]"`). */
+  def facet(spark: SparkSession, instance: Instance, column: String,
+      valueJson: String, m: Int,
+      weightPerCombo: Seq[Double]): graft.operators.BoundFacet = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("k", m.toString)
+    val q = root.putArray("queries").addObject()
+    q.put("column", column)
+    q.set("value", mapper.readTree(valueJson))
+    q.putArray("weights").add("1.0")
+    val resp = mapper.readTree(RestClient.post(s"${instance.baseUrl}/search",
+      mapper.writeValueAsString(root), Map("api_key" -> instance.apiKey)))
+    require(resp.isArray && resp.size() >= 1,
+      s"federated instance ${instance.baseUrl} returned no result list: ${resp.toString.take(200)}")
+    val rows = resp.get(0).get("rankedResults").elements().asScala
+      .map(n => (n.get("id").asText(), n.get("score").asDouble())).toSeq
+    import spark.implicits._
+    graft.operators.BoundFacet(column, rows.toDF("id", "d"),
+      weightPerCombo, preScored = true)
+  }
+
   /** Run `searchJson` (the reference's search-request shape) against every
     * instance IN PARALLEL and merge: per weight combination, union the
     * ranked lists, keep each id's best score, rank by (score desc, id),

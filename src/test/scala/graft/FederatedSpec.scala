@@ -92,6 +92,24 @@ class FederatedSpec extends SparkTestBase {
     } finally svc.stop()
   }
 
+  test("Federated.facet: a remote attribute's singleton ranked list becomes a local NRA facet") {
+    val svc = new SimSearchService(spark, 0)
+    val port = svc.start()
+    try {
+      val base = s"http://127.0.0.1:$port/simsearch/api"
+      val key = indexCatalog(port, gdelt)
+      val f = Federated.facet(spark, Federated.Instance(base, key),
+        "persons", """["joe biden","donald trump"]""", 20, Seq(1.0))
+      assert(f.preScored && f.name == "persons")
+      val rows = f.dist.collect().map(r => (r.getString(0), r.getDouble(1)))
+      assert(rows.length == 20)
+      assert(rows.forall { case (_, s) => s > 0.0 && s <= 1.0 },
+        "remote scores must be decayed similarities in (0,1]")
+      // the response arrives rank-ordered: scores monotone non-increasing
+      assert(rows.map(_._2).sliding(2).forall(p => p.head >= p.last))
+    } finally svc.stop()
+  }
+
   test("a failing instance surfaces as an error, not a silent partial merge") {
     val svc = new SimSearchService(spark, 0)
     val port = svc.start()
