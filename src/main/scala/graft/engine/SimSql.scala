@@ -35,7 +35,10 @@ object SimSql {
       residualFilter: Option[String])
 
   private val SimCond = """(?i)([\w.]+)\s*~=\s*'([^']*)'""".r
-  private val LitMask = "(\\d+)".r
+  // placeholder = quoted \u0001<idx>\u0001 -- the sentinel cannot occur in
+  // user SQL, so unmasking can never confuse a raw numeric literal in a
+  // residual filter (e.g. BETWEEN 1 AND 3.5) with a placeholder index
+  private val LitMask = "\u0001(\\d+)\u0001".r
 
   def parse(sql: String): ParsedQuery = {
     val s0 = sql.trim.stripSuffix(";").replaceAll("\\s+", " ").trim
@@ -46,7 +49,7 @@ object SimSql {
     val literals = scala.collection.mutable.ArrayBuffer[String]()
     val s = "'([^']*)'".r.replaceAllIn(s0, m => {
       literals += m.group(1)
-      "'" + (literals.size - 1) + "'"
+      "'\u0001" + (literals.size - 1) + "\u0001'"
     })
     def unmask(v: String): String = LitMask.replaceAllIn(v,
       m => scala.util.matching.Regex.quoteReplacement(literals(m.group(1).toInt)))
