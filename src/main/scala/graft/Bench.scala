@@ -77,20 +77,38 @@ object Bench {
         "sum(length(s)) OVER (PARTITION BY k ORDER BY s) cum",
         "row_number() OVER (PARTITION BY k ORDER BY s) rn").count()
     }
+    // Min-of-N timed reps per query: a single unattended run on a contended
+    // host can double a recorded time (this happened — one round's recorded
+    // total was 2.2x a quiet re-run of the identical jar). The min over reps
+    // is the contention-robust estimator of the code's actual cost; the last
+    // rep is reported alongside so a suspiciously large min/last spread is
+    // visible in the artifact, as is the host's /proc/loadavg.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     var errors = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          errors ::= name; false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            if (!errors.contains(name)) errors ::= name
+            false
+          }
+        // drop data cached inside a query (e.g. minhash signature frames) so
+        // the next rep re-measures the full pipeline, not a warm cache
+        spark.catalog.clearCache()
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+      }
+      name -> (if (times.isEmpty) (-1.0, -1.0) else (times.min, times.last))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val qs = results.map { case (k, (mn, _)) => "\"" + k + "\":" + mn }.mkString("{", ",", "}")
+    val qsLast = results.map { case (k, (_, lt)) => "\"" + k + "\":" + lt }.mkString("{", ",", "}")
+    val total = results.collect { case (_, (mn, _)) if mn >= 0 => mn }.sum
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val loadavg = try {
+      scala.util.Using.resource(scala.io.Source.fromFile("/proc/loadavg"))(_.mkString.trim)
+    } catch { case _: Throwable => "" }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_last":$qsLast,"reps":$reps,"loadavg":"$loadavg","errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

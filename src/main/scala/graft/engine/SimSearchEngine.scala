@@ -129,20 +129,27 @@ object SimSearchEngine {
     * (reference: weights/Estimator.java:145-189 proc(k), invoked from
     * RankAggregator.java:167-192). */
   def estimateWeight(scored: DataFrame, k: Int): Double = {
-    import org.apache.spark.sql.expressions.Window
     val n = scored.count()
     if (n == 0) return 1.0
     val p = math.max(0.0, 1.0 - k.toDouble / n)
     val idx = p * (n - 1)
     val lo = math.floor(idx).toLong
     val frac = idx - math.floor(idx)
-    val picked = scored
-      .withColumn("rn", row_number().over(Window.orderBy(col("s"), col("id"))))
-      .where(col("rn") === lo + 1 || col("rn") === lo + 2)
-      .orderBy(col("rn")).select(col("s")).collect().map(_.getDouble(0))
-    val est = if (picked.length < 2) picked(0) else picked(0) + (picked(1) - picked(0)) * frac
+    val tail = weightTail(scored, n, lo).collect().map(_.getDouble(0)).reverse
+    val est = if (tail.length < 2) tail(0) else tail(0) + (tail(1) - tail(0)) * frac
     math.min(1.0, math.max(1e-9, est))
   }
+
+  /** The two interpolation rows sit at ascending ranks lo+1 and lo+2, i.e.
+    * inside the top (n-lo) ~ k+1 rows from the END of the (s, id) order. A
+    * shuffle-free TakeOrdered heap on the inverted order fetches exactly
+    * that tail; ranking the whole facet through an unpartitioned Window
+    * (the naive formulation) would sort 100% of the data into ONE task to
+    * read 2 rows — the plan PlanSpec asserts can never come back. */
+  private[graft] def weightTail(scored: DataFrame, n: Long, lo: Long): DataFrame =
+    scored.orderBy(col("s").desc, col("id").desc)
+      .limit((n - lo).toInt)
+      .select(col("s"))
 
   /** P3: cross-attribute residual boolean filter — restrict the searchable
     * entities to those satisfying `filter` over the referenced mounted

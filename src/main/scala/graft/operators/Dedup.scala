@@ -23,10 +23,26 @@ object Dedup {
   /** Repartition a source that arrives under-split (a single small parquet
     * file plans as ONE partition and would serialize per-row hashing onto
     * one core); a splittable large source already arrives well-split and
-    * this is a no-op. Shared by every shingle/fingerprint pipeline. */
+    * this is a no-op. Shared by every shingle/fingerprint pipeline.
+    *
+    * The split estimate reads the file relation's total bytes off the
+    * LOGICAL plan (Spark's own split rule: ceil(bytes / maxPartitionBytes))
+    * — probing `df.rdd.getNumPartitions` instead would force a full
+    * physical planning of the frame and bypass AQE. A frame with no file
+    * relation (in-memory test data) is treated as under-split. */
   def spread(df: DataFrame): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par / 2) df.repartition(par) else df
+    val spark = df.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val splits = df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            math.max(1L, (h.location.sizeInBytes + maxSplit - 1) / maxSplit)
+          case r => math.max(1L, (r.sizeInBytes + maxSplit - 1) / maxSplit)
+        }
+    }.getOrElse(1L)
+    if (splits < par / 2) df.repartition(par) else df
   }
 
   /** (id, shingles) -> near-duplicate pairs (a, b, j) with Jaccard >= minJ.

@@ -203,6 +203,23 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("Window"), "no row_number window over the full event stream")
   }
 
+  test("weight estimation (R7): TakeOrdered tail, no unpartitioned window") {
+    // the engine's estimateWeight must fetch its 2 interpolation rows via a
+    // shuffle-free inverted TakeOrdered heap — a global Window.orderBy would
+    // move 100% of the facet into ONE task to read 2 rows
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("id"),
+        exp(lit(-0.05) * abs(col("c_acctbal") - lit(5000.0))).as("s"))
+    val n = c.count()
+    val plan = planOf(graft.engine.SimSearchEngine.weightTail(c, n, n - 11))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the tail fetch must be a TakeOrdered heap:\n" + plan.take(800))
+    assert(!plan.contains("Window"), "no window over the full facet")
+    assert(!plan.contains("Exchange SinglePartition") &&
+      !plan.contains("rangepartitioning"),
+      "no global sort / single-partition stage:\n" + plan.take(800))
+  }
+
   test("tf-idf: corpus size joins as a broadcast, term/doc shuffles are hash-keyed") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val plan = planOf(graft.operators.TfIdf.topTerms(docs,
