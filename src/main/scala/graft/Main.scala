@@ -50,9 +50,10 @@ object Main {
         case Some("1") =>
           prompt("Path to the mount request (sources.json): ").foreach { path =>
             try {
-              val facets = RequestParser.mountAll(spark, path)
+              val (facets, inSitu) = RequestParser.mountAll(spark, path)
               facets.foreach(catalog.add)
-              out.println(s"Mounted ${facets.size} attribute(s); " +
+              inSitu.foreach(catalog.add)
+              out.println(s"Mounted ${facets.size + inSitu.size} attribute(s); " +
                 s"catalog now holds ${catalog.size}.")
             } catch {
               case e: Exception => out.println(s"Mount failed: ${e.getMessage}")

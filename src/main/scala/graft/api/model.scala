@@ -47,7 +47,14 @@ case class AttributeSpec(
     qgram: Int = 3,
     normalizer: Normalizer = Normalizer.None,
     queryable: Boolean = true,
-    stats: Option[ColumnStats] = None)
+    stats: Option[ColumnStats] = None,
+    /** Mount-time word2vec transform (`transform_by`): maps a keyword-set
+      * QUERY value into the attribute's vector space with the same
+      * dictionary that transformed the data — so a user still queries the
+      * transformed attribute by keywords, exactly as in the reference
+      * (Coordinator.java:608-643 + Word2VectorTransformer applied to the
+      * query value). */
+    queryTransform: Option[Seq[String] => Seq[Double]] = None)
 
 /** A mounted attribute: spec + its (id, value) DataFrame. The `df` must have
   * exactly two columns named `id` and `value`. */

@@ -19,20 +19,52 @@ object RequestParser {
   private def readFile(path: String): JsonNode =
     mapper.readTree(new java.io.File(path))
 
+  /** A REST (restapi-type) data source declaration — an ES endpoint or a
+    * remote federated instance (reference: request/MountSource.java:1-40;
+    * the URL shape decides which, exactly as the reference's connector
+    * does: a URL ending `/simsearch/api/search` is another instance,
+    * anything else targets an ES index —
+    * manager/insitu/HttpRestConnector.java:395-400). */
+  final case class RestSource(
+      name: String,
+      url: String,
+      apiKey: Option[String],
+      username: Option[String],
+      password: Option[String]) {
+    def isSimSearchInstance: Boolean =
+      url.trim.endsWith("/simsearch/api/search")
+    /** Auth headers: an api_key is passed 'as is'; username/password become
+      * HTTP basic auth (reference: Coordinator.java:326-335). */
+    def headers: Map[String, String] = apiKey.map("api_key" -> _).toMap ++
+      (for (u <- username; p <- password) yield "Authorization" ->
+        ("Basic " + java.util.Base64.getEncoder.encodeToString(
+          s"$u:$p".getBytes(java.nio.charset.StandardCharsets.UTF_8)))).toMap
+  }
+
+  /** One search entry (queryable attribute) on a restapi source. */
+  final case class RestMount(
+      source: RestSource,
+      dataset: String,
+      operation: String,
+      keyColumn: String,
+      valueColumn: String)
+
   /** A fully-routed mount request: csv datasets resolved against their
     * source directories, jdbc datasets routed to [[graft.sources.JdbcMount]]
-    * specs (the reference's multi-source request shape mixes both —
+    * specs, restapi datasets routed to in-situ REST specs (the reference's
+    * multi-source request shape mixes all three —
     * data/gdelt/service/simsearch-multiple-sources.py:11). */
   final case class MountRequest(
       dirs: Map[String, String],
       csv: Seq[(String, MountSpec)],
-      jdbc: Seq[graft.sources.JdbcMount.JdbcSpec])
+      jdbc: Seq[graft.sources.JdbcMount.JdbcSpec],
+      rest: Seq[RestMount] = Seq.empty)
 
   /** Parse a mount request (sources.json shape), routing each search entry
     * to its source's mount path: csv -> (directory, MountSpec), jdbc ->
-    * JdbcSpec (S7/S8). A search entry referencing a source of any other
-    * type (restapi/simsearch are declared out of scope) fails with a clear
-    * message instead of an NPE on the missing `directory` field. */
+    * JdbcSpec (S7/S8), restapi -> RestMount (S9/S10). A search entry
+    * referencing an undeclared source fails with a clear message instead
+    * of an NPE on the missing `directory` field. */
   def parseMountRequest(path: String): MountRequest = {
     val root = readFile(path)
     val sources = root.get("sources").elements().asScala.toSeq
@@ -47,10 +79,20 @@ object RequestParser {
     }.toMap
     val jdbcSources = sources.filter(srcType(_) == "jdbc")
       .map(s => s.get("name").asText() -> s).toMap
+    val restSources = sources.filter(srcType(_) == "restapi").map { s =>
+      val name = s.get("name").asText()
+      name -> RestSource(name,
+        url = srcOpt(s, "url").getOrElse(
+          throw new IllegalArgumentException(s"restapi source '$name' has no url")),
+        apiKey = srcOpt(s, "api_key"),
+        username = srcOpt(s, "username"),
+        password = srcOpt(s, "password"))
+    }.toMap
     val typeOf = sources.map(s => s.get("name").asText() -> srcType(s)).toMap
 
     val csvSpecs = scala.collection.mutable.ArrayBuffer[(String, MountSpec)]()
     val jdbcSpecs = scala.collection.mutable.ArrayBuffer[graft.sources.JdbcMount.JdbcSpec]()
+    val restSpecs = scala.collection.mutable.ArrayBuffer[RestMount]()
     root.get("search").elements().asScala.foreach { m =>
       def opt(field: String): Option[String] =
         Option(m.get(field)).map(_.asText()).filter(_.nonEmpty)
@@ -59,7 +101,14 @@ object RequestParser {
         case v => Seq(v.asText())
       }
       val src = m.get("source").asText()
-      if (dirs.contains(src)) {
+      if (restSources.contains(src)) {
+        restSpecs += RestMount(
+          source = restSources(src),
+          dataset = m.get("dataset").asText(),
+          operation = m.get("operation").asText(),
+          keyColumn = opt("key_column").getOrElse("id"),
+          valueColumn = searchCols.head)
+      } else if (dirs.contains(src)) {
         csvSpecs += src -> MountSpec(
           operation = m.get("operation").asText(),
           dataset = m.get("dataset").asText(),
@@ -71,7 +120,9 @@ object RequestParser {
           header = opt("header").forall(_.toBoolean),
           qgram = opt("qgram").map(_.toInt).getOrElse(3),
           normalized = opt("normalized"),
-          maxLines = opt("max_lines").map(_.toInt))
+          maxLines = opt("max_lines").map(_.toInt),
+          metric = opt("metric"),
+          transformBy = opt("transform_by"))
       } else jdbcSources.get(src) match {
         case Some(j) =>
           jdbcSpecs += graft.sources.JdbcMount.JdbcSpec(
@@ -88,10 +139,10 @@ object RequestParser {
             qgram = opt("qgram").map(_.toInt).getOrElse(3))
         case None => throw new IllegalArgumentException(
           s"search entry references source '$src' of unsupported type " +
-            s"'${typeOf.getOrElse(src, "undeclared")}' (supported: csv, jdbc)")
+            s"'${typeOf.getOrElse(src, "undeclared")}' (supported: csv, jdbc, restapi)")
       }
     }
-    MountRequest(dirs, csvSpecs.toSeq, jdbcSpecs.toSeq)
+    MountRequest(dirs, csvSpecs.toSeq, jdbcSpecs.toSeq, restSpecs.toSeq)
   }
 
   /** Back-compat view of [[parseMountRequest]]: the csv part only. */
@@ -102,12 +153,85 @@ object RequestParser {
 
   /** Parse AND mount a whole request — the one mount-routing implementation
     * shared by the REST /index and /append handlers and the standalone
-    * terminal. */
-  def mountAll(spark: org.apache.spark.sql.SparkSession, path: String): Seq[graft.api.Facet] = {
+    * terminal. Returns (ingested facets, in-situ REST facets). */
+  def mountAll(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (Seq[graft.api.Facet], Seq[SimSearchEngine.InSituFacet]) = {
     val req = parseMountRequest(path)
-    req.csv.map { case (source, spec) =>
-      graft.sources.CsvMount.mount(spark, req.dirs(source), spec)
-    } ++ req.jdbc.map(graft.sources.JdbcMount.mount(spark, _))
+    // Pass 1: vector dictionaries (S5). They are vocabularies, not
+    // queryable attributes — later entries reference them via transform_by
+    // regardless of declaration order.
+    val dicts: Map[String, org.apache.spark.sql.DataFrame] =
+      req.csv.filter(_._2.operation == "vector_dictionary").map { case (source, spec) =>
+        val dictName = spec.aliasColumn.getOrElse(spec.searchColumns.head)
+        dictName -> graft.sources.CsvMount.mountVectorDictionary(spark,
+          s"${req.dirs(source)}/${spec.dataset}", spec.separator,
+          spec.tokenDelimiter, spec.header)
+      }.toMap
+    // Pass 2: queryable attributes
+    val ingested = req.csv.filter(_._2.operation != "vector_dictionary")
+      .map { case (source, spec) =>
+        graft.sources.CsvMount.mount(spark, req.dirs(source), spec, dicts)
+      } ++ req.jdbc.map(graft.sources.JdbcMount.mount(spark, _))
+    (ingested, req.rest.map(mountRest(spark, _)))
+  }
+
+  private def opFor(operation: String): graft.api.SimOp = operation match {
+    case "numerical_topk"   => graft.api.SimOp.Numerical
+    case "temporal_topk"    => graft.api.SimOp.Temporal
+    case "categorical_topk" => graft.api.SimOp.Categorical
+    case "textual_topk"     => graft.api.SimOp.Textual
+    case "spatial_knn"      => graft.api.SimOp.Spatial
+    case other => throw new IllegalArgumentException(
+      s"unsupported restapi operation $other")
+  }
+
+  /** Mount one restapi search entry as an in-situ facet (S9/S10). The URL
+    * shape picks the client, exactly as the reference's connector does
+    * (HttpRestConnector.java:395-400): `…/simsearch/api/search` is a remote
+    * federated instance; anything else is treated as an ES index whose
+    * `max_result_window` is discovered once here at mount time. */
+  def mountRest(spark: org.apache.spark.sql.SparkSession,
+      rm: RestMount): SimSearchEngine.InSituFacet = {
+    if (rm.source.isSimSearchInstance) {
+      val base = rm.source.url.trim.stripSuffix("/search")
+      val inst = graft.sources.Federated.Instance(base,
+        rm.source.apiKey.getOrElse(""))
+      SimSearchEngine.InSituFacet(rm.valueColumn, rm.operation,
+        (spec, m) => graft.sources.Federated.facet(spark, inst, rm.valueColumn,
+          restValueJson(spec.value), m, Seq(1.0)))
+    } else {
+      // ES search URLs look like http://host:9200/<index>/_search?pretty —
+      // strip from "/_" to get the index base, then split base/index
+      val u = rm.source.url.trim
+      val indexBase =
+        (if (u.contains("/_")) u.substring(0, u.indexOf("/_")) else u).stripSuffix("/")
+      val slash = indexBase.lastIndexOf('/')
+      require(slash > "http://".length, s"cannot derive an index from ES url $u")
+      val (esBase, index) = (indexBase.substring(0, slash), indexBase.substring(slash + 1))
+      val op = opFor(rm.operation)
+      val window = graft.sources.EsRestSource.maxResultWindow(
+        esBase, index, rm.source.headers)
+      SimSearchEngine.InSituFacet(rm.valueColumn, rm.operation,
+        (spec, m) => graft.sources.EsRestSource.facet(spark, esBase, index, op,
+          rm.keyColumn, rm.valueColumn, restValueText(spec.value), m, Seq(1.0),
+          spec.filter, rm.source.headers, window))
+    }
+  }
+
+  /** Render a SearchSpec value as the text an ES DSL template embeds. */
+  private def restValueText(value: Any): String = value match {
+    case xs: Seq[_] => xs.mkString(" ")
+    case other => other.toString
+  }
+
+  /** Render a SearchSpec value as the JSON literal a federated search
+    * request carries. */
+  private def restValueJson(value: Any): String = value match {
+    case xs: Seq[_] => xs.map(x => "\"" + graft.sources.RestClient.jsonEscape(x.toString) + "\"")
+      .mkString("[", ",", "]")
+    case d: Double => d.toString
+    case i: Int => i.toString
+    case other => "\"" + graft.sources.RestClient.jsonEscape(other.toString) + "\""
   }
 
   /** Parse a search request (search.json shape): (k, algorithm, specs,

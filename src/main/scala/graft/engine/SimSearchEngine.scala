@@ -30,22 +30,43 @@ object SimSearchEngine {
       scale: Option[Double] = None,
       filter: Option[String] = None)
 
+  /** An in-situ (no-random-access) mounted attribute — an ES index or a
+    * remote federated instance reached over REST (S9/S10, reference:
+    * Coordinator.java:325-359). No (id, value) frame exists locally; the
+    * attribute's entire per-query knowledge is the pre-scored ranked list
+    * its `build` function fetches at search time (the NRA restriction the
+    * reference enforces for REST sources, SearchHandler.java:296-307).
+    * `build(spec, m)` returns a preScored [[BoundFacet]] with placeholder
+    * weights `Seq(1.0)`; [[search]] substitutes the real per-combo weights. */
+  final case class InSituFacet(
+      name: String,
+      operation: String,
+      build: (SearchSpec, Int) => graft.operators.BoundFacet)
+
   /** Mounted-attribute catalog with listing (A8), append (the reference's
-    * /append endpoint) and removal (A9). */
-  final class Catalog(initial: Seq[Facet]) {
+    * /append endpoint) and removal (A9). Holds both ingested facets
+    * ((id, value) frames) and in-situ REST attributes. */
+  final class Catalog(initial: Seq[Facet],
+      initialInSitu: Seq[InSituFacet] = Seq.empty) {
     private var facets: Map[String, Facet] = initial.map(f => f.spec.name -> f).toMap
+    private var inSitu: Map[String, InSituFacet] =
+      initialInSitu.map(f => f.name -> f).toMap
     def get(name: String): Facet = facets.getOrElse(name,
       throw new IllegalArgumentException(s"attribute $name is not mounted"))
+    def getInSitu(name: String): Option[InSituFacet] = inSitu.get(name)
     def list: Seq[(String, String)] = // (name, operation)
-      facets.values.map(f => f.spec.name -> f.spec.op.toString).toSeq.sorted
+      (facets.values.map(f => f.spec.name -> f.spec.op.toString) ++
+        inSitu.values.map(f => f.name -> f.operation)).toSeq.sorted
     def add(f: Facet): Unit = facets += (f.spec.name -> f)
+    def add(f: InSituFacet): Unit = inSitu += (f.name -> f)
     /** @return whether the attribute was mounted (callers surface 404 on false) */
     def remove(name: String): Boolean = {
-      val had = facets.contains(name)
+      val had = facets.contains(name) || inSitu.contains(name)
       facets -= name
+      inSitu -= name
       had
     }
-    def size: Int = facets.size
+    def size: Int = facets.size + inSitu.size
   }
 
   val KMax = Limits.KMax                     // reference: Constants.java:42
@@ -108,6 +129,40 @@ object SimSearchEngine {
           case other => throw new IllegalArgumentException(s"bad spatial query $other")
         }
         SimKernels.geoDistDeg(v.getField("lon"), v.getField("lat"), lit(qLon), lit(qLat))
+      case SimOp.Metric(mname) => // Q9: pivot_based coordinate attribute
+        val qvec: Seq[Double] = spec.value match {
+          case vs: Seq[_] if vs.nonEmpty && vs.forall(x =>
+              x.isInstanceOf[Double] || x.isInstanceOf[Int]) =>
+            vs.map { case d: Double => d; case i: Int => i.toDouble }
+          case vs: Seq[_] => // keyword set -> dictionary transform (F11)
+            f.spec.queryTransform.map(_(vs.map(_.toString))).getOrElse(
+              throw new IllegalArgumentException(
+                s"attribute ${f.spec.name} was not mounted with transform_by; " +
+                  "query it with a numeric vector"))
+          case s: String if f.spec.queryTransform.isDefined =>
+            f.spec.queryTransform.get(
+              s.split(java.util.regex.Pattern.quote(f.spec.tokenDelim))
+                .map(_.trim).filter(_.nonEmpty).toSeq)
+          case s: String => // comma-separated vector literal, or a datetime
+            // for a 1-dim epoch-ms coordinate (the timestamp pivot attribute)
+            val parts = s.split(",").map(_.trim).toSeq
+            if (parts.forall(p => scala.util.Try(p.toDouble).isSuccess))
+              parts.map(_.toDouble)
+            else CsvMount.parseDatetimeMs(s).map(Seq(_)).getOrElse(
+              throw new IllegalArgumentException(s"unparseable metric query $s"))
+          case other => throw new IllegalArgumentException(s"bad metric query $other")
+        }
+        val qc = array(qvec.map(lit): _*)
+        mname match {
+          case "euclidean" => graft.functions.NativeKernels.l2Dist(v, qc)
+          case "manhattan" => graft.functions.NativeKernels.l1Dist(v, qc)
+          case "chebyshev" => SimKernels.chebyshevDist(v, qc)
+          case "haversine" =>
+            require(qvec.size == 2, s"haversine query needs (lon, lat), got $qvec")
+            SimKernels.haversineDeg(element_at(v, 1), element_at(v, 2),
+              lit(qvec(0)), lit(qvec(1)))
+          case other => throw new IllegalArgumentException(s"unsupported metric $other")
+        }
       case other => throw new IllegalArgumentException(s"unsupported op $other")
     }
     base.select(col("id"), d.as("d"))
@@ -181,43 +236,64 @@ object SimSearchEngine {
     val nCombos = math.max(1, specs.map(_.weights.size).max)
     val m = if (specs.size > 1) InflationFactor * k else k
     val eligible = residualFilter.map(eligibleIds(catalog, _))
-    val dists = specs.map { s =>
-      val f = catalog.get(s.column)
-      require(f.spec.queryable, s"attribute ${s.column} is not queryable") // P6
-      val dist0 = distStream(f, s)
-      eligible.map(e => dist0.join(e, Seq("id"), "left_semi")).getOrElse(dist0)
+    // In-situ (REST) attributes contribute their pre-scored ranked list and
+    // skip the distance-stream/scale-calibration machinery entirely — their
+    // scores arrive already decayed/normalized into (0, 1] (S9/S10).
+    val inSituByIdx: Map[Int, InSituFacet] = specs.zipWithIndex
+      .flatMap { case (s, i) => catalog.getInSitu(s.column).map(i -> _) }.toMap
+    val dists: Seq[Option[DataFrame]] = specs.zipWithIndex.map { case (s, i) =>
+      if (inSituByIdx.contains(i)) None
+      else {
+        val f = catalog.get(s.column)
+        require(f.spec.queryable, s"attribute ${s.column} is not queryable") // P6
+        val dist0 = distStream(f, s)
+        Some(eligible.map(e => dist0.join(e, Seq("id"), "left_semi")).getOrElse(dist0))
+      }
     }
     // Calibrate every uncalibrated facet's k-th candidate distance in ONE
     // tagged Spark job (union only (f, d) so id types never conflict) —
     // sequential per-facet collects would pay |facets| job overheads.
-    val needScale = specs.zipWithIndex.filter(_._1.scale.isEmpty)
+    val needScale = specs.zipWithIndex.filter { case (s, i) =>
+      s.scale.isEmpty && !inSituByIdx.contains(i) }
     val kth: Map[Int, Double] =
       if (needScale.isEmpty) Map.empty
       else needScale.map { case (_, i) =>
-        FacetSearch.topM(dists(i), k).select(lit(i).as("f"), col("d"))
+        FacetSearch.topM(dists(i).get, k).select(lit(i).as("f"), col("d"))
       }.reduce(_ union _)
         .groupBy(col("f")).agg(max(col("d")).as("dk"))
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    def resolveWeights(s: SearchSpec, scored: => DataFrame): Seq[Double] =
+      if (s.weights.size == nCombos) s.weights
+      else if (s.weights.nonEmpty) Seq.fill(nCombos)(s.weights.head)
+      else Seq.fill(nCombos)(estimateWeight(scored, k)) // R7
     val facets = specs.zipWithIndex.map { case (s, i) =>
-      val f = catalog.get(s.column)
-      val dist = dists(i)
-      // k * d_k only when d_k is a genuine nonzero distance; the degenerate
-      // all-exact-match prefix keeps the plain 1.0 guard (no multiplier)
-      val scale = s.scale.getOrElse {
-        val dk = kth.getOrElse(i, 0.0)
-        if (dk <= 0.0) 1.0 else k * dk
+      inSituByIdx.get(i) match {
+        case Some(is) =>
+          val bf0 = is.build(s, m)
+          val list = eligible
+            .map(e => bf0.dist.join(e, Seq("id"), "left_semi")).getOrElse(bf0.dist)
+          // the ranked list IS the facet's score distribution — estimate
+          // directly over it (<= m rows, no further calibration needed)
+          val ws = resolveWeights(s, list.select(col("id"), col("d").as("s")))
+          bf0.copy(dist = list, weightPerCombo = ws)
+        case None =>
+          val f = catalog.get(s.column)
+          val dist = dists(i).get
+          // k * d_k only when d_k is a genuine nonzero distance; the
+          // degenerate all-exact-match prefix keeps the plain 1.0 guard
+          // (no multiplier)
+          val scale = s.scale.getOrElse {
+            val dk = kth.getOrElse(i, 0.0)
+            if (dk <= 0.0) 1.0 else k * dk
+          }
+          val jac = f.spec.op == SimOp.Categorical || f.spec.op == SimOp.Textual
+          val ws = resolveWeights(s, { // R7: candidate score distribution
+            val cand = FacetSearch.topM(dist, m)
+            FacetSearch.decayedWithScale(
+              BoundFacet(s.column, cand, Seq(1.0), s.decay, Some(scale), jac), scale)
+          })
+          BoundFacet(s.column, dist, ws, s.decay, Some(scale), jac)
       }
-      val jac = f.spec.op == SimOp.Categorical || f.spec.op == SimOp.Textual
-      val ws =
-        if (s.weights.size == nCombos) s.weights
-        else if (s.weights.nonEmpty) Seq.fill(nCombos)(s.weights.head)
-        else { // R7: auto-estimate from the candidate score distribution
-          val cand = FacetSearch.topM(dist, m)
-          val scored = FacetSearch.decayedWithScale(
-            BoundFacet(s.column, cand, Seq(1.0), s.decay, Some(scale), jac), scale)
-          Seq.fill(nCombos)(estimateWeight(scored, k))
-        }
-      BoundFacet(s.column, dist, ws, s.decay, Some(scale), jac)
     }
     if (detailed) RankAggregate.topKDetailed(spark, facets, k, m)
     else RankAggregate.topK(spark, facets, k, m)

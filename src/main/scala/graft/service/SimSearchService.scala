@@ -62,10 +62,10 @@ final class SimSearchService(spark: SparkSession, port: Int,
   private def handleIndex(x: HttpExchange): Unit = {
     val tmp = bodyFile(x)
     try {
-      val facets = RequestParser.mountAll(spark, tmp.toString)
+      val (facets, inSitu) = RequestParser.mountAll(spark, tmp.toString)
       val key = java.util.UUID.randomUUID().toString
-      catalogs.put(key, new Catalog(facets))
-      respond(x, 200, s"""{"apiKey":"$key","attributes":${facets.size}}""")
+      catalogs.put(key, new Catalog(facets, inSitu))
+      respond(x, 200, s"""{"apiKey":"$key","attributes":${facets.size + inSitu.size}}""")
     } catch {
       case e: Exception => respond(x, 400, errorBody(e))
     } finally java.nio.file.Files.delete(tmp)
@@ -78,9 +78,11 @@ final class SimSearchService(spark: SparkSession, port: Int,
     if (cat == null) { respond(x, 401, """{"error":"unknown api_key"}"""); return }
     val tmp = bodyFile(x)
     try {
-      val facets = RequestParser.mountAll(spark, tmp.toString)
+      val (facets, inSitu) = RequestParser.mountAll(spark, tmp.toString)
       facets.foreach(cat.add)
-      respond(x, 200, s"""{"appended":${facets.size},"attributes":${cat.size}}""")
+      inSitu.foreach(cat.add)
+      respond(x, 200,
+        s"""{"appended":${facets.size + inSitu.size},"attributes":${cat.size}}""")
     } catch {
       case e: Exception => respond(x, 400, errorBody(e))
     } finally java.nio.file.Files.delete(tmp)
@@ -138,6 +140,27 @@ final class SimSearchService(spark: SparkSession, port: Int,
     } finally java.nio.file.Files.delete(tmp)
   }
 
+  /** GET|POST /_settings: the instance's fixed configuration, in the
+    * reference's ES-conformant shape (InstanceSettings.java — modeled on an
+    * ES settings response so REST connectors can probe it). The
+    * `isSimSearchInstance` marker is what a remote mounter keys on to route
+    * this instance through the federated client (the reference probes the
+    * same flag, HttpRestConnector.java:433). `query_timeout` is 0: the
+    * batch plans compute exact results without a ranking timeout (SURVEY
+    * §4), so the reference's timeout knob has nothing to configure here. */
+  private def handleSettings(x: HttpExchange): Unit = {
+    val cat = catalogs.get(apiKey(x))
+    if (cat == null) { respond(x, 401, """{"error":"unknown api_key"}"""); return }
+    val window = graft.api.Limits.KMax * graft.api.Limits.InflationFactor
+    respond(x, 200,
+      s"""{"SimSearch":{"settings":{"index":{""" +
+        s""""provided_name":"SimSearch","max_result_window":"$window",""" +
+        s""""creation_date":"$creationDate","query_timeout":0,""" +
+        s""""isSimSearchInstance":true}}}}""")
+  }
+
+  private val creationDate = System.currentTimeMillis()
+
   /** GET /catalog: attribute listing (A8). */
   private def handleCatalog(x: HttpExchange): Unit = {
     val cat = catalogs.get(apiKey(x))
@@ -171,6 +194,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
     server.createContext("/simsearch/api/append", handleAppend _)
     server.createContext("/simsearch/api/search", handleSearch _)
     server.createContext("/simsearch/api/catalog", handleCatalog _)
+    server.createContext("/simsearch/api/_settings", handleSettings _)
     server.createContext("/simsearch/api/delete", handleDelete _)
     server.createContext("/simsearch/api/assignKey", handleAssignKey _)
     server.createContext("/simsearch/api/revokeKey", handleRevokeKey _)

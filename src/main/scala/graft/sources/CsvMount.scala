@@ -32,7 +32,14 @@ object CsvMount {
       header: Boolean = true,
       qgram: Int = 3,
       normalized: Option[String] = None,
-      maxLines: Option[Int] = None)
+      maxLines: Option[Int] = None,
+      /** pivot_based distance metric (reference: MountSpecs.metric —
+        * Manhattan, Euclidean, Chebyshev, Haversine; Euclidean default). */
+      metric: Option[String] = None,
+      /** Name of a mounted vector dictionary to transform this keyword
+        * attribute through at mount time (reference: MountSpecs.transform_by,
+        * applied Coordinator.java:608-643). */
+      transformBy: Option[String] = None)
 
   /** The reference's 13 accepted datetime patterns
     * (temporal/DateTimeParser.java:16), translated to Spark's datetime
@@ -133,7 +140,13 @@ object CsvMount {
   private def isRemote(directory: String): Boolean =
     Seq("http://", "https://", "ftp://").exists(directory.startsWith)
 
-  def mount(spark: SparkSession, directory: String, spec: MountSpec): Facet = {
+  def mount(spark: SparkSession, directory: String, spec: MountSpec): Facet =
+    mount(spark, directory, spec, Map.empty)
+
+  /** As [[mount]], with the request's mounted vector dictionaries available
+    * for `transform_by` resolution (pivot_based transformed attributes). */
+  def mount(spark: SparkSession, directory: String, spec: MountSpec,
+      dicts: Map[String, DataFrame]): Facet = {
     val path =
       if (isRemote(directory)) spoolRemote(s"${directory.stripSuffix("/")}/${spec.dataset}")
       else s"$directory/${spec.dataset}"
@@ -193,6 +206,43 @@ object CsvMount {
         val df = raw.select(id, struct(lonC.as("lon"), latC.as("lat")).as("value"))
           .na.drop(Seq("id")).where(col("value.lon").isNotNull && col("value.lat").isNotNull)
         Facet(AttributeSpec(name, SimOp.Spatial, spec.tokenDelimiter, spec.qgram), df)
+      case "pivot_based" => // Q9: multi-metric coordinate attribute
+        val metricName = spec.metric.getOrElse("Euclidean").toLowerCase
+        spec.transformBy match {
+          case Some(dictName) => // mount-time word2vec transform (F11)
+            val dict = dicts.getOrElse(dictName, throw new IllegalArgumentException(
+              s"transform_by references dictionary '$dictName', which is not " +
+                "mounted (declare a vector_dictionary entry with that name first)"))
+            val dim = dict.select(size(col("vector"))).head.getInt(0)
+            val toks = SimKernels.tokenize(col(spec.searchColumns.head), spec.tokenDelimiter)
+            val tokensDf = raw.select(id, toks.as("tokens")).na.drop(Seq("id"))
+            val vecs = graft.operators.Word2Vec.transform(tokensDf, dict, dim)
+            // query values stay keywords; the same dictionary maps them into
+            // the vector space (a 1-row pass through the SAME transform, so
+            // data and query semantics cannot drift)
+            val qt = (tokens: Seq[String]) => {
+              import spark.implicits._
+              graft.operators.Word2Vec
+                .transform(Seq((0L, tokens)).toDF("id", "tokens"), dict, dim)
+                .head.getSeq[Double](1)
+            }
+            Facet(AttributeSpec(name, SimOp.Metric(metricName), spec.tokenDelimiter,
+              spec.qgram, queryTransform = Some(qt)),
+              vecs.select(col("id"), col("vector").as("value")).na.drop(Seq("id")))
+          case None => // raw coordinates: 1-2 numeric/datetime columns
+            val coords: Seq[Column] = spec.searchColumns match {
+              case Seq(one) =>
+                // numeric if castable, else the datetime chain — the
+                // reference's pivot coordinates are doubles or epoch-ms
+                Seq(coalesce(col(one).cast("double"), datetimeToEpochMs(col(one))))
+              case cols => cols.map(c => col(c).cast("double"))
+            }
+            val df = raw.select(id, array(coords: _*).as("value"))
+              .na.drop(Seq("id"))
+              .where(forall(col("value"), x => x.isNotNull))
+            Facet(AttributeSpec(name, SimOp.Metric(metricName),
+              spec.tokenDelimiter, spec.qgram), df)
+        }
       case other => throw new IllegalArgumentException(s"unknown operation $other")
     }
   }

@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 /** Shared HTTP helper for the REST-backed sources (federated, ES in-situ).
   * One copy of the open/write/read/raise-on-non-200 logic so fixes
   * (timeouts, null error streams, charsets) cannot drift between them. */
-private[sources] object RestClient {
+private[graft] object RestClient {
 
   /** POST `body` as JSON; returns the response body. Non-200 raises an
     * IOException carrying the status and (possibly empty) error body —

@@ -94,13 +94,21 @@ class JdbcMountSpec extends SparkTestBase {
         3, Seq(SearchSpec("PRICE", 503.0, Seq(1.0)))).collect()
       assert(res.length == 3)
 
-      // a search entry against the restapi source fails with a clear message
-      val bad = req.replace(""""source": "files"""", """"source": "es"""")
+      // a search entry against the restapi source routes to a RestMount
+      // (ES flavor: the URL does not end /simsearch/api/search), and an
+      // entry naming an undeclared source still fails clearly
+      val es = req.replace(""""source": "files"""", """"source": "es"""")
+      java.nio.file.Files.write(tmp, es.getBytes("UTF-8"))
+      val withRest = graft.engine.RequestParser.parseMountRequest(tmp.toString)
+      assert(withRest.rest.size == 1)
+      assert(withRest.rest.head.valueColumn == "tags" &&
+        !withRest.rest.head.source.isSimSearchInstance)
+      val bad = req.replace(""""source": "files"""", """"source": "nosuch"""")
       java.nio.file.Files.write(tmp, bad.getBytes("UTF-8"))
       val e = intercept[IllegalArgumentException] {
         graft.engine.RequestParser.parseMountRequest(tmp.toString)
       }
-      assert(e.getMessage.contains("restapi"))
+      assert(e.getMessage.contains("undeclared"))
     } finally java.nio.file.Files.delete(tmp)
   }
 
