@@ -620,15 +620,28 @@ object Queries {
        |FROM documents ORDER BY doc_id""".stripMargin
 
   // -- compression-ratio quality signal: deflate(size)/raw(size) per doc.
-  //    Not SQL-expressible (DuckDB has no deflate function), so this query
-  //    has NO oracle twin — the driver records the weaker rows-only check;
-  //    value-level behavior is locked by NativeKernelSpec instead.
+  //    DuckDB has no deflate function, so the oracle joins a COMMITTED
+  //    fixture of zlib-computed (n_raw, n_deflate) keyed by md5(text)
+  //    (fixtures/compress_ratio_zlib.parquet, regenerated by
+  //    tools/make_compress_fixture.py) — an independent implementation of
+  //    the same RFC1950 level-6 stream java.util.zip.Deflater(6) emits;
+  //    byte counts verified identical. Value-level kernel behavior is
+  //    additionally locked by NativeKernelSpec.
   private val compressRatioQ: (SparkSession, String) => DataFrame = (s, dir) =>
     spread(t(s, dir, "documents"))
       .select(col("doc_id"),
         round(graft.functions.NativeKernels.compressRatio(col("text")), 6)
           .as("deflate_ratio"))
       .orderBy(col("doc_id"))
+
+  private val compressRatioSql =
+    """SELECT d.doc_id,
+      |  round(CAST(f.n_deflate AS DOUBLE) / greatest(CAST(f.n_raw AS DOUBLE), 1.0), 6)
+      |    AS deflate_ratio
+      |FROM documents d
+      |JOIN '/root/repo/fixtures/compress_ratio_zlib.parquet' f
+      |  ON md5(d.text) = f.text_md5
+      |ORDER BY d.doc_id""".stripMargin
 
   // -- exact-duplicate groups + per-document fingerprints
   private val dedupExact: (SparkSession, String) => DataFrame = (s, dir) =>
@@ -1447,5 +1460,6 @@ object Queries {
     "q_contamination" -> contaminationSql,
     "q_compact"       -> compactSql,
     "q_quantize"      -> quantizeSql,
+    "q_compress_ratio" -> compressRatioSql,
   )
 }
