@@ -32,7 +32,12 @@ object SimSql {
       weights: Seq[Double],
       algorithm: Option[String],
       k: Int,
-      residualFilter: Option[String])
+      residualFilter: Option[String],
+      /** ES filter context from `jsonfilter('…')` WHERE conjuncts
+        * (reference: SqlParser.java:124-130, applied :178-186) — carried to
+        * in-situ REST facets only; ingested facets take the boolean
+        * residual filter instead. */
+      jsonFilter: Option[String] = None)
 
   private val SimCond = """(?i)([\w.]+)\s*~=\s*'([^']*)'""".r
   // placeholder = quoted \u0001<idx>\u0001 -- the sentinel cannot occur in
@@ -76,7 +81,20 @@ object SimSql {
         case _ => c :: acc
       }
     }.reverse.toArray
-    val (simConds, residuals) = conjuncts.partition(c => SimCond.findFirstIn(c).isDefined)
+    // jsonfilter('…') conjuncts are neither similarity conditions nor
+    // boolean residuals: their JSON payload (single quotes expunged, valid
+    // JSON only — the reference's rules) becomes the ES filter context
+    val JsonFilterCond = """(?i)^jsonfilter\s*\(\s*'([^']*)'\s*\)$""".r
+    val (jsonConds, rest) = conjuncts.partition(c => JsonFilterCond.findFirstIn(c).isDefined)
+    val jsonFilters = jsonConds.toSeq.flatMap { c =>
+      val payload = unmask(JsonFilterCond.findFirstMatchIn(c).get.group(1)).replace("'", "")
+      try { new com.fasterxml.jackson.databind.ObjectMapper().readTree(payload); Some(payload) }
+      catch { case _: Exception =>
+        System.err.println(s"NOTICE: invalid JSON in jsonfilter, ignored: ${payload.take(120)}")
+        None
+      }
+    }
+    val (simConds, residuals) = rest.partition(c => SimCond.findFirstIn(c).isDefined)
     val sims = simConds.toSeq.map { c =>
       val m = SimCond.findFirstMatchIn(c).get
       (m.group(1), unmask(m.group(2)))
@@ -89,7 +107,8 @@ object SimSql {
     val algorithm = "(?i)\\bALGORITHM\\s+(\\w+)".r.findFirstMatchIn(s).map(_.group(1).toLowerCase)
     val k = "(?i)\\bLIMIT\\s+(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toInt).getOrElse(50) // SqlParser.java:83-86
     val residual = if (residuals.isEmpty) None else Some(unmask(residuals.mkString(" AND ")))
-    ParsedQuery(extras, sims, weights, algorithm, k, residual)
+    val jsonFilter = if (jsonFilters.isEmpty) None else Some(jsonFilters.mkString(", "))
+    ParsedQuery(extras, sims, weights, algorithm, k, residual, jsonFilter)
   }
 
   /** A6/F13: join requested extra columns onto a ranked result, formatting
@@ -110,14 +129,25 @@ object SimSql {
     * extra-column projection (A6) with date formatting (F13). */
   def execute(spark: SparkSession, catalog: Catalog, q: ParsedQuery): DataFrame = {
     val specs = q.sims.zipWithIndex.map { case ((colName, raw), i) =>
-      val f = catalog.get(colName)
-      val value: Any = f.spec.op match {
-        case SimOp.Categorical => raw.split(",").map(_.trim).filter(_.nonEmpty).distinct.toSeq
-        case SimOp.Numerical => raw.toDouble
-        case _ => raw
+      // in-situ (REST) attributes have no local facet frame: type the value
+      // by the declared operation and attach the jsonfilter ES context
+      val value: Any = catalog.getInSitu(colName) match {
+        case Some(is) => is.operation match {
+          case "categorical_topk" =>
+            raw.split(",").map(_.trim).filter(_.nonEmpty).distinct.toSeq
+          case "numerical_topk" => raw.toDouble
+          case _ => raw
+        }
+        case None => catalog.get(colName).spec.op match {
+          case SimOp.Categorical =>
+            raw.split(",").map(_.trim).filter(_.nonEmpty).distinct.toSeq
+          case SimOp.Numerical => raw.toDouble
+          case _ => raw
+        }
       }
       val w = if (q.weights.isDefinedAt(i)) Seq(q.weights(i)) else Seq.empty
-      SearchSpec(colName, value, w, filter = None)
+      val filt = if (catalog.getInSitu(colName).isDefined) q.jsonFilter else None
+      SearchSpec(colName, value, w, filter = filt)
     }
     val topk = SimSearchEngine.search(spark, catalog, q.k, specs,
       residualFilter = q.residualFilter,

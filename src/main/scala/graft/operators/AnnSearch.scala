@@ -13,11 +13,13 @@ import graft.functions.SimKernels
   *
   * Scale path: LSH-bucketed search — an 8-bit sign signature partitions the
   * corpus into 256 buckets; the query probes only its own bucket (multi-probe
-  * = flip low-confidence bits for better recall). The signature here uses
+  * = flip low-confidence bits for better recall). [[signature8]] uses
   * axis-aligned hyperplanes (sign of the first 8 coordinates), which keeps
-  * every value bit-deterministic across engines; production would use seeded
-  * random hyperplanes — the plan (signature -> bucket equi-filter/join ->
-  * exact re-rank) is identical.
+  * the ORACLE-checked values trivially bit-deterministic across engines;
+  * [[signatureRandom]] is the production-recall variant — seeded random
+  * hyperplanes over all coordinates, still fully deterministic (splitmix64
+  * from the seed, no RNG state). The plan (signature -> bucket
+  * equi-filter/join -> exact re-rank) is identical for both.
   */
 object AnnSearch {
 
@@ -30,6 +32,43 @@ object AnnSearch {
   /** Scala mirror of [[signature8]] for a driver-side query vector. */
   def signature8(v: Seq[Double]): Long =
     (0 until 8).map(j => if (v(j) >= 0.0) 1L << j else 0L).sum
+
+  // ---------------------------------------- seeded random hyperplanes
+
+  /** One hyperplane component, derived from (seed, bit, i) through the
+    * splitmix64 finalizer and mapped to [-1, 1). Deterministic given the
+    * seed — NO RNG state — so executors, the driver mirror, and any other
+    * engine reproduce the identical hyperplanes; unlike axis-aligned
+    * signature8 it uses ALL coordinates, giving unbiased bucket occupancy
+    * on embeddings whose leading dimensions are correlated. */
+  private def planeComponent(seed: Long, bit: Int, i: Int): Double = {
+    var z = seed + 0x9e3779b97f4a7c15L * (bit * 8191L + i + 1)
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    (z >>> 11) * (2.0 / (1L << 53)) - 1.0
+  }
+
+  /** Seeded random-hyperplane signature: bit j = sign(v . h_j) with h_j
+    * pseudo-random from `seed`. The hyperplanes inline as literal arrays, so
+    * the signature is a single codegen'd projection — same plan shape as
+    * [[signature8]] (signature -> bucket equi-filter/join -> exact
+    * re-rank), better recall at scale. */
+  def signatureRandom(v: Column, dim: Int, nBits: Int = 8, seed: Long = 42L): Column =
+    (0 until nBits).map { j =>
+      val h = array((0 until dim).map(i => lit(planeComponent(seed, j, i))): _*)
+      when(SimKernels.dot(v, h) >= 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Driver-side mirror of [[signatureRandom]] for a query vector. The dot
+    * product accumulates left-to-right exactly like the column kernel, so
+    * signatures agree bit-for-bit. */
+  def signatureRandom(v: Seq[Double], nBits: Int, seed: Long): Long =
+    (0 until nBits).map { j =>
+      val dot = v.indices.foldLeft(0.0)((acc, i) =>
+        acc + v(i) * planeComponent(seed, j, i))
+      if (dot >= 0.0) 1L << j else 0L
+    }.sum
 
   /** Brute-force cosine top-k (query vector as literal array), cosine rounded
     * to 6 decimals and used as the (deterministic) ranking key. */

@@ -58,6 +58,37 @@ class ExactFlagAndIvfSpec extends SparkTestBase {
     assert(one.nonEmpty && one.size <= 10)
   }
 
+  test("seeded random hyperplanes: column/driver signatures agree; seeds repartition") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.AnnSearch
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val dim = emb.select(size(col("v"))).head.getInt(0)
+    // the column expression and the driver mirror must produce the SAME
+    // signature for every vector (the bucket probe depends on it)
+    val rows = emb.limit(64)
+      .select(col("vec_id"), col("v"),
+        AnnSearch.signatureRandom(col("v"), dim, 8, seed = 7L).as("sig"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1)
+      assert(r.getLong(2) == AnnSearch.signatureRandom(v, 8, 7L),
+        s"signature mismatch for vec ${r.getLong(0)}")
+    }
+    // signatures are deterministic per seed and differ across seeds
+    val sigs7 = rows.map(_.getLong(2)).toSeq
+    val sigs9 = emb.limit(64)
+      .select(AnnSearch.signatureRandom(col("v"), dim, 8, seed = 9L))
+      .collect().map(_.getLong(0)).toSeq
+    assert(sigs7 != sigs9, "different seeds must induce different bucketings")
+    assert(sigs7.distinct.size > 1, "random hyperplanes must spread buckets")
+    // an identical vector lands in the same bucket as the query (recall of
+    // an exact duplicate is 1 by construction)
+    val q = rows.head.getSeq[Double](1)
+    assert(AnnSearch.signatureRandom(q, 8, 7L) == rows.head.getLong(2))
+  }
+
   test("engine similarity matrix: k x k, symmetric ids, self-similarity 1") {
     val catalog = new Catalog(Seq(
       MountSpec("numerical_topk", "sample.csv", "article_id", Seq("positive_sentiment"))

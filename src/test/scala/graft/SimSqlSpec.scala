@@ -107,6 +107,39 @@ class SimSqlSpec extends SparkTestBase {
       "negative_sentiment BETWEEN 1 AND 3.5 AND positive_sentiment > 2.75"))
   }
 
+  test("jsonfilter('…') routes an ES filter context to in-situ facets only") {
+    import spark.implicits._
+    // parse: the jsonfilter conjunct is neither a sim condition nor a
+    // boolean residual; single quotes inside are expunged (reference rule)
+    val sql = """SELECT * WHERE keywords ~= 'acme'
+                 AND jsonfilter('{"term": {"source": "cnn"}}')
+                 AND positive_sentiment ~= '3.5' LIMIT 3"""
+    val q = SimSql.parse(sql)
+    assert(q.sims.map(_._1) == Seq("keywords", "positive_sentiment"))
+    assert(q.jsonFilter.contains("""{"term": {"source": "cnn"}}"""))
+    assert(q.residualFilter.isEmpty)
+
+    // invalid JSON payloads are dropped with a notice, exactly as the
+    // reference's isValidJSON gate does
+    val bad = SimSql.parse("SELECT * WHERE a ~= 'x' AND jsonfilter('nonsense{') LIMIT 3")
+    assert(bad.jsonFilter.isEmpty)
+
+    // execute: the stub in-situ facet receives the filter; the ingested
+    // facet's spec stays clean
+    val receivedFilters = scala.collection.mutable.ArrayBuffer[Option[String]]()
+    val stub = SimSearchEngine.InSituFacet("keywords", "categorical_topk",
+      (spec, _) => {
+        receivedFilters += spec.filter
+        graft.operators.BoundFacet("keywords",
+          Seq(("20191104154500-1733", 1.0), ("20191104230000-326", 0.5)).toDF("id", "d"),
+          Seq(1.0), preScored = true)
+      })
+    val cat2 = new Catalog(Seq(catalog.get("positive_sentiment")), Seq(stub))
+    val res = SimSql.run(spark, cat2, sql)
+    assert(res.count() == 3)
+    assert(receivedFilters.toSeq == Seq(Some("""{"term": {"source": "cnn"}}""")))
+  }
+
   test("residual boolean filter restricts the searchable entities (P3)") {
     val sql = """SELECT * WHERE position ~= 'POINT(-74.94 42.15)'
                  AND positive_sentiment > 2.75 LIMIT 5"""
