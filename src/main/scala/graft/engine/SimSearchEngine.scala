@@ -52,7 +52,11 @@ object SimSearchEngine {
     private var inSitu: Map[String, InSituFacet] =
       initialInSitu.map(f => f.name -> f).toMap
     def get(name: String): Facet = facets.getOrElse(name,
-      throw new IllegalArgumentException(s"attribute $name is not mounted"))
+      throw new IllegalArgumentException(
+        if (inSitu.contains(name))
+          s"attribute $name is mounted in-situ (REST) — it has no local " +
+            "values; it can be queried but not projected/filtered locally"
+        else s"attribute $name is not mounted"))
     def getInSitu(name: String): Option[InSituFacet] = inSitu.get(name)
     def list: Seq[(String, String)] = // (name, operation)
       (facets.values.map(f => f.spec.name -> f.spec.op.toString) ++

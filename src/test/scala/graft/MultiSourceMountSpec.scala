@@ -54,8 +54,9 @@ class MultiSourceMountSpec extends SparkTestBase {
     (code, out)
   }
 
-  /** Stub ES endpoint: /companies/_search (canned ranked hits, bodies
-    * captured) and /companies/_settings (max_result_window 2500). */
+  /** Stub ES endpoint: /companies/_search (canned ranked hits, bodies and
+    * Authorization headers captured) and /companies/_settings
+    * (max_result_window 2500). */
   private def stubEs(): (Int, java.util.List[String], () => Unit) = {
     val received = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
     val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
@@ -66,6 +67,8 @@ class MultiSourceMountSpec extends SparkTestBase {
         |  {"_score": 1.5, "_source": {"article_id": "esonly-2", "keywords": "corp"}}
         |]}}""".stripMargin
     server.createContext("/companies/_search", (x: HttpExchange) => {
+      received.add("AUTH:" +
+        Option(x.getRequestHeaders.getFirst("Authorization")).getOrElse(""))
       received.add(new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
       val out = hits.getBytes(StandardCharsets.UTF_8)
       x.getResponseHeaders.add("Content-Type", "application/json")
@@ -93,7 +96,8 @@ class MultiSourceMountSpec extends SparkTestBase {
            |  {"name": "localPath1", "type": "csv", "directory": "$gdelt/"},
            |  {"name": "derbyDb", "type": "jdbc", "url": "$derbyUrl"},
            |  {"name": "stubEs", "type": "restapi",
-           |   "url": "http://127.0.0.1:$esPort/companies/_search?pretty"}
+           |   "url": "http://127.0.0.1:$esPort/companies/_search?pretty",
+           |   "username": "esUser", "password": "esPass"}
            |],
            |"search": [
            |  {"operation": "numerical_topk", "source": "localPath1",
@@ -147,6 +151,10 @@ class MultiSourceMountSpec extends SparkTestBase {
       assert(esBody.get("query").get("match").get("keywords").asText() == "acme corp")
       assert(esBody.get("size").asInt() == 2500,
         "m = 3 * 1000 must clamp to the discovered window 2500")
+      // username/password became HTTP basic auth on the search request
+      val expectedAuth = "Basic " + java.util.Base64.getEncoder
+        .encodeToString("esUser:esPass".getBytes(StandardCharsets.UTF_8))
+      assert(received.get(received.size() - 2) == s"AUTH:$expectedAuth")
     } finally { svc.stop(); stopEs() }
   }
 
