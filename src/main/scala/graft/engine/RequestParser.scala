@@ -255,7 +255,11 @@ object RequestParser {
       SearchSpec(q.get("column").asText(), value, weights,
         decay = Option(q.get("decay")).map(_.asDouble())
           .getOrElse(graft.functions.SimKernels.DefaultDecay),
-        scale = Option(q.get("scale")).map(_.asDouble()))
+        scale = Option(q.get("scale")).map(_.asDouble()),
+        // per-condition pre-filter, applied as-is against the data
+        // (reference: SearchSpecs.filter — SQL condition for ingested/JDBC
+        // facets, ES filter context for restapi facets)
+        filter = Option(q.get("filter")).map(_.asText()).filter(_.nonEmpty))
     }.toSeq
     (k, algorithm, specs, extras)
   }

@@ -29,6 +29,24 @@ class EngineEdgeSpec extends SparkTestBase {
     assert(res.map(_.getString(res.head.fieldIndex("id"))).toSeq == Seq("a", "b"))
   }
 
+  test("P2: a search.json per-condition filter parses and pre-filters the facet") {
+    val req = """{"k": "3", "queries": [
+      {"column": "x", "value": 5.0, "weights": ["1.0"], "filter": "value > 4"}
+    ]}"""
+    val tmp = java.nio.file.Files.createTempFile("graft-search", ".json")
+    java.nio.file.Files.write(tmp, req.getBytes("UTF-8"))
+    try {
+      val (k, _, specs, _) = graft.engine.RequestParser.parseSearch(tmp.toString)
+      assert(k == 3 && specs.head.filter.contains("value > 4"))
+      val f = Facet(AttributeSpec("x", SimOp.Numerical),
+        (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "value"))
+      val res = SimSearchEngine.search(spark, new Catalog(Seq(f)), k, specs).collect()
+      // without the filter the top-3 around 5.0 would be {5, 4, 6}; the
+      // pre-filter drops value <= 4 before similarity search
+      assert(res.map(_.getLong(res.head.fieldIndex("id"))).toSeq == Seq(5L, 6L, 7L))
+    } finally java.nio.file.Files.delete(tmp)
+  }
+
   test("A2: k > K_MAX rejected for multi-attribute queries, allowed for singletons") {
     val f1 = Facet(AttributeSpec("x", SimOp.Numerical),
       (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "value"))
