@@ -70,15 +70,22 @@ object Main {
         case Some("4") =>
           prompt("Path to the search request (search.json): ").foreach { path =>
             try {
-              val (k, algorithm, specs, extras) = RequestParser.parseSearch(path)
-              val res = SimSearchEngine.search(spark, catalog, k, specs,
-                detailed = true, algorithm = graft.api.Algorithm.parse(algorithm))
+              val req = RequestParser.parseSearchRequest(path)
+              val res = SimSearchEngine.search(spark, catalog, req.k, req.specs,
+                detailed = true, algorithm = graft.api.Algorithm.parse(req.algorithm))
               out.println(OutputWriter.toJsonResponse(res))
               // A6: requested extra columns are shown as a ranked table
               // (the reference's JSON response carries only scores)
-              if (extras.nonEmpty)
-                out.println(OutputWriter.toTabular(
-                  SimSql.projectExtras(catalog, res, extras), 1000))
+              val extras = req.output.extraColumns
+              val projected =
+                if (extras.isEmpty) res else SimSql.projectExtras(catalog, res, extras)
+              if (extras.nonEmpty) out.println(OutputWriter.toTabular(projected, 1000))
+              // S11: the request's output block routes results to a file
+              // sink (reference: request/SearchOutput.java file/format)
+              req.output.file.foreach { f =>
+                OutputWriter.writeResults(projected, req.output, f)
+                out.println(s"Results written to $f (${req.output.format}).")
+              }
             } catch {
               case e: Exception => out.println(s"Search failed: ${e.getMessage}")
             }

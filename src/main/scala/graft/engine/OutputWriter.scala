@@ -34,6 +34,18 @@ object OutputWriter {
     if (collected.length > n) body + s"\n... (showing first $n rows)" else body
   }
 
+  /** S11: route a ranked result to the sink declared by a search request's
+    * output block (reference: request/SearchOutput.java — json/csv/txt,
+    * CSV dialect options). */
+  def writeResults(df: DataFrame, out: graft.engine.RequestParser.OutputSpec,
+      file: String): Unit = out.format match {
+    case "csv" => writeCsv(df, file, out.delimiter, out.quote, out.header)
+    case "txt" =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(file),
+        toTabular(df, 100000).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    case _ => writeJson(df, file)
+  }
+
   /** S12: serialize a (combo, rank, id, score) result into the reference's
     * SearchResponse JSON shape — one response object per weight combination,
     * each with its rankedResults array. */

@@ -234,16 +234,49 @@ object RequestParser {
     case other => "\"" + graft.sources.RestClient.jsonEscape(other.toString) + "\""
   }
 
-  /** Parse a search request (search.json shape): (k, algorithm, specs,
-    * extraColumns). Values may be strings or arrays (token sets); weights
-    * are decimal strings, one per combination. */
+  /** The search request's output block (reference:
+    * request/SearchOutput.java:8-35): result format, CSV dialect, optional
+    * output file, extra columns to project. */
+  final case class OutputSpec(
+      format: String = "json",
+      delimiter: String = ",",
+      quote: String = "\"",
+      header: Boolean = true,
+      file: Option[String] = None,
+      extraColumns: Seq[String] = Seq.empty)
+
+  /** Fully-parsed search request (search.json shape). */
+  final case class ParsedSearch(
+      k: Int,
+      algorithm: String,
+      specs: Seq[SearchSpec],
+      output: OutputSpec)
+
+  /** Back-compat view of [[parseSearchRequest]]: (k, algorithm, specs,
+    * extraColumns). */
   def parseSearch(path: String): (Int, String, Seq[SearchSpec], Seq[String]) = {
+    val r = parseSearchRequest(path)
+    (r.k, r.algorithm, r.specs, r.output.extraColumns)
+  }
+
+  /** Parse a search request (search.json shape). Values may be strings or
+    * arrays (token sets); weights are decimal strings, one per
+    * combination. */
+  def parseSearchRequest(path: String): ParsedSearch = {
     val root = readFile(path)
     val k = root.get("k").asText().toInt
     val algorithm = Option(root.get("algorithm")).map(_.asText()).getOrElse("threshold")
-    val extras = Option(root.get("output"))
-      .flatMap(o => Option(o.get("extra_columns")))
-      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+    val output = Option(root.get("output")).map { o =>
+      def opt(f: String) = Option(o.get(f)).map(_.asText()).filter(_.nonEmpty)
+      OutputSpec(
+        format = opt("format").getOrElse("json").toLowerCase,
+        delimiter = opt("delimiter").getOrElse(","),
+        quote = opt("quote").getOrElse("\""),
+        header = opt("header").forall(_.toBoolean),
+        file = opt("file"),
+        extraColumns = Option(o.get("extra_columns"))
+          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty))
+    }.getOrElse(OutputSpec())
     val specs = root.get("queries").elements().asScala.map { q =>
       val value: Any = q.get("value") match {
         case a if a.isArray => a.elements().asScala.map(_.asText()).toSeq
@@ -261,6 +294,6 @@ object RequestParser {
         // facets, ES filter context for restapi facets)
         filter = Option(q.get("filter")).map(_.asText()).filter(_.nonEmpty))
     }.toSeq
-    (k, algorithm, specs, extras)
+    ParsedSearch(k, algorithm, specs, output)
   }
 }

@@ -129,11 +129,14 @@ final class SimSearchService(spark: SparkSession, port: Int,
     if (cat == null) { respond(x, 401, """{"error":"unknown api_key"}"""); return }
     val tmp = bodyFile(x)
     try {
-      val (k, algorithm, specs, _) = RequestParser.parseSearch(tmp.toString)
+      val req = RequestParser.parseSearchRequest(tmp.toString)
       // detailed mode computes the per-result TA exactness bound so the
       // response's `exact` flags are real, not asserted (RankedResult.setExact)
-      val res = SimSearchEngine.search(spark, cat, k, specs, detailed = true,
-        algorithm = graft.api.Algorithm.parse(algorithm))
+      val res = SimSearchEngine.search(spark, cat, req.k, req.specs, detailed = true,
+        algorithm = graft.api.Algorithm.parse(req.algorithm))
+      // S11: the output block's file sink is honored server-side, exactly
+      // as the reference's OutputWriter does for service requests
+      req.output.file.foreach(OutputWriter.writeResults(res, req.output, _))
       respond(x, 200, OutputWriter.toJsonResponse(res))
     } catch {
       case e: Exception => respond(x, 400, errorBody(e))

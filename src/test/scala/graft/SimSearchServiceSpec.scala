@@ -77,6 +77,40 @@ class SimSearchServiceSpec extends SparkTestBase {
     } finally svc.stop()
   }
 
+  test("search output block: results routed to a server-side CSV sink (S11)") {
+    val svc = new SimSearchService(spark, 0)
+    val port = svc.start()
+    val outDir = java.nio.file.Files.createTempDirectory("graft-out").toString + "/res"
+    try {
+      val base = s"http://127.0.0.1:$port/simsearch/api"
+      val gdelt = "/root/reference/data/gdelt"
+      val sources = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$gdelt/standalone/sources.json")), StandardCharsets.UTF_8)
+        .replace("./data/gdelt/", gdelt)
+      val (_, b1) = http("POST", s"$base/index", Some(sources))
+      val key = new ObjectMapper().readTree(b1).get("apiKey").asText()
+
+      val search =
+        s"""{"k": "4",
+           | "output": {"format": "csv", "delimiter": ";", "file": "$outDir"},
+           | "queries": [{"column": "positive_sentiment", "value": "max",
+           |              "weights": ["1.0"]}]}""".stripMargin
+      val (c, body) = http("POST", s"$base/search", Some(search), Map("api_key" -> key))
+      assert(c == 200, body)
+      // the JSON response is still served AND the CSV sink was written
+      val files = new java.io.File(outDir).listFiles().filter(_.getName.endsWith(".csv"))
+      assert(files.nonEmpty, s"no csv part written under $outDir")
+      val lines = scala.io.Source.fromFile(files.head).getLines().toSeq
+      assert(lines.head.split(";").toSeq.containsSlice(Seq("rank", "id", "score")) ||
+        lines.head.contains(";"), lines.head)
+      assert(lines.size == 5, s"header + 4 ranked rows expected, got ${lines.size}")
+    } finally {
+      svc.stop()
+      new scala.reflect.io.Directory(
+        new java.io.File(outDir).getParentFile).deleteRecursively()
+    }
+  }
+
   test("key admin endpoints fail CLOSED when no admin key is configured") {
     val svc = new SimSearchService(spark, 0) // no adminKey
     val port = svc.start()
