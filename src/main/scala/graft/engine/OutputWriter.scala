@@ -48,8 +48,10 @@ object OutputWriter {
 
   /** S12: serialize a (combo, rank, id, score) result into the reference's
     * SearchResponse JSON shape — one response object per weight combination,
-    * each with its rankedResults array. */
-  def toJsonResponse(df: DataFrame): String = {
+    * each with its rankedResults array. `extras` names projected
+    * extra-attribute columns, serialized per result as the reference's
+    * `extra_attributes` map (RankedResult.setExtraAttributes). */
+  def toJsonResponse(df: DataFrame, extras: Seq[String] = Seq.empty): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createArrayNode()
     // The per-result exact flag (reference: RankedResult.setExact) is only
@@ -61,22 +63,33 @@ object OutputWriter {
     // facet, named s_<facet> — serialized as the reference's per-result
     // attributes map (RankedResult.attributes)
     val attrCols = df.columns.filter(_.startsWith("s_")).toSeq
+    val extraCols = extras.filter(df.columns.contains)
     val byCombo = df.collect()
       .map(r => (r.getLong(r.fieldIndex("combo")), r.getLong(r.fieldIndex("rank")),
         String.valueOf(r.get(r.fieldIndex("id"))), r.getDouble(r.fieldIndex("score")),
         if (hasExact) Some(r.getBoolean(r.fieldIndex("exact"))) else None,
-        attrCols.map(c => c.stripPrefix("s_") -> r.getDouble(r.fieldIndex(c)))))
+        attrCols.map(c => c.stripPrefix("s_") -> r.getDouble(r.fieldIndex(c))),
+        extraCols.map(c => c -> r.get(r.fieldIndex(c)))))
       .groupBy(_._1).toSeq.sortBy(_._1)
     byCombo.foreach { case (_, rows) =>
       val resp = mapper.createObjectNode()
       val ranked = mapper.createArrayNode()
-      rows.sortBy(_._2).foreach { case (_, rank, id, score, exact, attrs) =>
+      rows.sortBy(_._2).foreach { case (_, rank, id, score, exact, attrs, extraVals) =>
         val o = mapper.createObjectNode()
         o.put("id", id); o.put("rank", rank); o.put("score", score)
         exact.foreach(e => o.put("exact", e))
         if (attrs.nonEmpty) {
           val a = o.putObject("attributes")
           attrs.foreach { case (name, s) => a.put(name, s) }
+        }
+        if (extraVals.nonEmpty) {
+          val ea = o.putObject("extra_attributes")
+          extraVals.foreach {
+            case (name, null) => ea.putNull(name)
+            case (name, v: java.lang.Double) => ea.put(name, v.doubleValue())
+            case (name, v: java.lang.Long) => ea.put(name, v.longValue())
+            case (name, v) => ea.put(name, String.valueOf(v))
+          }
         }
         ranked.add(o)
       }

@@ -134,10 +134,16 @@ final class SimSearchService(spark: SparkSession, port: Int,
       // response's `exact` flags are real, not asserted (RankedResult.setExact)
       val res = SimSearchEngine.search(spark, cat, req.k, req.specs, detailed = true,
         algorithm = graft.api.Algorithm.parse(req.algorithm))
+      // A6: requested extra columns join on as per-result extra_attributes
+      // (reference: RankedResult.setExtraAttributes)
+      val extras = req.output.extraColumns
+      val projected =
+        if (extras.isEmpty) res
+        else graft.engine.SimSql.projectExtras(cat, res, extras)
       // S11: the output block's file sink is honored server-side, exactly
       // as the reference's OutputWriter does for service requests
-      req.output.file.foreach(OutputWriter.writeResults(res, req.output, _))
-      respond(x, 200, OutputWriter.toJsonResponse(res))
+      req.output.file.foreach(OutputWriter.writeResults(projected, req.output, _))
+      respond(x, 200, OutputWriter.toJsonResponse(projected, extras))
     } catch {
       case e: Exception => respond(x, 400, errorBody(e))
     } finally java.nio.file.Files.delete(tmp)

@@ -92,11 +92,18 @@ class SimSearchServiceSpec extends SparkTestBase {
 
       val search =
         s"""{"k": "4",
-           | "output": {"format": "csv", "delimiter": ";", "file": "$outDir"},
+           | "output": {"format": "csv", "delimiter": ";", "file": "$outDir",
+           |            "extra_columns": ["negative_sentiment"]},
            | "queries": [{"column": "positive_sentiment", "value": "max",
            |              "weights": ["1.0"]}]}""".stripMargin
       val (c, body) = http("POST", s"$base/search", Some(search), Map("api_key" -> key))
       assert(c == 200, body)
+      // requested extra columns appear per result as extra_attributes
+      // (reference: RankedResult.setExtraAttributes)
+      val r0 = new ObjectMapper().readTree(body).get(0).get("rankedResults").get(0)
+      assert(r0.get("extra_attributes") != null &&
+        r0.get("extra_attributes").has("negative_sentiment"), body.take(500))
+      assert(r0.get("extra_attributes").get("negative_sentiment").isNumber, body.take(500))
       // the JSON response is still served AND the CSV sink was written
       val files = new java.io.File(outDir).listFiles().filter(_.getName.endsWith(".csv"))
       assert(files.nonEmpty, s"no csv part written under $outDir")
