@@ -73,12 +73,15 @@ object Main {
               val req = RequestParser.parseSearchRequest(path)
               val res = SimSearchEngine.search(spark, catalog, req.k, req.specs,
                 detailed = true, algorithm = graft.api.Algorithm.parse(req.algorithm))
-              out.println(OutputWriter.toJsonResponse(res))
               // A6: requested extra columns are shown as a ranked table
-              // (the reference's JSON response carries only scores)
+              // (the reference's JSON response carries only scores); the
+              // prefixURL id formatting applies AFTER the extras join —
+              // prefixed ids would no longer match the facet frames
               val extras = req.output.extraColumns
-              val projected =
-                if (extras.isEmpty) res else SimSql.projectExtras(catalog, res, extras)
+              val projected = SimSearchEngine.applyIdPrefix(catalog,
+                if (extras.isEmpty) res else SimSql.projectExtras(catalog, res, extras))
+              out.println(OutputWriter.toJsonResponse(
+                SimSearchEngine.applyIdPrefix(catalog, res)))
               if (extras.nonEmpty) out.println(OutputWriter.toTabular(projected, 1000))
               // S11: the request's output block routes results to a file
               // sink (reference: request/SearchOutput.java file/format)

@@ -54,11 +54,20 @@ case class AttributeSpec(
       * transformed attribute by keywords, exactly as in the reference
       * (Coordinator.java:608-643 + Word2VectorTransformer applied to the
       * query value). */
-    queryTransform: Option[Seq[String] => Seq[Double]] = None)
+    queryTransform: Option[Seq[String] => Seq[Double]] = None,
+    /** URL prefix combined with entity ids in final results (reference:
+      * MountSpecs.prefixURL; applied by Assistant.formatURL — minus its
+      * hardcoded 12-character ATOKA truncation, a documented divergence). */
+    prefixURL: Option[String] = None)
 
 /** A mounted attribute: spec + its (id, value) DataFrame. The `df` must have
-  * exactly two columns named `id` and `value`. */
-case class Facet(spec: AttributeSpec, df: DataFrame)
+  * exactly two columns named `id` and `value`. `display` optionally holds
+  * the ORIGINAL (pre-transform) values for output projection — the
+  * reference's transformed-attribute association, where the raw keyword set
+  * is remounted as a KEYWORD_DICTIONARY lookup and shown in results while
+  * the derived vectors serve the queries (Coordinator.java:608-643). */
+case class Facet(spec: AttributeSpec, df: DataFrame,
+    display: Option[DataFrame] = None)
 
 /** Rank-aggregation algorithm selector. All three aggregation algorithms of
   * the reference (threshold / no_random_access / partial_random_access,

@@ -122,7 +122,8 @@ object RequestParser {
           normalized = opt("normalized"),
           maxLines = opt("max_lines").map(_.toInt),
           metric = opt("metric"),
-          transformBy = opt("transform_by"))
+          transformBy = opt("transform_by"),
+          prefixURL = opt("prefixURL"))
       } else jdbcSources.get(src) match {
         case Some(j) =>
           jdbcSpecs += graft.sources.JdbcMount.JdbcSpec(

@@ -71,7 +71,25 @@ object SimSearchEngine {
       had
     }
     def size: Int = facets.size + inSitu.size
+    /** URL prefix for result entity identifiers, read off a mounted name
+      * dictionary (reference: SearchResponseFormat — prefixURL comes from
+      * the non-queryable names dataset). */
+    def namePrefix: Option[String] =
+      facets.values.collectFirst {
+        case f if !f.spec.queryable && f.spec.prefixURL.isDefined =>
+          f.spec.prefixURL.get
+      }
   }
+
+  /** Format result ids as URL identifiers when the catalog mounts a name
+    * dictionary with prefixURL (reference: Assistant.formatURL, minus its
+    * hardcoded 12-character ATOKA truncation — documented divergence). */
+  def applyIdPrefix(catalog: Catalog, ranked: DataFrame): DataFrame =
+    catalog.namePrefix match {
+      case Some(p) =>
+        ranked.withColumn("id", concat(lit(p), col("id").cast("string")))
+      case None => ranked
+    }
 
   val KMax = Limits.KMax                     // reference: Constants.java:42
   val InflationFactor = Limits.InflationFactor // reference: Constants.java:44

@@ -117,12 +117,18 @@ object SimSql {
   def projectExtras(catalog: Catalog, ranked: DataFrame, extras: Seq[String]): DataFrame =
     extras.foldLeft(ranked) { (acc, c) =>
       val f = catalog.get(c)
-      val v = f.spec.op match {
-        case SimOp.Temporal => // F13: epoch ms -> yyyy-MM-dd HH:mm:ss
-          date_format(timestamp_millis(col("value").cast("long")), "yyyy-MM-dd HH:mm:ss")
-        case _ => col("value")
+      // a transformed attribute (mount-time word2vec) displays its ORIGINAL
+      // values, not the derived vectors — the reference's KEYWORD_DICTIONARY
+      // association (Coordinator.java:608-643)
+      val (src, v) = f.display match {
+        case Some(d) => (d, col("value"))
+        case None => (f.df, f.spec.op match {
+          case SimOp.Temporal => // F13: epoch ms -> yyyy-MM-dd HH:mm:ss
+            date_format(timestamp_millis(col("value").cast("long")), "yyyy-MM-dd HH:mm:ss")
+          case _ => col("value")
+        })
       }
-      acc.join(f.df.select(col("id"), v.as(c)), Seq("id"), "left")
+      acc.join(src.select(col("id"), v.as(c)), Seq("id"), "left")
     }
 
   /** Execute a parsed query against a mounted catalog: similarity top-k +

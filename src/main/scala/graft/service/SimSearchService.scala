@@ -137,9 +137,12 @@ final class SimSearchService(spark: SparkSession, port: Int,
       // A6: requested extra columns join on as per-result extra_attributes
       // (reference: RankedResult.setExtraAttributes)
       val extras = req.output.extraColumns
-      val projected =
+      val projected0 =
         if (extras.isEmpty) res
         else graft.engine.SimSql.projectExtras(cat, res, extras)
+      // result ids become URL identifiers when a name dictionary with
+      // prefixURL is mounted (reference: SearchResponseFormat)
+      val projected = SimSearchEngine.applyIdPrefix(cat, projected0)
       // S11: the output block's file sink is honored server-side, exactly
       // as the reference's OutputWriter does for service requests
       req.output.file.foreach(OutputWriter.writeResults(projected, req.output, _))

@@ -39,7 +39,10 @@ object CsvMount {
       /** Name of a mounted vector dictionary to transform this keyword
         * attribute through at mount time (reference: MountSpecs.transform_by,
         * applied Coordinator.java:608-643). */
-      transformBy: Option[String] = None)
+      transformBy: Option[String] = None,
+      /** URL prefix for entity identifiers in final results (reference:
+        * MountSpecs.prefixURL; read off the name dictionary). */
+      prefixURL: Option[String] = None)
 
   /** The reference's 13 accepted datetime patterns
     * (temporal/DateTimeParser.java:16), translated to Spark's datetime
@@ -228,7 +231,12 @@ object CsvMount {
             }
             Facet(AttributeSpec(name, SimOp.Metric(metricName), spec.tokenDelimiter,
               spec.qgram, queryTransform = Some(qt)),
-              vecs.select(col("id"), col("vector").as("value")).na.drop(Seq("id")))
+              vecs.select(col("id"), col("vector").as("value")).na.drop(Seq("id")),
+              // the reference keeps the raw keywords as a KEYWORD_DICTIONARY
+              // lookup for result display; extra-column projection reads
+              // these, not the derived vectors
+              display = Some(raw.select(id,
+                col(spec.searchColumns.head).as("value")).na.drop(Seq("id"))))
           case None => // raw coordinates: 1-2 numeric/datetime columns
             val coords: Seq[Column] = spec.searchColumns match {
               case Seq(one) =>
@@ -243,6 +251,14 @@ object CsvMount {
             Facet(AttributeSpec(name, SimOp.Metric(metricName),
               spec.tokenDelimiter, spec.qgram), df)
         }
+      case "name_dictionary" | "keyword_dictionary" =>
+        // non-queryable lookup attributes (reference: Constants.NAME_/
+        // KEYWORD_DICTIONARY) — serve extra-column projection and, for a
+        // name dictionary with prefixURL, the result-id URL formatting
+        val df = raw.select(id, col(spec.searchColumns.head).as("value"))
+          .na.drop(Seq("id", "value"))
+        Facet(AttributeSpec(name, SimOp.Textual, spec.tokenDelimiter, spec.qgram,
+          queryable = false, prefixURL = spec.prefixURL), df)
       case other => throw new IllegalArgumentException(s"unknown operation $other")
     }
   }

@@ -47,6 +47,35 @@ class EngineEdgeSpec extends SparkTestBase {
     } finally java.nio.file.Files.delete(tmp)
   }
 
+  test("name_dictionary: non-queryable lookup; prefixURL formats result ids") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-names")
+    java.nio.file.Files.writeString(dir.resolve("ent.csv"),
+      """eid,ename,score
+        |e1,Acme Corp,10.0
+        |e2,Globex,20.0
+        |e3,Initech,30.0
+        |""".stripMargin)
+    val names = CsvMount.mount(spark, dir.toString, MountSpec(
+      "name_dictionary", "ent.csv", "eid", Seq("ename"),
+      prefixURL = Some("http://entities.example/")))
+    val num = CsvMount.mount(spark, dir.toString, MountSpec(
+      "numerical_topk", "ent.csv", "eid", Seq("score")))
+    val cat = new Catalog(Seq(names, num))
+    // dictionaries are lookups, never queryable (P6)
+    intercept[IllegalArgumentException] {
+      SimSearchEngine.search(spark, cat, 2, Seq(SearchSpec("ename", "Acme", Seq(1.0))))
+    }
+    val res = SimSearchEngine.search(spark, cat, 2,
+      Seq(SearchSpec("score", 20.0, Seq(1.0))))
+    // extras join BEFORE prefixing (prefixed ids no longer match facets)
+    val projected = SimSearchEngine.applyIdPrefix(cat,
+      graft.engine.SimSql.projectExtras(cat, res, Seq("ename")))
+    val rows = projected.orderBy(col("rank"))
+      .select("id", "ename").collect()
+    assert(rows.head.getString(0) == "http://entities.example/e2")
+    assert(rows.head.getString(1) == "Globex")
+  }
+
   test("A2: k > K_MAX rejected for multi-attribute queries, allowed for singletons") {
     val f1 = Facet(AttributeSpec("x", SimOp.Numerical),
       (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "value"))

@@ -77,6 +77,18 @@ class PivotMountSpec extends SparkTestBase {
     assert(scores.sameElements(scores.sorted.reverse))
   }
 
+  test("extra columns on a transformed attribute display the raw keywords") {
+    val cat = mountPivot()
+    val res = SimSearchEngine.search(spark, cat, 3,
+      Seq(SearchSpec("organizations", Seq("united+nations"), Seq(1.0))))
+    val proj = graft.engine.SimSql.projectExtras(cat, res, Seq("organizations"))
+      .select("organizations").collect().map(_.getString(0))
+    // the display association serves the ORIGINAL keyword text, not the
+    // derived 50-dim vectors (the reference's KEYWORD_DICTIONARY flow)
+    assert(proj.length == 3)
+    assert(proj.forall(v => v == null || !v.startsWith("[")), proj.mkString("; "))
+  }
+
   test("haversine and chebyshev metrics are accepted for pivot attributes") {
     import spark.implicits._
     import graft.sources.CsvMount
