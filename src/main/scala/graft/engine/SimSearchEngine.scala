@@ -58,9 +58,21 @@ object SimSearchEngine {
             "values; it can be queried but not projected/filtered locally"
         else s"attribute $name is not mounted"))
     def getInSitu(name: String): Option[InSituFacet] = inSitu.get(name)
-    def list: Seq[(String, String)] = // (name, operation)
-      (facets.values.map(f => f.spec.name -> f.spec.op.toString) ++
-        inSitu.values.map(f => f.name -> f.operation)).toSeq.sorted
+    /** (name, operation) in the reference's operation vocabulary
+      * (numerical_topk, ..., pivot_based; dictionaries list as such). */
+    def list: Seq[(String, String)] =
+      (facets.values.map { f =>
+        val op = (f.spec.op, f.spec.queryable) match {
+          case (_, false)                 => "dictionary"
+          case (SimOp.Numerical, _)       => "numerical_topk"
+          case (SimOp.Temporal, _)        => "temporal_topk"
+          case (SimOp.Categorical, _)     => "categorical_topk"
+          case (SimOp.Textual, _)         => "textual_topk"
+          case (SimOp.Spatial, _)         => "spatial_knn"
+          case (SimOp.Metric(_), _)       => "pivot_based"
+        }
+        f.spec.name -> op
+      } ++ inSitu.values.map(f => f.name -> f.operation)).toSeq.sorted
     def add(f: Facet): Unit = facets += (f.spec.name -> f)
     def add(f: InSituFacet): Unit = inSitu += (f.name -> f)
     /** @return whether the attribute was mounted (callers surface 404 on false) */

@@ -173,13 +173,28 @@ final class SimSearchService(spark: SparkSession, port: Int,
 
   private val creationDate = System.currentTimeMillis()
 
-  /** GET /catalog: attribute listing (A8). */
+  /** GET|POST /catalog: attribute listing (A8). An optional JSON body
+    * filters by operation and/or column (reference:
+    * request/CatalogRequest.java — a federated peer probes a specific
+    * attribute this way). */
   private def handleCatalog(x: HttpExchange): Unit = {
     val cat = catalogs.get(apiKey(x))
     if (cat == null) { respond(x, 401, """{"error":"unknown api_key"}"""); return }
-    val items = cat.list.map { case (n, op) =>
-      s"""{"column":"${jsonEscape(n)}","operation":"${jsonEscape(op)}"}"""
-    }
+    val body = new String(x.getRequestBody.readAllBytes(),
+      StandardCharsets.UTF_8).trim
+    val (opFilter, colFilter) =
+      if (body.isEmpty) (None, None)
+      else try {
+        val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+        def f(k: String) = Option(n.get(k)).map(_.asText()).filter(_.nonEmpty)
+        (f("operation"), f("column"))
+      } catch { case _: Exception => (None, None) }
+    val items = cat.list
+      .filter { case (n, op) =>
+        opFilter.forall(_ == op) && colFilter.forall(_ == n) }
+      .map { case (n, op) =>
+        s"""{"column":"${jsonEscape(n)}","operation":"${jsonEscape(op)}"}"""
+      }
     respond(x, 200, items.mkString("[", ",", "]"))
   }
 

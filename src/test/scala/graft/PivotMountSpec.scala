@@ -33,7 +33,11 @@ class PivotMountSpec extends SparkTestBase {
     val ops = cat.list.toMap
     assert(ops.keySet == Set("position", "organizations", "timestamp",
       "positive_sentiment", "negative_sentiment"))
-    assert(ops("position") == "Metric(euclidean)" && ops("timestamp") == "Metric(manhattan)")
+    // the catalog speaks the reference's operation vocabulary
+    assert(ops("position") == "pivot_based" && ops("timestamp") == "pivot_based")
+    // the metric itself stays on the facet spec
+    assert(cat.get("position").spec.op == graft.api.SimOp.Metric("euclidean"))
+    assert(cat.get("timestamp").spec.op == graft.api.SimOp.Metric("manhattan"))
   }
 
   test("transform_by derives a queryable vector attribute from the keyword column") {

@@ -45,6 +45,15 @@ class SimSearchServiceSpec extends SparkTestBase {
 
       val (c2, b2) = http("GET", s"$base/catalog", None, Map("api_key" -> key))
       assert(c2 == 200 && new ObjectMapper().readTree(b2).size() == 5)
+      // CatalogRequest filters: by operation, and by column
+      val (_, bOp) = http("POST", s"$base/catalog",
+        Some("""{"operation": "numerical_topk"}"""), Map("api_key" -> key))
+      assert(new ObjectMapper().readTree(bOp).size() == 2, bOp) // the two sentiments
+      val (_, bCol) = http("POST", s"$base/catalog",
+        Some("""{"column": "persons"}"""), Map("api_key" -> key))
+      val colNode = new ObjectMapper().readTree(bCol)
+      assert(colNode.size() == 1 &&
+        colNode.get(0).get("operation").asText() == "categorical_topk", bCol)
 
       val search = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(s"$gdelt/standalone/search.json")), StandardCharsets.UTF_8)
