@@ -84,14 +84,19 @@ object Bench {
     // rep is reported alongside so a suspiciously large min/last spread is
     // visible in the artifact, as is the host's /proc/loadavg.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // invariant preserved from the 1-rep protocol: a name appears in
+    // "errors" IFF its recorded time is -1 (every rep failed); queries
+    // where only SOME reps failed keep their min time and are surfaced
+    // separately in "rep_failures" so flakiness is visible, not silent
     var errors = List.empty[String]
+    var repFailures = Map.empty[String, Int]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            if (!errors.contains(name)) errors ::= name
+            repFailures = repFailures.updated(name, repFailures.getOrElse(name, 0) + 1)
             false
           }
         // drop data cached inside a query (e.g. minhash signature frames) so
@@ -99,6 +104,7 @@ object Bench {
         spark.catalog.clearCache()
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
+      if (times.isEmpty) errors ::= name
       name -> (if (times.isEmpty) (-1.0, -1.0) else (times.min, times.last))
     }
     val qs = results.map { case (k, (mn, _)) => "\"" + k + "\":" + mn }.mkString("{", ",", "}")
@@ -108,7 +114,9 @@ object Bench {
     val loadavg = try {
       scala.util.Using.resource(scala.io.Source.fromFile("/proc/loadavg"))(_.mkString.trim)
     } catch { case _: Throwable => "" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_last":$qsLast,"reps":$reps,"loadavg":"$loadavg","errors":$errs,"sf":"$sfDir"}""")
+    val repFails = repFailures.toSeq.sortBy(_._1)
+      .map { case (k, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_last":$qsLast,"reps":$reps,"rep_failures":$repFails,"loadavg":"$loadavg","errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -50,10 +50,8 @@ object Main {
         case Some("1") =>
           prompt("Path to the mount request (sources.json): ").foreach { path =>
             try {
-              val (facets, inSitu) = RequestParser.mountAll(spark, path)
-              facets.foreach(catalog.add)
-              inSitu.foreach(catalog.add)
-              out.println(s"Mounted ${facets.size + inSitu.size} attribute(s); " +
+              val n = RequestParser.mountInto(spark, path, catalog)
+              out.println(s"Mounted $n attribute(s); " +
                 s"catalog now holds ${catalog.size}.")
             } catch {
               case e: Exception => out.println(s"Mount failed: ${e.getMessage}")
@@ -73,15 +71,14 @@ object Main {
               val req = RequestParser.parseSearchRequest(path)
               val res = SimSearchEngine.search(spark, catalog, req.k, req.specs,
                 detailed = true, algorithm = graft.api.Algorithm.parse(req.algorithm))
-              // A6: requested extra columns are shown as a ranked table
-              // (the reference's JSON response carries only scores); the
-              // prefixURL id formatting applies AFTER the extras join —
-              // prefixed ids would no longer match the facet frames
+              // the prefixURL id formatting applies AFTER the extras join —
+              // prefixed ids would no longer match the facet frames; ONE
+              // projected frame serves the JSON response, the A6 table, and
+              // the file sink
               val extras = req.output.extraColumns
               val projected = SimSearchEngine.applyIdPrefix(catalog,
                 if (extras.isEmpty) res else SimSql.projectExtras(catalog, res, extras))
-              out.println(OutputWriter.toJsonResponse(
-                SimSearchEngine.applyIdPrefix(catalog, res)))
+              out.println(OutputWriter.toJsonResponse(projected, extras))
               if (extras.nonEmpty) out.println(OutputWriter.toTabular(projected, 1000))
               // S11: the request's output block routes results to a file
               // sink (reference: request/SearchOutput.java file/format)

@@ -84,12 +84,25 @@ object OutputWriter {
         }
         if (extraVals.nonEmpty) {
           val ea = o.putObject("extra_attributes")
-          extraVals.foreach {
-            case (name, null) => ea.putNull(name)
-            case (name, v: java.lang.Double) => ea.put(name, v.doubleValue())
-            case (name, v: java.lang.Long) => ea.put(name, v.longValue())
-            case (name, v) => ea.put(name, String.valueOf(v))
+          def putVal(tgt: com.fasterxml.jackson.databind.node.ObjectNode,
+              name: String, v: Any): Unit = v match {
+            case null => tgt.putNull(name)
+            case d: java.lang.Double => tgt.put(name, d.doubleValue())
+            case f: java.lang.Float => tgt.put(name, f.floatValue())
+            case l: java.lang.Long => tgt.put(name, l.longValue())
+            case i: java.lang.Integer => tgt.put(name, i.intValue())
+            case b: java.lang.Boolean => tgt.put(name, b.booleanValue())
+            case bd: java.math.BigDecimal => tgt.put(name, bd)
+            case s: Seq[_] => // token-set attributes: a real JSON array
+              val arr = tgt.putArray(name)
+              s.foreach {
+                case e: java.lang.Double => arr.add(e.doubleValue())
+                case e: java.lang.Long => arr.add(e.longValue())
+                case e => arr.add(String.valueOf(e))
+              }
+            case other => tgt.put(name, String.valueOf(other))
           }
+          extraVals.foreach { case (name, v) => putVal(ea, name, v) }
         }
         ranked.add(o)
       }

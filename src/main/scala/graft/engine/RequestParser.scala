@@ -104,7 +104,9 @@ object RequestParser {
       if (restSources.contains(src)) {
         restSpecs += RestMount(
           source = restSources(src),
-          dataset = m.get("dataset").asText(),
+          // dataset is informational for REST mounts (the ES index comes
+          // from the URL; federated ignores it) — absent must not NPE
+          dataset = opt("dataset").getOrElse(""),
           operation = m.get("operation").asText(),
           keyColumn = opt("key_column").getOrElse("id"),
           valueColumn = searchCols.head)
@@ -156,24 +158,53 @@ object RequestParser {
     * shared by the REST /index and /append handlers and the standalone
     * terminal. Returns (ingested facets, in-situ REST facets). */
   def mountAll(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (Seq[graft.api.Facet], Seq[SimSearchEngine.InSituFacet]) =
+    mountAll(spark, path, Map.empty)
+
+  private def mountAll(spark: org.apache.spark.sql.SparkSession, path: String,
+      priorDicts: Map[String, org.apache.spark.sql.DataFrame])
       : (Seq[graft.api.Facet], Seq[SimSearchEngine.InSituFacet]) = {
     val req = parseMountRequest(path)
-    // Pass 1: vector dictionaries (S5). They are vocabularies, not
-    // queryable attributes — later entries reference them via transform_by
-    // regardless of declaration order.
-    val dicts: Map[String, org.apache.spark.sql.DataFrame] =
-      req.csv.filter(_._2.operation == "vector_dictionary").map { case (source, spec) =>
-        val dictName = spec.aliasColumn.getOrElse(spec.searchColumns.head)
-        dictName -> graft.sources.CsvMount.mountVectorDictionary(spark,
-          s"${req.dirs(source)}/${spec.dataset}", spec.separator,
-          spec.tokenDelimiter, spec.header)
-      }.toMap
-    // Pass 2: queryable attributes
-    val ingested = req.csv.filter(_._2.operation != "vector_dictionary")
+    (mountIngested(spark, req, priorDicts ++ mountDicts(spark, req)),
+      req.rest.map(mountRest(spark, _)))
+  }
+
+  /** Pass 1: vector dictionaries (S5). They are vocabularies, not
+    * queryable attributes — later entries reference them via transform_by
+    * regardless of declaration order. */
+  private def mountDicts(spark: org.apache.spark.sql.SparkSession,
+      req: MountRequest): Map[String, org.apache.spark.sql.DataFrame] =
+    req.csv.filter(_._2.operation == "vector_dictionary").map { case (source, spec) =>
+      val dictName = spec.aliasColumn.getOrElse(spec.searchColumns.head)
+      dictName -> graft.sources.CsvMount.mountVectorDictionary(spark,
+        s"${req.dirs(source)}/${spec.dataset}", spec.separator,
+        spec.tokenDelimiter, spec.header)
+    }.toMap
+
+  /** Pass 2: queryable attributes. */
+  private def mountIngested(spark: org.apache.spark.sql.SparkSession,
+      req: MountRequest, dicts: Map[String, org.apache.spark.sql.DataFrame])
+      : Seq[graft.api.Facet] =
+    req.csv.filter(_._2.operation != "vector_dictionary")
       .map { case (source, spec) =>
         graft.sources.CsvMount.mount(spark, req.dirs(source), spec, dicts)
       } ++ req.jdbc.map(graft.sources.JdbcMount.mount(spark, _))
-    (ingested, req.rest.map(mountRest(spark, _)))
+
+  /** Parse AND mount a whole request INTO `catalog`: facets, in-situ REST
+    * facets, and vector dictionaries — which PERSIST on the catalog, so a
+    * later /append request can transform_by a dictionary declared in an
+    * earlier one (the reference resolves transform_by against all datasets
+    * mounted under the coordinator, not just the current request).
+    * @return number of queryable attributes added */
+  def mountInto(spark: org.apache.spark.sql.SparkSession, path: String,
+      catalog: SimSearchEngine.Catalog): Int = {
+    val req = parseMountRequest(path)
+    catalog.addDicts(mountDicts(spark, req))
+    val ingested = mountIngested(spark, req, catalog.dicts)
+    val inSitu = req.rest.map(mountRest(spark, _))
+    ingested.foreach(catalog.add)
+    inSitu.foreach(catalog.add)
+    ingested.size + inSitu.size
   }
 
   private def opFor(operation: String): graft.api.SimOp = operation match {
@@ -195,8 +226,10 @@ object RequestParser {
       rm: RestMount): SimSearchEngine.InSituFacet = {
     if (rm.source.isSimSearchInstance) {
       val base = rm.source.url.trim.stripSuffix("/search")
+      // carry ALL declared auth: api_key plus any basic-auth credentials
       val inst = graft.sources.Federated.Instance(base,
-        rm.source.apiKey.getOrElse(""))
+        rm.source.apiKey.getOrElse(""),
+        extraHeaders = rm.source.headers - "api_key")
       SimSearchEngine.InSituFacet(rm.valueColumn, rm.operation,
         (spec, m) => graft.sources.Federated.facet(spark, inst, rm.valueColumn,
           restValueJson(spec.value), m, Seq(1.0)))

@@ -83,14 +83,21 @@ object SimSearchEngine {
       had
     }
     def size: Int = facets.size + inSitu.size
+    /** Vector dictionaries mounted into this catalog — kept so a LATER
+      * mount request (/append) can transform_by a dictionary declared in an
+      * earlier one, matching the reference's per-coordinator dictionary
+      * registry (Coordinator findIdentifier over all mounted datasets). */
+    private var dictStore: Map[String, DataFrame] = Map.empty
+    def dicts: Map[String, DataFrame] = dictStore
+    def addDicts(d: Map[String, DataFrame]): Unit = dictStore ++= d
     /** URL prefix for result entity identifiers, read off a mounted name
       * dictionary (reference: SearchResponseFormat — prefixURL comes from
-      * the non-queryable names dataset). */
+      * the non-queryable names dataset). Deterministic under multiple
+      * prefixed dictionaries: the lexicographically first attribute wins. */
     def namePrefix: Option[String] =
-      facets.values.collectFirst {
-        case f if !f.spec.queryable && f.spec.prefixURL.isDefined =>
-          f.spec.prefixURL.get
-      }
+      facets.values.toSeq
+        .filter(f => !f.spec.queryable && f.spec.prefixURL.isDefined)
+        .sortBy(_.spec.name).headOption.flatMap(_.spec.prefixURL)
   }
 
   /** Format result ids as URL identifiers when the catalog mounts a name
@@ -164,21 +171,37 @@ object SimSearchEngine {
         }
         SimKernels.geoDistDeg(v.getField("lon"), v.getField("lat"), lit(qLon), lit(qLat))
       case SimOp.Metric(mname) => // Q9: pivot_based coordinate attribute
+        // the attribute's queryTransform (set at mount) types string query
+        // values the same way the DATA was typed: word2vec for transformed
+        // keyword attributes, datetime-chain for temporal coordinates,
+        // numeric parse otherwise — so "20191104084500" on a timestamp
+        // pivot becomes epoch-ms, never the raw 2.0e13 numeral
+        def viaTransform(ts: Seq[String]): Seq[Double] =
+          f.spec.queryTransform.map(_(ts)).getOrElse(
+            throw new IllegalArgumentException(
+              s"attribute ${f.spec.name} takes a numeric vector query"))
         val qvec: Seq[Double] = spec.value match {
+          case d: Double => Seq(d)
+          case i: Int => Seq(i.toDouble)
           case vs: Seq[_] if vs.nonEmpty && vs.forall(x =>
               x.isInstanceOf[Double] || x.isInstanceOf[Int]) =>
             vs.map { case d: Double => d; case i: Int => i.toDouble }
-          case vs: Seq[_] => // keyword set -> dictionary transform (F11)
-            f.spec.queryTransform.map(_(vs.map(_.toString))).getOrElse(
-              throw new IllegalArgumentException(
-                s"attribute ${f.spec.name} was not mounted with transform_by; " +
-                  "query it with a numeric vector"))
+          case vs: Seq[_] =>
+            // a JSON array arrives as strings — numbers read as the vector,
+            // anything else is a keyword set for the dictionary transform
+            val strs = vs.map(_.toString)
+            if (strs.nonEmpty &&
+                strs.forall(p => scala.util.Try(p.trim.toDouble).isSuccess))
+              strs.map(_.trim.toDouble)
+            else viaTransform(strs)
+          case s: String if CsvMount.parseWktPoint(s).isDefined =>
+            val (lon, lat) = CsvMount.parseWktPoint(s).get
+            Seq(lon, lat)
           case s: String if f.spec.queryTransform.isDefined =>
-            f.spec.queryTransform.get(
-              s.split(java.util.regex.Pattern.quote(f.spec.tokenDelim))
-                .map(_.trim).filter(_.nonEmpty).toSeq)
+            viaTransform(s.split(java.util.regex.Pattern.quote(f.spec.tokenDelim))
+              .map(_.trim).filter(_.nonEmpty).toSeq)
           case s: String => // comma-separated vector literal, or a datetime
-            // for a 1-dim epoch-ms coordinate (the timestamp pivot attribute)
+            // for a 1-dim epoch-ms coordinate mounted without a transform
             val parts = s.split(",").map(_.trim).toSeq
             if (parts.forall(p => scala.util.Try(p.toDouble).isSuccess))
               parts.map(_.toDouble)

@@ -107,7 +107,14 @@ object SimSql {
     val algorithm = "(?i)\\bALGORITHM\\s+(\\w+)".r.findFirstMatchIn(s).map(_.group(1).toLowerCase)
     val k = "(?i)\\bLIMIT\\s+(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toInt).getOrElse(50) // SqlParser.java:83-86
     val residual = if (residuals.isEmpty) None else Some(unmask(residuals.mkString(" AND ")))
-    val jsonFilter = if (jsonFilters.isEmpty) None else Some(jsonFilters.mkString(", "))
+    // a single filter passes through as-is; multiple combine as a JSON
+    // ARRAY — ES accepts an array filter context, whereas a bare
+    // comma-join of objects would be invalid JSON
+    val jsonFilter = jsonFilters match {
+      case Seq() => None
+      case Seq(one) => Some(one)
+      case many => Some(many.mkString("[", ", ", "]"))
+    }
     ParsedQuery(extras, sims, weights, algorithm, k, residual, jsonFilter)
   }
 

@@ -62,10 +62,11 @@ final class SimSearchService(spark: SparkSession, port: Int,
   private def handleIndex(x: HttpExchange): Unit = {
     val tmp = bodyFile(x)
     try {
-      val (facets, inSitu) = RequestParser.mountAll(spark, tmp.toString)
+      val cat = new Catalog(Seq.empty)
+      val n = RequestParser.mountInto(spark, tmp.toString, cat)
       val key = java.util.UUID.randomUUID().toString
-      catalogs.put(key, new Catalog(facets, inSitu))
-      respond(x, 200, s"""{"apiKey":"$key","attributes":${facets.size + inSitu.size}}""")
+      catalogs.put(key, cat)
+      respond(x, 200, s"""{"apiKey":"$key","attributes":$n}""")
     } catch {
       case e: Exception => respond(x, 400, errorBody(e))
     } finally java.nio.file.Files.delete(tmp)
@@ -78,11 +79,8 @@ final class SimSearchService(spark: SparkSession, port: Int,
     if (cat == null) { respond(x, 401, """{"error":"unknown api_key"}"""); return }
     val tmp = bodyFile(x)
     try {
-      val (facets, inSitu) = RequestParser.mountAll(spark, tmp.toString)
-      facets.foreach(cat.add)
-      inSitu.foreach(cat.add)
-      respond(x, 200,
-        s"""{"appended":${facets.size + inSitu.size},"attributes":${cat.size}}""")
+      val n = RequestParser.mountInto(spark, tmp.toString, cat)
+      respond(x, 200, s"""{"appended":$n,"attributes":${cat.size}}""")
     } catch {
       case e: Exception => respond(x, 400, errorBody(e))
     } finally java.nio.file.Files.delete(tmp)

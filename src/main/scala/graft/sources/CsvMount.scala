@@ -219,7 +219,11 @@ object CsvMount {
             val dim = dict.select(size(col("vector"))).head.getInt(0)
             val toks = SimKernels.tokenize(col(spec.searchColumns.head), spec.tokenDelimiter)
             val tokensDf = raw.select(id, toks.as("tokens")).na.drop(Seq("id"))
-            val vecs = graft.operators.Word2Vec.transform(tokensDf, dict, dim)
+            // transform ONCE at mount and keep the derived vectors resident
+            // (the reference's ingest-on-mount semantics for transformed
+            // data, Coordinator.java:633-637) — a lazy frame would replay
+            // the explode/join/aggregate transform on every query
+            val vecs = graft.operators.Word2Vec.transform(tokensDf, dict, dim).cache()
             // query values stay keywords; the same dictionary maps them into
             // the vector space (a 1-row pass through the SAME transform, so
             // data and query semantics cannot drift)
@@ -238,18 +242,34 @@ object CsvMount {
               display = Some(raw.select(id,
                 col(spec.searchColumns.head).as("value")).na.drop(Seq("id"))))
           case None => // raw coordinates: 1-2 numeric/datetime columns
-            val coords: Seq[Column] = spec.searchColumns match {
-              case Seq(one) =>
-                // numeric if castable, else the datetime chain — the
-                // reference's pivot coordinates are doubles or epoch-ms
-                Seq(coalesce(col(one).cast("double"), datetimeToEpochMs(col(one))))
-              case cols => cols.map(c => col(c).cast("double"))
-            }
+            val (coords: Seq[Column], qt: Option[Seq[String] => Seq[Double]]) =
+              spec.searchColumns match {
+                case Seq(one) =>
+                  // the reference's pivot coordinates are doubles or
+                  // epoch-ms. The kind is decided ONCE at mount from a
+                  // sample value and drives BOTH the ingestion expression
+                  // and the query parser, so data and queries always live
+                  // in the same space: GDELT's all-digit yyyyMMddHHmmss
+                  // timestamps (castable to double!) become epoch-ms on
+                  // both sides, never the raw 2.0e13 numeral.
+                  val sampleTemporal = raw.select(col(one)).na.drop().limit(1)
+                    .collect().headOption.map(_.getString(0).trim)
+                    .exists(s => parseDatetimeMs(s).isDefined &&
+                      (scala.util.Try(s.toDouble).isFailure || s.matches("\\d{14}")))
+                  val parser: Seq[String] => Seq[Double] =
+                    if (sampleTemporal) ts => ts.map(t => parseDatetimeMs(t).getOrElse(
+                      throw new IllegalArgumentException(s"unparseable datetime $t")))
+                    else ts => ts.map(_.toDouble)
+                  (Seq(if (sampleTemporal) datetimeToEpochMs(col(one))
+                       else col(one).cast("double")),
+                    Some(parser))
+                case cols => (cols.map(c => col(c).cast("double")), None)
+              }
             val df = raw.select(id, array(coords: _*).as("value"))
               .na.drop(Seq("id"))
               .where(forall(col("value"), x => x.isNotNull))
             Facet(AttributeSpec(name, SimOp.Metric(metricName),
-              spec.tokenDelimiter, spec.qgram), df)
+              spec.tokenDelimiter, spec.qgram, queryTransform = qt), df)
         }
       case "name_dictionary" | "keyword_dictionary" =>
         // non-queryable lookup attributes (reference: Constants.NAME_/

@@ -25,7 +25,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Federated {
 
-  final case class Instance(baseUrl: String, apiKey: String)
+  /** `extraHeaders` carries additional auth (e.g. HTTP basic credentials
+    * from a restapi mount declaration) alongside the api_key header. */
+  final case class Instance(baseUrl: String, apiKey: String,
+      extraHeaders: Map[String, String] = Map.empty) {
+    def headers: Map[String, String] = Map("api_key" -> apiKey) ++ extraHeaders
+  }
 
   /** A remote instance's attribute as a facet for a LOCAL mixed query —
     * the reference's federated in-situ path: POST the singleton query
@@ -48,7 +53,7 @@ object Federated {
     q.set("value", mapper.readTree(valueJson))
     q.putArray("weights").add("1.0")
     val resp = mapper.readTree(RestClient.post(s"${instance.baseUrl}/search",
-      mapper.writeValueAsString(root), Map("api_key" -> instance.apiKey)))
+      mapper.writeValueAsString(root), instance.headers))
     require(resp.isArray && resp.size() >= 1,
       s"federated instance ${instance.baseUrl} returned no result list: ${resp.toString.take(200)}")
     val rows = resp.get(0).get("rankedResults").elements().asScala
@@ -76,7 +81,7 @@ object Federated {
     val responses = Await.result(
       Future.sequence(instances.map(i => Future(
         mapper.readTree(RestClient.post(s"${i.baseUrl}/search", searchJson,
-          Map("api_key" -> i.apiKey)))))),
+          i.headers))))),
       scala.concurrent.duration.Duration.Inf)
     responses.zip(instances).foreach { case (r, i) =>
       if (!r.isArray)

@@ -81,6 +81,33 @@ class PivotMountSpec extends SparkTestBase {
     assert(scores.sameElements(scores.sorted.reverse))
   }
 
+  test("the reference's committed search_pivot.json replays end-to-end") {
+    val cat = mountPivot()
+    val req = graft.engine.RequestParser.parseSearchRequest(
+      s"$gdelt/standalone/search_pivot.json")
+    // the fixture exercises every metric-query value shape at once: a
+    // keyword array (GloVe transform), an all-digit datetime, a WKT POINT,
+    // and a bare JSON number
+    assert(req.k == 5 && req.specs.size == 4)
+    assert(req.output.extraColumns == Seq("negative_sentiment"))
+    val res = SimSearchEngine.search(spark, cat, req.k, req.specs,
+      algorithm = graft.api.Algorithm.parse(req.algorithm))
+    val rows = res.collect()
+    assert(rows.length == 10, s"5 results x 2 weight combos, got ${rows.length}")
+    val scores = rows.map(_.getDouble(rows.head.fieldIndex("score")))
+    assert(scores.forall(s => s > 0.0 && s <= 1.0))
+    // the datetime query typed as epoch-ms: the timestamp facet must
+    // contribute nonzero similarity to at least the top result
+    val detailed = SimSearchEngine.search(spark, cat, req.k, req.specs,
+      detailed = true, algorithm = graft.api.Algorithm.parse(req.algorithm))
+    val top = detailed.where(col("combo") === 0 && col("rank") === 1).collect().head
+    assert(top.getDouble(top.fieldIndex("s_timestamp")) > 0.0,
+      "epoch-typed datetime query must score against the timestamp facet")
+    val projected = graft.engine.SimSql.projectExtras(cat, res,
+      req.output.extraColumns)
+    assert(projected.columns.contains("negative_sentiment"))
+  }
+
   test("extra columns on a transformed attribute display the raw keywords") {
     val cat = mountPivot()
     val res = SimSearchEngine.search(spark, cat, 3,

@@ -124,6 +124,13 @@ class SimSqlSpec extends SparkTestBase {
     val bad = SimSql.parse("SELECT * WHERE a ~= 'x' AND jsonfilter('nonsense{') LIMIT 3")
     assert(bad.jsonFilter.isEmpty)
 
+    // multiple jsonfilters combine into a VALID JSON array (a bare comma
+    // join of objects would be malformed and rejected by ES)
+    val two = SimSql.parse("""SELECT * WHERE a ~= 'x'
+      AND jsonfilter('{"term": {"p": 1}}') AND jsonfilter('{"term": {"q": 2}}') LIMIT 3""")
+    assert(two.jsonFilter.contains("""[{"term": {"p": 1}}, {"term": {"q": 2}}]"""))
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(two.jsonFilter.get)
+
     // execute: the stub in-situ facet receives the filter; the ingested
     // facet's spec stays clean
     val receivedFilters = scala.collection.mutable.ArrayBuffer[Option[String]]()
