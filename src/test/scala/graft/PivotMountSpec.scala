@@ -151,6 +151,23 @@ class PivotMountSpec extends SparkTestBase {
     }
   }
 
+  test("pivot search plan: TakeOrdered candidates broadcast into the facet scan") {
+    val cat = mountPivot()
+    val plan = SimSearchEngine.search(spark, cat, 5,
+      Seq(SearchSpec("position", Seq(-74.94, 42.15), Seq(1.0))))
+      .queryExecution.executedPlan.toString
+    // candidate generation is a shuffle-free TakeOrdered heap over the
+    // pruned scan; the candidate set broadcasts back into the facet scan
+    // (never a shuffle or cartesian of the corpus) — the only Exchanges
+    // move <= k candidate rows into the pivot aggregate / combo window
+    assert(plan.contains("TakeOrderedAndProject"),
+      "metric top-M must be a TakeOrdered heap:\n" + plan.take(600))
+    assert(plan.contains("BroadcastHashJoin"),
+      "candidates must broadcast into the facet scan:\n" + plan.take(600))
+    assert(!plan.contains("SortMergeJoin"), "the corpus must never key-shuffle")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("timestamp pivot coordinate parses through the datetime chain") {
     val cat = mountPivot()
     val ts = cat.get("timestamp")
