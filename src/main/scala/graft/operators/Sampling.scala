@@ -15,13 +15,16 @@ import org.apache.spark.sql.functions._
   * on which other rows are present).
   *
   * Scale design (100 TB): `sample` is a pure narrow filter (no shuffle, full
-  * codegen, pushes past column pruning). `stratified` shuffles once on the
-  * stratum key — the same shuffle a groupBy on that key would pay — and the
-  * per-stratum window is a streaming rank over the sorted partition, no
-  * buffering beyond the run. Skewed strata (one language = 90 % of the
-  * corpus) stream through a single partition's sort; for that shape, bound
-  * the stratum cardinality first or pre-split hot strata by a salt on the
-  * hash prefix.
+  * codegen, pushes past column pruning). `stratified` is skew-safe: it never
+  * ranks a whole stratum through one task. The global in-stratum hash order
+  * is decomposed by a SALT taken from the md5 prefix — because the salt is an
+  * order-preserving prefix of the very key the rank sorts by, salt buckets
+  * are contiguous runs of the global order, so
+  * `global rank = (rows of the stratum in smaller salt buckets) + local rank`
+  * holds exactly. A 90 %-of-corpus stratum therefore sorts as 256 parallel
+  * (stratum, salt) partitions plus one broadcast of per-bucket base offsets
+  * (the `Packing.packOffsets` prefix-sum pattern); no partition ever holds
+  * more than ~1/256 of the hottest stratum.
   */
 object Sampling {
 
@@ -38,13 +41,37 @@ object Sampling {
   /** Stratified sample: keep floor(frac * |stratum|) rows per stratum,
     * chosen in deterministic hash order (md5 of the id, id as tiebreak).
     * Guarantees exact per-stratum quotas — the proportional mix survives
-    * sampling even when strata are heavily imbalanced. */
+    * sampling even when strata are heavily imbalanced.
+    *
+    * Salted two-level rank (see scale note above): the salt is the first two
+    * hex chars of the md5 sort key, so within a stratum every salt bucket is
+    * a contiguous run of the global (md5, id) order. Local ranks are a window
+    * over (stratum, salt) — 256-way parallel even for one giant stratum —
+    * and the per-bucket base offsets (a |strata|×256-row frame) prefix-sum
+    * on the stratum and broadcast back. Identical kept set to a single
+    * per-stratum `row_number`, without its single-task sort. */
   def stratified(df: DataFrame, stratum: Column, id: Column, frac: Double): DataFrame = {
-    val w = Window.partitionBy(stratum).orderBy(md5(id.cast("string")), id)
-    df.withColumn("__rn", row_number().over(w))
-      .withColumn("__quota", floor(count(lit(1)).over(Window.partitionBy(stratum)) * frac))
-      .where(col("__rn") <= col("__quota"))
-      .drop("__rn", "__quota")
+    val keyed = df.withColumn("__st", stratum)
+      .withColumn("__md5", md5(id.cast("string")))
+      .withColumn("__salt", substring(col("__md5"), 1, 2))
+    val local = keyed.withColumn("__rn", row_number().over(
+      Window.partitionBy(col("__st"), col("__salt")).orderBy(col("__md5"), id)))
+    // per-(stratum, salt) counts: base = rows of the stratum in lexically
+    // smaller salt buckets (fixed-width lowercase hex, so string order ==
+    // numeric order); quota = floor(|stratum| * frac). Both windows run over
+    // the tiny aggregated frame, never the data.
+    val offsets = keyed.groupBy(col("__st"), col("__salt")).agg(count(lit(1)).as("__c"))
+      .withColumn("__base", coalesce(
+        sum("__c").over(Window.partitionBy("__st").orderBy("__salt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__quota", floor(sum("__c").over(Window.partitionBy("__st")) * frac))
+      .select(col("__st").as("__o_st"), col("__salt").as("__o_salt"),
+        col("__base"), col("__quota"))
+    local.join(broadcast(offsets),
+        col("__st") <=> col("__o_st") && col("__salt") <=> col("__o_salt"))
+      .where(col("__base") + col("__rn") <= col("__quota"))
+      .drop("__st", "__md5", "__salt", "__rn",
+        "__o_st", "__o_salt", "__base", "__quota")
   }
 
   /** Source/domain mixing: keep a per-group percentage of rows (hash-keyed,

@@ -74,6 +74,32 @@ class PipelineOpsSpec extends SparkTestBase {
       Sampling.stratified(df, col("g"), col("id"), 0.25).as[(Long, String)].collect().toSet)
   }
 
+  test("stratified sample survives a 90%-skewed stratum: exact quotas, " +
+    "same kept set as a naive per-stratum rank, no single-task sort") {
+    import org.apache.spark.sql.expressions.Window
+    // one stratum holds 90% of the corpus — the shape that melts a
+    // per-stratum-only window at 100 TB
+    val df = spark.range(0, 2000)
+      .select(col("id"), when(col("id") < 1800, "hot").otherwise("cold").as("g"))
+    val kept = Sampling.stratified(df, col("g"), col("id"), 0.3)
+    val byG = kept.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(byG == Map("hot" -> 540L, "cold" -> 60L))
+    // bit-identical to the naive single-window definition
+    val naive = df
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("g").orderBy(md5(col("id").cast("string")), col("id"))))
+      .withColumn("__q", floor(count(lit(1)).over(Window.partitionBy("g")) * 0.3))
+      .where(col("__rn") <= col("__q")).select("id", "g")
+    assert(kept.as[(Long, String)].collect().toSet ==
+      naive.as[(Long, String)].collect().toSet)
+    // and the plan never sorts the hot stratum through one task: every
+    // window over the data carries the salt in its partition spec
+    val plan = kept.queryExecution.executedPlan.toString
+    assert("row_number\\(\\) windowspecdefinition\\(__st#\\d+, __salt#\\d+".r
+      .findFirstIn(plan).isDefined, s"rank must be salted:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"))
+  }
+
   test("mix applies per-group rates with a default") {
     val df = spark.range(0, 600)
       .select(col("id"), concat(lit("s"), (col("id") % 3)).as("src"))

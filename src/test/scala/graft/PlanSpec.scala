@@ -108,12 +108,18 @@ class PlanSpec extends SparkTestBase {
       "scan must prune to the two projected columns")
   }
 
-  test("stratified sample: exactly one shuffle, keyed on the stratum") {
+  test("stratified sample: salted rank — the data window partitions by " +
+    "(stratum, salt), offsets broadcast back, no single-partition stage") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val plan = planOf(graft.operators.Sampling.stratified(
       docs, col("lang"), col("doc_id"), 0.3))
-    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
-      s"one stratum shuffle expected:\n$plan")
+    // the row_number over the data must include the salt in its partition
+    // spec — a per-stratum-only window would serialize a hot stratum
+    assert("row_number\\(\\) windowspecdefinition\\(__st#\\d+, __salt#\\d+".r
+      .findFirstIn(plan).isDefined,
+      s"data rank must partition by (stratum, salt):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      "per-bucket base offsets must broadcast-join back onto the data")
     assert(!plan.contains("Exchange SinglePartition") &&
       !plan.contains("Exchange rangepartitioning"),
       "no global sort/single-partition stage")
