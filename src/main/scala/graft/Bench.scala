@@ -116,7 +116,18 @@ object Bench {
     } catch { case _: Throwable => "" }
     val repFails = repFailures.toSeq.sortBy(_._1)
       .map { case (k, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_last":$qsLast,"reps":$reps,"rep_failures":$repFails,"loadavg":"$loadavg","errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_last":$qsLast,"reps":$reps,"rep_failures":$repFails,"loadavg":"$loadavg","errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // the artifact must survive a truncated/noisy log tail: also write the
+    // line to a file (path overridable; target/ is git-ignored)
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+      if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

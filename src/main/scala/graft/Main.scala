@@ -83,7 +83,7 @@ object Main {
               // S11: the request's output block routes results to a file
               // sink (reference: request/SearchOutput.java file/format)
               req.output.file.foreach { f =>
-                OutputWriter.writeResults(projected, req.output, f)
+                OutputWriter.writeResults(projected, req.output, f, extras)
                 out.println(s"Results written to $f (${req.output.format}).")
               }
             } catch {

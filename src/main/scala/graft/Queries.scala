@@ -634,12 +634,25 @@ object Queries {
           .as("deflate_ratio"))
       .orderBy(col("doc_id"))
 
+  // the zlib fixture lives in the repo; resolve its ABSOLUTE path at
+  // runtime so the oracle SQL works from any checkout location (the
+  // driver's DuckDB process may not share our cwd)
+  private val compressFixture: String = {
+    val rel = java.nio.file.Paths.get("fixtures", "compress_ratio_zlib.parquet")
+    val fromCwd = rel.toAbsolutePath
+    val p = if (java.nio.file.Files.exists(fromCwd)) fromCwd
+      else sys.env.get("GRAFT_REPO_ROOT")
+        .map(r => java.nio.file.Paths.get(r).resolve(rel).toAbsolutePath)
+        .getOrElse(fromCwd)
+    p.toString.replace("'", "''")
+  }
+
   private val compressRatioSql =
-    """SELECT d.doc_id,
+    s"""SELECT d.doc_id,
       |  round(CAST(f.n_deflate AS DOUBLE) / greatest(CAST(f.n_raw AS DOUBLE), 1.0), 6)
       |    AS deflate_ratio
       |FROM documents d
-      |JOIN '/root/repo/fixtures/compress_ratio_zlib.parquet' f
+      |JOIN '$compressFixture' f
       |  ON md5(d.text) = f.text_md5
       |ORDER BY d.doc_id""".stripMargin
 

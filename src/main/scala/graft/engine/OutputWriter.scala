@@ -8,18 +8,45 @@ import org.apache.spark.sql.DataFrame
   */
 object OutputWriter {
 
-  /** S11: JSON file sink (one JSON object per line, Spark-native). */
+  /** S11 (dataset-scale): JSON directory sink (one JSON object per line,
+    * Spark-native part files). For the search-request output block — which
+    * must produce ONE file at the given path, like the reference's
+    * PrintStream — use [[writeResults]]. */
   def writeJson(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").json(path)
 
-  /** S11: CSV sink with the reference's configurable delimiter/quote/header
-    * (request/SearchOutput.java:8-29). */
-  def writeCsv(df: DataFrame, path: String, delimiter: String = ",",
+  /** S11 (dataset-scale): CSV directory sink with the reference's
+    * configurable delimiter/quote/header (request/SearchOutput.java:8-29).
+    * Spark part files; see [[writeResults]] for the single-file
+    * output-block sink. */
+  def writeCsv(df: DataFrame, path: String, delimiter: String = ";",
       quote: String = "\"", header: Boolean = true): Unit =
     df.coalesce(1).write.mode("overwrite")
       .option("sep", delimiter).option("quote", quote)
       .option("header", header.toString)
       .csv(path)
+
+  /** S11: render a (small, already top-k) result frame as one CSV string —
+    * the reference writes results row-by-row to a single file
+    * (OutputWriter.java:115-131), quoting a value only when it collides
+    * with the dialect. Embedded quotes double, per RFC 4180. */
+  def toCsv(df: DataFrame, delimiter: String = ";", quote: String = "\"",
+      header: Boolean = true): String = {
+    def render(v: String): String =
+      if (quote.nonEmpty && (v.contains(delimiter) || v.contains(quote) ||
+          v.contains("\n") || v.contains("\r")))
+        quote + v.replace(quote, quote + quote) + quote
+      else v
+    val cols = df.columns.toSeq
+    val rows = df.collect().map(_.toSeq.map {
+      case null => ""
+      case s: Seq[_] => s.mkString("[", ", ", "]")
+      case v => String.valueOf(v)
+    })
+    val body = rows.map(_.map(render).mkString(delimiter))
+    ((if (header) Seq(cols.map(render).mkString(delimiter)) else Seq.empty) ++ body)
+      .mkString("", "\n", "\n")
+  }
 
   /** S11: tabular console/txt rendering of the first n rows; a truncated
     * listing says so instead of silently dropping rows. */
@@ -36,14 +63,22 @@ object OutputWriter {
 
   /** S11: route a ranked result to the sink declared by a search request's
     * output block (reference: request/SearchOutput.java — json/csv/txt,
-    * CSV dialect options). */
+    * CSV dialect options). Every format writes ONE file at `file` — the
+    * reference opens a PrintStream on the path (OutputWriter.java:58-76),
+    * so "file": "out.json" must yield that file, never a Spark part-file
+    * directory. The json branch writes the same rendered SearchResponse
+    * array the REST endpoint serves. */
   def writeResults(df: DataFrame, out: graft.engine.RequestParser.OutputSpec,
-      file: String): Unit = out.format match {
-    case "csv" => writeCsv(df, file, out.delimiter, out.quote, out.header)
-    case "txt" =>
-      java.nio.file.Files.write(java.nio.file.Paths.get(file),
-        toTabular(df, 100000).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    case _ => writeJson(df, file)
+      file: String, extras: Seq[String] = Seq.empty): Unit = {
+    val content = out.format match {
+      case "csv" => toCsv(df, out.delimiter, out.quote, out.header)
+      case "txt" => toTabular(df, 100000)
+      case _ => toJsonResponse(df, extras)
+    }
+    val p = java.nio.file.Paths.get(file)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p,
+      content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** S12: serialize a (combo, rank, id, score) result into the reference's

@@ -273,7 +273,7 @@ object RequestParser {
     * output file, extra columns to project. */
   final case class OutputSpec(
       format: String = "json",
-      delimiter: String = ",",
+      delimiter: String = ";",
       quote: String = "\"",
       header: Boolean = true,
       file: Option[String] = None,
@@ -304,7 +304,14 @@ object RequestParser {
       def opt(f: String) = Option(o.get(f)).map(_.asText()).filter(_.nonEmpty)
       OutputSpec(
         format = opt("format").getOrElse("json").toLowerCase,
-        delimiter = opt("delimiter").getOrElse(","),
+        // reference defaults (Constants.COLUMN_SEPARATOR = ";"); a
+        // present-but-empty delimiter degrades to a single space
+        // (OutputWriter.java:42-47)
+        delimiter = Option(o.get("delimiter")).map(_.asText()) match {
+          case Some("") => " "
+          case Some(d) => d
+          case None => ";"
+        },
         quote = opt("quote").getOrElse("\""),
         header = opt("header").forall(_.toBoolean),
         file = opt("file"),

@@ -143,7 +143,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
       val projected = SimSearchEngine.applyIdPrefix(cat, projected0)
       // S11: the output block's file sink is honored server-side, exactly
       // as the reference's OutputWriter does for service requests
-      req.output.file.foreach(OutputWriter.writeResults(projected, req.output, _))
+      req.output.file.foreach(OutputWriter.writeResults(projected, req.output, _, extras))
       respond(x, 200, OutputWriter.toJsonResponse(projected, extras))
     } catch {
       case e: Exception => respond(x, 400, errorBody(e))

@@ -246,16 +246,29 @@ object CsvMount {
               spec.searchColumns match {
                 case Seq(one) =>
                   // the reference's pivot coordinates are doubles or
-                  // epoch-ms. The kind is decided ONCE at mount from a
-                  // sample value and drives BOTH the ingestion expression
+                  // epoch-ms. The kind is decided ONCE at mount from
+                  // sampled values and drives BOTH the ingestion expression
                   // and the query parser, so data and queries always live
                   // in the same space: GDELT's all-digit yyyyMMddHHmmss
                   // timestamps (castable to double!) become epoch-ms on
-                  // both sides, never the raw 2.0e13 numeral.
-                  val sampleTemporal = raw.select(col(one)).na.drop().limit(1)
-                    .collect().headOption.map(_.getString(0).trim)
-                    .exists(s => parseDatetimeMs(s).isDefined &&
-                      (scala.util.Try(s.toDouble).isFailure || s.matches("\\d{14}")))
+                  // both sides, never the raw 2.0e13 numeral. Several rows
+                  // are sampled and must agree — one dirty first value must
+                  // not silently flip the typing of the whole attribute.
+                  def isTemporal(s: String): Boolean =
+                    parseDatetimeMs(s).isDefined &&
+                      (scala.util.Try(s.toDouble).isFailure || s.matches("\\d{14}"))
+                  val samples = raw.select(col(one)).na.drop().limit(16)
+                    .collect().map(_.getString(0).trim).toSeq
+                  val verdicts = samples.map(isTemporal).distinct
+                  if (verdicts.size > 1) {
+                    val tEx = samples.find(isTemporal).getOrElse("")
+                    val nEx = samples.find(!isTemporal(_)).getOrElse("")
+                    throw new IllegalArgumentException(
+                      s"pivot attribute $name: mixed coordinate kinds in sample " +
+                        s"(temporal '$tEx' vs numeric '$nEx') — clean the column " +
+                        "or mount the two kinds as separate attributes")
+                  }
+                  val sampleTemporal = verdicts.headOption.getOrElse(false)
                   val parser: Seq[String] => Seq[Double] =
                     if (sampleTemporal) ts => ts.map(t => parseDatetimeMs(t).getOrElse(
                       throw new IllegalArgumentException(s"unparseable datetime $t")))

@@ -26,10 +26,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Federated {
 
   /** `extraHeaders` carries additional auth (e.g. HTTP basic credentials
-    * from a restapi mount declaration) alongside the api_key header. */
+    * from a restapi mount declaration) alongside the api_key header. A
+    * mount declared with only username/password has no api_key — sending
+    * an empty `api_key` header would make the peer 401 the request, so
+    * the header is omitted entirely when the key is blank. */
   final case class Instance(baseUrl: String, apiKey: String,
       extraHeaders: Map[String, String] = Map.empty) {
-    def headers: Map[String, String] = Map("api_key" -> apiKey) ++ extraHeaders
+    def headers: Map[String, String] =
+      (if (apiKey.nonEmpty) Map("api_key" -> apiKey)
+       else Map.empty[String, String]) ++ extraHeaders
   }
 
   /** A remote instance's attribute as a facet for a LOCAL mixed query —

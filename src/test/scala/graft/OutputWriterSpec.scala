@@ -24,6 +24,29 @@ class OutputWriterSpec extends SparkTestBase {
     assert(txt.contains("| combo") && txt.contains("| a"))
   }
 
+  test("S11: output-block sink writes ONE file per format, json = the " +
+    "rendered SearchResponse array, csv = dialect-quoted rows") {
+    import graft.engine.RequestParser.OutputSpec
+    val dir = java.nio.file.Files.createTempDirectory("graft-single").toString
+    // json: the file must hold the same SearchResponse array the REST
+    // endpoint serves — not Spark part files of row-JSON
+    OutputWriter.writeResults(resultDf, OutputSpec(format = "json"), s"$dir/out.json")
+    val jf = new java.io.File(s"$dir/out.json")
+    assert(jf.isFile, "json sink must be a single file")
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(jf)
+    assert(tree.isArray && tree.size() == 2 &&
+      tree.get(0).get("rankedResults").size() == 2)
+    // csv: reference default delimiter is ";" (Constants.COLUMN_SEPARATOR);
+    // values colliding with the dialect get quoted
+    val withSemi = resultDf.withColumn("note",
+      org.apache.spark.sql.functions.lit("a;b"))
+    OutputWriter.writeResults(withSemi, OutputSpec(format = "csv"), s"$dir/out.csv")
+    val lines = scala.io.Source.fromFile(s"$dir/out.csv").getLines().toSeq
+    assert(lines.head == "combo;rank;id;score;note")
+    assert(lines.size == 4 && lines(1).endsWith("\"a;b\""), lines.mkString("|"))
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
   test("S12: SearchResponse JSON shape, one object per weight combination") {
     val json = OutputWriter.toJsonResponse(resultDf)
     val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)

@@ -89,7 +89,7 @@ class SimSearchServiceSpec extends SparkTestBase {
   test("search output block: results routed to a server-side CSV sink (S11)") {
     val svc = new SimSearchService(spark, 0)
     val port = svc.start()
-    val outDir = java.nio.file.Files.createTempDirectory("graft-out").toString + "/res"
+    val outDir = java.nio.file.Files.createTempDirectory("graft-out").toString + "/res.csv"
     try {
       val base = s"http://127.0.0.1:$port/simsearch/api"
       val gdelt = "/root/reference/data/gdelt"
@@ -113,10 +113,12 @@ class SimSearchServiceSpec extends SparkTestBase {
       assert(r0.get("extra_attributes") != null &&
         r0.get("extra_attributes").has("negative_sentiment"), body.take(500))
       assert(r0.get("extra_attributes").get("negative_sentiment").isNumber, body.take(500))
-      // the JSON response is still served AND the CSV sink was written
-      val files = new java.io.File(outDir).listFiles().filter(_.getName.endsWith(".csv"))
-      assert(files.nonEmpty, s"no csv part written under $outDir")
-      val lines = scala.io.Source.fromFile(files.head).getLines().toSeq
+      // the JSON response is still served AND the CSV sink was written as
+      // ONE file at the requested path (reference opens a PrintStream on
+      // it — never a Spark part-file directory)
+      val f = new java.io.File(outDir)
+      assert(f.isFile, s"expected a single csv FILE at $outDir")
+      val lines = scala.io.Source.fromFile(f).getLines().toSeq
       assert(lines.head.split(";").toSeq.containsSlice(Seq("rank", "id", "score")) ||
         lines.head.contains(";"), lines.head)
       assert(lines.size == 5, s"header + 4 ranked rows expected, got ${lines.size}")
