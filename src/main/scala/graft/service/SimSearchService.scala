@@ -11,19 +11,32 @@ import graft.engine.SimSearchEngine.Catalog
 
 /** Minimal REST service exposing the reference's endpoint surface
   * (reference: service/SimSearchController.java:44 — /index, /append,
-  * /catalog, /search, /delete, /assignKey, /revokeKey, /listKeys) on the
-  * JDK's built-in HttpServer; Spring Boot would be an external dependency
-  * this build intentionally avoids. One catalog per api key (multi-tenant
-  * isolation like the reference's api_key -> Coordinator map,
-  * SimSearchController.java:58-80). Key administration endpoints are gated
-  * by `adminKey` when provided (the reference's admin_api_key). The
-  * reference's /_settings (query timeout knob) has no counterpart: the
-  * batch plans compute exact results without a ranking timeout (SURVEY §4).
+  * /catalog, /search, /delete, /unmount, /assignKey, /revokeKey,
+  * /listKeys) on the JDK's built-in HttpServer; Spring Boot would be an
+  * external dependency this build intentionally avoids. One catalog per
+  * api key (multi-tenant isolation like the reference's api_key ->
+  * Coordinator map, SimSearchController.java:58-80). Extra api keys may be
+  * ASSOCIATED with a master key (the reference's extraApiKeys map) —
+  * association grants catalog/search/settings access to the master's data
+  * and dies with the master on /unmount or /revokeKey. Admin-gated key
+  * creation (adminKey = the reference's admin_api_key) coexists with the
+  * reference's master-gated association on the same endpoints. The
+  * reference's query timeout knob is surfaced as `query_timeout: 0` in
+  * /_settings: the batch plans compute exact results without a ranking
+  * timeout (SURVEY §4).
   */
 final class SimSearchService(spark: SparkSession, port: Int,
     adminKey: Option[String] = None) {
 
   private val catalogs = new java.util.concurrent.ConcurrentHashMap[String, Catalog]()
+  /** extra api key -> master api key (reference: extraApiKeys,
+    * SimSearchController getMasterApiKey). */
+  private val extraKeys = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Resolve an api key to the key owning a catalog: itself, or its master
+    * when it is an associated extra key (reference: getMasterApiKey). */
+  private def masterOf(key: String): String =
+    if (catalogs.containsKey(key)) key else Option(extraKeys.get(key)).getOrElse(key)
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
   private def jsonEscape(s: String): String = s.flatMap {
@@ -86,23 +99,74 @@ final class SimSearchService(spark: SparkSession, port: Int,
     } finally java.nio.file.Files.delete(tmp)
   }
 
-  /** POST /assignKey: create a fresh api key with an empty catalog
-    * (reference: SimSearchController.java:219-250; admin-gated). */
+  /** Body of a key-association request: the reference POSTs the extra key
+    * as the (possibly JSON-quoted) request body
+    * (SimSearchController.java:219-221). */
+  private def bodyKey(x: HttpExchange): String = {
+    val raw = new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8).trim
+    if (raw.length >= 2 && raw.head == '"' && raw.last == '"') raw.substring(1, raw.length - 1)
+    else raw
+  }
+
+  /** POST /assignKey. Two modes, matching the reference plus this build's
+    * admin surface: (a) reference-shaped association
+    * (SimSearchController.java:212-242) — a valid master api_key header +
+    * the extra key as the body grants that extra key catalog/search access
+    * to the master's data; (b) admin-gated creation of a fresh key with an
+    * empty catalog (fails CLOSED without a configured adminKey). */
   private def handleAssignKey(x: HttpExchange): Unit = {
+    val master = apiKey(x)
+    if (catalogs.containsKey(master)) {
+      val extra = bodyKey(x)
+      if (extra.isEmpty) { respond(x, 400, """{"error":"missing extra key body"}"""); return }
+      // an extra key may not shadow an existing key or association
+      if (catalogs.containsKey(extra) || extraKeys.putIfAbsent(extra, master) != null) {
+        respond(x, 400, s"""{"notification":"Operation failed. Extra API key is already associated with a client API key."}""")
+      } else respond(x, 200,
+        s"""{"apiKey":"${jsonEscape(extra)}","notification":"Data sources controlled by API key ${jsonEscape(master)} can now be also queried using this API key: ${jsonEscape(extra)}"}""")
+      return
+    }
     if (!isAdmin(x)) { respond(x, 403, """{"error":"admin key required"}"""); return }
     val key = java.util.UUID.randomUUID().toString
     catalogs.put(key, new Catalog(Seq.empty))
     respond(x, 200, s"""{"apiKey":"$key"}""")
   }
 
-  /** POST /revokeKey: drop a key and its catalog
-    * (reference: SimSearchController.java:252-282; admin-gated). */
+  /** POST /revokeKey: reference-shaped (master api_key header + extra key
+    * body, SimSearchController.java:245-276) or admin-gated (target_key
+    * header drops a whole key and its catalog). */
   private def handleRevokeKey(x: HttpExchange): Unit = {
+    val master = apiKey(x)
+    if (catalogs.containsKey(master)) {
+      val extra = bodyKey(x)
+      if (extra.nonEmpty && extraKeys.remove(extra, master))
+        respond(x, 200,
+          s"""{"apiKey":"${jsonEscape(extra)}","notification":"Data sources controlled by API key ${jsonEscape(master)} are no longer available for queries using this API key: ${jsonEscape(extra)}"}""")
+      else respond(x, 400,
+        """{"notification":"Operation failed. There is no such extra API key associated with the given client API key."}""")
+      return
+    }
     if (!isAdmin(x)) { respond(x, 403, """{"error":"admin key required"}"""); return }
     val target = Option(x.getRequestHeaders.getFirst("target_key")).getOrElse("")
-    if (catalogs.remove(target) != null)
+    if (catalogs.remove(target) != null) {
+      extraKeys.entrySet().removeIf(e => e.getValue == target)
       respond(x, 200, s"""{"revoked":"${jsonEscape(target)}"}""")
-    else respond(x, 404, """{"error":"unknown target_key"}""")
+    } else respond(x, 404, """{"error":"unknown target_key"}""")
+  }
+
+  /** POST /unmount: destroy the whole instance behind an api_key — its
+    * catalog and every extra key associated with it (reference:
+    * SimSearchController.java:413-446 "the corresponding instance ... can
+    * no longer respond to requests. Any associated API keys have been
+    * deleted."). Subsequent requests with any of those keys 401. */
+  private def handleUnmount(x: HttpExchange): Unit = {
+    val key = apiKey(x)
+    if (catalogs.remove(key) != null) {
+      extraKeys.entrySet().removeIf(e => e.getValue == key)
+      respond(x, 200,
+        s"""{"notification":"SimSearch instance controlled by API key ${jsonEscape(key)} is no longer mounted and cannot support any requests. Any associated API keys have been deleted."}""")
+    } else respond(x, 400,
+      s"""{"notification":"Cannot find any instance of SimSearch associated with API key ${jsonEscape(key)}. Please check your API key."}""")
   }
 
   /** POST /listKeys (reference: SimSearchController.java:284-314; admin-gated). */
@@ -123,7 +187,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
 
   /** POST /search: body = search request (search.json shape). */
   private def handleSearch(x: HttpExchange): Unit = {
-    val cat = catalogs.get(apiKey(x))
+    val cat = catalogs.get(masterOf(apiKey(x)))
     if (cat == null) { respond(x, 401, """{"error":"unknown api_key"}"""); return }
     val tmp = bodyFile(x)
     try {
@@ -159,7 +223,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
     * batch plans compute exact results without a ranking timeout (SURVEY
     * §4), so the reference's timeout knob has nothing to configure here. */
   private def handleSettings(x: HttpExchange): Unit = {
-    val cat = catalogs.get(apiKey(x))
+    val cat = catalogs.get(masterOf(apiKey(x)))
     if (cat == null) { respond(x, 401, """{"error":"unknown api_key"}"""); return }
     val window = graft.api.Limits.KMax * graft.api.Limits.InflationFactor
     respond(x, 200,
@@ -176,7 +240,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
     * request/CatalogRequest.java — a federated peer probes a specific
     * attribute this way). */
   private def handleCatalog(x: HttpExchange): Unit = {
-    val cat = catalogs.get(apiKey(x))
+    val cat = catalogs.get(masterOf(apiKey(x)))
     if (cat == null) { respond(x, 401, """{"error":"unknown api_key"}"""); return }
     val body = new String(x.getRequestBody.readAllBytes(),
       StandardCharsets.UTF_8).trim
@@ -196,10 +260,48 @@ final class SimSearchService(spark: SparkSession, port: Int,
     respond(x, 200, items.mkString("[", ",", "]"))
   }
 
-  /** DELETE /delete?column=name: unmount one attribute (A9). */
+  /** POST /delete with the reference's JSON body
+    * `{"remove": [{"column": …, "operation": …}, …]}`
+    * (request/RemoveRequest.java:10-14, controller :495-538) — the shape
+    * the reference's python demo clients POST. A missing attribute aborts
+    * with 400 after removing the ones before it, mirroring the reference's
+    * immediate NullPointerException path. `DELETE /delete?column=name`
+    * stays as a convenience (A9). */
   private def handleDelete(x: HttpExchange): Unit = {
     val cat = catalogs.get(apiKey(x))
     if (cat == null) { respond(x, 401, """{"error":"unknown api_key"}"""); return }
+    val body = new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8).trim
+    if (body.nonEmpty) {
+      try {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+        val items = Option(root.get("remove")).filter(_.isArray).getOrElse(
+          throw new IllegalArgumentException("""body must be {"remove": [...]}"""))
+        import scala.jdk.CollectionConverters._
+        // AttributeInfo.column is a string or an array (multi-column
+        // attributes render as "[lon, lat]", AttributeInfo.getColumn)
+        val cols = items.elements().asScala.map { it =>
+          val c = it.get("column")
+          if (c == null) throw new IllegalArgumentException("missing column")
+          else if (c.isArray) {
+            val parts = c.elements().asScala.map(_.asText()).toSeq
+            if (parts.size == 1) parts.head else parts.mkString("[", ", ", "]")
+          } else c.asText()
+        }.toSeq
+        // removal is in-order; the first missing attribute aborts with 400
+        // (attributes before it stay removed, like the reference)
+        cols.find(c => !cat.remove(c)) match {
+          case Some(missing) => respond(x, 400,
+            s"""{"notification":"No dataset with attribute ${jsonEscape(missing)} is available for search. Make sure that the JSON file provides suitable specifications."}""")
+          case None =>
+            val notes = cols.map(c => s"Removed support for attribute ${jsonEscape(c)}.")
+            respond(x, 200,
+              s"""{"notification":"${notes.mkString(" ")} Any maintained indices have been purged."}""")
+        }
+      } catch {
+        case e: Exception => respond(x, 400, errorBody(e))
+      }
+      return
+    }
     val q = Option(x.getRequestURI.getQuery).getOrElse("")
     val col = q.split("&").map(_.split("=", 2)).collectFirst {
       case Array("column", v) =>
@@ -221,6 +323,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
     server.createContext("/simsearch/api/catalog", handleCatalog _)
     server.createContext("/simsearch/api/_settings", handleSettings _)
     server.createContext("/simsearch/api/delete", handleDelete _)
+    server.createContext("/simsearch/api/unmount", handleUnmount _)
     server.createContext("/simsearch/api/assignKey", handleAssignKey _)
     server.createContext("/simsearch/api/revokeKey", handleRevokeKey _)
     server.createContext("/simsearch/api/listKeys", handleListKeys _)

@@ -129,6 +129,62 @@ class SimSearchServiceSpec extends SparkTestBase {
     }
   }
 
+  test("full lifecycle: mount -> search -> unmount -> 401; /unmount also " +
+    "deletes associated extra keys; /delete takes the reference's " +
+    "RemoveRequest JSON body") {
+    val svc = new SimSearchService(spark, 0)
+    val port = svc.start()
+    try {
+      val base = s"http://127.0.0.1:$port/simsearch/api"
+      val gdelt = "/root/reference/data/gdelt"
+      val sources = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$gdelt/standalone/sources.json")), StandardCharsets.UTF_8)
+        .replace("./data/gdelt/", gdelt)
+      val (_, b1) = http("POST", s"$base/index", Some(sources))
+      val key = new ObjectMapper().readTree(b1).get("apiKey").asText()
+
+      // reference-shaped key association: master api_key header + the
+      // extra key as the request body (SimSearchController.java:212-242)
+      val (cA, bA) = http("POST", s"$base/assignKey", Some("\"friend-key\""),
+        Map("api_key" -> key))
+      assert(cA == 200, bA)
+      // the extra key may catalog and search the master's data
+      val (cC, bC) = http("GET", s"$base/catalog", None, Map("api_key" -> "friend-key"))
+      assert(cC == 200 && new ObjectMapper().readTree(bC).size() == 5, bC)
+
+      // reference-shaped /delete: {"remove":[AttributeInfo...]} — the body
+      // the python demo clients POST (request/RemoveRequest.java)
+      val remove =
+        """{"remove": [{"column": "negative_sentiment", "operation": "numerical_topk"}]}"""
+      val (cD, bD) = http("POST", s"$base/delete", Some(remove), Map("api_key" -> key))
+      assert(cD == 200 && bD.contains("Removed support for attribute negative_sentiment"), bD)
+      val (_, bC2) = http("GET", s"$base/catalog", None, Map("api_key" -> key))
+      assert(new ObjectMapper().readTree(bC2).size() == 4)
+      // an unknown attribute in the body aborts with 400
+      val (cD2, _) = http("POST", s"$base/delete",
+        Some("""{"remove": [{"column": "nope", "operation": "numerical_topk"}]}"""),
+        Map("api_key" -> key))
+      assert(cD2 == 400)
+
+      // a search still works before teardown
+      val search =
+        """{"k": "3", "queries": [{"column": "positive_sentiment",
+          |  "value": "max", "weights": ["1.0"]}]}""".stripMargin
+      val (cS, bS) = http("POST", s"$base/search", Some(search), Map("api_key" -> key))
+      assert(cS == 200, bS)
+
+      // /unmount destroys the instance AND its associated keys
+      val (cU, bU) = http("POST", s"$base/unmount", None, Map("api_key" -> key))
+      assert(cU == 200 && bU.contains("no longer mounted"), bU)
+      val (cS2, _) = http("POST", s"$base/search", Some(search), Map("api_key" -> key))
+      val (cS3, _) = http("GET", s"$base/catalog", None, Map("api_key" -> "friend-key"))
+      assert(cS2 == 401 && cS3 == 401, "both master and extra key must die")
+      // unmounting again: the reference's "cannot find any instance" path
+      val (cU2, _) = http("POST", s"$base/unmount", None, Map("api_key" -> key))
+      assert(cU2 == 400)
+    } finally svc.stop()
+  }
+
   test("key admin endpoints fail CLOSED when no admin key is configured") {
     val svc = new SimSearchService(spark, 0) // no adminKey
     val port = svc.start()
