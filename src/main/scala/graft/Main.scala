@@ -106,6 +106,17 @@ object Main {
                 // k <= 50 per combo; 1000 covers every legal combo count
                 try out.println(OutputWriter.toTabular(SimSql.run(spark, catalog, q), 1000))
                 catch { case e: Exception => out.println(s"Query failed: ${e.getMessage}") }
+              case Some(q) if q.toLowerCase.startsWith("set") =>
+                // reference console parity (Runner.java:160-167):
+                // `SET query_timeout <ms>;` is recorded and acknowledged.
+                // Results remain exact — there is no ranking loop to cut
+                // short (see api.InstanceSettings).
+                val tokens = q.stripSuffix(";").trim.toLowerCase.split("\\s+")
+                if (tokens.length == 3 && tokens(1) == "query_timeout" &&
+                    scala.util.Try(tokens(2).toLong).isSuccess) {
+                  graft.api.InstanceSettings.queryTimeoutMs = tokens(2).toLong
+                  out.println(s"Query timeout set to ${tokens(2).toLong} ms.")
+                } else out.println("Unknown setting. Supported: SET query_timeout <ms>;")
               case Some(_) =>
                 out.println("SQL terminal accepts SELECT statements only.")
             }

@@ -96,3 +96,13 @@ object Limits {
   /** Per-facet candidate inflation: M = k * this (reference: Constants.java:44). */
   val InflationFactor = 1000
 }
+
+/** Mutable per-instance settings (reference: InstanceSettings.java). Only
+  * `query_timeout` exists so far (reference: Constants.java:51
+  * RANKING_MAX_TIME): the SQL terminal's `SET query_timeout <ms>;` records
+  * it and /_settings serves it back, but the batch plans stay EXACT — this
+  * engine has no ranking loop to cut short, so the knob is acknowledged
+  * console-parity state, never an approximation trigger (SURVEY §4). */
+object InstanceSettings {
+  @volatile var queryTimeoutMs: Long = 0L
+}

@@ -219,9 +219,10 @@ final class SimSearchService(spark: SparkSession, port: Int,
     * ES settings response so REST connectors can probe it). The
     * `isSimSearchInstance` marker is what a remote mounter keys on to route
     * this instance through the federated client (the reference probes the
-    * same flag, HttpRestConnector.java:433). `query_timeout` is 0: the
-    * batch plans compute exact results without a ranking timeout (SURVEY
-    * §4), so the reference's timeout knob has nothing to configure here. */
+    * same flag, HttpRestConnector.java:433). `query_timeout` serves the
+    * recorded InstanceSettings value (settable from the SQL terminal's
+    * `SET query_timeout`); the batch plans still compute exact results —
+    * there is no ranking loop for the timeout to cut short (SURVEY §4). */
   private def handleSettings(x: HttpExchange): Unit = {
     val cat = catalogs.get(masterOf(apiKey(x)))
     if (cat == null) { respond(x, 401, """{"error":"unknown api_key"}"""); return }
@@ -229,7 +230,8 @@ final class SimSearchService(spark: SparkSession, port: Int,
     respond(x, 200,
       s"""{"SimSearch":{"settings":{"index":{""" +
         s""""provided_name":"SimSearch","max_result_window":"$window",""" +
-        s""""creation_date":"$creationDate","query_timeout":0,""" +
+        s""""creation_date":"$creationDate",""" +
+        s""""query_timeout":${graft.api.InstanceSettings.queryTimeoutMs},""" +
         s""""isSimSearchInstance":true}}}}""")
   }
 

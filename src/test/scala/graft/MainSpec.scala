@@ -23,6 +23,8 @@ class MainSpec extends SparkTestBase {
       "5",                                  // SQL terminal
       "\\d",
       "SELECT * WHERE persons ~= 'joe biden, donald trump' LIMIT 3",
+      "SET query_timeout 20000;",           // reference console parity
+      "SET nonsense 1;",
       "not-sql",
       "\\q",
       "2", "persons",                       // delete
@@ -45,6 +47,11 @@ class MainSpec extends SparkTestBase {
     assert(out.contains("SQL > "))
     assert(out.contains("| score"), out)
     assert(out.contains("SQL terminal accepts SELECT statements only."))
+    // SET query_timeout: the reference's acknowledgement (Runner.java:166),
+    // recorded into InstanceSettings, results stay exact
+    assert(out.contains("Query timeout set to 20000 ms."))
+    assert(out.contains("Unknown setting"))
+    assert(graft.api.InstanceSettings.queryTimeoutMs == 20000L)
     assert(out.contains("SQL terminal closed."))
     assert(out.contains("Removed persons."))
     assert(out.contains("Attribute persons is not mounted."))
