@@ -895,6 +895,53 @@ object Queries {
        |FROM e, q WHERE sig = qsig AND vec_id <> 0
        |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
 
+  // -- multi-probe LSH over the production seeded-random-hyperplane
+  //    signature (AnnSearch.signatureRandom): each row's 8-bit bucket is one
+  //    codegen'd projection; the query probes its own bucket plus the 3
+  //    lowest-|dot| bit-flip perturbations. The oracle reproduces the
+  //    ENTIRE path in SQL — identical hyperplane double literals (inlined
+  //    from AnnSearch.planes), the same left-to-right dot accumulation
+  //    (list_reduce), the same (score, mask) probe ranking — so the
+  //    production bucket key itself is value-level verified, not just the
+  //    axis-aligned signature8 stand-in.
+  private val annLshMp: (SparkSession, String) => DataFrame = (s, dir) => {
+    val qv = queryVec(s, dir)
+    val e = spread(t(s, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .where(col("vec_id") =!= 0)
+    AnnSearch.lshTopK(e, "vec_id", col("v"), 64, qv,
+      5, nBits = 8, seed = 42L, probes = 4)
+  }
+
+  private val annLshMpSql = {
+    val hs = AnnSearch.planes(64, 8, 42L)
+      .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |h(hs) AS (SELECT $hs::DOUBLE[][]),
+       |qd AS (SELECT [list_reduce([qv[i] * hs[j][i] for i in range(1, 65)],
+       |               (a, b) -> a + b) for j in range(1, 9)] AS dots FROM q, h),
+       |b AS (SELECT list_sum([CASE WHEN dots[j] >= 0 THEN (1::BIGINT << (j-1))
+       |               ELSE 0::BIGINT END for j in range(1, 9)])::BIGINT AS base,
+       |             dots FROM qd),
+       |mk AS (SELECT m::BIGINT AS m,
+       |              list_sum([CASE WHEN ((m >> (j-1)) & 1) = 1 THEN abs(dots[j])
+       |                ELSE 0.0 END for j in range(1, 9)]) AS score
+       |       FROM range(1, 256) t(m), b),
+       |pr AS (SELECT base AS sig FROM b
+       |       UNION ALL
+       |       SELECT xor(base, m) FROM b,
+       |         (SELECT m FROM mk ORDER BY score, m LIMIT 3)),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0),
+       |es AS (SELECT vec_id, v,
+       |         list_sum([CASE WHEN list_reduce([v[i] * hs[j][i] for i in range(1, 65)],
+       |             (a, b) -> a + b) >= 0 THEN (1::BIGINT << (j-1))
+       |           ELSE 0::BIGINT END for j in range(1, 9)])::BIGINT AS sig
+       |       FROM e, h)
+       |SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS cos
+       |FROM es, q WHERE sig IN (SELECT sig FROM pr)
+       |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
+  }
+
   // -- IVF ANN: nearest-centroid assignment, 2-probe, exact cosine re-rank.
   //    Centroids are fixed exactly-representable literals (k-means would
   //    produce them in a real pipeline; any fixed list exercises the same
@@ -1399,6 +1446,7 @@ object Queries {
     "q_token_count"   -> tokenCount,
     "q_ann_cosine"    -> annCosine,
     "q_ann_lsh"       -> annLsh,
+    "q_ann_lsh_mp"    -> annLshMp,
     "q_ann_ivf"       -> annIvf,
     "q_skew_join"     -> skewJoinQ,
     "q_pipeline"      -> pipelineQ,
@@ -1449,6 +1497,7 @@ object Queries {
     "q_token_count"   -> tokenCountSql,
     "q_ann_cosine"    -> annCosineSql,
     "q_ann_lsh"       -> annLshSql,
+    "q_ann_lsh_mp"    -> annLshMpSql,
     "q_ann_ivf"       -> annIvfSql,
     "q_skew_join"     -> skewJoinSql,
     "q_pipeline"      -> pipelineSql,

@@ -70,6 +70,55 @@ object AnnSearch {
       if (dot >= 0.0) 1L << j else 0L
     }.sum
 
+  /** The literal hyperplane matrix (nBits rows x dim columns) behind
+    * [[signatureRandom]] — exposed so an oracle can inline the IDENTICAL
+    * double literals and reproduce signatures bit-for-bit in another
+    * engine. */
+  def planes(dim: Int, nBits: Int, seed: Long): Seq[Seq[Double]] =
+    (0 until nBits).map(j => (0 until dim).map(i => planeComponent(seed, j, i)))
+
+  /** Multi-probe bucket list: the query's own bucket first, then the
+    * `probes - 1` most promising perturbations — signatures with the bits
+    * flipped whose hyperplane dot products have the smallest magnitude (the
+    * planes the query nearly straddles; a true neighbor on the other side
+    * of such a plane lands in exactly one of these buckets). Perturbation
+    * sets are ranked by the summed |dot| of their flipped bits, the
+    * standard multi-probe score, enumerated exhaustively (2^nBits subsets —
+    * driver-side, nBits <= 16). Deterministic given (q, seed): probing is a
+    * pure function, so the same query always probes the same buckets on any
+    * cluster. */
+  def probeBuckets(q: Seq[Double], nBits: Int, seed: Long, probes: Int): Seq[Long] = {
+    require(nBits <= 16, s"probe enumeration is 2^nBits driver-side; nBits=$nBits")
+    val base = signatureRandom(q, nBits, seed)
+    if (probes <= 1) return Seq(base)
+    val absDot = (0 until nBits).map { j =>
+      math.abs(q.indices.foldLeft(0.0)((acc, i) =>
+        acc + q(i) * planeComponent(seed, j, i)))
+    }
+    val ranked = (1 until (1 << nBits)).map { mask =>
+      val score = (0 until nBits).collect {
+        case b if (mask & (1 << b)) != 0 => absDot(b)
+      }.sum
+      (score, mask)
+    }.sortBy { case (s, m) => (s, m) }.take(probes - 1)
+    base +: ranked.map { case (_, mask) => base ^ mask.toLong }
+  }
+
+  /** LSH top-k over the seeded random-hyperplane signature with multi-probe:
+    * compute each row's bucket in one codegen'd projection, keep only rows
+    * in the query's probe buckets (an `isin` over `probes` literals — a
+    * narrow pushed filter, no shuffle), exact cosine re-rank inside. At
+    * 100 TB the filter prunes ~(1 - probes/2^nBits) of the corpus before
+    * any ranking work; recall rises with `probes` at linear extra cost. */
+  def lshTopK(emb: DataFrame, id: String, vec: Column, dim: Int, q: Seq[Double],
+      k: Int, nBits: Int = 8, seed: Long = 42L, probes: Int = 1): DataFrame = {
+    val sigs = probeBuckets(q, nBits, seed, probes)
+    val inBuckets = emb
+      .withColumn("__sig", signatureRandom(vec, dim, nBits, seed))
+      .where(col("__sig").isin(sigs: _*)).drop("__sig")
+    bruteCosineTopK(inBuckets, id, vec, q, k)
+  }
+
   /** Brute-force cosine top-k (query vector as literal array), cosine rounded
     * to 6 decimals and used as the (deterministic) ranking key. */
   def bruteCosineTopK(emb: DataFrame, id: String, vec: Column,

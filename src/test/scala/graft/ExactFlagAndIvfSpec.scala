@@ -89,6 +89,55 @@ class ExactFlagAndIvfSpec extends SparkTestBase {
     assert(AnnSearch.signatureRandom(q, 8, 7L) == rows.head.getLong(2))
   }
 
+  test("multi-probe LSH: probing low-confidence bit flips recovers the " +
+    "near neighbors a single bucket misses (recall >= 0.9 at probes=4)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.AnnSearch
+    // the sf0.1 corpus plus 10 planted near-neighbors of the query
+    // (deterministic noise, cos ~ 0.995 — the near-dup shape ANN hunts at
+    // scale; the raw synthetic corpus is near-random, so a random query
+    // has no true neighbors to recall, see DebugLshRecall's measurements)
+    val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.where(col("vec_id") === 0).head.getSeq[Double](1)
+    def noise(k: Int, i: Int): Double = {
+      var z = 0x9e3779b97f4a7c15L * (k * 131L + i + 7)
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      ((z ^ (z >>> 31)) >>> 11) * (2.0 / (1L << 53)) - 1.0
+    }
+    val planted = (1 to 10).map { k =>
+      (10000L + k, q.indices.map(i => q(i) + 0.05 * noise(k, i)))
+    }
+    val corpus = e.where(col("vec_id") =!= 0)
+      .union(planted.toDF("vec_id", "v")).cache()
+    try {
+      val truth = AnnSearch.bruteCosineTopK(corpus, "vec_id", col("v"), q, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(truth.forall(_ > 10000L), "planted neighbors must be the true top-10")
+      def recall(probes: Int): Double = {
+        val got = AnnSearch.lshTopK(corpus, "vec_id", col("v"), 64, q,
+            10, nBits = 8, seed = 42L, probes = probes)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        (got & truth).size / 10.0
+      }
+      val r1 = recall(1)
+      val r4 = recall(4)
+      // measured (deterministic): r1 = 0.5, r4 = 1.0 — a single bucket
+      // loses every neighbor that crossed one near-zero-margin hyperplane;
+      // probing the low-|dot| flips recovers them
+      assert(r1 <= 0.7, s"single-probe recall unexpectedly high: $r1")
+      assert(r4 >= 0.9, s"probes=4 recall must reach 0.9, got $r4")
+      assert(r4 > r1)
+      // the probe list itself: query's own bucket first, size = probes,
+      // distinct buckets
+      val buckets = AnnSearch.probeBuckets(q, 8, 42L, 4)
+      assert(buckets.size == 4 && buckets.distinct.size == 4)
+      assert(buckets.head == AnnSearch.signatureRandom(q, 8, 42L))
+    } finally corpus.unpersist()
+  }
+
   test("engine similarity matrix: k x k, symmetric ids, self-similarity 1") {
     val catalog = new Catalog(Seq(
       MountSpec("numerical_topk", "sample.csv", "article_id", Seq("positive_sentiment"))
