@@ -149,11 +149,18 @@ object Dedup {
     * O(log n)-round star-contraction algorithms that pay bigger constants
     * per round; the `maxRounds` guard bounds pathological chain graphs.
     * Each round materializes and caches its label frame and unpersists the
-    * previous one, so the lineage (and any recomputation) stays one round
-    * deep — at 100 TB this is where you would checkpoint instead.
+    * previous one, so RECOMPUTATION stays one round deep — but the logical
+    * plan still nests one join per round, and a high-diameter graph would
+    * grow it without bound (planner time, task-binary size, and a full
+    * lineage replay if an executor loses cached blocks). Every
+    * `checkpointEvery` rounds the label frame is therefore checkpointed —
+    * reliably when `sparkContext.setCheckpointDir` is configured (the
+    * 100 TB setting), else `localCheckpoint` — which cuts the plan back to
+    * a materialized-RDD scan.
     */
   def clusters(pairs: DataFrame, a: String = "a", b: String = "b",
-               maxRounds: Int = 50, localEdgeLimit: Long = 2000000L): DataFrame = {
+               maxRounds: Int = 50, localEdgeLimit: Long = 2000000L,
+               checkpointEvery: Int = 10): DataFrame = {
     // duplicate edges are harmless to a min-aggregation, so no distinct()
     // pass; near-dup pair generators emit unique (a < b) pairs anyway
     val e = pairs.select(col(a).as("x"), col(b).as("y"))
@@ -230,8 +237,17 @@ object Dedup {
           .where(col("nw.c") =!= col("ol.c")).count() == 0
       }
       labels.unpersist()
-      labels = next
       round += 1
+      labels = if (!converged && round % checkpointEvery == 0) {
+        // truncate the lineage so the plan never nests more than
+        // checkpointEvery joins; reliable checkpoint when a dir is set
+        val cp =
+          if (pairs.sparkSession.sparkContext.getCheckpointDir.isDefined)
+            next.checkpoint()
+          else next.localCheckpoint()
+        next.unpersist()
+        cp
+      } else next
     }
     e.unpersist()
     labels

@@ -41,6 +41,38 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(Dedup.clusters(pairs, localEdgeLimit = 0L).count() == 0)
   }
 
+  test("clusters: checkpointing bounds the distributed loop's plan depth " +
+    "on a high-diameter chain; the maxRounds guard terminates") {
+    // a 13-node chain needs 12 propagation rounds — far past
+    // checkpointEvery, so the loop checkpoints twice on the way
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Dedup.clusters(chain, localEdgeLimit = 0L,
+      maxRounds = 20, checkpointEvery = 5)
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got == (0L to 12L).map(_ -> 0L).toMap)
+    // the final plan must be anchored on a checkpointed RDD scan, nesting
+    // at most checkpointEvery joins — NOT one join per round. Count Join
+    // NODES via the tree (a cached relation is a leaf; its printed history
+    // would overcount)
+    def treeJoins(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+      p.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }.size
+    val plan = labels.queryExecution.optimizedPlan
+    assert(treeJoins(plan) <= 5,
+      s"plan still nests ${treeJoins(plan)} joins — lineage not truncated:\n$plan")
+    // and a checkpoint actually happened: the lineage bottoms out in a
+    // materialized RDD scan rather than the original pair frame
+    assert(plan.toString.contains("LogicalRDD") ||
+      plan.toString.contains("ExistingRDD"),
+      s"expected a checkpoint-truncated plan:\n$plan")
+
+    // 60-node chain (diameter 59) with a small maxRounds: the guard must
+    // terminate the loop after maxRounds rounds with every node labeled
+    val long = (0L until 59L).map(i => (i, i + 1)).toDF("a", "b")
+    val guarded = Dedup.clusters(long, localEdgeLimit = 0L,
+      maxRounds = 6, checkpointEvery = 5)
+    assert(guarded.count() == 60)
+  }
+
   test("clusters: non-integral ids take the distributed path and agree") {
     val pairs = Seq(("d1", "d2"), ("d2", "d3"), ("x9", "x8")).toDF("a", "b")
     val got = Dedup.clusters(pairs).as[(String, String)].collect().toMap
