@@ -9,19 +9,20 @@ import org.apache.spark.sql.DataFrame
 object OutputWriter {
 
   /** S11 (dataset-scale): JSON directory sink (one JSON object per line,
-    * Spark-native part files). For the search-request output block — which
-    * must produce ONE file at the given path, like the reference's
-    * PrintStream — use [[writeResults]]. */
+    * Spark-native part files — parallel writers, no single-task funnel).
+    * For the search-request output block — which must produce ONE file at
+    * the given path, like the reference's PrintStream — use
+    * [[writeResults]]. */
   def writeJson(df: DataFrame, path: String): Unit =
-    df.coalesce(1).write.mode("overwrite").json(path)
+    df.write.mode("overwrite").json(path)
 
   /** S11 (dataset-scale): CSV directory sink with the reference's
     * configurable delimiter/quote/header (request/SearchOutput.java:8-29).
-    * Spark part files; see [[writeResults]] for the single-file
+    * Parallel part files; see [[writeResults]] for the single-file
     * output-block sink. */
   def writeCsv(df: DataFrame, path: String, delimiter: String = ";",
       quote: String = "\"", header: Boolean = true): Unit =
-    df.coalesce(1).write.mode("overwrite")
+    df.write.mode("overwrite")
       .option("sep", delimiter).option("quote", quote)
       .option("header", header.toString)
       .csv(path)

@@ -125,6 +125,19 @@ class PlanSpec extends SparkTestBase {
       "no global sort/single-partition stage")
   }
 
+  test("multi-probe LSH: a narrow isin bucket filter feeding a map-side " +
+    "top-k — no shuffle anywhere") {
+    val plan = planOf(Queries.all("q_ann_lsh_mp")(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be a map-side heap:\n$plan")
+    // the only Exchange is the query helper's round-robin spread of the
+    // tiny test parquet; the LSH probe itself induces no repartitioning
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange SinglePartition") &&
+      !plan.contains("Exchange rangepartitioning"),
+      s"bucket probe + re-rank must not shuffle:\n$plan")
+  }
+
   test("packing: per-bucket windows plus a broadcast of the bucket offsets — " +
     "never a global single-partition window over the data") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
