@@ -143,10 +143,50 @@ object AnnSearch {
     (array_position(array(ds: _*), array_min(array(ds: _*))) - 1).cast("int")
   }
 
+  /** Distributed Lloyd's k-means for the IVF coarse quantizer. Spark-shaped
+    * end to end: initial centroids are the k hash-minimal vectors (md5 of
+    * the id — a deterministic, partitioning-independent sample, the same
+    * trick as [[graft.operators.Sampling]]); each iteration assigns every
+    * vector to its nearest centroid with the codegen'd [[ivfCluster]]
+    * literal projection (no shuffle) and recomputes means with ONE
+    * two-phase aggregate over (cluster, dimension) exploded coordinates —
+    * k·dim partial sums, map-side combined; the driver collects only the
+    * k·dim aggregate rows (like every other calibration read). An empty
+    * cluster keeps its previous centroid.
+    *
+    * Centroid quality only affects probe RECALL, never correctness:
+    * [[ivfTopK]]'s re-rank is exact inside the probed buckets and probing
+    * every bucket equals brute force for ANY centroid list (spec'd). FP
+    * caveat: per-cluster sums accumulate in partition order, so centroids
+    * are deterministic per partitioning, not bit-portable across engines —
+    * acceptable for an index-build step whose output only steers
+    * pruning. */
+  def kmeans(emb: DataFrame, id: String, vec: Column, k: Int,
+      iters: Int = 10): Seq[Seq[Double]] = {
+    var centroids: Seq[Seq[Double]] = emb
+      .select(col(id).cast("string").as("i"), vec.as("v"))
+      .orderBy(md5(col("i")), col("i")).limit(k)
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    for (_ <- 1 to iters) {
+      val sums = emb.select(ivfCluster(vec, centroids).as("c"),
+          posexplode(vec).as(Seq("d", "x")))
+        .groupBy("c", "d").agg(sum("x").as("s"), count(lit(1)).as("n"))
+        .collect().map(r => ((r.getInt(0), r.getInt(1)),
+          (r.getDouble(2), r.getLong(3))))
+        .toMap
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        old.indices.map { d =>
+          sums.get((c, d)).map { case (s, n) => s / n }.getOrElse(old(d))
+        }
+      }
+    }
+    centroids
+  }
+
   /** IVF top-k: assign every vector to its nearest centroid, probe only the
     * query's `nProbe` nearest centroid buckets, exact cosine re-rank inside
-    * the probed buckets. `centroids` would come from k-means in a real
-    * pipeline; any fixed list works for the plan shape. */
+    * the probed buckets. Build `centroids` with [[kmeans]] (or pass any
+    * fixed list — the plan shape and exactness guarantees are identical). */
   def ivfTopK(emb: DataFrame, id: String, vec: Column, centroids: Seq[Seq[Double]],
       q: Seq[Double], k: Int, nProbe: Int): DataFrame = {
     def l2(a: Seq[Double], b: Seq[Double]): Double =

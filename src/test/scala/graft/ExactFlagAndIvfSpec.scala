@@ -138,6 +138,54 @@ class ExactFlagAndIvfSpec extends SparkTestBase {
     } finally corpus.unpersist()
   }
 
+  test("k-means coarse quantizer: recovers separable clusters; IVF with " +
+    "learned centroids probes exactly; empty clusters keep their centroid") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.AnnSearch
+    // three well-separated 4-d blobs, 30 points each, deterministic offsets
+    def blob(center: Seq[Double], base: Long): Seq[(Long, Seq[Double])] =
+      (0 until 30).map { i =>
+        (base + i, center.zipWithIndex.map { case (c, d) =>
+          c + 0.01 * (((i * 7 + d * 13) % 10) - 5) })
+      }
+    val pts = blob(Seq(10.0, 0.0, 0.0, 0.0), 0L) ++
+      blob(Seq(0.0, 10.0, 0.0, 0.0), 100L) ++
+      blob(Seq(0.0, 0.0, 10.0, 0.0), 200L)
+    val df = pts.toDF("vid", "v")
+    val cs = AnnSearch.kmeans(df, "vid", col("v"), k = 3, iters = 5)
+    assert(cs.size == 3)
+    // every learned centroid sits inside one blob (within 1.0 of a true
+    // center), and the three blobs are each claimed by exactly one centroid
+    val centers = Seq(Seq(10.0, 0.0, 0.0, 0.0), Seq(0.0, 10.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 10.0, 0.0))
+    def l2(a: Seq[Double], b: Seq[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val claimed = cs.map(c => centers.indices.minBy(i => l2(c, centers(i))))
+    assert(claimed.toSet == Set(0, 1, 2), s"each blob claimed once: $claimed")
+    assert(cs.zip(claimed).forall { case (c, i) => l2(c, centers(i)) < 1.0 })
+    // assignment purity: all 30 points of a blob land in the same cluster
+    val purity = df.select(col("vid"),
+        AnnSearch.ivfCluster(col("v"), cs).as("c"))
+      .groupBy(expr("vid div 100"), col("c")).count()
+      .select("count").as[Long].collect()
+    assert(purity.length == 3 && purity.forall(_ == 30L))
+    // IVF with the learned centroids, single probe, == brute force on the
+    // query's own blob (exactness is probe-local and centroid-agnostic)
+    val q = Seq(10.0, 0.1, -0.1, 0.0)
+    val ivf = AnnSearch.ivfTopK(df, "vid", col("v"), cs, q, 5, 1)
+      .select("vid").as[Long].collect().toSeq
+    val brute = AnnSearch.bruteCosineTopK(df.where(col("vid") < 100),
+        "vid", col("v"), q, 5)
+      .select("vid").as[Long].collect().toSeq
+    assert(ivf == brute)
+    // k > distinct points: extra clusters stay on their init centroid
+    // without NaNs
+    val tiny = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))).toDF("vid", "v")
+    val cs2 = AnnSearch.kmeans(tiny, "vid", col("v"), k = 2, iters = 3)
+    assert(cs2.forall(_.forall(x => !x.isNaN)))
+  }
+
   test("engine similarity matrix: k x k, symmetric ids, self-similarity 1") {
     val catalog = new Catalog(Seq(
       MountSpec("numerical_topk", "sample.csv", "article_id", Seq("positive_sentiment"))
