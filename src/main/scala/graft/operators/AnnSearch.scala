@@ -159,16 +159,24 @@ object AnnSearch {
     * every bucket equals brute force for ANY centroid list (spec'd). FP
     * caveat: per-cluster sums accumulate in partition order, so centroids
     * are deterministic per partitioning, not bit-portable across engines —
-    * acceptable for an index-build step whose output only steers
-    * pruning. */
+    * acceptable for an index-build step whose output only steers pruning.
+    *
+    * At 100 TB, train on a sample: `trainPct < 100` applies the
+    * deterministic hash sampler ([[graft.operators.Sampling.sample]] — a
+    * narrow pushed filter) before the iteration loop, so `iters` scans run
+    * over trainPct% of the corpus; quantizers converge on samples long
+    * before full passes pay off, and the final ASSIGNMENT of all vectors
+    * (inside [[ivfTopK]]) always sees the full corpus. */
   def kmeans(emb: DataFrame, id: String, vec: Column, k: Int,
-      iters: Int = 10): Seq[Seq[Double]] = {
-    var centroids: Seq[Seq[Double]] = emb
+      iters: Int = 10, trainPct: Int = 100): Seq[Seq[Double]] = {
+    val train = if (trainPct >= 100) emb
+      else Sampling.sample(emb, col(id), trainPct)
+    var centroids: Seq[Seq[Double]] = train
       .select(col(id).cast("string").as("i"), vec.as("v"))
       .orderBy(md5(col("i")), col("i")).limit(k)
       .collect().map(_.getSeq[Double](1).toSeq).toSeq
     for (_ <- 1 to iters) {
-      val sums = emb.select(ivfCluster(vec, centroids).as("c"),
+      val sums = train.select(ivfCluster(vec, centroids).as("c"),
           posexplode(vec).as(Seq("d", "x")))
         .groupBy("c", "d").agg(sum("x").as("s"), count(lit(1)).as("n"))
         .collect().map(r => ((r.getInt(0), r.getInt(1)),

@@ -184,6 +184,13 @@ class ExactFlagAndIvfSpec extends SparkTestBase {
     val tiny = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))).toDF("vid", "v")
     val cs2 = AnnSearch.kmeans(tiny, "vid", col("v"), k = 2, iters = 3)
     assert(cs2.forall(_.forall(x => !x.isNaN)))
+    // sampled training (the 100 TB shape): a 50% hash sample still
+    // recovers the three separable blobs
+    val cs3 = AnnSearch.kmeans(df, "vid", col("v"), k = 3, iters = 5,
+      trainPct = 50)
+    val claimed3 = cs3.map(c => centers.indices.minBy(i => l2(c, centers(i))))
+    assert(claimed3.toSet == Set(0, 1, 2) &&
+      cs3.zip(claimed3).forall { case (c, i) => l2(c, centers(i)) < 1.0 })
   }
 
   test("engine similarity matrix: k x k, symmetric ids, self-similarity 1") {
