@@ -130,6 +130,14 @@ class PipelineOpsSpec extends SparkTestBase {
     assert("row_number\\(\\) windowspecdefinition\\(__st#\\d+, __salt#\\d+".r
       .findFirstIn(plan).isDefined, s"rank must be salted:\n$plan")
     assert(!plan.contains("Exchange SinglePartition"))
+
+    // a NULL stratum is a stratum too (the offsets join is null-safe):
+    // 100 null-stratum rows at frac 0.3 keep exactly 30
+    val withNull = spark.range(0, 200)
+      .select(col("id"), when(col("id") < 100, "g").otherwise(lit(null)).as("g"))
+    val keptNull = Sampling.stratified(withNull, col("g"), col("id"), 0.3)
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(keptNull == Map("g" -> 30L, (null: String) -> 30L), keptNull.toString)
   }
 
   test("mix applies per-group rates with a default") {
