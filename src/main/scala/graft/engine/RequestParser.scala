@@ -166,8 +166,17 @@ object RequestParser {
       : (Seq[graft.api.Facet], Seq[SimSearchEngine.InSituFacet]) = {
     val req = parseMountRequest(path)
     (mountIngested(spark, req, priorDicts ++ mountDicts(spark, req)),
-      req.rest.map(mountRest(spark, _)))
+      req.rest.map(mountRest(spark, _)) ++ mountJdbcInSitu(spark, req))
   }
+
+  /** JDBC datasets whose per-query top-M can ship to the database (S7
+    * pushdown, Q6): not ingested and SQL-expressible. Everything else (S8
+    * ingest, categorical/textual Jaccard) keeps the Spark-side kernel
+    * path via [[mountIngested]]. */
+  private def mountJdbcInSitu(spark: org.apache.spark.sql.SparkSession,
+      req: MountRequest): Seq[SimSearchEngine.InSituFacet] =
+    req.jdbc.filter(j => !j.ingest && graft.sources.JdbcMount.supportsPushdown(j))
+      .map(graft.sources.JdbcMount.mountInSitu(spark, _))
 
   /** Pass 1: vector dictionaries (S5). They are vocabularies, not
     * queryable attributes — later entries reference them via transform_by
@@ -188,7 +197,9 @@ object RequestParser {
     req.csv.filter(_._2.operation != "vector_dictionary")
       .map { case (source, spec) =>
         graft.sources.CsvMount.mount(spark, req.dirs(source), spec, dicts)
-      } ++ req.jdbc.map(graft.sources.JdbcMount.mount(spark, _))
+      } ++ req.jdbc
+        .filterNot(j => !j.ingest && graft.sources.JdbcMount.supportsPushdown(j))
+        .map(graft.sources.JdbcMount.mount(spark, _))
 
   /** Parse AND mount a whole request INTO `catalog`: facets, in-situ REST
     * facets, and vector dictionaries — which PERSIST on the catalog, so a
@@ -201,7 +212,7 @@ object RequestParser {
     val req = parseMountRequest(path)
     catalog.addDicts(mountDicts(spark, req))
     val ingested = mountIngested(spark, req, catalog.dicts)
-    val inSitu = req.rest.map(mountRest(spark, _))
+    val inSitu = req.rest.map(mountRest(spark, _)) ++ mountJdbcInSitu(spark, req)
     ingested.foreach(catalog.add)
     inSitu.foreach(catalog.add)
     ingested.size + inSitu.size
@@ -307,7 +318,9 @@ object RequestParser {
         // reference defaults (Constants.COLUMN_SEPARATOR = ";"); a
         // present-but-empty delimiter degrades to a single space
         // (OutputWriter.java:42-47)
-        delimiter = Option(o.get("delimiter")).map(_.asText()) match {
+        // an explicit JSON null falls through to the default, like an
+        // absent field (NullNode.asText() would read as the literal "null")
+        delimiter = Option(o.get("delimiter")).filter(!_.isNull).map(_.asText()) match {
           case Some("") => " "
           case Some(d) => d
           case None => ";"

@@ -48,6 +48,9 @@ object SimSearchEngine {
     * ((id, value) frames) and in-situ REST attributes. */
   final class Catalog(initial: Seq[Facet],
       initialInSitu: Seq[InSituFacet] = Seq.empty) {
+    /** Per-instance settings — one per catalog, like the reference's
+      * per-api_key Coordinator (InstanceSettings.java). */
+    val settings = new graft.api.InstanceSettings
     private var facets: Map[String, Facet] = initial.map(f => f.spec.name -> f).toMap
     private var inSitu: Map[String, InSituFacet] =
       initialInSitu.map(f => f.name -> f).toMap
@@ -293,25 +296,38 @@ object SimSearchEngine {
     val nCombos = math.max(1, specs.map(_.weights.size).max)
     val m = if (specs.size > 1) InflationFactor * k else k
     val eligible = residualFilter.map(eligibleIds(catalog, _))
-    // In-situ (REST) attributes contribute their pre-scored ranked list and
-    // skip the distance-stream/scale-calibration machinery entirely — their
-    // scores arrive already decayed/normalized into (0, 1] (S9/S10).
+    // In-situ attributes come in two shapes (S7/S9/S10):
+    //  - preScored (ES / federated REST): the remote returns a ranked
+    //    SIMILARITY list — skip the distance/scale machinery entirely (NRA).
+    //  - distance-based (JDBC pushdown): the remote evaluates
+    //    `ORDER BY distance LIMIT m` and returns a bounded (id, d) list;
+    //    the engine calibrates scale / decays it exactly like an ingested
+    //    facet. The list is cached so the scale calibration, weight
+    //    estimation and exact-scoring phases share ONE remote fetch (cache
+    //    lifetime: <= m rows, MEMORY_AND_DISK, shed by LRU — same story as
+    //    RankAggregate's topM caches).
     val inSituByIdx: Map[Int, InSituFacet] = specs.zipWithIndex
       .flatMap { case (s, i) => catalog.getInSitu(s.column).map(i -> _) }.toMap
+    val inSituBuilt: Map[Int, graft.operators.BoundFacet] =
+      inSituByIdx.map { case (i, is) => i -> is.build(specs(i), m) }
     val dists: Seq[Option[DataFrame]] = specs.zipWithIndex.map { case (s, i) =>
-      if (inSituByIdx.contains(i)) None
-      else {
-        val f = catalog.get(s.column)
-        require(f.spec.queryable, s"attribute ${s.column} is not queryable") // P6
-        val dist0 = distStream(f, s)
-        Some(eligible.map(e => dist0.join(e, Seq("id"), "left_semi")).getOrElse(dist0))
+      inSituBuilt.get(i) match {
+        case Some(bf) if !bf.preScored =>
+          Some(eligible.map(e => bf.dist.join(e, Seq("id"), "left_semi"))
+            .getOrElse(bf.dist).cache())
+        case Some(_) => None
+        case None =>
+          val f = catalog.get(s.column)
+          require(f.spec.queryable, s"attribute ${s.column} is not queryable") // P6
+          val dist0 = distStream(f, s)
+          Some(eligible.map(e => dist0.join(e, Seq("id"), "left_semi")).getOrElse(dist0))
       }
     }
     // Calibrate every uncalibrated facet's k-th candidate distance in ONE
     // tagged Spark job (union only (f, d) so id types never conflict) —
     // sequential per-facet collects would pay |facets| job overheads.
     val needScale = specs.zipWithIndex.filter { case (s, i) =>
-      s.scale.isEmpty && !inSituByIdx.contains(i) }
+      s.scale.isEmpty && dists(i).isDefined }
     val kth: Map[Int, Double] =
       if (needScale.isEmpty) Map.empty
       else needScale.map { case (_, i) =>
@@ -324,15 +340,23 @@ object SimSearchEngine {
       else if (s.weights.nonEmpty) Seq.fill(nCombos)(s.weights.head)
       else Seq.fill(nCombos)(estimateWeight(scored, k)) // R7
     val facets = specs.zipWithIndex.map { case (s, i) =>
-      inSituByIdx.get(i) match {
-        case Some(is) =>
-          val bf0 = is.build(s, m)
+      inSituBuilt.get(i) match {
+        case Some(bf0) if bf0.preScored =>
           val list = eligible
             .map(e => bf0.dist.join(e, Seq("id"), "left_semi")).getOrElse(bf0.dist)
           // the ranked list IS the facet's score distribution — estimate
           // directly over it (<= m rows, no further calibration needed)
           val ws = resolveWeights(s, list.select(col("id"), col("d").as("s")))
           bf0.copy(dist = list, weightPerCombo = ws)
+        case Some(bf0) => // distance-based in-situ (S7 JDBC pushdown)
+          val dist = dists(i).get // the cached bounded remote list
+          val scale = s.scale.getOrElse {
+            val dk = kth.getOrElse(i, 0.0)
+            if (dk <= 0.0) 1.0 else k * dk
+          }
+          val ws = resolveWeights(s,
+            FacetSearch.decayedWithScale(bf0.copy(dist = dist), scale))
+          bf0.copy(dist = dist, weightPerCombo = ws, scale = Some(scale))
         case None =>
           val f = catalog.get(s.column)
           val dist = dists(i).get

@@ -11,17 +11,25 @@ import graft.functions.SimKernels
   * (reference: insitu/JdbcConnector.java:1-224,
   * insitu/SimSearchJdbcQuery.java:119-177, Coordinator.java:588-603).
   *
-  * The reference ships per-dialect SQL templates (PostgreSQL pg_trgm,
-  * PostGIS kNN, jsonb token sets) because it must push the similarity
-  * computation INTO the database; on Spark the facet is a `spark.read.jdbc`
-  * frame and the similarity kernels run in Spark, so one implementation
-  * covers every dialect. What still pushes down to the database: column
-  * pruning (P1), boolean pre-filters (P2/P3) and IS NOT NULL guards (P4) —
-  * Catalyst's JDBC pushdown emits them into the remote WHERE clause.
+  * Two execution paths, chosen by capability:
   *
-  * S7 (in-situ): the returned facet frame stays lazy — every query re-reads
-  * the table. S8 (ingest): pass ingest=true to cache the typed facet after
-  * the first scan, the Spark analogue of pulling the column into memory.
+  *  - **In-situ pushdown (Q6 at scale)** — for operations whose distance is
+  *    expressible in portable SQL (numerical always; temporal where the
+  *    dialect has an epoch expression), the per-query top-M is composed as a
+  *    remote statement `SELECT key AS id, ABS(value - q) AS d FROM table
+  *    WHERE value IS NOT NULL [AND filter] ORDER BY d, id LIMIT m` — the
+  *    Spark analogue of the reference's per-dialect templates
+  *    (insitu/SimSearchJdbcQuery.java:119-177,374-382). Only M rows ever
+  *    cross the wire per query, so the plan survives a 100× remote table.
+  *    [[mountInSitu]] wires this as an engine
+  *    [[graft.engine.SimSearchEngine.InSituFacet]].
+  *
+  *  - **Spark-side kernels** — ingest=true mounts, and operations whose
+  *    similarity needs more than portable SQL (categorical/textual Jaccard —
+  *    the reference needs DB extensions like pg_trgm/jsonb for those), load
+  *    the (id, value) frame and run the [[SimKernels]] in Spark. Column
+  *    pruning (P1), boolean pre-filters (P2/P3) and IS NOT NULL guards (P4)
+  *    still push into the remote WHERE via Catalyst.
   */
 object JdbcMount {
 
@@ -61,5 +69,109 @@ object JdbcMount {
     var df = raw.select(id, valueExpr.as("value")).na.drop(Seq("id", "value"))
     if (spec.ingest) df = df.cache() // S8
     Facet(AttributeSpec(spec.valueColumn, op, spec.tokenDelimiter, spec.qgram), df)
+  }
+
+  /** Per-dialect row-limit syntax for the pushed top-M statement (the
+    * reference keeps one SQL template per supported DBMS,
+    * insitu/SimSearchJdbcQuery.java:374-382). Default is the SQL-standard
+    * FETCH FIRST (Derby, Oracle 12c+, DB2, H2). */
+  private def limitClause(url: String, m: Int): String = {
+    val u = url.toLowerCase
+    if (u.startsWith("jdbc:postgresql") || u.startsWith("jdbc:mysql") ||
+        u.startsWith("jdbc:mariadb") || u.startsWith("jdbc:sqlite")) s"LIMIT $m"
+    else if (u.startsWith("jdbc:sqlserver")) s"OFFSET 0 ROWS FETCH NEXT $m ROWS ONLY"
+    else s"FETCH FIRST $m ROWS ONLY"
+  }
+
+  /** Dialect expression converting a SQL timestamp column to epoch
+    * milliseconds — the unit the temporal kernel scores in. None = the
+    * dialect has no portable expression; the mount falls back to the
+    * Spark-side kernel path. */
+  private def epochMsExpr(url: String, column: String): Option[String] = {
+    val u = url.toLowerCase
+    if (u.startsWith("jdbc:postgresql"))
+      Some(s"(EXTRACT(EPOCH FROM $column) * 1000)")
+    else if (u.startsWith("jdbc:mysql") || u.startsWith("jdbc:mariadb"))
+      Some(s"(UNIX_TIMESTAMP($column) * 1000.0)")
+    else None
+  }
+
+  /** Whether this spec's per-query distance top-M can be composed as a
+    * remote SQL statement. Categorical/textual Jaccard cannot — the
+    * reference needs DB-side extensions (pg_trgm, jsonb) there; those
+    * operations keep the Spark-side kernel path. */
+  def supportsPushdown(spec: JdbcSpec): Boolean = spec.operation match {
+    case "numerical_topk" => true
+    case "temporal_topk"  => epochMsExpr(spec.url, spec.valueColumn).isDefined
+    case _                => false
+  }
+
+  /** The remote top-M statement: distance + NOT-NULL guard + optional user
+    * filter + ORDER BY (d, id) + dialect LIMIT, all evaluated in the
+    * database. The user filter references the REMOTE table's columns (the
+    * reference forwards in-situ filters verbatim to the source,
+    * SearchHandler.java:707-713). Ordinal ORDER BY (2, 1) keeps the
+    * statement portable across dialects that reject expression aliases in
+    * ORDER BY, and the (d, id) tie-break makes the candidate list
+    * deterministic — bit-identical to [[graft.operators.FacetSearch.topM]].
+    */
+  private[graft] def topMSql(spec: JdbcSpec, value: Any, m: Int,
+      filter: Option[String]): String = {
+    def numLit(v: Any): String = v match {
+      case "max" => s"(SELECT MAX(CAST(${spec.valueColumn} AS DOUBLE)) FROM ${spec.table})" // F12
+      case d: Double => d.toString
+      case i: Int    => i.toDouble.toString
+      case s: String => s.trim.toDouble.toString
+      case bad => throw new IllegalArgumentException(s"bad numeric query $bad")
+    }
+    val (valueExpr, queryLit) = spec.operation match {
+      case "numerical_topk" => (s"CAST(${spec.valueColumn} AS DOUBLE)", numLit(value))
+      case "temporal_topk" =>
+        val epochMs = value match {
+          case s: String => CsvMount.parseDatetimeMs(s).getOrElse(
+            throw new IllegalArgumentException(s"unparseable datetime $s"))
+          case d: Double => d
+          case other => throw new IllegalArgumentException(s"bad temporal query $other")
+        }
+        (epochMsExpr(spec.url, spec.valueColumn).get, epochMs.toString)
+      case other => throw new IllegalArgumentException(
+        s"operation $other has no SQL pushdown (use the Spark-side mount)")
+    }
+    val where = (s"${spec.valueColumn} IS NOT NULL" +: filter.map(f => s"($f)").toSeq)
+      .mkString(" AND ")
+    s"SELECT ${spec.keyColumn} AS id, ABS($valueExpr - $queryLit) AS d " +
+      s"FROM ${spec.table} WHERE $where ORDER BY 2, 1 ${limitClause(spec.url, m)}"
+  }
+
+  /** Execute the pushed top-M as a Spark JDBC read of [[topMSql]]. The
+    * result is at most m rows of (id, d); a positional rename absorbs
+    * dialect case-folding (Derby/Oracle return ID/D). */
+  def topMFrame(spark: SparkSession, spec: JdbcSpec, value: Any, m: Int,
+      filter: Option[String]): DataFrame = {
+    val reader0 = spark.read.format("jdbc")
+      .option("url", spec.url)
+      .option("query", topMSql(spec, value, m, filter))
+    val reader1 = spec.driver.fold(reader0)(d => reader0.option("driver", d))
+    val reader2 = spec.user.fold(reader1)(u => reader1.option("user", u))
+    val reader = spec.password.fold(reader2)(p => reader2.option("password", p))
+    reader.load().toDF("id", "d").withColumn("d", col("d").cast("double"))
+  }
+
+  /** S7 with query-time pushdown: mount as an engine in-situ facet whose
+    * `build` ships [[topMSql]] to the database — M rows per query cross the
+    * wire instead of the whole column. The returned [[graft.operators.BoundFacet]]
+    * is distance-based (preScored = false): the engine calibrates the decay
+    * scale and estimates weights from the bounded list exactly as it does
+    * for ingested facets, so answers match the Spark-side kernel path
+    * whenever the remote list covers the candidates (it does: both paths
+    * take the same deterministic top-M). */
+  def mountInSitu(spark: SparkSession, spec: JdbcSpec)
+      : graft.engine.SimSearchEngine.InSituFacet = {
+    require(supportsPushdown(spec),
+      s"operation ${spec.operation} has no SQL pushdown for ${spec.url}")
+    graft.engine.SimSearchEngine.InSituFacet(spec.valueColumn, spec.operation,
+      (s, m) => graft.operators.BoundFacet(spec.valueColumn,
+        topMFrame(spark, spec, s.value, m, s.filter),
+        Seq(1.0), s.decay, scale = None, jaccard = false, preScored = false))
   }
 }

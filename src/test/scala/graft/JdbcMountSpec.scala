@@ -112,6 +112,93 @@ class JdbcMountSpec extends SparkTestBase {
     } finally java.nio.file.Files.delete(tmp)
   }
 
+  // --- S7 query-time top-M pushdown (round 8, VERDICT r7 #1) ---------------
+
+  test("Q6: the remote statement carries the distance, ORDER BY and LIMIT") {
+    val spec = JdbcSpec(url, "items", "ITEM_ID", "PRICE", "numerical_topk")
+    assert(JdbcMount.supportsPushdown(spec))
+    val sql = JdbcMount.topMSql(spec, 503.0, 500, None)
+    assert(sql.contains("ABS(CAST(PRICE AS DOUBLE) - 503.0)"), sql)
+    assert(sql.contains("ORDER BY 2, 1"), sql)
+    assert(sql.contains("FETCH FIRST 500 ROWS ONLY"), sql)
+    assert(sql.contains("PRICE IS NOT NULL"), sql)
+    // user filters are forwarded into the remote WHERE clause
+    val filtered = JdbcMount.topMSql(spec, 503.0, 10, Some("PRICE > 400"))
+    assert(filtered.contains("(PRICE > 400)"), filtered)
+    // dialect templates: LIMIT engines vs FETCH FIRST engines
+    assert(JdbcMount.topMSql(spec.copy(url = "jdbc:postgresql://h/db"), 1.0, 7, None)
+      .endsWith("LIMIT 7"))
+    // categorical Jaccard has no portable SQL — stays on the Spark kernels
+    assert(!JdbcMount.supportsPushdown(spec.copy(operation = "categorical_topk")))
+  }
+
+  test("Q6: only M rows cross the wire, ordered like FacetSearch.topM") {
+    val spec = JdbcSpec(url, "items", "ITEM_ID", "PRICE", "numerical_topk")
+    val frame = JdbcMount.topMFrame(spark, spec, 503.0, 15, None)
+    assert(frame.columns.toSeq == Seq("id", "d"))
+    val rows = frame.collect()
+    assert(rows.length == 15, "the table has 100 rows; the remote LIMIT must cap at 15")
+    // identical candidate list to the Spark-side kernel path (d, id order)
+    val sparkSide = graft.operators.FacetSearch.topM(
+      JdbcMount.mount(spark, spec).df.select(col("id"),
+        graft.functions.SimKernels.absDist(col("value"), lit(503.0)).as("d")), 15)
+      .collect()
+    assert(rows.map(r => (r.getInt(0), r.getDouble(1))).toSeq ==
+      sparkSide.map(r => (r.getInt(0), r.getDouble(1))).toSeq)
+  }
+
+  test("Q6: in-situ pushed facet answers match the Spark-side kernel path") {
+    val spec = JdbcSpec(url, "items", "ITEM_ID", "PRICE", "numerical_topk")
+    val inSitu = new Catalog(Seq.empty, Seq(JdbcMount.mountInSitu(spark, spec)))
+    val sparkSide = new Catalog(Seq(JdbcMount.mount(spark, spec)))
+    for (q <- Seq[Any](503.0, "max")) { // F12 "max" pushes an inline MAX subselect
+      val a = SimSearchEngine.search(spark, inSitu, 5,
+        Seq(SearchSpec("PRICE", q, Seq(1.0)))).collect()
+      val b = SimSearchEngine.search(spark, sparkSide, 5,
+        Seq(SearchSpec("PRICE", q, Seq(1.0)))).collect()
+      assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, s"query $q diverged")
+    }
+    assert(inSitu.list == Seq("PRICE" -> "numerical_topk"))
+  }
+
+  test("Q6: multi-facet query mixing pushed JDBC with an ingested facet") {
+    val price = JdbcSpec(url, "items", "ITEM_ID", "PRICE", "numerical_topk")
+    val tags = JdbcMount.mount(spark,
+      JdbcSpec(url, "items", "ITEM_ID", "TAGS", "categorical_topk"))
+    val mixed = new Catalog(Seq(tags), Seq(JdbcMount.mountInSitu(spark, price)))
+    val allSpark = new Catalog(Seq(JdbcMount.mount(spark, price), tags))
+    val specs = Seq(
+      SearchSpec("PRICE", 503.0, Seq(0.7)),
+      SearchSpec("TAGS", Seq("red", "round"), Seq(0.3)))
+    // m = k * 1000 >= 100 rows, so the bounded remote list covers the whole
+    // table and the two paths are bit-identical
+    val a = SimSearchEngine.search(spark, mixed, 5, specs).collect()
+    val b = SimSearchEngine.search(spark, allSpark, 5, specs).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
+  test("Q6: mount request routing sends pushable in-situ JDBC to the pushed path") {
+    val req = s"""{
+      "sources": [{"name": "db", "type": "jdbc", "url": "$url"}],
+      "search": [{"operation": "numerical_topk", "source": "db", "dataset": "items",
+                  "key_column": "ITEM_ID", "search_column": "PRICE"}]
+    }"""
+    val tmp = java.nio.file.Files.createTempFile("graft-insitu", ".json")
+    java.nio.file.Files.write(tmp, req.getBytes("UTF-8"))
+    try {
+      val catalog = new Catalog(Seq.empty)
+      val n = graft.engine.RequestParser.mountInto(spark, tmp.toString, catalog)
+      assert(n == 1)
+      // in-situ: no local (id, value) frame exists for the attribute
+      val e = intercept[IllegalArgumentException](catalog.get("PRICE"))
+      assert(e.getMessage.contains("in-situ"))
+      val res = SimSearchEngine.search(spark, catalog, 5,
+        Seq(SearchSpec("PRICE", 503.0, Seq(1.0)))).collect()
+      assert(res.length == 5 &&
+        res.head.get(res.head.fieldIndex("id")) == 50)
+    } finally java.nio.file.Files.delete(tmp)
+  }
+
   test("S8: ingest-on-mount caches the typed facet") {
     val f = JdbcMount.mount(spark,
       JdbcSpec(url, "items", "ITEM_ID", "PRICE", "numerical_topk", ingest = true))
