@@ -110,11 +110,11 @@ object Main {
                 // reference console parity (Runner.java:160-167):
                 // `SET query_timeout <ms>;` is recorded and acknowledged.
                 // Results remain exact — there is no ranking loop to cut
-                // short (see api.InstanceSettings).
+                // short (see api.InstanceSettings; scoped to THIS catalog).
                 val tokens = q.stripSuffix(";").trim.toLowerCase.split("\\s+")
                 if (tokens.length == 3 && tokens(1) == "query_timeout" &&
                     scala.util.Try(tokens(2).toLong).isSuccess) {
-                  graft.api.InstanceSettings.queryTimeoutMs = tokens(2).toLong
+                  catalog.settings.queryTimeoutMs = tokens(2).toLong
                   out.println(s"Query timeout set to ${tokens(2).toLong} ms.")
                 } else out.println("Unknown setting. Supported: SET query_timeout <ms>;")
               case Some(_) =>

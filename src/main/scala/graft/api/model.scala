@@ -102,7 +102,10 @@ object Limits {
   * RANKING_MAX_TIME): the SQL terminal's `SET query_timeout <ms>;` records
   * it and /_settings serves it back, but the batch plans stay EXACT — this
   * engine has no ranking loop to cut short, so the knob is acknowledged
-  * console-parity state, never an approximation trigger (SURVEY §4). */
-object InstanceSettings {
+  * console-parity state, never an approximation trigger (SURVEY §4).
+  * Scoped PER CATALOG (the reference keeps one InstanceSettings per api_key
+  * Coordinator): the engine's Catalog carries the live field; the console
+  * writes its own catalog's value and each REST tenant serves its own. */
+final class InstanceSettings {
   @volatile var queryTimeoutMs: Long = 0L
 }

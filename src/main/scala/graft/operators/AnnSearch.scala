@@ -171,24 +171,31 @@ object AnnSearch {
       iters: Int = 10, trainPct: Int = 100): Seq[Seq[Double]] = {
     val train = if (trainPct >= 100) emb
       else Sampling.sample(emb, col(id), trainPct)
-    var centroids: Seq[Seq[Double]] = train
-      .select(col(id).cast("string").as("i"), vec.as("v"))
-      .orderBy(md5(col("i")), col("i")).limit(k)
-      .collect().map(_.getSeq[Double](1).toSeq).toSeq
-    for (_ <- 1 to iters) {
-      val sums = train.select(ivfCluster(vec, centroids).as("c"),
-          posexplode(vec).as(Seq("d", "x")))
-        .groupBy("c", "d").agg(sum("x").as("s"), count(lit(1)).as("n"))
-        .collect().map(r => ((r.getInt(0), r.getInt(1)),
-          (r.getDouble(2), r.getLong(3))))
-        .toMap
-      centroids = centroids.zipWithIndex.map { case (old, c) =>
-        old.indices.map { d =>
-          sums.get((c, d)).map { case (s, n) => s / n }.getOrElse(old(d))
+    // Project once and cache: the init scan populates the cache and every
+    // Lloyd iteration reads it back — without this, each of the `iters`
+    // aggregates re-reads and re-projects the training corpus from source
+    // (iters extra full scans at index-build scale).
+    val projected = train
+      .select(col(id).cast("string").as("i"), vec.as("v")).cache()
+    try {
+      var centroids: Seq[Seq[Double]] = projected
+        .orderBy(md5(col("i")), col("i")).limit(k)
+        .collect().map(_.getSeq[Double](1).toSeq).toSeq
+      for (_ <- 1 to iters) {
+        val sums = projected.select(ivfCluster(col("v"), centroids).as("c"),
+            posexplode(col("v")).as(Seq("d", "x")))
+          .groupBy("c", "d").agg(sum("x").as("s"), count(lit(1)).as("n"))
+          .collect().map(r => ((r.getInt(0), r.getInt(1)),
+            (r.getDouble(2), r.getLong(3))))
+          .toMap
+        centroids = centroids.zipWithIndex.map { case (old, c) =>
+          old.indices.map { d =>
+            sums.get((c, d)).map { case (s, n) => s / n }.getOrElse(old(d))
+          }
         }
       }
-    }
-    centroids
+      centroids
+    } finally projected.unpersist()
   }
 
   /** IVF top-k: assign every vector to its nearest centroid, probe only the

@@ -161,6 +161,9 @@ object Dedup {
   def clusters(pairs: DataFrame, a: String = "a", b: String = "b",
                maxRounds: Int = 50, localEdgeLimit: Long = 2000000L,
                checkpointEvery: Int = 10): DataFrame = {
+    require(checkpointEvery > 0,
+      s"checkpointEvery must be positive, got $checkpointEvery " +
+        "(use a value > maxRounds to effectively disable checkpointing)")
     // duplicate edges are harmless to a min-aggregation, so no distinct()
     // pass; near-dup pair generators emit unique (a < b) pairs anyway
     val e = pairs.select(col(a).as("x"), col(b).as("y"))

