@@ -193,6 +193,24 @@ class ExactFlagAndIvfSpec extends SparkTestBase {
       cs3.zip(claimed3).forall { case (c, i) => l2(c, centers(i)) < 1.0 })
   }
 
+  test("k-means caches the projected training frame: Lloyd iterations read " +
+    "the cache, not the source") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.AnnSearch
+    val acc = spark.sparkContext.longAccumulator("vec-evals")
+    val counted = udf { (v: Seq[Double]) => acc.add(1); v }
+    val df = (0 until 90).map(i =>
+      (i.toLong, Seq(i.toDouble, (i % 7).toDouble))).toDF("vid", "v")
+      .select(col("vid"), counted(col("v")).as("v"))
+    val cs = AnnSearch.kmeans(df, "vid", col("v"), k = 3, iters = 5)
+    assert(cs.size == 3)
+    // one source scan populates the cache during init; all 5 iterations
+    // read it back. Without the cache this would be (iters + 1) * 90 = 540.
+    assert(acc.value <= 2L * 90,
+      s"source evaluated ${acc.value} times for 90 rows; caching should bound it to one scan")
+  }
+
   test("engine similarity matrix: k x k, symmetric ids, self-similarity 1") {
     val catalog = new Catalog(Seq(
       MountSpec("numerical_topk", "sample.csv", "article_id", Seq("positive_sentiment"))

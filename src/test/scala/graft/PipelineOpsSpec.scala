@@ -140,6 +140,23 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(keptNull == Map("g" -> 30L, (null: String) -> 30L), keptNull.toString)
   }
 
+  test("stratified salt width is a free parameter: widths 1 and 3 keep the " +
+    "identical set and quotas as the default 2") {
+    // the salt is an order-preserving md5 prefix at ANY width, so the kept
+    // set must be invariant — only window parallelism changes (16^width)
+    val df = spark.range(0, 2000)
+      .select(col("id"), when(col("id") < 1800, "hot").otherwise("cold").as("g"))
+    val ref = Sampling.stratified(df, col("g"), col("id"), 0.3)
+      .as[(Long, String)].collect().toSet
+    for (w <- Seq(1, 3)) {
+      val kept = Sampling.stratified(df, col("g"), col("id"), 0.3, saltWidth = w)
+      assert(kept.as[(Long, String)].collect().toSet == ref, s"width $w diverged")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.stratified(df, col("g"), col("id"), 0.3, saltWidth = 0)
+    }
+  }
+
   test("mix applies per-group rates with a default") {
     val df = spark.range(0, 600)
       .select(col("id"), concat(lit("s"), (col("id") % 3)).as("src"))
