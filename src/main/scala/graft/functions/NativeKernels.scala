@@ -354,6 +354,90 @@ object NativeKernels {
   def simhashBands(tokens: Column): Column =
     column(SimhashBandsExpr(expression(tokens)))
 
+  // --------------------------------------------------- IVF centroid argmin
+
+  /** Index of the nearest centroid (L2, ties to the lowest index) with the
+    * whole centroid matrix held as ONE reference object — the large-k twin
+    * of the composed formulation in [[graft.operators.AnnSearch.ivfCluster]]
+    * history: inlining k×dim literal nodes made the codegen'd projection
+    * grow to hundreds of thousands of AST nodes at production k (O(√N)
+    * centroids), risking Janino method-size limits. Here the generated code
+    * is ONE kernel call regardless of k; the JIT'd loop reads a flat
+    * double[]. Bit-identical to the composed expression: per-centroid
+    * distance is sqrt of the left-to-right sum of squared diffs (same
+    * accumulation order as [[SimKernels.l2Dist]]), compared as sqrt values
+    * with first-index-wins ties (array_position semantics). Dimensions are
+    * compared up to the shorter of (vector, centroid). */
+  private[functions] case class NearestCentroidExpr(child: Expression,
+      centroids: Seq[Seq[Double]])
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    require(centroids.nonEmpty, "nearest_centroid needs at least one centroid")
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      child.dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<double>, got ${other.simpleString}")
+      }
+    }
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "nearest_centroid_native"
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+
+    @transient private lazy val k = centroids.size
+    @transient private lazy val dim = centroids.head.size
+    @transient private lazy val flat: Array[Double] = {
+      val a = new Array[Double](k * dim)
+      var c = 0
+      while (c < k) {
+        require(centroids(c).size == dim,
+          s"centroid $c has dim ${centroids(c).size}, expected $dim")
+        var i = 0
+        while (i < dim) { a(c * dim + i) = centroids(c)(i); i += 1 }
+        c += 1
+      }
+      a
+    }
+
+    def nearest(v: ArrayData): Int = {
+      val n = math.min(v.numElements(), dim)
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < k) {
+        val off = c * dim
+        var s = 0.0
+        var i = 0
+        while (i < n) { val d = v.getDouble(i) - flat(off + i); s += d * d; i += 1 }
+        val dist = math.sqrt(s)
+        if (dist < bestD) { bestD = dist; best = c }
+        c += 1
+      }
+      best
+    }
+
+    override protected def nullSafeEval(v: Any): Any =
+      nearest(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      // one call into this expression's compiled kernel — stays inside
+      // whole-stage codegen with constant generated-code size in k
+      val ref = ctx.addReferenceObj("nearestCentroidExpr", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.nearest($c);")
+    }
+  }
+
+  /** Nearest-centroid index (int) of an array<double> column; `centroids`
+    * ships as one reference object, so generated-code size is independent
+    * of k. */
+  def nearestCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    column(NearestCentroidExpr(expression(vec), centroids))
+
   // ------------------------------------------------------- compression ratio
 
   /** Deflate-compressed size over raw UTF-8 size — the classic

@@ -134,11 +134,27 @@ object AnnSearch {
 
   // ------------------------------------------------------------------ IVF
 
-  /** Index of the nearest centroid (L2), ties to the lowest index. The
-    * centroid list is small (O(sqrt N) in practice) and inlined as
-    * literals, so assignment is a single codegen'd projection — at scale
-    * this is the partitioning key that keeps each probe local. */
-  def ivfCluster(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+  /** Index of the nearest centroid (L2), ties to the lowest index — at
+    * scale this is the partitioning key that keeps each probe local.
+    * Dispatches on k: small lists inline as a composed literal projection
+    * (trivially oracle-portable — the DuckDB twin inlines the same
+    * literals); above [[ComposedClusterMaxK]] the native
+    * [[graft.functions.NativeKernels.nearestCentroid]] kernel takes over —
+    * one reference-object call whose generated-code size is independent of
+    * k, where the composed form would inline k×dim literal AST nodes and
+    * trip Janino method-size limits at production k = O(√N). The two are
+    * bit-identical (spec'd), so the switch point is invisible in results. */
+  def ivfCluster(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    if (centroids.size <= ComposedClusterMaxK) ivfClusterComposed(vec, centroids)
+    else graft.functions.NativeKernels.nearestCentroid(vec, centroids)
+
+  /** Largest centroid count assigned via inlined literals; beyond this the
+    * constant-size native kernel is used. 16 centroids × 64 dims ≈ 1k
+    * literal nodes — comfortably inside codegen limits. */
+  val ComposedClusterMaxK = 16
+
+  /** The composed-literal formulation — k×dim inlined literal nodes. */
+  private[graft] def ivfClusterComposed(vec: Column, centroids: Seq[Seq[Double]]): Column = {
     val ds = centroids.map(c => SimKernels.l2Dist(vec, array(c.map(lit): _*)))
     (array_position(array(ds: _*), array_min(array(ds: _*))) - 1).cast("int")
   }

@@ -193,6 +193,27 @@ class ExactFlagAndIvfSpec extends SparkTestBase {
       cs3.zip(claimed3).forall { case (c, i) => l2(c, centers(i)) < 1.0 })
   }
 
+  test("IVF at k=256 centroids: the native assignment kernel compiles and " +
+    "all-probe equals brute force") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.AnnSearch
+    val rnd = new scala.util.Random(53)
+    val dim = 16
+    val cents = (0 until 256).map(_ => Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val df = (0 until 400).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextDouble() * 2 - 1))).toDF("vid", "v")
+    val q = Seq.fill(dim)(rnd.nextDouble() * 2 - 1)
+    // probing every bucket is exhaustive for ANY centroid list — the
+    // exactness guarantee is centroid-agnostic, and at this k the
+    // assignment goes through the constant-code-size native kernel
+    val all = AnnSearch.ivfTopK(df, "vid", col("v"), cents, q, 10, 256)
+      .select("vid").as[Long].collect().toSeq
+    val brute = AnnSearch.bruteCosineTopK(df, "vid", col("v"), q, 10)
+      .select("vid").as[Long].collect().toSeq
+    assert(all == brute)
+  }
+
   test("k-means caches the projected training frame: Lloyd iterations read " +
     "the cache, not the source") {
     import org.apache.spark.sql.functions._

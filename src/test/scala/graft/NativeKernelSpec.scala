@@ -72,6 +72,46 @@ class NativeKernelSpec extends SparkTestBase {
     assert(mismatches == 0)
   }
 
+  test("nearest_centroid_native is bit-identical to the composed literal argmin") {
+    import graft.operators.AnnSearch
+    val rnd = new scala.util.Random(47)
+    val dim = 8
+    // k = 24 is above the composed-dispatch cutoff, so this compares the two
+    // implementations directly; include a DUPLICATE centroid to pin the
+    // first-index-wins tie rule, and a zero vector for the degenerate case
+    val base = (0 until 23).map(_ => Seq.fill(dim)(rnd.nextDouble() * 4 - 2))
+    val cents = base :+ base(5)
+    val df = ((0 until 300).map(i =>
+        (i.toLong, Seq.fill(dim)(rnd.nextDouble() * 4 - 2))) :+
+        (300L, base(5)) :+ (301L, Seq.fill(dim)(0.0)))
+      .toDF("id", "v")
+    val mismatches = df.select(
+        AnnSearch.ivfClusterComposed(col("v"), cents).as("c"),
+        graft.functions.NativeKernels.nearestCentroid(col("v"), cents).as("n"))
+      .where(not(col("c") <=> col("n"))).count()
+    assert(mismatches == 0)
+    // a row sitting ON the duplicated centroid resolves to its FIRST index
+    assert(df.where(col("id") === 300L)
+      .select(graft.functions.NativeKernels.nearestCentroid(col("v"), cents))
+      .head.getInt(0) == 5)
+    // null vector propagates null
+    val withNull = Seq((1L, Option.empty[Seq[Double]])).toDF("id", "v")
+    assert(withNull.select(
+      graft.functions.NativeKernels.nearestCentroid(col("v"), cents)).head.isNullAt(0))
+  }
+
+  test("nearest_centroid_native runs inside whole-stage codegen") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nc").toString
+    randomPairs(10, 8).write.mode("overwrite").parquet(s"$dir/p")
+    val df = spark.read.parquet(s"$dir/p")
+    val cents = (0 until 32).map(c => Seq.fill(8)(c * 0.25 - 4.0))
+    val plan = df.select(
+        graft.functions.NativeKernels.nearestCentroid(col("a"), cents))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan.take(300))
+    assert(plan.contains("nearest_centroid_native"))
+  }
+
   test("compress_ratio: repetitive text compresses below prose; deterministic; null-safe") {
     val df = Seq(
       (1L, Some("the " * 200)),                                  // highly repetitive
