@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AnnIndex, AnnSearch}
+
+/** The persisted bucketed ANN index: answers must be identical to the
+  * on-the-fly paths, and the query must physically read ONLY the probed
+  * partition directories (partition pruning at file listing). */
+class AnnIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dim = 8
+  private lazy val emb = {
+    val rnd = new scala.util.Random(61)
+    (0 until 500).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextDouble() * 2 - 1))).toDF("vid", "v")
+  }
+  private def query(seed: Int): Seq[Double] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(dim)(rnd.nextDouble() * 2 - 1)
+  }
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+
+  test("persisted LSH index: probed query == on-the-fly lshTopK, and only " +
+    "the probed partitions are listed/read") {
+    val path = java.nio.file.Files.createTempDirectory("graft-lshidx").toString + "/idx"
+    AnnIndex.buildLsh(emb, "vid", col("v"), dim, path)
+    val total = new java.io.File(path).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith(AnnIndex.BucketCol + "="))
+    assert(total > 50, s"expected many non-empty buckets, got $total")
+    for (probes <- Seq(1, 4)) {
+      val q = query(71)
+      val idx = AnnIndex.lshTopK(spark, path, "vid", q, 10, probes = probes)
+      val fly = AnnSearch.lshTopK(emb, "vid", col("v"), dim, q, 10, probes = probes)
+      assert(idx.collect().map(_.toSeq).toSeq == fly.collect().map(_.toSeq).toSeq,
+        s"probes=$probes diverged")
+      // partition pruning: the scan's partition filter carries the probe
+      // set and the selected partition count is <= probes (of `total`)
+      val scan = scanOf(idx)
+      assert(scan.partitionFilters.nonEmpty, "bucket filter must be a partition filter")
+      val selected = scan.metrics("numPartitions").value
+      assert(selected <= probes && selected < total,
+        s"probes=$probes should prune to <= $probes of $total partitions, read $selected")
+    }
+  }
+
+  test("persisted IVF index: probed query == on-the-fly ivfTopK, pruned to " +
+    "nProbe partitions; all-probe == brute force") {
+    val rnd = new scala.util.Random(67)
+    val cents = (0 until 16).map(_ => Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString + "/idx"
+    AnnIndex.buildIvf(emb, "vid", col("v"), cents, path)
+    val q = query(73)
+    val idx = AnnIndex.ivfTopK(spark, path, "vid", cents, q, 10, nProbe = 2)
+    val fly = AnnSearch.ivfTopK(emb, "vid", col("v"), cents, q, 10, nProbe = 2)
+    assert(idx.collect().map(_.toSeq).toSeq == fly.collect().map(_.toSeq).toSeq)
+    val scan = scanOf(idx)
+    assert(scan.partitionFilters.nonEmpty)
+    assert(scan.metrics("numPartitions").value <= 2)
+    // probing every cluster from the index equals brute force over the corpus
+    val all = AnnIndex.ivfTopK(spark, path, "vid", cents, q, 10, nProbe = 16)
+      .select("vid").as[Long].collect().toSeq
+    val brute = AnnSearch.bruteCosineTopK(emb, "vid", col("v"), q, 10)
+      .select("vid").as[Long].collect().toSeq
+    assert(all == brute)
+  }
+}
