@@ -90,6 +90,20 @@ object Algorithm {
   }
 }
 
+/** Session-conf knobs — the deployment surface for library parameters that
+  * would otherwise be code-level only. A caller passing the documented
+  * sentinel (0) resolves the value from the SparkSession conf, so a REST
+  * service or notebook tunes these via `spark.conf.set` / spark-defaults
+  * without touching call sites. */
+object Knobs {
+  /** Checkpoint cadence of the distributed near-dup clustering loop
+    * ([[graft.operators.Dedup]]); int > 0, default 10. */
+  val DedupCheckpointEvery = "spark.graft.dedup.checkpointEvery"
+  /** Multi-probe bucket count of LSH ANN search
+    * ([[graft.operators.AnnSearch]]); int >= 1, default 1. */
+  val AnnProbes = "spark.graft.ann.probes"
+}
+
 object Limits {
   /** Max k for multi-attribute queries (reference: Constants.java:42 K_MAX). */
   val KMax = 50

@@ -44,8 +44,12 @@ object AnnIndex {
     * `probes` of the 2^nBits directories are read. Identical answers to
     * [[AnnSearch.lshTopK]] with the same (nBits, seed, probes). */
   def lshTopK(spark: SparkSession, path: String, id: String, q: Seq[Double],
-      k: Int, nBits: Int = 8, seed: Long = 42L, probes: Int = 1): DataFrame = {
-    val sigs = AnnSearch.probeBuckets(q, nBits, seed, probes)
+      k: Int, nBits: Int = 8, seed: Long = 42L, probes: Int = 0): DataFrame = {
+    // 0 = unset: resolve from the session conf, like AnnSearch.lshTopK
+    val nProbes =
+      if (probes != 0) probes
+      else spark.conf.get(graft.api.Knobs.AnnProbes, "1").toInt
+    val sigs = AnnSearch.probeBuckets(q, nBits, seed, nProbes)
     val probed = spark.read.parquet(path)
       .where(col(BucketCol).isin(sigs: _*))
     AnnSearch.bruteCosineTopK(probed, id, col("vec"), q, k)

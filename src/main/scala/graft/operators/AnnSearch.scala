@@ -111,8 +111,12 @@ object AnnSearch {
     * 100 TB the filter prunes ~(1 - probes/2^nBits) of the corpus before
     * any ranking work; recall rises with `probes` at linear extra cost. */
   def lshTopK(emb: DataFrame, id: String, vec: Column, dim: Int, q: Seq[Double],
-      k: Int, nBits: Int = 8, seed: Long = 42L, probes: Int = 1): DataFrame = {
-    val sigs = probeBuckets(q, nBits, seed, probes)
+      k: Int, nBits: Int = 8, seed: Long = 42L, probes: Int = 0): DataFrame = {
+    // 0 = unset: resolve from the session conf (deployment knob), default 1
+    val nProbes =
+      if (probes != 0) probes
+      else emb.sparkSession.conf.get(graft.api.Knobs.AnnProbes, "1").toInt
+    val sigs = probeBuckets(q, nBits, seed, nProbes)
     val inBuckets = emb
       .withColumn("__sig", signatureRandom(vec, dim, nBits, seed))
       .where(col("__sig").isin(sigs: _*)).drop("__sig")

@@ -160,9 +160,14 @@ object Dedup {
     */
   def clusters(pairs: DataFrame, a: String = "a", b: String = "b",
                maxRounds: Int = 50, localEdgeLimit: Long = 2000000L,
-               checkpointEvery: Int = 10): DataFrame = {
-    require(checkpointEvery > 0,
-      s"checkpointEvery must be positive, got $checkpointEvery " +
+               checkpointEvery: Int = 0): DataFrame = {
+    // 0 = unset: resolve from the session conf (deployment knob), default 10
+    val ckptEvery =
+      if (checkpointEvery != 0) checkpointEvery
+      else pairs.sparkSession.conf
+        .get(graft.api.Knobs.DedupCheckpointEvery, "10").toInt
+    require(ckptEvery > 0,
+      s"checkpointEvery must be positive, got $ckptEvery " +
         "(use a value > maxRounds to effectively disable checkpointing)")
     // duplicate edges are harmless to a min-aggregation, so no distinct()
     // pass; near-dup pair generators emit unique (a < b) pairs anyway
@@ -241,7 +246,7 @@ object Dedup {
       }
       labels.unpersist()
       round += 1
-      labels = if (!converged && round % checkpointEvery == 0) {
+      labels = if (!converged && round % ckptEvery == 0) {
         // truncate the lineage so the plan never nests more than
         // checkpointEvery joins; reliable checkpoint when a dir is set
         val cp =

@@ -157,6 +157,32 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("session-conf knobs: ann.probes and dedup.checkpointEvery resolve " +
+    "when the argument is left unset") {
+    import graft.api.Knobs
+    import graft.operators.AnnSearch
+    val rnd = new scala.util.Random(83)
+    val corpus = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextDouble() * 2 - 1))).toDF("vid", "v")
+    val q = Seq.fill(16)(rnd.nextDouble() * 2 - 1)
+    spark.conf.set(Knobs.AnnProbes, "4")
+    try {
+      val viaConf = AnnSearch.lshTopK(corpus, "vid", col("v"), 16, q, 5)
+        .collect().map(_.toSeq).toSeq
+      val explicit = AnnSearch.lshTopK(corpus, "vid", col("v"), 16, q, 5, probes = 4)
+        .collect().map(_.toSeq).toSeq
+      assert(viaConf == explicit)
+    } finally spark.conf.unset(Knobs.AnnProbes)
+    // a bad conf value fails loudly, and so does an explicit negative
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    spark.conf.set(Knobs.DedupCheckpointEvery, "-1")
+    try {
+      intercept[IllegalArgumentException](Dedup.clusters(pairs, localEdgeLimit = 0L))
+    } finally spark.conf.unset(Knobs.DedupCheckpointEvery)
+    intercept[IllegalArgumentException](
+      Dedup.clusters(pairs, checkpointEvery = -3))
+  }
+
   test("mix applies per-group rates with a default") {
     val df = spark.range(0, 600)
       .select(col("id"), concat(lit("s"), (col("id") % 3)).as("src"))
