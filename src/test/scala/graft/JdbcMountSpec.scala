@@ -161,6 +161,32 @@ class JdbcMountSpec extends SparkTestBase {
     assert(inSitu.list == Seq("PRICE" -> "numerical_topk"))
   }
 
+  test("Q6: weight auto-estimation (R7) and per-condition filters (P2) " +
+    "behave identically on the pushed path") {
+    val spec = JdbcSpec(url, "items", "ITEM_ID", "PRICE", "numerical_topk")
+    val inSitu = new Catalog(Seq.empty, Seq(JdbcMount.mountInSitu(spark, spec)))
+    val sparkSide = new Catalog(Seq(JdbcMount.mount(spark, spec)))
+    // empty weights trigger estimation over the facet's decayed candidate
+    // scores — the bounded remote list must estimate like the local stream
+    val est = Seq(SearchSpec("PRICE", 503.0, Seq.empty))
+    assert(SimSearchEngine.search(spark, inSitu, 5, est).collect().map(_.toSeq).toSeq ==
+      SimSearchEngine.search(spark, sparkSide, 5, est).collect().map(_.toSeq).toSeq)
+    // the filter ships into the remote WHERE: every result honors it
+    val filtered = SimSearchEngine.search(spark, inSitu, 5,
+      Seq(SearchSpec("PRICE", 503.0, Seq(1.0), filter = Some("PRICE > 400")))).collect()
+    assert(filtered.length == 5)
+    val ids = filtered.map(r => r.get(r.fieldIndex("id")).asInstanceOf[Int])
+    assert(ids.forall(_ * 10.0 > 400), s"ids $ids violate the pushed filter")
+    // plan lock: the in-situ search scans ONLY the pushed bounded statement
+    // (every JDBCRelation in the plan embeds the FETCH FIRST limit)
+    val plan = SimSearchEngine.search(spark, inSitu, 5,
+      Seq(SearchSpec("PRICE", 503.0, Seq(1.0)))).queryExecution.executedPlan.toString
+    assert(plan.contains("JDBCRelation((SELECT"), plan.take(500))
+    assert(plan.contains("FETCH FIRST"), plan.take(500))
+    assert(!plan.contains("JDBCRelation(items)"),
+      "a full-table JDBC scan leaked into the in-situ plan")
+  }
+
   test("Q6: multi-facet query mixing pushed JDBC with an ingested facet") {
     val price = JdbcSpec(url, "items", "ITEM_ID", "PRICE", "numerical_topk")
     val tags = JdbcMount.mount(spark,

@@ -47,6 +47,22 @@ class OutputWriterSpec extends SparkTestBase {
     new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
   }
 
+  test("output-block delimiter parsing: explicit JSON null means the " +
+    "default ';', empty string degrades to a space") {
+    def parse(delimJson: String): String = {
+      val tmp = java.nio.file.Files.createTempFile("graft-delim", ".json")
+      java.nio.file.Files.write(tmp,
+        s"""{"k": 3, "queries": [], "output": {"format": "csv"$delimJson}}"""
+          .getBytes("UTF-8"))
+      try graft.engine.RequestParser.parseSearchRequest(tmp.toString).output.delimiter
+      finally java.nio.file.Files.delete(tmp)
+    }
+    assert(parse(""", "delimiter": null""") == ";") // NOT the literal "null"
+    assert(parse("") == ";")
+    assert(parse(", \"delimiter\": \"\"") == " ")
+    assert(parse(""", "delimiter": "|"""") == "|")
+  }
+
   test("S12: SearchResponse JSON shape, one object per weight combination") {
     val json = OutputWriter.toJsonResponse(resultDf)
     val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
