@@ -1279,6 +1279,33 @@ object Queries {
       |FROM g ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------------------------------
+  // repetition-based quality signals (the classic corpus-filter rules:
+  // top-bigram occupancy + duplicate-5-gram fraction) — narrow per-row
+  // maps, no shuffle; integer-ratio doubles, engine-portable bit-for-bit
+  // ----------------------------------------------------------------------
+  private val repetitionQ: (SparkSession, String) => DataFrame = (s, dir) => {
+    val w = TextKernels.wordTokens(col("text"))
+    spread(t(s, dir, "documents"))
+      .select(col("doc_id"),
+        round(TextKernels.topBigramFraction(w), 6).as("top_bigram_frac"),
+        round(TextKernels.dupNgramFraction(w, 5), 6).as("dup_5gram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val repetitionSql =
+    """WITH tk AS (SELECT doc_id, list_filter(list_transform(string_split(text, ' '), x -> trim(x)), x -> x <> '') AS w FROM documents),
+      |g AS (SELECT doc_id,
+      |  [w[i] || ' ' || w[i+1] for i in range(1, greatest(len(w) - 1, 0) + 1)] AS g2,
+      |  [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+      |     for i in range(1, greatest(len(w) - 4, 0) + 1)] AS g5 FROM tk)
+      |SELECT doc_id,
+      |  round(CASE WHEN len(g2) <= 0 THEN 0.0 ELSE
+      |    list_max(list_transform(list_distinct(g2), t -> len(list_filter(g2, x -> x = t))))::DOUBLE / len(g2) END, 6) AS top_bigram_frac,
+      |  round(CASE WHEN len(g5) <= 0 THEN 0.0 ELSE
+      |    1.0 - len(list_distinct(g5))::DOUBLE / len(g5) END, 6) AS dup_5gram_frac
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------------
   // batch similarity JOIN (two-sided): a 50-document query corpus joined
   // against the full corpus by shingle Jaccard >= 0.8 through band-bucket
   // candidates (never all-pairs)
@@ -1459,6 +1486,7 @@ object Queries {
     "q_chebyshev_topk" -> chebyshevTopk,
     "q_word2vec"      -> word2vecQ,
     "q_quality"       -> qualityQ,
+    "q_repetition"    -> repetitionQ,
     "q_sim_join"      -> simJoinQ,
     "q_dedup_cluster" -> dedupCluster,
     "q_sample_hash"   -> sampleHash,
@@ -1510,6 +1538,7 @@ object Queries {
     "q_chebyshev_topk" -> chebyshevTopkSql,
     "q_word2vec"      -> word2vecSql,
     "q_quality"       -> qualitySql,
+    "q_repetition"    -> repetitionSql,
     "q_sim_join"      -> simJoinSql,
     "q_dedup_cluster" -> dedupClusterSql,
     "q_sample_hash"   -> sampleHashSql,

@@ -109,6 +109,42 @@ object TextKernels {
   /** Document fingerprint: md5 of the normalized text. */
   def fingerprint(s: Column): Column = md5(normalizeText(s))
 
+  /** Word n-grams in document order ("w_i … w_{i+n-1}", space-joined).
+    * Documents with fewer than n words yield an empty array — guarded
+    * explicitly, because `sequence(1, 0)` DESCENDS in Spark and would
+    * fabricate grams. */
+  def wordNgrams(w: Column, n: Int): Column =
+    when(size(w) < n, array().cast("array<string>")).otherwise(
+      org.apache.spark.sql.functions.transform(
+        sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n)))))
+
+  /** Repetition-based quality signals (the classic corpus-filter rules:
+    * templated/boilerplate documents repeat the same word pairs and
+    * phrases far more than natural prose). Both are pure integer-ratio
+    * doubles — engine-portable bit-for-bit — and run as narrow codegen'd
+    * per-row maps: at 100 TB the cost is the per-row array work, no
+    * shuffle, no join. */
+
+  /** Fraction of word-bigram occurrences taken by the single most frequent
+    * bigram. Natural prose stays low; templated text spikes. Documents with
+    * fewer than 2 words score 0. */
+  def topBigramFraction(w: Column): Column = {
+    val grams = wordNgrams(w, 2)
+    when(size(grams) <= 0, lit(0.0)).otherwise(
+      array_max(org.apache.spark.sql.functions.transform(array_distinct(grams),
+        g => size(filter(grams, x => x === g)))).cast("double") / size(grams))
+  }
+
+  /** Fraction of word n-gram occurrences that are repeats of an earlier
+    * n-gram (1 - distinct/total). Phrase-level self-plagiarism; documents
+    * with fewer than n words score 0. */
+  def dupNgramFraction(w: Column, n: Int): Column = {
+    val grams = wordNgrams(w, n)
+    when(size(grams) <= 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
+  }
+
   /** PII / pattern scrubbing. The patterns stay within the regex subset
     * that Java regex and RE2 (DuckDB) interpret identically — character
     * classes, alternation, + and ? — so scrub counts and masked text are

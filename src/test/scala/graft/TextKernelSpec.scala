@@ -58,6 +58,26 @@ class TextKernelSpec extends SparkTestBase {
     assert(f1.asInstanceOf[String].length == 32)
   }
 
+  test("repetition signals: wordNgrams guards short docs, fractions match " +
+    "hand-computed values") {
+    // "a b a b a b": bigrams [a b, b a, a b, b a, a b] -> top "a b" = 3/5;
+    // 5-grams [a b a b a, b a b a b] -> all distinct -> dup 0
+    val w1 = wordTokens(lit("a b a b a b"))
+    assert(eval1(topBigramFraction(w1)) == 0.6)
+    assert(eval1(dupNgramFraction(w1, 5)) == 0.0)
+    // "x x x x x x": bigrams 5 x "x x" -> top 1.0; 5-grams [xxxxx, xxxxx]
+    // -> 1 distinct of 2 -> dup 0.5
+    val w2 = wordTokens(lit("x x x x x x"))
+    assert(eval1(topBigramFraction(w2)) == 1.0)
+    assert(eval1(dupNgramFraction(w2, 5)) == 0.5)
+    // short docs: sequence(1, 0) would DESCEND and fabricate grams — the
+    // guard must yield empty grams and 0 fractions
+    assert(eval1(wordNgrams(wordTokens(lit("solo")), 2)) == Seq.empty)
+    assert(eval1(topBigramFraction(wordTokens(lit("solo")))) == 0.0)
+    assert(eval1(dupNgramFraction(wordTokens(lit("a b c")), 5)) == 0.0)
+    assert(eval1(wordNgrams(wordTokens(lit("a b c")), 3)) == Seq("a b c"))
+  }
+
   test("minhashSig: identical shingle sets give identical signatures") {
     val g1 = shingleHashes(wordShingles2(wordTokens(lit("a b c d e"))))
     val g2 = shingleHashes(wordShingles2(wordTokens(lit("a b c d e"))))
