@@ -29,7 +29,17 @@ final case class BoundFacet(
     // of at most the remote's top-M). Candidates outside the list score 0 —
     // the reference's NRA lower-bound semantics for in-situ REST sources
     // (SearchHandler.java:296-307). decay/scale/jaccard are ignored.
-    preScored: Boolean = false)
+    preScored: Boolean = false,
+    // Random-access lookup for a BOUNDED distance facet (S7 JDBC pushdown):
+    // given candidate ids absent from `dist`, fetch their exact (id, d)
+    // rows from the source — the rebuild of the reference's in-situ lookup
+    // step (insitu/SimSearchJdbcQuery.java:177 multi-value retrieval
+    // template, fired during random access, :216,332). The id set is
+    // bounded by the candidate union (<= m * |facets| <= 50k), the same
+    // driver-side bound the reference's in-memory lookup carries. None =
+    // no random access (REST NRA facets, and full local facets which never
+    // need it — their `dist` stream is complete).
+    lookup: Option[Seq[Any] => DataFrame] = None)
 
 object FacetSearch {
 

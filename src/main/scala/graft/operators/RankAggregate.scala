@@ -146,10 +146,25 @@ object RankAggregate {
     // becomes a broadcast-semi join pushed into the scan).
     val perFacet = facets.zipWithIndex.map { case (f, i) =>
       // NRA facets join their bounded ranked list (their whole knowledge);
-      // full facets stream their complete decayed scores
+      // full facets stream their complete decayed scores; bounded facets
+      // WITH random access (S7 JDBC pushdown) complete their list by
+      // looking up the candidates it misses — the reference's in-situ
+      // look-up step (SimSearchJdbcQuery.java:216,332). The missing-id
+      // collect is bounded by the candidate union (<= m * |facets|), the
+      // same bound every other calibration read carries.
       val stream =
         if (f.preScored) topMs(i).select(col("id"), col("d").as("s"))
-        else FacetSearch.decayedWithScale(f, scales(i))
+        else f.lookup match {
+          case Some(fetch) =>
+            val missing = cands
+              .join(topMs(i).select(col("id")), Seq("id"), "left_anti")
+              .collect().map(_.get(0)).toSeq
+            val dist = topMs(i).select(col("id"), col("d"))
+            val completed =
+              if (missing.isEmpty) dist else dist.union(fetch(missing))
+            FacetSearch.decayedWithScale(f.copy(dist = completed), scales(i))
+          case None => FacetSearch.decayedWithScale(f, scales(i))
+        }
       stream
         .join(broadcast(cands), Seq("id"))
         .select(col("id"), lit(i).as("f"), col("s"))

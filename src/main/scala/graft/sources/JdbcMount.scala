@@ -115,8 +115,9 @@ object JdbcMount {
     * ORDER BY, and the (d, id) tie-break makes the candidate list
     * deterministic — bit-identical to [[graft.operators.FacetSearch.topM]].
     */
-  private[graft] def topMSql(spec: JdbcSpec, value: Any, m: Int,
-      filter: Option[String]): String = {
+  /** The remote distance expression for a pushed query: (value SQL, query
+    * literal), shared by the top-M statement and the random-access lookup. */
+  private def distParts(spec: JdbcSpec, value: Any): (String, String) = {
     def numLit(v: Any): String = v match {
       case "max" => s"(SELECT MAX(CAST(${spec.valueColumn} AS DOUBLE)) FROM ${spec.table})" // F12
       case d: Double => d.toString
@@ -124,7 +125,7 @@ object JdbcMount {
       case s: String => s.trim.toDouble.toString
       case bad => throw new IllegalArgumentException(s"bad numeric query $bad")
     }
-    val (valueExpr, queryLit) = spec.operation match {
+    spec.operation match {
       case "numerical_topk" => (s"CAST(${spec.valueColumn} AS DOUBLE)", numLit(value))
       case "temporal_topk" =>
         val epochMs = value match {
@@ -137,10 +138,60 @@ object JdbcMount {
       case other => throw new IllegalArgumentException(
         s"operation $other has no SQL pushdown (use the Spark-side mount)")
     }
+  }
+
+  private[graft] def topMSql(spec: JdbcSpec, value: Any, m: Int,
+      filter: Option[String]): String = {
+    val (valueExpr, queryLit) = distParts(spec, value)
     val where = (s"${spec.valueColumn} IS NOT NULL" +: filter.map(f => s"($f)").toSeq)
       .mkString(" AND ")
     s"SELECT ${spec.keyColumn} AS id, ABS($valueExpr - $queryLit) AS d " +
       s"FROM ${spec.table} WHERE $where ORDER BY 2, 1 ${limitClause(spec.url, m)}"
+  }
+
+  /** Max ids per remote IN list (the classic dialect-safe bound). */
+  private val LookupChunk = 1000
+
+  /** One id as a SQL literal: numbers inline, anything else quoted with
+    * doubled single-quotes. */
+  private def idLit(v: Any): String = v match {
+    case null => "NULL"
+    case _: Int | _: Long | _: Short | _: Byte | _: Double | _: Float |
+         _: java.math.BigDecimal => v.toString
+    case other => "'" + other.toString.replace("'", "''") + "'"
+  }
+
+  /** The remote multi-value retrieval fired during random access — the
+    * rebuild of the reference's `sqlMultiValuesRetrievalTemplate`
+    * (insitu/SimSearchJdbcQuery.java:177, used at :216,332): fetch exact
+    * (id, distance) rows for specific candidate ids, chunked into
+    * [[LookupChunk]]-id IN lists. The facet's boolean filter applies here
+    * too, so a candidate failing it contributes no row (score 0), matching
+    * the local kernel path. */
+  def lookupSql(spec: JdbcSpec, value: Any, ids: Seq[Any],
+      filter: Option[String]): String = {
+    val (valueExpr, queryLit) = distParts(spec, value)
+    val where = (Seq(s"${spec.valueColumn} IS NOT NULL",
+      s"${spec.keyColumn} IN (${ids.map(idLit).mkString(", ")})") ++
+      filter.map(f => s"($f)")).mkString(" AND ")
+    s"SELECT ${spec.keyColumn} AS id, ABS($valueExpr - $queryLit) AS d " +
+      s"FROM ${spec.table} WHERE $where"
+  }
+
+  /** Execute the random-access lookup for a bounded candidate id set
+    * (<= K_MAX * INFLATION_FACTOR * |facets| by construction). */
+  def lookupFrame(spark: SparkSession, spec: JdbcSpec, value: Any,
+      ids: Seq[Any], filter: Option[String]): DataFrame = {
+    require(ids.nonEmpty, "random-access lookup needs at least one id")
+    ids.grouped(LookupChunk).map { chunk =>
+      val reader0 = spark.read.format("jdbc")
+        .option("url", spec.url)
+        .option("query", lookupSql(spec, value, chunk, filter))
+      val reader1 = spec.driver.fold(reader0)(d => reader0.option("driver", d))
+      val reader2 = spec.user.fold(reader1)(u => reader1.option("user", u))
+      val reader = spec.password.fold(reader2)(p => reader2.option("password", p))
+      reader.load().toDF("id", "d").withColumn("d", col("d").cast("double"))
+    }.reduce(_ union _)
   }
 
   /** Execute the pushed top-M as a Spark JDBC read of [[topMSql]]. The
@@ -162,9 +213,10 @@ object JdbcMount {
     * wire instead of the whole column. The returned [[graft.operators.BoundFacet]]
     * is distance-based (preScored = false): the engine calibrates the decay
     * scale and estimates weights from the bounded list exactly as it does
-    * for ingested facets, so answers match the Spark-side kernel path
-    * whenever the remote list covers the candidates (it does: both paths
-    * take the same deterministic top-M). */
+    * for ingested facets, and the attached random-access [[lookupFrame]]
+    * completes the list with exact distances for any mixed-query candidate
+    * the M rows miss — so answers are identical to the Spark-side kernel
+    * path in every case, not just when M covers the candidate union. */
   def mountInSitu(spark: SparkSession, spec: JdbcSpec)
       : graft.engine.SimSearchEngine.InSituFacet = {
     require(supportsPushdown(spec),
@@ -172,6 +224,7 @@ object JdbcMount {
     graft.engine.SimSearchEngine.InSituFacet(spec.valueColumn, spec.operation,
       (s, m) => graft.operators.BoundFacet(spec.valueColumn,
         topMFrame(spark, spec, s.value, m, s.filter),
-        Seq(1.0), s.decay, scale = None, jaccard = false, preScored = false))
+        Seq(1.0), s.decay, scale = None, jaccard = false, preScored = false,
+        lookup = Some(ids => lookupFrame(spark, spec, s.value, ids, s.filter))))
   }
 }

@@ -28,6 +28,19 @@ class JdbcMountSpec extends SparkTestBase {
       ins.addBatch()
     }
     ins.executeBatch()
+    // a table LARGER than the candidate inflation window (m = 1000k), so a
+    // mixed query's candidate union can exceed the pushed top-M list and
+    // force the random-access lookup step
+    st.execute("CREATE TABLE big (item_id INT NOT NULL, price DOUBLE, tags VARCHAR(100))")
+    val insBig = conn.prepareStatement("INSERT INTO big VALUES (?, ?, ?)")
+    (1 to 3000).foreach { i =>
+      insBig.setInt(1, i)
+      insBig.setDouble(2, i * 1.0)
+      insBig.setString(3, if (i >= 2500 && i < 2510) "faraway" else "common")
+      insBig.addBatch()
+      if (i % 500 == 0) insBig.executeBatch()
+    }
+    insBig.executeBatch()
     conn.close()
   }
 
@@ -201,6 +214,34 @@ class JdbcMountSpec extends SparkTestBase {
     val a = SimSearchEngine.search(spark, mixed, 5, specs).collect()
     val b = SimSearchEngine.search(spark, allSpark, 5, specs).collect()
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
+  test("Q6: random access completes the bounded list — mixed-query " +
+    "candidates beyond the top-M get exact looked-up distances") {
+    // m = 1000k = 2000 < 3000 rows: the "faraway" tag rows (ids 2500..2509)
+    // are outside PRICE's pushed top-M list, so their PRICE contribution
+    // exists ONLY via the remote IN-list lookup (the reference's
+    // SimSearchJdbcQuery multi-value retrieval); with the explicit scale
+    // their decayed score is non-zero and changes the ranking
+    val price = JdbcSpec(url, "big", "ITEM_ID", "PRICE", "numerical_topk")
+    val tags = JdbcMount.mount(spark,
+      JdbcSpec(url, "big", "ITEM_ID", "TAGS", "categorical_topk"))
+    val mixed = new Catalog(Seq(tags), Seq(JdbcMount.mountInSitu(spark, price)))
+    val allSpark = new Catalog(Seq(JdbcMount.mount(spark, price), tags))
+    val specs = Seq(
+      SearchSpec("PRICE", 10.0, Seq(0.5), scale = Some(3000.0)),
+      SearchSpec("TAGS", Seq("faraway"), Seq(0.5)))
+    val a = SimSearchEngine.search(spark, mixed, 2, specs).collect()
+    val b = SimSearchEngine.search(spark, allSpark, 2, specs).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    // the winner IS a looked-up faraway row: perfect tag match plus a
+    // non-zero decayed PRICE similarity beats every near-PRICE row
+    val topId = a.head.get(a.head.fieldIndex("id")).asInstanceOf[Int]
+    assert(topId >= 2500 && topId < 2510, s"expected a faraway id, got $topId")
+    // lookup statement shape: IN list + filter + distance
+    val sql = JdbcMount.lookupSql(price, 10.0, Seq(2500, 2501), Some("PRICE > 5"))
+    assert(sql.contains("ITEM_ID IN (2500, 2501)") && sql.contains("(PRICE > 5)") &&
+      sql.contains("ABS(CAST(PRICE AS DOUBLE) - 10.0)"), sql)
   }
 
   test("Q6: mount request routing sends pushable in-situ JDBC to the pushed path") {
