@@ -1306,6 +1306,29 @@ object Queries {
       |FROM g ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------------------------------
+  // per-document token chunking with overlap (the training/RAG chunker):
+  // 32-token windows every 24 tokens — a narrow map + posexplode, no
+  // shuffle; boundaries are integer arithmetic, engine-portable exactly
+  // ----------------------------------------------------------------------
+  private val chunkQ: (SparkSession, String) => DataFrame = (s, dir) => {
+    val w = TextKernels.wordTokens(col("text"))
+    graft.operators.Packing.chunkTokens(
+        spread(t(s, dir, "documents")).select(col("doc_id"), w.as("w")),
+        col("doc_id"), col("w"), chunkSize = 32, overlap = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  private val chunkSql =
+    """WITH tk AS (SELECT doc_id, list_filter(list_transform(string_split(text, ' '), x -> trim(x)), x -> x <> '') AS w FROM documents),
+      |c AS (SELECT doc_id, w, len(w) AS n,
+      |  CASE WHEN len(w) <= 0 THEN 0 ELSE floor((len(w) - 1) / 24.0)::INT + 1 END AS k FROM tk),
+      |u AS (SELECT doc_id, unnest([{'i': i, 's': i*24, 'e': least(i*24+32, n),
+      |  't': array_to_string(w[(i*24+1):least(i*24+32, n)], ' ')} for i in range(0, k)]) AS ch FROM c)
+      |SELECT doc_id, ch.i AS chunk_idx, ch.s AS tok_start, ch.e AS tok_end, ch.t AS chunk_text
+      |FROM u ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ----------------------------------------------------------------------
   // batch similarity JOIN (two-sided): a 50-document query corpus joined
   // against the full corpus by shingle Jaccard >= 0.8 through band-bucket
   // candidates (never all-pairs)
@@ -1487,6 +1510,7 @@ object Queries {
     "q_word2vec"      -> word2vecQ,
     "q_quality"       -> qualityQ,
     "q_repetition"    -> repetitionQ,
+    "q_chunk"         -> chunkQ,
     "q_sim_join"      -> simJoinQ,
     "q_dedup_cluster" -> dedupCluster,
     "q_sample_hash"   -> sampleHash,
@@ -1539,6 +1563,7 @@ object Queries {
     "q_word2vec"      -> word2vecSql,
     "q_quality"       -> qualitySql,
     "q_repetition"    -> repetitionSql,
+    "q_chunk"         -> chunkSql,
     "q_sim_join"      -> simJoinSql,
     "q_dedup_cluster" -> dedupClusterSql,
     "q_sample_hash"   -> sampleHashSql,

@@ -48,4 +48,40 @@ object Packing {
       .withColumn("chunk", expr(s"start DIV ${chunkSize}L"))
       .select("id", "n_tok", "start", "chunk")
   }
+
+  /** PER-DOCUMENT chunking with overlap — the training/RAG chunker, the
+    * within-document complement to [[packOffsets]]'s cross-document
+    * binning: split each document's token sequence into windows of
+    * `chunkSize` tokens starting every `chunkSize - overlap` tokens (the
+    * final window may be shorter; a document shorter than one window
+    * yields a single chunk). One row per (id, chunk_idx) with the
+    * space-joined chunk text and its token span.
+    *
+    * Scale design: a pure narrow per-row map + posexplode — no shuffle, no
+    * window; chunk counts derive from each row alone, so the operator
+    * streams at 100 TB. Deterministic: chunk boundaries are arithmetic on
+    * token positions. */
+  def chunkTokens(df: DataFrame, id: Column, tokens: Column,
+                  chunkSize: Int, overlap: Int = 0): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap $overlap out of [0, chunkSize) for chunkSize $chunkSize")
+    val stride = chunkSize - overlap
+    val n = size(tokens)
+    // starts: 0, stride, 2*stride, ... while start < n (>= 1 chunk per
+    // non-empty doc); explicit guard — sequence(0, -1) would DESCEND
+    val nChunks = when(n <= 0, lit(0))
+      .otherwise(floor((n - 1).cast("double") / stride).cast("int") + 1)
+    val chunks = when(nChunks <= 0, array().cast("array<string>")).otherwise(
+      org.apache.spark.sql.functions.transform(
+        sequence(lit(0), nChunks - 1),
+        c => concat_ws(" ", slice(tokens, c * stride + 1, lit(chunkSize)))))
+    df.select(id.as("id"), lit(stride).as("__stride"), n.as("__n"),
+        posexplode(chunks).as(Seq("chunk_idx", "chunk_text")))
+      .select(col("id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("chunk_idx") * col("__stride")).cast("long").as("tok_start"),
+        least(col("chunk_idx") * col("__stride") + chunkSize, col("__n"))
+          .cast("long").as("tok_end"),
+        col("chunk_text"))
+  }
 }

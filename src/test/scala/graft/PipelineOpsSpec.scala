@@ -157,6 +157,31 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("chunkTokens: overlapping windows, short-doc and empty-doc edges, " +
+    "exact spans") {
+    import graft.operators.Packing
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i")),  // 10 tokens, size 4 stride 3 -> 4 chunks
+      (2L, Seq("a")),                    // shorter than one window -> 1 chunk
+      (3L, Seq.empty[String])            // empty -> no rows
+    ).toDF("doc_id", "w")
+    val got = Packing.chunkTokens(docs, col("doc_id"), col("w"), 4, overlap = 1)
+      .orderBy("id", "chunk_idx")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 1L, 3L, 7L, "t4 t5 t6 t7"),
+      (1L, 2L, 6L, 10L, "t7 t8 t9 t10"),
+      (1L, 3L, 9L, 10L, "t10"),          // final short window
+      (2L, 0L, 0L, 1L, "a")))
+    // no shuffle anywhere: chunking is a pure narrow map
+    val plan = Packing.chunkTokens(docs, col("doc_id"), col("w"), 4, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    intercept[IllegalArgumentException](
+      Packing.chunkTokens(docs, col("doc_id"), col("w"), 4, overlap = 4))
+  }
+
   test("session-conf knobs: ann.probes and dedup.checkpointEvery resolve " +
     "when the argument is left unset") {
     import graft.api.Knobs
