@@ -57,8 +57,9 @@ object SimSearchEngine {
     def get(name: String): Facet = facets.getOrElse(name,
       throw new IllegalArgumentException(
         if (inSitu.contains(name))
-          s"attribute $name is mounted in-situ (REST) — it has no local " +
-            "values; it can be queried but not projected/filtered locally"
+          s"attribute $name is mounted in-situ (REST or pushed JDBC) — it " +
+            "has no local values; it can be queried but not projected/" +
+            "filtered locally"
         else s"attribute $name is not mounted"))
     def getInSitu(name: String): Option[InSituFacet] = inSitu.get(name)
     /** (name, operation) in the reference's operation vocabulary
