@@ -942,6 +942,22 @@ object Queries {
        |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
   }
 
+  // -- Persisted bucketed LSH index end-to-end (the served-index path):
+  //    build writes the corpus partitionBy(bucket), the query reads ONLY the
+  //    probed partition directories. Answers are identical to the on-the-fly
+  //    multi-probe path by construction, so the q_ann_lsh_mp oracle applies
+  //    verbatim — the driver gate value-checks the whole build+probe cycle.
+  private val annIdx: (SparkSession, String) => DataFrame = (s, dir) => {
+    val qv = queryVec(s, dir)
+    val e = spread(t(s, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .where(col("vec_id") =!= 0)
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-annidx-" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+    graft.operators.AnnIndex.buildLsh(e, "vec_id", col("v"), 64, path)
+    graft.operators.AnnIndex.lshTopK(s, path, "vec_id", qv, 5, probes = 4)
+  }
+
   // -- IVF ANN: nearest-centroid assignment, 2-probe, exact cosine re-rank.
   //    Centroids are fixed exactly-representable literals (k-means would
   //    produce them in a real pipeline; any fixed list exercises the same
@@ -1497,6 +1513,7 @@ object Queries {
     "q_ann_cosine"    -> annCosine,
     "q_ann_lsh"       -> annLsh,
     "q_ann_lsh_mp"    -> annLshMp,
+    "q_ann_idx"       -> annIdx,
     "q_ann_ivf"       -> annIvf,
     "q_skew_join"     -> skewJoinQ,
     "q_pipeline"      -> pipelineQ,
@@ -1550,6 +1567,7 @@ object Queries {
     "q_ann_cosine"    -> annCosineSql,
     "q_ann_lsh"       -> annLshSql,
     "q_ann_lsh_mp"    -> annLshMpSql,
+    "q_ann_idx"       -> annLshMpSql, // same answers: index build+probe == on-the-fly multi-probe
     "q_ann_ivf"       -> annIvfSql,
     "q_skew_join"     -> skewJoinSql,
     "q_pipeline"      -> pipelineSql,

@@ -143,6 +143,17 @@ class JdbcMountSpec extends SparkTestBase {
       .endsWith("LIMIT 7"))
     // categorical Jaccard has no portable SQL — stays on the Spark kernels
     assert(!JdbcMount.supportsPushdown(spec.copy(operation = "categorical_topk")))
+    // temporal pushdown needs a dialect epoch expression: available on
+    // postgres/mysql (template asserted), absent on Derby (falls back to
+    // the Spark-side kernel mount)
+    val tspec = spec.copy(url = "jdbc:postgresql://h/db",
+      valueColumn = "TS", operation = "temporal_topk")
+    assert(JdbcMount.supportsPushdown(tspec))
+    val epochMs = graft.sources.CsvMount.parseDatetimeMs("2019-11-04 08:45:00").get
+    val tsql = JdbcMount.topMSql(tspec, "2019-11-04 08:45:00", 9, None)
+    assert(tsql.contains("(EXTRACT(EPOCH FROM TS) * 1000)"), tsql)
+    assert(tsql.contains(s"- $epochMs"), tsql)
+    assert(!JdbcMount.supportsPushdown(spec.copy(operation = "temporal_topk")))
   }
 
   test("Q6: only M rows cross the wire, ordered like FacetSearch.topM") {
