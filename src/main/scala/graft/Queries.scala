@@ -913,34 +913,42 @@ object Queries {
       5, nBits = 8, seed = 42L, probes = 4)
   }
 
-  private val annLshMpSql = {
-    val hs = AnnSearch.planes(64, 8, 42L)
+  /** The multi-probe LSH oracle, parameterized by signature width: DuckDB
+    * inlines the IDENTICAL hyperplane literals (AnnSearch.planes) and
+    * reproduces the base signature, the summed-|dot| probe ranking, the
+    * bucket filter, and the exact cosine re-rank in SQL. */
+  private def annMpSql(nBits: Int, probes: Int): String = {
+    val hs = AnnSearch.planes(64, nBits, 42L)
       .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    val jHi = nBits + 1          // range(1, jHi) = hyperplane indices
+    val mHi = 1 << nBits         // range(1, mHi) = non-empty flip masks
     s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
        |h(hs) AS (SELECT $hs::DOUBLE[][]),
        |qd AS (SELECT [list_reduce([qv[i] * hs[j][i] for i in range(1, 65)],
-       |               (a, b) -> a + b) for j in range(1, 9)] AS dots FROM q, h),
+       |               (a, b) -> a + b) for j in range(1, $jHi)] AS dots FROM q, h),
        |b AS (SELECT list_sum([CASE WHEN dots[j] >= 0 THEN (1::BIGINT << (j-1))
-       |               ELSE 0::BIGINT END for j in range(1, 9)])::BIGINT AS base,
+       |               ELSE 0::BIGINT END for j in range(1, $jHi)])::BIGINT AS base,
        |             dots FROM qd),
        |mk AS (SELECT m::BIGINT AS m,
        |              list_sum([CASE WHEN ((m >> (j-1)) & 1) = 1 THEN abs(dots[j])
-       |                ELSE 0.0 END for j in range(1, 9)]) AS score
-       |       FROM range(1, 256) t(m), b),
+       |                ELSE 0.0 END for j in range(1, $jHi)]) AS score
+       |       FROM range(1, $mHi) t(m), b),
        |pr AS (SELECT base AS sig FROM b
        |       UNION ALL
        |       SELECT xor(base, m) FROM b,
-       |         (SELECT m FROM mk ORDER BY score, m LIMIT 3)),
+       |         (SELECT m FROM mk ORDER BY score, m LIMIT ${probes - 1})),
        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0),
        |es AS (SELECT vec_id, v,
        |         list_sum([CASE WHEN list_reduce([v[i] * hs[j][i] for i in range(1, 65)],
        |             (a, b) -> a + b) >= 0 THEN (1::BIGINT << (j-1))
-       |           ELSE 0::BIGINT END for j in range(1, 9)])::BIGINT AS sig
+       |           ELSE 0::BIGINT END for j in range(1, $jHi)])::BIGINT AS sig
        |       FROM e, h)
        |SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS cos
        |FROM es, q WHERE sig IN (SELECT sig FROM pr)
        |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
   }
+
+  private val annLshMpSql = annMpSql(8, 4)
 
   // -- Persisted bucketed LSH index end-to-end (the served-index path):
   //    build writes the corpus partitionBy(bucket), the query reads ONLY the
@@ -954,8 +962,11 @@ object Queries {
       .where(col("vec_id") =!= 0)
     val path = new java.io.File(sys.props("java.io.tmpdir"),
       "graft-annidx-" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
-    graft.operators.AnnIndex.buildLsh(e, "vec_id", col("v"), 64, path)
-    graft.operators.AnnIndex.lshTopK(s, path, "vec_id", qv, 5, probes = 4)
+    // nBits = 6 (64 directories): at this corpus size more buckets would
+    // pay pure file-committer overhead; the pruning ratio (probes/2^nBits)
+    // and the plan shape are identical at any width
+    graft.operators.AnnIndex.buildLsh(e, "vec_id", col("v"), 64, path, nBits = 6)
+    graft.operators.AnnIndex.lshTopK(s, path, "vec_id", qv, 5, nBits = 6, probes = 4)
   }
 
   // -- IVF ANN: nearest-centroid assignment, 2-probe, exact cosine re-rank.
@@ -1567,7 +1578,7 @@ object Queries {
     "q_ann_cosine"    -> annCosineSql,
     "q_ann_lsh"       -> annLshSql,
     "q_ann_lsh_mp"    -> annLshMpSql,
-    "q_ann_idx"       -> annLshMpSql, // same answers: index build+probe == on-the-fly multi-probe
+    "q_ann_idx"       -> annMpSql(6, 4), // index build+probe == on-the-fly multi-probe at 6 bits
     "q_ann_ivf"       -> annIvfSql,
     "q_skew_join"     -> skewJoinSql,
     "q_pipeline"      -> pipelineSql,

@@ -37,6 +37,12 @@ object AnnIndex {
       nBits: Int = 8, seed: Long = 42L): Unit =
     emb.select(col(id), vec.as("vec"),
         AnnSearch.signatureRandom(vec, dim, nBits, seed).as(BucketCol))
+      // co-locate each bucket before the partitioned write: without this,
+      // EVERY task writes a file into every bucket directory it touches —
+      // O(tasks x buckets) small files; with it, one task owns a bucket's
+      // rows and each directory gets one well-sized file (AQE coalesces
+      // the shuffle where buckets are small)
+      .repartition(col(BucketCol))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(path)
 
   /** Query a persisted LSH index with multi-probe: the probe buckets become
@@ -63,6 +69,7 @@ object AnnIndex {
       centroids: Seq[Seq[Double]], path: String): Unit =
     emb.select(col(id), vec.as("vec"),
         AnnSearch.ivfCluster(vec, centroids).as(BucketCol))
+      .repartition(col(BucketCol)) // see buildLsh: one task per bucket
       .write.mode("overwrite").partitionBy(BucketCol).parquet(path)
 
   /** Query a persisted IVF index: the query's nProbe nearest centroids
