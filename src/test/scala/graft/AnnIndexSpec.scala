@@ -33,6 +33,14 @@ class AnnIndexSpec extends SparkTestBase {
     val total = new java.io.File(path).listFiles()
       .count(f => f.isDirectory && f.getName.startsWith(AnnIndex.BucketCol + "="))
     assert(total > 50, s"expected many non-empty buckets, got $total")
+    // bucket co-location: the pre-write repartition means ONE task owns a
+    // bucket, so each directory holds exactly one data file — without it,
+    // every write task would spray a file into every bucket it touches
+    val filesPerBucket = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith(AnnIndex.BucketCol + "="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(filesPerBucket.forall(_ == 1),
+      s"expected one file per bucket, got ${filesPerBucket.toSeq.distinct}")
     for (probes <- Seq(1, 4)) {
       val q = query(71)
       val idx = AnnIndex.lshTopK(spark, path, "vid", q, 10, probes = probes)

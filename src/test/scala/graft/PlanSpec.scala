@@ -98,6 +98,18 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("Exchange"))
   }
 
+  test("repetition signals: a narrow per-row map — no shuffle, no window, " +
+    "pruned scan") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val w = graft.functions.TextKernels.wordTokens(col("text"))
+    val plan = planOf(docs.select(col("doc_id"),
+      graft.functions.TextKernels.topBigramFraction(w).as("tb"),
+      graft.functions.TextKernels.dupNgramFraction(w, 5).as("d5")))
+    assert(!plan.contains("Exchange"), "repetition signals must not shuffle")
+    assert(!plan.contains("Window"))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
   test("hash sample: a narrow filter — no shuffle, no window, pruned scan") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val plan = planOf(graft.operators.Sampling.sample(docs, col("doc_id"), 37)
