@@ -96,8 +96,33 @@ object ScaleProbe {
           TextKernels.wordShingles2(TextKernels.wordTokens(col("text"))),
           col("doc_id") < Queries.ContamEvalMax).count()
       }
+      // round-8 ops: per-doc chunking + repetition signals (narrow maps —
+      // must scale linearly), and the persisted-index cycle (build cost
+      // amortizes over queries; probe cost must stay ~flat since the read
+      // is bucket-pruned and bucket size grows with the corpus)
+      val tChunk = timeIt {
+        Packing.chunkTokens(
+          docs.select(col("doc_id"),
+            TextKernels.wordTokens(col("text")).as("w")),
+          col("doc_id"), col("w"), 32, 8).count()
+      }
+      val tRepet = timeIt {
+        val w = TextKernels.wordTokens(col("text"))
+        docs.select(col("doc_id"),
+          TextKernels.topBigramFraction(w).as("tb"),
+          TextKernels.dupNgramFraction(w, 5).as("d5"))
+          .agg(sum("tb"), sum("d5")).count()
+      }
+      val idxPath = s"/tmp/graft-scaleprobe-idx-$mult"
+      val tIdxBuild = timeIt {
+        AnnIndex.buildLsh(emb, "vec_id", col("v"), 64, idxPath, nBits = 6)
+        mult.toLong
+      }
+      val tIdxProbe = timeIt {
+        AnnIndex.lshTopK(spark, idxPath, "vec_id", qv, 10, nBits = 6, probes = 4).count()
+      }
       if (mult0 > 0)
-        println(s"""{"mult":$mult,"docs":${docs.count()},"minhash_sec":$tMinhash,"ann_sec":$tAnn,"rankagg_sec":$tRankAgg,"cluster_sec":$tCluster,"pack_sec":$tPack,"tfidf_sec":$tTfidf,"simhash_sec":$tSimhash,"quantize_sec":$tQuantize,"contam_sec":$tContam}""")
+        println(s"""{"mult":$mult,"docs":${docs.count()},"minhash_sec":$tMinhash,"ann_sec":$tAnn,"rankagg_sec":$tRankAgg,"cluster_sec":$tCluster,"pack_sec":$tPack,"tfidf_sec":$tTfidf,"simhash_sec":$tSimhash,"quantize_sec":$tQuantize,"contam_sec":$tContam,"chunk_sec":$tChunk,"repetition_sec":$tRepet,"idx_build_sec":$tIdxBuild,"idx_probe_sec":$tIdxProbe}""")
       docs.unpersist(); emb.unpersist()
     }
     spark.stop()
