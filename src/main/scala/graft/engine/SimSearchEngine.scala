@@ -41,7 +41,14 @@ object SimSearchEngine {
   final case class InSituFacet(
       name: String,
       operation: String,
-      build: (SearchSpec, Int) => graft.operators.BoundFacet)
+      build: (SearchSpec, Int) => graft.operators.BoundFacet,
+      /** Random-access VALUE retrieval for sources that support it (S7
+        * JDBC pushdown — the reference's single/multi-value retrieval
+        * templates, insitu/SimSearchJdbcQuery.java:175-177): fetch the
+        * typed (id, value) rows for a bounded id set, enabling the
+        * similarity matrix (A5) over in-situ attributes. None = no value
+        * access (REST NRA sources) — the matrix rejects those clearly. */
+      values: Option[Seq[Any] => org.apache.spark.sql.DataFrame] = None)
 
   /** Mounted-attribute catalog with listing (A8), append (the reference's
     * /append endpoint) and removal (A9). Holds both ingested facets
@@ -388,15 +395,37 @@ object SimSearchEngine {
   def similarityMatrix(spark: SparkSession, catalog: Catalog, k: Int,
       specs: Seq[SearchSpec]): DataFrame = {
     require(k <= KMax, s"similarity matrix capped at K_MAX=$KMax")
+    // In-situ attributes participate when their source supports value
+    // retrieval (S7 JDBC pushdown — the reference matrixes in-situ
+    // attributes from its random-access value cache, ResultMatrix over the
+    // lookup); REST NRA sources have no value access and are rejected.
+    val inSituByIdx: Map[Int, InSituFacet] = specs.zipWithIndex
+      .flatMap { case (s, i) => catalog.getInSitu(s.column).map(i -> _) }.toMap
+    inSituByIdx.values.foreach(f => require(f.values.isDefined,
+      s"attribute ${f.name} is mounted in-situ without value retrieval — " +
+        "a similarity matrix needs attribute values"))
+    def opOf(i: Int): SimOp = inSituByIdx.get(i) match {
+      case Some(f) => f.operation match {
+        case "numerical_topk" => SimOp.Numerical
+        case "temporal_topk"  => SimOp.Temporal
+        case other => throw new IllegalArgumentException(
+          s"in-situ operation $other not matrixable")
+      }
+      case None => catalog.get(specs(i).column).spec.op
+    }
     // Calibrate the per-facet scales ONCE (a single tagged Spark job), then
     // hand them to search() via explicit SearchSpec.scale so neither pass
-    // recomputes them.
+    // recomputes them. In-situ facets calibrate from their pushed bounded
+    // top-k list instead of a local distance stream.
     val need = specs.zipWithIndex.filter(_._1.scale.isEmpty)
     val kth: Map[Int, Double] =
       if (need.isEmpty) Map.empty
       else need.map { case (s, i) =>
-        FacetSearch.topM(distStream(catalog.get(s.column), s), k)
-          .select(lit(i).as("f"), col("d"))
+        val dist = inSituByIdx.get(i) match {
+          case Some(f) => f.build(s, k).dist
+          case None => distStream(catalog.get(s.column), s)
+        }
+        FacetSearch.topM(dist, k).select(lit(i).as("f"), col("d"))
       }.reduce(_ union _)
         .groupBy(col("f")).agg(max(col("d")).as("dk"))
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
@@ -409,28 +438,36 @@ object SimSearchEngine {
     val calibrated = specs.zip(scalesByIdx).map { case (s, sc) => s.copy(scale = Some(sc)) }
     val ids = search(spark, catalog, k, calibrated)
       .where(col("combo") === 0).select(col("id"))
+    // value retrieval for in-situ facets: one bounded (<= K_MAX) id collect
+    // feeds every remote value fetch
+    lazy val idSeq: Seq[Any] = ids.collect().map(_.get(0)).toSeq
     val withVals = specs.zipWithIndex.foldLeft(ids) { case (acc, (s, i)) =>
-      acc.join(catalog.get(s.column).df.select(col("id"), col("value").as(s"v$i")),
-        Seq("id"), "left")
+      val vf = inSituByIdx.get(i) match {
+        case Some(f) => f.values.get(idSeq)
+        case None => catalog.get(s.column).df
+      }
+      acc.join(vf.select(col("id"), col("value").as(s"v$i")), Seq("id"), "left")
     }
     val a = withVals.select(col("id").as("lid") +:
       specs.indices.map(i => col(s"v$i").as(s"a$i")): _*)
     val b = withVals.select(col("id").as("rid") +:
       specs.indices.map(i => col(s"v$i").as(s"b$i")): _*)
     val sims = specs.zipWithIndex.map { case (s, i) =>
-      val f = catalog.get(s.column)
+      val op = opOf(i)
       val scale = scalesByIdx(i)
-      val d: Column = f.spec.op match {
+      val d: Column = op match {
         case SimOp.Numerical | SimOp.Temporal => SimKernels.absDist(col(s"a$i"), col(s"b$i"))
         case SimOp.Categorical => SimKernels.jaccardDistDistinct(col(s"a$i"), col(s"b$i"))
-        case SimOp.Textual => SimKernels.jaccardDistDistinct(
-          SimKernels.qgrams(col(s"a$i"), f.spec.qgram), SimKernels.qgrams(col(s"b$i"), f.spec.qgram))
+        case SimOp.Textual =>
+          val q = catalog.get(s.column).spec.qgram
+          SimKernels.jaccardDistDistinct(
+            SimKernels.qgrams(col(s"a$i"), q), SimKernels.qgrams(col(s"b$i"), q))
         case SimOp.Spatial => SimKernels.geoDistDeg(
           col(s"a$i").getField("lon"), col(s"a$i").getField("lat"),
           col(s"b$i").getField("lon"), col(s"b$i").getField("lat"))
         case other => throw new IllegalArgumentException(s"unsupported op $other")
       }
-      val jac = f.spec.op == SimOp.Categorical || f.spec.op == SimOp.Textual
+      val jac = op == SimOp.Categorical || op == SimOp.Textual
       val sim = if (jac) SimKernels.decaySimJaccard(d, s.decay, lit(scale))
         else SimKernels.decaySim(d, s.decay, lit(scale))
       coalesce(sim, lit(0.0)) // missing value => similarity 0

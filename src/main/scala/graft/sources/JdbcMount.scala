@@ -178,6 +178,35 @@ object JdbcMount {
       s"FROM ${spec.table} WHERE $where"
   }
 
+  /** Remote VALUE retrieval for a bounded id set — the reference's
+    * multi-value retrieval template with the value column in the SELECT
+    * list (insitu/SimSearchJdbcQuery.java:175-177, incl. its
+    * EXTRACT(EPOCH ...) temporal shape): (id, value) typed exactly like an
+    * ingested mount (numerical = double, temporal = epoch ms), so the
+    * similarity matrix's pairwise kernels apply unchanged. */
+  def valuesFrame(spark: SparkSession, spec: JdbcSpec, ids: Seq[Any]): DataFrame = {
+    require(ids.nonEmpty, "value retrieval needs at least one id")
+    val valueExpr = spec.operation match {
+      case "numerical_topk" => s"CAST(${spec.valueColumn} AS DOUBLE)"
+      case "temporal_topk"  => epochMsExpr(spec.url, spec.valueColumn).getOrElse(
+        throw new IllegalArgumentException(
+          s"no epoch expression for ${spec.url} — temporal values not retrievable"))
+      case other => throw new IllegalArgumentException(
+        s"operation $other has no pushed value retrieval")
+    }
+    ids.grouped(LookupChunk).map { chunk =>
+      val sql = s"SELECT ${spec.keyColumn} AS id, $valueExpr AS v " +
+        s"FROM ${spec.table} WHERE ${spec.valueColumn} IS NOT NULL AND " +
+        s"${spec.keyColumn} IN (${chunk.map(idLit).mkString(", ")})"
+      val reader0 = spark.read.format("jdbc")
+        .option("url", spec.url).option("query", sql)
+      val reader1 = spec.driver.fold(reader0)(d => reader0.option("driver", d))
+      val reader2 = spec.user.fold(reader1)(u => reader1.option("user", u))
+      val reader = spec.password.fold(reader2)(p => reader2.option("password", p))
+      reader.load().toDF("id", "value").withColumn("value", col("value").cast("double"))
+    }.reduce(_ union _)
+  }
+
   /** Execute the random-access lookup for a bounded candidate id set
     * (<= K_MAX * INFLATION_FACTOR * |facets| by construction). */
   def lookupFrame(spark: SparkSession, spec: JdbcSpec, value: Any,
@@ -225,6 +254,7 @@ object JdbcMount {
       (s, m) => graft.operators.BoundFacet(spec.valueColumn,
         topMFrame(spark, spec, s.value, m, s.filter),
         Seq(1.0), s.decay, scale = None, jaccard = false, preScored = false,
-        lookup = Some(ids => lookupFrame(spark, spec, s.value, ids, s.filter))))
+        lookup = Some(ids => lookupFrame(spark, spec, s.value, ids, s.filter))),
+      values = Some(ids => valuesFrame(spark, spec, ids)))
   }
 }

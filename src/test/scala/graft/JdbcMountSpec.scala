@@ -255,6 +255,31 @@ class JdbcMountSpec extends SparkTestBase {
       sql.contains("ABS(CAST(PRICE AS DOUBLE) - 10.0)"), sql)
   }
 
+  test("A5: similarity matrix over an in-situ JDBC attribute == local path " +
+    "(remote value retrieval); value-less in-situ sources are rejected") {
+    val price = JdbcSpec(url, "items", "ITEM_ID", "PRICE", "numerical_topk")
+    val tags = JdbcMount.mount(spark,
+      JdbcSpec(url, "items", "ITEM_ID", "TAGS", "categorical_topk"))
+    val mixed = new Catalog(Seq(tags), Seq(JdbcMount.mountInSitu(spark, price)))
+    val allSpark = new Catalog(Seq(JdbcMount.mount(spark, price), tags))
+    val specs = Seq(
+      SearchSpec("PRICE", 503.0, Seq(0.6)),
+      SearchSpec("TAGS", Seq("red", "round"), Seq(0.4)))
+    val a = SimSearchEngine.similarityMatrix(spark, mixed, 4, specs).collect()
+    val b = SimSearchEngine.similarityMatrix(spark, allSpark, 4, specs).collect()
+    assert(a.length == 16 && a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    // a REST-style in-situ facet (no value retrieval) fails with a clear
+    // message instead of an opaque plan error
+    val noValues = new Catalog(Seq.empty, Seq(
+      SimSearchEngine.InSituFacet("remote", "numerical_topk",
+        (s, m) => JdbcMount.mountInSitu(spark, price).build(s, m))))
+    val e = intercept[IllegalArgumentException] {
+      SimSearchEngine.similarityMatrix(spark, noValues, 3,
+        Seq(SearchSpec("remote", 503.0, Seq(1.0))))
+    }
+    assert(e.getMessage.contains("without value retrieval"))
+  }
+
   test("Q6: mount request routing sends pushable in-situ JDBC to the pushed path") {
     val req = s"""{
       "sources": [{"name": "db", "type": "jdbc", "url": "$url"}],
