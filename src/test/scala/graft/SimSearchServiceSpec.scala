@@ -86,6 +86,45 @@ class SimSearchServiceSpec extends SparkTestBase {
     } finally svc.stop()
   }
 
+  test("REST over a JDBC in-situ source: /index -> /catalog -> /search runs " +
+    "the pushed top-M path end-to-end") {
+    // the same embedded Derby database JdbcMountSpec populates
+    val url = "jdbc:derby:memory:graftsvc;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE items (item_id INT NOT NULL, price DOUBLE)")
+    val ins = conn.prepareStatement("INSERT INTO items VALUES (?, ?)")
+    (1 to 100).foreach { i => ins.setInt(1, i); ins.setDouble(2, i * 10.0); ins.addBatch() }
+    ins.executeBatch(); conn.close()
+
+    val svc = new SimSearchService(spark, 0)
+    val port = svc.start()
+    try {
+      val base = s"http://127.0.0.1:$port/simsearch/api"
+      val mount = s"""{
+        "sources": [{"name": "db", "type": "jdbc", "url": "$url"}],
+        "search": [{"operation": "numerical_topk", "source": "db",
+                    "dataset": "items", "key_column": "ITEM_ID",
+                    "search_column": "PRICE"}]
+      }"""
+      val (c1, b1) = http("POST", s"$base/index", Some(mount))
+      assert(c1 == 200, b1)
+      val key = new ObjectMapper().readTree(b1).get("apiKey").asText()
+      val hdr = Map("api_key" -> key)
+      val (c2, b2) = http("GET", s"$base/catalog", None, hdr)
+      assert(c2 == 200 && b2.contains("PRICE") && b2.contains("numerical_topk"), b2)
+      val search = """{"k": 5, "queries": [
+        {"column": "PRICE", "value": "503", "weights": ["1.0"]}]}"""
+      val (c3, b3) = http("POST", s"$base/search", Some(search), hdr)
+      assert(c3 == 200, b3)
+      val resp = new ObjectMapper().readTree(b3)
+      val ranked = resp.get(0).get("rankedResults")
+      assert(ranked.size() == 5, b3)
+      // nearest to 503 is item 50 (500.0), served through the pushed path
+      assert(ranked.get(0).get("id").asText() == "50", b3)
+    } finally svc.stop()
+  }
+
   test("search output block: results routed to a server-side CSV sink (S11)") {
     val svc = new SimSearchService(spark, 0)
     val port = svc.start()
