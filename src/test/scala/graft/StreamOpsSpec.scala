@@ -31,6 +31,32 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stateless pipeline kernels compose with streams: per-doc chunking " +
+    "runs per micro-batch in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val w = graft.functions.TextKernels.wordTokens(col("text"))
+    // chunkTokens is a narrow per-row map + posexplode, so it applies to a
+    // streaming frame verbatim — no watermark, no state
+    val out = graft.operators.Packing.chunkTokens(
+        docs.select(col("doc_id"), w.as("w")),
+        col("doc_id"), col("w"), 4, 1)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("ck")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "a b a b a b"), (2L, "x"))
+      q.processAllAvailable()
+      val rows = spark.table("ck")
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      assert(rows == Set(
+        (1L, 0L, 0L, 4L, "a b a b"),
+        (1L, 1L, 3L, 6L, "b a b"),
+        (2L, 0L, 0L, 1L, "x")))
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark: duplicate keys inside the horizon collapse") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Long)]
