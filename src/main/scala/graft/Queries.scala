@@ -986,6 +986,21 @@ object Queries {
       ivfCentroids, queryVec(s, dir), 10, 2)
   }
 
+  // -- Persisted IVF index end-to-end: buildIvf writes one directory per
+  //    cluster; the query prunes to the 2 probed clusters. Answers are
+  //    identical to the on-the-fly ivfTopK by construction, so the
+  //    q_ann_ivf oracle applies verbatim.
+  private val annIvfIdx: (SparkSession, String) => DataFrame = (s, dir) => {
+    val e = spread(t(s, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .where(col("vec_id") =!= 0)
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-ivfidx-" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+    graft.operators.AnnIndex.buildIvf(e, "vec_id", col("v"), ivfCentroids, path)
+    graft.operators.AnnIndex.ivfTopK(s, path, "vec_id", ivfCentroids,
+      queryVec(s, dir), 10, 2)
+  }
+
   private val annIvfSql = {
     def cLit(c: Seq[Double]) =
       c.map(x => if (x == math.floor(x)) s"${x.toLong}.0" else x.toString)
@@ -1526,6 +1541,7 @@ object Queries {
     "q_ann_lsh_mp"    -> annLshMp,
     "q_ann_idx"       -> annIdx,
     "q_ann_ivf"       -> annIvf,
+    "q_ann_ivf_idx"   -> annIvfIdx,
     "q_skew_join"     -> skewJoinQ,
     "q_pipeline"      -> pipelineQ,
     "q_dedup_embedding" -> dedupEmbedding,
@@ -1580,6 +1596,7 @@ object Queries {
     "q_ann_lsh_mp"    -> annLshMpSql,
     "q_ann_idx"       -> annMpSql(6, 4), // index build+probe == on-the-fly multi-probe at 6 bits
     "q_ann_ivf"       -> annIvfSql,
+    "q_ann_ivf_idx"   -> annIvfSql, // persisted IVF index == on-the-fly ivfTopK
     "q_skew_join"     -> skewJoinSql,
     "q_pipeline"      -> pipelineSql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
