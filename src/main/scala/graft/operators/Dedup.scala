@@ -78,6 +78,59 @@ object Dedup {
       .where(col("j") >= minJ)
   }
 
+  // ------------------------------------------------- incremental (indexed)
+
+  /** Persist the MinHash band index of a corpus, enabling INCREMENTAL
+    * dedup: new batches check against the stored corpus without
+    * recomputing its signatures (the production ingestion shape — the
+    * expensive per-document hashing happens once per document ever).
+    * Layout: `path/bands` = (band, bv, id) exploded band keys;
+    * `path/shingles` = (id, g) for the exact-Jaccard verification join.
+    * `append = true` grows an existing index (call after accepting a
+    * batch, so the next batch dedups against it too). */
+  def writeBandIndex(docs: DataFrame, id: String, shingles: Column,
+      path: String, append: Boolean = false): Unit = {
+    val mode = if (append) "append" else "overwrite"
+    val sh = spread(docs).select(col(id).as("id"), shingles.as("g")).cache()
+    try {
+      sh.select(col("id"), posexplode(
+          graft.functions.NativeKernels.bandKeys(col("g"), NumHashes, NumBands, RowsPerBand))
+          .as(Seq("band", "bv")))
+        .write.mode(mode).parquet(s"$path/bands")
+      sh.write.mode(mode).parquet(s"$path/shingles")
+    } finally sh.unpersist()
+  }
+
+  /** Near-duplicate pairs (a = new-batch id, b = indexed corpus id, j)
+    * between a NEW batch and a persisted [[writeBandIndex]] corpus. The
+    * batch's band keys equi-join the stored band table (the planner
+    * broadcasts the batch side when it is small — the common ingestion
+    * shape), and exact Jaccard verifies against the stored shingle sets;
+    * the corpus is never re-hashed. In-batch duplicates are a separate
+    * [[minhashPairs]] over the batch alone. */
+  def incrementalPairs(newDocs: DataFrame, id: String, shingles: Column,
+      indexPath: String, minJ: Double): DataFrame = {
+    val spark = newDocs.sparkSession
+    val sh = spread(newDocs).select(col(id).as("id"), shingles.as("g")).cache()
+    val banded = sh.select(col("id"), posexplode(
+        graft.functions.NativeKernels.bandKeys(col("g"), NumHashes, NumBands, RowsPerBand))
+        .as(Seq("band", "bv")))
+    val idx = spark.read.parquet(s"$indexPath/bands")
+    val cands = banded.as("x")
+      .join(idx.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    cands
+      .join(sh.select(col("id").as("a"), col("g").as("ga")), Seq("a"))
+      .join(spark.read.parquet(s"$indexPath/shingles")
+        .select(col("id").as("b"), col("g").as("gb")), Seq("b"))
+      .select(col("a"), col("b"),
+        SimKernels.jaccardSimDistinct(col("ga"), col("gb")).as("j"))
+      .where(col("j") >= minJ)
+  }
+
   /** (id, tokens) -> near-duplicate pairs (a, b, hamming) with 64-bit
     * SimHash hamming distance <= maxHamming (<= 3 is exhaustive).
     *

@@ -157,6 +157,42 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("incremental dedup: a new batch checks against the persisted band " +
+    "index without re-hashing the corpus; append grows the index") {
+    import graft.functions.TextKernels
+    def sh = TextKernels.wordShingles2(TextKernels.wordTokens(col("text")))
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "completely different content about spark catalyst plans and shuffles"),
+      (3L, "yet another unrelated document mentioning parquet files and buckets")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bend"), // ~dup of 1
+      (11L, "a totally novel text that matches nothing in the stored corpus")
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-bandidx").toString + "/idx"
+    Dedup.writeBandIndex(corpus, "doc_id", sh, path)
+    val inc = Dedup.incrementalPairs(batch, "doc_id", sh, path, 0.7)
+      .as[(Long, Long, Double)].collect().toSet
+    // ground truth: the full-recompute pairs over corpus ∪ batch,
+    // restricted to cross (batch, corpus) pairs
+    val full = Dedup.minhashPairs(corpus.union(batch), "doc_id", sh, 0.7)
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => (a >= 10) != (b >= 10) }
+      .map { case (a, b, j) => (math.max(a, b), math.min(a, b), j) }.toSet
+    assert(inc == full, s"inc=$inc full=$full")
+    assert(inc.map(p => (p._1, p._2)) == Set((10L, 1L)))
+    // append the accepted batch: the NEXT batch dedups against it too
+    Dedup.writeBandIndex(batch, "doc_id", sh, path, append = true)
+    val batch2 = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog near the river bend")
+    ).toDF("doc_id", "text") // exact dup of 10, near-dup of 1
+    val inc2 = Dedup.incrementalPairs(batch2, "doc_id", sh, path, 0.7)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inc2.map(p => (p._1, p._2)) == Set((20L, 10L), (20L, 1L)), inc2.toString)
+    assert(inc2.find(_._2 == 10L).get._3 == 1.0) // identical shingle sets
+  }
+
   test("chunkTokens: overlapping windows, short-doc and empty-doc edges, " +
     "exact spans") {
     import graft.operators.Packing
