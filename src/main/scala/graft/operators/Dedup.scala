@@ -186,6 +186,29 @@ object Dedup {
       .agg(count(lit(1)).as("cnt"), min(col("id")).as("keeper"))
       .where(col("cnt") > 1)
 
+  /** Persist the exact-dup fingerprint index — the exact twin of
+    * [[writeBandIndex]]: (fp, id) written once, `append = true` per
+    * accepted batch. */
+  def writeFingerprintIndex(docs: DataFrame, id: String, text: Column,
+      path: String, append: Boolean = false): Unit =
+    spread(docs).select(TextKernels.fingerprint(text).as("fp"), col(id).as("id"))
+      .write.mode(if (append) "append" else "overwrite").parquet(path)
+
+  /** Exact duplicates of a NEW batch against a persisted
+    * [[writeFingerprintIndex]] corpus: (id, fp, keeper = min indexed id
+    * with the same fingerprint). One fingerprint pass over the batch plus
+    * one equi-join against the stored (fp, id) table — the corpus text is
+    * never re-read or re-hashed; the min runs over matched rows only. */
+  def incrementalExact(newDocs: DataFrame, id: String, text: Column,
+      indexPath: String): DataFrame = {
+    val fps = spread(newDocs)
+      .select(col(id).as("id"), TextKernels.fingerprint(text).as("fp"))
+    fps.join(newDocs.sparkSession.read.parquet(indexPath)
+        .select(col("fp"), col("id").as("__idx_id")), Seq("fp"))
+      .groupBy(col("id"), col("fp"))
+      .agg(min(col("__idx_id")).as("keeper"))
+  }
+
   /** Connected components over a near-duplicate pair list: (node, cluster)
     * where cluster = the minimum node id reachable through the pair graph.
     * This is the step that turns pairwise near-dup hits into dedup GROUPS —

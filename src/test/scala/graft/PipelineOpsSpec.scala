@@ -193,6 +193,29 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(inc2.find(_._2 == 10L).get._3 == 1.0) // identical shingle sets
   }
 
+  test("incremental exact dedup: batch fingerprints join the persisted " +
+    "index; keeper is the minimum indexed id") {
+    val corpus = Seq(
+      (5L, "Alpha, beta GAMMA!"), (9L, "alpha beta gamma"), // same fingerprint
+      (7L, "something else entirely")
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-fpidx").toString + "/idx"
+    Dedup.writeFingerprintIndex(corpus, "doc_id", col("text"), path)
+    val batch = Seq(
+      (20L, "ALPHA beta gamma"),   // exact dup (normalized) of 5 and 9
+      (21L, "fresh novel content")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalExact(batch, "doc_id", col("text"), path)
+      .select("id", "keeper").as[(Long, Long)].collect().toSet
+    assert(got == Set((20L, 5L)))
+    // append the accepted batch; a later re-submission of 21's text is a dup
+    Dedup.writeFingerprintIndex(batch, "doc_id", col("text"), path, append = true)
+    val again = Seq((30L, "Fresh  novel content.")).toDF("doc_id", "text")
+    val got2 = Dedup.incrementalExact(again, "doc_id", col("text"), path)
+      .select("id", "keeper").as[(Long, Long)].collect().toSet
+    assert(got2 == Set((30L, 21L)))
+  }
+
   test("chunkTokens: overlapping windows, short-doc and empty-doc edges, " +
     "exact spans") {
     import graft.operators.Packing
