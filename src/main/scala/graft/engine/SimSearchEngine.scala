@@ -48,7 +48,17 @@ object SimSearchEngine {
         * typed (id, value) rows for a bounded id set, enabling the
         * similarity matrix (A5) over in-situ attributes. None = no value
         * access (REST NRA sources) — the matrix rejects those clearly. */
-      values: Option[Seq[Any] => org.apache.spark.sql.DataFrame] = None)
+      values: Option[Seq[Any] => org.apache.spark.sql.DataFrame] = None,
+      /** A LAZY Spark-side kernel twin of the in-situ attribute, where one
+        * exists (S7 JDBC pushdown: the remote table is scannable, so the
+        * twin is just an unevaluated JDBC frame). [[search]] routes
+        * residual-filtered queries through it — the pushed `LIMIT M`
+        * bounds the remote list BEFORE a cross-attribute filter could
+        * apply, so filtering the bounded list can starve the top-k — and
+        * [[Catalog.get]] serves it for projection / filter references.
+        * None for REST sources, which genuinely have no scannable values
+        * (the reference's hard NRA restriction). */
+      local: Option[Facet] = None)
 
   /** Mounted-attribute catalog with listing (A8), append (the reference's
     * /append endpoint) and removal (A9). Holds both ingested facets
@@ -62,12 +72,15 @@ object SimSearchEngine {
     private var inSitu: Map[String, InSituFacet] =
       initialInSitu.map(f => f.name -> f).toMap
     def get(name: String): Facet = facets.getOrElse(name,
-      throw new IllegalArgumentException(
-        if (inSitu.contains(name))
-          s"attribute $name is mounted in-situ (REST or pushed JDBC) — it " +
-            "has no local values; it can be queried but not projected/" +
-            "filtered locally"
-        else s"attribute $name is not mounted"))
+      // pushed-JDBC in-situ attributes carry a lazy Spark-side twin, so
+      // projection and boolean filters referencing them keep working
+      // exactly as they did on the pre-pushdown mount path
+      inSitu.get(name).flatMap(_.local).getOrElse(
+        throw new IllegalArgumentException(
+          if (inSitu.contains(name))
+            s"attribute $name is mounted in-situ (REST) — it has no local " +
+              "values; it can be queried but not projected/filtered locally"
+          else s"attribute $name is not mounted")))
     def getInSitu(name: String): Option[InSituFacet] = inSitu.get(name)
     /** (name, operation) in the reference's operation vocabulary
       * (numerical_topk, ..., pivot_based; dictionaries list as such). */
@@ -315,7 +328,18 @@ object SimSearchEngine {
     //    lifetime: <= m rows, MEMORY_AND_DISK, shed by LRU — same story as
     //    RankAggregate's topM caches).
     val inSituByIdx: Map[Int, InSituFacet] = specs.zipWithIndex
-      .flatMap { case (s, i) => catalog.getInSitu(s.column).map(i -> _) }.toMap
+      .flatMap { case (s, i) =>
+        catalog.getInSitu(s.column)
+          // A residual filter composed with a remotely-BOUNDED top-M list
+          // is unsound: eligible candidates ranked below M remotely never
+          // cross the wire, so semi-joining the bounded list can starve
+          // the top-k. Route such queries through the exact Spark-side
+          // twin (the eligible semi-join then lands BEFORE the top-M
+          // bound). REST facets have no twin and keep their documented
+          // NRA semantics.
+          .filterNot(is => eligible.isDefined && is.local.isDefined)
+          .map(i -> _)
+      }.toMap
     val inSituBuilt: Map[Int, graft.operators.BoundFacet] =
       inSituByIdx.map { case (i, is) => i -> is.build(specs(i), m) }
     val dists: Seq[Option[DataFrame]] = specs.zipWithIndex.map { case (s, i) =>
@@ -436,11 +460,25 @@ object SimSearchEngine {
       }
     }
     val calibrated = specs.zip(scalesByIdx).map { case (s, sc) => s.copy(scale = Some(sc)) }
+    // cache: the ids frame feeds one collect plus |facets| joins below —
+    // uncached, each consumer would re-run the whole search (re-firing
+    // every remote top-M fetch for in-situ facets)
     val ids = search(spark, catalog, k, calibrated)
-      .where(col("combo") === 0).select(col("id"))
+      .where(col("combo") === 0).select(col("id")).cache()
     // value retrieval for in-situ facets: one bounded (<= K_MAX) id collect
     // feeds every remote value fetch
-    lazy val idSeq: Seq[Any] = ids.collect().map(_.get(0)).toSeq
+    val idSeq: Seq[Any] = ids.collect().map(_.get(0)).toSeq
+    // zero results => an empty k x k matrix, same graceful degradation as
+    // the local-facet path (the remote value fetch would reject an empty
+    // IN list)
+    if (idSeq.isEmpty) {
+      import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+      val idType = ids.schema("id").dataType
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("lid", idType), StructField("rid", idType),
+          StructField("sim", DoubleType))))
+    }
     val withVals = specs.zipWithIndex.foldLeft(ids) { case (acc, (s, i)) =>
       val vf = inSituByIdx.get(i) match {
         case Some(f) => f.values.get(idSeq)

@@ -46,7 +46,12 @@ object JdbcMount {
       qgram: Int = 3,
       ingest: Boolean = false)
 
-  def mount(spark: SparkSession, spec: JdbcSpec): Facet = {
+  /** @param keepRaw also retain the remote table's raw columns (minus any
+    *   literally named id/value) alongside the typed (id, value) pair, so a
+    *   query-time boolean filter written against REMOTE column names — the
+    *   form the pushed path forwards verbatim — evaluates on the local
+    *   kernel path too. Used by [[mountInSitu]]'s local twin. */
+  def mount(spark: SparkSession, spec: JdbcSpec, keepRaw: Boolean = false): Facet = {
     val reader0 = spark.read.format("jdbc")
       .option("url", spec.url)
       .option("dbtable", spec.table)
@@ -65,8 +70,15 @@ object JdbcMount {
       case other => throw new IllegalArgumentException(s"unsupported JDBC operation $other")
     }
     // P1/P4: prune to (key, value) and drop NULLs — both push into the
-    // remote query (SELECT key, value ... WHERE value IS NOT NULL).
-    var df = raw.select(id, valueExpr.as("value")).na.drop(Seq("id", "value"))
+    // remote query (SELECT key, value ... WHERE value IS NOT NULL). Extra
+    // raw columns (keepRaw) are referenced only by query-time filters, so
+    // Catalyst still prunes them out of the remote scan when unused.
+    val extras = if (!keepRaw) Seq.empty
+      else raw.columns.toSeq
+        .filterNot(c => c.equalsIgnoreCase("id") || c.equalsIgnoreCase("value"))
+        .map(col)
+    var df = raw.select(id +: valueExpr.as("value") +: extras: _*)
+      .na.drop(Seq("id", "value"))
     if (spec.ingest) df = df.cache() // S8
     Facet(AttributeSpec(spec.valueColumn, op, spec.tokenDelimiter, spec.qgram), df)
   }
@@ -83,10 +95,34 @@ object JdbcMount {
     else s"FETCH FIRST $m ROWS ONLY"
   }
 
+  /** Dialect spelling of "this column as a double" — `CAST(x AS DOUBLE)` is
+    * NOT portable: Postgres only knows DOUBLE PRECISION, MySQL < 8.0.17 and
+    * SQLite reject AS DOUBLE outright, Oracle's IEEE type is BINARY_DOUBLE.
+    * MySQL/MariaDB use `(x + 0e0)` (a double-literal addition), valid on
+    * every released version and yielding true double arithmetic. */
+  private def numericCastExpr(url: String, column: String): String = {
+    val u = url.toLowerCase
+    if (u.startsWith("jdbc:postgresql")) s"CAST($column AS DOUBLE PRECISION)"
+    else if (u.startsWith("jdbc:mysql") || u.startsWith("jdbc:mariadb")) s"($column + 0e0)"
+    else if (u.startsWith("jdbc:sqlite")) s"CAST($column AS REAL)"
+    else if (u.startsWith("jdbc:sqlserver")) s"CAST($column AS FLOAT)"
+    else if (u.startsWith("jdbc:oracle")) s"CAST($column AS BINARY_DOUBLE)"
+    else s"CAST($column AS DOUBLE)" // SQL standard: Derby, H2, DB2
+  }
+
   /** Dialect expression converting a SQL timestamp column to epoch
     * milliseconds — the unit the temporal kernel scores in. None = the
     * dialect has no portable expression; the mount falls back to the
-    * Spark-side kernel path. */
+    * Spark-side kernel path.
+    *
+    * Time-zone contract: Postgres EXTRACT(EPOCH) and MySQL UNIX_TIMESTAMP
+    * interpret a zone-less DATETIME/timestamp in the CONNECTION's session
+    * time zone — deployments must pin it to UTC on the JDBC URL
+    * (`?serverTimezone=UTC` / `options=-c%20TimeZone%3DUTC`) for remote
+    * distances to equal the Spark-side epoch-ms kernel, which parses in
+    * UTC. MySQL's UNIX_TIMESTAMP keeps the fractional-seconds part when the
+    * column declares one (it returns DECIMAL for fsp > 0), so no precision
+    * is lost versus Postgres' fraction-preserving EXTRACT. */
   private def epochMsExpr(url: String, column: String): Option[String] = {
     val u = url.toLowerCase
     if (u.startsWith("jdbc:postgresql"))
@@ -94,6 +130,23 @@ object JdbcMount {
     else if (u.startsWith("jdbc:mysql") || u.startsWith("jdbc:mariadb"))
       Some(s"(UNIX_TIMESTAMP($column) * 1000.0)")
     else None
+  }
+
+  /** The id tie-break term of the pushed ORDER BY. For string keys the
+    * remote's default collation (Postgres locale-aware, MySQL
+    * case-insensitive) need not match Spark's binary UTF-8 order, so the
+    * candidate list could differ from [[graft.operators.FacetSearch.topM]]
+    * on distance ties at the M boundary — force a binary collation where
+    * the dialect has one. Derby/H2/DB2 default to Unicode-codepoint order
+    * (UCS_BASIC), which already equals UTF-8 byte order, and non-string
+    * keys compare numerically everywhere, so those keep the plain ordinal. */
+  private def idOrderTerm(url: String, keyColumn: String, keyIsString: Boolean): String = {
+    val u = url.toLowerCase
+    if (!keyIsString) "1"
+    else if (u.startsWith("jdbc:postgresql")) s"""$keyColumn COLLATE "C""""
+    else if (u.startsWith("jdbc:mysql") || u.startsWith("jdbc:mariadb")) s"BINARY $keyColumn"
+    else if (u.startsWith("jdbc:sqlserver")) s"$keyColumn COLLATE Latin1_General_BIN2"
+    else "1"
   }
 
   /** Whether this spec's per-query distance top-M can be composed as a
@@ -119,14 +172,14 @@ object JdbcMount {
     * literal), shared by the top-M statement and the random-access lookup. */
   private def distParts(spec: JdbcSpec, value: Any): (String, String) = {
     def numLit(v: Any): String = v match {
-      case "max" => s"(SELECT MAX(CAST(${spec.valueColumn} AS DOUBLE)) FROM ${spec.table})" // F12
+      case "max" => s"(SELECT MAX(${numericCastExpr(spec.url, spec.valueColumn)}) FROM ${spec.table})" // F12
       case d: Double => d.toString
       case i: Int    => i.toDouble.toString
       case s: String => s.trim.toDouble.toString
       case bad => throw new IllegalArgumentException(s"bad numeric query $bad")
     }
     spec.operation match {
-      case "numerical_topk" => (s"CAST(${spec.valueColumn} AS DOUBLE)", numLit(value))
+      case "numerical_topk" => (numericCastExpr(spec.url, spec.valueColumn), numLit(value))
       case "temporal_topk" =>
         val epochMs = value match {
           case s: String => CsvMount.parseDatetimeMs(s).getOrElse(
@@ -141,12 +194,14 @@ object JdbcMount {
   }
 
   private[graft] def topMSql(spec: JdbcSpec, value: Any, m: Int,
-      filter: Option[String]): String = {
+      filter: Option[String], keyIsString: Boolean = false): String = {
     val (valueExpr, queryLit) = distParts(spec, value)
     val where = (s"${spec.valueColumn} IS NOT NULL" +: filter.map(f => s"($f)").toSeq)
       .mkString(" AND ")
     s"SELECT ${spec.keyColumn} AS id, ABS($valueExpr - $queryLit) AS d " +
-      s"FROM ${spec.table} WHERE $where ORDER BY 2, 1 ${limitClause(spec.url, m)}"
+      s"FROM ${spec.table} WHERE $where " +
+      s"ORDER BY 2, ${idOrderTerm(spec.url, spec.keyColumn, keyIsString)} " +
+      limitClause(spec.url, m)
   }
 
   /** Max ids per remote IN list (the classic dialect-safe bound). */
@@ -187,7 +242,7 @@ object JdbcMount {
   def valuesFrame(spark: SparkSession, spec: JdbcSpec, ids: Seq[Any]): DataFrame = {
     require(ids.nonEmpty, "value retrieval needs at least one id")
     val valueExpr = spec.operation match {
-      case "numerical_topk" => s"CAST(${spec.valueColumn} AS DOUBLE)"
+      case "numerical_topk" => numericCastExpr(spec.url, spec.valueColumn)
       case "temporal_topk"  => epochMsExpr(spec.url, spec.valueColumn).getOrElse(
         throw new IllegalArgumentException(
           s"no epoch expression for ${spec.url} — temporal values not retrievable"))
@@ -227,10 +282,10 @@ object JdbcMount {
     * result is at most m rows of (id, d); a positional rename absorbs
     * dialect case-folding (Derby/Oracle return ID/D). */
   def topMFrame(spark: SparkSession, spec: JdbcSpec, value: Any, m: Int,
-      filter: Option[String]): DataFrame = {
+      filter: Option[String], keyIsString: Boolean = false): DataFrame = {
     val reader0 = spark.read.format("jdbc")
       .option("url", spec.url)
-      .option("query", topMSql(spec, value, m, filter))
+      .option("query", topMSql(spec, value, m, filter, keyIsString))
     val reader1 = spec.driver.fold(reader0)(d => reader0.option("driver", d))
     val reader2 = spec.user.fold(reader1)(u => reader1.option("user", u))
     val reader = spec.password.fold(reader2)(p => reader2.option("password", p))
@@ -244,17 +299,26 @@ object JdbcMount {
     * scale and estimates weights from the bounded list exactly as it does
     * for ingested facets, and the attached random-access [[lookupFrame]]
     * completes the list with exact distances for any mixed-query candidate
-    * the M rows miss — so answers are identical to the Spark-side kernel
-    * path in every case, not just when M covers the candidate union. */
+    * the M rows miss — so per-condition queries answer identically to the
+    * Spark-side kernel path. A LAZY local twin (a keep-raw [[mount]], never
+    * evaluated unless used) rides along as `local`: the engine routes
+    * residual-filtered queries through it — a cross-attribute filter applied
+    * AFTER the remote `LIMIT M` could starve the top-k, since eligible rows
+    * ranked below M remotely never cross the wire — and the catalog serves
+    * it for projection / filter references to this attribute. */
   def mountInSitu(spark: SparkSession, spec: JdbcSpec)
       : graft.engine.SimSearchEngine.InSituFacet = {
     require(supportsPushdown(spec),
       s"operation ${spec.operation} has no SQL pushdown for ${spec.url}")
+    val twin = mount(spark, spec, keepRaw = true)
+    val keyIsString =
+      twin.df.schema("id").dataType == org.apache.spark.sql.types.StringType
     graft.engine.SimSearchEngine.InSituFacet(spec.valueColumn, spec.operation,
       (s, m) => graft.operators.BoundFacet(spec.valueColumn,
-        topMFrame(spark, spec, s.value, m, s.filter),
+        topMFrame(spark, spec, s.value, m, s.filter, keyIsString),
         Seq(1.0), s.decay, scale = None, jaccard = false, preScored = false,
         lookup = Some(ids => lookupFrame(spark, spec, s.value, ids, s.filter))),
-      values = Some(ids => valuesFrame(spark, spec, ids)))
+      values = Some(ids => valuesFrame(spark, spec, ids)),
+      local = Some(twin))
   }
 }

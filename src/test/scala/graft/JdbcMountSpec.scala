@@ -292,14 +292,60 @@ class JdbcMountSpec extends SparkTestBase {
       val catalog = new Catalog(Seq.empty)
       val n = graft.engine.RequestParser.mountInto(spark, tmp.toString, catalog)
       assert(n == 1)
-      // in-situ: no local (id, value) frame exists for the attribute
-      val e = intercept[IllegalArgumentException](catalog.get("PRICE"))
-      assert(e.getMessage.contains("in-situ"))
+      // the pushed mount keeps a lazy Spark-side twin in the catalog, so
+      // projection / filter references to the attribute still resolve
+      // (previously-working mount files must not regress)
+      val twin = catalog.get("PRICE")
+      assert(twin.df.columns.contains("value"))
+      assert(twin.df.where(col("value") > 990.0).count() == 1)
       val res = SimSearchEngine.search(spark, catalog, 5,
         Seq(SearchSpec("PRICE", 503.0, Seq(1.0)))).collect()
       assert(res.length == 5 &&
         res.head.get(res.head.fieldIndex("id")) == 50)
     } finally java.nio.file.Files.delete(tmp)
+  }
+
+  test("P3: a residual filter reroutes the pushed facet onto its exact " +
+    "Spark-side twin (a filtered bounded list could starve the top-k)") {
+    // query 10.0 on `big` (3000 rows): the pushed top-M (m = 1000k = 2000)
+    // holds ids 1..2000; the filter admits ONLY ids outside that list, so
+    // semi-joining the bounded remote list would return nothing — the twin
+    // path applies the filter BEFORE the top-M bound and stays exact
+    val price = JdbcSpec(url, "big", "ITEM_ID", "PRICE", "numerical_topk")
+    val inSitu = new Catalog(Seq.empty, Seq(JdbcMount.mountInSitu(spark, price)))
+    val allSpark = new Catalog(Seq(JdbcMount.mount(spark, price)))
+    val specs = Seq(SearchSpec("PRICE", 10.0, Seq(1.0)))
+    val filter = Some("PRICE > 2490")
+    val a = SimSearchEngine.search(spark, inSitu, 5, specs, filter).collect()
+    val b = SimSearchEngine.search(spark, allSpark, 5, specs, filter).collect()
+    assert(a.length == 5, "the residual-filtered in-situ query starved")
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    val ids = a.map(r => r.get(r.fieldIndex("id")).asInstanceOf[Int])
+    assert(ids.toSeq == Seq(2491, 2492, 2493, 2494, 2495), ids.toSeq)
+  }
+
+  test("Q6: dialect templates — numeric cast and binary id collation") {
+    val spec = JdbcSpec(url, "items", "ITEM_ID", "PRICE", "numerical_topk")
+    // CAST(x AS DOUBLE) is not portable: each dialect gets its own spelling
+    assert(JdbcMount.topMSql(spec.copy(url = "jdbc:postgresql://h/db"), 1.0, 7, None)
+      .contains("CAST(PRICE AS DOUBLE PRECISION)"))
+    assert(JdbcMount.topMSql(spec.copy(url = "jdbc:mysql://h/db"), 1.0, 7, None)
+      .contains("(PRICE + 0e0)"))
+    assert(JdbcMount.topMSql(spec.copy(url = "jdbc:sqlite:f.db"), 1.0, 7, None)
+      .contains("CAST(PRICE AS REAL)"))
+    assert(JdbcMount.topMSql(spec, 1.0, 7, None).contains("CAST(PRICE AS DOUBLE)"))
+    // string keys order by a forced binary collation where the dialect has
+    // one, so distance ties at the M boundary break like Spark's UTF-8
+    // order; numeric keys keep the plain ordinal everywhere
+    val skey = spec.copy(keyColumn = "NAME")
+    assert(JdbcMount.topMSql(skey.copy(url = "jdbc:postgresql://h/db"), 1.0, 7,
+      None, keyIsString = true).contains("""ORDER BY 2, NAME COLLATE "C""""))
+    assert(JdbcMount.topMSql(skey.copy(url = "jdbc:mysql://h/db"), 1.0, 7,
+      None, keyIsString = true).contains("ORDER BY 2, BINARY NAME"))
+    assert(JdbcMount.topMSql(skey, 1.0, 7, None, keyIsString = true)
+      .contains("ORDER BY 2, 1"), "Derby UCS_BASIC already equals UTF-8 order")
+    assert(JdbcMount.topMSql(skey.copy(url = "jdbc:postgresql://h/db"), 1.0, 7,
+      None, keyIsString = false).contains("ORDER BY 2, 1"))
   }
 
   test("S8: ingest-on-mount caches the typed facet") {
