@@ -30,15 +30,19 @@ final case class BoundFacet(
     // the reference's NRA lower-bound semantics for in-situ REST sources
     // (SearchHandler.java:296-307). decay/scale/jaccard are ignored.
     preScored: Boolean = false,
-    // Random-access lookup for a BOUNDED distance facet (S7 JDBC pushdown):
-    // given candidate ids absent from `dist`, fetch their exact (id, d)
-    // rows from the source — the rebuild of the reference's in-situ lookup
-    // step (insitu/SimSearchJdbcQuery.java:177 multi-value retrieval
-    // template, fired during random access, :216,332). The id set is
-    // bounded by the candidate union (<= m * |facets| <= 50k), the same
-    // driver-side bound the reference's in-memory lookup carries. None =
-    // no random access (REST NRA facets, and full local facets which never
-    // need it — their `dist` stream is complete).
+    // Random-access lookup for a BOUNDED facet: given candidate ids absent
+    // from `dist`, fetch their exact (id, d) rows from the source — the
+    // rebuild of the reference's in-situ lookup step
+    // (insitu/SimSearchJdbcQuery.java:177 multi-value retrieval template
+    // for JDBC; ranking/randomaccess/NumericalValueFinder.java:25-41 for
+    // REST). For a distance facet (S7 JDBC pushdown) the rows are raw
+    // distances, decayed by the aggregator with the facet's scale; for a
+    // preScored facet (S9 ES) they are already similarities on the list's
+    // own scale and join it as-is. The id set is bounded by the candidate
+    // union (<= m * |facets| <= 50k), the same driver-side bound the
+    // reference's in-memory lookup carries. None = no random access
+    // (value-less sources, and full local facets which never need it —
+    // their `dist` stream is complete).
     lookup: Option[Seq[Any] => DataFrame] = None)
 
 object FacetSearch {

@@ -147,21 +147,43 @@ object RankAggregate {
     val perFacet = facets.zipWithIndex.map { case (f, i) =>
       // NRA facets join their bounded ranked list (their whole knowledge);
       // full facets stream their complete decayed scores; bounded facets
-      // WITH random access (S7 JDBC pushdown) complete their list by
-      // looking up the candidates it misses — the reference's in-situ
-      // look-up step (SimSearchJdbcQuery.java:216,332). The missing-id
-      // collect is bounded by the candidate union (<= m * |facets|), the
-      // same bound every other calibration read carries.
+      // WITH random access complete their list by looking up the
+      // candidates it misses — the reference's in-situ look-up step
+      // (SimSearchJdbcQuery.java:216,332 for JDBC; ranking/randomaccess/
+      // NumericalValueFinder.java:25-41 for REST). A pre-scored facet's
+      // lookup returns ids already ON its similarity scale (no decay
+      // applies); a distance facet's lookup rows decay with its scale.
+      // The missing-id collect is bounded by the candidate union
+      // (<= m * |facets|), the same bound every other calibration read
+      // carries.
+      def missingIds: Seq[Any] = cands
+        .join(topMs(i).select(col("id")), Seq("id"), "left_anti")
+        .collect().map(_.get(0)).toSeq
+      // Guard on the fetched rows: a source that returns ids already in the
+      // ranked list (only misbehaving remotes do, but the cost of one is a
+      // silently corrupted score) would double-count in the conditional-sum
+      // pivot below, which relies on AT MOST ONE row per (id, facet). The
+      // anti-join re-establishes the invariant at <= m x m cost.
+      def dedupFetched(fetched: DataFrame): DataFrame =
+        fetched.join(topMs(i).select(col("id")), Seq("id"), "left_anti")
       val stream =
-        if (f.preScored) topMs(i).select(col("id"), col("d").as("s"))
+        if (f.preScored) {
+          val list = topMs(i).select(col("id"), col("d").as("s"))
+          f.lookup match {
+            case Some(fetch) =>
+              val missing = missingIds
+              if (missing.isEmpty) list
+              else list.union(dedupFetched(fetch(missing).toDF("id", "s")))
+            case None => list
+          }
+        }
         else f.lookup match {
           case Some(fetch) =>
-            val missing = cands
-              .join(topMs(i).select(col("id")), Seq("id"), "left_anti")
-              .collect().map(_.get(0)).toSeq
+            val missing = missingIds
             val dist = topMs(i).select(col("id"), col("d"))
             val completed =
-              if (missing.isEmpty) dist else dist.union(fetch(missing))
+              if (missing.isEmpty) dist
+              else dist.union(dedupFetched(fetch(missing).toDF("id", "d")))
             FacetSearch.decayedWithScale(f.copy(dist = completed), scales(i))
           case None => FacetSearch.decayedWithScale(f, scales(i))
         }

@@ -117,10 +117,13 @@ class EsRestSourceSpec extends SparkTestBase {
     assert(q.get("query").get("match").get("persons").asText() == """say "hello" \now""")
   }
 
-  test("mixed query: an ES facet aggregates with a local facet under NRA semantics") {
+  test("mixed query: an ES facet aggregates with a local facet; an id the " +
+    "index does not know yields no lookup row => similarity 0") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val (port, _, stop) = stubEs(cannedHits) // ranked: a1 .97, a2 .85, a3 .41
+    // ranked: a1 .97, a2 .85, a3 .41; a4 exists only locally — its lookup
+    // finds nothing, so its ES contribution is 0 (missing-value contract)
+    val (port, _, stop) = scoringStub(Seq("a1" -> 0.97, "a2" -> 0.85, "a3" -> 0.41))
     try {
       val esFacet = EsRestSource.facet(spark, s"http://127.0.0.1:$port", "articles",
         SimOp.Numerical, "article_id", "positive_sentiment", "3.95", 50, Seq(0.5))
@@ -157,6 +160,100 @@ class EsRestSourceSpec extends SparkTestBase {
         SimOp.Numerical, "article_id", "persons", "1", 10, Seq(1.0))
       val gd = fd.dist.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
       assert(gd("a1") == 8.4) // pass-through (stub score; real decay <= 1)
+    } finally stop()
+  }
+
+  /** A stub that actually SERVES queries over a tiny corpus: the main
+    * ranked query returns the top-`size` ids by score; a lookup body (bool
+    * + terms filter on article_id) returns exactly the requested ids'
+    * scores — what a real ES does for a filter-context restriction. */
+  private def scoringStub(corpus: Seq[(String, Double)])
+      : (Int, java.util.List[String], () => Unit) = {
+    val received = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val byId = corpus.toMap
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/articles/_search", (x: HttpExchange) => {
+      val body = new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      received.add(body)
+      val root = mapper.readTree(body)
+      val terms = root.path("query").path("bool").path("filter").path(0)
+        .path("terms").path("article_id")
+      val hits =
+        if (terms.isArray) {
+          import scala.jdk.CollectionConverters._
+          terms.elements().asScala.map(_.asText()).toSeq
+            .flatMap(id => byId.get(id).map(id -> _))
+        } else {
+          val size = root.path("size").asInt(10)
+          corpus.sortBy(-_._2).take(size)
+        }
+      val out = hits.map { case (id, s) =>
+        s"""{"_score": $s, "_source": {"article_id": "$id", "v": "x"}}"""
+      }.mkString("""{"hits": {"hits": [""", ",", "]}}").getBytes(StandardCharsets.UTF_8)
+      x.getResponseHeaders.add("Content-Type", "application/json")
+      x.sendResponseHeaders(200, out.length)
+      x.getResponseBody.write(out)
+      x.close()
+    })
+    server.start()
+    (server.getAddress.getPort, received, () => server.stop(0))
+  }
+
+  test("Q7: random access completes the ES list — a mixed-query candidate " +
+    "outside the M-list gets its exact looked-up score (IValueFinder parity)") {
+    import spark.implicits._
+    // ES knows a1 .9, a2 .8, a3 .7; the facet's bounded list holds only the
+    // top 2, so a3's ES knowledge exists ONLY via the terms lookup
+    val (port, received, stop) = scoringStub(Seq("a1" -> 0.9, "a2" -> 0.8, "a3" -> 0.7))
+    try {
+      val esFacet = EsRestSource.facet(spark, s"http://127.0.0.1:$port", "articles",
+        SimOp.Numerical, "article_id", "v", "5", m = 2, Seq(0.5))
+      assert(esFacet.dist.count() == 2, "the bounded list must hold m = 2 rows")
+      val local = graft.operators.BoundFacet("local",
+        Seq(("a3", 0.0)).toDF("id", "d"), Seq(0.5), scale = Some(1.0))
+      val got = graft.operators.RankAggregate
+        .topK(spark, Seq(local, esFacet), 3, 10)
+        .select("id", "score").as[(String, Double)].collect().toMap
+      // a3: local 1.0 (d = 0), ES 0.7 via lookup -> 0.85. Pure NRA would
+      // have scored it 0.5 (ES contribution 0) — the old round-8 semantics.
+      assert(got("a3") == 0.85, s"lookup did not complete the ES list: $got")
+      assert(got("a1") == 0.45 && got("a2") == 0.4)
+      // the wire shows a second, terms-restricted request for exactly a3
+      val lookupBodies = received.asInstanceOf[java.util.List[String]]
+      import scala.jdk.CollectionConverters._
+      val termsReqs = lookupBodies.asScala.filter(_.contains("\"terms\""))
+      assert(termsReqs.size == 1)
+      val tq = mapper.readTree(termsReqs.head)
+      assert(tq.path("query").path("bool").path("filter").path(0)
+        .path("terms").path("article_id").path(0).asText() == "a3")
+      // the scoring core rides along so the lookup scores on the SAME basis
+      assert(tq.path("query").path("bool").path("must").path(0)
+        .path("function_score").isObject)
+    } finally stop()
+  }
+
+  test("Q7: looked-up match scores normalize against the MAIN list's top, " +
+    "sharing one scale; user filter contexts compose into the lookup") {
+    import spark.implicits._
+    val (port, _, stop) = scoringStub(Seq("a1" -> 8.0, "a2" -> 4.0, "a3" -> 2.0))
+    try {
+      val esFacet = EsRestSource.facet(spark, s"http://127.0.0.1:$port", "articles",
+        SimOp.Textual, "article_id", "v", "joe", m = 2, Seq(1.0))
+      // main list max-normalized: a1 1.0, a2 0.5
+      val listScores = esFacet.dist.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      assert(listScores == Map("a1" -> 1.0, "a2" -> 0.5))
+      // lookup of a3 (BM25 2.0) normalizes by the main top 8.0, not by its
+      // own chunk's max — one scale across both row sources
+      val looked = esFacet.lookup.get(Seq("a3")).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toMap
+      assert(looked == Map("a3" -> 0.25), looked.toString)
+      // filter context composes: terms AND the user's object filter
+      val body = EsRestSource.buildLookupQuery(SimOp.Textual, "article_id", "v",
+        "joe", Seq("a3"), Some("""{"term": {"source": "cnn"}}"""))
+      val q = mapper.readTree(body)
+      assert(q.path("query").path("bool").path("filter").path(0).path("terms").isObject)
+      assert(q.path("query").path("bool").path("filter").path(1).path("term")
+        .path("source").asText() == "cnn")
     } finally stop()
   }
 

@@ -147,14 +147,24 @@ class MultiSourceMountSpec extends SparkTestBase {
 
       // the wiring carried the token-set value into the ES match DSL and
       // clamped the request size to the discovered max_result_window
-      val esBody = mapper.readTree(received.get(received.size() - 1))
+      // (the random-access lookup fires AFTER the main query, so find the
+      // main body by shape rather than by position)
+      import scala.jdk.CollectionConverters._
+      val bodies = received.asScala.filterNot(_.startsWith("AUTH:")).toSeq
+      val esBody = mapper.readTree(bodies
+        .find(b => mapper.readTree(b).path("query").has("match")).get)
       assert(esBody.get("query").get("match").get("keywords").asText() == "acme corp")
       assert(esBody.get("size").asInt() == 2500,
         "m = 3 * 1000 must clamp to the discovered window 2500")
-      // username/password became HTTP basic auth on the search request
+      // the mixed query also fired the terms-restricted random-access
+      // lookup for candidates outside the ES list
+      assert(bodies.exists(_.contains("\"terms\"")),
+        "expected an IValueFinder-style terms lookup request")
+      // username/password became HTTP basic auth on EVERY request
       val expectedAuth = "Basic " + java.util.Base64.getEncoder
         .encodeToString("esUser:esPass".getBytes(StandardCharsets.UTF_8))
-      assert(received.get(received.size() - 2) == s"AUTH:$expectedAuth")
+      assert(received.asScala.filter(_.startsWith("AUTH:"))
+        .forall(_ == s"AUTH:$expectedAuth"))
     } finally { svc.stop(); stopEs() }
   }
 
