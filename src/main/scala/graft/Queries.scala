@@ -448,8 +448,12 @@ object Queries {
   }
 
   /** DuckDB CTE chain mirroring Dedup.minhashPairs over any shingle CTE
-    * chain ending in `sh(doc_id, g)`; the final CTE is `prs(a, b, j)`. */
-  private def minhashPairsCtes(shingleCtes: String, minJ: Double): String = {
+    * chain ending in `sh(doc_id, g)`; the final CTE is `prs(a, b, j)`.
+    * `candPred` decides which (x, y) band collisions become candidates:
+    * the default self-join half-matrix, or a batch-vs-corpus split for the
+    * incremental-index mirror. */
+  private def minhashPairsCtes(shingleCtes: String, minJ: Double,
+      candPred: String = "x.doc_id < y.doc_id"): String = {
     val sigs = (0 until Dedup.NumHashes)
       .map(i => s"list_min(list_transform(hv, h -> substr(h, ${i + 1}, 8))) AS s_$i").mkString(",\n  ")
     val bands = (0 until Dedup.NumBands).map { b =>
@@ -464,7 +468,7 @@ object Queries {
        |FROM hv),
        |band AS (SELECT doc_id, $bands FROM sig),
        |cand AS (SELECT x.doc_id AS a, y.doc_id AS b FROM band x, band y
-       |         WHERE x.doc_id < y.doc_id AND ($bandEq)),
+       |         WHERE ($candPred) AND ($bandEq)),
        |prs AS (SELECT c.a, c.b, ${sqlJaccard("sa.g", "sb.g")} AS j
        |FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
        |WHERE ${sqlJaccard("sa.g", "sb.g")} >= $minJ)""".stripMargin
@@ -479,6 +483,32 @@ object Queries {
   private val dedupMinhashSql = minhashPairsSql(
     s"""tk AS (SELECT doc_id, ${sqlWords("text")} AS w FROM documents),
        |sh AS (SELECT doc_id, ${sqlShingles2("w")} AS g FROM tk)""".stripMargin, 0.8)
+
+  // -- INCREMENTAL near-dup dedup against a persisted band index (the
+  //    production ingestion shape): the even-id half of the corpus is
+  //    indexed ONCE (writeBandIndex: exploded band keys + shingle sets as
+  //    parquet), then the odd-id half arrives as a new batch and dedups
+  //    against the stored index via incrementalPairs — the indexed corpus
+  //    is never re-hashed. The oracle expresses the same batch x corpus
+  //    band join directly over `documents`; results match because the
+  //    index holds exactly the corpus half's band keys and shingles.
+  private val dedupIncr: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val shingles = TextKernels.wordShingles2(TextKernels.wordTokens(col("text")))
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-bandidx-" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+    Dedup.writeBandIndex(docs.where(col("doc_id") % 2 === 0), "doc_id", shingles, path)
+    Dedup.incrementalPairs(docs.where(col("doc_id") % 2 === 1), "doc_id",
+        shingles, path, 0.8)
+      .orderBy(col("a"), col("b"))
+  }
+
+  private val dedupIncrSql =
+    s"""WITH ${minhashPairsCtes(
+      s"""tk AS (SELECT doc_id, ${sqlWords("text")} AS w FROM documents),
+         |sh AS (SELECT doc_id, ${sqlShingles2("w")} AS g FROM tk)""".stripMargin, 0.8,
+      candPred = "x.doc_id % 2 = 1 AND y.doc_id % 2 = 0")}
+       |SELECT a, b, j FROM prs ORDER BY a, b""".stripMargin
 
   // -- n-gram Jaccard near-dup: same banded MinHash pipeline over character
   //    10-gram shingles of the 200-char head window (catches near-dups that
@@ -656,14 +686,55 @@ object Queries {
       |  ON md5(d.text) = f.text_md5
       |ORDER BY d.doc_id""".stripMargin
 
-  // -- exact-duplicate groups + per-document fingerprints
+  // -- exact-duplicate groups + per-document fingerprints. The synthetic
+  //    corpus contains NO exact duplicates (a 0-row oracle would prove only
+  //    that both engines find nothing), so every 50th document is
+  //    re-inserted under a shifted id: the groups found are exactly those
+  //    plants, keeper = the original id.
+  private val PlantOffset = 1000000L
+
+  private def withPlantedDups(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    base.unionByName(base.where(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + PlantOffset).as("doc_id"), col("text")))
+  }
+
+  private val plantedDupsSql =
+    s"""SELECT doc_id, text FROM documents
+       |UNION ALL SELECT doc_id + $PlantOffset AS doc_id, text
+       |FROM documents WHERE doc_id % 50 = 0""".stripMargin
+
   private val dedupExact: (SparkSession, String) => DataFrame = (s, dir) =>
-    Dedup.exactGroups(spread(t(s, dir, "documents")), "doc_id", col("text")).orderBy(col("fp"))
+    Dedup.exactGroups(spread(withPlantedDups(t(s, dir, "documents"))),
+      "doc_id", col("text")).orderBy(col("fp"))
 
   private val dedupExactSql =
     s"""SELECT fp, count(*) AS cnt, min(doc_id) AS keeper
-       |FROM (SELECT doc_id, ${sqlFingerprint("text")} AS fp FROM documents)
+       |FROM (SELECT doc_id, ${sqlFingerprint("text")} AS fp FROM ($plantedDupsSql))
        |GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin
+
+  // -- INCREMENTAL exact dedup against a persisted fingerprint index: the
+  //    full corpus is fingerprint-indexed once, then the planted copies
+  //    arrive as a new batch — each one's keeper is its original document,
+  //    found by one equi-join against the stored (fp, id) table; the
+  //    corpus text is never re-read.
+  private val dedupIncrExact: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-fpidx-" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+    Dedup.writeFingerprintIndex(docs, "doc_id", col("text"), path)
+    val batch = docs.where(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + PlantOffset).as("doc_id"), col("text"))
+    Dedup.incrementalExact(batch, "doc_id", col("text"), path)
+      .orderBy(col("id"))
+  }
+
+  private val dedupIncrExactSql =
+    s"""WITH fps AS (SELECT doc_id, ${sqlFingerprint("text")} AS fp FROM documents)
+       |SELECT b.doc_id + $PlantOffset AS id, b.fp, min(c.doc_id) AS keeper
+       |FROM fps b JOIN fps c ON b.fp = c.fp
+       |WHERE b.doc_id % 50 = 0
+       |GROUP BY b.doc_id, b.fp ORDER BY id""".stripMargin
 
   private val fingerprintQ: (SparkSession, String) => DataFrame = (s, dir) =>
     spread(t(s, dir, "documents"))
@@ -966,7 +1037,9 @@ object Queries {
     // pay pure file-committer overhead; the pruning ratio (probes/2^nBits)
     // and the plan shape are identical at any width
     graft.operators.AnnIndex.buildLsh(e, "vec_id", col("v"), 64, path, nBits = 6)
-    graft.operators.AnnIndex.lshTopK(s, path, "vec_id", qv, 5, nBits = 6, probes = 4)
+    // nBits/seed come from the index's own metadata sidecar — no caller
+    // parameters to go stale
+    graft.operators.AnnIndex.lshTopK(s, path, "vec_id", qv, 5, probes = 4)
   }
 
   // -- IVF ANN: nearest-centroid assignment, 2-probe, exact cosine re-rank.
@@ -997,8 +1070,8 @@ object Queries {
     val path = new java.io.File(sys.props("java.io.tmpdir"),
       "graft-ivfidx-" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
     graft.operators.AnnIndex.buildIvf(e, "vec_id", col("v"), ivfCentroids, path)
-    graft.operators.AnnIndex.ivfTopK(s, path, "vec_id", ivfCentroids,
-      queryVec(s, dir), 10, 2)
+    // centroids come from the index's own metadata sidecar
+    graft.operators.AnnIndex.ivfTopK(s, path, "vec_id", queryVec(s, dir), 10, 2)
   }
 
   private val annIvfSql = {
@@ -1531,6 +1604,8 @@ object Queries {
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_ngram"   -> dedupNgram,
     "q_dedup_exact"   -> dedupExact,
+    "q_dedup_incr"    -> dedupIncr,
+    "q_dedup_incr_exact" -> dedupIncrExact,
     "q_fingerprint"   -> fingerprintQ,
     "q_simhash"       -> simhashQ,
     "q_text_stats"    -> textStats,
@@ -1586,6 +1661,8 @@ object Queries {
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_ngram"   -> dedupNgramSql,
     "q_dedup_exact"   -> dedupExactSql,
+    "q_dedup_incr"    -> dedupIncrSql,
+    "q_dedup_incr_exact" -> dedupIncrExactSql,
     "q_fingerprint"   -> fingerprintSql,
     "q_simhash"       -> simhashSql,
     "q_text_stats"    -> textStatsSql,

@@ -119,7 +119,7 @@ object ScaleProbe {
         mult.toLong
       }
       val tIdxProbe = timeIt {
-        AnnIndex.lshTopK(spark, idxPath, "vec_id", qv, 10, nBits = 6, probes = 4).count()
+        AnnIndex.lshTopK(spark, idxPath, "vec_id", qv, 10, probes = 4).count()
       }
       if (mult0 > 0)
         println(s"""{"mult":$mult,"docs":${docs.count()},"minhash_sec":$tMinhash,"ann_sec":$tAnn,"rankagg_sec":$tRankAgg,"cluster_sec":$tCluster,"pack_sec":$tPack,"tfidf_sec":$tTfidf,"simhash_sec":$tSimhash,"quantize_sec":$tQuantize,"contam_sec":$tContam,"chunk_sec":$tChunk,"repetition_sec":$tRepet,"idx_build_sec":$tIdxBuild,"idx_probe_sec":$tIdxProbe}""")

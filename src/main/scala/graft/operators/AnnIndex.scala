@@ -19,9 +19,14 @@ import org.apache.spark.sql.functions._
   * value the on-the-fly path computes, and the exact cosine re-rank inside
   * the probed buckets is shared ([[AnnSearch.bruteCosineTopK]]).
   *
-  * Index parameters (nBits/seed/dim, or the centroid list) are the caller's
-  * contract: pass the same values at build and query time, as with any
-  * offline-built index. The reference has no persisted-index counterpart —
+  * Indexes are SELF-DESCRIBING: the build writes its parameters
+  * (nBits/seed/dim, or the centroid list) to `_graft_meta.json` beside the
+  * parquet (the `_` prefix keeps it out of Spark's file listing, like
+  * `_SUCCESS`), and the query path loads them — so a served index cannot be
+  * probed with stale parameters: omitted parameters resolve from the
+  * metadata, and an explicit override that disagrees with it fails loudly
+  * instead of silently probing the wrong buckets (which would collapse
+  * recall with no error). The reference has no persisted-index counterpart —
   * this is part of the large-scale pipeline suite (SURVEY.md §6).
   */
 object AnnIndex {
@@ -29,12 +34,41 @@ object AnnIndex {
   /** Partition-directory column name for the bucket key. */
   val BucketCol = "bucket"
 
+  /** Index-parameter sidecar file name. */
+  val MetaFile = "_graft_meta.json"
+
+  final case class LshMeta(dim: Int, nBits: Int, seed: Long)
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Write the sidecar through the Hadoop FS API, so the index works on any
+    * filesystem a 1000-executor cluster would use, not just local disk. */
+  private def writeMeta(spark: SparkSession, path: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readMeta(spark: SparkSession, path: String)
+      : Option[com.fasterxml.jackson.databind.JsonNode] = {
+    val p = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(mapper.readTree(in)) finally in.close()
+    }
+  }
+
   /** Build a persisted LSH index: one full scan computing the seeded
     * random-hyperplane signature, written as one directory per bucket
-    * (2^nBits directories). Vectors land in exactly one bucket, so the
-    * index is the corpus size, not a replicated copy. */
+    * (2^nBits directories) plus the (dim, nBits, seed) sidecar. Vectors
+    * land in exactly one bucket, so the index is the corpus size, not a
+    * replicated copy. */
   def buildLsh(emb: DataFrame, id: String, vec: Column, dim: Int, path: String,
-      nBits: Int = 8, seed: Long = 42L): Unit =
+      nBits: Int = 8, seed: Long = 42L): Unit = {
     emb.select(col(id), vec.as("vec"),
         AnnSearch.signatureRandom(vec, dim, nBits, seed).as(BucketCol))
       // co-locate each bucket before the partitioned write: without this,
@@ -44,18 +78,52 @@ object AnnIndex {
       // the shuffle where buckets are small)
       .repartition(col(BucketCol))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(path)
+    // after the parquet commit (overwrite clears the directory first)
+    writeMeta(emb.sparkSession, path,
+      s"""{"kind": "lsh", "dim": $dim, "nBits": $nBits, "seed": $seed}""")
+  }
+
+  /** The LSH index's stored build parameters, or None for a pre-sidecar
+    * index. */
+  def readLshMeta(spark: SparkSession, path: String): Option[LshMeta] =
+    readMeta(spark, path).map { n =>
+      require(n.path("kind").asText() == "lsh",
+        s"index at $path is a ${n.path("kind").asText()} index, not LSH")
+      LshMeta(n.path("dim").asInt(), n.path("nBits").asInt(), n.path("seed").asLong())
+    }
 
   /** Query a persisted LSH index with multi-probe: the probe buckets become
     * a partition-column `isin` filter, pruned at file listing — only
     * `probes` of the 2^nBits directories are read. Identical answers to
-    * [[AnnSearch.lshTopK]] with the same (nBits, seed, probes). */
+    * [[AnnSearch.lshTopK]] with the same (nBits, seed, probes).
+    *
+    * nBits/seed default to the index's own sidecar metadata (0 = unset);
+    * an explicit value that DISAGREES with the sidecar throws — probing
+    * with stale parameters silently collapses recall, the one failure mode
+    * a served index must not have. Pre-sidecar indexes (no metadata file)
+    * require both values, as before. */
   def lshTopK(spark: SparkSession, path: String, id: String, q: Seq[Double],
-      k: Int, nBits: Int = 8, seed: Long = 42L, probes: Int = 0): DataFrame = {
+      k: Int, nBits: Int = 0, seed: Long = 0L, probes: Int = 0): DataFrame = {
+    val meta = readLshMeta(spark, path)
+    def resolve[T](name: String, given: T, unset: T, stored: Option[T]): T =
+      (given, stored) match {
+        case (`unset`, Some(m)) => m
+        case (`unset`, None) => throw new IllegalArgumentException(
+          s"index at $path has no metadata sidecar — pass $name explicitly")
+        case (g, Some(m)) =>
+          require(g == m, s"$name = $g disagrees with the index's stored " +
+            s"$name = $m (path $path) — probing with stale parameters " +
+            "silently returns wrong buckets")
+          g
+        case (g, None) => g
+      }
+    val useBits = resolve("nBits", nBits, 0, meta.map(_.nBits))
+    val useSeed = resolve("seed", seed, 0L, meta.map(_.seed))
     // 0 = unset: resolve from the session conf, like AnnSearch.lshTopK
     val nProbes =
       if (probes != 0) probes
       else spark.conf.get(graft.api.Knobs.AnnProbes, "1").toInt
-    val sigs = AnnSearch.probeBuckets(q, nBits, seed, nProbes)
+    val sigs = AnnSearch.probeBuckets(q, useBits, useSeed, nProbes)
     val probed = spark.read.parquet(path)
       .where(col(BucketCol).isin(sigs: _*))
     AnnSearch.bruteCosineTopK(probed, id, col("vec"), q, k)
@@ -63,23 +131,55 @@ object AnnIndex {
 
   /** Build a persisted IVF index: one full scan assigning each vector to its
     * nearest centroid (the [[AnnSearch.ivfCluster]] kernel — constant-size
-    * codegen at any k), one directory per cluster. Build `centroids` with
-    * [[AnnSearch.kmeans]]. */
+    * codegen at any k), one directory per cluster, plus the centroid-list
+    * sidecar. Build `centroids` with [[AnnSearch.kmeans]]. */
   def buildIvf(emb: DataFrame, id: String, vec: Column,
-      centroids: Seq[Seq[Double]], path: String): Unit =
+      centroids: Seq[Seq[Double]], path: String): Unit = {
     emb.select(col(id), vec.as("vec"),
         AnnSearch.ivfCluster(vec, centroids).as(BucketCol))
       .repartition(col(BucketCol)) // see buildLsh: one task per bucket
       .write.mode("overwrite").partitionBy(BucketCol).parquet(path)
+    // Double.toString round-trips exactly through Jackson's parse, so the
+    // stored centroids compare bit-equal with the build's list
+    val cs = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    writeMeta(emb.sparkSession, path, s"""{"kind": "ivf", "centroids": $cs}""")
+  }
+
+  /** The IVF index's stored centroid list, or None for a pre-sidecar index. */
+  def readIvfCentroids(spark: SparkSession, path: String): Option[Seq[Seq[Double]]] =
+    readMeta(spark, path).map { n =>
+      require(n.path("kind").asText() == "ivf",
+        s"index at $path is a ${n.path("kind").asText()} index, not IVF")
+      import scala.jdk.CollectionConverters._
+      n.path("centroids").elements().asScala
+        .map(c => c.elements().asScala.map(_.asDouble()).toSeq).toSeq
+    }
 
   /** Query a persisted IVF index: the query's nProbe nearest centroids
     * become the pruned partition set. Identical answers to
-    * [[AnnSearch.ivfTopK]] with the same centroid list. */
+    * [[AnnSearch.ivfTopK]] with the same centroid list.
+    *
+    * `centroids` defaults to the index's sidecar metadata (empty = unset);
+    * an explicit list that disagrees with the sidecar throws — see
+    * [[lshTopK]] on why stale parameters must fail loudly. */
   def ivfTopK(spark: SparkSession, path: String, id: String,
-      centroids: Seq[Seq[Double]], q: Seq[Double], k: Int, nProbe: Int): DataFrame = {
+      q: Seq[Double], k: Int, nProbe: Int,
+      centroids: Seq[Seq[Double]] = Seq.empty): DataFrame = {
+    val stored = readIvfCentroids(spark, path)
+    val cs = (centroids, stored) match {
+      case (Seq(), Some(m)) => m
+      case (Seq(), None) => throw new IllegalArgumentException(
+        s"index at $path has no metadata sidecar — pass centroids explicitly")
+      case (g, Some(m)) =>
+        require(g == m, s"the given centroid list disagrees with the index's " +
+          s"stored one (path $path) — probing with stale centroids silently " +
+          "returns wrong buckets")
+        g
+      case (g, None) => g
+    }
     def l2(a: Seq[Double], b: Seq[Double]): Double =
       math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
-    val probed = centroids.indices.sortBy(i => (l2(q, centroids(i)), i)).take(nProbe)
+    val probed = cs.indices.sortBy(i => (l2(q, cs(i)), i)).take(nProbe)
     val df = spark.read.parquet(path)
       .where(col(BucketCol).isin(probed: _*))
     AnnSearch.bruteCosineTopK(df, id, col("vec"), q, k)

@@ -64,17 +64,59 @@ class AnnIndexSpec extends SparkTestBase {
     val path = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString + "/idx"
     AnnIndex.buildIvf(emb, "vid", col("v"), cents, path)
     val q = query(73)
-    val idx = AnnIndex.ivfTopK(spark, path, "vid", cents, q, 10, nProbe = 2)
+    // no caller-supplied centroids: the sidecar metadata drives the probe
+    val idx = AnnIndex.ivfTopK(spark, path, "vid", q, 10, nProbe = 2)
     val fly = AnnSearch.ivfTopK(emb, "vid", col("v"), cents, q, 10, nProbe = 2)
     assert(idx.collect().map(_.toSeq).toSeq == fly.collect().map(_.toSeq).toSeq)
     val scan = scanOf(idx)
     assert(scan.partitionFilters.nonEmpty)
     assert(scan.metrics("numPartitions").value <= 2)
     // probing every cluster from the index equals brute force over the corpus
-    val all = AnnIndex.ivfTopK(spark, path, "vid", cents, q, 10, nProbe = 16)
+    val all = AnnIndex.ivfTopK(spark, path, "vid", q, 10, nProbe = 16)
       .select("vid").as[Long].collect().toSeq
     val brute = AnnSearch.bruteCosineTopK(emb, "vid", col("v"), q, 10)
       .select("vid").as[Long].collect().toSeq
     assert(all == brute)
+  }
+
+  test("self-describing indexes: parameters round-trip through the sidecar; " +
+    "a stale override fails loudly instead of silently mis-probing") {
+    val base = java.nio.file.Files.createTempDirectory("graft-meta").toString
+    val lshPath = s"$base/lsh"
+    AnnIndex.buildLsh(emb, "vid", col("v"), dim, lshPath, nBits = 6, seed = 7L)
+    // metadata round-trip: build -> read
+    assert(AnnIndex.readLshMeta(spark, lshPath)
+      .contains(AnnIndex.LshMeta(dim, 6, 7L)))
+    // parameter-free query resolves (nBits, seed) from the sidecar and
+    // equals the on-the-fly path at the build's parameters
+    val q = query(79)
+    val idx = AnnIndex.lshTopK(spark, lshPath, "vid", q, 10, probes = 2)
+    val fly = AnnSearch.lshTopK(emb, "vid", col("v"), dim, q, 10,
+      nBits = 6, seed = 7L, probes = 2)
+    assert(idx.collect().map(_.toSeq).toSeq == fly.collect().map(_.toSeq).toSeq)
+    // agreeing explicit parameters are admitted; stale ones throw
+    AnnIndex.lshTopK(spark, lshPath, "vid", q, 10, nBits = 6, seed = 7L, probes = 2)
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.lshTopK(spark, lshPath, "vid", q, 10, nBits = 8, probes = 2)
+    }
+    assert(e.getMessage.contains("disagrees"))
+
+    val rnd = new scala.util.Random(83)
+    val cents = (0 until 4).map(_ => Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val ivfPath = s"$base/ivf"
+    AnnIndex.buildIvf(emb, "vid", col("v"), cents, ivfPath)
+    // Double.toString -> Jackson parse round-trips bit-exactly
+    assert(AnnIndex.readIvfCentroids(spark, ivfPath).contains(cents))
+    AnnIndex.ivfTopK(spark, ivfPath, "vid", q, 5, nProbe = 1, centroids = cents)
+    val e2 = intercept[IllegalArgumentException] {
+      AnnIndex.ivfTopK(spark, ivfPath, "vid", q, 5, nProbe = 1,
+        centroids = cents.map(_.map(_ + 1.0)))
+    }
+    assert(e2.getMessage.contains("disagrees"))
+    // cross-kind confusion is caught too
+    val e3 = intercept[IllegalArgumentException] {
+      AnnIndex.readIvfCentroids(spark, lshPath)
+    }
+    assert(e3.getMessage.contains("not IVF"))
   }
 }
