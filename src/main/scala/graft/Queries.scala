@@ -1157,27 +1157,52 @@ object Queries {
   }
 
   // ----------------------------------------------------------------------
-  // multimodal: binary payload + partition-batched (stub) decode pipeline
+  // multimodal: binary payload + partition-batched decode pipeline. Two row
+  // sources through ONE decode pass: the sf-scaled documents as opaque
+  // payloads (the stub branch: UTF-8 text matches no image magic), and the
+  // committed fixture of REAL PNG/JPEG/GIF bytes whose encoded width/height
+  // the engine must recover by parsing container headers
+  // (Multimodal.parseDimensions) — the fixture stores what ImageIO actually
+  // wrote, so the hash-match proves the parser, not a formula.
   // ----------------------------------------------------------------------
+  private val MediaIdOffset = 5000000L
+
+  private val multimodalFixture: String = {
+    val rel = java.nio.file.Paths.get("fixtures", "multimodal_media.parquet")
+    val fromCwd = rel.toAbsolutePath
+    val p = if (java.nio.file.Files.exists(fromCwd)) fromCwd
+      else sys.env.get("GRAFT_REPO_ROOT")
+        .map(r => java.nio.file.Paths.get(r).resolve(rel).toAbsolutePath)
+        .getOrElse(fromCwd)
+    p.toString.replace("'", "''")
+  }
+
   private val multimodalMeta: (SparkSession, String) => DataFrame = (s, dir) => {
-    val media = spread(t(s, dir, "documents")).select(
+    val docsMedia = spread(t(s, dir, "documents")).select(
       col("doc_id").as("id"),
       when(col("doc_id") % 2 === 1, lit("video")).otherwise(lit("image")).as("kind"),
       encode(col("text"), "UTF-8").as("data"))
-    graft.multimodal.Multimodal.decode(media).toDF()
-      .select(col("id").as("doc_id"), col("kind"), col("nBytes").as("n_bytes"),
+    val fixtureMedia = s.read.parquet(multimodalFixture)
+      .select((col("media_id") + MediaIdOffset).as("id"), col("kind"), col("data"))
+    graft.multimodal.Multimodal.decode(docsMedia.unionByName(fixtureMedia)).toDF()
+      .select(col("id").as("media_id"), col("kind"), col("nBytes").as("n_bytes"),
         col("width"), col("height"), col("nFrames").as("n_frames"))
-      .orderBy(col("doc_id"))
+      .orderBy(col("media_id"))
   }
 
   private val multimodalMetaSql =
-    """SELECT doc_id,
+    s"""SELECT doc_id AS media_id,
       |  CASE WHEN doc_id % 2 = 1 THEN 'video' ELSE 'image' END AS kind,
       |  octet_length(encode(text))::BIGINT AS n_bytes,
       |  (16 + octet_length(encode(text)) % 64)::INTEGER AS width,
       |  (16 + octet_length(encode(text)) % 48)::INTEGER AS height,
       |  (CASE WHEN doc_id % 2 = 1 THEN 1 + octet_length(encode(text)) % 30 ELSE 1 END)::INTEGER AS n_frames
-      |FROM documents ORDER BY doc_id""".stripMargin
+      |FROM documents
+      |UNION ALL
+      |SELECT media_id + $MediaIdOffset AS media_id, kind,
+      |  octet_length(data)::BIGINT AS n_bytes, width, height, n_frames
+      |FROM '$multimodalFixture'
+      |ORDER BY media_id""".stripMargin
 
   // ----------------------------------------------------------------------
   // events: batch twins of the streaming operators — tumbling-window
