@@ -198,6 +198,49 @@ object StreamOps {
     def tap(f: A => Unit): A = { f(a); a }
   }
 
+  /** Streaming incremental near-dup dedup — the production ingestion loop
+    * over a persisted band index. Per accepted micro-batch:
+    *
+    *  1. in-batch pairs: [[graft.operators.Dedup.minhashPairs]] over the
+    *     batch alone;
+    *  2. corpus pairs: [[graft.operators.Dedup.incrementalPairs]] against
+    *     the index built by all PRIOR batches — the stored corpus is never
+    *     re-hashed, so per-batch cost is O(batch), not O(corpus);
+    *  3. accept: [[graft.operators.Dedup.writeBandIndex]](append = true)
+    *     adds this batch's band keys + shingle sets, so every LATER batch —
+    *     including a late duplicate of the earliest one — checks against it.
+    *
+    * The union of all emitted pair sets equals one batch `minhashPairs`
+    * over the whole corpus, up to pair orientation (cross pairs emit as
+    * (new id, indexed id)) — StreamOpsSpec proves it. The pair frame is
+    * materialized (cached + counted) BEFORE step 3 appends: the candidate
+    * join reads the index parquet lazily, and appending first would make
+    * the batch collide with its own just-written keys. `indexPath` must
+    * not already exist unless resuming an earlier run of the same stream. */
+  def incrementalDedupStream(docs: DataFrame, idCol: String, textCol: String,
+      indexPath: String, minJ: Double)(writeBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.TextKernels
+    import graft.operators.Dedup
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val shingles = TextKernels.wordShingles2(TextKernels.wordTokens(col(textCol)))
+      val bands = new org.apache.hadoop.fs.Path(s"$indexPath/bands")
+      val hasIndex = bands.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(bands)
+      val b = batch.cache()
+      val inBatch = Dedup.minhashPairs(b, idCol, shingles, minJ)
+      val pairs = (if (hasIndex)
+          inBatch.union(Dedup.incrementalPairs(b, idCol, shingles, indexPath, minJ))
+        else inBatch).cache()
+      try {
+        pairs.count() // pin results before the index grows (see scaladoc)
+        writeBatch(pairs, batchId)
+        Dedup.writeBandIndex(b, idCol, shingles, indexPath, append = hasIndex)
+      } finally { pairs.unpersist(); b.unpersist() }
+    }.start()
+  }
+
   /** Streaming windowed top-k preparation: per-window per-key aggregate
     * value sums; the bounded top-k itself is applied by the sink query
     * (complete-mode aggregation or a downstream batch rank over the sink

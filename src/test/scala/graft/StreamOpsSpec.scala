@@ -57,6 +57,54 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("incrementalDedupStream: the streamed corpus yields the batch " +
+    "minhashPairs pair set, and late duplicates of early batches are caught") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    import graft.functions.TextKernels
+    // 16-word docs; one trailing word changed => shingle Jaccard 14/16 =
+    // 0.875 >= 0.8. doc5 repeats doc1 verbatim, doc6 near-dups doc4.
+    val words = (1 to 16).map(i => s"w$i").mkString(" ")
+    val wordsX = (1 to 16).map(i => s"x$i").mkString(" ")
+    val d1 = words
+    val d2 = (1 to 16).map(i => s"y$i").mkString(" ")
+    val d3 = words.replaceAll("w16$", "zzz")
+    val d4 = wordsX
+    val d5 = words // late exact repeat of batch-1's doc 1
+    val d6 = wordsX.replaceAll("x16$", "qqq")
+    val path = java.nio.file.Files.createTempDirectory("graft-sbidx").toString + "/idx"
+    val input = MemoryStream[(Long, String)]
+    val perBatch = scala.collection.mutable.Map.empty[Long, Set[(Long, Long, Double)]]
+    val q = StreamOps.incrementalDedupStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", path, 0.8) {
+      (pairs, batchId) =>
+        perBatch(batchId) = pairs.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    try {
+      input.addData((1L, d1), (2L, d2)); q.processAllAvailable()
+      input.addData((3L, d3), (4L, d4)); q.processAllAvailable()
+      input.addData((5L, d5), (6L, d6)); q.processAllAvailable()
+    } finally q.stop()
+    // batch 3 catches the LATE duplicate of batch 1 through the grown
+    // index — two generations back, never re-hashing the stored corpus
+    assert(perBatch(2).exists { case (a, b, _) => a == 5L && b == 1L },
+      s"late dup of batch 1 missed: ${perBatch(2)}")
+    assert(perBatch(2).exists { case (a, b, _) => a == 6L && b == 4L })
+    // union over all batches == one batch minhashPairs over the whole
+    // corpus, up to pair orientation
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4), (5L, d5), (6L, d6))
+      .toDF("doc_id", "text")
+    val batchPairs = Dedup.minhashPairs(docs, "doc_id",
+        TextKernels.wordShingles2(TextKernels.wordTokens(col("text"))), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def normalize(s: Set[(Long, Long, Double)]) =
+      s.map { case (a, b, j) => (math.min(a, b), math.max(a, b), j) }
+    assert(normalize(perBatch.values.flatten.toSet) == normalize(batchPairs),
+      s"streamed ${perBatch.values.flatten.toSet} != batch $batchPairs")
+    assert(batchPairs.nonEmpty, "fixture produced no pairs — vacuous test")
+  }
+
   test("dedupWithinWatermark: duplicate keys inside the horizon collapse") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Long)]
