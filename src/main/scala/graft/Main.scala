@@ -111,12 +111,20 @@ object Main {
                 // `SET query_timeout <ms>;` is recorded and acknowledged.
                 // Results remain exact — there is no ranking loop to cut
                 // short (see api.InstanceSettings; scoped to THIS catalog).
-                val tokens = q.stripSuffix(";").trim.toLowerCase.split("\\s+")
-                if (tokens.length == 3 && tokens(1) == "query_timeout" &&
+                // Deployment knobs (session conf, /_settings "knobs" block)
+                // are settable by their conf key: `SET spark.graft.* <v>;`.
+                val tokens = q.stripSuffix(";").trim.split("\\s+")
+                val knobKeys = graft.api.Knobs.AllWithDefaults.map(_._1).toSet
+                if (tokens.length == 3 && tokens(1).toLowerCase == "query_timeout" &&
                     scala.util.Try(tokens(2).toLong).isSuccess) {
                   catalog.settings.queryTimeoutMs = tokens(2).toLong
                   out.println(s"Query timeout set to ${tokens(2).toLong} ms.")
-                } else out.println("Unknown setting. Supported: SET query_timeout <ms>;")
+                } else if (tokens.length == 3 && knobKeys.contains(tokens(1)) &&
+                    scala.util.Try(tokens(2).toInt).isSuccess) {
+                  spark.conf.set(tokens(1), tokens(2))
+                  out.println(s"${tokens(1)} set to ${tokens(2)}.")
+                } else out.println("Unknown setting. Supported: SET query_timeout " +
+                  s"<ms>; ${knobKeys.toSeq.sorted.map(k => s"SET $k <n>;").mkString(" ")}")
               case Some(_) =>
                 out.println("SQL terminal accepts SELECT statements only.")
             }

@@ -102,6 +102,14 @@ object Knobs {
   /** Multi-probe bucket count of LSH ANN search
     * ([[graft.operators.AnnSearch]]); int >= 1, default 1. */
   val AnnProbes = "spark.graft.ann.probes"
+  /** Stratified-sampling salt width in hex digits (16^width window
+    * partitions per stratum, [[graft.operators.Sampling.stratified]]);
+    * int in [1, 8], default 2. */
+  val SampleSaltWidth = "spark.graft.sample.saltWidth"
+  /** All deployment knobs with their defaults — the set a REST tenant sees
+    * under /_settings and the console's `SET` accepts. */
+  val AllWithDefaults: Seq[(String, String)] = Seq(
+    DedupCheckpointEvery -> "10", AnnProbes -> "1", SampleSaltWidth -> "2")
 }
 
 object Limits {

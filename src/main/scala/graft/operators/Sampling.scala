@@ -66,14 +66,19 @@ object Sampling {
     * 2 (256 buckets) keeps a 1 TB stratum at ~4 GB per task; at 100 TB with
     * ~90 % single-stratum skew use 3 (4096 buckets, ~25 GB/stratum-TB → task
     * rows back under spill limits). Width trades window parallelism against
-    * offsets-frame size (|strata| × 16^saltWidth rows). */
+    * offsets-frame size (|strata| × 16^saltWidth rows). 0 = unset: resolve
+    * from the session conf ([[graft.api.Knobs.SampleSaltWidth]], default 2),
+    * so a deployment retunes the width without touching call sites. */
   def stratified(df: DataFrame, stratum: Column, id: Column, frac: Double,
-      saltWidth: Int = 2): DataFrame = {
-    require(saltWidth >= 1 && saltWidth <= 8,
-      s"saltWidth $saltWidth out of [1, 8] (16^width window partitions per stratum)")
+      saltWidth: Int = 0): DataFrame = {
+    val width =
+      if (saltWidth != 0) saltWidth
+      else df.sparkSession.conf.get(graft.api.Knobs.SampleSaltWidth, "2").toInt
+    require(width >= 1 && width <= 8,
+      s"saltWidth $width out of [1, 8] (16^width window partitions per stratum)")
     val keyed = df.withColumn("__st", stratum)
       .withColumn("__md5", md5(id.cast("string")))
-      .withColumn("__salt", substring(col("__md5"), 1, saltWidth))
+      .withColumn("__salt", substring(col("__md5"), 1, width))
     val local = keyed.withColumn("__rn", row_number().over(
       Window.partitionBy(col("__st"), col("__salt")).orderBy(col("__md5"), id)))
     // per-(stratum, salt) counts: base = rows of the stratum in lexically

@@ -227,11 +227,17 @@ final class SimSearchService(spark: SparkSession, port: Int,
     val cat = catalogs.get(masterOf(apiKey(x)))
     if (cat == null) { respond(x, 401, """{"error":"unknown api_key"}"""); return }
     val window = graft.api.Limits.KMax * graft.api.Limits.InflationFactor
+    // live deployment knobs (session conf, shared across tenants — they
+    // tune the engine's plans, not per-catalog query semantics)
+    val knobs = graft.api.Knobs.AllWithDefaults.map { case (k, d) =>
+      s""""$k":"${spark.conf.get(k, d)}""""
+    }.mkString("{", ",", "}")
     respond(x, 200,
       s"""{"SimSearch":{"settings":{"index":{""" +
         s""""provided_name":"SimSearch","max_result_window":"$window",""" +
         s""""creation_date":"$creationDate",""" +
         s""""query_timeout":${cat.settings.queryTimeoutMs},""" +
+        s""""knobs":$knobs,""" +
         s""""isSimSearchInstance":true}}}}""")
   }
 

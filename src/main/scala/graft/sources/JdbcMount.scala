@@ -129,6 +129,17 @@ object JdbcMount {
       Some(s"(EXTRACT(EPOCH FROM $column) * 1000)")
     else if (u.startsWith("jdbc:mysql") || u.startsWith("jdbc:mariadb"))
       Some(s"(UNIX_TIMESTAMP($column) * 1000.0)")
+    else if (u.startsWith("jdbc:sqlserver"))
+      // DATEDIFF_BIG (2016+): BIGINT milliseconds, no 2038 overflow, keeps
+      // the datetime2 millisecond precision
+      Some(s"DATEDIFF_BIG(MILLISECOND, '1970-01-01', $column)")
+    else if (u.startsWith("jdbc:oracle")) {
+      // timestamp - timestamp yields INTERVAL DAY TO SECOND; EXTRACT(SECOND)
+      // keeps the fractional part, so sub-second precision survives
+      val d = s"($column - TIMESTAMP '1970-01-01 00:00:00')"
+      Some(s"((EXTRACT(DAY FROM $d) * 86400 + EXTRACT(HOUR FROM $d) * 3600 + " +
+        s"EXTRACT(MINUTE FROM $d) * 60 + EXTRACT(SECOND FROM $d)) * 1000)")
+    }
     else None
   }
 

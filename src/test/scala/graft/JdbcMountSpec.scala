@@ -346,6 +346,20 @@ class JdbcMountSpec extends SparkTestBase {
       .contains("ORDER BY 2, 1"), "Derby UCS_BASIC already equals UTF-8 order")
     assert(JdbcMount.topMSql(skey.copy(url = "jdbc:postgresql://h/db"), 1.0, 7,
       None, keyIsString = false).contains("ORDER BY 2, 1"))
+    // temporal pushdown dialects beyond pg/mysql: SQL Server's
+    // DATEDIFF_BIG and Oracle's interval extraction, both epoch-ms with
+    // sub-second precision preserved
+    val tsq = spec.copy(valueColumn = "TS", operation = "temporal_topk")
+    val mssql = tsq.copy(url = "jdbc:sqlserver://h;db")
+    assert(JdbcMount.supportsPushdown(mssql))
+    assert(JdbcMount.topMSql(mssql, "2019-11-04 08:45:00", 5, None)
+      .contains("DATEDIFF_BIG(MILLISECOND, '1970-01-01', TS)"))
+    val ora = tsq.copy(url = "jdbc:oracle:thin:@h:1521/db")
+    assert(JdbcMount.supportsPushdown(ora))
+    val osql = JdbcMount.topMSql(ora, "2019-11-04 08:45:00", 5, None)
+    assert(osql.contains("EXTRACT(DAY FROM (TS - TIMESTAMP '1970-01-01 00:00:00'))")
+      && osql.contains("EXTRACT(SECOND FROM"), osql)
+    assert(!JdbcMount.supportsPushdown(tsq), "Derby has no epoch expression")
   }
 
   test("S8: ingest-on-mount caches the typed facet") {

@@ -197,6 +197,11 @@ class MultiSourceMountSpec extends SparkTestBase {
       assert(idx.get("isSimSearchInstance").asBoolean())
       assert(idx.get("max_result_window").asText() == "50000")
       assert(idx.get("query_timeout").asLong() == 0L)
+      // the deployment knobs surface with their session-conf values
+      val knobs = idx.get("knobs")
+      assert(knobs.get(graft.api.Knobs.AnnProbes).asText() == "1")
+      assert(knobs.get(graft.api.Knobs.DedupCheckpointEvery).asText() == "10")
+      assert(knobs.get(graft.api.Knobs.SampleSaltWidth).asText() == "2")
 
       // instance B: local csv attribute + A's attribute as a restapi source
       val sourcesB =

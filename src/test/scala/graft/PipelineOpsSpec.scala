@@ -153,8 +153,20 @@ class PipelineOpsSpec extends SparkTestBase {
       assert(kept.as[(Long, String)].collect().toSet == ref, s"width $w diverged")
     }
     intercept[IllegalArgumentException] {
-      Sampling.stratified(df, col("g"), col("id"), 0.3, saltWidth = 0)
+      Sampling.stratified(df, col("g"), col("id"), 0.3, saltWidth = 9)
     }
+    // 0 = unset resolves the width from the session-conf knob (the
+    // /_settings deployment surface); any legal width keeps the same set
+    spark.conf.set(graft.api.Knobs.SampleSaltWidth, "3")
+    try {
+      val viaConf = Sampling.stratified(df, col("g"), col("id"), 0.3)
+        .as[(Long, String)].collect().toSet
+      assert(viaConf == ref)
+      spark.conf.set(graft.api.Knobs.SampleSaltWidth, "11")
+      intercept[IllegalArgumentException] {
+        Sampling.stratified(df, col("g"), col("id"), 0.3).collect()
+      }
+    } finally spark.conf.unset(graft.api.Knobs.SampleSaltWidth)
   }
 
   test("incremental dedup: a new batch checks against the persisted band " +
