@@ -103,11 +103,17 @@ object Dedup {
 
   /** Near-duplicate pairs (a = new-batch id, b = indexed corpus id, j)
     * between a NEW batch and a persisted [[writeBandIndex]] corpus. The
-    * batch's band keys equi-join the stored band table (the planner
-    * broadcasts the batch side when it is small — the common ingestion
-    * shape), and exact Jaccard verifies against the stored shingle sets;
-    * the corpus is never re-hashed. In-batch duplicates are a separate
-    * [[minhashPairs]] over the batch alone. */
+    * batch's band keys equi-join the stored band table with an explicit
+    * `broadcast` hint: the operator's contract is the ingestion shape — a
+    * bounded batch (micro-batch, daily delta) against an unbounded corpus —
+    * and the hint makes that plan unconditional instead of depending on
+    * whether the batch source carries size statistics (an in-memory or
+    * streaming batch has none, and a planner fallback to sort-merge would
+    * shuffle the ENTIRE stored band index per batch). A corpus-sized
+    * "batch" belongs in [[minhashPairs]], not here. Exact Jaccard verifies
+    * against the stored shingle sets; the corpus is never re-hashed.
+    * In-batch duplicates are a separate [[minhashPairs]] over the batch
+    * alone. */
   def incrementalPairs(newDocs: DataFrame, id: String, shingles: Column,
       indexPath: String, minJ: Double): DataFrame = {
     val spark = newDocs.sparkSession
@@ -116,7 +122,7 @@ object Dedup {
         graft.functions.NativeKernels.bandKeys(col("g"), NumHashes, NumBands, RowsPerBand))
         .as(Seq("band", "bv")))
     val idx = spark.read.parquet(s"$indexPath/bands")
-    val cands = banded.as("x")
+    val cands = broadcast(banded).as("x")
       .join(idx.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.id") =!= col("y.id"))
@@ -203,7 +209,9 @@ object Dedup {
       indexPath: String): DataFrame = {
     val fps = spread(newDocs)
       .select(col(id).as("id"), TextKernels.fingerprint(text).as("fp"))
-    fps.join(newDocs.sparkSession.read.parquet(indexPath)
+    // same unconditional batch-side broadcast as incrementalPairs: the
+    // stored (fp, id) table must never shuffle per ingestion batch
+    broadcast(fps).join(newDocs.sparkSession.read.parquet(indexPath)
         .select(col("fp"), col("id").as("__idx_id")), Seq("fp"))
       .groupBy(col("id"), col("fp"))
       .agg(min(col("__idx_id")).as("keeper"))

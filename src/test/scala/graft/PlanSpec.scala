@@ -43,6 +43,25 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("incremental dedup: the batch side broadcasts against the stored " +
+    "index even when the batch source has no size statistics") {
+    // an in-memory batch (the streaming micro-batch shape) carries no
+    // stats; without the explicit hint the planner could fall into a
+    // sort-merge join that shuffles the ENTIRE stored band index per batch
+    val sh = TextKernels.wordShingles2(TextKernels.wordTokens(col("text")))
+    val path = java.nio.file.Files.createTempDirectory("graft-planidx").toString + "/idx"
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+    Dedup.writeBandIndex(corpus, "doc_id", sh, path)
+    val batch = Seq((900001L, "some fresh batch text here")).toDF("doc_id", "text")
+    val plan = planOf(Dedup.incrementalPairs(batch, "doc_id", sh, path, 0.8))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"),
+      "the stored band index must never shuffle per ingestion batch")
+    val exact = planOf(Dedup.incrementalExact(batch, "doc_id", col("text"),
+      { val p = path + "-fp"; Dedup.writeFingerprintIndex(corpus, "doc_id", col("text"), p); p }))
+    assert(exact.contains("BroadcastHashJoin"), exact.take(800))
+  }
+
   test("embedding near-dup: signature-bucket equi-join, no cartesian product") {
     val plan = planOf(Queries.all("q_dedup_embedding")(spark, dir))
     assert(!plan.contains("CartesianProduct"))
