@@ -640,6 +640,25 @@ object Queries {
        |SELECT doc_id, term, tf::BIGINT AS tf, score, rk::BIGINT AS rank
        |FROM sc WHERE rk <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  // -- unigram LM quality proxy (the CCNet perplexity-filter signal in its
+  //    rational, bit-portable form): mean corpus frequency of each doc's
+  //    tokens in ppm — junk scores low, boilerplate extreme-high; both
+  //    tails are what a perplexity filter drops. Integer count sums, then
+  //    ONE fixed-order IEEE expression, so both engines hash-match.
+  private val lmQualityQ: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.operators.TfIdf.corpusFreqQuality(t(s, dir, "documents"),
+        col("doc_id"), TextKernels.wordTokens(col("text")))
+      .orderBy(col("doc_id"))
+
+  private val lmQualitySql =
+    s"""WITH tk AS (SELECT doc_id, unnest(${sqlWords("text")}) AS tok FROM documents),
+       |vocab AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok),
+       |tot AS (SELECT sum(cnt)::BIGINT AS total FROM vocab),
+       |agg AS (SELECT t.doc_id, sum(v.cnt)::BIGINT AS sum_cnt, count(*) AS n_tok
+       |        FROM tk t JOIN vocab v USING (tok) GROUP BY t.doc_id)
+       |SELECT doc_id, round(CAST(sum_cnt AS DOUBLE) * 1000000.0 / n_tok / total, 6) AS freq_ppm
+       |FROM agg, tot ORDER BY doc_id""".stripMargin
+
   // -- PII / pattern scrubbing: match counts + masked length. The corpus is
   //    synthetic lowercase prose, so the email/URL counts exercise the
   //    zero path while the keyword pattern exercises real matches.
@@ -1678,6 +1697,7 @@ object Queries {
     "q_source_mix"    -> sourceMix,
     "q_pack_chunks"   -> packChunks,
     "q_tfidf"         -> tfidfQ,
+    "q_lm_quality"    -> lmQualityQ,
     "q_scrub"         -> scrubQ,
     "q_simhash_pairs" -> simhashPairsQ,
     "q_contamination" -> contaminationQ,
@@ -1735,6 +1755,7 @@ object Queries {
     "q_source_mix"    -> sourceMixSql,
     "q_pack_chunks"   -> packChunksSql,
     "q_tfidf"         -> tfidfSql,
+    "q_lm_quality"    -> lmQualitySql,
     "q_scrub"         -> scrubSql,
     "q_simhash_pairs" -> simhashPairsSql,
     "q_contamination" -> contaminationSql,

@@ -48,4 +48,39 @@ object TfIdf {
       .select(col("doc_id"), col("term"), col("tf"),
         col("score"), col("rank").cast("long").as("rank"))
   }
+
+  /** Language-model quality proxy in its unigram/rational form: the mean
+    * CORPUS frequency of a document's tokens, in parts per million
+    * (`freq_ppm` = sum(cnt(tok)) / n_tokens / total_tokens * 1e6).
+    *
+    * Perplexity-based filtering (the CCNet recipe) ranks documents by how
+    * "expected" their text is under a reference LM and drops both tails —
+    * junk (rare-token soup scores low) and boilerplate (scores
+    * extreme-high). This is that signal's degenerate unigram form, scored
+    * against the corpus itself: no external model, deterministic, and — as
+    * with the rational idf above — free of log-space transcendentals, so
+    * the score is bit-exact across engines (integer count sums, then one
+    * fixed-order IEEE expression). This is the library's documented scoring
+    * definition, not an approximation of a specific perplexity value.
+    *
+    * Scale design: one shuffle for the vocabulary counts (map-side
+    * combined), one shuffle keyed on token to attach them (same key — the
+    * exchange is reusable), one doc-keyed aggregation; the corpus total
+    * joins as a broadcast 1-row frame. Zero-token documents have no
+    * defined score and emit no row. */
+  def corpusFreqQuality(docs: DataFrame, id: Column, tokens: Column): DataFrame = {
+    // explode_outer + not-null guard: see topTerms on why the token array
+    // materializes above the spread repartition
+    val words = Dedup.spread(docs).select(id.as("doc_id"), tokens.as("ts"))
+      .select(col("doc_id"), explode_outer(col("ts")).as("tok"))
+      .where(col("tok").isNotNull)
+    val vocab = words.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum("cnt").as("total"))
+    words.join(vocab, "tok")
+      .groupBy("doc_id").agg(sum("cnt").as("sum_cnt"), count(lit(1)).as("n_tok"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(col("sum_cnt").cast("double") * 1000000.0 / col("n_tok") / col("total"), 6)
+          .as("freq_ppm"))
+  }
 }

@@ -340,6 +340,20 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == Set((1L, "a", 1L), (1L, "b", 2L), (2L, "x", 1L), (2L, "y", 2L)))
   }
 
+  test("corpusFreqQuality: common-token docs score high ppm, rare-token " +
+    "docs low, zero-token docs emit no row") {
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "")).toDF("doc_id", "text")
+    val got = TfIdf.corpusFreqQuality(docs, col("doc_id"),
+        TextKernels.wordTokens(col("text")))
+      .as[(Long, Double)].collect().toMap
+    // vocab: a=3, b=1, c=1, total=5
+    // doc 1: (3+3+1)/3/5 * 1e6 = 466666.666667; doc 2: (3+1)/2/5 * 1e6
+    assert(got == Map(1L -> 466666.666667, 2L -> 400000.0), got.toString)
+    // the boilerplate direction: an all-common-token doc outranks a
+    // rare-token one — the two tails a perplexity filter drops
+    assert(got(1L) > got(2L))
+  }
+
   // ----------------------------------------------------------- simhash pairs
 
   test("simhashPairs == brute-force hamming<=3 pairs (pigeonhole capture is exhaustive)") {
