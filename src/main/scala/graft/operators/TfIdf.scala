@@ -64,17 +64,23 @@ object TfIdf {
     * definition, not an approximation of a specific perplexity value.
     *
     * Scale design: one shuffle for the vocabulary counts (map-side
-    * combined), one shuffle keyed on token to attach them (same key — the
-    * exchange is reusable), one doc-keyed aggregation; the corpus total
-    * joins as a broadcast 1-row frame. Zero-token documents have no
-    * defined score and emit no row. */
+    * combined, result CACHED — it feeds both the corpus-total aggregate
+    * and the scoring join, and is vocabulary-sized, not corpus-sized), the
+    * scoring join BROADCASTS the vocab into the token stream (corpus
+    * tokens never shuffle for it), then one doc-keyed aggregation; the
+    * corpus total joins as a broadcast 1-row frame. Two corpus tokenize
+    * passes total (vocab build + scoring stream). Zero-token documents
+    * have no defined score and emit no row. */
   def corpusFreqQuality(docs: DataFrame, id: Column, tokens: Column): DataFrame = {
     // explode_outer + not-null guard: see topTerms on why the token array
     // materializes above the spread repartition
     val words = Dedup.spread(docs).select(id.as("doc_id"), tokens.as("ts"))
       .select(col("doc_id"), explode_outer(col("ts")).as("tok"))
       .where(col("tok").isNotNull)
-    val vocab = words.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    // cache lifetime: LRU-shed MEMORY_AND_DISK, same policy as the minhash
+    // signature frames — without it the whole tokenize+count subtree runs
+    // once per consumer (a third full corpus pass for the 1-row total)
+    val vocab = words.groupBy("tok").agg(count(lit(1)).as("cnt")).cache()
     val total = vocab.agg(sum("cnt").as("total"))
     words.join(vocab, "tok")
       .groupBy("doc_id").agg(sum("cnt").as("sum_cnt"), count(lit(1)).as("n_tok"))
