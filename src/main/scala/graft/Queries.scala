@@ -541,6 +541,42 @@ object Queries {
   private val dedupNgramSql = minhashPairsSql(
     s"sh AS (SELECT doc_id, ${sqlQgramsN("substr(text, 1, 200)", 10)} AS g FROM documents)", 0.8)
 
+  // -- PARTIAL-overlap pairs by winnowing fingerprints (MOSS): catches a
+  //    long passage copied into an otherwise-different document — the
+  //    containment case whole-doc Jaccard dilutes away. Exact integer
+  //    48-bit md5-prefix hashes; shared-fingerprint counts are integers,
+  //    so both engines hash-match bit-for-bit.
+  private val winnowQ: (SparkSession, String) => DataFrame = (s, dir) =>
+    Dedup.winnowPairs(t(s, dir, "documents"), "doc_id", col("text"))
+      .orderBy(col("a"), col("b"))
+
+  /** DuckDB 48-bit integer from the first 12 hex chars of an md5 string
+    * expression (the established manual hex digit sum — see sqlHashPct). */
+  private def sqlHex12(m: String): String = {
+    val terms = (1 to 12).map { i =>
+      s"(instr('0123456789abcdef', substr($m, $i, 1)) - 1) * ${math.pow(16, 12 - i).toLong}"
+    }
+    s"(${terms.mkString(" + ")})"
+  }
+
+  private val winnowSql =
+    s"""WITH g AS (SELECT doc_id,
+       |  [substr(text, i, 16) for i in range(1, greatest(length(text) - 15, 0) + 1)] AS grams
+       |  FROM documents),
+       |h AS (SELECT doc_id, list_transform(grams, x -> md5(x)) AS ms FROM g
+       |      WHERE len(grams) > 0),
+       |hs AS (SELECT doc_id, list_transform(ms, m -> ${sqlHex12("m")}) AS hv FROM h),
+       |wn AS (SELECT doc_id, list_distinct(
+       |  [list_min(list_slice(hv, i, i + 7)) for i in range(1, greatest(len(hv) - 7, 1) + 1)]) AS fps
+       |  FROM hs),
+       |fp AS (SELECT doc_id, unnest(fps) AS fp FROM wn),
+       |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fp GROUP BY fp) WHERE df <= 20),
+       |kept AS (SELECT doc_id, fp FROM fp WHERE fp IN (SELECT fp FROM rare)),
+       |pr AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+       |       FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id
+       |       GROUP BY x.doc_id, y.doc_id HAVING count(*) >= 10)
+       |SELECT a, b, shared FROM pr ORDER BY a, b""".stripMargin
+
   // -- near-dup CLUSTERING: pairwise hits -> transitive dedup groups
   //    (connected components, min-reachable-id as the cluster label). The
   //    pair source is the char-10-gram MinHash pipeline above; the cluster
@@ -1663,6 +1699,7 @@ object Queries {
     "q_weight_est"    -> weightEst,
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_ngram"   -> dedupNgram,
+    "q_winnow"        -> winnowQ,
     "q_dedup_exact"   -> dedupExact,
     "q_dedup_incr"    -> dedupIncr,
     "q_dedup_incr_exact" -> dedupIncrExact,
@@ -1721,6 +1758,7 @@ object Queries {
     "q_weight_est"    -> weightEstSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_ngram"   -> dedupNgramSql,
+    "q_winnow"        -> winnowSql,
     "q_dedup_exact"   -> dedupExactSql,
     "q_dedup_incr"    -> dedupIncrSql,
     "q_dedup_incr_exact" -> dedupIncrExactSql,

@@ -121,8 +121,28 @@ object ScaleProbe {
       val tIdxProbe = timeIt {
         AnnIndex.lshTopK(spark, idxPath, "vec_id", qv, 10, probes = 4).count()
       }
+      // round-9: incremental dedup — a FIXED 500-doc batch against the
+      // GROWING persisted band index. Batch hashing is O(batch); the
+      // stored index contributes one linear columnar scan (never
+      // re-hashed, never shuffled — the batch side broadcasts), so the
+      // probe must grow far slower than corpus hashing would
+      val sh2 = TextKernels.wordShingles2(TextKernels.wordTokens(col("text")))
+      val bandPath = s"/tmp/graft-scaleprobe-band-$mult"
+      val tBandBuild = timeIt {
+        Dedup.writeBandIndex(docs, "doc_id", sh2, bandPath); mult.toLong
+      }
+      // replica-0 transform re-applied => the batch holds exact duplicates
+      // of indexed corpus docs, so the probe does real verify work
+      val batch = docs0.where(col("doc_id") < 500)
+        .select((col("doc_id") + 90000000L).as("doc_id"),
+          regexp_replace(col("text"), "([a-z]+)", "r0$1").as("text")).cache()
+      batch.count()
+      val tIncrProbe = timeIt {
+        Dedup.incrementalPairs(batch, "doc_id", sh2, bandPath, 0.8).count()
+      }
+      batch.unpersist()
       if (mult0 > 0)
-        println(s"""{"mult":$mult,"docs":${docs.count()},"minhash_sec":$tMinhash,"ann_sec":$tAnn,"rankagg_sec":$tRankAgg,"cluster_sec":$tCluster,"pack_sec":$tPack,"tfidf_sec":$tTfidf,"simhash_sec":$tSimhash,"quantize_sec":$tQuantize,"contam_sec":$tContam,"chunk_sec":$tChunk,"repetition_sec":$tRepet,"idx_build_sec":$tIdxBuild,"idx_probe_sec":$tIdxProbe}""")
+        println(s"""{"mult":$mult,"docs":${docs.count()},"minhash_sec":$tMinhash,"ann_sec":$tAnn,"rankagg_sec":$tRankAgg,"cluster_sec":$tCluster,"pack_sec":$tPack,"tfidf_sec":$tTfidf,"simhash_sec":$tSimhash,"quantize_sec":$tQuantize,"contam_sec":$tContam,"chunk_sec":$tChunk,"repetition_sec":$tRepet,"idx_build_sec":$tIdxBuild,"idx_probe_sec":$tIdxProbe,"band_build_sec":$tBandBuild,"incr_probe_sec":$tIncrProbe}""")
       docs.unpersist(); emb.unpersist()
     }
     spark.stop()

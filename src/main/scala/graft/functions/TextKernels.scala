@@ -119,6 +119,38 @@ object TextKernels {
         sequence(lit(1), size(w) - (n - 1)),
         i => concat_ws(" ", slice(w, i, lit(n)))))
 
+  /** Winnowing document fingerprints (the MOSS scheme, Schleimer et al.
+    * SIGMOD'03): hash every positional character k-gram, then keep the
+    * MINIMUM hash of each sliding window of `w` consecutive k-grams,
+    * deduplicated. Guarantees: any shared substring of length >= k + w - 1
+    * contributes at least one COMMON selected fingerprint to both
+    * documents, and ~2/(w+1) of positions are selected — so two documents
+    * sharing a long passage share many fingerprints even when the rest of
+    * their text is unrelated. That is PARTIAL-overlap detection: the
+    * containment case (a paragraph lifted into an otherwise different
+    * document) that whole-document fingerprints and set-Jaccard near-dup
+    * both dilute away.
+    *
+    * The hash is the first 12 hex chars of md5 as a 48-bit integer —
+    * engine-portable exact arithmetic, no custom rolling polynomial whose
+    * modular arithmetic each engine would have to reproduce. A pure
+    * codegen'd per-row map: no shuffle at any corpus size. Documents
+    * shorter than k characters yield an empty array (same descending-
+    * `sequence` guard as [[wordNgrams]]); 1 <= grams < w keeps the single
+    * minimum of what exists, the standard short-document degeneration. */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+    val nGrams = length(text) - (k - 1)
+    val grams = org.apache.spark.sql.functions.transform(
+      sequence(lit(1), nGrams), i => text.substr(i, lit(k)))
+    val hashes = org.apache.spark.sql.functions.transform(
+      grams, g => conv(substring(md5(g), 1, 12), 16, 10).cast("long"))
+    val wins = org.apache.spark.sql.functions.transform(
+      sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
+      i => array_min(slice(hashes, i, lit(w))))
+    when(nGrams < 1, array().cast("array<bigint>"))
+      .otherwise(array_distinct(wins))
+  }
+
   /** Repetition-based quality signals (the classic corpus-filter rules:
     * templated/boilerplate documents repeat the same word pairs and
     * phrases far more than natural prose). Both are pure integer-ratio

@@ -137,6 +137,43 @@ object Dedup {
       .where(col("j") >= minJ)
   }
 
+  /** Partial-overlap pairs by winnowing fingerprints
+    * ([[TextKernels.winnowFingerprints]]): (a, b, shared) where `shared`
+    * counts the selected fingerprints the two documents have in common —
+    * the MOSS plagiarism/containment measure. This catches the case the
+    * OTHER dedup operators structurally miss: a long passage copied into
+    * an otherwise-different document (whole-doc Jaccard dilutes toward 0
+    * as the host document grows; winnowing's guarantee is per-substring,
+    * not per-document).
+    *
+    * Scale: fingerprinting is a narrow per-row map; the only join is the
+    * equi-join on the fingerprint value. Fingerprints occurring in more
+    * than `maxDf` documents are dropped first (the standard MOSS
+    * common-code/boilerplate exclusion) — that both removes noise matches
+    * and caps the join's per-key fan-out, the same never-all-pairs
+    * discipline as the LSH band joins.
+    *
+    * Parameter note: the guarantee threshold is t = k + w - 1 (any shared
+    * run of >= t characters yields a match). Natural-language corpora with
+    * small vocabularies share many SHORT substrings by chance, so the
+    * defaults use a long gram (k = 16, t = 23 chars ~ 3-4 words) — the
+    * classic k = 8 setting floods prose with coincidental matches. */
+  def winnowPairs(docs: DataFrame, id: String, text: Column,
+      k: Int = 16, w: Int = 8, minShared: Long = 10, maxDf: Long = 20): DataFrame = {
+    val fp = spread(docs).select(col(id).as("id"),
+        explode(TextKernels.winnowFingerprints(text, k, w)).as("fp"))
+      .cache() // feeds the frequency cap and both join sides
+    val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select(col("fp"))
+    val kept = fp.join(rare, Seq("fp"))
+    kept.as("x")
+      .join(kept.as("y"),
+        col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
+
   /** (id, tokens) -> near-duplicate pairs (a, b, hamming) with 64-bit
     * SimHash hamming distance <= maxHamming (<= 3 is exhaustive).
     *

@@ -354,6 +354,43 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got(1L) > got(2L))
   }
 
+  test("winnowPairs: a passage copied into a different document is caught " +
+    "(containment), whole-doc Jaccard would dilute it; common text is capped") {
+    import graft.operators.Dedup
+    val passage = "the winnowing guarantee selects at least one shared " +
+      "fingerprint for every sufficiently long common substring of two texts"
+    def filler(seed: Int, n: Int): String = {
+      val rnd = new scala.util.Random(seed)
+      // high-entropy 6-char words: fillers of different docs share no
+      // 8-char substring (a tiny word vocabulary would fabricate overlap)
+      (0 until n).map(_ => (0 until 6).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+        .mkString(" ")
+    }
+    val docs = Seq(
+      (1L, filler(1, 60) + " " + passage + " " + filler(2, 60)),
+      (2L, filler(3, 60) + " " + passage + " " + filler(4, 60)),
+      (3L, filler(5, 120))).toDF("doc_id", "text")
+    val got = Dedup.winnowPairs(docs, "doc_id", col("text"))
+      .as[(Long, Long, Long)].collect().toMap2
+    // docs 1 and 2 share ONLY the passage — whole-doc 10-gram Jaccard of
+    // this pair is ~0.2, far below any near-dup threshold, but the
+    // winnowed passage fingerprints match directly
+    assert(got.keySet == Set((1L, 2L)), got.toString)
+    assert(got((1L, 2L)) >= 10)
+    // the guarantee is substring-local: the shared count approximates the
+    // passage's selected density (2/(w+1) of ~120 gram positions), not
+    // the documents' overall similarity
+    val justPassage = Dedup.winnowPairs(
+      Seq((1L, passage), (2L, passage + " unrelated tail here")).toDF("doc_id", "text"),
+      "doc_id", col("text"))
+      .as[(Long, Long, Long)].collect()
+    assert(justPassage.length == 1 && justPassage.head._3 >= 10)
+  }
+
+  private implicit class ToMap2(rows: Array[(Long, Long, Long)]) {
+    def toMap2: Map[(Long, Long), Long] = rows.map(r => (r._1, r._2) -> r._3).toMap
+  }
+
   // ----------------------------------------------------------- simhash pairs
 
   test("simhashPairs == brute-force hamming<=3 pairs (pigeonhole capture is exhaustive)") {
