@@ -160,8 +160,12 @@ object Dedup {
     * classic k = 8 setting floods prose with coincidental matches. */
   def winnowPairs(docs: DataFrame, id: String, text: Column,
       k: Int = 16, w: Int = 8, minShared: Long = 10, maxDf: Long = 20): DataFrame = {
-    val fp = spread(docs).select(col(id).as("id"),
-        explode(TextKernels.winnowFingerprints(text, k, w)).as("fp"))
+    // two projections with the Generate boundary between them: the hash
+    // array materializes once per row before the window pass reads it
+    // (see TextKernels.winnowHashes on the O(n^2) re-evaluation otherwise)
+    val fp = spread(docs)
+      .select(col(id).as("id"), TextKernels.winnowHashes(text, k).as("hv"))
+      .select(col("id"), explode(TextKernels.winnowSelect(col("hv"), w)).as("fp"))
       .cache() // feeds the frequency cap and both join sides
     val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf).select(col("fp"))
