@@ -62,6 +62,20 @@ class PlanSpec extends SparkTestBase {
     assert(exact.contains("BroadcastHashJoin"), exact.take(800))
   }
 
+  test("winnow pairs: fingerprint equi-join only, no cartesian product") {
+    val plan = planOf(Queries.all("q_winnow")(spark, dir))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("unigram LM quality: the vocab broadcasts into the token stream — " +
+    "corpus tokens never shuffle for the scoring join") {
+    val plan = planOf(Queries.all("q_lm_quality")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    assert(!plan.contains("SortMergeJoin"),
+      "the corpus token stream must not shuffle against the vocabulary")
+  }
+
   test("embedding near-dup: signature-bucket equi-join, no cartesian product") {
     val plan = planOf(Queries.all("q_dedup_embedding")(spark, dir))
     assert(!plan.contains("CartesianProduct"))
