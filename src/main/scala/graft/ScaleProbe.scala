@@ -141,8 +141,13 @@ object ScaleProbe {
         Dedup.incrementalPairs(batch, "doc_id", sh2, bandPath, 0.8).count()
       }
       batch.unpersist()
+      // round-9: winnowing partial-overlap pairs — per-row hashing is the
+      // dominant linear term; the fingerprint equi-join is df-capped
+      val tWinnow = timeIt {
+        Dedup.winnowPairs(docs, "doc_id", col("text")).count()
+      }
       if (mult0 > 0)
-        println(s"""{"mult":$mult,"docs":${docs.count()},"minhash_sec":$tMinhash,"ann_sec":$tAnn,"rankagg_sec":$tRankAgg,"cluster_sec":$tCluster,"pack_sec":$tPack,"tfidf_sec":$tTfidf,"simhash_sec":$tSimhash,"quantize_sec":$tQuantize,"contam_sec":$tContam,"chunk_sec":$tChunk,"repetition_sec":$tRepet,"idx_build_sec":$tIdxBuild,"idx_probe_sec":$tIdxProbe,"band_build_sec":$tBandBuild,"incr_probe_sec":$tIncrProbe}""")
+        println(s"""{"mult":$mult,"docs":${docs.count()},"minhash_sec":$tMinhash,"ann_sec":$tAnn,"rankagg_sec":$tRankAgg,"cluster_sec":$tCluster,"pack_sec":$tPack,"tfidf_sec":$tTfidf,"simhash_sec":$tSimhash,"quantize_sec":$tQuantize,"contam_sec":$tContam,"chunk_sec":$tChunk,"repetition_sec":$tRepet,"idx_build_sec":$tIdxBuild,"idx_probe_sec":$tIdxProbe,"band_build_sec":$tBandBuild,"incr_probe_sec":$tIncrProbe,"winnow_sec":$tWinnow}""")
       docs.unpersist(); emb.unpersist()
     }
     spark.stop()
