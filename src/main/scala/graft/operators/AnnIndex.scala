@@ -92,6 +92,24 @@ object AnnIndex {
       LshMeta(n.path("dim").asInt(), n.path("nBits").asInt(), n.path("seed").asLong())
     }
 
+  /** Grow a persisted LSH index with a new vector batch — the ANN twin of
+    * the incremental-dedup ingestion loop ([[graft.operators.Dedup]]
+    * `writeBandIndex(append = true)`): the batch is signed with the
+    * index's OWN stored parameters (no caller parameters to diverge) and
+    * appended into the bucket directories; existing data is never
+    * re-signed or rewritten, and queries see old and new vectors alike
+    * through the same pruned probe. Appending to a path that is not a
+    * metadata-carrying LSH index fails loudly. */
+  def appendLsh(emb: DataFrame, id: String, vec: Column, path: String): Unit = {
+    val meta = readLshMeta(emb.sparkSession, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no LSH index metadata at $path — build with buildLsh first"))
+    emb.select(col(id), vec.as("vec"),
+        AnnSearch.signatureRandom(vec, meta.dim, meta.nBits, meta.seed).as(BucketCol))
+      .repartition(col(BucketCol)) // one well-sized file per touched bucket
+      .write.mode("append").partitionBy(BucketCol).parquet(path)
+  }
+
   /** Query a persisted LSH index with multi-probe: the probe buckets become
     * a partition-column `isin` filter, pruned at file listing — only
     * `probes` of the 2^nBits directories are read. Identical answers to
@@ -154,6 +172,21 @@ object AnnIndex {
       n.path("centroids").elements().asScala
         .map(c => c.elements().asScala.map(_.asDouble()).toSeq).toSeq
     }
+
+  /** Grow a persisted IVF index with a new vector batch, assigned with the
+    * index's OWN stored centroids — see [[appendLsh]]. The coarse
+    * quantizer is intentionally frozen (the standard served-IVF contract:
+    * re-training centroids means rebuilding the index; appending must not
+    * silently shift cluster boundaries under existing data). */
+  def appendIvf(emb: DataFrame, id: String, vec: Column, path: String): Unit = {
+    val cs = readIvfCentroids(emb.sparkSession, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no IVF index metadata at $path — build with buildIvf first"))
+    emb.select(col(id), vec.as("vec"),
+        AnnSearch.ivfCluster(vec, cs).as(BucketCol))
+      .repartition(col(BucketCol))
+      .write.mode("append").partitionBy(BucketCol).parquet(path)
+  }
 
   /** Query a persisted IVF index: the query's nProbe nearest centroids
     * become the pruned partition set. Identical answers to

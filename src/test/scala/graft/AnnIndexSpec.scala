@@ -79,6 +79,43 @@ class AnnIndexSpec extends SparkTestBase {
     assert(all == brute)
   }
 
+  test("append grows a served index with the stored parameters: probes see " +
+    "old and new vectors alike, equal to a from-scratch build of the union") {
+    val rnd = new scala.util.Random(89)
+    val extra = (500 until 600).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextDouble() * 2 - 1))).toDF("vid", "v")
+    val union = emb.unionByName(extra)
+    val q = query(97)
+
+    val lshPath = java.nio.file.Files.createTempDirectory("graft-lshapp").toString + "/idx"
+    AnnIndex.buildLsh(emb, "vid", col("v"), dim, lshPath, nBits = 6, seed = 7L)
+    AnnIndex.appendLsh(extra, "vid", col("v"), lshPath)
+    val grown = AnnIndex.lshTopK(spark, lshPath, "vid", q, 10, probes = 4)
+    val rebuilt = AnnSearch.lshTopK(union, "vid", col("v"), dim, q, 10,
+      nBits = 6, seed = 7L, probes = 4)
+    assert(grown.collect().map(_.toSeq).toSeq == rebuilt.collect().map(_.toSeq).toSeq)
+    // the appended batch is probeable (some of the 100 new vectors land in
+    // the probed buckets of SOME query; prove membership directly)
+    val ids = spark.read.parquet(lshPath).select("vid").as[Long].collect().toSet
+    assert(ids.size == 600 && ids.contains(599L))
+
+    val cents = (0 until 8).map(_ => Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val ivfPath = java.nio.file.Files.createTempDirectory("graft-ivfapp").toString + "/idx"
+    AnnIndex.buildIvf(emb, "vid", col("v"), cents, ivfPath)
+    AnnIndex.appendIvf(extra, "vid", col("v"), ivfPath)
+    val gIvf = AnnIndex.ivfTopK(spark, ivfPath, "vid", q, 10, nProbe = 8)
+      .select("vid").as[Long].collect().toSeq
+    val bIvf = AnnSearch.bruteCosineTopK(union, "vid", col("v"), q, 10)
+      .select("vid").as[Long].collect().toSeq
+    assert(gIvf == bIvf, "all-probe over the grown index must equal brute force")
+    // appending to a non-index path fails loudly, not silently mis-bucketed
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.appendLsh(extra, "vid", col("v"),
+        java.nio.file.Files.createTempDirectory("graft-noidx").toString)
+    }
+    assert(e.getMessage.contains("no LSH index metadata"))
+  }
+
   test("self-describing indexes: parameters round-trip through the sidecar; " +
     "a stale override fails loudly instead of silently mis-probing") {
     val base = java.nio.file.Files.createTempDirectory("graft-meta").toString
