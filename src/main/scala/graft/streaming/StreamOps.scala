@@ -198,6 +198,18 @@ object StreamOps {
     def tap(f: A => Unit): A = { f(a); a }
   }
 
+  /** Streaming vector ingestion into a persisted LSH ANN index
+    * ([[graft.operators.AnnIndex]]): each micro-batch is signed with the
+    * index's stored sidecar parameters and appended into its bucket
+    * directories — the ANN twin of [[incrementalDedupStream]]'s accept
+    * step. Served probes (`AnnIndex.lshTopK`) see every committed batch;
+    * the index must exist (`buildLsh`) before the stream starts. */
+  def annIndexAppendStream(vectors: DataFrame, idCol: String, vecCol: String,
+      indexPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      graft.operators.AnnIndex.appendLsh(batch, idCol, col(vecCol), indexPath)
+    }.start()
+
   /** Streaming incremental near-dup dedup — the production ingestion loop
     * over a persisted band index. Per accepted micro-batch:
     *

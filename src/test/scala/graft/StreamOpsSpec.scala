@@ -105,6 +105,39 @@ class StreamOpsSpec extends SparkTestBase {
     assert(batchPairs.nonEmpty, "fixture produced no pairs — vacuous test")
   }
 
+  test("annIndexAppendStream: streamed vector batches land in the served " +
+    "index; a probe equals brute force over everything committed") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{AnnIndex, AnnSearch}
+    val dim = 8
+    def vecs(seed: Int, from: Int, n: Int): Seq[(Long, Seq[Double])] = {
+      val rnd = new scala.util.Random(seed)
+      (from until from + n).map(i => (i.toLong, Seq.fill(dim)(rnd.nextDouble() * 2 - 1)))
+    }
+    val base = vecs(11, 0, 300)
+    val b1 = vecs(13, 300, 100)
+    val b2 = vecs(17, 400, 100)
+    val path = java.nio.file.Files.createTempDirectory("graft-annapp").toString + "/idx"
+    AnnIndex.buildLsh(base.toDF("vid", "v"), "vid", col("v"), dim, path, nBits = 5)
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = StreamOps.annIndexAppendStream(
+      input.toDF().toDF("vid", "v"), "vid", "v", path)
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val qv = { val rnd = new scala.util.Random(19); Seq.fill(dim)(rnd.nextDouble() * 2 - 1) }
+    // all-probe over the grown index == brute force over all 500 vectors
+    val grown = AnnIndex.lshTopK(spark, path, "vid", qv, 10, probes = 32)
+      .select("vid").as[Long].collect().toSeq
+    val brute = AnnSearch.bruteCosineTopK((base ++ b1 ++ b2).toDF("vid", "v"),
+        "vid", col("v"), qv, 10)
+      .select("vid").as[Long].collect().toSeq
+    assert(grown == brute, s"grown $grown != brute $brute")
+    // a SINGLE-probe query still reads only its pruned bucket
+    assert(AnnIndex.lshTopK(spark, path, "vid", qv, 10, probes = 1).count() <= 10)
+  }
+
   test("dedupWithinWatermark: duplicate keys inside the horizon collapse") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Long)]
