@@ -28,6 +28,13 @@ import org.apache.spark.sql.functions._
   * instead of silently probing the wrong buckets (which would collapse
   * recall with no error). The reference has no persisted-index counterpart —
   * this is part of the large-scale pipeline suite (SURVEY.md §6).
+  *
+  * Layout: `path/bucket=B/batch=N/part-*.parquet`. The bucket level is the
+  * probe-pruning key; the batch level ([[IndexIO]]) is what makes streaming
+  * appends replay-idempotent (a re-delivered micro-batch dynamic-overwrites
+  * its own directories instead of appending a second copy — a duplicated
+  * vector would rank TWICE in a served probe) and gives [[compact]] its
+  * commit bookkeeping.
   */
 object AnnIndex {
 
@@ -35,32 +42,12 @@ object AnnIndex {
   val BucketCol = "bucket"
 
   /** Index-parameter sidecar file name. */
-  val MetaFile = "_graft_meta.json"
+  val MetaFile = IndexIO.MetaFile
 
   final case class LshMeta(dim: Int, nBits: Int, seed: Long)
 
-  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-
-  /** Write the sidecar through the Hadoop FS API, so the index works on any
-    * filesystem a 1000-executor cluster would use, not just local disk. */
-  private def writeMeta(spark: SparkSession, path: String, content: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path, MetaFile)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
-
-  private def readMeta(spark: SparkSession, path: String)
-      : Option[com.fasterxml.jackson.databind.JsonNode] = {
-    val p = new org.apache.hadoop.fs.Path(path, MetaFile)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(mapper.readTree(in)) finally in.close()
-    }
-  }
+  private def readMeta(spark: SparkSession, path: String) =
+    IndexIO.readMeta(spark, path)
 
   /** Build a persisted LSH index: one full scan computing the seeded
     * random-hyperplane signature, written as one directory per bucket
@@ -70,16 +57,19 @@ object AnnIndex {
   def buildLsh(emb: DataFrame, id: String, vec: Column, dim: Int, path: String,
       nBits: Int = 8, seed: Long = 42L): Unit = {
     emb.select(col(id), vec.as("vec"),
-        AnnSearch.signatureRandom(vec, dim, nBits, seed).as(BucketCol))
+        AnnSearch.signatureRandom(vec, dim, nBits, seed).as(BucketCol),
+        lit(-1L).as(IndexIO.BatchCol))
       // co-locate each bucket before the partitioned write: without this,
       // EVERY task writes a file into every bucket directory it touches —
       // O(tasks x buckets) small files; with it, one task owns a bucket's
       // rows and each directory gets one well-sized file (AQE coalesces
       // the shuffle where buckets are small)
       .repartition(col(BucketCol))
-      .write.mode("overwrite").partitionBy(BucketCol).parquet(path)
+      // static overwrite clears the whole path, including any stale batch
+      // directories and sidecar from a previous index
+      .write.mode("overwrite").partitionBy(BucketCol, IndexIO.BatchCol).parquet(path)
     // after the parquet commit (overwrite clears the directory first)
-    writeMeta(emb.sparkSession, path,
+    IndexIO.writeMeta(emb.sparkSession, path,
       s"""{"kind": "lsh", "dim": $dim, "nBits": $nBits, "seed": $seed}""")
   }
 
@@ -99,15 +89,25 @@ object AnnIndex {
     * appended into the bucket directories; existing data is never
     * re-signed or rewritten, and queries see old and new vectors alike
     * through the same pruned probe. Appending to a path that is not a
-    * metadata-carrying LSH index fails loudly. */
-  def appendLsh(emb: DataFrame, id: String, vec: Column, path: String): Unit = {
+    * metadata-carrying LSH index fails loudly.
+    *
+    * `batchId` (set by the streaming ingestion loop) makes the append
+    * REPLAY-IDEMPOTENT: the batch's rows land in its own `batch=<id>`
+    * partition directories via dynamic partition overwrite, so an
+    * at-least-once re-delivery rewrites the same directories with the same
+    * rows — served answers are unchanged by crash recovery. A batchId a
+    * compaction already folded into the base no-ops (see [[compact]]). */
+  def appendLsh(emb: DataFrame, id: String, vec: Column, path: String,
+      batchId: Option[Long] = None): Unit = {
     val meta = readLshMeta(emb.sparkSession, path).getOrElse(
       throw new IllegalArgumentException(
         s"no LSH index metadata at $path — build with buildLsh first"))
-    emb.select(col(id), vec.as("vec"),
-        AnnSearch.signatureRandom(vec, meta.dim, meta.nBits, meta.seed).as(BucketCol))
-      .repartition(col(BucketCol)) // one well-sized file per touched bucket
-      .write.mode("append").partitionBy(BucketCol).parquet(path)
+    if (IndexIO.alreadyCompacted(emb.sparkSession, path, batchId)) return
+    IndexIO.writeBatch(
+      emb.select(col(id), vec.as("vec"),
+          AnnSearch.signatureRandom(vec, meta.dim, meta.nBits, meta.seed).as(BucketCol))
+        .repartition(col(BucketCol)), // one well-sized file per touched bucket
+      path, batchId, Seq(BucketCol))
   }
 
   /** Query a persisted LSH index with multi-probe: the probe buckets become
@@ -154,13 +154,14 @@ object AnnIndex {
   def buildIvf(emb: DataFrame, id: String, vec: Column,
       centroids: Seq[Seq[Double]], path: String): Unit = {
     emb.select(col(id), vec.as("vec"),
-        AnnSearch.ivfCluster(vec, centroids).as(BucketCol))
+        AnnSearch.ivfCluster(vec, centroids).as(BucketCol),
+        lit(-1L).as(IndexIO.BatchCol))
       .repartition(col(BucketCol)) // see buildLsh: one task per bucket
-      .write.mode("overwrite").partitionBy(BucketCol).parquet(path)
+      .write.mode("overwrite").partitionBy(BucketCol, IndexIO.BatchCol).parquet(path)
     // Double.toString round-trips exactly through Jackson's parse, so the
     // stored centroids compare bit-equal with the build's list
     val cs = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-    writeMeta(emb.sparkSession, path, s"""{"kind": "ivf", "centroids": $cs}""")
+    IndexIO.writeMeta(emb.sparkSession, path, s"""{"kind": "ivf", "centroids": $cs}""")
   }
 
   /** The IVF index's stored centroid list, or None for a pre-sidecar index. */
@@ -177,15 +178,19 @@ object AnnIndex {
     * index's OWN stored centroids — see [[appendLsh]]. The coarse
     * quantizer is intentionally frozen (the standard served-IVF contract:
     * re-training centroids means rebuilding the index; appending must not
-    * silently shift cluster boundaries under existing data). */
-  def appendIvf(emb: DataFrame, id: String, vec: Column, path: String): Unit = {
+    * silently shift cluster boundaries under existing data). `batchId`
+    * makes the append replay-idempotent — see [[appendLsh]]. */
+  def appendIvf(emb: DataFrame, id: String, vec: Column, path: String,
+      batchId: Option[Long] = None): Unit = {
     val cs = readIvfCentroids(emb.sparkSession, path).getOrElse(
       throw new IllegalArgumentException(
         s"no IVF index metadata at $path — build with buildIvf first"))
-    emb.select(col(id), vec.as("vec"),
-        AnnSearch.ivfCluster(vec, cs).as(BucketCol))
-      .repartition(col(BucketCol))
-      .write.mode("append").partitionBy(BucketCol).parquet(path)
+    if (IndexIO.alreadyCompacted(emb.sparkSession, path, batchId)) return
+    IndexIO.writeBatch(
+      emb.select(col(id), vec.as("vec"),
+          AnnSearch.ivfCluster(vec, cs).as(BucketCol))
+        .repartition(col(BucketCol)),
+      path, batchId, Seq(BucketCol))
   }
 
   /** Query a persisted IVF index: the query's nProbe nearest centroids
@@ -216,5 +221,33 @@ object AnnIndex {
     val df = spark.read.parquet(path)
       .where(col(BucketCol).isin(probed: _*))
     AnnSearch.bruteCosineTopK(df, id, col("vec"), q, k)
+  }
+
+  /** Compact a grown index (LSH or IVF): fold every appended batch back
+    * into the `batch=-1` base, restoring the build path's one-well-sized-
+    * file-per-bucket discipline. Per-batch appends write one file per
+    * touched bucket per batch; after thousands of micro-batches each bucket
+    * directory holds thousands of small files and LISTING comes to dominate
+    * the probe — eroding exactly the file-pruning advantage the index
+    * exists for. Answers are unchanged (same rows, same buckets; only file
+    * boundaries move).
+    *
+    * The rewrite lands in a temp sibling and swaps in atomically
+    * ([[IndexIO.swapDirs]]): a crash at any point leaves either the old or
+    * the new index fully intact. The sidecar is preserved, with
+    * `compactedThrough` set to the highest folded batchId so a committed
+    * batch re-delivered ACROSS the compaction no-ops instead of re-adding
+    * its rows. Run while ingestion streams are stopped cleanly (a clean
+    * stop commits its final batch; only an uncommitted batch can replay). */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val df = spark.read.parquet(path)
+    val maxBatch = df.agg(max(col(IndexIO.BatchCol).cast("long"))).head.getLong(0)
+    val tmp = path + "__compacting"
+    df.drop(IndexIO.BatchCol).withColumn(IndexIO.BatchCol, lit(-1L))
+      .repartition(col(BucketCol))
+      .write.mode("overwrite").partitionBy(BucketCol, IndexIO.BatchCol).parquet(tmp)
+    IndexIO.writeMeta(spark, tmp,
+      IndexIO.metaWithCompactedThrough(spark, path, maxBatch))
+    IndexIO.swapDirs(spark, path, tmp)
   }
 }

@@ -87,17 +87,31 @@ object Dedup {
     * Layout: `path/bands` = (band, bv, id) exploded band keys;
     * `path/shingles` = (id, g) for the exact-Jaccard verification join.
     * `append = true` grows an existing index (call after accepting a
-    * batch, so the next batch dedups against it too). */
+    * batch, so the next batch dedups against it too).
+    *
+    * Both tables carry a `batch` partition level ([[IndexIO]]): a
+    * streaming `batchId` writes via dynamic partition overwrite, so an
+    * at-least-once re-delivery rewrites its own `batch=<id>` directories
+    * instead of appending duplicate band rows (replay-idempotent; `append`
+    * is ignored — the batch directory is the unit of commit); without one,
+    * batch = -1 with the plain append/overwrite semantics. A batchId a
+    * [[compactBandIndex]] already folded into the base no-ops. */
   def writeBandIndex(docs: DataFrame, id: String, shingles: Column,
-      path: String, append: Boolean = false): Unit = {
-    val mode = if (append) "append" else "overwrite"
+      path: String, append: Boolean = false, batchId: Option[Long] = None): Unit = {
+    if (graft.operators.IndexIO.alreadyCompacted(docs.sparkSession, path, batchId)) return
     val sh = spread(docs).select(col(id).as("id"), shingles.as("g")).cache()
     try {
-      sh.select(col("id"), posexplode(
+      def write(df: DataFrame, sub: String): Unit =
+        if (batchId.isDefined)
+          IndexIO.writeBatch(df, s"$path/$sub", batchId, Seq.empty)
+        else
+          df.withColumn(IndexIO.BatchCol, lit(-1L))
+            .write.mode(if (append) "append" else "overwrite")
+            .partitionBy(IndexIO.BatchCol).parquet(s"$path/$sub")
+      write(sh.select(col("id"), posexplode(
           graft.functions.NativeKernels.bandKeys(col("g"), NumHashes, NumBands, RowsPerBand))
-          .as(Seq("band", "bv")))
-        .write.mode(mode).parquet(s"$path/bands")
-      sh.write.mode(mode).parquet(s"$path/shingles")
+          .as(Seq("band", "bv"))), "bands")
+      write(sh, "shingles")
     } finally sh.unpersist()
   }
 
@@ -113,15 +127,23 @@ object Dedup {
     * "batch" belongs in [[minhashPairs]], not here. Exact Jaccard verifies
     * against the stored shingle sets; the corpus is never re-hashed.
     * In-batch duplicates are a separate [[minhashPairs]] over the batch
-    * alone. */
+    * alone.
+    *
+    * `excludeBatch` (set by the streaming loop to the CURRENT batchId)
+    * drops that batch's own partition from the index read: on an
+    * at-least-once replay the first attempt's append may already be
+    * committed, and matching the batch against its own stored keys would
+    * re-emit every in-batch pair a second time as a cross pair. */
   def incrementalPairs(newDocs: DataFrame, id: String, shingles: Column,
-      indexPath: String, minJ: Double): DataFrame = {
+      indexPath: String, minJ: Double,
+      excludeBatch: Option[Long] = None): DataFrame = {
     val spark = newDocs.sparkSession
     val sh = spread(newDocs).select(col(id).as("id"), shingles.as("g")).cache()
     val banded = sh.select(col("id"), posexplode(
         graft.functions.NativeKernels.bandKeys(col("g"), NumHashes, NumBands, RowsPerBand))
         .as(Seq("band", "bv")))
-    val idx = spark.read.parquet(s"$indexPath/bands")
+    val idx = IndexIO.excludeBatch(
+      spark.read.parquet(s"$indexPath/bands"), excludeBatch)
     val cands = broadcast(banded).as("x")
       .join(idx.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
@@ -130,7 +152,8 @@ object Dedup {
       .distinct()
     cands
       .join(sh.select(col("id").as("a"), col("g").as("ga")), Seq("a"))
-      .join(spark.read.parquet(s"$indexPath/shingles")
+      .join(IndexIO.excludeBatch(
+          spark.read.parquet(s"$indexPath/shingles"), excludeBatch)
         .select(col("id").as("b"), col("g").as("gb")), Seq("b"))
       .select(col("a"), col("b"),
         SimKernels.jaccardSimDistinct(col("ga"), col("gb")).as("j"))
@@ -235,27 +258,80 @@ object Dedup {
 
   /** Persist the exact-dup fingerprint index — the exact twin of
     * [[writeBandIndex]]: (fp, id) written once, `append = true` per
-    * accepted batch. */
+    * accepted batch, `batchId` for replay-idempotent streaming appends
+    * (the batch's `batch=<id>` directory is the unit of commit). */
   def writeFingerprintIndex(docs: DataFrame, id: String, text: Column,
-      path: String, append: Boolean = false): Unit =
-    spread(docs).select(TextKernels.fingerprint(text).as("fp"), col(id).as("id"))
-      .write.mode(if (append) "append" else "overwrite").parquet(path)
+      path: String, append: Boolean = false, batchId: Option[Long] = None): Unit = {
+    if (graft.operators.IndexIO.alreadyCompacted(docs.sparkSession, path, batchId)) return
+    val fps = spread(docs)
+      .select(TextKernels.fingerprint(text).as("fp"), col(id).as("id"))
+    if (batchId.isDefined) IndexIO.writeBatch(fps, path, batchId, Seq.empty)
+    else fps.withColumn(IndexIO.BatchCol, lit(-1L))
+      .write.mode(if (append) "append" else "overwrite")
+      .partitionBy(IndexIO.BatchCol).parquet(path)
+  }
 
   /** Exact duplicates of a NEW batch against a persisted
     * [[writeFingerprintIndex]] corpus: (id, fp, keeper = min indexed id
     * with the same fingerprint). One fingerprint pass over the batch plus
     * one equi-join against the stored (fp, id) table — the corpus text is
-    * never re-read or re-hashed; the min runs over matched rows only. */
+    * never re-read or re-hashed; the min runs over matched rows only.
+    * `excludeBatch` — see [[incrementalPairs]]: on a replay the batch's
+    * own committed fingerprints must not make it its own keeper. */
   def incrementalExact(newDocs: DataFrame, id: String, text: Column,
-      indexPath: String): DataFrame = {
+      indexPath: String, excludeBatch: Option[Long] = None): DataFrame = {
     val fps = spread(newDocs)
       .select(col(id).as("id"), TextKernels.fingerprint(text).as("fp"))
     // same unconditional batch-side broadcast as incrementalPairs: the
     // stored (fp, id) table must never shuffle per ingestion batch
-    broadcast(fps).join(newDocs.sparkSession.read.parquet(indexPath)
+    broadcast(fps).join(IndexIO.excludeBatch(
+          newDocs.sparkSession.read.parquet(indexPath), excludeBatch)
         .select(col("fp"), col("id").as("__idx_id")), Seq("fp"))
       .groupBy(col("id"), col("fp"))
       .agg(min(col("__idx_id")).as("keeper"))
+  }
+
+  /** Compact a grown [[writeBandIndex]] index: fold every appended batch of
+    * both tables back into `batch=-1`, rewritten to well-sized files (one
+    * per ~`maxPartitionBytes`), and atomically swap. Same rationale and
+    * crash-safety as [[AnnIndex.compact]]; `compactedThrough` in the
+    * root-level sidecar makes a committed batch re-delivered across the
+    * compaction a no-op. Run while ingestion streams are stopped cleanly. */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val tmp = path + "__compacting"
+    val through = Seq("bands", "shingles")
+      .map(sub => compactTable(spark, s"$path/$sub", s"$tmp/$sub")).max
+    IndexIO.writeMeta(spark, tmp,
+      IndexIO.metaWithCompactedThrough(spark, path, through))
+    IndexIO.swapDirs(spark, path, tmp)
+  }
+
+  /** Compact a grown [[writeFingerprintIndex]] index — the single-table
+    * twin of [[compactBandIndex]]. */
+  def compactFingerprintIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val tmp = path + "__compacting"
+    val through = compactTable(spark, path, tmp)
+    IndexIO.writeMeta(spark, tmp,
+      IndexIO.metaWithCompactedThrough(spark, path, through))
+    IndexIO.swapDirs(spark, path, tmp)
+  }
+
+  /** Rewrite one batch-partitioned table into `batch=-1` at `tmp`, sized to
+    * ~one file per `maxPartitionBytes` of input; returns the highest folded
+    * batchId. */
+  private def compactTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String, tmp: String): Long = {
+    val df = spark.read.parquet(dir)
+    val maxBatch = df.agg(max(col(IndexIO.BatchCol).cast("long"))).head.getLong(0)
+    val nFiles = df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+        math.max(1L, (l.relation.sizeInBytes + maxSplit - 1) / maxSplit).toInt
+    }.getOrElse(1)
+    df.drop(IndexIO.BatchCol).withColumn(IndexIO.BatchCol, lit(-1L))
+      .repartition(nFiles)
+      .write.mode("overwrite").partitionBy(IndexIO.BatchCol).parquet(tmp)
+    maxBatch
   }
 
   /** Connected components over a near-duplicate pair list: (node, cluster)

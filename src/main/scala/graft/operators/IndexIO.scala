@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared plumbing for the persisted incremental indexes ([[AnnIndex]],
+  * [[Dedup]]'s band/fingerprint indexes): the batch-partition layout that
+  * makes streaming appends replay-idempotent, the `_graft_meta.json`
+  * sidecar, and the compaction rewrite.
+  *
+  * Replay idempotence: `foreachBatch` is at-least-once — after a mid-batch
+  * failure Structured Streaming re-delivers the SAME micro-batch (same
+  * batchId, same rows). A plain `mode("append")` would write the batch's
+  * rows twice, and a twice-appended vector ranks TWICE in a served ANN
+  * probe — crash recovery would change answers. Every index therefore
+  * carries a `batch=<id>` partition level: a streaming append writes its
+  * micro-batch with DYNAMIC partition overwrite keyed on the batchId, so a
+  * re-delivery rewrites the same directories with the same rows instead of
+  * appending a second copy — idempotent even when the first attempt died
+  * mid-write. Batch values: -1 = the base build (and non-streaming manual
+  * appends, which are not subject to replay); >= 0 = streaming batchIds.
+  *
+  * Compaction: per-batch appends accumulate one file per touched partition
+  * per batch; after thousands of micro-batches the file listing dominates
+  * the probe. [[AnnIndex.compact]] / [[Dedup.compactBandIndex]] fold all
+  * committed batches back into `batch=-1` (restoring the base build's
+  * one-well-sized-file discipline) and record the highest folded batchId as
+  * `compactedThrough` in the sidecar; an append whose batchId is <= that
+  * value is a committed batch re-delivered across the compaction and
+  * no-ops. Compact while ingestion streams are STOPPED CLEANLY (a clean
+  * stop commits its last batch, so nothing older can be re-delivered).
+  */
+private[graft] object IndexIO {
+
+  /** Batch-partition column: -1 = base build, >= 0 = streaming batchIds. */
+  val BatchCol = "batch"
+
+  /** Index-parameter sidecar file name (the `_` prefix keeps it out of
+    * Spark's file listing, like `_SUCCESS`). */
+  val MetaFile = "_graft_meta.json"
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Write the sidecar through the Hadoop FS API, so the index works on any
+    * filesystem a 1000-executor cluster would use, not just local disk. */
+  def writeMeta(spark: SparkSession, path: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val out = fs(spark, path).create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def readMeta(spark: SparkSession, path: String)
+      : Option[com.fasterxml.jackson.databind.JsonNode] = {
+    val p = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val f = fs(spark, path)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(mapper.readTree(in)) finally in.close()
+    }
+  }
+
+  /** Highest batchId already folded into the base by a compaction; -1 when
+    * never compacted (no sidecar, or no field). */
+  def compactedThrough(spark: SparkSession, path: String): Long =
+    readMeta(spark, path).map(_.path("compactedThrough").asLong(-1L)).getOrElse(-1L)
+
+  /** True when `batchId` names a streaming batch that a compaction already
+    * folded into the base — the append must no-op, not re-add the rows. */
+  def alreadyCompacted(spark: SparkSession, path: String,
+      batchId: Option[Long]): Boolean =
+    batchId.exists(_ <= compactedThrough(spark, path))
+
+  /** The sidecar content with `compactedThrough` set to
+    * max(existing, through) — all other fields preserved. A sidecar-less
+    * index (band/fingerprint) gets a fresh `{"compactedThrough": N}`. */
+  def metaWithCompactedThrough(spark: SparkSession, path: String,
+      through: Long): String = {
+    val node = readMeta(spark, path)
+      .collect { case o: com.fasterxml.jackson.databind.node.ObjectNode => o }
+      .getOrElse(mapper.createObjectNode())
+    node.put("compactedThrough", math.max(through, node.path("compactedThrough").asLong(-1L)))
+    mapper.writeValueAsString(node)
+  }
+
+  /** Append `df` under the batch partition level: dynamic-overwrite of the
+    * batch's own directories when `batchId` is set (replay-idempotent),
+    * plain append into `batch=-1` otherwise. `partitionCols` are the
+    * partition levels ABOVE batch (e.g. the ANN bucket). */
+  def writeBatch(df: DataFrame, path: String, batchId: Option[Long],
+      partitionCols: Seq[String]): Unit = {
+    val out = df.withColumn(BatchCol, lit(batchId.getOrElse(-1L)))
+      .write.partitionBy(partitionCols :+ BatchCol: _*)
+    batchId match {
+      case Some(_) => out.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic").parquet(path)
+      case None => out.mode("append").parquet(path)
+    }
+  }
+
+  /** Exclude a batch's own partition from an index read — on a replayed
+    * batch the first attempt's rows may already be committed, and matching
+    * against them would re-emit the batch's in-batch pairs as cross pairs. */
+  def excludeBatch(df: DataFrame, batchId: Option[Long]): DataFrame =
+    batchId.fold(df)(b => df.where(col(BatchCol).cast("long") =!= b))
+
+  /** Atomically replace `path` with the rewritten `tmp`: the old directory
+    * moves aside first, so a crash at any point leaves either the old or
+    * the new index fully intact (plus at most a leftover `__old`/tmp dir). */
+  def swapDirs(spark: SparkSession, path: String, tmp: String): Unit = {
+    val f = fs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    if (f.exists(old)) f.delete(old, true)
+    require(f.rename(p, old), s"could not move $path aside for the swap")
+    require(f.rename(new org.apache.hadoop.fs.Path(tmp), p),
+      s"could not move $tmp into place (old index preserved at $old)")
+    f.delete(old, true)
+  }
+}

@@ -203,11 +203,17 @@ object StreamOps {
     * index's stored sidecar parameters and appended into its bucket
     * directories — the ANN twin of [[incrementalDedupStream]]'s accept
     * step. Served probes (`AnnIndex.lshTopK`) see every committed batch;
-    * the index must exist (`buildLsh`) before the stream starts. */
+    * the index must exist (`buildLsh`) before the stream starts.
+    *
+    * The append is keyed on the micro-batch id, so `foreachBatch`'s
+    * at-least-once re-delivery after a crash REWRITES the batch's own
+    * partition instead of appending a second copy — a duplicated vector
+    * would rank twice in a served probe and change answers. */
   def annIndexAppendStream(vectors: DataFrame, idCol: String, vecCol: String,
       indexPath: String): org.apache.spark.sql.streaming.StreamingQuery =
-    vectors.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      graft.operators.AnnIndex.appendLsh(batch, idCol, col(vecCol), indexPath)
+    vectors.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.operators.AnnIndex.appendLsh(batch, idCol, col(vecCol), indexPath,
+        batchId = Some(batchId))
     }.start()
 
   /** Streaming incremental near-dup dedup — the production ingestion loop
@@ -228,29 +234,47 @@ object StreamOps {
     * materialized (cached + counted) BEFORE step 3 appends: the candidate
     * join reads the index parquet lazily, and appending first would make
     * the batch collide with its own just-written keys. `indexPath` must
-    * not already exist unless resuming an earlier run of the same stream. */
+    * not already exist unless resuming an earlier run of the same stream.
+    *
+    * Crash recovery: the INDEX is replay-idempotent — the accept step
+    * dynamic-overwrites the batch's own `batch=<id>` partition, and the
+    * candidate join excludes that partition, so a re-delivered batch
+    * leaves the index bit-identical and emits the SAME pair set as the
+    * first attempt (StreamOpsSpec proves both). `writeBatch` itself stays
+    * at-least-once (foreachBatch's contract): it can see that identical
+    * pair set twice, so an external sink should upsert by (batchId, pair)
+    * or be otherwise idempotent. */
   def incrementalDedupStream(docs: DataFrame, idCol: String, textCol: String,
       indexPath: String, minJ: Double)(writeBatch: (DataFrame, Long) => Unit)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      dedupBatch(batch, batchId, idCol, textCol, indexPath, minJ, writeBatch)
+    }.start()
+
+  /** One [[incrementalDedupStream]] micro-batch — package-visible so the
+    * replay-idempotence spec can re-deliver a batch exactly as
+    * foreachBatch would after a crash. */
+  private[graft] def dedupBatch(batch: DataFrame, batchId: Long, idCol: String,
+      textCol: String, indexPath: String, minJ: Double,
+      writeBatch: (DataFrame, Long) => Unit): Unit = {
     import graft.functions.TextKernels
     import graft.operators.Dedup
-    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val spark = batch.sparkSession
-      val shingles = TextKernels.wordShingles2(TextKernels.wordTokens(col(textCol)))
-      val bands = new org.apache.hadoop.fs.Path(s"$indexPath/bands")
-      val hasIndex = bands.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(bands)
-      val b = batch.cache()
-      val inBatch = Dedup.minhashPairs(b, idCol, shingles, minJ)
-      val pairs = (if (hasIndex)
-          inBatch.union(Dedup.incrementalPairs(b, idCol, shingles, indexPath, minJ))
-        else inBatch).cache()
-      try {
-        pairs.count() // pin results before the index grows (see scaladoc)
-        writeBatch(pairs, batchId)
-        Dedup.writeBandIndex(b, idCol, shingles, indexPath, append = hasIndex)
-      } finally { pairs.unpersist(); b.unpersist() }
-    }.start()
+    val spark = batch.sparkSession
+    val shingles = TextKernels.wordShingles2(TextKernels.wordTokens(col(textCol)))
+    val bands = new org.apache.hadoop.fs.Path(s"$indexPath/bands")
+    val hasIndex = bands.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(bands)
+    val b = batch.cache()
+    val inBatch = Dedup.minhashPairs(b, idCol, shingles, minJ)
+    val pairs = (if (hasIndex)
+        inBatch.union(Dedup.incrementalPairs(b, idCol, shingles, indexPath, minJ,
+          excludeBatch = Some(batchId)))
+      else inBatch).cache()
+    try {
+      pairs.count() // pin results before the index grows (see scaladoc)
+      writeBatch(pairs, batchId)
+      Dedup.writeBandIndex(b, idCol, shingles, indexPath, batchId = Some(batchId))
+    } finally { pairs.unpersist(); b.unpersist() }
   }
 
   /** Streaming windowed top-k preparation: per-window per-key aggregate

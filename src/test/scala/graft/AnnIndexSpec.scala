@@ -26,6 +26,15 @@ class AnnIndexSpec extends SparkTestBase {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }.get
 
+  /** Data files under each bucket directory, across its batch= levels. */
+  private def parquetFilesPerBucket(path: String): Seq[Int] =
+    new java.io.File(path).listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith(AnnIndex.BucketCol + "="))
+      .map { bucket =>
+        bucket.listFiles().filter(_.isDirectory)
+          .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+      }
+
   test("persisted LSH index: probed query == on-the-fly lshTopK, and only " +
     "the probed partitions are listed/read") {
     val path = java.nio.file.Files.createTempDirectory("graft-lshidx").toString + "/idx"
@@ -36,9 +45,7 @@ class AnnIndexSpec extends SparkTestBase {
     // bucket co-location: the pre-write repartition means ONE task owns a
     // bucket, so each directory holds exactly one data file — without it,
     // every write task would spray a file into every bucket it touches
-    val filesPerBucket = new java.io.File(path).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith(AnnIndex.BucketCol + "="))
-      .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    val filesPerBucket = parquetFilesPerBucket(path)
     assert(filesPerBucket.forall(_ == 1),
       s"expected one file per bucket, got ${filesPerBucket.toSeq.distinct}")
     for (probes <- Seq(1, 4)) {
@@ -114,6 +121,82 @@ class AnnIndexSpec extends SparkTestBase {
         java.nio.file.Files.createTempDirectory("graft-noidx").toString)
     }
     assert(e.getMessage.contains("no LSH index metadata"))
+  }
+
+  test("batchId-keyed appends are replay-idempotent: re-delivering a " +
+    "committed micro-batch leaves index contents and probe answers unchanged") {
+    val rnd = new scala.util.Random(101)
+    def batch(from: Int, n: Int) = (from until from + n).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextDouble() * 2 - 1))).toDF("vid", "v")
+    val q = query(103)
+
+    val lshPath = java.nio.file.Files.createTempDirectory("graft-replay").toString + "/idx"
+    AnnIndex.buildLsh(emb, "vid", col("v"), dim, lshPath, nBits = 5)
+    val b0 = batch(500, 80).cache()
+    AnnIndex.appendLsh(b0, "vid", col("v"), lshPath, batchId = Some(0L))
+    def contents() = spark.read.parquet(lshPath)
+      // partition-column types are inferred from directory names -> cast
+      .select(col("vid"), col(AnnIndex.BucketCol).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    def answer() = AnnIndex.lshTopK(spark, lshPath, "vid", q, 10, probes = 32)
+      .collect().map(_.toSeq).toSeq
+    val (c1, a1) = (contents(), answer())
+    // at-least-once re-delivery: same batchId, same rows
+    AnnIndex.appendLsh(b0, "vid", col("v"), lshPath, batchId = Some(0L))
+    assert(contents() == c1, "replayed append changed the index contents")
+    assert(answer() == a1, "replayed append changed served answers")
+    assert(c1.map(_._1).distinct.size == c1.size, "a vector appears twice")
+
+    // IVF twin
+    val cents = (0 until 8).map(_ => Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val ivfPath = java.nio.file.Files.createTempDirectory("graft-replayivf").toString + "/idx"
+    AnnIndex.buildIvf(emb, "vid", col("v"), cents, ivfPath)
+    AnnIndex.appendIvf(b0, "vid", col("v"), ivfPath, batchId = Some(0L))
+    val n1 = spark.read.parquet(ivfPath).count()
+    val i1 = AnnIndex.ivfTopK(spark, ivfPath, "vid", q, 10, nProbe = 8)
+      .collect().map(_.toSeq).toSeq
+    AnnIndex.appendIvf(b0, "vid", col("v"), ivfPath, batchId = Some(0L))
+    assert(spark.read.parquet(ivfPath).count() == n1)
+    assert(AnnIndex.ivfTopK(spark, ivfPath, "vid", q, 10, nProbe = 8)
+      .collect().map(_.toSeq).toSeq == i1)
+    b0.unpersist()
+  }
+
+  test("compact folds appended batches into the base: answers identical, " +
+    "one file per bucket again, and a pre-compaction batchId no-ops") {
+    val rnd = new scala.util.Random(107)
+    def batch(from: Int, n: Int) = (from until from + n).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextDouble() * 2 - 1))).toDF("vid", "v")
+    val q = query(109)
+    val path = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/idx"
+    AnnIndex.buildLsh(emb, "vid", col("v"), dim, path, nBits = 4)
+    val batches = (0 until 4).map(i => batch(500 + 100 * i, 100).cache())
+    batches.zipWithIndex.foreach { case (b, i) =>
+      AnnIndex.appendLsh(b, "vid", col("v"), path, batchId = Some(i.toLong))
+    }
+    // appends accumulate one file per touched bucket per batch
+    assert(parquetFilesPerBucket(path).exists(_ > 1),
+      "fixture did not accumulate multiple files — vacuous test")
+    val before = AnnIndex.lshTopK(spark, path, "vid", q, 10, probes = 16)
+      .collect().map(_.toSeq).toSeq
+    AnnIndex.compact(spark, path)
+    assert(AnnIndex.lshTopK(spark, path, "vid", q, 10, probes = 16)
+      .collect().map(_.toSeq).toSeq == before, "compaction changed answers")
+    val after = parquetFilesPerBucket(path)
+    assert(after.forall(_ <= 1),
+      s"compaction must restore ~one file per bucket, got ${after.distinct}")
+    assert(spark.read.parquet(path).count() == 900)
+    // sidecar parameters survive the swap (parameter-free probe still works)
+    assert(AnnIndex.readLshMeta(spark, path).contains(AnnIndex.LshMeta(dim, 4, 42L)))
+    // a committed batch re-delivered ACROSS the compaction must no-op —
+    // its rows are already folded into the base
+    AnnIndex.appendLsh(batches(3), "vid", col("v"), path, batchId = Some(3L))
+    assert(spark.read.parquet(path).count() == 900,
+      "replay of a compacted batch re-added its rows")
+    // but genuinely new batches still append and serve
+    AnnIndex.appendLsh(batch(900, 50), "vid", col("v"), path, batchId = Some(4L))
+    assert(spark.read.parquet(path).count() == 950)
+    batches.foreach(_.unpersist())
   }
 
   test("self-describing indexes: parameters round-trip through the sidecar; " +

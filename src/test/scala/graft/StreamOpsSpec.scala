@@ -105,6 +105,83 @@ class StreamOpsSpec extends SparkTestBase {
     assert(batchPairs.nonEmpty, "fixture produced no pairs — vacuous test")
   }
 
+  test("incrementalDedupStream: re-delivering a committed micro-batch " +
+    "(at-least-once replay) emits the same pairs and leaves the index " +
+    "bit-identical") {
+    import graft.streaming.StreamOps
+    val words = (1 to 16).map(i => s"w$i").mkString(" ")
+    val wordsX = (1 to 16).map(i => s"x$i").mkString(" ")
+    val path = java.nio.file.Files.createTempDirectory("graft-replay-dd").toString + "/idx"
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Set[(Long, Long, Double)]]
+    def sink(pairs: org.apache.spark.sql.DataFrame, @annotation.unused bid: Long): Unit =
+      emitted += pairs.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def deliver(bid: Long, rows: (Long, String)*): Unit =
+      StreamOps.dedupBatch(rows.toDF("doc_id", "text"), bid,
+        "doc_id", "text", path, 0.8, sink)
+    // batch 0: two unrelated docs; batch 1: a near-dup PAIR in-batch plus a
+    // cross dup of batch 0 — the worst case for replay (its own committed
+    // band keys would re-emit the in-batch pair as two cross pairs)
+    deliver(0L, (1L, words), (2L, (1 to 16).map(i => s"y$i").mkString(" ")))
+    deliver(1L, (3L, wordsX), (4L, wordsX.replaceAll("x16$", "qqq")),
+      (5L, words.replaceAll("w16$", "zzz")))
+    def indexContents() = Seq("bands", "shingles").map { sub =>
+      spark.read.parquet(s"$path/$sub").collect()
+        .map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+    }
+    val (pairs1, idx1) = (emitted(1), indexContents())
+    assert(pairs1.exists { case (a, b, _) => a == 3L && b == 4L } &&
+      pairs1.exists { case (a, b, _) => a == 5L && b == 1L },
+      s"fixture must cover in-batch AND cross pairs, got $pairs1")
+    // crash after commit, before the checkpoint advanced: foreachBatch
+    // re-delivers batch 1 with the same id and rows
+    deliver(1L, (3L, wordsX), (4L, wordsX.replaceAll("x16$", "qqq")),
+      (5L, words.replaceAll("w16$", "zzz")))
+    assert(emitted(2) == pairs1,
+      s"replay emitted different pairs: ${emitted(2)} vs $pairs1")
+    assert(indexContents() == idx1, "replay changed the index contents")
+    // and the NEXT batch still dedups against everything exactly once
+    deliver(2L, (6L, words))
+    assert(emitted(3).map { case (a, b, _) => (a, b) } == Set((6L, 1L), (6L, 5L)),
+      s"post-replay batch pairs wrong: ${emitted(3)}")
+  }
+
+  test("compactBandIndex: probe answers unchanged, files folded to the " +
+    "base, compacted batchIds no-op on re-delivery") {
+    import graft.operators.Dedup
+    import graft.functions.TextKernels
+    val shingles = TextKernels.wordShingles2(TextKernels.wordTokens(col("text")))
+    val words = (1 to 16).map(i => s"w$i").mkString(" ")
+    val path = java.nio.file.Files.createTempDirectory("graft-compact-dd").toString + "/idx"
+    def docs(ids: Long*) = ids.map(i => (i, if (i % 2 == 0) words else s"doc $i " * 8))
+      .toDF("doc_id", "text")
+    Dedup.writeBandIndex(docs(1L, 2L), "doc_id", shingles, path, batchId = Some(0L))
+    (1 to 3).foreach(i => Dedup.writeBandIndex(docs(10L * i, 10L * i + 1), "doc_id",
+      shingles, path, batchId = Some(i.toLong)))
+    val probe = docs(100L) // even id -> near-dups every even indexed doc
+    val before = Dedup.incrementalPairs(probe, "doc_id", shingles, path, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(before == Set((100L, 2L), (100L, 10L), (100L, 20L), (100L, 30L)))
+    Dedup.compactBandIndex(spark, path)
+    val after = Dedup.incrementalPairs(probe, "doc_id", shingles, path, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before, s"compaction changed answers: $after")
+    // everything folded into batch=-1, one well-sized file per table
+    Seq("bands", "shingles").foreach { sub =>
+      val dirs = new java.io.File(s"$path/$sub").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSeq
+      assert(dirs == Seq("batch=-1"), s"$sub dirs: $dirs")
+    }
+    // a committed batch re-delivered across the compaction must no-op
+    val n = spark.read.parquet(s"$path/shingles").count()
+    Dedup.writeBandIndex(docs(30L, 31L), "doc_id", shingles, path, batchId = Some(3L))
+    assert(spark.read.parquet(s"$path/shingles").count() == n,
+      "replay of a compacted batch re-added rows")
+    // new batches still land
+    Dedup.writeBandIndex(docs(40L), "doc_id", shingles, path, batchId = Some(4L))
+    assert(spark.read.parquet(s"$path/shingles").count() == n + 1)
+  }
+
   test("annIndexAppendStream: streamed vector batches land in the served " +
     "index; a probe equals brute force over everything committed") {
     implicit val sqlCtx = spark.sqlContext
