@@ -499,11 +499,15 @@ object Queries {
   // -- INCREMENTAL near-dup dedup against a persisted band index (the
   //    production ingestion shape): the even-id half of the corpus is
   //    indexed ONCE (writeBandIndex: exploded band keys + shingle sets as
-  //    parquet), then the odd-id half arrives as a new batch and dedups
-  //    against the stored index via incrementalPairs — the indexed corpus
-  //    is never re-hashed. The oracle expresses the same batch x corpus
-  //    band join directly over `documents`; results match because the
-  //    index holds exactly the corpus half's band keys and shingles.
+  //    parquet), then a BOUNDED batch — a fixed odd-id slice, honoring
+  //    incrementalPairs' micro-batch contract (its batch side carries an
+  //    unconditional broadcast hint, so a corpus-sized "batch" would risk
+  //    the broadcast ceiling at larger SFs; a fixed id range stays
+  //    fixed-size as the corpus grows) — arrives as the new batch and
+  //    dedups against the stored index; the indexed corpus is never
+  //    re-hashed. The oracle expresses the same batch x corpus band join
+  //    directly over `documents`; results match because the index holds
+  //    exactly the corpus half's band keys and shingles.
   private val dedupIncr: (SparkSession, String) => DataFrame = (s, dir) => {
     val docs = t(s, dir, "documents")
     val shingles = TextKernels.wordShingles2(TextKernels.wordTokens(col("text")))
@@ -511,8 +515,9 @@ object Queries {
       "graft-bandidx-" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
     buildIndexOnce(path)(
       Dedup.writeBandIndex(docs.where(col("doc_id") % 2 === 0), "doc_id", shingles, path))
-    Dedup.incrementalPairs(docs.where(col("doc_id") % 2 === 1), "doc_id",
-        shingles, path, 0.8)
+    Dedup.incrementalPairs(
+        docs.where(col("doc_id") % 2 === 1 && col("doc_id").between(200, 459)),
+        "doc_id", shingles, path, 0.8)
       .orderBy(col("a"), col("b"))
   }
 
@@ -520,7 +525,7 @@ object Queries {
     s"""WITH ${minhashPairsCtes(
       s"""tk AS (SELECT doc_id, ${sqlWords("text")} AS w FROM documents),
          |sh AS (SELECT doc_id, ${sqlShingles2("w")} AS g FROM tk)""".stripMargin, 0.8,
-      candPred = "x.doc_id % 2 = 1 AND y.doc_id % 2 = 0")}
+      candPred = "x.doc_id % 2 = 1 AND x.doc_id BETWEEN 200 AND 459 AND y.doc_id % 2 = 0")}
        |SELECT a, b, j FROM prs ORDER BY a, b""".stripMargin
 
   // -- n-gram Jaccard near-dup: same banded MinHash pipeline over character

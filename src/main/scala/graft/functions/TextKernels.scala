@@ -120,35 +120,34 @@ object TextKernels {
         i => concat_ws(" ", slice(w, i, lit(n)))))
 
   /** Winnowing document fingerprints (the MOSS scheme, Schleimer et al.
-    * SIGMOD'03): hash every positional character k-gram, then keep the
-    * MINIMUM hash of each sliding window of `w` consecutive k-grams,
-    * deduplicated. Guarantees: any shared substring of length >= k + w - 1
-    * contributes at least one COMMON selected fingerprint to both
-    * documents, and ~2/(w+1) of positions are selected — so two documents
-    * sharing a long passage share many fingerprints even when the rest of
-    * their text is unrelated. That is PARTIAL-overlap detection: the
-    * containment case (a paragraph lifted into an otherwise different
-    * document) that whole-document fingerprints and set-Jaccard near-dup
-    * both dilute away.
+    * SIGMOD'03), phase 1 of 2: hash every positional character k-gram;
+    * [[winnowSelect]] then keeps the deduplicated MINIMUM hash of each
+    * sliding window of `w` consecutive k-grams. Guarantees: any shared
+    * substring of length >= k + w - 1 contributes at least one COMMON
+    * selected fingerprint to both documents, and ~2/(w+1) of positions are
+    * selected — so two documents sharing a long passage share many
+    * fingerprints even when the rest of their text is unrelated. That is
+    * PARTIAL-overlap detection: the containment case (a paragraph lifted
+    * into an otherwise different document) that whole-document
+    * fingerprints and set-Jaccard near-dup both dilute away.
     *
     * The hash is the first 12 hex chars of md5 as a 48-bit integer —
     * engine-portable exact arithmetic, no custom rolling polynomial whose
-    * modular arithmetic each engine would have to reproduce. A pure
-    * codegen'd per-row map: no shuffle at any corpus size. Documents
+    * modular arithmetic each engine would have to reproduce. Documents
     * shorter than k characters yield an empty array (same descending-
-    * `sequence` guard as [[wordNgrams]]); 1 <= grams < w keeps the single
-    * minimum of what exists, the standard short-document degeneration. */
-  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
-    winnowSelect(winnowHashes(text, k), w)
-
-  /** Phase 1 of winnowing: the positional k-gram hash array. Keep this in
-    * its OWN projection (e.g. `.select(winnowHashes(...).as("hv"))`) and
-    * feed [[winnowSelect]] the resulting column: a higher-order `transform`
-    * lambda re-evaluates any non-attribute expression it references on
-    * EVERY invocation, so composing the two phases in one expression makes
-    * the window pass re-hash the whole document per window — O(n^2) md5
-    * calls (measured 42 s vs 1.5 s at sf0.1). A Generate (explode) above
-    * the projection keeps Catalyst from collapsing the two back together. */
+    * `sequence` guard as [[wordNgrams]]).
+    *
+    * The two phases are deliberately NOT offered as one composed call:
+    * keep this in its OWN projection (e.g.
+    * `.select(winnowHashes(...).as("hv"))`) with a Generate (explode)
+    * boundary before [[winnowSelect]] reads the column, the way
+    * [[graft.operators.Dedup.winnowPairs]] does. A higher-order
+    * `transform` lambda re-evaluates any non-attribute expression it
+    * references on EVERY invocation, so composing the phases in one
+    * expression makes the window pass re-hash the whole document per
+    * window — O(n^2) md5 calls (measured 42 s vs 1.5 s at sf0.1); the
+    * Generate above the projection keeps Catalyst from collapsing the two
+    * back together. */
   def winnowHashes(text: Column, k: Int): Column = {
     val nGrams = length(text) - (k - 1)
     val grams = org.apache.spark.sql.functions.transform(
@@ -159,7 +158,10 @@ object TextKernels {
   }
 
   /** Phase 2 of winnowing: the deduplicated per-window minima of a
-    * MATERIALIZED hash-array column (see [[winnowHashes]]). */
+    * MATERIALIZED hash-array column — never of an inline [[winnowHashes]]
+    * expression (see the phase-1 scaladoc on the O(n^2) re-evaluation
+    * trap). 1 <= grams < w keeps the single minimum of what exists, the
+    * standard short-document degeneration. */
   def winnowSelect(hashes: Column, w: Int): Column = {
     val wins = org.apache.spark.sql.functions.transform(
       sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),

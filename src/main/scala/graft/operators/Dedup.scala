@@ -161,7 +161,8 @@ object Dedup {
   }
 
   /** Partial-overlap pairs by winnowing fingerprints
-    * ([[TextKernels.winnowFingerprints]]): (a, b, shared) where `shared`
+    * ([[TextKernels.winnowHashes]] -> [[TextKernels.winnowSelect]]):
+    * (a, b, shared) where `shared`
     * counts the selected fingerprints the two documents have in common —
     * the MOSS plagiarism/containment measure. This catches the case the
     * OTHER dedup operators structurally miss: a long passage copied into

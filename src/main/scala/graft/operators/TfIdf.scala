@@ -66,11 +66,15 @@ object TfIdf {
     * Scale design: one shuffle for the vocabulary counts (map-side
     * combined, result CACHED — it feeds both the corpus-total aggregate
     * and the scoring join, and is vocabulary-sized, not corpus-sized), the
-    * scoring join BROADCASTS the vocab into the token stream (corpus
-    * tokens never shuffle for it), then one doc-keyed aggregation; the
-    * corpus total joins as a broadcast 1-row frame. Two corpus tokenize
-    * passes total (vocab build + scoring stream). Zero-token documents
-    * have no defined score and emit no row. */
+    * scoring join broadcasts the vocab into the token stream WHILE ITS
+    * SIZE ESTIMATE stays under `autoBroadcastJoinThreshold` (corpus tokens
+    * never shuffle for it then; there is deliberately no explicit hint —
+    * the vocabulary is corpus-derived and unbounded, and a
+    * threshold-exceeding vocab falling back to a shuffled join is the
+    * right adaptive behavior, not a bug), then one doc-keyed aggregation;
+    * the corpus total joins as a broadcast 1-row frame. Two corpus
+    * tokenize passes total (vocab build + scoring stream). Zero-token
+    * documents have no defined score and emit no row. */
   def corpusFreqQuality(docs: DataFrame, id: Column, tokens: Column): DataFrame = {
     // explode_outer + not-null guard: see topTerms on why the token array
     // materializes above the spread repartition

@@ -128,9 +128,17 @@ object EsRestSource {
     val terms = ids.map(i => "\"" + RestClient.jsonEscape(i) + "\"")
       .mkString(s"""{"terms": {"$keyCol": [""", ",", "]}}")
     // same admission rule as [[buildQuery]]: only object/array filter
-    // contexts compose; junk was already rejected with a notice there
+    // contexts compose; junk was already rejected with a notice there.
+    // An ARRAY-form filter is spliced element-wise after the terms clause:
+    // ES rejects an array nested INSIDE a bool filter array, so
+    // `[terms, [f1, f2]]` would make the lookup step fail on exactly the
+    // filters the main query accepted — `[terms, f1, f2]` is the composed
+    // form of the same filter context.
     val filters = filter match {
-      case Some(f) if f.matches("\\[[^\\[]*\\]|\\{(.*?)\\}") => s"[$terms, $f]"
+      case Some(f) if f.matches("\\[[^\\[]*\\]") =>
+        val inner = f.trim.stripPrefix("[").stripSuffix("]").trim
+        if (inner.isEmpty) s"[$terms]" else s"[$terms, $inner]"
+      case Some(f) if f.matches("\\{(.*?)\\}") => s"[$terms, $f]"
       case _ => s"[$terms]"
     }
     s"""{"_source": ["$keyCol", "$valCol"], "query": """ +

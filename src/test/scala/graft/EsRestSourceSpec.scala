@@ -254,6 +254,21 @@ class EsRestSourceSpec extends SparkTestBase {
       assert(q.path("query").path("bool").path("filter").path(0).path("terms").isObject)
       assert(q.path("query").path("bool").path("filter").path(1).path("term")
         .path("source").asText() == "cnn")
+      // an ARRAY-form filter splices element-wise after the terms clause —
+      // ES rejects an array nested inside a bool filter array, so the main
+      // query's accepted array filter must not fail at the lookup step
+      val arr = EsRestSource.buildLookupQuery(SimOp.Textual, "article_id", "v",
+        "joe", Seq("a3"),
+        Some("""[{"term": {"source": "cnn"}}, {"term": {"lang": "en"}}]"""))
+      val fa = mapper.readTree(arr).path("query").path("bool").path("filter")
+      assert(fa.isArray && fa.size == 3, arr)
+      assert(fa.path(0).path("terms").isObject)
+      assert(fa.path(1).path("term").path("source").asText() == "cnn")
+      assert(fa.path(2).path("term").path("lang").asText() == "en")
+      // degenerate empty array filter stays a bare terms clause
+      val emptyF = EsRestSource.buildLookupQuery(SimOp.Textual, "article_id", "v",
+        "joe", Seq("a3"), Some("[]"))
+      assert(mapper.readTree(emptyF).path("query").path("bool").path("filter").size == 1)
     } finally stop()
   }
 

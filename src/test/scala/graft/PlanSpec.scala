@@ -70,6 +70,11 @@ class PlanSpec extends SparkTestBase {
 
   test("unigram LM quality: the vocab broadcasts into the token stream — " +
     "corpus tokens never shuffle for the scoring join") {
+    // NOTE this lock is stats-dependent by design: there is no explicit
+    // broadcast hint (the vocabulary is corpus-derived and unbounded, so a
+    // threshold-exceeding vocab SHOULD fall back to a shuffled join at
+    // true scale); the assertion pins the small-vocab planning behavior,
+    // not an unconditional contract.
     val plan = planOf(Queries.all("q_lm_quality")(spark, dir))
     assert(plan.contains("BroadcastHashJoin"), plan.take(600))
     assert(!plan.contains("SortMergeJoin"),
