@@ -1280,6 +1280,57 @@ object Queries {
       |FROM '$multimodalFixture'
       |ORDER BY media_id""".stripMargin
 
+  // -- audio/video container metadata: the AV sibling of q_multimodal_meta.
+  //    One decodeAv pass over two row sources: the sf-scaled documents as
+  //    opaque payloads (UTF-8 text matches no container magic -> the
+  //    documented stub branch, expressed as formulas in the oracle), and
+  //    the committed fixture of REAL MP4 box trees (v0/v1 mvhd+tkhd, both
+  //    moov orders, audio trak first) and JDK-AudioSystem-written WAVs,
+  //    whose stored columns are what the writer actually encoded — the
+  //    hash-match proves the box/chunk walkers, not a formula. Corrupt
+  //    fixture rows prove the degrade-to-stub contract.
+  private val multimodalAvFixture: String = {
+    val rel = java.nio.file.Paths.get("fixtures", "multimodal_av.parquet")
+    val fromCwd = rel.toAbsolutePath
+    val p = if (java.nio.file.Files.exists(fromCwd)) fromCwd
+      else sys.env.get("GRAFT_REPO_ROOT")
+        .map(r => java.nio.file.Paths.get(r).resolve(rel).toAbsolutePath)
+        .getOrElse(fromCwd)
+    p.toString.replace("'", "''")
+  }
+
+  private val multimodalAv: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docsMedia = spread(t(s, dir, "documents")).select(
+      col("doc_id").as("id"),
+      when(col("doc_id") % 2 === 1, lit("video")).otherwise(lit("audio")).as("kind"),
+      encode(col("text"), "UTF-8").as("data"))
+    val fixtureMedia = s.read.parquet(multimodalAvFixture)
+      .select((col("media_id") + MediaIdOffset).as("id"), col("kind"), col("data"))
+    graft.multimodal.Multimodal.decodeAv(docsMedia.unionByName(fixtureMedia)).toDF()
+      .select(col("id").as("media_id"), col("kind"), col("nBytes").as("n_bytes"),
+        col("container"), col("width"), col("height"),
+        col("durationMs").as("duration_ms"),
+        col("sampleRate").as("sample_rate"), col("channels"))
+      .orderBy(col("media_id"))
+  }
+
+  private val multimodalAvSql =
+    s"""SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 2 = 1 THEN 'video' ELSE 'audio' END AS kind,
+      |  octet_length(encode(text))::BIGINT AS n_bytes,
+      |  'opaque' AS container,
+      |  (16 + octet_length(encode(text)) % 64)::INTEGER AS width,
+      |  (16 + octet_length(encode(text)) % 48)::INTEGER AS height,
+      |  (octet_length(encode(text)) % 10000)::BIGINT AS duration_ms,
+      |  0::INTEGER AS sample_rate, 0::INTEGER AS channels
+      |FROM documents
+      |UNION ALL
+      |SELECT media_id + $MediaIdOffset AS media_id, kind,
+      |  octet_length(data)::BIGINT AS n_bytes, container, width, height,
+      |  duration_ms, sample_rate, channels
+      |FROM '$multimodalAvFixture'
+      |ORDER BY media_id""".stripMargin
+
   // ----------------------------------------------------------------------
   // events: batch twins of the streaming operators — tumbling-window
   // aggregation and gap-based sessionization (exact integer arithmetic on
@@ -1724,6 +1775,7 @@ object Queries {
     "q_dedup_embedding" -> dedupEmbedding,
     "q_pivot_multimetric" -> pivotMultimetric,
     "q_multimodal_meta" -> multimodalMeta,
+    "q_multimodal_av" -> multimodalAv,
     "q_window_agg"    -> windowAgg,
     "q_sessionize"    -> sessionize,
     "q_haversine_knn" -> haversineKnn,
@@ -1783,6 +1835,7 @@ object Queries {
     "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_pivot_multimetric" -> pivotMultimetricSql,
     "q_multimodal_meta" -> multimodalMetaSql,
+    "q_multimodal_av" -> multimodalAvSql,
     "q_window_agg"    -> windowAggSql,
     "q_sessionize"    -> sessionizeSql,
     "q_haversine_knn" -> haversineKnnSql,

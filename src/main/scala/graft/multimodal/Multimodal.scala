@@ -8,14 +8,16 @@ import org.apache.spark.sql.functions._
   * inside partitions (the Scala analogue of `mapInPandas` — one iterator
   * per partition, vectorizable batch shape, no driver materialization).
   *
-  * Image dimension extraction is REAL, pure-JVM, and reads only the first
-  * bytes of each payload: PNG IHDR, GIF logical screen descriptor, and the
-  * JPEG SOFn frame header ([[parseDimensions]]) — no external codec needed,
-  * the format containers publish width/height in their headers. Payloads in
-  * any other format (video containers, audio, opaque bytes) fall back to a
-  * clearly-marked deterministic STUB: full pixel/frame decoding needs codecs
-  * this container does not ship, and swapping a real one in changes only
-  * that branch of `decodeBatch`.
+  * Metadata extraction is REAL, pure-JVM, and reads only container
+  * headers: PNG IHDR, GIF logical screen descriptor, and the JPEG SOFn
+  * frame header ([[parseDimensions]]); MP4/ISO-BMFF box walk (tkhd
+  * width/height, mvhd duration) and WAV/RIFF fmt+data chunks (sample
+  * rate, channels, duration) via [[parseAvMeta]] — no external codec
+  * needed, the containers publish the metadata a curation pipeline
+  * filters on. Unrecognized or corrupt payloads fall back to a
+  * clearly-marked deterministic STUB branch; full pixel/sample DECODING
+  * (not metadata) still needs codecs this environment does not ship, and
+  * swapping a real one in changes only that branch of `decodeBatch`.
   */
 object Multimodal {
 
@@ -64,6 +66,122 @@ object Multimodal {
     else None
   }
 
+  /** Container-level audio/video metadata ([[parseAvMeta]]). */
+  final case class AvInfo(container: String, width: Int, height: Int,
+      durationMs: Long, sampleRate: Int, channels: Int)
+
+  /** Container-header metadata for video/audio payloads, by magic bytes —
+    * the same philosophy as [[parseDimensions]]: the metadata a curation
+    * pipeline FILTERS on (resolution, duration, sample rate, channel
+    * count) lives in the container headers, readable pure-JVM with no
+    * codec; only pixel/sample DECODING needs one.
+    *  - MP4 / ISO-BMFF (14496-12): `ftyp` magic, then a top-level box walk
+    *    to `moov`; `mvhd` carries timescale+duration (version 0 and 1
+    *    layouts), each `trak`'s `tkhd` carries 16.16 fixed-point
+    *    width/height — the first track with a nonzero width is the video
+    *    track (audio tracks store 0x0). Handles moov-after-mdat files
+    *    (no faststart) and 64-bit largesize boxes.
+    *  - WAV / RIFF: `RIFF....WAVE` magic, then a chunk walk: `fmt ` carries
+    *    channels + sample rate + byte rate, `data`'s size gives
+    *    durationMs = bytes * 1000 / byteRate (exact integer division).
+    * Returns None for anything else — truncated/desynced streams route to
+    * the stub branch instead of throwing, as in [[parseDimensions]]. */
+  def parseAvMeta(data: Array[Byte]): Option[AvInfo] = {
+    def u8(i: Int): Int = data(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Long = ((u8(i).toLong << 24) | (u8(i + 1) << 16) |
+      (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = (u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)) & 0xffffffffL
+    def fourcc(i: Int): String =
+      new String(data, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Walk ISO-BMFF boxes in [from, until); apply f(type, payloadStart,
+      * boxEnd) to each. Returns false on a malformed size (caller bails). */
+    def walkBoxes(from: Long, until: Long)(f: (String, Long, Long) => Unit): Boolean = {
+      var i = from
+      while (i + 8 <= until) {
+        val size0 = be32(i.toInt)
+        val typ = fourcc(i.toInt + 4)
+        val (size, hdr) =
+          if (size0 == 1L && i + 16 <= until) (be64(i.toInt + 8), 16L)
+          else if (size0 == 0L) (until - i, 8L) // box extends to end
+          else (size0, 8L)
+        if (size < hdr || i + size > until) return false
+        f(typ, i + hdr, i + size)
+        i += size
+      }
+      true
+    }
+
+    if (data.length >= 16 && fourcc(4) == "ftyp") {
+      // MP4: find moov (possibly after mdat), then mvhd + video trak's tkhd
+      var timescale = 0L; var duration = 0L
+      var width = 0; var height = 0
+      var sawMoov = false
+      val ok = walkBoxes(0L, data.length.toLong) { (typ, p, end) =>
+        if (typ == "moov") {
+          sawMoov = true
+          // all FullBox field offsets below are relative to the PAYLOAD
+          // start (version byte = payload+0), so they hold for 8- and
+          // 16-byte box headers alike
+          walkBoxes(p, end) { (t2, p2, e2) =>
+            val q = p2.toInt
+            if (t2 == "mvhd" && p2 + 4 <= e2) {
+              val v = u8(q)
+              if (v == 0 && e2 >= p2 + 20) {
+                timescale = be32(q + 12); duration = be32(q + 16)
+              } else if (v == 1 && e2 >= p2 + 32) {
+                timescale = be32(q + 20); duration = be64(q + 24)
+              }
+            } else if (t2 == "trak") {
+              walkBoxes(p2, e2) { (t3, p3, e3) =>
+                val tq = p3.toInt
+                if (t3 == "tkhd" && width == 0) {
+                  val v = u8(tq)
+                  // width/height are 16.16 fixed-point at the layout tail
+                  if (v == 0 && e3 >= p3 + 84) {
+                    width = (be32(tq + 76) >> 16).toInt
+                    height = (be32(tq + 80) >> 16).toInt
+                  } else if (v == 1 && e3 >= p3 + 96) {
+                    width = (be32(tq + 88) >> 16).toInt
+                    height = (be32(tq + 92) >> 16).toInt
+                  }
+                }
+              }
+            }
+          }
+        }
+      }
+      if (!ok || !sawMoov) None
+      else Some(AvInfo("mp4", width, height,
+        if (timescale > 0) duration * 1000L / timescale else 0L, 0, 0))
+    } else if (data.length >= 12 && fourcc(0) == "RIFF" && fourcc(8) == "WAVE") {
+      var channels = 0; var sampleRate = 0L; var byteRate = 0L
+      var dataLen = -1L
+      var i = 12
+      while (i + 8 <= data.length) {
+        val id = fourcc(i)
+        val size = le32(i + 4)
+        if (id == "fmt " && size >= 16 && i + 24 <= data.length) {
+          channels = le16(i + 10)
+          sampleRate = le32(i + 12)
+          byteRate = le32(i + 16)
+        } else if (id == "data") dataLen = size
+        // chunks are word-aligned: odd sizes carry a pad byte
+        val step = 8L + size + (size & 1L)
+        if (i + step > Int.MaxValue) return None
+        i += step.toInt
+      }
+      if (sampleRate <= 0) None
+      else Some(AvInfo("wav", 0, 0,
+        if (dataLen >= 0 && byteRate > 0) dataLen * 1000L / byteRate else 0L,
+        sampleRate.toInt, channels))
+    } else None
+  }
+
   /** A media row: payload + envelope. */
   final case class MediaRow(id: Long, kind: String, data: Array[Byte])
 
@@ -80,10 +198,11 @@ object Multimodal {
   /** Decode one partition's rows in a single pass (the shape a vectorized
     * codec call needs). Image containers (PNG/GIF/JPEG) get REAL
     * header-parsed dimensions ([[parseDimensions]], 1 frame). Everything
-    * else — video/audio containers, corrupt or opaque payloads — takes the
-    * deterministic STUB branch: fake dimensions and frame counts derived
-    * from the byte length (??? a real video/audio codec goes there, and
-    * only there). */
+    * else — corrupt or opaque payloads — takes the deterministic STUB
+    * branch: fake dimensions and frame counts derived from the byte
+    * length (??? a real frame-accurate video codec goes there, and only
+    * there — per-frame COUNTS need sample tables, unlike the container
+    * metadata [[decodeAvBatch]] parses for real). */
   def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaMeta] =
     rows.map { r =>
       val n = r.data.length.toLong
@@ -102,6 +221,36 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions(decodeBatch)
+  }
+
+  /** Typed audio/video container metadata extracted by [[decodeAv]]. */
+  final case class AvMeta(id: Long, kind: String, nBytes: Long,
+      container: String, width: Int, height: Int, durationMs: Long,
+      sampleRate: Int, channels: Int)
+
+  /** Per-partition batch decode of one row's AV container metadata — the
+    * audio/video sibling of [[decodeBatch]]: MP4 and WAV payloads get REAL
+    * header-parsed metadata ([[parseAvMeta]]); anything else takes the
+    * deterministic stub branch (container "opaque"; width/height reuse the
+    * image-stub formulas, duration = nBytes mod 10000 ms, no audio
+    * parameters). */
+  def decodeAvBatch(rows: Iterator[MediaRow]): Iterator[AvMeta] =
+    rows.map { r =>
+      val n = r.data.length.toLong
+      parseAvMeta(r.data) match {
+        case Some(m) => AvMeta(r.id, r.kind, n, m.container, m.width,
+          m.height, m.durationMs, m.sampleRate, m.channels)
+        case None => AvMeta(r.id, r.kind, n, "opaque",
+          16 + (n % 64).toInt, 16 + (n % 48).toInt, n % 10000L, 0, 0)
+      }
+    }
+
+  /** Decode audio/video container metadata: binary column in, typed
+    * metadata out. */
+  def decodeAv(media: DataFrame): Dataset[AvMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(decodeAvBatch)
   }
 
   /** STUB resize: a real implementation re-encodes pixels; the fake keeps a

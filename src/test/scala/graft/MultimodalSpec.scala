@@ -80,6 +80,72 @@ class MultimodalSpec extends SparkTestBase {
       metas(3L).nFrames == 1 + (n % 30).toInt)
   }
 
+  test("parseAvMeta: WAV written by the JDK's own encoder yields the " +
+    "exact sample rate, channels, and duration") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    for ((sr, ch, nFrames) <- Seq((8000, 1, 1600), (44100, 2, 4410), (48000, 2, 9600))) {
+      val fmt = new AudioFormat(sr.toFloat, 16, ch, true, false)
+      val pcm = new Array[Byte](nFrames * fmt.getFrameSize)
+      new scala.util.Random(sr).nextBytes(pcm)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+        AudioFileFormat.Type.WAVE, out)
+      val m = Multimodal.parseAvMeta(out.toByteArray)
+      assert(m.contains(Multimodal.AvInfo("wav", 0, 0,
+        nFrames.toLong * 1000L / sr, sr, ch)), s"$sr/$ch/$nFrames: $m")
+    }
+    // truncated WAV (header cut inside fmt): no sample rate -> stub route
+    val w = {
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](320)), fmt, 160L),
+        AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    assert(Multimodal.parseAvMeta(w.take(16)).isEmpty)
+  }
+
+  test("parseAvMeta: MP4 box walk recovers tkhd geometry and mvhd " +
+    "duration for v0/v1 boxes and moov-after-mdat; corrupt streams stub") {
+    // reuse the fixture generator's independent box builder
+    def file(v: Int, ts: Long, dur: Long, w: Int, h: Int, moovFirst: Boolean) =
+      GenAvFixture.mp4(v, ts, dur, w, h, moovFirst)
+    for (v <- Seq(0, 1); moovFirst <- Seq(true, false)) {
+      val bytes = file(v, 90000L, 271234L, 1920, 1080, moovFirst)
+      val m = Multimodal.parseAvMeta(bytes)
+      assert(m.contains(Multimodal.AvInfo("mp4", 1920, 1080,
+        271234L * 1000L / 90000L, 0, 0)), s"v$v moovFirst=$moovFirst: $m")
+    }
+    val full = file(0, 1000L, 5000L, 640, 480, true)
+    assert(Multimodal.parseAvMeta(full.take(full.length / 3)).isEmpty,
+      "truncated mid-moov must degrade to the stub, not throw")
+    assert(Multimodal.parseAvMeta("RIFFxxxxJUNK".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.parseAvMeta(Array[Byte]()).isEmpty)
+  }
+
+  test("decodeAv routes containers to the real parsers and opaque " +
+    "payloads to the stub branch") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(16000f, 16, 1, true, false)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](6400)), fmt, 3200L),
+      AudioFileFormat.Type.WAVE, out)
+    val rows = Seq(
+      (1L, "audio", out.toByteArray),
+      (2L, "video", "opaque payload".getBytes("UTF-8")))
+      .toDF("id", "kind", "data")
+    val metas = Multimodal.decodeAv(rows).collect().map(m => m.id -> m).toMap
+    assert(metas(1L).container == "wav" && metas(1L).sampleRate == 16000 &&
+      metas(1L).channels == 1 && metas(1L).durationMs == 200L)
+    val n = metas(2L).nBytes
+    assert(metas(2L).container == "opaque" &&
+      metas(2L).width == 16 + (n % 64).toInt &&
+      metas(2L).durationMs == n % 10000L && metas(2L).sampleRate == 0)
+  }
+
   test("resize and frameSample shrink payloads deterministically") {
     val resized = Multimodal.resize(media, 4)
     val sizes = resized.select(col("id"), length(col("data")))
