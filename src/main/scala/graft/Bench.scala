@@ -90,78 +90,123 @@ object Bench {
     // (loadavg 12 on a 32-core host); the sentinel series makes a contended
     // run self-identifying — a judge reads sentinel_sec's spread instead of
     // having to re-run the whole bench on a quiet host.
-    val sentinelTimes = scala.collection.mutable.ArrayBuffer[Double]()
-    val sentinelLoad = scala.collection.mutable.ArrayBuffer[Double]()
-    def sentinel(): Unit = {
-      val t0 = System.nanoTime()
-      spark.range(20000000L).selectExpr("sum(id)").collect()
-      sentinelTimes += (System.nanoTime() - t0) / 1e9
-      sentinelLoad += (try {
-        scala.util.Using.resource(scala.io.Source.fromFile("/proc/loadavg"))(
-          _.mkString.trim.split("\\s+")(0).toDouble)
-      } catch { case _: Throwable => -1.0 })
+    final case class Run(results: Seq[(String, (Double, Double))],
+        setupTimes: Seq[(String, Double)], sentinelTimes: Seq[Double],
+        sentinelLoad: Seq[Double], errors: List[String],
+        repFailures: Map[String, Int]) {
+      /** median/min spread of the sentinel series — the run's own noise
+        * self-assessment. MEDIAN against min, not max: a quiet host still
+        * shows isolated ~5x sentinel spikes (JIT/GC — measured 0.056 min /
+        * 0.332 max at loadavg 1.7), while genuine contention slows MOST
+        * sentinels (a loadavg-12 round recorded an 8 s max against a
+        * 0.05 s min); the median separates the sustained signal from the
+        * spikes. */
+      def sentinelSpread: Double =
+        if (sentinelTimes.nonEmpty && sentinelTimes.min > 0)
+          sentinelTimes.sorted.apply(sentinelTimes.size / 2) / sentinelTimes.min
+        else Double.MaxValue
     }
-    sentinel() // baseline before any timed work
-    // Index SETUP phase, timed separately: the persisted-index queries
-    // exist to amortize a one-time build across many probes, so billing
-    // the build+commit cycle to every bench rep hides the served-path win
-    // they measure. Each is run once here (building its index via the
-    // per-JVM build-once memo in Queries); the rep loop below then times
-    // the PROBE path. The build cost stays visible as its own artifact
-    // field instead of polluting per-query numbers.
-    val indexQueries = Seq("q_ann_idx", "q_ann_ivf_idx", "q_dedup_incr",
-      "q_dedup_incr_exact").filter(SparkEntry.queries.contains)
-    val setupTimes = indexQueries.map { name =>
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] setup $name FAILED: ${e.getMessage}")
-      }
-      spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    // invariant preserved from the 1-rep protocol: a name appears in
-    // "errors" IFF its recorded time is -1 (every rep failed); queries
-    // where only SOME reps failed keep their min time and are surfaced
-    // separately in "rep_failures" so flakiness is visible, not silent
-    var errors = List.empty[String]
-    var repFailures = Map.empty[String, Int]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
-        sentinel()
+
+    /** One full measurement pass over every query. */
+    def attempt(): Run = {
+      val sentinelTimes = scala.collection.mutable.ArrayBuffer[Double]()
+      val sentinelLoad = scala.collection.mutable.ArrayBuffer[Double]()
+      def sentinel(): Unit = {
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            repFailures = repFailures.updated(name, repFailures.getOrElse(name, 0) + 1)
-            false
-          }
-        // drop data cached inside a query (e.g. minhash signature frames) so
-        // the next rep re-measures the full pipeline, not a warm cache
-        spark.catalog.clearCache()
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        spark.range(20000000L).selectExpr("sum(id)").collect()
+        sentinelTimes += (System.nanoTime() - t0) / 1e9
+        sentinelLoad += (try {
+          scala.util.Using.resource(scala.io.Source.fromFile("/proc/loadavg"))(
+            _.mkString.trim.split("\\s+")(0).toDouble)
+        } catch { case _: Throwable => -1.0 })
       }
-      if (times.isEmpty) errors ::= name
-      name -> (if (times.isEmpty) (-1.0, -1.0) else (times.min, times.last))
+      sentinel() // baseline before any timed work
+      // Index SETUP phase, timed separately: the persisted-index queries
+      // exist to amortize a one-time build across many probes, so billing
+      // the build+commit cycle to every bench rep hides the served-path win
+      // they measure. Each is run once here (building its index via the
+      // per-JVM build-once memo in Queries); the rep loop below then times
+      // the PROBE path. The build cost stays visible as its own artifact
+      // field instead of polluting per-query numbers.
+      val indexQueries = Seq("q_ann_idx", "q_ann_ivf_idx", "q_dedup_incr",
+        "q_dedup_incr_exact").filter(SparkEntry.queries.contains)
+      val setupTimes = indexQueries.map { name =>
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] setup $name FAILED: ${e.getMessage}")
+        }
+        spark.catalog.clearCache()
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      // invariant preserved from the 1-rep protocol: a name appears in
+      // "errors" IFF its recorded time is -1 (every rep failed); queries
+      // where only SOME reps failed keep their min time and are surfaced
+      // separately in "rep_failures" so flakiness is visible, not silent
+      var errors = List.empty[String]
+      var repFailures = Map.empty[String, Int]
+      val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val times = (1 to reps).flatMap { _ =>
+          sentinel()
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              repFailures = repFailures.updated(name, repFailures.getOrElse(name, 0) + 1)
+              false
+            }
+          // drop data cached inside a query (e.g. minhash signature frames) so
+          // the next rep re-measures the full pipeline, not a warm cache
+          spark.catalog.clearCache()
+          if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        }
+        if (times.isEmpty) errors ::= name
+        name -> (if (times.isEmpty) (-1.0, -1.0) else (times.min, times.last))
+      }
+      Run(results, setupTimes, sentinelTimes.toSeq, sentinelLoad.toSeq,
+        errors, repFailures)
     }
+
+    // Noise self-invalidation: a sentinel median past ~3x the sentinel min
+    // means external load dominated the run (recorded artifacts have been
+    // 4x a quiet re-run of the identical tree, three rounds running; a
+    // quiet host measures ~1.5x). Retry ONCE and keep the quieter attempt;
+    // if even that exceeds the bound, stamp the artifact "noisy": true so
+    // downstream comparisons skip it instead of reading contention as a
+    // regression.
+    val NoisySpread = 3.0
+    val first = attempt()
+    val (chosen, attempts) =
+      if (first.sentinelSpread > NoisySpread) {
+        System.err.println(f"[bench] sentinel spread ${first.sentinelSpread}%.1f " +
+          f"exceeds $NoisySpread%.0fx — contended host, retrying once")
+        val second = attempt()
+        (if (second.sentinelSpread < first.sentinelSpread) second else first, 2)
+      } else (first, 1)
+    val noisy = chosen.sentinelSpread > NoisySpread
+    // index builds memoize per-JVM, so a retry's setup phase re-measures a
+    // no-op: always report the FIRST attempt's build times
+    val setupTimes = first.setupTimes
+    val results = chosen.results
+
     val qs = results.map { case (k, (mn, _)) => "\"" + k + "\":" + mn }.mkString("{", ",", "}")
     val qsLast = results.map { case (k, (_, lt)) => "\"" + k + "\":" + lt }.mkString("{", ",", "}")
     val total = results.collect { case (_, (mn, _)) if mn >= 0 => mn }.sum
-    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val errs = chosen.errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadavg = try {
       scala.util.Using.resource(scala.io.Source.fromFile("/proc/loadavg"))(_.mkString.trim)
     } catch { case _: Throwable => "" }
-    val repFails = repFailures.toSeq.sortBy(_._1)
+    val repFails = chosen.repFailures.toSeq.sortBy(_._1)
       .map { case (k, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
     def r3(x: Double) = math.round(x * 1000.0) / 1000.0
-    val sentSec = sentinelTimes.map(r3).mkString("[", ",", "]")
-    val sentLoad = sentinelLoad.map(r3).mkString("[", ",", "]")
-    val sentSummary = s""""sentinel_min":${r3(sentinelTimes.min)},""" +
-      s""""sentinel_max":${r3(sentinelTimes.max)},""" +
+    val sentSec = chosen.sentinelTimes.map(r3).mkString("[", ",", "]")
+    val sentLoad = chosen.sentinelLoad.map(r3).mkString("[", ",", "]")
+    val sentSummary = s""""sentinel_min":${r3(chosen.sentinelTimes.min)},""" +
+      s""""sentinel_max":${r3(chosen.sentinelTimes.max)},""" +
       s""""sentinel_sec":$sentSec,"sentinel_loadavg":$sentLoad"""
     val setup = setupTimes
       .map { case (k, t) => "\"" + k + "\":" + r3(t) }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_last":$qsLast,"index_build_sec":$setup,"reps":$reps,"rep_failures":$repFails,"loadavg":"$loadavg",$sentSummary,"errors":$errs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_last":$qsLast,"index_build_sec":$setup,"reps":$reps,"noisy":$noisy,"attempts":$attempts,"rep_failures":$repFails,"loadavg":"$loadavg",$sentSummary,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // the artifact must survive a truncated/noisy log tail: also write the
     // line to a file (path overridable; target/ is git-ignored)
