@@ -582,6 +582,52 @@ object Queries {
        |       GROUP BY x.doc_id, y.doc_id HAVING count(*) >= 10)
        |SELECT a, b, shared FROM pr ORDER BY a, b""".stripMargin
 
+  // -- winnowing SPANS: the triage output behind q_winnow's counts — WHICH
+  //    passage of a matches which passage of b (1-based inclusive char
+  //    bounds). Same fingerprint chain with positions riding through;
+  //    matches merge into runs along alignment diagonals (d = pa - pb).
+  //    All-integer arithmetic end to end, so both engines hash-match.
+  private val winnowSpansQ: (SparkSession, String) => DataFrame = (s, dir) =>
+    Dedup.winnowSpans(t(s, dir, "documents"), "doc_id", col("text"))
+      .orderBy(col("a"), col("b"), col("a_start"), col("b_start"))
+
+  private val winnowSpansSql = {
+    def sl = "list_slice(hv, i, i + 7)"
+    s"""WITH g AS (SELECT doc_id,
+       |  [substr(text, i, 16) for i in range(1, greatest(length(text) - 15, 0) + 1)] AS grams
+       |  FROM documents),
+       |h AS (SELECT doc_id, list_transform(grams, x -> md5(x)) AS ms FROM g
+       |      WHERE len(grams) > 0),
+       |hs AS (SELECT doc_id, list_transform(ms, m -> ${sqlHex12("m")}) AS hv FROM h),
+       |wn AS (SELECT doc_id,
+       |  [{'fp': list_min($sl), 'pos': i + list_position($sl, list_min($sl)) - 1}
+       |   for i in range(1, greatest(len(hv) - 7, 1) + 1)] AS fps
+       |  FROM hs),
+       |-- DISTINCT here mirrors Spark's array_distinct over (fp, pos)
+       |-- structs (DuckDB's list_distinct does not support struct lists)
+       |occ AS (SELECT DISTINCT doc_id, s.fp AS fp, s.pos AS pos
+       |        FROM (SELECT doc_id, unnest(fps) AS s FROM wn)),
+       |rare AS (SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS df
+       |                         FROM occ GROUP BY fp) WHERE df <= 20),
+       |kept AS (SELECT doc_id, fp, pos FROM occ WHERE fp IN (SELECT fp FROM rare)),
+       |m AS (SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb,
+       |        x.pos - y.pos AS d
+       |      FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id),
+       |r AS (SELECT a, b, d, pa, pb,
+       |        CASE WHEN pa - lag(pa) OVER (PARTITION BY a, b, d ORDER BY pa) > 24
+       |          THEN 1 ELSE 0 END AS nr
+       |      FROM m),
+       |rr AS (SELECT a, b, d, pa, pb,
+       |        sum(nr) OVER (PARTITION BY a, b, d ORDER BY pa ROWS UNBOUNDED PRECEDING) AS run
+       |      FROM r),
+       |sp AS (SELECT a, b, min(pa) AS a_start, max(pa) + 15 AS a_end,
+       |        min(pb) AS b_start, max(pb) + 15 AS b_end, count(*) AS n_fp
+       |      FROM rr GROUP BY a, b, d, run HAVING count(*) >= 3)
+       |SELECT a, b, a_start::INTEGER AS a_start, a_end::INTEGER AS a_end,
+       |  b_start::INTEGER AS b_start, b_end::INTEGER AS b_end, n_fp::BIGINT AS n_fp
+       |FROM sp ORDER BY a, b, a_start, b_start""".stripMargin
+  }
+
   // -- near-dup CLUSTERING: pairwise hits -> transitive dedup groups
   //    (connected components, min-reachable-id as the cluster label). The
   //    pair source is the char-10-gram MinHash pipeline above; the cluster
@@ -1756,6 +1802,7 @@ object Queries {
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_ngram"   -> dedupNgram,
     "q_winnow"        -> winnowQ,
+    "q_winnow_spans"  -> winnowSpansQ,
     "q_dedup_exact"   -> dedupExact,
     "q_dedup_incr"    -> dedupIncr,
     "q_dedup_incr_exact" -> dedupIncrExact,
@@ -1816,6 +1863,7 @@ object Queries {
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_ngram"   -> dedupNgramSql,
     "q_winnow"        -> winnowSql,
+    "q_winnow_spans"  -> winnowSpansSql,
     "q_dedup_exact"   -> dedupExactSql,
     "q_dedup_incr"    -> dedupIncrSql,
     "q_dedup_incr_exact" -> dedupIncrExactSql,

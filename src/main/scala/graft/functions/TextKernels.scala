@@ -170,6 +170,25 @@ object TextKernels {
       .otherwise(array_distinct(wins))
   }
 
+  /** [[winnowSelect]] keeping POSITIONS: per window, a struct of the
+    * minimum hash and the 1-based character position of its k-gram (the
+    * FIRST minimum when tied — deterministic), deduplicated on (fp, pos).
+    * Positions are what turn shared-fingerprint counts into matched SPANS
+    * (which passage was copied — [[graft.operators.Dedup.winnowSpans]]);
+    * the same materialized-column contract as [[winnowSelect]] applies. */
+  def winnowSelectPos(hashes: Column, w: Int): Column = {
+    val wins = org.apache.spark.sql.functions.transform(
+      sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
+      i => {
+        val sl = slice(hashes, i, lit(w))
+        val m = array_min(sl)
+        struct(m.as("fp"),
+          (i + array_position(sl, m) - 1).cast("int").as("pos"))
+      })
+    when(size(hashes) < 1, array().cast("array<struct<fp:bigint,pos:int>>"))
+      .otherwise(array_distinct(wins))
+  }
+
   /** Repetition-based quality signals (the classic corpus-filter rules:
     * templated/boilerplate documents repeat the same word pairs and
     * phrases far more than natural prose). Both are pure integer-ratio

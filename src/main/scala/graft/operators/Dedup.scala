@@ -202,6 +202,60 @@ object Dedup {
       .where(col("shared") >= minShared)
   }
 
+  /** Matched SPANS behind [[winnowPairs]]' counts — MOSS-style triage
+    * output: (a, b, a_start, a_end, b_start, b_end, n_fp), one row per
+    * contiguous run of shared winnowing fingerprints, i.e. WHICH passage
+    * of `a` matches which passage of `b` (1-based inclusive character
+    * bounds of the matched k-grams). A reviewer acts on spans; a count
+    * only says "look".
+    *
+    * Plan: the same df-capped fingerprint equi-join as [[winnowPairs]],
+    * with positions riding through ([[TextKernels.winnowSelectPos]]); each
+    * match lies on an alignment DIAGONAL d = a_pos - b_pos (a verbatim
+    * copy keeps d constant across its whole span), and within a
+    * (pair, diagonal) group, matches are merged into runs wherever
+    * consecutive selected positions sit within k + w characters — the
+    * winnowing guarantee bounds intra-run gaps by ~w, so k + w splits
+    * coincidental stray matches without splitting true spans. The run
+    * window partitions by (pair, diagonal): its shuffle carries only
+    * JOINED matches (bounded by the df cap), never the corpus. Runs with
+    * fewer than `minFp` shared fingerprints are noise and dropped.
+    * Near-verbatim copies whose edits shift the alignment split into one
+    * span per unbroken diagonal segment, by design. */
+  def winnowSpans(docs: DataFrame, id: String, text: Column,
+      k: Int = 16, w: Int = 8, minFp: Long = 3, maxDf: Long = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occ = spread(docs)
+      .select(col(id).as("id"), TextKernels.winnowHashes(text, k).as("hv"))
+      .select(col("id"), explode(TextKernels.winnowSelectPos(col("hv"), w)).as("s"))
+      .select(col("id"), col("s.fp").as("fp"), col("s.pos").as("pos"))
+      .cache() // feeds the frequency cap and both join sides
+    // df = DISTINCT documents (a fingerprint can repeat within one doc at
+    // several positions; that must not count toward the boilerplate cap)
+    val rare = occ.groupBy("fp").agg(count_distinct(col("id")).as("df"))
+      .where(col("df") <= maxDf).select(col("fp"))
+    val kept = occ.join(rare, Seq("fp"))
+    val matches = kept.as("x")
+      .join(kept.as("y"),
+        col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        col("x.pos").as("pa"), col("y.pos").as("pb"),
+        (col("x.pos") - col("y.pos")).as("d"))
+    val byDiag = Window.partitionBy("a", "b", "d").orderBy("pa")
+    val runs = matches
+      .withColumn("new_run",
+        when(col("pa") - lag(col("pa"), 1).over(byDiag) > k + w, 1).otherwise(0))
+      .withColumn("run", sum(col("new_run")).over(
+        byDiag.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    runs.groupBy(col("a"), col("b"), col("d"), col("run"))
+      .agg(min(col("pa")).as("a_start"), (max(col("pa")) + (k - 1)).as("a_end"),
+        min(col("pb")).as("b_start"), (max(col("pb")) + (k - 1)).as("b_end"),
+        count(lit(1)).as("n_fp"))
+      .where(col("n_fp") >= minFp)
+      .select(col("a"), col("b"), col("a_start"), col("a_end"),
+        col("b_start"), col("b_end"), col("n_fp"))
+  }
+
   /** (id, tokens) -> near-duplicate pairs (a, b, hamming) with 64-bit
     * SimHash hamming distance <= maxHamming (<= 3 is exhaustive).
     *

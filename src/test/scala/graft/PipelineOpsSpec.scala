@@ -387,6 +387,45 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(justPassage.length == 1 && justPassage.head._3 >= 10)
   }
 
+  test("winnowSpans: recovers WHERE the copied passage sits in both " +
+    "documents, on the correct alignment diagonal") {
+    import graft.operators.Dedup
+    val passage = "the winnowing guarantee selects at least one shared " +
+      "fingerprint for every sufficiently long common substring of two texts"
+    def filler(seed: Int, n: Int): String = {
+      val rnd = new scala.util.Random(seed)
+      (0 until n).map(_ => (0 until 6).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+        .mkString(" ")
+    }
+    // fillers of DIFFERENT lengths: the passage sits at different offsets
+    // in the two documents, so the span must be found on a nonzero
+    // diagonal, not just at equal positions
+    val f1 = filler(11, 60); val f3 = filler(13, 47)
+    val docs = Seq(
+      (1L, f1 + " " + passage + " " + filler(12, 60)),
+      (2L, f3 + " " + passage + " " + filler(14, 60)),
+      (3L, filler(15, 120))).toDF("doc_id", "text")
+    val (k, w) = (16, 8)
+    val aStart = f1.length + 2; val aEnd = aStart + passage.length - 1
+    val bStart = f3.length + 2
+    val spans = Dedup.winnowSpans(docs, "doc_id", col("text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getLong(6)))
+    assert(spans.length == 1, spans.mkString(", "))
+    val (a, b, as_, ae, bs, be, nFp) = spans.head
+    assert(a == 1L && b == 2L)
+    // boundary grams straddle filler text, so the recovered bounds sit
+    // within the winnowing guarantee's k + w slack of the true passage
+    assert(as_ >= aStart && as_ <= aStart + k + w, s"a_start $as_ vs planted $aStart")
+    assert(ae <= aEnd && ae >= aEnd - (k + w), s"a_end $ae vs planted $aEnd")
+    assert(bs - as_ == bStart - aStart, "span must sit on the copy's diagonal")
+    assert(be - bs == ae - as_, "verbatim copy spans have equal lengths")
+    assert(nFp >= 10)
+    // the recovered substrings are the same text, byte for byte
+    val byId = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(1L).substring(as_ - 1, ae) == byId(2L).substring(bs - 1, be))
+  }
+
   private implicit class ToMap2(rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[(Long, Long), Long] = rows.map(r => (r._1, r._2) -> r._3).toMap
   }

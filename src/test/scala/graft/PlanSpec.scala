@@ -68,6 +68,15 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("winnow spans: fingerprint equi-join only; the run window " +
+    "partitions by (pair, diagonal), never a global single-partition sort") {
+    val plan = planOf(Queries.all("q_winnow_spans")(spark, dir))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("windowspecdefinition(a#") ||
+      plan.contains("PartitionSpec: a"), plan.take(400))
+  }
+
   test("unigram LM quality: the vocab broadcasts into the token stream — " +
     "corpus tokens never shuffle for the scoring join") {
     // NOTE this lock is stats-dependent by design: there is no explicit
