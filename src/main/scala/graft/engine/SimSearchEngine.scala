@@ -304,29 +304,23 @@ object SimSearchEngine {
     joined.where(expr(filter)).select(col("id"))
   }
 
-  def search(spark: SparkSession, catalog: Catalog, k: Int,
-      specs: Seq[SearchSpec], residualFilter: Option[String] = None,
-      detailed: Boolean = false,
-      algorithm: Algorithm = Algorithm.Threshold): DataFrame = {
-    // The algorithm selector is honored for API parity: every selector maps
-    // to the same exact candidate-union plan, which supersedes TA and the
-    // (possibly lower-bound-scored) NRA/PRA — see api.Algorithm scaladoc.
-    val _ = algorithm
-    require(specs.nonEmpty, "no query conditions")
-    require(specs.size == 1 || k <= KMax, s"k > $KMax for multi-attribute query") // A2
-    val nCombos = math.max(1, specs.map(_.weights.size).max)
-    val m = if (specs.size > 1) InflationFactor * k else k
-    val eligible = residualFilter.map(eligibleIds(catalog, _))
-    // In-situ attributes come in two shapes (S7/S9/S10):
-    //  - preScored (ES / federated REST): the remote returns a ranked
-    //    SIMILARITY list — skip the distance/scale machinery entirely (NRA).
-    //  - distance-based (JDBC pushdown): the remote evaluates
-    //    `ORDER BY distance LIMIT m` and returns a bounded (id, d) list;
-    //    the engine calibrates scale / decays it exactly like an ingested
-    //    facet. The list is cached so the scale calibration, weight
-    //    estimation and exact-scoring phases share ONE remote fetch (cache
-    //    lifetime: <= m rows, MEMORY_AND_DISK, shed by LRU — same story as
-    //    RankAggregate's topM caches).
+  /** Facet distance frames for `specs` (None for preScored NRA lists)
+    * plus the built in-situ facets — shared by [[search]] and the
+    * federated calibration path ([[calibrationDistances]]).
+    *
+    * In-situ attributes come in two shapes (S7/S9/S10):
+    *  - preScored (ES / federated REST): the remote returns a ranked
+    *    SIMILARITY list — skip the distance/scale machinery entirely (NRA).
+    *  - distance-based (JDBC pushdown): the remote evaluates
+    *    `ORDER BY distance LIMIT m` and returns a bounded (id, d) list;
+    *    the engine calibrates scale / decays it exactly like an ingested
+    *    facet. The list is cached so the scale calibration, weight
+    *    estimation and exact-scoring phases share ONE remote fetch (cache
+    *    lifetime: <= m rows, MEMORY_AND_DISK, shed by LRU — same story as
+    *    RankAggregate's topM caches). */
+  private def facetDistFrames(catalog: Catalog, m: Int, specs: Seq[SearchSpec],
+      eligible: Option[DataFrame])
+      : (Map[Int, graft.operators.BoundFacet], Seq[Option[DataFrame]]) = {
     val inSituByIdx: Map[Int, InSituFacet] = specs.zipWithIndex
       .flatMap { case (s, i) =>
         catalog.getInSitu(s.column)
@@ -355,6 +349,50 @@ object SimSearchEngine {
           Some(eligible.map(e => dist0.join(e, Seq("id"), "left_semi")).getOrElse(dist0))
       }
     }
+    (inSituBuilt, dists)
+  }
+
+  /** Per-facet local top-k candidate DISTANCES, ascending — phase 1 of the
+    * federated two-phase scale negotiation
+    * ([[graft.sources.Federated.search]]): the k-th smallest candidate
+    * distance over a horizontally sharded corpus is computable exactly
+    * from each shard's local k smallest (the union's k smallest are
+    * contained in the union of the per-shard k smallest), so a coordinator
+    * can pin every shard to the single-instance calibration scale
+    * (k * global d_k) before scoring. preScored facets (ES / federated
+    * NRA lists) carry no distances and are omitted; a facet returns fewer
+    * than k values when its candidate set is smaller. */
+  def calibrationDistances(spark: SparkSession, catalog: Catalog, k: Int,
+      specs: Seq[SearchSpec], residualFilter: Option[String] = None)
+      : Map[String, Seq[Double]] = {
+    require(specs.nonEmpty, "no query conditions")
+    val m = if (specs.size > 1) InflationFactor * k else k
+    val eligible = residualFilter.map(eligibleIds(catalog, _))
+    val (_, dists) = facetDistFrames(catalog, m, specs, eligible)
+    val need = specs.zipWithIndex.filter { case (_, i) => dists(i).isDefined }
+    if (need.isEmpty) Map.empty
+    else need.map { case (_, i) =>
+      FacetSearch.topM(dists(i).get, k).select(lit(i).as("f"), col("d"))
+    }.reduce(_ union _)
+      .collect().groupBy(_.getInt(0))
+      .map { case (i, rows) =>
+        specs(i).column -> rows.map(_.getDouble(1)).sorted.toSeq }
+  }
+
+  def search(spark: SparkSession, catalog: Catalog, k: Int,
+      specs: Seq[SearchSpec], residualFilter: Option[String] = None,
+      detailed: Boolean = false,
+      algorithm: Algorithm = Algorithm.Threshold): DataFrame = {
+    // The algorithm selector is honored for API parity: every selector maps
+    // to the same exact candidate-union plan, which supersedes TA and the
+    // (possibly lower-bound-scored) NRA/PRA — see api.Algorithm scaladoc.
+    val _ = algorithm
+    require(specs.nonEmpty, "no query conditions")
+    require(specs.size == 1 || k <= KMax, s"k > $KMax for multi-attribute query") // A2
+    val nCombos = math.max(1, specs.map(_.weights.size).max)
+    val m = if (specs.size > 1) InflationFactor * k else k
+    val eligible = residualFilter.map(eligibleIds(catalog, _))
+    val (inSituBuilt, dists) = facetDistFrames(catalog, m, specs, eligible)
     // Calibrate every uncalibrated facet's k-th candidate distance in ONE
     // tagged Spark job (union only (f, d) so id types never conflict) —
     // sequential per-facet collects would pay |facets| job overheads.

@@ -214,6 +214,32 @@ final class SimSearchService(spark: SparkSession, port: Int,
     } finally java.nio.file.Files.delete(tmp)
   }
 
+  /** POST /calibrate: body = search request; responds
+    * `{"k":K,"facets":[{"column":c,"distances":[...]}]}` with each
+    * distance-based facet's local top-k candidate distances — phase 1 of
+    * the federated exact-scale negotiation
+    * ([[graft.sources.Federated.search]]). Not part of the reference API
+    * (its federated mode is approximate by design); a graft coordinator
+    * probes this endpoint and falls back to the reference's one-phase
+    * merge when a peer lacks it. */
+  private def handleCalibrate(x: HttpExchange): Unit = {
+    val cat = catalogs.get(masterOf(apiKey(x)))
+    if (cat == null) { respond(x, 401, """{"error":"unknown api_key"}"""); return }
+    val tmp = bodyFile(x)
+    try {
+      val req = RequestParser.parseSearchRequest(tmp.toString)
+      val ds = SimSearchEngine.calibrationDistances(spark, cat, req.k, req.specs)
+      val facets = req.specs.map(_.column).distinct
+        .flatMap(c => ds.get(c).map(c -> _))
+        .map { case (c, l) =>
+          s"""{"column":"${jsonEscape(c)}","distances":[${l.mkString(",")}]}""" }
+        .mkString("[", ",", "]")
+      respond(x, 200, s"""{"k":${req.k},"facets":$facets}""")
+    } catch {
+      case e: Exception => respond(x, 400, errorBody(e))
+    } finally java.nio.file.Files.delete(tmp)
+  }
+
   /** GET|POST /_settings: the instance's fixed configuration, in the
     * reference's ES-conformant shape (InstanceSettings.java — modeled on an
     * ES settings response so REST connectors can probe it). The
@@ -328,6 +354,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
     server.createContext("/simsearch/api/index", handleIndex _)
     server.createContext("/simsearch/api/append", handleAppend _)
     server.createContext("/simsearch/api/search", handleSearch _)
+    server.createContext("/simsearch/api/calibrate", handleCalibrate _)
     server.createContext("/simsearch/api/catalog", handleCatalog _)
     server.createContext("/simsearch/api/_settings", handleSettings _)
     server.createContext("/simsearch/api/delete", handleDelete _)

@@ -14,10 +14,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * live wholly in one instance), every globally-top-k entity is in its own
   * shard's local top-k, so the merge (union -> sort by (score desc, id) ->
   * take k) is EXACT — provided all shards score on a COMMON decay scale.
-  * Pass explicit per-facet `scale` values in the request (the engine
-  * supports them end-to-end) to pin that common scale; without them each
-  * shard calibrates its scale from its local k-th distances and the merged
-  * ranking is approximate, exactly as in the reference's federated mode.
+  * That common scale is pinned automatically: [[search]] runs a two-phase
+  * negotiation by default (collect per-shard top-k candidate distances,
+  * pin the global single-instance calibration scale, re-score), so a
+  * sharded deployment is exact out of the box; explicit per-facet `scale`
+  * values in the request skip the negotiation, and peers without the
+  * `/calibrate` endpoint degrade to the reference's approximate
+  * self-calibrated merge with a notice.
   *
   * Scale design: the coordinator handles only ranked lists (<= k x combos
   * rows per instance, k <= 50) — never shard data; all heavy work stays
@@ -74,10 +77,75 @@ object Federated {
     * take k. Output columns: (combo, rank, id, score) — the engine's
     * shape. Any failing instance, and any instance whose response is not
     * an array of the same combo count as the others, raises — a silent
-    * partial merge would misreport the global ranking. */
-  def search(spark: SparkSession, instances: Seq[Instance], searchJson: String): DataFrame = {
+    * partial merge would misreport the global ranking.
+    *
+    * EXACT BY DEFAULT: when the request pins no per-facet `scale` values,
+    * a two-phase negotiation first asks every shard for its local top-k
+    * candidate distances per facet (`/calibrate`) and pins the GLOBAL
+    * calibration scale — k times the k-th smallest of the merged distance
+    * lists, which is exactly the scale a single instance over the union
+    * corpus would compute, since the union's k smallest distances are
+    * contained in the union of the per-shard k smallest. Every shard then
+    * scores on that one common scale and the rank merge is exact,
+    * matching the unsharded deployment score for score (FederatedSpec).
+    * When any peer lacks `/calibrate` (e.g. a reference instance), the
+    * merge falls back to the reference's one-phase behavior — each shard
+    * self-calibrates and the result is approximate — with a NOTICE, not a
+    * failure. `negotiate = false` forces the one-phase mode. */
+  def search(spark: SparkSession, instances: Seq[Instance], searchJson: String,
+      negotiate: Boolean = true): DataFrame = {
     require(instances.nonEmpty, "federated search needs at least one instance")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val parsed = mapper.readTree(searchJson)
+    val needsScale = Option(parsed.get("queries")).toSeq
+      .flatMap(_.elements().asScala)
+      .exists(q => q.get("scale") == null)
+    val body =
+      if (negotiate && needsScale && instances.size > 1)
+        negotiateScales(mapper, instances, searchJson)
+      else searchJson
+    searchPinned(spark, instances, mapper, body)
+  }
+
+  /** Phase 1: collect per-shard calibration distances and pin global
+    * scales into the request. Returns the original request untouched when
+    * any shard cannot calibrate. */
+  private def negotiateScales(mapper: com.fasterxml.jackson.databind.ObjectMapper,
+      instances: Seq[Instance], searchJson: String): String = {
+    val calibs = instances.map { i =>
+      scala.util.Try(mapper.readTree(
+        RestClient.post(s"${i.baseUrl}/calibrate", searchJson, i.headers)))
+    }
+    if (calibs.exists(_.isFailure)) {
+      System.err.println("NOTICE: a federated instance does not support " +
+        "/calibrate; falling back to per-shard self-calibration " +
+        "(approximate merge, the reference behavior).")
+      return searchJson
+    }
+    val merged: Map[String, Seq[Double]] = calibs.flatMap(
+      _.get.path("facets").elements().asScala.map(f =>
+        f.get("column").asText() ->
+          f.get("distances").elements().asScala.map(_.asDouble()).toSeq))
+      .groupBy(_._1).map { case (c, ls) => c -> ls.flatMap(_._2) }
+    val root = mapper.readTree(searchJson)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val k = root.get("k").asText().toInt
+    root.get("queries").elements().asScala.foreach { q =>
+      val col = q.get("column").asText()
+      if (q.get("scale") == null) merged.get(col).filter(_.nonEmpty).foreach { ds =>
+        // the single-instance formula: k * d_k, with the degenerate
+        // all-zero-distance guard (SimSearchEngine calibration)
+        val dk = ds.sorted.take(k).last
+        q.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          .put("scale", if (dk <= 0.0) 1.0 else k * dk)
+      }
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  private def searchPinned(spark: SparkSession, instances: Seq[Instance],
+      mapper: com.fasterxml.jackson.databind.ObjectMapper,
+      searchJson: String): DataFrame = {
     val k = mapper.readTree(searchJson).get("k").asText().toInt
     // fan-out: the shards run their Spark plans concurrently, so the
     // coordinator pays max(shard latency), not the sum

@@ -92,6 +92,52 @@ class FederatedSpec extends SparkTestBase {
     } finally svc.stop()
   }
 
+  test("without pinned scales the two-phase negotiation makes the sharded " +
+    "merge exact — score for score against the single-instance deployment") {
+    val all = Files.readAllLines(
+      Paths.get(s"$gdelt/sample.csv"), StandardCharsets.UTF_8)
+    val header = all.get(0)
+    import scala.jdk.CollectionConverters._
+    val rows = all.asScala.toSeq.drop(1)
+    val tmp = Files.createTempDirectory("graft-fedneg")
+    writeShard(tmp.resolve("a"), header +: rows.take(rows.size / 2))
+    writeShard(tmp.resolve("b"), header +: rows.drop(rows.size / 2))
+
+    val noScales = searchBody.replaceAll(",\\s*\"scale\": \"[^\"]+\"", "")
+    assert(!noScales.contains("scale"), "fixture must carry no pinned scales")
+
+    val svc = new SimSearchService(spark, 0)
+    val port = svc.start()
+    try {
+      val base = s"http://127.0.0.1:$port/simsearch/api"
+      val keyFull = indexCatalog(port, gdelt)
+      val keyA = indexCatalog(port, tmp.resolve("a").toString)
+      val keyB = indexCatalog(port, tmp.resolve("b").toString)
+      val shards = Seq(Federated.Instance(base, keyA), Federated.Instance(base, keyB))
+
+      // ground truth: one instance over the union corpus, self-calibrated
+      val single = Federated.search(spark,
+        Seq(Federated.Instance(base, keyFull)), noScales)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+        .sortBy(r => (r._1, r._2)).toSeq
+      // negotiated (default): per-facet global k-th distances pin the
+      // single-instance calibration scale on every shard
+      val negotiated = Federated.search(spark, shards, noScales)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+        .sortBy(r => (r._1, r._2)).toSeq
+      assert(negotiated == single,
+        s"negotiated merge must match the unsharded scores exactly")
+      // the reference's one-phase mode really is approximate here — the
+      // shards' self-calibrated scales differ from the global one, so this
+      // equality is not vacuous
+      val onePhase = Federated.search(spark, shards, noScales, negotiate = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+        .sortBy(r => (r._1, r._2)).toSeq
+      assert(onePhase.map(_._4) != single.map(_._4),
+        "fixture too easy: per-shard self-calibration coincided with the global scale")
+    } finally svc.stop()
+  }
+
   test("Federated.facet: a remote attribute's singleton ranked list becomes a local NRA facet") {
     val svc = new SimSearchService(spark, 0)
     val port = svc.start()
