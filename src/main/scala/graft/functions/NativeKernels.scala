@@ -493,6 +493,112 @@ object NativeKernels {
   /** Deflate compression ratio of a string column. */
   def compressRatio(s: Column): Column = column(CompressRatioExpr(expression(s)))
 
+  // --------------------------------------------------------- winnow select
+
+  /** Phase 2 of MOSS winnowing in ONE pass — the native twin of
+    * [[TextKernels.winnowSelect]]/[[TextKernels.winnowSelectPos]],
+    * bit-identical (NativeKernelSpec property-checks both). The composed
+    * column form evaluates `array_min(slice(hv, i, w))` (and, with
+    * positions, the slice twice more for `array_position`) per window —
+    * O(n*w) array work per document; this is the classic monotonic-deque
+    * sliding-window minimum, O(n) with one int deque, keeping the
+    * LEFTMOST index among tied minima (a later equal value never evicts
+    * an earlier one), exactly `array_position`'s first-match semantics.
+    * Output order and dedup follow `array_distinct`: first occurrence
+    * wins. NULL input yields NULL and an empty array yields an empty
+    * array, exactly like the composed chain (`size(null)` is null, so its
+    * `when` guard falls through to a null transform). */
+  private[functions] case class WinnowSelectExpr(child: Expression, w: Int,
+      withPos: Boolean)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+    require(w >= 1, s"window must be >= 1, got $w")
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      child.dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<bigint> hashes, got ${other.simpleString}")
+      }
+    }
+    override def dataType: DataType =
+      if (withPos) org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("fp",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("pos",
+            org.apache.spark.sql.types.IntegerType, nullable = false))),
+        containsNull = false)
+      else org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String =
+      if (withPos) "winnow_select_pos_native" else "winnow_select_native"
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+
+    def computeSelect(input: ArrayData): ArrayData = {
+      val n = input.numElements()
+      if (n < 1) return new GenericArrayData(Array.empty[Any])
+      val h = input.toLongArray()
+      val nWin = math.max(n - (w - 1), 1)
+      val deque = new Array[Int](n)
+      var head = 0; var tail = 0
+      var j = 0
+      // dedup on the selected INDEX: within one document a position
+      // determines its hash, so (fp, pos) dedup == pos dedup, and the
+      // plain-fp variant dedups on the value itself
+      val seenPos = new java.util.HashSet[Integer]()
+      val seenFp = new java.util.HashSet[java.lang.Long]()
+      val out = new scala.collection.mutable.ArrayBuffer[Any](nWin)
+      var win = 0
+      while (win < nWin) {
+        val end = math.min(win + w - 1, n - 1)
+        while (j <= end) {
+          // STRICT pop: an equal later value never evicts an earlier one,
+          // so the front stays the leftmost minimum of the window
+          while (tail > head && h(deque(tail - 1)) > h(j)) tail -= 1
+          deque(tail) = j; tail += 1
+          j += 1
+        }
+        while (deque(head) < win) head += 1
+        val m = deque(head)
+        if (withPos) {
+          if (seenPos.add(m)) out += new org.apache.spark.sql.catalyst
+            .expressions.GenericInternalRow(Array[Any](h(m), m + 1))
+        } else {
+          if (seenFp.add(h(m))) out += (h(m): java.lang.Long)
+        }
+        win += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override protected def nullSafeEval(v: Any): Any =
+      computeSelect(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("winnowSelectExpr", this)
+      val arrCls = classOf[ArrayData].getName
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = ($arrCls) $ref.computeSelect($c);")
+    }
+  }
+
+  /** One-pass winnowing selection (deduplicated window minima) of a
+    * materialized hash-array column. */
+  def winnowSelect(hashes: Column, w: Int): Column =
+    column(WinnowSelectExpr(expression(hashes), w, withPos = false))
+
+  /** One-pass winnowing selection keeping positions:
+    * array<struct<fp,pos>> — see [[TextKernels.winnowSelectPos]]. */
+  def winnowSelectPos(hashes: Column, w: Int): Column =
+    column(WinnowSelectExpr(expression(hashes), w, withPos = true))
+
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 

@@ -166,7 +166,11 @@ object TextKernels {
     val wins = org.apache.spark.sql.functions.transform(
       sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
       i => array_min(slice(hashes, i, lit(w))))
-    when(size(hashes) < 1, array().cast("array<bigint>"))
+    // explicit null passthrough: without it, size(null) is null, the < 1
+    // guard falls through, and greatest(null, 1) = 1 fabricates ONE window
+    // whose minimum is a null element — [null], not null
+    when(hashes.isNull, lit(null).cast("array<bigint>"))
+      .when(size(hashes) < 1, array().cast("array<bigint>"))
       .otherwise(array_distinct(wins))
   }
 
@@ -185,7 +189,9 @@ object TextKernels {
         struct(m.as("fp"),
           (i + array_position(sl, m) - 1).cast("int").as("pos"))
       })
-    when(size(hashes) < 1, array().cast("array<struct<fp:bigint,pos:int>>"))
+    // same explicit null passthrough as winnowSelect
+    when(hashes.isNull, lit(null).cast("array<struct<fp:bigint,pos:int>>"))
+      .when(size(hashes) < 1, array().cast("array<struct<fp:bigint,pos:int>>"))
       .otherwise(array_distinct(wins))
   }
 

@@ -189,7 +189,10 @@ object Dedup {
     // (see TextKernels.winnowHashes on the O(n^2) re-evaluation otherwise)
     val fp = spread(docs)
       .select(col(id).as("id"), TextKernels.winnowHashes(text, k).as("hv"))
-      .select(col("id"), explode(TextKernels.winnowSelect(col("hv"), w)).as("fp"))
+      // native one-pass monotonic-deque selection (bit-identical to the
+      // composed winnowSelect chain, NativeKernelSpec)
+      .select(col("id"), explode(
+        graft.functions.NativeKernels.winnowSelect(col("hv"), w)).as("fp"))
       .cache() // feeds the frequency cap and both join sides
     val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf).select(col("fp"))
@@ -227,7 +230,10 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val occ = spread(docs)
       .select(col(id).as("id"), TextKernels.winnowHashes(text, k).as("hv"))
-      .select(col("id"), explode(TextKernels.winnowSelectPos(col("hv"), w)).as("s"))
+      // native one-pass positional selection (bit-identical to the
+      // composed winnowSelectPos chain, NativeKernelSpec)
+      .select(col("id"), explode(
+        graft.functions.NativeKernels.winnowSelectPos(col("hv"), w)).as("s"))
       .select(col("id"), col("s.fp").as("fp"), col("s.pos").as("pos"))
       .cache() // feeds the frequency cap and both join sides
     // df = DISTINCT documents (a fingerprint can repeat within one doc at

@@ -72,6 +72,44 @@ class NativeKernelSpec extends SparkTestBase {
     assert(mismatches == 0)
   }
 
+  test("winnow_select_native (plain and positional) is bit-identical to " +
+    "the composed TextKernels chain, including short/empty/null texts") {
+    import graft.functions.TextKernels
+    for ((k, w) <- Seq((16, 8), (8, 4), (4, 1))) {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        // edges: shorter than k (single clamped window), empty, null, and
+        // a repetitive text full of tied minima (leftmost-tie semantics)
+        .union(Seq((99990L, Some("abc")), (99991L, Some("")),
+          (99992L, Option.empty[String]),
+          (99993L, Some("ababababababababababababababab")),
+          (99994L, Some("x" * 40))).toDF("doc_id", "text"))
+        .select(col("doc_id"), TextKernels.winnowHashes(col("text"), k).as("hv"))
+      val mm = docs.select(col("doc_id"),
+          TextKernels.winnowSelect(col("hv"), w).as("c"),
+          NativeKernels.winnowSelect(col("hv"), w).as("n"),
+          TextKernels.winnowSelectPos(col("hv"), w).as("cp"),
+          NativeKernels.winnowSelectPos(col("hv"), w).as("np"))
+        .where(not(col("c") <=> col("n")) || not(col("cp") <=> col("np")))
+        .count()
+      assert(mm == 0, s"k=$k w=$w diverged")
+    }
+  }
+
+  test("winnow_select_native runs inside whole-stage codegen") {
+    // feed a MATERIALIZED hash array: the composed winnowHashes chain is
+    // higher-order lambdas (no codegen), which is exactly why production
+    // callers materialize it in its own projection first
+    val dir = java.nio.file.Files.createTempDirectory("graft-nkw").toString
+    Seq((1L, Seq(5L, 3L, 8L, 1L, 9L))).toDF("doc_id", "hv")
+      .write.mode("overwrite").parquet(s"$dir/p")
+    val df = spark.read.parquet(s"$dir/p")
+      .select(NativeKernels.winnowSelect(col("hv"), 2))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan.take(300))
+    assert(plan.contains("winnow_select_native"))
+  }
+
   test("nearest_centroid_native is bit-identical to the composed literal argmin") {
     import graft.operators.AnnSearch
     val rnd = new scala.util.Random(47)
