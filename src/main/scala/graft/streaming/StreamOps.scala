@@ -277,6 +277,61 @@ object StreamOps {
     } finally { pairs.unpersist(); b.unpersist() }
   }
 
+  /** Streaming incremental EXACT dedup — the fingerprint twin of
+    * [[incrementalDedupStream]]. Per micro-batch, emits one row
+    * (id, fp, keeper) for every batch document that exactly duplicates a
+    * previously seen document (keeper = the smallest already-seen or
+    * smaller in-batch id with the same fingerprint; an id that is itself
+    * the first appearance emits nothing), then appends the batch's
+    * fingerprints to the index. Online contract: keeper is the minimum id
+    * seen SO FAR — a late-arriving smaller id is flagged as the duplicate
+    * of the earlier-seen keeper, not the other way around. Same
+    * crash-recovery story as the near-dup loop: the index append is
+    * batchId-keyed (replay-idempotent) and the candidate read excludes the
+    * batch's own partition, so a re-delivered batch emits the identical
+    * row set; `writeBatch` itself stays at-least-once. */
+  def incrementalExactStream(docs: DataFrame, idCol: String, textCol: String,
+      indexPath: String)(writeBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      exactBatch(batch, batchId, idCol, textCol, indexPath, writeBatch)
+    }.start()
+
+  /** One [[incrementalExactStream]] micro-batch — package-visible for the
+    * replay-idempotence spec, like [[dedupBatch]]. */
+  private[graft] def exactBatch(batch: DataFrame, batchId: Long, idCol: String,
+      textCol: String, indexPath: String,
+      writeBatch: (DataFrame, Long) => Unit): Unit = {
+    import graft.functions.TextKernels
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val idx = new org.apache.hadoop.fs.Path(indexPath)
+    val hasIndex = idx.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(idx)
+    val b = batch.cache()
+    // in-batch duplicates: every non-minimum id of a repeated fingerprint
+    // (the window runs over one bounded micro-batch, not the corpus)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val inBatch = b
+      .select(col(idCol).as("id"), TextKernels.fingerprint(col(textCol)).as("fp"))
+      .withColumn("keeper", min(col("id")).over(w))
+      .where(col("id") =!= col("keeper"))
+    val dups = (if (hasIndex)
+        inBatch.union(Dedup.incrementalExact(b, idCol, col(textCol), indexPath,
+          excludeBatch = Some(batchId)))
+      else inBatch)
+      // a doc can be a dup both in-batch and vs the index: keep ONE row
+      // with the smallest keeper (the min id seen so far)
+      .groupBy(col("id"), col("fp")).agg(min(col("keeper")).as("keeper"))
+      .cache()
+    try {
+      dups.count() // pin results before the index grows (see dedupBatch)
+      writeBatch(dups, batchId)
+      Dedup.writeFingerprintIndex(b, idCol, col(textCol), indexPath,
+        batchId = Some(batchId))
+    } finally { dups.unpersist(); b.unpersist() }
+  }
+
   /** Streaming windowed top-k preparation: per-window per-key aggregate
     * value sums; the bounded top-k itself is applied by the sink query
     * (complete-mode aggregation or a downstream batch rank over the sink

@@ -146,6 +146,48 @@ class StreamOpsSpec extends SparkTestBase {
       s"post-replay batch pairs wrong: ${emitted(3)}")
   }
 
+  test("incrementalExactStream: online exact dedup over a persisted " +
+    "fingerprint index — in-batch, cross-batch, replay, and late smaller id") {
+    import graft.streaming.StreamOps
+    val path = java.nio.file.Files.createTempDirectory("graft-exstream").toString + "/idx"
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Set[(Long, Long)]]
+    def sink(dups: org.apache.spark.sql.DataFrame, @annotation.unused bid: Long): Unit =
+      emitted += dups.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def deliver(bid: Long, rows: (Long, String)*): Unit =
+      StreamOps.exactBatch(rows.toDF("doc_id", "text"), bid,
+        "doc_id", "text", path, sink)
+
+    // the streaming wiring itself (writeStream + foreachBatch): one batch
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.incrementalExactStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", path)(sink)
+    try {
+      input.addData((1L, "aaa"), (2L, "bbb"), (3L, "aaa"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(emitted(0) == Set((3L, 1L)), s"in-batch dup: ${emitted(0)}")
+
+    // cross-batch dup against the persisted index
+    deliver(1L, (10L, "bbb"), (11L, "ccc"))
+    assert(emitted(1) == Set((10L, 2L)), s"cross dup: ${emitted(1)}")
+    // at-least-once replay: identical emission, index unchanged
+    def indexRows() = spark.read.parquet(path).collect()
+      .map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+    val idx1 = indexRows()
+    deliver(1L, (10L, "bbb"), (11L, "ccc"))
+    assert(emitted(2) == emitted(1), "replay changed the emission")
+    assert(indexRows() == idx1, "replay changed the index")
+    // online contract: a LATE smaller id is the duplicate, the seen doc
+    // stays the keeper
+    deliver(2L, (0L, "aaa"))
+    assert(emitted(3) == Set((0L, 1L)), s"late small id: ${emitted(3)}")
+    // a doc can duplicate both in-batch and vs the index: one row, with
+    // the smallest keeper seen so far
+    deliver(3L, (21L, "ccc"), (20L, "ccc"))
+    assert(emitted(4) == Set((20L, 11L), (21L, 11L)), emitted(4).toString)
+  }
+
   test("compactBandIndex: probe answers unchanged, files folded to the " +
     "base, compacted batchIds no-op on re-delivery") {
     import graft.operators.Dedup
