@@ -146,8 +146,14 @@ object ScaleProbe {
       val tWinnow = timeIt {
         Dedup.winnowPairs(docs, "doc_id", col("text")).count()
       }
+      // round-10: span recovery — same hashing term plus the positional
+      // join and the (pair, diagonal)-partitioned run window, whose
+      // shuffle carries only joined matches (df-capped), never the corpus
+      val tWinnowSpans = timeIt {
+        Dedup.winnowSpans(docs, "doc_id", col("text")).count()
+      }
       if (mult0 > 0)
-        println(s"""{"mult":$mult,"docs":${docs.count()},"minhash_sec":$tMinhash,"ann_sec":$tAnn,"rankagg_sec":$tRankAgg,"cluster_sec":$tCluster,"pack_sec":$tPack,"tfidf_sec":$tTfidf,"simhash_sec":$tSimhash,"quantize_sec":$tQuantize,"contam_sec":$tContam,"chunk_sec":$tChunk,"repetition_sec":$tRepet,"idx_build_sec":$tIdxBuild,"idx_probe_sec":$tIdxProbe,"band_build_sec":$tBandBuild,"incr_probe_sec":$tIncrProbe,"winnow_sec":$tWinnow}""")
+        println(s"""{"mult":$mult,"docs":${docs.count()},"minhash_sec":$tMinhash,"ann_sec":$tAnn,"rankagg_sec":$tRankAgg,"cluster_sec":$tCluster,"pack_sec":$tPack,"tfidf_sec":$tTfidf,"simhash_sec":$tSimhash,"quantize_sec":$tQuantize,"contam_sec":$tContam,"chunk_sec":$tChunk,"repetition_sec":$tRepet,"idx_build_sec":$tIdxBuild,"idx_probe_sec":$tIdxProbe,"band_build_sec":$tBandBuild,"incr_probe_sec":$tIncrProbe,"winnow_sec":$tWinnow,"winnow_spans_sec":$tWinnowSpans}""")
       docs.unpersist(); emb.unpersist()
     }
     spark.stop()

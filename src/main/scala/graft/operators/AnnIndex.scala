@@ -238,7 +238,10 @@ object AnnIndex {
     * `compactedThrough` set to the highest folded batchId so a committed
     * batch re-delivered ACROSS the compaction no-ops instead of re-adding
     * its rows. Run while ingestion streams are stopped cleanly (a clean
-    * stop commits its final batch; only an uncommitted batch can replay). */
+    * stop commits its final batch; only an uncommitted batch can replay);
+    * a serving probe that already listed files when the swap lands can
+    * fail its scan and should simply retry — answers before and after are
+    * identical. */
   def compact(spark: SparkSession, path: String): Unit = {
     val df = spark.read.parquet(path)
     val maxBatch = df.agg(max(col(IndexIO.BatchCol).cast("long"))).head.getLong(0)
