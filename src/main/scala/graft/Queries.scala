@@ -22,6 +22,28 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The events table with `ts` normalized to epoch MICROSECONDS (`ts_us`,
+    * long). The generated parquet has shipped `ts` as both
+    * TIMESTAMP(NANOS) — which Spark 4 reads only as a nanosecond long,
+    * behind the legacy conf — and TIMESTAMP(MICROS, isAdjustedToUTC=false),
+    * which it reads as TIMESTAMP_NTZ. Sniff the resolved type and converge
+    * on the value DuckDB's `epoch_us(ts)` yields for the SAME file in both
+    * generations (its TIMESTAMP_NS read truncates to µs; its naive
+    * timestamps are wall-clock, hence the pinned-UTC session cast here), so
+    * every temporal query stays representation-independent and the oracles
+    * hash-match bit-for-bit. */
+  private def eventsTsUs(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = t(s, dir, "events")
+    val tsUs = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
+      case _ =>
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
+    ev.withColumn("ts_us", tsUs.cast("long"))
+  }
+
   /** Spread an under-split source across the cluster before expensive
     * per-row compute (shared guard — see [[graft.operators.Dedup.spread]]). */
   private def spread(df: DataFrame): DataFrame = Dedup.spread(df)
@@ -88,16 +110,13 @@ object Queries {
   // Q2 temporal_topk — epoch-microsecond distance, exact integer arithmetic
   // reference: ingested/IndexSimSearch.java:267-268, temporal/DateTimeParser.java
   // ----------------------------------------------------------------------
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by default;
-    * read it as a nanosecond long and floor-divide to microseconds — exactly
-    * what DuckDB's truncating TIMESTAMP_NS -> TIMESTAMP read does, so the
-    * integer distances match bit-for-bit. */
+  /** Epoch-microsecond distances over [[eventsTsUs]]'s normalized `ts_us`
+    * — exact integer arithmetic in both engines. */
   private val temporalTopk: (SparkSession, String) => DataFrame = (s, dir) => {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val qUs = java.time.LocalDateTime.parse("2024-03-15T12:00:00")
       .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
-    t(s, dir, "events")
-      .selectExpr("event_id", s"abs(ts DIV 1000 - ${qUs}L) AS dist_us")
+    eventsTsUs(s, dir)
+      .selectExpr("event_id", s"abs(ts_us - ${qUs}L) AS dist_us")
       .orderBy(col("dist_us"), col("event_id"))
       .limit(20)
   }
@@ -1385,9 +1404,8 @@ object Queries {
   private val WindowUs = 600L * 1000000L // 10 minutes
 
   private val windowAgg: (SparkSession, String) => DataFrame = (s, dir) => {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .selectExpr(s"(ts DIV 1000) DIV $WindowUs * $WindowUs AS window_start_us",
+    eventsTsUs(s, dir)
+      .selectExpr(s"ts_us DIV $WindowUs * $WindowUs AS window_start_us",
         "event_type", "value")
       .groupBy(col("window_start_us"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 6).as("sum_value"))
@@ -1404,12 +1422,11 @@ object Queries {
     * bounds. Window functions (lag + running sum) — identical ANSI
     * semantics in Spark and DuckDB. */
   private val sessionize: (SparkSession, String) => DataFrame = (s, dir) => {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.expressions.Window
     val gapUs = 1800L * 1000000L
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
-    val e = t(s, dir, "events")
-      .selectExpr("event_id", "user_id", "ts DIV 1000 AS ts_us")
+    val e = eventsTsUs(s, dir)
+      .selectExpr("event_id", "user_id", "ts_us")
       .withColumn("new_sess",
         when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L)
           .when(lag(col("ts_us"), 1).over(w).isNull, 1L).otherwise(0L))
@@ -1428,9 +1445,8 @@ object Queries {
     * shuffle every event). event_id uniqueness makes the struct ordering —
     * and therefore the surviving row — deterministic. */
   private val compactQ: (SparkSession, String) => DataFrame = (s, dir) => {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .selectExpr("user_id", "named_struct('ts_us', ts DIV 1000, 'event_id', event_id, 'value', value) AS rec")
+    eventsTsUs(s, dir)
+      .selectExpr("user_id", "named_struct('ts_us', ts_us, 'event_id', event_id, 'value', value) AS rec")
       .groupBy(col("user_id"))
       .agg(max(col("rec")).as("m"))
       .select(col("user_id"), col("m.event_id").as("event_id"),
