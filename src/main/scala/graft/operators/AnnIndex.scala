@@ -237,20 +237,35 @@ object AnnIndex {
     * the new index fully intact. The sidecar is preserved, with
     * `compactedThrough` set to the highest folded batchId so a committed
     * batch re-delivered ACROSS the compaction no-ops instead of re-adding
-    * its rows. Run while ingestion streams are stopped cleanly (a clean
-    * stop commits its final batch; only an uncommitted batch can replay);
-    * a serving probe that already listed files when the swap lands can
+    * its rows.
+    *
+    * `through` bounds the fold to batchIds <= it, leaving newer batch
+    * partitions untouched. Offline (streams stopped cleanly, the default
+    * `None` = fold everything) every batch is committed and foldable; the
+    * streaming ingestion loop ([[graft.streaming.StreamOps
+    * .annIndexAppendStream]] with `compactEvery`) compacts from INSIDE
+    * batch N's `foreachBatch` and must pass `through = N - 1`: only
+    * batches before the current one are checkpoint-committed, and the
+    * current batch's own partition has to survive so an at-least-once
+    * re-delivery still dynamic-overwrites it (and, on the dedup twins,
+    * still finds it to EXCLUDE from the candidate read — folded-in rows
+    * would match the replayed batch against itself).
+    *
+    * A serving probe that already listed files when the swap lands can
     * fail its scan and should simply retry — answers before and after are
     * identical. */
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(spark: SparkSession, path: String,
+      through: Option[Long] = None): Unit = {
     val df = spark.read.parquet(path)
     val maxBatch = df.agg(max(col(IndexIO.BatchCol).cast("long"))).head.getLong(0)
+    val fold = math.min(through.getOrElse(maxBatch), maxBatch)
     val tmp = path + "__compacting"
-    df.drop(IndexIO.BatchCol).withColumn(IndexIO.BatchCol, lit(-1L))
+    val b = col(IndexIO.BatchCol).cast("long")
+    df.withColumn(IndexIO.BatchCol, when(b <= fold, lit(-1L)).otherwise(b))
       .repartition(col(BucketCol))
       .write.mode("overwrite").partitionBy(BucketCol, IndexIO.BatchCol).parquet(tmp)
     IndexIO.writeMeta(spark, tmp,
-      IndexIO.metaWithCompactedThrough(spark, path, maxBatch))
+      IndexIO.metaWithCompactedThrough(spark, path, fold))
     IndexIO.swapDirs(spark, path, tmp)
   }
 }

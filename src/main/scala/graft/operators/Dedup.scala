@@ -357,42 +357,51 @@ object Dedup {
     * per ~`maxPartitionBytes`), and atomically swap. Same rationale and
     * crash-safety as [[AnnIndex.compact]]; `compactedThrough` in the
     * root-level sidecar makes a committed batch re-delivered across the
-    * compaction a no-op. Run while ingestion streams are stopped cleanly. */
-  def compactBandIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    * compaction a no-op. `through` bounds the fold to batchIds <= it —
+    * see [[AnnIndex.compact]] for why the streaming loop MUST pass the
+    * previous batchId (the current batch's partition has to survive both
+    * for dynamic-overwrite replay and for the candidate-read exclusion);
+    * offline (streams stopped cleanly) the default `None` folds all. */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      through: Option[Long] = None): Unit = {
     val tmp = path + "__compacting"
-    val through = Seq("bands", "shingles")
-      .map(sub => compactTable(spark, s"$path/$sub", s"$tmp/$sub")).max
+    val folded = Seq("bands", "shingles")
+      .map(sub => compactTable(spark, s"$path/$sub", s"$tmp/$sub", through)).max
     IndexIO.writeMeta(spark, tmp,
-      IndexIO.metaWithCompactedThrough(spark, path, through))
+      IndexIO.metaWithCompactedThrough(spark, path, folded))
     IndexIO.swapDirs(spark, path, tmp)
   }
 
   /** Compact a grown [[writeFingerprintIndex]] index — the single-table
     * twin of [[compactBandIndex]]. */
-  def compactFingerprintIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+  def compactFingerprintIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      through: Option[Long] = None): Unit = {
     val tmp = path + "__compacting"
-    val through = compactTable(spark, path, tmp)
+    val folded = compactTable(spark, path, tmp, through)
     IndexIO.writeMeta(spark, tmp,
-      IndexIO.metaWithCompactedThrough(spark, path, through))
+      IndexIO.metaWithCompactedThrough(spark, path, folded))
     IndexIO.swapDirs(spark, path, tmp)
   }
 
-  /** Rewrite one batch-partitioned table into `batch=-1` at `tmp`, sized to
-    * ~one file per `maxPartitionBytes` of input; returns the highest folded
-    * batchId. */
+  /** Rewrite one batch-partitioned table at `tmp`, folding batchIds <=
+    * `through` (all, when None) into `batch=-1` sized to ~one file per
+    * `maxPartitionBytes`, newer batch partitions carried over unchanged;
+    * returns the highest folded batchId. */
   private def compactTable(spark: org.apache.spark.sql.SparkSession,
-      dir: String, tmp: String): Long = {
+      dir: String, tmp: String, through: Option[Long]): Long = {
     val df = spark.read.parquet(dir)
     val maxBatch = df.agg(max(col(IndexIO.BatchCol).cast("long"))).head.getLong(0)
+    val fold = math.min(through.getOrElse(maxBatch), maxBatch)
     val nFiles = df.queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
         math.max(1L, (l.relation.sizeInBytes + maxSplit - 1) / maxSplit).toInt
     }.getOrElse(1)
-    df.drop(IndexIO.BatchCol).withColumn(IndexIO.BatchCol, lit(-1L))
+    val b = col(IndexIO.BatchCol).cast("long")
+    df.withColumn(IndexIO.BatchCol, when(b <= fold, lit(-1L)).otherwise(b))
       .repartition(nFiles)
       .write.mode("overwrite").partitionBy(IndexIO.BatchCol).parquet(tmp)
-    maxBatch
+    fold
   }
 
   /** Connected components over a near-duplicate pair list: (node, cluster)

@@ -208,13 +208,34 @@ object StreamOps {
     * The append is keyed on the micro-batch id, so `foreachBatch`'s
     * at-least-once re-delivery after a crash REWRITES the batch's own
     * partition instead of appending a second copy — a duplicated vector
-    * would rank twice in a served probe and change answers. */
+    * would rank twice in a served probe and change answers.
+    *
+    * `compactEvery` = N > 0 folds the accumulated batch partitions back
+    * into the base every N batches ([[graft.operators.AnnIndex.compact]]),
+    * keeping files-per-bucket bounded over an unbounded run instead of
+    * growing one file per touched bucket per batch forever. The fold is
+    * bounded to `through = batchId - 1`: earlier batches are
+    * checkpoint-committed (their `foreachBatch` completed before this one
+    * started), while the CURRENT batch's partition must survive so an
+    * at-least-once re-delivery still overwrites it in place. The
+    * compaction runs inside the micro-batch (that interval blocks for its
+    * duration — size N to taste); its crash-safety is the atomic swap. */
   def annIndexAppendStream(vectors: DataFrame, idCol: String, vecCol: String,
-      indexPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+      indexPath: String, compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     vectors.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       graft.operators.AnnIndex.appendLsh(batch, idCol, col(vecCol), indexPath,
         batchId = Some(batchId))
+      if (compactDue(compactEvery, batchId))
+        graft.operators.AnnIndex.compact(batch.sparkSession, indexPath,
+          through = Some(batchId - 1))
     }.start()
+
+  /** True when the ingestion loop should fold committed batches on this
+    * micro-batch: every `compactEvery`-th batchId, skipping batch 0 (there
+    * is nothing older to fold). */
+  private def compactDue(compactEvery: Int, batchId: Long): Boolean =
+    compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0
 
   /** Streaming incremental near-dup dedup — the production ingestion loop
     * over a persisted band index. Per accepted micro-batch:
@@ -243,12 +264,23 @@ object StreamOps {
     * first attempt (StreamOpsSpec proves both). `writeBatch` itself stays
     * at-least-once (foreachBatch's contract): it can see that identical
     * pair set twice, so an external sink should upsert by (batchId, pair)
-    * or be otherwise idempotent. */
+    * or be otherwise idempotent.
+    *
+    * `compactEvery` = N > 0 folds committed batch partitions into the base
+    * every N batches, bounded to `through = batchId - 1` — see
+    * [[annIndexAppendStream]]; here the bound is doubly load-bearing: the
+    * candidate read EXCLUDES the current batch's partition, and folding it
+    * into the base would make a replayed batch match against its own rows
+    * and re-emit its in-batch pairs as cross pairs. */
   def incrementalDedupStream(docs: DataFrame, idCol: String, textCol: String,
-      indexPath: String, minJ: Double)(writeBatch: (DataFrame, Long) => Unit)
+      indexPath: String, minJ: Double, compactEvery: Int = 0)
+      (writeBatch: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       dedupBatch(batch, batchId, idCol, textCol, indexPath, minJ, writeBatch)
+      if (compactDue(compactEvery, batchId))
+        graft.operators.Dedup.compactBandIndex(batch.sparkSession, indexPath,
+          through = Some(batchId - 1))
     }.start()
 
   /** One [[incrementalDedupStream]] micro-batch — package-visible so the
@@ -289,12 +321,18 @@ object StreamOps {
     * crash-recovery story as the near-dup loop: the index append is
     * batchId-keyed (replay-idempotent) and the candidate read excludes the
     * batch's own partition, so a re-delivered batch emits the identical
-    * row set; `writeBatch` itself stays at-least-once. */
+    * row set; `writeBatch` itself stays at-least-once. `compactEvery`
+    * folds committed batches every N batches, `through = batchId - 1` —
+    * same rationale as [[incrementalDedupStream]]. */
   def incrementalExactStream(docs: DataFrame, idCol: String, textCol: String,
-      indexPath: String)(writeBatch: (DataFrame, Long) => Unit)
+      indexPath: String, compactEvery: Int = 0)
+      (writeBatch: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       exactBatch(batch, batchId, idCol, textCol, indexPath, writeBatch)
+      if (compactDue(compactEvery, batchId))
+        graft.operators.Dedup.compactFingerprintIndex(batch.sparkSession,
+          indexPath, through = Some(batchId - 1))
     }.start()
 
   /** One [[incrementalExactStream]] micro-batch — package-visible for the

@@ -257,6 +257,95 @@ class StreamOpsSpec extends SparkTestBase {
     assert(AnnIndex.lshTopK(spark, path, "vid", qv, 10, probes = 1).count() <= 10)
   }
 
+  test("incrementalDedupStream with compactEvery: committed batches fold " +
+    "into the base mid-stream, pair sets are unchanged, and the in-flight " +
+    "batch still replays idempotently across its own compaction") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val words = (1 to 16).map(i => s"w$i").mkString(" ")
+    val wordsX = (1 to 16).map(i => s"x$i").mkString(" ")
+    val path = java.nio.file.Files.createTempDirectory("graft-autocomp").toString + "/idx"
+    val input = MemoryStream[(Long, String)]
+    val perBatch = scala.collection.mutable.Map.empty[Long, Set[(Long, Long)]]
+    val q = StreamOps.incrementalDedupStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", path, 0.8,
+      compactEvery = 1) { (pairs, batchId) =>
+      perBatch(batchId) = pairs.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    try {
+      input.addData((1L, words), (2L, (1 to 16).map(i => s"y$i").mkString(" ")))
+      q.processAllAvailable()
+      input.addData((3L, wordsX), (4L, wordsX.replaceAll("x16$", "qqq")),
+        (5L, words.replaceAll("w16$", "zzz")))
+      q.processAllAvailable()
+      input.addData((6L, words)); q.processAllAvailable()
+    } finally q.stop()
+    // the same pair sets the uncompacted run emits (in-batch, cross vs
+    // folded base, cross vs a folded later batch)
+    assert(perBatch(1L) == Set((3L, 4L), (5L, 1L)), perBatch.toString)
+    assert(perBatch(2L) == Set((6L, 1L), (6L, 5L)), perBatch.toString)
+    // batches 0..1 are folded into the base; only the in-flight batch's
+    // partition remains — files-per-table stays bounded over an unbounded run
+    Seq("bands", "shingles").foreach { sub =>
+      val dirs = new java.io.File(s"$path/$sub").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSeq.sorted
+      assert(dirs == Seq("batch=-1", "batch=2"), s"$sub dirs: $dirs")
+    }
+    // crash AFTER batch 2's append+compaction but before its checkpoint
+    // commit: the restart re-runs the whole foreachBatch body (dedup +
+    // compact) — emission identical, index logically unchanged. This is
+    // exactly why the loop folds only THROUGH batchId-1: batch 2's own
+    // partition survived the fold, so the re-delivery overwrites it in
+    // place and the candidate read still excludes it.
+    def contents() = Seq("bands", "shingles").map { sub =>
+      spark.read.parquet(s"$path/$sub").collect()
+        .map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+    }
+    val before = contents()
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Set[(Long, Long)]]
+    StreamOps.dedupBatch(Seq((6L, words)).toDF("doc_id", "text"), 2L,
+      "doc_id", "text", path, 0.8,
+      (pairs, _) => emitted += pairs.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    Dedup.compactBandIndex(spark, path, through = Some(1L))
+    assert(emitted.head == perBatch(2L),
+      s"replay emitted ${emitted.head} vs ${perBatch(2L)}")
+    assert(contents() == before, "replay changed the index contents")
+  }
+
+  test("annIndexAppendStream with compactEvery: buckets fold mid-stream " +
+    "and probes still equal brute force over everything committed") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{AnnIndex, AnnSearch}
+    val dim = 8
+    def vecs(seed: Int, from: Int, n: Int): Seq[(Long, Seq[Double])] = {
+      val rnd = new scala.util.Random(seed)
+      (from until from + n).map(i => (i.toLong, Seq.fill(dim)(rnd.nextDouble() * 2 - 1)))
+    }
+    val base = vecs(23, 0, 200)
+    val batches = Seq(vecs(29, 200, 80), vecs(31, 280, 80), vecs(37, 360, 80))
+    val path = java.nio.file.Files.createTempDirectory("graft-annac").toString + "/idx"
+    AnnIndex.buildLsh(base.toDF("vid", "v"), "vid", col("v"), dim, path, nBits = 4)
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = StreamOps.annIndexAppendStream(
+      input.toDF().toDF("vid", "v"), "vid", "v", path, compactEvery = 2)
+    try batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    // the fold at batch 2 (through = 1) left only the base and the two
+    // still-unfolded batch partitions in each bucket
+    val batchDirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.isDirectory).map(_.getName).distinct.sorted
+    assert(batchDirs.toSeq == Seq("batch=-1", "batch=2"), batchDirs.mkString(","))
+    val qv = { val rnd = new scala.util.Random(41); Seq.fill(dim)(rnd.nextDouble() * 2 - 1) }
+    val grown = AnnIndex.lshTopK(spark, path, "vid", qv, 10, probes = 16)
+      .select("vid").as[Long].collect().toSeq
+    val brute = AnnSearch.bruteCosineTopK(
+        (base ++ batches.flatten).toDF("vid", "v"), "vid", col("v"), qv, 10)
+      .select("vid").as[Long].collect().toSeq
+    assert(grown == brute, s"grown $grown != brute $brute")
+  }
+
   test("dedupWithinWatermark: duplicate keys inside the horizon collapse") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Long)]
