@@ -851,6 +851,46 @@ object Queries {
        |FROM (SELECT doc_id, ${sqlFingerprint("text")} AS fp FROM ($plantedDupsSql))
        |GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin
 
+  // -- line/paragraph-level exact dedup (the C4/RefinedWeb boilerplate
+  //    strip, [[Dedup.lineDedup]]). The corpus is single-line docs with no
+  //    repeated lines, so the fixture synthesizes multi-paragraph PAGES
+  //    (doc_id % 40, texts joined in doc_id order) and brands every page
+  //    with the same header/footer boilerplate — the classic input: the
+  //    operator must keep each boilerplate line only at its minimum
+  //    (page, position) occurrence (page 0) and every unique prose line
+  //    where it stood.
+  private val PageHeader = "subscribe to the newsletter"
+  private val PageFooter = "all rights reserved"
+
+  private val dedupLines: (SparkSession, String) => DataFrame = (s, dir) => {
+    val pages = t(s, dir, "documents")
+      .groupBy((col("doc_id") % 40).as("page_id"))
+      .agg(concat_ws("\n", lit(PageHeader),
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text"))),
+        lit(PageFooter)).as("text"))
+    Dedup.lineDedup(pages, "page_id", col("text")).orderBy(col("page_id"))
+  }
+
+  private val dedupLinesSql =
+    s"""WITH pages AS (
+       |  SELECT doc_id % 40 AS page_id,
+       |    '$PageHeader' || chr(10) || string_agg(text, chr(10) ORDER BY doc_id)
+       |      || chr(10) || '$PageFooter' AS text
+       |  FROM documents GROUP BY 1
+       |), lines AS (
+       |  SELECT page_id, unnest(ls) AS line, unnest(range(len(ls))) AS pos
+       |  FROM (SELECT page_id, string_split(text, chr(10)) AS ls FROM pages)
+       |), kept AS (
+       |  SELECT page_id, pos, line FROM (
+       |    SELECT page_id, pos, line,
+       |      row_number() OVER (PARTITION BY line ORDER BY page_id, pos) AS rn
+       |    FROM lines) t WHERE rn = 1)
+       |SELECT page_id, count(*) AS n_kept,
+       |  string_agg(line, chr(10) ORDER BY pos) AS text
+       |FROM kept GROUP BY page_id ORDER BY page_id""".stripMargin
+
   // -- INCREMENTAL exact dedup against a persisted fingerprint index: the
   //    full corpus is fingerprint-indexed once, then the planted copies
   //    arrive as a new batch — each one's keeper is its original document,
@@ -1820,6 +1860,7 @@ object Queries {
     "q_winnow"        -> winnowQ,
     "q_winnow_spans"  -> winnowSpansQ,
     "q_dedup_exact"   -> dedupExact,
+    "q_dedup_lines"   -> dedupLines,
     "q_dedup_incr"    -> dedupIncr,
     "q_dedup_incr_exact" -> dedupIncrExact,
     "q_fingerprint"   -> fingerprintQ,
@@ -1881,6 +1922,7 @@ object Queries {
     "q_winnow"        -> winnowSql,
     "q_winnow_spans"  -> winnowSpansSql,
     "q_dedup_exact"   -> dedupExactSql,
+    "q_dedup_lines"   -> dedupLinesSql,
     "q_dedup_incr"    -> dedupIncrSql,
     "q_dedup_incr_exact" -> dedupIncrExactSql,
     "q_fingerprint"   -> fingerprintSql,

@@ -262,6 +262,43 @@ object Dedup {
         col("b_start"), col("b_end"), col("n_fp"))
   }
 
+  /** Corpus-wide line/paragraph-level exact deduplication — the C4 /
+    * RefinedWeb curation step document-level dedup can never see: split
+    * every document on `sep`, keep only the FIRST occurrence of each
+    * distinct line corpus-wide (first = minimum (document id, position)),
+    * and reassemble each document from its surviving lines in their
+    * original order. Strips boilerplate repeated across pages — headers,
+    * footers, cookie banners, navigation — while leaving each page's
+    * unique prose intact. Output: (<id>, n_kept, text); a document whose
+    * every line was seen earlier disappears entirely (it contributed
+    * nothing new), which is also exact-dedup subsumption: a verbatim
+    * duplicate document loses all its lines to the earlier copy.
+    *
+    * Shape at scale: two shuffles, both map-side combinable — the
+    * first-occurrence groupBy on the line partial-aggregates
+    * min(struct(id, pos)) before the exchange, so a boilerplate line
+    * repeated on a billion pages leaves each map partition ONCE (the
+    * reason this is an aggregate and not a row_number window over
+    * partitionBy(line), which would shuffle every copy of the heavy
+    * hitters to one reducer) — and the reassembly groupBy on the id. No
+    * joins: the aggregate's group already carries everything the output
+    * needs. */
+  def lineDedup(docs: DataFrame, id: String, text: Column,
+      sep: String = "\n"): DataFrame = {
+    val lines = spread(docs).select(col(id).as("id"),
+      posexplode(split(text, java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+    lines.groupBy(col("line"))
+      .agg(min(struct(col("id"), col("pos"))).as("k"))
+      .select(col("k.id").as("id"), col("k.pos").as("pos"), col("line"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line"))).as("text"))
+      .select(col("id").as(id), col("n_kept"), col("text"))
+  }
+
   /** (id, tokens) -> near-duplicate pairs (a, b, hamming) with 64-bit
     * SimHash hamming distance <= maxHamming (<= 3 is exhaustive).
     *

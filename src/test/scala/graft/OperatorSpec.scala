@@ -104,6 +104,21 @@ class OperatorSpec extends SparkTestBase {
     assert(got == Map(1L -> 2L, 4L -> 2L))
   }
 
+  test("Dedup.lineDedup: boilerplate lines survive only at their first " +
+    "(id, pos) occurrence; a fully-subsumed doc disappears") {
+    val docs = Seq(
+      (1L, "HEADER\nalpha prose\nFOOTER"),
+      (2L, "HEADER\nbeta prose\nbeta prose\nFOOTER"), // within-doc repeat too
+      (3L, "HEADER\nFOOTER"), // nothing unique -> vanishes
+      (4L, "gamma prose\nHEADER")).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs, "doc_id", col("text")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got == Map(
+      1L -> ((3L, "HEADER\nalpha prose\nFOOTER")),
+      2L -> ((1L, "beta prose")), // one copy of the repeat, boilerplate gone
+      4L -> ((1L, "gamma prose"))))
+  }
+
   test("Dedup.minhashPairs: finds a crafted near-duplicate, skips unrelated docs") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val nearDup = (1 to 30).map(i => if (i == 30) "zz" else s"w$i").mkString(" ")

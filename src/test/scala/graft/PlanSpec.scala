@@ -145,6 +145,21 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("Exchange"))
   }
 
+  test("line dedup: first-occurrence selection is an AGGREGATE with " +
+    "map-side partial combine, not a window over partitionBy(line), and " +
+    "there are no joins") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = planOf(Dedup.lineDedup(docs, "doc_id", col("text")))
+    // partial+final pairs for both groupBys: a boilerplate line repeated
+    // on a billion pages must leave each map partition once, not shuffle
+    // every copy to one reducer
+    assert("HashAggregate|SortAggregate|ObjectHashAggregate".r
+      .findAllIn(plan).size >= 4, plan.linesIterator.take(30).mkString("\n"))
+    assert(!plan.contains("Window"), "first-occurrence must not be a window")
+    assert(!plan.contains("Join"), "lineDedup needs no join")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
   test("repetition signals: a narrow per-row map — no shuffle, no window, " +
     "pruned scan") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
