@@ -152,8 +152,21 @@ object ScaleProbe {
       val tWinnowSpans = timeIt {
         Dedup.winnowSpans(docs, "doc_id", col("text")).count()
       }
+      // round-10: line-level dedup over synthesized multi-paragraph pages
+      // (page count fixed, pages grow with the corpus). The planted
+      // header/footer boilerplate is the heavy-hitter case the
+      // aggregate-not-window design exists for: every page carries it,
+      // and it must leave each map partition once, not shuffle 5,000
+      // copies to one reducer
+      val tLineDedup = timeIt {
+        val pages = docs.groupBy((col("doc_id") % 5000).as("page_id"))
+          .agg(concat_ws("\n", lit("shared header boilerplate"),
+            concat_ws("\n", collect_list(col("text"))),
+            lit("shared footer boilerplate")).as("text"))
+        Dedup.lineDedup(pages, "page_id", col("text")).count()
+      }
       if (mult0 > 0)
-        println(s"""{"mult":$mult,"docs":${docs.count()},"minhash_sec":$tMinhash,"ann_sec":$tAnn,"rankagg_sec":$tRankAgg,"cluster_sec":$tCluster,"pack_sec":$tPack,"tfidf_sec":$tTfidf,"simhash_sec":$tSimhash,"quantize_sec":$tQuantize,"contam_sec":$tContam,"chunk_sec":$tChunk,"repetition_sec":$tRepet,"idx_build_sec":$tIdxBuild,"idx_probe_sec":$tIdxProbe,"band_build_sec":$tBandBuild,"incr_probe_sec":$tIncrProbe,"winnow_sec":$tWinnow,"winnow_spans_sec":$tWinnowSpans}""")
+        println(s"""{"mult":$mult,"docs":${docs.count()},"minhash_sec":$tMinhash,"ann_sec":$tAnn,"rankagg_sec":$tRankAgg,"cluster_sec":$tCluster,"pack_sec":$tPack,"tfidf_sec":$tTfidf,"simhash_sec":$tSimhash,"quantize_sec":$tQuantize,"contam_sec":$tContam,"chunk_sec":$tChunk,"repetition_sec":$tRepet,"idx_build_sec":$tIdxBuild,"idx_probe_sec":$tIdxProbe,"band_build_sec":$tBandBuild,"incr_probe_sec":$tIncrProbe,"winnow_sec":$tWinnow,"winnow_spans_sec":$tWinnowSpans,"line_dedup_sec":$tLineDedup}""")
       docs.unpersist(); emb.unpersist()
     }
     spark.stop()

@@ -14,6 +14,11 @@ object DebugCompact {
   def main(args: Array[String]): Unit = {
     val nBase = if (args.length > 0) args(0).toLong else 100000L
     val nBatches = if (args.length > 1) args(1).toInt else 100
+    // > 0 = the streaming loops' in-loop policy: fold committed batches
+    // (through = current - 1) every K appends, as annIndexAppendStream's
+    // compactEvery does — measures the steady-state file count and the
+    // amortized ingestion cost of never letting fragmentation build up
+    val compactEvery = if (args.length > 2) args(2).toInt else 0
     val batchSize = 1000L
     val dim = 32
     val reps = 5
@@ -37,9 +42,11 @@ object DebugCompact {
     (0 until nBatches).foreach { b =>
       AnnIndex.appendLsh(vecs(nBase + b * batchSize, batchSize), "vid", col("v"),
         path, batchId = Some(b.toLong))
+      if (compactEvery > 0 && b > 0 && b % compactEvery == 0)
+        AnnIndex.compact(spark, path, through = Some(b - 1L))
     }
-    println(f"[compact] $nBatches appends of $batchSize: " +
-      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    println(f"[compact] $nBatches appends of $batchSize (compactEvery=" +
+      f"$compactEvery): ${(System.nanoTime() - t0) / 1e9}%.1f s")
     def files() = {
       var n = 0L
       java.nio.file.Files.walk(java.nio.file.Paths.get(path)).forEach(p =>

@@ -85,6 +85,11 @@ class NativeKernelSpec extends SparkTestBase {
           (99993L, Some("ababababababababababababababab")),
           (99994L, Some("x" * 40))).toDF("doc_id", "text"))
         .select(col("doc_id"), TextKernels.winnowHashes(col("text"), k).as("hv"))
+        // materialize hv: projection collapse would otherwise inline the
+        // md5 chain into all four selection twins AND the filter — the
+        // O(n^2) re-evaluation trap the two-phase production pattern
+        // exists to avoid (this test took minutes without the barrier)
+        .cache()
       val mm = docs.select(col("doc_id"),
           TextKernels.winnowSelect(col("hv"), w).as("c"),
           NativeKernels.winnowSelect(col("hv"), w).as("n"),
@@ -92,6 +97,7 @@ class NativeKernelSpec extends SparkTestBase {
           NativeKernels.winnowSelectPos(col("hv"), w).as("np"))
         .where(not(col("c") <=> col("n")) || not(col("cp") <=> col("np")))
         .count()
+      docs.unpersist()
       assert(mm == 0, s"k=$k w=$w diverged")
     }
   }
