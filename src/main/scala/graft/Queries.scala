@@ -671,6 +671,47 @@ object Queries {
        |SELECT n::BIGINT AS doc_id, least(n, min(m))::BIGINT AS cluster
        |FROM r GROUP BY n ORDER BY doc_id""".stripMargin
 
+  // -- cluster KEEPER SELECTION by quality: near-dup removal has to pick
+  //    which copy of each duplicate group survives, and production
+  //    pipelines keep the best copy, not the smallest id — here the
+  //    LONGEST text (the most complete version of a templated page),
+  //    ties broken by id. Integer length keeps the ordering bit-portable
+  //    across engines. One row per cluster: keeper + size + kept length.
+  private val dedupKeepBest: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashPairs(docs, "doc_id",
+      SimKernels.qgrams(substring(col("text"), 1, 200), 10), 0.8)
+    val members = Dedup.clusters(pairs)
+      .select(col("n").cast("long").as("doc_id"), col("c").cast("long").as("cluster"))
+    members.join(docs.select(col("doc_id"), length(col("text")).cast("long").as("len")),
+        Seq("doc_id"))
+      // argmax by (len, -id): max(struct) partial-aggregates map-side, so
+      // a pathological million-member boilerplate cluster sends one
+      // candidate per map partition, never a window over every member
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("len"), (-col("doc_id")).as("nid"))).as("m"))
+      .select(col("cluster"), col("n_members"),
+        (-col("m.nid")).cast("long").as("keeper"), col("m.len").as("kept_len"))
+      .orderBy(col("cluster"))
+  }
+
+  private val dedupKeepBestSql =
+    s"""WITH RECURSIVE ${minhashPairsCtes(
+      s"sh AS (SELECT doc_id, ${sqlQgramsN("substr(text, 1, 200)", 10)} AS g FROM documents)", 0.8)},
+       |edges AS (SELECT a AS x, b AS y FROM prs UNION SELECT b AS x, a AS y FROM prs),
+       |r AS (SELECT x AS n, y AS m FROM edges
+       |      UNION SELECT r.n, e.y FROM r JOIN edges e ON r.m = e.x),
+       |cl AS (SELECT n::BIGINT AS doc_id, least(n, min(m))::BIGINT AS cluster
+       |       FROM r GROUP BY n),
+       |mm AS (SELECT cl.cluster, cl.doc_id, length(d.text)::BIGINT AS len
+       |       FROM cl JOIN documents d USING (doc_id))
+       |SELECT cluster, n_members, doc_id AS keeper, len AS kept_len FROM (
+       |  SELECT cluster, doc_id, len,
+       |    count(*) OVER (PARTITION BY cluster) AS n_members,
+       |    row_number() OVER (PARTITION BY cluster ORDER BY len DESC, doc_id ASC) AS rn
+       |  FROM mm) t WHERE rn = 1 ORDER BY cluster""".stripMargin
+
   // -- deterministic sampling (hash-keyed keep/drop; engine-portable)
   /** DuckDB mirror of Sampling.hashPct: integer value of the first 6 hex
     * chars of md5(id), mod 100 — spelled as an explicit base-16 digit sum
@@ -1890,6 +1931,7 @@ object Queries {
     "q_chunk"         -> chunkQ,
     "q_sim_join"      -> simJoinQ,
     "q_dedup_cluster" -> dedupCluster,
+    "q_dedup_keep_best" -> dedupKeepBest,
     "q_sample_hash"   -> sampleHash,
     "q_sample_stratified" -> sampleStratified,
     "q_source_mix"    -> sourceMix,
@@ -1952,6 +1994,7 @@ object Queries {
     "q_chunk"         -> chunkSql,
     "q_sim_join"      -> simJoinSql,
     "q_dedup_cluster" -> dedupClusterSql,
+    "q_dedup_keep_best" -> dedupKeepBestSql,
     "q_sample_hash"   -> sampleHashSql,
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_source_mix"    -> sourceMixSql,
