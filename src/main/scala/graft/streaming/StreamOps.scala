@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Structured Streaming operators for the training-data pipeline. The
@@ -368,6 +368,101 @@ object StreamOps {
       Dedup.writeFingerprintIndex(b, idCol, col(textCol), indexPath,
         batchId = Some(batchId))
     } finally { dups.unpersist(); b.unpersist() }
+  }
+
+  /** Streaming CURATION loop — the survivor-oriented composition of the
+    * ingestion pieces: where [[incrementalDedupStream]] and
+    * [[incrementalExactStream]] EMIT duplicate evidence, this loop emits
+    * the documents that make it INTO the training corpus. Per micro-batch:
+    *
+    *  1. quality gate: keep rows passing `quality` (any stateless
+    *     predicate over the batch's columns);
+    *  2. exact dedup: drop every doc whose fingerprint was already
+    *     accepted (vs the fingerprint index) or repeats in-batch (keep
+    *     the minimum id);
+    *  3. near-dup dedup: drop every doc that near-dups an already-ACCEPTED
+    *     doc (vs the band index) or a smaller-id doc of this batch — the
+    *     greedy online policy: a doc is dropped even when its in-batch
+    *     partner is itself dropped, since both near-dup the same content
+    *     (transitive clustering needs the whole corpus; the batch twin
+    *     `q_pipeline` shows that policy);
+    *  4. accept: append ONLY the survivors' fingerprints and band keys to
+    *     the two indexes — the indexes ARE the accepted corpus, so later
+    *     batches (and restarts) dedup against what was kept, not against
+    *     everything ever seen;
+    *  5. emit the surviving rows (all original columns) to `writeBatch`.
+    *
+    * Crash recovery mirrors the pair loops: both index reads exclude the
+    * batch's own partitions and both appends are batchId-keyed dynamic
+    * overwrites, so a re-delivered batch computes the identical survivor
+    * set and leaves both indexes bit-identical (`writeBatch` itself stays
+    * at-least-once — sink by (batchId, id) upsert). `compactEvery` folds
+    * both indexes every N batches with the same `through = batchId - 1`
+    * bound as the pair loops. `indexRoot` must be fresh unless resuming
+    * the same stream (`<root>/exact` + `<root>/near`). */
+  def curationStream(docs: DataFrame, idCol: String, textCol: String,
+      indexRoot: String, minJ: Double, quality: Column,
+      compactEvery: Int = 0)(writeBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      curationBatch(batch, batchId, idCol, textCol, indexRoot, minJ, quality,
+        writeBatch)
+      if (compactDue(compactEvery, batchId)) {
+        graft.operators.Dedup.compactFingerprintIndex(batch.sparkSession,
+          s"$indexRoot/exact", through = Some(batchId - 1))
+        graft.operators.Dedup.compactBandIndex(batch.sparkSession,
+          s"$indexRoot/near", through = Some(batchId - 1))
+      }
+    }.start()
+
+  /** One [[curationStream]] micro-batch — package-visible for the
+    * replay-idempotence spec, like [[dedupBatch]]. */
+  private[graft] def curationBatch(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, indexRoot: String, minJ: Double,
+      quality: Column, writeBatch: (DataFrame, Long) => Unit): Unit = {
+    import graft.functions.TextKernels
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(indexRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(sub: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$indexRoot/$sub"))
+    val exactPath = s"$indexRoot/exact"
+    val bandPath = s"$indexRoot/near"
+    val shingles = TextKernels.wordShingles2(TextKernels.wordTokens(col(textCol)))
+
+    val q = batch.where(quality).cache()
+    // exact: in-batch keep-min window over the bounded micro-batch, plus
+    // the accepted-corpus fingerprint index
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val exactInBatch = q
+      .select(col(idCol).as("id"), TextKernels.fingerprint(col(textCol)).as("fp"))
+      .withColumn("keeper", min(col("id")).over(w))
+      .where(col("id") =!= col("keeper")).select(col("id"))
+    val exactDrops = (if (exists("exact"))
+        exactInBatch.union(Dedup.incrementalExact(q, idCol, col(textCol),
+          exactPath, excludeBatch = Some(batchId)).select(col("id")))
+      else exactInBatch).distinct()
+    val s1 = q.join(exactDrops.withColumnRenamed("id", idCol), Seq(idCol),
+      "left_anti").cache()
+    // near-dup: greedy online drop of the larger in-batch side and of any
+    // batch doc pairing with the accepted corpus
+    val nearInBatch = Dedup.minhashPairs(s1, idCol, shingles, minJ)
+      .select(col("b").as("id"))
+    val nearDrops = (if (exists("near"))
+        nearInBatch.union(Dedup.incrementalPairs(s1, idCol, shingles,
+          bandPath, minJ, excludeBatch = Some(batchId)).select(col("a").as("id")))
+      else nearInBatch).distinct()
+    val accepted = s1.join(nearDrops.withColumnRenamed("id", idCol), Seq(idCol),
+      "left_anti").cache()
+    try {
+      accepted.count() // pin survivors before the indexes grow
+      writeBatch(accepted, batchId)
+      Dedup.writeFingerprintIndex(accepted, idCol, col(textCol), exactPath,
+        batchId = Some(batchId))
+      Dedup.writeBandIndex(accepted, idCol, shingles, bandPath,
+        batchId = Some(batchId))
+    } finally { accepted.unpersist(); s1.unpersist(); q.unpersist() }
   }
 
   /** Streaming windowed top-k preparation: per-window per-key aggregate

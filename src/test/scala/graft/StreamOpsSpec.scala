@@ -346,6 +346,62 @@ class StreamOpsSpec extends SparkTestBase {
     assert(grown == brute, s"grown $grown != brute $brute")
   }
 
+  test("curationStream: quality gate -> exact dedup -> greedy near-dup " +
+    "drop -> only SURVIVORS enter the indexes; replay emits the identical " +
+    "survivor set across the in-loop compaction") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val words = (1 to 16).map(i => s"w$i").mkString(" ")
+    val wordsX = (1 to 16).map(i => s"x$i").mkString(" ")
+    val wordsY = (1 to 16).map(i => s"y$i").mkString(" ")
+    val root = java.nio.file.Files.createTempDirectory("graft-curate").toString + "/idx"
+    val input = MemoryStream[(Long, String)]
+    val perBatch = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    val q = StreamOps.curationStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", root, 0.8,
+      length(col("text")) >= 20, compactEvery = 1) { (accepted, batchId) =>
+      perBatch(batchId) = accepted.select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+    }
+    val b1 = Seq((5L, words), (6L, words.replaceAll("w16$", "zzz")),
+      (7L, wordsX), (8L, wordsX.replaceAll("x16$", "qqq")))
+    try {
+      // batch 0: 1 accepted; 2 = exact in-batch dup of 1; 3 = quality
+      // reject; 4 = distinct accepted
+      input.addData((1L, words), (2L, words), (3L, "short"), (4L, wordsY))
+      q.processAllAvailable()
+      // batch 1: 5 = exact dup vs the ACCEPTED index; 6 = near-dup of
+      // accepted doc 1; 7/8 = fresh in-batch near pair (greedy keeps 7)
+      input.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(perBatch(0L) == Set(1L, 4L), perBatch.toString)
+    assert(perBatch(1L) == Set(7L), perBatch.toString)
+    // only survivors were indexed: the exact index holds 1, 4, 7
+    assert(spark.read.parquet(s"$root/exact").select("id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 4L, 7L))
+    // the in-loop fold ran at batch 1 (through = 0)
+    val dirs = new java.io.File(s"$root/exact").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq.sorted
+    assert(dirs == Seq("batch=-1", "batch=1"), dirs.toString)
+    // crash after batch 1's accept+fold, before its checkpoint commit:
+    // the re-run (dedup + fold) emits the same survivors and leaves both
+    // indexes logically unchanged
+    def contents() = Seq("exact", "near/bands", "near/shingles").map { sub =>
+      spark.read.parquet(s"$root/$sub").collect()
+        .map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+    }
+    val before = contents()
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    StreamOps.curationBatch(b1.toDF("doc_id", "text"), 1L, "doc_id", "text",
+      root, 0.8, length(col("text")) >= 20,
+      (accepted, _) => emitted += accepted.select("doc_id").collect()
+        .map(_.getLong(0)).toSet)
+    Dedup.compactFingerprintIndex(spark, s"$root/exact", through = Some(0L))
+    Dedup.compactBandIndex(spark, s"$root/near", through = Some(0L))
+    assert(emitted.head == Set(7L), s"replay emitted ${emitted.head}")
+    assert(contents() == before, "replay changed the index contents")
+  }
+
   test("dedupWithinWatermark: duplicate keys inside the horizon collapse") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Long)]
