@@ -140,6 +140,20 @@ object ScaleProbe {
       val tIncrProbe = timeIt {
         Dedup.incrementalPairs(batch, "doc_id", sh2, bandPath, 0.8).count()
       }
+      // round-10: one CURATION micro-batch (the same fixed 500 docs)
+      // against accepted-corpus indexes over the whole corpus — the full
+      // admit path (quality gate -> exact dedup -> near-dup drop ->
+      // accept) must track the batch, not the corpus, like the pair probe
+      val curRoot = s"/tmp/graft-scaleprobe-cur-$mult"
+      Dedup.writeFingerprintIndex(docs, "doc_id", col("text"), s"$curRoot/exact")
+      Dedup.writeBandIndex(docs, "doc_id", sh2, s"$curRoot/near")
+      val tCuration = timeIt {
+        var n = 0L
+        graft.streaming.StreamOps.curationBatch(batch, 0L, "doc_id", "text",
+          curRoot, 0.8, length(col("text")) >= 0,
+          (acc, _) => n = acc.count())
+        n
+      }
       batch.unpersist()
       // round-9: winnowing partial-overlap pairs — per-row hashing is the
       // dominant linear term; the fingerprint equi-join is df-capped
@@ -166,7 +180,7 @@ object ScaleProbe {
         Dedup.lineDedup(pages, "page_id", col("text")).count()
       }
       if (mult0 > 0)
-        println(s"""{"mult":$mult,"docs":${docs.count()},"minhash_sec":$tMinhash,"ann_sec":$tAnn,"rankagg_sec":$tRankAgg,"cluster_sec":$tCluster,"pack_sec":$tPack,"tfidf_sec":$tTfidf,"simhash_sec":$tSimhash,"quantize_sec":$tQuantize,"contam_sec":$tContam,"chunk_sec":$tChunk,"repetition_sec":$tRepet,"idx_build_sec":$tIdxBuild,"idx_probe_sec":$tIdxProbe,"band_build_sec":$tBandBuild,"incr_probe_sec":$tIncrProbe,"winnow_sec":$tWinnow,"winnow_spans_sec":$tWinnowSpans,"line_dedup_sec":$tLineDedup}""")
+        println(s"""{"mult":$mult,"docs":${docs.count()},"minhash_sec":$tMinhash,"ann_sec":$tAnn,"rankagg_sec":$tRankAgg,"cluster_sec":$tCluster,"pack_sec":$tPack,"tfidf_sec":$tTfidf,"simhash_sec":$tSimhash,"quantize_sec":$tQuantize,"contam_sec":$tContam,"chunk_sec":$tChunk,"repetition_sec":$tRepet,"idx_build_sec":$tIdxBuild,"idx_probe_sec":$tIdxProbe,"band_build_sec":$tBandBuild,"incr_probe_sec":$tIncrProbe,"winnow_sec":$tWinnow,"winnow_spans_sec":$tWinnowSpans,"line_dedup_sec":$tLineDedup,"curation_batch_sec":$tCuration}""")
       docs.unpersist(); emb.unpersist()
     }
     spark.stop()
