@@ -932,6 +932,40 @@ object Queries {
        |  string_agg(line, chr(10) ORDER BY pos) AS text
        |FROM kept GROUP BY page_id ORDER BY page_id""".stripMargin
 
+  // -- df-capped variant (the RefinedWeb policy): the 40-page boilerplate
+  //    exceeds maxDf = 39 and is dropped EVERYWHERE — page 0 loses its
+  //    header/footer too, unlike keep-first above.
+  private val dedupLinesDf: (SparkSession, String) => DataFrame = (s, dir) => {
+    val pages = t(s, dir, "documents")
+      .groupBy((col("doc_id") % 40).as("page_id"))
+      .agg(concat_ws("\n", lit(PageHeader),
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text"))),
+        lit(PageFooter)).as("text"))
+    Dedup.lineDedup(pages, "page_id", col("text"), maxDf = 39L)
+      .orderBy(col("page_id"))
+  }
+
+  private val dedupLinesDfSql =
+    s"""WITH pages AS (
+       |  SELECT doc_id % 40 AS page_id,
+       |    '$PageHeader' || chr(10) || string_agg(text, chr(10) ORDER BY doc_id)
+       |      || chr(10) || '$PageFooter' AS text
+       |  FROM documents GROUP BY 1
+       |), lines AS (
+       |  SELECT page_id, unnest(ls) AS line, unnest(range(len(ls))) AS pos
+       |  FROM (SELECT page_id, string_split(text, chr(10)) AS ls FROM pages)
+       |), firsts AS (
+       |  SELECT page_id, pos, line FROM (
+       |    SELECT page_id, pos, line,
+       |      row_number() OVER (PARTITION BY line ORDER BY page_id, pos) AS rn,
+       |      count(DISTINCT page_id) OVER (PARTITION BY line) AS df
+       |    FROM lines) t WHERE rn = 1 AND df <= 39)
+       |SELECT page_id, count(*) AS n_kept,
+       |  string_agg(line, chr(10) ORDER BY pos) AS text
+       |FROM firsts GROUP BY page_id ORDER BY page_id""".stripMargin
+
   // -- INCREMENTAL exact dedup against a persisted fingerprint index: the
   //    full corpus is fingerprint-indexed once, then the planted copies
   //    arrive as a new batch — each one's keeper is its original document,
@@ -1902,6 +1936,7 @@ object Queries {
     "q_winnow_spans"  -> winnowSpansQ,
     "q_dedup_exact"   -> dedupExact,
     "q_dedup_lines"   -> dedupLines,
+    "q_dedup_lines_df" -> dedupLinesDf,
     "q_dedup_incr"    -> dedupIncr,
     "q_dedup_incr_exact" -> dedupIncrExact,
     "q_fingerprint"   -> fingerprintQ,
@@ -1965,6 +2000,7 @@ object Queries {
     "q_winnow_spans"  -> winnowSpansSql,
     "q_dedup_exact"   -> dedupExactSql,
     "q_dedup_lines"   -> dedupLinesSql,
+    "q_dedup_lines_df" -> dedupLinesDfSql,
     "q_dedup_incr"    -> dedupIncrSql,
     "q_dedup_incr_exact" -> dedupIncrExactSql,
     "q_fingerprint"   -> fingerprintSql,

@@ -273,6 +273,9 @@ object Dedup {
     * every line was seen earlier disappears entirely (it contributed
     * nothing new), which is also exact-dedup subsumption: a verbatim
     * duplicate document loses all its lines to the earlier copy.
+    * `maxDf` tightens keep-first into drop-everywhere for lines spread
+    * across more than `maxDf` documents (the RefinedWeb boilerplate
+    * policy); the default keeps every first occurrence.
     *
     * Shape at scale: two shuffles, both map-side combinable — the
     * first-occurrence groupBy on the line partial-aggregates
@@ -284,12 +287,18 @@ object Dedup {
     * joins: the aggregate's group already carries everything the output
     * needs. */
   def lineDedup(docs: DataFrame, id: String, text: Column,
-      sep: String = "\n"): DataFrame = {
+      sep: String = "\n", maxDf: Long = Long.MaxValue): DataFrame = {
     val lines = spread(docs).select(col(id).as("id"),
       posexplode(split(text, java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "line")))
     lines.groupBy(col("line"))
-      .agg(min(struct(col("id"), col("pos"))).as("k"))
+      .agg(min(struct(col("id"), col("pos"))).as("k"),
+        count_distinct(col("id")).as("df"))
+      // maxDf: a line spread across MORE than maxDf documents is dropped
+      // everywhere, first occurrence included — true boilerplate (cookie
+      // banners on a million pages) is noise even once, and the cap is
+      // free here (df rides the same aggregate)
+      .where(col("df") <= maxDf)
       .select(col("k.id").as("id"), col("k.pos").as("pos"), col("line"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_kept"),

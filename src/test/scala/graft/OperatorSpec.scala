@@ -117,6 +117,14 @@ class OperatorSpec extends SparkTestBase {
       1L -> ((3L, "HEADER\nalpha prose\nFOOTER")),
       2L -> ((1L, "beta prose")), // one copy of the repeat, boilerplate gone
       4L -> ((1L, "gamma prose"))))
+    // maxDf = 3: HEADER (df 4) is dropped EVERYWHERE, FOOTER (df 3) still
+    // keeps its first occurrence
+    val capped = Dedup.lineDedup(docs, "doc_id", col("text"), maxDf = 3L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(capped == Map(
+      1L -> ((2L, "alpha prose\nFOOTER")),
+      2L -> ((1L, "beta prose")),
+      4L -> ((1L, "gamma prose"))))
   }
 
   test("Dedup.minhashPairs: finds a crafted near-duplicate, skips unrelated docs") {
