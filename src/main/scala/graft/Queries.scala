@@ -712,6 +712,47 @@ object Queries {
        |    row_number() OVER (PARTITION BY cluster ORDER BY len DESC, doc_id ASC) AS rn
        |  FROM mm) t WHERE rn = 1 ORDER BY cluster""".stripMargin
 
+  // -- the curation DECISION LOGIC as a batch query — the driver-gated
+  //    value check of the streaming admit rule
+  //    ([[graft.streaming.StreamOps.curationBatch]]'s one-batch form):
+  //    quality gate -> exact keep-min -> greedy near-dup drop of the
+  //    larger pair side. The loop's replay/index mechanics are spec'd in
+  //    StreamOpsSpec; this row pins the decision arithmetic to DuckDB
+  //    over the planted-duplicate corpus.
+  private val curationQ: (SparkSession, String) => DataFrame = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = withPlantedDups(t(s, dir, "documents"))
+    val q = docs.where(length(col("text")) >= 60)
+    val w = Window.partitionBy("fp")
+    val exactDrops = q
+      .select(col("doc_id"), TextKernels.fingerprint(col("text")).as("fp"))
+      .withColumn("keeper", min(col("doc_id")).over(w))
+      .where(col("doc_id") =!= col("keeper")).select(col("doc_id"))
+    val s1 = q.join(exactDrops, Seq("doc_id"), "left_anti")
+    val nearDrops = Dedup.minhashPairs(s1, "doc_id",
+        TextKernels.wordShingles2(TextKernels.wordTokens(col("text"))), 0.9)
+      .select(col("b").as("doc_id")).distinct()
+    s1.join(nearDrops, Seq("doc_id"), "left_anti")
+      .select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
+  // lazy: plantedDupsSql is declared further down the object body, and a
+  // strict val here would capture its pre-initialization null
+  private lazy val curationSql = {
+    val shingleCtes =
+      s"""tk AS (SELECT doc_id, ${sqlWords("text")} AS w FROM s1),
+         |sh AS (SELECT doc_id, ${sqlShingles2("w")} AS g FROM tk)""".stripMargin
+    s"""WITH dd AS ($plantedDupsSql),
+       |q AS (SELECT doc_id, text FROM dd WHERE length(text) >= 60),
+       |fk AS (SELECT doc_id,
+       |  min(doc_id) OVER (PARTITION BY ${sqlFingerprint("text")}) AS keeper FROM q),
+       |s1 AS (SELECT q.doc_id, q.text FROM q JOIN fk USING (doc_id)
+       |       WHERE q.doc_id = fk.keeper),
+       |${minhashPairsCtes(shingleCtes, 0.9)}
+       |SELECT doc_id FROM s1 WHERE doc_id NOT IN (SELECT b FROM prs)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // -- deterministic sampling (hash-keyed keep/drop; engine-portable)
   /** DuckDB mirror of Sampling.hashPct: integer value of the first 6 hex
     * chars of md5(id), mod 100 — spelled as an explicit base-16 digit sum
@@ -1967,6 +2008,7 @@ object Queries {
     "q_sim_join"      -> simJoinQ,
     "q_dedup_cluster" -> dedupCluster,
     "q_dedup_keep_best" -> dedupKeepBest,
+    "q_curation"      -> curationQ,
     "q_sample_hash"   -> sampleHash,
     "q_sample_stratified" -> sampleStratified,
     "q_source_mix"    -> sourceMix,
@@ -2031,6 +2073,7 @@ object Queries {
     "q_sim_join"      -> simJoinSql,
     "q_dedup_cluster" -> dedupClusterSql,
     "q_dedup_keep_best" -> dedupKeepBestSql,
+    "q_curation"      -> curationSql,
     "q_sample_hash"   -> sampleHashSql,
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_source_mix"    -> sourceMixSql,
