@@ -97,6 +97,19 @@ object AnnIndex {
     * at-least-once re-delivery rewrites the same directories with the same
     * rows — served answers are unchanged by crash recovery. A batchId a
     * compaction already folded into the base no-ops (see [[compact]]). */
+  /** Append a vector batch to a persisted index of EITHER flavor: the
+    * sidecar's `kind` decides between [[appendLsh]] and [[appendIvf]] —
+    * self-describing indexes exist precisely so ingestion code need not
+    * carry build-time parameters (or even know the flavor). */
+  def append(emb: DataFrame, id: String, vec: Column, path: String,
+      batchId: Option[Long] = None): Unit =
+    IndexIO.readMeta(emb.sparkSession, path).map(_.path("kind").asText()) match {
+      case Some("lsh") => appendLsh(emb, id, vec, path, batchId)
+      case Some("ivf") => appendIvf(emb, id, vec, path, batchId)
+      case other => throw new IllegalArgumentException(
+        s"no index sidecar at $path (kind = $other) — build with buildLsh/buildIvf first")
+    }
+
   def appendLsh(emb: DataFrame, id: String, vec: Column, path: String,
       batchId: Option[Long] = None): Unit = {
     val meta = readLshMeta(emb.sparkSession, path).getOrElse(

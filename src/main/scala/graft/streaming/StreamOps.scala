@@ -202,7 +202,8 @@ object StreamOps {
     * ([[graft.operators.AnnIndex]]): each micro-batch is signed with the
     * index's stored sidecar parameters and appended into its bucket
     * directories — the ANN twin of [[incrementalDedupStream]]'s accept
-    * step. Served probes (`AnnIndex.lshTopK`) see every committed batch;
+    * step. Works against either flavor: the sidecar's `kind` routes to
+    * the LSH or IVF append (the IVF quantizer stays frozen by design). Served probes (`AnnIndex.lshTopK`) see every committed batch;
     * the index must exist (`buildLsh`) before the stream starts.
     *
     * The append is keyed on the micro-batch id, so `foreachBatch`'s
@@ -224,7 +225,7 @@ object StreamOps {
       indexPath: String, compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     vectors.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      graft.operators.AnnIndex.appendLsh(batch, idCol, col(vecCol), indexPath,
+      graft.operators.AnnIndex.append(batch, idCol, col(vecCol), indexPath,
         batchId = Some(batchId))
       if (compactDue(compactEvery, batchId))
         graft.operators.AnnIndex.compact(batch.sparkSession, indexPath,

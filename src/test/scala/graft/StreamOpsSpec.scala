@@ -257,6 +257,33 @@ class StreamOpsSpec extends SparkTestBase {
     assert(AnnIndex.lshTopK(spark, path, "vid", qv, 10, probes = 1).count() <= 10)
   }
 
+  test("annIndexAppendStream against an IVF index: the sidecar's kind " +
+    "routes the append; a full-probe query equals brute force") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{AnnIndex, AnnSearch}
+    val dim = 8
+    def vecs(seed: Int, from: Int, n: Int): Seq[(Long, Seq[Double])] = {
+      val rnd = new scala.util.Random(seed)
+      (from until from + n).map(i => (i.toLong, Seq.fill(dim)(rnd.nextDouble() * 2 - 1)))
+    }
+    val base = vecs(43, 0, 200)
+    val b1 = vecs(47, 200, 80)
+    val cs = (0 until 4).map(c => (0 until dim).map(d => math.sin(c * 3.1 + d) * 0.7))
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfstream").toString + "/idx"
+    AnnIndex.buildIvf(base.toDF("vid", "v"), "vid", col("v"), cs, path)
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = StreamOps.annIndexAppendStream(
+      input.toDF().toDF("vid", "v"), "vid", "v", path)
+    try { input.addData(b1: _*); q.processAllAvailable() } finally q.stop()
+    val qv = { val rnd = new scala.util.Random(53); Seq.fill(dim)(rnd.nextDouble() * 2 - 1) }
+    val grown = AnnIndex.ivfTopK(spark, path, "vid", qv, 10, nProbe = 4)
+      .select("vid").as[Long].collect().toSeq
+    val brute = AnnSearch.bruteCosineTopK((base ++ b1).toDF("vid", "v"),
+        "vid", col("v"), qv, 10)
+      .select("vid").as[Long].collect().toSeq
+    assert(grown == brute, s"grown $grown != brute $brute")
+  }
+
   test("incrementalDedupStream with compactEvery: committed batches fold " +
     "into the base mid-stream, pair sets are unchanged, and the in-flight " +
     "batch still replays idempotently across its own compaction") {
