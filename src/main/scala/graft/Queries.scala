@@ -753,6 +753,26 @@ object Queries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // -- token-budget corpus selection (the assemble-the-training-mix
+  //    primitive): keep the best documents, quality-ordered, until the
+  //    global token budget fills. Quality metric here = n_chars (integer,
+  //    engine-portable ordering); tokens = whitespace word count. The
+  //    operator's two-phase prefix sum means no global sort at scale.
+  private val tokenBudget: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.operators.Packing.budgetSelect(t(s, dir, "documents"),
+        col("doc_id"), size(TextKernels.wordTokens(col("text"))),
+        col("n_chars"), 12000L)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  private val tokenBudgetSql =
+    s"""WITH d AS (SELECT doc_id, len(${sqlWords("text")}) AS n_tok, n_chars
+       |           FROM documents),
+       |r AS (SELECT doc_id, n_tok, n_chars::DOUBLE AS q,
+       |  sum(n_tok) OVER (ORDER BY n_chars DESC, doc_id) AS cum_tok FROM d)
+       |SELECT doc_id, n_tok::BIGINT AS n_tok, q, cum_tok::BIGINT AS cum_tok
+       |FROM r WHERE cum_tok <= 12000 ORDER BY doc_id""".stripMargin
+
   // -- deterministic sampling (hash-keyed keep/drop; engine-portable)
   /** DuckDB mirror of Sampling.hashPct: integer value of the first 6 hex
     * chars of md5(id), mod 100 — spelled as an explicit base-16 digit sum
@@ -2009,6 +2029,7 @@ object Queries {
     "q_dedup_cluster" -> dedupCluster,
     "q_dedup_keep_best" -> dedupKeepBest,
     "q_curation"      -> curationQ,
+    "q_token_budget"  -> tokenBudget,
     "q_sample_hash"   -> sampleHash,
     "q_sample_stratified" -> sampleStratified,
     "q_source_mix"    -> sourceMix,
@@ -2074,6 +2095,7 @@ object Queries {
     "q_dedup_cluster" -> dedupClusterSql,
     "q_dedup_keep_best" -> dedupKeepBestSql,
     "q_curation"      -> curationSql,
+    "q_token_budget"  -> tokenBudgetSql,
     "q_sample_hash"   -> sampleHashSql,
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_source_mix"    -> sourceMixSql,

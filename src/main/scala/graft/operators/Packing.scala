@@ -49,6 +49,44 @@ object Packing {
       .select("id", "n_tok", "start", "chunk")
   }
 
+  /** Select documents under a global token budget, best quality first —
+    * the assemble-the-training-mix primitive: rank every document by
+    * (quality DESC, id ASC) and keep the longest prefix whose token sum
+    * fits `budget`. Output: (id, n_tok, q, cum_tok) for each kept row,
+    * cum_tok = the running total through this document in that order.
+    *
+    * Scale design: the same two-phase distributed prefix sum as
+    * [[packOffsets]], but bucketed on QUANTIZED QUALITY (one min/max
+    * calibration read sizes `buckets` uniform levels; floor quantization
+    * is order-preserving, and equal qualities land in the same bucket, so
+    * bucket-then-(q DESC, id) concatenates to exactly the global order).
+    * No global sort, no single-partition window over the data — the only
+    * single-partition step is the |buckets|-row offsets frame. A quality
+    * distribution massed into one level degrades that bucket's window to
+    * the mass's size (the id-sparsity caveat of [[packOffsets]], in
+    * quality space); raise `buckets` or pre-spread the metric. */
+  def budgetSelect(df: DataFrame, id: Column, tokens: Column, quality: Column,
+      budget: Long, buckets: Int = 256): DataFrame = {
+    val mm = df.agg(min(quality.cast("double")), max(quality.cast("double"))).head
+    val (qmin, qmax) = (mm.getDouble(0), mm.getDouble(1))
+    val width = math.max((qmax - qmin) / buckets, 1e-12)
+    val base = df.select(id.cast("long").as("id"), tokens.cast("long").as("n_tok"),
+        quality.cast("double").as("q"))
+      .withColumn("__bk", least(
+        floor((lit(qmax) - col("q")) / width).cast("long"), lit(buckets - 1L)))
+    val local = base.withColumn("__cum",
+      sum("n_tok").over(Window.partitionBy("__bk").orderBy(col("q").desc, col("id"))))
+    val offsets = base.groupBy("__bk").agg(sum("n_tok").as("__tot"))
+      .withColumn("__off", coalesce(
+        sum("__tot").over(Window.orderBy("__bk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__bk", "__off")
+    local.join(broadcast(offsets), "__bk")
+      .withColumn("cum_tok", col("__off") + col("__cum"))
+      .where(col("cum_tok") <= budget)
+      .select("id", "n_tok", "q", "cum_tok")
+  }
+
   /** PER-DOCUMENT chunking with overlap — the training/RAG chunker, the
     * within-document complement to [[packOffsets]]'s cross-document
     * binning: split each document's token sequence into windows of

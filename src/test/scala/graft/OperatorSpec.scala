@@ -127,6 +127,20 @@ class OperatorSpec extends SparkTestBase {
       4L -> ((1L, "gamma prose"))))
   }
 
+  test("Packing.budgetSelect: best quality first, PREFIX semantics at the " +
+    "budget boundary, quality ties broken by id") {
+    import graft.operators.Packing
+    val rows = Seq((2L, 10L, 0.9), (1L, 10L, 0.9), (3L, 10L, 0.5), (4L, 5L, 0.1))
+      .toDF("id", "n_tok", "q")
+    val got = Packing.budgetSelect(rows, col("id"), col("n_tok"), col("q"), 25L)
+      .select("id", "cum_tok").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // order (q desc, id): 1 (cum 10), 2 (20), 3 (30 > 25 stops the
+    // prefix), 4 (35) excluded too — budget selection is a prefix, not a
+    // knapsack backfill with small late documents
+    assert(got == Set((1L, 10L), (2L, 20L)), got.toString)
+  }
+
   test("Dedup.minhashPairs: finds a crafted near-duplicate, skips unrelated docs") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val nearDup = (1 to 30).map(i => if (i == 30) "zz" else s"w$i").mkString(" ")

@@ -226,6 +226,18 @@ class PlanSpec extends SparkTestBase {
       "per-bucket running sums must be hash-partitioned by bucket")
   }
 
+  test("budget select: windows partition by the quantized-quality bucket " +
+    "and offsets broadcast back — never a global-sort window over the data") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = planOf(graft.operators.Packing.budgetSelect(docs,
+      col("doc_id"), size(TextKernels.wordTokens(col("text"))),
+      col("n_chars"), 12000L))
+    assert(plan.contains("BroadcastHashJoin"),
+      "bucket offsets must broadcast-join back onto the data")
+    assert(plan.contains("Exchange hashpartitioning"),
+      "per-bucket running sums must be hash-partitioned by bucket")
+  }
+
   test("cluster propagation round: equi-joins only, no cartesian product") {
     // force the distributed propagation loop (the local union-find fast
     // path has no plan to audit)
