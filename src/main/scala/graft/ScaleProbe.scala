@@ -166,6 +166,15 @@ object ScaleProbe {
       val tWinnowSpans = timeIt {
         Dedup.winnowSpans(docs, "doc_id", col("text")).count()
       }
+      // round-10: token-budget selection — two narrow passes + one
+      // broadcast join; must scale with the scan, not the sort (there is
+      // no global sort). Budget scales with the corpus so the kept
+      // prefix stays a constant fraction
+      val tBudget = timeIt {
+        Packing.budgetSelect(docs, col("doc_id"),
+          size(TextKernels.wordTokens(col("text"))), length(col("text")),
+          50000L * mult).count()
+      }
       // round-10: line-level dedup over synthesized multi-paragraph pages
       // (page count fixed, pages grow with the corpus). The planted
       // header/footer boilerplate is the heavy-hitter case the
@@ -180,7 +189,7 @@ object ScaleProbe {
         Dedup.lineDedup(pages, "page_id", col("text")).count()
       }
       if (mult0 > 0)
-        println(s"""{"mult":$mult,"docs":${docs.count()},"minhash_sec":$tMinhash,"ann_sec":$tAnn,"rankagg_sec":$tRankAgg,"cluster_sec":$tCluster,"pack_sec":$tPack,"tfidf_sec":$tTfidf,"simhash_sec":$tSimhash,"quantize_sec":$tQuantize,"contam_sec":$tContam,"chunk_sec":$tChunk,"repetition_sec":$tRepet,"idx_build_sec":$tIdxBuild,"idx_probe_sec":$tIdxProbe,"band_build_sec":$tBandBuild,"incr_probe_sec":$tIncrProbe,"winnow_sec":$tWinnow,"winnow_spans_sec":$tWinnowSpans,"line_dedup_sec":$tLineDedup,"curation_batch_sec":$tCuration}""")
+        println(s"""{"mult":$mult,"docs":${docs.count()},"minhash_sec":$tMinhash,"ann_sec":$tAnn,"rankagg_sec":$tRankAgg,"cluster_sec":$tCluster,"pack_sec":$tPack,"tfidf_sec":$tTfidf,"simhash_sec":$tSimhash,"quantize_sec":$tQuantize,"contam_sec":$tContam,"chunk_sec":$tChunk,"repetition_sec":$tRepet,"idx_build_sec":$tIdxBuild,"idx_probe_sec":$tIdxProbe,"band_build_sec":$tBandBuild,"incr_probe_sec":$tIncrProbe,"winnow_sec":$tWinnow,"winnow_spans_sec":$tWinnowSpans,"line_dedup_sec":$tLineDedup,"curation_batch_sec":$tCuration,"budget_select_sec":$tBudget}""")
       docs.unpersist(); emb.unpersist()
     }
     spark.stop()
