@@ -35,13 +35,22 @@ object Queries {
   private def eventsTsUs(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = t(s, dir, "events")
-    val tsUs = ev.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
+    ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        ev.withColumn("ts_us", expr("ts DIV 1000").cast("long"))
       case _ =>
-        s.conf.set("spark.sql.session.timeZone", "UTC")
-        unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        // the NTZ -> timestamp cast is timezone-aware; pin UTC only for
+        // the ANALYSIS of this frame (the zone is baked into the resolved
+        // cast), then restore — a session-wide mutation would make every
+        // other timezone-sensitive query in the session order-dependent
+        val key = "spark.sql.session.timeZone"
+        val prev = s.conf.get(key)
+        s.conf.set(key, "UTC")
+        try ev.withColumn("ts_us",
+          unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+            .cast("long"))
+        finally s.conf.set(key, prev)
     }
-    ev.withColumn("ts_us", tsUs.cast("long"))
   }
 
   /** Spread an under-split source across the cluster before expensive

@@ -82,6 +82,26 @@ object AnnIndex {
       LshMeta(n.path("dim").asInt(), n.path("nBits").asInt(), n.path("seed").asLong())
     }
 
+  /** Append a vector batch to a persisted index of EITHER flavor: the
+    * sidecar's `kind` decides between [[appendLsh]] and [[appendIvf]] —
+    * self-describing indexes exist precisely so ingestion code need not
+    * carry build-time parameters (or even know the flavor). A crashed
+    * compaction swap is repaired first ([[IndexIO.recoverSwap]]), so an
+    * index stranded at `__old` is restored instead of read as absent. */
+  def append(emb: DataFrame, id: String, vec: Column, path: String,
+      batchId: Option[Long] = None): Unit = {
+    IndexIO.recoverSwap(emb.sparkSession, path)
+    IndexIO.readMeta(emb.sparkSession, path).map(_.path("kind").asText()) match {
+      case Some("lsh") => appendLsh(emb, id, vec, path, batchId)
+      case Some("ivf") => appendIvf(emb, id, vec, path, batchId)
+      case Some(other) => throw new IllegalArgumentException(
+        s"index sidecar at $path has unrecognized kind '$other' — " +
+          "expected 'lsh' or 'ivf'")
+      case None => throw new IllegalArgumentException(
+        s"no index sidecar at $path — build with buildLsh/buildIvf first")
+    }
+  }
+
   /** Grow a persisted LSH index with a new vector batch — the ANN twin of
     * the incremental-dedup ingestion loop ([[graft.operators.Dedup]]
     * `writeBandIndex(append = true)`): the batch is signed with the
@@ -97,19 +117,6 @@ object AnnIndex {
     * at-least-once re-delivery rewrites the same directories with the same
     * rows — served answers are unchanged by crash recovery. A batchId a
     * compaction already folded into the base no-ops (see [[compact]]). */
-  /** Append a vector batch to a persisted index of EITHER flavor: the
-    * sidecar's `kind` decides between [[appendLsh]] and [[appendIvf]] —
-    * self-describing indexes exist precisely so ingestion code need not
-    * carry build-time parameters (or even know the flavor). */
-  def append(emb: DataFrame, id: String, vec: Column, path: String,
-      batchId: Option[Long] = None): Unit =
-    IndexIO.readMeta(emb.sparkSession, path).map(_.path("kind").asText()) match {
-      case Some("lsh") => appendLsh(emb, id, vec, path, batchId)
-      case Some("ivf") => appendIvf(emb, id, vec, path, batchId)
-      case other => throw new IllegalArgumentException(
-        s"no index sidecar at $path (kind = $other) — build with buildLsh/buildIvf first")
-    }
-
   def appendLsh(emb: DataFrame, id: String, vec: Column, path: String,
       batchId: Option[Long] = None): Unit = {
     val meta = readLshMeta(emb.sparkSession, path).getOrElse(
@@ -132,9 +139,26 @@ object AnnIndex {
     * an explicit value that DISAGREES with the sidecar throws — probing
     * with stale parameters silently collapses recall, the one failure mode
     * a served index must not have. Pre-sidecar indexes (no metadata file)
-    * require both values, as before. */
+    * require both values, as before.
+    *
+    * Served-probe contract: the k-row answer is computed EAGERLY inside a
+    * bounded retry on stale-file failures ([[IndexIO.retryStale]]), so a
+    * probe that races a concurrent [[compact]]'s atomic swap re-lists and
+    * succeeds instead of surfacing a FileNotFound to the caller — answers
+    * before and after a compaction are identical, so any attempt's result
+    * is THE result. Eager execution is the right cost model here too: the
+    * result is <= k rows, and a serving path should not hand back a lazy
+    * plan that re-scans the index every time the caller touches it. */
   def lshTopK(spark: SparkSession, path: String, id: String, q: Seq[Double],
-      k: Int, nBits: Int = 0, seed: Long = 0L, probes: Int = 0): DataFrame = {
+      k: Int, nBits: Int = 0, seed: Long = 0L, probes: Int = 0): DataFrame =
+    executeProbe(spark)(lshTopKPlan(spark, path, id, q, k, nBits, seed, probes))
+
+  /** The lazy probe plan behind [[lshTopK]] — package-visible so specs can
+    * assert on the scan (partition pruning, probe-set filter). */
+  private[graft] def lshTopKPlan(spark: SparkSession, path: String, id: String,
+      q: Seq[Double], k: Int, nBits: Int = 0, seed: Long = 0L,
+      probes: Int = 0): DataFrame = {
+    requireIndexPath(spark, path)
     val meta = readLshMeta(spark, path)
     def resolve[T](name: String, given: T, unset: T, stored: Option[T]): T =
       (given, stored) match {
@@ -212,10 +236,20 @@ object AnnIndex {
     *
     * `centroids` defaults to the index's sidecar metadata (empty = unset);
     * an explicit list that disagrees with the sidecar throws — see
-    * [[lshTopK]] on why stale parameters must fail loudly. */
+    * [[lshTopK]] on why stale parameters must fail loudly. Executes
+    * eagerly inside the same bounded stale-listing retry as [[lshTopK]],
+    * so probes racing a [[compact]] swap never surface a transient
+    * failure. */
   def ivfTopK(spark: SparkSession, path: String, id: String,
       q: Seq[Double], k: Int, nProbe: Int,
+      centroids: Seq[Seq[Double]] = Seq.empty): DataFrame =
+    executeProbe(spark)(ivfTopKPlan(spark, path, id, q, k, nProbe, centroids))
+
+  /** The lazy probe plan behind [[ivfTopK]] — see [[lshTopKPlan]]. */
+  private[graft] def ivfTopKPlan(spark: SparkSession, path: String, id: String,
+      q: Seq[Double], k: Int, nProbe: Int,
       centroids: Seq[Seq[Double]] = Seq.empty): DataFrame = {
+    requireIndexPath(spark, path)
     val stored = readIvfCentroids(spark, path)
     val cs = (centroids, stored) match {
       case (Seq(), Some(m)) => m
@@ -264,11 +298,39 @@ object AnnIndex {
     * still finds it to EXCLUDE from the candidate read — folded-in rows
     * would match the replayed batch against itself).
     *
-    * A serving probe that already listed files when the swap lands can
-    * fail its scan and should simply retry — answers before and after are
-    * identical. */
+    * Serving probes ride through the swap: [[lshTopK]]/[[ivfTopK]] execute
+    * under a bounded stale-listing retry, so a probe that listed files
+    * just before the swap re-lists and answers — answers before and after
+    * are identical, so which side of the swap a probe lands on is
+    * unobservable. */
+  /** A probe against a missing index root throws FileNotFoundException —
+    * NOT the "no sidecar" IllegalArgumentException — so the retry wrapper
+    * classifies the mid-swap window (the root is briefly absent between
+    * [[IndexIO.swapDirs]]'s two renames) as transient and re-probes; a
+    * genuinely absent index exhausts the bound and surfaces as FNF. */
+  private def requireIndexPath(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      throw new java.io.FileNotFoundException(s"no index at $path")
+  }
+
+  /** Materialize a probe plan under the bounded stale-listing retry and
+    * re-wrap the (<= k) rows as a local DataFrame: the plan is re-BUILT on
+    * each attempt (the thunk re-lists the index's files), which is what
+    * makes the retry effective — re-running the same stale plan would just
+    * fail on the same vanished files. */
+  private def executeProbe(spark: SparkSession)(plan: => DataFrame): DataFrame =
+    IndexIO.retryStale() {
+      val df = plan
+      spark.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+    }
+
   def compact(spark: SparkSession, path: String,
       through: Option[Long] = None): Unit = {
+    // a compact re-run after a crashed swap must first restore the index
+    // (path may be stranded at __old with a complete __compacting beside it)
+    IndexIO.recoverSwap(spark, path)
     val df = spark.read.parquet(path)
     val maxBatch = df.agg(max(col(IndexIO.BatchCol).cast("long"))).head.getLong(0)
     val fold = math.min(through.getOrElse(maxBatch), maxBatch)

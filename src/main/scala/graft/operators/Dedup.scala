@@ -98,6 +98,10 @@ object Dedup {
     * [[compactBandIndex]] already folded into the base no-ops. */
   def writeBandIndex(docs: DataFrame, id: String, shingles: Column,
       path: String, append: Boolean = false, batchId: Option[Long] = None): Unit = {
+    // repair a crashed compaction swap first: with the index stranded at
+    // __old, alreadyCompacted would read "no sidecar" and the append would
+    // start a second, disjoint index at the bare path
+    IndexIO.recoverSwap(docs.sparkSession, path)
     if (graft.operators.IndexIO.alreadyCompacted(docs.sparkSession, path, batchId)) return
     val sh = spread(docs).select(col(id).as("id"), shingles.as("g")).cache()
     try {
@@ -369,6 +373,7 @@ object Dedup {
     * (the batch's `batch=<id>` directory is the unit of commit). */
   def writeFingerprintIndex(docs: DataFrame, id: String, text: Column,
       path: String, append: Boolean = false, batchId: Option[Long] = None): Unit = {
+    IndexIO.recoverSwap(docs.sparkSession, path) // see writeBandIndex
     if (graft.operators.IndexIO.alreadyCompacted(docs.sparkSession, path, batchId)) return
     val fps = spread(docs)
       .select(TextKernels.fingerprint(text).as("fp"), col(id).as("id"))
@@ -410,6 +415,7 @@ object Dedup {
     * offline (streams stopped cleanly) the default `None` folds all. */
   def compactBandIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       through: Option[Long] = None): Unit = {
+    IndexIO.recoverSwap(spark, path) // a crashed swap leaves the index at __old
     val tmp = path + "__compacting"
     val folded = Seq("bands", "shingles")
       .map(sub => compactTable(spark, s"$path/$sub", s"$tmp/$sub", through)).max
@@ -422,6 +428,7 @@ object Dedup {
     * twin of [[compactBandIndex]]. */
   def compactFingerprintIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       through: Option[Long] = None): Unit = {
+    IndexIO.recoverSwap(spark, path) // a crashed swap leaves the index at __old
     val tmp = path + "__compacting"
     val folded = compactTable(spark, path, tmp, through)
     IndexIO.writeMeta(spark, tmp,

@@ -111,7 +111,8 @@ private[graft] object IndexIO {
 
   /** Atomically replace `path` with the rewritten `tmp`: the old directory
     * moves aside first, so a crash at any point leaves either the old or
-    * the new index fully intact (plus at most a leftover `__old`/tmp dir). */
+    * the new index fully intact (plus at most a leftover `__old`/tmp dir) —
+    * and [[recoverSwap]] can always finish or roll back from what remains. */
   def swapDirs(spark: SparkSession, path: String, tmp: String): Unit = {
     val f = fs(spark, path)
     val p = new org.apache.hadoop.fs.Path(path)
@@ -121,5 +122,104 @@ private[graft] object IndexIO {
     require(f.rename(new org.apache.hadoop.fs.Path(tmp), p),
       s"could not move $tmp into place (old index preserved at $old)")
     f.delete(old, true)
+  }
+
+  /** Repair a [[swapDirs]] interrupted between its two renames. Without
+    * this, a crash in that window leaves the index only at `<path>__old`,
+    * and a bare `exists(path)` bootstrap (the streaming loops') concludes
+    * "no index yet" and silently rebuilds a fresh index from the replayed
+    * batch alone — the accepted corpus is lost and later batches re-admit
+    * duplicates with no error. The on-disk states are unambiguous:
+    *
+    *  - `path` present: the swap (if any) completed; a leftover `__old` is
+    *    the superseded index — delete it. A leftover `__compacting` is a
+    *    compact that died BEFORE the swap; the next compact's
+    *    `mode("overwrite")` rewrites it, so it is left alone.
+    *  - `path` absent, `__old` present, `__compacting` present with its
+    *    sidecar: the crash hit between the renames ([[swapDirs]] only moves
+    *    `path` aside after `tmp` is fully written, sidecar last) — finish
+    *    the swap: `tmp` -> `path`, drop `__old`.
+    *  - `path` absent, `__old` present, `__compacting` absent/incomplete:
+    *    not reachable from [[swapDirs]]'s ordering, but rolled back
+    *    defensively: `__old` -> `path`.
+    *
+    * Idempotent and cheap (a few `exists` calls) — every index bootstrap
+    * and compaction entry point calls it before trusting `exists(path)`. */
+  def recoverSwap(spark: SparkSession, path: String): Unit = {
+    val f = fs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    if (f.exists(p)) { if (f.exists(old)) f.delete(old, true) }
+    else if (f.exists(old)) {
+      val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+      if (f.exists(new org.apache.hadoop.fs.Path(tmp, MetaFile))) {
+        require(f.rename(tmp, p), s"swap recovery: could not move $tmp to $path")
+        f.delete(old, true)
+      } else require(f.rename(old, p),
+        s"swap recovery: could not restore $old to $path")
+    }
+  }
+
+  /** True when the failure is a stale file listing — a concurrent
+    * [[swapDirs]] renamed the index out from under a reader between its
+    * file listing and its scan (or during the listing itself, when the
+    * path is briefly absent between the two renames). These are the only
+    * failures a probe should retry: the swap window is two renames wide,
+    * so one bounded retry re-lists and succeeds. */
+  private[graft] def isStaleListing(t: Throwable): Boolean = {
+    var c: Throwable = t
+    var depth = 0
+    while (c != null && depth < 20) {
+      c match {
+        case _: java.io.FileNotFoundException => return true
+        case _ =>
+          val m = Option(c.getMessage).getOrElse("")
+          if (m.contains("PATH_NOT_FOUND") || m.contains("does not exist") ||
+              m.contains("FileNotFoundException")) return true
+      }
+      c = if (c.getCause eq c) null else c.getCause
+      depth += 1
+    }
+    false
+  }
+
+  /** Run `body` with a bounded retry on [[isStaleListing]] failures — the
+    * serving-side half of the compaction-swap contract: [[swapDirs]] keeps
+    * the index readable except for a two-rename window, and a reader that
+    * lands in that window re-lists on the next attempt. Any other failure
+    * (and stale failures past the bound) propagate unchanged. */
+  private[graft] def retryStale[A](attempts: Int = 6, backoffMs: Long = 25)
+      (body: => A): A = {
+    var attempt = 1
+    while (true) {
+      try return body
+      catch {
+        case t: Throwable if isStaleListing(t) && attempt < attempts =>
+          Thread.sleep(backoffMs * attempt)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** True when `path` holds at least one parquet DATA file (not just
+    * `_SUCCESS`/sidecars). An index append of an EMPTY batch commits a
+    * file-less directory, and `spark.read.parquet` on one throws "unable
+    * to infer schema" — so the streaming bootstraps must treat such a
+    * directory as "no index yet", not as an index. Short-circuits at the
+    * first data file, so the recursive listing stays O(1) on a healthy
+    * index. */
+  def hasData(spark: SparkSession, path: String): Boolean = {
+    val f = fs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    f.exists(p) && {
+      val it = f.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val n = it.next().getPath.getName
+        found = !(n.startsWith("_") || n.startsWith("."))
+      }
+      found
+    }
   }
 }

@@ -32,7 +32,11 @@ object Packing {
     * max(id) calibration read sizes the buckets. */
   def packOffsets(df: DataFrame, id: Column, tokens: Column,
                   chunkSize: Long, buckets: Int = 256): DataFrame = {
-    val maxId = df.agg(max(id.cast("long"))).head.getLong(0)
+    val maxRow = df.agg(max(id.cast("long"))).head
+    if (maxRow.isNullAt(0)) // empty input: no offsets, correct schema
+      return df.select(id.cast("long").as("id"), tokens.cast("long").as("n_tok"),
+        lit(0L).as("start"), lit(0L).as("chunk")).where(lit(false))
+    val maxId = maxRow.getLong(0)
     val span = math.max(1L, maxId / buckets + 1)
     val base = df.select(id.cast("long").as("id"), tokens.cast("long").as("n_tok"))
       .withColumn("__bk", expr(s"id DIV ${span}L"))
@@ -54,29 +58,30 @@ object Packing {
     * (quality DESC, id ASC) and keep the longest prefix whose token sum
     * fits `budget`. Output: (id, n_tok, q, cum_tok) for each kept row,
     * cum_tok = the running total through this document in that order.
+    * Rows whose quality is null or NaN are EXCLUDED from selection (they
+    * have no place in a quality ordering and must not consume budget).
     *
     * Scale design: the same two-phase distributed prefix sum as
-    * [[packOffsets]], but bucketed on QUANTIZED QUALITY (one min/max
-    * calibration read sizes `buckets` uniform levels; floor quantization
-    * is order-preserving, and equal qualities land in the same bucket, so
-    * bucket-then-(q DESC, id) concatenates to exactly the global order).
-    * No global sort, no single-partition window over the data — the only
-    * single-partition step is the |buckets|-row offsets frame. A quality
-    * distribution massed into one level degrades that bucket's window to
-    * the mass's size (the id-sparsity caveat of [[packOffsets]], in
-    * quality space); raise `buckets` or pre-spread the metric. */
+    * [[packOffsets]], but bucketed EQUI-DEPTH on the SORT KEY (q DESC,
+    * id ASC). One `approxQuantile` calibration pass derives the quality
+    * boundaries; a boundary value that recurs (a quality distribution
+    * massed into one level — constant scores, a dominant default) is
+    * sub-split by id quantiles within that level, so the boundary set is
+    * quantiles of (q, id) PAIRS and every bucket's window holds ~1/buckets
+    * of the data REGARDLESS of the quality distribution (the uniform-width
+    * quantization this replaces collapsed a massed distribution into one
+    * bucket-sized window). Bucket membership is a pure threshold function
+    * of (q, id) against the pair-boundary literals — deterministic, shared
+    * by both prefix-sum phases, monotone along the sort order, so
+    * bucket-then-(q DESC, id) still concatenates to exactly the global
+    * order. No global sort; the only single-partition step is the
+    * |buckets|-row offsets frame. */
   def budgetSelect(df: DataFrame, id: Column, tokens: Column, quality: Column,
       budget: Long, buckets: Int = 256): DataFrame = {
-    val mm = df.agg(min(quality.cast("double")), max(quality.cast("double"))).head
-    val (qmin, qmax) = (mm.getDouble(0), mm.getDouble(1))
-    val width = math.max((qmax - qmin) / buckets, 1e-12)
-    val base = df.select(id.cast("long").as("id"), tokens.cast("long").as("n_tok"),
-        quality.cast("double").as("q"))
-      .withColumn("__bk", least(
-        floor((lit(qmax) - col("q")) / width).cast("long"), lit(buckets - 1L)))
-    val local = base.withColumn("__cum",
+    val bucketed = budgetBuckets(df, id, tokens, quality, buckets)
+    val local = bucketed.withColumn("__cum",
       sum("n_tok").over(Window.partitionBy("__bk").orderBy(col("q").desc, col("id"))))
-    val offsets = base.groupBy("__bk").agg(sum("n_tok").as("__tot"))
+    val offsets = bucketed.groupBy("__bk").agg(sum("n_tok").as("__tot"))
       .withColumn("__off", coalesce(
         sum("__tot").over(Window.orderBy("__bk")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -85,6 +90,66 @@ object Packing {
       .withColumn("cum_tok", col("__off") + col("__cum"))
       .where(col("cum_tok") <= budget)
       .select("id", "n_tok", "q", "cum_tok")
+  }
+
+  /** [[budgetSelect]]'s cleaned, bucketed base frame: (id, n_tok, q, __bk)
+    * with null/NaN quality filtered and the equi-depth (q, id)-pair bucket
+    * assigned — package-visible so specs can assert bucket balance. */
+  private[graft] def budgetBuckets(df: DataFrame, id: Column, tokens: Column,
+      quality: Column, buckets: Int): DataFrame = {
+    val base = df.select(id.cast("long").as("id"), tokens.cast("long").as("n_tok"),
+        quality.cast("double").as("q"))
+      .where(col("q").isNotNull && !isnan(col("q")))
+    val empty = base.withColumn("__bk", lit(0L))
+    // one calibration pass: quality quantiles at 1/buckets .. (b-1)/buckets
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val qBounds =
+      if (probs.isEmpty) Array.empty[Double]
+      else base.stat.approxQuantile("q", probs, 0.25 / buckets)
+    if (probs.nonEmpty && qBounds.isEmpty) return empty // no non-null rows
+    // a quality level spanning >= 2 quantile positions is "heavy": split it
+    // by id quantiles within the level (one grouped percentile_approx pass
+    // over the heavy levels only)
+    val mult = qBounds.groupBy(identity).map { case (v, a) => (v, a.length) }
+    val heavy = mult.filter(_._2 >= 2)
+    val idBounds: Map[Double, Seq[Long]] =
+      if (heavy.isEmpty) Map.empty
+      else {
+        val kmax = heavy.values.max
+        val idProbs = (1 to kmax).map(_.toDouble / (kmax + 1))
+        base.where(col("q").isin(heavy.keys.toSeq: _*))
+          .groupBy("q")
+          .agg(percentile_approx(col("id"), lit(idProbs.toArray),
+            lit(10000)).as("ib"))
+          .collect()
+          .map { r =>
+            val v = r.getDouble(0)
+            val all = r.getSeq[Long](1)
+            val k = heavy(v)
+            // evenly-spaced k of the kmax within-level id quantiles
+            val picked = (1 to k).map(j =>
+              all(math.min(all.size - 1, j * (kmax + 1) / (k + 1) - 1)))
+            v -> picked
+          }.toMap
+      }
+    // boundary pairs in (q DESC, id ASC) sort order; a light level's pair
+    // uses id = MIN_VALUE so its equal-quality rows all land AFTER it
+    // (equal qualities stay together, as before)
+    val pairs: Seq[(Double, Long)] = mult.toSeq.flatMap { case (v, k) =>
+      if (k >= 2) idBounds(v).map(i => (v, i)) else Seq((v, Long.MinValue))
+    }
+    val bk: Column =
+      if (pairs.isEmpty) lit(0L)
+      else {
+        // bucket = |boundaries preceding (q, id) in sort order|: monotone
+        // along (q DESC, id ASC), ties on q resolved by the id component
+        val arr = array(pairs.map { case (v, i) =>
+          struct(lit(v).as("bq"), lit(i).as("bi")) }: _*)
+        size(filter(arr, p => p.getField("bq") > col("q") ||
+          (p.getField("bq") === col("q") && p.getField("bi") <= col("id"))))
+          .cast("long")
+      }
+    base.withColumn("__bk", bk)
   }
 
   /** PER-DOCUMENT chunking with overlap — the training/RAG chunker, the

@@ -294,9 +294,13 @@ object StreamOps {
     import graft.operators.Dedup
     val spark = batch.sparkSession
     val shingles = TextKernels.wordShingles2(TextKernels.wordTokens(col(textCol)))
-    val bands = new org.apache.hadoop.fs.Path(s"$indexPath/bands")
-    val hasIndex = bands.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(bands)
+    // repair a crashed compaction swap BEFORE the exists check — a bare
+    // exists() would read an index stranded at __old as "no index yet" and
+    // silently restart the corpus from this batch; a file-less directory
+    // (an empty batch's commit) must likewise read as absent, not wedge
+    // every later read on schema inference
+    graft.operators.IndexIO.recoverSwap(spark, indexPath)
+    val hasIndex = graft.operators.IndexIO.hasData(spark, s"$indexPath/bands")
     val b = batch.cache()
     val inBatch = Dedup.minhashPairs(b, idCol, shingles, minJ)
     val pairs = (if (hasIndex)
@@ -306,7 +310,8 @@ object StreamOps {
     try {
       pairs.count() // pin results before the index grows (see scaladoc)
       writeBatch(pairs, batchId)
-      Dedup.writeBandIndex(b, idCol, shingles, indexPath, batchId = Some(batchId))
+      if (!b.isEmpty) // an empty micro-batch must not commit a file-less dir
+        Dedup.writeBandIndex(b, idCol, shingles, indexPath, batchId = Some(batchId))
     } finally { pairs.unpersist(); b.unpersist() }
   }
 
@@ -344,9 +349,9 @@ object StreamOps {
     import graft.functions.TextKernels
     import graft.operators.Dedup
     val spark = batch.sparkSession
-    val idx = new org.apache.hadoop.fs.Path(indexPath)
-    val hasIndex = idx.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(idx)
+    // swap repair + data-file check — see dedupBatch
+    graft.operators.IndexIO.recoverSwap(spark, indexPath)
+    val hasIndex = graft.operators.IndexIO.hasData(spark, indexPath)
     val b = batch.cache()
     // in-batch duplicates: every non-minimum id of a repeated fingerprint
     // (the window runs over one bounded micro-batch, not the corpus)
@@ -366,8 +371,9 @@ object StreamOps {
     try {
       dups.count() // pin results before the index grows (see dedupBatch)
       writeBatch(dups, batchId)
-      Dedup.writeFingerprintIndex(b, idCol, col(textCol), indexPath,
-        batchId = Some(batchId))
+      if (!b.isEmpty) // an empty micro-batch must not commit a file-less dir
+        Dedup.writeFingerprintIndex(b, idCol, col(textCol), indexPath,
+          batchId = Some(batchId))
     } finally { dups.unpersist(); b.unpersist() }
   }
 
@@ -424,12 +430,16 @@ object StreamOps {
     import graft.functions.TextKernels
     import graft.operators.Dedup
     val spark = batch.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(indexRoot)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def exists(sub: String) =
-      fs.exists(new org.apache.hadoop.fs.Path(s"$indexRoot/$sub"))
     val exactPath = s"$indexRoot/exact"
     val bandPath = s"$indexRoot/near"
+    // swap repair + data-file check — see dedupBatch; the data-file check
+    // matters doubly here: a first batch whose rows ALL fail the quality
+    // gate used to commit a file-less index dir, and every later batch's
+    // read then threw on schema inference, wedging the stream permanently
+    graft.operators.IndexIO.recoverSwap(spark, exactPath)
+    graft.operators.IndexIO.recoverSwap(spark, bandPath)
+    val hasExact = graft.operators.IndexIO.hasData(spark, exactPath)
+    val hasNear = graft.operators.IndexIO.hasData(spark, s"$bandPath/bands")
     val shingles = TextKernels.wordShingles2(TextKernels.wordTokens(col(textCol)))
 
     val q = batch.where(quality).cache()
@@ -440,7 +450,7 @@ object StreamOps {
       .select(col(idCol).as("id"), TextKernels.fingerprint(col(textCol)).as("fp"))
       .withColumn("keeper", min(col("id")).over(w))
       .where(col("id") =!= col("keeper")).select(col("id"))
-    val exactDrops = (if (exists("exact"))
+    val exactDrops = (if (hasExact)
         exactInBatch.union(Dedup.incrementalExact(q, idCol, col(textCol),
           exactPath, excludeBatch = Some(batchId)).select(col("id")))
       else exactInBatch).distinct()
@@ -450,19 +460,23 @@ object StreamOps {
     // batch doc pairing with the accepted corpus
     val nearInBatch = Dedup.minhashPairs(s1, idCol, shingles, minJ)
       .select(col("b").as("id"))
-    val nearDrops = (if (exists("near"))
+    val nearDrops = (if (hasNear)
         nearInBatch.union(Dedup.incrementalPairs(s1, idCol, shingles,
           bandPath, minJ, excludeBatch = Some(batchId)).select(col("a").as("id")))
       else nearInBatch).distinct()
     val accepted = s1.join(nearDrops.withColumnRenamed("id", idCol), Seq(idCol),
       "left_anti").cache()
     try {
-      accepted.count() // pin survivors before the indexes grow
+      val nAccepted = accepted.count() // pin survivors before the indexes grow
       writeBatch(accepted, batchId)
-      Dedup.writeFingerprintIndex(accepted, idCol, col(textCol), exactPath,
-        batchId = Some(batchId))
-      Dedup.writeBandIndex(accepted, idCol, shingles, bandPath,
-        batchId = Some(batchId))
+      // zero survivors: nothing to index, and an empty append would commit
+      // the file-less directory hasData exists to defend against
+      if (nAccepted > 0) {
+        Dedup.writeFingerprintIndex(accepted, idCol, col(textCol), exactPath,
+          batchId = Some(batchId))
+        Dedup.writeBandIndex(accepted, idCol, shingles, bandPath,
+          batchId = Some(batchId))
+      }
     } finally { accepted.unpersist(); s1.unpersist(); q.unpersist() }
   }
 

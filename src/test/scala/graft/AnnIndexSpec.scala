@@ -50,7 +50,9 @@ class AnnIndexSpec extends SparkTestBase {
       s"expected one file per bucket, got ${filesPerBucket.toSeq.distinct}")
     for (probes <- Seq(1, 4)) {
       val q = query(71)
-      val idx = AnnIndex.lshTopK(spark, path, "vid", q, 10, probes = probes)
+      // the Plan variant: the serving lshTopK executes eagerly (retry
+      // wrapper), so plan assertions run against the lazy twin
+      val idx = AnnIndex.lshTopKPlan(spark, path, "vid", q, 10, probes = probes)
       val fly = AnnSearch.lshTopK(emb, "vid", col("v"), dim, q, 10, probes = probes)
       assert(idx.collect().map(_.toSeq).toSeq == fly.collect().map(_.toSeq).toSeq,
         s"probes=$probes diverged")
@@ -72,7 +74,7 @@ class AnnIndexSpec extends SparkTestBase {
     AnnIndex.buildIvf(emb, "vid", col("v"), cents, path)
     val q = query(73)
     // no caller-supplied centroids: the sidecar metadata drives the probe
-    val idx = AnnIndex.ivfTopK(spark, path, "vid", q, 10, nProbe = 2)
+    val idx = AnnIndex.ivfTopKPlan(spark, path, "vid", q, 10, nProbe = 2)
     val fly = AnnSearch.ivfTopK(emb, "vid", col("v"), cents, q, 10, nProbe = 2)
     assert(idx.collect().map(_.toSeq).toSeq == fly.collect().map(_.toSeq).toSeq)
     val scan = scanOf(idx)

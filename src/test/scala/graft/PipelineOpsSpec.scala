@@ -314,6 +314,60 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == Map(5L -> 0L, 7L -> 10L, 100L -> 15L, 1000L -> 25L))
   }
 
+  test("packOffsets and budgetSelect are safe on empty input") {
+    val df = Seq.empty[(Long, Long, Double)].toDF("id", "n", "q")
+    assert(Packing.packOffsets(df, col("id"), col("n"), 16L).count() == 0)
+    assert(Packing.budgetSelect(df, col("id"), col("n"), col("q"), 100L)
+      .count() == 0)
+  }
+
+  test("budgetSelect excludes null/NaN quality rows without consuming budget") {
+    // before the fix, the null bucket's tokens inflated every real
+    // bucket's offset (under-selecting the corpus) while the null rows
+    // themselves dropped out of the join
+    val df = Seq(
+      (1L, 10L, Option(0.9)), (2L, 10L, Option(0.8)),
+      (3L, 1000L, None), (4L, 10L, Option(Double.NaN)),
+      (5L, 10L, Option(0.7))).toDF("id", "n_tok", "q")
+    val got = Packing.budgetSelect(df, col("id"), col("n_tok"), col("q"), 30L)
+      .select("id", "cum_tok").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 10L, 2L -> 20L, 5L -> 30L), got.toString)
+  }
+
+  test("budgetSelect equi-depth bucketing: a constant-heavy quality " +
+    "distribution still selects the exact global prefix, balanced buckets") {
+    // 90% of rows share quality 0.5 (a dominant default score); the rest
+    // spread above and below. Uniform-width quantization collapsed the
+    // mass into ONE bucket's window; the (q, id)-pair boundaries sub-split
+    // it by id.
+    val rows = (0L until 2000L).map { i =>
+      val q = if (i % 10 == 0) 1.0 - i / 4000.0 else 0.5
+      (i, 3L, q)
+    }
+    val df = rows.toDF("id", "n_tok", "q")
+    val budget = 3000L
+    val got = Packing.budgetSelect(df, col("id"), col("n_tok"), col("q"),
+        budget, buckets = 16)
+      .select("id", "cum_tok").as[(Long, Long)].collect()
+    // sequential oracle over (q desc, id asc)
+    val order = rows.sortBy { case (id, _, q) => (-q, id) }
+    var cum = 0L
+    val want = order.takeWhile { case (_, n, _) => { cum += n; cum <= budget } }
+      .map(_._1).toSet
+    assert(got.map(_._1).toSet == want)
+    // the running totals are the true global prefix sums
+    var cum2 = 0L
+    val cumById = order.map { case (id, n, _) => cum2 += n; id -> cum2 }.toMap
+    got.foreach { case (id, c) => assert(c == cumById(id), s"id $id") }
+    // balance: with 16 requested buckets over 2000 rows, no bucket's
+    // window may hold the 90% mass (the old uniform-width failure mode
+    // collapsed all 1800 constant-quality rows into one window)
+    val sizes = Packing.budgetBuckets(df, col("id"), col("n_tok"), col("q"), 16)
+      .groupBy("__bk").count().as[(Long, Long)].collect().map(_._2)
+    assert(sizes.max <= 500,
+      s"largest bucket ${sizes.max} of 2000 — mass not sub-split: ${sizes.toSeq}")
+  }
+
   // ------------------------------------------------------------------ tf-idf
 
   test("tf-idf ranks corpus-rare repeated terms highest") {
