@@ -106,10 +106,16 @@ object Knobs {
     * partitions per stratum, [[graft.operators.Sampling.stratified]]);
     * int in [1, 8], default 2. */
   val SampleSaltWidth = "spark.graft.sample.saltWidth"
+  /** In-loop compaction cadence of the streaming index-append loops
+    * ([[graft.streaming.StreamOps]]): fold committed batch partitions into
+    * the base every N micro-batches; int >= 0, default 0 = never. Applies
+    * when the stream's own `compactEvery` argument is left at 0. */
+  val AnnIndexCompactEvery = "spark.graft.annindex.compactEvery"
   /** All deployment knobs with their defaults — the set a REST tenant sees
     * under /_settings and the console's `SET` accepts. */
   val AllWithDefaults: Seq[(String, String)] = Seq(
-    DedupCheckpointEvery -> "10", AnnProbes -> "1", SampleSaltWidth -> "2")
+    DedupCheckpointEvery -> "10", AnnProbes -> "1", SampleSaltWidth -> "2",
+    AnnIndexCompactEvery -> "0")
 }
 
 object Limits {

@@ -427,35 +427,12 @@ object Dedup {
   /** Compact a grown [[writeFingerprintIndex]] index — the single-table
     * twin of [[compactBandIndex]]. */
   def compactFingerprintIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      through: Option[Long] = None): Unit = {
-    IndexIO.recoverSwap(spark, path) // a crashed swap leaves the index at __old
-    val tmp = path + "__compacting"
-    val folded = compactTable(spark, path, tmp, through)
-    IndexIO.writeMeta(spark, tmp,
-      IndexIO.metaWithCompactedThrough(spark, path, folded))
-    IndexIO.swapDirs(spark, path, tmp)
-  }
+      through: Option[Long] = None): Unit =
+    IndexIO.compactFlatTable(spark, path, through)
 
-  /** Rewrite one batch-partitioned table at `tmp`, folding batchIds <=
-    * `through` (all, when None) into `batch=-1` sized to ~one file per
-    * `maxPartitionBytes`, newer batch partitions carried over unchanged;
-    * returns the highest folded batchId. */
   private def compactTable(spark: org.apache.spark.sql.SparkSession,
-      dir: String, tmp: String, through: Option[Long]): Long = {
-    val df = spark.read.parquet(dir)
-    val maxBatch = df.agg(max(col(IndexIO.BatchCol).cast("long"))).head.getLong(0)
-    val fold = math.min(through.getOrElse(maxBatch), maxBatch)
-    val nFiles = df.queryExecution.analyzed.collectFirst {
-      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
-        math.max(1L, (l.relation.sizeInBytes + maxSplit - 1) / maxSplit).toInt
-    }.getOrElse(1)
-    val b = col(IndexIO.BatchCol).cast("long")
-    df.withColumn(IndexIO.BatchCol, when(b <= fold, lit(-1L)).otherwise(b))
-      .repartition(nFiles)
-      .write.mode("overwrite").partitionBy(IndexIO.BatchCol).parquet(tmp)
-    fold
-  }
+      dir: String, tmp: String, through: Option[Long]): Long =
+    IndexIO.compactTable(spark, dir, tmp, through)
 
   /** Connected components over a near-duplicate pair list: (node, cluster)
     * where cluster = the minimum node id reachable through the pair graph.
@@ -503,16 +480,46 @@ object Dedup {
     // union-find beats rounds of tiny distributed jobs by orders of
     // magnitude. Near-dup graphs are sparse (pairs, not documents), so even
     // 100 TB corpora often land here; the propagation loop below covers the
-    // genuinely large case. Integral ids only — anything else stays
-    // distributed.
+    // genuinely large case. Non-integral ids reach it through the
+    // map-to-long recursion below.
     val idType = e.schema("x").dataType
     val integral = idType match {
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
       case _ => false
     }
+    if (!integral) {
+      // Non-integral ids (strings, UUIDs): assign each distinct node a
+      // unique long ONCE and recurse — the long propagation reuses the
+      // same-job SUM convergence test below instead of paying a
+      // changed-labels join per round, and a small graph now reaches the
+      // local union-find fast path too. monotonically_increasing_id is
+      // only stable within one materialization, so the mapping is pinned
+      // (reliable checkpoint when a dir is set, else localCheckpoint)
+      // before it feeds two joins. The contract's representative (cluster
+      // = MIN original id) is restored by one final aggregation — the min
+      // LONG label is not the min ORIGINAL id.
+      val spark = pairs.sparkSession
+      val nodesRaw = e.select(col("x")).distinct()
+        .withColumn("__nid", monotonically_increasing_id())
+      val nodes =
+        if (spark.sparkContext.getCheckpointDir.isDefined) nodesRaw.checkpoint()
+        else nodesRaw.localCheckpoint()
+      val eh = e
+        .join(nodes.select(col("x"), col("__nid").as("xid")), "x")
+        .join(nodes.select(col("x").as("y"), col("__nid").as("yid")), "y")
+        .select(col("xid"), col("yid"))
+      val mapped = clusters(eh, "xid", "yid", maxRounds, localEdgeLimit, ckptEvery)
+      val withOrig = mapped
+        .join(nodes.select(col("__nid").as("n"), col("x").as("__orig")), "n")
+      val reps = withOrig.groupBy(col("c")).agg(min(col("__orig")).as("__repr"))
+      val out = withOrig.join(reps, "c")
+        .select(col("__orig").as("n"), col("__repr").as("c"))
+      e.unpersist()
+      return out
+    }
     val nEdges = e.count()
-    if (integral && nEdges <= localEdgeLimit) {
+    if (nEdges <= localEdgeLimit) {
       val edges = e.select(col("x").cast("long"), col("y").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
@@ -543,14 +550,15 @@ object Dedup {
     }
     var labels = e.select(col("x").as("n")).distinct()
       .select(col("n"), col("n").as("c")).cache()
-    // Convergence test for numeric ids in the SAME job that materializes
-    // the round: labels are monotonically non-increasing per node over a
+    // Convergence test in the SAME job that materializes the round (ids
+    // are integral here — the non-integral branch above mapped-and-
+    // recursed): labels are monotonically non-increasing per node over a
     // fixed node set, so the label sum strictly decreases until the
     // fixpoint — one exact decimal aggregate per round replaces a count +
-    // a changed-rows join. Non-numeric ids (no sum) pay the join instead.
+    // a changed-rows join.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("c").cast("decimal(38,0)"))).head.getDecimal(0)
-    var prevSum = if (integral) labelSum(labels) else null // null when empty -> 1 round
+    var prevSum = labelSum(labels) // null when empty -> 1 round
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -559,15 +567,9 @@ object Dedup {
         .union(labels)
         .groupBy("n").agg(min("c").as("c"))
         .cache()
-      if (integral) {
-        val s = labelSum(next)
-        converged = java.util.Objects.equals(s, prevSum)
-        prevSum = s
-      } else {
-        converged = next.as("nw")
-          .join(labels.as("ol"), col("nw.n") === col("ol.n"))
-          .where(col("nw.c") =!= col("ol.c")).count() == 0
-      }
+      val s = labelSum(next)
+      converged = java.util.Objects.equals(s, prevSum)
+      prevSum = s
       labels.unpersist()
       round += 1
       labels = if (!converged && round % ckptEvery == 0) {

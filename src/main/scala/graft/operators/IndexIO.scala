@@ -109,6 +109,42 @@ private[graft] object IndexIO {
   def excludeBatch(df: DataFrame, batchId: Option[Long]): DataFrame =
     batchId.fold(df)(b => df.where(col(BatchCol).cast("long") =!= b))
 
+  /** Rewrite one batch-partitioned table at `tmp`, folding batchIds <=
+    * `through` (all, when None) into `batch=-1` sized to ~one file per
+    * `maxPartitionBytes`, newer batch partitions carried over unchanged;
+    * returns the highest folded batchId. */
+  private[graft] def compactTable(spark: SparkSession,
+      dir: String, tmp: String, through: Option[Long]): Long = {
+    val df = spark.read.parquet(dir)
+    val maxBatch = df.agg(max(col(BatchCol).cast("long"))).head.getLong(0)
+    val fold = math.min(through.getOrElse(maxBatch), maxBatch)
+    val nFiles = df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+        math.max(1L, (l.relation.sizeInBytes + maxSplit - 1) / maxSplit).toInt
+    }.getOrElse(1)
+    val b = col(BatchCol).cast("long")
+    df.withColumn(BatchCol, when(b <= fold, lit(-1L)).otherwise(b))
+      .repartition(nFiles)
+      .write.mode("overwrite").partitionBy(BatchCol).parquet(tmp)
+    fold
+  }
+
+  /** Compact one flat batch-partitioned table in place: fold committed
+    * batches into the base ([[compactTable]]), stamp `compactedThrough` in
+    * the sidecar, atomically swap ([[swapDirs]]) — the whole discipline the
+    * fingerprint index and the streaming emission sink share. Repairs a
+    * previously crashed swap first, so re-running a failed compaction
+    * works. */
+  private[graft] def compactFlatTable(spark: SparkSession, path: String,
+      through: Option[Long]): Unit = {
+    recoverSwap(spark, path) // a crashed swap leaves the table at __old
+    val tmp = path + "__compacting"
+    val folded = compactTable(spark, path, tmp, through)
+    writeMeta(spark, tmp, metaWithCompactedThrough(spark, path, folded))
+    swapDirs(spark, path, tmp)
+  }
+
   /** Atomically replace `path` with the rewritten `tmp`: the old directory
     * moves aside first, so a crash at any point leaves either the old or
     * the new index fully intact (plus at most a leftover `__old`/tmp dir) —

@@ -150,7 +150,8 @@ object StreamOps {
     * a query only scores its own bucket (the q_ann_lsh shape); `brute =
     * true` scores the full corpus per query (exact, the q_ann_cosine
     * shape). The per-query ranking window runs over candidate rows only.
-    * Results (query_id, vec_id, cos, rank) append to `writeBatch`.
+    * Results (query_id, vec_id, cos, rank) append to `writeBatch`
+    * ([[parquetSink]] for exactly-once delivery).
     *
     * Cache lifecycle: the prepared corpus projection is cached for the
     * stream's lifetime (every micro-batch scans it) and unpersisted when
@@ -227,7 +228,7 @@ object StreamOps {
     vectors.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       graft.operators.AnnIndex.append(batch, idCol, col(vecCol), indexPath,
         batchId = Some(batchId))
-      if (compactDue(compactEvery, batchId))
+      if (compactDue(resolveCompactEvery(batch.sparkSession, compactEvery), batchId))
         graft.operators.AnnIndex.compact(batch.sparkSession, indexPath,
           through = Some(batchId - 1))
     }.start()
@@ -237,6 +238,64 @@ object StreamOps {
     * is nothing older to fold). */
   private def compactDue(compactEvery: Int, batchId: Long): Boolean =
     compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0
+
+  /** Resolve a stream's `compactEvery` argument: an explicit value wins;
+    * 0 (the default) falls back to the
+    * [[graft.api.Knobs.AnnIndexCompactEvery]] session conf — the same
+    * SET-table deployment-knob pattern as the dedup checkpoint cadence, so
+    * an operator can turn in-loop compaction on without a code change.
+    * Negative = explicitly off even when the conf is set. */
+  private def resolveCompactEvery(spark: org.apache.spark.sql.SparkSession,
+      given: Int): Int =
+    if (given != 0) math.max(given, 0)
+    else spark.conf.get(graft.api.Knobs.AnnIndexCompactEvery, "0").toInt
+
+  /** EXACTLY-ONCE parquet emission sink for the streaming loops'
+    * `writeBatch` parameter — closes the last at-least-once edge of the
+    * ingestion story with zero consumer burden.
+    *
+    * `foreachBatch` is at-least-once: after a mid-batch crash the same
+    * micro-batch (same batchId, same rows — the loops' emissions are
+    * deterministic and replay-idempotent on the index side) is delivered
+    * again, so a plain append sink would hold the batch's rows twice. This
+    * sink applies the very discipline [[graft.operators.IndexIO
+    * .writeBatch]] applies to the indexes, to the EMITTED rows: each batch
+    * lands in its own `batch=<id>` partition via dynamic partition
+    * overwrite, so a re-delivery rewrites its own directories with the
+    * same rows — the sink's contents after any number of replays equal the
+    * contents of one clean run. An empty batch writes nothing (a file-less
+    * parquet directory would wedge later schema inference).
+    *
+    * Read the sink with [[readSink]]; bound its directory growth over an
+    * unbounded run with [[compactSink]] (batches a compaction folded are
+    * no-opped on re-delivery via the sidecar's `compactedThrough`, same as
+    * the indexes). The emitted frame must not itself carry a `batch`
+    * column. */
+  def parquetSink(path: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      require(!batch.columns.contains(graft.operators.IndexIO.BatchCol),
+        s"the emitted frame already has a '${graft.operators.IndexIO.BatchCol}' " +
+          "column — the sink needs that name for its replay partition")
+      if (!graft.operators.IndexIO.alreadyCompacted(batch.sparkSession, path,
+          Some(batchId)) && !batch.isEmpty)
+        graft.operators.IndexIO.writeBatch(batch, path, Some(batchId), Seq.empty)
+    }
+
+  /** The rows a [[parquetSink]] holds, without the internal replay
+    * partition column. */
+  def readSink(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop(graft.operators.IndexIO.BatchCol)
+
+  /** Fold a [[parquetSink]]'s accumulated batch partitions into its base —
+    * the sink twin of the index compactions: per-batch dynamic overwrites
+    * leave one directory per batch, and an unbounded run would grow an
+    * unbounded listing. Same rules as the index folds: offline (stream
+    * stopped cleanly) fold everything; from inside the loop pass
+    * `through = batchId - 1` so the current batch's partition survives for
+    * its own possible re-delivery. */
+  def compactSink(spark: org.apache.spark.sql.SparkSession, path: String,
+      through: Option[Long] = None): Unit =
+    graft.operators.IndexIO.compactFlatTable(spark, path, through)
 
   /** Streaming incremental near-dup dedup — the production ingestion loop
     * over a persisted band index. Per accepted micro-batch:
@@ -262,10 +321,11 @@ object StreamOps {
     * dynamic-overwrites the batch's own `batch=<id>` partition, and the
     * candidate join excludes that partition, so a re-delivered batch
     * leaves the index bit-identical and emits the SAME pair set as the
-    * first attempt (StreamOpsSpec proves both). `writeBatch` itself stays
-    * at-least-once (foreachBatch's contract): it can see that identical
-    * pair set twice, so an external sink should upsert by (batchId, pair)
-    * or be otherwise idempotent.
+    * first attempt (StreamOpsSpec proves both). `writeBatch` can therefore
+    * see that identical pair set twice (foreachBatch is at-least-once);
+    * pass [[parquetSink]] and the delivery is EXACTLY-ONCE end to end — a
+    * replay rewrites its own output partition. A hand-rolled sink must
+    * upsert by (batchId, pair) or be otherwise idempotent.
     *
     * `compactEvery` = N > 0 folds committed batch partitions into the base
     * every N batches, bounded to `through = batchId - 1` — see
@@ -279,7 +339,7 @@ object StreamOps {
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       dedupBatch(batch, batchId, idCol, textCol, indexPath, minJ, writeBatch)
-      if (compactDue(compactEvery, batchId))
+      if (compactDue(resolveCompactEvery(batch.sparkSession, compactEvery), batchId))
         graft.operators.Dedup.compactBandIndex(batch.sparkSession, indexPath,
           through = Some(batchId - 1))
     }.start()
@@ -327,7 +387,8 @@ object StreamOps {
     * crash-recovery story as the near-dup loop: the index append is
     * batchId-keyed (replay-idempotent) and the candidate read excludes the
     * batch's own partition, so a re-delivered batch emits the identical
-    * row set; `writeBatch` itself stays at-least-once. `compactEvery`
+    * row set; [[parquetSink]] turns that into exactly-once delivery,
+    * any other `writeBatch` is at-least-once. `compactEvery`
     * folds committed batches every N batches, `through = batchId - 1` —
     * same rationale as [[incrementalDedupStream]]. */
   def incrementalExactStream(docs: DataFrame, idCol: String, textCol: String,
@@ -336,7 +397,7 @@ object StreamOps {
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       exactBatch(batch, batchId, idCol, textCol, indexPath, writeBatch)
-      if (compactDue(compactEvery, batchId))
+      if (compactDue(resolveCompactEvery(batch.sparkSession, compactEvery), batchId))
         graft.operators.Dedup.compactFingerprintIndex(batch.sparkSession,
           indexPath, through = Some(batchId - 1))
     }.start()
@@ -402,8 +463,10 @@ object StreamOps {
     * Crash recovery mirrors the pair loops: both index reads exclude the
     * batch's own partitions and both appends are batchId-keyed dynamic
     * overwrites, so a re-delivered batch computes the identical survivor
-    * set and leaves both indexes bit-identical (`writeBatch` itself stays
-    * at-least-once — sink by (batchId, id) upsert). `compactEvery` folds
+    * set and leaves both indexes bit-identical; with [[parquetSink]] as
+    * `writeBatch` the accepted-document output is exactly-once too (any
+    * other sink sees at-least-once and should upsert by (batchId, id)).
+    * `compactEvery` folds
     * both indexes every N batches with the same `through = batchId - 1`
     * bound as the pair loops. `indexRoot` must be fresh unless resuming
     * the same stream (`<root>/exact` + `<root>/near`). */
@@ -414,7 +477,7 @@ object StreamOps {
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       curationBatch(batch, batchId, idCol, textCol, indexRoot, minJ, quality,
         writeBatch)
-      if (compactDue(compactEvery, batchId)) {
+      if (compactDue(resolveCompactEvery(batch.sparkSession, compactEvery), batchId)) {
         graft.operators.Dedup.compactFingerprintIndex(batch.sparkSession,
           s"$indexRoot/exact", through = Some(batchId - 1))
         graft.operators.Dedup.compactBandIndex(batch.sparkSession,

@@ -129,6 +129,27 @@ class IndexRecoverySpec extends SparkTestBase {
     assert(!IndexIO.hasData(spark, s"$band/bands"))
   }
 
+  test("the annindex.compactEvery session knob drives in-loop compaction " +
+    "when the stream's argument is left at default") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val path = tmpDir("knob") + "/idx"
+    val input = MemoryStream[(Long, String)]
+    spark.conf.set(graft.api.Knobs.AnnIndexCompactEvery, "1")
+    val q = try StreamOps.incrementalExactStream(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", path)((_, _) => ())
+      finally ()
+    try {
+      input.addData((1L, "aa bb")); q.processAllAvailable()
+      input.addData((2L, "cc dd")); q.processAllAvailable()
+      assert(q.exception.isEmpty, q.exception.toString)
+    } finally { q.stop(); spark.conf.unset(graft.api.Knobs.AnnIndexCompactEvery) }
+    // the fold ran at batch 1 (through = 0): batch 0 is folded into the base
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq.sorted
+    assert(dirs == Seq("batch=-1", "batch=1"), dirs.toString)
+  }
+
   // ------------------------------------------------------- probe resilience
 
   test("retryStale retries stale listings with a bound, passes other " +

@@ -73,11 +73,24 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(guarded.count() == 60)
   }
 
-  test("clusters: non-integral ids take the distributed path and agree") {
+  test("clusters: non-integral ids map to longs once, propagate with the " +
+    "sum convergence test, and keep the min ORIGINAL id as representative") {
     val pairs = Seq(("d1", "d2"), ("d2", "d3"), ("x9", "x8")).toDF("a", "b")
-    val got = Dedup.clusters(pairs).as[(String, String)].collect().toMap
-    assert(got == Map("d1" -> "d1", "d2" -> "d1", "d3" -> "d1",
-      "x9" -> "x8", "x8" -> "x8"))
+    val expected = Map("d1" -> "d1", "d2" -> "d1", "d3" -> "d1",
+      "x9" -> "x8", "x8" -> "x8")
+    // via the local fast path (reached through the mapping) and the forced
+    // distributed propagation — identical output either way
+    for (limit <- Seq(2000000L, 0L)) {
+      val got = Dedup.clusters(pairs, localEdgeLimit = limit)
+        .as[(String, String)].collect().toMap
+      assert(got == expected, s"limit=$limit")
+    }
+    // a multi-round string chain: the representative is the lexicographic
+    // minimum even though the assigned longs have no such order
+    val chain = (0 until 6).map(i => (s"n$i", s"n${i + 1}")).toDF("a", "b")
+    val got = Dedup.clusters(chain, localEdgeLimit = 0L, checkpointEvery = 3)
+      .as[(String, String)].collect().toMap
+    assert(got == (0 to 6).map(i => s"n$i" -> "n0").toMap)
   }
 
   // ---------------------------------------------------------------- sampling

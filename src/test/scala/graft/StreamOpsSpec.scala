@@ -429,6 +429,62 @@ class StreamOpsSpec extends SparkTestBase {
     assert(contents() == before, "replay changed the index contents")
   }
 
+  test("parquetSink: the curation loop is exactly-once END TO END — a " +
+    "replayed batch rewrites its own sink partition, and compaction folds " +
+    "without changing contents or re-admitting folded batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val words = (1 to 16).map(i => s"w$i").mkString(" ")
+    val wordsY = (1 to 16).map(i => s"y$i").mkString(" ")
+    val root = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val idx = s"$root/idx"
+    val sink = s"$root/out"
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.curationStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", idx, 0.8,
+      length(col("text")) >= 20)(StreamOps.parquetSink(sink))
+    val b1 = Seq((5L, words), (6L, wordsY + " extra"))
+    try {
+      // batch 0: 1 accepted, 2 exact dup, 3 quality-rejected
+      input.addData((1L, words), (2L, words), (3L, "short"))
+      q.processAllAvailable()
+      // batch 1: 5 = dup vs index, 6 = fresh
+      input.addData(b1: _*); q.processAllAvailable()
+      assert(q.exception.isEmpty, q.exception.toString)
+    } finally q.stop()
+    def sinkRows() = StreamOps.readSink(spark, sink).collect()
+      .map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+    val clean = sinkRows()
+    assert(StreamOps.readSink(spark, sink).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 6L))
+    // crash-replay batch 1 exactly as foreachBatch would re-deliver it:
+    // the sink must be BIT-IDENTICAL afterwards, not hold doc 6 twice
+    StreamOps.curationBatch(b1.toDF("doc_id", "text"), 1L, "doc_id", "text",
+      idx, 0.8, length(col("text")) >= 20, StreamOps.parquetSink(sink))
+    assert(sinkRows() == clean, "replay changed the sink contents")
+    // compaction folds the batch partitions, contents unchanged
+    StreamOps.compactSink(spark, sink)
+    assert(sinkRows() == clean, "compaction changed the sink contents")
+    val dirs = new java.io.File(sink).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq.sorted
+    assert(dirs == Seq("batch=-1"), dirs.toString)
+    // a batch re-delivered ACROSS the compaction no-ops instead of
+    // re-adding its rows beside the folded copy
+    StreamOps.parquetSink(sink)(b1.toDF("doc_id", "text")
+      .where(col("doc_id") === 6L), 1L)
+    assert(sinkRows() == clean, "post-compaction replay re-added rows")
+  }
+
+  test("parquetSink skips empty batches and refuses a conflicting batch column") {
+    val sink = java.nio.file.Files.createTempDirectory("graft-sink2").toString + "/out"
+    StreamOps.parquetSink(sink)(Seq.empty[(Long, String)].toDF("id", "t"), 0L)
+    assert(!new java.io.File(sink).exists)
+    StreamOps.parquetSink(sink)(Seq((1L, "a")).toDF("id", "t"), 1L)
+    assert(StreamOps.readSink(spark, sink).columns.toSeq == Seq("id", "t"))
+    intercept[IllegalArgumentException] {
+      StreamOps.parquetSink(sink)(Seq((1L, 2L)).toDF("id", "batch"), 2L)
+    }
+  }
+
   test("dedupWithinWatermark: duplicate keys inside the horizon collapse") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Long)]
