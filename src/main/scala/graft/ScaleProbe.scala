@@ -188,8 +188,36 @@ object ScaleProbe {
             lit("shared footer boilerplate")).as("text"))
         Dedup.lineDedup(pages, "page_id", col("text")).count()
       }
+      // round-11: the pathological quality distribution — 90% of rows share
+      // one quality level. Uniform-width quantization collapsed this into a
+      // single bucket-sized window (the shape that degrades at scale); the
+      // equi-depth (q, id)-pair boundaries must keep it tracking the
+      // healthy-distribution probe above
+      val tBudgetConst = timeIt {
+        Packing.budgetSelect(docs, col("doc_id"),
+          size(TextKernels.wordTokens(col("text"))),
+          when(col("doc_id") % 10 === 0, col("n_chars")).otherwise(lit(500.0)),
+          50000L * mult).count()
+      }
+      // round-11: IVF recall maintenance — recallProbe is one corpus scan
+      // (broadcast sample ground truth) plus sampleN pruned probes, so it
+      // must track the scan; rebuild is the k-means re-train (iters x one
+      // cached projection scan) plus one bucketed rewrite — linear in the
+      // corpus, the cost ceiling of the drift-recovery story
+      val ivfPath = s"/tmp/graft-scaleprobe-ivf-$mult"
+      val tIvfBuild = timeIt {
+        val cents = AnnSearch.kmeans(emb, "vec_id", col("v"), 16, iters = 5)
+        AnnIndex.buildIvf(emb, "vec_id", col("v"), cents, ivfPath); mult.toLong
+      }
+      val tRecall = timeIt {
+        (AnnIndex.recallProbe(spark, ivfPath, "vec_id", 10, 2,
+          sampleN = 16) * 1000).toLong
+      }
+      val tRebuild = timeIt {
+        AnnIndex.rebuild(spark, ivfPath, "vec_id", iters = 5); mult.toLong
+      }
       if (mult0 > 0)
-        println(s"""{"mult":$mult,"docs":${docs.count()},"minhash_sec":$tMinhash,"ann_sec":$tAnn,"rankagg_sec":$tRankAgg,"cluster_sec":$tCluster,"pack_sec":$tPack,"tfidf_sec":$tTfidf,"simhash_sec":$tSimhash,"quantize_sec":$tQuantize,"contam_sec":$tContam,"chunk_sec":$tChunk,"repetition_sec":$tRepet,"idx_build_sec":$tIdxBuild,"idx_probe_sec":$tIdxProbe,"band_build_sec":$tBandBuild,"incr_probe_sec":$tIncrProbe,"winnow_sec":$tWinnow,"winnow_spans_sec":$tWinnowSpans,"line_dedup_sec":$tLineDedup,"curation_batch_sec":$tCuration,"budget_select_sec":$tBudget}""")
+        println(s"""{"mult":$mult,"docs":${docs.count()},"minhash_sec":$tMinhash,"ann_sec":$tAnn,"rankagg_sec":$tRankAgg,"cluster_sec":$tCluster,"pack_sec":$tPack,"tfidf_sec":$tTfidf,"simhash_sec":$tSimhash,"quantize_sec":$tQuantize,"contam_sec":$tContam,"chunk_sec":$tChunk,"repetition_sec":$tRepet,"idx_build_sec":$tIdxBuild,"idx_probe_sec":$tIdxProbe,"band_build_sec":$tBandBuild,"incr_probe_sec":$tIncrProbe,"winnow_sec":$tWinnow,"winnow_spans_sec":$tWinnowSpans,"line_dedup_sec":$tLineDedup,"curation_batch_sec":$tCuration,"budget_select_sec":$tBudget,"budget_select_const_sec":$tBudgetConst,"ivf_build_sec":$tIvfBuild,"recall_probe_sec":$tRecall,"ivf_rebuild_sec":$tRebuild}""")
       docs.unpersist(); emb.unpersist()
     }
     spark.stop()

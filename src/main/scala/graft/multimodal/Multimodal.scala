@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   * Metadata extraction is REAL, pure-JVM, and reads only container
   * headers: PNG IHDR, GIF logical screen descriptor, and the JPEG SOFn
   * frame header ([[parseDimensions]]); MP4/ISO-BMFF box walk (tkhd
-  * width/height, mvhd duration) and WAV/RIFF fmt+data chunks (sample
-  * rate, channels, duration) via [[parseAvMeta]] — no external codec
-  * needed, the containers publish the metadata a curation pipeline
+  * width/height, mvhd duration), WAV/RIFF fmt+data chunks,
+  * WebM/Matroska EBML elements (DocType, TimestampScale/Duration, video
+  * PixelWidth/Height, audio SamplingFrequency/Channels), MP3 frame
+  * headers (Layer III bitrate/sample-rate tables + the CBR duration
+  * estimate), and FLAC STREAMINFO via [[parseAvMeta]] — no external
+  * codec needed, the containers publish the metadata a curation pipeline
   * filters on. Unrecognized or corrupt payloads fall back to a
   * clearly-marked deterministic STUB branch; full pixel/sample DECODING
   * (not metadata) still needs codecs this environment does not ship, and
@@ -84,8 +87,25 @@ object Multimodal {
     *  - WAV / RIFF: `RIFF....WAVE` magic, then a chunk walk: `fmt ` carries
     *    channels + sample rate + byte rate, `data`'s size gives
     *    durationMs = bytes * 1000 / byteRate (exact integer division).
+    *  - WebM / Matroska: EBML magic (0x1A45DFA3), then a variable-length-
+    *    integer element walk per the published Matroska layout: the EBML
+    *    header's DocType names the container ("webm"/"matroska"),
+    *    Segment > Info carries TimestampScale (ns per tick, default 1e6)
+    *    and the float Duration in ticks, Segment > Tracks > TrackEntry >
+    *    Video carries PixelWidth/PixelHeight and > Audio carries
+    *    SamplingFrequency/Channels. Unknown-size elements (all size bits
+    *    set — streamed Segments) extend to the enclosing bound.
+    *  - MP3: optional ID3v2 tag (syncsafe length) skipped, then the first
+    *    MPEG audio frame header: version + Layer III bitrate/sample-rate
+    *    table lookup, channel mode; durationMs estimated from the audio
+    *    byte length at that (constant) bitrate — the standard CBR estimate.
+    *  - FLAC: `fLaC` magic, then the mandatory first STREAMINFO metadata
+    *    block: sample rate (20 bits), channels (3 bits + 1) and the 36-bit
+    *    total-sample count give the exact duration.
     * Returns None for anything else — truncated/desynced streams route to
-    * the stub branch instead of throwing, as in [[parseDimensions]]. */
+    * the stub branch instead of throwing, as in [[parseDimensions]]. The
+    * stub branch is thus confined to genuinely opaque payloads; only
+    * pixel/sample DECODING still needs an external codec. */
   def parseAvMeta(data: Array[Byte]): Option[AvInfo] = {
     def u8(i: Int): Int = data(i) & 0xff
     def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
@@ -179,6 +199,111 @@ object Multimodal {
       else Some(AvInfo("wav", 0, 0,
         if (dataLen >= 0 && byteRate > 0) dataLen * 1000L / byteRate else 0L,
         sampleRate.toInt, channels))
+    } else if (data.length >= 8 && be32(0) == 0x1a45dfa3L) {
+      // Matroska/WebM EBML element walk
+      var tsScale = 1000000L; var durTicks = 0.0
+      var width = 0; var height = 0; var sampleRate = 0; var channels = 0
+      var docType = ""
+      def uintAt(p: Int, end: Int): Long = {
+        var v = 0L; var j = p
+        while (j < end) { v = (v << 8) | u8(j); j += 1 }
+        v
+      }
+      def floatAt(p: Int, end: Int): Double = (end - p) match {
+        case 4 => java.lang.Float.intBitsToFloat(be32(p).toInt).toDouble
+        case 8 => java.lang.Double.longBitsToDouble(be64(p))
+        case _ => 0.0
+      }
+      // element ids that nest (master elements the metadata lives under)
+      val masters = Set(0x1a45dfa3L, 0x18538067L, 0x1549a966L, 0x1654ae6bL,
+        0xaeL, 0xe0L, 0xe1L)
+      def walk(from: Int, until: Int): Boolean = {
+        var i = from
+        while (i < until) {
+          val b0 = u8(i)
+          if (b0 == 0) return false
+          val idLen = java.lang.Integer.numberOfLeadingZeros(b0) - 23
+          if (idLen > 4 || i + idLen >= until) return false
+          val id = uintAt(i, i + idLen) // ids keep their marker bit
+          var p = i + idLen
+          val s0 = u8(p)
+          if (s0 == 0) return false
+          val szLen = java.lang.Integer.numberOfLeadingZeros(s0) - 23
+          if (szLen > 8 || p + szLen > until) return false
+          var sz = (s0 & (0xff >>> szLen)).toLong
+          var j = 1
+          while (j < szLen) { sz = (sz << 8) | u8(p + j); j += 1 }
+          p += szLen
+          // all-ones size = unknown (streamed Segment): runs to the bound
+          val end =
+            if (sz == (1L << (7 * szLen)) - 1) until
+            else if (p + sz > until) return false
+            else (p + sz).toInt
+          id match {
+            case m if masters(m) => if (!walk(p, end)) return false
+            case 0x4282L => // DocType
+              docType = new String(data, p, end - p,
+                java.nio.charset.StandardCharsets.US_ASCII)
+            case 0x2ad7b1L => tsScale = uintAt(p, end)     // TimestampScale
+            case 0x4489L => durTicks = floatAt(p, end)     // Duration
+            case 0xb0L => if (width == 0) width = uintAt(p, end).toInt
+            case 0xbaL => if (height == 0) height = uintAt(p, end).toInt
+            case 0xb5L => // SamplingFrequency (float)
+              if (sampleRate == 0) sampleRate = floatAt(p, end).toInt
+            case 0x9fL => if (channels == 0) channels = uintAt(p, end).toInt
+            case _ => ()
+          }
+          i = end
+        }
+        true
+      }
+      if (!walk(0, data.length)) None
+      else Some(AvInfo(if (docType.nonEmpty) docType else "mkv",
+        width, height, (durTicks * tsScale / 1e6).toLong, sampleRate, channels))
+    } else if (data.length >= 42 && fourcc(0) == "fLaC") {
+      // FLAC: the first metadata block is STREAMINFO by spec
+      if ((u8(4) & 0x7f) != 0) None
+      else {
+        val si = 8 // STREAMINFO payload start (4 magic + 4 block header)
+        val sr = (u8(si + 10) << 12) | (u8(si + 11) << 4) | (u8(si + 12) >> 4)
+        val ch = ((u8(si + 12) >> 1) & 0x7) + 1
+        val totalSamples = ((u8(si + 13) & 0x0f).toLong << 32) | be32(si + 14)
+        if (sr <= 0) None
+        else Some(AvInfo("flac", 0, 0, totalSamples * 1000L / sr, sr, ch))
+      }
+    } else if (data.length >= 10 &&
+        ((data(0) == 'I' && data(1) == 'D' && data(2) == '3') ||
+          (u8(0) == 0xff && (u8(1) & 0xe0) == 0xe0))) {
+      // MP3: skip an ID3v2 tag (syncsafe 28-bit length), then the first
+      // MPEG audio frame header
+      val off =
+        if (data(0) == 'I') 10 + (((u8(6) & 0x7f) << 21) | ((u8(7) & 0x7f) << 14) |
+          ((u8(8) & 0x7f) << 7) | (u8(9) & 0x7f))
+        else 0
+      if (off + 4 > data.length || u8(off) != 0xff || (u8(off + 1) & 0xe0) != 0xe0) None
+      else {
+        val b1 = u8(off + 1); val b2 = u8(off + 2); val b3 = u8(off + 3)
+        val verBits = (b1 >> 3) & 3   // 3 = MPEG1, 2 = MPEG2, 0 = MPEG2.5
+        val layerBits = (b1 >> 1) & 3 // 1 = Layer III
+        val brIdx = (b2 >> 4) & 0xf
+        val srIdx = (b2 >> 2) & 3
+        val mode = (b3 >> 6) & 3
+        if (layerBits != 1 || verBits == 1 || brIdx == 0 || brIdx == 15 || srIdx == 3) None
+        else {
+          val kbps =
+            if (verBits == 3)
+              Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)(brIdx)
+            else Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)(brIdx)
+          val sr = verBits match {
+            case 3 => Array(44100, 48000, 32000)(srIdx)
+            case 2 => Array(22050, 24000, 16000)(srIdx)
+            case _ => Array(11025, 12000, 8000)(srIdx)
+          }
+          val audioBytes = (data.length - off).toLong
+          Some(AvInfo("mp3", 0, 0, audioBytes * 8L / kbps, sr,
+            if (mode == 3) 1 else 2))
+        }
+      }
     } else None
   }
 
@@ -229,8 +354,9 @@ object Multimodal {
       sampleRate: Int, channels: Int)
 
   /** Per-partition batch decode of one row's AV container metadata — the
-    * audio/video sibling of [[decodeBatch]]: MP4 and WAV payloads get REAL
-    * header-parsed metadata ([[parseAvMeta]]); anything else takes the
+    * audio/video sibling of [[decodeBatch]]: MP4, WAV, WebM/Matroska, MP3
+    * and FLAC payloads get REAL header-parsed metadata ([[parseAvMeta]]);
+    * anything else — genuinely opaque or corrupt payloads — takes the
     * deterministic stub branch (container "opaque"; width/height reuse the
     * image-stub formulas, duration = nBytes mod 10000 ms, no audio
     * parameters). */

@@ -326,6 +326,90 @@ object AnnIndex {
         java.util.Arrays.asList(df.collect(): _*), df.schema)
     }
 
+  /** Measured recall@k of the SERVED index against brute force, on a
+    * deterministic sample of its own stored vectors — the maintenance
+    * gauge for quantizer drift: the IVF coarse quantizer is frozen by
+    * design ([[appendIvf]]), so appends whose distribution has drifted
+    * from the build-time training set scatter true neighbors across
+    * buckets the probe never visits, and recall sags SILENTLY (answers
+    * stay plausible, nothing errors). Run this periodically; when it
+    * sags, [[rebuild]].
+    *
+    * `sampleN` stored vectors (hash-minimal ids — deterministic and
+    * partitioning-independent) are re-issued as queries; ground truth for
+    * ALL of them comes from ONE corpus scan (the queries broadcast into
+    * it, the same shape as the streaming ANN batch), served answers from
+    * the normal pruned probes. Works on either index flavor (`nProbe` =
+    * IVF probe count, or LSH multi-probe buckets). Returns mean
+    * |served ∩ truth| / k over the sample. */
+  def recallProbe(spark: SparkSession, path: String, id: String, k: Int,
+      nProbe: Int, sampleN: Int = 32): Double = {
+    requireIndexPath(spark, path)
+    val kind = IndexIO.readMeta(spark, path).map(_.path("kind").asText())
+      .getOrElse(throw new IllegalArgumentException(
+        s"no index sidecar at $path — recallProbe needs a self-describing index"))
+    val stored = spark.read.parquet(path)
+      .select(col(id).cast("string").as("__qid"),
+        col("vec").cast("array<double>").as("v"))
+    val queries = stored
+      .orderBy(md5(col("__qid")), col("__qid")).limit(sampleN)
+      .collect().map(r => (r.getString(0), r.getSeq[Double](1)))
+    if (queries.isEmpty) return 1.0
+    // ground truth: one scan, all sample queries broadcast against it
+    import org.apache.spark.sql.expressions.Window
+    val qdf = spark.createDataFrame(queries.toSeq).toDF("qid", "qv")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("__qid"))
+    val truth = stored.crossJoin(broadcast(qdf))
+      .select(col("qid"), col("__qid"),
+        round(graft.functions.NativeKernels.cosineSim(col("v"), col("qv")), 6).as("cos"))
+      .withColumn("r", row_number().over(w)).where(col("r") <= k)
+      .select(col("qid"), col("__qid")).collect()
+      .groupBy(_.getString(0)).map { case (q, rs) => q -> rs.map(_.getString(1)).toSet }
+    val recalls = queries.map { case (qid, qv) =>
+      val served = (kind match {
+        case "lsh" => lshTopK(spark, path, id, qv, k, probes = nProbe)
+        case "ivf" => ivfTopK(spark, path, id, qv, k, nProbe)
+        case other => throw new IllegalArgumentException(
+          s"index sidecar at $path has unrecognized kind '$other'")
+      }).select(col(id).cast("string")).collect().map(_.getString(0)).toSet
+      val t = truth(qid)
+      if (t.isEmpty) 1.0 else served.intersect(t).size.toDouble / t.size
+    }
+    recalls.sum / recalls.length
+  }
+
+  /** Re-train the IVF coarse quantizer from the CURRENT stored vectors and
+    * atomically swap in the re-bucketed index — the recovery action when
+    * [[recallProbe]] reports drift-induced sag. The centroid count is
+    * preserved; every stored vector is re-assigned and the batch
+    * partitions fold into the base (a rebuild subsumes a [[compact]]), so
+    * run it like an offline compaction: ingestion streams stopped cleanly.
+    * Served probes ride through the swap via their stale-listing retry;
+    * answers change only in the way a rebuild exists to change them
+    * (buckets reflect today's distribution, `compactedThrough` advances so
+    * a batch replayed across the rebuild no-ops). */
+  def rebuild(spark: SparkSession, path: String, id: String,
+      iters: Int = 10, trainPct: Int = 100): Unit = {
+    IndexIO.recoverSwap(spark, path)
+    val old = readIvfCentroids(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no IVF index metadata at $path — rebuild re-trains an IVF quantizer"))
+    val df = spark.read.parquet(path)
+    val maxBatch = df.agg(max(col(IndexIO.BatchCol).cast("long"))).head.getLong(0)
+    val through = math.max(maxBatch, IndexIO.compactedThrough(spark, path))
+    val cents = AnnSearch.kmeans(df, id, col("vec"), old.size, iters, trainPct)
+    val tmp = path + "__compacting"
+    df.select(col(id), col("vec"),
+        AnnSearch.ivfCluster(col("vec"), cents).as(BucketCol),
+        lit(-1L).as(IndexIO.BatchCol))
+      .repartition(col(BucketCol)) // see buildLsh: one task per bucket
+      .write.mode("overwrite").partitionBy(BucketCol, IndexIO.BatchCol).parquet(tmp)
+    val cs = cents.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    IndexIO.writeMeta(spark, tmp,
+      s"""{"kind": "ivf", "centroids": $cs, "compactedThrough": $through}""")
+    IndexIO.swapDirs(spark, path, tmp)
+  }
+
   def compact(spark: SparkSession, path: String,
       through: Option[Long] = None): Unit = {
     // a compact re-run after a crashed swap must first restore the index

@@ -350,8 +350,124 @@ final class SimSearchService(spark: SparkSession, port: Int,
     }
   }
 
+  /** POST /pipeline: run one table-in/table-out corpus-curation operator
+    * over a mounted attribute or a host-local table, from any REST client —
+    * the reference exposes its whole surface over REST
+    * (service/SimSearchController.java:44), and this build's pipeline
+    * operators (dedup, line dedup, token-budget selection, chunking,
+    * scrubbing) deserve the same reach as its search operators. Body:
+    *
+    * {{{
+    * { "operator": "line_dedup" | "exact_groups" | "minhash_pairs" |
+    *               "budget_select" | "chunk" | "scrub",
+    *   "input": {"column": "<mounted attribute>"}        // api_key's catalog
+    *          | {"path": "/dir", "format": "parquet"|"csv"},
+    *   "id": "doc_id", "text": "text",                   // path-input columns
+    *   "params": { ... per-operator ... },
+    *   "output": {"path": "/dir", "format": "parquet"|"csv"|"json"},
+    *   "limit": 100 }
+    * }}}
+    *
+    * With `output` the full result lands at the path and the response
+    * reports `{"rows": N, "path": ...}`; without it, up to `limit` rows
+    * return inline as JSON records. A `column` input serves the facet's
+    * (id, value) frame (token-array values re-joined with spaces); a
+    * `path` input reads the table like /index mounts do — host-local, the
+    * service's existing trust model. Params: line_dedup `max_df`;
+    * minhash_pairs `min_jaccard` (default 0.8); budget_select `budget`
+    * (required), `quality_column` (required), `tokens_column` (default:
+    * whitespace token count of the text); chunk `chunk_size` (required),
+    * `overlap`; scrub `pattern` (required), `replacement`. */
+  private def handlePipeline(x: HttpExchange): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextKernels
+    import graft.operators.{Dedup, Packing}
+    try {
+      val body = new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      val opName = root.path("operator").asText("")
+      val knownOps = Seq("line_dedup", "exact_groups", "minhash_pairs",
+        "budget_select", "chunk", "scrub")
+      if (!knownOps.contains(opName))
+        throw new IllegalArgumentException(
+          s"unknown operator '$opName' — one of ${knownOps.mkString(", ")}")
+      val in = Option(root.get("input")).getOrElse(
+        throw new IllegalArgumentException(
+          """missing "input" ({"column": ...} or {"path": ...})"""))
+      val idCol = Option(root.get("id")).map(_.asText()).getOrElse("id")
+      val textCol = Option(root.get("text")).map(_.asText()).getOrElse("text")
+      val df =
+        if (in.hasNonNull("column")) {
+          val cat = catalogs.get(masterOf(apiKey(x)))
+          if (cat == null) { respond(x, 401, """{"error":"unknown api_key"}"""); return }
+          val f = cat.get(in.get("column").asText())
+          val v = f.df.schema("value").dataType match {
+            case _: org.apache.spark.sql.types.ArrayType => concat_ws(" ", col("value"))
+            case _ => col("value").cast("string")
+          }
+          f.df.select(col("id").as(idCol), v.as(textCol))
+        } else if (in.hasNonNull("path")) {
+          val p = in.get("path").asText()
+          in.path("format").asText("parquet") match {
+            case "csv" => spark.read.option("header", "true")
+              .option("inferSchema", "true").csv(p)
+            case _ => spark.read.parquet(p)
+          }
+        } else throw new IllegalArgumentException(
+          """"input" needs "column" or "path"""")
+      val params = root.path("params")
+      def reqParam(name: String): com.fasterxml.jackson.databind.JsonNode =
+        Option(params.get(name)).getOrElse(throw new IllegalArgumentException(
+          s"""operator requires params.$name"""))
+      val result = opName match {
+        case "line_dedup" => Dedup.lineDedup(df, idCol, col(textCol),
+          maxDf = params.path("max_df").asLong(Long.MaxValue))
+        case "exact_groups" => Dedup.exactGroups(df, idCol, col(textCol))
+        case "minhash_pairs" => Dedup.minhashPairs(df, idCol,
+          TextKernels.wordShingles2(TextKernels.wordTokens(col(textCol))),
+          params.path("min_jaccard").asDouble(0.8))
+        case "budget_select" =>
+          val tokens =
+            if (params.hasNonNull("tokens_column"))
+              col(params.get("tokens_column").asText())
+            else size(TextKernels.wordTokens(col(textCol)))
+          Packing.budgetSelect(df, col(idCol), tokens,
+            col(reqParam("quality_column").asText()), reqParam("budget").asLong())
+        case "chunk" => Packing.chunkTokens(
+          df.select(col(idCol), TextKernels.wordTokens(col(textCol)).as("__w")),
+          col(idCol), col("__w"), reqParam("chunk_size").asInt(),
+          params.path("overlap").asInt(0))
+        case "scrub" => df.select(col(idCol), TextKernels.scrub(col(textCol),
+          reqParam("pattern").asText(),
+          params.path("replacement").asText("[REDACTED]")).as(textCol))
+      }
+      Option(root.get("output")) match {
+        case Some(out) =>
+          val p = out.path("path").asText("")
+          require(p.nonEmpty, """"output" needs "path"""")
+          val w = result.write.mode("overwrite")
+          out.path("format").asText("parquet") match {
+            case "csv" => w.option("header", "true").csv(p)
+            case "json" => w.json(p)
+            case _ => w.parquet(p)
+          }
+          val n = spark.read.format(out.path("format").asText("parquet") match {
+            case "csv" => "csv"; case "json" => "json"; case _ => "parquet"
+          }).option("header", "true").load(p).count()
+          respond(x, 200, s"""{"rows":$n,"path":"${jsonEscape(p)}"}""")
+        case None =>
+          val limit = root.path("limit").asInt(100)
+          val rows = result.limit(limit).toJSON.collect()
+          respond(x, 200, rows.mkString("[", ",", "]"))
+      }
+    } catch {
+      case e: Exception => respond(x, 400, errorBody(e))
+    }
+  }
+
   def start(): Int = {
     server.createContext("/simsearch/api/index", handleIndex _)
+    server.createContext("/simsearch/api/pipeline", handlePipeline _)
     server.createContext("/simsearch/api/append", handleAppend _)
     server.createContext("/simsearch/api/search", handleSearch _)
     server.createContext("/simsearch/api/calibrate", handleCalibrate _)

@@ -88,6 +88,46 @@ class AnnIndexSpec extends SparkTestBase {
     assert(all == brute)
   }
 
+  test("recallProbe detects drift-induced recall sag after appends; " +
+    "rebuild re-trains the quantizer and restores it") {
+    val d = 4
+    val rnd = new scala.util.Random(53)
+    // training blob: a tight cluster near e1 — the 8 trained centroids all
+    // land inside it, their bisector planes are noise
+    val blob = (0 until 200).map { i =>
+      (i.toLong, Seq(1.0, 0.0, 0.0, 0.0).map(_ + rnd.nextGaussian() * 0.05))
+    }.toDF("vid", "v")
+    val path = java.nio.file.Files.createTempDirectory("graft-recall").toString + "/idx"
+    val cents = AnnSearch.kmeans(blob, "vid", col("v"), 8)
+    AnnIndex.buildIvf(blob, "vid", col("v"), cents, path)
+    // drifted append: vectors spread over the whole sphere — each lands in
+    // an arbitrary training-blob centroid, so a drifted query's true
+    // neighbors scatter across buckets its nProbe=1 probe never visits
+    val drift = (200 until 400).map { i =>
+      (i.toLong, Seq.fill(d)(rnd.nextDouble() * 2 - 1))
+    }.toDF("vid", "v")
+    AnnIndex.append(drift, "vid", col("v"), path, batchId = Some(0L))
+    val before = AnnIndex.recallProbe(spark, path, "vid", k = 10, nProbe = 1)
+    val ceiling = AnnIndex.recallProbe(spark, path, "vid", k = 10, nProbe = 8)
+    assert(ceiling > 0.99, s"all-probe recall must be ~1, got $ceiling")
+    assert(before < 0.9, s"drifted nProbe=1 recall should sag, got $before")
+    AnnIndex.rebuild(spark, path, "vid")
+    val after = AnnIndex.recallProbe(spark, path, "vid", k = 10, nProbe = 1)
+    assert(after > before + 0.05,
+      s"rebuild should restore recall: before=$before after=$after")
+    // the rebuild folded the batch partitions and advanced the replay
+    // bookkeeping: the drifted batch re-delivered across it no-ops
+    val dirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .flatMap(_.listFiles()).filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("batch=-1"), dirs.toString)
+    val n0 = spark.read.parquet(path).count()
+    AnnIndex.append(drift, "vid", col("v"), path, batchId = Some(0L))
+    assert(spark.read.parquet(path).count() == n0,
+      "a batch replayed across the rebuild must no-op")
+    assert(n0 == 400)
+  }
+
   test("append grows a served index with the stored parameters: probes see " +
     "old and new vectors alike, equal to a from-scratch build of the union") {
     val rnd = new scala.util.Random(89)

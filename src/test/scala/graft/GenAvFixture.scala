@@ -74,6 +74,119 @@ object GenAvFixture {
     if (moovFirst) ftyp ++ moov ++ mdat else ftyp ++ mdat ++ moov
   }
 
+  // ----- Matroska/WebM: EBML elements hand-built per the published layout
+
+  private def ebmlId(id: Long): Array[Byte] = {
+    // ids are stored as-is (marker bit included); emit minimal big-endian
+    val len = if (id <= 0xff) 1 else if (id <= 0xffff) 2
+      else if (id <= 0xffffff) 3 else 4
+    (1 to len).map(j => ((id >> (8 * (len - j))) & 0xff).toByte).toArray
+  }
+
+  private def ebmlSize(n: Long): Array[Byte] = {
+    // minimal vint with the length marker in the leading bits
+    var len = 1
+    while (n >= (1L << (7 * len)) - 1) len += 1 // all-ones is "unknown": avoid
+    val v = n | (1L << (7 * len))
+    (1 to len).map(j => ((v >> (8 * (len - j))) & 0xff).toByte).toArray
+  }
+
+  private def el(id: Long, payload: Array[Byte]): Array[Byte] =
+    ebmlId(id) ++ ebmlSize(payload.length.toLong) ++ payload
+
+  private def ebmlUint(v: Long): Array[Byte] = {
+    var len = 1
+    while (len < 8 && (v >>> (8 * len)) != 0) len += 1
+    (1 to len).map(j => ((v >> (8 * (len - j))) & 0xff).toByte).toArray
+  }
+
+  private def ebmlFloat(f: Float): Array[Byte] =
+    be32(java.lang.Float.floatToIntBits(f).toLong & 0xffffffffL)
+
+  /** Package-visible so MultimodalSpec can drive the independent builder
+    * against the parser — like [[mp4]]. `unknownSegmentSize` emits the
+    * streamed-file shape (size bits all ones, element runs to the end). */
+  private[graft] def webm(w: Int, h: Int, durTicks: Float, tsScale: Long,
+      sr: Float, ch: Int, docType: String = "webm",
+      unknownSegmentSize: Boolean = false): Array[Byte] = {
+    val header = el(0x1a45dfa3L,
+      el(0x4286L, ebmlUint(1)) ++            // EBMLVersion
+      el(0x4282L, docType.getBytes("US-ASCII")) ++
+      el(0x4287L, ebmlUint(4)))              // DocTypeVersion
+    val info = el(0x1549a966L,
+      el(0x2ad7b1L, ebmlUint(tsScale)) ++ el(0x4489L, ebmlFloat(durTicks)))
+    val videoTrack = el(0xaeL, el(0x83L, ebmlUint(1)) ++
+      el(0xe0L, el(0xb0L, ebmlUint(w)) ++ el(0xbaL, ebmlUint(h))))
+    val audioTrack = el(0xaeL, el(0x83L, ebmlUint(2)) ++
+      el(0xe1L, el(0xb5L, ebmlFloat(sr)) ++ el(0x9fL, ebmlUint(ch))))
+    val tracks = el(0x1654ae6bL, videoTrack ++ audioTrack)
+    val segPayload = info ++ tracks
+    val segment =
+      if (unknownSegmentSize)
+        ebmlId(0x18538067L) ++ Array(0xff.toByte) ++ segPayload
+      else el(0x18538067L, segPayload)
+    header ++ segment
+  }
+
+  /** The parser's own duration arithmetic, applied to the builder inputs —
+    * the fixture's ground truth must be computed independently of the
+    * parse but identically rounded. */
+  private[graft] def webmDurationMs(durTicks: Float, tsScale: Long): Long =
+    (durTicks.toDouble * tsScale / 1e6).toLong
+
+  // ----- MP3: frame header per the published MPEG audio layout
+
+  /** brIdx/srIdx index the standard Layer III tables; `id3Pad` prepends an
+    * ID3v2 tag of that payload size (syncsafe length) the parser must
+    * skip. */
+  private[graft] def mp3(verBits: Int, brIdx: Int, srIdx: Int, mono: Boolean,
+      audioBytes: Int, id3Pad: Int = 0): Array[Byte] = {
+    val id3 =
+      if (id3Pad <= 0) Array.empty[Byte]
+      else "ID3".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0,
+        ((id3Pad >> 21) & 0x7f).toByte, ((id3Pad >> 14) & 0x7f).toByte,
+        ((id3Pad >> 7) & 0x7f).toByte, (id3Pad & 0x7f).toByte) ++
+        new Array[Byte](id3Pad)
+    val b1 = (0xe0 | (verBits << 3) | (1 << 1) | 1).toByte // Layer III, no CRC
+    val b2 = ((brIdx << 4) | (srIdx << 2)).toByte
+    val b3 = (if (mono) 0xc0 else 0x40).toByte // mode 3 = mono, 1 = joint
+    val frames = new Array[Byte](audioBytes - 4)
+    new scala.util.Random(77 + audioBytes).nextBytes(frames)
+    id3 ++ Array(0xff.toByte, b1, b2, b3) ++ frames
+  }
+
+  private[graft] def mp3Kbps(verBits: Int, brIdx: Int): Int =
+    if (verBits == 3)
+      Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)(brIdx)
+    else Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)(brIdx)
+
+  private[graft] def mp3SampleRate(verBits: Int, srIdx: Int): Int = verBits match {
+    case 3 => Array(44100, 48000, 32000)(srIdx)
+    case 2 => Array(22050, 24000, 16000)(srIdx)
+    case _ => Array(11025, 12000, 8000)(srIdx)
+  }
+
+  // ----- FLAC: STREAMINFO per the published bit layout
+
+  private[graft] def flac(sr: Int, ch: Int, totalSamples: Long,
+      streamInfoFirst: Boolean = true): Array[Byte] = {
+    val packed = Array[Byte](
+      ((sr >> 12) & 0xff).toByte,
+      ((sr >> 4) & 0xff).toByte,
+      (((sr & 0xf) << 4) | ((ch - 1) << 1) | (15 >> 4)).toByte, // 16-bit bps
+      ((15 << 4) & 0xf0 | ((totalSamples >> 32) & 0xf)).toByte,
+      (totalSamples >> 24).toByte, (totalSamples >> 16).toByte,
+      (totalSamples >> 8).toByte, totalSamples.toByte)
+    val streamInfo = be16(4096) ++ be16(4096) ++ // min/max block size
+      Array[Byte](0, 0, 0, 0, 0, 0) ++           // min/max frame size
+      packed ++ new Array[Byte](16)              // md5 of zeros
+    val header =
+      if (streamInfoFirst) Array[Byte](0x80.toByte, 0, 0, 34)
+      else Array[Byte](0x84.toByte, 0, 0, 34) // wrong type: must stub
+    "fLaC".getBytes("US-ASCII") ++ header ++ streamInfo ++
+      Array.tabulate(48)(i => (i * 5).toByte)
+  }
+
   private def wav(sampleRate: Int, channels: Int, nFrames: Int, seed: Int): Array[Byte] = {
     val fmt = new AudioFormat(sampleRate.toFloat, 16, channels, true, false)
     val pcm = new Array[Byte](nFrames * fmt.getFrameSize)
@@ -92,13 +205,55 @@ object GenAvFixture {
       .getOrCreate()
     import spark.implicits._
     // (media_id, kind, data, container, width, height, duration_ms, sample_rate, channels)
-    val rows = (0 until 40).map { i =>
+    val rows = (0 until 64).map { i =>
       def stub(kind: String, data: Array[Byte]) = {
         val n = data.length.toLong
         (i.toLong, kind, data, "opaque",
           16 + (n % 64).toInt, 16 + (n % 48).toInt, n % 10000L, 0, 0)
       }
-      i % 4 match {
+      if (i >= 40) (i - 40) % 6 match {
+        case 0 => // WebM/Matroska: varying geometry, timescale, doctype,
+          // and the streamed unknown-size Segment shape
+          val (w, h) = (320 + (i * 29) % 1600, 180 + (i * 17) % 900)
+          val ts = Seq(1000000L, 500000L, 2000000L)((i / 6) % 3)
+          val durT = 2345.5f + i * 13
+          val sr = Seq(44100f, 48000f)((i / 6) % 2)
+          val ch = 1 + i % 2
+          val dt = if ((i - 40) % 12 == 6) "matroska" else "webm"
+          val data = webm(w, h, durT, ts, sr, ch, docType = dt,
+            unknownSegmentSize = (i - 40) % 12 == 0)
+          (i.toLong, "video", data, dt, w, h, webmDurationMs(durT, ts),
+            sr.toInt, ch)
+        case 1 => // MP3, MPEG1 Layer III, bare frame stream
+          val brIdx = 1 + (i * 7) % 14
+          val srIdx = i % 3
+          val mono = i % 2 == 0
+          val nBytes = 4000 + i * 97
+          val data = mp3(3, brIdx, srIdx, mono, nBytes)
+          (i.toLong, "audio", data, "mp3", 0, 0,
+            nBytes.toLong * 8L / mp3Kbps(3, brIdx), mp3SampleRate(3, srIdx),
+            if (mono) 1 else 2)
+        case 2 => // FLAC STREAMINFO: exact sample-count duration
+          val sr = Seq(44100, 48000, 96000)((i / 6) % 3)
+          val ch = 1 + i % 2
+          val total = sr.toLong * (2 + i % 5) + i * 31
+          val data = flac(sr, ch, total)
+          (i.toLong, "audio", data, "flac", 0, 0, total * 1000L / sr, sr, ch)
+        case 3 => // MP3 behind an ID3v2 tag, MPEG2 tables
+          val brIdx = 1 + (i * 5) % 14
+          val srIdx = i % 3
+          val nBytes = 3000 + i * 83
+          val data = mp3(2, brIdx, srIdx, mono = false, nBytes, id3Pad = 100 + i)
+          (i.toLong, "audio", data, "mp3", 0, 0,
+            nBytes.toLong * 8L / mp3Kbps(2, brIdx), mp3SampleRate(2, srIdx), 2)
+        case 4 => // truncated WebM (cut mid-element): must stub, not throw
+          val full = webm(640, 360, 9999f, 1000000L, 48000f, 2)
+          stub("video", full.take(full.length / 2))
+        case _ => // FLAC whose first block is not STREAMINFO: spec
+          // violation, must stub
+          stub("audio", flac(44100, 2, 123456L, streamInfoFirst = false))
+      }
+      else i % 4 match {
         case 0 => // MP4, varying geometry/timescale, both box orders/versions
           val (w, h) = (160 + (i * 37) % 1800, 120 + (i * 23) % 1000)
           val ts = Seq(600L, 1000L, 90000L)(i / 4 % 3)

@@ -125,6 +125,47 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.parseAvMeta(Array[Byte]()).isEmpty)
   }
 
+  test("parseAvMeta: WebM/Matroska EBML walk recovers geometry, duration, " +
+    "and audio parameters; unknown-size Segments and both doctypes work; " +
+    "truncation stubs") {
+    for (unknown <- Seq(false, true); dt <- Seq("webm", "matroska")) {
+      val bytes = GenAvFixture.webm(1280, 720, 84500f, 1000000L, 48000f, 2,
+        docType = dt, unknownSegmentSize = unknown)
+      val m = Multimodal.parseAvMeta(bytes)
+      assert(m.contains(Multimodal.AvInfo(dt, 1280, 720,
+        GenAvFixture.webmDurationMs(84500f, 1000000L), 48000, 2)),
+        s"unknown=$unknown dt=$dt: $m")
+    }
+    // a non-default TimestampScale rescales the float duration
+    val scaled = GenAvFixture.webm(640, 360, 1000f, 500000L, 44100f, 1)
+    assert(Multimodal.parseAvMeta(scaled).get.durationMs == 500L)
+    val full = GenAvFixture.webm(640, 360, 9999f, 1000000L, 48000f, 2)
+    assert(Multimodal.parseAvMeta(full.take(full.length / 2)).isEmpty,
+      "truncated mid-element must degrade to the stub, not throw")
+  }
+
+  test("parseAvMeta: MP3 frame header tables (MPEG1/MPEG2, mono/stereo, " +
+    "behind ID3v2) and FLAC STREAMINFO; spec violations stub") {
+    // MPEG1 Layer III, 128 kbps, 44100 Hz, stereo, bare stream
+    val m1 = Multimodal.parseAvMeta(GenAvFixture.mp3(3, 9, 0, mono = false, 8000))
+    assert(m1.contains(Multimodal.AvInfo("mp3", 0, 0,
+      8000L * 8 / 128, 44100, 2)), m1.toString)
+    // MPEG2 tables, mono, behind an ID3v2 tag the parser must skip
+    val m2 = Multimodal.parseAvMeta(GenAvFixture.mp3(2, 9, 1, mono = true,
+      6000, id3Pad = 321))
+    assert(m2.contains(Multimodal.AvInfo("mp3", 0, 0,
+      6000L * 8 / GenAvFixture.mp3Kbps(2, 9).toLong,
+      GenAvFixture.mp3SampleRate(2, 1), 1)), m2.toString)
+    // free-format (bitrate index 0) and bad sample-rate index: stub
+    assert(Multimodal.parseAvMeta(GenAvFixture.mp3(3, 0, 0, mono = false, 4000)).isEmpty)
+    // FLAC: exact duration from the 36-bit total-sample count
+    val f = Multimodal.parseAvMeta(GenAvFixture.flac(96000, 2, 960000L))
+    assert(f.contains(Multimodal.AvInfo("flac", 0, 0, 10000L, 96000, 2)), f.toString)
+    // first metadata block not STREAMINFO: spec violation, stub
+    assert(Multimodal.parseAvMeta(
+      GenAvFixture.flac(44100, 2, 1L, streamInfoFirst = false)).isEmpty)
+  }
+
   test("decodeAv routes containers to the real parsers and opaque " +
     "payloads to the stub branch") {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}

@@ -224,6 +224,85 @@ class SimSearchServiceSpec extends SparkTestBase {
     } finally svc.stop()
   }
 
+  test("POST /pipeline: line dedup, budget selection, and chunking run " +
+    "over the socket — path tables and mounted attributes alike") {
+    import spark.implicits._
+    val svc = new SimSearchService(spark, 0)
+    val port = svc.start()
+    try {
+      val base = s"http://127.0.0.1:$port/simsearch/api"
+      val dir = java.nio.file.Files.createTempDirectory("graft-pipe").toString
+      Seq(
+        (1L, "SHARED HEADER\nalpha prose here\nSHARED HEADER", 0.9),
+        (2L, "SHARED HEADER\nbeta prose entirely different", 0.5),
+        (3L, "SHARED HEADER\ngamma words again", 0.7))
+        .toDF("doc_id", "text", "quality")
+        .write.mode("overwrite").parquet(s"$dir/docs")
+
+      // line_dedup over a path table: the repeated header survives only at
+      // its first occurrence (doc 1), every other copy is stripped
+      val (c1, b1) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "line_dedup",
+            "input": {"path": "$dir/docs"},
+            "id": "doc_id", "text": "text"}"""))
+      assert(c1 == 200, b1)
+      val ld = new ObjectMapper().readTree(b1)
+      assert(ld.size() == 3, b1)
+      val texts = (0 until 3).map(i =>
+        ld.get(i).get("doc_id").asLong() -> ld.get(i).get("text").asText()).toMap
+      assert(texts(1L).contains("SHARED HEADER"), b1)
+      assert(!texts(2L).contains("SHARED HEADER") && !texts(3L).contains("SHARED HEADER"), b1)
+
+      // budget_select: quality order 1 (7 toks), 3 (5 toks), 2 (6 toks) —
+      // budget 12 keeps exactly the {1, 3} prefix
+      val (c2, b2) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "budget_select",
+            "input": {"path": "$dir/docs"}, "id": "doc_id", "text": "text",
+            "params": {"budget": 12, "quality_column": "quality"}}"""))
+      assert(c2 == 200, b2)
+      val bs = new ObjectMapper().readTree(b2)
+      val kept = (0 until bs.size()).map(i => bs.get(i).get("id").asLong()).toSet
+      assert(kept == Set(1L, 3L), b2)
+
+      // chunk with an output path: full result written server-side
+      val (c3, b3) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "chunk",
+            "input": {"path": "$dir/docs"}, "id": "doc_id", "text": "text",
+            "params": {"chunk_size": 3},
+            "output": {"path": "$dir/chunks", "format": "parquet"}}"""))
+      assert(c3 == 200, b3)
+      val written = spark.read.parquet(s"$dir/chunks")
+      assert(new ObjectMapper().readTree(b3).get("rows").asLong() == written.count())
+      assert(written.columns.contains("chunk_text"))
+
+      // a mounted attribute as input: mount the GDELT fixture, dedup the
+      // categorical token sets — the facet's (id, value) serves the table
+      val gdelt = "/root/reference/data/gdelt"
+      val sources = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$gdelt/standalone/sources.json")), StandardCharsets.UTF_8)
+        .replace("./data/gdelt/", gdelt)
+      val (ci, bi) = http("POST", s"$base/index", Some(sources))
+      assert(ci == 200, bi)
+      val key = new ObjectMapper().readTree(bi).get("apiKey").asText()
+      val (c4, b4) = http("POST", s"$base/pipeline", Some(
+        """{"operator": "exact_groups", "input": {"column": "persons"},
+           "limit": 5}"""), Map("api_key" -> key))
+      assert(c4 == 200, b4)
+      val eg = new ObjectMapper().readTree(b4)
+      assert(eg.isArray, b4) // repeated person sets exist in the fixture
+      assert(eg.size() > 0 && eg.get(0).has("keeper"), b4)
+
+      // errors stay 400 with a message, not socket faults
+      val (c5, b5) = http("POST", s"$base/pipeline",
+        Some("""{"operator": "nope", "input": {"path": "/tmp/x"}}"""))
+      assert(c5 == 400 && b5.contains("unknown operator"), b5)
+      val (c6, _) = http("POST", s"$base/pipeline", Some(
+        """{"operator": "exact_groups", "input": {"column": "persons"}}"""),
+        Map("api_key" -> "no-such-key"))
+      assert(c6 == 401)
+    } finally svc.stop()
+  }
+
   test("key admin endpoints fail CLOSED when no admin key is configured") {
     val svc = new SimSearchService(spark, 0) // no adminKey
     val port = svc.start()
