@@ -196,7 +196,8 @@ object ScaleProbe {
       val tBudgetConst = timeIt {
         Packing.budgetSelect(docs, col("doc_id"),
           size(TextKernels.wordTokens(col("text"))),
-          when(col("doc_id") % 10 === 0, col("n_chars")).otherwise(lit(500.0)),
+          when(col("doc_id") % 10 === 0, length(col("text")).cast("double"))
+            .otherwise(lit(500.0)),
           50000L * mult).count()
       }
       // round-11: IVF recall maintenance — recallProbe is one corpus scan

@@ -97,7 +97,9 @@ object Algorithm {
   * without touching call sites. */
 object Knobs {
   /** Checkpoint cadence of the distributed near-dup clustering loop
-    * ([[graft.operators.Dedup]]); int > 0, default 10. */
+    * ([[graft.operators.Dedup]]); int > 0, default 5 (the plan doubles
+    * per round between checkpoints, so the cadence bounds plan size at
+    * ~2^cadence leaf copies). */
   val DedupCheckpointEvery = "spark.graft.dedup.checkpointEvery"
   /** Multi-probe bucket count of LSH ANN search
     * ([[graft.operators.AnnSearch]]); int >= 1, default 1. */
@@ -114,7 +116,7 @@ object Knobs {
   /** All deployment knobs with their defaults — the set a REST tenant sees
     * under /_settings and the console's `SET` accepts. */
   val AllWithDefaults: Seq[(String, String)] = Seq(
-    DedupCheckpointEvery -> "10", AnnProbes -> "1", SampleSaltWidth -> "2",
+    DedupCheckpointEvery -> "5", AnnProbes -> "1", SampleSaltWidth -> "2",
     AnnIndexCompactEvery -> "0")
 }
 

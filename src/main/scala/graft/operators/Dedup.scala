@@ -462,11 +462,15 @@ object Dedup {
   def clusters(pairs: DataFrame, a: String = "a", b: String = "b",
                maxRounds: Int = 50, localEdgeLimit: Long = 2000000L,
                checkpointEvery: Int = 0): DataFrame = {
-    // 0 = unset: resolve from the session conf (deployment knob), default 10
+    // 0 = unset: resolve from the session conf (deployment knob). Default
+    // 5: each propagation round references the previous labels TWICE
+    // (join + union), so the logical plan grows ~2^rounds between
+    // checkpoints — 2^5 leaf copies stays cheap to analyze and stringify
+    // (plan-description events), while 2^10 measurably is not
     val ckptEvery =
       if (checkpointEvery != 0) checkpointEvery
       else pairs.sparkSession.conf
-        .get(graft.api.Knobs.DedupCheckpointEvery, "10").toInt
+        .get(graft.api.Knobs.DedupCheckpointEvery, "5").toInt
     require(ckptEvery > 0,
       s"checkpointEvery must be positive, got $ckptEvery " +
         "(use a value > maxRounds to effectively disable checkpointing)")

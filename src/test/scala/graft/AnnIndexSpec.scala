@@ -126,6 +126,11 @@ class AnnIndexSpec extends SparkTestBase {
     assert(spark.read.parquet(path).count() == n0,
       "a batch replayed across the rebuild must no-op")
     assert(n0 == 400)
+    // the probe is flavor-agnostic (sidecar-routed): all-probe recall on
+    // an LSH index of the same corpus is ~1 too
+    val lshPath = java.nio.file.Files.createTempDirectory("graft-recallL").toString + "/idx"
+    AnnIndex.buildLsh(blob.unionByName(drift), "vid", col("v"), d, lshPath, nBits = 5)
+    assert(AnnIndex.recallProbe(spark, lshPath, "vid", k = 10, nProbe = 32) > 0.99)
   }
 
   test("append grows a served index with the stored parameters: probes see " +
