@@ -359,6 +359,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
     *
     * {{{
     * { "operator": "line_dedup" | "exact_groups" | "minhash_pairs" |
+    *               "dedup_cluster" | "text_stats" |
     *               "budget_select" | "chunk" | "scrub",
     *   "input": {"column": "<mounted attribute>"}        // api_key's catalog
     *          | {"path": "/dir", "format": "parquet"|"csv"},
@@ -374,10 +375,11 @@ final class SimSearchService(spark: SparkSession, port: Int,
     * (id, value) frame (token-array values re-joined with spaces); a
     * `path` input reads the table like /index mounts do — host-local, the
     * service's existing trust model. Params: line_dedup `max_df`;
-    * minhash_pairs `min_jaccard` (default 0.8); budget_select `budget`
-    * (required), `quality_column` (required), `tokens_column` (default:
-    * whitespace token count of the text); chunk `chunk_size` (required),
-    * `overlap`; scrub `pattern` (required), `replacement`. */
+    * minhash_pairs / dedup_cluster `min_jaccard` (default 0.8);
+    * budget_select `budget` (required), `quality_column` (required),
+    * `tokens_column` (default: whitespace token count of the text); chunk
+    * `chunk_size` (required), `overlap`; scrub `pattern` (required),
+    * `replacement`; text_stats none. */
   private def handlePipeline(x: HttpExchange): Unit = {
     import org.apache.spark.sql.functions._
     import graft.functions.TextKernels
@@ -387,7 +389,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
       val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
       val opName = root.path("operator").asText("")
       val knownOps = Seq("line_dedup", "exact_groups", "minhash_pairs",
-        "budget_select", "chunk", "scrub")
+        "dedup_cluster", "text_stats", "budget_select", "chunk", "scrub")
       if (!knownOps.contains(opName))
         throw new IllegalArgumentException(
           s"unknown operator '$opName' — one of ${knownOps.mkString(", ")}")
@@ -426,6 +428,22 @@ final class SimSearchService(spark: SparkSession, port: Int,
         case "minhash_pairs" => Dedup.minhashPairs(df, idCol,
           TextKernels.wordShingles2(TextKernels.wordTokens(col(textCol))),
           params.path("min_jaccard").asDouble(0.8))
+        case "dedup_cluster" =>
+          // pairs -> transitive closure: (n = member id, c = cluster
+          // keeper = min member id); documents absent from the output have
+          // no near-duplicate
+          Dedup.clusters(Dedup.minhashPairs(df, idCol,
+            TextKernels.wordShingles2(TextKernels.wordTokens(col(textCol))),
+            params.path("min_jaccard").asDouble(0.8)))
+        case "text_stats" =>
+          val w = TextKernels.wordTokens(col(textCol))
+          df.select(col(idCol),
+            length(col(textCol)).cast("long").as("n_chars"),
+            size(w).cast("long").as("n_tokens"),
+            TextKernels.topBigramFraction(w).as("top_bigram_fraction"),
+            TextKernels.dupNgramFraction(w, 5).as("dup_5gram_fraction"),
+            graft.functions.NativeKernels.compressRatio(col(textCol))
+              .as("compress_ratio"))
         case "budget_select" =>
           val tokens =
             if (params.hasNonNull("tokens_column"))

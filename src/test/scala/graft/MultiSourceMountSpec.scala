@@ -200,7 +200,7 @@ class MultiSourceMountSpec extends SparkTestBase {
       // the deployment knobs surface with their session-conf values
       val knobs = idx.get("knobs")
       assert(knobs.get(graft.api.Knobs.AnnProbes).asText() == "1")
-      assert(knobs.get(graft.api.Knobs.DedupCheckpointEvery).asText() == "10")
+      assert(knobs.get(graft.api.Knobs.DedupCheckpointEvery).asText() == "5")
       assert(knobs.get(graft.api.Knobs.SampleSaltWidth).asText() == "2")
 
       // instance B: local csv attribute + A's attribute as a restapi source

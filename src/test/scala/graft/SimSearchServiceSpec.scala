@@ -292,6 +292,31 @@ class SimSearchServiceSpec extends SparkTestBase {
       assert(eg.isArray, b4) // repeated person sets exist in the fixture
       assert(eg.size() > 0 && eg.get(0).has("keeper"), b4)
 
+      // dedup_cluster: two crafted near-duplicates collapse into one
+      // cluster under the min-id keeper; the unrelated doc is absent
+      val base16 = (1 to 16).map(i => s"v$i").mkString(" ")
+      val ddDir = s"$dir/neardup"
+      Seq((10L, base16), (11L, base16.replaceAll("v16$", "zz")),
+        (12L, "entirely different content"))
+        .toDF("doc_id", "text").write.mode("overwrite").parquet(ddDir)
+      val (c7, b7) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "dedup_cluster",
+            "input": {"path": "$ddDir"}, "id": "doc_id", "text": "text"}"""))
+      assert(c7 == 200, b7)
+      val cl = new ObjectMapper().readTree(b7)
+      val members = (0 until cl.size()).map(i =>
+        cl.get(i).get("n").asLong() -> cl.get(i).get("c").asLong()).toMap
+      assert(members == Map(10L -> 10L, 11L -> 10L), b7)
+
+      // text_stats: per-document quality columns
+      val (c8, b8) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "text_stats",
+            "input": {"path": "$dir/docs"}, "id": "doc_id", "text": "text"}"""))
+      assert(c8 == 200, b8)
+      val ts = new ObjectMapper().readTree(b8)
+      assert(ts.size() == 3 && ts.get(0).has("n_tokens") &&
+        ts.get(0).has("compress_ratio"), b8)
+
       // errors stay 400 with a message, not socket faults
       val (c5, b5) = http("POST", s"$base/pipeline",
         Some("""{"operator": "nope", "input": {"path": "/tmp/x"}}"""))
