@@ -217,7 +217,13 @@ object Multimodal {
       // element ids that nest (master elements the metadata lives under)
       val masters = Set(0x1a45dfa3L, 0x18538067L, 0x1549a966L, 0x1654ae6bL,
         0xaeL, 0xe0L, 0xe1L)
-      def walk(from: Int, until: Int): Boolean = {
+      // real Matroska nests ~5 deep; a crafted file of back-to-back nested
+      // master ids could otherwise drive the recursion O(bytes) deep and
+      // overflow the stack — a malformed-input crash a 100 TB ingest must
+      // not have
+      val maxDepth = 16
+      def walk(from: Int, until: Int, depth: Int = 0): Boolean = {
+        if (depth > maxDepth) return false
         var i = from
         while (i < until) {
           val b0 = u8(i)
@@ -240,7 +246,7 @@ object Multimodal {
             else if (p + sz > until) return false
             else (p + sz).toInt
           id match {
-            case m if masters(m) => if (!walk(p, end)) return false
+            case m if masters(m) => if (!walk(p, end, depth + 1)) return false
             case 0x4282L => // DocType
               docType = new String(data, p, end - p,
                 java.nio.charset.StandardCharsets.US_ASCII)

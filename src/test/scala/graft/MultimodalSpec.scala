@@ -187,6 +187,61 @@ class MultimodalSpec extends SparkTestBase {
       metas(2L).durationMs == n % 10000L && metas(2L).sampleRate == 0)
   }
 
+  test("container parsers never throw: every prefix of every valid " +
+    "container, random byte soup, magic-prefixed garbage, and deep EBML " +
+    "nesting all degrade to None/stub") {
+    val wav = {
+      import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+      val fmt = new AudioFormat(16000f, 16, 1, true, false)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](640)), fmt, 320L),
+        AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val valid = Seq(
+      GenAvFixture.mp4(0, 1000L, 4321L, 640, 480, moovFirst = true),
+      GenAvFixture.mp4(1, 90000L, 999999L, 1920, 1080, moovFirst = false),
+      GenAvFixture.webm(640, 360, 1234f, 1000000L, 48000f, 2),
+      GenAvFixture.webm(640, 360, 1234f, 1000000L, 48000f, 2,
+        unknownSegmentSize = true),
+      GenAvFixture.mp3(3, 9, 0, mono = false, 3000),
+      GenAvFixture.mp3(2, 5, 1, mono = true, 3000, id3Pad = 77),
+      GenAvFixture.flac(44100, 2, 99999L),
+      wav)
+    // a 100 TB crawl truncates files at arbitrary byte offsets: every
+    // prefix must parse to Some or None, never throw
+    valid.foreach { f =>
+      (0 to f.length).foreach { n =>
+        Multimodal.parseAvMeta(f.take(n)); Multimodal.parseDimensions(f.take(n))
+      }
+    }
+    val rnd = new scala.util.Random(7)
+    (1 to 300).foreach { _ =>
+      val b = Array.ofDim[Byte](rnd.nextInt(400)); rnd.nextBytes(b)
+      Multimodal.parseAvMeta(b); Multimodal.parseDimensions(b)
+    }
+    // garbage BEHIND a valid magic exercises each walker's bound checks
+    val magics = Seq[Array[Byte]](
+      Array(0x1a, 0x45, 0xdf.toByte, 0xa3.toByte),
+      "fLaC".getBytes("US-ASCII"), "RIFF".getBytes("US-ASCII"),
+      "ID3".getBytes("US-ASCII"), Array(0xff.toByte, 0xfb.toByte))
+    magics.foreach { m =>
+      (1 to 100).foreach { _ =>
+        val b = Array.ofDim[Byte](m.length + rnd.nextInt(300)); rnd.nextBytes(b)
+        System.arraycopy(m, 0, b, 0, m.length)
+        Multimodal.parseAvMeta(b)
+      }
+    }
+    // adversarial EBML: thousands of nested unknown-size master elements
+    // (each [0xAE id, 0xFF size] opens a level running to the end) must
+    // hit the depth bound, not overflow the stack
+    val deep = Array(0x1a.toByte, 0x45.toByte, 0xdf.toByte, 0xa3.toByte,
+      0xff.toByte) ++
+      Array.fill(5000)(Array(0xae.toByte, 0xff.toByte)).flatten
+    assert(Multimodal.parseAvMeta(deep).isEmpty)
+  }
+
   test("resize and frameSample shrink payloads deterministically") {
     val resized = Multimodal.resize(media, 4)
     val sizes = resized.select(col("id"), length(col("data")))

@@ -381,6 +381,33 @@ class PipelineOpsSpec extends SparkTestBase {
       s"largest bucket ${sizes.max} of 2000 — mass not sub-split: ${sizes.toSeq}")
   }
 
+  test("budgetSelect matches a sequential single-window oracle on random " +
+    "quality distributions (massed levels, discrete levels, NaN, ties)") {
+    val rnd = new scala.util.Random(421)
+    for (trial <- 1 to 5) {
+      val n = 200 + rnd.nextInt(300)
+      val rows = (0 until n).map { i =>
+        val q = rnd.nextInt(5) match {
+          case 0 | 1 => 0.5                   // massed level (40% of rows)
+          case 2 => Double.NaN                // excluded from selection
+          case 3 => rnd.nextInt(3).toDouble   // few discrete levels -> ties
+          case _ => rnd.nextDouble()
+        }
+        (i.toLong, 1L + rnd.nextInt(20), q)
+      }
+      val budget = (200 + rnd.nextInt(1800)).toLong
+      val got = Packing.budgetSelect(rows.toDF("id", "n_tok", "q"),
+          col("id"), col("n_tok"), col("q"), budget, buckets = 8)
+        .select("id", "cum_tok").as[(Long, Long)].collect().toMap
+      var cum = 0L
+      val want = rows.filter(!_._3.isNaN)
+        .sortBy { case (id, _, q) => (-q, id) }
+        .iterator.map { case (id, t, _) => cum += t; (id, cum) }
+        .takeWhile(_._2 <= budget).toMap
+      assert(got == want, s"trial $trial (n=$n budget=$budget)")
+    }
+  }
+
   // ------------------------------------------------------------------ tf-idf
 
   test("tf-idf ranks corpus-rare repeated terms highest") {
