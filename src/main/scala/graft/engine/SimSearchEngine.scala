@@ -68,8 +68,13 @@ object SimSearchEngine {
     /** Per-instance settings — one per catalog, like the reference's
       * per-api_key Coordinator (InstanceSettings.java). */
     val settings = new graft.api.InstanceSettings
-    private var facets: Map[String, Facet] = initial.map(f => f.spec.name -> f).toMap
-    private var inSitu: Map[String, InSituFacet] =
+    // @volatile: the REST service handles requests on a pool, so a mount
+    // on one thread must be visible to a search on another. Mutation is
+    // reference-swap of immutable maps — a concurrent reader sees either
+    // the old or the new catalog, never a torn one.
+    @volatile private var facets: Map[String, Facet] =
+      initial.map(f => f.spec.name -> f).toMap
+    @volatile private var inSitu: Map[String, InSituFacet] =
       initialInSitu.map(f => f.name -> f).toMap
     def get(name: String): Facet = facets.getOrElse(name,
       // pushed-JDBC in-situ attributes carry a lazy Spark-side twin, so
@@ -111,7 +116,7 @@ object SimSearchEngine {
       * mount request (/append) can transform_by a dictionary declared in an
       * earlier one, matching the reference's per-coordinator dictionary
       * registry (Coordinator findIdentifier over all mounted datasets). */
-    private var dictStore: Map[String, DataFrame] = Map.empty
+    @volatile private var dictStore: Map[String, DataFrame] = Map.empty
     def dicts: Map[String, DataFrame] = dictStore
     def addDicts(d: Map[String, DataFrame]): Unit = dictStore ++= d
     /** URL prefix for result entity identifiers, read off a mounted name

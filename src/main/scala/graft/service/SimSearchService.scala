@@ -496,7 +496,16 @@ final class SimSearchService(spark: SparkSession, port: Int,
     server.createContext("/simsearch/api/assignKey", handleAssignKey _)
     server.createContext("/simsearch/api/revokeKey", handleRevokeKey _)
     server.createContext("/simsearch/api/listKeys", handleListKeys _)
-    server.setExecutor(null)
+    // a bounded pool, NOT the default calling-thread dispatcher: with a
+    // serial dispatcher one long-running request (a /pipeline job over a
+    // large table, a slow federated /search) blocks every other endpoint —
+    // a catalog probe, a health check, another tenant's search. Spark
+    // schedules concurrent jobs from multiple threads safely; the shared
+    // catalog maps are ConcurrentHashMaps. Pool size is a deliberate small
+    // constant: each request may fan out its own Spark job, and the
+    // cluster, not the HTTP layer, is the unit of parallelism.
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8,
+      r => { val t = new Thread(r, "graft-rest"); t.setDaemon(true); t }))
     server.start()
     server.getAddress.getPort
   }

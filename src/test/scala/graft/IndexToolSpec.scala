@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AnnIndex
+
+/** The maintenance CLI drives the same library entry points an operator's
+  * runbook needs — compact, recall gauge (with the alerting exit code),
+  * rebuild, crash recovery — against a real index. */
+class IndexToolSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("IndexTool: compact, recall (with --min alerting), rebuild, recover") {
+    val dim = 8
+    val rnd = new scala.util.Random(71)
+    val emb = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextDouble() * 2 - 1))).toDF("vid", "v")
+    val path = java.nio.file.Files.createTempDirectory("graft-tool").toString + "/idx"
+    val cents = graft.operators.AnnSearch.kmeans(emb, "vid", col("v"), 8)
+    AnnIndex.buildIvf(emb, "vid", col("v"), cents, path)
+    val extra = (300 until 340).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextDouble() * 2 - 1))).toDF("vid", "v")
+    AnnIndex.append(extra, "vid", col("v"), path, batchId = Some(0L))
+
+    val q = Seq.fill(dim)(rnd.nextDouble() * 2 - 1)
+    def answer() = AnnIndex.ivfTopK(spark, path, "vid", q, 10, nProbe = 8)
+      .collect().map(_.toSeq).toSeq
+    val before = answer()
+
+    // compact folds batch=0 into the base; answers unchanged
+    assert(IndexTool.run(spark, Array("compact", path)) == 0)
+    val dirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .flatMap(_.listFiles()).filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("batch=-1"), dirs.toString)
+    assert(answer() == before)
+
+    // recall: all-probe recall is ~1; the --min gate exits 0 below it and
+    // 3 when the demanded floor is unreachable
+    assert(IndexTool.run(spark, Array("recall", path, "vid",
+      "--nprobe", "8", "--min", "0.99")) == 0)
+    assert(IndexTool.run(spark, Array("recall", path, "vid",
+      "--nprobe", "1", "--min", "1.01")) == 3)
+
+    // rebuild keeps the corpus and the sidecar kind
+    assert(IndexTool.run(spark, Array("rebuild", path, "vid",
+      "--iters", "3")) == 0)
+    assert(spark.read.parquet(path).count() == 340)
+    assert(AnnIndex.readIvfCentroids(spark, path).get.size == 8)
+
+    // recover repairs a mid-swap crash state
+    java.nio.file.Files.move(java.nio.file.Paths.get(path),
+      java.nio.file.Paths.get(path + "__old"))
+    assert(IndexTool.run(spark, Array("recover", path)) == 0)
+    assert(spark.read.parquet(path).count() == 340)
+
+    // unknown action is a usage error, not an exception
+    assert(IndexTool.run(spark, Array("frobnicate", path)) == 2)
+  }
+
+  test("IndexTool: compact-fp and compact-sink fold their tables in place") {
+    import graft.operators.Dedup
+    import graft.streaming.StreamOps
+    val root = java.nio.file.Files.createTempDirectory("graft-tool2").toString
+    val fp = s"$root/fp"
+    Dedup.writeFingerprintIndex(Seq((1L, "a b c")).toDF("id", "text"),
+      "id", col("text"), fp)
+    Dedup.writeFingerprintIndex(Seq((2L, "d e f")).toDF("id", "text"),
+      "id", col("text"), fp, batchId = Some(0L))
+    assert(IndexTool.run(spark, Array("compact-fp", fp)) == 0)
+    assert(new java.io.File(fp).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet == Set("batch=-1"))
+    assert(spark.read.parquet(fp).count() == 2)
+
+    val sink = s"$root/sink"
+    StreamOps.parquetSink(sink)(Seq((1L, "x")).toDF("id", "t"), 0L)
+    StreamOps.parquetSink(sink)(Seq((2L, "y")).toDF("id", "t"), 1L)
+    assert(IndexTool.run(spark, Array("compact-sink", sink)) == 0)
+    assert(StreamOps.readSink(spark, sink).count() == 2)
+    // a batch replayed across the fold no-ops
+    StreamOps.parquetSink(sink)(Seq((1L, "x")).toDF("id", "t"), 0L)
+    assert(StreamOps.readSink(spark, sink).count() == 2)
+  }
+}

@@ -328,6 +328,42 @@ class SimSearchServiceSpec extends SparkTestBase {
     } finally svc.stop()
   }
 
+  test("the service handles concurrent requests on its pool — mixed " +
+    "pipeline and catalog traffic completes without serialization faults") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val svc = new SimSearchService(spark, 0)
+    val port = svc.start()
+    try {
+      val base = s"http://127.0.0.1:$port/simsearch/api"
+      val dir = java.nio.file.Files.createTempDirectory("graft-conc").toString
+      (0L until 500L).map(i => (i, s"document number $i with words " +
+        (1 to 20).map(j => s"w${(i * 31 + j) % 97}").mkString(" ")))
+        .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/docs")
+      val pipelineBody =
+        s"""{"operator": "minhash_pairs", "input": {"path": "$dir/docs"},
+            "id": "doc_id", "text": "text"}"""
+      // several Spark-job-running requests and cheap metadata requests in
+      // flight together: all must return 200, none may wedge the pool
+      val calls = Future.sequence(Seq(
+        Future(http("POST", s"$base/pipeline", Some(pipelineBody))),
+        Future(http("POST", s"$base/pipeline", Some(pipelineBody))),
+        Future(http("GET", s"$base/_settings", None, Map("api_key" -> "x"))),
+        Future(http("GET", s"$base/_settings", None, Map("api_key" -> "y"))),
+        Future(http("POST", s"$base/pipeline", Some(
+          s"""{"operator": "text_stats", "input": {"path": "$dir/docs"},
+              "id": "doc_id", "text": "text", "limit": 5}""")))))
+      val results = Await.result(calls, 120.seconds)
+      // pipelines succeed; the unmounted-key settings probes get their
+      // normal 401 — the point is every response ARRIVES while Spark jobs
+      // run on sibling pool threads
+      assert(results.map(_._1) == Seq(200, 200, 401, 401, 200),
+        results.map(_._1).toString)
+    } finally svc.stop()
+  }
+
   test("key admin endpoints fail CLOSED when no admin key is configured") {
     val svc = new SimSearchService(spark, 0) // no adminKey
     val port = svc.start()
