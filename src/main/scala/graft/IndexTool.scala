@@ -52,6 +52,17 @@ object IndexTool {
     * session; returns the process exit code. */
   private[graft] def run(spark: SparkSession, args: Array[String]): Int = {
     val through = opt(args, "--through").map(_.toLong)
+    // positional operand count per action: a forgotten <path>/<idCol> must
+    // print usage and exit 2, not throw ArrayIndexOutOfBounds at an
+    // operator mid-runbook
+    val needed = args.head match {
+      case "recall" | "rebuild" => 3
+      case _ => 2
+    }
+    if (args.length < needed || args.take(needed).exists(_.startsWith("--"))) {
+      System.err.println(s"missing operand for '${args.head}'\n$usage")
+      return 2
+    }
     args.head match {
       case "compact" =>
         graft.operators.AnnIndex.compact(spark, args(1), through)

@@ -111,7 +111,9 @@ object Knobs {
   /** In-loop compaction cadence of the streaming index-append loops
     * ([[graft.streaming.StreamOps]]): fold committed batch partitions into
     * the base every N micro-batches; int >= 0, default 0 = never. Applies
-    * when the stream's own `compactEvery` argument is left at 0. */
+    * when the stream's own `compactEvery` argument is left at 0, and is
+    * read ONCE when the stream is built — SET before starting the stream;
+    * restart a running stream to change its cadence. */
   val AnnIndexCompactEvery = "spark.graft.annindex.compactEvery"
   /** All deployment knobs with their defaults — the set a REST tenant sees
     * under /_settings and the console's `SET` accepts. */

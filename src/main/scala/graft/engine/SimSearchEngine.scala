@@ -102,10 +102,14 @@ object SimSearchEngine {
         }
         f.spec.name -> op
       } ++ inSitu.values.map(f => f.name -> f.operation)).toSeq.sorted
-    def add(f: Facet): Unit = facets += (f.spec.name -> f)
-    def add(f: InSituFacet): Unit = inSitu += (f.name -> f)
+    // mutators synchronize: += on a volatile var is read-modify-write, and
+    // the REST pool can run two /append handlers at once — without the
+    // lock one mount silently loses. Reads stay lock-free (volatile
+    // reference to an immutable map); mounts are rare, contention is nil.
+    def add(f: Facet): Unit = synchronized { facets += (f.spec.name -> f) }
+    def add(f: InSituFacet): Unit = synchronized { inSitu += (f.name -> f) }
     /** @return whether the attribute was mounted (callers surface 404 on false) */
-    def remove(name: String): Boolean = {
+    def remove(name: String): Boolean = synchronized {
       val had = facets.contains(name) || inSitu.contains(name)
       facets -= name
       inSitu -= name
@@ -118,7 +122,8 @@ object SimSearchEngine {
       * registry (Coordinator findIdentifier over all mounted datasets). */
     @volatile private var dictStore: Map[String, DataFrame] = Map.empty
     def dicts: Map[String, DataFrame] = dictStore
-    def addDicts(d: Map[String, DataFrame]): Unit = dictStore ++= d
+    def addDicts(d: Map[String, DataFrame]): Unit =
+      synchronized { dictStore ++= d }
     /** URL prefix for result entity identifiers, read off a mounted name
       * dictionary (reference: SearchResponseFormat — prefixURL comes from
       * the non-queryable names dataset). Deterministic under multiple

@@ -204,7 +204,13 @@ object Multimodal {
       var tsScale = 1000000L; var durTicks = 0.0
       var width = 0; var height = 0; var sampleRate = 0; var channels = 0
       var docType = ""
+      var malformed = false
+      // EBML unsigned integers are AT MOST 8 bytes; a longer element is a
+      // corrupt/crafted stream whose shift-accumulate would overflow into
+      // an arbitrary (possibly negative after .toInt) value that the stub
+      // contract says must never surface as "real" metadata
       def uintAt(p: Int, end: Int): Long = {
+        if (end - p > 8) { malformed = true; return 0L }
         var v = 0L; var j = p
         while (j < end) { v = (v << 8) | u8(j); j += 1 }
         v
@@ -252,18 +258,21 @@ object Multimodal {
                 java.nio.charset.StandardCharsets.US_ASCII)
             case 0x2ad7b1L => tsScale = uintAt(p, end)     // TimestampScale
             case 0x4489L => durTicks = floatAt(p, end)     // Duration
-            case 0xb0L => if (width == 0) width = uintAt(p, end).toInt
-            case 0xbaL => if (height == 0) height = uintAt(p, end).toInt
+            case 0xb0L => if (width == 0) width = boundedInt(uintAt(p, end))
+            case 0xbaL => if (height == 0) height = boundedInt(uintAt(p, end))
             case 0xb5L => // SamplingFrequency (float)
               if (sampleRate == 0) sampleRate = floatAt(p, end).toInt
-            case 0x9fL => if (channels == 0) channels = uintAt(p, end).toInt
+            case 0x9fL => if (channels == 0) channels = boundedInt(uintAt(p, end))
             case _ => ()
           }
           i = end
         }
         true
       }
-      if (!walk(0, data.length)) None
+      // dimension/channel values past Int range are corrupt, not metadata
+      def boundedInt(v: Long): Int =
+        if (v > Int.MaxValue) { malformed = true; 0 } else v.toInt
+      if (!walk(0, data.length) || malformed) None
       else Some(AvInfo(if (docType.nonEmpty) docType else "mkv",
         width, height, (durTicks * tsScale / 1e6).toLong, sampleRate, channels))
     } else if (data.length >= 42 && fourcc(0) == "fLaC") {

@@ -341,30 +341,54 @@ object AnnIndex {
     * it, the same shape as the streaming ANN batch), served answers from
     * the normal pruned probes. Works on either index flavor (`nProbe` =
     * IVF probe count, or LSH multi-probe buckets). Returns mean
-    * |served ∩ truth| / k over the sample. */
+    * |served ∩ truth| / k over the sample.
+    *
+    * Live-index caveat: the gauge reads the index twice (truth scan, then
+    * per-query probes); batches committed BETWEEN the two appear in the
+    * served answers but not in the truth set and deflate the reading
+    * slightly. Against a heavily-appending index, treat readings as a
+    * trend across runs, not a single-sample alarm — or pause ingestion
+    * for an exact gauge. */
   def recallProbe(spark: SparkSession, path: String, id: String, k: Int,
       nProbe: Int, sampleN: Int = 32): Double = {
-    requireIndexPath(spark, path)
-    val kind = IndexIO.readMeta(spark, path).map(_.path("kind").asText())
-      .getOrElse(throw new IllegalArgumentException(
-        s"no index sidecar at $path — recallProbe needs a self-describing index"))
-    val stored = spark.read.parquet(path)
-      .select(col(id).cast("string").as("__qid"),
-        col("vec").cast("array<double>").as("v"))
-    val queries = stored
-      .orderBy(md5(col("__qid")), col("__qid")).limit(sampleN)
-      .collect().map(r => (r.getString(0), r.getSeq[Double](1)))
+    // the sample and ground-truth scans ride through a concurrent
+    // compaction swap exactly like the served probes — recall is the one
+    // action documented safe to run against a live, compacting index
+    val (queries, truth, kind) = IndexIO.retryStale() {
+      requireIndexPath(spark, path)
+      val kind = IndexIO.readMeta(spark, path).map(_.path("kind").asText())
+        .getOrElse(throw new IllegalArgumentException(
+          s"no index sidecar at $path — recallProbe needs a self-describing index"))
+      // keep the NATIVE id for ordering: the served side's tie-break
+      // (bruteCosineTopK) orders by the id's native type, and a
+      // string-cast tie-break here would disagree on tied cosines
+      // (common among near-duplicate vectors) — reporting false sag on a
+      // healthy index
+      val stored = spark.read.parquet(path)
+        .select(col(id).as("__oid"), col(id).cast("string").as("__qid"),
+          col("vec").cast("array<double>").as("v"))
+      val queries = stored
+        .orderBy(md5(col("__qid")), col("__qid")).limit(sampleN)
+        .collect().map(r => (r.getString(1), r.getSeq[Double](2)))
+      if (queries.isEmpty) (queries, Map.empty[String, Set[String]], kind)
+      else {
+        // ground truth: one scan, all sample queries broadcast against it
+        import org.apache.spark.sql.expressions.Window
+        val qdf = spark.createDataFrame(queries.toSeq).toDF("qid", "qv")
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("__oid"))
+        val truth = stored.crossJoin(broadcast(qdf))
+          .select(col("qid"), col("__oid"), col("__qid"),
+            round(graft.functions.NativeKernels.cosineSim(col("v"), col("qv")), 6)
+              .as("cos"))
+          .withColumn("r", row_number().over(w)).where(col("r") <= k)
+          .select(col("qid"), col("__qid")).collect()
+          .groupBy(_.getString(0))
+          .map { case (q, rs) => q -> rs.map(_.getString(1)).toSet }
+        (queries, truth, kind)
+      }
+    }
     if (queries.isEmpty) return 1.0
-    // ground truth: one scan, all sample queries broadcast against it
-    import org.apache.spark.sql.expressions.Window
-    val qdf = spark.createDataFrame(queries.toSeq).toDF("qid", "qv")
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("__qid"))
-    val truth = stored.crossJoin(broadcast(qdf))
-      .select(col("qid"), col("__qid"),
-        round(graft.functions.NativeKernels.cosineSim(col("v"), col("qv")), 6).as("cos"))
-      .withColumn("r", row_number().over(w)).where(col("r") <= k)
-      .select(col("qid"), col("__qid")).collect()
-      .groupBy(_.getString(0)).map { case (q, rs) => q -> rs.map(_.getString(1)).toSet }
     val recalls = queries.map { case (qid, qv) =>
       val served = (kind match {
         case "lsh" => lshTopK(spark, path, id, qv, k, probes = nProbe)

@@ -461,6 +461,16 @@ final class SimSearchService(spark: SparkSession, port: Int,
       }
       Option(root.get("output")) match {
         case Some(out) =>
+          // server-side WRITES sit behind a valid api_key, like /search's
+          // file output — an unauthenticated request must not be able to
+          // mode("overwrite") an arbitrary host path (a live index
+          // directory, another tenant's sink). Reads stay key-less for
+          // path inputs, matching /index's trust model.
+          val key = masterOf(apiKey(x))
+          if (!catalogs.containsKey(key) && !adminKey.contains(apiKey(x))) {
+            respond(x, 401, """{"error":"server-side output requires a valid api_key"}""")
+            return
+          }
           val p = out.path("path").asText("")
           require(p.nonEmpty, """"output" needs "path"""")
           val w = result.write.mode("overwrite")

@@ -224,14 +224,16 @@ object StreamOps {
     * duration — size N to taste); its crash-safety is the atomic swap. */
   def annIndexAppendStream(vectors: DataFrame, idCol: String, vecCol: String,
       indexPath: String, compactEvery: Int = 0)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val ce = resolveCompactEvery(vectors, compactEvery)
     vectors.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       graft.operators.AnnIndex.append(batch, idCol, col(vecCol), indexPath,
         batchId = Some(batchId))
-      if (compactDue(resolveCompactEvery(batch.sparkSession, compactEvery), batchId))
+      if (compactDue(ce, batchId))
         graft.operators.AnnIndex.compact(batch.sparkSession, indexPath,
           through = Some(batchId - 1))
     }.start()
+  }
 
   /** True when the ingestion loop should fold committed batches on this
     * micro-batch: every `compactEvery`-th batchId, skipping batch 0 (there
@@ -244,11 +246,17 @@ object StreamOps {
     * [[graft.api.Knobs.AnnIndexCompactEvery]] session conf — the same
     * SET-table deployment-knob pattern as the dedup checkpoint cadence, so
     * an operator can turn in-loop compaction on without a code change.
-    * Negative = explicitly off even when the conf is set. */
-  private def resolveCompactEvery(spark: org.apache.spark.sql.SparkSession,
-      given: Int): Int =
+    * Negative = explicitly off even when the conf is set.
+    *
+    * Resolved ONCE, from the DEFINING session, when the stream is built —
+    * Structured Streaming hands `foreachBatch` a cloned session whose conf
+    * is a snapshot from stream start, so reading the knob per batch would
+    * make a live `SET` appear to work while the clone silently kept the
+    * old value. The honest contract: the knob applies to streams STARTED
+    * after it is set; restart a running stream to change its cadence. */
+  private def resolveCompactEvery(df: DataFrame, given: Int): Int =
     if (given != 0) math.max(given, 0)
-    else spark.conf.get(graft.api.Knobs.AnnIndexCompactEvery, "0").toInt
+    else df.sparkSession.conf.get(graft.api.Knobs.AnnIndexCompactEvery, "0").toInt
 
   /** EXACTLY-ONCE parquet emission sink for the streaming loops'
     * `writeBatch` parameter — closes the last at-least-once edge of the
@@ -336,13 +344,15 @@ object StreamOps {
   def incrementalDedupStream(docs: DataFrame, idCol: String, textCol: String,
       indexPath: String, minJ: Double, compactEvery: Int = 0)
       (writeBatch: (DataFrame, Long) => Unit)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val ce = resolveCompactEvery(docs, compactEvery)
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       dedupBatch(batch, batchId, idCol, textCol, indexPath, minJ, writeBatch)
-      if (compactDue(resolveCompactEvery(batch.sparkSession, compactEvery), batchId))
+      if (compactDue(ce, batchId))
         graft.operators.Dedup.compactBandIndex(batch.sparkSession, indexPath,
           through = Some(batchId - 1))
     }.start()
+  }
 
   /** One [[incrementalDedupStream]] micro-batch — package-visible so the
     * replay-idempotence spec can re-deliver a batch exactly as
@@ -394,13 +404,15 @@ object StreamOps {
   def incrementalExactStream(docs: DataFrame, idCol: String, textCol: String,
       indexPath: String, compactEvery: Int = 0)
       (writeBatch: (DataFrame, Long) => Unit)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val ce = resolveCompactEvery(docs, compactEvery)
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       exactBatch(batch, batchId, idCol, textCol, indexPath, writeBatch)
-      if (compactDue(resolveCompactEvery(batch.sparkSession, compactEvery), batchId))
+      if (compactDue(ce, batchId))
         graft.operators.Dedup.compactFingerprintIndex(batch.sparkSession,
           indexPath, through = Some(batchId - 1))
     }.start()
+  }
 
   /** One [[incrementalExactStream]] micro-batch — package-visible for the
     * replay-idempotence spec, like [[dedupBatch]]. */
@@ -473,17 +485,19 @@ object StreamOps {
   def curationStream(docs: DataFrame, idCol: String, textCol: String,
       indexRoot: String, minJ: Double, quality: Column,
       compactEvery: Int = 0)(writeBatch: (DataFrame, Long) => Unit)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val ce = resolveCompactEvery(docs, compactEvery)
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       curationBatch(batch, batchId, idCol, textCol, indexRoot, minJ, quality,
         writeBatch)
-      if (compactDue(resolveCompactEvery(batch.sparkSession, compactEvery), batchId)) {
+      if (compactDue(ce, batchId)) {
         graft.operators.Dedup.compactFingerprintIndex(batch.sparkSession,
           s"$indexRoot/exact", through = Some(batchId - 1))
         graft.operators.Dedup.compactBandIndex(batch.sparkSession,
           s"$indexRoot/near", through = Some(batchId - 1))
       }
     }.start()
+  }
 
   /** One [[curationStream]] micro-batch — package-visible for the
     * replay-idempotence spec, like [[dedupBatch]]. */

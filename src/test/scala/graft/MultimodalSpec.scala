@@ -233,6 +233,15 @@ class MultimodalSpec extends SparkTestBase {
         Multimodal.parseAvMeta(b)
       }
     }
+    // oversized EBML integers (a 9-byte PixelWidth would shift-overflow
+    // into an arbitrary value) must stub, never surface as real metadata
+    val overWidth = Array(0x1a.toByte, 0x45.toByte, 0xdf.toByte, 0xa3.toByte,
+      0xff.toByte, // EBML header, unknown size
+      0xae.toByte, 0xff.toByte, // TrackEntry, unknown size
+      0xe0.toByte, 0xff.toByte, // Video, unknown size
+      0xb0.toByte, 0x89.toByte) ++ Array.fill(9)(0xff.toByte) // 9-byte width
+    assert(Multimodal.parseAvMeta(overWidth).isEmpty,
+      "oversized integer element must route to the stub")
     // adversarial EBML: thousands of nested unknown-size master elements
     // (each [0xAE id, 0xFF size] opens a level running to the end) must
     // hit the depth bound, not overflow the stack

@@ -264,19 +264,7 @@ class SimSearchServiceSpec extends SparkTestBase {
       val kept = (0 until bs.size()).map(i => bs.get(i).get("id").asLong()).toSet
       assert(kept == Set(1L, 3L), b2)
 
-      // chunk with an output path: full result written server-side
-      val (c3, b3) = http("POST", s"$base/pipeline", Some(
-        s"""{"operator": "chunk",
-            "input": {"path": "$dir/docs"}, "id": "doc_id", "text": "text",
-            "params": {"chunk_size": 3},
-            "output": {"path": "$dir/chunks", "format": "parquet"}}"""))
-      assert(c3 == 200, b3)
-      val written = spark.read.parquet(s"$dir/chunks")
-      assert(new ObjectMapper().readTree(b3).get("rows").asLong() == written.count())
-      assert(written.columns.contains("chunk_text"))
-
-      // a mounted attribute as input: mount the GDELT fixture, dedup the
-      // categorical token sets — the facet's (id, value) serves the table
+      // mount the GDELT fixture (also the api_key for authenticated writes)
       val gdelt = "/root/reference/data/gdelt"
       val sources = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(s"$gdelt/standalone/sources.json")), StandardCharsets.UTF_8)
@@ -284,6 +272,26 @@ class SimSearchServiceSpec extends SparkTestBase {
       val (ci, bi) = http("POST", s"$base/index", Some(sources))
       assert(ci == 200, bi)
       val key = new ObjectMapper().readTree(bi).get("apiKey").asText()
+
+      // chunk with an output path: full result written server-side —
+      // WRITES require a valid api_key (an unauthenticated request must
+      // not overwrite arbitrary host paths); without one it is 401
+      val chunkBody =
+        s"""{"operator": "chunk",
+            "input": {"path": "$dir/docs"}, "id": "doc_id", "text": "text",
+            "params": {"chunk_size": 3},
+            "output": {"path": "$dir/chunks", "format": "parquet"}}"""
+      val (cNoKey, _) = http("POST", s"$base/pipeline", Some(chunkBody))
+      assert(cNoKey == 401)
+      val (c3, b3) = http("POST", s"$base/pipeline", Some(chunkBody),
+        Map("api_key" -> key))
+      assert(c3 == 200, b3)
+      val written = spark.read.parquet(s"$dir/chunks")
+      assert(new ObjectMapper().readTree(b3).get("rows").asLong() == written.count())
+      assert(written.columns.contains("chunk_text"))
+
+      // a mounted attribute as input: dedup the categorical token sets —
+      // the facet's (id, value) serves the table
       val (c4, b4) = http("POST", s"$base/pipeline", Some(
         """{"operator": "exact_groups", "input": {"column": "persons"},
            "limit": 5}"""), Map("api_key" -> key))
