@@ -997,7 +997,9 @@ object Queries {
        |  SELECT page_id, pos, line FROM (
        |    SELECT page_id, pos, line,
        |      row_number() OVER (PARTITION BY line ORDER BY page_id, pos) AS rn
-       |    FROM lines) t WHERE rn = 1)
+       |    FROM lines WHERE trim(line) <> '') t WHERE rn = 1
+       |  UNION ALL
+       |  SELECT page_id, pos, line FROM lines WHERE trim(line) = '')
        |SELECT page_id, count(*) AS n_kept,
        |  string_agg(line, chr(10) ORDER BY pos) AS text
        |FROM kept GROUP BY page_id ORDER BY page_id""".stripMargin
@@ -1031,7 +1033,9 @@ object Queries {
        |    SELECT page_id, pos, line,
        |      row_number() OVER (PARTITION BY line ORDER BY page_id, pos) AS rn,
        |      count(DISTINCT page_id) OVER (PARTITION BY line) AS df
-       |    FROM lines) t WHERE rn = 1 AND df <= 39)
+       |    FROM lines WHERE trim(line) <> '') t WHERE rn = 1 AND df <= 39
+       |  UNION ALL
+       |  SELECT page_id, pos, line FROM lines WHERE trim(line) = '')
        |SELECT page_id, count(*) AS n_kept,
        |  string_agg(line, chr(10) ORDER BY pos) AS text
        |FROM firsts GROUP BY page_id ORDER BY page_id""".stripMargin

@@ -159,7 +159,12 @@ object SimSearchEngine {
         val q = spec.value match {
           // F12: "max" reads the facet frame, whose values are ALREADY in
           // the mount-time-normalized space — do not re-normalize it
-          case "max" => f.df.agg(max(v)).head.getDouble(0)
+          case "max" =>
+            val row = f.df.agg(max(v)).head
+            if (row.isNullAt(0)) throw new IllegalArgumentException(
+              s"attribute ${f.spec.name} has no values — cannot resolve " +
+                """the "max" query keyword""")
+            row.getDouble(0)
           case other =>
             val q0 = other match {
               case x: Double => x
@@ -308,9 +313,17 @@ object SimSearchEngine {
       java.util.regex.Pattern.compile(s"\\b${java.util.regex.Pattern.quote(name)}\\b")
         .matcher(filter).find())
     require(referenced.nonEmpty, s"filter references no mounted attribute: $filter")
+    // FULL OUTER join across the referenced attributes: an entity missing
+    // one attribute must still be judged by the predicate (its value is
+    // NULL there) — an inner join would silently exclude an entity that
+    // satisfies `price > 5 OR rating > 4` just because it has no rating
+    // row. SQL null semantics then do the right thing for every
+    // connective: a NULL comparison is not-true, so AND-only filters keep
+    // exactly the inner join's answer, while OR and IS [NOT] NULL branches
+    // can rescue partially-mounted entities.
     val joined = referenced.map { name =>
       catalog.get(name).df.select(col("id"), col("value").as(name))
-    }.reduce((a, b) => a.join(b, Seq("id")))
+    }.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
     joined.where(expr(filter)).select(col("id"))
   }
 
@@ -372,9 +385,15 @@ object SimSearchEngine {
     * (k * global d_k) before scoring. preScored facets (ES / federated
     * NRA lists) carry no distances and are omitted; a facet returns fewer
     * than k values when its candidate set is smaller. */
+  /** Keyed by QUERY INDEX, not column: two specs may query the same
+    * column with different values (and therefore different distance
+    * distributions), and a column-keyed map would collapse them — the
+    * federated negotiation would then pin both facets' scales from one
+    * facet's k-th distance, diverging from the single-instance scores it
+    * exists to match. */
   def calibrationDistances(spark: SparkSession, catalog: Catalog, k: Int,
       specs: Seq[SearchSpec], residualFilter: Option[String] = None)
-      : Map[String, Seq[Double]] = {
+      : Map[Int, Seq[Double]] = {
     require(specs.nonEmpty, "no query conditions")
     val m = if (specs.size > 1) InflationFactor * k else k
     val eligible = residualFilter.map(eligibleIds(catalog, _))
@@ -385,8 +404,7 @@ object SimSearchEngine {
       FacetSearch.topM(dists(i).get, k).select(lit(i).as("f"), col("d"))
     }.reduce(_ union _)
       .collect().groupBy(_.getInt(0))
-      .map { case (i, rows) =>
-        specs(i).column -> rows.map(_.getDouble(1)).sorted.toSeq }
+      .map { case (i, rows) => i -> rows.map(_.getDouble(1)).sorted.toSeq }
   }
 
   def search(spark: SparkSession, catalog: Catalog, k: Int,
@@ -403,21 +421,36 @@ object SimSearchEngine {
     val m = if (specs.size > 1) InflationFactor * k else k
     val eligible = residualFilter.map(eligibleIds(catalog, _))
     val (inSituBuilt, dists) = facetDistFrames(catalog, m, specs, eligible)
+    // ONE cached top-M per distance-bearing facet: the scale calibration
+    // (its k-prefix), R7 weight estimation, and the rank aggregation's
+    // phase-1 candidate lists all read this cache — previously each phase
+    // paid its own full facet scan (a k-scan here, an m-scan inside run,
+    // and another m-scan for estimation). Cache lifetime: <= m rows each,
+    // MEMORY_AND_DISK, shed by LRU — the RankAggregate story.
+    val topMCache: Map[Int, DataFrame] = specs.indices.flatMap(i =>
+      dists(i).map(d => i -> FacetSearch.topM(d, m).cache())).toMap
     // Calibrate every uncalibrated facet's k-th candidate distance in ONE
     // tagged Spark job (union only (f, d) so id types never conflict) —
-    // sequential per-facet collects would pay |facets| job overheads.
+    // sequential per-facet collects would pay |facets| job overheads. The
+    // job also populates all the top-M caches in a single pass.
     val needScale = specs.zipWithIndex.filter { case (s, i) =>
       s.scale.isEmpty && dists(i).isDefined }
     val kth: Map[Int, Double] =
       if (needScale.isEmpty) Map.empty
       else needScale.map { case (_, i) =>
-        FacetSearch.topM(dists(i).get, k).select(lit(i).as("f"), col("d"))
+        topMCache(i).orderBy(col("d"), col("id")).limit(k)
+          .select(lit(i).as("f"), col("d"))
       }.reduce(_ union _)
         .groupBy(col("f")).agg(max(col("d")).as("dk"))
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     def resolveWeights(s: SearchSpec, scored: => DataFrame): Seq[Double] =
       if (s.weights.size == nCombos) s.weights
-      else if (s.weights.nonEmpty) Seq.fill(nCombos)(s.weights.head)
+      else if (s.weights.size == 1) Seq.fill(nCombos)(s.weights.head)
+      else if (s.weights.nonEmpty) throw new IllegalArgumentException(
+        s"attribute ${s.column} supplies ${s.weights.size} weights but the " +
+          s"query evaluates $nCombos combinations — every attribute must " +
+          "supply one weight per combination (or exactly one, broadcast " +
+          "to all)")
       else Seq.fill(nCombos)(estimateWeight(scored, k)) // R7
     val facets = specs.zipWithIndex.map { case (s, i) =>
       inSituBuilt.get(i) match {
@@ -449,15 +482,22 @@ object SimSearchEngine {
           }
           val jac = f.spec.op == SimOp.Categorical || f.spec.op == SimOp.Textual
           val ws = resolveWeights(s, { // R7: candidate score distribution
-            val cand = FacetSearch.topM(dist, m)
+            // the cached top-M — estimation must not re-scan the facet
             FacetSearch.decayedWithScale(
-              BoundFacet(s.column, cand, Seq(1.0), s.decay, Some(scale), jac), scale)
+              BoundFacet(s.column, topMCache(i), Seq(1.0), s.decay, Some(scale), jac),
+              scale)
           })
           BoundFacet(s.column, dist, ws, s.decay, Some(scale), jac)
       }
     }
-    if (detailed) RankAggregate.topKDetailed(spark, facets, k, m)
-    else RankAggregate.topK(spark, facets, k, m)
+    // hand the cached candidate lists to the aggregation, positionally:
+    // preScored facets rank by similarity DESC (run's own convention)
+    val topMs = facets.zipWithIndex.map { case (bf, i) =>
+      if (bf.preScored) bf.dist.orderBy(col("d").desc, col("id")).limit(m).cache()
+      else topMCache(i)
+    }
+    if (detailed) RankAggregate.topKDetailed(spark, facets, k, m, Some(topMs))
+    else RankAggregate.topK(spark, facets, k, m, Some(topMs))
   }
 
   /** A5: k x k pairwise weighted similarity over a set of result entities

@@ -53,11 +53,19 @@ object Dedup {
     * true pair with similarity s collides: 1 - (1 - s^4)^4 (~1.0 at s>=0.9).
     */
   def minhashPairs(docs: DataFrame, id: String, shingles: Column, minJ: Double): DataFrame = {
+    require(minJ > 0, s"minJ must be positive, got $minJ")
     // Cache the shingle sets and band keys: the LSH self-join and the
     // verification join would otherwise each recompute the signatures per
     // document per side. (At 100 TB scale this intermediate is the one you
     // persist/checkpoint; its size is O(corpus tokens).)
-    val sh = spread(docs).select(col(id).as("id"), shingles.as("g")).cache()
+    // Empty shingle sets are excluded up front: band_keys maps them all to
+    // the SAME constant key in every band (every signature is null), so n
+    // too-short documents would otherwise form an ~n^2/2 candidate
+    // self-join — the all-pairs blowup this operator's contract forbids —
+    // only for the verify to discard every pair (jaccard with an empty
+    // set is 0 < minJ). Same guard as simhashPairs' all-zero fingerprint.
+    val sh = spread(docs).select(col(id).as("id"), shingles.as("g"))
+      .where(size(col("g")) > 0).cache()
     // native one-pass band keys (bit-identical to the composed
     // shingleHashes -> minhashSig -> bandKey chain, NativeKernelSpec)
     val banded = sh
@@ -103,7 +111,12 @@ object Dedup {
     // start a second, disjoint index at the bare path
     IndexIO.recoverSwap(docs.sparkSession, path)
     if (graft.operators.IndexIO.alreadyCompacted(docs.sparkSession, path, batchId)) return
-    val sh = spread(docs).select(col(id).as("id"), shingles.as("g")).cache()
+    // empty shingle sets stay out of the index — they would park the
+    // constant all-null band key in every band directory and every later
+    // batch's too-short docs would candidate-join against all of them
+    // (see minhashPairs)
+    val sh = spread(docs).select(col(id).as("id"), shingles.as("g"))
+      .where(size(col("g")) > 0).cache()
     try {
       def write(df: DataFrame, sub: String): Unit =
         if (batchId.isDefined)
@@ -112,10 +125,17 @@ object Dedup {
           df.withColumn(IndexIO.BatchCol, lit(-1L))
             .write.mode(if (append) "append" else "overwrite")
             .partitionBy(IndexIO.BatchCol).parquet(s"$path/$sub")
+      // shingles commit FIRST: the two tables are two writes, and a crash
+      // between them must fail CLOSED. Orphan shingle rows (shingles
+      // committed, bands not) are inert — no band key ever references
+      // them. The reverse order would leave band keys whose verify join
+      // finds no shingle set, silently discarding that batch's pairs
+      // forever. (The streaming batchId path self-heals either way: the
+      // replay dynamic-overwrites both tables.)
+      write(sh, "shingles")
       write(sh.select(col("id"), posexplode(
           graft.functions.NativeKernels.bandKeys(col("g"), NumHashes, NumBands, RowsPerBand))
           .as(Seq("band", "bv"))), "bands")
-      write(sh, "shingles")
     } finally sh.unpersist()
   }
 
@@ -141,8 +161,11 @@ object Dedup {
   def incrementalPairs(newDocs: DataFrame, id: String, shingles: Column,
       indexPath: String, minJ: Double,
       excludeBatch: Option[Long] = None): DataFrame = {
+    require(minJ > 0, s"minJ must be positive, got $minJ")
     val spark = newDocs.sparkSession
-    val sh = spread(newDocs).select(col(id).as("id"), shingles.as("g")).cache()
+    // see minhashPairs: empty shingle sets all share one constant band key
+    val sh = spread(newDocs).select(col(id).as("id"), shingles.as("g"))
+      .where(size(col("g")) > 0).cache()
     val banded = sh.select(col("id"), posexplode(
         graft.functions.NativeKernels.bandKeys(col("g"), NumHashes, NumBands, RowsPerBand))
         .as(Seq("band", "bv")))
@@ -295,7 +318,13 @@ object Dedup {
     val lines = spread(docs).select(col(id).as("id"),
       posexplode(split(text, java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "line")))
-    lines.groupBy(col("line"))
+    // blank/whitespace-only lines are STRUCTURE, not content: deduping the
+    // empty line corpus-wide would strip every document's paragraph breaks
+    // except the global first occurrence's. They bypass both the dedup key
+    // and the df cap, and every occurrence reassembles in place.
+    val content = lines.where(trim(col("line")) =!= "")
+    val blanks = lines.where(trim(col("line")) === "")
+    content.groupBy(col("line"))
       .agg(min(struct(col("id"), col("pos"))).as("k"),
         count_distinct(col("id")).as("df"))
       // maxDf: a line spread across MORE than maxDf documents is dropped
@@ -304,6 +333,7 @@ object Dedup {
       // free here (df rides the same aggregate)
       .where(col("df") <= maxDf)
       .select(col("k.id").as("id"), col("k.pos").as("pos"), col("line"))
+      .unionByName(blanks.select(col("id"), col("pos"), col("line")))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_kept"),
         concat_ws(sep, transform(
@@ -333,8 +363,8 @@ object Dedup {
     // (empty/null/null-poisoned token array — a contentful doc hits it
     // only with probability ~2^-64), and k contentless docs would
     // otherwise collide on every band into k(k-1)/2 hamming-0 pairs —
-    // the degenerate blowup minhashPairs avoids because
-    // jaccard(empty, empty) = 0 fails its verify.
+    // the same degenerate blowup minhashPairs excludes up front (empty
+    // shingle sets share one constant band key).
     val bd = spread(docs).select(col(id).as("id"),
         graft.functions.NativeKernels.simhashBands(tokens).as("bands"))
       .where(col("bands") =!= array(lit(0), lit(0), lit(0), lit(0)))
@@ -587,6 +617,14 @@ object Dedup {
         cp
       } else next
     }
+    if (!converged)
+      // best-effort is silent corruption for the downstream keep-one-per-
+      // cluster step: a chain longer than maxRounds reports one true
+      // duplicate group as several clusters and duplicates survive
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"label propagation stopped at maxRounds=$maxRounds before " +
+          "convergence — the pair graph's diameter exceeds the bound and " +
+          "some clusters are split; raise maxRounds")
     e.unpersist()
     labels
   }

@@ -41,11 +41,17 @@ object RankAggregate {
     * similarity column per facet, named `s_<facetName>` — the reference's
     * per-attribute scores in RankedResult.attributes
     * (engine/processor/RankedResult.java:14-176). */
-  def topKDetailed(spark: SparkSession, facets: Seq[BoundFacet], k: Int, m: Int): DataFrame =
-    run(spark, facets, k, m, detailed = true)
+  def topKDetailed(spark: SparkSession, facets: Seq[BoundFacet], k: Int, m: Int,
+      topMsIn: Option[Seq[DataFrame]] = None): DataFrame =
+    run(spark, facets, k, m, detailed = true, topMsIn)
 
-  def topK(spark: SparkSession, facets: Seq[BoundFacet], k: Int, m: Int): DataFrame =
-    run(spark, facets, k, m, detailed = false)
+  /** `topMsIn`: pre-computed (and ideally cached) per-facet top-M candidate
+    * frames, positionally matching `facets` — callers that already scanned
+    * each facet for calibration (the engine's search path) pass them so
+    * phase 1 reads the caches instead of re-scanning every facet. */
+  def topK(spark: SparkSession, facets: Seq[BoundFacet], k: Int, m: Int,
+      topMsIn: Option[Seq[DataFrame]] = None): DataFrame =
+    run(spark, facets, k, m, detailed = false, topMsIn)
 
   /** One facet of a [[topKShared]] query: a distance COLUMN over the shared
     * source (instead of a standalone dist frame). */
@@ -160,12 +166,17 @@ object RankAggregate {
         .join(topMs(i).select(col("id")), Seq("id"), "left_anti")
         .collect().map(_.get(0)).toSeq
       // Guard on the fetched rows: a source that returns ids already in the
-      // ranked list (only misbehaving remotes do, but the cost of one is a
-      // silently corrupted score) would double-count in the conditional-sum
-      // pivot below, which relies on AT MOST ONE row per (id, facet). The
-      // anti-join re-establishes the invariant at <= m x m cost.
+      // ranked list — or the same id twice WITHIN one fetch (only
+      // misbehaving remotes do either, but the cost of one is a silently
+      // corrupted score) — would double-count in the conditional-sum pivot
+      // below, which relies on AT MOST ONE row per (id, facet). The
+      // internal dropDuplicates plus the anti-join re-establish the
+      // invariant at <= m x m cost; which of two CONFLICTING values a
+      // broken remote sent survives is unspecified (there is no right
+      // answer to pick).
       def dedupFetched(fetched: DataFrame): DataFrame =
-        fetched.join(topMs(i).select(col("id")), Seq("id"), "left_anti")
+        fetched.dropDuplicates("id")
+          .join(topMs(i).select(col("id")), Seq("id"), "left_anti")
       val stream =
         if (f.preScored) {
           val list = topMs(i).select(col("id"), col("d").as("s"))

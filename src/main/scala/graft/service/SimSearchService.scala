@@ -229,10 +229,13 @@ final class SimSearchService(spark: SparkSession, port: Int,
     try {
       val req = RequestParser.parseSearchRequest(tmp.toString)
       val ds = SimSearchEngine.calibrationDistances(spark, cat, req.k, req.specs)
-      val facets = req.specs.map(_.column).distinct
-        .flatMap(c => ds.get(c).map(c -> _))
-        .map { case (c, l) =>
-          s"""{"column":"${jsonEscape(c)}","distances":[${l.mkString(",")}]}""" }
+      // keyed by query INDEX so two specs over the same column (different
+      // query values, different distance distributions) stay distinct;
+      // the column rides along for readability
+      val facets = req.specs.zipWithIndex
+        .flatMap { case (s, i) => ds.get(i).map((i, s.column, _)) }
+        .map { case (i, c, l) =>
+          s"""{"index":$i,"column":"${jsonEscape(c)}","distances":[${l.mkString(",")}]}""" }
         .mkString("[", ",", "]")
       respond(x, 200, s"""{"k":${req.k},"facets":$facets}""")
     } catch {

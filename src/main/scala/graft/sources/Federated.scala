@@ -122,17 +122,27 @@ object Federated {
         "(approximate merge, the reference behavior).")
       return searchJson
     }
-    val merged: Map[String, Seq[Double]] = calibs.flatMap(
-      _.get.path("facets").elements().asScala.map(f =>
-        f.get("column").asText() ->
-          f.get("distances").elements().asScala.map(_.asDouble()).toSeq))
-      .groupBy(_._1).map { case (c, ls) => c -> ls.flatMap(_._2) }
+    // facets are keyed by QUERY INDEX (two specs over the same column have
+    // different distance distributions and must not collapse); a peer
+    // whose /calibrate predates index keying cannot be matched soundly —
+    // degrade to self-calibration like a /calibrate-less peer
+    val allFacets = calibs.flatMap(
+      _.get.path("facets").elements().asScala.toSeq)
+    if (allFacets.exists(f => f.get("index") == null)) {
+      System.err.println("NOTICE: a federated instance speaks a pre-index " +
+        "/calibrate dialect; falling back to per-shard self-calibration " +
+        "(approximate merge, the reference behavior).")
+      return searchJson
+    }
+    val merged: Map[Int, Seq[Double]] = allFacets
+      .map(f => f.get("index").asInt() ->
+        f.get("distances").elements().asScala.map(_.asDouble()).toSeq)
+      .groupBy(_._1).map { case (i, ls) => i -> ls.flatMap(_._2) }
     val root = mapper.readTree(searchJson)
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
     val k = root.get("k").asText().toInt
-    root.get("queries").elements().asScala.foreach { q =>
-      val col = q.get("column").asText()
-      if (q.get("scale") == null) merged.get(col).filter(_.nonEmpty).foreach { ds =>
+    root.get("queries").elements().asScala.zipWithIndex.foreach { case (q, i) =>
+      if (q.get("scale") == null) merged.get(i).filter(_.nonEmpty).foreach { ds =>
         // the single-instance formula: k * d_k, with the degenerate
         // all-zero-distance guard (SimSearchEngine calibration)
         val dk = ds.sorted.take(k).last

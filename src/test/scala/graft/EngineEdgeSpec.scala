@@ -158,6 +158,38 @@ class EngineEdgeSpec extends SparkTestBase {
     assert(sx5.contains(math.exp(-0.05)), s"got $sx5")
   }
 
+  test("R5: a weight-count mismatch fails loudly; a single weight " +
+    "broadcasts to every combination") {
+    val a = Facet(AttributeSpec("a", SimOp.Numerical),
+      Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("id", "value"))
+    val b = Facet(AttributeSpec("b", SimOp.Numerical),
+      Seq((1L, 5.0), (2L, 6.0), (3L, 7.0)).toDF("id", "value"))
+    val cat = new Catalog(Seq(a, b))
+    // 2 combos on a, 3 on b: silently collapsing b to its head would rank
+    // every combo with weights the caller never asked for
+    val e = intercept[IllegalArgumentException] {
+      SimSearchEngine.search(spark, cat, 2, Seq(
+        SearchSpec("a", 1.0, Seq(0.3, 0.7)),
+        SearchSpec("b", 5.0, Seq(0.2, 0.5, 0.9))))
+    }
+    assert(e.getMessage.contains("combinations"), e.getMessage)
+    // size-1 broadcast remains the documented convenience
+    val ok = SimSearchEngine.search(spark, cat, 2, Seq(
+      SearchSpec("a", 1.0, Seq(0.3, 0.7)),
+      SearchSpec("b", 5.0, Seq(0.5))))
+    assert(ok.select("combo").distinct().count() == 2)
+  }
+
+  test("F12: 'max' on an empty facet raises a clear error, not an NPE") {
+    val empty = Facet(AttributeSpec("n", SimOp.Numerical),
+      Seq.empty[(Long, Double)].toDF("id", "value"))
+    val e = intercept[IllegalArgumentException] {
+      SimSearchEngine.search(spark, new Catalog(Seq(empty)), 2,
+        Seq(SearchSpec("n", "max", Seq(1.0))))
+    }
+    assert(e.getMessage.contains("no values"), e.getMessage)
+  }
+
   test("P5: max_lines caps ingestion") {
     val f = CsvMount.mount(spark, "/root/reference/data/gdelt",
       MountSpec("numerical_topk", "sample.csv", "article_id",

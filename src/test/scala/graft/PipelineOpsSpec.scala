@@ -381,6 +381,32 @@ class PipelineOpsSpec extends SparkTestBase {
       s"largest bucket ${sizes.max} of 2000 — mass not sub-split: ${sizes.toSeq}")
   }
 
+  test("lineDedup: blank lines are structure, not content — every " +
+    "document keeps its paragraph breaks") {
+    val docs = Seq(
+      (1L, "alpha one\n\nalpha two"),
+      (2L, "beta one\n\nbeta two\n\nbeta three")).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // before the fix, doc 2's empty lines deduped against doc 1's and its
+    // paragraph structure collapsed
+    assert(got(1L) == "alpha one\n\nalpha two")
+    assert(got(2L) == "beta one\n\nbeta two\n\nbeta three")
+  }
+
+  test("minhashPairs excludes empty shingle sets up front — a flood of " +
+    "too-short docs yields no candidates, not an all-pairs join") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = ((1 to 200).map(i => (i.toLong, "x")) :+ // 1-token: 0 shingles
+      (900L, base) :+ (901L, base)).toDF("doc_id", "text")
+    val sh = TextKernels.wordShingles2(TextKernels.wordTokens(col("text")))
+    val pairs = Dedup.minhashPairs(docs, "doc_id", sh, 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((900L, 901L)), pairs.toString)
+    intercept[IllegalArgumentException](
+      Dedup.minhashPairs(docs, "doc_id", sh, 0.0))
+  }
+
   test("budgetSelect matches a sequential single-window oracle on random " +
     "quality distributions (massed levels, discrete levels, NaN, ties)") {
     val rnd = new scala.util.Random(421)

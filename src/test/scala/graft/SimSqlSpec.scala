@@ -157,4 +157,24 @@ class SimSqlSpec extends SparkTestBase {
       .where(col("id").isin(ids: _*)).select("value").collect().map(_.getDouble(0))
     assert(ps.length == ids.size && ps.forall(_ > 2.75))
   }
+
+  test("residual OR filter keeps entities missing one referenced attribute " +
+    "(outer-join eligibility, not inner-join intersection)") {
+    import graft.api.{AttributeSpec, Facet, SimOp}
+    import graft.engine.SimSearchEngine.{Catalog, SearchSpec}
+    import spark.implicits._
+    // entity 7 has a price but NO rating row; the OR filter qualifies it
+    val price = Facet(AttributeSpec("price", SimOp.Numerical),
+      Seq((1L, 3.0), (7L, 10.0), (9L, 4.0)).toDF("id", "value"))
+    val rating = Facet(AttributeSpec("rating", SimOp.Numerical),
+      Seq((1L, 5.0), (9L, 1.0)).toDF("id", "value"))
+    val cat = new Catalog(Seq(price, rating))
+    val res = graft.engine.SimSearchEngine.search(spark, cat, 3,
+      Seq(SearchSpec("price", 10.0, Seq(1.0))),
+      residualFilter = Some("price > 5 OR rating > 4"))
+    val ids = res.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(7L),
+      s"entity 7 satisfies the OR filter but was excluded: $ids")
+    assert(ids.contains(1L) && !ids.contains(9L), ids.toString)
+  }
 }
