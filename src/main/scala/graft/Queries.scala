@@ -1586,6 +1586,51 @@ object Queries {
       |ORDER BY media_id""".stripMargin
 
   // ----------------------------------------------------------------------
+  // WARC ingestion + HTML extraction: the crawl-capture front door of the
+  // training-data pipeline. The committed fixture holds three WARC files
+  // (plain, per-record-gzip, corrupt-tail) the GENERATOR wrote from known
+  // fields, and a parquet twin of those writer-side fields — so the
+  // hash-match proves the record framing, the gzip member walk, the HTTP
+  // split, the degrade-past-corruption contract, and the tag/entity
+  // stripper recovering the prose the generator embedded.
+  // ----------------------------------------------------------------------
+  private def fixturePath(name: String): String = {
+    val rel = java.nio.file.Paths.get("fixtures", name)
+    val fromCwd = rel.toAbsolutePath
+    val p = if (java.nio.file.Files.exists(fromCwd)) fromCwd
+      else sys.env.get("GRAFT_REPO_ROOT")
+        .map(r => java.nio.file.Paths.get(r).resolve(rel).toAbsolutePath)
+        .getOrElse(fromCwd)
+    p.toString.replace("'", "''")
+  }
+
+  private val warcRead: (SparkSession, String) => DataFrame = (s, _) => {
+    graft.sources.Warc.read(s, fixturePath("warc"))
+      .select(col("url"), col("warcType").as("warc_type"),
+        col("httpStatus").as("http_status"),
+        col("httpContentType").as("http_content_type"),
+        length(col("body")).cast("long").as("n_body_bytes"), col("date"))
+      .orderBy(col("url"), col("warc_type"))
+  }
+
+  private val warcReadSql =
+    s"""SELECT url, warc_type, http_status, http_content_type, n_body_bytes, date
+      |FROM '${fixturePath("warc_expected.parquet")}'
+      |ORDER BY url, warc_type""".stripMargin
+
+  private val htmlText: (SparkSession, String) => DataFrame = (s, _) => {
+    graft.sources.Warc.pages(s, fixturePath("warc"))
+      .select(col("url"), col("text"))
+      .orderBy(col("url"))
+  }
+
+  private val htmlTextSql =
+    s"""SELECT url, page_text AS text
+      |FROM '${fixturePath("warc_expected.parquet")}'
+      |WHERE page_text IS NOT NULL
+      |ORDER BY url""".stripMargin
+
+  // ----------------------------------------------------------------------
   // events: batch twins of the streaming operators — tumbling-window
   // aggregation and gap-based sessionization (exact integer arithmetic on
   // epoch microseconds, so both engines hash-match bit-for-bit)
@@ -2030,6 +2075,8 @@ object Queries {
     "q_pivot_multimetric" -> pivotMultimetric,
     "q_multimodal_meta" -> multimodalMeta,
     "q_multimodal_av" -> multimodalAv,
+    "q_warc_read"     -> warcRead,
+    "q_html_text"     -> htmlText,
     "q_window_agg"    -> windowAgg,
     "q_sessionize"    -> sessionize,
     "q_haversine_knn" -> haversineKnn,
@@ -2096,6 +2143,8 @@ object Queries {
     "q_pivot_multimetric" -> pivotMultimetricSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_multimodal_av" -> multimodalAvSql,
+    "q_warc_read"     -> warcReadSql,
+    "q_html_text"     -> htmlTextSql,
     "q_window_agg"    -> windowAggSql,
     "q_sessionize"    -> sessionizeSql,
     "q_haversine_knn" -> haversineKnnSql,

@@ -236,4 +236,44 @@ object TextKernels {
   /** `s` with every match of `pattern` masked by `repl`. */
   def scrub(s: Column, pattern: String, repl: String): Column =
     regexp_replace(s, pattern, repl)
+
+  /** Visible text of an HTML document — the C4/RefinedWeb-style extraction
+    * step between WARC ingestion ([[graft.sources.Warc]]) and the text
+    * pipeline (quality gate, language ID, dedup). Drops `<script>`,
+    * `<style>`, `<head>`, and comment blocks wholesale (their contents are
+    * code, not prose), strips the remaining tags, decodes the common named
+    * and numeric character entities, and collapses whitespace. A pure
+    * codegen'd `regexp_replace` chain — per-row map, no shuffle, no UDF;
+    * at 100 TB the regex engine is the cost and the plan stays narrow.
+    *
+    * Block-drop patterns use a non-greedy body with an explicit closing
+    * literal (no backreferences), so the chain behaves identically under
+    * any regex engine that supports `(?is)`. */
+  def htmlToText(html: Column): Column = {
+    val noHead = regexp_replace(html, "(?is)<head[\\s>].*?</head\\s*>", " ")
+    val noScript = regexp_replace(noHead, "(?is)<script[\\s>].*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[\\s>].*?</style\\s*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    // Block-level closers become separators so "<p>a</p><p>b</p>" keeps a
+    // word boundary; remaining (inline) tags are deleted outright so
+    // "con<b>cat</b>enation" survives intact.
+    val blockBreak = regexp_replace(noComment,
+      "(?i)</(p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|blockquote|section|article|header|footer)\\s*>|<(br|hr)\\s*/?\\s*>", " ")
+    val noTag = regexp_replace(blockBreak, "(?s)<[^>]*>", "")
+    // Entities: the common named + numeric forms decode to their character
+    // (apostrophe/quote/angle numerics first, before the generic numeric
+    // pass turns the rest into separators); bare `&amp;` decodes LAST so
+    // no earlier pass can fabricate new entity-looking text.
+    val named = Seq("#39" -> "'", "#x27" -> "'", "#34" -> "\"", "#x22" -> "\"",
+      "nbsp" -> " ", "#160" -> " ", "lt" -> "<", "#60" -> "<",
+      "gt" -> ">", "#62" -> ">", "quot" -> "\"", "apos" -> "'").foldLeft(noTag) {
+      case (c, (e, r)) => regexp_replace(c, s"&$e;", r)
+    }
+    // Remaining numeric references (arbitrary code points — a regex cannot
+    // compute the character) become separators rather than surviving as
+    // markup noise in the extracted prose.
+    val numeric = regexp_replace(named, "&#x?[0-9a-fA-F]{1,6};", " ")
+    val amp = regexp_replace(numeric, "&amp;", "&")
+    trim(regexp_replace(amp, "\\s+", " "))
+  }
 }
