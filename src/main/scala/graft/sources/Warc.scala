@@ -62,9 +62,56 @@ object Warc {
     * ([[graft.functions.TextKernels.htmlToText]]) — the `(url, date, text)`
     * frame the curation loop ([[graft.streaming.StreamOps]]) ingests. */
   def pages(spark: SparkSession, path: String,
-      maxRecordBytes: Long = 256L << 20): DataFrame = {
+      maxRecordBytes: Long = 256L << 20): DataFrame =
+    toPages(read(spark, path, maxRecordBytes))
+
+  /** Streaming twin of [[read]]: watch `dir` for newly landed WARC files
+    * (the shape of a live crawl: the crawler closes a file, the pipeline
+    * picks it up) and emit their parsed records as a streaming DataFrame —
+    * plug directly into [[graft.streaming.StreamOps.curationStream]] for
+    * the crawl-to-corpus loop. Built on the `binaryFile` file-stream
+    * source, so discovered-file tracking, checkpointing, and at-least-once
+    * re-delivery follow the standard Structured Streaming contract (and
+    * the curation loop's batchId-keyed index appends make replays
+    * idempotent downstream).
+    *
+    * Unlike the batch path, the file source materializes each file's bytes
+    * as one row before parsing, so per-task memory here is bounded by FILE
+    * size — size crawl output files accordingly (Common Crawl's ~1 GiB
+    * works; cap intake per micro-batch with `maxFilesPerTrigger`). Use
+    * [[read]] for bulk backfill of an existing archive. */
+  def readStream(spark: SparkSession, dir: String,
+      maxRecordBytes: Long = 256L << 20, maxFilesPerTrigger: Int = 0)
+      : DataFrame = {
+    import spark.implicits._
+    // the binaryFile schema is fixed by the format, but the streaming
+    // source requires it stated explicitly
+    val reader = spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+    if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+    reader.load(dir)
+      .select(org.apache.spark.sql.functions.col("path"),
+        org.apache.spark.sql.functions.col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (file, bytes) =>
+        recordIterator(file, new java.io.ByteArrayInputStream(bytes), maxRecordBytes)
+      }
+      .toDF()
+  }
+
+  /** Streaming twin of [[pages]]: newly landed WARC files, as extracted
+    * `(url, date, text)` page rows. */
+  def pagesStream(spark: SparkSession, dir: String,
+      maxRecordBytes: Long = 256L << 20, maxFilesPerTrigger: Int = 0)
+      : DataFrame =
+    toPages(readStream(spark, dir, maxRecordBytes, maxFilesPerTrigger))
+
+  /** The [[pages]] filter + projection, shared by the batch and streaming
+    * paths: 200-status HTML(ish) responses, body decoded and stripped. */
+  private def toPages(records: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    read(spark, path, maxRecordBytes)
+    records
       .where(col("warcType") === "response" && col("httpStatus") === 200 &&
         (col("httpContentType").startsWith("text/html") ||
           col("httpContentType").startsWith("application/xhtml")))

@@ -153,4 +153,52 @@ class WarcSpec extends SparkTestBase {
   test("htmlToText: whitespace collapses to single spaces, trimmed") {
     assert(extract("  <div>\n a \t b </div>\n") == "a b")
   }
+
+  // ------------------------------------------------- crawl-to-corpus loop
+
+  test("pagesStream -> curationStream: newly landed WARC files flow " +
+    "through the quality gate and dedup into the accepted corpus; a " +
+    "re-landed copy of a crawl file admits nothing") {
+    import graft.streaming.StreamOps
+    val tmp = java.nio.file.Files.createTempDirectory("graft-warc-stream")
+    val landing = tmp.resolve("landing"); java.nio.file.Files.createDirectories(landing)
+    val root = tmp.resolve("idx").toString
+    val sink = tmp.resolve("accepted").toString
+
+    def land(src: String, as: String): Unit =
+      java.nio.file.Files.copy(java.nio.file.Paths.get(fixtureDir, src),
+        landing.resolve(as))
+
+    // first crawl output file lands before the stream starts
+    land("sample-plain.warc", "crawl-00001.warc")
+    val q = StreamOps.curationStream(
+      graft.sources.Warc.pagesStream(spark, landing.toString),
+      "url", "text", root, 0.8,
+      length(col("text")) >= 40)(StreamOps.parquetSink(sink))
+    try {
+      q.processAllAvailable()
+      // plain file: only p1 is an extractable 200 HTML page, and its prose
+      // is 69 chars — past the gate
+      val after1 = spark.read.parquet(sink).select("url")
+        .as[String].collect().toSet
+      assert(after1 == Set("https://a.example/p1"))
+
+      // second crawl file: three more pages (p4/p5/p6 prose all >= 40
+      // chars and mutually distinct), all admitted
+      land("sample-gz.warc.gz", "crawl-00002.warc.gz")
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(sink).select("url").as[String].collect().toSet
+      assert(after2 == Set("https://a.example/p1", "https://b.example/p4",
+        "https://b.example/p5", "https://b.example/p6"))
+
+      // the corrupt-tail file's page p7 is 32 chars of prose — quality-
+      // rejected; and a RE-LANDED copy of file 1 (new name, same content)
+      // is exact-deduped against the accepted index: nothing admitted
+      land("tail-garbage.warc", "crawl-00003.warc")
+      land("sample-plain.warc", "crawl-00004.warc")
+      q.processAllAvailable()
+      val after3 = spark.read.parquet(sink).select("url").as[String].collect().toSeq
+      assert(after3.sorted == after2.toSeq.sorted) // no growth, no dup rows
+    } finally q.stop()
+  }
 }
