@@ -15,6 +15,7 @@ import org.apache.spark.sql.SparkSession
   * spark-submit --class graft.IndexTool app.jar recall <path> <idCol> [--k 10] [--nprobe 4] [--sample 32]
   * spark-submit --class graft.IndexTool app.jar rebuild <path> <idCol> [--iters 10] [--train-pct 100]
   * spark-submit --class graft.IndexTool app.jar recover <path>
+  * spark-submit --class graft.IndexTool app.jar bloom <path> [--fpp 0.01]
   * }}}
   *
   * `compact` folds an ANN index's streamed batch partitions into the base;
@@ -25,6 +26,9 @@ import org.apache.spark.sql.SparkSession
   * from the stored vectors and atomically swaps. `recover` repairs a
   * compaction swap interrupted by a crash (every library entry point does
   * this automatically — the command exists for explicit operator runbooks).
+  * `bloom` builds/refreshes a fingerprint index's Bloom prefilter sidecar
+  * ([[graft.operators.Dedup.writeFingerprintBloom]]) so the ingestion
+  * loops' exact-dedup check skips the stored-index scan on novel batches.
   * All actions assume ingestion streams are stopped cleanly, except
   * `recall`, which serves concurrently by design. Prints one JSON line per
   * action for log scraping. */
@@ -94,6 +98,10 @@ object IndexTool {
       case "recover" =>
         graft.operators.IndexIO.recoverSwap(spark, args(1))
         println(s"""{"action":"recover","path":"${args(1)}"}"""); 0
+      case "bloom" =>
+        val fpp = opt(args, "--fpp").fold(0.01)(_.toDouble)
+        graft.operators.Dedup.writeFingerprintBloom(spark, args(1), fpp)
+        println(s"""{"action":"bloom","path":"${args(1)}","fpp":$fpp}"""); 0
       case other =>
         System.err.println(s"unknown action '$other'\n$usage"); 2
     }
@@ -104,5 +112,6 @@ object IndexTool {
       |  compact | compact-band | compact-fp | compact-sink <path> [--through N]
       |  recall <path> <idCol> [--k 10] [--nprobe 4] [--sample 32] [--min 0.0]
       |  rebuild <path> <idCol> [--iters 10] [--train-pct 100]
-      |  recover <path>""".stripMargin
+      |  recover <path>
+      |  bloom <path> [--fpp 0.01]""".stripMargin
 }

@@ -1630,6 +1630,69 @@ object Queries {
       |WHERE page_text IS NOT NULL
       |ORDER BY url""".stripMargin
 
+  // -- URL-level dedup: canonicalize crawl URLs (case, default ports,
+  //    fragments, trailing slash, tracking params, parameter order) and
+  //    collapse re-crawls by normalized URL — the pre-content dedup pass.
+  //    URLs are SYNTHESIZED from doc_id by identical arithmetic in both
+  //    engines; the DuckDB twin re-implements the normalization with ITS
+  //    OWN regex/list functions, so the match proves the canonicalization
+  //    semantics, not a shared formula.
+  private val urlDedup: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val url = concat(
+      when(col("doc_id") % 3 === 0, lit("HTTP://CrAwl.Example.COM:80"))
+        .when(col("doc_id") % 3 === 1, lit("https://Sub.Example.org:443"))
+        .otherwise(lit("https://cdn.example.net:8443")),
+      lit("/docs/"), (col("doc_id") % 50).cast("string"),
+      when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 2 === 0, lit("?utm_source=feed&b=2&a=1&fbclid=XYZ"))
+        .otherwise(lit("?z=9&utm_medium=email")),
+      when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+    docs.select(col("doc_id"),
+        graft.functions.TextKernels.normalizeUrl(url).as("url_norm"))
+      .groupBy(col("url_norm"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+      .orderBy(col("url_norm"))
+  }
+
+  private val urlDedupSql =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTP://CrAwl.Example.COM:80'
+      |          WHEN doc_id % 3 = 1 THEN 'https://Sub.Example.org:443'
+      |          ELSE 'https://cdn.example.net:8443' END)
+      |    || '/docs/' || CAST(doc_id % 50 AS VARCHAR)
+      |    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+      |    || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1&fbclid=XYZ'
+      |             ELSE '?z=9&utm_medium=email' END)
+      |    || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+      |  FROM documents),
+      |parts AS (
+      |  SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM u),
+      |comp AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(
+      |      lower(regexp_extract(nf, '^([^:/?#]+://[^/?#]*)', 1)),
+      |      '^(http://[^/?#]*):80$', '\1'),
+      |      '^(https://[^/?#]*):443$', '\1') AS pre,
+      |    regexp_replace(nf, '^[^:/?#]+://[^/?#]*', '') AS rest
+      |  FROM parts),
+      |norm AS (
+      |  SELECT doc_id, pre ||
+      |    (CASE WHEN regexp_extract(rest, '^([^?]*)', 1) = '/'
+      |          THEN '/'
+      |          ELSE regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/$', '') END) ||
+      |    (CASE WHEN len(q) > 0 THEN '?' || array_to_string(q, '&') ELSE '' END)
+      |    AS url_norm
+      |  FROM (
+      |    SELECT doc_id, pre, rest,
+      |      list_sort(list_filter(string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+      |        x -> x <> '' AND NOT regexp_matches(x,
+      |          '^(utm_[^=]*|fbclid|gclid|msclkid|igshid|mc_eid|ref|ref_src)='))) AS q
+      |    FROM comp))
+      |SELECT url_norm, count(*)::BIGINT AS n_docs, min(doc_id) AS keeper
+      |FROM norm GROUP BY url_norm ORDER BY url_norm""".stripMargin
+
   // ----------------------------------------------------------------------
   // events: batch twins of the streaming operators — tumbling-window
   // aggregation and gap-based sessionization (exact integer arithmetic on
@@ -2077,6 +2140,7 @@ object Queries {
     "q_multimodal_av" -> multimodalAv,
     "q_warc_read"     -> warcRead,
     "q_html_text"     -> htmlText,
+    "q_url_dedup"     -> urlDedup,
     "q_window_agg"    -> windowAgg,
     "q_sessionize"    -> sessionize,
     "q_haversine_knn" -> haversineKnn,
@@ -2145,6 +2209,7 @@ object Queries {
     "q_multimodal_av" -> multimodalAvSql,
     "q_warc_read"     -> warcReadSql,
     "q_html_text"     -> htmlTextSql,
+    "q_url_dedup"     -> urlDedupSql,
     "q_window_agg"    -> windowAggSql,
     "q_sessionize"    -> sessionizeSql,
     "q_haversine_knn" -> haversineKnnSql,

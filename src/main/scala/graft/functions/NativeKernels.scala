@@ -493,6 +493,55 @@ object NativeKernels {
   /** Deflate compression ratio of a string column. */
   def compressRatio(s: Column): Column = column(CompressRatioExpr(expression(s)))
 
+  // ------------------------------------------------------ bloom membership
+
+  /** Membership probe against a BROADCAST Bloom filter — the prefilter that
+    * lets an ingestion batch skip the stored-index join entirely when the
+    * batch is novel ([[graft.operators.Dedup.incrementalExactBloom]]). The
+    * filter rides a `Broadcast` handle, not the expression tree: tasks
+    * fetch the (potentially GB-scale at 100 TB corpus size) bit array once
+    * per executor over the torrent protocol instead of shipping it inside
+    * every serialized task. Codegen'd like the other native kernels; the
+    * UTF-8 probe bytes match `BloomFilter.putString`'s encoding, so a
+    * filter built over a string column with `put`/`putString` answers
+    * consistently (false positives possible by construction, false
+    * negatives never). NULL input -> NULL. */
+  private[functions] case class BloomMightContainExpr(child: Expression,
+      bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      child.dataType match {
+        case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a string, got ${other.simpleString}")
+      }
+    }
+    override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "bloom_might_contain_native"
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+
+    def hit(s: org.apache.spark.unsafe.types.UTF8String): Boolean =
+      bloom.value.mightContainBinary(s.getBytes)
+
+    override protected def nullSafeEval(v: Any): Any =
+      hit(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bloomMightContainExpr", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.hit($c);")
+    }
+  }
+
+  /** `true` when `s` MIGHT be in the broadcast Bloom filter (false
+    * positives possible, false negatives never). */
+  def bloomMightContain(s: Column,
+      bf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+      : Column = column(BloomMightContainExpr(expression(s), bf))
+
   // --------------------------------------------------------- winnow select
 
   /** Phase 2 of MOSS winnowing in ONE pass — the native twin of

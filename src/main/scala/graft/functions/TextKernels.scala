@@ -237,6 +237,47 @@ object TextKernels {
   def scrub(s: Column, pattern: String, repl: String): Column =
     regexp_replace(s, pattern, repl)
 
+  /** Query parameters that track campaigns/clicks, not content — two URLs
+    * differing only in these are the same page. */
+  val TrackingParamPattern =
+    "^(utm_[^=]*|fbclid|gclid|msclkid|igshid|mc_eid|ref|ref_src)="
+
+  /** Canonical form of a URL for crawl-level deduplication — the cheap
+    * pre-content kill of re-crawls and tracking-link variants (every crawl
+    * pipeline runs URL dedup BEFORE content dedup: it needs no page bytes
+    * and collapses the bulk of exact re-fetches). Normalizations, each a
+    * no-op on already-canonical URLs:
+    *
+    *  - drop the fragment (client-side only, never reaches the server);
+    *  - lowercase the scheme and authority (host names are
+    *    case-insensitive; paths are NOT touched);
+    *  - drop explicit default ports (`http://…:80`, `https://…:443`);
+    *  - drop a trailing slash on a non-root path;
+    *  - drop tracking parameters ([[TrackingParamPattern]]) and sort the
+    *    survivors, so parameter order doesn't split identical pages; an
+    *    emptied query loses its `?`.
+    *
+    * Pure codegen'd column expressions (regex splits + array ops) — a
+    * narrow per-row map, the same 100 TB posture as [[htmlToText]]. */
+  def normalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    // scheme://authority is everything before the first /?# past "://"
+    val prefix = lower(regexp_extract(noFrag, "^([^:/?#]+://[^/?#]*)", 1))
+    val rest = regexp_replace(noFrag, "^[^:/?#]+://[^/?#]*", "")
+    val noPort = regexp_replace(
+      regexp_replace(prefix, "^(http://[^/?#]*):80$", "$1"),
+      "^(https://[^/?#]*):443$", "$1")
+    val path = regexp_extract(rest, "^([^?]*)", 1)
+    val pathNorm = when(path === "/", path)
+      .otherwise(regexp_replace(path, "/$", ""))
+    val query = regexp_extract(rest, "\\?(.*)$", 1)
+    val params = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike(TrackingParamPattern)))
+    val queryNorm = when(size(params) > 0,
+      concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))
+    concat(noPort, pathNorm, queryNorm)
+  }
+
   /** Visible text of an HTML document — the C4/RefinedWeb-style extraction
     * step between WARC ingestion ([[graft.sources.Warc]]) and the text
     * pipeline (quality gate, language ID, dedup). Drops `<script>`,

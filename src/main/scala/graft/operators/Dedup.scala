@@ -433,6 +433,113 @@ object Dedup {
       .agg(min(col("__idx_id")).as("keeper"))
   }
 
+  /** Bloom sidecar file name (the `_` prefix keeps it out of Spark's file
+    * listing, like the meta sidecar). */
+  private[graft] val BloomFile = "_graft_bloom"
+
+  /** Build (or refresh) the fingerprint index's Bloom-filter sidecar: one
+    * membership summary over every stored fingerprint, plus a `bloomUpTo`
+    * high-water mark (the highest batchId the filter covers) in the meta
+    * sidecar. [[incrementalExactBloom]] then answers "is this fingerprint
+    * possibly stored?" from the broadcast filter for batches <= the mark
+    * and from a partition-pruned read of only the newer `batch=` partitions
+    * — so a NOVEL ingestion batch (the common case on a live crawl) never
+    * scans the stored index at all.
+    *
+    * Sizing: `expectedItems` defaults to the stored row count (one count
+    * job); at 1% fpp the filter costs ~1.2 bytes/item — ~1.2 GB per billion
+    * stored docs, a broadcast-sized summary of a corpus whose (fp, id)
+    * table is 50x that. Rebuild cadence: [[compactFingerprintIndex]]
+    * refreshes an existing bloom automatically (folding batches into the
+    * base would otherwise strand the high-water mark); manual `batch=-1`
+    * appends (`writeFingerprintIndex(append = true)` without a batchId)
+    * require a manual rebuild, since they land BELOW the mark. */
+  def writeFingerprintBloom(spark: org.apache.spark.sql.SparkSession,
+      path: String, fpp: Double = 0.01): Unit = {
+    IndexIO.recoverSwap(spark, path)
+    require(IndexIO.hasData(spark, path),
+      s"no fingerprint index data at $path — build with writeFingerprintIndex first")
+    val df = spark.read.parquet(path)
+    val upTo = df.agg(max(col(IndexIO.BatchCol).cast("long"))).head match {
+      case r if r.isNullAt(0) => -1L
+      case r => r.getLong(0)
+    }
+    val n = df.count()
+    val bf = df.stat.bloomFilter("fp", math.max(n, 1L), fpp)
+    val p = new org.apache.hadoop.fs.Path(path, BloomFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try bf.writeTo(out) finally out.close()
+    val node = IndexIO.readMeta(spark, path)
+      .collect { case o: com.fasterxml.jackson.databind.node.ObjectNode => o }
+      .getOrElse(new com.fasterxml.jackson.databind.ObjectMapper().createObjectNode())
+    node.put("bloomUpTo", upTo)
+    IndexIO.writeMeta(spark, path,
+      new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(node))
+  }
+
+  /** The stored bloom + its high-water mark, if one was built. */
+  private[graft] def readFingerprintBloom(
+      spark: org.apache.spark.sql.SparkSession, path: String)
+      : Option[(org.apache.spark.util.sketch.BloomFilter, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(path, BloomFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val bf = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+        finally in.close()
+      val upTo = IndexIO.readMeta(spark, path)
+        .map(_.path("bloomUpTo").asLong(-1L)).getOrElse(-1L)
+      Some((bf, upTo))
+    }
+  }
+
+  /** [[incrementalExact]] with a Bloom prefilter — identical answers, but a
+    * batch whose fingerprints all miss the filter (AND have no match in the
+    * post-bloom `batch=` partitions) skips the stored-index scan entirely.
+    * The decomposition: the broadcast bloom soundly covers partitions
+    * `batch <= bloomUpTo`; newer partitions are joined directly through a
+    * partition-pruned read (they are exactly the streaming appends since
+    * the last bloom build/compaction — bounded by the compaction cadence).
+    * Bloom FALSE POSITIVES only send extra rows into the verify join (the
+    * join discards them); false negatives cannot occur for covered
+    * partitions, so no duplicate is ever missed. Falls back to the plain
+    * join when no bloom sidecar exists. */
+  def incrementalExactBloom(newDocs: DataFrame, id: String, text: Column,
+      indexPath: String, excludeBatch: Option[Long] = None): DataFrame = {
+    val spark = newDocs.sparkSession
+    readFingerprintBloom(spark, indexPath) match {
+      case None => incrementalExact(newDocs, id, text, indexPath, excludeBatch)
+      case Some((bf, upTo)) =>
+        // the batch-side fingerprint projection runs up to three times
+        // (emptiness probe + the two joins) — all batch-bounded narrow
+        // maps, deliberately not cached so an unbounded streaming loop
+        // never accumulates per-batch cache entries
+        val fps = spread(newDocs)
+          .select(col(id).as("id"), TextKernels.fingerprint(text).as("fp"))
+        val bc = spark.sparkContext.broadcast(bf)
+        val possible = fps.where(
+          graft.functions.NativeKernels.bloomMightContain(col("fp"), bc))
+        val idx = IndexIO.excludeBatch(spark.read.parquet(indexPath), excludeBatch)
+        val b = col(IndexIO.BatchCol).cast("long")
+        val recent = idx.where(b > upTo).select(col("fp"), col("id").as("__idx_id"))
+        val recentMatches = broadcast(fps).join(recent, Seq("fp"))
+          .select(col("id"), col("fp"), col("__idx_id"))
+        // one cheap batch-only job decides whether the covered portion of
+        // the index needs reading at all — the novel-batch fast path
+        val oldMatches =
+          if (possible.limit(1).isEmpty)
+            fps.select(col("id"), col("fp"), col("id").as("__idx_id")).limit(0)
+          else broadcast(possible).join(
+            idx.where(b <= upTo).select(col("fp"), col("id").as("__idx_id")),
+            Seq("fp")).select(col("id"), col("fp"), col("__idx_id"))
+        oldMatches.unionByName(recentMatches)
+          .groupBy(col("id"), col("fp"))
+          .agg(min(col("__idx_id")).as("keeper"))
+    }
+  }
+
   /** Compact a grown [[writeBandIndex]] index: fold every appended batch of
     * both tables back into `batch=-1`, rewritten to well-sized files (one
     * per ~`maxPartitionBytes`), and atomically swap. Same rationale and
@@ -455,10 +562,19 @@ object Dedup {
   }
 
   /** Compact a grown [[writeFingerprintIndex]] index — the single-table
-    * twin of [[compactBandIndex]]. */
+    * twin of [[compactBandIndex]]. An existing Bloom sidecar is REBUILT
+    * after the swap: the fold moves batches <= `through` into the base,
+    * and a stale `bloomUpTo` high-water mark would make
+    * [[incrementalExactBloom]]'s "newer partitions" read miss them. (The
+    * rewrite drops the old bloom file with the old directory, so a crash
+    * between swap and rebuild degrades to the plain-join fallback — never
+    * to a stale bloom.) */
   def compactFingerprintIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      through: Option[Long] = None): Unit =
+      through: Option[Long] = None): Unit = {
+    val hadBloom = readFingerprintBloom(spark, path).isDefined
     IndexIO.compactFlatTable(spark, path, through)
+    if (hadBloom) writeFingerprintBloom(spark, path)
+  }
 
   private def compactTable(spark: org.apache.spark.sql.SparkSession,
       dir: String, tmp: String, through: Option[Long]): Long =

@@ -434,7 +434,7 @@ object StreamOps {
       .withColumn("keeper", min(col("id")).over(w))
       .where(col("id") =!= col("keeper"))
     val dups = (if (hasIndex)
-        inBatch.union(Dedup.incrementalExact(b, idCol, col(textCol), indexPath,
+        inBatch.union(Dedup.incrementalExactBloom(b, idCol, col(textCol), indexPath,
           excludeBatch = Some(batchId)))
       else inBatch)
       // a doc can be a dup both in-batch and vs the index: keep ONE row
@@ -528,7 +528,7 @@ object StreamOps {
       .withColumn("keeper", min(col("id")).over(w))
       .where(col("id") =!= col("keeper")).select(col("id"))
     val exactDrops = (if (hasExact)
-        exactInBatch.union(Dedup.incrementalExact(q, idCol, col(textCol),
+        exactInBatch.union(Dedup.incrementalExactBloom(q, idCol, col(textCol),
           exactPath, excludeBatch = Some(batchId)).select(col("id")))
       else exactInBatch).distinct()
     val s1 = q.join(exactDrops.withColumnRenamed("id", idCol), Seq(idCol),

@@ -9,6 +9,16 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Eagerly convert a Column into a catalyst expression tree. [[expression]]
+    * returns a LAZY `ColumnNodeExpression` wrapper, which plan-conversion
+    * unwraps — but an expression returned from an injected FUNCTION builder
+    * is spliced into the plan directly, where the wrapper survives analysis
+    * unresolved-inside and dies at codegen. The eager conversion yields the
+    * same `UnresolvedFunction`/lambda nodes the SQL parser would, which the
+    * analyzer then resolves normally. */
+  def eagerExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
+
   /** Apply a [[SparkSessionExtensions]]' injected functions to an ALREADY
     * RUNNING session's registry (`registerFunctions` is `private[sql]`).
     * The normal path — `spark.sql.extensions=graft.GraftExtensions` at

@@ -37,6 +37,19 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(viaSql.length == viaCol.length && viaSql.sameElements(viaCol))
   }
 
+  test("composed kernels register as SQL functions: graft_html_to_text " +
+    "and graft_normalize_url match their Column forms") {
+    GraftExtensions.register(spark)
+    val html = "<html><head><script>x</script></head>" +
+      "<body><p>Hello &amp; world</p><div>two</div></body></html>"
+    val url = "HTTPS://ExAmple.COM:443/a/b/?utm_source=x&b=2&a=1#frag"
+    val r = spark.sql(
+      s"""SELECT graft_html_to_text('${html.replace("'", "\\'")}') t,
+        |  graft_normalize_url('$url') u""".stripMargin).head()
+    assert(r.getString(0) == "Hello & world two")
+    assert(r.getString(1) == "https://example.com/a/b?a=1&b=2")
+  }
+
   test("arity is validated with a clear message") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {

@@ -81,4 +81,21 @@ class IndexToolSpec extends SparkTestBase {
     StreamOps.parquetSink(sink)(Seq((1L, "x")).toDF("id", "t"), 0L)
     assert(StreamOps.readSink(spark, sink).count() == 2)
   }
+
+  test("IndexTool: bloom builds the prefilter sidecar; missing operand " +
+    "and unknown action exit 2") {
+    import graft.operators.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft-tool3").toString
+    val fp = s"$root/fp"
+    Dedup.writeFingerprintIndex(
+      (1L to 20L).map(i => (i, s"doc $i")).toDF("id", "text"),
+      "id", col("text"), fp)
+    assert(IndexTool.run(spark, Array("bloom", fp, "--fpp", "0.02")) == 0)
+    assert(Dedup.readFingerprintBloom(spark, fp).isDefined)
+    val dup = Seq((99L, "doc 5")).toDF("id", "text")
+    assert(Dedup.incrementalExactBloom(dup, "id", col("text"), fp, None)
+      .select("id", "keeper").as[(Long, Long)].collect().toSet == Set((99L, 5L)))
+    assert(IndexTool.run(spark, Array("bloom")) == 2)
+    assert(IndexTool.run(spark, Array("nonsense", fp)) == 2)
+  }
 }

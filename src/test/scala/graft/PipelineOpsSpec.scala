@@ -241,6 +241,59 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got2 == Set((30L, 21L)))
   }
 
+  test("incrementalExactBloom: identical answers to the plain join, with " +
+    "and without planted dups; novel batches skip the covered index") {
+    import graft.operators.Dedup
+    val path = java.nio.file.Files.createTempDirectory("graft-bloom").toString + "/fpidx"
+    val corpus = (1L to 200L).map(i => (i, s"stored doc number $i body"))
+      .toDF("doc_id", "text")
+    Dedup.writeFingerprintIndex(corpus, "doc_id", col("text"), path)
+    Dedup.writeFingerprintBloom(spark, path)
+    // mixed batch: two dups of stored docs + two novel docs
+    val mixed = Seq((501L, "stored doc number 7 body"),
+      (502L, "stored doc number 150 body"), (503L, "novel a"), (504L, "novel b"))
+      .toDF("doc_id", "text")
+    def run(f: (org.apache.spark.sql.DataFrame, String, org.apache.spark.sql.Column,
+        String, Option[Long]) => org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame) =
+      f(b, "doc_id", col("text"), path, None)
+        .select("id", "keeper").as[(Long, Long)].collect().toSet
+    assert(run(Dedup.incrementalExactBloom, mixed) ==
+      run(Dedup.incrementalExact, mixed))
+    assert(run(Dedup.incrementalExactBloom, mixed) == Set((501L, 7L), (502L, 150L)))
+    // all-novel batch: bloom kills every row; result empty like the join
+    val novel = Seq((601L, "wholly new x"), (602L, "wholly new y"))
+      .toDF("doc_id", "text")
+    assert(run(Dedup.incrementalExactBloom, novel).isEmpty)
+  }
+
+  test("incrementalExactBloom: batches appended AFTER the bloom build are " +
+    "matched through the partition-pruned recent read; compaction " +
+    "refreshes the high-water mark") {
+    import graft.operators.Dedup
+    val path = java.nio.file.Files.createTempDirectory("graft-bloom2").toString + "/fpidx"
+    val base = (1L to 50L).map(i => (i, s"base doc $i")).toDF("doc_id", "text")
+    Dedup.writeFingerprintIndex(base, "doc_id", col("text"), path)
+    Dedup.writeFingerprintBloom(spark, path)
+    // a streaming-style append lands AFTER the bloom: its rows are above
+    // the high-water mark, so the bloom cannot vouch for them
+    val appended = Seq((100L, "late arrival alpha"), (101L, "late arrival beta"))
+      .toDF("doc_id", "text")
+    Dedup.writeFingerprintIndex(appended, "doc_id", col("text"), path,
+      append = true, batchId = Some(3L))
+    val probe = Seq((200L, "late arrival alpha"), (201L, "base doc 9"))
+      .toDF("doc_id", "text")
+    def got() = Dedup.incrementalExactBloom(probe, "doc_id", col("text"), path, None)
+      .select("id", "keeper").as[(Long, Long)].collect().toSet
+    assert(got() == Set((200L, 100L), (201L, 9L)))
+    // fold the appended batch into the base: without the bloom refresh the
+    // stale mark would hide the folded rows from BOTH paths
+    Dedup.compactFingerprintIndex(spark, path)
+    assert(got() == Set((200L, 100L), (201L, 9L)))
+    val meta = graft.operators.IndexIO.readMeta(spark, path).get
+    assert(meta.path("bloomUpTo").asLong(-99L) == -1L) // all folded to base
+  }
+
   test("chunkTokens: overlapping windows, short-doc and empty-doc edges, " +
     "exact spans") {
     import graft.operators.Packing

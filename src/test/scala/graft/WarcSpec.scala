@@ -154,6 +154,33 @@ class WarcSpec extends SparkTestBase {
     assert(extract("  <div>\n a \t b </div>\n") == "a b")
   }
 
+  // ------------------------------------------------------- normalizeUrl
+
+  private def norm(u: String): String =
+    Seq(u).toDF("u").select(TextKernels.normalizeUrl(col("u")).as("n"))
+      .as[String].head()
+
+  test("normalizeUrl: case, default ports, fragments, trailing slash") {
+    assert(norm("HTTP://ExAmple.COM:80/Path/To/") == "http://example.com/Path/To")
+    assert(norm("https://a.example:443/x") == "https://a.example/x")
+    assert(norm("https://a.example:8443/x#sec2") == "https://a.example:8443/x")
+    assert(norm("http://a.example/") == "http://a.example/")
+    assert(norm("http://a.example") == "http://a.example")
+  }
+
+  test("normalizeUrl: tracking params dropped, survivors sorted, empty query gone") {
+    assert(norm("http://h/p?utm_source=x&b=2&a=1&fbclid=F") == "http://h/p?a=1&b=2")
+    assert(norm("http://h/p?utm_campaign=c&gclid=g") == "http://h/p")
+    assert(norm("http://h/p?z=1&y=2&z=0") == "http://h/p?y=2&z=0&z=1")
+    assert(norm("http://h/p") == "http://h/p")
+  }
+
+  test("normalizeUrl is idempotent on its own output") {
+    val urls = Seq("HTTP://ExAmple.COM:80/Path/To/?utm_source=x&b=2&a=1#f",
+      "https://cdn.example.net:8443/docs/7?z=9", "http://h/p")
+    urls.foreach(u => assert(norm(norm(u)) == norm(u)))
+  }
+
   // ------------------------------------------------- crawl-to-corpus loop
 
   test("pagesStream -> curationStream: newly landed WARC files flow " +
