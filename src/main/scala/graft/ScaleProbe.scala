@@ -155,6 +155,29 @@ object ScaleProbe {
         n
       }
       batch.unpersist()
+      // round-11: Bloom-prefiltered exact dedup — the novel-batch fast
+      // path. The plain join scans the whole stored (fp, id) table per
+      // batch (grows with the corpus); the bloom path's cost on an
+      // all-novel batch is batch-bounded (broadcast membership test + an
+      // emptiness probe), so it must stay FLAT while the corpus grows.
+      // The bloom build itself is one linear scan, amortized over every
+      // batch until the next compaction.
+      val novel = docs0.where(col("doc_id") < 500)
+        .select((col("doc_id") + 95000000L).as("doc_id"),
+          concat(lit(s"entirely novel probe text $mult "), col("text")).as("text"))
+        .cache()
+      novel.count()
+      val tExactJoinNovel = timeIt {
+        Dedup.incrementalExact(novel, "doc_id", col("text"), s"$curRoot/exact").count()
+      }
+      val tBloomBuild = timeIt {
+        Dedup.writeFingerprintBloom(spark, s"$curRoot/exact"); mult.toLong
+      }
+      val tExactBloomNovel = timeIt {
+        Dedup.incrementalExactBloom(novel, "doc_id", col("text"),
+          s"$curRoot/exact").count()
+      }
+      novel.unpersist()
       // round-9: winnowing partial-overlap pairs — per-row hashing is the
       // dominant linear term; the fingerprint equi-join is df-capped
       val tWinnow = timeIt {
@@ -218,7 +241,7 @@ object ScaleProbe {
         AnnIndex.rebuild(spark, ivfPath, "vec_id", iters = 5); mult.toLong
       }
       if (mult0 > 0)
-        println(s"""{"mult":$mult,"docs":${docs.count()},"minhash_sec":$tMinhash,"ann_sec":$tAnn,"rankagg_sec":$tRankAgg,"cluster_sec":$tCluster,"pack_sec":$tPack,"tfidf_sec":$tTfidf,"simhash_sec":$tSimhash,"quantize_sec":$tQuantize,"contam_sec":$tContam,"chunk_sec":$tChunk,"repetition_sec":$tRepet,"idx_build_sec":$tIdxBuild,"idx_probe_sec":$tIdxProbe,"band_build_sec":$tBandBuild,"incr_probe_sec":$tIncrProbe,"winnow_sec":$tWinnow,"winnow_spans_sec":$tWinnowSpans,"line_dedup_sec":$tLineDedup,"curation_batch_sec":$tCuration,"budget_select_sec":$tBudget,"budget_select_const_sec":$tBudgetConst,"ivf_build_sec":$tIvfBuild,"recall_probe_sec":$tRecall,"ivf_rebuild_sec":$tRebuild}""")
+        println(s"""{"mult":$mult,"docs":${docs.count()},"minhash_sec":$tMinhash,"ann_sec":$tAnn,"rankagg_sec":$tRankAgg,"cluster_sec":$tCluster,"pack_sec":$tPack,"tfidf_sec":$tTfidf,"simhash_sec":$tSimhash,"quantize_sec":$tQuantize,"contam_sec":$tContam,"chunk_sec":$tChunk,"repetition_sec":$tRepet,"idx_build_sec":$tIdxBuild,"idx_probe_sec":$tIdxProbe,"band_build_sec":$tBandBuild,"incr_probe_sec":$tIncrProbe,"winnow_sec":$tWinnow,"winnow_spans_sec":$tWinnowSpans,"line_dedup_sec":$tLineDedup,"curation_batch_sec":$tCuration,"budget_select_sec":$tBudget,"budget_select_const_sec":$tBudgetConst,"ivf_build_sec":$tIvfBuild,"recall_probe_sec":$tRecall,"ivf_rebuild_sec":$tRebuild,"exact_join_novel_sec":$tExactJoinNovel,"bloom_build_sec":$tBloomBuild,"exact_bloom_novel_sec":$tExactBloomNovel}""")
       docs.unpersist(); emb.unpersist()
     }
     spark.stop()

@@ -363,7 +363,8 @@ final class SimSearchService(spark: SparkSession, port: Int,
     * {{{
     * { "operator": "line_dedup" | "exact_groups" | "minhash_pairs" |
     *               "dedup_cluster" | "text_stats" |
-    *               "budget_select" | "chunk" | "scrub",
+    *               "budget_select" | "chunk" | "scrub" |
+    *               "html_text" | "url_dedup",
     *   "input": {"column": "<mounted attribute>"}        // api_key's catalog
     *          | {"path": "/dir", "format": "parquet"|"csv"},
     *   "id": "doc_id", "text": "text",                   // path-input columns
@@ -382,7 +383,9 @@ final class SimSearchService(spark: SparkSession, port: Int,
     * budget_select `budget` (required), `quality_column` (required),
     * `tokens_column` (default: whitespace token count of the text); chunk
     * `chunk_size` (required), `overlap`; scrub `pattern` (required),
-    * `replacement`; text_stats none. */
+    * `replacement`; text_stats none; html_text none (the text column holds
+    * raw HTML, the response holds the extracted prose); url_dedup none
+    * (the text column holds URLs; returns url_norm / n_docs / keeper). */
   private def handlePipeline(x: HttpExchange): Unit = {
     import org.apache.spark.sql.functions._
     import graft.functions.TextKernels
@@ -392,7 +395,8 @@ final class SimSearchService(spark: SparkSession, port: Int,
       val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
       val opName = root.path("operator").asText("")
       val knownOps = Seq("line_dedup", "exact_groups", "minhash_pairs",
-        "dedup_cluster", "text_stats", "budget_select", "chunk", "scrub")
+        "dedup_cluster", "text_stats", "budget_select", "chunk", "scrub",
+        "html_text", "url_dedup")
       if (!knownOps.contains(opName))
         throw new IllegalArgumentException(
           s"unknown operator '$opName' — one of ${knownOps.mkString(", ")}")
@@ -461,6 +465,12 @@ final class SimSearchService(spark: SparkSession, port: Int,
         case "scrub" => df.select(col(idCol), TextKernels.scrub(col(textCol),
           reqParam("pattern").asText(),
           params.path("replacement").asText("[REDACTED]")).as(textCol))
+        case "html_text" => df.select(col(idCol),
+          TextKernels.htmlToText(col(textCol)).as(textCol))
+        case "url_dedup" => df
+          .select(col(idCol), TextKernels.normalizeUrl(col(textCol)).as("url_norm"))
+          .groupBy(col("url_norm"))
+          .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keeper"))
       }
       Option(root.get("output")) match {
         case Some(out) =>

@@ -325,6 +325,35 @@ class SimSearchServiceSpec extends SparkTestBase {
       assert(ts.size() == 3 && ts.get(0).has("n_tokens") &&
         ts.get(0).has("compress_ratio"), b8)
 
+      // html_text: raw HTML in the text column comes back as prose
+      val htmlDir = s"$dir/html"
+      Seq((1L, "<html><head><script>x=1</script></head><body><p>kept " +
+        "prose</p><div>more</div></body></html>"))
+        .toDF("doc_id", "text").write.mode("overwrite").parquet(htmlDir)
+      val (c9, b9) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "html_text",
+            "input": {"path": "$htmlDir"}, "id": "doc_id", "text": "text"}"""))
+      assert(c9 == 200, b9)
+      assert(new ObjectMapper().readTree(b9).get(0).get("text").asText()
+        == "kept prose more", b9)
+
+      // url_dedup: tracking-link variants of one page collapse
+      val urlDir = s"$dir/urls"
+      Seq((1L, "https://A.example/p?utm_source=x&k=1"),
+        (2L, "https://a.example/p/?k=1"),
+        (3L, "https://a.example/other"))
+        .toDF("doc_id", "text").write.mode("overwrite").parquet(urlDir)
+      val (c10, b10) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "url_dedup",
+            "input": {"path": "$urlDir"}, "id": "doc_id", "text": "text"}"""))
+      assert(c10 == 200, b10)
+      val ud = new ObjectMapper().readTree(b10)
+      val byUrl = (0 until ud.size()).map(i =>
+        ud.get(i).get("url_norm").asText() ->
+          (ud.get(i).get("n_docs").asLong(), ud.get(i).get("keeper").asLong())).toMap
+      assert(byUrl == Map("https://a.example/p?k=1" -> (2L, 1L),
+        "https://a.example/other" -> (1L, 3L)), b10)
+
       // errors stay 400 with a message, not socket faults
       val (c5, b5) = http("POST", s"$base/pipeline",
         Some("""{"operator": "nope", "input": {"path": "/tmp/x"}}"""))
