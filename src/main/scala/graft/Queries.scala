@@ -1693,6 +1693,43 @@ object Queries {
       |SELECT url_norm, count(*)::BIGINT AS n_docs, min(doc_id) AS keeper
       |FROM norm GROUP BY url_norm ORDER BY url_norm""".stripMargin
 
+  // -- per-domain cap: the anti-domination pass — at most `cap` docs per
+  //    host, chosen in the deterministic (md5(id), id) hash order the
+  //    sampling operators share. Spark ranks through the salted two-level
+  //    decomposition (Sampling.capPerKey — no whole-domain single-task
+  //    sort); the DuckDB twin uses a plain per-domain row_number, proving
+  //    the decomposition picks the identical set.
+  private val DomainCapN = 60L
+
+  private val domainCap: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val url = concat(
+      when(col("doc_id") % 3 === 0, lit("HTTP://CrAwl.Example.COM:80"))
+        .when(col("doc_id") % 3 === 1, lit("https://www.Sub.Example.org:443"))
+        .otherwise(lit("https://cdn.example.net:8443")),
+      lit("/docs/"), col("doc_id").cast("string"))
+    val withDomain = docs.select(col("doc_id"),
+      graft.functions.TextKernels.urlHost(url).as("domain"))
+    graft.operators.Sampling.capPerKey(withDomain, col("domain"),
+        col("doc_id"), DomainCapN)
+      .select(col("doc_id"), col("domain"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val domainCapSql =
+    s"""WITH u AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'crawl.example.com'
+      |         WHEN doc_id % 3 = 1 THEN 'sub.example.org'
+      |         ELSE 'cdn.example.net' END AS domain
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, domain, row_number() OVER (
+      |    PARTITION BY domain ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM u)
+      |SELECT doc_id, domain FROM r WHERE rn <= $DomainCapN
+      |ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------------
   // events: batch twins of the streaming operators — tumbling-window
   // aggregation and gap-based sessionization (exact integer arithmetic on
@@ -2141,6 +2178,7 @@ object Queries {
     "q_warc_read"     -> warcRead,
     "q_html_text"     -> htmlText,
     "q_url_dedup"     -> urlDedup,
+    "q_domain_cap"    -> domainCap,
     "q_window_agg"    -> windowAgg,
     "q_sessionize"    -> sessionize,
     "q_haversine_knn" -> haversineKnn,
@@ -2210,6 +2248,7 @@ object Queries {
     "q_warc_read"     -> warcReadSql,
     "q_html_text"     -> htmlTextSql,
     "q_url_dedup"     -> urlDedupSql,
+    "q_domain_cap"    -> domainCapSql,
     "q_window_agg"    -> windowAggSql,
     "q_sessionize"    -> sessionizeSql,
     "q_haversine_knn" -> haversineKnnSql,

@@ -278,6 +278,13 @@ object TextKernels {
     concat(noPort, pathNorm, queryNorm)
   }
 
+  /** The URL's host, lowercased, port and leading `www.` stripped — the
+    * grouping key for per-domain pipeline policy (caps, mixing rates,
+    * blocklists). Pure regex, same posture as [[normalizeUrl]]. */
+  def urlHost(u: Column): Column =
+    regexp_replace(lower(regexp_extract(u, "^[^:/?#]+://([^/?#:]+)", 1)),
+      "^www\\.", "")
+
   /** Visible text of an HTML document — the C4/RefinedWeb-style extraction
     * step between WARC ingestion ([[graft.sources.Warc]]) and the text
     * pipeline (quality gate, language ID, dedup). Drops `<script>`,

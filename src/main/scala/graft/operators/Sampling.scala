@@ -70,7 +70,28 @@ object Sampling {
     * from the session conf ([[graft.api.Knobs.SampleSaltWidth]], default 2),
     * so a deployment retunes the width without touching call sites. */
   def stratified(df: DataFrame, stratum: Column, id: Column, frac: Double,
+      saltWidth: Int = 0): DataFrame =
+    keepByRank(df, stratum, id, saltWidth, total => floor(total * frac))
+
+  /** Per-key cap: keep at most `cap` rows per key, chosen in the same
+    * deterministic hash order as [[stratified]] — the anti-domination pass
+    * of a crawl pipeline (one mirror farm or link-spam domain must not be
+    * 30 % of the training mix; capping docs-per-domain is standard
+    * curation practice). Same salted two-level rank underneath, so a
+    * domain with a billion pages ranks as 16^saltWidth parallel runs —
+    * the hot-domain case is exactly the skew this machinery exists for. */
+  def capPerKey(df: DataFrame, key: Column, id: Column, cap: Long,
       saltWidth: Int = 0): DataFrame = {
+    require(cap >= 0, s"cap $cap must be >= 0")
+    keepByRank(df, key, id, saltWidth, _ => lit(cap))
+  }
+
+  /** Shared salted-rank keep: rows whose global in-stratum rank (by
+    * (md5(id), id)) is <= `quota`(per-stratum total). See [[stratified]]'s
+    * scale note — this is the decomposition that never sorts a whole
+    * stratum through one task. */
+  private def keepByRank(df: DataFrame, stratum: Column, id: Column,
+      saltWidth: Int, quota: Column => Column): DataFrame = {
     val width =
       if (saltWidth != 0) saltWidth
       else df.sparkSession.conf.get(graft.api.Knobs.SampleSaltWidth, "2").toInt
@@ -89,7 +110,7 @@ object Sampling {
       .withColumn("__base", coalesce(
         sum("__c").over(Window.partitionBy("__st").orderBy("__salt")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("__quota", floor(sum("__c").over(Window.partitionBy("__st")) * frac))
+      .withColumn("__quota", quota(sum("__c").over(Window.partitionBy("__st"))))
       .select(col("__st").as("__o_st"), col("__salt").as("__o_salt"),
         col("__base"), col("__quota"))
       .cache() // tiny; counted below, then read by the join — one aggregation pass

@@ -241,6 +241,37 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got2 == Set((30L, 21L)))
   }
 
+  test("capPerKey: at most cap rows per key, deterministic hash order, " +
+    "identical to a per-key row_number at any salt width") {
+    import graft.operators.Sampling
+    val rows = (1L to 300L).map(i => (i, if (i % 10 == 0) "rare" else "hot"))
+      .toDF("id", "dom")
+    def kept(width: Int) = Sampling.capPerKey(rows, col("dom"), col("id"), 25L,
+      saltWidth = width).select("id").as[Long].collect().toSet
+    // brute-force reference: rank within key by (md5, id)
+    val ref = rows
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("dom")
+          .orderBy(md5(col("id").cast("string")), col("id"))))
+      .where(col("rn") <= 25).select("id").as[Long].collect().toSet
+    assert(kept(1) == ref && kept(3) == ref)
+    // the rare key has 30 rows -> capped to 25; hot has 270 -> capped to 25
+    val byDom = Sampling.capPerKey(rows, col("dom"), col("id"), 25L)
+      .groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(byDom == Map("hot" -> 25L, "rare" -> 25L))
+    // cap above the key size keeps everything; cap 0 keeps nothing
+    assert(Sampling.capPerKey(rows, col("dom"), col("id"), 1000L).count() == 300)
+    assert(Sampling.capPerKey(rows, col("dom"), col("id"), 0L).count() == 0)
+  }
+
+  test("urlHost: lowercased host, port and www stripped") {
+    import graft.functions.TextKernels
+    val got = Seq("HTTPS://WWW.ExAmple.COM:8443/p?q=1", "http://a.b.example/x",
+      "https://www.example.org").toDF("u")
+      .select(TextKernels.urlHost(col("u"))).as[String].collect().toSeq
+    assert(got == Seq("example.com", "a.b.example", "example.org"))
+  }
+
   test("incrementalExactBloom: identical answers to the plain join, with " +
     "and without planted dups; novel batches skip the covered index") {
     import graft.operators.Dedup
