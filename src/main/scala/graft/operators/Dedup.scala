@@ -52,6 +52,21 @@ object Dedup {
     * re-join the shingle sets -> exact Jaccard verification. Probability a
     * true pair with similarity s collides: 1 - (1 - s^4)^4 (~1.0 at s>=0.9).
     */
+  /** The guarded (id, g) shingle frame every banded operator starts from:
+    * project-and-CACHE first, filter the empties on top of the cached
+    * array. The order is a measured 13x: `select(g).where(size(g) > 0)`
+    * lets Catalyst push the predicate below the projection, substituting
+    * the whole shingle chain into the filter — and higher-order-function
+    * chains run interpreted (no whole-stage codegen, no subexpression
+    * sharing), so the corpus paid the chain repeatedly per row. Filtering
+    * the cached column is an O(1) `size` per row. Returns (cached
+    * unfiltered frame — the unpersist handle, guarded frame). */
+  private def shingleFrame(docs: DataFrame, id: String, shingles: Column)
+      : (DataFrame, DataFrame) = {
+    val all = spread(docs).select(col(id).as("id"), shingles.as("g")).cache()
+    (all, all.where(size(col("g")) > 0))
+  }
+
   def minhashPairs(docs: DataFrame, id: String, shingles: Column, minJ: Double): DataFrame = {
     require(minJ > 0, s"minJ must be positive, got $minJ")
     // Cache the shingle sets and band keys: the LSH self-join and the
@@ -64,8 +79,7 @@ object Dedup {
     // self-join — the all-pairs blowup this operator's contract forbids —
     // only for the verify to discard every pair (jaccard with an empty
     // set is 0 < minJ). Same guard as simhashPairs' all-zero fingerprint.
-    val sh = spread(docs).select(col(id).as("id"), shingles.as("g"))
-      .where(size(col("g")) > 0).cache()
+    val (_, sh) = shingleFrame(docs, id, shingles)
     // native one-pass band keys (bit-identical to the composed
     // shingleHashes -> minhashSig -> bandKey chain, NativeKernelSpec)
     val banded = sh
@@ -114,9 +128,8 @@ object Dedup {
     // empty shingle sets stay out of the index — they would park the
     // constant all-null band key in every band directory and every later
     // batch's too-short docs would candidate-join against all of them
-    // (see minhashPairs)
-    val sh = spread(docs).select(col(id).as("id"), shingles.as("g"))
-      .where(size(col("g")) > 0).cache()
+    // (see minhashPairs; cache-then-filter order per shingleFrame)
+    val (shAll, sh) = shingleFrame(docs, id, shingles)
     try {
       def write(df: DataFrame, sub: String): Unit =
         if (batchId.isDefined)
@@ -136,7 +149,7 @@ object Dedup {
       write(sh.select(col("id"), posexplode(
           graft.functions.NativeKernels.bandKeys(col("g"), NumHashes, NumBands, RowsPerBand))
           .as(Seq("band", "bv"))), "bands")
-    } finally sh.unpersist()
+    } finally shAll.unpersist()
   }
 
   /** Near-duplicate pairs (a = new-batch id, b = indexed corpus id, j)
@@ -164,8 +177,8 @@ object Dedup {
     require(minJ > 0, s"minJ must be positive, got $minJ")
     val spark = newDocs.sparkSession
     // see minhashPairs: empty shingle sets all share one constant band key
-    val sh = spread(newDocs).select(col(id).as("id"), shingles.as("g"))
-      .where(size(col("g")) > 0).cache()
+    // (cache-then-filter order per shingleFrame)
+    val (_, sh) = shingleFrame(newDocs, id, shingles)
     val banded = sh.select(col("id"), posexplode(
         graft.functions.NativeKernels.bandKeys(col("g"), NumHashes, NumBands, RowsPerBand))
         .as(Seq("band", "bv")))
