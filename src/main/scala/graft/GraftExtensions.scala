@@ -48,6 +48,7 @@ object GraftExtensions {
         })
     Seq(
       unary("graft_html_to_text", graft.functions.TextKernels.htmlToText),
-      unary("graft_normalize_url", graft.functions.TextKernels.normalizeUrl))
+      unary("graft_normalize_url", graft.functions.TextKernels.normalizeUrl),
+      unary("graft_url_host", graft.functions.TextKernels.urlHost))
   }
 }

@@ -130,8 +130,16 @@ object Warc {
     val m0 = in.read(); val m1 = in.read()
     in.reset()
     val stream: InputStream =
-      if (m0 == 0x1f && m1 == 0x8b) new BufferedInputStream(new GZIPInputStream(in, 1 << 16), 1 << 16)
-      else in
+      if (m0 == 0x1f && m1 == 0x8b) {
+        // the gzip header is read by the CONSTRUCTOR — magic followed by a
+        // corrupt header must degrade like any other malformed tail, not
+        // throw out of the source
+        try new BufferedInputStream(new GZIPInputStream(in, 1 << 16), 1 << 16)
+        catch { case _: java.io.IOException =>
+          try in.close() catch { case _: Throwable => () }
+          return Iterator.empty
+        }
+      } else in
 
     new Iterator[Record] {
       private var nextRec: Record = _

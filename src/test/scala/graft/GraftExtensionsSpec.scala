@@ -48,6 +48,8 @@ class GraftExtensionsSpec extends SparkTestBase {
         |  graft_normalize_url('$url') u""".stripMargin).head()
     assert(r.getString(0) == "Hello & world two")
     assert(r.getString(1) == "https://example.com/a/b?a=1&b=2")
+    assert(spark.sql("SELECT graft_url_host('HTTP://WWW.Ex.COM:8080/p')")
+      .head().getString(0) == "ex.com")
   }
 
   test("arity is validated with a clear message") {

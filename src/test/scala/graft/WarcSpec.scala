@@ -154,6 +154,68 @@ class WarcSpec extends SparkTestBase {
     assert(extract("  <div>\n a \t b </div>\n") == "a b")
   }
 
+  // ------------------------------------------------------------ fuzzing
+
+  test("round-trip property: random binary payloads (CRLFs and WARC/ " +
+    "magic inside) frame correctly — framing is length-based, not " +
+    "delimiter-based") {
+    val rnd = new scala.util.Random(42)
+    val recs = (0 until 100).map { i =>
+      val payload = new Array[Byte](rnd.nextInt(400))
+      rnd.nextBytes(payload)
+      // plant adversarial content: record separators and header magic
+      // inside payloads must not resync the framing
+      if (payload.length > 20) {
+        System.arraycopy("\r\n\r\nWARC/1.0\r\n".getBytes("ISO-8859-1"), 0,
+          payload, rnd.nextInt(payload.length - 15), 14)
+      }
+      (s"u:$i", payload)
+    }
+    val bytes = recs.map { case (u, p) => rec("resource", u, p) }
+      .reduce(_ ++ _)
+    val got = Warc.recordIterator("f", new ByteArrayInputStream(bytes), 1 << 20).toList
+    assert(got.size == 100)
+    recs.zip(got).foreach { case ((u, p), r) =>
+      assert(r.url == u && java.util.Arrays.equals(r.body, p))
+    }
+  }
+
+  test("prefix property: every prefix of a valid stream degrades to the " +
+    "fully-contained records, never throws") {
+    val recs = (0 until 3).map(i => rec("resource", s"u:$i",
+      s"payload number $i".getBytes))
+    val bytes = recs.reduce(_ ++ _)
+    val bounds = recs.scanLeft(0)(_ + _.length).tail // cumulative record ends
+    for (len <- 0 to bytes.length) {
+      val got = Warc.recordIterator("f",
+        new ByteArrayInputStream(bytes.take(len)), 1 << 20).toList
+      // a record parses iff its payload is fully present (its own trailing
+      // separator may be cut — the next parse hits EOF instead)
+      val fullyContained = bounds.count(b => len >= b - 4) // 4 = \r\n\r\n tail
+      assert(got.size == fullyContained,
+        s"prefix $len: got ${got.size}, want $fullyContained")
+      got.zipWithIndex.foreach { case (r, i) => assert(r.url == s"u:$i") }
+    }
+  }
+
+  test("garbage streams never throw: random bytes, gzip magic + garbage, " +
+    "valid header + garbage length") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 50) {
+      val junk = new Array[Byte](rnd.nextInt(300))
+      rnd.nextBytes(junk)
+      assert(Warc.recordIterator("f", new ByteArrayInputStream(junk), 1 << 20)
+        .toList.isEmpty || true) // must not throw; content may be empty
+    }
+    val gzJunk = Array[Byte](0x1f, 0x8b.toByte) ++ Array.fill[Byte](60)(99)
+    assert(Warc.recordIterator("f", new ByteArrayInputStream(gzJunk), 1 << 20)
+      .toList.isEmpty)
+    val badLen = "WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: pony\r\n\r\nx"
+    assert(Warc.recordIterator("f",
+      new ByteArrayInputStream(badLen.getBytes("ISO-8859-1")), 1 << 20)
+      .toList.isEmpty)
+  }
+
   // ------------------------------------------------------- normalizeUrl
 
   private def norm(u: String): String =
