@@ -482,7 +482,7 @@ object Queries {
   //    near-dups sit at j>=0.9, the background at j<=0.25)
   private val dedupMinhash: (SparkSession, String) => DataFrame = (s, dir) => {
     val docs = t(s, dir, "documents")
-    val shingles = TextKernels.wordShingles2(TextKernels.wordTokens(col("text")))
+    val shingles = graft.functions.NativeKernels.wordShingles2(col("text"))
     Dedup.minhashPairs(docs, "doc_id", shingles, 0.8)
       .orderBy(col("a"), col("b"))
   }
@@ -538,7 +538,7 @@ object Queries {
   //    exactly the corpus half's band keys and shingles.
   private val dedupIncr: (SparkSession, String) => DataFrame = (s, dir) => {
     val docs = t(s, dir, "documents")
-    val shingles = TextKernels.wordShingles2(TextKernels.wordTokens(col("text")))
+    val shingles = graft.functions.NativeKernels.wordShingles2(col("text"))
     val path = new java.io.File(sys.props("java.io.tmpdir"),
       "graft-bandidx-" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
     buildIndexOnce(path)(
@@ -739,7 +739,7 @@ object Queries {
       .where(col("doc_id") =!= col("keeper")).select(col("doc_id"))
     val s1 = q.join(exactDrops, Seq("doc_id"), "left_anti")
     val nearDrops = Dedup.minhashPairs(s1, "doc_id",
-        TextKernels.wordShingles2(TextKernels.wordTokens(col("text"))), 0.9)
+        graft.functions.NativeKernels.wordShingles2(col("text")), 0.9)
       .select(col("b").as("doc_id")).distinct()
     s1.join(nearDrops, Seq("doc_id"), "left_anti")
       .select(col("doc_id")).orderBy(col("doc_id"))
@@ -1142,7 +1142,7 @@ object Queries {
   private val contaminationQ: (SparkSession, String) => DataFrame = (s, dir) => {
     val counts = graft.operators.Contamination.sharedShingleCounts(
         t(s, dir, "documents"), col("doc_id"),
-        TextKernels.wordShingles2(TextKernels.wordTokens(col("text"))),
+        graft.functions.NativeKernels.wordShingles2(col("text")),
         col("doc_id") < ContamEvalMax)
       .withColumnRenamed("id", "doc_id")
     val ns = coalesce(col("n_shingles"), lit(0L))
@@ -1999,7 +1999,7 @@ object Queries {
   private val simJoinQ: (SparkSession, String) => DataFrame = (s, dir) => {
     val docs = spread(t(s, dir, "documents"))
     val queries = docs.where(col("doc_id") < 50)
-    val sh = TextKernels.wordShingles2(TextKernels.wordTokens(col("text")))
+    val sh = graft.functions.NativeKernels.wordShingles2(col("text"))
     graft.operators.SimJoin
       .jaccardJoin(queries, "doc_id", sh, docs, "doc_id", sh, 0.8)
       .orderBy(col("l_id"), col("r_id"))
@@ -2056,7 +2056,7 @@ object Queries {
     // still references the entry, so it cannot be unpersisted here;
     // entries are MEMORY_AND_DISK and shed via LRU in long sessions.
     val survivors = quality.join(keepers, Seq("doc_id"), "left_semi").cache()
-    val shingles = TextKernels.wordShingles2(TextKernels.wordTokens(col("text")))
+    val shingles = graft.functions.NativeKernels.wordShingles2(col("text"))
     val pairs = Dedup.minhashPairs(survivors, "doc_id", shingles, 0.8)
     val nearDupLosers = Dedup.clusters(pairs)
       .where(col("c") < col("n")).select(col("n").as("doc_id"))

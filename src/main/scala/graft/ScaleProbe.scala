@@ -52,7 +52,7 @@ object ScaleProbe {
       emb.count()
 
       val tMinhash = timeIt {
-        val sh = TextKernels.wordShingles2(TextKernels.wordTokens(col("text")))
+        val sh = graft.functions.NativeKernels.wordShingles2(col("text"))
         Dedup.minhashPairs(docs, "doc_id", sh, 0.8).count()
       }
       val tAnn = timeIt {
@@ -93,7 +93,7 @@ object ScaleProbe {
       }
       val tContam = timeIt {
         Contamination.sharedShingleCounts(docs, col("doc_id"),
-          TextKernels.wordShingles2(TextKernels.wordTokens(col("text"))),
+          graft.functions.NativeKernels.wordShingles2(col("text")),
           col("doc_id") < Queries.ContamEvalMax).count()
       }
       // round-8 ops: per-doc chunking + repetition signals (narrow maps —
@@ -126,7 +126,7 @@ object ScaleProbe {
       // stored index contributes one linear columnar scan (never
       // re-hashed, never shuffled — the batch side broadcasts), so the
       // probe must grow far slower than corpus hashing would
-      val sh2 = TextKernels.wordShingles2(TextKernels.wordTokens(col("text")))
+      val sh2 = graft.functions.NativeKernels.wordShingles2(col("text"))
       val bandPath = s"/tmp/graft-scaleprobe-band-$mult"
       val tBandBuild = timeIt {
         Dedup.writeBandIndex(docs, "doc_id", sh2, bandPath); mult.toLong

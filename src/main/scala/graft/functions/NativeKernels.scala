@@ -254,6 +254,96 @@ object NativeKernels {
       rowsPerBand: Int): Column =
     column(BandKeysExpr(expression(shingles), numHashes, numBands, rowsPerBand))
 
+  // -------------------------------------------------------- word shingles
+
+  /** Distinct word 2-shingles straight from the text in ONE pass — the
+    * native twin of `TextKernels.wordShingles2(TextKernels.wordTokens(s))`,
+    * bit-identical (NativeKernelSpec property-checks it). The composed
+    * chain is four nested higher-order functions (split -> transform ->
+    * filter -> transform + array_distinct), which Catalyst evaluates
+    * INTERPRETED — outside whole-stage codegen, re-walking the token array
+    * per element — and it sits at the head of every banded dedup operator,
+    * so the whole family pays it per document. This walks the UTF-8 bytes
+    * once (0x20 never occurs inside a multi-byte sequence, so splitting on
+    * the raw bytes is exact), concatenates adjacent tokens, and dedups
+    * with first-occurrence order exactly like `array_distinct`.
+    *
+    * Edge parity with the composed chain: NULL text -> NULL (the chain's
+    * null poisons through), zero or one token -> empty array, consecutive
+    * separators collapse (empty segments are filtered like the chain's
+    * `t =!= ""`), non-space whitespace stays inside tokens (the chain
+    * splits on 0x20 only; its `trim` strips only 0x20, which a
+    * split-on-0x20 segment cannot carry). */
+  private[functions] case class WordShingles2Expr(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      child.dataType match {
+        case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a string, got ${other.simpleString}")
+      }
+    }
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "word_shingles2_native"
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+
+    def compute(s: UTF8String): ArrayData = {
+      val bytes = s.getBytes
+      // token byte ranges: maximal runs between 0x20 separators, empties
+      // dropped
+      val starts = new java.util.ArrayList[Int]()
+      val ends = new java.util.ArrayList[Int]()
+      var i = 0; var tokStart = 0
+      while (i <= bytes.length) {
+        if (i == bytes.length || bytes(i) == 0x20) {
+          if (i > tokStart) { starts.add(tokStart); ends.add(i) }
+          tokStart = i + 1
+        }
+        i += 1
+      }
+      val n = starts.size()
+      if (n < 2) return new GenericArrayData(Array.empty[Any])
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      var t = 0
+      while (t < n - 1) {
+        val len = (ends.get(t) - starts.get(t)) + 1 + (ends.get(t + 1) - starts.get(t + 1))
+        val out = new Array[Byte](len)
+        val l1 = ends.get(t) - starts.get(t)
+        System.arraycopy(bytes, starts.get(t), out, 0, l1)
+        out(l1) = 0x20
+        System.arraycopy(bytes, starts.get(t + 1), out, l1 + 1,
+          ends.get(t + 1) - starts.get(t + 1))
+        seen.add(UTF8String.fromBytes(out))
+        t += 1
+      }
+      val arr = new Array[Any](seen.size())
+      val it = seen.iterator(); var k = 0
+      while (it.hasNext) { arr(k) = it.next(); k += 1 }
+      new GenericArrayData(arr)
+    }
+
+    override protected def nullSafeEval(v: Any): Any =
+      compute(v.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("wordShingles2Expr", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+  }
+
+  /** Distinct word 2-shingles of a text column, one native pass. */
+  def wordShingles2(text: Column): Column =
+    column(WordShingles2Expr(expression(text)))
+
   // ------------------------------------------------------------ SimHash64
 
   /** 64-bit SimHash bands of a token array in ONE pass — the native twin of

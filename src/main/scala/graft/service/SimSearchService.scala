@@ -433,14 +433,14 @@ final class SimSearchService(spark: SparkSession, port: Int,
           maxDf = params.path("max_df").asLong(Long.MaxValue))
         case "exact_groups" => Dedup.exactGroups(df, idCol, col(textCol))
         case "minhash_pairs" => Dedup.minhashPairs(df, idCol,
-          TextKernels.wordShingles2(TextKernels.wordTokens(col(textCol))),
+          graft.functions.NativeKernels.wordShingles2(col(textCol)),
           params.path("min_jaccard").asDouble(0.8))
         case "dedup_cluster" =>
           // pairs -> transitive closure: (n = member id, c = cluster
           // keeper = min member id); documents absent from the output have
           // no near-duplicate
           Dedup.clusters(Dedup.minhashPairs(df, idCol,
-            TextKernels.wordShingles2(TextKernels.wordTokens(col(textCol))),
+            graft.functions.NativeKernels.wordShingles2(col(textCol)),
             params.path("min_jaccard").asDouble(0.8)))
         case "text_stats" =>
           val w = TextKernels.wordTokens(col(textCol))

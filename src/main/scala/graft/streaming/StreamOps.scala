@@ -46,7 +46,7 @@ object StreamOps {
       textCol: String, watermark: String): DataFrame = {
     import graft.functions.TextKernels
     import graft.operators.Dedup
-    val sh = TextKernels.wordShingles2(TextKernels.wordTokens(col(textCol)))
+    val sh = graft.functions.NativeKernels.wordShingles2(col(textCol))
     docs
       .select(col(tsCol), col(idCol), posexplode(
         graft.functions.NativeKernels.bandKeys(
@@ -363,7 +363,7 @@ object StreamOps {
     import graft.functions.TextKernels
     import graft.operators.Dedup
     val spark = batch.sparkSession
-    val shingles = TextKernels.wordShingles2(TextKernels.wordTokens(col(textCol)))
+    val shingles = graft.functions.NativeKernels.wordShingles2(col(textCol))
     // repair a crashed compaction swap BEFORE the exists check — a bare
     // exists() would read an index stranded at __old as "no index yet" and
     // silently restart the corpus from this batch; a file-less directory
@@ -517,7 +517,7 @@ object StreamOps {
     graft.operators.IndexIO.recoverSwap(spark, bandPath)
     val hasExact = graft.operators.IndexIO.hasData(spark, exactPath)
     val hasNear = graft.operators.IndexIO.hasData(spark, s"$bandPath/bands")
-    val shingles = TextKernels.wordShingles2(TextKernels.wordTokens(col(textCol)))
+    val shingles = graft.functions.NativeKernels.wordShingles2(col(textCol))
 
     val q = batch.where(quality).cache()
     // exact: in-batch keep-min window over the bounded micro-batch, plus

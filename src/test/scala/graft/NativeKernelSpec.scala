@@ -72,6 +72,38 @@ class NativeKernelSpec extends SparkTestBase {
     assert(mismatches == 0)
   }
 
+  test("word_shingles2_native is bit-identical to the composed " +
+    "tokenize+shingle chain, corpus and adversarial edges alike") {
+    import graft.functions.TextKernels
+    val rnd = new scala.util.Random(17)
+    val alphabet = Seq("a", "bb", "ccc", "a", "Ж", "日本", "x\ty", "z\n", " ", "", "  ")
+    val fuzz = (0 until 300).map { i =>
+      (10000L + i, Some((0 until rnd.nextInt(12))
+        .map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString(" ")))
+    }
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .union((Seq((99990L, Some("one")), (99991L, Some("")),
+        (99992L, Option.empty[String]), (99993L, Some("  double  space ")),
+        (99994L, Some("rep rep rep rep")), // duplicate shingles -> distinct
+        (99995L, Some(" lead and trail "))) ++ fuzz).toDF("doc_id", "text"))
+    val composed = TextKernels.wordShingles2(TextKernels.wordTokens(col("text")))
+    val native = NativeKernels.wordShingles2(col("text"))
+    val mismatches = docs.select(col("doc_id"), composed.as("c"), native.as("n"))
+      .where(not(col("c") <=> col("n"))).count()
+    assert(mismatches == 0)
+  }
+
+  test("word_shingles2_native runs inside whole-stage codegen") {
+    // non-literal source, so constant folding can't collapse the plan
+    val df = spark.range(3).selectExpr("concat('a b c ', id) AS t")
+      .select(NativeKernels.wordShingles2(col("t")).as("g"))
+    // the `*(n)` prefix is the WholeStageCodegen marker in the short form
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan)
+    assert(df.as[Seq[String]].head() == Seq("a b", "b c", "c 0"))
+  }
+
   test("winnow_select_native (plain and positional) is bit-identical to " +
     "the composed TextKernels chain, including short/empty/null texts") {
     import graft.functions.TextKernels
