@@ -769,7 +769,7 @@ object Queries {
   //    operator's two-phase prefix sum means no global sort at scale.
   private val tokenBudget: (SparkSession, String) => DataFrame = (s, dir) =>
     graft.operators.Packing.budgetSelect(t(s, dir, "documents"),
-        col("doc_id"), size(TextKernels.wordTokens(col("text"))),
+        col("doc_id"), size(graft.functions.NativeKernels.wordTokens(col("text"))),
         col("n_chars"), 12000L)
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
@@ -830,7 +830,7 @@ object Queries {
   // -- sequence packing: concat-then-chunk offsets (2048-token windows)
   private val packChunks: (SparkSession, String) => DataFrame = (s, dir) =>
     graft.operators.Packing.packOffsets(t(s, dir, "documents"),
-        col("doc_id"), size(TextKernels.wordTokens(col("text"))), 2048L)
+        col("doc_id"), size(graft.functions.NativeKernels.wordTokens(col("text"))), 2048L)
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
 
@@ -843,7 +843,7 @@ object Queries {
   // -- per-document characteristic terms (tf·idf top-3, ratio-idf variant)
   private val tfidfQ: (SparkSession, String) => DataFrame = (s, dir) =>
     graft.operators.TfIdf.topTerms(t(s, dir, "documents"), // topTerms spreads internally
-        col("doc_id"), TextKernels.wordTokens(col("text")), 3)
+        col("doc_id"), graft.functions.NativeKernels.wordTokens(col("text")), 3)
       .orderBy(col("doc_id"), col("rank"))
 
   private val tfidfSql =
@@ -864,7 +864,7 @@ object Queries {
   //    ONE fixed-order IEEE expression, so both engines hash-match.
   private val lmQualityQ: (SparkSession, String) => DataFrame = (s, dir) =>
     graft.operators.TfIdf.corpusFreqQuality(t(s, dir, "documents"),
-        col("doc_id"), TextKernels.wordTokens(col("text")))
+        col("doc_id"), graft.functions.NativeKernels.wordTokens(col("text")))
       .orderBy(col("doc_id"))
 
   private val lmQualitySql =
@@ -1076,7 +1076,7 @@ object Queries {
   private val simhashQ: (SparkSession, String) => DataFrame = (s, dir) =>
     spread(t(s, dir, "documents"))
       .select(col("doc_id"),
-        TextKernels.simhash16(TextKernels.wordTokens(col("text"))).as("simhash"))
+        TextKernels.simhash16(graft.functions.NativeKernels.wordTokens(col("text"))).as("simhash"))
       .orderBy(col("doc_id"))
 
   private val simhashSql = {
@@ -1096,7 +1096,7 @@ object Queries {
   //    one integer op per candidate instead of an array intersection.
   private val simhashPairsQ: (SparkSession, String) => DataFrame = (s, dir) =>
     Dedup.simhashPairs(t(s, dir, "documents"), "doc_id",
-      TextKernels.wordTokens(col("text")), maxHamming = 3)
+      graft.functions.NativeKernels.wordTokens(col("text")), maxHamming = 3)
       .orderBy(col("a"), col("b"))
 
   private val simhashPairsSql = {
@@ -1177,7 +1177,7 @@ object Queries {
   private val enStops = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
   private val textStats: (SparkSession, String) => DataFrame = (s, dir) => {
-    val w = TextKernels.wordTokens(col("text"))
+    val w = graft.functions.NativeKernels.wordTokens(col("text"))
     val stopArr = array(enStops.map(lit): _*)
     spread(t(s, dir, "documents")).select(col("doc_id"),
         size(w).cast("long").as("n_tokens"),
@@ -1206,7 +1206,7 @@ object Queries {
     "fr" -> Seq("le", "les", "et", "est", "un", "une", "avec", "pour", "dans", "au"))
 
   private val langId: (SparkSession, String) => DataFrame = (s, dir) => {
-    val wd = array_distinct(TextKernels.wordTokens(col("text")))
+    val wd = array_distinct(graft.functions.NativeKernels.wordTokens(col("text")))
     val scores = langStops.map { case (l, ws) =>
       l -> size(array_intersect(wd, array(ws.map(lit): _*)))
     }
@@ -1885,7 +1885,7 @@ object Queries {
   // ----------------------------------------------------------------------
   private val word2vecQ: (SparkSession, String) => DataFrame = (s, dir) => {
     val docs = spread(t(s, dir, "documents"))
-      .select(col("doc_id").as("id"), TextKernels.wordTokens(col("text")).as("tokens"))
+      .select(col("doc_id").as("id"), graft.functions.NativeKernels.wordTokens(col("text")).as("tokens"))
     val dict = docs.select(explode(col("tokens")).as("term")).distinct()
       .select(col("term"), org.apache.spark.sql.functions.transform(
         sequence(lit(1), lit(16)),
@@ -1912,7 +1912,7 @@ object Queries {
   // quality filters, all as pure expressions
   // ----------------------------------------------------------------------
   private val qualityQ: (SparkSession, String) => DataFrame = (s, dir) => {
-    val w = TextKernels.wordTokens(col("text"))
+    val w = graft.functions.NativeKernels.wordTokens(col("text"))
     val rep = array_max(org.apache.spark.sql.functions.transform(array_distinct(w),
       t => size(filter(w, x => x === t)))).cast("double") / size(w)
     val grams = org.apache.spark.sql.functions.transform(
@@ -1947,7 +1947,7 @@ object Queries {
   // maps, no shuffle; integer-ratio doubles, engine-portable bit-for-bit
   // ----------------------------------------------------------------------
   private val repetitionQ: (SparkSession, String) => DataFrame = (s, dir) => {
-    val w = TextKernels.wordTokens(col("text"))
+    val w = graft.functions.NativeKernels.wordTokens(col("text"))
     spread(t(s, dir, "documents"))
       .select(col("doc_id"),
         round(TextKernels.topBigramFraction(w), 6).as("top_bigram_frac"),
@@ -1974,7 +1974,7 @@ object Queries {
   // shuffle; boundaries are integer arithmetic, engine-portable exactly
   // ----------------------------------------------------------------------
   private val chunkQ: (SparkSession, String) => DataFrame = (s, dir) => {
-    val w = TextKernels.wordTokens(col("text"))
+    val w = graft.functions.NativeKernels.wordTokens(col("text"))
     graft.operators.Packing.chunkTokens(
         spread(t(s, dir, "documents")).select(col("doc_id"), w.as("w")),
         col("doc_id"), col("w"), chunkSize = 32, overlap = 8)
@@ -2038,7 +2038,7 @@ object Queries {
   // ----------------------------------------------------------------------
   private val pipelineQ: (SparkSession, String) => DataFrame = (s, dir) => {
     val docs = spread(t(s, dir, "documents"))
-    val w = TextKernels.wordTokens(col("text"))
+    val w = graft.functions.NativeKernels.wordTokens(col("text"))
     val quality = docs
       .select(col("doc_id"), col("text"), size(w).cast("long").as("n_tokens"))
       .where(col("n_tokens") >= 40)

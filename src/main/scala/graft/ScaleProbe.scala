@@ -77,16 +77,16 @@ object ScaleProbe {
       pairs.unpersist()
       val tPack = timeIt {
         Packing.packOffsets(docs, col("doc_id"),
-          size(TextKernels.wordTokens(col("text"))), 2048L).count()
+          size(graft.functions.NativeKernels.wordTokens(col("text"))), 2048L).count()
       }
       val tTfidf = timeIt {
-        TfIdf.topTerms(docs, col("doc_id"), TextKernels.wordTokens(col("text")), 3).count()
+        TfIdf.topTerms(docs, col("doc_id"), graft.functions.NativeKernels.wordTokens(col("text")), 3).count()
       }
       // late-round-4 ops: SimHash banded near-dup (native fingerprint),
       // int8 quantization (broadcast dim-stats), contamination (broadcast
       // eval shingle set)
       val tSimhash = timeIt {
-        Dedup.simhashPairs(docs, "doc_id", TextKernels.wordTokens(col("text"))).count()
+        Dedup.simhashPairs(docs, "doc_id", graft.functions.NativeKernels.wordTokens(col("text"))).count()
       }
       val tQuantize = timeIt {
         Quantize.int8(emb, col("vec_id"), col("v")).count()
@@ -103,11 +103,11 @@ object ScaleProbe {
       val tChunk = timeIt {
         Packing.chunkTokens(
           docs.select(col("doc_id"),
-            TextKernels.wordTokens(col("text")).as("w")),
+            graft.functions.NativeKernels.wordTokens(col("text")).as("w")),
           col("doc_id"), col("w"), 32, 8).count()
       }
       val tRepet = timeIt {
-        val w = TextKernels.wordTokens(col("text"))
+        val w = graft.functions.NativeKernels.wordTokens(col("text"))
         docs.select(col("doc_id"),
           TextKernels.topBigramFraction(w).as("tb"),
           TextKernels.dupNgramFraction(w, 5).as("d5"))
@@ -195,7 +195,7 @@ object ScaleProbe {
       // prefix stays a constant fraction
       val tBudget = timeIt {
         Packing.budgetSelect(docs, col("doc_id"),
-          size(TextKernels.wordTokens(col("text"))), length(col("text")),
+          size(graft.functions.NativeKernels.wordTokens(col("text"))), length(col("text")),
           50000L * mult).count()
       }
       // round-10: line-level dedup over synthesized multi-paragraph pages
@@ -218,7 +218,7 @@ object ScaleProbe {
       // healthy-distribution probe above
       val tBudgetConst = timeIt {
         Packing.budgetSelect(docs, col("doc_id"),
-          size(TextKernels.wordTokens(col("text"))),
+          size(graft.functions.NativeKernels.wordTokens(col("text"))),
           when(col("doc_id") % 10 === 0, length(col("text")).cast("double"))
             .otherwise(lit(500.0)),
           50000L * mult).count()

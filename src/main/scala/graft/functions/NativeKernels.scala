@@ -344,6 +344,65 @@ object NativeKernels {
   def wordShingles2(text: Column): Column =
     column(WordShingles2Expr(expression(text)))
 
+  /** Whitespace word tokens in ONE pass — the native twin of
+    * `TextKernels.wordTokens`, bit-identical (same split-on-0x20, empties
+    * dropped, duplicates and order preserved — see [[WordShingles2Expr]]
+    * for why byte-splitting on 0x20 is exact and why the chain's `trim`
+    * is a no-op on split segments). The composed form is a three-deep
+    * higher-order-function chain evaluated interpreted; every token-array
+    * consumer (token counts, SimHash, tf-idf, chunking, quality stats)
+    * starts here. */
+  private[functions] case class WordTokensExpr(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      child.dataType match {
+        case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a string, got ${other.simpleString}")
+      }
+    }
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "word_tokens_native"
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+
+    def compute(s: UTF8String): ArrayData = {
+      val bytes = s.getBytes
+      val toks = new java.util.ArrayList[Any]()
+      var i = 0; var tokStart = 0
+      while (i <= bytes.length) {
+        if (i == bytes.length || bytes(i) == 0x20) {
+          if (i > tokStart)
+            toks.add(UTF8String.fromBytes(
+              java.util.Arrays.copyOfRange(bytes, tokStart, i)))
+          tokStart = i + 1
+        }
+        i += 1
+      }
+      new GenericArrayData(toks.toArray)
+    }
+
+    override protected def nullSafeEval(v: Any): Any =
+      compute(v.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("wordTokensExpr", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+  }
+
+  /** Whitespace word tokens of a text column, one native pass. */
+  def wordTokens(text: Column): Column =
+    column(WordTokensExpr(expression(text)))
+
   // ------------------------------------------------------------ SimHash64
 
   /** 64-bit SimHash bands of a token array in ONE pass — the native twin of

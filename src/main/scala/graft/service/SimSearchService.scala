@@ -443,7 +443,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
             graft.functions.NativeKernels.wordShingles2(col(textCol)),
             params.path("min_jaccard").asDouble(0.8)))
         case "text_stats" =>
-          val w = TextKernels.wordTokens(col(textCol))
+          val w = graft.functions.NativeKernels.wordTokens(col(textCol))
           df.select(col(idCol),
             length(col(textCol)).cast("long").as("n_chars"),
             size(w).cast("long").as("n_tokens"),
@@ -455,11 +455,11 @@ final class SimSearchService(spark: SparkSession, port: Int,
           val tokens =
             if (params.hasNonNull("tokens_column"))
               col(params.get("tokens_column").asText())
-            else size(TextKernels.wordTokens(col(textCol)))
+            else size(graft.functions.NativeKernels.wordTokens(col(textCol)))
           Packing.budgetSelect(df, col(idCol), tokens,
             col(reqParam("quality_column").asText()), reqParam("budget").asLong())
         case "chunk" => Packing.chunkTokens(
-          df.select(col(idCol), TextKernels.wordTokens(col(textCol)).as("__w")),
+          df.select(col(idCol), graft.functions.NativeKernels.wordTokens(col(textCol)).as("__w")),
           col(idCol), col("__w"), reqParam("chunk_size").asInt(),
           params.path("overlap").asInt(0))
         case "scrub" => df.select(col(idCol), TextKernels.scrub(col(textCol),

@@ -94,6 +94,26 @@ class NativeKernelSpec extends SparkTestBase {
     assert(mismatches == 0)
   }
 
+  test("word_tokens_native is bit-identical to the composed chain") {
+    import graft.functions.TextKernels
+    val rnd = new scala.util.Random(19)
+    val alphabet = Seq("a", "bb", "ccc", "Ж", "日本", "x\ty", "z\n", " ", "", "  ")
+    val fuzz = (0 until 300).map { i =>
+      (20000L + i, Some((0 until rnd.nextInt(12))
+        .map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString(" ")))
+    }
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .union((Seq((99990L, Some("")), (99991L, Option.empty[String]),
+        (99992L, Some("  a  b  ")), (99993L, Some("dup dup dup"))) ++ fuzz)
+        .toDF("doc_id", "text"))
+    val mismatches = docs.select(col("doc_id"),
+        TextKernels.wordTokens(col("text")).as("c"),
+        NativeKernels.wordTokens(col("text")).as("n"))
+      .where(not(col("c") <=> col("n"))).count()
+    assert(mismatches == 0)
+  }
+
   test("word_shingles2_native runs inside whole-stage codegen") {
     // non-literal source, so constant folding can't collapse the plan
     val df = spark.range(3).selectExpr("concat('a b c ', id) AS t")
