@@ -1173,6 +1173,33 @@ object Queries {
        |FROM documents d LEFT JOIN ct ON d.doc_id = ct.doc_id
        |WHERE d.doc_id >= $ContamEvalMax ORDER BY d.doc_id""".stripMargin
 
+  // -- decontamination REMOVAL: the cleaned training corpus — every non-eval
+  //    document whose eval-shingle ratio stays under the threshold, original
+  //    columns intact (n_chars proves the row really is the source row, not
+  //    a re-derived id list). Same constants as q_contamination, so the two
+  //    queries pin the measure and the removal against one oracle pair.
+  private val decontaminateQ: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.operators.Contamination.decontaminate(
+        t(s, dir, "documents"), col("doc_id"),
+        graft.functions.NativeKernels.wordShingles2(col("text")),
+        col("doc_id") < ContamEvalMax, ContamRatio)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+
+  private val decontaminateSql =
+    s"""WITH tk AS (SELECT doc_id, ${sqlWords("text")} AS w FROM documents),
+       |sh AS (SELECT doc_id, unnest(${sqlShingles2("w")}) AS g FROM tk),
+       |ev AS (SELECT DISTINCT g AS eg FROM sh WHERE doc_id < $ContamEvalMax),
+       |ct AS (SELECT doc_id, count(*) AS n_sh, count(eg) AS n_hit
+       |       FROM sh LEFT JOIN ev ON sh.g = ev.eg
+       |       WHERE doc_id >= $ContamEvalMax GROUP BY doc_id),
+       |bad AS (SELECT doc_id FROM ct
+       |        WHERE n_hit::DOUBLE / greatest(n_sh, 1) >= $ContamRatio)
+       |SELECT d.doc_id, length(d.text)::BIGINT AS n_chars FROM documents d
+       |WHERE d.doc_id >= $ContamEvalMax
+       |  AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+       |ORDER BY d.doc_id""".stripMargin
+
   // -- text quality statistics
   private val enStops = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
@@ -1404,6 +1431,61 @@ object Queries {
     graft.operators.AnnIndex.ivfTopK(s, path, "vec_id", queryVec(s, dir), 10, 2)
   }
 
+  // -- Product quantization ADC search: encode every vector to m=8 sub-codes
+  //    (4 codewords × 8 dims each — exactly-representable literals; a
+  //    trained pqTrain codebook would slot in unchanged), then rank by the
+  //    asymmetric distance read from the query's lookup table. The oracle
+  //    re-derives the encoding AND the ADC sum from the same literals, so
+  //    the hash match pins the whole encode -> LUT -> scan -> top-k cycle.
+  private val pqCodebooks: Seq[Seq[Seq[Double]]] = {
+    val cw = Seq(
+      Seq.fill(8)(0.25),
+      Seq.fill(8)(-0.25),
+      (0 until 8).map(j => if (j % 2 == 0) 0.5 else -0.5).toSeq,
+      Seq.fill(8)(0.0))
+    Seq.fill(8)(cw)
+  }
+
+  private val pqTopk: (SparkSession, String) => DataFrame = (s, dir) => {
+    val e = spread(t(s, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val enc = graft.operators.Quantize.pqEncode(
+      e.where(col("vec_id") =!= 0), col("vec_id"), col("v"), pqCodebooks)
+    graft.operators.Quantize.pqAdcTopK(enc, col("id"), col("codes"),
+        pqCodebooks, queryVec(s, dir), 10)
+      .withColumnRenamed("id", "vec_id")
+  }
+
+  private val pqTopkSql = {
+    def cLit(c: Seq[Double]) =
+      c.map(x => if (x == math.floor(x)) s"${x.toLong}.0" else x.toString)
+        .mkString("([", ", ", "]::DOUBLE[])")
+    // squared L2 between dims [s*8+1, s*8+8] of vector expr `v` and codeword c
+    def sq(v: String, s: Int, c: Seq[Double]) =
+      s"list_sum([($v[${s * 8} + k] - ${cLit(c)}[k]) * ($v[${s * 8} + k] - ${cLit(c)}[k]) for k in range(1, 9)])"
+    // code for subspace s: first-index argmin over sqrt'd codeword distances
+    def code(v: String, s: Int) = {
+      val ds = pqCodebooks(s).map(c => s"sqrt(${sq(v, s, c)})").mkString("[", ", ", "]")
+      s"(list_position($ds, list_aggregate($ds, 'min')) - 1)"
+    }
+    // the query's LUT row for subspace s (squared sub-distances, no sqrt)
+    def lutRow(s: Int) =
+      pqCodebooks(s).map(c => sq("qv", s, c)).mkString("[", ", ", "]")
+    val codeCols = (0 until 8).map(s => s"${code("v", s)} AS c$s").mkString(",\n  ")
+    val lutCols = (0 until 8).map(s => s"${lutRow(s)} AS l$s").mkString(",\n  ")
+    val adc = (0 until 8).map(s => s"l$s[c$s + 1]").mkString(" + ")
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |lut AS (SELECT
+       |  $lutCols
+       |FROM q),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0),
+       |enc AS (SELECT vec_id,
+       |  $codeCols
+       |FROM e)
+       |SELECT vec_id, round(sqrt($adc), 6) AS adc
+       |FROM enc, lut ORDER BY adc, vec_id LIMIT 10""".stripMargin
+  }
+
   private val annIvfSql = {
     def cLit(c: Seq[Double]) =
       c.map(x => if (x == math.floor(x)) s"${x.toLong}.0" else x.toString)
@@ -1445,6 +1527,43 @@ object Queries {
        |FROM e x JOIN e y ON x.sig = y.sig AND x.vec_id < y.vec_id
        |WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.4
        |ORDER BY a, b""".stripMargin
+
+  // -- SemDeDup (Abbas et al., arXiv:2303.09540): coarse-cluster the
+  //    embeddings, near-dup compare WITHIN clusters only, keep the min id
+  //    per duplicate component. Same fixed exactly-representable centroids
+  //    as the IVF queries (a trained k-means would produce them in a real
+  //    pipeline; any fixed list exercises the same assignment + in-cluster
+  //    join + component shapes), same rounded-cosine threshold as
+  //    q_dedup_embedding.
+  private val semDedupQ: (SparkSession, String) => DataFrame = (s, dir) => {
+    val e = spread(t(s, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    graft.operators.SemDedup.dedup(e, col("vec_id"), col("v"), ivfCentroids, 0.4)
+      .select(col("vec_id"),
+        AnnSearch.ivfCluster(col("v"), ivfCentroids).cast("long").as("cluster"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val semDedupSql = {
+    def cLit(c: Seq[Double]) =
+      c.map(x => if (x == math.floor(x)) s"${x.toLong}.0" else x.toString)
+        .mkString("([", ", ", "]::DOUBLE[])")
+    def l2(v: String, c: Seq[Double]) =
+      s"sqrt(list_sum([($v[k] - ${cLit(c)}[k]) * ($v[k] - ${cLit(c)}[k]) for k in range(1, 65)]))"
+    def ds(v: String) = ivfCentroids.map(c => l2(v, c)).mkString("[", ", ", "]")
+    s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |asn AS (SELECT vec_id, v,
+       |  (list_position(${ds("v")}, list_aggregate(${ds("v")}, 'min')) - 1) AS cluster FROM e),
+       |p AS (SELECT x.vec_id AS pa, y.vec_id AS pb
+       |      FROM asn x JOIN asn y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+       |      WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.4),
+       |edges AS (SELECT pa AS x, pb AS y FROM p UNION SELECT pb, pa FROM p),
+       |r AS (SELECT x AS n, y AS m FROM edges
+       |      UNION SELECT r.n, e2.y FROM r JOIN edges e2 ON r.m = e2.x),
+       |losers AS (SELECT n FROM r GROUP BY n HAVING least(n, min(m)) <> n)
+       |SELECT vec_id, cluster::BIGINT AS cluster FROM asn
+       |WHERE vec_id NOT IN (SELECT n FROM losers) ORDER BY vec_id""".stripMargin
+  }
 
   // ----------------------------------------------------------------------
   // Q9 pivot-equivalent multi-metric search (F5 Lp metrics): weighted
@@ -2169,9 +2288,11 @@ object Queries {
     "q_ann_idx"       -> annIdx,
     "q_ann_ivf"       -> annIvf,
     "q_ann_ivf_idx"   -> annIvfIdx,
+    "q_pq_topk"       -> pqTopk,
     "q_skew_join"     -> skewJoinQ,
     "q_pipeline"      -> pipelineQ,
     "q_dedup_embedding" -> dedupEmbedding,
+    "q_semdedup"      -> semDedupQ,
     "q_pivot_multimetric" -> pivotMultimetric,
     "q_multimodal_meta" -> multimodalMeta,
     "q_multimodal_av" -> multimodalAv,
@@ -2201,6 +2322,7 @@ object Queries {
     "q_scrub"         -> scrubQ,
     "q_simhash_pairs" -> simhashPairsQ,
     "q_contamination" -> contaminationQ,
+    "q_decontaminate" -> decontaminateQ,
     "q_compact"       -> compactQ,
     "q_quantize"      -> quantizeQ,
     "q_compress_ratio" -> compressRatioQ,
@@ -2239,9 +2361,11 @@ object Queries {
     "q_ann_idx"       -> annMpSql(6, 4), // index build+probe == on-the-fly multi-probe at 6 bits
     "q_ann_ivf"       -> annIvfSql,
     "q_ann_ivf_idx"   -> annIvfSql, // persisted IVF index == on-the-fly ivfTopK
+    "q_pq_topk"       -> pqTopkSql,
     "q_skew_join"     -> skewJoinSql,
     "q_pipeline"      -> pipelineSql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
+    "q_semdedup"      -> semDedupSql,
     "q_pivot_multimetric" -> pivotMultimetricSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_multimodal_av" -> multimodalAvSql,
@@ -2271,6 +2395,7 @@ object Queries {
     "q_scrub"         -> scrubSql,
     "q_simhash_pairs" -> simhashPairsSql,
     "q_contamination" -> contaminationSql,
+    "q_decontaminate" -> decontaminateSql,
     "q_compact"       -> compactSql,
     "q_quantize"      -> quantizeSql,
     "q_compress_ratio" -> compressRatioSql,

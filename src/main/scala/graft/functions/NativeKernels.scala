@@ -587,6 +587,173 @@ object NativeKernels {
   def nearestCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column =
     column(NearestCentroidExpr(expression(vec), centroids))
 
+  // ------------------------------------------------------ product quantization
+
+  /** PQ encode (Jégou et al., TPAMI 2011): the vector's m subspace slices
+    * each mapped to the index of their nearest codeword — array<double> ->
+    * array<int> of length m. Per-subspace assignment is the exact
+    * [[NearestCentroidExpr]] arithmetic (sequential squared-diff sum, sqrt,
+    * first-index-wins ties) over dims [s*dsub, (s+1)*dsub); a vector
+    * shorter than the subspace compares over its available dims. The
+    * codebooks ship as ONE flat reference array, so generated-code size is
+    * independent of m × nCodes × dsub. */
+  private[functions] case class PqEncodeExpr(child: Expression,
+      codebooks: Seq[Seq[Seq[Double]]])
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    require(codebooks.nonEmpty, "pq_encode needs at least one codebook")
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      child.dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<double>, got ${other.simpleString}")
+      }
+    }
+    override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "pq_encode_native"
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+
+    @transient private lazy val m = codebooks.size
+    @transient private lazy val nCodes = codebooks.head.size
+    @transient private lazy val dsub = codebooks.head.head.size
+    @transient private lazy val flat: Array[Double] = {
+      val a = new Array[Double](m * nCodes * dsub)
+      var s = 0
+      while (s < m) {
+        require(codebooks(s).size == nCodes,
+          s"codebook $s has ${codebooks(s).size} codewords, expected $nCodes")
+        var c = 0
+        while (c < nCodes) {
+          require(codebooks(s)(c).size == dsub,
+            s"codeword ($s,$c) has dim ${codebooks(s)(c).size}, expected $dsub")
+          var i = 0
+          while (i < dsub) {
+            a((s * nCodes + c) * dsub + i) = codebooks(s)(c)(i); i += 1
+          }
+          c += 1
+        }
+        s += 1
+      }
+      a
+    }
+
+    def encode(v: ArrayData): ArrayData = {
+      val len = v.numElements()
+      val codes = new Array[Int](m)
+      var s = 0
+      while (s < m) {
+        val vOff = s * dsub
+        val n = math.max(0, math.min(dsub, len - vOff))
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < nCodes) {
+          val cOff = (s * nCodes + c) * dsub
+          var sum = 0.0
+          var i = 0
+          while (i < n) {
+            val d = v.getDouble(vOff + i) - flat(cOff + i); sum += d * d; i += 1
+          }
+          val dist = math.sqrt(sum)
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        codes(s) = best
+        s += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+    }
+
+    override protected def nullSafeEval(v: Any): Any =
+      encode(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqEncodeExpr", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encode($c);")
+    }
+  }
+
+  /** PQ codes (array<int> of m sub-codes) for an array<double> column. */
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    column(PqEncodeExpr(expression(vec), codebooks))
+
+  /** ADC (asymmetric distance computation): the PQ-approximated L2 distance
+    * of an ENCODED vector to the query — sqrt of the sum over subspaces of
+    * the query-to-codeword SQUARED sub-distances, read from the
+    * per-(subspace, code) lookup table the caller precomputed from the
+    * query. One table read per subspace per row — the reason PQ probes
+    * scan billions of 8–16 byte codes instead of KB-sized float vectors.
+    * A codes array shorter than the table sums its available subspaces;
+    * an out-of-range code is a corrupt input and throws. */
+  private[functions] case class PqAdcExpr(child: Expression, lut: Seq[Seq[Double]])
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    require(lut.nonEmpty, "pq_adc needs a non-empty lookup table")
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      child.dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<int>, got ${other.simpleString}")
+      }
+    }
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "pq_adc_native"
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+
+    @transient private lazy val m = lut.size
+    @transient private lazy val nCodes = lut.head.size
+    @transient private lazy val flat: Array[Double] = {
+      val a = new Array[Double](m * nCodes)
+      var s = 0
+      while (s < m) {
+        require(lut(s).size == nCodes,
+          s"LUT row $s has ${lut(s).size} entries, expected $nCodes")
+        var c = 0
+        while (c < nCodes) { a(s * nCodes + c) = lut(s)(c); c += 1 }
+        s += 1
+      }
+      a
+    }
+
+    def dist(codes: ArrayData): Double = {
+      val n = math.min(codes.numElements(), m)
+      var sum = 0.0
+      var s = 0
+      while (s < n) {
+        val c = codes.getInt(s)
+        if (c < 0 || c >= nCodes) throw new IllegalArgumentException(
+          s"pq_adc: code $c at subspace $s out of [0, $nCodes)")
+        sum += flat(s * nCodes + c)
+        s += 1
+      }
+      math.sqrt(sum)
+    }
+
+    override protected def nullSafeEval(v: Any): Any =
+      dist(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqAdcExpr", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.dist($c);")
+    }
+  }
+
+  /** ADC distance of a PQ-codes column against a per-(subspace, code)
+    * squared-sub-distance lookup table. */
+  def pqAdcDist(codes: Column, lut: Seq[Seq[Double]]): Column =
+    column(PqAdcExpr(expression(codes), lut))
+
   // ------------------------------------------------------- compression ratio
 
   /** Deflate-compressed size over raw UTF-8 size — the classic

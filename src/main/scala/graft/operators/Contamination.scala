@@ -48,4 +48,26 @@ object Contamination {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_shared"))
   }
+
+  /** The removal step decontamination exists for: drop every non-eval
+    * document whose shared-shingle RATIO reaches `minRatio`, return the
+    * survivors with their original columns intact. Documents with zero
+    * shingles share nothing with the eval set and are kept. Eval rows
+    * themselves are excluded from the output — the result is the cleaned
+    * TRAINING corpus.
+    *
+    * Scale design: [[sharedShingleCounts]] scans the corpus once against
+    * the broadcast eval union; the flagged-id set is then joined back
+    * `left_anti` on the id. Flagged documents are near-copies of a
+    * fixed-size benchmark, so the flagged set is bounded by eval-set
+    * similarity, not corpus size — AQE turns the anti-join into a
+    * broadcast at runtime; the corpus itself is never shuffled. */
+  def decontaminate(docs: DataFrame, id: Column, shingles: Column,
+      isEval: Column, minRatio: Double): DataFrame = {
+    val flagged = sharedShingleCounts(docs, id, shingles, isEval)
+      .where(col("n_shared").cast("double") /
+        greatest(col("n_shingles"), lit(1L)) >= minRatio)
+      .select(col("id").as("__contam_id"))
+    docs.where(!isEval).join(flagged, id === col("__contam_id"), "left_anti")
+  }
 }

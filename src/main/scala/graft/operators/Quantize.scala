@@ -34,4 +34,92 @@ object Quantize {
             lit(255L)))
           .as("code"))
   }
+
+  // ------------------------------------------------------ product quantization
+
+  /** Train PQ codebooks (Jégou et al., TPAMI 2011): split the `dim`-dim
+    * space into `m` subspaces of dim/m dims and run one distributed
+    * k-means per subspace ([[AnnSearch.kmeans]] — deterministic
+    * hash-minimal init, sampled training via `trainPct`). Returns m
+    * codebooks of `nCodes` codewords each.
+    *
+    * Why PQ at 100 TB: a 768-dim float32 embedding is 3 KB; its PQ code is
+    * m bytes (8–16). The ANN working set for a trillion vectors drops from
+    * ~3 PB to ~10 TB — the difference between a disk-bound scan and an
+    * in-memory one. Recall comes back via exact re-rank of the ADC
+    * shortlist against the full-precision vectors in cold storage
+    * ([[pqSearch]]).
+    *
+    * Build cost: m × (iters + 1) small aggregate jobs over the (sampled)
+    * training projection — an index-build step, not a serving path. */
+  def pqTrain(emb: DataFrame, id: Column, vec: Column, m: Int,
+      nCodes: Int = 256, iters: Int = 5, trainPct: Int = 100): Seq[Seq[Seq[Double]]] = {
+    val first = emb.select(vec.as("v")).limit(1).collect()
+    require(first.nonEmpty, "pqTrain: empty input")
+    val dim = first(0).getSeq[Double](0).size
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    (0 until m).map { s =>
+      val sub = emb.select(id.cast("string").as("id"),
+        slice(vec, s * dsub + 1, dsub).as("v"))
+      AnnSearch.kmeans(sub, "id", col("v"), nCodes, iters, trainPct)
+    }
+  }
+
+  /** (id, codes) — each vector's m-byte PQ code from one native kernel
+    * call ([[graft.functions.NativeKernels.pqEncode]]); a narrow codegen'd
+    * map, no shuffle. Encode once, persist, probe many. */
+  def pqEncode(df: DataFrame, id: Column, vec: Column,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame =
+    df.select(id.as("id"),
+      graft.functions.NativeKernels.pqEncode(vec, codebooks).as("codes"))
+
+  /** The query's ADC lookup table: squared L2 between the query's subspace
+    * slice and every codeword — m × nCodes doubles, computed once on the
+    * driver and shipped inside the scoring kernel. */
+  def pqLut(q: Seq[Double], codebooks: Seq[Seq[Seq[Double]]]): Seq[Seq[Double]] = {
+    val dsub = codebooks.head.head.size
+    codebooks.zipWithIndex.map { case (cb, s) =>
+      val qs = q.slice(s * dsub, (s + 1) * dsub)
+      cb.map { cw =>
+        var sum = 0.0
+        var i = 0
+        val n = math.min(qs.size, cw.size)
+        while (i < n) { val d = qs(i) - cw(i); sum += d * d; i += 1 }
+        sum
+      }
+    }
+  }
+
+  /** Approximate top-k by ADC over a PQ-codes frame: one codegen'd kernel
+    * read per row, TakeOrdered global top-k (ascending distance, ties to
+    * the lower id) — never a global sort. The ranking key is the distance
+    * rounded to 6 decimals (the [[AnnSearch.bruteCosineTopK]] determinism
+    * contract: stable across engines and replans). */
+  def pqAdcTopK(codes: DataFrame, id: Column, codesCol: Column,
+      codebooks: Seq[Seq[Seq[Double]]], q: Seq[Double], k: Int): DataFrame =
+    codes.select(id.as("id"),
+        round(graft.functions.NativeKernels.pqAdcDist(codesCol, pqLut(q, codebooks)), 6)
+          .as("adc"))
+      .orderBy(col("adc"), col("id")).limit(k)
+
+  /** The production PQ recipe: ADC shortlist of `shortlist` candidates
+    * over the codes, then EXACT L2 re-rank of only those ids against the
+    * full-precision vectors. The shortlist is k-bounded, so the re-rank
+    * join broadcasts it into the vector scan; recall is tunable via
+    * `shortlist` (probe [[recallProbe]]-style against brute force to
+    * size it). */
+  def pqSearch(emb: DataFrame, id: Column, vec: Column,
+      codebooks: Seq[Seq[Seq[Double]]], q: Seq[Double], k: Int,
+      shortlist: Int = 100): DataFrame = {
+    val enc = pqEncode(emb, id, vec, codebooks)
+    val cand = pqAdcTopK(enc, col("id"), col("codes"), codebooks, q,
+      math.max(k, shortlist)).select(col("id"))
+    val qc = array(q.map(lit): _*)
+    emb.select(id.as("id"), vec.as("v"))
+      .join(broadcast(cand), "id")
+      .select(col("id"),
+        round(graft.functions.NativeKernels.l2Dist(col("v"), qc), 6).as("dist"))
+      .orderBy(col("dist"), col("id")).limit(k)
+  }
 }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.NativeKernels
+
+/** SemDeDup-style semantic deduplication (Abbas et al., arXiv:2303.09540):
+  * cluster document embeddings with a coarse quantizer, compare embeddings
+  * only WITHIN each cluster, and keep one representative of every group of
+  * semantically near-identical documents. The within-cluster restriction is
+  * the algorithm's scale contract — cross-cluster near-duplicates are missed
+  * by design, in exchange for turning the all-pairs O(N²) comparison into
+  * k independent O((N/k)²) blocks.
+  *
+  * Scale design (100 TB): the comparison is a self-equi-join on the cluster
+  * id — both sides shuffle ONCE on `cluster`, and each cluster's pairs are
+  * produced by one task. The quadratic term is bounded by the largest
+  * cluster, so k is the knob: pick k ≈ N / targetClusterSize (the paper
+  * runs k in the tens of thousands at web scale) and train with
+  * [[AnnSearch.kmeans]] on a sample. A mega-cluster (mass of boilerplate
+  * embeddings) is the skew hazard; raising k or pre-splitting that mass
+  * with a finer quantizer bounds it — salting cannot help here, because a
+  * within-cluster join salted on both sides would drop cross-salt pairs.
+  *
+  * Complements [[graft.Queries]]' LSH embedding dedup (`q_dedup_embedding`):
+  * LSH banding catches near-identical vectors regardless of global
+  * structure; SemDeDup exploits a trained partition of the embedding space
+  * and is the shape used for LAION/web-corpus curation.
+  */
+object SemDedup {
+
+  /** Within-cluster near-duplicate pairs: (a, b, cluster, cos) with a < b
+    * and cosine(va, vb) >= minCos, where both ids landed in the same
+    * centroid bucket ([[AnnSearch.ivfCluster]] — L2, ties to the lowest
+    * index). Cosines are rounded to `roundTo` decimals BEFORE the
+    * threshold so the admitted pair set is stable across engines and
+    * replans (a raw IEEE comparison flips on the last ulp when an engine
+    * reorders the accumulation); pass roundTo < 0 for raw comparison. */
+  def pairs(emb: DataFrame, id: Column, vec: Column,
+      centroids: Seq[Seq[Double]], minCos: Double,
+      roundTo: Int = 6): DataFrame = {
+    val assigned = Dedup.spread(emb)
+      .select(id.as("id"), vec.as("v"))
+      .withColumn("cluster", AnnSearch.ivfCluster(col("v"), centroids))
+    val a = assigned.select(col("cluster"), col("id").as("a"), col("v").as("va"))
+    val b = assigned.select(col("cluster"), col("id").as("b"), col("v").as("vb"))
+    val cos = NativeKernels.cosineSim(col("va"), col("vb"))
+    val cosR = if (roundTo >= 0) round(cos, roundTo) else cos
+    a.join(b, Seq("cluster"))
+      .where(col("a") < col("b"))
+      .withColumn("cos", cosR)
+      .where(col("cos") >= minCos)
+      .select(col("a"), col("b"), col("cluster"), col("cos"))
+  }
+
+  /** The kept rows after semantic dedup: one representative — the MINIMUM
+    * id — per connected component of the within-cluster near-duplicate
+    * graph ([[pairs]] -> [[Dedup.clusters]]); rows in no component survive
+    * untouched. Returns `emb`'s rows (original columns intact) for the
+    * kept ids. The loser set is bounded by the duplicate mass, not the
+    * corpus, so AQE turns the anti-join into a broadcast when duplicates
+    * are rare (the common curated-corpus case). */
+  def dedup(emb: DataFrame, id: Column, vec: Column,
+      centroids: Seq[Seq[Double]], minCos: Double,
+      roundTo: Int = 6): DataFrame = {
+    val prs = pairs(emb, id, vec, centroids, minCos, roundTo)
+    val losers = Dedup.clusters(prs, "a", "b")
+      .where(col("n") =!= col("c"))
+      .select(col("n").as("__sem_loser"))
+    emb.join(losers, id === col("__sem_loser"), "left_anti")
+  }
+}

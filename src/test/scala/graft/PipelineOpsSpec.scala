@@ -704,4 +704,56 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got(0)._4 == "contact bob@example.com or see <URL> now")
     assert(got(1)._2 == 0 && got(1)._3 == 0 && got(1)._4 == "plain text no matches")
   }
+
+  // ----------------------------------------------------------- decontaminate
+
+  test("decontaminate drops eval near-copies, keeps clean and shingle-less " +
+    "docs, excludes eval rows, and preserves original columns") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", true),   // eval
+      (10L, "the quick brown fox jumps over the lazy dog today", false), // near-copy
+      (11L, "completely different words about spark engines here", false),
+      (12L, "", false), // zero shingles: cannot be contaminated
+      (13L, "the quick unrelated sentence with brown accents", false))
+      .toDF("id", "text", "is_eval")
+    val sh = TextKernels.wordShingles2(TextKernels.wordTokens(col("text")))
+    val kept = graft.operators.Contamination
+      .decontaminate(df, col("id"), sh, col("is_eval"), 0.7)
+    assert(kept.columns.toSeq == Seq("id", "text", "is_eval")) // original schema
+    val ids = kept.select("id").as[Long].collect().toSet
+    assert(ids == Set(11L, 12L, 13L)) // 10 flagged (ratio >= .7), 1 is eval
+    // threshold is inclusive and ratio-based: at 1.01 nothing can be flagged
+    val all = graft.operators.Contamination
+      .decontaminate(df, col("id"), sh, col("is_eval"), 1.01)
+      .select("id").as[Long].collect().toSet
+    assert(all == Set(10L, 11L, 12L, 13L))
+  }
+
+  // ---------------------------------------------------------------- semdedup
+
+  test("semdedup keeps one representative per within-cluster duplicate " +
+    "group and misses cross-cluster twins by design") {
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.05)),   // cluster 0
+      (2L, Seq(0.99, 0.049)), // cluster 0, near-dup of 1 -> dropped
+      (3L, Seq(0.05, 1.0)),   // cluster 1
+      (4L, Seq(0.052, 1.0)),  // cluster 1, near-dup of 3 -> dropped
+      (5L, Seq(-1.0, 0.0)),   // cluster 1 (closer to [0,1]), similar to nothing
+      (6L, Seq(0.72, 0.69)),  // cluster 0 \ near-identical pair SPLIT across
+      (7L, Seq(0.69, 0.72)))  // cluster 1 / clusters: both kept (the tradeoff)
+      .toDF("vec_id", "v")
+    val prs = graft.operators.SemDedup
+      .pairs(vecs, col("vec_id"), col("v"), cents, 0.9)
+    val pairSet = prs.select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairSet == Set((1L, 2L), (3L, 4L)))
+    // every pair row carries the shared cluster and the rounded cosine
+    val row = prs.where(col("a") === 1L).head
+    assert(row.getAs[Int]("cluster") == 0 && row.getAs[Double]("cos") > 0.99)
+    val kept = graft.operators.SemDedup
+      .dedup(vecs, col("vec_id"), col("v"), cents, 0.9)
+    assert(kept.columns.toSeq == Seq("vec_id", "v")) // original schema
+    assert(kept.select("vec_id").as[Long].collect().toSet ==
+      Set(1L, 3L, 5L, 6L, 7L))
+  }
 }
