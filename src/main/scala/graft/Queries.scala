@@ -1486,6 +1486,59 @@ object Queries {
        |FROM enc, lut ORDER BY adc, vec_id LIMIT 10""".stripMargin
   }
 
+  // -- Persisted IVF-PQ index end-to-end: buildIvfPq stores only (id, codes)
+  //    partitioned by coarse cluster; the probe prunes to the 2 nearest
+  //    clusters and ADC-ranks the stored codes against the query's LUT. The
+  //    oracle composes the IVF assignment/probe arithmetic (q_ann_ivf) with
+  //    the PQ encode/ADC arithmetic (q_pq_topk) from the same literals.
+  private val pqIvfIdx: (SparkSession, String) => DataFrame = (s, dir) => {
+    val e = spread(t(s, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .where(col("vec_id") =!= 0)
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-ivfpqidx-" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+    buildIndexOnce(path)(
+      graft.operators.AnnIndex.buildIvfPq(e, "vec_id", col("v"),
+        ivfCentroids, pqCodebooks, path))
+    // centroids AND codebooks come from the index's own metadata sidecar
+    graft.operators.AnnIndex.ivfPqTopK(s, path, "vec_id", queryVec(s, dir), 10, 2)
+  }
+
+  private val pqIvfIdxSql = {
+    def cLit(c: Seq[Double]) =
+      c.map(x => if (x == math.floor(x)) s"${x.toLong}.0" else x.toString)
+        .mkString("([", ", ", "]::DOUBLE[])")
+    def l2c(v: String, c: Seq[Double]) =
+      s"sqrt(list_sum([($v[k] - ${cLit(c)}[k]) * ($v[k] - ${cLit(c)}[k]) for k in range(1, 65)]))"
+    def dsC(v: String) = ivfCentroids.map(c => l2c(v, c)).mkString("[", ", ", "]")
+    def sq(v: String, s: Int, c: Seq[Double]) =
+      s"list_sum([($v[${s * 8} + k] - ${cLit(c)}[k]) * ($v[${s * 8} + k] - ${cLit(c)}[k]) for k in range(1, 9)])"
+    def code(v: String, s: Int) = {
+      val ds = pqCodebooks(s).map(c => s"sqrt(${sq(v, s, c)})").mkString("[", ", ", "]")
+      s"(list_position($ds, list_aggregate($ds, 'min')) - 1)"
+    }
+    def lutRow(s: Int) =
+      pqCodebooks(s).map(c => sq("qv", s, c)).mkString("[", ", ", "]")
+    val codeCols = (0 until 8).map(s => s"${code("v", s)} AS c$s").mkString(",\n  ")
+    val lutCols = (0 until 8).map(s => s"${lutRow(s)} AS l$s").mkString(",\n  ")
+    val adc = (0 until 8).map(s => s"l$s[c$s + 1]").mkString(" + ")
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |probe AS (SELECT idx FROM (
+       |    SELECT unnest([0, 1, 2, 3]) AS idx, unnest(${dsC("qv")}) AS pd FROM q)
+       |  ORDER BY pd, idx LIMIT 2),
+       |lut AS (SELECT
+       |  $lutCols
+       |FROM q),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0),
+       |asn AS (SELECT vec_id, v,
+       |  (list_position(${dsC("v")}, list_aggregate(${dsC("v")}, 'min')) - 1) AS cluster FROM e),
+       |enc AS (SELECT vec_id,
+       |  $codeCols
+       |FROM asn WHERE cluster IN (SELECT idx FROM probe))
+       |SELECT vec_id, round(sqrt($adc), 6) AS adc
+       |FROM enc, lut ORDER BY adc, vec_id LIMIT 10""".stripMargin
+  }
+
   private val annIvfSql = {
     def cLit(c: Seq[Double]) =
       c.map(x => if (x == math.floor(x)) s"${x.toLong}.0" else x.toString)
@@ -2289,6 +2342,7 @@ object Queries {
     "q_ann_ivf"       -> annIvf,
     "q_ann_ivf_idx"   -> annIvfIdx,
     "q_pq_topk"       -> pqTopk,
+    "q_pq_ivf_idx"    -> pqIvfIdx,
     "q_skew_join"     -> skewJoinQ,
     "q_pipeline"      -> pipelineQ,
     "q_dedup_embedding" -> dedupEmbedding,
@@ -2362,6 +2416,7 @@ object Queries {
     "q_ann_ivf"       -> annIvfSql,
     "q_ann_ivf_idx"   -> annIvfSql, // persisted IVF index == on-the-fly ivfTopK
     "q_pq_topk"       -> pqTopkSql,
+    "q_pq_ivf_idx"    -> pqIvfIdxSql,
     "q_skew_join"     -> skewJoinSql,
     "q_pipeline"      -> pipelineSql,
     "q_dedup_embedding" -> dedupEmbeddingSql,

@@ -94,11 +94,12 @@ object AnnIndex {
     IndexIO.readMeta(emb.sparkSession, path).map(_.path("kind").asText()) match {
       case Some("lsh") => appendLsh(emb, id, vec, path, batchId)
       case Some("ivf") => appendIvf(emb, id, vec, path, batchId)
+      case Some("ivfpq") => appendIvfPq(emb, id, vec, path, batchId)
       case Some(other) => throw new IllegalArgumentException(
         s"index sidecar at $path has unrecognized kind '$other' — " +
-          "expected 'lsh' or 'ivf'")
+          "expected 'lsh', 'ivf', or 'ivfpq'")
       case None => throw new IllegalArgumentException(
-        s"no index sidecar at $path — build with buildLsh/buildIvf first")
+        s"no index sidecar at $path — build with buildLsh/buildIvf/buildIvfPq first")
     }
   }
 
@@ -270,6 +271,104 @@ object AnnIndex {
     AnnSearch.bruteCosineTopK(df, id, col("vec"), q, k)
   }
 
+  // ------------------------------------------------------------------ IVF-PQ
+
+  /** Build a persisted IVF-PQ index (the FAISS-default shape at corpus
+    * scale): each vector is assigned to its nearest coarse centroid (the
+    * partition-pruning key, as in [[buildIvf]]) and stored as its m-byte PQ
+    * code ([[graft.functions.NativeKernels.pqEncode]]) — the
+    * FULL-PRECISION VECTOR IS NOT STORED. At 100 TB this is the point: a
+    * 768-dim float corpus is ~3 KB/vector; its IVF-PQ index is m bytes +
+    * one int per vector, small enough to serve from memory, while the full
+    * vectors stay in the source table for the caller's exact re-rank of
+    * the probe's shortlist ([[Quantize.pqSearch]] shape). Train both
+    * stages on a sample: `centroids` via [[AnnSearch.kmeans]], `codebooks`
+    * via [[Quantize.pqTrain]]. Because no vectors are stored, [[rebuild]]
+    * (re-train from stored vectors) and [[recallProbe]] (needs true
+    * distances) do not apply to this flavor — gauge recall against the
+    * source table instead. */
+  def buildIvfPq(emb: DataFrame, id: String, vec: Column,
+      centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+      path: String): Unit = {
+    emb.select(col(id),
+        graft.functions.NativeKernels.pqEncode(vec, codebooks).as("codes"),
+        AnnSearch.ivfCluster(vec, centroids).as(BucketCol),
+        lit(-1L).as(IndexIO.BatchCol))
+      .repartition(col(BucketCol)) // see buildLsh: one task per bucket
+      .write.mode("overwrite").partitionBy(BucketCol, IndexIO.BatchCol).parquet(path)
+    val cs = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    val cb = codebooks.map(_.map(_.mkString("[", ",", "]"))
+      .mkString("[", ",", "]")).mkString("[", ",", "]")
+    IndexIO.writeMeta(emb.sparkSession, path,
+      s"""{"kind": "ivfpq", "centroids": $cs, "codebooks": $cb}""")
+  }
+
+  /** The IVF-PQ index's stored (centroids, codebooks), or None for a
+    * pre-sidecar index. */
+  def readIvfPqMeta(spark: SparkSession, path: String)
+      : Option[(Seq[Seq[Double]], Seq[Seq[Seq[Double]]])] =
+    readMeta(spark, path).map { n =>
+      require(n.path("kind").asText() == "ivfpq",
+        s"index at $path is a ${n.path("kind").asText()} index, not IVF-PQ")
+      import scala.jdk.CollectionConverters._
+      val cents = n.path("centroids").elements().asScala
+        .map(c => c.elements().asScala.map(_.asDouble()).toSeq).toSeq
+      val books = n.path("codebooks").elements().asScala
+        .map(_.elements().asScala
+          .map(c => c.elements().asScala.map(_.asDouble()).toSeq).toSeq).toSeq
+      (cents, books)
+    }
+
+  /** Grow a persisted IVF-PQ index: the batch is encoded and assigned with
+    * the index's OWN stored codebooks and centroids (both frozen, as in
+    * [[appendIvf]] — re-training either means rebuilding). `batchId` makes
+    * the append replay-idempotent — see [[appendLsh]]. */
+  def appendIvfPq(emb: DataFrame, id: String, vec: Column, path: String,
+      batchId: Option[Long] = None): Unit = {
+    val (cs, books) = readIvfPqMeta(emb.sparkSession, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no IVF-PQ index metadata at $path — build with buildIvfPq first"))
+    if (IndexIO.alreadyCompacted(emb.sparkSession, path, batchId)) return
+    IndexIO.writeBatch(
+      emb.select(col(id),
+          graft.functions.NativeKernels.pqEncode(vec, books).as("codes"),
+          AnnSearch.ivfCluster(vec, cs).as(BucketCol))
+        .repartition(col(BucketCol)),
+      path, batchId, Seq(BucketCol))
+  }
+
+  /** Query a persisted IVF-PQ index: the query's nProbe nearest centroids
+    * prune the partition listing (as in [[ivfTopK]]); inside the probed
+    * buckets each stored CODE is scored by ADC against the query's lookup
+    * table ([[Quantize.pqLut]] — m×nCodes doubles built once on the
+    * driver) and the top-k by (rounded distance, id) returned. Distances
+    * are PQ approximations; for exact ranks, re-rank the returned ids
+    * against the full-precision source vectors ([[Quantize.pqSearch]]
+    * shape). Executes eagerly under the stale-listing retry like the other
+    * flavors. */
+  def ivfPqTopK(spark: SparkSession, path: String, id: String,
+      q: Seq[Double], k: Int, nProbe: Int): DataFrame =
+    executeProbe(spark)(ivfPqTopKPlan(spark, path, id, q, k, nProbe))
+
+  /** The lazy probe plan behind [[ivfPqTopK]] — see [[lshTopKPlan]]. */
+  private[graft] def ivfPqTopKPlan(spark: SparkSession, path: String,
+      id: String, q: Seq[Double], k: Int, nProbe: Int): DataFrame = {
+    requireIndexPath(spark, path)
+    val (cs, books) = readIvfPqMeta(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"index at $path has no metadata sidecar — IVF-PQ probes need the " +
+          "stored codebooks"))
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val probed = cs.indices.sortBy(i => (l2(q, cs(i)), i)).take(nProbe)
+    spark.read.parquet(path)
+      .where(col(BucketCol).isin(probed: _*))
+      .select(col(id),
+        round(graft.functions.NativeKernels.pqAdcDist(
+          col("codes"), Quantize.pqLut(q, books)), 6).as("adc"))
+      .orderBy(col("adc"), col(id)).limit(k)
+  }
+
   /** Compact a grown index (LSH or IVF): fold every appended batch back
     * into the `batch=-1` base, restoring the build path's one-well-sized-
     * file-per-bucket discipline. Per-batch appends write one file per
@@ -359,6 +458,9 @@ object AnnIndex {
       val kind = IndexIO.readMeta(spark, path).map(_.path("kind").asText())
         .getOrElse(throw new IllegalArgumentException(
           s"no index sidecar at $path — recallProbe needs a self-describing index"))
+      require(kind != "ivfpq", "recallProbe needs the stored full-precision " +
+        "vectors for ground truth; an IVF-PQ index stores only codes — gauge " +
+        "recall against the source table instead")
       // keep the NATIVE id for ordering: the served side's tie-break
       // (bruteCosineTopK) orders by the id's native type, and a
       // string-cast tie-break here would disagree on tied cosines

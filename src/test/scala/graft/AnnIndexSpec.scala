@@ -286,4 +286,49 @@ class AnnIndexSpec extends SparkTestBase {
     }
     assert(e3.getMessage.contains("not IVF"))
   }
+
+  test("persisted IVF-PQ index: codes only (no vectors), probe == composed " +
+    "encode+assign+ADC, pruned partitions, kind-routed append, compact-safe") {
+    import graft.operators.Quantize
+    val rnd = new scala.util.Random(89)
+    val cents = (0 until 8).map(_ => Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val books = Quantize.pqTrain(emb, col("vid"), col("v"), m = 2,
+      nCodes = 8, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString + "/idx"
+    AnnIndex.buildIvfPq(emb, "vid", col("v"), cents, books, path)
+    // compression contract: the index stores (vid, codes) — never the vector
+    val stored = spark.read.parquet(path)
+    assert(stored.columns.toSet == Set("vid", "codes", "bucket", "batch"))
+    // sidecar round-trips both training artifacts bit-exactly
+    assert(AnnIndex.readIvfPqMeta(spark, path).contains((cents, books)))
+    val q = query(97)
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val probed = cents.indices.sortBy(i => (l2(q, cents(i)), i)).take(2)
+    val flyEnc = Quantize.pqEncode(
+      emb.withColumn("c", AnnSearch.ivfCluster(col("v"), cents))
+        .where(col("c").isin(probed: _*)), col("vid"), col("v"), books)
+    val fly = Quantize.pqAdcTopK(flyEnc, col("id"), col("codes"), books, q, 10)
+    val idx = AnnIndex.ivfPqTopKPlan(spark, path, "vid", q, 10, nProbe = 2)
+    assert(idx.collect().map(_.toSeq).toSeq == fly.collect().map(_.toSeq).toSeq)
+    val scan = scanOf(idx)
+    assert(scan.partitionFilters.nonEmpty)
+    assert(scan.metrics("numPartitions").value <= 2)
+    // kind-routed append: generic append() encodes with the STORED books
+    val extra = Seq((9001L, Seq.fill(dim)(0.1))).toDF("vid", "v")
+    AnnIndex.append(extra, "vid", col("v"), path)
+    assert(spark.read.parquet(path).where(col("vid") === 9001L).count() == 1)
+    // compact folds the append; all-probe answers are unchanged by it
+    val before = AnnIndex.ivfPqTopK(spark, path, "vid", q, 10, nProbe = 8)
+      .collect().map(_.toSeq).toSeq
+    AnnIndex.compact(spark, path)
+    val after = AnnIndex.ivfPqTopK(spark, path, "vid", q, 10, nProbe = 8)
+      .collect().map(_.toSeq).toSeq
+    assert(before == after)
+    // no stored vectors -> recallProbe must refuse, not crash obscurely
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.recallProbe(spark, path, "vid", 5, 2)
+    }
+    assert(e.getMessage.contains("IVF-PQ"))
+  }
 }
