@@ -364,7 +364,8 @@ final class SimSearchService(spark: SparkSession, port: Int,
     * { "operator": "line_dedup" | "exact_groups" | "minhash_pairs" |
     *               "dedup_cluster" | "text_stats" |
     *               "budget_select" | "chunk" | "scrub" |
-    *               "html_text" | "url_dedup",
+    *               "html_text" | "url_dedup" |
+    *               "decontaminate" | "semdedup",
     *   "input": {"column": "<mounted attribute>"}        // api_key's catalog
     *          | {"path": "/dir", "format": "parquet"|"csv"},
     *   "id": "doc_id", "text": "text",                   // path-input columns
@@ -385,7 +386,13 @@ final class SimSearchService(spark: SparkSession, port: Int,
     * `chunk_size` (required), `overlap`; scrub `pattern` (required),
     * `replacement`; text_stats none; html_text none (the text column holds
     * raw HTML, the response holds the extracted prose); url_dedup none
-    * (the text column holds URLs; returns url_norm / n_docs / keeper). */
+    * (the text column holds URLs; returns url_norm / n_docs / keeper);
+    * decontaminate `eval_column` (required boolean column marking the
+    * benchmark rows), `min_ratio` (default 0.7) — returns the cleaned
+    * non-eval rows; semdedup `vector_column` (default "embedding"),
+    * `clusters` (default 16, k-means-trained in the request), `iters`
+    * (default 5), `min_cos` (default 0.9) — returns the kept rows minus
+    * the vector payload. */
   private def handlePipeline(x: HttpExchange): Unit = {
     import org.apache.spark.sql.functions._
     import graft.functions.TextKernels
@@ -396,7 +403,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
       val opName = root.path("operator").asText("")
       val knownOps = Seq("line_dedup", "exact_groups", "minhash_pairs",
         "dedup_cluster", "text_stats", "budget_select", "chunk", "scrub",
-        "html_text", "url_dedup")
+        "html_text", "url_dedup", "decontaminate", "semdedup")
       if (!knownOps.contains(opName))
         throw new IllegalArgumentException(
           s"unknown operator '$opName' — one of ${knownOps.mkString(", ")}")
@@ -471,6 +478,20 @@ final class SimSearchService(spark: SparkSession, port: Int,
           .select(col(idCol), TextKernels.normalizeUrl(col(textCol)).as("url_norm"))
           .groupBy(col("url_norm"))
           .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keeper"))
+        case "decontaminate" => graft.operators.Contamination.decontaminate(
+          df, col(idCol),
+          graft.functions.NativeKernels.wordShingles2(col(textCol)),
+          col(reqParam("eval_column").asText()),
+          params.path("min_ratio").asDouble(0.7))
+        case "semdedup" =>
+          val vecCol = params.path("vector_column").asText("embedding")
+          val projected = df.withColumn(vecCol, col(vecCol).cast("array<double>"))
+          val cents = graft.operators.AnnSearch.kmeans(projected, idCol,
+            col(vecCol), params.path("clusters").asInt(16),
+            params.path("iters").asInt(5))
+          graft.operators.SemDedup.dedup(projected, col(idCol), col(vecCol),
+              cents, params.path("min_cos").asDouble(0.9))
+            .drop(vecCol) // kept rows; the vector payload has no place in JSON
       }
       Option(root.get("output")) match {
         case Some(out) =>

@@ -354,6 +354,39 @@ class SimSearchServiceSpec extends SparkTestBase {
       assert(byUrl == Map("https://a.example/p?k=1" -> (2L, 1L),
         "https://a.example/other" -> (1L, 3L)), b10)
 
+      // decontaminate: the eval near-copy is dropped, the clean doc stays,
+      // eval rows are excluded
+      val decDir = s"$dir/decon"
+      Seq((1L, "the quick brown fox jumps over the lazy dog", true),
+        (10L, "the quick brown fox jumps over the lazy dog today", false),
+        (11L, "completely different words about spark engines here", false))
+        .toDF("doc_id", "text", "is_eval")
+        .write.mode("overwrite").parquet(decDir)
+      val (c11, b11) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "decontaminate",
+            "input": {"path": "$decDir"}, "id": "doc_id", "text": "text",
+            "params": {"eval_column": "is_eval"}}"""))
+      assert(c11 == 200, b11)
+      val dec = new ObjectMapper().readTree(b11)
+      assert(dec.size() == 1 && dec.get(0).get("doc_id").asLong() == 11L, b11)
+
+      // semdedup: near-identical embeddings collapse to the min id; the
+      // vector column stays out of the JSON response
+      val semDir = s"$dir/sem"
+      Seq((1L, Seq(1.0, 0.0, 0.1), "a"), (2L, Seq(0.99, 0.0, 0.101), "b"),
+        (3L, Seq(0.0, 1.0, 0.0), "c"))
+        .toDF("doc_id", "embedding", "tag")
+        .write.mode("overwrite").parquet(semDir)
+      val (c12, b12) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "semdedup",
+            "input": {"path": "$semDir"}, "id": "doc_id",
+            "params": {"clusters": 2, "min_cos": 0.95}}"""))
+      assert(c12 == 200, b12)
+      val sem = new ObjectMapper().readTree(b12)
+      val semIds = (0 until sem.size()).map(i => sem.get(i).get("doc_id").asLong()).toSet
+      assert(semIds == Set(1L, 3L), b12)
+      assert(!sem.get(0).has("embedding"), b12)
+
       // errors stay 400 with a message, not socket faults
       val (c5, b5) = http("POST", s"$base/pipeline",
         Some("""{"operator": "nope", "input": {"path": "/tmp/x"}}"""))
