@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+
+/** BPE training and encoding: the textbook merge sequence, rank-priority
+  * encoding, determinism, and the distributed word-count path. */
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // the classic Sennrich corpus: low x5, lower x2, newest x6, widest x3
+  private val counts = Seq(
+    ("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+
+  test("trainFromCounts learns the textbook merge sequence with " +
+    "lexicographic tie-breaks") {
+    val merges = Bpe.trainFromCounts(counts, 5)
+    // pair counts round 1: (e,s)=9, (s,t)=9, (t,</w>)=9 tie -> ("e","s")
+    // wins lexicographically; then (es,t), (est,</w>); then the (l,o)/(o,w)
+    // 7-tie resolves to (l,o), then (lo,w)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("est", Bpe.EndMark),
+      ("l", "o"), ("lo", "w")))
+  }
+
+  test("training stops when no pair repeats, and is deterministic") {
+    // every word distinct, every pair count 1 -> nothing to merge
+    assert(Bpe.trainFromCounts(Seq(("ab", 1L), ("cd", 1L)), 10).isEmpty)
+    val a = Bpe.trainFromCounts(counts, 50)
+    val b = Bpe.trainFromCounts(counts, 50)
+    assert(a == b)
+    // asking past the useful merges returns what exists, without looping
+    assert(a.size < 50)
+  }
+
+  test("encodeWord applies merges by rank priority (GPT-2 procedure)") {
+    val merges = Bpe.trainFromCounts(counts, 5)
+    val ranks = merges.zipWithIndex.toMap
+    assert(Bpe.encodeWord("lowest", ranks) == Seq("low", "est" + Bpe.EndMark))
+    assert(Bpe.encodeWord("newest", ranks) ==
+      Seq("n", "e", "w", "est" + Bpe.EndMark))
+    // unseen characters stay as singleton symbols
+    assert(Bpe.encodeWord("xy", ranks) == Seq("x", "y", Bpe.EndMark))
+    assert(Bpe.encodeWord("", ranks).isEmpty)
+  }
+
+  test("tokens column encodes each word in order; tokenCount sizes it; " +
+    "null text stays null") {
+    val merges = Bpe.trainFromCounts(counts, 5)
+    val df = Seq((1L, "lowest newest"), (2L, ""), (3L, null: String))
+      .toDF("id", "text")
+    val w = graft.functions.TextKernels.wordTokens(col("text"))
+    val got = df.select(col("id"), Bpe.tokens(w, merges).as("t"),
+        Bpe.tokenCount(w, merges).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else r.getSeq[String](1).toSeq),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(got(1L)._1 == Seq("low", "est" + Bpe.EndMark,
+      "n", "e", "w", "est" + Bpe.EndMark) && got(1L)._2 == 6L)
+    assert(got(2L)._1 == Seq.empty && got(2L)._2 == 0L)
+    assert(got(3L)._1 == null && got(3L)._2 == -1L)
+  }
+
+  test("distributed train == trainFromCounts of the same word counts") {
+    val docs = Seq(
+      "low low low low low lower lower",
+      "newest newest newest widest widest",
+      "newest newest newest widest").toDF("text")
+    val w = graft.functions.TextKernels.wordTokens(col("text"))
+    val dist = Bpe.train(docs, w, 5)
+    assert(dist == Bpe.trainFromCounts(counts, 5))
+    // maxWords caps the training vocabulary deterministically: with only
+    // the 2 most frequent words (newest x6, low x5) the suffix merges
+    // reflect that reduced table
+    val capped = Bpe.train(docs, w, 3, maxWords = 2)
+    assert(capped == Bpe.trainFromCounts(Seq(("newest", 6L), ("low", 5L)), 3))
+  }
+}
