@@ -240,8 +240,77 @@ object ScaleProbe {
       val tRebuild = timeIt {
         AnnIndex.rebuild(spark, ivfPath, "vec_id", iters = 5); mult.toLong
       }
+      // round-11 (late): SemDeDup — the scale contract is that k GROWS
+      // with the corpus so per-cluster size (and the quadratic
+      // within-cluster term) stays constant: assignment is N·k·dim inside
+      // one codegen kernel, the join is k blocks of bounded size. Replicas
+      // are shifted along dim 0 so the near-dup structure does not change
+      // with scale (mirroring the disjoint-vocabulary trick for text).
+      val embShift = (0 until mult).map { i =>
+        emb0.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          org.apache.spark.sql.functions.transform(col("v"),
+            (x, j) => when(j === 0, x + lit(i * 8.0)).otherwise(x)).as("v"))
+      }.reduce(_ union _).repartition(cpus.toInt).cache()
+      embShift.count()
+      // centroids sampled HASH-UNIFORMLY across the whole (shifted) corpus:
+      // taking the k smallest ids would draw every centroid from replica 0,
+      // leaving the other replicas' shifted vectors to collapse into a few
+      // mega-clusters — the documented skew hazard (measured: 597 s at 16x
+      // vs ~3 s with spread centroids; same corpus, same k)
+      val semK = 16 * mult
+      val semCents = embShift
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(semK)
+        .collect().map(_.getSeq[Double](1).toSeq).toSeq
+      val tSemDedup = timeIt {
+        SemDedup.dedup(embShift, col("vec_id"), col("v"), semCents, 0.9).count()
+      }
+      embShift.unpersist()
+      // round-11 (late): PQ — encode is a narrow per-row kernel (must be
+      // linear); the IVF-PQ probe reads nProbe/16 of the stored CODES
+      // (m bytes/vector), so its slope is the pruning ratio times a
+      // byte-scan, the flattest curve on this chart
+      val pqBooks = {
+        val cw = Seq(Seq.fill(8)(0.25), Seq.fill(8)(-0.25),
+          (0 until 8).map(j => if (j % 2 == 0) 0.5 else -0.5).toSeq,
+          Seq.fill(8)(0.0))
+        Seq.fill(8)(cw)
+      }
+      val tPqEncode = timeIt {
+        Quantize.pqEncode(emb, col("vec_id"), col("v"), pqBooks).count()
+      }
+      val pqPath = s"/tmp/graft-scaleprobe-pq-$mult"
+      val tPqBuild = timeIt {
+        val cents = AnnSearch.kmeans(emb, "vec_id", col("v"), 16, iters = 3)
+        AnnIndex.buildIvfPq(emb, "vec_id", col("v"), cents, pqBooks, pqPath)
+        mult.toLong
+      }
+      val tPqProbe = timeIt {
+        AnnIndex.ivfPqTopK(spark, pqPath, "vec_id", qv, 10, nProbe = 2).count()
+      }
+      // round-11 (late): decontamination removal — one corpus scan against
+      // the broadcast eval union plus a flag-bounded anti-join; linear
+      val tDecontam = timeIt {
+        Contamination.decontaminate(docs, col("doc_id"),
+          graft.functions.NativeKernels.wordShingles2(col("text")),
+          col("doc_id") % 10000000L < Queries.ContamEvalMax, 0.7).count()
+      }
+      // round-11 (late): BPE — training reads ONE word-count aggregate
+      // (vocabulary-bounded, here growing with the replica prefixes) and
+      // loops driver-side; encoding is a narrow kernel map over the corpus
+      var bpeMerges: Seq[(String, String)] = Seq.empty
+      val tBpeTrain = timeIt {
+        bpeMerges = Bpe.train(docs,
+          graft.functions.NativeKernels.wordTokens(col("text")), 200,
+          maxWords = 20000)
+        bpeMerges.size.toLong
+      }
+      val tBpeEncode = timeIt {
+        docs.select(Bpe.tokenCount(
+            graft.functions.NativeKernels.wordTokens(col("text")), bpeMerges)
+          .as("n")).agg(sum("n")).count()
+      }
       if (mult0 > 0)
-        println(s"""{"mult":$mult,"docs":${docs.count()},"minhash_sec":$tMinhash,"ann_sec":$tAnn,"rankagg_sec":$tRankAgg,"cluster_sec":$tCluster,"pack_sec":$tPack,"tfidf_sec":$tTfidf,"simhash_sec":$tSimhash,"quantize_sec":$tQuantize,"contam_sec":$tContam,"chunk_sec":$tChunk,"repetition_sec":$tRepet,"idx_build_sec":$tIdxBuild,"idx_probe_sec":$tIdxProbe,"band_build_sec":$tBandBuild,"incr_probe_sec":$tIncrProbe,"winnow_sec":$tWinnow,"winnow_spans_sec":$tWinnowSpans,"line_dedup_sec":$tLineDedup,"curation_batch_sec":$tCuration,"budget_select_sec":$tBudget,"budget_select_const_sec":$tBudgetConst,"ivf_build_sec":$tIvfBuild,"recall_probe_sec":$tRecall,"ivf_rebuild_sec":$tRebuild,"exact_join_novel_sec":$tExactJoinNovel,"bloom_build_sec":$tBloomBuild,"exact_bloom_novel_sec":$tExactBloomNovel}""")
+        println(s"""{"mult":$mult,"docs":${docs.count()},"minhash_sec":$tMinhash,"ann_sec":$tAnn,"rankagg_sec":$tRankAgg,"cluster_sec":$tCluster,"pack_sec":$tPack,"tfidf_sec":$tTfidf,"simhash_sec":$tSimhash,"quantize_sec":$tQuantize,"contam_sec":$tContam,"chunk_sec":$tChunk,"repetition_sec":$tRepet,"idx_build_sec":$tIdxBuild,"idx_probe_sec":$tIdxProbe,"band_build_sec":$tBandBuild,"incr_probe_sec":$tIncrProbe,"winnow_sec":$tWinnow,"winnow_spans_sec":$tWinnowSpans,"line_dedup_sec":$tLineDedup,"curation_batch_sec":$tCuration,"budget_select_sec":$tBudget,"budget_select_const_sec":$tBudgetConst,"ivf_build_sec":$tIvfBuild,"recall_probe_sec":$tRecall,"ivf_rebuild_sec":$tRebuild,"exact_join_novel_sec":$tExactJoinNovel,"bloom_build_sec":$tBloomBuild,"exact_bloom_novel_sec":$tExactBloomNovel,"semdedup_sec":$tSemDedup,"pq_encode_sec":$tPqEncode,"pq_build_sec":$tPqBuild,"pq_probe_sec":$tPqProbe,"decontam_sec":$tDecontam,"bpe_train_sec":$tBpeTrain,"bpe_encode_sec":$tBpeEncode}""")
       docs.unpersist(); emb.unpersist()
     }
     spark.stop()

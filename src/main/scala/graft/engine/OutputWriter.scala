@@ -16,6 +16,42 @@ object OutputWriter {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Dataset-scale parquet sink with a TARGET SHARD SIZE — the shape a
+    * curated training corpus ships in (readers want uniform ~N-GB files;
+    * ten thousand 3 MB part files or three 800 GB ones both hurt).
+    * One cheap calibration pass estimates bytes/row from a deterministic
+    * sample of rendered row sizes (hash-minimal ids are not needed — the
+    * estimate only sizes files, never changes content), then
+    * `maxRecordsPerFile` bounds every task's output file size while
+    * `repartition(ceil(totalBytes / targetBytes))` keeps the file COUNT
+    * near the target too (without it, 32 near-empty tasks each open a
+    * file). Compression is parquet-snappy's job; the estimate works on
+    * the uncompressed render, so real files land comfortably under the
+    * target — the safe side of the bound. */
+  def writeSharded(df: DataFrame, path: String, targetBytes: Long,
+      sampleRows: Int = 1000): Unit = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val sample = df.limit(sampleRows)
+      .select(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.to_json(
+          org.apache.spark.sql.functions.struct("*"))).as("sz"))
+      .agg(org.apache.spark.sql.functions.sum("sz"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)))
+      .head
+    val (sampleBytes, sampled) =
+      if (sample.isNullAt(0)) (0L, 0L) else (sample.getLong(0), sample.getLong(1))
+    if (sampled == 0L) { df.write.mode("overwrite").parquet(path); return }
+    val bytesPerRow = math.max(1L, sampleBytes / sampled)
+    val rowsPerFile = math.max(1L, targetBytes / bytesPerRow)
+    val total = df.count()
+    val nShards = math.max(1L, (total + rowsPerFile - 1) / rowsPerFile).toInt
+    df.repartition(nShards)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", rowsPerFile)
+      .parquet(path)
+  }
+
   /** S11 (dataset-scale): CSV directory sink with the reference's
     * configurable delimiter/quote/header (request/SearchOutput.java:8-29).
     * Parallel part files; see [[writeResults]] for the single-file

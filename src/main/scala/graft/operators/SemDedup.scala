@@ -54,6 +54,19 @@ object SemDedup {
       .select(col("a"), col("b"), col("cluster"), col("cos"))
   }
 
+  /** Per-cluster row counts for a centroid list — the pre-flight skew
+    * gauge: the within-cluster join's cost is Σ size², so ONE mega-cluster
+    * dominates the whole job (measured in ScaleProbe: centroids drawn from
+    * one corner of the space made a 16x run 200x slower than the same run
+    * with hash-uniform centroids). One map-side-combined aggregate over k
+    * groups; when max(n) is far above N/k, raise k or re-train the
+    * quantizer on a representative sample before paying for [[pairs]]. */
+  def clusterSizes(emb: DataFrame, vec: Column,
+      centroids: Seq[Seq[Double]]): DataFrame =
+    Dedup.spread(emb)
+      .select(AnnSearch.ivfCluster(vec, centroids).as("cluster"))
+      .groupBy("cluster").agg(count(lit(1)).as("n"))
+
   /** The kept rows after semantic dedup: one representative — the MINIMUM
     * id — per connected component of the within-cluster near-duplicate
     * graph ([[pairs]] -> [[Dedup.clusters]]); rows in no component survive

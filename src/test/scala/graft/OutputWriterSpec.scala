@@ -71,4 +71,29 @@ class OutputWriterSpec extends SparkTestBase {
     assert(tree.get(0).get("rankedResults").get(0).get("id").asText() == "a")
     assert(tree.get(1).get("rankedResults").get(0).get("score").asDouble() == 0.95)
   }
+
+  test("writeSharded: shard count tracks the byte target, contents intact, " +
+    "empty input survives") {
+    import spark.implicits._
+    val text = "x" * 200
+    val df = (0 until 1000).map(i => (i.toLong, text)).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-shard").toString
+    // ~210 rendered bytes/row x 1000 rows; a 30 KB target wants ~7 shards
+    OutputWriter.writeSharded(df, s"$dir/a", targetBytes = 30000)
+    val files = new java.io.File(s"$dir/a").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 5 && files.length <= 10,
+      s"expected ~7 shards, got ${files.length}")
+    val back = spark.read.parquet(s"$dir/a")
+    assert(back.count() == 1000 &&
+      back.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0)
+        == (0L until 1000L).sum)
+    // a target far above the data -> one shard
+    OutputWriter.writeSharded(df, s"$dir/b", targetBytes = 1L << 30)
+    assert(new java.io.File(s"$dir/b").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1)
+    // empty input: a readable empty table, not a crash
+    OutputWriter.writeSharded(df.where($"id" < 0), s"$dir/c", targetBytes = 1000)
+    assert(spark.read.parquet(s"$dir/c").count() == 0)
+  }
 }

@@ -755,5 +755,10 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(kept.columns.toSeq == Seq("vec_id", "v")) // original schema
     assert(kept.select("vec_id").as[Long].collect().toSet ==
       Set(1L, 3L, 5L, 6L, 7L))
+    // the pre-flight skew gauge counts what the join will pay for
+    val sizes = graft.operators.SemDedup
+      .clusterSizes(vecs, col("v"), cents)
+      .as[(Int, Long)].collect().toMap
+    assert(sizes == Map(0 -> 3L, 1 -> 4L))
   }
 }

@@ -334,4 +334,37 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"))
     assert(plan.contains("Exchange hashpartitioning"))
   }
+
+  test("pq ADC top-k: one scan, kernel scoring inside codegen, TakeOrdered — " +
+    "no shuffle, no sort, no join") {
+    val plan = planOf(Queries.all("q_pq_topk")(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "ADC top-k must be a TakeOrdered heap:\n" + plan.take(800))
+    assert(plan.contains("pq_adc_native") && plan.contains("pq_encode_native"),
+      "both PQ kernels must appear in the plan:\n" + plan.take(800))
+    assert(!plan.contains("Exchange hashpartitioning") && !plan.contains("Join"),
+      "a flat ADC scan must not shuffle or join:\n" + plan.take(800))
+    // (kernel codegen itself is strict-compiled in BandKeysCodegenSpec's
+    // style via PqSpec's composed-twin bit-identity run)
+  }
+
+  test("semdedup: the within-cluster compare is a hash equi-join on the " +
+    "cluster id — never a cartesian") {
+    val plan = planOf(Queries.all("q_semdedup")(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "within-cluster pairs must ride an equi-join:\n" + plan.take(1200))
+    assert(plan.contains("nearest_centroid_native") ||
+      plan.contains("array_position"),
+      "cluster assignment must be the shared ivfCluster expression")
+  }
+
+  test("decontaminate: eval union broadcasts; the flagged-id anti-join never " +
+    "plans a cartesian") {
+    val plan = planOf(Queries.all("q_decontaminate")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the eval shingle union must broadcast:\n" + plan.take(800))
+    assert(plan.contains("LeftAnti"), "removal must be an anti-join")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }

@@ -72,4 +72,41 @@ class BandKeysCodegenSpec extends AnyFunSuite {
     assert((0 until 4).forall(i =>
       out.getUTF8String(i).toString == interp.getUTF8String(i).toString))
   }
+
+  test("PQ encode/ADC and BPE kernels compile under strict codegen and " +
+    "agree with interpreted eval") {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType}
+    val books = Seq(
+      Seq(Seq(0.0, 0.0), Seq(1.0, 0.0)),
+      Seq(Seq(1.0, 1.0), Seq(-1.0, -1.0)))
+    val enc = NativeKernels.PqEncodeExpr(
+      BoundReference(0, ArrayType(DoubleType), nullable = true), books)
+    val adc = NativeKernels.PqAdcExpr(
+      BoundReference(1, ArrayType(IntegerType), nullable = true),
+      Seq(Seq(1.0, 4.0), Seq(9.0, 16.0)))
+    val bpe = graft.operators.Bpe.BpeTokensExpr(
+      BoundReference(2, ArrayType(StringType), nullable = true),
+      Seq(("a", "b"), ("ab", "c")))
+    val proj = GenerateUnsafeProjection.generate(Seq(enc, adc, bpe))
+    val vec = new GenericArrayData(Array[Any](0.9, 0.1, -0.9, -1.1))
+    val codes = new GenericArrayData(Array[Any](1, 0))
+    val words = new GenericArrayData(Array[Any](
+      UTF8String.fromString("abc"), UTF8String.fromString("ba")))
+    val row = new GenericInternalRow(Array[Any](vec, codes, words))
+    val out = proj(row)
+    val got = out.getArray(0)
+    assert(got.numElements() == 2 && got.getInt(0) == 1 && got.getInt(1) == 1)
+    assert(out.getDouble(1) == math.sqrt(4.0 + 9.0))
+    val toks = out.getArray(2)
+    assert((0 until toks.numElements()).map(toks.getUTF8String(_).toString) ==
+      Seq("abc", "</w>", "b", "a", "</w>"))
+    // generated code agrees with interpreted eval on all three
+    assert(enc.eval(row).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toIntArray().toSeq == Seq(1, 1))
+    assert(adc.eval(row) == out.getDouble(1))
+    // null inputs stay null
+    val nulls = new GenericInternalRow(Array[Any](null, null, null))
+    val outN = proj(nulls)
+    assert(outN.isNullAt(0) && outN.isNullAt(1) && outN.isNullAt(2))
+  }
 }
