@@ -1486,6 +1486,42 @@ object Queries {
        |FROM enc, lut ORDER BY adc, vec_id LIMIT 10""".stripMargin
   }
 
+  // -- Embedding-space INCREMENTAL near-dup: an odd-id batch checked against
+  //    the persisted LSH index of the even-id corpus — the ANN twin of
+  //    q_dedup_incr. The oracle reproduces the production random-hyperplane
+  //    signature from the identical literals (the annMpSql machinery) for
+  //    BOTH sides, joins on the shared bucket, and verifies exact cosine.
+  private val annIncr: (SparkSession, String) => DataFrame = (s, dir) => {
+    val e = spread(t(s, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-annincr-" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+    buildIndexOnce(path)(
+      graft.operators.AnnIndex.buildLsh(e.where(col("vec_id") % 2 === 0),
+        "vec_id", col("v"), 64, path, nBits = 8))
+    graft.operators.AnnIndex.incrementalNearDup(
+        e.where(col("vec_id") % 2 === 1), "vec_id", col("v"), path, 0.2)
+      .orderBy(col("a"), col("b"))
+  }
+
+  private val annIncrSql = {
+    val hs = AnnSearch.planes(64, 8, 42L)
+      .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    s"""WITH h(hs) AS (SELECT $hs::DOUBLE[][]),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |es AS (SELECT vec_id, v,
+       |         list_sum([CASE WHEN list_reduce([v[i] * hs[j][i] for i in range(1, 65)],
+       |             (a, b) -> a + b) >= 0 THEN (1::BIGINT << (j-1))
+       |           ELSE 0::BIGINT END for j in range(1, 9)])::BIGINT AS sig
+       |       FROM e, h)
+       |SELECT x.vec_id AS a, y.vec_id AS b,
+       |  round(list_cosine_similarity(x.v, y.v), 6) AS cos
+       |FROM es x JOIN es y ON x.sig = y.sig
+       |WHERE x.vec_id % 2 = 1 AND y.vec_id % 2 = 0
+       |  AND round(list_cosine_similarity(x.v, y.v), 6) >= 0.2
+       |ORDER BY a, b""".stripMargin
+  }
+
   // -- Persisted IVF-PQ index end-to-end: buildIvfPq stores only (id, codes)
   //    partitioned by coarse cluster; the probe prunes to the 2 nearest
   //    clusters and ADC-ranks the stored codes against the query's LUT. The
@@ -2343,6 +2379,7 @@ object Queries {
     "q_ann_ivf_idx"   -> annIvfIdx,
     "q_pq_topk"       -> pqTopk,
     "q_pq_ivf_idx"    -> pqIvfIdx,
+    "q_ann_incr"      -> annIncr,
     "q_skew_join"     -> skewJoinQ,
     "q_pipeline"      -> pipelineQ,
     "q_dedup_embedding" -> dedupEmbedding,
@@ -2417,6 +2454,7 @@ object Queries {
     "q_ann_ivf_idx"   -> annIvfSql, // persisted IVF index == on-the-fly ivfTopK
     "q_pq_topk"       -> pqTopkSql,
     "q_pq_ivf_idx"    -> pqIvfIdxSql,
+    "q_ann_incr"      -> annIncrSql,
     "q_skew_join"     -> skewJoinSql,
     "q_pipeline"      -> pipelineSql,
     "q_dedup_embedding" -> dedupEmbeddingSql,

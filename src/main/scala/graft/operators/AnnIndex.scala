@@ -271,6 +271,47 @@ object AnnIndex {
     AnnSearch.bruteCosineTopK(df, id, col("vec"), q, k)
   }
 
+  /** Embedding-space incremental near-duplicate detection: which vectors of
+    * a NEW batch are near-identical (cosine >= minCos) to a vector already
+    * in the persisted LSH index — the ANN twin of
+    * [[Dedup.incrementalPairs]], for corpora deduped by embedding rather
+    * than shingles. The batch is signed with the index's OWN stored
+    * parameters and BROADCAST into the bucket-partitioned index read,
+    * joined on the bucket key: the stored corpus is never re-signed and
+    * never shuffled — per batch, one columnar scan of (id, vec, bucket)
+    * with exact cosine verification inside the join. Candidate recall is
+    * the LSH banding contract: a true near-dup shares the bucket unless it
+    * straddles a hyperplane (near-identical vectors rarely do; lower nBits
+    * at build time trades probe cost for recall).
+    *
+    * Output: (a = batch id, b = indexed id, cos rounded to 6 — the
+    * [[AnnSearch.bruteCosineTopK]] determinism contract). `excludeBatch`
+    * is the streaming replay guard shared with the dedup loops: on a
+    * re-delivered micro-batch the first attempt's own rows are excluded
+    * from the candidate read. Compose with [[append]] for the
+    * admit-only-novel ingestion loop. */
+  def incrementalNearDup(batch: DataFrame, id: String, vec: Column,
+      path: String, minCos: Double,
+      excludeBatch: Option[Long] = None): DataFrame = {
+    val spark = batch.sparkSession
+    IndexIO.recoverSwap(spark, path)
+    val meta = readLshMeta(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no LSH index metadata at $path — build with buildLsh first"))
+    val signed = batch.select(col(id).as("a"), vec.as("va"),
+      AnnSearch.signatureRandom(vec, meta.dim, meta.nBits, meta.seed)
+        .cast("long").as("__bk"))
+    val idx = IndexIO.excludeBatch(spark.read.parquet(path), excludeBatch)
+      .select(col(id).as("b"), col("vec").cast("array<double>").as("vb"),
+        col(BucketCol).cast("long").as("__bk"))
+    broadcast(signed).join(idx, Seq("__bk"))
+      .where(col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        round(graft.functions.NativeKernels.cosineSim(col("va"), col("vb")), 6)
+          .as("cos"))
+      .where(col("cos") >= minCos)
+  }
+
   // ------------------------------------------------------------------ IVF-PQ
 
   /** Build a persisted IVF-PQ index (the FAISS-default shape at corpus

@@ -287,6 +287,38 @@ class AnnIndexSpec extends SparkTestBase {
     assert(e3.getMessage.contains("not IVF"))
   }
 
+  test("incrementalNearDup: a batch checks against the persisted LSH index " +
+    "without re-signing the corpus; planted dups found, novel rows clean, " +
+    "replayed partitions excluded") {
+    val path = java.nio.file.Files.createTempDirectory("graft-incrann").toString + "/idx"
+    AnnIndex.buildLsh(emb, "vid", col("v"), dim, path)
+    // batch: an exact copy of vector 7 (certain near-dup, same bucket), a
+    // scaled copy of vector 11 (cosine 1 with it), and an orthogonal-ish
+    // novel vector unlikely to clear 0.95 against anything
+    val v7 = emb.where(col("vid") === 7L).head.getSeq[Double](1).toSeq
+    val v11 = emb.where(col("vid") === 11L).head.getSeq[Double](1).toSeq
+    val batch = Seq(
+      (1007L, v7), (1011L, v11.map(_ * 0.5)),
+      (1099L, Seq(1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0)))
+      .toDF("vid", "v")
+    val got = AnnIndex.incrementalNearDup(batch, "vid", col("v"), path, 0.95)
+      .as[(Long, Long, Double)].collect()
+    val byA = got.groupBy(_._1)
+    assert(byA.contains(1007L) && byA(1007L).exists(r => r._2 == 7L && r._3 == 1.0))
+    assert(byA.contains(1011L) && byA(1011L).exists(r => r._2 == 11L && r._3 == 1.0))
+    assert(!byA.contains(1099L) ||
+      byA(1099L).forall(_._2 != 1099L)) // novel row matches nothing planted
+    // replay guard: after the batch is appended under batchId 5, re-checking
+    // WITH excludeBatch(5) must not match the batch against its own copy
+    AnnIndex.append(batch, "vid", col("v"), path, batchId = Some(5L))
+    val replay = AnnIndex.incrementalNearDup(batch, "vid", col("v"), path,
+        0.95, excludeBatch = Some(5L))
+      .as[(Long, Long, Double)].collect()
+    assert(!replay.exists(r => r._2 >= 1000L),
+      s"replayed batch matched its own first-attempt rows: ${replay.toSeq}")
+    assert(replay.exists(r => r._1 == 1007L && r._2 == 7L))
+  }
+
   test("persisted IVF-PQ index: codes only (no vectors), probe == composed " +
     "encode+assign+ADC, pruned partitions, kind-routed append, compact-safe") {
     import graft.operators.Quantize
