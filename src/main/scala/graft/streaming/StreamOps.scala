@@ -385,6 +385,76 @@ object StreamOps {
     } finally { pairs.unpersist(); b.unpersist() }
   }
 
+  /** Streaming embedding-space dedup — the ANN twin of
+    * [[incrementalDedupStream]], for corpora deduped by embedding rather
+    * than shingles. Per micro-batch, over a persisted LSH index
+    * (`AnnIndex.buildLsh` must run before the stream starts — the sidecar
+    * carries the hyperplane parameters every batch signs with):
+    *
+    *  1. in-batch pairs: bucket self-join of the batch's signatures,
+    *     (a < b) orientation, exact cosine >= minCos verified inside;
+    *  2. cross pairs: [[graft.operators.AnnIndex.incrementalNearDup]]
+    *     against the index built by all PRIOR batches — (a = batch id,
+    *     b = indexed id), the stored corpus never re-signed or shuffled;
+    *  3. accept: [[graft.operators.AnnIndex.append]] adds the batch's
+    *     vectors under its own `batch=<id>` partition.
+    *
+    * Same crash contract as the shingle loop: the append is
+    * replay-idempotent, the candidate read excludes the in-flight batch,
+    * pairs materialize before the index grows, an empty batch commits
+    * nothing, and a crashed compaction swap is repaired at entry. Pass
+    * [[parquetSink]] as `writeBatch` for exactly-once emission.
+    * `compactEvery` folds committed batches with the `through` bound —
+    * doubly load-bearing here, as in [[incrementalDedupStream]]. */
+  def annDedupStream(vectors: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, minCos: Double, compactEvery: Int = 0)
+      (writeBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val ce = resolveCompactEvery(vectors, compactEvery)
+    vectors.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      annDedupBatch(batch, batchId, idCol, vecCol, indexPath, minCos, writeBatch)
+      if (compactDue(ce, batchId))
+        graft.operators.AnnIndex.compact(batch.sparkSession, indexPath,
+          through = Some(batchId - 1))
+    }.start()
+  }
+
+  /** One [[annDedupStream]] micro-batch — package-visible for the replay
+    * spec, like [[dedupBatch]]. */
+  private[graft] def annDedupBatch(batch: DataFrame, batchId: Long,
+      idCol: String, vecCol: String, indexPath: String, minCos: Double,
+      writeBatch: (DataFrame, Long) => Unit): Unit = {
+    import graft.operators.{AnnIndex, AnnSearch, IndexIO}
+    val spark = batch.sparkSession
+    IndexIO.recoverSwap(spark, indexPath)
+    val meta = AnnIndex.readLshMeta(spark, indexPath).getOrElse(
+      throw new IllegalArgumentException(
+        s"no LSH index metadata at $indexPath — run AnnIndex.buildLsh " +
+          "before starting annDedupStream"))
+    val b = batch.cache()
+    val signed = b.select(col(idCol).as("id"), col(vecCol).as("v"),
+      AnnSearch.signatureRandom(col(vecCol), meta.dim, meta.nBits, meta.seed)
+        .cast("long").as("__bk"))
+    val x = signed.select(col("__bk"), col("id").as("a"), col("v").as("va"))
+    val y = signed.select(col("__bk"), col("id").as("b"), col("v").as("vb"))
+    val inBatch = x.join(y, Seq("__bk")).where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(graft.functions.NativeKernels.cosineSim(col("va"), col("vb")), 6)
+          .as("cos"))
+      .where(col("cos") >= minCos)
+    val hasIndex = IndexIO.hasData(spark, indexPath)
+    val pairs = (if (hasIndex)
+        inBatch.union(AnnIndex.incrementalNearDup(b, idCol, col(vecCol),
+          indexPath, minCos, excludeBatch = Some(batchId)))
+      else inBatch).cache()
+    try {
+      pairs.count() // pin results before the index grows (see dedupBatch)
+      writeBatch(pairs, batchId)
+      if (!b.isEmpty) // an empty micro-batch must not commit a file-less dir
+        AnnIndex.append(b, idCol, col(vecCol), indexPath, batchId = Some(batchId))
+    } finally { pairs.unpersist(); b.unpersist() }
+  }
+
   /** Streaming incremental EXACT dedup — the fingerprint twin of
     * [[incrementalDedupStream]]. Per micro-batch, emits one row
     * (id, fp, keeper) for every batch document that exactly duplicates a

@@ -636,4 +636,51 @@ class StreamOpsSpec extends SparkTestBase {
       assert(rows == Set(("u1", 5.0), ("u2", 7.0)))
     } finally q.stop()
   }
+
+  test("annDedupStream: in-batch and cross-batch embedding near-dups emit " +
+    "per micro-batch; replay emits the same pairs and leaves the index " +
+    "bit-identical") {
+    import graft.operators.{AnnIndex, AnnSearch}
+    import graft.streaming.StreamOps
+    val dim = 8
+    val rnd = new scala.util.Random(101)
+    def vec(): Seq[Double] = Seq.fill(dim)(rnd.nextDouble() * 2 - 1)
+    val (v1, v3) = (vec(), vec())
+    val path = java.nio.file.Files.createTempDirectory("graft-anndd").toString + "/idx"
+    // base corpus: vector 1 and an unrelated vector 2
+    AnnIndex.buildLsh(Seq((1L, v1), (2L, vec())).toDF("vid", "v"),
+      "vid", col("v"), dim, path)
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Set[(Long, Long, Double)]]
+    def sink(pairs: org.apache.spark.sql.DataFrame, @annotation.unused bid: Long): Unit =
+      emitted += pairs.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def deliver(bid: Long, rows: (Long, Seq[Double])*): Unit =
+      StreamOps.annDedupBatch(rows.toDF("vid", "v"), bid,
+        "vid", "v", path, 0.98, sink)
+    // batch 0: id 3 (novel) + id 4 = scaled copy of 3 (in-batch pair) +
+    // id 5 = copy of indexed vector 1 (cross pair)
+    deliver(0L, (3L, v3), (4L, v3.map(_ * 0.7)), (5L, v1))
+    assert(emitted(0).exists { case (a, b, c) => a == 3L && b == 4L && c == 1.0 })
+    assert(emitted(0).exists { case (a, b, c) => a == 5L && b == 1L && c == 1.0 })
+    // batch 1: a late dup of batch 0's id 3 — found via the grown index
+    deliver(1L, (6L, v3.map(_ * 1.3)))
+    assert(emitted(1).exists { case (a, b, _) => a == 6L && (b == 3L || b == 4L) })
+    def indexContents() = spark.read.parquet(path).collect()
+      .map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+    val (pairs1, idx1) = (emitted(1), indexContents())
+    // at-least-once replay of committed batch 1: same pairs, same index
+    deliver(1L, (6L, v3.map(_ * 1.3)))
+    assert(emitted(2) == pairs1, s"replay emitted ${emitted(2)} != $pairs1")
+    assert(indexContents() == idx1, "replay changed the index")
+    // the stream wrapper drives the same batch function
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = StreamOps.annDedupStream(input.toDF().toDF("vid", "v"),
+      "vid", "v", path, 0.98)(sink)
+    try {
+      input.addData((7L, v1.map(_ * 2.0)))
+      q.processAllAvailable()
+      assert(emitted.last.exists { case (a, b, _) => a == 7L && (b == 1L || b == 5L) })
+    } finally q.stop()
+  }
 }
