@@ -410,6 +410,52 @@ object AnnIndex {
       .orderBy(col("adc"), col(id)).limit(k)
   }
 
+  /** Recall@k gauge for an IVF-PQ index, measured against the SOURCE
+    * table — the maintenance loop [[recallProbe]] cannot provide for this
+    * flavor, because the index stores only codes and ground truth needs
+    * true distances. `source` must hold the full-precision vectors
+    * (including the indexed ids); `sampleN` of the INDEX's stored ids
+    * (hash-minimal — deterministic) are re-issued as queries, ground truth
+    * is exact L2 top-k from one scan of `source` (all queries broadcast),
+    * and the served side is the normal pruned ADC probe. The reading
+    * captures BOTH loss sources at once — coarse-quantizer drift (wrong
+    * bucket pruned) and PQ distortion (wrong ADC rank inside the bucket) —
+    * which is what a serving operator actually experiences. When it sags:
+    * more nProbe buys back bucket loss; retraining codebooks/centroids
+    * and rebuilding ([[buildIvfPq]]) buys back distortion. */
+  def ivfPqRecallProbe(spark: SparkSession, path: String, source: DataFrame,
+      id: String, vec: Column, k: Int, nProbe: Int,
+      sampleN: Int = 32): Double = {
+    val queries = IndexIO.retryStale() {
+      requireIndexPath(spark, path)
+      spark.read.parquet(path)
+        .select(col(id).cast("string").as("qid"))
+        .orderBy(md5(col("qid")), col("qid")).limit(sampleN)
+        .collect().map(_.getString(0))
+    }
+    if (queries.isEmpty) return 1.0
+    val src = source.select(col(id).as("__sid"), vec.as("__v")).cache()
+    try {
+      val qvs = src.where(col("__sid").cast("string").isin(queries: _*))
+        .collect().map(r => (String.valueOf(r.get(0)), r.getSeq[Double](1).toSeq))
+      // sampled ids absent from the source (e.g. appended after the source
+      // snapshot) simply drop out of the sample
+      if (qvs.isEmpty) return 1.0
+      val recalls = qvs.map { case (_, qv) =>
+        val qc = array(qv.map(lit): _*)
+        val truth = src.select(col("__sid"),
+            round(graft.functions.NativeKernels.l2Dist(col("__v"), qc), 6).as("d"))
+          .orderBy(col("d"), col("__sid")).limit(k)
+          .collect().map(r => String.valueOf(r.get(0))).toSet
+        val served = ivfPqTopK(spark, path, id, qv, k, nProbe)
+          .select(col(id).cast("string")).collect().map(_.getString(0)).toSet
+        if (truth.isEmpty) 1.0
+        else served.intersect(truth).size.toDouble / truth.size
+      }
+      recalls.sum / recalls.length
+    } finally src.unpersist()
+  }
+
   /** Compact a grown index (LSH or IVF): fold every appended batch back
     * into the `batch=-1` base, restoring the build path's one-well-sized-
     * file-per-bucket discipline. Per-batch appends write one file per

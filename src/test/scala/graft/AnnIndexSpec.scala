@@ -362,5 +362,16 @@ class AnnIndexSpec extends SparkTestBase {
       AnnIndex.recallProbe(spark, path, "vid", 5, 2)
     }
     assert(e.getMessage.contains("IVF-PQ"))
+    // the source-side gauge works instead: probing EVERY cluster makes
+    // bucket loss zero, so residual recall loss is PQ distortion only —
+    // strictly positive recall, and never above 1
+    val rAll = AnnIndex.ivfPqRecallProbe(spark, path, emb, "vid", col("v"),
+      k = 10, nProbe = 8, sampleN = 8)
+    assert(rAll > 0.3 && rAll <= 1.0, s"all-probe recall $rAll out of range")
+    // a starved probe still returns a sane reading (ADC distortion means
+    // fewer probes is not STRICTLY dominated, so only the range is asserted)
+    val r1 = AnnIndex.ivfPqRecallProbe(spark, path, emb, "vid", col("v"),
+      k = 10, nProbe = 1, sampleN = 8)
+    assert(r1 >= 0.0 && r1 <= 1.0, s"nProbe=1 recall $r1 out of range")
   }
 }

@@ -61,6 +61,31 @@ class BpeSpec extends SparkTestBase {
     assert(got(3L)._1 == null && got(3L)._2 == -1L)
   }
 
+  test("tokens kernel == driver-side encodeWord on random words (memo on " +
+    "and past its clear threshold both exercised)") {
+    val rnd = new scala.util.Random(131)
+    val alphabet = "abcde"
+    val words = (0 until 400).map(_ =>
+      (0 until (1 + rnd.nextInt(8))).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val docs = words.grouped(8).map(_.mkString(" ")).toSeq
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val merges = Bpe.trainFromCounts(
+      words.groupBy(identity).map { case (w, g) => (w, g.size.toLong) }.toSeq
+        .sortBy(_._1), 30)
+    assert(merges.nonEmpty)
+    val ranks = merges.zipWithIndex.toMap
+    val df = docs.toDF("id", "text")
+    val w = graft.functions.TextKernels.wordTokens(col("text"))
+    val got = df.select(col("id"), Bpe.tokens(w, merges).as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    docs.foreach { case (i, t) =>
+      val expected = t.split(" ").filter(_.nonEmpty)
+        .flatMap(word => Bpe.encodeWord(word, ranks)).toSeq
+      assert(got(i) == expected, s"doc $i: ${got(i)} != $expected")
+    }
+  }
+
   test("distributed train == trainFromCounts of the same word counts") {
     val docs = Seq(
       "low low low low low lower lower",
