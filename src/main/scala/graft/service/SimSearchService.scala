@@ -527,8 +527,74 @@ final class SimSearchService(spark: SparkSession, port: Int,
     }
   }
 
+  /** POST /ann: serve a persisted ANN index over REST — the serving twin of
+    * the Scala probes, so a non-Scala client can query the vector indexes
+    * the ingestion loops maintain. Body:
+    *
+    * {{{
+    * { "action": "search" (default) | "recall",
+    *   "path": "/host/path/to/index",      // self-describing: kind from sidecar
+    *   "q": [0.1, ...],                    // search: the query vector
+    *   "k": 10, "probes": 2,
+    *   "sample": 32 }                      // recall: sample size
+    * }}}
+    *
+    * search routes on the sidecar kind (lsh -> multi-probe cosine, ivf ->
+    * pruned cosine, ivfpq -> pruned ADC) and returns the k rows as JSON;
+    * recall returns `{"recall": r}` from [[graft.operators.AnnIndex
+    * .recallProbe]] (LSH/IVF only — an IVF-PQ index stores no vectors; use
+    * `ivfPqRecallProbe` from Scala with the source table). Reads are
+    * key-less like /pipeline path inputs — same host-local trust model. */
+  private def handleAnn(x: HttpExchange): Unit = {
+    import graft.operators.{AnnIndex, IndexIO}
+    try {
+      val body = new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      val path = root.path("path").asText("")
+      require(path.nonEmpty, """missing "path"""")
+      val kind = IndexIO.readMeta(spark, path).map(_.path("kind").asText())
+        .getOrElse(throw new IllegalArgumentException(
+          s"no index sidecar at $path"))
+      val idCol = spark.read.parquet(path).columns
+        .filterNot(c => c == "vec" || c == "codes" ||
+          c == AnnIndex.BucketCol || c == graft.operators.IndexIO.BatchCol)
+        .headOption.getOrElse(throw new IllegalArgumentException(
+          s"cannot infer the id column of the index at $path"))
+      root.path("action").asText("search") match {
+        case "search" =>
+          val qNode = Option(root.get("q")).getOrElse(
+            throw new IllegalArgumentException("""search needs "q""""))
+          import scala.jdk.CollectionConverters._
+          val q = qNode.elements().asScala.map(_.asDouble()).toSeq
+          val k = root.path("k").asInt(10)
+          val probes = root.path("probes").asInt(0)
+          val res = kind match {
+            case "lsh" => AnnIndex.lshTopK(spark, path, idCol, q, k,
+              probes = probes)
+            case "ivf" => AnnIndex.ivfTopK(spark, path, idCol, q, k,
+              nProbe = math.max(probes, 1))
+            case "ivfpq" => AnnIndex.ivfPqTopK(spark, path, idCol, q, k,
+              nProbe = math.max(probes, 1))
+            case other => throw new IllegalArgumentException(
+              s"unrecognized index kind '$other'")
+          }
+          respond(x, 200, res.toJSON.collect().mkString("[", ",", "]"))
+        case "recall" =>
+          val r = AnnIndex.recallProbe(spark, path, idCol,
+            root.path("k").asInt(10), math.max(root.path("probes").asInt(1), 1),
+            root.path("sample").asInt(32))
+          respond(x, 200, s"""{"recall":$r}""")
+        case other => throw new IllegalArgumentException(
+          s"unknown action '$other' — one of search, recall")
+      }
+    } catch {
+      case e: Exception => respond(x, 400, errorBody(e))
+    }
+  }
+
   def start(): Int = {
     server.createContext("/simsearch/api/index", handleIndex _)
+    server.createContext("/simsearch/api/ann", handleAnn _)
     server.createContext("/simsearch/api/pipeline", handlePipeline _)
     server.createContext("/simsearch/api/append", handleAppend _)
     server.createContext("/simsearch/api/search", handleSearch _)

@@ -398,6 +398,58 @@ class SimSearchServiceSpec extends SparkTestBase {
     } finally svc.stop()
   }
 
+  test("POST /ann: served LSH and IVF-PQ probes over the socket match the " +
+    "Scala probes; recall comes back as a number; errors are 400") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{AnnIndex, Quantize}
+    val svc = new SimSearchService(spark, 0)
+    val port = svc.start()
+    try {
+      val base = s"http://127.0.0.1:$port/simsearch/api"
+      val dim = 8
+      val rnd = new scala.util.Random(151)
+      val emb = (0 until 300).map(i =>
+        (i.toLong, Seq.fill(dim)(rnd.nextDouble() * 2 - 1))).toDF("vid", "v")
+      val dir = java.nio.file.Files.createTempDirectory("graft-annrest").toString
+      AnnIndex.buildLsh(emb, "vid", col("v"), dim, s"$dir/lsh")
+      val q = Seq.fill(dim)(0.3)
+      val qJson = q.mkString("[", ",", "]")
+      val (c1, b1) = http("POST", s"$base/ann", Some(
+        s"""{"path": "$dir/lsh", "q": $qJson, "k": 5, "probes": 4}"""))
+      assert(c1 == 200, b1)
+      val got = new ObjectMapper().readTree(b1)
+      val scala1 = AnnIndex.lshTopK(spark, s"$dir/lsh", "vid", q, 5, probes = 4)
+        .as[(Long, Double)].collect().toSeq
+      assert((0 until got.size()).map(i => (got.get(i).get("vid").asLong(),
+        got.get(i).get("cos").asDouble())).toSeq == scala1, b1)
+
+      val books = Quantize.pqTrain(emb, col("vid"), col("v"), m = 2,
+        nCodes = 4, iters = 2)
+      val cents = (0 until 4).map(_ => Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+      AnnIndex.buildIvfPq(emb, "vid", col("v"), cents, books, s"$dir/pq")
+      val (c2, b2) = http("POST", s"$base/ann", Some(
+        s"""{"path": "$dir/pq", "q": $qJson, "k": 5, "probes": 2}"""))
+      assert(c2 == 200, b2)
+      val got2 = new ObjectMapper().readTree(b2)
+      val scala2 = AnnIndex.ivfPqTopK(spark, s"$dir/pq", "vid", q, 5, 2)
+        .as[(Long, Double)].collect().toSeq
+      assert((0 until got2.size()).map(i => (got2.get(i).get("vid").asLong(),
+        got2.get(i).get("adc").asDouble())).toSeq == scala2, b2)
+
+      val (c3, b3) = http("POST", s"$base/ann", Some(
+        s"""{"action": "recall", "path": "$dir/lsh", "k": 5, "probes": 4,
+            "sample": 8}"""))
+      assert(c3 == 200, b3)
+      val r = new ObjectMapper().readTree(b3).get("recall").asDouble()
+      assert(r >= 0.0 && r <= 1.0, b3)
+
+      val (c4, b4) = http("POST", s"$base/ann", Some(
+        """{"path": "/no/such/index", "q": [0.1], "k": 3}"""))
+      assert(c4 == 400 && b4.contains("error"), b4)
+    } finally svc.stop()
+  }
+
   test("the service handles concurrent requests on its pool — mixed " +
     "pipeline and catalog traffic completes without serialization faults") {
     import spark.implicits._
