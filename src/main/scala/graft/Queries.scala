@@ -802,6 +802,24 @@ object Queries {
     s"""SELECT doc_id, lang FROM documents
        |WHERE ${sqlHashPct("doc_id")} < 37 ORDER BY doc_id""".stripMargin
 
+  // -- per-row RATE sampling (the quality-temperature mix): acceptance rate
+  //    computed from the row itself — here a length-derived curve — against
+  //    the deterministic portable hash. Both engines compute the identical
+  //    integer rate and the identical hash bucket, so the kept set matches
+  //    exactly.
+  private val sampleWeighted: (SparkSession, String) => DataFrame = (s, dir) => {
+    val rate = least(lit(100L), expr("length(text) DIV 4").cast("long"))
+    graft.operators.Sampling.byRate(t(s, dir, "documents"), col("doc_id"), rate)
+      .select(col("doc_id"), rate.as("rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val sampleWeightedSql =
+    s"""SELECT doc_id, least(100, length(text) // 4)::BIGINT AS rate
+       |FROM documents
+       |WHERE ${sqlHashPct("doc_id")} < least(100, length(text) // 4)
+       |ORDER BY doc_id""".stripMargin
+
   private val sampleStratified: (SparkSession, String) => DataFrame = (s, dir) =>
     graft.operators.Sampling.stratified(
         t(s, dir, "documents"), col("lang"), col("doc_id"), 0.3)
@@ -2405,6 +2423,7 @@ object Queries {
     "q_curation"      -> curationQ,
     "q_token_budget"  -> tokenBudget,
     "q_sample_hash"   -> sampleHash,
+    "q_sample_weighted" -> sampleWeighted,
     "q_sample_stratified" -> sampleStratified,
     "q_source_mix"    -> sourceMix,
     "q_pack_chunks"   -> packChunks,
@@ -2480,6 +2499,7 @@ object Queries {
     "q_curation"      -> curationSql,
     "q_token_budget"  -> tokenBudgetSql,
     "q_sample_hash"   -> sampleHashSql,
+    "q_sample_weighted" -> sampleWeightedSql,
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_source_mix"    -> sourceMixSql,
     "q_pack_chunks"   -> packChunksSql,

@@ -38,6 +38,20 @@ object Sampling {
   def sample(df: DataFrame, id: Column, pct: Int): DataFrame =
     df.where(hashPct(id) < pct)
 
+  /** Per-row RATE sampling: keep each row with probability ~rate%, where
+    * the rate is a COLUMN — the continuous generalization of [[sample]]
+    * (constant rate) and [[mix]] (per-group literal rates). This is the
+    * quality-temperature mix primitive: feed any acceptance curve computed
+    * from the row itself (`least(lit(100), quality * 20)`, a language
+    * up-weight, a length damp) and the kept set is deterministic per id —
+    * reproducible across engines, partitionings, and reruns, unlike
+    * `rand()`-based weighted sampling. A narrow filter: no shuffle, no
+    * join, no RNG state. Resolution is 1 % (the portable 100-bucket hash);
+    * rates outside [0, 100] clamp naturally (<= 0 keeps nothing,
+    * >= 100 keeps everything). */
+  def byRate(df: DataFrame, id: Column, rate: Column): DataFrame =
+    df.where(hashPct(id) < rate)
+
   /** Rows of the offsets frame above which [[stratified]] stops hinting a
     * broadcast and lets the planner pick the join (a high-cardinality
     * stratum column times 16^saltWidth buckets can outgrow driver memory —

@@ -729,6 +729,27 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(all == Set(10L, 11L, 12L, 13L))
   }
 
+  // ------------------------------------------------------------------ byRate
+
+  test("byRate: per-row acceptance curve, deterministic, clamping at the " +
+    "ends, and consistent with the constant-rate sampler") {
+    val df = (1L to 400L).map(i => (i, i % 4)).toDF("id", "q")
+    // rate 0 for q=0, 100 for q=3, mid rates otherwise
+    val rate = col("q") * 33 + when(col("q") === 3, 1).otherwise(0)
+    val kept = Sampling.byRate(df, col("id"), rate)
+      .as[(Long, Long)].collect().toSet
+    assert(kept.forall(_._2 != 0))                      // rate 0 keeps nothing
+    val q3 = df.where(col("q") === 3).as[(Long, Long)].collect().toSet
+    assert(q3.subsetOf(kept))                           // rate 100 keeps all
+    // deterministic: a rerun keeps the identical set
+    assert(Sampling.byRate(df, col("id"), rate).as[(Long, Long)]
+      .collect().toSet == kept)
+    // a constant rate column == the constant-rate sampler
+    assert(Sampling.byRate(df, col("id"), lit(37)).as[(Long, Long)]
+      .collect().toSet ==
+      Sampling.sample(df, col("id"), 37).as[(Long, Long)].collect().toSet)
+  }
+
   // ---------------------------------------------------------------- semdedup
 
   test("semdedup keeps one representative per within-cluster duplicate " +
