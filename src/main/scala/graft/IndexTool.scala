@@ -13,6 +13,7 @@ import org.apache.spark.sql.SparkSession
   * spark-submit --class graft.IndexTool app.jar compact-fp <path> [--through N]
   * spark-submit --class graft.IndexTool app.jar compact-sink <path> [--through N]
   * spark-submit --class graft.IndexTool app.jar recall <path> <idCol> [--k 10] [--nprobe 4] [--sample 32]
+  * spark-submit --class graft.IndexTool app.jar recall-pq <path> <idCol> --source <parquet> [--vec embedding]
   * spark-submit --class graft.IndexTool app.jar rebuild <path> <idCol> [--iters 10] [--train-pct 100]
   * spark-submit --class graft.IndexTool app.jar recover <path>
   * spark-submit --class graft.IndexTool app.jar bloom <path> [--fpp 0.01]
@@ -60,7 +61,7 @@ object IndexTool {
     // print usage and exit 2, not throw ArrayIndexOutOfBounds at an
     // operator mid-runbook
     val needed = args.head match {
-      case "recall" | "rebuild" => 3
+      case "recall" | "recall-pq" | "rebuild" => 3
       case _ => 2
     }
     if (args.length < needed || args.take(needed).exists(_.startsWith("--"))) {
@@ -95,6 +96,23 @@ object IndexTool {
         val trainPct = opt(args, "--train-pct").fold(100)(_.toInt)
         graft.operators.AnnIndex.rebuild(spark, args(1), args(2), iters, trainPct)
         println(s"""{"action":"rebuild","path":"${args(1)}"}"""); 0
+      case "recall-pq" =>
+        val src = opt(args, "--source").getOrElse {
+          System.err.println(s"recall-pq needs --source <parquet>\n$usage")
+          return 2
+        }
+        val vecCol = opt(args, "--vec").getOrElse("embedding")
+        val k = opt(args, "--k").fold(10)(_.toInt)
+        val nProbe = opt(args, "--nprobe").fold(4)(_.toInt)
+        val sample = opt(args, "--sample").fold(32)(_.toInt)
+        val min = opt(args, "--min").fold(0.0)(_.toDouble)
+        val r = graft.operators.AnnIndex.ivfPqRecallProbe(spark, args(1),
+          spark.read.parquet(src), args(2),
+          org.apache.spark.sql.functions.col(vecCol).cast("array<double>"),
+          k, nProbe, sample)
+        println(s"""{"action":"recall-pq","path":"${args(1)}","k":$k,""" +
+          s""""nprobe":$nProbe,"recall":$r}""")
+        if (r < min) 3 else 0
       case "recover" =>
         graft.operators.IndexIO.recoverSwap(spark, args(1))
         println(s"""{"action":"recover","path":"${args(1)}"}"""); 0
@@ -111,6 +129,7 @@ object IndexTool {
     """usage: IndexTool <action> <path> [args]
       |  compact | compact-band | compact-fp | compact-sink <path> [--through N]
       |  recall <path> <idCol> [--k 10] [--nprobe 4] [--sample 32] [--min 0.0]
+      |  recall-pq <path> <idCol> --source <parquet> [--vec embedding] [--k 10] [--nprobe 4] [--sample 32] [--min 0.0]
       |  rebuild <path> <idCol> [--iters 10] [--train-pct 100]
       |  recover <path>
       |  bloom <path> [--fpp 0.01]""".stripMargin

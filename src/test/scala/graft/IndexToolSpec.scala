@@ -58,6 +58,25 @@ class IndexToolSpec extends SparkTestBase {
     assert(IndexTool.run(spark, Array("frobnicate", path)) == 2)
   }
 
+  test("IndexTool: recall-pq gauges an IVF-PQ index against a source table, " +
+    "with the --min exit gate; --source is mandatory") {
+    val dim = 8
+    val rnd = new scala.util.Random(73)
+    val emb = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextDouble() * 2 - 1))).toDF("vid", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-toolpq").toString
+    emb.write.mode("overwrite").parquet(s"$dir/src")
+    val cents = graft.operators.AnnSearch.kmeans(emb, "vid", col("embedding"), 4)
+    val books = graft.operators.Quantize.pqTrain(emb, col("vid"),
+      col("embedding"), m = 2, nCodes = 8, iters = 2)
+    AnnIndex.buildIvfPq(emb, "vid", col("embedding"), cents, books, s"$dir/idx")
+    assert(IndexTool.run(spark, Array("recall-pq", s"$dir/idx", "vid",
+      "--source", s"$dir/src", "--nprobe", "4", "--min", "0.1")) == 0)
+    assert(IndexTool.run(spark, Array("recall-pq", s"$dir/idx", "vid",
+      "--source", s"$dir/src", "--nprobe", "4", "--min", "1.01")) == 3)
+    assert(IndexTool.run(spark, Array("recall-pq", s"$dir/idx", "vid")) == 2)
+  }
+
   test("IndexTool: compact-fp and compact-sink fold their tables in place") {
     import graft.operators.Dedup
     import graft.streaming.StreamOps
