@@ -409,4 +409,39 @@ object Multimodal {
       MediaRow(r.id, r.kind, r.data.grouped(stride).map(_.head).toArray)
     }).toDF()
   }
+
+  /** One sampled frame row. The frame payload is a deterministic STUB (a
+    * real decoder would emit pixels); everything around it — the parsed
+    * duration driving the schedule, the row shape, the narrow explode —
+    * is the production plumbing. */
+  final case class FrameRow(id: Long, frame_idx: Int, ts_ms: Long,
+      frame: Array[Byte])
+
+  /** TIME-based frame sampling: one row per `everyMs` of each payload's
+    * REAL parsed duration ([[parseAvMeta]] — MP4/WebM/WAV/MP3/FLAC), from
+    * t=0 through the last whole interval before the end; payloads whose
+    * container cannot be parsed (or with zero duration) emit a single
+    * frame at t=0. This is the contact-sheet/CLIP-embedding sampling
+    * schedule a video curation pipeline runs before per-frame scoring.
+    *
+    * Scale shape: a narrow per-row flatMap inside one mapPartitions at the
+    * codec boundary — no shuffle, output rows proportional to total
+    * duration, task memory bounded by one payload. The frame bytes are a
+    * deterministic stub (md5 of (id, frame_idx) — this container has no
+    * codecs); a real decoder drops into the same row contract. */
+  def sampleFramesByTime(media: DataFrame, everyMs: Long): DataFrame = {
+    require(everyMs > 0, s"everyMs must be positive, got $everyMs")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.flatMap { r =>
+      val durMs = parseAvMeta(r.data).map(_.durationMs).getOrElse(0L)
+      val n = math.max(1L, durMs / everyMs + 1).toInt
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      (0 until n).iterator.map { i =>
+        digest.reset()
+        val stub = digest.digest(s"${r.id}/$i".getBytes("UTF-8"))
+        FrameRow(r.id, i, i * everyMs, stub)
+      }
+    }).toDF()
+  }
 }

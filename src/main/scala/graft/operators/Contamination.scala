@@ -70,4 +70,25 @@ object Contamination {
       .select(col("id").as("__contam_id"))
     docs.where(!isEval).join(flagged, id === col("__contam_id"), "left_anti")
   }
+
+  /** Two-table convenience: clean `docs` against a SEPARATE benchmark
+    * table — the shape eval sets actually ship in. `evalShingles` is the
+    * shingle expression over `eval`'s rows (its id is irrelevant — only
+    * the shingle union matters); semantics and plan are [[decontaminate]]
+    * over the tagged union. Eval ids are synthetic and negative, so they
+    * can never collide with (non-negative) corpus ids. */
+  def decontaminateAgainst(docs: DataFrame, id: Column, shingles: Column,
+      eval: DataFrame, evalShingles: Column, minRatio: Double): DataFrame = {
+    val tagged = docs.select(id.as("__cid"), shingles.as("__csh"),
+        lit(false).as("__ceval"))
+      .unionByName(eval.select(
+        (-monotonically_increasing_id() - 1).as("__cid"),
+        evalShingles.as("__csh"), lit(true).as("__ceval")))
+    val flagged = sharedShingleCounts(tagged, col("__cid"), col("__csh"),
+        col("__ceval"))
+      .where(col("n_shared").cast("double") /
+        greatest(col("n_shingles"), lit(1L)) >= minRatio)
+      .select(col("id").as("__contam_id"))
+    docs.join(flagged, id === col("__contam_id"), "left_anti")
+  }
 }

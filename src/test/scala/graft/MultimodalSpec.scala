@@ -260,4 +260,34 @@ class MultimodalSpec extends SparkTestBase {
     val s3 = sampled.where(col("id") === 3).select(length(col("data"))).head.getInt(0)
     assert(s3 == 10) // 100 bytes / stride 10
   }
+
+  test("sampleFramesByTime schedules frames from the REAL parsed duration; " +
+    "opaque payloads emit one frame; stubs are deterministic") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 16 kHz mono 16-bit, 8000 frames = 500 ms of audio
+    val fmt = new AudioFormat(16000f, 16, 1, true, false)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](16000)), fmt, 8000L),
+      AudioFileFormat.Type.WAVE, out)
+    val rows = Seq(
+      (1L, "audio", out.toByteArray),
+      (2L, "video", "opaque payload".getBytes("UTF-8")))
+      .toDF("id", "kind", "data")
+    val frames = Multimodal.sampleFramesByTime(rows, everyMs = 150L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getAs[Array[Byte]](3)))
+    // 500 ms at 150 ms cadence: t = 0, 150, 300, 450
+    val byId = frames.groupBy(_._1)
+    assert(byId(1L).map(f => (f._2, f._3)).sortBy(_._1).toSeq ==
+      Seq((0, 0L), (1, 150L), (2, 300L), (3, 450L)))
+    assert(byId(2L).map(f => (f._2, f._3)).toSeq == Seq((0, 0L)))
+    // stub payloads are the documented md5 of (id, idx) — deterministic
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest("1/2".getBytes("UTF-8"))
+    assert(byId(1L).find(_._2 == 2).get._4.sameElements(expect))
+    intercept[IllegalArgumentException] {
+      Multimodal.sampleFramesByTime(rows, 0L)
+    }
+  }
 }

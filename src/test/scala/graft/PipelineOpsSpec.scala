@@ -729,6 +729,23 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(all == Set(10L, 11L, 12L, 13L))
   }
 
+  test("decontaminateAgainst: a separate benchmark table drives the same " +
+    "removal; corpus ids never collide with the synthetic eval ids") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today"), // near-copy
+      (1L, "completely different words about spark engines here"))
+      .toDF("id", "text")
+    val eval = Seq("the quick brown fox jumps over the lazy dog").toDF("etext")
+    val sh = TextKernels.wordShingles2(TextKernels.wordTokens(col("text")))
+    val esh = TextKernels.wordShingles2(TextKernels.wordTokens(col("etext")))
+    val kept = graft.operators.Contamination
+      .decontaminateAgainst(docs, col("id"), sh, eval, esh, 0.7)
+    assert(kept.columns.toSeq == Seq("id", "text"))
+    // doc 0 (id 0 — would collide with a naive 0-based eval id scheme) is
+    // flagged; doc 1 survives with its original columns
+    assert(kept.select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   // ------------------------------------------------------------------ byRate
 
   test("byRate: per-row acceptance curve, deterministic, clamping at the " +
