@@ -41,7 +41,22 @@ object Bpe {
     trainFromCounts(counts, numMerges)
   }
 
-  /** The BPE merge loop over a word-count table: start from per-character
+  /** A word as its initial symbol sequence: one symbol per UNICODE CODE
+    * POINT (splitting UTF-16 chars would sever surrogate pairs — emoji,
+    * rare CJK — into invalid half-characters), plus [[EndMark]]. */
+  private def baseSymbols(word: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out += EndMark
+    out.toArray
+  }
+
+  /** The BPE merge loop over a word-count table: start from per-code-point
     * symbols (+ [[EndMark]]), repeatedly merge the most frequent adjacent
     * symbol pair — ties broken by the lexicographically smallest pair, so
     * training is deterministic — until `numMerges` merges are learned or no
@@ -51,7 +66,7 @@ object Bpe {
       numMerges: Int): Seq[(String, String)] = {
     var words: Array[(Array[String], Long)] = counts
       .filter(_._1.nonEmpty)
-      .map { case (w, n) => (w.map(_.toString).toArray :+ EndMark, n) }
+      .map { case (w, n) => (baseSymbols(w), n) }
       .toArray
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var continue = true
@@ -90,7 +105,7 @@ object Bpe {
     * priority is total. */
   def encodeWord(word: String, ranks: Map[(String, String), Int]): Seq[String] = {
     if (word.isEmpty) return Seq.empty
-    var syms: Array[String] = word.map(_.toString).toArray :+ EndMark
+    var syms: Array[String] = baseSymbols(word)
     var done = false
     while (!done && syms.length > 1) {
       var bestRank = Int.MaxValue

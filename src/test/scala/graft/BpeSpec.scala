@@ -42,6 +42,21 @@ class BpeSpec extends SparkTestBase {
     // unseen characters stay as singleton symbols
     assert(Bpe.encodeWord("xy", ranks) == Seq("x", "y", Bpe.EndMark))
     assert(Bpe.encodeWord("", ranks).isEmpty)
+    // symbols are CODE POINTS: a surrogate-pair emoji stays one symbol
+    // (a UTF-16 split would emit two invalid half-characters)
+    assert(Bpe.encodeWord("a😀b", ranks) ==
+      Seq("a", "😀", "b", Bpe.EndMark))
+    // and merges learned over such symbols treat the emoji whole: training
+    // to exhaustion on an emoji-only vocabulary produces merges whose
+    // parts are valid strings (never a lone surrogate)
+    val emojiMerges = Bpe.trainFromCounts(Seq(("😀🚀", 5L), ("😀🎉", 3L)), 10)
+    assert(emojiMerges.nonEmpty)
+    emojiMerges.foreach { case (a, b) =>
+      // canEncode rejects lone surrogates — the UTF-16-split failure mode
+      val enc = java.nio.charset.StandardCharsets.UTF_8.newEncoder()
+      assert(enc.canEncode(a) && enc.canEncode(b),
+        s"merge ($a, $b) holds an invalid string")
+    }
   }
 
   test("tokens column encodes each word in order; tokenCount sizes it; " +
