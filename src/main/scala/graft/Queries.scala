@@ -1794,6 +1794,39 @@ object Queries {
       .orderBy(col("media_id"))
   }
 
+  // -- time-based frame sampling over the SAME media frame as
+  //    q_multimodal_av: the schedule comes from each payload's parsed (or
+  //    stub) duration at a 150 ms cadence, the stub frame bytes are
+  //    md5(id/idx) — DuckDB recomputes the duration arithmetic, the
+  //    per-row frame count, and the digest hex, so the whole parse ->
+  //    schedule -> emit path is hash-checked.
+  private val frameSampleQ: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docsMedia = spread(t(s, dir, "documents")).select(
+      col("doc_id").as("id"),
+      when(col("doc_id") % 2 === 1, lit("video")).otherwise(lit("audio")).as("kind"),
+      encode(col("text"), "UTF-8").as("data"))
+    val fixtureMedia = s.read.parquet(multimodalAvFixture)
+      .select((col("media_id") + MediaIdOffset).as("id"), col("kind"), col("data"))
+    graft.multimodal.Multimodal
+      .sampleFramesByTime(docsMedia.unionByName(fixtureMedia), 150L)
+      .select(col("id").as("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("ts_ms"), lower(hex(col("frame"))).as("frame_md5"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  private val frameSampleSql =
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id, 0::BIGINT AS dur  -- text: unparseable, 1 frame
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT media_id + $MediaIdOffset AS media_id,
+       |    (CASE WHEN container = 'opaque' THEN 0 ELSE duration_ms END)::BIGINT AS dur
+       |  FROM '$multimodalAvFixture'),
+       |n AS (SELECT media_id, unnest(range(0, dur // 150 + 1)) AS i FROM m)
+       |SELECT media_id, i::BIGINT AS frame_idx, (i * 150)::BIGINT AS ts_ms,
+       |  md5(media_id::VARCHAR || '/' || i::VARCHAR) AS frame_md5
+       |FROM n ORDER BY media_id, frame_idx""".stripMargin
+
   private val multimodalAvSql =
     s"""SELECT doc_id AS media_id,
       |  CASE WHEN doc_id % 2 = 1 THEN 'video' ELSE 'audio' END AS kind,
@@ -2405,6 +2438,7 @@ object Queries {
     "q_pivot_multimetric" -> pivotMultimetric,
     "q_multimodal_meta" -> multimodalMeta,
     "q_multimodal_av" -> multimodalAv,
+    "q_frame_sample"  -> frameSampleQ,
     "q_warc_read"     -> warcRead,
     "q_html_text"     -> htmlText,
     "q_url_dedup"     -> urlDedup,
@@ -2481,6 +2515,7 @@ object Queries {
     "q_pivot_multimetric" -> pivotMultimetricSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_multimodal_av" -> multimodalAvSql,
+    "q_frame_sample"  -> frameSampleSql,
     "q_warc_read"     -> warcReadSql,
     "q_html_text"     -> htmlTextSql,
     "q_url_dedup"     -> urlDedupSql,
