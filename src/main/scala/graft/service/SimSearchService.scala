@@ -365,7 +365,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
     *               "dedup_cluster" | "text_stats" |
     *               "budget_select" | "chunk" | "scrub" |
     *               "html_text" | "url_dedup" |
-    *               "decontaminate" | "semdedup",
+    *               "decontaminate" | "semdedup" | "sample",
     *   "input": {"column": "<mounted attribute>"}        // api_key's catalog
     *          | {"path": "/dir", "format": "parquet"|"csv"},
     *   "id": "doc_id", "text": "text",                   // path-input columns
@@ -392,7 +392,9 @@ final class SimSearchService(spark: SparkSession, port: Int,
     * non-eval rows; semdedup `vector_column` (default "embedding"),
     * `clusters` (default 16, k-means-trained in the request), `iters`
     * (default 5), `min_cos` (default 0.9) — returns the kept rows minus
-    * the vector payload. */
+    * the vector payload; sample `pct` (constant), or `rates` +
+    * `group_column`/`default_pct` (per-group), or `rate_column` (per-row
+    * acceptance curve) — all deterministic by id hash. */
   private def handlePipeline(x: HttpExchange): Unit = {
     import org.apache.spark.sql.functions._
     import graft.functions.TextKernels
@@ -403,7 +405,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
       val opName = root.path("operator").asText("")
       val knownOps = Seq("line_dedup", "exact_groups", "minhash_pairs",
         "dedup_cluster", "text_stats", "budget_select", "chunk", "scrub",
-        "html_text", "url_dedup", "decontaminate", "semdedup")
+        "html_text", "url_dedup", "decontaminate", "semdedup", "sample")
       if (!knownOps.contains(opName))
         throw new IllegalArgumentException(
           s"unknown operator '$opName' — one of ${knownOps.mkString(", ")}")
@@ -492,6 +494,22 @@ final class SimSearchService(spark: SparkSession, port: Int,
           graft.operators.SemDedup.dedup(projected, col(idCol), col(vecCol),
               cents, params.path("min_cos").asDouble(0.9))
             .drop(vecCol) // kept rows; the vector payload has no place in JSON
+        case "sample" =>
+          // constant pct, per-group rates (rates = {"group": pct}), or a
+          // per-row rate column — the three samplers behind one op
+          if (params.hasNonNull("rate_column"))
+            graft.operators.Sampling.byRate(df, col(idCol),
+              col(params.get("rate_column").asText()))
+          else if (params.hasNonNull("rates")) {
+            import scala.jdk.CollectionConverters._
+            val rates = params.get("rates").fields().asScala
+              .map(e => e.getKey -> e.getValue.asInt()).toMap
+            graft.operators.Sampling.mix(df,
+              col(params.path("group_column").asText("source")), col(idCol),
+              rates, params.path("default_pct").asInt(100))
+          } else
+            graft.operators.Sampling.sample(df, col(idCol),
+              reqParam("pct").asInt())
       }
       Option(root.get("output")) match {
         case Some(out) =>

@@ -387,6 +387,18 @@ class SimSearchServiceSpec extends SparkTestBase {
       assert(semIds == Set(1L, 3L), b12)
       assert(!sem.get(0).has("embedding"), b12)
 
+      // sample: the three sampler modes behind one op, deterministic
+      val (c13, b13) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "sample", "input": {"path": "$dir/docs"},
+            "id": "doc_id", "params": {"pct": 100}}"""))
+      assert(c13 == 200, b13)
+      assert(new ObjectMapper().readTree(b13).size() == 3, b13) // pct 100 = all
+      val (c14, b14) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "sample", "input": {"path": "$dir/docs"},
+            "id": "doc_id", "params": {"rate_column": "quality"}}"""))
+      assert(c14 == 200, b14) // quality in [0,1): rates < 1% keep nothing
+      assert(new ObjectMapper().readTree(b14).size() == 0, b14)
+
       // errors stay 400 with a message, not socket faults
       val (c5, b5) = http("POST", s"$base/pipeline",
         Some("""{"operator": "nope", "input": {"path": "/tmp/x"}}"""))
