@@ -129,7 +129,8 @@ object Bench {
       // the PROBE path. The build cost stays visible as its own artifact
       // field instead of polluting per-query numbers.
       val indexQueries = Seq("q_ann_idx", "q_ann_ivf_idx", "q_pq_ivf_idx",
-        "q_dedup_incr", "q_dedup_incr_exact").filter(SparkEntry.queries.contains)
+        "q_ann_incr", "q_dedup_incr", "q_dedup_incr_exact")
+        .filter(SparkEntry.queries.contains)
       val setupTimes = indexQueries.map { name =>
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, sfDir).count()

@@ -1464,6 +1464,32 @@ object Queries {
     Seq.fill(8)(cw)
   }
 
+  // Shared oracle-SQL fragments for the PQ/IVF family — ONE copy each: the
+  // encode arithmetic, literal rendering, and probe selection are
+  // determinism contracts, and a fix applied to one inlined copy but not
+  // another would silently desynchronize the oracles.
+  private def sqlVecLit(c: Seq[Double]) =
+    c.map(x => if (x == math.floor(x)) s"${x.toLong}.0" else x.toString)
+      .mkString("([", ", ", "]::DOUBLE[])")
+  /** L2 between 64-dim vector expr `v` and a centroid literal. */
+  private def sqlCentroidL2(v: String, c: Seq[Double]) =
+    s"sqrt(list_sum([($v[k] - ${sqlVecLit(c)}[k]) * ($v[k] - ${sqlVecLit(c)}[k]) for k in range(1, 65)]))"
+  /** Distances of `v` to every [[ivfCentroids]] entry, as a list literal. */
+  private def sqlCentroidDists(v: String) =
+    ivfCentroids.map(c => sqlCentroidL2(v, c)).mkString("[", ", ", "]")
+  /** Squared L2 between dims [s*8+1, s*8+8] of `v` and codeword `c`. */
+  private def sqlSubSq(v: String, s: Int, c: Seq[Double]) =
+    s"list_sum([($v[${s * 8} + k] - ${sqlVecLit(c)}[k]) * ($v[${s * 8} + k] - ${sqlVecLit(c)}[k]) for k in range(1, 9)])"
+  /** PQ code for subspace s: first-index argmin over sqrt'd distances. */
+  private def sqlPqCode(v: String, s: Int) = {
+    val ds = pqCodebooks(s).map(c => s"sqrt(${sqlSubSq(v, s, c)})")
+      .mkString("[", ", ", "]")
+    s"(list_position($ds, list_aggregate($ds, 'min')) - 1)"
+  }
+  /** The query's ADC LUT row for subspace s (squared, no sqrt). */
+  private def sqlPqLutRow(s: Int) =
+    pqCodebooks(s).map(c => sqlSubSq("qv", s, c)).mkString("[", ", ", "]")
+
   private val pqTopk: (SparkSession, String) => DataFrame = (s, dir) => {
     val e = spread(t(s, dir, "embeddings"))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -1475,22 +1501,8 @@ object Queries {
   }
 
   private val pqTopkSql = {
-    def cLit(c: Seq[Double]) =
-      c.map(x => if (x == math.floor(x)) s"${x.toLong}.0" else x.toString)
-        .mkString("([", ", ", "]::DOUBLE[])")
-    // squared L2 between dims [s*8+1, s*8+8] of vector expr `v` and codeword c
-    def sq(v: String, s: Int, c: Seq[Double]) =
-      s"list_sum([($v[${s * 8} + k] - ${cLit(c)}[k]) * ($v[${s * 8} + k] - ${cLit(c)}[k]) for k in range(1, 9)])"
-    // code for subspace s: first-index argmin over sqrt'd codeword distances
-    def code(v: String, s: Int) = {
-      val ds = pqCodebooks(s).map(c => s"sqrt(${sq(v, s, c)})").mkString("[", ", ", "]")
-      s"(list_position($ds, list_aggregate($ds, 'min')) - 1)"
-    }
-    // the query's LUT row for subspace s (squared sub-distances, no sqrt)
-    def lutRow(s: Int) =
-      pqCodebooks(s).map(c => sq("qv", s, c)).mkString("[", ", ", "]")
-    val codeCols = (0 until 8).map(s => s"${code("v", s)} AS c$s").mkString(",\n  ")
-    val lutCols = (0 until 8).map(s => s"${lutRow(s)} AS l$s").mkString(",\n  ")
+    val codeCols = (0 until 8).map(s => s"${sqlPqCode("v", s)} AS c$s").mkString(",\n  ")
+    val lutCols = (0 until 8).map(s => s"${sqlPqLutRow(s)} AS l$s").mkString(",\n  ")
     val adc = (0 until 8).map(s => s"l$s[c$s + 1]").mkString(" + ")
     s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
        |lut AS (SELECT
@@ -1559,33 +1571,19 @@ object Queries {
   }
 
   private val pqIvfIdxSql = {
-    def cLit(c: Seq[Double]) =
-      c.map(x => if (x == math.floor(x)) s"${x.toLong}.0" else x.toString)
-        .mkString("([", ", ", "]::DOUBLE[])")
-    def l2c(v: String, c: Seq[Double]) =
-      s"sqrt(list_sum([($v[k] - ${cLit(c)}[k]) * ($v[k] - ${cLit(c)}[k]) for k in range(1, 65)]))"
-    def dsC(v: String) = ivfCentroids.map(c => l2c(v, c)).mkString("[", ", ", "]")
-    def sq(v: String, s: Int, c: Seq[Double]) =
-      s"list_sum([($v[${s * 8} + k] - ${cLit(c)}[k]) * ($v[${s * 8} + k] - ${cLit(c)}[k]) for k in range(1, 9)])"
-    def code(v: String, s: Int) = {
-      val ds = pqCodebooks(s).map(c => s"sqrt(${sq(v, s, c)})").mkString("[", ", ", "]")
-      s"(list_position($ds, list_aggregate($ds, 'min')) - 1)"
-    }
-    def lutRow(s: Int) =
-      pqCodebooks(s).map(c => sq("qv", s, c)).mkString("[", ", ", "]")
-    val codeCols = (0 until 8).map(s => s"${code("v", s)} AS c$s").mkString(",\n  ")
-    val lutCols = (0 until 8).map(s => s"${lutRow(s)} AS l$s").mkString(",\n  ")
+    val codeCols = (0 until 8).map(s => s"${sqlPqCode("v", s)} AS c$s").mkString(",\n  ")
+    val lutCols = (0 until 8).map(s => s"${sqlPqLutRow(s)} AS l$s").mkString(",\n  ")
     val adc = (0 until 8).map(s => s"l$s[c$s + 1]").mkString(" + ")
     s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
        |probe AS (SELECT idx FROM (
-       |    SELECT unnest([0, 1, 2, 3]) AS idx, unnest(${dsC("qv")}) AS pd FROM q)
+       |    SELECT unnest([0, 1, 2, 3]) AS idx, unnest(${sqlCentroidDists("qv")}) AS pd FROM q)
        |  ORDER BY pd, idx LIMIT 2),
        |lut AS (SELECT
        |  $lutCols
        |FROM q),
        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0),
        |asn AS (SELECT vec_id, v,
-       |  (list_position(${dsC("v")}, list_aggregate(${dsC("v")}, 'min')) - 1) AS cluster FROM e),
+       |  (list_position(${sqlCentroidDists("v")}, list_aggregate(${sqlCentroidDists("v")}, 'min')) - 1) AS cluster FROM e),
        |enc AS (SELECT vec_id,
        |  $codeCols
        |FROM asn WHERE cluster IN (SELECT idx FROM probe))
@@ -1594,14 +1592,9 @@ object Queries {
   }
 
   private val annIvfSql = {
-    def cLit(c: Seq[Double]) =
-      c.map(x => if (x == math.floor(x)) s"${x.toLong}.0" else x.toString)
-        .mkString("([", ", ", "]::DOUBLE[])")
     // centroid literals are inlined (DuckDB cannot correlate an outer column
     // into a list comprehension inside a subquery)
-    def l2(v: String, c: Seq[Double]) =
-      s"sqrt(list_sum([($v[k] - ${cLit(c)}[k]) * ($v[k] - ${cLit(c)}[k]) for k in range(1, 65)]))"
-    def ds(v: String) = ivfCentroids.map(c => l2(v, c)).mkString("[", ", ", "]")
+    def ds(v: String) = sqlCentroidDists(v)
     s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
        |probe AS (SELECT idx FROM (
        |    SELECT unnest([0, 1, 2, 3]) AS idx, unnest(${ds("qv")}) AS pd FROM q)
@@ -1652,12 +1645,7 @@ object Queries {
   }
 
   private val semDedupSql = {
-    def cLit(c: Seq[Double]) =
-      c.map(x => if (x == math.floor(x)) s"${x.toLong}.0" else x.toString)
-        .mkString("([", ", ", "]::DOUBLE[])")
-    def l2(v: String, c: Seq[Double]) =
-      s"sqrt(list_sum([($v[k] - ${cLit(c)}[k]) * ($v[k] - ${cLit(c)}[k]) for k in range(1, 65)]))"
-    def ds(v: String) = ivfCentroids.map(c => l2(v, c)).mkString("[", ", ", "]")
+    def ds(v: String) = sqlCentroidDists(v)
     s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |asn AS (SELECT vec_id, v,
        |  (list_position(${ds("v")}, list_aggregate(${ds("v")}, 'min')) - 1) AS cluster FROM e),

@@ -31,25 +31,34 @@ object OutputWriter {
   def writeSharded(df: DataFrame, path: String, targetBytes: Long,
       sampleRows: Int = 1000): Unit = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
-    val sample = df.limit(sampleRows)
-      .select(org.apache.spark.sql.functions.length(
-        org.apache.spark.sql.functions.to_json(
-          org.apache.spark.sql.functions.struct("*"))).as("sz"))
-      .agg(org.apache.spark.sql.functions.sum("sz"),
-        org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)))
-      .head
-    val (sampleBytes, sampled) =
-      if (sample.isNullAt(0)) (0L, 0L) else (sample.getLong(0), sample.getLong(1))
-    if (sampled == 0L) { df.write.mode("overwrite").parquet(path); return }
-    val bytesPerRow = math.max(1L, sampleBytes / sampled)
-    val rowsPerFile = math.max(1L, targetBytes / bytesPerRow)
-    val total = df.count()
-    val nShards = math.max(1L, (total + rowsPerFile - 1) / rowsPerFile).toInt
-    df.repartition(nShards)
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", rowsPerFile)
-      .parquet(path)
+    // the input is evaluated three times (calibration, count, write) — pin
+    // it once so an expensive upstream plan (a full curation pipeline) is
+    // not re-executed per pass; disk-backed, since a dataset-scale sink's
+    // input rarely fits memory
+    val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // octet_length, not length: characters under-count multibyte text
+      // and the estimate must err toward SMALLER files, never larger
+      val sample = pinned.limit(sampleRows)
+        .select(org.apache.spark.sql.functions.octet_length(
+          org.apache.spark.sql.functions.to_json(
+            org.apache.spark.sql.functions.struct("*"))).as("sz"))
+        .agg(org.apache.spark.sql.functions.sum("sz"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)))
+        .head
+      val (sampleBytes, sampled) =
+        if (sample.isNullAt(0)) (0L, 0L) else (sample.getLong(0), sample.getLong(1))
+      if (sampled == 0L) { pinned.write.mode("overwrite").parquet(path); return }
+      val bytesPerRow = math.max(1L, sampleBytes / sampled)
+      val rowsPerFile = math.max(1L, targetBytes / bytesPerRow)
+      val total = pinned.count()
+      val nShards = math.max(1L, (total + rowsPerFile - 1) / rowsPerFile).toInt
+      pinned.repartition(nShards)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", rowsPerFile)
+        .parquet(path)
+    } finally pinned.unpersist()
   }
 
   /** S11 (dataset-scale): CSV directory sink with the reference's

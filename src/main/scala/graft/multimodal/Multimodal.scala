@@ -428,14 +428,23 @@ object Multimodal {
     * codec boundary — no shuffle, output rows proportional to total
     * duration, task memory bounded by one payload. The frame bytes are a
     * deterministic stub (md5 of (id, frame_idx) — this container has no
-    * codecs); a real decoder drops into the same row contract. */
-  def sampleFramesByTime(media: DataFrame, everyMs: Long): DataFrame = {
+    * codecs); a real decoder drops into the same row contract.
+    *
+    * `maxFrames` caps one payload's schedule: a corrupt container can
+    * parse to an absurd duration (a crafted 32-bit mvhd at timescale 1
+    * reaches ~136 years), and uncapped the frame count would overflow Int
+    * — a wrapped-negative count silently emits ZERO rows where the
+    * contract promises at least one — or explode the output; the default
+    * allows ~12 days of video at 1 s cadence. */
+  def sampleFramesByTime(media: DataFrame, everyMs: Long,
+      maxFrames: Int = 1 << 20): DataFrame = {
     require(everyMs > 0, s"everyMs must be positive, got $everyMs")
+    require(maxFrames > 0, s"maxFrames must be positive, got $maxFrames")
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions(_.flatMap { r =>
       val durMs = parseAvMeta(r.data).map(_.durationMs).getOrElse(0L)
-      val n = math.max(1L, durMs / everyMs + 1).toInt
+      val n = math.min(math.max(1L, durMs / everyMs + 1), maxFrames.toLong).toInt
       val digest = java.security.MessageDigest.getInstance("MD5")
       (0 until n).iterator.map { i =>
         digest.reset()

@@ -263,9 +263,7 @@ object AnnIndex {
         g
       case (g, None) => g
     }
-    def l2(a: Seq[Double], b: Seq[Double]): Double =
-      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
-    val probed = cs.indices.sortBy(i => (l2(q, cs(i)), i)).take(nProbe)
+    val probed = AnnSearch.probeCentroids(q, cs, nProbe)
     val df = spark.read.parquet(path)
       .where(col(BucketCol).isin(probed: _*))
     AnnSearch.bruteCosineTopK(df, id, col("vec"), q, k)
@@ -301,7 +299,17 @@ object AnnIndex {
     val signed = batch.select(col(id).as("a"), vec.as("va"),
       AnnSearch.signatureRandom(vec, meta.dim, meta.nBits, meta.seed)
         .cast("long").as("__bk"))
-    val idx = IndexIO.excludeBatch(spark.read.parquet(path), excludeBatch)
+    nearDupAgainstIndex(signed, id, path, minCos, excludeBatch)
+  }
+
+  /** The cross-pair half of [[incrementalNearDup]], over an ALREADY-SIGNED
+    * batch frame (columns a, va, __bk) — package-visible so the streaming
+    * loop, which needs the signed frame for its in-batch self-join too,
+    * signs each micro-batch exactly once. */
+  private[graft] def nearDupAgainstIndex(signed: DataFrame, id: String,
+      path: String, minCos: Double, excludeBatch: Option[Long]): DataFrame = {
+    val idx = IndexIO.excludeBatch(
+        signed.sparkSession.read.parquet(path), excludeBatch)
       .select(col(id).as("b"), col("vec").cast("array<double>").as("vb"),
         col(BucketCol).cast("long").as("__bk"))
     broadcast(signed).join(idx, Seq("__bk"))
@@ -399,9 +407,7 @@ object AnnIndex {
       throw new IllegalArgumentException(
         s"index at $path has no metadata sidecar — IVF-PQ probes need the " +
           "stored codebooks"))
-    def l2(a: Seq[Double], b: Seq[Double]): Double =
-      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
-    val probed = cs.indices.sortBy(i => (l2(q, cs(i)), i)).take(nProbe)
+    val probed = AnnSearch.probeCentroids(q, cs, nProbe)
     spark.read.parquet(path)
       .where(col(BucketCol).isin(probed: _*))
       .select(col(id),
@@ -434,26 +440,36 @@ object AnnIndex {
         .collect().map(_.getString(0))
     }
     if (queries.isEmpty) return 1.0
-    val src = source.select(col(id).as("__sid"), vec.as("__v")).cache()
-    try {
-      val qvs = src.where(col("__sid").cast("string").isin(queries: _*))
-        .collect().map(r => (String.valueOf(r.get(0)), r.getSeq[Double](1).toSeq))
-      // sampled ids absent from the source (e.g. appended after the source
-      // snapshot) simply drop out of the sample
-      if (qvs.isEmpty) return 1.0
-      val recalls = qvs.map { case (_, qv) =>
-        val qc = array(qv.map(lit): _*)
-        val truth = src.select(col("__sid"),
-            round(graft.functions.NativeKernels.l2Dist(col("__v"), qc), 6).as("d"))
-          .orderBy(col("d"), col("__sid")).limit(k)
-          .collect().map(r => String.valueOf(r.get(0))).toSet
-        val served = ivfPqTopK(spark, path, id, qv, k, nProbe)
-          .select(col(id).cast("string")).collect().map(_.getString(0)).toSet
-        if (truth.isEmpty) 1.0
-        else served.intersect(truth).size.toDouble / truth.size
-      }
-      recalls.sum / recalls.length
-    } finally src.unpersist()
+    val src = source.select(col(id).as("__sid"),
+      col(id).cast("string").as("__qid"), vec.as("__v"))
+    val qvs = src.where(col("__qid").isin(queries: _*))
+      .select(col("__qid"), col("__v"))
+      .collect().map(r => (r.getString(0), r.getSeq[Double](1).toSeq))
+    // sampled ids absent from the source (e.g. appended after the source
+    // snapshot) simply drop out of the sample
+    if (qvs.isEmpty) return 1.0
+    // ground truth from ONE scan: every sample query broadcasts into the
+    // source (the [[recallProbe]] shape — per-query scans would re-read a
+    // corpus-sized table sampleN times); ties on distance break by the
+    // NATIVE id, matching the served probe's ordering
+    import org.apache.spark.sql.expressions.Window
+    val qdf = spark.createDataFrame(qvs.toSeq).toDF("qid", "qv")
+    val w = Window.partitionBy(col("qid")).orderBy(col("d"), col("__sid"))
+    val truth = src.crossJoin(broadcast(qdf))
+      .select(col("qid"), col("__sid"), col("__qid"),
+        round(graft.functions.NativeKernels.l2Dist(col("__v"), col("qv")), 6)
+          .as("d"))
+      .withColumn("r", row_number().over(w)).where(col("r") <= k)
+      .select(col("qid"), col("__qid")).collect()
+      .groupBy(_.getString(0))
+      .map { case (q, rs) => q -> rs.map(_.getString(1)).toSet }
+    val recalls = qvs.map { case (qid, qv) =>
+      val served = ivfPqTopK(spark, path, id, qv, k, nProbe)
+        .select(col(id).cast("string")).collect().map(_.getString(0)).toSet
+      val t = truth.getOrElse(qid, Set.empty)
+      if (t.isEmpty) 1.0 else served.intersect(t).size.toDouble / t.size
+    }
+    recalls.sum / recalls.length
   }
 
   /** Compact a grown index (LSH or IVF): fold every appended batch back

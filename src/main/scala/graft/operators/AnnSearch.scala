@@ -218,15 +218,31 @@ object AnnSearch {
     } finally projected.unpersist()
   }
 
+  /** Driver-side L2 between two vectors (shorter length wins) — the
+    * probe-selection arithmetic shared by every nearest-centroid probe
+    * (IVF, IVF-PQ, rebuild). A determinism contract: the DuckDB oracles
+    * mirror this exact sequential accumulation, so there is ONE copy. */
+  private[graft] def l2Seq(a: Seq[Double], b: Seq[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.size, b.size)
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** The query's `nProbe` nearest centroid indices, ties to the lower
+    * index — the shared probe-set rule. */
+  private[graft] def probeCentroids(q: Seq[Double],
+      centroids: Seq[Seq[Double]], nProbe: Int): Seq[Int] =
+    centroids.indices.sortBy(i => (l2Seq(q, centroids(i)), i)).take(nProbe)
+
   /** IVF top-k: assign every vector to its nearest centroid, probe only the
     * query's `nProbe` nearest centroid buckets, exact cosine re-rank inside
     * the probed buckets. Build `centroids` with [[kmeans]] (or pass any
     * fixed list — the plan shape and exactness guarantees are identical). */
   def ivfTopK(emb: DataFrame, id: String, vec: Column, centroids: Seq[Seq[Double]],
       q: Seq[Double], k: Int, nProbe: Int): DataFrame = {
-    def l2(a: Seq[Double], b: Seq[Double]): Double =
-      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
-    val probed = centroids.indices.sortBy(i => (l2(q, centroids(i)), i)).take(nProbe)
+    val probed = probeCentroids(q, centroids, nProbe)
     val assigned = emb.withColumn("cluster", ivfCluster(vec, centroids))
       .where(col("cluster").isin(probed: _*))
     bruteCosineTopK(assigned, id, vec, q, k)

@@ -432,27 +432,29 @@ object StreamOps {
         s"no LSH index metadata at $indexPath — run AnnIndex.buildLsh " +
           "before starting annDedupStream"))
     val b = batch.cache()
-    val signed = b.select(col(idCol).as("id"), col(vecCol).as("v"),
+    // sign ONCE: the in-batch self-join and the index cross-check share
+    // this frame (recomputing the signature per consumer doubles the
+    // per-batch projection work)
+    val signed = b.select(col(idCol).as("a"), col(vecCol).as("va"),
       AnnSearch.signatureRandom(col(vecCol), meta.dim, meta.nBits, meta.seed)
-        .cast("long").as("__bk"))
-    val x = signed.select(col("__bk"), col("id").as("a"), col("v").as("va"))
-    val y = signed.select(col("__bk"), col("id").as("b"), col("v").as("vb"))
-    val inBatch = x.join(y, Seq("__bk")).where(col("a") < col("b"))
+        .cast("long").as("__bk")).cache()
+    val y = signed.select(col("__bk"), col("a").as("b"), col("va").as("vb"))
+    val inBatch = signed.join(y, Seq("__bk")).where(col("a") < col("b"))
       .select(col("a"), col("b"),
         round(graft.functions.NativeKernels.cosineSim(col("va"), col("vb")), 6)
           .as("cos"))
       .where(col("cos") >= minCos)
     val hasIndex = IndexIO.hasData(spark, indexPath)
     val pairs = (if (hasIndex)
-        inBatch.union(AnnIndex.incrementalNearDup(b, idCol, col(vecCol),
-          indexPath, minCos, excludeBatch = Some(batchId)))
+        inBatch.union(AnnIndex.nearDupAgainstIndex(signed, idCol, indexPath,
+          minCos, excludeBatch = Some(batchId)))
       else inBatch).cache()
     try {
       pairs.count() // pin results before the index grows (see dedupBatch)
       writeBatch(pairs, batchId)
       if (!b.isEmpty) // an empty micro-batch must not commit a file-less dir
         AnnIndex.append(b, idCol, col(vecCol), indexPath, batchId = Some(batchId))
-    } finally { pairs.unpersist(); b.unpersist() }
+    } finally { pairs.unpersist(); signed.unpersist(); b.unpersist() }
   }
 
   /** Streaming incremental EXACT dedup — the fingerprint twin of
