@@ -524,6 +524,27 @@ object Queries {
     s"""tk AS (SELECT doc_id, ${sqlWords("text")} AS w FROM documents),
        |sh AS (SELECT doc_id, ${sqlShingles2("w")} AS g FROM tk)""".stripMargin, 0.8)
 
+  // -- CROSS-corpus near-dup pairs: odd-id docs as the "training" side vs
+  //    even-id docs as the "benchmark" side — the near-dup-level
+  //    contamination check. The oracle is the shared minhash CTE chain
+  //    with the candidate predicate switched from the self-join
+  //    half-matrix to the cross split.
+  private val dedupCross: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val sh = graft.functions.NativeKernels.wordShingles2(col("text"))
+    Dedup.minhashPairsBetween(
+        docs.where(col("doc_id") % 2 === 1), "doc_id", sh,
+        docs.where(col("doc_id") % 2 === 0), "doc_id", sh, 0.8)
+      .orderBy(col("a"), col("b"))
+  }
+
+  private val dedupCrossSql =
+    s"""WITH ${minhashPairsCtes(
+      s"""tk AS (SELECT doc_id, ${sqlWords("text")} AS w FROM documents),
+         |sh AS (SELECT doc_id, ${sqlShingles2("w")} AS g FROM tk)""".stripMargin,
+      0.8, candPred = "x.doc_id % 2 = 1 AND y.doc_id % 2 = 0")}
+       |SELECT a, b, j FROM prs ORDER BY a, b""".stripMargin
+
   // -- INCREMENTAL near-dup dedup against a persisted band index (the
   //    production ingestion shape): the even-id half of the corpus is
   //    indexed ONCE (writeBandIndex: exploded band keys + shingle sets as
@@ -2397,6 +2418,7 @@ object Queries {
     "q_norm_topk"     -> normTopk,
     "q_weight_est"    -> weightEst,
     "q_dedup_minhash" -> dedupMinhash,
+    "q_dedup_cross"   -> dedupCross,
     "q_dedup_ngram"   -> dedupNgram,
     "q_winnow"        -> winnowQ,
     "q_winnow_spans"  -> winnowSpansQ,
@@ -2474,6 +2496,7 @@ object Queries {
     "q_norm_topk"     -> normTopkSql,
     "q_weight_est"    -> weightEstSql,
     "q_dedup_minhash" -> dedupMinhashSql,
+    "q_dedup_cross"   -> dedupCrossSql,
     "q_dedup_ngram"   -> dedupNgramSql,
     "q_winnow"        -> winnowSql,
     "q_winnow_spans"  -> winnowSpansSql,

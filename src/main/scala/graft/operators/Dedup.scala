@@ -67,6 +67,39 @@ object Dedup {
     (all, all.where(size(col("g")) > 0))
   }
 
+  /** Near-duplicate pairs BETWEEN two corpora — (a = left id, b = right
+    * id, j) with jaccard >= minJ — the contamination check at NEAR-DUP
+    * level: a paraphrased eval item inside a training corpus dilutes the
+    * n-gram overlap RATIO on long documents and is invisible to exact
+    * dedup, but its shingle set still collides in the banded signature
+    * space. Both sides band ONCE; candidates come from the cross band
+    * equi-join (never all-pairs); exact Jaccard verifies inside. When one
+    * side is a fixed benchmark (the common case) it is batch-sized and
+    * the join behaves like [[incrementalPairs]] with the index computed
+    * on the fly; ids may overlap between the sides (they are different
+    * id spaces — no x < y constraint applies). */
+  def minhashPairsBetween(left: DataFrame, idL: String, shinglesL: Column,
+      right: DataFrame, idR: String, shinglesR: Column,
+      minJ: Double): DataFrame = {
+    require(minJ > 0, s"minJ must be positive, got $minJ")
+    val (_, shL) = shingleFrame(left, idL, shinglesL)
+    val (_, shR) = shingleFrame(right, idR, shinglesR)
+    def banded(sh: DataFrame) = sh.select(col("id"), posexplode(
+        graft.functions.NativeKernels.bandKeys(col("g"), NumHashes, NumBands, RowsPerBand))
+        .as(Seq("band", "bv")))
+    val cands = banded(shL).as("x")
+      .join(banded(shR).as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    cands
+      .join(shL.select(col("id").as("a"), col("g").as("ga")), Seq("a"))
+      .join(shR.select(col("id").as("b"), col("g").as("gb")), Seq("b"))
+      .select(col("a"), col("b"),
+        SimKernels.jaccardSimDistinct(col("ga"), col("gb")).as("j"))
+      .where(col("j") >= minJ)
+  }
+
   def minhashPairs(docs: DataFrame, id: String, shingles: Column, minJ: Double): DataFrame = {
     require(minJ > 0, s"minJ must be positive, got $minJ")
     // Cache the shingle sets and band keys: the LSH self-join and the

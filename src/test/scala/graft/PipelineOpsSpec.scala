@@ -729,6 +729,27 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(all == Set(10L, 11L, 12L, 13L))
   }
 
+  test("minhashPairsBetween: a paraphrased benchmark item is caught across " +
+    "corpora; overlapping id spaces stay distinct; unrelated docs clean") {
+    val words = (1 to 16).map(i => s"w$i").mkString(" ")
+    // training side: a near-copy of the benchmark item (one word changed),
+    // plus an unrelated doc — ID 1 appears on BOTH sides (different spaces)
+    val train = Seq(
+      (1L, words.replaceAll("w16$", "zz")),
+      (2L, "entirely different training content here"))
+      .toDF("tid", "text")
+    val bench = Seq(
+      (1L, words),
+      (7L, "an unrelated benchmark question"))
+      .toDF("bid", "text")
+    val sh = TextKernels.wordShingles2(TextKernels.wordTokens(col("text")))
+    val got = graft.operators.Dedup
+      .minhashPairsBetween(train, "tid", sh, bench, "bid", sh, 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 1 && got.head._1 == 1L && got.head._2 == 1L &&
+      got.head._3 >= 0.8, got.mkString(","))
+  }
+
   test("decontaminateAgainst: a separate benchmark table drives the same " +
     "removal; corpus ids never collide with the synthetic eval ids") {
     val docs = Seq(
