@@ -365,7 +365,8 @@ final class SimSearchService(spark: SparkSession, port: Int,
     *               "dedup_cluster" | "text_stats" |
     *               "budget_select" | "chunk" | "scrub" |
     *               "html_text" | "url_dedup" |
-    *               "decontaminate" | "semdedup" | "sample",
+    *               "decontaminate" | "semdedup" | "sample" |
+    *               "minhash_pairs_between",
     *   "input": {"column": "<mounted attribute>"}        // api_key's catalog
     *          | {"path": "/dir", "format": "parquet"|"csv"},
     *   "id": "doc_id", "text": "text",                   // path-input columns
@@ -394,7 +395,11 @@ final class SimSearchService(spark: SparkSession, port: Int,
     * (default 5), `min_cos` (default 0.9) — returns the kept rows minus
     * the vector payload; sample `pct` (constant), or `rates` +
     * `group_column`/`default_pct` (per-group), or `rate_column` (per-row
-    * acceptance curve) — all deterministic by id hash. */
+    * acceptance curve) — all deterministic by id hash. decontaminate also
+    * accepts `eval_path` (+ `eval_text`) for a benchmark shipped as its
+    * own parquet table; minhash_pairs_between takes `right_path`
+    * (+ `right_id`/`right_text`, `min_jaccard`) and returns the
+    * cross-corpus near-dup pairs (a = input id, b = right id, j). */
   private def handlePipeline(x: HttpExchange): Unit = {
     import org.apache.spark.sql.functions._
     import graft.functions.TextKernels
@@ -405,7 +410,8 @@ final class SimSearchService(spark: SparkSession, port: Int,
       val opName = root.path("operator").asText("")
       val knownOps = Seq("line_dedup", "exact_groups", "minhash_pairs",
         "dedup_cluster", "text_stats", "budget_select", "chunk", "scrub",
-        "html_text", "url_dedup", "decontaminate", "semdedup", "sample")
+        "html_text", "url_dedup", "decontaminate", "semdedup", "sample",
+        "minhash_pairs_between")
       if (!knownOps.contains(opName))
         throw new IllegalArgumentException(
           s"unknown operator '$opName' — one of ${knownOps.mkString(", ")}")
@@ -480,11 +486,30 @@ final class SimSearchService(spark: SparkSession, port: Int,
           .select(col(idCol), TextKernels.normalizeUrl(col(textCol)).as("url_norm"))
           .groupBy(col("url_norm"))
           .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keeper"))
-        case "decontaminate" => graft.operators.Contamination.decontaminate(
-          df, col(idCol),
-          graft.functions.NativeKernels.wordShingles2(col(textCol)),
-          col(reqParam("eval_column").asText()),
-          params.path("min_ratio").asDouble(0.7))
+        case "decontaminate" =>
+          val sh = graft.functions.NativeKernels.wordShingles2(col(textCol))
+          if (params.hasNonNull("eval_path")) {
+            // the benchmark as its own table (parquet, host-local trust
+            // model like every path input); eval_text names its column
+            val eval = spark.read.parquet(params.get("eval_path").asText())
+            val evalText = params.path("eval_text").asText(textCol)
+            graft.operators.Contamination.decontaminateAgainst(df, col(idCol),
+              sh, eval,
+              graft.functions.NativeKernels.wordShingles2(col(evalText)),
+              params.path("min_ratio").asDouble(0.7))
+          } else graft.operators.Contamination.decontaminate(
+            df, col(idCol), sh, col(reqParam("eval_column").asText()),
+            params.path("min_ratio").asDouble(0.7))
+        case "minhash_pairs_between" =>
+          val right = spark.read.parquet(reqParam("right_path").asText())
+          val rightId = params.path("right_id").asText(idCol)
+          val rightText = params.path("right_text").asText(textCol)
+          graft.operators.Dedup.minhashPairsBetween(
+            df, idCol,
+            graft.functions.NativeKernels.wordShingles2(col(textCol)),
+            right, rightId,
+            graft.functions.NativeKernels.wordShingles2(col(rightText)),
+            params.path("min_jaccard").asDouble(0.8))
         case "semdedup" =>
           val vecCol = params.path("vector_column").asText("embedding")
           val projected = df.withColumn(vecCol, col(vecCol).cast("array<double>"))

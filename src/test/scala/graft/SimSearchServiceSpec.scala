@@ -387,6 +387,30 @@ class SimSearchServiceSpec extends SparkTestBase {
       assert(semIds == Set(1L, 3L), b12)
       assert(!sem.get(0).has("embedding"), b12)
 
+      // two-table ops: the benchmark ships as its own parquet
+      val evalDir = s"$dir/eval"
+      Seq((99L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text").write.mode("overwrite").parquet(evalDir)
+      val trainDir = s"$dir/train"
+      Seq((1L, "the quick brown fox jumps over the lazy dog today"),
+        (2L, "completely different words about spark engines here"))
+        .toDF("doc_id", "text").write.mode("overwrite").parquet(trainDir)
+      val (c15, b15) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "decontaminate", "input": {"path": "$trainDir"},
+            "id": "doc_id", "text": "text",
+            "params": {"eval_path": "$evalDir"}}"""))
+      assert(c15 == 200, b15)
+      val dec2 = new ObjectMapper().readTree(b15)
+      assert(dec2.size() == 1 && dec2.get(0).get("doc_id").asLong() == 2L, b15)
+      val (c16, b16) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "minhash_pairs_between", "input": {"path": "$trainDir"},
+            "id": "doc_id", "text": "text",
+            "params": {"right_path": "$evalDir"}}"""))
+      assert(c16 == 200, b16)
+      val xp = new ObjectMapper().readTree(b16)
+      assert(xp.size() == 1 && xp.get(0).get("a").asLong() == 1L &&
+        xp.get(0).get("b").asLong() == 99L, b16)
+
       // sample: the three sampler modes behind one op, deterministic
       val (c13, b13) = http("POST", s"$base/pipeline", Some(
         s"""{"operator": "sample", "input": {"path": "$dir/docs"},
