@@ -366,7 +366,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
     *               "budget_select" | "chunk" | "scrub" |
     *               "html_text" | "url_dedup" |
     *               "decontaminate" | "semdedup" | "sample" |
-    *               "minhash_pairs_between",
+    *               "minhash_pairs_between" | "domain_cap",
     *   "input": {"column": "<mounted attribute>"}        // api_key's catalog
     *          | {"path": "/dir", "format": "parquet"|"csv"},
     *   "id": "doc_id", "text": "text",                   // path-input columns
@@ -399,7 +399,9 @@ final class SimSearchService(spark: SparkSession, port: Int,
     * accepts `eval_path` (+ `eval_text`) for a benchmark shipped as its
     * own parquet table; minhash_pairs_between takes `right_path`
     * (+ `right_id`/`right_text`, `min_jaccard`) and returns the
-    * cross-corpus near-dup pairs (a = input id, b = right id, j). */
+    * cross-corpus near-dup pairs (a = input id, b = right id, j);
+    * domain_cap `cap` (required) — the text column holds URLs, at most
+    * cap rows per host survive in deterministic hash order. */
   private def handlePipeline(x: HttpExchange): Unit = {
     import org.apache.spark.sql.functions._
     import graft.functions.TextKernels
@@ -411,7 +413,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
       val knownOps = Seq("line_dedup", "exact_groups", "minhash_pairs",
         "dedup_cluster", "text_stats", "budget_select", "chunk", "scrub",
         "html_text", "url_dedup", "decontaminate", "semdedup", "sample",
-        "minhash_pairs_between")
+        "minhash_pairs_between", "domain_cap")
       if (!knownOps.contains(opName))
         throw new IllegalArgumentException(
           s"unknown operator '$opName' — one of ${knownOps.mkString(", ")}")
@@ -500,6 +502,12 @@ final class SimSearchService(spark: SparkSession, port: Int,
           } else graft.operators.Contamination.decontaminate(
             df, col(idCol), sh, col(reqParam("eval_column").asText()),
             params.path("min_ratio").asDouble(0.7))
+        case "domain_cap" =>
+          // the text column holds URLs; at most `cap` docs per host, in
+          // the deterministic salted hash order
+          graft.operators.Sampling.capPerKey(df,
+            TextKernels.urlHost(col(textCol)), col(idCol),
+            reqParam("cap").asLong())
         case "minhash_pairs_between" =>
           val right = spark.read.parquet(reqParam("right_path").asText())
           val rightId = params.path("right_id").asText(idCol)

@@ -767,6 +767,41 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(kept.select("id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  // ------------------------------------------------------- quality classifier
+
+  test("NB quality classifier: separates held-out docs by seed-set " +
+    "similarity; prior-only for token-less docs; vocab cap keeps the most " +
+    "discriminative tokens; both classes required") {
+    import graft.operators.QualityClassifier
+    val seeds = Seq(
+      ("clean prose with thoughtful words and careful argument", true),
+      ("another clean document with careful thoughtful writing", true),
+      ("buy cheap pills now click here buy buy", false),
+      ("click now cheap offer pills here now", false))
+      .toDF("text", "good")
+    val tok = TextKernels.wordTokens(col("text"))
+    val model = QualityClassifier.train(seeds, tok, col("good"))
+    val test = Seq(
+      (1L, "thoughtful careful prose"),
+      (2L, "cheap pills click now"),
+      (3L, "")).toDF("id", "text")
+    val scores = QualityClassifier
+      .score(test, col("id"), TextKernels.wordTokens(col("text")), model)
+      .as[(Long, Double)].collect().toMap
+    assert(scores(1L) > scores(2L),
+      s"ham ${scores(1L)} must outscore spam ${scores(2L)}")
+    assert(math.abs(scores(3L) - model.prior) < 1e-12) // bare prior
+    // a second training run is identical (integer counts -> same weights)
+    assert(QualityClassifier.train(seeds, tok, col("good")) == model)
+    // vocab cap: with maxVocab 2, only the 2 highest-|llr| tokens remain
+    val small = QualityClassifier.train(seeds, tok, col("good"), maxVocab = 2)
+    assert(small.weights.size == 2)
+    assert(small.weights.keySet.subsetOf(model.weights.keySet))
+    intercept[IllegalArgumentException] {
+      QualityClassifier.train(seeds.where(col("good")), tok, col("good"))
+    }
+  }
+
   // ------------------------------------------------------------------ byRate
 
   test("byRate: per-row acceptance curve, deterministic, clamping at the " +

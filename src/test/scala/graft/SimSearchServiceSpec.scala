@@ -411,6 +411,15 @@ class SimSearchServiceSpec extends SparkTestBase {
       assert(xp.size() == 1 && xp.get(0).get("a").asLong() == 1L &&
         xp.get(0).get("b").asLong() == 99L, b16)
 
+      // domain_cap: at most cap rows per host, from the URL column
+      val (c17, b17) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "domain_cap", "input": {"path": "$urlDir"},
+            "id": "doc_id", "text": "text", "params": {"cap": 1}}"""))
+      assert(c17 == 200, b17)
+      val dcap = new ObjectMapper().readTree(b17)
+      // $urlDir holds 3 pages on one host (a.example) -> exactly 1 survives
+      assert(dcap.size() == 1, b17)
+
       // sample: the three sampler modes behind one op, deterministic
       val (c13, b13) = http("POST", s"$base/pipeline", Some(
         s"""{"operator": "sample", "input": {"path": "$dir/docs"},
