@@ -229,4 +229,38 @@ class IndexRecoverySpec extends SparkTestBase {
     assert(ran > 0, "the probe loop never ran during the compactions")
     assert(answer() == expect)
   }
+
+  test("IVF-PQ probes ride through racing compactions too: zero failures, " +
+    "identical ADC answers") {
+    val dim = 8
+    val rnd = new scala.util.Random(41)
+    val emb = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextDouble() * 2 - 1))).toDF("vid", "v")
+    val cents = (0 until 4).map(_ => Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val books = graft.operators.Quantize.pqTrain(emb, col("vid"), col("v"),
+      m = 2, nCodes = 4, iters = 1)
+    val path = tmpDir("race-pq") + "/idx"
+    AnnIndex.buildIvfPq(emb, "vid", col("v"), cents, books, path)
+    AnnIndex.append((300 until 330).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextDouble() * 2 - 1))).toDF("vid", "v"),
+      "vid", col("v"), path, batchId = Some(0L))
+    val q = Seq.fill(dim)(rnd.nextDouble() * 2 - 1)
+    def answer() = AnnIndex.ivfPqTopK(spark, path, "vid", q, 10, nProbe = 4)
+      .collect().map(_.toSeq).toSeq
+    val expect = answer()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    @volatile var stop = false
+    val probes = Future {
+      var n = 0
+      while (!stop) { assert(answer() == expect, s"probe $n diverged"); n += 1 }
+      n
+    }
+    try (1 to 3).foreach(_ => AnnIndex.compact(spark, path))
+    finally stop = true
+    val ran = Await.result(probes, 60.seconds)
+    assert(ran > 0, "the probe loop never ran during the compactions")
+    assert(answer() == expect)
+  }
 }
