@@ -17,6 +17,10 @@ import org.apache.spark.sql.SparkSession
   * spark-submit --class graft.IndexTool app.jar rebuild <path> <idCol> [--iters 10] [--train-pct 100]
   * spark-submit --class graft.IndexTool app.jar recover <path>
   * spark-submit --class graft.IndexTool app.jar bloom <path> [--fpp 0.01]
+  * spark-submit --class graft.IndexTool app.jar bpe-train <modelPath> --source <parquet>
+  * spark-submit --class graft.IndexTool app.jar bpe-encode <modelPath> --source <parquet> --out <parquet>
+  * spark-submit --class graft.IndexTool app.jar nb-train <modelPath> --source <parquet> --label <boolCol>
+  * spark-submit --class graft.IndexTool app.jar nb-score <modelPath> --source <parquet> --out <parquet>
   * }}}
   *
   * `compact` folds an ANN index's streamed batch partitions into the base;
@@ -30,6 +34,10 @@ import org.apache.spark.sql.SparkSession
   * `bloom` builds/refreshes a fingerprint index's Bloom prefilter sidecar
   * ([[graft.operators.Dedup.writeFingerprintBloom]]) so the ingestion
   * loops' exact-dedup check skips the stored-index scan on novel batches.
+  * `bpe-train`/`bpe-encode` train a BPE merge table to a persisted model
+  * directory and batch-encode a corpus with it; `nb-train`/`nb-score` are
+  * the quality-classifier twins (train to a model sidecar, score a corpus
+  * against a stored model).
   * All actions assume ingestion streams are stopped cleanly, except
   * `recall`, which serves concurrently by design. Prints one JSON line per
   * action for log scraping. */
@@ -120,6 +128,81 @@ object IndexTool {
         val fpp = opt(args, "--fpp").fold(0.01)(_.toDouble)
         graft.operators.Dedup.writeFingerprintBloom(spark, args(1), fpp)
         println(s"""{"action":"bloom","path":"${args(1)}","fpp":$fpp}"""); 0
+      case "bpe-train" =>
+        val src = opt(args, "--source").getOrElse {
+          System.err.println(s"bpe-train needs --source <parquet>\n$usage")
+          return 2
+        }
+        val textCol = opt(args, "--text").getOrElse("text")
+        val merges = graft.operators.Bpe.train(
+          spark.read.parquet(src),
+          graft.functions.NativeKernels.wordTokens(
+            org.apache.spark.sql.functions.col(textCol)),
+          opt(args, "--merges").fold(1000)(_.toInt),
+          opt(args, "--max-words").fold(1000000)(_.toInt),
+          opt(args, "--min-pair").fold(2L)(_.toLong))
+        graft.operators.Bpe.save(spark, merges, args(1))
+        println(s"""{"action":"bpe-train","path":"${args(1)}",""" +
+          s""""merges":${merges.size}}"""); 0
+      case "bpe-encode" =>
+        val src = opt(args, "--source").getOrElse {
+          System.err.println(s"bpe-encode needs --source <parquet>\n$usage")
+          return 2
+        }
+        val out = opt(args, "--out").getOrElse {
+          System.err.println(s"bpe-encode needs --out <parquet>\n$usage")
+          return 2
+        }
+        import org.apache.spark.sql.functions.col
+        val merges = graft.operators.Bpe.load(spark, args(1))
+        val idCol = opt(args, "--id").getOrElse("id")
+        val textCol = opt(args, "--text").getOrElse("text")
+        val words = graft.functions.NativeKernels.wordTokens(col(textCol))
+        spark.read.parquet(src)
+          .select(col(idCol),
+            graft.operators.Bpe.tokens(words, merges).as("tokens"),
+            graft.operators.Bpe.tokenCount(words, merges).as("n_tokens"))
+          .write.mode("overwrite").parquet(out)
+        println(s"""{"action":"bpe-encode","path":"${args(1)}",""" +
+          s""""out":"$out"}"""); 0
+      case "nb-train" =>
+        val src = opt(args, "--source").getOrElse {
+          System.err.println(s"nb-train needs --source <parquet>\n$usage")
+          return 2
+        }
+        val labelCol = opt(args, "--label").getOrElse {
+          System.err.println(s"nb-train needs --label <boolCol>\n$usage")
+          return 2
+        }
+        import org.apache.spark.sql.functions.col
+        val textCol = opt(args, "--text").getOrElse("text")
+        val model = graft.operators.QualityClassifier.train(
+          spark.read.parquet(src),
+          graft.functions.NativeKernels.wordTokens(col(textCol)),
+          col(labelCol), opt(args, "--max-vocab").fold(65536)(_.toInt))
+        graft.operators.QualityClassifier.save(spark, model, args(1))
+        println(s"""{"action":"nb-train","path":"${args(1)}",""" +
+          s""""vocab":${model.weights.size},"prior":${model.prior}}"""); 0
+      case "nb-score" =>
+        val src = opt(args, "--source").getOrElse {
+          System.err.println(s"nb-score needs --source <parquet>\n$usage")
+          return 2
+        }
+        val out = opt(args, "--out").getOrElse {
+          System.err.println(s"nb-score needs --out <parquet>\n$usage")
+          return 2
+        }
+        import org.apache.spark.sql.functions.col
+        val model = graft.operators.QualityClassifier.load(spark, args(1))
+        graft.operators.QualityClassifier.score(
+          spark.read.parquet(src),
+          col(opt(args, "--id").getOrElse("id")),
+          graft.functions.NativeKernels.wordTokens(
+            col(opt(args, "--text").getOrElse("text"))),
+          model)
+          .write.mode("overwrite").parquet(out)
+        println(s"""{"action":"nb-score","path":"${args(1)}",""" +
+          s""""out":"$out"}"""); 0
       case other =>
         System.err.println(s"unknown action '$other'\n$usage"); 2
     }
@@ -132,5 +215,9 @@ object IndexTool {
       |  recall-pq <path> <idCol> --source <parquet> [--vec embedding] [--k 10] [--nprobe 4] [--sample 32] [--min 0.0]
       |  rebuild <path> <idCol> [--iters 10] [--train-pct 100]
       |  recover <path>
-      |  bloom <path> [--fpp 0.01]""".stripMargin
+      |  bloom <path> [--fpp 0.01]
+      |  bpe-train <modelPath> --source <parquet> [--text text] [--merges 1000] [--max-words 1000000] [--min-pair 2]
+      |  bpe-encode <modelPath> --source <parquet> --out <parquet> [--id id] [--text text]
+      |  nb-train <modelPath> --source <parquet> --label <boolCol> [--text text] [--max-vocab 65536]
+      |  nb-score <modelPath> --source <parquet> --out <parquet> [--id id] [--text text]""".stripMargin
 }

@@ -33,12 +33,46 @@ object Bpe {
     * `words` is a word-array column (e.g.
     * [[graft.functions.NativeKernels.wordTokens]] of the text). */
   def train(df: DataFrame, words: Column, numMerges: Int,
-      maxWords: Int = 1000000): Seq[(String, String)] = {
+      maxWords: Int = 1000000,
+      minPairCount: Long = 2L): Seq[(String, String)] = {
     val counts = df.select(explode(words).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w")).limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    trainFromCounts(counts, numMerges)
+    trainFromCounts(counts, numMerges, minPairCount)
+  }
+
+  /** Persist a merge table: parquet (rank, a, b) plus the
+    * [[IndexIO.MetaFile]] sidecar carrying kind/merges/version — so the
+    * exact token counts [[Packing.budgetSelect]]/[[Packing.chunkTokens]]
+    * depend on are reproducible across JVMs and filesystems. Rank order IS
+    * the model (encode applies the lowest-rank merge first), so the rank
+    * column is stored explicitly rather than trusting file row order. */
+  def save(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)], path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+      .toDF("rank", "a", "b")
+      .repartition(1) // merge tables are a few thousand rows — one file
+      .write.mode("overwrite").parquet(path)
+    IndexIO.writeMeta(spark, path,
+      s"""{"kind":"bpe","version":1,"merges":${merges.size}}""")
+  }
+
+  /** Load a merge table persisted by [[save]], restoring training order.
+    * Fails fast on a missing sidecar or a different index kind. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, String)] = {
+    val meta = IndexIO.readMeta(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no model sidecar at $path"))
+    val kind = meta.path("kind").asText("")
+    require(kind == "bpe",
+      s"the sidecar at $path names kind '$kind', not a bpe merge table")
+    spark.read.parquet(path)
+      .select(col("rank").cast("int"), col("a"), col("b"))
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
   }
 
   /** A word as its initial symbol sequence: one symbol per UNICODE CODE
@@ -60,10 +94,17 @@ object Bpe {
     * symbols (+ [[EndMark]]), repeatedly merge the most frequent adjacent
     * symbol pair — ties broken by the lexicographically smallest pair, so
     * training is deterministic — until `numMerges` merges are learned or no
-    * pair occurs twice. Driver-side by design: the table is bounded by the
-    * vocabulary, not the corpus. */
+    * pair reaches `minPairCount`. Driver-side by design: the table is
+    * bounded by the vocabulary, not the corpus.
+    *
+    * `minPairCount` defaults to 2 — a DELIBERATE deviation from the
+    * Sennrich/GPT-2 reference loop (which merges down to count 1): a pair
+    * seen once buys nothing at inference and fills the merge table with
+    * singleton noise. Pass `minPairCount = 1` when a merge table must
+    * reproduce an external BPE implementation's merges bit-for-bit on the
+    * corpus tail (merge-table interop with other tokenizer stacks). */
   def trainFromCounts(counts: Seq[(String, Long)],
-      numMerges: Int): Seq[(String, String)] = {
+      numMerges: Int, minPairCount: Long = 2L): Seq[(String, String)] = {
     var words: Array[(Array[String], Long)] = counts
       .filter(_._1.nonEmpty)
       .map { case (w, n) => (baseSymbols(w), n) }
@@ -74,9 +115,7 @@ object Bpe {
       val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
       for ((syms, n) <- words; i <- 0 until syms.length - 1)
         pairCounts.updateWith((syms(i), syms(i + 1)))(c => Some(c.getOrElse(0L) + n))
-      // a pair seen once buys nothing: merging it cannot shorten any other
-      // word, and the vocabulary would fill with singleton noise
-      val candidates = pairCounts.filter(_._2 >= 2)
+      val candidates = pairCounts.filter(_._2 >= minPairCount)
       if (candidates.isEmpty) continue = false
       else {
         val best = candidates.minBy { case ((a, b), n) => (-n, a, b) }._1

@@ -366,7 +366,8 @@ final class SimSearchService(spark: SparkSession, port: Int,
     *               "budget_select" | "chunk" | "scrub" |
     *               "html_text" | "url_dedup" |
     *               "decontaminate" | "semdedup" | "sample" |
-    *               "minhash_pairs_between" | "domain_cap",
+    *               "minhash_pairs_between" | "domain_cap" |
+    *               "nb_train" | "nb_score",
     *   "input": {"column": "<mounted attribute>"}        // api_key's catalog
     *          | {"path": "/dir", "format": "parquet"|"csv"},
     *   "id": "doc_id", "text": "text",                   // path-input columns
@@ -401,7 +402,13 @@ final class SimSearchService(spark: SparkSession, port: Int,
     * (+ `right_id`/`right_text`, `min_jaccard`) and returns the
     * cross-corpus near-dup pairs (a = input id, b = right id, j);
     * domain_cap `cap` (required) — the text column holds URLs, at most
-    * cap rows per host survive in deterministic hash order. */
+    * cap rows per host survive in deterministic hash order; nb_train
+    * `label_column` (required boolean: true = trusted seed), `model_path`
+    * (required — the model persists there with its sidecar; a server-side
+    * write, so nb_train needs a valid api_key), `max_vocab` (default
+    * 65536) — returns the one-row training summary; nb_score `model_path`
+    * (required) — returns (id, score), or with `min_score` the surviving
+    * input rows (the learned-filter gate). */
   private def handlePipeline(x: HttpExchange): Unit = {
     import org.apache.spark.sql.functions._
     import graft.functions.TextKernels
@@ -413,7 +420,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
       val knownOps = Seq("line_dedup", "exact_groups", "minhash_pairs",
         "dedup_cluster", "text_stats", "budget_select", "chunk", "scrub",
         "html_text", "url_dedup", "decontaminate", "semdedup", "sample",
-        "minhash_pairs_between", "domain_cap")
+        "minhash_pairs_between", "domain_cap", "nb_train", "nb_score")
       if (!knownOps.contains(opName))
         throw new IllegalArgumentException(
           s"unknown operator '$opName' — one of ${knownOps.mkString(", ")}")
@@ -508,6 +515,43 @@ final class SimSearchService(spark: SparkSession, port: Int,
           graft.operators.Sampling.capPerKey(df,
             TextKernels.urlHost(col(textCol)), col(idCol),
             reqParam("cap").asLong())
+        case "nb_train" =>
+          // trains the Naive Bayes quality classifier and PERSISTS it at
+          // params.model_path (the IndexIO sidecar discipline) — a
+          // server-side write, so it sits behind a valid api_key exactly
+          // like the "output" branch below
+          if (!catalogs.containsKey(masterOf(apiKey(x))) &&
+              !adminKey.contains(apiKey(x))) {
+            respond(x, 401,
+              """{"error":"nb_train writes a model; it requires a valid api_key"}""")
+            return
+          }
+          val modelPath = reqParam("model_path").asText()
+          val model = graft.operators.QualityClassifier.train(df,
+            graft.functions.NativeKernels.wordTokens(col(textCol)),
+            col(reqParam("label_column").asText()),
+            params.path("max_vocab").asInt(65536))
+          graft.operators.QualityClassifier.save(spark, model, modelPath)
+          // result frame = the training summary (the weight table itself
+          // lives in the model directory)
+          spark.createDataFrame(Seq(
+            (modelPath, model.prior, model.weights.size.toLong)))
+            .toDF("model_path", "prior", "vocab")
+        case "nb_score" =>
+          // (id, score) per document against a model persisted by nb_train;
+          // optional min_score gates and returns the surviving input rows
+          // instead (the classifier-filter stage of CCNet-style curation)
+          val model = graft.operators.QualityClassifier.load(spark,
+            reqParam("model_path").asText())
+          val scores = graft.operators.QualityClassifier.score(df,
+            col(idCol),
+            graft.functions.NativeKernels.wordTokens(col(textCol)), model)
+          if (params.hasNonNull("min_score"))
+            df.join(
+              scores.where(col("score") >= params.get("min_score").asDouble())
+                .select(col("id").as(idCol)),
+              Seq(idCol), "left_semi")
+          else scores.withColumnRenamed("id", idCol)
         case "minhash_pairs_between" =>
           val right = spark.read.parquet(reqParam("right_path").asText())
           val rightId = params.path("right_id").asText(idCol)

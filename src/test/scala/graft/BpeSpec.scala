@@ -115,4 +115,54 @@ class BpeSpec extends SparkTestBase {
     val capped = Bpe.train(docs, w, 3, maxWords = 2)
     assert(capped == Bpe.trainFromCounts(Seq(("newest", 6L), ("low", 5L)), 3))
   }
+
+  test("save/load round-trips a merge table (rank order, unicode symbols) " +
+    "and the loaded model encodes identically; kind mismatch fails fast") {
+    // unicode words exercise code-point symbols surviving parquet
+    val merges = Bpe.trainFromCounts(
+      counts :+ ("😀na😀na", 4L), 12)
+    assert(merges.nonEmpty)
+    val path = java.nio.file.Files.createTempDirectory("graft-bpe")
+      .toString + "/model"
+    Bpe.save(spark, merges, path)
+    assert(Bpe.load(spark, path) == merges)
+    // encodings through the persisted model are identical to the in-memory
+    // model's, including on words never seen in training
+    val df = Seq((1L, "lowest newest 😀na"), (2L, "widest low"))
+      .toDF("id", "text")
+    val w = graft.functions.TextKernels.wordTokens(col("text"))
+    def enc(m: Seq[(String, String)]) =
+      df.select(col("id"), Bpe.tokens(w, m).as("t"))
+        .as[(Long, Seq[String])].collect().toMap
+    assert(enc(Bpe.load(spark, path)) == enc(merges))
+    // the sidecar records the model shape
+    val meta = graft.operators.IndexIO.readMeta(spark, path).get
+    assert(meta.path("kind").asText() == "bpe")
+    assert(meta.path("merges").asInt() == merges.size)
+    // probing a non-bpe sidecar as a merge table fails fast
+    val wrong = java.nio.file.Files.createTempDirectory("graft-bpe2")
+      .toString + "/notbpe"
+    Seq((1L, 0.5)).toDF("t", "w").write.parquet(wrong)
+    graft.operators.IndexIO.writeMeta(spark, wrong, """{"kind":"lsh"}""")
+    intercept[IllegalArgumentException] { Bpe.load(spark, wrong) }
+    intercept[IllegalArgumentException] {
+      Bpe.load(spark, wrong + "-missing")
+    }
+  }
+
+  test("minPairCount=1 restores Sennrich reference parity: singleton pairs " +
+    "merge; the default 2 stops at them") {
+    // every pair occurs once -> the default learns nothing, parity mode
+    // merges down the singletons deterministically
+    val singles = Seq(("ab", 1L), ("cd", 1L))
+    assert(Bpe.trainFromCounts(singles, 4).isEmpty)
+    val parity = Bpe.trainFromCounts(singles, 4, minPairCount = 1L)
+    // ties at count 1 resolve lexicographically: (a,b) then (ab,</w>) ...
+    assert(parity == Seq(("a", "b"), ("ab", Bpe.EndMark),
+      ("c", "d"), ("cd", Bpe.EndMark)))
+    // the distributed train threads the knob through
+    val df = Seq("ab cd").toDF("text")
+    val w = graft.functions.TextKernels.wordTokens(col("text"))
+    assert(Bpe.train(df, w, 4, minPairCount = 1L) == parity)
+  }
 }

@@ -117,4 +117,49 @@ class IndexToolSpec extends SparkTestBase {
     assert(IndexTool.run(spark, Array("bloom")) == 2)
     assert(IndexTool.run(spark, Array("nonsense", fp)) == 2)
   }
+
+  test("IndexTool: bpe-train/bpe-encode and nb-train/nb-score run the " +
+    "persisted-model lifecycle end to end; missing flags exit 2") {
+    val root = java.nio.file.Files.createTempDirectory("graft-tool4").toString
+    val corpus = Seq(
+      (1L, "low low lower newest newest newest widest", true),
+      (2L, "low low low newest newest newest widest widest", true),
+      (3L, "buy cheap pills now click here buy buy", false),
+      (4L, "click now cheap offer pills here now", false))
+      .toDF("id", "text", "good")
+    corpus.write.parquet(s"$root/corpus")
+
+    // bpe: train persists a model the encode pass reproduces exactly
+    assert(IndexTool.run(spark, Array("bpe-train", s"$root/bpe",
+      "--source", s"$root/corpus", "--merges", "6")) == 0)
+    val merges = graft.operators.Bpe.load(spark, s"$root/bpe")
+    assert(merges.nonEmpty)
+    assert(IndexTool.run(spark, Array("bpe-encode", s"$root/bpe",
+      "--source", s"$root/corpus", "--out", s"$root/enc")) == 0)
+    val enc = spark.read.parquet(s"$root/enc")
+    assert(enc.columns.toSeq == Seq("id", "tokens", "n_tokens"))
+    val expected = corpus.select(col("id"), graft.operators.Bpe.tokenCount(
+        graft.functions.TextKernels.wordTokens(col("text")), merges).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(enc.select("id", "n_tokens").as[(Long, Long)].collect().toMap
+      == expected)
+
+    // nb: train persists; score against the stored model separates classes
+    assert(IndexTool.run(spark, Array("nb-train", s"$root/nb",
+      "--source", s"$root/corpus", "--label", "good")) == 0)
+    assert(IndexTool.run(spark, Array("nb-score", s"$root/nb",
+      "--source", s"$root/corpus", "--out", s"$root/scores")) == 0)
+    val scores = spark.read.parquet(s"$root/scores")
+      .as[(Long, Double)].collect().toMap
+    assert(scores(1L) > scores(3L) && scores(2L) > scores(4L))
+
+    // missing required flags print usage and exit 2, not throw
+    assert(IndexTool.run(spark, Array("bpe-train", s"$root/bpe")) == 2)
+    assert(IndexTool.run(spark, Array("bpe-encode", s"$root/bpe",
+      "--source", s"$root/corpus")) == 2)
+    assert(IndexTool.run(spark, Array("nb-train", s"$root/nb",
+      "--source", s"$root/corpus")) == 2)
+    assert(IndexTool.run(spark, Array("nb-score", s"$root/nb",
+      "--source", s"$root/corpus")) == 2)
+  }
 }

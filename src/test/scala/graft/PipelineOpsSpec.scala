@@ -802,6 +802,58 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("NB classifier: save/load round-trips the model; scoreColumn (the " +
+    "scalar streaming-gate form) matches the join-based score; vocab cap " +
+    "bounds the persisted table when the corpus vocabulary exceeds it") {
+    import graft.operators.QualityClassifier
+    val seeds = Seq(
+      ("clean prose with thoughtful words and careful argument", true),
+      ("another clean document with careful thoughtful writing", true),
+      ("buy cheap pills now click here buy buy", false),
+      ("click now cheap offer pills here now", false))
+      .toDF("text", "good")
+    val tok = TextKernels.wordTokens(col("text"))
+    val model = QualityClassifier.train(seeds, tok, col("good"))
+    val path = java.nio.file.Files.createTempDirectory("graft-nb")
+      .toString + "/model"
+    QualityClassifier.save(spark, model, path)
+    assert(QualityClassifier.load(spark, path) == model)
+    val meta = graft.operators.IndexIO.readMeta(spark, path).get
+    assert(meta.path("kind").asText() == "nb_quality")
+    assert(meta.path("vocab").asInt() == model.weights.size)
+    intercept[IllegalArgumentException] {
+      QualityClassifier.load(spark, path + "-missing")
+    }
+    // scalar scoreColumn == join-based score (same weights; double sums in
+    // different orders, so compare within ulp-scale tolerance)
+    val test = Seq(
+      (1L, "thoughtful careful prose"),
+      (2L, "cheap pills click now cheap"),
+      (3L, "")).toDF("id", "text")
+    val joined = QualityClassifier
+      .score(test, col("id"), TextKernels.wordTokens(col("text")), model)
+      .as[(Long, Double)].collect().toMap
+    val scalar = test.select(col("id"),
+        QualityClassifier.scoreColumn(
+          TextKernels.wordTokens(col("text")), model).as("s"))
+      .as[(Long, Double)].collect().toMap
+    joined.foreach { case (id, s) =>
+      assert(math.abs(scalar(id) - s) < 1e-9, s"id $id: ${scalar(id)} vs $s")
+    }
+    // null text -> null score (nullIntolerant kernel)
+    val nulled = Seq((9L, null: String)).toDF("id", "text")
+      .select(QualityClassifier.scoreColumn(
+        TextKernels.wordTokens(col("text")), model).as("s"))
+      .collect().head
+    assert(nulled.isNullAt(0))
+    // a corpus whose vocabulary (12+ distinct tokens) exceeds maxVocab=3
+    // persists exactly 3 weights — the TakeOrdered cap holds end to end
+    val capped = QualityClassifier.train(seeds, tok, col("good"), maxVocab = 3)
+    QualityClassifier.save(spark, capped, path)
+    assert(spark.read.parquet(path).count() == 3)
+    assert(QualityClassifier.load(spark, path).weights.size == 3)
+  }
+
   // ------------------------------------------------------------------ byRate
 
   test("byRate: per-row acceptance curve, deterministic, clamping at the " +

@@ -432,6 +432,50 @@ class SimSearchServiceSpec extends SparkTestBase {
       assert(c14 == 200, b14) // quality in [0,1): rates < 1% keep nothing
       assert(new ObjectMapper().readTree(b14).size() == 0, b14)
 
+      // nb_train / nb_score: the learned quality filter over the socket —
+      // train persists a model (a server-side write, so keyless is 401),
+      // score runs against the stored model, min_score gates
+      val nbDir = s"$dir/nbseeds"
+      Seq((1L, "clean prose with thoughtful careful argument", true),
+        (2L, "another clean document with careful writing", true),
+        (3L, "buy cheap pills now click here buy buy", false),
+        (4L, "click now cheap offer pills here now", false))
+        .toDF("doc_id", "text", "good")
+        .write.mode("overwrite").parquet(nbDir)
+      val nbTrainBody =
+        s"""{"operator": "nb_train", "input": {"path": "$nbDir"},
+            "id": "doc_id", "text": "text",
+            "params": {"label_column": "good", "model_path": "$dir/nbmodel"}}"""
+      val (cNb0, _) = http("POST", s"$base/pipeline", Some(nbTrainBody))
+      assert(cNb0 == 401)
+      val (cNb1, bNb1) = http("POST", s"$base/pipeline", Some(nbTrainBody),
+        Map("api_key" -> key))
+      assert(cNb1 == 200, bNb1)
+      val nbSummary = new ObjectMapper().readTree(bNb1).get(0)
+      assert(nbSummary.get("vocab").asInt() > 0, bNb1)
+      val scoreDir = s"$dir/nbtest"
+      Seq((10L, "thoughtful careful prose"), (11L, "cheap pills click now"))
+        .toDF("doc_id", "text").write.mode("overwrite").parquet(scoreDir)
+      val (cNb2, bNb2) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "nb_score", "input": {"path": "$scoreDir"},
+            "id": "doc_id", "text": "text",
+            "params": {"model_path": "$dir/nbmodel"}}"""))
+      assert(cNb2 == 200, bNb2)
+      val nbs = new ObjectMapper().readTree(bNb2)
+      val nbScores = (0 until nbs.size()).map(i =>
+        nbs.get(i).get("doc_id").asLong() -> nbs.get(i).get("score").asDouble()).toMap
+      assert(nbScores(10L) > nbScores(11L), bNb2)
+      // min_score returns the surviving INPUT rows (the gate form)
+      val (cNb3, bNb3) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "nb_score", "input": {"path": "$scoreDir"},
+            "id": "doc_id", "text": "text",
+            "params": {"model_path": "$dir/nbmodel", "min_score": 0}}"""))
+      assert(cNb3 == 200, bNb3)
+      val gated = new ObjectMapper().readTree(bNb3)
+      assert(gated.size() == 1 &&
+        gated.get(0).get("doc_id").asLong() == 10L &&
+        gated.get(0).has("text"), bNb3)
+
       // errors stay 400 with a message, not socket faults
       val (c5, b5) = http("POST", s"$base/pipeline",
         Some("""{"operator": "nope", "input": {"path": "/tmp/x"}}"""))

@@ -429,6 +429,59 @@ class StreamOpsSpec extends SparkTestBase {
     assert(contents() == before, "replay changed the index contents")
   }
 
+  test("curationStream with a LEARNED quality gate: scoreColumn over a " +
+    "persisted classifier model is a stateless predicate, so the " +
+    "CCNet-style filter composes with the dedup stages unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.QualityClassifier
+    val tok = graft.functions.TextKernels.wordTokens(col("text"))
+    val seeds = Seq(
+      ("clean prose with thoughtful words and careful argument", true),
+      ("another clean document with careful thoughtful writing", true),
+      ("buy cheap pills now click here buy buy", false),
+      ("click now cheap offer pills here now", false)).toDF("text", "good")
+    val root = java.nio.file.Files.createTempDirectory("graft-curate-nb")
+      .toString
+    // the model travels through its persisted form, as a deployment would
+    QualityClassifier.save(spark,
+      QualityClassifier.train(seeds, tok, col("good")), s"$root/model")
+    val gate =
+      QualityClassifier.scoreColumn(tok,
+        QualityClassifier.load(spark, s"$root/model")) >= 0.0
+    val input = MemoryStream[(Long, String)]
+    val perBatch = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    val q = StreamOps.curationStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$root/idx", 0.8, gate) { (accepted, batchId) =>
+      perBatch(batchId) = accepted.select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+    }
+    // 16 words: 8 carry positive weights, 8 are unseen (weight 0) — the
+    // doc scores positive; the single-word edit in doc 4 leaves a ~0.88
+    // shingle jaccard, the near-dup stage's bread and butter
+    val goodDoc = "thoughtful careful prose argument clean document " +
+      "writing words " + (1 to 8).map(i => s"n$i").mkString(" ")
+    try {
+      // 1 passes the classifier; 2 scores negative (junk-seed words) and
+      // is gated out BEFORE dedup; 3 passes but exact-dups 1
+      input.addData(
+        (1L, goodDoc),
+        (2L, "buy cheap pills click now cheap pills"),
+        (3L, goodDoc))
+      q.processAllAvailable()
+      // next batch: 4 near-dups the ACCEPTED doc 1; 5 is junk
+      input.addData(
+        (4L, goodDoc.replaceAll("n8$", "zzz")),
+        (5L, "cheap offer pills here now click"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(perBatch(0L) == Set(1L), perBatch.toString)
+    assert(perBatch(1L) == Set.empty, perBatch.toString)
+    // only classifier-passing survivors entered the accepted index
+    assert(spark.read.parquet(s"$root/idx/exact").select("id").collect()
+      .map(_.getLong(0)).toSet == Set(1L))
+  }
+
   test("parquetSink: the curation loop is exactly-once END TO END — a " +
     "replayed batch rewrites its own sink partition, and compaction folds " +
     "without changing contents or re-admitting folded batches") {
