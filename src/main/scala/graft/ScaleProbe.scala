@@ -264,6 +264,18 @@ object ScaleProbe {
       val tSemDedup = timeIt {
         SemDedup.dedup(embShift, col("vec_id"), col("v"), semCents, 0.9).count()
       }
+      // the ADVERSARIAL control, now with the auto-split: centroids drawn
+      // from replica 0 only (the k-smallest-ids mistake above) collapse
+      // the other replicas into mega-clusters — dedupSplit must detect
+      // them via the size gauge and re-cluster, keeping this row within
+      // ~2x of the uniform-centroid row instead of the measured 45x
+      val semCentsBad = embShift
+        .orderBy(col("vec_id")).limit(semK)
+        .collect().map(_.getSeq[Double](1).toSeq).toSeq
+      val tSemDedupSplit = timeIt {
+        SemDedup.dedupSplit(embShift, col("vec_id"), col("v"), semCentsBad,
+          0.9).count()
+      }
       embShift.unpersist()
       // round-11 (late): PQ — encode is a narrow per-row kernel (must be
       // linear); the IVF-PQ probe reads nProbe/16 of the stored CODES
@@ -310,7 +322,7 @@ object ScaleProbe {
           .as("n")).agg(sum("n")).count()
       }
       if (mult0 > 0)
-        println(s"""{"mult":$mult,"docs":${docs.count()},"minhash_sec":$tMinhash,"ann_sec":$tAnn,"rankagg_sec":$tRankAgg,"cluster_sec":$tCluster,"pack_sec":$tPack,"tfidf_sec":$tTfidf,"simhash_sec":$tSimhash,"quantize_sec":$tQuantize,"contam_sec":$tContam,"chunk_sec":$tChunk,"repetition_sec":$tRepet,"idx_build_sec":$tIdxBuild,"idx_probe_sec":$tIdxProbe,"band_build_sec":$tBandBuild,"incr_probe_sec":$tIncrProbe,"winnow_sec":$tWinnow,"winnow_spans_sec":$tWinnowSpans,"line_dedup_sec":$tLineDedup,"curation_batch_sec":$tCuration,"budget_select_sec":$tBudget,"budget_select_const_sec":$tBudgetConst,"ivf_build_sec":$tIvfBuild,"recall_probe_sec":$tRecall,"ivf_rebuild_sec":$tRebuild,"exact_join_novel_sec":$tExactJoinNovel,"bloom_build_sec":$tBloomBuild,"exact_bloom_novel_sec":$tExactBloomNovel,"semdedup_sec":$tSemDedup,"pq_encode_sec":$tPqEncode,"pq_build_sec":$tPqBuild,"pq_probe_sec":$tPqProbe,"decontam_sec":$tDecontam,"bpe_train_sec":$tBpeTrain,"bpe_encode_sec":$tBpeEncode}""")
+        println(s"""{"mult":$mult,"docs":${docs.count()},"minhash_sec":$tMinhash,"ann_sec":$tAnn,"rankagg_sec":$tRankAgg,"cluster_sec":$tCluster,"pack_sec":$tPack,"tfidf_sec":$tTfidf,"simhash_sec":$tSimhash,"quantize_sec":$tQuantize,"contam_sec":$tContam,"chunk_sec":$tChunk,"repetition_sec":$tRepet,"idx_build_sec":$tIdxBuild,"idx_probe_sec":$tIdxProbe,"band_build_sec":$tBandBuild,"incr_probe_sec":$tIncrProbe,"winnow_sec":$tWinnow,"winnow_spans_sec":$tWinnowSpans,"line_dedup_sec":$tLineDedup,"curation_batch_sec":$tCuration,"budget_select_sec":$tBudget,"budget_select_const_sec":$tBudgetConst,"ivf_build_sec":$tIvfBuild,"recall_probe_sec":$tRecall,"ivf_rebuild_sec":$tRebuild,"exact_join_novel_sec":$tExactJoinNovel,"bloom_build_sec":$tBloomBuild,"exact_bloom_novel_sec":$tExactBloomNovel,"semdedup_sec":$tSemDedup,"semdedup_split_adversarial_sec":$tSemDedupSplit,"pq_encode_sec":$tPqEncode,"pq_build_sec":$tPqBuild,"pq_probe_sec":$tPqProbe,"decontam_sec":$tDecontam,"bpe_train_sec":$tBpeTrain,"bpe_encode_sec":$tBpeEncode}""")
       docs.unpersist(); emb.unpersist()
     }
     spark.stop()

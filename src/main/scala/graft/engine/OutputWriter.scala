@@ -20,8 +20,13 @@ object OutputWriter {
     * curated training corpus ships in (readers want uniform ~N-GB files;
     * ten thousand 3 MB part files or three 800 GB ones both hurt).
     * One cheap calibration pass estimates bytes/row from a deterministic
-    * sample of rendered row sizes (hash-minimal ids are not needed — the
-    * estimate only sizes files, never changes content), then
+    * sample of rendered row sizes — the leading rows of EVERY partition
+    * (`monotonically_increasing_id`'s in-partition counter, a narrow
+    * filter), not the leading rows of the frame: a corpus sorted or
+    * partitioned by source/length would otherwise feed the estimate one
+    * unrepresentative slice and the shards would miss targetBytes in
+    * either direction. Hash-minimal ids are not needed — the estimate
+    * only sizes files, never changes content. Then
     * `maxRecordsPerFile` bounds every task's output file size while
     * `repartition(ceil(totalBytes / targetBytes))` keeps the file COUNT
     * near the target too (without it, 32 near-empty tasks each open a
@@ -39,10 +44,21 @@ object OutputWriter {
     try {
       // octet_length, not length: characters under-count multibyte text
       // and the estimate must err toward SMALLER files, never larger
-      val sample = pinned.limit(sampleRows)
-        .select(org.apache.spark.sql.functions.octet_length(
+      import org.apache.spark.sql.functions.{col, lit, monotonically_increasing_id}
+      val nPart = math.max(1, pinned.rdd.getNumPartitions)
+      val perPart = math.max(1L, (sampleRows.toLong + nPart - 1) / nPart)
+      // monotonically_increasing_id = (partitionId << 33) | rowInPartition:
+      // masking the low 33 bits takes the first perPart rows of EVERY
+      // partition — one narrow pass, no shuffle, deterministic for a given
+      // partitioning
+      val sample = pinned
+        .withColumn("__row_sz", org.apache.spark.sql.functions.octet_length(
           org.apache.spark.sql.functions.to_json(
-            org.apache.spark.sql.functions.struct("*"))).as("sz"))
+            org.apache.spark.sql.functions.struct(
+              pinned.columns.map(col).toSeq: _*))))
+        .where(monotonically_increasing_id()
+          .bitwiseAND(lit((1L << 33) - 1)) < perPart)
+        .select(col("__row_sz").as("sz"))
         .agg(org.apache.spark.sql.functions.sum("sz"),
           org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.lit(1)))

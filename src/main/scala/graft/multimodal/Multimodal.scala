@@ -33,6 +33,15 @@ object Multimodal {
     *  - JPEG: walk the marker segments from SOI to the first SOFn frame
     *    header (C0-CF minus C4/C8/CC); height/width are big-endian u16 at
     *    segment offsets +5/+7.
+    *  - WebP (RIFF 64428-ish, per the public container spec): `RIFF....WEBP`
+    *    magic, then the first chunk decides the flavor — `VP8 ` (lossy:
+    *    14-bit LE dimensions behind the 9D 01 2A frame sync), `VP8L`
+    *    (lossless: 14-bit-packed width-1/height-1 behind the 2F signature),
+    *    `VP8X` (extended: LE24 canvas width-1/height-1). Web crawls are
+    *    WebP-heavy, so this branch carries real coverage.
+    *  - AVIF (ISO-BMFF, 14496-12 + AV1-AVIF): `ftyp` major brand
+    *    avif/avis, then the box walk meta → iprp → ipco → first `ispe`
+    *    (image spatial extent: BE32 width/height after the FullBox head).
     * Returns None for anything else — truncated streams, other containers —
     * which routes the row to the stub branch instead of throwing: a 100 TB
     * ingest WILL contain corrupt payloads and one must not kill the job. */
@@ -65,6 +74,67 @@ object Multimodal {
         i = j + 1 + len
       }
       None
+    }
+    else if (data.length >= 16 && data(0) == 'R' && data(1) == 'I' &&
+        data(2) == 'F' && data(3) == 'F' && data(8) == 'W' &&
+        data(9) == 'E' && data(10) == 'B' && data(11) == 'P') {
+      def le24(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)
+      new String(data, 12, 4, java.nio.charset.StandardCharsets.US_ASCII) match {
+        // lossy: 3-byte frame tag, 9D 01 2A sync, then 14-bit LE dims
+        case "VP8 " if data.length >= 30 && u8(23) == 0x9d &&
+            u8(24) == 0x01 && u8(25) == 0x2a =>
+          Some((le16(26) & 0x3fff, le16(28) & 0x3fff))
+        // lossless: 2F signature, then width-1 / height-1 as two 14-bit
+        // fields packed little-endian
+        case "VP8L" if data.length >= 25 && u8(20) == 0x2f =>
+          val b = u8(21).toLong | (u8(22).toLong << 8) |
+            (u8(23).toLong << 16) | (u8(24).toLong << 24)
+          Some((((b & 0x3fff) + 1).toInt, (((b >> 14) & 0x3fff) + 1).toInt))
+        // extended: flags + reserved (4 bytes), then LE24 canvas dims - 1
+        case "VP8X" if data.length >= 30 =>
+          Some((le24(24) + 1, le24(27) + 1))
+        case _ => None
+      }
+    }
+    else if (data.length >= 16 && data(4) == 'f' && data(5) == 't' &&
+        data(6) == 'y' && data(7) == 'p' && {
+          val brand = new String(data, 8, 4,
+            java.nio.charset.StandardCharsets.US_ASCII)
+          brand == "avif" || brand == "avis"
+        }) {
+      // ISO-BMFF box walk bounded to the meta -> iprp -> ipco -> ispe path;
+      // sizes read as Long so a hostile 32-bit size cannot wrap negative
+      def findBox(from: Long, until: Long, name: String): Option[(Long, Long)] = {
+        var i = from
+        while (i + 8 <= until) {
+          val sz0 = ((u8(i.toInt).toLong << 24) | (u8(i.toInt + 1) << 16) |
+            (u8(i.toInt + 2) << 8) | u8(i.toInt + 3))
+          val typ = new String(data, i.toInt + 4, 4,
+            java.nio.charset.StandardCharsets.US_ASCII)
+          val (payload, size) =
+            if (sz0 == 1L) {
+              if (i + 16 > until) return None
+              var s = 0L
+              var k = 0
+              while (k < 8) { s = (s << 8) | u8(i.toInt + 8 + k); k += 1 }
+              (i + 16, s)
+            } else if (sz0 == 0L) (i + 8, until - i) // box runs to the end
+            else (i + 8, sz0)
+          if (size < 8 || i + size > until) return None
+          if (typ == name) return Some((payload, i + size))
+          i += size
+        }
+        None
+      }
+      val end = data.length.toLong
+      for {
+        (metaP, metaE) <- findBox(0L, end, "meta")
+        // meta is a FullBox: 4 bytes version/flags before its children
+        (iprpP, iprpE) <- findBox(metaP + 4, metaE, "iprp")
+        (ipcoP, ipcoE) <- findBox(iprpP, iprpE, "ipco")
+        (ispeP, ispeE) <- findBox(ipcoP, ipcoE, "ispe")
+        if ispeP + 12 <= ispeE && ispeP + 12 <= end
+      } yield (be32((ispeP + 4).toInt), be32((ispeP + 8).toInt))
     }
     else None
   }

@@ -19,9 +19,11 @@ import graft.functions.NativeKernels
   * cluster, so k is the knob: pick k ≈ N / targetClusterSize (the paper
   * runs k in the tens of thousands at web scale) and train with
   * [[AnnSearch.kmeans]] on a sample. A mega-cluster (mass of boilerplate
-  * embeddings) is the skew hazard; raising k or pre-splitting that mass
-  * with a finer quantizer bounds it — salting cannot help here, because a
+  * embeddings) is the skew hazard; salting cannot help here, because a
   * within-cluster join salted on both sides would drop cross-salt pairs.
+  * [[clusterSizes]] gauges the hazard; [[pairsSplit]]/[[dedupSplit]]
+  * close it automatically by re-clustering the heavy clusters with a
+  * finer quantizer before the join.
   *
   * Complements [[graft.Queries]]' LSH embedding dedup (`q_dedup_embedding`):
   * LSH banding catches near-identical vectors regardless of global
@@ -66,6 +68,90 @@ object SemDedup {
     Dedup.spread(emb)
       .select(AnnSearch.ivfCluster(vec, centroids).as("cluster"))
       .groupBy("cluster").agg(count(lit(1)).as("n"))
+
+  /** [[pairs]] with mega-cluster AUTO-SPLIT — closing the loop the
+    * [[clusterSizes]] gauge only measures: clusters whose row count
+    * exceeds `splitFactor` times the mean are re-clustered with a finer
+    * k-means ([[AnnSearch.kmeans]] over just that cluster's rows, subK
+    * sized to bring its blocks back to the mean), and the within-cluster
+    * join runs on the composite (cluster, sub) key. The Σ size² term —
+    * the whole cost of SemDeDup — is then bounded by the target block
+    * size even when the quantizer was trained badly (the ScaleProbe
+    * corner-centroid case: one cluster holding most of a 16x corpus made
+    * the join ~45x slower than uniform clustering).
+    *
+    * Semantics: sub-splitting is MORE of the SemDeDup contract, not a
+    * divergence — pairs crossing a sub-block boundary are missed exactly
+    * like pairs crossing a cluster boundary always were; near-identical
+    * embeddings land in the same sub-block for the same reason they land
+    * in the same cluster. On a corpus with no mega-cluster (max size <=
+    * splitFactor x mean) no split triggers and the result equals
+    * [[pairs]] row for row.
+    *
+    * Driver cost: one k-row size aggregate, then one bounded kmeans per
+    * heavy cluster — at most `maxHeavy` of them (the heaviest first; a
+    * quantizer bad enough to produce more than maxHeavy mega-clusters
+    * should be re-trained, not patched). The returned plan recomputes the
+    * assignment kernel once instead of holding a cache pin across the
+    * caller's lifetime. */
+  def pairsSplit(emb: DataFrame, id: Column, vec: Column,
+      centroids: Seq[Seq[Double]], minCos: Double, roundTo: Int = 6,
+      splitFactor: Double = 4.0, maxSub: Int = 64,
+      maxHeavy: Int = 32): DataFrame = {
+    val assigned = Dedup.spread(emb)
+      .select(id.as("id"), vec.as("v"))
+      .withColumn("cluster", AnnSearch.ivfCluster(col("v"), centroids))
+      .persist()
+    val subCents: Seq[(Int, Seq[Seq[Double]])] =
+      try {
+        val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1))
+        val total = sizes.map(_._2).sum
+        val target = math.max(1.0, total.toDouble / math.max(centroids.size, 1))
+        sizes.filter(_._2 > splitFactor * target)
+          .sortBy { case (c, n) => (-n, c) }.take(maxHeavy).toSeq
+          .map { case (c, n) =>
+            val subK = math.min(maxSub, math.max(2, math.ceil(n / target).toInt))
+            c -> AnnSearch.kmeans(assigned.where(col("cluster") === c),
+              "id", col("v"), subK, iters = 5)
+          }
+      } finally assigned.unpersist()
+    // fresh plan: one assignment pass at execution time, no cache pin
+    val base = Dedup.spread(emb)
+      .select(id.as("id"), vec.as("v"))
+      .withColumn("cluster", AnnSearch.ivfCluster(col("v"), centroids))
+    val withSub = base.withColumn("sub",
+      subCents.foldLeft(lit(0)) { case (acc, (c, cents)) =>
+        when(col("cluster") === c, AnnSearch.ivfCluster(col("v"), cents))
+          .otherwise(acc)
+      })
+    val a = withSub.select(col("cluster"), col("sub"),
+      col("id").as("a"), col("v").as("va"))
+    val b = withSub.select(col("cluster"), col("sub"),
+      col("id").as("b"), col("v").as("vb"))
+    val cos = NativeKernels.cosineSim(col("va"), col("vb"))
+    val cosR = if (roundTo >= 0) round(cos, roundTo) else cos
+    a.join(b, Seq("cluster", "sub"))
+      .where(col("a") < col("b"))
+      .withColumn("cos", cosR)
+      .where(col("cos") >= minCos)
+      .select(col("a"), col("b"), col("cluster"), col("cos"))
+  }
+
+  /** [[dedup]] on the auto-split pairs ([[pairsSplit]]) — the variant a
+    * pipeline should reach for when the quantizer's quality is not under
+    * its control. */
+  def dedupSplit(emb: DataFrame, id: Column, vec: Column,
+      centroids: Seq[Seq[Double]], minCos: Double, roundTo: Int = 6,
+      splitFactor: Double = 4.0, maxSub: Int = 64,
+      maxHeavy: Int = 32): DataFrame = {
+    val prs = pairsSplit(emb, id, vec, centroids, minCos, roundTo,
+      splitFactor, maxSub, maxHeavy)
+    val losers = Dedup.clusters(prs, "a", "b")
+      .where(col("n") =!= col("c"))
+      .select(col("n").as("__sem_loser"))
+    emb.join(losers, id === col("__sem_loser"), "left_anti")
+  }
 
   /** The kept rows after semantic dedup: one representative — the MINIMUM
     * id — per connected component of the within-cluster near-duplicate

@@ -39,6 +39,61 @@ object GenMultimodalFixture {
     img
   }
 
+  /** Hand-built WebP headers (the JDK ships no WebP writer): the container
+    * prefix plus the first chunk carrying the dimensions — exactly the
+    * bytes `parseDimensions` walks, padded with seeded "compressed data"
+    * so sizes vary. Flavor per the public WebP container spec. */
+  def makeWebp(flavor: String, w: Int, h: Int, seed: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le24(v: Int): Unit = { le16(v); out.write((v >> 16) & 0xff) }
+    def le32(v: Int): Unit = { le16(v); le16(v >> 16) }
+    val rnd = new scala.util.Random(seed)
+    val tail = Array.ofDim[Byte](20 + seed % 40)
+    rnd.nextBytes(tail)
+    val payload = new ByteArrayOutputStream()
+    flavor match {
+      case "VP8 " => // frame tag (keyframe bits zeroed), sync, 14-bit dims
+        payload.write(Array[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2a))
+        payload.write(Array[Byte]((w & 0xff).toByte, ((w >> 8) & 0x3f).toByte,
+          (h & 0xff).toByte, ((h >> 8) & 0x3f).toByte))
+      case "VP8L" => // 2F signature, then (w-1) | (h-1)<<14 packed LE
+        payload.write(0x2f)
+        val b = (w - 1).toLong | ((h - 1).toLong << 14)
+        payload.write(Array[Byte]((b & 0xff).toByte, ((b >> 8) & 0xff).toByte,
+          ((b >> 16) & 0xff).toByte, ((b >> 24) & 0xff).toByte))
+      case "VP8X" => // flags + reserved, then LE24 canvas dims - 1
+        payload.write(Array[Byte](0, 0, 0, 0))
+        payload.write(Array[Byte](((w - 1) & 0xff).toByte,
+          (((w - 1) >> 8) & 0xff).toByte, (((w - 1) >> 16) & 0xff).toByte,
+          ((h - 1) & 0xff).toByte, (((h - 1) >> 8) & 0xff).toByte,
+          (((h - 1) >> 16) & 0xff).toByte))
+    }
+    payload.write(tail)
+    val chunk = payload.toByteArray
+    ascii("RIFF"); le32(4 + 8 + chunk.length); ascii("WEBP")
+    ascii(flavor); le32(chunk.length); out.write(chunk)
+    out.toByteArray
+  }
+
+  /** Hand-built minimal AVIF: ftyp(avif) + meta→iprp→ipco→ispe carrying
+    * the BE32 dimensions — the ISO-BMFF path `parseDimensions` walks. */
+  def makeAvif(w: Int, h: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def be32(v: Int): Unit = {
+      out.write((v >> 24) & 0xff); out.write((v >> 16) & 0xff)
+      out.write((v >> 8) & 0xff); out.write(v & 0xff)
+    }
+    be32(16); ascii("ftyp"); ascii("avif"); be32(0)   // brand + minor
+    be32(48); ascii("meta"); be32(0)                  // FullBox head
+    be32(36); ascii("iprp")
+    be32(28); ascii("ipco")
+    be32(20); ascii("ispe"); be32(0); be32(w); be32(h)
+    out.toByteArray
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .appName("gen-multimodal-fixture").master("local[4]")
@@ -58,6 +113,19 @@ object GenMultimodalFixture {
           val kind = Seq("png", "jpeg", "gif")(k)
           val img = makeImage(i)
           (i.toLong, kind, encode(img, format), img.getWidth, img.getHeight, 1)
+      }
+    } ++ (60 until 76).map { i =>
+      // WebP (all three flavors) and AVIF rows — dimensions exercise the
+      // 14-bit (lossy/lossless) and 24-bit (VP8X) field widths
+      val w = 1 + (i * 211) % 16000
+      val h = 1 + (i * 137) % 9000
+      i % 4 match {
+        case 0 => (i.toLong, "webp", makeWebp("VP8 ", w, h, i), w, h, 1)
+        case 1 => (i.toLong, "webp", makeWebp("VP8L", w, h, i), w, h, 1)
+        case 2 =>
+          val (cw, ch) = (1 + (i * 4099) % 1000000, 1 + (i * 2039) % 800000)
+          (i.toLong, "webp", makeWebp("VP8X", cw, ch, i), cw, ch, 1)
+        case _ => (i.toLong, "avif", makeAvif(w, h), w, h, 1)
       }
     }
     val out = "fixtures/multimodal_media.parquet"

@@ -63,6 +63,37 @@ class MultimodalSpec extends SparkTestBase {
       Array(0xff, 0xd8, 0x00, 0x01, 0x02, 0x03, 0x04).map(_.toByte)).isEmpty)
   }
 
+  test("parseDimensions: WebP (VP8/VP8L/VP8X) and AVIF containers yield " +
+    "their encoded dimensions; truncation and bad signatures yield None") {
+    // dims exercise the 14-bit (lossy/lossless) and 24-bit (VP8X) widths
+    for ((w, h) <- Seq((1, 1), (333, 77), (16383, 9000))) {
+      for (flavor <- Seq("VP8 ", "VP8L")) {
+        val b = GenMultimodalFixture.makeWebp(flavor, w, h, w + h)
+        assert(Multimodal.parseDimensions(b).contains((w, h)),
+          s"$flavor ${w}x$h: got ${Multimodal.parseDimensions(b)}")
+      }
+      assert(Multimodal.parseDimensions(GenMultimodalFixture.makeAvif(w, h))
+        .contains((w, h)))
+    }
+    for ((w, h) <- Seq((1, 1), (700000, 123456), (16777216, 16777216)))
+      assert(Multimodal.parseDimensions(
+        GenMultimodalFixture.makeWebp("VP8X", w, h, w % 97)).contains((w, h)))
+    // a corrupted VP8 sync code or VP8L signature must not parse
+    val lossy = GenMultimodalFixture.makeWebp("VP8 ", 64, 48, 3)
+    lossy(23) = 0x00
+    assert(Multimodal.parseDimensions(lossy).isEmpty)
+    val lossless = GenMultimodalFixture.makeWebp("VP8L", 64, 48, 3)
+    lossless(20) = 0x00
+    assert(Multimodal.parseDimensions(lossless).isEmpty)
+    // an AVIF whose meta walk never reaches ispe -> None, not a crash
+    val noIspe = GenMultimodalFixture.makeAvif(10, 10).take(40)
+    assert(Multimodal.parseDimensions(noIspe).isEmpty)
+    // a non-avif ISO-BMFF brand stays with the AV parser, not this one
+    val mp4ish = GenMultimodalFixture.makeAvif(10, 10).clone()
+    System.arraycopy("isom".getBytes("US-ASCII"), 0, mp4ish, 8, 4)
+    assert(Multimodal.parseDimensions(mp4ish).isEmpty)
+  }
+
   test("decode routes image containers to the real parser and opaque " +
     "payloads to the stub branch, in one partition-batched pass") {
     val png = encoded(123, 45, "png")
@@ -208,7 +239,11 @@ class MultimodalSpec extends SparkTestBase {
       GenAvFixture.mp3(3, 9, 0, mono = false, 3000),
       GenAvFixture.mp3(2, 5, 1, mono = true, 3000, id3Pad = 77),
       GenAvFixture.flac(44100, 2, 99999L),
-      wav)
+      wav,
+      GenMultimodalFixture.makeWebp("VP8 ", 640, 480, 5),
+      GenMultimodalFixture.makeWebp("VP8L", 640, 480, 5),
+      GenMultimodalFixture.makeWebp("VP8X", 640, 480, 5),
+      GenMultimodalFixture.makeAvif(640, 480))
     // a 100 TB crawl truncates files at arbitrary byte offsets: every
     // prefix must parse to Some or None, never throw
     valid.foreach { f =>

@@ -907,4 +907,45 @@ class PipelineOpsSpec extends SparkTestBase {
       .as[(Int, Long)].collect().toMap
     assert(sizes == Map(0 -> 3L, 1 -> 4L))
   }
+
+  test("semdedup auto-split: a mega-cluster from a badly trained quantizer " +
+    "is re-clustered before the join, exact twins still pair inside their " +
+    "sub-block, and with no mega-cluster pairsSplit equals pairs") {
+    import graft.operators.SemDedup
+    // 100 distinct sign vectors (pairwise cos <= 0.75 < 0.9) + 20 EXACT
+    // twins of the first 20 — identical vectors land in identical
+    // sub-blocks whatever the sub-quantizer learns, so the expected pair
+    // set is deterministic
+    def signVec(i: Int): Seq[Double] =
+      (0 until 8).map(d => if (((i >> d) & 1) == 1) 1.0 else -1.0)
+    val rows = (0 until 100).map(i => (i.toLong, signVec(i))) ++
+      (0 until 20).map(i => ((100 + i).toLong, signVec(i)))
+    val vecs = rows.toDF("vec_id", "v")
+    // adversarial centroids: 0 sits equidistant from every sign vector,
+    // the rest are far outside the data — ALL 120 rows land in cluster 0
+    val badCents = Seq.fill(8)(0.0) +: (1 to 7).map(j =>
+      Seq.fill(8)(100.0 + j))
+    val gauge = SemDedup.clusterSizes(vecs, col("v"), badCents)
+      .as[(Int, Long)].collect().toMap
+    assert(gauge == Map(0 -> 120L), gauge.toString)
+    // 120 > splitFactor(4) x mean(120/8 = 15) -> the split triggers; the
+    // twin pairs still come out exactly, nothing else reaches 0.9
+    val prs = SemDedup
+      .pairsSplit(vecs, col("vec_id"), col("v"), badCents, 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(prs == (0 until 20).map(i => (i.toLong, (100 + i).toLong)).toSet,
+      s"got ${prs.size} pairs")
+    val kept = SemDedup
+      .dedupSplit(vecs, col("vec_id"), col("v"), badCents, 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == (0 until 100).map(_.toLong).toSet)
+    // no mega-cluster (splitFactor raised past any skew): identical to the
+    // unsplit operator row for row
+    val base = SemDedup.pairs(vecs, col("vec_id"), col("v"), badCents, 0.9)
+      .collect().map(_.toSeq).toSet
+    val unsplit = SemDedup.pairsSplit(vecs, col("vec_id"), col("v"),
+        badCents, 0.9, splitFactor = 1000.0)
+      .collect().map(_.toSeq).toSet
+    assert(unsplit == base)
+  }
 }
