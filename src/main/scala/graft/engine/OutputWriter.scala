@@ -42,23 +42,9 @@ object OutputWriter {
     // input rarely fits memory
     val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // octet_length, not length: characters under-count multibyte text
-      // and the estimate must err toward SMALLER files, never larger
-      import org.apache.spark.sql.functions.{col, lit, monotonically_increasing_id}
       val nPart = math.max(1, pinned.rdd.getNumPartitions)
       val perPart = math.max(1L, (sampleRows.toLong + nPart - 1) / nPart)
-      // monotonically_increasing_id = (partitionId << 33) | rowInPartition:
-      // masking the low 33 bits takes the first perPart rows of EVERY
-      // partition — one narrow pass, no shuffle, deterministic for a given
-      // partitioning
-      val sample = pinned
-        .withColumn("__row_sz", org.apache.spark.sql.functions.octet_length(
-          org.apache.spark.sql.functions.to_json(
-            org.apache.spark.sql.functions.struct(
-              pinned.columns.map(col).toSeq: _*))))
-        .where(monotonically_increasing_id()
-          .bitwiseAND(lit((1L << 33) - 1)) < perPart)
-        .select(col("__row_sz").as("sz"))
+      val sample = calibrationFrame(pinned, perPart)
         .agg(org.apache.spark.sql.functions.sum("sz"),
           org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.lit(1)))
@@ -75,6 +61,33 @@ object OutputWriter {
         .option("maxRecordsPerFile", rowsPerFile)
         .parquet(path)
     } finally pinned.unpersist()
+  }
+
+  /** [[writeSharded]]'s calibration sample: the rendered byte size of the
+    * leading `perPart` rows of EVERY partition. ORDER MATTERS here — the
+    * `monotonically_increasing_id` sample predicate is nondeterministic,
+    * so Catalyst will never push it below a projection
+    * (`PushPredicateThroughNonJoin` moves only deterministic conjuncts):
+    * the filter must be applied DIRECTLY on the input, with the
+    * `to_json` render projected ABOVE it, or the "one cheap calibration
+    * pass" JSON-renders the entire corpus before dropping all but
+    * ~sampleRows rows. Package-visible so OutputWriterSpec can pin that
+    * plan shape (Filter strictly below the StructsToJson Project).
+    * `monotonically_increasing_id` = (partitionId << 33) | rowInPartition:
+    * masking the low 33 bits takes the first perPart rows of every
+    * partition — one narrow pass, no shuffle, deterministic for a given
+    * partitioning. octet_length, not length: characters under-count
+    * multibyte text and the estimate must err toward SMALLER files,
+    * never larger. */
+  private[graft] def calibrationFrame(pinned: DataFrame, perPart: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, monotonically_increasing_id}
+    pinned
+      .where(monotonically_increasing_id()
+        .bitwiseAND(lit((1L << 33) - 1)) < perPart)
+      .select(org.apache.spark.sql.functions.octet_length(
+        org.apache.spark.sql.functions.to_json(
+          org.apache.spark.sql.functions.struct(
+            pinned.columns.map(col).toSeq: _*))).as("sz"))
   }
 
   /** S11 (dataset-scale): CSV directory sink with the reference's

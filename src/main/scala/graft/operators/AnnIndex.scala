@@ -312,7 +312,24 @@ object AnnIndex {
         signed.sparkSession.read.parquet(path), excludeBatch)
       .select(col(id).as("b"), col("vec").cast("array<double>").as("vb"),
         col(BucketCol).cast("long").as("__bk"))
-    broadcast(signed).join(idx, Seq("__bk"))
+    // Broadcast the batch ONLY while its optimizer size estimate stays
+    // under the session's broadcast threshold. A streaming micro-batch is
+    // usually tiny and the hint skips a shuffle of the (much larger)
+    // index side — but the hint OVERRIDES autoBroadcastJoinThreshold, so
+    // an unconditional one turns a caller handing a corpus-sized "batch"
+    // (bulk backfill through the incremental path) into a forced
+    // driver-memory-sized broadcast at 100x scale. Over-threshold batches
+    // take the planner's choice (shuffle join, AQE re-plan to broadcast
+    // at runtime if the real size turns out small — the TfIdf vocab-join
+    // rationale).
+    val threshold =
+      signed.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val batch =
+      if (threshold > 0 &&
+          signed.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold)
+        broadcast(signed)
+      else signed
+    batch.join(idx, Seq("__bk"))
       .where(col("a") =!= col("b"))
       .select(col("a"), col("b"),
         round(graft.functions.NativeKernels.cosineSim(col("va"), col("vb")), 6)

@@ -319,6 +319,29 @@ class AnnIndexSpec extends SparkTestBase {
     assert(replay.exists(r => r._1 == 1007L && r._2 == 7L))
   }
 
+  test("nearDupAgainstIndex broadcast gate: a small batch plans as a " +
+    "broadcast join, but a batch whose size estimate exceeds the session " +
+    "threshold is NOT force-broadcast (the planner chooses; a bulk " +
+    "backfill through the incremental path must not OOM the driver)") {
+    val path = java.nio.file.Files.createTempDirectory("graft-bcgate").toString + "/idx"
+    AnnIndex.buildLsh(emb, "vid", col("v"), dim, path)
+    val batch = Seq((1007L, Seq.fill(dim)(0.5))).toDF("vid", "v")
+    def planFor(): String =
+      AnnIndex.incrementalNearDup(batch, "vid", col("v"), path, 0.95)
+        .queryExecution.executedPlan.toString
+    // default 10 MB threshold: the 1-row batch hints broadcast
+    assert(planFor().contains("BroadcastHashJoin"),
+      s"small batch should broadcast:\n${planFor()}")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    // a 1-byte threshold: every size estimate exceeds it, so the gate
+    // withholds the hint and nothing else volunteers a broadcast
+    spark.conf.set(key, "1")
+    try assert(!planFor().contains("BroadcastHashJoin"),
+      s"over-threshold batch must not force a broadcast:\n${planFor()}")
+    finally spark.conf.set(key, prev)
+  }
+
   test("persisted IVF-PQ index: codes only (no vectors), probe == composed " +
     "encode+assign+ADC, pruned partitions, kind-routed append, compact-safe") {
     import graft.operators.Quantize

@@ -96,4 +96,31 @@ class OutputWriterSpec extends SparkTestBase {
     OutputWriter.writeSharded(df.where($"id" < 0), s"$dir/c", targetBytes = 1000)
     assert(spark.read.parquet(s"$dir/c").count() == 0)
   }
+
+  test("writeSharded calibration renders ONLY the sample: the optimized " +
+    "plan keeps the nondeterministic row filter strictly BELOW the " +
+    "to_json projection (the filter cannot push down past it, so the " +
+    "order in the code IS the executed order)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val df = (0 until 1000).map(i => (i.toLong, "x" * 200)).toDF("id", "text")
+      .repartition(4)
+    val cal = OutputWriter.calibrationFrame(df, perPart = 3L)
+    val plan = cal.queryExecution.optimizedPlan
+    // Spark 4 rewrites to_json into Invoke(StructsToJsonEvaluator…) during
+    // optimization — match the expression string, not the class name
+    def hasJson(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.expressions.exists(_.toString.contains("StructsToJson"))
+    // the render exists somewhere in the plan...
+    assert(plan.exists(hasJson), s"expected a StructsToJson render in\n$plan")
+    // ...but never at or below the sampling Filter — i.e. the full-corpus
+    // rows are dropped BEFORE any row is JSON-rendered
+    val filters = plan.collect { case f: Filter => f }
+    assert(filters.nonEmpty, s"expected the sampling Filter in\n$plan")
+    filters.foreach { f =>
+      assert(!f.exists(hasJson),
+        s"to_json must sit ABOVE the sampling filter, found it below in\n$plan")
+    }
+    // and the sample itself is per-partition bounded: 4 partitions x 3
+    assert(cal.count() == 12)
+  }
 }
