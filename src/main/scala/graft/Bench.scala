@@ -210,10 +210,13 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_last":$qsLast,"index_build_sec":$setup,"reps":$reps,"noisy":$noisy,"attempts":$attempts,"rep_failures":$repFails,"loadavg":"$loadavg",$sentSummary,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // the artifact must survive a truncated/noisy log tail: also write the
-    // line to a file (path overridable; target/ is git-ignored)
+    // line to a file. bench/ (TRACKED, unlike target/) so the per-query
+    // numbers land in the repo history — driver-side BENCH artifacts have
+    // truncated the JSON tail every round, which made cross-round
+    // per-query comparison impossible from the repo alone
     try {
       val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/bench.json"))
       if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>

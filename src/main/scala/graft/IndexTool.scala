@@ -194,12 +194,16 @@ object IndexTool {
         }
         import org.apache.spark.sql.functions.col
         val model = graft.operators.QualityClassifier.load(spark, args(1))
+        val idCol = opt(args, "--id").getOrElse("id")
         graft.operators.QualityClassifier.score(
           spark.read.parquet(src),
-          col(opt(args, "--id").getOrElse("id")),
+          col(idCol),
           graft.functions.NativeKernels.wordTokens(
             col(opt(args, "--text").getOrElse("text"))),
           model)
+          // score() names its key 'id'; give the caller back THEIR column
+          // name, as bpe-encode and the service's nb_score branch do
+          .withColumnRenamed("id", idCol)
           .write.mode("overwrite").parquet(out)
         println(s"""{"action":"nb-score","path":"${args(1)}",""" +
           s""""out":"$out"}"""); 0

@@ -2210,6 +2210,47 @@ object Queries {
       |FROM g ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------------------------------
+  // learned quality classifier: multinomial NB trained on the corpus's own
+  // language label (lang='en' as the trusted class), then every document
+  // scored — QualityClassifier.train + score under the same hash gate as
+  // the heuristic signals. Determinism: weights are ln() of exact integer
+  // ratios (Java vs DuckDB ln differ ≤1 ulp; a document sums ≤ ~70 of
+  // them, so round-6 absorbs both that and summation order), and the
+  // maxVocab=16 cap BINDS (31-token vocab) with measured |llr| boundary
+  // gaps ≥ 1.2e-4 at sf0.001/0.01/0.1 — no tie risk at the TakeOrdered
+  // cut; exact count ties inside the cap break on the token in both
+  // engines.
+  // ----------------------------------------------------------------------
+  private val nbQualityQ: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = spread(t(s, dir, "documents"))
+    val w = graft.functions.NativeKernels.wordTokens(col("text"))
+    val model = graft.operators.QualityClassifier.train(
+      docs, w, col("lang") === "en", maxVocab = 16)
+    graft.operators.QualityClassifier
+      .score(docs, col("doc_id"), w, model)
+      .select(col("id").as("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val nbQualitySql =
+    s"""WITH tk AS (SELECT doc_id, lang = 'en' AS l, ${sqlWords("text")} AS w FROM documents),
+       |cls AS (SELECT sum(CASE WHEN l THEN 1 ELSE 0 END)::BIGINT AS np,
+       |               sum(CASE WHEN l THEN 0 ELSE 1 END)::BIGINT AS nn FROM tk),
+       |cnt AS (SELECT t, sum(CASE WHEN l THEN 1 ELSE 0 END)::BIGINT AS cp,
+       |               sum(CASE WHEN l THEN 0 ELSE 1 END)::BIGINT AS cn
+       |        FROM (SELECT l, unnest(w) AS t FROM tk) GROUP BY t),
+       |tot AS (SELECT sum(cp)::BIGINT AS tp, sum(cn)::BIGINT AS tn,
+       |               count(*)::BIGINT AS v FROM cnt),
+       |wt AS (SELECT t, ln((cp + 1.0) / (tp + v)) - ln((cn + 1.0) / (tn + v)) AS llr
+       |       FROM cnt, tot ORDER BY abs(llr) DESC, t LIMIT 16),
+       |ex AS (SELECT doc_id, unnest(w) AS t FROM tk),
+       |sc AS (SELECT ex.doc_id, sum(wt.llr) AS s
+       |       FROM ex LEFT JOIN wt ON ex.t = wt.t GROUP BY ex.doc_id)
+       |SELECT tk.doc_id,
+       |  round((SELECT ln(np::DOUBLE / nn) FROM cls) + coalesce(sc.s, 0.0), 6) AS score
+       |FROM tk LEFT JOIN sc ON tk.doc_id = sc.doc_id ORDER BY tk.doc_id""".stripMargin
+
+  // ----------------------------------------------------------------------
   // repetition-based quality signals (the classic corpus-filter rules:
   // top-bigram occupancy + duplicate-5-gram fraction) — narrow per-row
   // maps, no shuffle; integer-ratio doubles, engine-portable bit-for-bit
@@ -2459,6 +2500,7 @@ object Queries {
     "q_chebyshev_topk" -> chebyshevTopk,
     "q_word2vec"      -> word2vecQ,
     "q_quality"       -> qualityQ,
+    "q_nb_quality"    -> nbQualityQ,
     "q_repetition"    -> repetitionQ,
     "q_chunk"         -> chunkQ,
     "q_sim_join"      -> simJoinQ,
@@ -2537,6 +2579,7 @@ object Queries {
     "q_chebyshev_topk" -> chebyshevTopkSql,
     "q_word2vec"      -> word2vecSql,
     "q_quality"       -> qualitySql,
+    "q_nb_quality"    -> nbQualitySql,
     "q_repetition"    -> repetitionSql,
     "q_chunk"         -> chunkSql,
     "q_sim_join"      -> simJoinSql,

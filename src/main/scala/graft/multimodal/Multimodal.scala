@@ -40,8 +40,12 @@ object Multimodal {
     *    `VP8X` (extended: LE24 canvas width-1/height-1). Web crawls are
     *    WebP-heavy, so this branch carries real coverage.
     *  - AVIF (ISO-BMFF, 14496-12 + AV1-AVIF): `ftyp` major brand
-    *    avif/avis, then the box walk meta → iprp → ipco → first `ispe`
+    *    avif/avis, then the box walk meta → iprp → ipco → `ispe`
     *    (image spatial extent: BE32 width/height after the FullBox head).
+    *    Multi-item files (thumbnail + primary, image sequences) resolve
+    *    the PRIMARY item's ispe through `pitm` → `ipma` property
+    *    associations; single-item files (and malformed association
+    *    tables) fall back to the first ispe in ipco.
     * Returns None for anything else — truncated streams, other containers —
     * which routes the row to the stub branch instead of throwing: a 100 TB
     * ingest WILL contain corrupt payloads and one must not kill the job. */
@@ -126,15 +130,108 @@ object Multimodal {
         }
         None
       }
+      // enumerate the children of a container box IN ORDER — ipma property
+      // indexes are 1-based positions in ipco, so order is the contract
+      def childBoxes(from: Long, until: Long): Seq[(String, Long, Long)] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+        var i = from
+        var ok = true
+        while (ok && i + 8 <= until) {
+          val sz0 = ((u8(i.toInt).toLong << 24) | (u8(i.toInt + 1) << 16) |
+            (u8(i.toInt + 2) << 8) | u8(i.toInt + 3))
+          val typ = new String(data, i.toInt + 4, 4,
+            java.nio.charset.StandardCharsets.US_ASCII)
+          val (payload, size) =
+            if (sz0 == 1L) {
+              if (i + 16 > until) { ok = false; (0L, 0L) }
+              else {
+                var s = 0L; var k = 0
+                while (k < 8) { s = (s << 8) | u8(i.toInt + 8 + k); k += 1 }
+                (i + 16, s)
+              }
+            } else if (sz0 == 0L) (i + 8, until - i)
+            else (i + 8, sz0)
+          if (ok && size >= 8 && i + size <= until) {
+            out += ((typ, payload, i + size)); i += size
+          } else ok = false
+        }
+        out.toSeq
+      }
       val end = data.length.toLong
-      for {
+      (for {
         (metaP, metaE) <- findBox(0L, end, "meta")
         // meta is a FullBox: 4 bytes version/flags before its children
         (iprpP, iprpE) <- findBox(metaP + 4, metaE, "iprp")
         (ipcoP, ipcoE) <- findBox(iprpP, iprpE, "ipco")
-        (ispeP, ispeE) <- findBox(ipcoP, ipcoE, "ispe")
-        if ispeP + 12 <= ispeE && ispeP + 12 <= end
-      } yield (be32((ispeP + 4).toInt), be32((ispeP + 8).toInt))
+      } yield {
+        val props = childBoxes(ipcoP, ipcoE)
+        def ispeDims(p: Long, bE: Long): Option[(Int, Int)] =
+          if (p + 12 <= bE && p + 12 <= end)
+            Some((be32((p + 4).toInt), be32((p + 8).toInt)))
+          else None
+        // PRIMARY-ITEM selection (14496-12 §8.11.4 pitm + HEIF §9.3.2
+        // ipma): a multi-item file (thumbnail + primary, `avis` sequences)
+        // lists one ispe PER item in ipco, and "first ispe" can be the
+        // thumbnail's — resolve pitm's item id through its ipma
+        // associations to the primary item's own ispe instead
+        val pitmId: Option[Long] =
+          findBox(metaP + 4, metaE, "pitm").flatMap { case (p, e) =>
+            if (p + 4 > e) None
+            else if (u8(p.toInt) == 0) // FullBox version 0: u16 item id
+              if (p + 6 <= e) Some(be16((p + 4).toInt).toLong) else None
+            else if (p + 8 <= e) Some(be32((p + 4).toInt) & 0xffffffffL)
+            else None
+          }
+        // the primary item's 1-based ipco property indexes, in file order
+        def assocIdxs(itemId: Long): Option[Seq[Int]] =
+          findBox(iprpP, iprpE, "ipma").flatMap { case (p, e) =>
+            if (p + 8 > e) None
+            else {
+              val ver = u8(p.toInt)
+              val wide = (u8(p.toInt + 3) & 1) != 0 // flags bit 0: 15-bit idx
+              val idWidth = if (ver < 1) 2 else 4
+              val n = be32((p + 4).toInt) & 0xffffffffL
+              var i = p + 8
+              var entry = 0L
+              var found: Option[Seq[Int]] = None
+              var ok = true // truncated entry => bail, fallback path below
+              while (ok && found.isEmpty && entry < n && i < e) {
+                if (i + idWidth + 1 > e) ok = false
+                else {
+                  val id =
+                    if (ver < 1) be16(i.toInt).toLong
+                    else be32(i.toInt) & 0xffffffffL
+                  i += idWidth
+                  val ac = u8(i.toInt); i += 1
+                  val step = if (wide) 2 else 1
+                  if (i + ac.toLong * step > e) ok = false
+                  else {
+                    val idxs = (0 until ac).map { a =>
+                      if (wide) be16((i + a * 2).toInt) & 0x7fff
+                      else u8((i + a).toInt) & 0x7f
+                    }
+                    i += ac.toLong * step
+                    if (id == itemId) found = Some(idxs)
+                    entry += 1
+                  }
+                }
+              }
+              found
+            }
+          }
+        val viaPrimary = for {
+          itemId <- pitmId
+          idxs <- assocIdxs(itemId)
+          (_, p, bE) <- idxs.iterator
+            .flatMap(k => props.lift(k - 1)).find(_._1 == "ispe")
+          d <- ispeDims(p, bE)
+        } yield d
+        // single-item files (no pitm/ipma, or a malformed one): the first
+        // ispe in ipco is the only one — the pre-pitm behavior
+        viaPrimary.orElse(props.collectFirst {
+          case ("ispe", p, bE) => ispeDims(p, bE)
+        }.flatten)
+      }).flatten
     }
     else None
   }

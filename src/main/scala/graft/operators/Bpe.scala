@@ -97,12 +97,13 @@ object Bpe {
     * pair reaches `minPairCount`. Driver-side by design: the table is
     * bounded by the vocabulary, not the corpus.
     *
-    * `minPairCount` defaults to 2 — a DELIBERATE deviation from the
-    * Sennrich/GPT-2 reference loop (which merges down to count 1): a pair
-    * seen once buys nothing at inference and fills the merge table with
-    * singleton noise. Pass `minPairCount = 1` when a merge table must
-    * reproduce an external BPE implementation's merges bit-for-bit on the
-    * corpus tail (merge-table interop with other tokenizer stacks). */
+    * `minPairCount` defaults to 2 — PARITY with Sennrich's subword-nmt
+    * `learn_bpe` (its `--min-frequency` also defaults to 2): a pair seen
+    * once buys nothing at inference and fills the merge table with
+    * singleton noise. Pass `minPairCount = 1` to merge all the way down
+    * the tail when a merge table must reproduce an implementation that
+    * does (merge-table interop with tokenizer stacks that keep
+    * count-1 merges). */
   def trainFromCounts(counts: Seq[(String, Long)],
       numMerges: Int, minPairCount: Long = 2L): Seq[(String, String)] = {
     var words: Array[(Array[String], Long)] = counts

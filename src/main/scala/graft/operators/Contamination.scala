@@ -75,8 +75,14 @@ object Contamination {
     * table — the shape eval sets actually ship in. `evalShingles` is the
     * shingle expression over `eval`'s rows (its id is irrelevant — only
     * the shingle union matters); semantics and plan are [[decontaminate]]
-    * over the tagged union. Eval ids are synthetic and negative, so they
-    * can never collide with (non-negative) corpus ids. */
+    * over the tagged union. Eval rows get synthetic negative ids, but the
+    * separation that MATTERS is the `__ceval` tag, not the id space: a
+    * corpus keyed by a signed hash (xxhash64 ids are negative for half the
+    * hash space) can collide with a synthetic eval id, and that is
+    * harmless — eval rows are selected by tag everywhere
+    * ([[sharedShingleCounts]] filters on it, and the flagged-id set joined
+    * back anti is derived from non-eval rows only), so a collision never
+    * mixes an eval row's shingles into a corpus document or vice versa. */
   def decontaminateAgainst(docs: DataFrame, id: Column, shingles: Column,
       eval: DataFrame, evalShingles: Column, minRatio: Double): DataFrame = {
     val tagged = docs.select(id.as("__cid"), shingles.as("__csh"),

@@ -115,10 +115,16 @@ object QualityClassifier {
     * the faster batch path when the scores feed a filter rather than a
     * table. Sums left-to-right in token order, where [[score]] sums in
     * partition order — same weights, possibly a last-ulp difference in the
-    * double total; gate thresholds don't care. */
+    * double total; gate thresholds don't care. A NULL token array scores
+    * the bare prior (coalesced around the null-intolerant kernel), the
+    * same contract as [[score]]'s explode_outer path — without it a
+    * `scoreColumn >= t` gate would silently DROP null-text documents that
+    * score's scoring table admits. */
   def scoreColumn(tokens: Column, model: NbModel): Column =
-    GraftColumnBridge.column(
-      NbScoreExpr(GraftColumnBridge.expression(tokens), model))
+    coalesce(
+      GraftColumnBridge.column(
+        NbScoreExpr(GraftColumnBridge.expression(tokens), model)),
+      lit(model.prior))
 
   private[graft] case class NbScoreExpr(child: Expression, model: NbModel)
       extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {

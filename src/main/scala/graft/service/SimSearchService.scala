@@ -367,7 +367,8 @@ final class SimSearchService(spark: SparkSession, port: Int,
     *               "html_text" | "url_dedup" |
     *               "decontaminate" | "semdedup" | "sample" |
     *               "minhash_pairs_between" | "domain_cap" |
-    *               "nb_train" | "nb_score",
+    *               "nb_train" | "nb_score" |
+    *               "bpe_encode" | "bpe_token_count",
     *   "input": {"column": "<mounted attribute>"}        // api_key's catalog
     *          | {"path": "/dir", "format": "parquet"|"csv"},
     *   "id": "doc_id", "text": "text",                   // path-input columns
@@ -408,7 +409,12 @@ final class SimSearchService(spark: SparkSession, port: Int,
     * write, so nb_train needs a valid api_key), `max_vocab` (default
     * 65536) — returns the one-row training summary; nb_score `model_path`
     * (required) — returns (id, score), or with `min_score` the surviving
-    * input rows (the learned-filter gate). */
+    * input rows (the learned-filter gate); semdedup also accepts `split`
+    * (default false) to route through the mega-cluster auto-split variant;
+    * bpe_encode / bpe_token_count `model_path` (required — a merge table
+    * persisted by IndexTool bpe-train) — (id, tokens, n_tokens) /
+    * (id, n_tokens) against the persisted model, the REST twins of the
+    * bpe-encode CLI subcommand. */
   private def handlePipeline(x: HttpExchange): Unit = {
     import org.apache.spark.sql.functions._
     import graft.functions.TextKernels
@@ -420,7 +426,8 @@ final class SimSearchService(spark: SparkSession, port: Int,
       val knownOps = Seq("line_dedup", "exact_groups", "minhash_pairs",
         "dedup_cluster", "text_stats", "budget_select", "chunk", "scrub",
         "html_text", "url_dedup", "decontaminate", "semdedup", "sample",
-        "minhash_pairs_between", "domain_cap", "nb_train", "nb_score")
+        "minhash_pairs_between", "domain_cap", "nb_train", "nb_score",
+        "bpe_encode", "bpe_token_count")
       if (!knownOps.contains(opName))
         throw new IllegalArgumentException(
           s"unknown operator '$opName' — one of ${knownOps.mkString(", ")}")
@@ -568,9 +575,37 @@ final class SimSearchService(spark: SparkSession, port: Int,
           val cents = graft.operators.AnnSearch.kmeans(projected, idCol,
             col(vecCol), params.path("clusters").asInt(16),
             params.path("iters").asInt(5))
-          graft.operators.SemDedup.dedup(projected, col(idCol), col(vecCol),
-              cents, params.path("min_cos").asDouble(0.9))
-            .drop(vecCol) // kept rows; the vector payload has no place in JSON
+          val minCos = params.path("min_cos").asDouble(0.9)
+          // split=true routes through the mega-cluster auto-split variant
+          // (dedupSplit): identical result on well-balanced clusters,
+          // bounded per-block pair work when the request-trained quantizer
+          // lands a dominant cluster
+          val kept =
+            if (params.path("split").asBoolean(false))
+              graft.operators.SemDedup.dedupSplit(projected, col(idCol),
+                col(vecCol), cents, minCos)
+            else graft.operators.SemDedup.dedup(projected, col(idCol),
+              col(vecCol), cents, minCos)
+          kept.drop(vecCol) // kept rows; the vector payload has no place in JSON
+        case "bpe_encode" =>
+          // encode against a merge table persisted by IndexTool bpe-train
+          // (model_path discipline shared with nb_score): (id, tokens,
+          // n_tokens) — the REST twin of the bpe-encode CLI subcommand
+          val merges = graft.operators.Bpe.load(spark,
+            reqParam("model_path").asText())
+          val w = graft.functions.NativeKernels.wordTokens(col(textCol))
+          df.select(col(idCol),
+            graft.operators.Bpe.tokens(w, merges).as("tokens"),
+            graft.operators.Bpe.tokenCount(w, merges).as("n_tokens"))
+        case "bpe_token_count" =>
+          // count-only twin: the token-budget signal without shipping the
+          // token arrays back over the wire
+          val merges = graft.operators.Bpe.load(spark,
+            reqParam("model_path").asText())
+          df.select(col(idCol),
+            graft.operators.Bpe.tokenCount(
+              graft.functions.NativeKernels.wordTokens(col(textCol)),
+              merges).as("n_tokens"))
         case "sample" =>
           // constant pct, per-group rates (rates = {"group": pct}), or a
           // per-row rate column — the three samplers behind one op

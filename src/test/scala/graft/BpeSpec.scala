@@ -150,10 +150,11 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
-  test("minPairCount=1 restores Sennrich reference parity: singleton pairs " +
-    "merge; the default 2 stops at them") {
-    // every pair occurs once -> the default learns nothing, parity mode
-    // merges down the singletons deterministically
+  test("minPairCount threads through: 1 merges singleton pairs down the " +
+    "tail; the default 2 (subword-nmt --min-frequency parity) stops at them") {
+    // every pair occurs once -> the default (= Sennrich's learn_bpe
+    // default) learns nothing; minPairCount=1 merges the singletons
+    // deterministically
     val singles = Seq(("ab", 1L), ("cd", 1L))
     assert(Bpe.trainFromCounts(singles, 4).isEmpty)
     val parity = Bpe.trainFromCounts(singles, 4, minPairCount = 1L)

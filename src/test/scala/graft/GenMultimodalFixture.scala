@@ -94,6 +94,60 @@ object GenMultimodalFixture {
     out.toByteArray
   }
 
+  /** Multi-item AVIF (thumbnail item 1 + primary item 2): ipco carries TWO
+    * ispe properties with the THUMBNAIL'S FIRST, `pitm` names item 2 and
+    * `ipma` associates item 1 → property 1, item 2 → property 2 — a parser
+    * that grabs the first ispe reports the thumbnail's dimensions; the
+    * correct walk resolves pitm through ipma. `pitmV1` exercises the
+    * 32-bit item-id layout, `wideIdx` the flags-bit-0 15-bit property
+    * indexes, `brand` the avif/avis (sequence) major brands. */
+  def makeAvifMulti(tw: Int, th: Int, w: Int, h: Int,
+      pitmV1: Boolean = false, wideIdx: Boolean = false,
+      brand: String = "avif"): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def be32(v: Int): Unit = { be16(v >>> 16); be16(v) }
+    be32(16); ascii("ftyp"); ascii(brand); be32(0)
+    val pitmSz = if (pitmV1) 16 else 14
+    val ipmaSz = 16 + (if (wideIdx) 10 else 8) // head+count + 2 entries
+    val ipcoSz = 8 + 20 + 20
+    val iprpSz = 8 + ipcoSz + ipmaSz
+    be32(12 + pitmSz + iprpSz); ascii("meta"); be32(0)
+    be32(pitmSz); ascii("pitm")
+    if (pitmV1) { out.write(1); out.write(0); out.write(0); out.write(0); be32(2) }
+    else { be32(0); be16(2) }
+    be32(iprpSz); ascii("iprp")
+    be32(ipcoSz); ascii("ipco")
+    be32(20); ascii("ispe"); be32(0); be32(tw); be32(th) // prop 1: thumbnail
+    be32(20); ascii("ispe"); be32(0); be32(w); be32(h)   // prop 2: primary
+    be32(ipmaSz); ascii("ipma")
+    out.write(0); out.write(0); out.write(0); out.write(if (wideIdx) 1 else 0)
+    be32(2)
+    be16(1); out.write(1); if (wideIdx) be16(1) else out.write(1)
+    be16(2); out.write(1); if (wideIdx) be16(2) else out.write(2)
+    out.toByteArray
+  }
+
+  /** Animated WebP: VP8X with the animation flag (0x02) set and an ANIM
+    * chunk (background color + loop count) after it — the canvas
+    * dimensions still come from the VP8X header, which is exactly what
+    * the parser reads. */
+  def makeWebpAnim(w: Int, h: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le24(v: Int): Unit = { le16(v); out.write((v >> 16) & 0xff) }
+    def le32(v: Int): Unit = { le16(v); le16(v >> 16) }
+    ascii("RIFF"); le32(4 + 8 + 10 + 8 + 6); ascii("WEBP")
+    ascii("VP8X"); le32(10)
+    out.write(0x02); out.write(0); out.write(0); out.write(0) // ANIM flag
+    le24(w - 1); le24(h - 1)
+    ascii("ANIM"); le32(6)
+    le32(0xffffffff); le16(0) // white background, loop forever
+    out.toByteArray
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .appName("gen-multimodal-fixture").master("local[4]")
@@ -127,6 +181,18 @@ object GenMultimodalFixture {
           (i.toLong, "webp", makeWebp("VP8X", cw, ch, i), cw, ch, 1)
         case _ => (i.toLong, "avif", makeAvif(w, h), w, h, 1)
       }
+    } ++ {
+      // multi-item AVIF (thumbnail ispe FIRST in ipco; truth = the PRIMARY
+      // item's dimensions, resolved via pitm -> ipma) across the pitm v0/v1
+      // and narrow/wide-index layouts + the avis sequence brand, and an
+      // animated WebP whose canvas comes from the VP8X header
+      Seq(
+        (76L, "avif", makeAvifMulti(160, 90, 3840, 2160), 3840, 2160, 1),
+        (77L, "avif", makeAvifMulti(320, 240, 7680, 4320,
+          pitmV1 = true, wideIdx = true), 7680, 4320, 1),
+        (78L, "webp", makeWebpAnim(1920, 1080), 1920, 1080, 1),
+        (79L, "avif", makeAvifMulti(64, 64, 1024, 768,
+          brand = "avis"), 1024, 768, 1))
     }
     val out = "fixtures/multimodal_media.parquet"
     rows.toDF("media_id", "kind", "data", "width", "height", "n_frames")

@@ -94,6 +94,34 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.parseDimensions(mp4ish).isEmpty)
   }
 
+  test("parseDimensions: multi-item AVIF resolves the PRIMARY item's ispe " +
+    "via pitm -> ipma (not the thumbnail's, which sits first in ipco), " +
+    "across pitm v0/v1, narrow/wide property indexes, and the avis brand; " +
+    "a malformed ipma falls back to the first ispe") {
+    // thumbnail 160x90 is ipco property 1; primary 3840x2160 is property 2
+    val multi = GenMultimodalFixture.makeAvifMulti(160, 90, 3840, 2160)
+    assert(Multimodal.parseDimensions(multi).contains((3840, 2160)),
+      s"got ${Multimodal.parseDimensions(multi)}")
+    assert(Multimodal.parseDimensions(GenMultimodalFixture.makeAvifMulti(
+      320, 240, 7680, 4320, pitmV1 = true, wideIdx = true))
+      .contains((7680, 4320)))
+    assert(Multimodal.parseDimensions(GenMultimodalFixture.makeAvifMulti(
+      64, 64, 1024, 768, brand = "avis")).contains((1024, 768)))
+    // zero out ipma's entry count: association lookup fails, and the walk
+    // degrades to the single-item behavior (first ispe = the thumbnail)
+    // instead of None — a parse beats a stub for a merely-odd file
+    val broken = GenMultimodalFixture.makeAvifMulti(160, 90, 3840, 2160)
+    val ipmaAt = {
+      val s = new String(broken, java.nio.charset.StandardCharsets.ISO_8859_1)
+      s.indexOf("ipma")
+    }
+    java.util.Arrays.fill(broken, ipmaAt + 8, ipmaAt + 12, 0.toByte)
+    assert(Multimodal.parseDimensions(broken).contains((160, 90)))
+    // animated WebP: the VP8X canvas, ANIM flag and chunk notwithstanding
+    assert(Multimodal.parseDimensions(
+      GenMultimodalFixture.makeWebpAnim(1920, 1080)).contains((1920, 1080)))
+  }
+
   test("decode routes image containers to the real parser and opaque " +
     "payloads to the stub branch, in one partition-batched pass") {
     val png = encoded(123, 45, "png")

@@ -751,7 +751,8 @@ class PipelineOpsSpec extends SparkTestBase {
   }
 
   test("decontaminateAgainst: a separate benchmark table drives the same " +
-    "removal; corpus ids never collide with the synthetic eval ids") {
+    "removal; NEGATIVE corpus ids (signed-hash keyed corpora) colliding " +
+    "with the synthetic eval id space stay separated by the eval tag") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog today"), // near-copy
       (1L, "completely different words about spark engines here"))
@@ -765,6 +766,18 @@ class PipelineOpsSpec extends SparkTestBase {
     // doc 0 (id 0 — would collide with a naive 0-based eval id scheme) is
     // flagged; doc 1 survives with its original columns
     assert(kept.select("id").as[Long].collect().toSeq == Seq(1L))
+    // a corpus keyed by a SIGNED hash: id -1 is exactly the first synthetic
+    // eval id ((-monotonically_increasing_id() - 1) starts at -1), and id
+    // -2 the second. The colliding clean doc must survive (the eval row's
+    // shingles are NOT attributed to it), the colliding near-copy must
+    // still be flagged — the __ceval tag, not the id space, separates them.
+    val negDocs = Seq(
+      (-1L, "completely different words about spark engines here"),
+      (-2L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("id", "text")
+    val negKept = graft.operators.Contamination
+      .decontaminateAgainst(negDocs, col("id"), sh, eval, esh, 0.7)
+    assert(negKept.select("id").as[Long].collect().toSeq == Seq(-1L))
   }
 
   // ------------------------------------------------------- quality classifier
@@ -840,12 +853,15 @@ class PipelineOpsSpec extends SparkTestBase {
     joined.foreach { case (id, s) =>
       assert(math.abs(scalar(id) - s) < 1e-9, s"id $id: ${scalar(id)} vs $s")
     }
-    // null text -> null score (nullIntolerant kernel)
+    // null text -> the bare prior, matching score()'s explode_outer
+    // contract (a scoreColumn >= t gate must not silently drop null-text
+    // documents the scoring table admits)
     val nulled = Seq((9L, null: String)).toDF("id", "text")
       .select(QualityClassifier.scoreColumn(
         TextKernels.wordTokens(col("text")), model).as("s"))
       .collect().head
-    assert(nulled.isNullAt(0))
+    assert(!nulled.isNullAt(0) && nulled.getDouble(0) == model.prior,
+      s"null tokens must score the prior, got $nulled")
     // a corpus whose vocabulary (12+ distinct tokens) exceeds maxVocab=3
     // persists exactly 3 weights — the TakeOrdered cap holds end to end
     val capped = QualityClassifier.train(seeds, tok, col("good"), maxVocab = 3)

@@ -386,6 +386,16 @@ class SimSearchServiceSpec extends SparkTestBase {
       val semIds = (0 until sem.size()).map(i => sem.get(i).get("doc_id").asLong()).toSet
       assert(semIds == Set(1L, 3L), b12)
       assert(!sem.get(0).has("embedding"), b12)
+      // split=true routes through the auto-split variant — same kept set
+      // on a corpus with no mega-cluster
+      val (c12s, b12s) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "semdedup",
+            "input": {"path": "$semDir"}, "id": "doc_id",
+            "params": {"clusters": 2, "min_cos": 0.95, "split": true}}"""))
+      assert(c12s == 200, b12s)
+      val semS = new ObjectMapper().readTree(b12s)
+      assert((0 until semS.size()).map(i =>
+        semS.get(i).get("doc_id").asLong()).toSet == Set(1L, 3L), b12s)
 
       // two-table ops: the benchmark ships as its own parquet
       val evalDir = s"$dir/eval"
@@ -475,6 +485,44 @@ class SimSearchServiceSpec extends SparkTestBase {
       assert(gated.size() == 1 &&
         gated.get(0).get("doc_id").asLong() == 10L &&
         gated.get(0).has("text"), bNb3)
+
+      // bpe_encode / bpe_token_count: the persisted-merge-table token
+      // surface over the socket — same model_path discipline as nb_score
+      val bpeModel = s"$dir/bpemodel"
+      locally {
+        import org.apache.spark.sql.functions.col
+        val corpus = Seq("low low low low low lower lower newest newest " +
+          "newest newest newest newest widest widest widest").toDF("text")
+        val merges = graft.operators.Bpe.train(corpus,
+          graft.functions.TextKernels.wordTokens(col("text")), 8)
+        graft.operators.Bpe.save(spark, merges, bpeModel)
+      }
+      val (cBp1, bBp1) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "bpe_encode", "input": {"path": "$scoreDir"},
+            "id": "doc_id", "text": "text",
+            "params": {"model_path": "$bpeModel"}}"""))
+      assert(cBp1 == 200, bBp1)
+      val bp = new ObjectMapper().readTree(bBp1)
+      assert(bp.size() == 2, bBp1)
+      assert((0 until bp.size()).forall(i => bp.get(i).get("tokens").isArray &&
+        bp.get(i).get("n_tokens").asInt() ==  bp.get(i).get("tokens").size()), bBp1)
+      val (cBp2, bBp2) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "bpe_token_count", "input": {"path": "$scoreDir"},
+            "id": "doc_id", "text": "text",
+            "params": {"model_path": "$bpeModel"}}"""))
+      assert(cBp2 == 200, bBp2)
+      val bpc = new ObjectMapper().readTree(bBp2)
+      assert(bpc.size() == 2 && (0 until bpc.size()).forall { i =>
+        val row = bp.get(i)
+        (0 until bpc.size()).exists(j =>
+          bpc.get(j).get("doc_id").asLong() == row.get("doc_id").asLong() &&
+          bpc.get(j).get("n_tokens").asInt() == row.get("n_tokens").asInt())
+      }, bBp2)
+      // a missing model path is a 400, not a socket fault
+      val (cBp3, bBp3) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "bpe_encode", "input": {"path": "$scoreDir"},
+            "id": "doc_id", "text": "text", "params": {}}"""))
+      assert(cBp3 == 400 && bBp3.contains("model_path"), bBp3)
 
       // errors stay 400 with a message, not socket faults
       val (c5, b5) = http("POST", s"$base/pipeline",
