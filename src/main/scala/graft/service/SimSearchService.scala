@@ -368,7 +368,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
     *               "decontaminate" | "semdedup" | "sample" |
     *               "minhash_pairs_between" | "domain_cap" |
     *               "nb_train" | "nb_score" |
-    *               "bpe_encode" | "bpe_token_count",
+    *               "bpe_train" | "bpe_encode" | "bpe_token_count",
     *   "input": {"column": "<mounted attribute>"}        // api_key's catalog
     *          | {"path": "/dir", "format": "parquet"|"csv"},
     *   "id": "doc_id", "text": "text",                   // path-input columns
@@ -411,10 +411,16 @@ final class SimSearchService(spark: SparkSession, port: Int,
     * (required) — returns (id, score), or with `min_score` the surviving
     * input rows (the learned-filter gate); semdedup also accepts `split`
     * (default false) to route through the mega-cluster auto-split variant;
-    * bpe_encode / bpe_token_count `model_path` (required — a merge table
-    * persisted by IndexTool bpe-train) — (id, tokens, n_tokens) /
+    * bpe_train `num_merges` (required), `model_path` (required —
+    * api-key-gated server-side write like nb_train), `max_words`,
+    * `min_pair_count` — returns the one-row training summary; bpe_encode /
+    * bpe_token_count `model_path` (required — a merge table persisted by
+    * bpe_train or IndexTool bpe-train) — (id, tokens, n_tokens) /
     * (id, n_tokens) against the persisted model, the REST twins of the
-    * bpe-encode CLI subcommand. */
+    * bpe-encode CLI subcommand. The `output` block also accepts
+    * `target_bytes` (parquet only) to route through the calibrated
+    * sharded writer — uniform ~N-byte files instead of task-shaped
+    * parts. */
   private def handlePipeline(x: HttpExchange): Unit = {
     import org.apache.spark.sql.functions._
     import graft.functions.TextKernels
@@ -427,7 +433,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
         "dedup_cluster", "text_stats", "budget_select", "chunk", "scrub",
         "html_text", "url_dedup", "decontaminate", "semdedup", "sample",
         "minhash_pairs_between", "domain_cap", "nb_train", "nb_score",
-        "bpe_encode", "bpe_token_count")
+        "bpe_train", "bpe_encode", "bpe_token_count")
       if (!knownOps.contains(opName))
         throw new IllegalArgumentException(
           s"unknown operator '$opName' — one of ${knownOps.mkString(", ")}")
@@ -587,6 +593,24 @@ final class SimSearchService(spark: SparkSession, port: Int,
             else graft.operators.SemDedup.dedup(projected, col(idCol),
               col(vecCol), cents, minCos)
           kept.drop(vecCol) // kept rows; the vector payload has no place in JSON
+        case "bpe_train" =>
+          // trains a BPE merge table and PERSISTS it at params.model_path —
+          // a server-side write, gated like nb_train
+          if (!catalogs.containsKey(masterOf(apiKey(x))) &&
+              !adminKey.contains(apiKey(x))) {
+            respond(x, 401,
+              """{"error":"bpe_train writes a model; it requires a valid api_key"}""")
+            return
+          }
+          val modelPath = reqParam("model_path").asText()
+          val merges = graft.operators.Bpe.train(df,
+            graft.functions.NativeKernels.wordTokens(col(textCol)),
+            reqParam("num_merges").asInt(),
+            params.path("max_words").asInt(1000000),
+            params.path("min_pair_count").asLong(2L))
+          graft.operators.Bpe.save(spark, merges, modelPath)
+          spark.createDataFrame(Seq((modelPath, merges.size.toLong)))
+            .toDF("model_path", "merges")
         case "bpe_encode" =>
           // encode against a merge table persisted by IndexTool bpe-train
           // (model_path discipline shared with nb_score): (id, tokens,
@@ -637,11 +661,20 @@ final class SimSearchService(spark: SparkSession, port: Int,
           }
           val p = out.path("path").asText("")
           require(p.nonEmpty, """"output" needs "path"""")
-          val w = result.write.mode("overwrite")
-          out.path("format").asText("parquet") match {
-            case "csv" => w.option("header", "true").csv(p)
-            case "json" => w.json(p)
-            case _ => w.parquet(p)
+          // target_bytes routes the parquet sink through the calibrated
+          // sharded writer (uniform ~N-byte files — the shape a curated
+          // training corpus ships in) instead of task-shaped part files
+          if (out.hasNonNull("target_bytes") &&
+              out.path("format").asText("parquet") == "parquet")
+            graft.engine.OutputWriter.writeSharded(result, p,
+              out.get("target_bytes").asLong())
+          else {
+            val w = result.write.mode("overwrite")
+            out.path("format").asText("parquet") match {
+              case "csv" => w.option("header", "true").csv(p)
+              case "json" => w.json(p)
+              case _ => w.parquet(p)
+            }
           }
           val n = spark.read.format(out.path("format").asText("parquet") match {
             case "csv" => "csv"; case "json" => "json"; case _ => "parquet"

@@ -486,17 +486,26 @@ class SimSearchServiceSpec extends SparkTestBase {
         gated.get(0).get("doc_id").asLong() == 10L &&
         gated.get(0).has("text"), bNb3)
 
-      // bpe_encode / bpe_token_count: the persisted-merge-table token
-      // surface over the socket — same model_path discipline as nb_score
+      // bpe_train / bpe_encode / bpe_token_count: the full BPE lifecycle
+      // over the socket — train is an api-key-gated server-side write
+      // (like nb_train), encode/count share nb_score's model_path
+      // discipline
       val bpeModel = s"$dir/bpemodel"
-      locally {
-        import org.apache.spark.sql.functions.col
-        val corpus = Seq("low low low low low lower lower newest newest " +
-          "newest newest newest newest widest widest widest").toDF("text")
-        val merges = graft.operators.Bpe.train(corpus,
-          graft.functions.TextKernels.wordTokens(col("text")), 8)
-        graft.operators.Bpe.save(spark, merges, bpeModel)
-      }
+      val bpeCorpus = s"$dir/bpecorpus"
+      Seq((1L, "low low low low low lower lower newest newest " +
+        "newest newest newest newest widest widest widest"))
+        .toDF("doc_id", "text").write.mode("overwrite").parquet(bpeCorpus)
+      val bpeTrainBody =
+        s"""{"operator": "bpe_train", "input": {"path": "$bpeCorpus"},
+            "id": "doc_id", "text": "text",
+            "params": {"num_merges": 8, "model_path": "$bpeModel"}}"""
+      val (cBp0, _) = http("POST", s"$base/pipeline", Some(bpeTrainBody))
+      assert(cBp0 == 401) // keyless model write refused
+      val (cBpT, bBpT) = http("POST", s"$base/pipeline", Some(bpeTrainBody),
+        Map("api_key" -> key))
+      assert(cBpT == 200, bBpT)
+      assert(new ObjectMapper().readTree(bBpT).get(0)
+        .get("merges").asInt() > 0, bBpT)
       val (cBp1, bBp1) = http("POST", s"$base/pipeline", Some(
         s"""{"operator": "bpe_encode", "input": {"path": "$scoreDir"},
             "id": "doc_id", "text": "text",
@@ -523,6 +532,19 @@ class SimSearchServiceSpec extends SparkTestBase {
         s"""{"operator": "bpe_encode", "input": {"path": "$scoreDir"},
             "id": "doc_id", "text": "text", "params": {}}"""))
       assert(cBp3 == 400 && bBp3.contains("model_path"), bBp3)
+
+      // output.target_bytes routes the server-side parquet write through
+      // the calibrated sharded sink — contents equal, and the directory
+      // holds real parquet shards
+      val (cSh, bSh) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "bpe_token_count", "input": {"path": "$scoreDir"},
+            "id": "doc_id", "text": "text",
+            "params": {"model_path": "$bpeModel"},
+            "output": {"path": "$dir/sharded", "format": "parquet",
+                       "target_bytes": 1048576}}"""),
+        Map("api_key" -> key))
+      assert(cSh == 200 && bSh.contains("\"rows\":2"), bSh)
+      assert(spark.read.parquet(s"$dir/sharded").count() == 2)
 
       // errors stay 400 with a message, not socket faults
       val (c5, b5) = http("POST", s"$base/pipeline",
