@@ -158,6 +158,13 @@ private[graft] object IndexIO {
     require(f.rename(new org.apache.hadoop.fs.Path(tmp), p),
       s"could not move $tmp into place (old index preserved at $old)")
     f.delete(old, true)
+    // The swap happened UNDERNEATH Spark's shared FileStatusCache: a
+    // same-session reader (a racing probe, or simply the NEXT compact's
+    // own spark.read) can otherwise be served the pre-swap leaf-file list
+    // and fail mid-job with FILE_NOT_EXIST on the deleted files. Probes
+    // carry [[retryStale]] for the cross-session case; invalidating here
+    // makes the in-session case deterministic instead of retry-lucky.
+    spark.catalog.refreshByPath(path)
   }
 
   /** Repair a [[swapDirs]] interrupted between its two renames. Without
@@ -193,6 +200,8 @@ private[graft] object IndexIO {
         f.delete(old, true)
       } else require(f.rename(old, p),
         s"swap recovery: could not restore $old to $path")
+      // repaired by rename — drop any cached listing (swapDirs rationale)
+      spark.catalog.refreshByPath(path)
     }
   }
 
