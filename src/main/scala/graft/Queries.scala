@@ -841,6 +841,30 @@ object Queries {
        |WHERE ${sqlHashPct("doc_id")} < least(100, length(text) // 4)
        |ORDER BY doc_id""".stripMargin
 
+  // -- deterministic train/val/test split: ppm-resolution hash against the
+  //    cumulative 98/1/1 boundaries — pure integer comparisons, identical
+  //    in both engines; per-split counts prove the assignment AND the mass
+  private val splitQ: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.operators.Sampling.splitByHash(t(s, dir, "documents"),
+        col("doc_id"), Seq(("train", 0.98), ("val", 0.01), ("test", 0.01)))
+      .select(col("doc_id"), col("split"))
+      .orderBy(col("doc_id"))
+
+  /** DuckDB mirror of Sampling.hashPpm (8 hex digits, mod 1e6). */
+  private def sqlHashPpm(idExpr: String): String = {
+    val terms = (1 to 8).map { i =>
+      s"(instr('0123456789abcdef', substr(md5(($idExpr)::VARCHAR), $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}"
+    }
+    s"((${terms.mkString(" + ")}) % 1000000)"
+  }
+
+  private val splitSql =
+    s"""SELECT doc_id,
+       |  CASE WHEN ${sqlHashPpm("doc_id")} < 980000 THEN 'train'
+       |       WHEN ${sqlHashPpm("doc_id")} < 990000 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   private val sampleStratified: (SparkSession, String) => DataFrame = (s, dir) =>
     graft.operators.Sampling.stratified(
         t(s, dir, "documents"), col("lang"), col("doc_id"), 0.3)
@@ -2509,6 +2533,7 @@ object Queries {
     "q_curation"      -> curationQ,
     "q_token_budget"  -> tokenBudget,
     "q_sample_hash"   -> sampleHash,
+    "q_split"         -> splitQ,
     "q_sample_weighted" -> sampleWeighted,
     "q_sample_stratified" -> sampleStratified,
     "q_source_mix"    -> sourceMix,
@@ -2588,6 +2613,7 @@ object Queries {
     "q_curation"      -> curationSql,
     "q_token_budget"  -> tokenBudgetSql,
     "q_sample_hash"   -> sampleHashSql,
+    "q_split"         -> splitSql,
     "q_sample_weighted" -> sampleWeightedSql,
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_source_mix"    -> sourceMixSql,

@@ -38,6 +38,41 @@ object Sampling {
   def sample(df: DataFrame, id: Column, pct: Int): DataFrame =
     df.where(hashPct(id) < pct)
 
+  /** Portable hash bucket in [0, 1e6): parts-per-million resolution for
+    * decisions finer than [[hashPct]]'s 1 % — the first 8 hex chars of
+    * md5(id) as an integer, mod 1e6. Same portability contract. */
+  def hashPpm(id: Column): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(1000000L))
+
+  /** Deterministic train/validation/test split: label every row with the
+    * name of the first cumulative-weight boundary its ppm id-hash falls
+    * under — the standard 98/1/1 holdout assignment as ONE narrow codegen
+    * projection (no shuffle, no RNG state, no sort). Weights are
+    * normalized (they need not sum to 1) and the boundaries are integer
+    * ppm, so the assignment is a pure integer comparison: identical on any
+    * engine, partitioning, or rerun — and a row KEEPS its split as the
+    * corpus around it grows, so incremental ingestion can never leak a
+    * validation document into a later training epoch (the property
+    * `randomSplit` famously lacks). */
+  def splitByHash(df: DataFrame, id: Column, splits: Seq[(String, Double)],
+      outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "splitByHash needs at least one split")
+    require(splits.forall(_._2 > 0),
+      s"split weights must be positive: $splits")
+    val total = splits.map(_._2).sum
+    val bounds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(w => math.round(w / total * 1000000L))
+    val h = hashPpm(id)
+    val labeled = splits.zip(bounds).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), b)) =>
+        Some(acc.fold(when(h < lit(b), name))(_.when(h < lit(b), name)))
+    }.get
+    // the last boundary is exactly 1e6, so the fallback only absorbs a
+    // pathological rounding of near-zero trailing weights
+    df.withColumn(outCol, coalesce(labeled, lit(splits.last._1)))
+  }
+
   /** Per-row RATE sampling: keep each row with probability ~rate%, where
     * the rate is a COLUMN — the continuous generalization of [[sample]]
     * (constant rate) and [[mix]] (per-group literal rates). This is the

@@ -368,7 +368,8 @@ final class SimSearchService(spark: SparkSession, port: Int,
     *               "decontaminate" | "semdedup" | "sample" |
     *               "minhash_pairs_between" | "domain_cap" |
     *               "nb_train" | "nb_score" |
-    *               "bpe_train" | "bpe_encode" | "bpe_token_count",
+    *               "bpe_train" | "bpe_encode" | "bpe_token_count" |
+    *               "split",
     *   "input": {"column": "<mounted attribute>"}        // api_key's catalog
     *          | {"path": "/dir", "format": "parquet"|"csv"},
     *   "id": "doc_id", "text": "text",                   // path-input columns
@@ -417,7 +418,10 @@ final class SimSearchService(spark: SparkSession, port: Int,
     * bpe_token_count `model_path` (required — a merge table persisted by
     * bpe_train or IndexTool bpe-train) — (id, tokens, n_tokens) /
     * (id, n_tokens) against the persisted model, the REST twins of the
-    * bpe-encode CLI subcommand. The `output` block also accepts
+    * bpe-encode CLI subcommand; split `splits` (required — an ARRAY of
+    * [name, weight] pairs, order = boundary order) labels every row with
+    * its deterministic train/val/test assignment. The `output` block also
+    * accepts
     * `target_bytes` (parquet only) to route through the calibrated
     * sharded writer — uniform ~N-byte files instead of task-shaped
     * parts. */
@@ -433,7 +437,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
         "dedup_cluster", "text_stats", "budget_select", "chunk", "scrub",
         "html_text", "url_dedup", "decontaminate", "semdedup", "sample",
         "minhash_pairs_between", "domain_cap", "nb_train", "nb_score",
-        "bpe_train", "bpe_encode", "bpe_token_count")
+        "bpe_train", "bpe_encode", "bpe_token_count", "split")
       if (!knownOps.contains(opName))
         throw new IllegalArgumentException(
           s"unknown operator '$opName' — one of ${knownOps.mkString(", ")}")
@@ -630,6 +634,20 @@ final class SimSearchService(spark: SparkSession, port: Int,
             graft.operators.Bpe.tokenCount(
               graft.functions.NativeKernels.wordTokens(col(textCol)),
               merges).as("n_tokens"))
+        case "split" =>
+          // deterministic train/val/test assignment; splits is an ARRAY of
+          // [name, weight] pairs because boundary order is the contract
+          // and JSON objects don't promise one
+          val arr = reqParam("splits")
+          require(arr.isArray && arr.size() > 0,
+            "params.splits must be a non-empty array of [name, weight] pairs")
+          val splits = (0 until arr.size()).map { i =>
+            val e = arr.get(i)
+            require(e.isArray && e.size() == 2,
+              s"splits[$i] must be a [name, weight] pair")
+            (e.get(0).asText(), e.get(1).asDouble())
+          }.toSeq
+          graft.operators.Sampling.splitByHash(df, col(idCol), splits)
         case "sample" =>
           // constant pct, per-group rates (rates = {"group": pct}), or a
           // per-row rate column — the three samplers behind one op

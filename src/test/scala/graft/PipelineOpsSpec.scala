@@ -108,6 +108,39 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(s3.subsetOf(s1) && Sampling.sample(ids, col("id"), 0).count() == 0)
   }
 
+  test("splitByHash: total exhaustive labeling, mass near the weights, " +
+    "labels stable under repartitioning AND corpus growth, unnormalized " +
+    "weights normalize, bad weights rejected") {
+    val splits = Seq(("train", 0.90), ("val", 0.05), ("test", 0.05))
+    val lab = Sampling.splitByHash(ids, col("id"), splits)
+    val byS = lab.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byS.keySet == Set("train", "val", "test"), byS.toString)
+    assert(byS.values.sum == 1000 && byS("train") > 800 &&
+      byS("val") > 10 && byS("test") > 10, byS.toString)
+    // stable under repartitioning (the hash keys on content, not placement)
+    val re = Sampling.splitByHash(ids.repartition(13), col("id"), splits)
+      .as[(Long, String)].collect().toMap
+    assert(lab.as[(Long, String)].collect().toMap == re)
+    // a row KEEPS its split when the corpus grows — incremental ingestion
+    // cannot leak a val row into train
+    val grown = Sampling.splitByHash(
+      spark.range(0, 5000).toDF("id"), col("id"), splits)
+      .as[(Long, String)].collect().toMap
+    assert((0L until 1000L).forall(i => grown(i) == re(i)))
+    // unnormalized weights behave as ratios (98/1/1 == 0.98/0.01/0.01)
+    val a = Sampling.splitByHash(ids, col("id"),
+      Seq(("a", 98.0), ("b", 1.0), ("c", 1.0))).as[(Long, String)].collect().toMap
+    val b = Sampling.splitByHash(ids, col("id"),
+      Seq(("a", 0.98), ("b", 0.01), ("c", 0.01))).as[(Long, String)].collect().toMap
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Sampling.splitByHash(ids, col("id"), Seq(("a", 1.0), ("b", -0.1)))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.splitByHash(ids, col("id"), Seq.empty)
+    }
+  }
+
   test("stratified sample keeps exactly floor(frac * |stratum|) per stratum") {
     val df = spark.range(0, 300)
       .select(col("id"), (col("id") % 3).cast("string").as("g"))

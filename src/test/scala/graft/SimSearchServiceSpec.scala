@@ -441,6 +441,15 @@ class SimSearchServiceSpec extends SparkTestBase {
             "id": "doc_id", "params": {"rate_column": "quality"}}"""))
       assert(c14 == 200, b14) // quality in [0,1): rates < 1% keep nothing
       assert(new ObjectMapper().readTree(b14).size() == 0, b14)
+      // split: every row labeled from the ordered [name, weight] pairs
+      val (cSp, bSp) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "split", "input": {"path": "$dir/docs"},
+            "id": "doc_id",
+            "params": {"splits": [["train", 98], ["holdout", 2]]}}"""))
+      assert(cSp == 200, bSp)
+      val sp = new ObjectMapper().readTree(bSp)
+      assert(sp.size() == 3 && (0 until sp.size()).forall(i =>
+        Set("train", "holdout").contains(sp.get(i).get("split").asText())), bSp)
 
       // nb_train / nb_score: the learned quality filter over the socket —
       // train persists a model (a server-side write, so keyless is 401),
