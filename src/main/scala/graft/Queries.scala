@@ -2234,6 +2234,85 @@ object Queries {
       |FROM g ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------------------------------
+  // PII scrub preset: deterministic PII shapes (email/card/SSN/phone/IP)
+  // are INJECTED from doc_id so both engines build the identical dirty
+  // string, then masked by the shared TextKernels.PiiPatterns list — the
+  // oracle SQL is GENERATED from the same pattern strings, so the match
+  // proves java.util.regex and RE2 run the identical automata in the
+  // identical order
+  // ----------------------------------------------------------------------
+  private val PiiInjectTail =
+    " card 4111 1111 1111 1111 ssn 123-45-6789 tel 555-123-4567 or +442071234567 end"
+
+  private val scrubPiiQ: (SparkSession, String) => DataFrame = (s, dir) => {
+    val dirty = concat(col("text"), lit(" contact user"),
+      col("doc_id").cast("string"), lit("@mail.example.com from 10.20."),
+      (col("doc_id") % 256).cast("string"), lit(".9"), lit(PiiInjectTail))
+    spread(t(s, dir, "documents"))
+      .select(col("doc_id"), TextKernels.scrubPii(dirty).as("clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val scrubPiiSql = {
+    val dirty = "text || ' contact user' || doc_id || " +
+      "'@mail.example.com from 10.20.' || (doc_id % 256) || '.9' || " +
+      s"'$PiiInjectTail'"
+    val masked = TextKernels.PiiPatterns.foldLeft(dirty) {
+      case (acc, (p, r)) => s"regexp_replace($acc, '$p', '$r', 'g')"
+    }
+    s"""SELECT doc_id, $masked AS clean FROM documents ORDER BY doc_id"""
+  }
+
+  // ----------------------------------------------------------------------
+  // Gopher rule battery: every verdict is an exact integer comparison
+  // (cross-multiplied thresholds), so booleans hash-match bit-for-bit
+  // ----------------------------------------------------------------------
+  // the synthetic corpus's own function-word probe set (the published
+  // English set never fires on it, which would leave ok_stop/pass without
+  // variance to verify) — shared verbatim by query and oracle
+  private val GopherProbeWords = Seq("the", "a", "value", "table")
+
+  private val gopherQ: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.operators.QualityRules.gopher(
+        spread(t(s, dir, "documents")), col("doc_id"), col("text"),
+        stopWords = GopherProbeWords)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  private val gopherSql = {
+    val stops = GopherProbeWords
+      .map(sw => s"list_contains(w, '$sw')::INT").mkString(" + ")
+    s"""WITH tk AS (SELECT doc_id, text, ${sqlWords("text")} AS w FROM documents),
+       |m AS (SELECT doc_id, text, w,
+       |  len(w)::BIGINT AS n_words,
+       |  coalesce(list_sum(list_transform(w, x -> length(x))), 0)::BIGINT AS n_chars,
+       |  (len(regexp_extract_all(text, '#')) +
+       |   len(regexp_extract_all(text, '\\.\\.\\.|…')))::BIGINT AS n_sym,
+       |  len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS n_alpha,
+       |  len(string_split(text, chr(10)))::BIGINT AS n_lines,
+       |  len(list_filter(string_split(text, chr(10)),
+       |    l -> regexp_matches(trim(l), '^([\\*•‣◦-]\\s|\\d+[.)]\\s)')))::BIGINT AS n_bullet,
+       |  len(list_filter(string_split(text, chr(10)),
+       |    l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$$')))::BIGINT AS n_ell,
+       |  ($stops) AS n_stop
+       |  FROM tk)
+       |SELECT doc_id, n_words,
+       |  (n_words >= 50 AND n_words <= 100000) AS ok_words,
+       |  (3 * n_words <= n_chars AND n_chars <= 10 * n_words) AS ok_word_len,
+       |  (10 * n_sym <= n_words) AS ok_symbols,
+       |  (5 * n_alpha >= 4 * n_words) AS ok_alpha,
+       |  (10 * n_bullet <= 9 * n_lines) AS ok_bullets,
+       |  (10 * n_ell <= 3 * n_lines) AS ok_ellipsis,
+       |  (n_stop >= 2) AS ok_stop,
+       |  ((n_words >= 50 AND n_words <= 100000) AND
+       |   (3 * n_words <= n_chars AND n_chars <= 10 * n_words) AND
+       |   (10 * n_sym <= n_words) AND (5 * n_alpha >= 4 * n_words) AND
+       |   (10 * n_bullet <= 9 * n_lines) AND (10 * n_ell <= 3 * n_lines) AND
+       |   (n_stop >= 2)) AS pass
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  // ----------------------------------------------------------------------
   // learned quality classifier: multinomial NB trained on the corpus's own
   // language label (lang='en' as the trusted class), then every document
   // scored — QualityClassifier.train + score under the same hash gate as
@@ -2525,6 +2604,8 @@ object Queries {
     "q_word2vec"      -> word2vecQ,
     "q_quality"       -> qualityQ,
     "q_nb_quality"    -> nbQualityQ,
+    "q_scrub_pii"     -> scrubPiiQ,
+    "q_gopher"        -> gopherQ,
     "q_repetition"    -> repetitionQ,
     "q_chunk"         -> chunkQ,
     "q_sim_join"      -> simJoinQ,
@@ -2605,6 +2686,8 @@ object Queries {
     "q_word2vec"      -> word2vecSql,
     "q_quality"       -> qualitySql,
     "q_nb_quality"    -> nbQualitySql,
+    "q_scrub_pii"     -> scrubPiiSql,
+    "q_gopher"        -> gopherSql,
     "q_repetition"    -> repetitionSql,
     "q_chunk"         -> chunkSql,
     "q_sim_join"      -> simJoinSql,

@@ -237,6 +237,28 @@ object TextKernels {
   def scrub(s: Column, pattern: String, repl: String): Column =
     regexp_replace(s, pattern, repl)
 
+  /** The PII masking preset, ordered most-specific-first — the patterns a
+    * crawl-curation pipeline masks before anything ships to training
+    * (emails, card/SSN shapes, IPv4s, phone shapes). Deliberately limited
+    * to syntax BOTH java.util.regex and RE2 accept (no lookaround, no
+    * backrefs), so the DuckDB oracle replays the identical automaton.
+    * Order matters and is part of the contract: emails go first (an IP
+    * pattern could otherwise fire inside a dotted mail domain), card
+    * numbers before phones (both are digit runs). A masking preset is
+    * intentionally eager — a version string that looks like an IPv4 gets
+    * masked; for training text that trade is correct. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{4}([ -]?\\d{4}){3}\\b" -> "<CARD>",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<SSN>",
+    "\\+\\d{7,15}\\b|\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b" -> "<PHONE>",
+    "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b" -> "<IP>")
+
+  /** `s` with every [[PiiPatterns]] match masked — [[scrub]] folded over
+    * the preset in its declared order. */
+  def scrubPii(s: Column): Column =
+    PiiPatterns.foldLeft(s) { case (c, (p, r)) => regexp_replace(c, p, r) }
+
   /** Query parameters that track campaigns/clicks, not content — two URLs
     * differing only in these are the same page. */
   val TrackingParamPattern =

@@ -369,7 +369,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
     *               "minhash_pairs_between" | "domain_cap" |
     *               "nb_train" | "nb_score" |
     *               "bpe_train" | "bpe_encode" | "bpe_token_count" |
-    *               "split",
+    *               "split" | "scrub_pii" | "gopher",
     *   "input": {"column": "<mounted attribute>"}        // api_key's catalog
     *          | {"path": "/dir", "format": "parquet"|"csv"},
     *   "id": "doc_id", "text": "text",                   // path-input columns
@@ -420,8 +420,10 @@ final class SimSearchService(spark: SparkSession, port: Int,
     * (id, n_tokens) against the persisted model, the REST twins of the
     * bpe-encode CLI subcommand; split `splits` (required — an ARRAY of
     * [name, weight] pairs, order = boundary order) labels every row with
-    * its deterministic train/val/test assignment. The `output` block also
-    * accepts
+    * its deterministic train/val/test assignment; scrub_pii none (the
+    * fixed PII preset over the text column); gopher `min_words`,
+    * `max_words`, `stop_words` (array), `filter` (true = surviving rows
+    * instead of verdicts). The `output` block also accepts
     * `target_bytes` (parquet only) to route through the calibrated
     * sharded writer — uniform ~N-byte files instead of task-shaped
     * parts. */
@@ -437,7 +439,8 @@ final class SimSearchService(spark: SparkSession, port: Int,
         "dedup_cluster", "text_stats", "budget_select", "chunk", "scrub",
         "html_text", "url_dedup", "decontaminate", "semdedup", "sample",
         "minhash_pairs_between", "domain_cap", "nb_train", "nb_score",
-        "bpe_train", "bpe_encode", "bpe_token_count", "split")
+        "bpe_train", "bpe_encode", "bpe_token_count", "split",
+        "scrub_pii", "gopher")
       if (!knownOps.contains(opName))
         throw new IllegalArgumentException(
           s"unknown operator '$opName' — one of ${knownOps.mkString(", ")}")
@@ -634,6 +637,29 @@ final class SimSearchService(spark: SparkSession, port: Int,
             graft.operators.Bpe.tokenCount(
               graft.functions.NativeKernels.wordTokens(col(textCol)),
               merges).as("n_tokens"))
+        case "scrub_pii" =>
+          // the PII masking preset over the text column — the no-parameter
+          // sibling of scrub (TextKernels.PiiPatterns, fixed order)
+          df.select(col(idCol),
+            TextKernels.scrubPii(col(textCol)).as(textCol))
+        case "gopher" =>
+          // the Gopher rule battery: verdicts per document, or with
+          // filter=true the surviving input rows (the gate form)
+          val minW = params.path("min_words").asLong(50L)
+          val maxW = params.path("max_words").asLong(100000L)
+          val stops =
+            if (params.hasNonNull("stop_words")) {
+              val a = params.get("stop_words")
+              require(a.isArray && a.size() > 0,
+                "params.stop_words must be a non-empty array of words")
+              (0 until a.size()).map(a.get(_).asText()).toSeq
+            } else graft.operators.QualityRules.StopWords
+          if (params.path("filter").asBoolean(false))
+            graft.operators.QualityRules.gopherFilter(df, col(textCol),
+              minW, maxW, stops)
+          else graft.operators.QualityRules.gopher(df, col(idCol),
+              col(textCol), minW, maxW, stops)
+            .withColumnRenamed("id", idCol)
         case "split" =>
           // deterministic train/val/test assignment; splits is an ARRAY of
           // [name, weight] pairs because boundary order is the contract

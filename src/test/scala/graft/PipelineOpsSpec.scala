@@ -813,6 +813,42 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(negKept.select("id").as[Long].collect().toSeq == Seq(-1L))
   }
 
+  test("QualityRules.gopher: each rule fires on its crafted violation, a " +
+    "healthy document passes, and the filter form keeps exactly the " +
+    "passing rows") {
+    import graft.operators.QualityRules
+    val healthy = (("the cat sat on the mat and then she walked " +
+      "to the store with her friend to buy some things that day ") * 3).trim
+    val docs = Seq(
+      (1L, healthy),
+      (2L, "too short to pass the word count rule"),       // ok_words
+      (3L, ("a " * 60).trim),                              // mean word len < 3
+      (4L, Array.fill(60)("#word#").mkString(" ")),        // symbols
+      (5L, (1 to 60).map(_.toString).mkString(" ") +
+        " the of and to be that have with"),               // alpha density
+      (6L, (1 to 10).map(i => s"* bullet $i").mkString("\n")), // bullets
+      (7L, (1 to 10).map(i => s"line $i trails off...").mkString("\n")), // ellipsis
+      (8L, ("novel unusual vocabulary " * 20).trim))       // no stop words
+      .toDF("id", "text")
+    val v = QualityRules.gopher(docs, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(v(1L).getBoolean(v(1L).fieldIndex("pass")), v(1L).toString)
+    def fails(id: Long, rule: String): Unit = {
+      assert(!v(id).getBoolean(v(id).fieldIndex(rule)), s"doc $id: $rule")
+      assert(!v(id).getBoolean(v(id).fieldIndex("pass")))
+    }
+    fails(2L, "ok_words"); fails(3L, "ok_word_len"); fails(4L, "ok_symbols")
+    fails(5L, "ok_alpha"); fails(6L, "ok_bullets"); fails(7L, "ok_ellipsis")
+    fails(8L, "ok_stop")
+    val kept = QualityRules.gopherFilter(docs, col("text"))
+      .select("id").as[Long].collect().toSeq
+    assert(kept == Seq(1L), kept.toString)
+    // the custom probe set threads through (doc 8 passes with its own)
+    assert(QualityRules.gopherFilter(docs, col("text"),
+        stopWords = Seq("novel", "unusual"))
+      .select("id").as[Long].collect().toSet.contains(8L))
+  }
+
   // ------------------------------------------------------- quality classifier
 
   test("NB quality classifier: separates held-out docs by seed-set " +

@@ -441,6 +441,29 @@ class SimSearchServiceSpec extends SparkTestBase {
             "id": "doc_id", "params": {"rate_column": "quality"}}"""))
       assert(c14 == 200, b14) // quality in [0,1): rates < 1% keep nothing
       assert(new ObjectMapper().readTree(b14).size() == 0, b14)
+      // scrub_pii: the preset masks over the socket
+      val piiDir = s"$dir/pii"
+      Seq((1L, "mail jane@example.org from 10.0.0.1"))
+        .toDF("doc_id", "text").write.mode("overwrite").parquet(piiDir)
+      val (cPii, bPii) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "scrub_pii", "input": {"path": "$piiDir"},
+            "id": "doc_id", "text": "text"}"""))
+      assert(cPii == 200 && bPii.contains("<EMAIL>") && bPii.contains("<IP>"), bPii)
+      // gopher: verdicts come back per document; filter form gates
+      val (cGo, bGo) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "gopher", "input": {"path": "$piiDir"},
+            "id": "doc_id", "text": "text", "params": {"min_words": 3}}"""))
+      assert(cGo == 200, bGo)
+      val go = new ObjectMapper().readTree(bGo)
+      assert(go.size() == 1 && go.get(0).has("pass") &&
+        go.get(0).has("ok_stop"), bGo)
+      val (cGoF, bGoF) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "gopher", "input": {"path": "$piiDir"},
+            "id": "doc_id", "text": "text",
+            "params": {"min_words": 3, "filter": true,
+                       "stop_words": ["mail", "from"]}}"""))
+      assert(cGoF == 200, bGoF)
+
       // split: every row labeled from the ordered [name, weight] pairs
       val (cSp, bSp) = http("POST", s"$base/pipeline", Some(
         s"""{"operator": "split", "input": {"path": "$dir/docs"},

@@ -89,4 +89,23 @@ class TextKernelSpec extends SparkTestBase {
     // every signature is an 8-hex-char window
     assert(eval1(minhashSig(g1, 3)).asInstanceOf[String].length == 8)
   }
+
+  test("scrubPii: each preset shape masks; order protects the mail domain " +
+    "from the IP pattern; clean text passes through untouched") {
+    def scrub(s: String): String =
+      eval1(graft.functions.TextKernels.scrubPii(lit(s))).asInstanceOf[String]
+    assert(scrub("mail me at jane.doe+x@sub.example.org now") ==
+      "mail me at <EMAIL> now")
+    assert(scrub("card 4111 1111 1111 1111 or 4111-1111-1111-1111") ==
+      "card <CARD> or <CARD>")
+    assert(scrub("ssn 123-45-6789.") == "ssn <SSN>.")
+    assert(scrub("call 555-123-4567 or +442071234567 today") ==
+      "call <PHONE> or <PHONE> today")
+    assert(scrub("host 192.168.0.1 answered") == "host <IP> answered")
+    // email first: a digit-heavy local/user part must not leak an IP mask
+    // into the middle of a masked address
+    assert(scrub("from 10.20.30.40@mail.example.com sent") ==
+      "from <EMAIL> sent")
+    assert(scrub("no pii here, just words") == "no pii here, just words")
+  }
 }
