@@ -2264,6 +2264,33 @@ object Queries {
   }
 
   // ----------------------------------------------------------------------
+  // unicode cleaning: decomposed combining sequences and control bytes are
+  // INJECTED deterministically (Scala \\u literals on the engine side,
+  // chr() on the oracle side — identical UTF-8 either way), then cleaned
+  // by TextKernels.cleanText (native NFC kernel + shared control-char
+  // class). NFC is the UAX #15 algorithm in both the JDK and DuckDB, so
+  // the composed output hash-matches byte-for-byte.
+  // ----------------------------------------------------------------------
+  private val cleanTextQ: (SparkSession, String) => DataFrame = (s, dir) => {
+    val dirty = concat(col("text"),
+      lit(" caf"), lit("e\u0301"),          // e + combining acute -> composed
+      lit(" \u0007bell\rcr\ttab"),        // BEL + CR stripped, TAB kept
+      lit(" A\u030Angstro\u0308m"))        // combining ring / diaeresis
+    spread(t(s, dir, "documents"))
+      .select(col("doc_id"), TextKernels.cleanText(dirty).as("clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val cleanTextSql =
+    s"""SELECT doc_id,
+       |  regexp_replace(nfc_normalize(
+       |    text || ' caf' || 'e' || chr(769) ||
+       |    ' ' || chr(7) || 'bell' || chr(13) || 'cr' || chr(9) || 'tab' ||
+       |    ' A' || chr(778) || 'ngstro' || chr(776) || 'm'),
+       |    '${TextKernels.ControlCharPattern}', '', 'g') AS clean
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------------
   // Gopher rule battery: every verdict is an exact integer comparison
   // (cross-multiplied thresholds), so booleans hash-match bit-for-bit
   // ----------------------------------------------------------------------
@@ -2606,6 +2633,7 @@ object Queries {
     "q_nb_quality"    -> nbQualityQ,
     "q_scrub_pii"     -> scrubPiiQ,
     "q_gopher"        -> gopherQ,
+    "q_clean_text"    -> cleanTextQ,
     "q_repetition"    -> repetitionQ,
     "q_chunk"         -> chunkQ,
     "q_sim_join"      -> simJoinQ,
@@ -2688,6 +2716,7 @@ object Queries {
     "q_nb_quality"    -> nbQualitySql,
     "q_scrub_pii"     -> scrubPiiSql,
     "q_gopher"        -> gopherSql,
+    "q_clean_text"    -> cleanTextSql,
     "q_repetition"    -> repetitionSql,
     "q_chunk"         -> chunkSql,
     "q_sim_join"      -> simJoinSql,

@@ -403,6 +403,66 @@ object NativeKernels {
   def wordTokens(text: Column): Column =
     column(WordTokensExpr(expression(text)))
 
+  /** Unicode NFC normalization — the canonical-composition pass every
+    * crawl-cleaning pipeline runs before tokenizing (the same visible
+    * glyph arrives both precomposed (é = U+00E9) and decomposed
+    * (e + U+0301) on the web; without NFC they hash, shingle, and
+    * fingerprint differently and every downstream dedup misses the pair).
+    * Spark has no built-in; this wraps `java.text.Normalizer` (the JDK's
+    * ICU-derived implementation of UAX #15 — DuckDB's `nfc_normalize`
+    * implements the same standard algorithm, which is what makes the
+    * oracle bit-exact) as a codegen'd kernel with two fast paths: a pure
+    * byte scan proves ASCII (NFC is the identity there — the bulk of web
+    * text never pays the String round-trip), and `Normalizer.isNormalized`
+    * skips the rewrite for already-composed non-ASCII. */
+  private[functions] case class NfcNormalizeExpr(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.unsafe.types.UTF8String
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      child.dataType match {
+        case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a string, got ${other.simpleString}")
+      }
+    }
+    override def dataType: DataType = org.apache.spark.sql.types.StringType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "nfc_normalize_native"
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+
+    def compute(s: UTF8String): UTF8String = {
+      val bytes = s.getBytes
+      var i = 0
+      var ascii = true
+      while (ascii && i < bytes.length) {
+        if ((bytes(i) & 0x80) != 0) ascii = false
+        i += 1
+      }
+      if (ascii) return s
+      val str = s.toString
+      if (java.text.Normalizer.isNormalized(str,
+          java.text.Normalizer.Form.NFC)) s
+      else UTF8String.fromString(java.text.Normalizer.normalize(str,
+        java.text.Normalizer.Form.NFC))
+    }
+
+    override protected def nullSafeEval(v: Any): Any =
+      compute(v.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("nfcNormalizeExpr", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+  }
+
+  /** NFC-normalize a string column, one native pass (ASCII fast-path). */
+  def nfcNormalize(text: Column): Column =
+    column(NfcNormalizeExpr(expression(text)))
+
   // ------------------------------------------------------------ SimHash64
 
   /** 64-bit SimHash bands of a token array in ONE pass — the native twin of

@@ -237,6 +237,25 @@ object TextKernels {
   def scrub(s: Column, pattern: String, repl: String): Column =
     regexp_replace(s, pattern, repl)
 
+  /** C0/C1-ish control characters that survive crawls and corrupt
+    * training text — everything below 0x20 except '\t' (0x09) and '\n'
+    * (0x0A), plus DEL (0x7F). Carriage returns are deliberately IN the
+    * strip set: the line-based operators (line dedup, bullet/ellipsis
+    * rules) key on bare '\n'. Shared by the Spark kernel and the oracle
+    * (java.util.regex and RE2 both accept the hex class). */
+  val ControlCharPattern = "[\\x00-\\x08\\x0B-\\x1F\\x7F]"
+
+  /** The standard pre-tokenization cleaning pass: Unicode NFC composition
+    * ([[graft.functions.NativeKernels.nfcNormalize]] — decomposed
+    * é = e+U+0301 arrives from the web constantly and breaks every
+    * hash/shingle/fingerprint downstream) followed by control-character
+    * stripping ([[ControlCharPattern]]). Order is part of the contract
+    * (NFC first), though the two commute: control characters are never
+    * combining marks. */
+  def cleanText(s: Column): Column =
+    regexp_replace(graft.functions.NativeKernels.nfcNormalize(s),
+      ControlCharPattern, "")
+
   /** The PII masking preset, ordered most-specific-first — the patterns a
     * crawl-curation pipeline masks before anything ships to training
     * (emails, card/SSN shapes, IPv4s, phone shapes). Deliberately limited

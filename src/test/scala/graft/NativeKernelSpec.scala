@@ -242,4 +242,31 @@ class NativeKernelSpec extends SparkTestBase {
       .where(not(col("c") <=> col("n"))).count()
     assert(mismatches == 0)
   }
+
+  test("nfc_normalize_native: decomposed sequences compose, ASCII and " +
+    "already-normalized text pass through IDENTICALLY (fast paths), " +
+    "null stays null, codegen runs") {
+    def norm(s: String): String = spark.range(1)
+      .select(graft.functions.NativeKernels.nfcNormalize(lit(s)).as("n"))
+      .head.getString(0)
+    // e + U+0301 -> U+00E9; A + U+030A -> U+00C5; o + U+0308 -> U+00F6
+    assert(norm("caf" + "e\u0301") == "caf\u00e9")
+    assert(norm("A\u030Angstro\u0308m") == "\u00c5ngstr\u00f6m")
+    // fast paths: ASCII and already-composed non-ASCII pass through
+    assert(norm("plain ascii text") == "plain ascii text")
+    assert(norm("caf\u00e9 d\u00e9j\u00e0") == "caf\u00e9 d\u00e9j\u00e0")
+    val nulled = spark.sql("SELECT cast(null as string) s")
+      .select(graft.functions.NativeKernels.nfcNormalize(col("s")))
+      .head
+    assert(nulled.isNullAt(0))
+    // wide batch through codegen: normalize(decomposed twin) == composed
+    import spark.implicits._
+    val frame = (0 until 500).map(i => s"caf\u00e9 $i \u00c5")
+      .toDF("c")
+      .withColumn("d", regexp_replace(
+        regexp_replace(col("c"), "\u00e9", "e\u0301"), "\u00c5", "A\u030A"))
+    val bad = frame.where(
+      graft.functions.NativeKernels.nfcNormalize(col("d")) =!= col("c")).count()
+    assert(bad == 0)
+  }
 }
