@@ -482,6 +482,35 @@ class StreamOpsSpec extends SparkTestBase {
       .map(_.getLong(0)).toSet == Set(1L))
   }
 
+  test("curationStream with the Gopher rule battery as the gate: " +
+    "gopherPass is a pure narrow predicate, so the rule filter drops " +
+    "straight into the streaming loop") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-curate-gopher")
+      .toString
+    // 50+ words with healthy shape, containing two probe words
+    val healthy = (("the table holds a value for every row and " +
+      "every key maps a value into the table with care ") * 3).trim
+    val gate = graft.operators.QualityRules.gopherPass(col("text"),
+      stopWords = Seq("the", "a", "value", "table"))
+    val input = MemoryStream[(Long, String)]
+    val perBatch = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    val q = StreamOps.curationStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$root/idx", 0.8, gate) { (accepted, batchId) =>
+      perBatch(batchId) = accepted.select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+    }
+    try {
+      input.addData(
+        (1L, healthy),
+        (2L, "too short"),                       // fails ok_words
+        (3L, ("### " * 60).trim))                // symbol occupancy
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(perBatch(0L) == Set(1L), perBatch.toString)
+  }
+
   test("parquetSink: the curation loop is exactly-once END TO END — a " +
     "replayed batch rewrites its own sink partition, and compaction folds " +
     "without changing contents or re-admitting folded batches") {
