@@ -32,9 +32,10 @@ object OutputWriter {
     * near the target too (without it, 32 near-empty tasks each open a
     * file). Compression is parquet-snappy's job; the estimate works on
     * the uncompressed render, so real files land comfortably under the
-    * target — the safe side of the bound. */
+    * target — the safe side of the bound. Unless `manifest = false`, the
+    * write finishes with a [[writeManifest]] handoff sidecar. */
   def writeSharded(df: DataFrame, path: String, targetBytes: Long,
-      sampleRows: Int = 1000): Unit = {
+      sampleRows: Int = 1000, manifest: Boolean = true): Unit = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     // the input is evaluated three times (calibration, count, write) — pin
     // it once so an expensive upstream plan (a full curation pipeline) is
@@ -51,7 +52,11 @@ object OutputWriter {
         .head
       val (sampleBytes, sampled) =
         if (sample.isNullAt(0)) (0L, 0L) else (sample.getLong(0), sample.getLong(1))
-      if (sampled == 0L) { pinned.write.mode("overwrite").parquet(path); return }
+      if (sampled == 0L) {
+        pinned.write.mode("overwrite").parquet(path)
+        if (manifest) writeManifest(df.sparkSession, path)
+        return
+      }
       val bytesPerRow = math.max(1L, sampleBytes / sampled)
       val rowsPerFile = math.max(1L, targetBytes / bytesPerRow)
       val total = pinned.count()
@@ -60,6 +65,7 @@ object OutputWriter {
         .write.mode("overwrite")
         .option("maxRecordsPerFile", rowsPerFile)
         .parquet(path)
+      if (manifest) writeManifest(df.sparkSession, path)
     } finally pinned.unpersist()
   }
 
@@ -88,6 +94,39 @@ object OutputWriter {
         org.apache.spark.sql.functions.to_json(
           org.apache.spark.sql.functions.struct(
             pinned.columns.map(col).toSeq: _*))).as("sz"))
+  }
+
+  /** The dataset-handoff manifest: `_graft_manifest.json` written beside
+    * the parquet shards (the `_` prefix keeps it out of Spark's file
+    * listing, like `_SUCCESS`), carrying what the RECEIVING side of a
+    * curated-corpus handoff checks before training starts — row count,
+    * total/max file bytes, file count, and the schema — without re-reading
+    * the data: the row count is parquet-footer metadata (Spark's count on
+    * an unfiltered parquet scan never touches row data), the byte totals
+    * come from one file listing. Written through the Hadoop FS API like
+    * the index sidecars, so it lands on whatever filesystem the cluster
+    * mounts. Shape:
+    * `{"rows": N, "bytes": N, "files": N, "max_file_bytes": N,
+    *   "written_by": "graft", "schema": <Spark schema JSON>}`. */
+  def writeManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(hp).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val df = spark.read.parquet(path)
+    val rows = df.count() // footer-only on an unfiltered parquet scan
+    val bytes = files.map(_.getLen).sum
+    val maxBytes = if (files.isEmpty) 0L else files.map(_.getLen).max
+    val manifest = s"""{"rows":$rows,"bytes":$bytes,""" +
+      s""""files":${files.length},"max_file_bytes":$maxBytes,""" +
+      s""""written_by":"graft","schema":${df.schema.json}}"""
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(hp, "_graft_manifest.json"), true)
+    try out.write(manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** S11 (dataset-scale): CSV directory sink with the reference's

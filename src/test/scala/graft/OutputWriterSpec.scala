@@ -97,6 +97,33 @@ class OutputWriterSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$dir/c").count() == 0)
   }
 
+  test("writeSharded leaves a handoff manifest: rows/files/bytes/schema " +
+    "match the written directory, and the `_` prefix keeps it out of " +
+    "Spark's own listing") {
+    import spark.implicits._
+    val df = (0 until 500).map(i => (i.toLong, "y" * 100)).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest").toString
+    OutputWriter.writeSharded(df, s"$dir/m", targetBytes = 20000)
+    val mf = new java.io.File(s"$dir/m/_graft_manifest.json")
+    assert(mf.isFile, "manifest must exist beside the shards")
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(mf)
+    val parts = new java.io.File(s"$dir/m").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    assert(tree.get("rows").asLong() == 500L, tree.toString)
+    assert(tree.get("files").asInt() == parts.length, tree.toString)
+    assert(tree.get("bytes").asLong() == parts.map(_.length()).sum, tree.toString)
+    assert(tree.get("max_file_bytes").asLong() ==
+      parts.map(_.length()).max, tree.toString)
+    assert(tree.get("schema").get("fields").size() == 2, tree.toString)
+    // the sidecar is invisible to a plain parquet read
+    assert(spark.read.parquet(s"$dir/m").count() == 500)
+    // opt-out leaves no sidecar
+    OutputWriter.writeSharded(df, s"$dir/n", targetBytes = 20000,
+      manifest = false)
+    assert(!new java.io.File(s"$dir/n/_graft_manifest.json").exists())
+  }
+
   test("writeSharded calibration renders ONLY the sample: the optimized " +
     "plan keeps the nondeterministic row filter strictly BELOW the " +
     "to_json projection (the filter cannot push down past it, so the " +
