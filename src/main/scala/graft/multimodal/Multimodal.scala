@@ -46,6 +46,12 @@ object Multimodal {
     *    the PRIMARY item's ispe through `pitm` → `ipma` property
     *    associations; single-item files (and malformed association
     *    tables) fall back to the first ispe in ipco.
+    *  - BMP: `BM` magic, then the DIB header size discriminates
+    *    BITMAPCOREHEADER (u16 dims) from BITMAPINFOHEADER+ (s32 dims;
+    *    a negative height means top-down rows — magnitude reported).
+    *  - TIFF (II little / MM big endian): first-IFD entry walk for
+    *    ImageWidth (256) / ImageLength (257), SHORT and LONG value
+    *    layouts; later IFDs (thumbnails) ignored.
     * Returns None for anything else — truncated streams, other containers —
     * which routes the row to the stub branch instead of throwing: a 100 TB
     * ingest WILL contain corrupt payloads and one must not kill the job. */
@@ -98,6 +104,69 @@ object Multimodal {
         case "VP8X" if data.length >= 30 =>
           Some((le24(24) + 1, le24(27) + 1))
         case _ => None
+      }
+    }
+    else if (data.length >= 26 && data(0) == 'B' && data(1) == 'M') {
+      // BMP: DIB header size at offset 14 discriminates the layouts —
+      // BITMAPCOREHEADER (12: u16 dims) vs BITMAPINFOHEADER+ (40/52/56/
+      // 108/124: s32 dims, height NEGATIVE for top-down rows — the sign
+      // encodes row order, not geometry, so report its magnitude)
+      def le32s(i: Int): Int =
+        u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+      val dib = le32s(14)
+      // closed set of published DIB header sizes, not `>= 40`: every
+      // member is < 256, so bytes 15-17 must be NUL — which is also what
+      // keeps a text payload that happens to start with "BM" from faking
+      // a plausible header out of letter bytes
+      val InfoSizes = Set(40, 52, 56, 64, 108, 124)
+      if (dib == 12) Some((le16(18), le16(20)))
+      else if (InfoSizes.contains(dib)) {
+        val w = le32s(18)
+        val h = le32s(22)
+        if (w > 0 && h != 0 && h != Int.MinValue) Some((w, math.abs(h)))
+        else None
+      } else None
+    }
+    else if (data.length >= 8 &&
+        ((data(0) == 'I' && data(1) == 'I' && u8(2) == 42 && u8(3) == 0) ||
+         (data(0) == 'M' && data(1) == 'M' && u8(2) == 0 && u8(3) == 42))) {
+      // TIFF: endian-tagged IFD walk for ImageWidth (256) / ImageLength
+      // (257). Only the FIRST IFD is read (the primary image; thumbnails
+      // live in later IFDs), entries are bounds-checked, and SHORT values
+      // sit in the leading two bytes of the value field in FILE order.
+      val le = data(0) == 'I'
+      def rd16(i: Int): Int =
+        if (le) le16(i) else be16(i)
+      def rd32(i: Int): Long =
+        if (le) (le16(i).toLong | (le16(i + 2).toLong << 16))
+        else ((be16(i).toLong << 16) | be16(i + 2).toLong)
+      val ifd = rd32(4)
+      if (ifd < 8 || ifd + 2 > data.length) None
+      else {
+        val count = rd16(ifd.toInt)
+        var w = -1L
+        var h = -1L
+        var e = 0
+        while (e < count && (w < 0 || h < 0)) {
+          val off = ifd + 2 + e.toLong * 12
+          if (off + 12 > data.length) { e = count }
+          else {
+            val tag = rd16(off.toInt)
+            if (tag == 256 || tag == 257) {
+              val typ = rd16(off.toInt + 2)
+              val n = rd32(off.toInt + 4)
+              val v =
+                if (typ == 3 && n == 1L) rd16(off.toInt + 8).toLong // SHORT
+                else if (typ == 4 && n == 1L) rd32(off.toInt + 8)   // LONG
+                else -1L
+              if (v > 0 && v <= Int.MaxValue) {
+                if (tag == 256) w = v else h = v
+              }
+            }
+            e += 1
+          }
+        }
+        if (w > 0 && h > 0) Some((w.toInt, h.toInt)) else None
       }
     }
     else if (data.length >= 16 && data(4) == 'f' && data(5) == 't' &&

@@ -148,6 +148,44 @@ object GenMultimodalFixture {
     out.toByteArray
   }
 
+  /** Hand-built big-endian (MM) TIFF: first IFD with LONG ImageWidth /
+    * ImageLength — the byte order and value layout the JDK writer
+    * (little-endian II, SHORT-packed) does not produce. */
+  def makeTiffMM(w: Int, h: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def be32(v: Int): Unit = { be16(v >>> 16); be16(v) }
+    out.write('M'); out.write('M'); be16(42); be32(8)
+    be16(2)                                   // entry count
+    be16(256); be16(4); be32(1); be32(w)      // ImageWidth, LONG
+    be16(257); be16(4); be32(1); be32(h)      // ImageLength, LONG
+    be32(0)                                   // no next IFD
+    out.toByteArray
+  }
+
+  /** Hand-built BMP variants the JDK writer does not emit: the ancient
+    * BITMAPCOREHEADER (u16 dims) and a top-down BITMAPINFOHEADER
+    * (negative height — sign encodes row order, not geometry). */
+  def makeBmp(w: Int, h: Int, core: Boolean = false,
+      topDown: Boolean = false): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
+    out.write('B'); out.write('M')
+    if (core) {
+      le32(26 + 4); le32(0); le32(26)  // file size, reserved, data offset
+      le32(12); le16(w); le16(h); le16(1); le16(24)
+      le32(0) // token pixel data
+    } else {
+      le32(54 + 4); le32(0); le32(54)
+      le32(40); le32(w); le32(if (topDown) -h else h)
+      le16(1); le16(24); le32(0); le32(0)
+      le32(0); le32(0); le32(0); le32(0)
+      le32(0)
+    }
+    out.toByteArray
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .appName("gen-multimodal-fixture").master("local[4]")
@@ -192,7 +230,21 @@ object GenMultimodalFixture {
           pitmV1 = true, wideIdx = true), 7680, 4320, 1),
         (78L, "webp", makeWebpAnim(1920, 1080), 1920, 1080, 1),
         (79L, "avif", makeAvifMulti(64, 64, 1024, 768,
-          brand = "avis"), 1024, 768, 1))
+          brand = "avis"), 1024, 768, 1)) ++ {
+        // BMP + TIFF: real JDK encoders where they exist (bmp + II tiff),
+        // hand-built for the layouts they never emit (MM/LONG tiff,
+        // BITMAPCOREHEADER, top-down negative-height info header)
+        val bmpImg = makeImage(80)
+        val tifImg = makeImage(81)
+        Seq(
+          (80L, "bmp", encode(bmpImg, "bmp"),
+            bmpImg.getWidth, bmpImg.getHeight, 1),
+          (81L, "tiff", encode(tifImg, "tiff"),
+            tifImg.getWidth, tifImg.getHeight, 1),
+          (82L, "tiff", makeTiffMM(70000, 42), 70000, 42, 1),
+          (83L, "bmp", makeBmp(641, 482, core = true), 641, 482, 1),
+          (84L, "bmp", makeBmp(333, 777, topDown = true), 333, 777, 1))
+      }
     }
     val out = "fixtures/multimodal_media.parquet"
     rows.toDF("media_id", "kind", "data", "width", "height", "n_frames")

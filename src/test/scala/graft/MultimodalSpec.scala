@@ -122,6 +122,40 @@ class MultimodalSpec extends SparkTestBase {
       GenMultimodalFixture.makeWebpAnim(1920, 1080)).contains((1920, 1080)))
   }
 
+  test("parseDimensions: BMP (info/core/top-down) and TIFF (II SHORT via " +
+    "the JDK writer, MM LONG hand-built) recover encoded dimensions; " +
+    "text that happens to start with a magic degrades to None") {
+    // real JDK encoders
+    val bmpImg = GenMultimodalFixture.makeImage(7)
+    assert(Multimodal.parseDimensions(
+      GenMultimodalFixture.encode(bmpImg, "bmp"))
+      .contains((bmpImg.getWidth, bmpImg.getHeight)))
+    val tifImg = GenMultimodalFixture.makeImage(9)
+    assert(Multimodal.parseDimensions(
+      GenMultimodalFixture.encode(tifImg, "tiff"))
+      .contains((tifImg.getWidth, tifImg.getHeight)))
+    // hand-built layouts the JDK never writes
+    assert(Multimodal.parseDimensions(
+      GenMultimodalFixture.makeTiffMM(70000, 42)).contains((70000, 42)))
+    assert(Multimodal.parseDimensions(
+      GenMultimodalFixture.makeBmp(641, 482, core = true))
+      .contains((641, 482)))
+    // top-down BMP: NEGATIVE height encodes row order; magnitude reported
+    assert(Multimodal.parseDimensions(
+      GenMultimodalFixture.makeBmp(333, 777, topDown = true))
+      .contains((333, 777)))
+    // plain text starting with the magic letters lacks the NUL-bearing
+    // header bytes -> stub branch, not a bogus parse
+    assert(Multimodal.parseDimensions(
+      ("BM this text is long enough to reach the dib size field easily"
+        ).getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.parseDimensions(
+      "MM not actually a tiff file at all".getBytes("UTF-8")).isEmpty)
+    // truncated IFD: bails to None instead of reading out of bounds
+    assert(Multimodal.parseDimensions(
+      GenMultimodalFixture.makeTiffMM(70000, 42).take(12)).isEmpty)
+  }
+
   test("decode routes image containers to the real parser and opaque " +
     "payloads to the stub branch, in one partition-batched pass") {
     val png = encoded(123, 45, "png")
