@@ -21,6 +21,10 @@ import org.apache.spark.sql.SparkSession
   * spark-submit --class graft.IndexTool app.jar bpe-encode <modelPath> --source <parquet> --out <parquet>
   * spark-submit --class graft.IndexTool app.jar nb-train <modelPath> --source <parquet> --label <boolCol>
   * spark-submit --class graft.IndexTool app.jar nb-score <modelPath> --source <parquet> --out <parquet>
+  * spark-submit --class graft.IndexTool app.jar scrub-pii <src> --out <parquet>
+  * spark-submit --class graft.IndexTool app.jar clean <src> --out <parquet>
+  * spark-submit --class graft.IndexTool app.jar gopher <src> --out <parquet> [--filter]
+  * spark-submit --class graft.IndexTool app.jar split <src> --out <parquet> --splits train:98,val:1,test:1
   * }}}
   *
   * `compact` folds an ANN index's streamed batch partitions into the base;
@@ -37,7 +41,11 @@ import org.apache.spark.sql.SparkSession
   * `bpe-train`/`bpe-encode` train a BPE merge table to a persisted model
   * directory and batch-encode a corpus with it; `nb-train`/`nb-score` are
   * the quality-classifier twins (train to a model sidecar, score a corpus
-  * against a stored model).
+  * against a stored model). `scrub-pii`/`clean`/`gopher`/`split` are the
+  * batch curation passes (PII masking, NFC + control-strip cleaning, the
+  * Gopher rule battery as verdicts or a filter, deterministic
+  * train/val/test labeling) parquet-to-parquet — the spark-submit twins
+  * of the /pipeline ops for a cluster-sized corpus.
   * All actions assume ingestion streams are stopped cleanly, except
   * `recall`, which serves concurrently by design. Prints one JSON line per
   * action for log scraping. */
@@ -207,6 +215,71 @@ object IndexTool {
           .write.mode("overwrite").parquet(out)
         println(s"""{"action":"nb-score","path":"${args(1)}",""" +
           s""""out":"$out"}"""); 0
+      case "scrub-pii" | "clean" =>
+        // batch curation passes parquet -> parquet: the spark-submit twins
+        // of the /pipeline scrub_pii op and TextKernels.cleanText (the
+        // REST service is a single host; a 100 TB pass ships as a job)
+        val out = opt(args, "--out").getOrElse {
+          System.err.println(s"${args.head} needs --out <parquet>\n$usage")
+          return 2
+        }
+        import org.apache.spark.sql.functions.col
+        val idCol = opt(args, "--id").getOrElse("id")
+        val textCol = opt(args, "--text").getOrElse("text")
+        val pass =
+          if (args.head == "scrub-pii")
+            graft.functions.TextKernels.scrubPii(col(textCol))
+          else graft.functions.TextKernels.cleanText(col(textCol))
+        spark.read.parquet(args(1))
+          .select(col(idCol), pass.as(textCol))
+          .write.mode("overwrite").parquet(out)
+        println(s"""{"action":"${args.head}","path":"${args(1)}",""" +
+          s""""out":"$out"}"""); 0
+      case "gopher" =>
+        val out = opt(args, "--out").getOrElse {
+          System.err.println(s"gopher needs --out <parquet>\n$usage")
+          return 2
+        }
+        import org.apache.spark.sql.functions.col
+        val idCol = opt(args, "--id").getOrElse("id")
+        val textCol = opt(args, "--text").getOrElse("text")
+        val minW = opt(args, "--min-words").fold(50L)(_.toLong)
+        val maxW = opt(args, "--max-words").fold(100000L)(_.toLong)
+        val stops = opt(args, "--stop-words")
+          .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+          .getOrElse(graft.operators.QualityRules.StopWords)
+        val src = spark.read.parquet(args(1))
+        val result =
+          if (args.contains("--filter"))
+            graft.operators.QualityRules.gopherFilter(src, col(textCol),
+              minW, maxW, stops)
+          else graft.operators.QualityRules.gopher(src, col(idCol),
+              col(textCol), minW, maxW, stops)
+            .withColumnRenamed("id", idCol)
+        result.write.mode("overwrite").parquet(out)
+        println(s"""{"action":"gopher","path":"${args(1)}","out":"$out",""" +
+          s""""filter":${args.contains("--filter")}}"""); 0
+      case "split" =>
+        val out = opt(args, "--out").getOrElse {
+          System.err.println(s"split needs --out <parquet>\n$usage")
+          return 2
+        }
+        val spec = opt(args, "--splits").getOrElse {
+          System.err.println(
+            s"split needs --splits name:weight,name:weight\n$usage")
+          return 2
+        }
+        import org.apache.spark.sql.functions.col
+        val idCol = opt(args, "--id").getOrElse("id")
+        val splits = spec.split(",").toSeq.map { part =>
+          val Array(name, w) = part.split(":", 2)
+          (name.trim, w.trim.toDouble)
+        }
+        graft.operators.Sampling.splitByHash(
+            spark.read.parquet(args(1)), col(idCol), splits)
+          .write.mode("overwrite").parquet(out)
+        println(s"""{"action":"split","path":"${args(1)}","out":"$out",""" +
+          s""""splits":"$spec"}"""); 0
       case other =>
         System.err.println(s"unknown action '$other'\n$usage"); 2
     }
@@ -223,5 +296,9 @@ object IndexTool {
       |  bpe-train <modelPath> --source <parquet> [--text text] [--merges 1000] [--max-words 1000000] [--min-pair 2]
       |  bpe-encode <modelPath> --source <parquet> --out <parquet> [--id id] [--text text]
       |  nb-train <modelPath> --source <parquet> --label <boolCol> [--text text] [--max-vocab 65536]
-      |  nb-score <modelPath> --source <parquet> --out <parquet> [--id id] [--text text]""".stripMargin
+      |  nb-score <modelPath> --source <parquet> --out <parquet> [--id id] [--text text]
+      |  scrub-pii <srcParquet> --out <parquet> [--id id] [--text text]
+      |  clean <srcParquet> --out <parquet> [--id id] [--text text]
+      |  gopher <srcParquet> --out <parquet> [--id id] [--text text] [--min-words 50] [--max-words 100000] [--stop-words a,b,c] [--filter]
+      |  split <srcParquet> --out <parquet> --splits train:98,val:1,test:1 [--id id]""".stripMargin
 }

@@ -162,4 +162,41 @@ class IndexToolSpec extends SparkTestBase {
     assert(IndexTool.run(spark, Array("nb-score", s"$root/nb",
       "--source", s"$root/corpus")) == 2)
   }
+
+  test("IndexTool: scrub-pii, clean, gopher (verdicts + --filter), and " +
+    "split run the batch curation passes parquet-to-parquet") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-curtool").toString
+    val healthy = (("the table holds a value for every row and every " +
+      "key maps a value into the table with care ") * 3).trim
+    Seq((1L, healthy + " mail me: jane@example.org"),
+        (2L, "too short"))
+      .toDF("id", "text").write.mode("overwrite").parquet(s"$root/src")
+    assert(IndexTool.run(spark, Array("scrub-pii", s"$root/src",
+      "--out", s"$root/masked")) == 0)
+    val masked = spark.read.parquet(s"$root/masked")
+      .where(col("id") === 1L).head.getString(1)
+    assert(masked.endsWith("mail me: <EMAIL>"), masked)
+    assert(IndexTool.run(spark, Array("clean", s"$root/src",
+      "--out", s"$root/cleaned")) == 0)
+    assert(spark.read.parquet(s"$root/cleaned").count() == 2)
+    assert(IndexTool.run(spark, Array("gopher", s"$root/src",
+      "--out", s"$root/verdicts",
+      "--stop-words", "the,a,value,table")) == 0)
+    val v = spark.read.parquet(s"$root/verdicts")
+    assert(v.columns.contains("pass") && v.count() == 2)
+    assert(IndexTool.run(spark, Array("gopher", s"$root/src",
+      "--out", s"$root/kept", "--filter",
+      "--stop-words", "the,a,value,table")) == 0)
+    assert(spark.read.parquet(s"$root/kept")
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(IndexTool.run(spark, Array("split", s"$root/src",
+      "--out", s"$root/splits", "--splits", "train:98,holdout:2")) == 0)
+    val sp = spark.read.parquet(s"$root/splits")
+    assert(sp.columns.contains("split") && sp.count() == 2)
+    // missing required flags exit 2
+    assert(IndexTool.run(spark, Array("scrub-pii", s"$root/src")) == 2)
+    assert(IndexTool.run(spark, Array("split", s"$root/src",
+      "--out", s"$root/x")) == 2)
+  }
 }
