@@ -321,8 +321,49 @@ object ScaleProbe {
             graft.functions.NativeKernels.wordTokens(col("text")), bpeMerges)
           .as("n")).agg(sum("n")).count()
       }
+      // round-13: the sharded-sink calibration CONTROL — the fixed shape
+      // (filter directly on the input, render projected above it) must
+      // stay per-partition-bounded while the pre-fix shape (render below
+      // the nondeterministic filter, which cannot push past it) pays a
+      // full-corpus JSON render: its curve is the bug the fix removed
+      val tCalibFixed = timeIt {
+        graft.engine.OutputWriter.calibrationFrame(docs, 32L)
+          .agg(sum("sz")).count()
+      }
+      val tCalibPreFix = timeIt {
+        docs.withColumn("__row_sz", octet_length(to_json(struct(
+            docs.columns.map(col).toSeq: _*))))
+          .where(monotonically_increasing_id()
+            .bitwiseAND(lit((1L << 33) - 1)) < 32L)
+          .agg(sum("__row_sz")).count()
+      }
+      // round-13: the narrow curation passes (PII mask, NFC clean, Gopher
+      // battery, split labeling) must all be plain linear scans, and NB
+      // train's driver work is vocabulary-bounded regardless of mult
+      val tScrubPii = timeIt {
+        docs.select(TextKernels.scrubPii(col("text")).as("t"))
+          .agg(sum(length(col("t")))).count()
+      }
+      val tClean = timeIt {
+        docs.select(TextKernels.cleanText(col("text")).as("t"))
+          .agg(sum(length(col("t")))).count()
+      }
+      val tGopher = timeIt {
+        QualityRules.gopher(docs, col("doc_id"), col("text"))
+          .agg(sum(when(col("pass"), 1L).otherwise(0L))).count()
+      }
+      val tSplit = timeIt {
+        Sampling.splitByHash(docs, col("doc_id"),
+          Seq(("train", 0.98), ("val", 0.01), ("test", 0.01)))
+          .groupBy("split").count().count()
+      }
+      val tNbTrain = timeIt {
+        QualityClassifier.train(docs,
+          graft.functions.NativeKernels.wordTokens(col("text")),
+          col("doc_id") % 2 === 0, maxVocab = 1024).weights.size.toLong
+      }
       if (mult0 > 0)
-        println(s"""{"mult":$mult,"docs":${docs.count()},"minhash_sec":$tMinhash,"ann_sec":$tAnn,"rankagg_sec":$tRankAgg,"cluster_sec":$tCluster,"pack_sec":$tPack,"tfidf_sec":$tTfidf,"simhash_sec":$tSimhash,"quantize_sec":$tQuantize,"contam_sec":$tContam,"chunk_sec":$tChunk,"repetition_sec":$tRepet,"idx_build_sec":$tIdxBuild,"idx_probe_sec":$tIdxProbe,"band_build_sec":$tBandBuild,"incr_probe_sec":$tIncrProbe,"winnow_sec":$tWinnow,"winnow_spans_sec":$tWinnowSpans,"line_dedup_sec":$tLineDedup,"curation_batch_sec":$tCuration,"budget_select_sec":$tBudget,"budget_select_const_sec":$tBudgetConst,"ivf_build_sec":$tIvfBuild,"recall_probe_sec":$tRecall,"ivf_rebuild_sec":$tRebuild,"exact_join_novel_sec":$tExactJoinNovel,"bloom_build_sec":$tBloomBuild,"exact_bloom_novel_sec":$tExactBloomNovel,"semdedup_sec":$tSemDedup,"semdedup_split_adversarial_sec":$tSemDedupSplit,"pq_encode_sec":$tPqEncode,"pq_build_sec":$tPqBuild,"pq_probe_sec":$tPqProbe,"decontam_sec":$tDecontam,"bpe_train_sec":$tBpeTrain,"bpe_encode_sec":$tBpeEncode}""")
+        println(s"""{"mult":$mult,"docs":${docs.count()},"minhash_sec":$tMinhash,"ann_sec":$tAnn,"rankagg_sec":$tRankAgg,"cluster_sec":$tCluster,"pack_sec":$tPack,"tfidf_sec":$tTfidf,"simhash_sec":$tSimhash,"quantize_sec":$tQuantize,"contam_sec":$tContam,"chunk_sec":$tChunk,"repetition_sec":$tRepet,"idx_build_sec":$tIdxBuild,"idx_probe_sec":$tIdxProbe,"band_build_sec":$tBandBuild,"incr_probe_sec":$tIncrProbe,"winnow_sec":$tWinnow,"winnow_spans_sec":$tWinnowSpans,"line_dedup_sec":$tLineDedup,"curation_batch_sec":$tCuration,"budget_select_sec":$tBudget,"budget_select_const_sec":$tBudgetConst,"ivf_build_sec":$tIvfBuild,"recall_probe_sec":$tRecall,"ivf_rebuild_sec":$tRebuild,"exact_join_novel_sec":$tExactJoinNovel,"bloom_build_sec":$tBloomBuild,"exact_bloom_novel_sec":$tExactBloomNovel,"semdedup_sec":$tSemDedup,"semdedup_split_adversarial_sec":$tSemDedupSplit,"pq_encode_sec":$tPqEncode,"pq_build_sec":$tPqBuild,"pq_probe_sec":$tPqProbe,"decontam_sec":$tDecontam,"bpe_train_sec":$tBpeTrain,"bpe_encode_sec":$tBpeEncode,"shard_calib_sec":$tCalibFixed,"shard_calib_prefix_shape_sec":$tCalibPreFix,"scrub_pii_sec":$tScrubPii,"clean_sec":$tClean,"gopher_sec":$tGopher,"split_sec":$tSplit,"nb_train_sec":$tNbTrain}""")
       docs.unpersist(); emb.unpersist()
     }
     spark.stop()
