@@ -851,11 +851,16 @@ object Queries {
       .orderBy(col("doc_id"))
 
   /** DuckDB mirror of Sampling.hashPpm (8 hex digits, mod 1e6). */
-  private def sqlHashPpm(idExpr: String): String = {
+  private def sqlHashPpm(idExpr: String): String = sqlHashMod(idExpr, 1000000L)
+
+  /** DuckDB twin of the generalized md5-prefix bucket hash
+    * ([[graft.operators.Dsir.bucket]], [[graft.operators.Sampling.hashPpm]]):
+    * the first 8 hex chars of md5 as an integer, mod `m`. */
+  private def sqlHashMod(idExpr: String, m: Long): String = {
     val terms = (1 to 8).map { i =>
       s"(instr('0123456789abcdef', substr(md5(($idExpr)::VARCHAR), $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}"
     }
-    s"((${terms.mkString(" + ")}) % 1000000)"
+    s"((${terms.mkString(" + ")}) % $m)"
   }
 
   private val splitSql =
@@ -2381,6 +2386,130 @@ object Queries {
        |FROM tk LEFT JOIN sc ON tk.doc_id = sc.doc_id ORDER BY tk.doc_id""".stripMargin
 
   // ----------------------------------------------------------------------
+  // DSIR importance weighting + Gumbel-top-k resampling (Xie et al. 2023):
+  // hashed unigram+bigram bucket models (64 buckets here so the oracle
+  // exercises real collisions), per-document log-likelihood-ratio weights,
+  // deterministic Gumbel selection keyed on the portable ppm id-hash
+  // ----------------------------------------------------------------------
+  private val dsirBuckets = 64
+
+  private val dsirQ: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.operators.Dsir.weights(
+        spread(t(s, dir, "documents")), col("doc_id"),
+        graft.functions.NativeKernels.wordTokens(col("text")),
+        col("lang") === "en", buckets = dsirBuckets)
+      .select(col("id").as("doc_id"), col("n_feats"),
+        round(col("weight"), 6).as("weight"))
+      .orderBy(col("doc_id"))
+
+  /** Shared oracle prelude: the hashed-feature stream and the two bucket
+    * models (CTEs `tk`, `fb`, `cnt`, `tot`, `lr`, `dw`). */
+  private def dsirSqlPrelude: String =
+    s"""WITH tk AS (SELECT doc_id, lang = 'en' AS tgt, ${sqlWords("text")} AS w FROM documents),
+       |ft AS (SELECT doc_id, tgt, unnest(list_concat(w,
+       |  [w[i] || ' ' || w[i+1] for i in range(1, greatest(len(w) - 1, 0) + 1)])) AS g FROM tk),
+       |fb AS (SELECT doc_id, tgt, ${sqlHashMod("g", dsirBuckets)} AS b FROM ft),
+       |cnt AS (SELECT b, count(*)::BIGINT AS cr,
+       |               sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS ct FROM fb GROUP BY b),
+       |tot AS (SELECT sum(cr)::DOUBLE AS tr, sum(ct)::DOUBLE AS tt FROM cnt),
+       |lr AS (SELECT b, ln((ct + 1.0) / (tt + $dsirBuckets))
+       |             - ln((cr + 1.0) / (tr + $dsirBuckets)) AS llr FROM cnt, tot),
+       |dw AS (SELECT fb.doc_id, count(*)::BIGINT AS n_feats, sum(lr.llr) AS s
+       |       FROM fb JOIN lr USING(b) GROUP BY fb.doc_id)""".stripMargin
+
+  private val dsirSql =
+    s"""$dsirSqlPrelude
+       |SELECT tk.doc_id, coalesce(dw.n_feats, 0)::BIGINT AS n_feats,
+       |  round(coalesce(dw.s, 0.0), 6) AS weight
+       |FROM tk LEFT JOIN dw ON tk.doc_id = dw.doc_id ORDER BY tk.doc_id""".stripMargin
+
+  private val dsirSelectQ: (SparkSession, String) => DataFrame = (s, dir) => {
+    val scored = graft.operators.Dsir.weights(
+      spread(t(s, dir, "documents")), col("doc_id"),
+      graft.functions.NativeKernels.wordTokens(col("text")),
+      col("lang") === "en", buckets = dsirBuckets)
+    graft.operators.Dsir
+      .resample(scored, col("id"), col("weight"), k = 50, temperature = 2.0)
+      .select(col("id").as("doc_id"), col("sel_key"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dsirSelectSql =
+    s"""$dsirSqlPrelude,
+       |sel AS (SELECT tk.doc_id,
+       |    round(coalesce(dw.s, 0.0) / 2.0
+       |      - ln(-ln((${sqlHashPpm("tk.doc_id")} + 0.5) / 1000000.0)), 6) AS sel_key
+       |  FROM tk LEFT JOIN dw ON tk.doc_id = dw.doc_id
+       |  ORDER BY sel_key DESC, tk.doc_id LIMIT 50)
+       |SELECT doc_id, sel_key FROM sel ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------------
+  // corpus-wide exact duplicate-span discovery + removal (Lee et al. 2022
+  // ExactSubstr at word granularity): 8-token windows repeated >= 2 times
+  // anywhere in the corpus, merged to maximal spans, then cut out of the
+  // text — the boilerplate/memorization pass near-dup operators can't do
+  // ----------------------------------------------------------------------
+  private val spanN = 8
+
+  private val dedupSpansQ: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.operators.SpanDedup.spans(
+        spread(t(s, dir, "documents")), col("doc_id"),
+        graft.functions.NativeKernels.wordTokens(col("text")),
+        n = spanN, minCount = 2L)
+      .select(col("id").as("doc_id"),
+        col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"), col("n_windows"))
+      .orderBy(col("doc_id"), col("span_start"))
+
+  /** Shared oracle prelude: sliding windows and their corpus-duplicated
+    * occurrences (CTEs `tk`, `win`, `dup`). */
+  private def spanSqlPrelude: String =
+    s"""WITH tk AS (SELECT doc_id, ${sqlWords("text")} AS w FROM documents),
+       |win AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM
+       |  (SELECT doc_id, unnest([{'pos': i, 'g': array_to_string(w[(i+1):(i+$spanN)], ' ')}
+       |     for i in range(0, greatest(len(w) - ${spanN - 1}, 0))]) AS u FROM tk)),
+       |dup AS (SELECT doc_id, pos FROM win
+       |  JOIN (SELECT g FROM win GROUP BY g HAVING count(*) >= 2) USING (g))""".stripMargin
+
+  private val dedupSpansSql =
+    s"""$spanSqlPrelude,
+       |brk AS (SELECT doc_id, pos, CASE WHEN pos >
+       |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + $spanN
+       |  THEN 1 ELSE 0 END AS b FROM dup),
+       |isl AS (SELECT doc_id, pos, sum(b) OVER
+       |  (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS i FROM brk)
+       |SELECT doc_id, min(pos)::BIGINT AS span_start,
+       |  (max(pos) + $spanN)::BIGINT AS span_end, count(*)::BIGINT AS n_windows
+       |FROM isl GROUP BY doc_id, i ORDER BY doc_id, span_start""".stripMargin
+
+  private val dedupSubstrQ: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.operators.SpanDedup.removeSpans(
+        spread(t(s, dir, "documents")), col("doc_id"),
+        graft.functions.NativeKernels.wordTokens(col("text")),
+        n = spanN, minCount = 2L)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_removed"),
+        col("text_clean"))
+      .orderBy(col("doc_id"))
+
+  private val dedupSubstrSql =
+    s"""$spanSqlPrelude,
+       |cov AS (SELECT DISTINCT doc_id, pos + j AS p
+       |  FROM dup CROSS JOIN range(0, $spanN) AS t(j)),
+       |tkx AS (SELECT doc_id, unnest(w) AS tok,
+       |  unnest([i for i in range(0, len(w))]) AS p FROM tk),
+       |kept AS (SELECT tkx.doc_id, tkx.p, tkx.tok FROM tkx
+       |  LEFT JOIN cov ON tkx.doc_id = cov.doc_id AND tkx.p = cov.p
+       |  WHERE cov.p IS NULL),
+       |cl AS (SELECT doc_id, array_to_string(array_agg(tok ORDER BY p), ' ') AS text_clean
+       |  FROM kept GROUP BY doc_id),
+       |rm AS (SELECT doc_id, count(*)::BIGINT AS n_removed FROM cov GROUP BY doc_id)
+       |SELECT tk.doc_id, len(tk.w)::BIGINT AS n_tokens,
+       |  coalesce(rm.n_removed, 0)::BIGINT AS n_removed,
+       |  coalesce(cl.text_clean, '') AS text_clean
+       |FROM tk LEFT JOIN rm ON tk.doc_id = rm.doc_id
+       |LEFT JOIN cl ON tk.doc_id = cl.doc_id ORDER BY tk.doc_id""".stripMargin
+
+  // ----------------------------------------------------------------------
   // repetition-based quality signals (the classic corpus-filter rules:
   // top-bigram occupancy + duplicate-5-gram fraction) — narrow per-row
   // maps, no shuffle; integer-ratio doubles, engine-portable bit-for-bit
@@ -2631,6 +2760,10 @@ object Queries {
     "q_word2vec"      -> word2vecQ,
     "q_quality"       -> qualityQ,
     "q_nb_quality"    -> nbQualityQ,
+    "q_dsir"          -> dsirQ,
+    "q_dsir_select"   -> dsirSelectQ,
+    "q_dedup_spans"   -> dedupSpansQ,
+    "q_dedup_substr"  -> dedupSubstrQ,
     "q_scrub_pii"     -> scrubPiiQ,
     "q_gopher"        -> gopherQ,
     "q_clean_text"    -> cleanTextQ,
@@ -2714,6 +2847,10 @@ object Queries {
     "q_word2vec"      -> word2vecSql,
     "q_quality"       -> qualitySql,
     "q_nb_quality"    -> nbQualitySql,
+    "q_dsir"          -> dsirSql,
+    "q_dsir_select"   -> dsirSelectSql,
+    "q_dedup_spans"   -> dedupSpansSql,
+    "q_dedup_substr"  -> dedupSubstrSql,
     "q_scrub_pii"     -> scrubPiiSql,
     "q_gopher"        -> gopherSql,
     "q_clean_text"    -> cleanTextSql,

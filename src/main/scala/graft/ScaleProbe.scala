@@ -1,5 +1,7 @@
 package graft
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -35,6 +37,14 @@ object ScaleProbe {
       val t0 = System.nanoTime(); val n = f; val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(s"  rows=$n"); dt
     }
+
+    // Optimizer-proof sink for scalar-aggregate probes: `.count()` on a
+    // global aggregate lets Catalyst PRUNE the aggregate expressions (the
+    // row count is 1 regardless of what they compute), silently timing
+    // only the scan — collect the 1-row result so the probed expression
+    // actually executes.
+    def force(df: org.apache.spark.sql.DataFrame): Long =
+      df.collect().length.toLong
 
     // -1 = untimed warmup pass (codegen + JIT compilation dominate the first
     // execution of each operator; timing starts after they are compiled)
@@ -111,7 +121,7 @@ object ScaleProbe {
         docs.select(col("doc_id"),
           TextKernels.topBigramFraction(w).as("tb"),
           TextKernels.dupNgramFraction(w, 5).as("d5"))
-          .agg(sum("tb"), sum("d5")).count()
+          .agg(sum("tb"), sum("d5")).pipe(force)
       }
       val idxPath = s"/tmp/graft-scaleprobe-idx-$mult"
       val tIdxBuild = timeIt {
@@ -319,38 +329,42 @@ object ScaleProbe {
       val tBpeEncode = timeIt {
         docs.select(Bpe.tokenCount(
             graft.functions.NativeKernels.wordTokens(col("text")), bpeMerges)
-          .as("n")).agg(sum("n")).count()
+          .as("n")).agg(sum("n")).pipe(force)
       }
       // round-13: the sharded-sink calibration CONTROL — the fixed shape
       // (filter directly on the input, render projected above it) must
       // stay per-partition-bounded while the pre-fix shape (render below
       // the nondeterministic filter, which cannot push past it) pays a
-      // full-corpus JSON render: its curve is the bug the fix removed
+      // full-corpus JSON render: its curve is the bug the fix removed.
+      // Rows are widened 20x so the render dominates the (cached) scan —
+      // at this corpus size both shapes are otherwise overhead-bound and
+      // the contrast would be invisible
+      val wideDocs = docs.withColumn("text", repeat(col("text"), 20))
       val tCalibFixed = timeIt {
-        graft.engine.OutputWriter.calibrationFrame(docs, 32L)
-          .agg(sum("sz")).count()
+        graft.engine.OutputWriter.calibrationFrame(wideDocs, 32L)
+          .agg(sum("sz")).pipe(force)
       }
       val tCalibPreFix = timeIt {
-        docs.withColumn("__row_sz", octet_length(to_json(struct(
-            docs.columns.map(col).toSeq: _*))))
+        wideDocs.withColumn("__row_sz", octet_length(to_json(struct(
+            wideDocs.columns.map(col).toSeq: _*))))
           .where(monotonically_increasing_id()
             .bitwiseAND(lit((1L << 33) - 1)) < 32L)
-          .agg(sum("__row_sz")).count()
+          .agg(sum("__row_sz")).pipe(force)
       }
       // round-13: the narrow curation passes (PII mask, NFC clean, Gopher
       // battery, split labeling) must all be plain linear scans, and NB
       // train's driver work is vocabulary-bounded regardless of mult
       val tScrubPii = timeIt {
         docs.select(TextKernels.scrubPii(col("text")).as("t"))
-          .agg(sum(length(col("t")))).count()
+          .agg(sum(length(col("t")))).pipe(force)
       }
       val tClean = timeIt {
         docs.select(TextKernels.cleanText(col("text")).as("t"))
-          .agg(sum(length(col("t")))).count()
+          .agg(sum(length(col("t")))).pipe(force)
       }
       val tGopher = timeIt {
         QualityRules.gopher(docs, col("doc_id"), col("text"))
-          .agg(sum(when(col("pass"), 1L).otherwise(0L))).count()
+          .agg(sum(when(col("pass"), 1L).otherwise(0L))).pipe(force)
       }
       val tSplit = timeIt {
         Sampling.splitByHash(docs, col("doc_id"),
@@ -362,8 +376,23 @@ object ScaleProbe {
           graft.functions.NativeKernels.wordTokens(col("text")),
           col("doc_id") % 2 === 0, maxVocab = 1024).weights.size.toLong
       }
+      // round-13: DSIR importance weighting (two corpus passes, a
+      // 10k-bucket broadcast model) and corpus-global duplicate-span
+      // removal (the groupBy(gram) shuffle is the scaling risk to watch)
+      val tDsir = timeIt {
+        Dsir.weights(docs, col("doc_id"),
+            graft.functions.NativeKernels.wordTokens(col("text")),
+            col("doc_id") % 2 === 0, buckets = 10000)
+          .agg(sum("weight")).pipe(force)
+      }
+      val tSpanDedup = timeIt {
+        SpanDedup.removeSpans(docs, col("doc_id"),
+            graft.functions.NativeKernels.wordTokens(col("text")),
+            n = 8, minCount = 2L)
+          .agg(sum("n_removed")).pipe(force)
+      }
       if (mult0 > 0)
-        println(s"""{"mult":$mult,"docs":${docs.count()},"minhash_sec":$tMinhash,"ann_sec":$tAnn,"rankagg_sec":$tRankAgg,"cluster_sec":$tCluster,"pack_sec":$tPack,"tfidf_sec":$tTfidf,"simhash_sec":$tSimhash,"quantize_sec":$tQuantize,"contam_sec":$tContam,"chunk_sec":$tChunk,"repetition_sec":$tRepet,"idx_build_sec":$tIdxBuild,"idx_probe_sec":$tIdxProbe,"band_build_sec":$tBandBuild,"incr_probe_sec":$tIncrProbe,"winnow_sec":$tWinnow,"winnow_spans_sec":$tWinnowSpans,"line_dedup_sec":$tLineDedup,"curation_batch_sec":$tCuration,"budget_select_sec":$tBudget,"budget_select_const_sec":$tBudgetConst,"ivf_build_sec":$tIvfBuild,"recall_probe_sec":$tRecall,"ivf_rebuild_sec":$tRebuild,"exact_join_novel_sec":$tExactJoinNovel,"bloom_build_sec":$tBloomBuild,"exact_bloom_novel_sec":$tExactBloomNovel,"semdedup_sec":$tSemDedup,"semdedup_split_adversarial_sec":$tSemDedupSplit,"pq_encode_sec":$tPqEncode,"pq_build_sec":$tPqBuild,"pq_probe_sec":$tPqProbe,"decontam_sec":$tDecontam,"bpe_train_sec":$tBpeTrain,"bpe_encode_sec":$tBpeEncode,"shard_calib_sec":$tCalibFixed,"shard_calib_prefix_shape_sec":$tCalibPreFix,"scrub_pii_sec":$tScrubPii,"clean_sec":$tClean,"gopher_sec":$tGopher,"split_sec":$tSplit,"nb_train_sec":$tNbTrain}""")
+        println(s"""{"mult":$mult,"docs":${docs.count()},"minhash_sec":$tMinhash,"ann_sec":$tAnn,"rankagg_sec":$tRankAgg,"cluster_sec":$tCluster,"pack_sec":$tPack,"tfidf_sec":$tTfidf,"simhash_sec":$tSimhash,"quantize_sec":$tQuantize,"contam_sec":$tContam,"chunk_sec":$tChunk,"repetition_sec":$tRepet,"idx_build_sec":$tIdxBuild,"idx_probe_sec":$tIdxProbe,"band_build_sec":$tBandBuild,"incr_probe_sec":$tIncrProbe,"winnow_sec":$tWinnow,"winnow_spans_sec":$tWinnowSpans,"line_dedup_sec":$tLineDedup,"curation_batch_sec":$tCuration,"budget_select_sec":$tBudget,"budget_select_const_sec":$tBudgetConst,"ivf_build_sec":$tIvfBuild,"recall_probe_sec":$tRecall,"ivf_rebuild_sec":$tRebuild,"exact_join_novel_sec":$tExactJoinNovel,"bloom_build_sec":$tBloomBuild,"exact_bloom_novel_sec":$tExactBloomNovel,"semdedup_sec":$tSemDedup,"semdedup_split_adversarial_sec":$tSemDedupSplit,"pq_encode_sec":$tPqEncode,"pq_build_sec":$tPqBuild,"pq_probe_sec":$tPqProbe,"decontam_sec":$tDecontam,"bpe_train_sec":$tBpeTrain,"bpe_encode_sec":$tBpeEncode,"shard_calib_sec":$tCalibFixed,"shard_calib_prefix_shape_sec":$tCalibPreFix,"scrub_pii_sec":$tScrubPii,"clean_sec":$tClean,"gopher_sec":$tGopher,"split_sec":$tSplit,"nb_train_sec":$tNbTrain,"dsir_sec":$tDsir,"span_dedup_sec":$tSpanDedup}""")
       docs.unpersist(); emb.unpersist()
     }
     spark.stop()
