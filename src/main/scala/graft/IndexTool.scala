@@ -280,6 +280,109 @@ object IndexTool {
           .write.mode("overwrite").parquet(out)
         println(s"""{"action":"split","path":"${args(1)}","out":"$out",""" +
           s""""splits":"$spec"}"""); 0
+      case "dsir" =>
+        // DSIR importance weights against the in-frame target subset; with
+        // --k also Gumbel-top-k selects the training set
+        val out = opt(args, "--out").getOrElse {
+          System.err.println(s"dsir needs --out <parquet>\n$usage")
+          return 2
+        }
+        val tgtWhere = opt(args, "--target-where").getOrElse {
+          System.err.println(
+            s"dsir needs --target-where <bool SQL expr>\n$usage")
+          return 2
+        }
+        import org.apache.spark.sql.functions.{col, expr}
+        val idCol = opt(args, "--id").getOrElse("id")
+        val textCol = opt(args, "--text").getOrElse("text")
+        val scored = graft.operators.Dsir.weights(
+          spark.read.parquet(args(1)), col(idCol),
+          graft.functions.NativeKernels.wordTokens(col(textCol)),
+          expr(tgtWhere), opt(args, "--buckets").fold(10000)(_.toInt))
+        val result = opt(args, "--k") match {
+          case Some(k) => graft.operators.Dsir.resample(scored, col("id"),
+            col("weight"), k.toInt,
+            opt(args, "--temperature").fold(1.0)(_.toDouble))
+          case None => scored
+        }
+        result.withColumnRenamed("id", idCol)
+          .write.mode("overwrite").parquet(out)
+        println(s"""{"action":"dsir","path":"${args(1)}","out":"$out",""" +
+          s""""selected":${opt(args, "--k").isDefined}}"""); 0
+      case "dsir-train" =>
+        // fit the DSIR bucket model from a parquet corpus and persist it
+        // (the nb-train twin): <modelPath> is the positional operand
+        val src = opt(args, "--source").getOrElse {
+          System.err.println(s"dsir-train needs --source <parquet>\n$usage")
+          return 2
+        }
+        val tgtWhere = opt(args, "--target-where").getOrElse {
+          System.err.println(
+            s"dsir-train needs --target-where <bool SQL expr>\n$usage")
+          return 2
+        }
+        import org.apache.spark.sql.functions.{col, expr}
+        val model = graft.operators.Dsir.fit(spark.read.parquet(src),
+          graft.functions.NativeKernels.wordTokens(
+            col(opt(args, "--text").getOrElse("text"))),
+          expr(tgtWhere), opt(args, "--buckets").fold(10000)(_.toInt))
+        graft.operators.Dsir.save(spark, model, args(1))
+        println(s"""{"action":"dsir-train","model":"${args(1)}",""" +
+          s""""buckets":${model.buckets},""" +
+          s""""raw_total":${model.rawTotal.toLong},""" +
+          s""""tgt_total":${model.tgtTotal.toLong}}"""); 0
+      case "dsir-score" =>
+        // score a corpus against a persisted model; --k selects
+        val src = opt(args, "--source").getOrElse {
+          System.err.println(s"dsir-score needs --source <parquet>\n$usage")
+          return 2
+        }
+        val out = opt(args, "--out").getOrElse {
+          System.err.println(s"dsir-score needs --out <parquet>\n$usage")
+          return 2
+        }
+        import org.apache.spark.sql.functions.col
+        val idCol = opt(args, "--id").getOrElse("id")
+        val model = graft.operators.Dsir.load(spark, args(1))
+        val scored = graft.operators.Dsir.scoreWith(spark,
+          spark.read.parquet(src), col(idCol),
+          graft.functions.NativeKernels.wordTokens(
+            col(opt(args, "--text").getOrElse("text"))), model)
+        val result = opt(args, "--k") match {
+          case Some(k) => graft.operators.Dsir.resample(scored, col("id"),
+            col("weight"), k.toInt,
+            opt(args, "--temperature").fold(1.0)(_.toDouble))
+          case None => scored
+        }
+        result.withColumnRenamed("id", idCol)
+          .write.mode("overwrite").parquet(out)
+        println(s"""{"action":"dsir-score","model":"${args(1)}",""" +
+          s""""out":"$out","selected":${opt(args, "--k").isDefined}}"""); 0
+      case "dedup-substr" =>
+        // corpus-global duplicate-span removal (--spans emits the
+        // discovery form instead of cutting)
+        val out = opt(args, "--out").getOrElse {
+          System.err.println(s"dedup-substr needs --out <parquet>\n$usage")
+          return 2
+        }
+        import org.apache.spark.sql.functions.col
+        val idCol = opt(args, "--id").getOrElse("id")
+        val textCol = opt(args, "--text").getOrElse("text")
+        val n = opt(args, "--n").fold(8)(_.toInt)
+        val minCount = opt(args, "--min-count").fold(2L)(_.toLong)
+        val src = spark.read.parquet(args(1))
+        val toks = graft.functions.NativeKernels.wordTokens(col(textCol))
+        val result =
+          if (args.contains("--spans"))
+            graft.operators.SpanDedup.spans(src, col(idCol), toks, n,
+              minCount)
+          else
+            graft.operators.SpanDedup.removeSpans(src, col(idCol), toks, n,
+              minCount)
+        result.withColumnRenamed("id", idCol)
+          .write.mode("overwrite").parquet(out)
+        println(s"""{"action":"dedup-substr","path":"${args(1)}",""" +
+          s""""out":"$out","spans":${args.contains("--spans")}}"""); 0
       case other =>
         System.err.println(s"unknown action '$other'\n$usage"); 2
     }
@@ -300,5 +403,9 @@ object IndexTool {
       |  scrub-pii <srcParquet> --out <parquet> [--id id] [--text text]
       |  clean <srcParquet> --out <parquet> [--id id] [--text text]
       |  gopher <srcParquet> --out <parquet> [--id id] [--text text] [--min-words 50] [--max-words 100000] [--stop-words a,b,c] [--filter]
-      |  split <srcParquet> --out <parquet> --splits train:98,val:1,test:1 [--id id]""".stripMargin
+      |  split <srcParquet> --out <parquet> --splits train:98,val:1,test:1 [--id id]
+      |  dsir <srcParquet> --out <parquet> --target-where <bool SQL expr> [--id id] [--text text] [--buckets 10000] [--k N] [--temperature 1.0]
+      |  dsir-train <modelPath> --source <parquet> --target-where <bool SQL expr> [--text text] [--buckets 10000]
+      |  dsir-score <modelPath> --source <parquet> --out <parquet> [--id id] [--text text] [--k N] [--temperature 1.0]
+      |  dedup-substr <srcParquet> --out <parquet> [--id id] [--text text] [--n 8] [--min-count 2] [--spans]""".stripMargin
 }

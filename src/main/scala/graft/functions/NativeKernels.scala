@@ -463,6 +463,88 @@ object NativeKernels {
   def nfcNormalize(text: Column): Column =
     column(NfcNormalizeExpr(expression(text)))
 
+  /** N-gram repetition statistics of a token array in ONE hash-count
+    * pass — the native twin of the composed
+    * `TextKernels.topBigramFraction`/`dupNgramFraction` forms. The
+    * composed top-fraction is QUADRATIC (it re-filters the full gram list
+    * per distinct gram: ~1e6 string comparisons for a 1000-word page,
+    * ~2 ms/doc measured); this counts every space-joined n-gram into one
+    * HashMap (the join is injective because tokens cannot contain the
+    * separator) and reads max / distinct from the same pass. Value-
+    * identical: the max count, the distinct count, and the m-n+1 total
+    * are the same integers, so the emitted ratios are bit-equal and the
+    * DuckDB oracle needs no change. Documents with fewer than n words
+    * score 0.0 in both forms. */
+  private[functions] case class NgramRepetitionExpr(child: Expression,
+      n: Int, top: Boolean)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    require(n >= 1, s"n-gram length must be >= 1: $n")
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      child.dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, _) =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${other.simpleString}")
+      }
+    }
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String =
+      if (top) "top_ngram_frac_native" else "dup_ngram_frac_native"
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+
+    def compute(arr: ArrayData): Double = {
+      val m = arr.numElements()
+      val total = m - n + 1
+      if (total <= 0) return 0.0
+      val counts = new java.util.HashMap[String, Integer](total * 2)
+      val sb = new java.lang.StringBuilder()
+      var best = 0
+      var distinct = 0
+      var p = 0
+      while (p < total) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(arr.getUTF8String(p + j).toString)
+          j += 1
+        }
+        val key = sb.toString
+        val prev = counts.get(key)
+        val c = if (prev == null) 1 else prev.intValue() + 1
+        counts.put(key, Integer.valueOf(c))
+        if (c == 1) distinct += 1
+        if (c > best) best = c
+        p += 1
+      }
+      if (top) best.toDouble / total
+      else 1.0 - distinct.toDouble / total
+    }
+
+    override protected def nullSafeEval(v: Any): Any =
+      compute(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("ngramRepetitionExpr", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+  }
+
+  /** Occupancy of the most frequent word n-gram (max count / total). */
+  def topNgramFrac(tokens: Column, n: Int): Column =
+    column(NgramRepetitionExpr(expression(tokens), n, top = true))
+
+  /** Fraction of n-gram occurrences that repeat an earlier one
+    * (1 - distinct/total). */
+  def dupNgramFrac(tokens: Column, n: Int): Column =
+    column(NgramRepetitionExpr(expression(tokens), n, top = false))
+
   // ------------------------------------------------------------ SimHash64
 
   /** 64-bit SimHash bands of a token array in ONE pass — the native twin of

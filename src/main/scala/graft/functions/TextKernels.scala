@@ -204,22 +204,18 @@ object TextKernels {
 
   /** Fraction of word-bigram occurrences taken by the single most frequent
     * bigram. Natural prose stays low; templated text spikes. Documents with
-    * fewer than 2 words score 0. */
-  def topBigramFraction(w: Column): Column = {
-    val grams = wordNgrams(w, 2)
-    when(size(grams) <= 0, lit(0.0)).otherwise(
-      array_max(org.apache.spark.sql.functions.transform(array_distinct(grams),
-        g => size(filter(grams, x => x === g)))).cast("double") / size(grams))
-  }
+    * fewer than 2 words score 0. Delegates to the native one-pass
+    * hash-count kernel: the composed HOF form (filter-per-distinct-gram)
+    * was QUADRATIC in document length — ~2 ms/doc on web-page text, the
+    * single most expensive narrow map in the inventory — while the integer
+    * counts (and so the emitted ratio) are identical. */
+  def topBigramFraction(w: Column): Column = NativeKernels.topNgramFrac(w, 2)
 
   /** Fraction of word n-gram occurrences that are repeats of an earlier
     * n-gram (1 - distinct/total). Phrase-level self-plagiarism; documents
-    * with fewer than n words score 0. */
-  def dupNgramFraction(w: Column, n: Int): Column = {
-    val grams = wordNgrams(w, n)
-    when(size(grams) <= 0, lit(0.0)).otherwise(
-      lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
-  }
+    * with fewer than n words score 0. Same native one-pass kernel. */
+  def dupNgramFraction(w: Column, n: Int): Column =
+    NativeKernels.dupNgramFrac(w, n)
 
   /** PII / pattern scrubbing. The patterns stay within the regex subset
     * that Java regex and RE2 (DuckDB) interpret identically — character

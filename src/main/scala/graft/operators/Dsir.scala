@@ -145,6 +145,124 @@ object Dsir {
     score(feats.select("id", "b"), llrTable(cnt, buckets))
   }
 
+  /** A fitted DSIR model: the per-bucket log-likelihood-ratio table plus
+    * the two model totals. `llr` is driver-resident — bounded by
+    * [[MaxBuckets]] (≤ ~25 MB at the cap, ~160 KB at the paper-default
+    * 10k), the same vocabulary-bounded-model discipline as
+    * [[QualityClassifier.NbModel]]. The totals make scoring OPEN-WORLD:
+    * a bucket never seen at fit time (new vocabulary in a later corpus)
+    * contributes [[DsirModel.floor]] — both models' add-one smoothing
+    * floors — instead of being silently dropped. */
+  case class DsirModel(buckets: Int, rawTotal: Double, tgtTotal: Double,
+      llr: Map[Long, Double]) {
+    /** Contribution of a bucket absent from the fitted table:
+      * `ln(1/(tgtTotal+buckets)) - ln(1/(rawTotal+buckets))`. */
+    def floor: Double =
+      math.log(1.0 / (tgtTotal + buckets)) -
+        math.log(1.0 / (rawTotal + buckets))
+  }
+
+  /** Fit the model in the single-frame tag form (target = rows where
+    * `isTarget`). One corpus pass: the conditional bucket-count aggregate
+    * collects (≤ `buckets` rows, see [[DsirModel]]); llr and totals are
+    * derived driver-side from the exact integer counts, so refitting is
+    * bit-identical. */
+  def fit(df: DataFrame, tokens: Column, isTarget: Column,
+      buckets: Int = 10000): DsirModel = {
+    require(buckets >= 2 && buckets <= MaxBuckets,
+      s"buckets must be in [2, $MaxBuckets]: $buckets")
+    val cnt = df.select(isTarget.as("__t"),
+        explode(features(tokens)).as("__g"))
+      .select(col("__t"), bucket(col("__g"), buckets).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("cr"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("ct"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    fromCounts(buckets, cnt)
+  }
+
+  /** Fit against a separate target corpus (the paper's setting). Two
+    * aggregates, merged driver-side — target-only buckets count toward
+    * the target total but are dropped from the table (a raw document can
+    * never look them up; open-world scoring floors them anyway). */
+  def fitAgainst(raw: DataFrame, rawTokens: Column, target: DataFrame,
+      targetTokens: Column, buckets: Int = 10000): DsirModel = {
+    require(buckets >= 2 && buckets <= MaxBuckets,
+      s"buckets must be in [2, $MaxBuckets]: $buckets")
+    def counts(df: DataFrame, tokens: Column): Map[Long, Long] =
+      df.select(explode(features(tokens)).as("__g"))
+        .select(bucket(col("__g"), buckets).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rawCnt = counts(raw, rawTokens)
+    val tgtCnt = counts(target, targetTokens)
+    fromCounts(buckets,
+      rawCnt.toSeq.map { case (b, cr) => (b, cr, tgtCnt.getOrElse(b, 0L)) },
+      tgtTotalOverride = Some(tgtCnt.values.sum))
+  }
+
+  /** The shared driver-side tail: totals + per-bucket llr from exact
+    * integer counts. */
+  private def fromCounts(buckets: Int, cnt: Seq[(Long, Long, Long)],
+      tgtTotalOverride: Option[Long] = None): DsirModel = {
+    val rawTotal = cnt.map(_._2).sum.toDouble
+    val tgtTotal = tgtTotalOverride.getOrElse(cnt.map(_._3).sum).toDouble
+    val llr = cnt.map { case (b, cr, ct) =>
+      b -> (math.log((ct + 1.0) / (tgtTotal + buckets)) -
+        math.log((cr + 1.0) / (rawTotal + buckets)))
+    }.toMap
+    DsirModel(buckets, rawTotal, tgtTotal, llr)
+  }
+
+  /** Score a corpus against a FITTED model: (id, n_feats, weight) for
+    * every document, unseen buckets at [[DsirModel.floor]], featureless
+    * documents at weight 0 — one narrow feature pass, a broadcast join
+    * against the ≤ buckets-row table, one id-keyed reduce. This is the
+    * train-once/score-many form the persisted model serves; on the SAME
+    * corpus the model was fitted on it reproduces [[weights]] to
+    * summation-order (every bucket is then in the table). */
+  def scoreWith(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+      id: Column, tokens: Column, model: DsirModel): DataFrame = {
+    import spark.implicits._
+    val llrDf = model.llr.toSeq.toDF("b", "llr")
+    featureStream(df, id, tokens, model.buckets)
+      .join(broadcast(llrDf), Seq("b"), "left")
+      .groupBy("id")
+      .agg(count(col("b")).as("n_feats"),
+        sum(when(col("b").isNull, lit(0.0))
+          .otherwise(coalesce(col("llr"), lit(model.floor))))
+          .as("weight"))
+  }
+
+  /** Persist a fitted model: the llr table as parquet (b, llr) plus the
+    * [[IndexIO.MetaFile]] sidecar carrying kind/buckets/totals — the
+    * same directory-plus-sidecar discipline as the ANN indexes and the
+    * NB/BPE models. */
+  def save(spark: org.apache.spark.sql.SparkSession, model: DsirModel,
+      path: String): Unit = {
+    import spark.implicits._
+    model.llr.toSeq.toDF("b", "llr")
+      .repartition(1) // ≤ buckets rows — one file
+      .write.mode("overwrite").parquet(path)
+    IndexIO.writeMeta(spark, path,
+      s"""{"kind":"dsir","buckets":${model.buckets},""" +
+        s""""raw_total":${model.rawTotal},"tgt_total":${model.tgtTotal}}""")
+  }
+
+  /** Load a model persisted by [[save]]; fails fast on a missing or
+    * foreign-kind sidecar. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+      path: String): DsirModel = {
+    val meta = IndexIO.readMeta(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no model sidecar at $path"))
+    val kind = meta.path("kind").asText("")
+    require(kind == "dsir",
+      s"the sidecar at $path names kind '$kind', not a dsir model")
+    val llr = spark.read.parquet(path).select(col("b"), col("llr"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    DsirModel(meta.path("buckets").asInt(), meta.path("raw_total").asDouble(),
+      meta.path("tgt_total").asDouble(), llr)
+  }
+
   /** Deterministic Gumbel noise in the id: `-ln(-ln(u))` with
     * `u = (hashPpm(id) + 0.5) / 1e6` — the engine-portable stand-in for
     * the paper's fresh Gumbel draws, so a rerun (or another engine)

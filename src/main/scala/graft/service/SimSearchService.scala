@@ -440,7 +440,8 @@ final class SimSearchService(spark: SparkSession, port: Int,
         "html_text", "url_dedup", "decontaminate", "semdedup", "sample",
         "minhash_pairs_between", "domain_cap", "nb_train", "nb_score",
         "bpe_train", "bpe_encode", "bpe_token_count", "split",
-        "scrub_pii", "gopher")
+        "scrub_pii", "gopher", "dsir", "dsir_train", "dsir_score",
+        "dedup_spans", "dedup_substr")
       if (!knownOps.contains(opName))
         throw new IllegalArgumentException(
           s"unknown operator '$opName' — one of ${knownOps.mkString(", ")}")
@@ -659,6 +660,64 @@ final class SimSearchService(spark: SparkSession, port: Int,
               minW, maxW, stops)
           else graft.operators.QualityRules.gopher(df, col(idCol),
               col(textCol), minW, maxW, stops)
+            .withColumnRenamed("id", idCol)
+        case "dsir" =>
+          // DSIR importance weights against the in-frame target subset
+          // (params.target_where, a boolean SQL expression over the input
+          // columns); with params.k also Gumbel-top-k selects
+          val tgt = expr(reqParam("target_where").asText())
+          val scored = graft.operators.Dsir.weights(df, col(idCol),
+            graft.functions.NativeKernels.wordTokens(col(textCol)), tgt,
+            params.path("buckets").asInt(10000))
+          (if (params.hasNonNull("k"))
+            graft.operators.Dsir.resample(scored, col("id"), col("weight"),
+              params.get("k").asInt(),
+              params.path("temperature").asDouble(1.0))
+          else scored).withColumnRenamed("id", idCol)
+        case "dsir_train" =>
+          // fits the DSIR bucket model and PERSISTS it at
+          // params.model_path — a server-side write, gated like nb_train
+          if (!catalogs.containsKey(masterOf(apiKey(x))) &&
+              !adminKey.contains(apiKey(x))) {
+            respond(x, 401,
+              """{"error":"dsir_train writes a model; it requires a valid api_key"}""")
+            return
+          }
+          val modelPath = reqParam("model_path").asText()
+          val model = graft.operators.Dsir.fit(df,
+            graft.functions.NativeKernels.wordTokens(col(textCol)),
+            expr(reqParam("target_where").asText()),
+            params.path("buckets").asInt(10000))
+          graft.operators.Dsir.save(spark, model, modelPath)
+          spark.createDataFrame(Seq((modelPath, model.buckets,
+              model.rawTotal.toLong, model.tgtTotal.toLong)))
+            .toDF("model_path", "buckets", "raw_total", "tgt_total")
+        case "dsir_score" =>
+          // (id, n_feats, weight) against a model persisted by
+          // dsir_train; params.k flips to Gumbel-top-k selection
+          val model = graft.operators.Dsir.load(spark,
+            reqParam("model_path").asText())
+          val scored = graft.operators.Dsir.scoreWith(spark, df,
+            col(idCol),
+            graft.functions.NativeKernels.wordTokens(col(textCol)), model)
+          (if (params.hasNonNull("k"))
+            graft.operators.Dsir.resample(scored, col("id"), col("weight"),
+              params.get("k").asInt(),
+              params.path("temperature").asDouble(1.0))
+          else scored).withColumnRenamed("id", idCol)
+        case "dedup_spans" =>
+          // corpus-global duplicated n-token spans (discovery form)
+          graft.operators.SpanDedup.spans(df, col(idCol),
+              graft.functions.NativeKernels.wordTokens(col(textCol)),
+              params.path("n").asInt(8),
+              params.path("min_count").asLong(2L))
+            .withColumnRenamed("id", idCol)
+        case "dedup_substr" =>
+          // the removal form: every document back, covered tokens cut out
+          graft.operators.SpanDedup.removeSpans(df, col(idCol),
+              graft.functions.NativeKernels.wordTokens(col(textCol)),
+              params.path("n").asInt(8),
+              params.path("min_count").asLong(2L))
             .withColumnRenamed("id", idCol)
         case "split" =>
           // deterministic train/val/test assignment; splits is an ARRAY of

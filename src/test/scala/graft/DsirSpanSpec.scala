@@ -71,6 +71,45 @@ class DsirSpanSpec extends SparkTestBase {
     assert(Dsir.resample(scored, col("id"), col("weight"), 99).count() == 10)
   }
 
+  test("dsir: scoreWith(fit) reproduces weights on the fitted corpus and " +
+    "save/load round-trips the model exactly") {
+    val docs = (1L to 30L).map { i =>
+      (i, (1L to 5L).map(j => s"t${(i * 11 + j * 3) % 17}").mkString(" "),
+        i % 3 == 0)
+    }.toDF("doc_id", "text", "tgt")
+    val m = Dsir.fit(docs, w, col("tgt"), buckets = 128)
+    val direct = Dsir.weights(docs, col("doc_id"), w, col("tgt"),
+        buckets = 128)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val scored = Dsir.scoreWith(spark, docs, col("doc_id"), w, m)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(scored.keySet == direct.keySet)
+    for (id <- direct.keySet) {
+      assert(scored(id)._2 == direct(id)._2)
+      assert(math.abs(scored(id)._3 - direct(id)._3) < 1e-9,
+        s"doc $id: ${scored(id)._3} vs ${direct(id)._3}")
+    }
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-dsir-model").toString + "/m"
+    Dsir.save(spark, m, path)
+    assert(Dsir.load(spark, path) == m)
+    // a foreign-kind sidecar fails fast
+    graft.operators.IndexIO.writeMeta(spark, path, """{"kind":"lsh"}""")
+    intercept[IllegalArgumentException](Dsir.load(spark, path))
+  }
+
+  test("dsir: buckets unseen at fit time take the smoothing floor; " +
+    "featureless documents still score 0") {
+    val empty = Dsir.DsirModel(64, 100.0, 50.0, Map.empty)
+    val docs = Seq((1L, "aa bb cc"), (2L, "")).toDF("doc_id", "text")
+    val got = Dsir.scoreWith(spark, docs, col("doc_id"), w, empty)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // 3 unigrams + 2 bigrams, every bucket unseen
+    assert(got(1L)._2 == 5L)
+    assert(math.abs(got(1L)._3 - 5 * empty.floor) < 1e-12, got(1L))
+    assert(got(2L) == ((2L, 0L, 0.0)))
+  }
+
   // ----------------------------------------------------------- span dedup
 
   private val sharedRun = Seq(

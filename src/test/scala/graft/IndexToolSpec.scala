@@ -199,4 +199,65 @@ class IndexToolSpec extends SparkTestBase {
     assert(IndexTool.run(spark, Array("split", s"$root/src",
       "--out", s"$root/x")) == 2)
   }
+  test("IndexTool: dsir weights/selects and dedup-substr cuts repeated " +
+    "spans parquet-to-parquet; missing flags exit 2") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-dsirtool").toString
+    Seq(
+      (1L, "good clean prose text", "en"),
+      (2L, "spam junk garbage words", "de"),
+      (3L, "good clean prose text", "de"),
+      (4L, "c1 c2 c3 c4 c5 c6 c7 c8 unique tail", "en"),
+      (5L, "c1 c2 c3 c4 c5 c6 c7 c8 other end", "en"))
+      .toDF("id", "text", "lang").write.parquet(s"$root/src")
+
+    assert(IndexTool.run(spark, Array("dsir", s"$root/src",
+      "--out", s"$root/w", "--target-where", "lang = 'en'",
+      "--buckets", "128")) == 0)
+    val w = spark.read.parquet(s"$root/w")
+      .select("id", "weight").as[(Long, Double)].collect().toMap
+    assert(w.size == 5 && w(3L) > w(2L), w)
+
+    assert(IndexTool.run(spark, Array("dsir", s"$root/src",
+      "--out", s"$root/sel", "--target-where", "lang = 'en'",
+      "--buckets", "128", "--k", "2")) == 0)
+    val sel = spark.read.parquet(s"$root/sel")
+    assert(sel.count() == 2 && sel.columns.contains("sel_key"))
+
+    assert(IndexTool.run(spark, Array("dedup-substr", s"$root/src",
+      "--out", s"$root/cut", "--n", "8")) == 0)
+    val cut = spark.read.parquet(s"$root/cut")
+      .select("id", "text_clean").as[(Long, String)].collect().toMap
+    assert(cut(4L) == "unique tail" && cut(5L) == "other end", cut)
+    assert(cut(1L) == "good clean prose text", cut)
+
+    assert(IndexTool.run(spark, Array("dedup-substr", s"$root/src",
+      "--out", s"$root/spans", "--n", "8", "--spans")) == 0)
+    val spans = spark.read.parquet(s"$root/spans")
+    assert(spans.count() == 2 &&
+      spans.where(col("span_start") === 0 && col("span_end") === 8)
+        .count() == 2)
+
+    // dsir-train / dsir-score: the persisted-model pair
+    assert(IndexTool.run(spark, Array("dsir-train", s"$root/model",
+      "--source", s"$root/src", "--target-where", "lang = 'en'",
+      "--buckets", "128")) == 0)
+    assert(IndexTool.run(spark, Array("dsir-score", s"$root/model",
+      "--source", s"$root/src", "--out", s"$root/scored")) == 0)
+    val scored = spark.read.parquet(s"$root/scored")
+      .select("id", "weight").as[(Long, Double)].collect().toMap
+    // same corpus, same model: scoring reproduces the direct weights
+    assert(scored.keySet == w.keySet &&
+      w.keySet.forall(k => math.abs(scored(k) - w(k)) < 1e-9), scored)
+    assert(IndexTool.run(spark, Array("dsir-train", s"$root/model",
+      "--source", s"$root/src")) == 2)
+    assert(IndexTool.run(spark, Array("dsir-score", s"$root/model",
+      "--source", s"$root/src")) == 2)
+
+    assert(IndexTool.run(spark, Array("dsir", s"$root/src",
+      "--out", s"$root/x")) == 2)
+    assert(IndexTool.run(spark, Array("dsir", s"$root/src",
+      "--target-where", "lang = 'en'")) == 2)
+    assert(IndexTool.run(spark, Array("dedup-substr", s"$root/src")) == 2)
+  }
 }

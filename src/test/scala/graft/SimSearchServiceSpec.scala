@@ -735,4 +735,113 @@ class SimSearchServiceSpec extends SparkTestBase {
       assert(c7 == 404)
     } finally svc.stop()
   }
+  test("POST /pipeline: dsir weighting/selection and duplicate-span " +
+    "removal run over the socket") {
+    import spark.implicits._
+    val svc = new SimSearchService(spark, 0, adminKey = Some("root-key"))
+    val port = svc.start()
+    try {
+      val base = s"http://127.0.0.1:$port/simsearch/api"
+      val dir = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+      Seq(
+        (1L, "good clean prose text", "en"),
+        (2L, "good clean prose text", "en"),
+        (3L, "spam junk garbage words", "de"),
+        (4L, "good clean prose text", "de"),
+        (5L, "c1 c2 c3 c4 c5 c6 c7 c8 unique tail five", "en"),
+        (6L, "c1 c2 c3 c4 c5 c6 c7 c8 other ending six", "en"))
+        .toDF("doc_id", "text", "lang")
+        .write.mode("overwrite").parquet(s"$dir/docs")
+
+      // dsir weights: target-like doc 4 outweighs off-target doc 3, and
+      // identical text means identical weight regardless of the tag
+      val (c1, b1) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "dsir", "input": {"path": "$dir/docs"},
+            "id": "doc_id", "text": "text",
+            "params": {"target_where": "lang = 'en'", "buckets": 128}}"""))
+      assert(c1 == 200, b1)
+      val dw = new ObjectMapper().readTree(b1)
+      assert(dw.size() == 6, b1)
+      val weights = (0 until 6).map(i =>
+        dw.get(i).get("doc_id").asLong() ->
+          dw.get(i).get("weight").asDouble()).toMap
+      assert(weights(4L) > weights(3L), b1)
+      assert(weights(4L) == weights(1L), b1)
+
+      // params.k flips to the selection form: k rows with the audit key
+      val (c2, b2) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "dsir", "input": {"path": "$dir/docs"},
+            "id": "doc_id", "text": "text",
+            "params": {"target_where": "lang = 'en'", "buckets": 128,
+                       "k": 2, "temperature": 0.5}}"""))
+      assert(c2 == 200, b2)
+      val sel = new ObjectMapper().readTree(b2)
+      assert(sel.size() == 2, b2)
+      assert(sel.get(0).has("sel_key") && sel.get(1).has("sel_key"), b2)
+
+      // dedup_substr: docs 5 and 6 share an exact 8-token run — it is cut
+      // from both, their unique tails survive, short docs stay whole
+      val (c3, b3) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "dedup_substr", "input": {"path": "$dir/docs"},
+            "id": "doc_id", "text": "text", "params": {"n": 8}}"""))
+      assert(c3 == 200, b3)
+      val ds = new ObjectMapper().readTree(b3)
+      assert(ds.size() == 6, b3)
+      val clean = (0 until 6).map(i =>
+        ds.get(i).get("doc_id").asLong() ->
+          (ds.get(i).get("n_removed").asLong(),
+            ds.get(i).get("text_clean").asText())).toMap
+      assert(clean(5L) == ((8L, "unique tail five")), b3)
+      assert(clean(6L) == ((8L, "other ending six")), b3)
+      assert(clean(1L) == ((0L, "good clean prose text")), b3)
+
+      // dedup_spans: the discovery form reports the merged [0, 8) span
+      val (c4, b4) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "dedup_spans", "input": {"path": "$dir/docs"},
+            "id": "doc_id", "text": "text", "params": {"n": 8}}"""))
+      assert(c4 == 200, b4)
+      val sp = new ObjectMapper().readTree(b4)
+      assert(sp.size() == 2, b4)
+      assert((0 until 2).forall(i => sp.get(i).get("span_start").asInt() == 0
+        && sp.get(i).get("span_end").asInt() == 8), b4)
+
+      // dsir_train / dsir_score: the persisted-model lifecycle — train is
+      // an api-key-gated server-side write (like nb_train); score runs a
+      // NEW corpus (unseen vocabulary floors, never drops) and params.k
+      // flips to selection
+      val trainBody =
+        s"""{"operator": "dsir_train", "input": {"path": "$dir/docs"},
+            "id": "doc_id", "text": "text",
+            "params": {"target_where": "lang = 'en'", "buckets": 128,
+                       "model_path": "$dir/dsirmodel"}}"""
+      val (cT0, _) = http("POST", s"$base/pipeline", Some(trainBody))
+      assert(cT0 == 401)
+      val (cT1, bT1) = http("POST", s"$base/pipeline", Some(trainBody),
+        Map("api_key" -> "root-key"))
+      assert(cT1 == 200, bT1)
+      assert(new ObjectMapper().readTree(bT1).get(0)
+        .get("buckets").asInt() == 128, bT1)
+      val newDir = s"$dir/newdocs"
+      Seq((20L, "good clean prose text plus fresh vocabulary"),
+          (21L, "spam junk garbage words"))
+        .toDF("doc_id", "text").write.mode("overwrite").parquet(newDir)
+      val (cS1, bS1) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "dsir_score", "input": {"path": "$newDir"},
+            "id": "doc_id", "text": "text",
+            "params": {"model_path": "$dir/dsirmodel"}}"""))
+      assert(cS1 == 200, bS1)
+      val sw = new ObjectMapper().readTree(bS1)
+      val swm = (0 until sw.size()).map(i =>
+        sw.get(i).get("doc_id").asLong() ->
+          sw.get(i).get("weight").asDouble()).toMap
+      assert(swm.keySet == Set(20L, 21L) && swm(20L) > swm(21L), bS1)
+      val (cS2, bS2) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "dsir_score", "input": {"path": "$newDir"},
+            "id": "doc_id", "text": "text",
+            "params": {"model_path": "$dir/dsirmodel", "k": 1}}"""))
+      assert(cS2 == 200, bS2)
+      val sel1 = new ObjectMapper().readTree(bS2)
+      assert(sel1.size() == 1 && sel1.get(0).has("sel_key"), bS2)
+    } finally svc.stop()
+  }
 }
