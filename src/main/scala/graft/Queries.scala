@@ -2210,15 +2210,22 @@ object Queries {
   // ----------------------------------------------------------------------
   private val qualityQ: (SparkSession, String) => DataFrame = (s, dir) => {
     val w = graft.functions.NativeKernels.wordTokens(col("text"))
-    val rep = array_max(org.apache.spark.sql.functions.transform(array_distinct(w),
-      t => size(filter(w, x => x === t)))).cast("double") / size(w)
-    val grams = org.apache.spark.sql.functions.transform(
-      sequence(lit(1), greatest(length(col("text")) - 1, lit(1))),
-      i => col("text").substr(i, lit(2)))
-    val n = size(grams).cast("double")
+    // both signals were quadratic composed HOFs (re-filter the full list
+    // once per distinct element — 39 s of the sf0.1 bench in this one
+    // query); the native one-pass hash counts produce the identical
+    // integers, and the entropy fold below stays in Spark SQL over the
+    // counts (first-appearance order, the engine's own `/` and `log2`),
+    // so both columns are bit-equal to the composed forms and the oracle.
+    // Empty token arrays keep the composed form's NULL rep_ratio
+    // (array_max over an empty array).
+    val rep = when(size(w) > lit(0),
+      graft.functions.NativeKernels.topNgramFrac(w, 1))
+      .otherwise(lit(null).cast("double"))
+    val n = greatest(length(col("text")) - 1, lit(1)).cast("double")
     val ent = -aggregate(
-      org.apache.spark.sql.functions.transform(array_distinct(grams),
-        g => size(filter(grams, x => x === g)).cast("double")),
+      org.apache.spark.sql.functions.transform(
+        graft.functions.NativeKernels.charBigramCounts(col("text")),
+        c => c.cast("double")),
       lit(0.0), (acc, c) => acc + c / n * log2(c / n))
     val punct = (length(col("text")) -
       length(regexp_replace(col("text"), "[a-z0-9 ]", ""))).cast("double") / length(col("text"))

@@ -545,6 +545,255 @@ object NativeKernels {
   def dupNgramFrac(tokens: Column, n: Int): Column =
     column(NgramRepetitionExpr(expression(tokens), n, top = false))
 
+  /** Occurrence counts of each DISTINCT character bigram of a text, in
+    * first-appearance order, one hash-count pass. The native core of the
+    * bigram-entropy quality signal: the composed form materializes every
+    * `substr(text, i, 2)` and then re-filters the full gram list once per
+    * distinct gram — QUADRATIC in text length (~39 s of the sf0.1 bench in
+    * one query). Only the counting moves here; the entropy fold stays in
+    * Spark SQL over this array, so the summation order (first appearance,
+    * matching `array_distinct`) and every double op (`/`, `log2`) are the
+    * engine's own — bit-identical to the composed chain and the DuckDB
+    * oracle. Gram extraction mirrors `substr(text, i, 2)` for
+    * i = 1..max(len-1, 1) exactly: code-point slicing (UTF8String
+    * semantics), length clamped at the end, and an empty text yields the
+    * single empty gram with count 1. */
+  private[functions] case class CharBigramCountsExpr(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      child.dataType match {
+        case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a string, got ${other.simpleString}")
+      }
+    }
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "char_bigram_counts_native"
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+
+    def compute(s: UTF8String): ArrayData = {
+      val bytes = s.getBytes
+      // code-point start offsets + a sentinel at the end, so gram p
+      // (0-based) is the byte slice [offs(p), offs(min(p+2, cp)))
+      var cp = 0
+      var i = 0
+      while (i < bytes.length) {
+        if ((bytes(i) & 0xC0) != 0x80) cp += 1
+        i += 1
+      }
+      val offs = new Array[Int](cp + 1)
+      i = 0; var k = 0
+      while (i < bytes.length) {
+        if ((bytes(i) & 0xC0) != 0x80) { offs(k) = i; k += 1 }
+        i += 1
+      }
+      offs(cp) = bytes.length
+      val total = math.max(cp - 1, 1)
+      val counts = new java.util.LinkedHashMap[UTF8String, Integer](total * 2)
+      var p = 0
+      while (p < total) {
+        val from = offs(math.min(p, cp))
+        val until = offs(math.min(p + 2, cp))
+        val key = UTF8String.fromBytes(
+          java.util.Arrays.copyOfRange(bytes, from, until))
+        val prev = counts.get(key)
+        counts.put(key, Integer.valueOf(if (prev == null) 1 else prev + 1))
+        p += 1
+      }
+      val out = new Array[Any](counts.size())
+      val it = counts.values().iterator(); var j = 0
+      while (it.hasNext) { out(j) = it.next().intValue(); j += 1 }
+      new GenericArrayData(out)
+    }
+
+    override protected def nullSafeEval(v: Any): Any =
+      compute(v.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("charBigramCountsExpr", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+  }
+
+  /** Per-distinct-character-bigram counts in first-appearance order. */
+  def charBigramCounts(text: Column): Column =
+    column(CharBigramCountsExpr(expression(text)))
+
+  /** Rebuild a document with its duplicated spans cut out, one two-pointer
+    * pass: tokens at positions covered by any `[span_start, span_end)`
+    * interval are dropped, the survivors joined by single spaces. The
+    * spans argument MUST be sorted ascending and pairwise disjoint (what
+    * `SpanDedup.spans` + `sort_array` produce); bounds outside the token
+    * array clamp harmlessly. This replaces a per-TOKEN corpus explode +
+    * (id, position) shuffle join + per-document `collect_list`/`array_sort`
+    * reassembly with a narrow map over (tokens, ≤len/n spans) — the only
+    * shuffled rows left in `SpanDedup.removeSpans` are the duplicate
+    * windows themselves. */
+  private[functions] case class CutSpansExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    import org.apache.spark.unsafe.types.UTF8String
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructType}
+      (left.dataType, right.dataType) match {
+        case (ArrayType(StringType, _), ArrayType(st: StructType, _))
+          if st.length >= 2 && st.fields(0).dataType == LongType &&
+            st.fields(1).dataType == LongType =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<string>, array<struct<long,long,...>>), " +
+            s"got (${l.simpleString}, ${r.simpleString})")
+      }
+    }
+    override def dataType: DataType = org.apache.spark.sql.types.StringType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "cut_spans_native"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+
+    // lazy: dataType is only legal on a RESOLVED child — construction
+    // happens earlier (analysis copies the tree through withNewChildren)
+    private lazy val spanFields =
+      right.dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          st: org.apache.spark.sql.types.StructType, _) => st.length
+        case _ => 2
+      }
+
+    def compute(toks: ArrayData, spans: ArrayData): UTF8String = {
+      val m = toks.numElements()
+      val k = spans.numElements()
+      // byte-level join (exactly concat_ws(" ", ...) — no UTF-16 round-trip)
+      val out = new java.io.ByteArrayOutputStream()
+      var si = 0
+      var first = true
+      var i = 0
+      while (i < m) {
+        while (si < k && spans.getStruct(si, spanFields).getLong(1) <= i) si += 1
+        val covered = si < k && {
+          val s = spans.getStruct(si, spanFields)
+          i >= s.getLong(0) && i < s.getLong(1)
+        }
+        if (!covered) {
+          if (!first) out.write(0x20)
+          val b = toks.getUTF8String(i).getBytes
+          out.write(b, 0, b.length)
+          first = false
+        }
+        i += 1
+      }
+      UTF8String.fromBytes(out.toByteArray)
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any =
+      compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("cutSpansExpr", this)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+    }
+  }
+
+  /** Join the tokens NOT covered by the sorted disjoint spans with spaces. */
+  def cutSpans(tokens: Column, spans: Column): Column =
+    column(CutSpansExpr(expression(tokens), expression(spans)))
+
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 16-byte md5 fingerprints of every sliding n-token window, one native
+    * pass — byte-identical to
+    * `transform(sequence(0, size(toks)-n), i -> unhex(md5(concat_ws(" ",
+    * slice(toks, i+1, n)))))` (token bytes streamed straight into the
+    * digest with 0x20 separators, null tokens skipped exactly as
+    * concat_ws skips them, fewer-than-n-token documents yield an empty
+    * array). The composed chain materializes per window: an n-element
+    * slice copy, the joined string, the 32-char hex, and the unhexed
+    * binary — four allocations that dominate the span-dedup scan. */
+  private[functions] case class WindowFingerprintsExpr(child: Expression, n: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    require(n >= 1, s"window length must be >= 1 token: $n")
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      child.dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, _) =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${other.simpleString}")
+      }
+    }
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.BinaryType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "window_fingerprints_native"
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+
+    def compute(arr: ArrayData): ArrayData = {
+      val m = arr.numElements()
+      val total = m - n + 1
+      if (total <= 0) return new GenericArrayData(Array.empty[Any])
+      // snapshot the byte slices once: ArrayData string accessors may
+      // reuse backing buffers across calls
+      val bytes = new Array[Array[Byte]](m)
+      var i = 0
+      while (i < m) {
+        bytes(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).getBytes
+        i += 1
+      }
+      val md = md5Digest.get()
+      val out = new Array[Any](total)
+      var p = 0
+      while (p < total) {
+        md.reset()
+        var first = true
+        var j = 0
+        while (j < n) {
+          val b = bytes(p + j)
+          if (b != null) { // concat_ws skips nulls, separator included
+            if (!first) md.update(0x20.toByte)
+            md.update(b)
+            first = false
+          }
+          j += 1
+        }
+        out(p) = md.digest()
+        p += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def nullSafeEval(v: Any): Any =
+      compute(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("windowFingerprintsExpr", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+  }
+
+  /** md5 fingerprints of all sliding n-token windows, one native pass. */
+  def windowFingerprints(tokens: Column, n: Int): Column =
+    column(WindowFingerprintsExpr(expression(tokens), n))
+
   // ------------------------------------------------------------ SimHash64
 
   /** 64-bit SimHash bands of a token array in ONE pass — the native twin of

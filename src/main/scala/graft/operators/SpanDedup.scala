@@ -20,43 +20,55 @@ import org.apache.spark.sql.functions._
   *
   * Scale design (100 TB): the reference implementation builds one giant
   * suffix array; here the same predicate (an n-token window repeats) is a
-  * `groupBy(gram)` over the sliding windows — Spark's scan-sort-shuffle
+  * `groupBy` over the sliding windows — Spark's scan-sort-shuffle
   * machinery replaces the suffix array the way SURVEY §7 replaces the
-  * reference's hand-built trees. Window extraction is a narrow
-  * projection + posexplode; the duplicate-gram set comes from one
-  * map-side-combined aggregation (HAVING count ≥ minCount prunes it to
-  * the boilerplate tail, a tiny fraction of distinct grams); the
-  * back-join is a plain equi-join on the gram; island merging and text
-  * reassembly are per-document windows/aggregates — partitioned by id,
-  * bounded by document length, never corpus-wide. No driver-side state,
-  * no UDFs, no collect.
+  * reference's hand-built trees. The shuffle key is the window's 128-bit
+  * md5 fingerprint, NOT the n-token string: the corpus-wide aggregate and
+  * the occurrence back-join move 16-byte binaries instead of ~n-word
+  * strings (3-4× less shuffle at n = 8, and a far smaller aggregate hash
+  * table), the same fingerprint-equality discipline as
+  * [[Dedup.exactGroups]]. Two distinct grams colliding in 128 bits
+  * (≈ D²/2¹²⁹ for D distinct windows — ~10⁻¹³ even at 10⁸ TB-scale
+  * corpora) is the only way a non-repeated window can be marked; windows
+  * with equal text always fingerprint equal, so no true duplicate is ever
+  * missed. Window extraction is a narrow projection + posexplode; the
+  * duplicate-fingerprint set comes from one map-side-combined aggregation
+  * (HAVING count ≥ minCount prunes it to the boilerplate tail, a tiny
+  * fraction of distinct windows); island merging is a per-document
+  * window over duplicate windows only; the cut itself is a narrow map
+  * (the [[graft.functions.NativeKernels.cutSpans]] two-pointer kernel)
+  * over each document's ≤ len/(n+1)+1 merged spans — no per-token
+  * explode, no (id, position) shuffle, no per-document collect/sort.
+  * No driver-side state, no UDFs, no collect.
   */
 object SpanDedup {
 
-  /** Sliding n-token windows of a token-array column as (pos, gram) pairs:
-    * `gram = tokens[pos..pos+n)` joined by single spaces, one window per
-    * start position (stride 1, exactly Lee et al.'s every-suffix probe at
-    * token granularity). Documents shorter than n yield no windows. */
+  /** Sliding n-token windows of a token-array column as
+    * (pos, fingerprint) pairs: the fingerprint is the md5 of
+    * `tokens[pos..pos+n)` joined by single spaces, one window per start
+    * position (stride 1, exactly Lee et al.'s every-suffix probe at token
+    * granularity). The gram string is never even built — the native
+    * kernel streams token bytes straight into the digest — and only the
+    * 16-byte fingerprint is exploded and shuffled. Documents shorter than
+    * n yield no windows. */
   private def windows(df: DataFrame, id: Column, tokens: Column,
       n: Int): DataFrame =
     df.select(id.as("id"),
-        when(size(tokens) < n, array().cast("array<string>"))
-          .otherwise(transform(
-            sequence(lit(0), size(tokens) - lit(n)),
-            i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
-          .as("__w"))
-      .select(col("id"), posexplode(col("__w")).as(Seq("pos", "gram")))
+        graft.functions.NativeKernels.windowFingerprints(tokens, n).as("__w"))
+      .select(col("id"), posexplode(col("__w")).as(Seq("pos", "f")))
 
-  /** The duplicate windows (id, pos): every window whose gram text occurs
-    * at least `minCount` times corpus-wide. One aggregation to find the
-    * repeated grams, one equi-join to locate their occurrences. */
+  /** The duplicate windows (id, pos): every window whose text occurs at
+    * least `minCount` times corpus-wide (by fingerprint equality — see
+    * the object doc for the 2⁻¹²⁸ bound). One aggregation to find the
+    * repeated fingerprints, one equi-join to locate their occurrences;
+    * both shuffles carry 16-byte keys. */
   private def duplicateWindows(df: DataFrame, id: Column, tokens: Column,
       n: Int, minCount: Long): DataFrame = {
     val win = windows(df, id, tokens, n)
-    val dupGrams = win.groupBy("gram").agg(count(lit(1)).as("__c"))
+    val dupF = win.groupBy("f").agg(count(lit(1)).as("__c"))
       .where(col("__c") >= minCount)
-      .select("gram")
-    win.join(dupGrams, Seq("gram")).select("id", "pos")
+      .select("f")
+    win.join(dupF, Seq("f")).select("id", "pos")
   }
 
   /** Maximal duplicated spans per document: (id, span_start, span_end,
@@ -91,33 +103,37 @@ object SpanDedup {
     * n_removed, text_clean) for ALL input rows — documents made entirely
     * of boilerplate come back with empty `text_clean`, untouched
     * documents come back verbatim (modulo the whitespace-token
-    * round-trip). Coverage is computed per POSITION (explode each
-    * duplicate window into the ≤ n positions it covers, distinct), so the
-    * cut is exact even where spans from different repeated grams
-    * interleave; reassembly is a per-document sorted aggregate — bounded
-    * by document length, shuffled by id only. */
+    * round-trip). The merged spans of [[spans]] are disjoint, so covered
+    * tokens = Σ span lengths and the cut is one two-pointer pass of the
+    * native kernel over each document's sorted span list — the heavy
+    * corpus-wide fingerprint subtree is consumed once, and the only
+    * per-document state joined back is the ≤ len/(n+1)+1 merged spans. */
   def removeSpans(df: DataFrame, id: Column, tokens: Column, n: Int = 8,
       minCount: Long = 2L): DataFrame = {
     require(n >= 2, s"window length must be >= 2 tokens: $n")
     require(minCount >= 2, s"minCount below 2 removes everything: $minCount")
-    val covered = duplicateWindows(df, id, tokens, n, minCount)
-      .select(col("id"),
-        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
-      .distinct()
-    val toks = df.select(id.as("id"), posexplode(tokens).as(Seq("p", "tok")))
-    // removed = total - kept, so the expensive covered-position subtree
-    // (the corpus-wide gram shuffle) is consumed exactly once
-    val kept = toks.join(covered, Seq("id", "p"), "left_anti")
+    val perDoc = spans(df, id, tokens, n, minCount)
       .groupBy("id")
-      .agg(count(lit(1)).as("__n_kept"),
-        concat_ws(" ",
-          transform(array_sort(collect_list(struct(col("p"), col("tok")))),
-            s => s.getField("tok"))).as("text_clean"))
-    df.select(id.as("id"), size(tokens).cast("long").as("n_tokens"))
-      .join(kept, Seq("id"), "left")
+      .agg(sort_array(collect_list(struct(
+        col("span_start").cast("long").as("s"),
+        col("span_end").cast("long").as("e")))).as("__spans"))
+    val noSpans = array().cast("array<struct<s:bigint,e:bigint>>")
+    df.select(id.as("id"), tokens.as("__toks"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        coalesce(col("__spans"), noSpans).as("__spans"),
+        col("__toks"))
       .select(col("id"), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L)))
+        // a null token array explodes to zero kept rows, so the exploded
+        // form reported n_removed = n_tokens there (whatever size(null)
+        // evaluates to under the session's ANSI setting) — mirror it
+        when(col("__toks").isNull, col("n_tokens"))
+          .otherwise(aggregate(col("__spans"), lit(0L),
+            (acc, s) => acc + s.getField("e") - s.getField("s")))
           .as("n_removed"),
-        coalesce(col("text_clean"), lit("")).as("text_clean"))
+        coalesce(
+          graft.functions.NativeKernels.cutSpans(col("__toks"), col("__spans")),
+          lit("")).as("text_clean"))
   }
 }

@@ -218,11 +218,19 @@ class IndexRecoverySpec extends SparkTestBase {
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     @volatile var stop = false
+    val started = new java.util.concurrent.CountDownLatch(1)
     val probes = Future {
       var n = 0
-      while (!stop) { assert(answer() == expect, s"probe $n diverged"); n += 1 }
+      while (!stop) {
+        assert(answer() == expect, s"probe $n diverged")
+        n += 1; started.countDown()
+      }
       n
     }
+    // under a loaded host the Future can sit queued while the compactions
+    // finish — wait for the first probe so the loop provably overlaps them
+    assert(started.await(60, java.util.concurrent.TimeUnit.SECONDS),
+      "the probe loop never started")
     try (1 to 3).foreach(_ => AnnIndex.compact(spark, path))
     finally stop = true
     val ran = Await.result(probes, 60.seconds)
@@ -252,11 +260,17 @@ class IndexRecoverySpec extends SparkTestBase {
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     @volatile var stop = false
+    val started = new java.util.concurrent.CountDownLatch(1)
     val probes = Future {
       var n = 0
-      while (!stop) { assert(answer() == expect, s"probe $n diverged"); n += 1 }
+      while (!stop) {
+        assert(answer() == expect, s"probe $n diverged")
+        n += 1; started.countDown()
+      }
       n
     }
+    assert(started.await(60, java.util.concurrent.TimeUnit.SECONDS),
+      "the probe loop never started")
     try (1 to 3).foreach(_ => AnnIndex.compact(spark, path))
     finally stop = true
     val ran = Await.result(probes, 60.seconds)

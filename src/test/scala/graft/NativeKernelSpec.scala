@@ -243,6 +243,90 @@ class NativeKernelSpec extends SparkTestBase {
     assert(mismatches == 0)
   }
 
+  test("char_bigram_counts_native: entropy over the counts is bit-identical " +
+    "to the composed quadratic form, including the substr edges") {
+    // the composed chain this kernel replaces (filter-per-distinct-gram)
+    def composedEnt(text: org.apache.spark.sql.Column) = {
+      val grams = transform(
+        sequence(lit(1), greatest(length(text) - 1, lit(1))),
+        i => text.substr(i, lit(2)))
+      val n = size(grams).cast("double")
+      -aggregate(transform(array_distinct(grams),
+          g => size(filter(grams, x => x === g)).cast("double")),
+        lit(0.0), (acc, c) => acc + c / n * log2(c / n))
+    }
+    def nativeEnt(text: org.apache.spark.sql.Column) = {
+      val n = greatest(length(text) - 1, lit(1)).cast("double")
+      -aggregate(transform(
+          graft.functions.NativeKernels.charBigramCounts(text),
+          c => c.cast("double")),
+        lit(0.0), (acc, c) => acc + c / n * log2(c / n))
+    }
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+      // edges: empty text (one empty gram), single char, multibyte chars
+      // (code-point slicing, not bytes), null text
+      .union(Seq(Some(""), Some("x"), Some("café été"),
+        Option.empty[String]).toDF("text"))
+    val mismatches = docs
+      .select(composedEnt(col("text")).as("c"), nativeEnt(col("text")).as("n"))
+      .where(not(col("c") <=> col("n"))).count()
+    assert(mismatches == 0)
+    // and the count arrays themselves: first-appearance order
+    val counts = spark.range(1)
+      .select(graft.functions.NativeKernels.charBigramCounts(lit("ababa")).as("c"))
+      .head.getSeq[Int](0)
+    assert(counts == Seq(2, 2)) // "ab" x2 then "ba" x2
+  }
+
+  test("cut_spans_native: two-pointer cut over sorted disjoint spans — " +
+    "head/middle/tail cuts, abutting spans, clamping, empties, null") {
+    def cut(toks: Seq[String], spans: Seq[(Long, Long)]): String =
+      spark.range(1).select(graft.functions.NativeKernels.cutSpans(
+          typedLit(toks),
+          typedLit(spans).cast("array<struct<s:bigint,e:bigint>>")).as("t"))
+        .head.getString(0)
+    val t = Seq("a", "b", "c", "d", "e", "f")
+    assert(cut(t, Seq((0L, 2L))) == "c d e f")           // head
+    assert(cut(t, Seq((2L, 4L))) == "a b e f")           // middle
+    assert(cut(t, Seq((4L, 6L))) == "a b c d")           // tail
+    assert(cut(t, Seq((0L, 2L), (4L, 6L))) == "c d")     // two spans
+    assert(cut(t, Seq((0L, 3L), (3L, 6L))) == "")        // abutting cover-all
+    assert(cut(t, Seq((4L, 99L))) == "a b c d")          // end clamps
+    assert(cut(t, Seq.empty) == "a b c d e f")           // no spans
+    assert(cut(Seq.empty, Seq((0L, 2L))) == "")          // no tokens
+    val nulled = spark.sql(
+      "SELECT cast(null as array<string>) toks, " +
+        "array(named_struct('s', 0L, 'e', 1L)) sp")
+      .select(graft.functions.NativeKernels.cutSpans(col("toks"), col("sp")))
+      .head
+    assert(nulled.isNullAt(0))
+  }
+
+  test("window_fingerprints_native is byte-identical to the composed " +
+    "unhex(md5(concat_ws(' ', slice(...)))) chain, including null tokens " +
+    "and short documents") {
+    import graft.functions.TextKernels
+    val n = 8
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), TextKernels.wordTokens(col("text")).as("w"))
+      .union(Seq(
+        (99990L, Some(Seq("just", "seven", "tokens", "is", "too", "few", "x"))),
+        (99991L, Some(Seq.empty[String])),
+        (99992L, Option.empty[Seq[String]])).toDF("doc_id", "w"))
+      // a null token mid-array: concat_ws skips it (separator included)
+      .union(spark.sql("SELECT 99993L AS doc_id, " +
+        "array('a','b','c', CAST(NULL AS STRING), 'd','e','f','g','h') AS w"))
+    val composed = when(size(col("w")) < n, expr("cast(array() as array<binary>)"))
+      .otherwise(transform(sequence(lit(0), size(col("w")) - lit(n)),
+        i => unhex(md5(concat_ws(" ", slice(col("w"), i + 1, lit(n)))))))
+    val native = graft.functions.NativeKernels.windowFingerprints(col("w"), n)
+    // null input: composed yields null through the when/otherwise too
+    val mismatches = docs.select(col("doc_id"), composed.as("c"), native.as("nv"))
+      .where(not(col("c") <=> col("nv"))).count()
+    assert(mismatches == 0)
+  }
+
   test("nfc_normalize_native: decomposed sequences compose, ASCII and " +
     "already-normalized text pass through IDENTICALLY (fast paths), " +
     "null stays null, codegen runs") {
