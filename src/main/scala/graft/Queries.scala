@@ -2402,7 +2402,7 @@ object Queries {
 
   private val dsirQ: (SparkSession, String) => DataFrame = (s, dir) =>
     graft.operators.Dsir.weights(
-        spread(t(s, dir, "documents")), col("doc_id"),
+        t(s, dir, "documents"), col("doc_id"),
         graft.functions.NativeKernels.wordTokens(col("text")),
         col("lang") === "en", buckets = dsirBuckets)
       .select(col("id").as("doc_id"), col("n_feats"),
@@ -2432,7 +2432,7 @@ object Queries {
 
   private val dsirSelectQ: (SparkSession, String) => DataFrame = (s, dir) => {
     val scored = graft.operators.Dsir.weights(
-      spread(t(s, dir, "documents")), col("doc_id"),
+      t(s, dir, "documents"), col("doc_id"),
       graft.functions.NativeKernels.wordTokens(col("text")),
       col("lang") === "en", buckets = dsirBuckets)
     graft.operators.Dsir
@@ -2460,7 +2460,7 @@ object Queries {
 
   private val dedupSpansQ: (SparkSession, String) => DataFrame = (s, dir) =>
     graft.operators.SpanDedup.spans(
-        spread(t(s, dir, "documents")), col("doc_id"),
+        t(s, dir, "documents"), col("doc_id"),
         graft.functions.NativeKernels.wordTokens(col("text")),
         n = spanN, minCount = 2L)
       .select(col("id").as("doc_id"),
@@ -2491,7 +2491,7 @@ object Queries {
 
   private val dedupSubstrQ: (SparkSession, String) => DataFrame = (s, dir) =>
     graft.operators.SpanDedup.removeSpans(
-        spread(t(s, dir, "documents")), col("doc_id"),
+        t(s, dir, "documents"), col("doc_id"),
         graft.functions.NativeKernels.wordTokens(col("text")),
         n = spanN, minCount = 2L)
       .select(col("id").as("doc_id"), col("n_tokens"), col("n_removed"),

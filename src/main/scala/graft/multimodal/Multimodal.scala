@@ -323,6 +323,10 @@ object Multimodal {
     *  - WAV / RIFF: `RIFF....WAVE` magic, then a chunk walk: `fmt ` carries
     *    channels + sample rate + byte rate, `data`'s size gives
     *    durationMs = bytes * 1000 / byteRate (exact integer division).
+    *  - Animated WebP / RIFF: `RIFF....WEBP` with an `ANIM` chunk — the
+    *    VP8X canvas plus the summed LE24 per-frame durations of every
+    *    `ANMF` chunk; still WebPs are images ([[parseDimensions]]) and
+    *    fall through to the stub here.
     *  - WebM / Matroska: EBML magic (0x1A45DFA3), then a variable-length-
     *    integer element walk per the published Matroska layout: the EBML
     *    header's DocType names the container ("webm"/"matroska"),
@@ -435,6 +439,34 @@ object Multimodal {
       else Some(AvInfo("wav", 0, 0,
         if (dataLen >= 0 && byteRate > 0) dataLen * 1000L / byteRate else 0L,
         sampleRate.toInt, channels))
+    } else if (data.length >= 12 && fourcc(0) == "RIFF" && fourcc(8) == "WEBP") {
+      // animated WebP (the public container spec's ANIM/ANMF extension):
+      // canvas from VP8X (LE24 width-1/height-1 behind 4 flag/reserved
+      // bytes), total duration = sum of each ANMF frame's LE24 duration
+      // (payload offset 12). A STILL WebP is an image, not an AV payload —
+      // only files that actually carry animation frames resolve here; the
+      // rest fall through to the stub like any other non-AV container.
+      def le24(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)
+      var width = 0; var height = 0
+      var sawAnim = false; var frames = 0; var durMs = 0L
+      var i = 12
+      while (i + 8 <= data.length) {
+        val id = fourcc(i)
+        val size = le32(i + 4)
+        if (id == "VP8X" && size >= 10 && i + 18 <= data.length) {
+          width = le24(i + 12) + 1
+          height = le24(i + 15) + 1
+        } else if (id == "ANIM") sawAnim = true
+        else if (id == "ANMF" && size >= 16 && i + 24 <= data.length) {
+          frames += 1
+          durMs += le24(i + 20) // frame duration, ms, payload offset 12
+        }
+        val step = 8L + size + (size & 1L) // word-aligned like RIFF/WAVE
+        if (i + step > Int.MaxValue) return None
+        i += step.toInt
+      }
+      if (sawAnim && frames > 0) Some(AvInfo("webp", width, height, durMs, 0, 0))
+      else None
     } else if (data.length >= 8 && be32(0) == 0x1a45dfa3L) {
       // Matroska/WebM EBML element walk
       var tsScale = 1000000L; var durTicks = 0.0

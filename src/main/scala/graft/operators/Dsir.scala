@@ -64,7 +64,8 @@ object Dsir {
     * needed. Narrow (projection + explode), no shuffle. */
   private def featureStream(df: DataFrame, id: Column, tokens: Column,
       buckets: Int): DataFrame =
-    df.select(id.as("id"), explode_outer(features(tokens)).as("__g"))
+    Dedup.spread(df) // under-split sources: don't tokenize on one core
+      .select(id.as("id"), explode_outer(features(tokens)).as("__g"))
       .select(col("id"), bucket(col("__g"), buckets).as("b"))
 
   /** The per-bucket log-likelihood-ratio table from a joined count frame
@@ -136,7 +137,8 @@ object Dsir {
       buckets: Int = 10000): DataFrame = {
     require(buckets >= 2 && buckets <= MaxBuckets,
       s"buckets must be in [2, $MaxBuckets]: $buckets")
-    val feats = df.select(id.as("id"), isTarget.as("__t"),
+    val feats = Dedup.spread(df)
+      .select(id.as("id"), isTarget.as("__t"),
         explode_outer(features(tokens)).as("__g"))
       .select(col("id"), col("__t"), bucket(col("__g"), buckets).as("b"))
     val cnt = feats.where(col("b").isNotNull)
@@ -171,7 +173,8 @@ object Dsir {
       buckets: Int = 10000): DsirModel = {
     require(buckets >= 2 && buckets <= MaxBuckets,
       s"buckets must be in [2, $MaxBuckets]: $buckets")
-    val cnt = df.select(isTarget.as("__t"),
+    val cnt = Dedup.spread(df)
+      .select(isTarget.as("__t"),
         explode(features(tokens)).as("__g"))
       .select(col("__t"), bucket(col("__g"), buckets).as("b"))
       .groupBy("b").agg(count(lit(1)).as("cr"),
@@ -189,7 +192,7 @@ object Dsir {
     require(buckets >= 2 && buckets <= MaxBuckets,
       s"buckets must be in [2, $MaxBuckets]: $buckets")
     def counts(df: DataFrame, tokens: Column): Map[Long, Long] =
-      df.select(explode(features(tokens)).as("__g"))
+      Dedup.spread(df).select(explode(features(tokens)).as("__g"))
         .select(bucket(col("__g"), buckets).as("b"))
         .groupBy("b").agg(count(lit(1)).as("c"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

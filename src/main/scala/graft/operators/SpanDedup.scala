@@ -53,7 +53,8 @@ object SpanDedup {
     * n yield no windows. */
   private def windows(df: DataFrame, id: Column, tokens: Column,
       n: Int): DataFrame =
-    df.select(id.as("id"),
+    Dedup.spread(df) // under-split sources: don't fingerprint on one core
+      .select(id.as("id"),
         graft.functions.NativeKernels.windowFingerprints(tokens, n).as("__w"))
       .select(col("id"), posexplode(col("__w")).as(Seq("pos", "f")))
 

@@ -187,6 +187,38 @@ object GenAvFixture {
       Array.tabulate(48)(i => (i * 5).toByte)
   }
 
+  // ----- animated WebP: RIFF chunks per the published container spec
+
+  private def le24(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte)
+  private def le32b(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def riffChunk(id: String, payload: Array[Byte]): Array[Byte] = {
+    val pad = if (payload.length % 2 == 1) Array[Byte](0) else Array.empty[Byte]
+    id.getBytes("US-ASCII") ++ le32b(payload.length.toLong) ++ payload ++ pad
+  }
+
+  /** Package-visible so MultimodalSpec can drive the independent builder
+    * against the parser — like [[mp4]]/[[webm]]. Frame durations in ms;
+    * `still = true` omits ANIM/ANMF (an image, which the AV parser must
+    * NOT claim). Odd-length ANMF payloads exercise RIFF word alignment. */
+  private[graft] def webpAnim(w: Int, h: Int, frameDursMs: Seq[Int],
+      still: Boolean = false): Array[Byte] = {
+    val vp8x = riffChunk("VP8X",
+      Array[Byte](if (still) 0 else 2, 0, 0, 0) ++ le24(w - 1) ++ le24(h - 1))
+    val anim = riffChunk("ANIM", le32b(0xffffffffL) ++ Array[Byte](0, 0))
+    val frames = frameDursMs.zipWithIndex.map { case (d, fi) =>
+      val bitstream = Array.tabulate(21 + fi)(j => (j * 11 + fi).toByte)
+      riffChunk("ANMF", le24(0) ++ le24(0) ++ le24(w - 1) ++ le24(h - 1) ++
+        le24(d) ++ Array[Byte](0) ++ bitstream)
+    }.reduceOption(_ ++ _).getOrElse(Array.empty[Byte])
+    val payload = "WEBP".getBytes("US-ASCII") ++ vp8x ++
+      (if (still) Array.empty[Byte] else anim ++ frames)
+    "RIFF".getBytes("US-ASCII") ++ le32b(payload.length.toLong) ++ payload
+  }
+
   private def wav(sampleRate: Int, channels: Int, nFrames: Int, seed: Int): Array[Byte] = {
     val fmt = new AudioFormat(sampleRate.toFloat, 16, channels, true, false)
     val pcm = new Array[Byte](nFrames * fmt.getFrameSize)
@@ -205,13 +237,24 @@ object GenAvFixture {
       .getOrCreate()
     import spark.implicits._
     // (media_id, kind, data, container, width, height, duration_ms, sample_rate, channels)
-    val rows = (0 until 64).map { i =>
+    val rows = (0 until 72).map { i =>
       def stub(kind: String, data: Array[Byte]) = {
         val n = data.length.toLong
         (i.toLong, kind, data, "opaque",
           16 + (n % 64).toInt, 16 + (n % 48).toInt, n % 10000L, 0, 0)
       }
-      if (i >= 40) (i - 40) % 6 match {
+      if (i >= 64) (i - 64) % 4 match {
+        case 0 | 1 => // animated WebP: varying canvas, frame count, durations
+          val (w, h) = (64 + (i * 13) % 1000, 48 + (i * 7) % 700)
+          val durs = (0 until 2 + i % 5).map(j => 33 + ((i + j) * 29) % 400)
+          val data = webpAnim(w, h, durs)
+          (i.toLong, "video", data, "webp", w, h, durs.map(_.toLong).sum, 0, 0)
+        case 2 => // STILL WebP: an image, not an AV payload — must stub
+          stub("video", webpAnim(320, 240, Seq.empty, still = true))
+        case _ => // ANIM chunk but zero ANMF frames: malformed — must stub
+          stub("video", webpAnim(200, 100, Seq.empty))
+      }
+      else if (i >= 40) (i - 40) % 6 match {
         case 0 => // WebM/Matroska: varying geometry, timescale, doctype,
           // and the streamed unknown-size Segment shape
           val (w, h) = (320 + (i * 29) % 1600, 180 + (i * 17) % 900)

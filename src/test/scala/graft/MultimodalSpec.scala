@@ -259,6 +259,24 @@ class MultimodalSpec extends SparkTestBase {
       GenAvFixture.flac(44100, 2, 1L, streamInfoFirst = false)).isEmpty)
   }
 
+  test("parseAvMeta: animated WebP sums ANMF frame durations over the " +
+    "VP8X canvas; still WebP and frameless ANIM stub") {
+    // three frames of 33/100/250 ms over a 640x360 canvas
+    val a = Multimodal.parseAvMeta(
+      GenAvFixture.webpAnim(640, 360, Seq(33, 100, 250)))
+    assert(a.contains(Multimodal.AvInfo("webp", 640, 360, 383L, 0, 0)), a.toString)
+    // single frame, odd-length ANMF payload (RIFF pad byte exercised)
+    val b = Multimodal.parseAvMeta(GenAvFixture.webpAnim(17, 9, Seq(1000)))
+    assert(b.contains(Multimodal.AvInfo("webp", 17, 9, 1000L, 0, 0)), b.toString)
+    // a STILL WebP is an image: parseDimensions claims it, parseAvMeta not
+    val still = GenAvFixture.webpAnim(320, 240, Seq.empty, still = true)
+    assert(Multimodal.parseAvMeta(still).isEmpty)
+    assert(Multimodal.parseDimensions(still).contains((320, 240)))
+    // ANIM chunk with zero ANMF frames: malformed animation, stub
+    assert(Multimodal.parseAvMeta(
+      GenAvFixture.webpAnim(200, 100, Seq.empty)).isEmpty)
+  }
+
   test("decodeAv routes containers to the real parsers and opaque " +
     "payloads to the stub branch") {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
@@ -302,6 +320,7 @@ class MultimodalSpec extends SparkTestBase {
       GenAvFixture.mp3(2, 5, 1, mono = true, 3000, id3Pad = 77),
       GenAvFixture.flac(44100, 2, 99999L),
       wav,
+      GenAvFixture.webpAnim(640, 360, Seq(33, 100, 250)),
       GenMultimodalFixture.makeWebp("VP8 ", 640, 480, 5),
       GenMultimodalFixture.makeWebp("VP8L", 640, 480, 5),
       GenMultimodalFixture.makeWebp("VP8X", 640, 480, 5),
