@@ -280,6 +280,34 @@ object IndexTool {
           .write.mode("overwrite").parquet(out)
         println(s"""{"action":"split","path":"${args(1)}","out":"$out",""" +
           s""""splits":"$spec"}"""); 0
+      case "quantile-cut" =>
+        // corpus-quantile bands (the CCNet head/middle/tail cut) over an
+        // integral score expression evaluated against the input columns
+        val out = opt(args, "--out").getOrElse {
+          System.err.println(s"quantile-cut needs --out <parquet>\n$usage")
+          return 2
+        }
+        val scoreExpr = opt(args, "--score-expr").getOrElse {
+          System.err.println(
+            s"quantile-cut needs --score-expr <integral sql expr>\n$usage")
+          return 2
+        }
+        val cuts = opt(args, "--cuts").getOrElse {
+          System.err.println(
+            s"quantile-cut needs --cuts ppm,ppm,...\n$usage")
+          return 2
+        }.split(",").toSeq.map(_.trim.toLong)
+        val labels = opt(args, "--labels").getOrElse {
+          System.err.println(
+            s"quantile-cut needs --labels name,name,...\n$usage")
+          return 2
+        }.split(",").toSeq.map(_.trim)
+        graft.operators.Sampling.quantileBuckets(
+            spark.read.parquet(args(1)),
+            org.apache.spark.sql.functions.expr(scoreExpr), cuts, labels)
+          .write.mode("overwrite").parquet(out)
+        println(s"""{"action":"quantile-cut","path":"${args(1)}",""" +
+          s""""out":"$out","cuts":"${cuts.mkString(",")}"}"""); 0
       case "dsir" =>
         // DSIR importance weights against the in-frame target subset; with
         // --k also Gumbel-top-k selects the training set
@@ -407,5 +435,6 @@ object IndexTool {
       |  dsir <srcParquet> --out <parquet> --target-where <bool SQL expr> [--id id] [--text text] [--buckets 10000] [--k N] [--temperature 1.0]
       |  dsir-train <modelPath> --source <parquet> --target-where <bool SQL expr> [--text text] [--buckets 10000]
       |  dsir-score <modelPath> --source <parquet> --out <parquet> [--id id] [--text text] [--k N] [--temperature 1.0]
-      |  dedup-substr <srcParquet> --out <parquet> [--id id] [--text text] [--n 8] [--min-count 2] [--spans]""".stripMargin
+      |  dedup-substr <srcParquet> --out <parquet> [--id id] [--text text] [--n 8] [--min-count 2] [--spans]
+      |  quantile-cut <srcParquet> --out <parquet> --score-expr <integral SQL expr> --cuts 333333,666667 --labels tail,middle,head""".stripMargin
 }

@@ -944,6 +944,48 @@ object Queries {
        |SELECT doc_id, round(CAST(sum_cnt AS DOUBLE) * 1000000.0 / n_tok / total, 6) AS freq_ppm
        |FROM agg, tot ORDER BY doc_id""".stripMargin
 
+  // -- CCNet head/middle/tail: bucket every document by which corpus-wide
+  //    tertile of the LM-quality signal it falls in (Wenzek et al. 2020
+  //    §4.3 keeps head+middle and drops tail). Score = the proven-portable
+  //    freq_ppm double scaled by 1000 and FLOORED to a long ("milli-ppm")
+  //    — floor of an exact *1000.0 product is bit-identical in both
+  //    engines, unlike a round whose half-way rule could differ. Low
+  //    freq_ppm = rare/junk tokens = high perplexity = CCNet's tail, so
+  //    the ascending-score labels run tail -> middle -> head. Both engines
+  //    derive the tertile thresholds from the same distinct-score
+  //    cumulative counts with pure-integer boundary ranks.
+  private val pplBucketsQ: (SparkSession, String) => DataFrame = (s, dir) => {
+    val scored = graft.operators.TfIdf.corpusFreqQuality(t(s, dir, "documents"),
+        col("doc_id"), graft.functions.NativeKernels.wordTokens(col("text")))
+      .select(col("doc_id"),
+        floor(col("freq_ppm") * lit(1000.0)).cast("long").as("score"))
+    graft.operators.Sampling.quantileBuckets(scored, col("score"),
+        Seq(333333L, 666667L), Seq("tail", "middle", "head"))
+      .select(col("doc_id"), col("score"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val pplBucketsSql =
+    s"""WITH tk AS (SELECT doc_id, unnest(${sqlWords("text")}) AS tok FROM documents),
+       |vocab AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok),
+       |tot AS (SELECT sum(cnt)::BIGINT AS total FROM vocab),
+       |agg AS (SELECT t.doc_id, sum(v.cnt)::BIGINT AS sum_cnt, count(*) AS n_tok
+       |        FROM tk t JOIN vocab v USING (tok) GROUP BY t.doc_id),
+       |scored AS (SELECT doc_id,
+       |  CAST(floor(round(CAST(sum_cnt AS DOUBLE) * 1000000.0 / n_tok / total, 6) * 1000.0) AS BIGINT) AS score
+       |  FROM agg, tot),
+       |dist AS (SELECT score AS s, count(*) AS c FROM scored GROUP BY score),
+       |cum AS (SELECT s, sum(c) OVER (ORDER BY s) AS cc,
+       |               sum(c) OVER () AS n FROM dist),
+       |thr AS (SELECT
+       |  min(CASE WHEN cc >= (n * 333333 + 999999) // 1000000 THEN s END) AS t0,
+       |  min(CASE WHEN cc >= (n * 666667 + 999999) // 1000000 THEN s END) AS t1
+       |  FROM cum)
+       |SELECT doc_id, score,
+       |  CASE WHEN score <= t0 THEN 'tail'
+       |       WHEN score <= t1 THEN 'middle' ELSE 'head' END AS bucket
+       |FROM scored, thr ORDER BY doc_id""".stripMargin
+
   // -- PII / pattern scrubbing: match counts + masked length. The corpus is
   //    synthetic lowercase prose, so the email/URL counts exercise the
   //    zero path while the keyword pattern exercises real matches.
@@ -2789,6 +2831,7 @@ object Queries {
     "q_pack_chunks"   -> packChunks,
     "q_tfidf"         -> tfidfQ,
     "q_lm_quality"    -> lmQualityQ,
+    "q_ppl_buckets"   -> pplBucketsQ,
     "q_scrub"         -> scrubQ,
     "q_simhash_pairs" -> simhashPairsQ,
     "q_contamination" -> contaminationQ,
@@ -2876,6 +2919,7 @@ object Queries {
     "q_pack_chunks"   -> packChunksSql,
     "q_tfidf"         -> tfidfSql,
     "q_lm_quality"    -> lmQualitySql,
+    "q_ppl_buckets"   -> pplBucketsSql,
     "q_scrub"         -> scrubSql,
     "q_simhash_pairs" -> simhashPairsSql,
     "q_contamination" -> contaminationSql,

@@ -183,4 +183,66 @@ object Sampling {
     }
     df.where(hashPct(id) < rate)
   }
+
+  /** CCNet-style corpus-quantile bucketing: label every row by which
+    * quantile band of the CORPUS-WIDE `score` distribution it falls in —
+    * the head/middle/tail cut CCNet applies to its LM-perplexity signal
+    * before keeping only the better bands (Wenzek et al. 2020 §4.3). The
+    * cut points are parts-per-million fractions (`cutsPpm`, strictly
+    * increasing, e.g. `Seq(333333L, 666667L)` for tertiles), so the
+    * boundary rank `ceil(n * ppm / 1e6)` is pure 64-bit integer
+    * arithmetic — identical on any engine (valid for corpora up to
+    * ~9.2e12 rows before `n * ppm` would overflow a long).
+    *
+    * Semantics: threshold t_i is the SMALLEST score whose cumulative count
+    * reaches boundary rank i; a row lands in the first band whose
+    * threshold its score does not exceed. All rows sharing a score value
+    * land in the same band (the percentile_disc convention), so a mass
+    * point straddling a cut goes wholly to the lower band and the split is
+    * deterministic under ties — band sizes are therefore >= the requested
+    * fractions, not exact. Null scores get a null label and are not
+    * counted in n.
+    *
+    * Scale design (100 TB): `score` must be INTEGRAL with bounded
+    * cardinality (a ppm-scaled quality signal, a token count — anything
+    * with <= ~1e7 distinct values; the cast to long is enforced here, the
+    * cardinality bound is the caller's contract). The distribution then
+    * aggregates with map-side combine to one row PER DISTINCT SCORE, and
+    * the only unpartitioned window runs over that bounded frame — never
+    * the corpus (the [[graft.operators.Packing]] discipline). Thresholds
+    * reduce to ONE broadcast row and the labeling is a narrow codegen
+    * projection: no corpus sort, no corpus shuffle beyond the score
+    * aggregate, no driver collect. */
+  def quantileBuckets(df: DataFrame, score: Column, cutsPpm: Seq[Long],
+      labels: Seq[String], outCol: String = "bucket"): DataFrame = {
+    require(labels.size == cutsPpm.size + 1,
+      s"need ${cutsPpm.size + 1} labels for ${cutsPpm.size} cuts, got ${labels.size}")
+    require(cutsPpm.forall(p => p > 0 && p < 1000000L),
+      s"cuts must be ppm fractions in (0, 1e6): $cutsPpm")
+    require(cutsPpm == cutsPpm.sorted && cutsPpm.distinct == cutsPpm,
+      s"cuts must be strictly increasing: $cutsPpm")
+    val s = score.cast("long")
+    val dist = df.select(s.as("__qb_s")).where(col("__qb_s").isNotNull)
+      .groupBy("__qb_s").agg(count(lit(1)).as("__qb_c"))
+    val cum = dist.select(col("__qb_s"),
+      sum("__qb_c").over(Window.orderBy("__qb_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("__qb_cum"),
+      sum("__qb_c").over(Window.partitionBy()).as("__qb_n"))
+    // ceil(n * ppm / 1e6) in integer arithmetic — `div`, not `/`, because
+    // Spark's `/` on longs is DOUBLE division and n * ppm exceeds a
+    // double's 53-bit mantissa long before it overflows a long
+    val thrCols = cutsPpm.zipWithIndex.map { case (p, i) =>
+      min(when(col("__qb_cum") >=
+        expr(s"(__qb_n * ${p}L + 999999L) div 1000000L"),
+        col("__qb_s"))).as(s"__qb_t$i")
+    }
+    val thr = cum.agg(thrCols.head, thrCols.tail: _*)
+    val label = cutsPpm.indices.foldRight(lit(labels.last): Column) {
+      case (i, rest) => when(s <= col(s"__qb_t$i"), labels(i)).otherwise(rest)
+    }
+    df.crossJoin(broadcast(thr))
+      .withColumn(outCol, when(s.isNull, lit(null)).otherwise(label))
+      .drop(cutsPpm.indices.map(i => s"__qb_t$i"): _*)
+  }
 }

@@ -369,7 +369,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
     *               "minhash_pairs_between" | "domain_cap" |
     *               "nb_train" | "nb_score" |
     *               "bpe_train" | "bpe_encode" | "bpe_token_count" |
-    *               "split" | "scrub_pii" | "gopher",
+    *               "split" | "scrub_pii" | "gopher" | "quantile_cut",
     *   "input": {"column": "<mounted attribute>"}        // api_key's catalog
     *          | {"path": "/dir", "format": "parquet"|"csv"},
     *   "id": "doc_id", "text": "text",                   // path-input columns
@@ -423,7 +423,11 @@ final class SimSearchService(spark: SparkSession, port: Int,
     * its deterministic train/val/test assignment; scrub_pii none (the
     * fixed PII preset over the text column); gopher `min_words`,
     * `max_words`, `stop_words` (array), `filter` (true = surviving rows
-    * instead of verdicts). The `output` block also accepts
+    * instead of verdicts); quantile_cut `score_expr` (required — an
+    * integral SQL expression over the input columns), `cuts_ppm`
+    * (required — strictly increasing ppm fractions), `labels` (required —
+    * one more than cuts) labels every row with its corpus-quantile band
+    * (the CCNet head/middle/tail cut). The `output` block also accepts
     * `target_bytes` (parquet only) to route through the calibrated
     * sharded writer — uniform ~N-byte files instead of task-shaped
     * parts. */
@@ -441,7 +445,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
         "minhash_pairs_between", "domain_cap", "nb_train", "nb_score",
         "bpe_train", "bpe_encode", "bpe_token_count", "split",
         "scrub_pii", "gopher", "dsir", "dsir_train", "dsir_score",
-        "dedup_spans", "dedup_substr")
+        "dedup_spans", "dedup_substr", "quantile_cut")
       if (!knownOps.contains(opName))
         throw new IllegalArgumentException(
           s"unknown operator '$opName' — one of ${knownOps.mkString(", ")}")
@@ -705,6 +709,20 @@ final class SimSearchService(spark: SparkSession, port: Int,
               params.get("k").asInt(),
               params.path("temperature").asDouble(1.0))
           else scored).withColumnRenamed("id", idCol)
+        case "quantile_cut" =>
+          // CCNet-style corpus-quantile bands over an integral score
+          // expression (params.score_expr, SQL over the input columns);
+          // cuts_ppm + labels mirror Sampling.quantileBuckets' contract
+          val cutsArr = reqParam("cuts_ppm")
+          require(cutsArr.isArray && cutsArr.size() > 0,
+            "params.cuts_ppm must be a non-empty array of ppm fractions")
+          val cuts = (0 until cutsArr.size()).map(cutsArr.get(_).asLong())
+          val labArr = reqParam("labels")
+          require(labArr.isArray,
+            "params.labels must be an array of band names")
+          val labs = (0 until labArr.size()).map(labArr.get(_).asText())
+          graft.operators.Sampling.quantileBuckets(df,
+            expr(reqParam("score_expr").asText()), cuts, labs)
         case "dedup_spans" =>
           // corpus-global duplicated n-token spans (discovery form)
           graft.operators.SpanDedup.spans(df, col(idCol),

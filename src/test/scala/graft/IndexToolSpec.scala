@@ -194,10 +194,19 @@ class IndexToolSpec extends SparkTestBase {
       "--out", s"$root/splits", "--splits", "train:98,holdout:2")) == 0)
     val sp = spark.read.parquet(s"$root/splits")
     assert(sp.columns.contains("split") && sp.count() == 2)
+    // quantile-cut: band labels from the integral score expression
+    assert(IndexTool.run(spark, Array("quantile-cut", s"$root/src",
+      "--out", s"$root/bands", "--score-expr", "length(text)",
+      "--cuts", "500000", "--labels", "short,long")) == 0)
+    val bands = spark.read.parquet(s"$root/bands")
+      .select("id", "bucket").as[(Long, String)].collect().toMap
+    assert(bands == Map(1L -> "long", 2L -> "short"), bands.toString)
     // missing required flags exit 2
     assert(IndexTool.run(spark, Array("scrub-pii", s"$root/src")) == 2)
     assert(IndexTool.run(spark, Array("split", s"$root/src",
       "--out", s"$root/x")) == 2)
+    assert(IndexTool.run(spark, Array("quantile-cut", s"$root/src",
+      "--out", s"$root/y", "--score-expr", "length(text)")) == 2)
   }
   test("IndexTool: dsir weights/selects and dedup-substr cuts repeated " +
     "spans parquet-to-parquet; missing flags exit 2") {

@@ -141,6 +141,62 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("quantileBuckets: distinct scores cut at exact boundary ranks, a " +
+    "mass point straddling a cut lands wholly in the lower band, nulls " +
+    "label null, placement-independent, bad cuts rejected") {
+    // 1000 distinct scores, quartile cuts -> exactly 250 per band
+    val uniform = spark.range(0, 1000).toDF("id")
+      .withColumn("score", col("id"))
+    val quart = Sampling.quantileBuckets(uniform, col("score"),
+      Seq(250000L, 500000L, 750000L), Seq("q1", "q2", "q3", "q4"))
+    val sizes = quart.groupBy("bucket").count().as[(String, Long)]
+      .collect().toMap
+    assert(sizes == Map("q1" -> 250L, "q2" -> 250L, "q3" -> 250L, "q4" -> 250L),
+      sizes.toString)
+    // and each band is the contiguous score range it should be
+    assert(quart.where(col("bucket") === "q1").agg(max("score"))
+      .first().getLong(0) == 249L)
+    // ties: scores [1 x4, 2 x2, 3 x4], tertiles over n=10 -> boundary
+    // ranks ceil(3.33)=4 and ceil(6.67)=7: t0=1 (cum 4), t1=3 (cum 6 < 7
+    // at score 2, so the cut slides to 3) -> the middle band swallows the
+    // whole 3-mass and the top band is EMPTY — deterministic under ties
+    val tied = (Seq.fill(4)(1) ++ Seq.fill(2)(2) ++ Seq.fill(4)(3))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "score")
+    val t = Sampling.quantileBuckets(tied, col("score"),
+      Seq(333333L, 666667L), Seq("tail", "middle", "head"))
+    val byBand = t.groupBy("bucket").count().as[(String, Long)].collect().toMap
+    assert(byBand == Map("tail" -> 4L, "middle" -> 6L), byBand.toString)
+    // same-scored rows never split across bands
+    val perScore = t.groupBy("score").agg(countDistinct("bucket").as("nb"))
+      .as[(Int, Long)].collect().toMap
+    assert(perScore.values.forall(_ == 1L), perScore.toString)
+    // null scores: labeled null, excluded from n (bands of the rest move)
+    val withNulls = tied.union(Seq((100L, null.asInstanceOf[Integer]))
+      .map { case (i, s) => (i, Option(s).map(_.toInt).getOrElse(0)) }
+      .toDF("id", "score").withColumn("score",
+        when(col("id") === 100L, lit(null)).otherwise(col("score"))))
+    val n = Sampling.quantileBuckets(withNulls, col("score"),
+      Seq(333333L, 666667L), Seq("tail", "middle", "head"))
+    assert(n.where(col("id") === 100L).select("bucket").first().isNullAt(0))
+    assert(n.where(col("bucket").isNotNull).count() == 10L)
+    // placement-independent: repartitioned input labels identically
+    val re = Sampling.quantileBuckets(tied.repartition(7), col("score"),
+      Seq(333333L, 666667L), Seq("tail", "middle", "head"))
+      .select("id", "bucket").as[(Long, String)].collect().toMap
+    assert(t.select("id", "bucket").as[(Long, String)].collect().toMap == re)
+    intercept[IllegalArgumentException] { // labels arity
+      Sampling.quantileBuckets(tied, col("score"), Seq(500000L), Seq("a"))
+    }
+    intercept[IllegalArgumentException] { // non-increasing cuts
+      Sampling.quantileBuckets(tied, col("score"),
+        Seq(600000L, 400000L), Seq("a", "b", "c"))
+    }
+    intercept[IllegalArgumentException] { // out-of-range ppm
+      Sampling.quantileBuckets(tied, col("score"),
+        Seq(0L, 500000L), Seq("a", "b", "c"))
+    }
+  }
+
   test("stratified sample keeps exactly floor(frac * |stratum|) per stratum") {
     val df = spark.range(0, 300)
       .select(col("id"), (col("id") % 3).cast("string").as("g"))

@@ -474,6 +474,23 @@ class SimSearchServiceSpec extends SparkTestBase {
       assert(sp.size() == 3 && (0 until sp.size()).forall(i =>
         Set("train", "holdout").contains(sp.get(i).get("split").asText())), bSp)
 
+      // quantile_cut: corpus-quantile bands over an integral score
+      // expression — quality 0.5/0.7/0.9 scaled to per-mille lands one doc
+      // per band (n=3, cuts 30%/60% -> boundary ranks ceil(0.9)=1 and
+      // ceil(1.8)=2; exact-tertile ppm like 666667 would round rank 2.000001
+      // UP to 3 at this tiny n and leave the top band empty)
+      val (cQc, bQc) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "quantile_cut", "input": {"path": "$dir/docs"},
+            "id": "doc_id",
+            "params": {"score_expr": "CAST(quality * 1000 AS BIGINT)",
+                       "cuts_ppm": [300000, 600000],
+                       "labels": ["tail", "middle", "head"]}}"""))
+      assert(cQc == 200, bQc)
+      val qc = new ObjectMapper().readTree(bQc)
+      val bands = (0 until qc.size()).map(i =>
+        qc.get(i).get("doc_id").asLong() -> qc.get(i).get("bucket").asText()).toMap
+      assert(bands == Map(1L -> "head", 2L -> "tail", 3L -> "middle"), bQc)
+
       // nb_train / nb_score: the learned quality filter over the socket —
       // train persists a model (a server-side write, so keyless is 401),
       // score runs against the stored model, min_score gates
