@@ -944,6 +944,34 @@ object Queries {
        |SELECT doc_id, round(CAST(sum_cnt AS DOUBLE) * 1000000.0 / n_tok / total, 6) AS freq_ppm
        |FROM agg, tot ORDER BY doc_id""".stripMargin
 
+  // -- interpolated bigram LM quality (the CCNet perplexity filter in its
+  //    proper bigram shape): per-doc mean ln of the Jelinek-Mercer mix of
+  //    corpus bigram-conditional and unigram probabilities, λ = 0.75.
+  //    Counts are exact integers, each factor one fixed-order IEEE
+  //    expression, and round-6 absorbs the ≤1-ulp ln()/summation-order
+  //    spread (the q_nb_quality discipline). DuckDB zips parallel unnests
+  //    of the two shifted token slices for the same bigram stream.
+  private val lmBigramQ: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.operators.TfIdf.bigramQuality(t(s, dir, "documents"),
+        col("doc_id"), graft.functions.NativeKernels.wordTokens(col("text")))
+      .orderBy(col("doc_id"))
+
+  private val lmBigramSql =
+    s"""WITH tk AS (SELECT doc_id, ${sqlWords("text")} AS w FROM documents),
+       |uni AS (SELECT u AS w, count(*)::BIGINT AS cu
+       |        FROM (SELECT unnest(w) AS u FROM tk) GROUP BY u),
+       |tot AS (SELECT sum(cu)::BIGINT AS t FROM uni),
+       |bg AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS a, unnest(w[2:len(w)]) AS b FROM tk),
+       |bgc AS (SELECT a, b, count(*)::BIGINT AS cb FROM bg GROUP BY a, b),
+       |hc AS (SELECT a, sum(cb)::BIGINT AS ch FROM bgc GROUP BY a),
+       |lp AS (SELECT bgc.a, bgc.b,
+       |  ln(0.75 * (CAST(cb AS DOUBLE) / ch) + 0.25 * (CAST(cu AS DOUBLE) / t)) AS lp
+       |  FROM bgc JOIN hc USING (a) JOIN uni ON bgc.b = uni.w, tot)
+       |SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+       |  round(sum(lp.lp) / count(*), 6) AS logq
+       |FROM bg JOIN lp ON bg.a = lp.a AND bg.b = lp.b
+       |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
+
   // -- CCNet head/middle/tail: bucket every document by which corpus-wide
   //    tertile of the LM-quality signal it falls in (Wenzek et al. 2020
   //    §4.3 keeps head+middle and drops tail). Score = the proven-portable
@@ -2831,6 +2859,7 @@ object Queries {
     "q_pack_chunks"   -> packChunks,
     "q_tfidf"         -> tfidfQ,
     "q_lm_quality"    -> lmQualityQ,
+    "q_lm_bigram"     -> lmBigramQ,
     "q_ppl_buckets"   -> pplBucketsQ,
     "q_scrub"         -> scrubQ,
     "q_simhash_pairs" -> simhashPairsQ,
@@ -2919,6 +2948,7 @@ object Queries {
     "q_pack_chunks"   -> packChunksSql,
     "q_tfidf"         -> tfidfSql,
     "q_lm_quality"    -> lmQualitySql,
+    "q_lm_bigram"     -> lmBigramSql,
     "q_ppl_buckets"   -> pplBucketsSql,
     "q_scrub"         -> scrubSql,
     "q_simhash_pairs" -> simhashPairsSql,

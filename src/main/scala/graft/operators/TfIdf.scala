@@ -75,6 +75,78 @@ object TfIdf {
     * the corpus total joins as a broadcast 1-row frame. Two corpus
     * tokenize passes total (vocab build + scoring stream). Zero-token
     * documents have no defined score and emit no row. */
+  /** The bigram upgrade of [[corpusFreqQuality]]: per-document mean
+    * log-probability under a Jelinek-Mercer-interpolated bigram language
+    * model fit on the corpus itself — the actual SHAPE of CCNet's
+    * perplexity filter (Wenzek et al. 2020 §4.2), where the unigram form
+    * above is its degenerate approximation. For a document
+    * w_1..w_m (m >= 2):
+    *
+    *   logq = mean_i ln( λ·c(w_{i-1},w_i)/ch(w_{i-1})
+    *                   + (1−λ)·c(w_i)/T )
+    *
+    * with c = corpus bigram/unigram counts, ch(w) = count of w as a bigram
+    * HEAD (so the bigram factor is a proper conditional that sums to 1
+    * over the successor vocabulary), T = total corpus tokens, and
+    * λ = `lambdaPpm`/1e6. Self-scored on the training corpus every factor
+    * is positive, so no further smoothing is needed; junk text (rare
+    * continuations) scores very negative, boilerplate scores near 0.
+    * Higher = more expected. Returns (doc_id, n_bigrams, logq) with logq
+    * ROUNDED to 6 decimals; documents with fewer than 2 tokens have no
+    * bigram and emit no row.
+    *
+    * Determinism: counts are exact integers and each factor is one
+    * fixed-order IEEE expression, but ln() can differ by 1 ulp across
+    * libm implementations and the per-document sum adds in partition
+    * order — the round-6 output absorbs that spread (the
+    * [[QualityClassifier]]/[[Dsir]] discipline), it is not bit-exact
+    * before rounding.
+    *
+    * Scale design (100 TB): the log-probability is attached to the
+    * DISTINCT-bigram table first — bigram counts (one map-side-combined
+    * shuffle), head totals derived FROM that table (a second aggregate of
+    * the already-reduced frame, never the corpus), unigram counts joined
+    * on the successor, corpus total as a broadcast 1-row frame — so the
+    * expensive per-occurrence work is ONE equi-join of the document
+    * bigram stream against that table (threshold-governed broadcast,
+    * exactly as [[corpusFreqQuality]]'s vocab join) plus one doc-keyed
+    * aggregation. Nothing driver-sized, nothing global. */
+  def bigramQuality(docs: DataFrame, id: Column, tokens: Column,
+      lambdaPpm: Long = 750000L): DataFrame = {
+    require(lambdaPpm > 0 && lambdaPpm < 1000000L,
+      s"lambdaPpm must be in (0, 1e6): $lambdaPpm")
+    val lam = lambdaPpm.toDouble / 1000000.0
+    // (doc_id, a, b) per bigram occurrence; the token array materializes
+    // above the spread repartition (see topTerms on why)
+    val bigrams = Dedup.spread(docs).select(id.as("doc_id"), tokens.as("ts"))
+      .select(col("doc_id"), explode_outer(
+        arrays_zip(
+          slice(col("ts"), lit(1), greatest(size(col("ts")) - 1, lit(0))),
+          slice(col("ts"), lit(2), greatest(size(col("ts")) - 1, lit(0)))))
+        .as("__bg"))
+      .where(col("__bg").isNotNull)
+      .select(col("doc_id"), col("__bg.0").as("a"), col("__bg.1").as("b"))
+    val words = Dedup.spread(docs).select(tokens.as("ts"))
+      .select(explode_outer(col("ts")).as("w"))
+      .where(col("w").isNotNull)
+    val uni = words.groupBy("w").agg(count(lit(1)).as("cu")).cache()
+    val total = uni.agg(sum("cu").as("t_tok"))
+    val bigCnt = bigrams.groupBy("a", "b").agg(count(lit(1)).as("cb")).cache()
+    val headCnt = bigCnt.groupBy("a").agg(sum("cb").as("ch"))
+    // per-DISTINCT-bigram log-probability, each factor in fixed IEEE order
+    val logp = bigCnt.join(headCnt, "a")
+      .join(uni.withColumnRenamed("w", "b"), "b")
+      .crossJoin(broadcast(total))
+      .select(col("a"), col("b"),
+        log(lit(lam) * (col("cb").cast("double") / col("ch")) +
+          lit(1.0 - lam) * (col("cu").cast("double") / col("t_tok")))
+          .as("__lp"))
+    bigrams.join(logp, Seq("a", "b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("__lp")) / count(lit(1)), 6).as("logq"))
+  }
+
   def corpusFreqQuality(docs: DataFrame, id: Column, tokens: Column): DataFrame = {
     // explode_outer + not-null guard: see topTerms on why the token array
     // materializes above the spread repartition

@@ -369,7 +369,8 @@ final class SimSearchService(spark: SparkSession, port: Int,
     *               "minhash_pairs_between" | "domain_cap" |
     *               "nb_train" | "nb_score" |
     *               "bpe_train" | "bpe_encode" | "bpe_token_count" |
-    *               "split" | "scrub_pii" | "gopher" | "quantile_cut",
+    *               "split" | "scrub_pii" | "gopher" | "quantile_cut" |
+    *               "lm_bigram",
     *   "input": {"column": "<mounted attribute>"}        // api_key's catalog
     *          | {"path": "/dir", "format": "parquet"|"csv"},
     *   "id": "doc_id", "text": "text",                   // path-input columns
@@ -427,7 +428,10 @@ final class SimSearchService(spark: SparkSession, port: Int,
     * integral SQL expression over the input columns), `cuts_ppm`
     * (required — strictly increasing ppm fractions), `labels` (required —
     * one more than cuts) labels every row with its corpus-quantile band
-    * (the CCNet head/middle/tail cut). The `output` block also accepts
+    * (the CCNet head/middle/tail cut); lm_bigram `lambda_ppm` (default
+    * 750000) — (id, n_bigrams, logq) under the corpus-fit interpolated
+    * bigram LM, the perplexity-filter signal quantile_cut feeds on. The
+    * `output` block also accepts
     * `target_bytes` (parquet only) to route through the calibrated
     * sharded writer — uniform ~N-byte files instead of task-shaped
     * parts. */
@@ -445,7 +449,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
         "minhash_pairs_between", "domain_cap", "nb_train", "nb_score",
         "bpe_train", "bpe_encode", "bpe_token_count", "split",
         "scrub_pii", "gopher", "dsir", "dsir_train", "dsir_score",
-        "dedup_spans", "dedup_substr", "quantile_cut")
+        "dedup_spans", "dedup_substr", "quantile_cut", "lm_bigram")
       if (!knownOps.contains(opName))
         throw new IllegalArgumentException(
           s"unknown operator '$opName' — one of ${knownOps.mkString(", ")}")
@@ -709,6 +713,13 @@ final class SimSearchService(spark: SparkSession, port: Int,
               params.get("k").asInt(),
               params.path("temperature").asDouble(1.0))
           else scored).withColumnRenamed("id", idCol)
+        case "lm_bigram" =>
+          // interpolated bigram LM quality, self-scored on the input
+          // corpus (params.lambda_ppm tunes the bigram/unigram mix)
+          graft.operators.TfIdf.bigramQuality(df, col(idCol),
+              graft.functions.NativeKernels.wordTokens(col(textCol)),
+              params.path("lambda_ppm").asLong(750000L))
+            .withColumnRenamed("doc_id", idCol)
         case "quantile_cut" =>
           // CCNet-style corpus-quantile bands over an integral score
           // expression (params.score_expr, SQL over the input columns);

@@ -647,6 +647,46 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got(1L) > got(2L))
   }
 
+  test("bigramQuality: predictable prose outscores shuffled rare words, " +
+    "n_bigrams = tokens - 1, sub-bigram docs emit no row, hand value " +
+    "exact, placement-independent") {
+    // docs 1-2 follow the dominant a->b / b->a alternation; doc 3 uses the
+    // SAME vocabulary in the corpus-rare continuations (a->a, b->b); doc 4
+    // too short for any bigram; doc 5 empty. Corpus counts: unigrams a=7
+    // b=7 one=1 T=15; bigrams (a,b)=5 (b,a)=4 (b,b)=1 (a,a)=1; heads a=6 b=5
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, "a b a b"),
+      (3L, "b b a a"),
+      (4L, "one"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = TfIdf.bigramQuality(docs, col("doc_id"),
+        TextKernels.wordTokens(col("text")))
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), got.toString)
+    assert(got(1L)._1 == 5L && got(2L)._1 == 3L && got(3L)._1 == 3L)
+    // rare continuations are surprising under the corpus LM
+    assert(got(1L)._2 > got(3L)._2 && got(2L)._2 > got(3L)._2, got.toString)
+    // hand value, doc 2: bigrams (a,b) (b,a) (a,b) ->
+    // p(b|a) = 0.75*(5/6) + 0.25*(7/15), p(a|b) = 0.75*(4/5) + 0.25*(7/15)
+    val lpAb = math.log(0.75 * (5.0 / 6.0) + 0.25 * (7.0 / 15.0))
+    val lpBa = math.log(0.75 * (4.0 / 5.0) + 0.25 * (7.0 / 15.0))
+    val expect2 = BigDecimal((lpAb + lpBa + lpAb) / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(2L)._2 == expect2, s"${got(2L)._2} vs $expect2")
+    // identical rounded scores under a different partitioning
+    val re = TfIdf.bigramQuality(docs.repartition(7), col("doc_id"),
+        TextKernels.wordTokens(col("text")))
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(re == got)
+    intercept[IllegalArgumentException] {
+      TfIdf.bigramQuality(docs, col("doc_id"),
+        TextKernels.wordTokens(col("text")), lambdaPpm = 0L)
+    }
+  }
+
   test("winnowPairs: a passage copied into a different document is caught " +
     "(containment), whole-doc Jaccard would dilute it; common text is capped") {
     import graft.operators.Dedup

@@ -491,6 +491,17 @@ class SimSearchServiceSpec extends SparkTestBase {
         qc.get(i).get("doc_id").asLong() -> qc.get(i).get("bucket").asText()).toMap
       assert(bands == Map(1L -> "head", 2L -> "tail", 3L -> "middle"), bQc)
 
+      // lm_bigram: the corpus-fit bigram LM score comes back per document
+      // (docs 1-3 share enough prose to have corpus-repeated bigrams)
+      val (cLm, bLm) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "lm_bigram", "input": {"path": "$dir/docs"},
+            "id": "doc_id", "text": "text"}"""))
+      assert(cLm == 200, bLm)
+      val lm = new ObjectMapper().readTree(bLm)
+      assert(lm.size() == 3 && (0 until lm.size()).forall(i =>
+        lm.get(i).get("n_bigrams").asLong() > 0 &&
+          lm.get(i).get("logq").asDouble() < 0.0), bLm)
+
       // nb_train / nb_score: the learned quality filter over the socket —
       // train persists a model (a server-side write, so keyless is 401),
       // score runs against the stored model, min_score gates
