@@ -386,6 +386,41 @@ object IndexTool {
           .write.mode("overwrite").parquet(out)
         println(s"""{"action":"dsir-score","model":"${args(1)}",""" +
           s""""out":"$out","selected":${opt(args, "--k").isDefined}}"""); 0
+      case "lm-train" =>
+        // fit the persisted bigram LM from a parquet corpus (the CCNet
+        // fit-on-trusted half): <modelPath> is the positional operand
+        val src = opt(args, "--source").getOrElse {
+          System.err.println(s"lm-train needs --source <parquet>\n$usage")
+          return 2
+        }
+        import org.apache.spark.sql.functions.col
+        graft.operators.BigramLm.fit(spark, spark.read.parquet(src),
+          graft.functions.NativeKernels.wordTokens(
+            col(opt(args, "--text").getOrElse("text"))),
+          args(1), opt(args, "--lambda-ppm").fold(750000L)(_.toLong))
+        println(s"""{"action":"lm-train","model":"${args(1)}",""" +
+          s""""source":"$src"}"""); 0
+      case "lm-score" =>
+        // score a corpus against a persisted bigram LM (the
+        // score-the-crawl half): (id, n_bigrams, n_oov, logq)
+        val src = opt(args, "--source").getOrElse {
+          System.err.println(s"lm-score needs --source <parquet>\n$usage")
+          return 2
+        }
+        val out = opt(args, "--out").getOrElse {
+          System.err.println(s"lm-score needs --out <parquet>\n$usage")
+          return 2
+        }
+        import org.apache.spark.sql.functions.col
+        val idCol = opt(args, "--id").getOrElse("id")
+        graft.operators.BigramLm.score(spark, spark.read.parquet(src),
+            col(idCol),
+            graft.functions.NativeKernels.wordTokens(
+              col(opt(args, "--text").getOrElse("text"))), args(1))
+          .withColumnRenamed("doc_id", idCol)
+          .write.mode("overwrite").parquet(out)
+        println(s"""{"action":"lm-score","model":"${args(1)}",""" +
+          s""""out":"$out"}"""); 0
       case "dedup-substr" =>
         // corpus-global duplicate-span removal (--spans emits the
         // discovery form instead of cutting)
@@ -436,5 +471,7 @@ object IndexTool {
       |  dsir-train <modelPath> --source <parquet> --target-where <bool SQL expr> [--text text] [--buckets 10000]
       |  dsir-score <modelPath> --source <parquet> --out <parquet> [--id id] [--text text] [--k N] [--temperature 1.0]
       |  dedup-substr <srcParquet> --out <parquet> [--id id] [--text text] [--n 8] [--min-count 2] [--spans]
-      |  quantile-cut <srcParquet> --out <parquet> --score-expr <integral SQL expr> --cuts 333333,666667 --labels tail,middle,head""".stripMargin
+      |  quantile-cut <srcParquet> --out <parquet> --score-expr <integral SQL expr> --cuts 333333,666667 --labels tail,middle,head
+      |  lm-train <modelPath> --source <parquet> [--text text] [--lambda-ppm 750000]
+      |  lm-score <modelPath> --source <parquet> --out <parquet> [--id id] [--text text]""".stripMargin
 }

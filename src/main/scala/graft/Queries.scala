@@ -972,6 +972,46 @@ object Queries {
        |FROM bg JOIN lp ON bg.a = lp.a AND bg.b = lp.b
        |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
 
+  // -- the PERSISTED-model form of the bigram LM (the actual CCNet
+  //    deployment: fit on a trusted subset, score everything): the model
+  //    fits ONCE per JVM on the lang='en' documents and persists as
+  //    parquet tables + sidecar; scoring left-joins the stored tables
+  //    with hit -> unigram-backoff -> OOV-floor coalescing, so off-target
+  //    documents exercise all three probability branches. DuckDB replays
+  //    fit AND score from the same CTEs.
+  private val lmModelQ: (SparkSession, String) => DataFrame = (s, dir) => {
+    val w = graft.functions.NativeKernels.wordTokens(col("text"))
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-lmmodel-" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+    buildIndexOnce(path)(graft.operators.BigramLm.fit(s,
+      t(s, dir, "documents").where(col("lang") === "en"), w, path))
+    graft.operators.BigramLm.score(s, t(s, dir, "documents"),
+        col("doc_id"), w, path)
+      .orderBy(col("doc_id"))
+  }
+
+  private val lmModelSql =
+    s"""WITH tk AS (SELECT doc_id, lang, ${sqlWords("text")} AS w FROM documents),
+       |funi AS (SELECT u AS w, count(*)::BIGINT AS cu
+       |         FROM (SELECT unnest(w) AS u FROM tk WHERE lang = 'en') GROUP BY u),
+       |ftot AS (SELECT sum(cu)::BIGINT AS t, count(*)::BIGINT AS v FROM funi),
+       |fbg AS (SELECT unnest(w[1:len(w)-1]) AS a, unnest(w[2:len(w)]) AS b
+       |        FROM tk WHERE lang = 'en'),
+       |fbgc AS (SELECT a, b, count(*)::BIGINT AS cb FROM fbg GROUP BY a, b),
+       |fhc AS (SELECT a, sum(cb)::BIGINT AS ch FROM fbgc GROUP BY a),
+       |lp AS (SELECT fbgc.a, fbgc.b,
+       |  ln(0.75 * (CAST(cb AS DOUBLE) / ch) + 0.25 * (CAST(cu AS DOUBLE) / t)) AS lp
+       |  FROM fbgc JOIN fhc USING (a) JOIN funi ON fbgc.b = funi.w, ftot),
+       |lb AS (SELECT w, ln(0.25 * (CAST(cu AS DOUBLE) / t)) AS lb FROM funi, ftot),
+       |fl AS (SELECT ln(0.25 * (1.0 / (t + v))) AS f FROM ftot),
+       |bg AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS a, unnest(w[2:len(w)]) AS b FROM tk)
+       |SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+       |  sum(CASE WHEN lp.lp IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+       |  round(sum(coalesce(lp.lp, lb.lb, (SELECT f FROM fl))) / count(*), 6) AS logq
+       |FROM bg LEFT JOIN lp ON bg.a = lp.a AND bg.b = lp.b
+       |        LEFT JOIN lb ON bg.b = lb.w
+       |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
+
   // -- CCNet head/middle/tail: bucket every document by which corpus-wide
   //    tertile of the LM-quality signal it falls in (Wenzek et al. 2020
   //    §4.3 keeps head+middle and drops tail). Score = the proven-portable
@@ -2860,6 +2900,7 @@ object Queries {
     "q_tfidf"         -> tfidfQ,
     "q_lm_quality"    -> lmQualityQ,
     "q_lm_bigram"     -> lmBigramQ,
+    "q_lm_model"      -> lmModelQ,
     "q_ppl_buckets"   -> pplBucketsQ,
     "q_scrub"         -> scrubQ,
     "q_simhash_pairs" -> simhashPairsQ,
@@ -2949,6 +2990,7 @@ object Queries {
     "q_tfidf"         -> tfidfSql,
     "q_lm_quality"    -> lmQualitySql,
     "q_lm_bigram"     -> lmBigramSql,
+    "q_lm_model"      -> lmModelSql,
     "q_ppl_buckets"   -> pplBucketsSql,
     "q_scrub"         -> scrubSql,
     "q_simhash_pairs" -> simhashPairsSql,

@@ -370,7 +370,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
     *               "nb_train" | "nb_score" |
     *               "bpe_train" | "bpe_encode" | "bpe_token_count" |
     *               "split" | "scrub_pii" | "gopher" | "quantile_cut" |
-    *               "lm_bigram",
+    *               "lm_bigram" | "lm_train" | "lm_score",
     *   "input": {"column": "<mounted attribute>"}        // api_key's catalog
     *          | {"path": "/dir", "format": "parquet"|"csv"},
     *   "id": "doc_id", "text": "text",                   // path-input columns
@@ -430,7 +430,13 @@ final class SimSearchService(spark: SparkSession, port: Int,
     * one more than cuts) labels every row with its corpus-quantile band
     * (the CCNet head/middle/tail cut); lm_bigram `lambda_ppm` (default
     * 750000) — (id, n_bigrams, logq) under the corpus-fit interpolated
-    * bigram LM, the perplexity-filter signal quantile_cut feeds on. The
+    * bigram LM, the perplexity-filter signal quantile_cut feeds on;
+    * lm_train `model_path` (required — api-key-gated server-side write
+    * like nb_train), `lambda_ppm` — fits the bigram LM on the input and
+    * persists it as joinable parquet tables + sidecar; lm_score
+    * `model_path` (required) — (id, n_bigrams, n_oov, logq) against the
+    * stored model (the fit-on-trusted / score-the-crawl CCNet shape), or
+    * with `min_logq` the surviving input rows. The
     * `output` block also accepts
     * `target_bytes` (parquet only) to route through the calibrated
     * sharded writer — uniform ~N-byte files instead of task-shaped
@@ -449,7 +455,8 @@ final class SimSearchService(spark: SparkSession, port: Int,
         "minhash_pairs_between", "domain_cap", "nb_train", "nb_score",
         "bpe_train", "bpe_encode", "bpe_token_count", "split",
         "scrub_pii", "gopher", "dsir", "dsir_train", "dsir_score",
-        "dedup_spans", "dedup_substr", "quantile_cut", "lm_bigram")
+        "dedup_spans", "dedup_substr", "quantile_cut", "lm_bigram",
+        "lm_train", "lm_score")
       if (!knownOps.contains(opName))
         throw new IllegalArgumentException(
           s"unknown operator '$opName' — one of ${knownOps.mkString(", ")}")
@@ -713,6 +720,38 @@ final class SimSearchService(spark: SparkSession, port: Int,
               params.get("k").asInt(),
               params.path("temperature").asDouble(1.0))
           else scored).withColumnRenamed("id", idCol)
+        case "lm_train" =>
+          // fit the bigram LM and PERSIST it at params.model_path — a
+          // server-side write, gated like nb_train/dsir_train
+          if (!catalogs.containsKey(masterOf(apiKey(x))) &&
+              !adminKey.contains(apiKey(x))) {
+            respond(x, 401,
+              """{"error":"lm_train writes a model; it requires a valid api_key"}""")
+            return
+          }
+          val modelPath = reqParam("model_path").asText()
+          graft.operators.BigramLm.fit(spark, df,
+            graft.functions.NativeKernels.wordTokens(col(textCol)),
+            modelPath, params.path("lambda_ppm").asLong(750000L))
+          val meta = graft.operators.IndexIO.readMeta(spark, modelPath).get
+          spark.createDataFrame(Seq((modelPath,
+              meta.path("total_tokens").asLong(),
+              meta.path("vocab").asLong())))
+            .toDF("model_path", "total_tokens", "vocab")
+        case "lm_score" =>
+          // (id, n_bigrams, n_oov, logq) against a model persisted by
+          // lm_train; params.min_logq flips to the surviving input rows
+          // (the CCNet learned gate)
+          val scored = graft.operators.BigramLm.score(spark, df,
+            col(idCol),
+            graft.functions.NativeKernels.wordTokens(col(textCol)),
+            reqParam("model_path").asText())
+          if (params.hasNonNull("min_logq"))
+            df.join(
+              scored.where(col("logq") >= params.get("min_logq").asDouble())
+                .select(col("doc_id").as(idCol)),
+              Seq(idCol), "left_semi")
+          else scored.withColumnRenamed("doc_id", idCol)
         case "lm_bigram" =>
           // interpolated bigram LM quality, self-scored on the input
           // corpus (params.lambda_ppm tunes the bigram/unigram mix)

@@ -201,8 +201,20 @@ class IndexToolSpec extends SparkTestBase {
     val bands = spark.read.parquet(s"$root/bands")
       .select("id", "bucket").as[(Long, String)].collect().toMap
     assert(bands == Map(1L -> "long", 2L -> "short"), bands.toString)
+    // lm-train / lm-score: persisted bigram LM, parquet-to-parquet
+    assert(IndexTool.run(spark, Array("lm-train", s"$root/lm",
+      "--source", s"$root/src")) == 0)
+    assert(IndexTool.run(spark, Array("lm-score", s"$root/lm",
+      "--source", s"$root/src", "--out", s"$root/lmscores")) == 0)
+    val lmScores = spark.read.parquet(s"$root/lmscores")
+    assert(lmScores.columns.toSet ==
+      Set("id", "n_bigrams", "n_oov", "logq") && lmScores.count() == 2)
+    assert(lmScores.agg(org.apache.spark.sql.functions.sum("n_oov"))
+      .first().getLong(0) == 0L) // self-scored: everything in vocabulary
     // missing required flags exit 2
     assert(IndexTool.run(spark, Array("scrub-pii", s"$root/src")) == 2)
+    assert(IndexTool.run(spark, Array("lm-score", s"$root/lm",
+      "--source", s"$root/src")) == 2)
     assert(IndexTool.run(spark, Array("split", s"$root/src",
       "--out", s"$root/x")) == 2)
     assert(IndexTool.run(spark, Array("quantile-cut", s"$root/src",

@@ -687,6 +687,60 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("BigramLm: persisted model scores another corpus through all three " +
+    "probability branches, self-score equals bigramQuality, foreign " +
+    "sidecar rejected") {
+    import graft.operators.BigramLm
+    val root = java.nio.file.Files.createTempDirectory("graft-lmmodel").toString
+    // fit corpus: unigrams a=5 b=5 T=10 V=2; bigrams (a,b)=5 (b,a)=3;
+    // heads a=5 b=3 -> lp(a,b) = lp(b,a) = ln(0.75*1 + 0.25*0.5)
+    val fitDocs = Seq((1L, "a b a b a b"), (2L, "a b a b"))
+      .toDF("doc_id", "text")
+    BigramLm.fit(spark, fitDocs, TextKernels.wordTokens(col("text")),
+      s"$root/m")
+    // score corpus: (a,a) = unseen bigram, seen word -> backoff ln(0.25*0.5);
+    // (a,b) = hit; (b,c) = unseen word -> floor ln(0.25 * 1/12); "x" alone
+    // has no bigram and emits no row
+    val scoreDocs = Seq((10L, "a a b"), (11L, "b c"), (12L, "x"))
+      .toDF("doc_id", "text")
+    val got = BigramLm.score(spark, scoreDocs, col("doc_id"),
+        TextKernels.wordTokens(col("text")), s"$root/m")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == Set(10L, 11L), got.toString)
+    val hit = math.log(0.75 * 1.0 + 0.25 * 0.5)
+    val backoff = math.log(0.25 * 0.5)
+    val floor = math.log(0.25 * (1.0 / 12.0))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(10L) == ((2L, 1L, r6((backoff + hit) / 2))), got.toString)
+    assert(got(11L) == ((1L, 1L, r6(floor))), got.toString)
+    // scoring the fit corpus against its own model = the one-shot form
+    val self = BigramLm.score(spark, fitDocs, col("doc_id"),
+        TextKernels.wordTokens(col("text")), s"$root/m")
+      .select("doc_id", "n_bigrams", "logq")
+      .as[(Long, Long, Double)].collect().toSet
+    val oneShot = TfIdf.bigramQuality(fitDocs, col("doc_id"),
+        TextKernels.wordTokens(col("text")))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(self == oneShot, s"$self vs $oneShot")
+    // no OOV against the own-corpus model
+    assert(BigramLm.score(spark, fitDocs, col("doc_id"),
+        TextKernels.wordTokens(col("text")), s"$root/m")
+      .agg(sum("n_oov")).first().getLong(0) == 0L)
+    // a foreign-kind sidecar fails fast
+    graft.operators.IndexIO.writeMeta(spark, s"$root/other",
+      """{"kind":"dsir"}""")
+    intercept[IllegalArgumentException] {
+      BigramLm.score(spark, scoreDocs, col("doc_id"),
+        TextKernels.wordTokens(col("text")), s"$root/other")
+    }
+    intercept[IllegalArgumentException] {
+      BigramLm.fit(spark, fitDocs, TextKernels.wordTokens(col("text")),
+        s"$root/bad", lambdaPpm = 1000000L)
+    }
+  }
+
   test("winnowPairs: a passage copied into a different document is caught " +
     "(containment), whole-doc Jaccard would dilute it; common text is capped") {
     import graft.operators.Dedup

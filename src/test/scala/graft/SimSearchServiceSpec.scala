@@ -502,6 +502,35 @@ class SimSearchServiceSpec extends SparkTestBase {
         lm.get(i).get("n_bigrams").asLong() > 0 &&
           lm.get(i).get("logq").asDouble() < 0.0), bLm)
 
+      // lm_train / lm_score: the persisted-bigram-LM twins — train is a
+      // server-side write (keyless = 401), score joins the stored model
+      // and min_logq gates
+      val lmTrainBody =
+        s"""{"operator": "lm_train", "input": {"path": "$dir/docs"},
+            "id": "doc_id", "text": "text",
+            "params": {"model_path": "$dir/lmmodel"}}"""
+      val (cLt0, _) = http("POST", s"$base/pipeline", Some(lmTrainBody))
+      assert(cLt0 == 401)
+      val (cLt1, bLt1) = http("POST", s"$base/pipeline", Some(lmTrainBody),
+        Map("api_key" -> key))
+      assert(cLt1 == 200, bLt1)
+      assert(new ObjectMapper().readTree(bLt1).get(0)
+        .get("total_tokens").asLong() > 0, bLt1)
+      val (cLs, bLs) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "lm_score", "input": {"path": "$dir/docs"},
+            "id": "doc_id", "text": "text",
+            "params": {"model_path": "$dir/lmmodel"}}"""))
+      assert(cLs == 200, bLs)
+      val ls = new ObjectMapper().readTree(bLs)
+      assert(ls.size() == 3 && (0 until ls.size()).forall(i =>
+        ls.get(i).get("n_oov").asLong() == 0L), bLs) // self-scored: no OOV
+      val (cLsG, bLsG) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "lm_score", "input": {"path": "$dir/docs"},
+            "id": "doc_id", "text": "text",
+            "params": {"model_path": "$dir/lmmodel", "min_logq": -1e9}}"""))
+      assert(cLsG == 200, bLsG) // a never-binding gate returns input rows
+      assert(new ObjectMapper().readTree(bLsG).size() == 3, bLsG)
+
       // nb_train / nb_score: the learned quality filter over the socket —
       // train persists a model (a server-side write, so keyless is 401),
       // score runs against the stored model, min_score gates
