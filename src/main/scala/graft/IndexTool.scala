@@ -446,6 +446,30 @@ object IndexTool {
           .write.mode("overwrite").parquet(out)
         println(s"""{"action":"dedup-substr","path":"${args(1)}",""" +
           s""""out":"$out","spans":${args.contains("--spans")}}"""); 0
+      case "rand-project" =>
+        // JL dimensionality reduction of a vector column (engine-portable
+        // ±1 matrix; see Embeddings.projectionSigns)
+        val out = opt(args, "--out").getOrElse {
+          System.err.println(s"rand-project needs --out <parquet>\n$usage")
+          return 2
+        }
+        val outDim = opt(args, "--out-dim").map(_.toInt).getOrElse {
+          System.err.println(s"rand-project needs --out-dim <N>\n$usage")
+          return 2
+        }
+        import org.apache.spark.sql.functions.{col, size => asize}
+        val idCol = opt(args, "--id").getOrElse("id")
+        val vecCol = opt(args, "--vector").getOrElse("embedding")
+        val src = spark.read.parquet(args(1))
+        val inDim = opt(args, "--in-dim").fold(
+          src.select(asize(col(vecCol))).head.getInt(0))(_.toInt)
+        graft.operators.Embeddings.project(src, col(idCol),
+            col(vecCol).cast("array<double>"), inDim, outDim,
+            opt(args, "--seed").getOrElse(""))
+          .withColumnRenamed("id", idCol)
+          .write.mode("overwrite").parquet(out)
+        println(s"""{"action":"rand-project","path":"${args(1)}",""" +
+          s""""out":"$out","out_dim":$outDim}"""); 0
       case other =>
         System.err.println(s"unknown action '$other'\n$usage"); 2
     }
@@ -473,5 +497,6 @@ object IndexTool {
       |  dedup-substr <srcParquet> --out <parquet> [--id id] [--text text] [--n 8] [--min-count 2] [--spans]
       |  quantile-cut <srcParquet> --out <parquet> --score-expr <integral SQL expr> --cuts 333333,666667 --labels tail,middle,head
       |  lm-train <modelPath> --source <parquet> [--text text] [--lambda-ppm 750000]
-      |  lm-score <modelPath> --source <parquet> --out <parquet> [--id id] [--text text]""".stripMargin
+      |  lm-score <modelPath> --source <parquet> --out <parquet> [--id id] [--text text]
+      |  rand-project <srcParquet> --out <parquet> --out-dim <N> [--in-dim N] [--id id] [--vector embedding] [--seed s]""".stripMargin
 }

@@ -1477,6 +1477,44 @@ object Queries {
       |FROM embeddings, q WHERE vec_id <> 0
       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
 
+  // -- Johnson–Lindenstrauss random projection (64 -> 16): the dense-±1
+  //    Achlioptas construction with the sign matrix derived from the
+  //    portable md5 convention, so DuckDB regenerates the EXACT matrix
+  //    (range(16) × range(64) + the md5-digit parity) and replays the
+  //    projection: y_j = sum_i sign(j,i)·x_i / sqrt(16). Sum order differs
+  //    between engines (DuckDB group-sum vs the kernel's ascending-i loop);
+  //    round-6 absorbs the ulp spread: the closest pre-rounded value to a
+  //    .5e-6 boundary measures 1.4e-12 (sf0.001; 4.2e-11 / 1.9e-11 at
+  //    sf0.01/0.1) against a ≤1e-14 64-term summation-order spread.
+  private val randProjQ: (SparkSession, String) => DataFrame = (s, dir) => {
+    val e = spread(t(s, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    graft.operators.Embeddings.project(e, col("vec_id"), col("v"), 64, 16)
+      .select(col("id").as("vec_id") +:
+        (0 until 16).map(j =>
+          round(element_at(col("vector"), j + 1), 6).as(s"y$j")): _*)
+      .orderBy(col("vec_id"))
+  }
+
+  private val randProjSql = {
+    val hashTerms = (1 to 8).map { c =>
+      s"(instr('0123456789abcdef', substr(md5(j::VARCHAR || ':' || i::VARCHAR), $c, 1)) - 1) * ${math.pow(16, 8 - c).toLong}"
+    }.mkString(" + ")
+    val dims = (0 until 16).map { j =>
+      s"round(max(CASE WHEN j = $j THEN dot END) / sqrt(16), 6) AS y$j"
+    }.mkString(",\n  ")
+    s"""WITH ex AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+       |             unnest(range(len(embedding))) AS i FROM embeddings),
+       |s AS (SELECT j, i,
+       |        CASE WHEN (($hashTerms) % 2) = 0 THEN 1.0 ELSE -1.0 END AS sg
+       |      FROM range(16) t1(j), range(64) t2(i)),
+       |p AS (SELECT vec_id, j, sum(sg * x) AS dot
+       |      FROM ex JOIN s USING (i) GROUP BY vec_id, j)
+       |SELECT vec_id,
+       |  $dims
+       |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
   private def sqlSig8(v: String): String =
     (0 until 8).map(j => s"(CASE WHEN $v[${j + 1}] >= 0 THEN ${1L << j} ELSE 0 END)")
       .mkString("(", " + ", ")::BIGINT")
@@ -2850,6 +2888,7 @@ object Queries {
     "q_lang_id"       -> langId,
     "q_token_count"   -> tokenCount,
     "q_ann_cosine"    -> annCosine,
+    "q_rand_proj"     -> randProjQ,
     "q_ann_lsh"       -> annLsh,
     "q_ann_lsh_mp"    -> annLshMp,
     "q_ann_idx"       -> annIdx,
@@ -2940,6 +2979,7 @@ object Queries {
     "q_lang_id"       -> langIdSql,
     "q_token_count"   -> tokenCountSql,
     "q_ann_cosine"    -> annCosineSql,
+    "q_rand_proj"     -> randProjSql,
     "q_ann_lsh"       -> annLshSql,
     "q_ann_lsh_mp"    -> annLshMpSql,
     "q_ann_idx"       -> annMpSql(6, 4), // index build+probe == on-the-fly multi-probe at 6 bits

@@ -391,8 +391,30 @@ object ScaleProbe {
             n = 8, minCount = 2L)
           .agg(sum("n_removed")).pipe(force)
       }
+      // round-13 late: the persisted bigram LM — fit's distinct-bigram
+      // groupBy shuffle is the scaling risk (the per-occurrence stream is
+      // map-side combined before log-probabilities attach); score is two
+      // threshold-governed equi-joins that must track corpus size
+      // linearly, never quadratically
+      val lmPath = s"/tmp/graft-scaleprobe-lm-$mult"
+      val tLmFit = timeIt {
+        BigramLm.fit(spark, docs,
+          graft.functions.NativeKernels.wordTokens(col("text")), lmPath)
+        1L
+      }
+      val tLmScore = timeIt {
+        BigramLm.score(spark, docs, col("doc_id"),
+            graft.functions.NativeKernels.wordTokens(col("text")), lmPath)
+          .agg(sum("logq")).pipe(force)
+      }
+      // round-13 late: JL random projection is a narrow codegen map — a
+      // 64->16 shrink must scale exactly with the vector count
+      val tRandProj = timeIt {
+        emb.select(Embeddings.randomProjection(col("v"), 64, 16).as("y"))
+          .agg(sum(element_at(col("y"), 1))).pipe(force)
+      }
       if (mult0 > 0)
-        println(s"""{"mult":$mult,"docs":${docs.count()},"minhash_sec":$tMinhash,"ann_sec":$tAnn,"rankagg_sec":$tRankAgg,"cluster_sec":$tCluster,"pack_sec":$tPack,"tfidf_sec":$tTfidf,"simhash_sec":$tSimhash,"quantize_sec":$tQuantize,"contam_sec":$tContam,"chunk_sec":$tChunk,"repetition_sec":$tRepet,"idx_build_sec":$tIdxBuild,"idx_probe_sec":$tIdxProbe,"band_build_sec":$tBandBuild,"incr_probe_sec":$tIncrProbe,"winnow_sec":$tWinnow,"winnow_spans_sec":$tWinnowSpans,"line_dedup_sec":$tLineDedup,"curation_batch_sec":$tCuration,"budget_select_sec":$tBudget,"budget_select_const_sec":$tBudgetConst,"ivf_build_sec":$tIvfBuild,"recall_probe_sec":$tRecall,"ivf_rebuild_sec":$tRebuild,"exact_join_novel_sec":$tExactJoinNovel,"bloom_build_sec":$tBloomBuild,"exact_bloom_novel_sec":$tExactBloomNovel,"semdedup_sec":$tSemDedup,"semdedup_split_adversarial_sec":$tSemDedupSplit,"pq_encode_sec":$tPqEncode,"pq_build_sec":$tPqBuild,"pq_probe_sec":$tPqProbe,"decontam_sec":$tDecontam,"bpe_train_sec":$tBpeTrain,"bpe_encode_sec":$tBpeEncode,"shard_calib_sec":$tCalibFixed,"shard_calib_prefix_shape_sec":$tCalibPreFix,"scrub_pii_sec":$tScrubPii,"clean_sec":$tClean,"gopher_sec":$tGopher,"split_sec":$tSplit,"nb_train_sec":$tNbTrain,"dsir_sec":$tDsir,"span_dedup_sec":$tSpanDedup}""")
+        println(s"""{"mult":$mult,"docs":${docs.count()},"minhash_sec":$tMinhash,"ann_sec":$tAnn,"rankagg_sec":$tRankAgg,"cluster_sec":$tCluster,"pack_sec":$tPack,"tfidf_sec":$tTfidf,"simhash_sec":$tSimhash,"quantize_sec":$tQuantize,"contam_sec":$tContam,"chunk_sec":$tChunk,"repetition_sec":$tRepet,"idx_build_sec":$tIdxBuild,"idx_probe_sec":$tIdxProbe,"band_build_sec":$tBandBuild,"incr_probe_sec":$tIncrProbe,"winnow_sec":$tWinnow,"winnow_spans_sec":$tWinnowSpans,"line_dedup_sec":$tLineDedup,"curation_batch_sec":$tCuration,"budget_select_sec":$tBudget,"budget_select_const_sec":$tBudgetConst,"ivf_build_sec":$tIvfBuild,"recall_probe_sec":$tRecall,"ivf_rebuild_sec":$tRebuild,"exact_join_novel_sec":$tExactJoinNovel,"bloom_build_sec":$tBloomBuild,"exact_bloom_novel_sec":$tExactBloomNovel,"semdedup_sec":$tSemDedup,"semdedup_split_adversarial_sec":$tSemDedupSplit,"pq_encode_sec":$tPqEncode,"pq_build_sec":$tPqBuild,"pq_probe_sec":$tPqProbe,"decontam_sec":$tDecontam,"bpe_train_sec":$tBpeTrain,"bpe_encode_sec":$tBpeEncode,"shard_calib_sec":$tCalibFixed,"shard_calib_prefix_shape_sec":$tCalibPreFix,"scrub_pii_sec":$tScrubPii,"clean_sec":$tClean,"gopher_sec":$tGopher,"split_sec":$tSplit,"nb_train_sec":$tNbTrain,"dsir_sec":$tDsir,"span_dedup_sec":$tSpanDedup,"lm_fit_sec":$tLmFit,"lm_score_sec":$tLmScore,"rand_proj_sec":$tRandProj}""")
       docs.unpersist(); emb.unpersist()
     }
     spark.stop()

@@ -1074,6 +1074,96 @@ object NativeKernels {
   def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
     column(PqEncodeExpr(expression(vec), codebooks))
 
+  // ------------------------------------------------- random projection (JL)
+
+  /** Johnson–Lindenstrauss random projection: array<double> (inDim) ->
+    * array<double> (outDim), y_j = (Σ_i signs(j)(i)·x_i) / sqrt(outDim) —
+    * the dense ±1 construction of Achlioptas (JCSS 2003), which preserves
+    * pairwise L2 distances within (1±ε) at outDim = O(ε⁻²·ln n) and needs
+    * no Gaussian sampling. The sign matrix ships as ONE flat reference
+    * object (the [[NearestCentroidExpr]] discipline), so generated-code
+    * size is independent of outDim × inDim; per output dim the inner sum
+    * runs left-to-right over ascending i, ±1 multiplication is IEEE-exact,
+    * and the final division by the correctly-rounded sqrt is one rounding
+    * step — any engine replaying the same signs lands within the usual
+    * summation-order ulp spread. Vectors shorter than inDim sum over their
+    * available dims (missing tail = 0); longer vectors ignore the tail. */
+  private[functions] case class RandomProjectExpr(child: Expression,
+      signs: Seq[Seq[Int]])
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    require(signs.nonEmpty, "random_project needs at least one output dim")
+    require(signs.forall(r => r.forall(s => s == 1 || s == -1)),
+      "random_project signs must be +1/-1")
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      child.dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<double>, got ${other.simpleString}")
+      }
+    }
+    override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "random_project_native"
+    // the sign matrix is part of this case class, so the default tree
+    // string would inline k×inDim literals into every plan description —
+    // megabytes of plan-event payload at production 64×1024; print the
+    // shape instead
+    override def toString: String =
+      s"$prettyName($child, ${signs.size}x${signs.head.size})"
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+
+    @transient private lazy val k = signs.size
+    @transient private lazy val inDim = signs.head.size
+    @transient private lazy val sqrtK = math.sqrt(k.toDouble)
+    @transient private lazy val flat: Array[Double] = {
+      val a = new Array[Double](k * inDim)
+      var j = 0
+      while (j < k) {
+        require(signs(j).size == inDim,
+          s"sign row $j has dim ${signs(j).size}, expected $inDim")
+        var i = 0
+        while (i < inDim) { a(j * inDim + i) = signs(j)(i).toDouble; i += 1 }
+        j += 1
+      }
+      a
+    }
+
+    def project(v: ArrayData): ArrayData = {
+      val n = math.min(v.numElements(), inDim)
+      val y = new Array[Double](k)
+      var j = 0
+      while (j < k) {
+        val off = j * inDim
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += flat(off + i) * v.getDouble(i); i += 1 }
+        y(j) = s / sqrtK
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(y)
+    }
+
+    override protected def nullSafeEval(v: Any): Any =
+      project(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("randomProjectExpr", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.project($c);")
+    }
+  }
+
+  /** JL-projected array<double> (length = signs.size) of an array<double>
+    * column; build `signs` with [[graft.operators.Embeddings.projectionSigns]]
+    * for the engine-portable md5-derived matrix. */
+  def randomProject(vec: Column, signs: Seq[Seq[Int]]): Column =
+    column(RandomProjectExpr(expression(vec), signs))
+
   /** ADC (asymmetric distance computation): the PQ-approximated L2 distance
     * of an ENCODED vector to the query — sqrt of the sum over subspaces of
     * the query-to-codeword SQUARED sub-distances, read from the

@@ -370,7 +370,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
     *               "nb_train" | "nb_score" |
     *               "bpe_train" | "bpe_encode" | "bpe_token_count" |
     *               "split" | "scrub_pii" | "gopher" | "quantile_cut" |
-    *               "lm_bigram" | "lm_train" | "lm_score",
+    *               "lm_bigram" | "lm_train" | "lm_score" | "random_project",
     *   "input": {"column": "<mounted attribute>"}        // api_key's catalog
     *          | {"path": "/dir", "format": "parquet"|"csv"},
     *   "id": "doc_id", "text": "text",                   // path-input columns
@@ -436,7 +436,10 @@ final class SimSearchService(spark: SparkSession, port: Int,
     * persists it as joinable parquet tables + sidecar; lm_score
     * `model_path` (required) — (id, n_bigrams, n_oov, logq) against the
     * stored model (the fit-on-trusted / score-the-crawl CCNet shape), or
-    * with `min_logq` the surviving input rows. The
+    * with `min_logq` the surviving input rows; random_project `out_dim`
+    * (required), `vector_column` (default "embedding"), `in_dim` (default:
+    * sniffed from the first row), `seed` — (id, vector) with the array
+    * JL-projected to out_dim via the engine-portable ±1 matrix. The
     * `output` block also accepts
     * `target_bytes` (parquet only) to route through the calibrated
     * sharded writer — uniform ~N-byte files instead of task-shaped
@@ -456,7 +459,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
         "bpe_train", "bpe_encode", "bpe_token_count", "split",
         "scrub_pii", "gopher", "dsir", "dsir_train", "dsir_score",
         "dedup_spans", "dedup_substr", "quantile_cut", "lm_bigram",
-        "lm_train", "lm_score")
+        "lm_train", "lm_score", "random_project")
       if (!knownOps.contains(opName))
         throw new IllegalArgumentException(
           s"unknown operator '$opName' — one of ${knownOps.mkString(", ")}")
@@ -598,6 +601,22 @@ final class SimSearchService(spark: SparkSession, port: Int,
             right, rightId,
             graft.functions.NativeKernels.wordShingles2(col(rightText)),
             params.path("min_jaccard").asDouble(0.8))
+        case "random_project" =>
+          // JL dimensionality reduction: (id, vector) with the array
+          // shrunk to params.out_dim via the portable ±1 projection
+          val vecCol = params.path("vector_column").asText("embedding")
+          val inDim = params.get("in_dim") match {
+            case null =>
+              // infer from the first row — one cheap driver lookup
+              df.select(org.apache.spark.sql.functions.size(col(vecCol)))
+                .head.getInt(0)
+            case n => n.asInt()
+          }
+          graft.operators.Embeddings.project(df, col(idCol),
+              col(vecCol).cast("array<double>"), inDim,
+              reqParam("out_dim").asInt(),
+              params.path("seed").asText(""))
+            .withColumnRenamed("id", idCol)
         case "semdedup" =>
           val vecCol = params.path("vector_column").asText("embedding")
           val projected = df.withColumn(vecCol, col(vecCol).cast("array<double>"))

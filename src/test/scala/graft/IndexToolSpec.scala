@@ -211,10 +211,21 @@ class IndexToolSpec extends SparkTestBase {
       Set("id", "n_bigrams", "n_oov", "logq") && lmScores.count() == 2)
     assert(lmScores.agg(org.apache.spark.sql.functions.sum("n_oov"))
       .first().getLong(0) == 0L) // self-scored: everything in vocabulary
+    // rand-project: JL-shrink a vector column parquet-to-parquet
+    Seq((1L, Seq(1.0, 2.0, 3.0, 4.0)), (2L, Seq(-1.0, 0.5, 0.0, 2.0)))
+      .toDF("id", "embedding").write.mode("overwrite").parquet(s"$root/vecs")
+    assert(IndexTool.run(spark, Array("rand-project", s"$root/vecs",
+      "--out", s"$root/proj", "--out-dim", "2")) == 0)
+    val proj = spark.read.parquet(s"$root/proj")
+    assert(proj.columns.toSet == Set("id", "vector") && proj.count() == 2)
+    assert(proj.select("vector").as[Seq[Double]].collect()
+      .forall(_.size == 2))
     // missing required flags exit 2
     assert(IndexTool.run(spark, Array("scrub-pii", s"$root/src")) == 2)
     assert(IndexTool.run(spark, Array("lm-score", s"$root/lm",
       "--source", s"$root/src")) == 2)
+    assert(IndexTool.run(spark, Array("rand-project", s"$root/vecs",
+      "--out", s"$root/proj2")) == 2)
     assert(IndexTool.run(spark, Array("split", s"$root/src",
       "--out", s"$root/x")) == 2)
     assert(IndexTool.run(spark, Array("quantile-cut", s"$root/src",

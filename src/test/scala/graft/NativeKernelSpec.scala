@@ -208,6 +208,71 @@ class NativeKernelSpec extends SparkTestBase {
     assert(plan.contains("nearest_centroid_native"))
   }
 
+  test("random_project_native: matches a plain Scala matrix multiply, " +
+    "portable signs are balanced, short/long/null inputs behave") {
+    import graft.operators.Embeddings
+    val signs = Embeddings.projectionSigns(16, 64)
+    // the matrix is a pure function of (seed, j, i): regenerating it gives
+    // the identical rows, a different seed does not
+    assert(signs == Embeddings.projectionSigns(16, 64))
+    assert(signs != Embeddings.projectionSigns(16, 64, seed = "other"))
+    // md5 bits are unbiased: the ±1 mix should be roughly even
+    val plus = signs.flatten.count(_ == 1)
+    assert(plus > 400 && plus < 624, s"sign balance off: $plus/1024 are +1")
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 50).map(i => (i.toLong, Seq.fill(64)(rnd.nextDouble() * 2 - 1)))
+    val df = rows.toDF("id", "v")
+    val got = df.select(col("id"),
+        NativeKernels.randomProject(col("v"), signs).as("y"))
+      .as[(Long, Seq[Double])].collect().toMap
+    // reference: same ascending-i accumulation in plain Scala
+    val sqrtK = math.sqrt(16.0)
+    rows.foreach { case (id, v) =>
+      val want = (0 until 16).map { j =>
+        var s = 0.0
+        var i = 0
+        while (i < 64) { s += signs(j)(i) * v(i); i += 1 }
+        s / sqrtK
+      }
+      assert(got(id) == want, s"row $id")
+    }
+    // JL sanity: relative pairwise-distance distortion is bounded on avg
+    val vecs = rows.map(_._2.toArray)
+    def d(a: Array[Double], b: Array[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val proj = rows.map(r => got(r._1).toArray)
+    val distortions = for (i <- 0 until 20; j <- (i + 1) until 20) yield
+      math.abs(d(proj(i), proj(j)) / d(vecs(i), vecs(j)) - 1.0)
+    assert(distortions.sum / distortions.size < 0.25,
+      s"mean JL distortion ${distortions.sum / distortions.size}")
+    // short vector: missing tail sums as zero; long vector: tail ignored
+    val edge = Seq((1L, Seq(1.0, -2.0)), (2L, Seq.fill(70)(0.5)))
+      .toDF("id", "v")
+      .select(col("id"), NativeKernels.randomProject(col("v"), signs).as("y"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(edge(1L) == (0 until 16).map(j =>
+      (signs(j)(0) * 1.0 + signs(j)(1) * -2.0) / sqrtK))
+    assert(edge(2L) == (0 until 16).map(j =>
+      (0 until 64).map(i => signs(j)(i) * 0.5).sum / sqrtK))
+    // null vector -> null output (nullIntolerant)
+    val n = Seq((1L, Option.empty[Seq[Double]])).toDF("id", "v")
+      .select(NativeKernels.randomProject(col("v").cast("array<double>"), signs))
+      .collect()
+    assert(n(0).isNullAt(0))
+  }
+
+  test("random_project_native runs inside whole-stage codegen") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rp").toString
+    randomPairs(10, 8).write.mode("overwrite").parquet(s"$dir/p")
+    val df = spark.read.parquet(s"$dir/p")
+    val signs = graft.operators.Embeddings.projectionSigns(4, 8)
+    val plan = df.select(
+        graft.functions.NativeKernels.randomProject(col("a"), signs))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan.take(300))
+    assert(plan.contains("random_project_native"))
+  }
+
   test("compress_ratio: repetitive text compresses below prose; deterministic; null-safe") {
     val df = Seq(
       (1L, Some("the " * 200)),                                  // highly repetitive

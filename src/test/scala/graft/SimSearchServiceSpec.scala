@@ -397,6 +397,30 @@ class SimSearchServiceSpec extends SparkTestBase {
       assert((0 until semS.size()).map(i =>
         semS.get(i).get("doc_id").asLong()).toSet == Set(1L, 3L), b12s)
 
+      // random_project: JL-shrink the semdedup vectors 3 -> 2; out_dim is
+      // required, in_dim sniffed, values match the operator directly
+      val (cRp, bRp) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "random_project",
+            "input": {"path": "$semDir"}, "id": "doc_id",
+            "params": {"out_dim": 2}}"""))
+      assert(cRp == 200, bRp)
+      val rp = new ObjectMapper().readTree(bRp)
+      assert(rp.size() == 3, bRp)
+      import org.apache.spark.sql.functions.col
+      val wantRp = graft.operators.Embeddings.project(
+          spark.read.parquet(semDir), col("doc_id"),
+          col("embedding").cast("array<double>"), 3, 2)
+        .as[(Long, Seq[Double])].collect().toMap
+      (0 until rp.size()).foreach { i =>
+        val id = rp.get(i).get("doc_id").asLong()
+        val v = rp.get(i).get("vector")
+        assert((0 until v.size()).map(v.get(_).asDouble()) == wantRp(id), bRp)
+      }
+      val (cRpM, _) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "random_project",
+            "input": {"path": "$semDir"}, "id": "doc_id", "params": {}}"""))
+      assert(cRpM == 400) // out_dim is required
+
       // two-table ops: the benchmark ships as its own parquet
       val evalDir = s"$dir/eval"
       Seq((99L, "the quick brown fox jumps over the lazy dog"))
