@@ -470,6 +470,35 @@ object IndexTool {
           .write.mode("overwrite").parquet(out)
         println(s"""{"action":"rand-project","path":"${args(1)}",""" +
           s""""out":"$out","out_dim":$outDim}"""); 0
+      case "image-hash" =>
+        // perceptual-hash an image corpus (real ImageIO pixel decode ->
+        // aHash/dHash), optionally emitting banded-Hamming near-dup pairs
+        val out = opt(args, "--out").getOrElse {
+          System.err.println(s"image-hash needs --out <parquet>\n$usage")
+          return 2
+        }
+        import org.apache.spark.sql.functions.{col, lit}
+        val idCol = opt(args, "--id").getOrElse("id")
+        val dataCol = opt(args, "--data").getOrElse("data")
+        val src0 = spark.read.parquet(args(1))
+        val kindCol = opt(args, "--kind")
+          .map(col).getOrElse(lit("image"))
+        val hashed = graft.multimodal.Multimodal.imageHash(
+          src0.select(col(idCol).cast("long").as("id"), kindCol.as("kind"),
+            col(dataCol).as("data"))).toDF()
+        hashed.withColumnRenamed("id", idCol)
+          .write.mode("overwrite").parquet(out)
+        opt(args, "--pairs-out").foreach { pairsOut =>
+          // pair off the parquet just written — never decode the corpus twice
+          graft.operators.Dedup.hammingPairs(
+              spark.read.parquet(out).where(col("decoded"))
+                .select(col(idCol).as("id"), col("dhash")),
+              "id", "dhash",
+              opt(args, "--max-hamming").fold(3)(_.toInt))
+            .write.mode("overwrite").parquet(pairsOut)
+        }
+        println(s"""{"action":"image-hash","path":"${args(1)}",""" +
+          s""""out":"$out"}"""); 0
       case other =>
         System.err.println(s"unknown action '$other'\n$usage"); 2
     }
@@ -498,5 +527,6 @@ object IndexTool {
       |  quantile-cut <srcParquet> --out <parquet> --score-expr <integral SQL expr> --cuts 333333,666667 --labels tail,middle,head
       |  lm-train <modelPath> --source <parquet> [--text text] [--lambda-ppm 750000]
       |  lm-score <modelPath> --source <parquet> --out <parquet> [--id id] [--text text]
-      |  rand-project <srcParquet> --out <parquet> --out-dim <N> [--in-dim N] [--id id] [--vector embedding] [--seed s]""".stripMargin
+      |  rand-project <srcParquet> --out <parquet> --out-dim <N> [--in-dim N] [--id id] [--vector embedding] [--seed s]
+      |  image-hash <srcParquet> --out <parquet> [--id id] [--data data] [--kind kindCol] [--pairs-out <parquet>] [--max-hamming 3]""".stripMargin
 }

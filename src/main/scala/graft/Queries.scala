@@ -2031,6 +2031,56 @@ object Queries {
       |ORDER BY media_id""".stripMargin
 
   // ----------------------------------------------------------------------
+  // perceptual image hashing + image near-dup: REAL pixel decode (the
+  // JDK's own ImageIO readers — no external codec) -> integer box-averaged
+  // luma -> aHash/dHash. The committed fixture stores hashes the GENERATOR
+  // computed from the pixel arrays it drew BEFORE lossless encoding
+  // (round-trip asserted at build time), so the hash-match proves
+  // decode + grid average + bit extraction, not a formula replay; corrupt
+  // and decompression-bomb rows prove the degrade-to-undecoded contract.
+  // Near-dup pairs: the banded-Hamming join over dHash — exhaustive at
+  // hamming <= 3 by pigeonhole — against DuckDB's all-pairs
+  // bit_count(xor) twin over the stored signatures.
+  // ----------------------------------------------------------------------
+  private lazy val imagePhashFixture: String = fixturePath("image_phash.parquet")
+
+  private val imagePhash: (SparkSession, String) => DataFrame = (s, _) => {
+    val media = s.read.parquet(imagePhashFixture)
+      .select(col("media_id").as("id"), col("kind"), col("data"))
+    graft.multimodal.Multimodal.imageHash(media).toDF()
+      .select(col("id").as("media_id"), col("kind"),
+        col("nBytes").as("n_bytes"), col("decoded"),
+        col("width"), col("height"), col("ahash"), col("dhash"))
+      .orderBy(col("media_id"))
+  }
+
+  private val imagePhashSql =
+    s"""SELECT media_id, kind, octet_length(data)::BIGINT AS n_bytes,
+      |  decoded, width, height, ahash, dhash
+      |FROM '$imagePhashFixture'
+      |ORDER BY media_id""".stripMargin
+
+  private val imageNearDup: (SparkSession, String) => DataFrame = (s, _) => {
+    val media = s.read.parquet(imagePhashFixture)
+      .select(col("media_id").as("id"), col("kind"), col("data"))
+    val hashed = graft.multimodal.Multimodal.imageHash(media).toDF()
+      .where(col("decoded"))
+      .select(col("id"), col("dhash"))
+    graft.operators.Dedup.hammingPairs(hashed, "id", "dhash", maxHamming = 3)
+      .orderBy(col("a"), col("b"))
+  }
+
+  private val imageNearDupSql =
+    s"""WITH h AS (
+      |  SELECT media_id, dhash FROM '$imagePhashFixture'
+      |  WHERE decoded AND dhash IS NOT NULL AND dhash <> 0)
+      |SELECT x.media_id AS a, y.media_id AS b,
+      |  bit_count(xor(x.dhash, y.dhash))::BIGINT AS hamming
+      |FROM h x JOIN h y ON x.media_id < y.media_id
+      |WHERE bit_count(xor(x.dhash, y.dhash)) <= 3
+      |ORDER BY a, b""".stripMargin
+
+  // ----------------------------------------------------------------------
   // WARC ingestion + HTML extraction: the crawl-capture front door of the
   // training-data pipeline. The committed fixture holds three WARC files
   // (plain, per-record-gzip, corrupt-tail) the GENERATOR wrote from known
@@ -2905,6 +2955,8 @@ object Queries {
     "q_multimodal_meta" -> multimodalMeta,
     "q_multimodal_av" -> multimodalAv,
     "q_frame_sample"  -> frameSampleQ,
+    "q_image_phash"   -> imagePhash,
+    "q_image_neardup" -> imageNearDup,
     "q_warc_read"     -> warcRead,
     "q_html_text"     -> htmlText,
     "q_url_dedup"     -> urlDedup,
@@ -2996,6 +3048,8 @@ object Queries {
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_multimodal_av" -> multimodalAvSql,
     "q_frame_sample"  -> frameSampleSql,
+    "q_image_phash"   -> imagePhashSql,
+    "q_image_neardup" -> imageNearDupSql,
     "q_warc_read"     -> warcReadSql,
     "q_html_text"     -> htmlTextSql,
     "q_url_dedup"     -> urlDedupSql,

@@ -721,4 +721,159 @@ object Multimodal {
       }
     }).toDF()
   }
+
+  // ------------------------------------------------ perceptual image hashing
+
+  /** One image's perceptual-hash row ([[imageHash]]). `width`/`height` come
+    * from the header sniff ([[parseDimensions]]) whenever the container is
+    * recognized — even when pixel decode is refused or fails; `decoded`
+    * says whether pixels were actually decoded, and only decoded rows carry
+    * hashes. */
+  final case class ImageHashRow(id: Long, kind: String, nBytes: Long,
+      decoded: Boolean, width: Int, height: Int,
+      ahash: Option[Long], dhash: Option[Long])
+
+  /** Integer luma of one packed sRGB pixel — the ITU-R BT.601 weights in
+    * exact integer arithmetic ((299 r + 587 g + 114 b) / 1000, floor), so
+    * every engine that agrees on the decoded pixels agrees on the hash
+    * bit-for-bit. Range 0..255. */
+  @inline private def luma(argb: Int): Int = {
+    val r = (argb >> 16) & 0xff
+    val g = (argb >> 8) & 0xff
+    val b = argb & 0xff
+    (299 * r + 587 * g + 114 * b) / 1000
+  }
+
+  /** Box-average a w x h luma field (accessed row-at-a-time) onto a
+    * gw x gh grid: pixel x lands in cell x*gw/w (the floor partition of
+    * [0,w) into gw near-equal runs). Returns (sums, counts), row-major.
+    * Cells can be EMPTY when the image is narrower than the grid — the
+    * caller decides what an empty cell means. All-integer: no resampling
+    * filter, no float accumulation, so the average is a pure function of
+    * the decoded pixels. */
+  private def gridSums(img: java.awt.image.BufferedImage, gw: Int, gh: Int)
+      : (Array[Long], Array[Long]) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Long](gw * gh)
+    val counts = new Array[Long](gw * gh)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      // one bulk sRGB conversion per ROW: memory stays O(width) however
+      // large the image, and the per-pixel getRGB call overhead is gone
+      img.getRGB(0, y, w, 1, row, 0, w)
+      val gy = (y.toLong * gh / h).toInt
+      var x = 0
+      while (x < w) {
+        val c = gy * gw + (x.toLong * gw / w).toInt
+        sums(c) += luma(row(x))
+        counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    (sums, counts)
+  }
+
+  /** aHash (average hash): 8x8 box-averaged luma, bit y*8+x set iff the
+    * cell's average >= the GLOBAL average — compared exactly as cross
+    * products (sumCell * totalCount >= totalSum * cellCount), never as
+    * floats. Empty cells (image narrower/shorter than 8) stay 0. */
+  private def aHash64(sums: Array[Long], counts: Array[Long]): Long = {
+    val totalSum = sums.sum
+    val totalCnt = counts.sum
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (counts(i) > 0 && sums(i) * totalCnt >= totalSum * counts(i))
+        bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  /** dHash (difference hash): 9x8 box-averaged luma, bit y*8+x set iff
+    * cell (y,x) is strictly brighter than its right neighbor (y,x+1) —
+    * cross-product compare; an empty cell counts as brightness 0. Gradient
+    * structure survives global brightness/contrast shifts, which is why
+    * dHash is the near-dup workhorse. */
+  private def dHash64(sums: Array[Long], counts: Array[Long]): Long = {
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val a = y * 9 + x
+        val b = a + 1
+        val (sa, ca) = (sums(a), math.max(counts(a), 1L))
+        val (sb, cb) = (sums(b), math.max(counts(b), 1L))
+        if (sa * cb > sb * ca) bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** Largest pixel count [[imageHashBatch]] will decode. Two bounds meet
+    * here: the cross-product hash compares stay inside Long
+    * (255 * P^2 < 2^63 needs P < 2^27.5), and — the one that matters
+    * operationally — a decode allocates O(pixels) heap, so a crafted
+    * 100-gigapixel PNG (a 120-byte file) must be REFUSED BEFORE ImageIO
+    * touches it or one hostile row OOMs the executor. [[parseDimensions]]
+    * reads only the header, so the guard costs nothing. */
+  val MaxHashPixels: Long = 1L << 26 // 67 Mpixel ~= 8k x 8k
+
+  /** Per-partition batch pixel decode + perceptual hash — unlike
+    * [[decodeBatch]] (headers only) this decodes ACTUAL PIXELS, via the
+    * JDK's own ImageIO readers (PNG/JPEG/GIF/BMP — no external codec).
+    * The pipeline per row: header sniff ([[parseDimensions]]) first — an
+    * unrecognized container, or one whose DECLARED dimensions exceed
+    * [[MaxHashPixels]] (decompression-bomb defense), is reported
+    * undecoded with whatever dimensions the header gave; then ImageIO
+    * decode (a corrupt body that defeats the sniff degrades to undecoded
+    * instead of killing the job); then 8x8/9x8 integer box-averaged luma
+    * -> [[aHash64]]/[[dHash64]]. All arithmetic after decode is exact
+    * integer math — the hash is a pure function of the decoded sRGB
+    * pixels, reproducible across partitionings, JVMs, and engines. */
+  def imageHashBatch(rows: Iterator[MediaRow]): Iterator[ImageHashRow] = {
+    // ImageIO's default ImageInputStream spools through TEMP FILES — at
+    // corpus scale that is an extra disk write per image; keep it in memory
+    javax.imageio.ImageIO.setUseCache(false)
+    rows.map { r =>
+      val n = r.data.length.toLong
+      val dims = parseDimensions(r.data)
+      val (w0, h0) = dims.getOrElse((0, 0))
+      val tooBig = dims.exists { case (w, h) => w.toLong * h > MaxHashPixels }
+      val img =
+        if (dims.isEmpty || tooBig) null
+        else
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.data))
+          catch { case _: Exception => null }
+      if (img == null)
+        ImageHashRow(r.id, r.kind, n, decoded = false, w0, h0, None, None)
+      else {
+        val (s8, c8) = gridSums(img, 8, 8)
+        val (s9, c9) = gridSums(img, 9, 8)
+        ImageHashRow(r.id, r.kind, n, decoded = true,
+          img.getWidth, img.getHeight,
+          Some(aHash64(s8, c8)), Some(dHash64(s9, c9)))
+      }
+    }
+  }
+
+  /** Perceptual image hashing over a binary media frame (id, kind, data):
+    * (id, kind, nBytes, decoded, width, height, ahash, dhash). A narrow
+    * mapPartitions at the codec boundary — no shuffle, task memory bounded
+    * by one image row (O(width) beyond the payload itself thanks to
+    * row-strip conversion), hostile payloads bounded by the
+    * [[MaxHashPixels]] pre-check. Feed the result to
+    * [[graft.operators.Dedup.hammingPairs]] on `dhash` for image near-dup
+    * detection. */
+  def imageHash(media: DataFrame): Dataset[ImageHashRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(imageHashBatch)
+  }
 }

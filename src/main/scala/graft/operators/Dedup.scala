@@ -435,6 +435,44 @@ object Dedup {
       .distinct()
   }
 
+  /** Near-duplicate pairs (a, b, hamming) over an ARBITRARY 64-bit
+    * signature column — the banded-Hamming join [[simhashPairs]] runs on
+    * text fingerprints, factored out for signatures computed elsewhere
+    * (perceptual image dHash from
+    * [[graft.multimodal.Multimodal.imageHash]], an externally-computed
+    * SimHash, any 64-bit locality-preserving code).
+    *
+    * Plan: split the signature into 4 x 16-bit bands (pure shift/mask
+    * Catalyst expressions — no kernel needed) -> explode -> self-equi-join
+    * on (band, value) -> verify hamming = bit_count(xor) INSIDE the join
+    * -> distinct. Pigeonhole: two signatures within hamming 3 agree on at
+    * least one band, so maxHamming <= 3 is exhaustive — identical
+    * guarantees and shuffle shape to [[simhashPairs]]. The all-zero
+    * signature is excluded (the degenerate contentless code — a flat
+    * image, an empty document — whose k carriers would flood the join
+    * with k(k-1)/2 hamming-0 pairs). */
+  def hammingPairs(sigs: DataFrame, id: String, sig: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, s"4 bands of 16 bits only guarantee capture up to hamming 3, got $maxHamming")
+    val base = spread(sigs)
+      .select(col(id).as("id"), col(sig).cast("long").as("sig"))
+      .where(col("sig").isNotNull && col("sig") =!= 0L)
+    val ex = base.select(col("id"), col("sig"),
+      explode(array((0 until 4).map(i => struct(lit(i).as("band"),
+        shiftrightunsigned(col("sig"), i * 16).bitwiseAND(lit(0xffffL))
+          .as("bv"))): _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bv"))
+      .cache()
+    ex.as("x")
+      .join(ex.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Exact-duplicate groups by normalized-text fingerprint:
     * (fp, cnt, keeper = min id). */
   def exactGroups(docs: DataFrame, id: String, text: Column): DataFrame =

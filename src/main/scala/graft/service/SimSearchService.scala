@@ -370,7 +370,8 @@ final class SimSearchService(spark: SparkSession, port: Int,
     *               "nb_train" | "nb_score" |
     *               "bpe_train" | "bpe_encode" | "bpe_token_count" |
     *               "split" | "scrub_pii" | "gopher" | "quantile_cut" |
-    *               "lm_bigram" | "lm_train" | "lm_score" | "random_project",
+    *               "lm_bigram" | "lm_train" | "lm_score" | "random_project" |
+    *               "image_hash",
     *   "input": {"column": "<mounted attribute>"}        // api_key's catalog
     *          | {"path": "/dir", "format": "parquet"|"csv"},
     *   "id": "doc_id", "text": "text",                   // path-input columns
@@ -439,7 +440,10 @@ final class SimSearchService(spark: SparkSession, port: Int,
     * with `min_logq` the surviving input rows; random_project `out_dim`
     * (required), `vector_column` (default "embedding"), `in_dim` (default:
     * sniffed from the first row), `seed` — (id, vector) with the array
-    * JL-projected to out_dim via the engine-portable ±1 matrix. The
+    * JL-projected to out_dim via the engine-portable ±1 matrix;
+    * image_hash `data_column` (default "data", path input) — perceptual
+    * aHash/dHash from real pixel decode, or with `pairs: true` the
+    * banded-Hamming near-dup pairs at `max_hamming` (default 3). The
     * `output` block also accepts
     * `target_bytes` (parquet only) to route through the calibrated
     * sharded writer — uniform ~N-byte files instead of task-shaped
@@ -459,7 +463,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
         "bpe_train", "bpe_encode", "bpe_token_count", "split",
         "scrub_pii", "gopher", "dsir", "dsir_train", "dsir_score",
         "dedup_spans", "dedup_substr", "quantile_cut", "lm_bigram",
-        "lm_train", "lm_score", "random_project")
+        "lm_train", "lm_score", "random_project", "image_hash")
       if (!knownOps.contains(opName))
         throw new IllegalArgumentException(
           s"unknown operator '$opName' — one of ${knownOps.mkString(", ")}")
@@ -601,6 +605,19 @@ final class SimSearchService(spark: SparkSession, port: Int,
             right, rightId,
             graft.functions.NativeKernels.wordShingles2(col(rightText)),
             params.path("min_jaccard").asDouble(0.8))
+        case "image_hash" =>
+          // perceptual hashes of a binary image column (path input only —
+          // mounted facet columns are text); "pairs": true returns the
+          // banded-Hamming near-dup pairs instead of the hash table
+          val dataCol = params.path("data_column").asText("data")
+          val hashed = graft.multimodal.Multimodal.imageHash(
+            df.select(col(idCol).cast("long").as("id"),
+              lit("image").as("kind"), col(dataCol).as("data"))).toDF()
+          if (params.path("pairs").asBoolean(false))
+            Dedup.hammingPairs(
+              hashed.where(col("decoded")).select(col("id"), col("dhash")),
+              "id", "dhash", params.path("max_hamming").asInt(3))
+          else hashed.withColumnRenamed("id", idCol)
         case "random_project" =>
           // JL dimensionality reduction: (id, vector) with the array
           // shrunk to params.out_dim via the portable ±1 projection

@@ -1,0 +1,220 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.SparkSession
+
+/** One-off generator for `fixtures/image_phash.parquet` — committed ground
+  * truth for the q_image_phash / q_image_neardup oracles. Each decodable
+  * row is a REAL losslessly-encoded image (PNG / BMP / GIF via the JDK's
+  * own ImageIO writers) whose expected aHash/dHash are computed HERE, from
+  * the pixel array the generator drew — with the hash arithmetic
+  * re-implemented standalone in this file, never by calling the engine —
+  * so the engine's hash-match proves decode + integer box-average + bit
+  * extraction end to end, not a formula copied from itself. Lossless-ness
+  * is asserted per row (encode -> ImageIO.read -> pixel-equal), which is
+  * why JPEG stays out of THIS fixture (its decoded pixels are
+  * codec-defined; JPEG coverage lives in the dimensions fixture).
+  *
+  * Rows include planted near-duplicates (a base image plus small
+  * perturbations chosen so the dHash Hamming distance lands in 1..3 — the
+  * generator asserts it) so q_image_neardup is non-trivial, and corrupt /
+  * hostile rows (truncated PNG body, a 10-gigapixel declared-dimensions
+  * bomb, plain garbage) proving the degrade-to-undecoded contract.
+  *
+  * Run once: `sbt "Test/runMain graft.GenImagePhashFixture"`, commit the
+  * parquet. Deterministic: seeded content, fixed sizes, one output file.
+  */
+object GenImagePhashFixture {
+
+  // ---- standalone expected-hash arithmetic (the published aHash/dHash
+  // ---- recipe over exact integers; intentionally independent code)
+
+  def lumaOf(rgb: Int): Int = {
+    val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+    (299 * r + 587 * g + 114 * b) / 1000
+  }
+
+  /** (sums, counts) of lumas on a gw x gh floor-partition grid. */
+  def grid(px: Array[Array[Int]], gw: Int, gh: Int): (Array[Long], Array[Long]) = {
+    val h = px.length; val w = px(0).length
+    val s = new Array[Long](gw * gh); val c = new Array[Long](gw * gh)
+    for (y <- 0 until h; x <- 0 until w) {
+      val cell = (y.toLong * gh / h).toInt * gw + (x.toLong * gw / w).toInt
+      s(cell) += lumaOf(px(y)(x)); c(cell) += 1
+    }
+    (s, c)
+  }
+
+  def expectedAHash(px: Array[Array[Int]]): Long = {
+    val (s, c) = grid(px, 8, 8)
+    val ts = s.sum; val tc = c.sum
+    (0 until 64).foldLeft(0L) { (acc, i) =>
+      if (c(i) > 0 && s(i) * tc >= ts * c(i)) acc | (1L << i) else acc
+    }
+  }
+
+  def expectedDHash(px: Array[Array[Int]]): Long = {
+    val (s, c) = grid(px, 9, 8)
+    var bits = 0L
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val a = y * 9 + x; val b = a + 1
+      if (s(a) * math.max(c(b), 1L) > s(b) * math.max(c(a), 1L))
+        bits |= 1L << (y * 8 + x)
+    }
+    bits
+  }
+
+  // ---- drawing + lossless encoding
+
+  def toImage(px: Array[Array[Int]]): BufferedImage = {
+    val img = new BufferedImage(px(0).length, px.length, BufferedImage.TYPE_INT_RGB)
+    for (y <- px.indices; x <- px(0).indices) img.setRGB(x, y, px(y)(x) & 0xffffff)
+    img
+  }
+
+  def encodeLossless(px: Array[Array[Int]], format: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    require(ImageIO.write(toImage(px), format, out), s"no writer for $format")
+    val bytes = out.toByteArray
+    // assert the writer was lossless for THIS image: decode and compare
+    val back = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    for (y <- px.indices; x <- px(0).indices)
+      require((back.getRGB(x, y) & 0xffffff) == (px(y)(x) & 0xffffff),
+        s"$format round-trip not lossless at ($x,$y)")
+    bytes
+  }
+
+  /** A deterministic test card: smooth diagonal luminance gradient plus a
+    * seeded block pattern — enough structure that dHash bits are far from
+    * tie boundaries (a 1-luma perturbation of a flat image would flip
+    * arbitrary bits; these don't). `palette` quantizes channel values so
+    * the GIF writer's 256-color table can hold every color. */
+  def drawCard(w: Int, h: Int, seed: Int, palette: Boolean = false): Array[Array[Int]] = {
+    Array.tabulate(h, w) { (y, x) =>
+      val base = (x * 255 / math.max(w - 1, 1) + y * 255 / math.max(h - 1, 1)) / 2
+      val block = ((x / 8 + y / 8 + seed) * 2654435761L >>> 28).toInt & 0x3f
+      val v0 = math.min(255, base / 2 + block * 2 + (seed * 31) % 64)
+      val v = if (palette) v0 & 0xf8 else v0
+      val g = if (palette) math.min(248, v + 8) & 0xf8 else math.min(255, v + 13)
+      val b = if (palette) (v0 >> 1) & 0xf8 else v0 / 2
+      (v << 16) | (g << 8) | b
+    }
+  }
+
+  /** Brighten a rectangular region by `d` (clamped) — the near-dup
+    * perturbation. */
+  def brighten(px: Array[Array[Int]], x0: Int, y0: Int, x1: Int, y1: Int,
+      d: Int): Array[Array[Int]] =
+    Array.tabulate(px.length, px(0).length) { (y, x) =>
+      if (x >= x0 && x < x1 && y >= y0 && y < y1) {
+        val p = px(y)(x)
+        def cl(v: Int) = math.max(0, math.min(255, v + d))
+        (cl((p >> 16) & 0xff) << 16) | (cl((p >> 8) & 0xff) << 8) | cl(p & 0xff)
+      } else px(y)(x)
+    }
+
+  /** Valid PNG signature + IHDR declaring absurd dimensions and nothing
+    * else — the decompression bomb the engine must refuse by header. */
+  def bombPng(w: Int, h: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def be32(v: Int): Unit = {
+      out.write((v >> 24) & 0xff); out.write((v >> 16) & 0xff)
+      out.write((v >> 8) & 0xff); out.write(v & 0xff)
+    }
+    be32(13); out.write("IHDR".getBytes("US-ASCII"))
+    be32(w); be32(h)
+    out.write(8); out.write(2); out.write(0); out.write(0); out.write(0)
+    be32(0) // wrong CRC — never reaches a decoder anyway
+    out.toByteArray
+  }
+
+  final case class Row(media_id: Long, kind: String, data: Array[Byte],
+      decoded: Boolean, width: Int, height: Int,
+      ahash: Option[Long], dhash: Option[Long])
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .appName("gen-image-phash-fixture").master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    import spark.implicits._
+
+    def imgRow(id: Long, kind: String, format: String,
+        px: Array[Array[Int]]): Row =
+      Row(id, kind, encodeLossless(px, format), decoded = true,
+        px(0).length, px.length, Some(expectedAHash(px)), Some(expectedDHash(px)))
+
+    // base cards across formats and sizes (incl. narrower-than-grid)
+    val cards = Seq(
+      (0L, "png", "png", drawCard(96, 64, 1)),
+      (1L, "png", "png", drawCard(200, 150, 2)),
+      (2L, "bmp", "bmp", drawCard(120, 80, 3)),
+      (3L, "bmp", "bmp", drawCard(64, 96, 4)),
+      (4L, "gif", "gif", drawCard(80, 60, 5, palette = true)),
+      (5L, "gif", "gif", drawCard(160, 90, 6, palette = true)),
+      (6L, "png", "png", drawCard(40, 30, 7)),
+      (7L, "png", "png", drawCard(5, 3, 8)), // narrower than the 8/9 grids
+      (8L, "bmp", "bmp", drawCard(300, 200, 9)),
+      (9L, "png", "png", drawCard(33, 47, 10))
+    ).map { case (id, kind, fmt, px) => imgRow(id, kind, fmt, px) }
+
+    // planted near-dups: perturb one base card until dHash hamming lands
+    // in 1..3 — re-encoded, so the pair exists only at the pixel level
+    val basePx = drawCard(96, 64, 1)
+    val baseD = expectedDHash(basePx)
+    def perturbTo(id: Long, x0: Int, y0: Int, x1: Int, y1: Int): Row = {
+      val chosen = (1 to 120).iterator
+        .map(d => brighten(basePx, x0, y0, x1, y1, d))
+        .find { p => val hd = hamming(expectedDHash(p), baseD); hd >= 1 && hd <= 3 }
+        .getOrElse(sys.error("no perturbation landed in hamming 1..3"))
+      imgRow(id, "png", "png", chosen)
+    }
+    val nearDups = Seq(
+      perturbTo(100L, 0, 0, 24, 64),    // left quarter brightened
+      perturbTo(101L, 60, 16, 96, 48))  // right-center block brightened
+    nearDups.foreach { r =>
+      val hd = hamming(r.dhash.get, baseD)
+      require(hd >= 1 && hd <= 3, s"planted pair drifted to hamming $hd")
+    }
+    // a re-encode of the SAME pixels in another format: hamming 0 pair
+    val sameOtherFormat = imgRow(102L, "bmp", "bmp", basePx)
+    require(sameOtherFormat.dhash.get == baseD)
+
+    // corrupt / hostile rows
+    val truncated = {
+      val whole = encodeLossless(drawCard(64, 64, 11), "png")
+      Row(200L, "png", whole.take(40), decoded = false, 64, 64, None, None)
+    }
+    val bomb = Row(201L, "png", bombPng(100000, 100000), decoded = false,
+      100000, 100000, None, None)
+    val garbage = Row(202L, "bin", Array.tabulate[Byte](64)(i => (i * 7).toByte),
+      decoded = false, 0, 0, None, None)
+
+    val rows = cards ++ nearDups ++ Seq(sameOtherFormat, truncated, bomb, garbage)
+
+    // fixture-level sanity: at least one hamming<=3 pair exists among
+    // DISTINCT decodable signatures, so the near-dup oracle is non-trivial
+    val sigs = rows.filter(_.decoded).map(r => r.media_id -> r.dhash.get)
+    val close = for { (ia, a) <- sigs; (ib, b) <- sigs if ia < ib
+      if hamming(a, b) <= 3 } yield (ia, ib)
+    require(close.nonEmpty, "fixture has no near-dup pair")
+    println(s"near-dup pairs in fixture: $close")
+
+    val out = "fixtures/image_phash.parquet"
+    rows.toDF().coalesce(1).write.mode("overwrite").parquet(out + ".dir")
+    val part = new java.io.File(out + ".dir").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath, new java.io.File(out).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out + ".dir"))
+    println(s"wrote $out with ${rows.size} rows")
+    spark.stop()
+  }
+}

@@ -231,6 +231,39 @@ class IndexToolSpec extends SparkTestBase {
     assert(IndexTool.run(spark, Array("quantile-cut", s"$root/src",
       "--out", s"$root/y", "--score-expr", "length(text)")) == 2)
   }
+  test("IndexTool: image-hash decodes real pixels to aHash/dHash and " +
+    "emits near-dup pairs; missing --out exits 2") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-imgtool").toString
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 48,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 64) {
+        val g = f(x, y) & 0xff; img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out); out.toByteArray
+    }
+    val grad: (Int, Int) => Int = (x, y) => 2 * x + 3 * y + ((x / 8) * 11 % 32)
+    Seq(
+      (1L, png(grad)),
+      (2L, png(grad)),                             // exact pixel twin
+      (3L, png((x, y) => 255 - grad(x, y))),       // inverted: far away
+      (4L, "garbage bytes".getBytes("UTF-8")))     // undecodable
+      .toDF("doc_id", "payload")
+      .write.mode("overwrite").parquet(s"$root/imgs")
+    assert(IndexTool.run(spark, Array("image-hash", s"$root/imgs",
+      "--out", s"$root/hashes", "--id", "doc_id", "--data", "payload",
+      "--pairs-out", s"$root/pairs")) == 0)
+    val hashes = spark.read.parquet(s"$root/hashes")
+    assert(hashes.columns.contains("doc_id") && hashes.count() == 4)
+    assert(hashes.where(col("decoded")).count() == 3)
+    val pairs = spark.read.parquet(s"$root/pairs")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0L)))
+    assert(IndexTool.run(spark, Array("image-hash", s"$root/imgs")) == 2)
+  }
+
   test("IndexTool: dsir weights/selects and dedup-substr cuts repeated " +
     "spans parquet-to-parquet; missing flags exit 2") {
     import org.apache.spark.sql.functions.col

@@ -406,4 +406,118 @@ class MultimodalSpec extends SparkTestBase {
       Multimodal.sampleFramesByTime(rows, 0L)
     }
   }
+
+  // ------------------------------------------------ perceptual image hashing
+
+  private def grayImage(w: Int, h: Int)(v: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = v(x, y) & 0xff
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", out))
+    out.toByteArray
+  }
+
+  test("imageHash: hand-checked aHash/dHash of a half-bright test image " +
+    "(gray pixels make BT.601 luma exact, so the bits are derivable on paper)") {
+    // left half luma 255, right half 0, 16x16: every aHash cell on the left
+    // (grid x < 4) sits above the mean -> byte 0x0F per row; the 9-col dHash
+    // grid puts the edge between cols 3 (avg 255) and 4 (avg 0) -> exactly
+    // bit x=3 of each row is a strictly-brighter-than-right transition
+    val bytes = grayImage(16, 16)((x, _) => if (x < 8) 255 else 0)
+    val row = Multimodal.imageHash(Seq((1L, "png", bytes)).toDF("id", "kind", "data"))
+      .collect().head
+    assert(row.decoded && row.width == 16 && row.height == 16)
+    assert(row.ahash.get == 0x0f0f0f0f0f0f0f0fL)
+    assert(row.dhash.get == 0x0808080808080808L)
+  }
+
+  test("imageHash: declared-dimension decompression bomb is refused BEFORE " +
+    "decode; truncated body degrades to undecoded with header dimensions; " +
+    "garbage reports nothing") {
+    def be32(v: Int) = Array[Byte](((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val bomb = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ "IHDR".getBytes("US-ASCII") ++
+      be32(100000) ++ be32(100000) ++ Array[Byte](8, 2, 0, 0, 0) ++ be32(0)
+    val truncated = grayImage(64, 64)((x, y) => x + y).take(40)
+    val garbage = "not an image at all, nope".getBytes("UTF-8")
+    val rows = Multimodal.imageHash(Seq(
+        (1L, "png", bomb), (2L, "png", truncated), (3L, "bin", garbage))
+      .toDF("id", "kind", "data")).collect().map(r => r.id -> r).toMap
+    assert(!rows(1L).decoded && rows(1L).width == 100000 &&
+      rows(1L).height == 100000 && rows(1L).ahash.isEmpty)
+    assert(!rows(2L).decoded && rows(2L).width == 64 && rows(2L).height == 64)
+    assert(!rows(3L).decoded && rows(3L).width == 0 && rows(3L).ahash.isEmpty)
+  }
+
+  test("imageHash: smaller-than-grid images still hash deterministically " +
+    "(empty cells defined, not crashed on); re-runs are bit-identical") {
+    val tiny = grayImage(5, 3)((x, y) => 40 * x + 60 * y)
+    val once = Multimodal.imageHash(Seq((7L, "png", tiny)).toDF("id", "kind", "data"))
+      .collect().head
+    val again = Multimodal.imageHash(Seq((7L, "png", tiny)).toDF("id", "kind", "data"))
+      .collect().head
+    assert(once.decoded && once == again)
+  }
+
+  test("imageHash -> hammingPairs: a re-encode in another lossless format " +
+    "pairs at hamming 0, a small brightness edit pairs within 3, an " +
+    "unrelated image does not pair") {
+    // structured card (not flat): block-varying grays
+    def card(seed: Int)(x: Int, y: Int): Int =
+      (x * 255 / 95 + y * 255 / 63) / 2 + (((x / 8 + y / 8 + seed) * 37) % 40)
+    val w = 96; val h = 64
+    def pngOf(f: (Int, Int) => Int) = grayImage(w, h)(f)
+    def bmpOf(f: (Int, Int) => Int) = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = f(x, y) & 0xff; img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "bmp", out))
+      out.toByteArray
+    }
+    // calibrate the edit: grow the brightness delta until the dHash moves
+    // by 1..3 bits (the same search the fixture generator runs) — asserts
+    // the pipeline through real encode/decode, not a lucky constant
+    def dhashOf(bytes: Array[Byte]): Long =
+      Multimodal.imageHashBatch(Iterator(
+        Multimodal.MediaRow(0L, "png", bytes))).next().dhash.get
+    val baseD = dhashOf(pngOf(card(1)))
+    // edit a BLOCK (left quarter x top quarter — two dHash grid rows), not
+    // a full-height stripe: a stripe shifts the same boundary comparison in
+    // all 8 grid rows and the hamming jumps 0 -> 8 with no usable middle
+    val edited: (Int, Int) => Int = (1 to 120).iterator.map { d =>
+      (x: Int, y: Int) =>
+        if (x < 24 && y < 16) math.min(255, card(1)(x, y) + d) else card(1)(x, y)
+    }.find { f =>
+      val hd = java.lang.Long.bitCount(dhashOf(pngOf(f)) ^ baseD)
+      hd >= 1 && hd <= 3
+    }.getOrElse(fail("no brightness edit landed in hamming 1..3"))
+    // same-family seeds share the dominant gradient and sit only a couple
+    // of bits apart — the genuinely unrelated image inverts it
+    val unrelated: (Int, Int) => Int = (x, y) => 255 - card(9)(x, y)
+    val media = Seq(
+      (1L, "png", pngOf(card(1))),
+      (2L, "bmp", bmpOf(card(1))),   // same pixels, other container
+      (3L, "png", pngOf(edited)),    // small regional brightness edit
+      (4L, "png", pngOf(unrelated)))  // different image (inverted gradient)
+      .toDF("id", "kind", "data")
+    val hashed = Multimodal.imageHash(media).toDF()
+      .where(col("decoded")).select(col("id"), col("dhash"))
+    val pairs = graft.operators.Dedup.hammingPairs(hashed, "id", "dhash")
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 2L)) == 0L, "re-encoded identical pixels must collide exactly")
+    assert(pairs.get((1L, 3L)).exists(hd => hd >= 1 && hd <= 3),
+      s"edited copy should pair within hamming 3, got ${pairs.get((1L, 3L))}")
+    assert(java.lang.Long.bitCount(
+      dhashOf(pngOf(card(1))) ^ dhashOf(pngOf(unrelated))) > 3,
+      "the unrelated card must actually be far in dHash space")
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)))
+  }
 }

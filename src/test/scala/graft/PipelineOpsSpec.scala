@@ -852,6 +852,35 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("hammingPairs == brute-force hamming<=3 over arbitrary 64-bit " +
+    "signatures; all-zero signatures are excluded") {
+    // deterministic signatures: a cluster of near-identical codes (1-3 bit
+    // flips off a base), far-away codes, and two all-zero rows
+    val base = 0x5a5a1234deadbeefL
+    val sigs = Seq(
+      1L -> base,
+      2L -> (base ^ 1L),                 // hamming 1 from base
+      3L -> (base ^ (1L << 17) ^ (1L << 63)), // hamming 2
+      4L -> (base ^ 0x0fL),              // hamming 4 — beyond threshold
+      5L -> ~base,                       // hamming 64
+      6L -> 0x123456789abcdef0L,
+      7L -> 0L, 8L -> 0L                 // contentless guard
+    ).toDF("id", "sig")
+    val nz = Seq(1L -> base, 2L -> (base ^ 1L),
+      3L -> (base ^ (1L << 17) ^ (1L << 63)), 4L -> (base ^ 0x0fL),
+      5L -> ~base, 6L -> 0x123456789abcdef0L).toMap
+    val expected = (for {
+      a <- nz.keys; b <- nz.keys if a < b
+      h = java.lang.Long.bitCount(nz(a) ^ nz(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    // note (2,4): (base^1) xor (base^0x0f) = 0x0e — hamming 3, caught too
+    assert(expected ==
+      Set((1L, 2L, 1L), (1L, 3L, 2L), (2L, 3L, 3L), (2L, 4L, 3L)))
+    val got = Dedup.hammingPairs(sigs, "id", "sig")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   // ---------------------------------------------------------------- quantize
 
   test("int8 quantization: codes in [0,255], extremes map to 0/255, decode error bounded") {

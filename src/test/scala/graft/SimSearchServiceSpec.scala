@@ -421,6 +421,45 @@ class SimSearchServiceSpec extends SparkTestBase {
             "input": {"path": "$semDir"}, "id": "doc_id", "params": {}}"""))
       assert(cRpM == 400) // out_dim is required
 
+      // image_hash: real pixel decode over the socket; pairs mode returns
+      // the hamming-0 twin pair and skips the undecodable row
+      val imgDir = s"$dir/imgs"
+      def pngBytes(invert: Boolean): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(32, 24,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 24; x <- 0 until 32) {
+          // a WRAPPING sawtooth, not a monotone ramp: a pure ramp's dHash is
+          // the all-zero contentless code, which hammingPairs excludes
+          val g0 = (23 * x + 17 * y) & 0xff
+          val g = if (invert) 255 - g0 else g0
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        }
+        val o = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", o); o.toByteArray
+      }
+      Seq((1L, pngBytes(false)), (2L, pngBytes(false)),
+          (3L, pngBytes(true)), (4L, "junk".getBytes("UTF-8")))
+        .toDF("doc_id", "data").write.mode("overwrite").parquet(imgDir)
+      val (cIh, bIh) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "image_hash",
+            "input": {"path": "$imgDir"}, "id": "doc_id", "params": {}}"""))
+      assert(cIh == 200, bIh)
+      val ih = new ObjectMapper().readTree(bIh)
+      assert(ih.size() == 4, bIh)
+      val decodedById = (0 until ih.size()).map(i =>
+        ih.get(i).get("doc_id").asLong() ->
+          ih.get(i).get("decoded").asBoolean()).toMap
+      assert(decodedById == Map(1L -> true, 2L -> true, 3L -> true, 4L -> false), bIh)
+      val (cIp, bIp) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "image_hash",
+            "input": {"path": "$imgDir"}, "id": "doc_id",
+            "params": {"pairs": true}}"""))
+      assert(cIp == 200, bIp)
+      val ip = new ObjectMapper().readTree(bIp)
+      assert(ip.size() == 1 && ip.get(0).get("a").asLong() == 1L &&
+        ip.get(0).get("b").asLong() == 2L &&
+        ip.get(0).get("hamming").asLong() == 0L, bIp)
+
       // two-table ops: the benchmark ships as its own parquet
       val evalDir = s"$dir/eval"
       Seq((99L, "the quick brown fox jumps over the lazy dog"))
