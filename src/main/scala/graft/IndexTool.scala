@@ -499,6 +499,33 @@ object IndexTool {
         }
         println(s"""{"action":"image-hash","path":"${args(1)}",""" +
           s""""out":"$out"}"""); 0
+      case "audio-fp" =>
+        // fingerprint an audio corpus (real AudioSystem PCM decode ->
+        // 65-window energy gradient), optionally with near-dup pairs
+        val out = opt(args, "--out").getOrElse {
+          System.err.println(s"audio-fp needs --out <parquet>\n$usage")
+          return 2
+        }
+        import org.apache.spark.sql.functions.{col, lit}
+        val idCol = opt(args, "--id").getOrElse("id")
+        val dataCol = opt(args, "--data").getOrElse("data")
+        val printed = graft.multimodal.Multimodal.audioFingerprint(
+          spark.read.parquet(args(1)).select(
+            col(idCol).cast("long").as("id"),
+            opt(args, "--kind").map(col).getOrElse(lit("audio")).as("kind"),
+            col(dataCol).as("data"))).toDF()
+        printed.withColumnRenamed("id", idCol)
+          .write.mode("overwrite").parquet(out)
+        opt(args, "--pairs-out").foreach { pairsOut =>
+          graft.operators.Dedup.hammingPairs(
+              spark.read.parquet(out).where(col("decoded"))
+                .select(col(idCol).as("id"), col("afp")),
+              "id", "afp",
+              opt(args, "--max-hamming").fold(3)(_.toInt))
+            .write.mode("overwrite").parquet(pairsOut)
+        }
+        println(s"""{"action":"audio-fp","path":"${args(1)}",""" +
+          s""""out":"$out"}"""); 0
       case other =>
         System.err.println(s"unknown action '$other'\n$usage"); 2
     }
@@ -528,5 +555,6 @@ object IndexTool {
       |  lm-train <modelPath> --source <parquet> [--text text] [--lambda-ppm 750000]
       |  lm-score <modelPath> --source <parquet> --out <parquet> [--id id] [--text text]
       |  rand-project <srcParquet> --out <parquet> --out-dim <N> [--in-dim N] [--id id] [--vector embedding] [--seed s]
-      |  image-hash <srcParquet> --out <parquet> [--id id] [--data data] [--kind kindCol] [--pairs-out <parquet>] [--max-hamming 3]""".stripMargin
+      |  image-hash <srcParquet> --out <parquet> [--id id] [--data data] [--kind kindCol] [--pairs-out <parquet>] [--max-hamming 3]
+      |  audio-fp <srcParquet> --out <parquet> [--id id] [--data data] [--kind kindCol] [--pairs-out <parquet>] [--max-hamming 3]""".stripMargin
 }

@@ -2081,6 +2081,55 @@ object Queries {
       |ORDER BY a, b""".stripMargin
 
   // ----------------------------------------------------------------------
+  // audio fingerprinting + audio near-dup: REAL PCM decode (the JDK's own
+  // AudioSystem — WAV container, 8/16-bit, mono/stereo) -> 65-window
+  // integer energy envelope -> 64 gradient bits, the audio sibling of
+  // dHash, verified the same way: the committed fixture stores
+  // fingerprints the GENERATOR computed from the raw samples it
+  // synthesized BEFORE encoding (round-trip asserted at build time), and
+  // near-dup pairs reuse the SAME banded-Hamming join image dHash and text
+  // SimHash go through.
+  // ----------------------------------------------------------------------
+  private lazy val audioFpFixture: String = fixturePath("audio_fp.parquet")
+
+  private val audioFp: (SparkSession, String) => DataFrame = (s, _) => {
+    val media = s.read.parquet(audioFpFixture)
+      .select(col("media_id").as("id"), col("kind"), col("data"))
+    graft.multimodal.Multimodal.audioFingerprint(media).toDF()
+      .select(col("id").as("media_id"), col("kind"),
+        col("nBytes").as("n_bytes"), col("decoded"),
+        col("sampleRate").as("sample_rate"), col("channels"),
+        col("nFrames").as("n_frames"), col("afp"))
+      .orderBy(col("media_id"))
+  }
+
+  private val audioFpSql =
+    s"""SELECT media_id, kind, octet_length(data)::BIGINT AS n_bytes,
+      |  decoded, sample_rate, channels, n_frames, afp
+      |FROM '$audioFpFixture'
+      |ORDER BY media_id""".stripMargin
+
+  private val audioNearDup: (SparkSession, String) => DataFrame = (s, _) => {
+    val media = s.read.parquet(audioFpFixture)
+      .select(col("media_id").as("id"), col("kind"), col("data"))
+    val printed = graft.multimodal.Multimodal.audioFingerprint(media).toDF()
+      .where(col("decoded"))
+      .select(col("id"), col("afp"))
+    graft.operators.Dedup.hammingPairs(printed, "id", "afp", maxHamming = 3)
+      .orderBy(col("a"), col("b"))
+  }
+
+  private val audioNearDupSql =
+    s"""WITH h AS (
+      |  SELECT media_id, afp FROM '$audioFpFixture'
+      |  WHERE decoded AND afp IS NOT NULL AND afp <> 0)
+      |SELECT x.media_id AS a, y.media_id AS b,
+      |  bit_count(xor(x.afp, y.afp))::BIGINT AS hamming
+      |FROM h x JOIN h y ON x.media_id < y.media_id
+      |WHERE bit_count(xor(x.afp, y.afp)) <= 3
+      |ORDER BY a, b""".stripMargin
+
+  // ----------------------------------------------------------------------
   // WARC ingestion + HTML extraction: the crawl-capture front door of the
   // training-data pipeline. The committed fixture holds three WARC files
   // (plain, per-record-gzip, corrupt-tail) the GENERATOR wrote from known
@@ -2957,6 +3006,8 @@ object Queries {
     "q_frame_sample"  -> frameSampleQ,
     "q_image_phash"   -> imagePhash,
     "q_image_neardup" -> imageNearDup,
+    "q_audio_fp"      -> audioFp,
+    "q_audio_neardup" -> audioNearDup,
     "q_warc_read"     -> warcRead,
     "q_html_text"     -> htmlText,
     "q_url_dedup"     -> urlDedup,
@@ -3050,6 +3101,8 @@ object Queries {
     "q_frame_sample"  -> frameSampleSql,
     "q_image_phash"   -> imagePhashSql,
     "q_image_neardup" -> imageNearDupSql,
+    "q_audio_fp"      -> audioFpSql,
+    "q_audio_neardup" -> audioNearDupSql,
     "q_warc_read"     -> warcReadSql,
     "q_html_text"     -> htmlTextSql,
     "q_url_dedup"     -> urlDedupSql,

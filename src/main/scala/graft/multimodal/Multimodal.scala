@@ -876,4 +876,146 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRow].mapPartitions(imageHashBatch)
   }
+
+  // ------------------------------------------------ audio fingerprinting
+
+  /** One audio payload's fingerprint row ([[audioFingerprint]]): format
+    * facts from the REAL decode (sample rate, channels, frame count) plus
+    * `afp`, the 64-bit temporal-energy fingerprint. Undecodable payloads
+    * report `decoded = false` and no fingerprint. */
+  final case class AudioFpRow(id: Long, kind: String, nBytes: Long,
+      decoded: Boolean, sampleRate: Int, channels: Int, nFrames: Long,
+      afp: Option[Long])
+
+  /** The audio sibling of dHash: split the decoded sample stream into 65
+    * equal time windows, take each window's mean absolute amplitude
+    * (channels summed, floor integer division — deterministic, no floats),
+    * and set bit i (0..63) iff window i is strictly LOUDER than window
+    * i+1. Like dHash's gradient bits, the energy-envelope gradient
+    * survives global volume scaling direction-wise and re-encoding of the
+    * same PCM, which is what audio near-dup needs; 65 windows make every
+    * bit a local comparison, so a small edit touches few bits.
+    *
+    * Decode is the JDK's own AudioSystem (WAV and AIFF containers, PCM
+    * 8/16/24/32-bit — no external codec; 8-bit WAV is unsigned per spec
+    * and gets centered). Frame count is bounded by
+    * min(header frame length, actually-available bytes / frame size): PCM
+    * is stored 1:1, so unlike images there is no decompression bomb — a
+    * lying header cannot make the decoder allocate more than the payload
+    * that is already in the row — but the min keeps a truncated stream's
+    * window assignment honest. Compressed encodings (MP3, float WAV,
+    * a-law) take the undecoded branch. */
+  def audioFingerprintBatch(rows: Iterator[MediaRow]): Iterator[AudioFpRow] =
+    rows.map { r =>
+      val n = r.data.length.toLong
+      decodeAudioFp(r.data) match {
+        case Some((sr, ch, frames, fp)) =>
+          AudioFpRow(r.id, r.kind, n, decoded = true, sr, ch, frames, Some(fp))
+        case None =>
+          AudioFpRow(r.id, r.kind, n, decoded = false, 0, 0, 0L, None)
+      }
+    }
+
+  /** (sampleRate, channels, frames, fingerprint) of a PCM payload, or None
+    * for anything AudioSystem cannot read as integer PCM. */
+  private[multimodal] def decodeAudioFp(data: Array[Byte])
+      : Option[(Int, Int, Long, Long)] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val ais =
+      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(data))
+      catch { case _: Exception => return None }
+    try {
+      val fmt = ais.getFormat
+      val enc = fmt.getEncoding
+      val bits = fmt.getSampleSizeInBits
+      val ch = fmt.getChannels
+      val frameSize = fmt.getFrameSize
+      val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+      val unsigned = enc == AudioFormat.Encoding.PCM_UNSIGNED
+      if (!(signed || unsigned) || ch <= 0 || frameSize <= 0 ||
+        !Seq(8, 16, 24, 32).contains(bits) ||
+        frameSize != ch * (bits / 8)) return None
+      // honest frame count: the header's claim capped by the bytes that
+      // are actually there (a truncated file must not skew the windows)
+      val header = ais.getFrameLength
+      val avail = ais.available().toLong / frameSize
+      val nFrames = math.min(if (header > 0) header else Long.MaxValue, avail)
+      if (nFrames <= 0) return None
+      val bytesPer = bits / 8
+      val big = fmt.isBigEndian
+      val center = if (unsigned) 1L << (bits - 1) else 0L
+      val sums = new Array[Long](65)
+      val cnts = new Array[Long](65)
+      val buf = new Array[Byte](frameSize * 1024)
+      var frame = 0L
+      var carry = 0 // bytes of a partial frame held over between reads
+      var done = false
+      while (!done && frame < nFrames) {
+        val got = ais.read(buf, carry, buf.length - carry)
+        if (got <= 0) done = true
+        else {
+          val total = carry + got
+          val frames = total / frameSize
+          var f = 0
+          while (f < frames && frame < nFrames) {
+            val base = f * frameSize
+            var mixed = 0L
+            var c = 0
+            while (c < ch) {
+              val off = base + c * bytesPer
+              var v = 0L
+              if (big) {
+                // sign-extend from the leading byte, accumulate the rest
+                v = buf(off).toLong
+                var k = 1
+                while (k < bytesPer) { v = (v << 8) | (buf(off + k) & 0xffL); k += 1 }
+              } else {
+                v = buf(off + bytesPer - 1).toLong
+                var k = bytesPer - 2
+                while (k >= 0) { v = (v << 8) | (buf(off + k) & 0xffL); k -= 1 }
+              }
+              // 8-bit PCM carries no sign bit convention of its own in
+              // WAV — it is unsigned; center it (and any PCM_UNSIGNED)
+              if (unsigned) v = (v & ((1L << bits) - 1)) - center
+              mixed += v
+              c += 1
+            }
+            val w = (frame * 65L / nFrames).toInt
+            sums(w) += math.abs(mixed)
+            cnts(w) += 1
+            frame += 1
+            f += 1
+          }
+          carry = total - frames * frameSize
+          if (carry > 0) System.arraycopy(buf, frames * frameSize, buf, 0, carry)
+        }
+      }
+      if (frame == 0) return None
+      // floor means keep every later compare inside Long no matter how
+      // long the clip is (cross products of raw sums could overflow)
+      val mean = (0 until 65).map(i =>
+        if (cnts(i) == 0) 0L else sums(i) / cnts(i))
+      var bitsOut = 0L
+      var i = 0
+      while (i < 64) {
+        if (mean(i) > mean(i + 1)) bitsOut |= 1L << i
+        i += 1
+      }
+      Some((fmt.getSampleRate.toInt, ch, frame, bitsOut))
+    } catch { case _: Exception => None }
+    finally ais.close()
+  }
+
+  /** Audio fingerprinting over a binary media frame (id, kind, data):
+    * (id, kind, nBytes, decoded, sampleRate, channels, nFrames, afp). A
+    * narrow mapPartitions at the codec boundary — no shuffle, O(1) state
+    * beyond one read buffer per row (the stream is windowed on the fly,
+    * never materialized). Feed `afp` to
+    * [[graft.operators.Dedup.hammingPairs]] for audio near-dup pairs, the
+    * same join that serves text SimHash and image dHash. */
+  def audioFingerprint(media: DataFrame): Dataset[AudioFpRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(audioFingerprintBatch)
+  }
 }

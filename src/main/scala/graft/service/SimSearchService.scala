@@ -371,7 +371,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
     *               "bpe_train" | "bpe_encode" | "bpe_token_count" |
     *               "split" | "scrub_pii" | "gopher" | "quantile_cut" |
     *               "lm_bigram" | "lm_train" | "lm_score" | "random_project" |
-    *               "image_hash",
+    *               "image_hash" | "audio_fp",
     *   "input": {"column": "<mounted attribute>"}        // api_key's catalog
     *          | {"path": "/dir", "format": "parquet"|"csv"},
     *   "id": "doc_id", "text": "text",                   // path-input columns
@@ -441,8 +441,9 @@ final class SimSearchService(spark: SparkSession, port: Int,
     * (required), `vector_column` (default "embedding"), `in_dim` (default:
     * sniffed from the first row), `seed` — (id, vector) with the array
     * JL-projected to out_dim via the engine-portable ±1 matrix;
-    * image_hash `data_column` (default "data", path input) — perceptual
-    * aHash/dHash from real pixel decode, or with `pairs: true` the
+    * image_hash / audio_fp `data_column` (default "data", path input) —
+    * perceptual aHash/dHash from real pixel decode (resp. the 65-window
+    * energy fingerprint from real PCM decode), or with `pairs: true` the
     * banded-Hamming near-dup pairs at `max_hamming` (default 3). The
     * `output` block also accepts
     * `target_bytes` (parquet only) to route through the calibrated
@@ -463,7 +464,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
         "bpe_train", "bpe_encode", "bpe_token_count", "split",
         "scrub_pii", "gopher", "dsir", "dsir_train", "dsir_score",
         "dedup_spans", "dedup_substr", "quantile_cut", "lm_bigram",
-        "lm_train", "lm_score", "random_project", "image_hash")
+        "lm_train", "lm_score", "random_project", "image_hash", "audio_fp")
       if (!knownOps.contains(opName))
         throw new IllegalArgumentException(
           s"unknown operator '$opName' — one of ${knownOps.mkString(", ")}")
@@ -618,6 +619,18 @@ final class SimSearchService(spark: SparkSession, port: Int,
               hashed.where(col("decoded")).select(col("id"), col("dhash")),
               "id", "dhash", params.path("max_hamming").asInt(3))
           else hashed.withColumnRenamed("id", idCol)
+        case "audio_fp" =>
+          // audio fingerprints of a binary PCM column (path input only);
+          // "pairs": true returns the banded-Hamming near-dup pairs
+          val dataCol = params.path("data_column").asText("data")
+          val printed = graft.multimodal.Multimodal.audioFingerprint(
+            df.select(col(idCol).cast("long").as("id"),
+              lit("audio").as("kind"), col(dataCol).as("data"))).toDF()
+          if (params.path("pairs").asBoolean(false))
+            Dedup.hammingPairs(
+              printed.where(col("decoded")).select(col("id"), col("afp")),
+              "id", "afp", params.path("max_hamming").asInt(3))
+          else printed.withColumnRenamed("id", idCol)
         case "random_project" =>
           // JL dimensionality reduction: (id, vector) with the array
           // shrunk to params.out_dim via the portable ±1 projection

@@ -262,6 +262,34 @@ class IndexToolSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L, 0L)))
     assert(IndexTool.run(spark, Array("image-hash", s"$root/imgs")) == 2)
+
+    // audio-fp: PCM decode -> fingerprint; identical clips pair at 0
+    def wav(samples: Array[Int]): Array[Byte] = {
+      import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+      val pcm = new Array[Byte](samples.length * 2)
+      for (i <- samples.indices) {
+        pcm(i * 2) = (samples(i) & 0xff).toByte
+        pcm(i * 2 + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm),
+        new AudioFormat(16000f, 16, 1, true, false), samples.length.toLong),
+        AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val clip = Array.tabulate(650)(f => ((f / 10) * 37 % 50 + 1) * 100)
+    Seq((1L, wav(clip)), (2L, wav(clip)), (3L, "noise".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+      .write.mode("overwrite").parquet(s"$root/clips")
+    assert(IndexTool.run(spark, Array("audio-fp", s"$root/clips",
+      "--out", s"$root/afps", "--id", "doc_id", "--data", "payload",
+      "--pairs-out", s"$root/apairs")) == 0)
+    val afps = spark.read.parquet(s"$root/afps")
+    assert(afps.where(col("decoded")).count() == 2 && afps.count() == 3)
+    assert(spark.read.parquet(s"$root/apairs")
+      .as[(Long, Long, Long)].collect().toSet == Set((1L, 2L, 0L)))
+    assert(IndexTool.run(spark, Array("audio-fp", s"$root/clips")) == 2)
   }
 
   test("IndexTool: dsir weights/selects and dedup-substr cuts repeated " +

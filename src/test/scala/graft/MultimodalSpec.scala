@@ -520,4 +520,77 @@ class MultimodalSpec extends SparkTestBase {
       "the unrelated card must actually be far in dHash space")
     assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)))
   }
+
+  // ------------------------------------------------ audio fingerprinting
+
+  private def wav16(samples: Array[Int], channels: Int = 1,
+      rate: Float = 16000f): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = samples.length / channels
+    val pcm = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) {
+      pcm(i * 2) = (samples(i) & 0xff).toByte
+      pcm(i * 2 + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm),
+      new AudioFormat(rate, 16, channels, true, false), n.toLong),
+      AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("audioFingerprint: a strictly descending 65-step energy staircase " +
+    "sets every gradient bit; ascending sets none; format facts are real") {
+    // window w (10 frames each) holds constant amplitude (65 - w) * 100:
+    // every window mean is exact, strictly louder than its right neighbor
+    val down = Array.tabulate(650)(f => (65 - f / 10) * 100)
+    val up = Array.tabulate(650)(f => (1 + f / 10) * 100)
+    val rows = Multimodal.audioFingerprint(Seq(
+        (1L, "wav", wav16(down, rate = 44100f)), (2L, "wav", wav16(up)))
+      .toDF("id", "kind", "data")).collect().map(r => r.id -> r).toMap
+    assert(rows(1L).decoded && rows(1L).sampleRate == 44100 &&
+      rows(1L).channels == 1 && rows(1L).nFrames == 650L)
+    assert(rows(1L).afp.get == -1L) // all 64 bits
+    assert(rows(2L).afp.get == 0L)  // the contentless code — monotone rise
+  }
+
+  test("audioFingerprint: stereo channels mix by sum (exact staircase " +
+    "doubles cleanly to the mono fingerprint); refused formats and " +
+    "truncation degrade to undecoded") {
+    val down = Array.tabulate(650)(f => (65 - f / 10) * 100)
+    val stereo = new Array[Int](1300)
+    for (f <- 0 until 650) { stereo(2 * f) = down(f); stereo(2 * f + 1) = down(f) }
+    val mono = Multimodal.audioFingerprintBatch(Iterator(
+      Multimodal.MediaRow(0L, "wav", wav16(down)))).next()
+    val both = Multimodal.audioFingerprintBatch(Iterator(
+      Multimodal.MediaRow(0L, "wav", wav16(stereo, channels = 2)))).next()
+    assert(both.channels == 2 && both.afp == mono.afp)
+    val rows = Multimodal.audioFingerprint(Seq(
+        (1L, "wav", wav16(down).take(20)),              // cut inside header
+        (2L, "wav", GenAudioFpFixture.floatWav()),      // IEEE-float format
+        (3L, "bin", "not audio".getBytes("UTF-8")))
+      .toDF("id", "kind", "data")).collect()
+    assert(rows.forall(r => !r.decoded && r.afp.isEmpty))
+  }
+
+  test("audioFingerprint -> hammingPairs: identical PCM re-encoded pairs " +
+    "at hamming 0; an unrelated clip does not pair") {
+    // block-varying (non-monotone) envelope so the fingerprint is nonzero
+    def clip(seed: Int): Array[Int] = Array.tabulate(1300) { f =>
+      (((f / 20) * 2654435761L + seed) >>> 56).toInt % 97 * 30 + f % 7
+    }
+    val a = clip(1)
+    val media = Seq(
+      (1L, "wav", wav16(a)),
+      (2L, "wav", wav16(a, rate = 8000f)),   // same PCM, other rate header
+      (3L, "wav", wav16(clip(99).map(v => 3100 - v)))) // unrelated
+      .toDF("id", "kind", "data")
+    val printed = Multimodal.audioFingerprint(media).toDF()
+      .where(col("decoded")).select(col("id"), col("afp"))
+    val pairs = graft.operators.Dedup.hammingPairs(printed, "id", "afp")
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 2L)) == 0L)
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
 }

@@ -460,6 +460,36 @@ class SimSearchServiceSpec extends SparkTestBase {
         ip.get(0).get("b").asLong() == 2L &&
         ip.get(0).get("hamming").asLong() == 0L, bIp)
 
+      // audio_fp: real PCM decode over the socket; pairs mode returns the
+      // identical-clip pair and skips the undecodable row
+      val audDir = s"$dir/clips"
+      def wavBytes(): Array[Byte] = {
+        import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+        val samples = Array.tabulate(650)(f => ((f / 10) * 53 % 60 + 1) * 90)
+        val pcm = new Array[Byte](samples.length * 2)
+        for (i <- samples.indices) {
+          pcm(i * 2) = (samples(i) & 0xff).toByte
+          pcm(i * 2 + 1) = ((samples(i) >> 8) & 0xff).toByte
+        }
+        val o = new java.io.ByteArrayOutputStream()
+        AudioSystem.write(new AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm),
+          new AudioFormat(16000f, 16, 1, true, false), samples.length.toLong),
+          AudioFileFormat.Type.WAVE, o)
+        o.toByteArray
+      }
+      Seq((1L, wavBytes()), (2L, wavBytes()), (3L, "junk".getBytes("UTF-8")))
+        .toDF("doc_id", "data").write.mode("overwrite").parquet(audDir)
+      val (cAf, bAf) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "audio_fp",
+            "input": {"path": "$audDir"}, "id": "doc_id",
+            "params": {"pairs": true}}"""))
+      assert(cAf == 200, bAf)
+      val af = new ObjectMapper().readTree(bAf)
+      assert(af.size() == 1 && af.get(0).get("a").asLong() == 1L &&
+        af.get(0).get("b").asLong() == 2L &&
+        af.get(0).get("hamming").asLong() == 0L, bAf)
+
       // two-table ops: the benchmark ships as its own parquet
       val evalDir = s"$dir/eval"
       Seq((99L, "the quick brown fox jumps over the lazy dog"))
