@@ -2080,6 +2080,38 @@ object Queries {
       |WHERE bit_count(xor(x.dhash, y.dhash)) <= 3
       |ORDER BY a, b""".stripMargin
 
+  // -- incremental image near-dup: the base cards (media_id < 100) hash
+  //    ONCE into a persisted banded-Hamming index; the later-arriving
+  //    batch (the planted perturbed/re-encoded copies, media_id >= 100)
+  //    checks against the stored signatures without the corpus being
+  //    re-decoded — the production ingestion shape, same discipline as
+  //    q_dedup_incr for MinHash. DuckDB mirrors the cross split over the
+  //    stored fixture signatures.
+  private val imageIncr: (SparkSession, String) => DataFrame = (s, _) => {
+    val media = s.read.parquet(imagePhashFixture)
+      .select(col("media_id").as("id"), col("kind"), col("data"))
+    def hashed(pred: Column) = graft.multimodal.Multimodal.imageHash(media)
+      .toDF().where(col("decoded") && pred).select(col("id"), col("dhash"))
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-hamidx-imgfx").getAbsolutePath
+    buildIndexOnce(path)(
+      graft.operators.Dedup.writeHammingIndex(
+        hashed(col("id") < 100), "id", "dhash", path))
+    graft.operators.Dedup.incrementalHammingPairs(
+        hashed(col("id") >= 100), "id", "dhash", path, maxHamming = 3)
+      .orderBy(col("a"), col("b"))
+  }
+
+  private val imageIncrSql =
+    s"""WITH h AS (
+      |  SELECT media_id, dhash FROM '$imagePhashFixture'
+      |  WHERE decoded AND dhash IS NOT NULL AND dhash <> 0)
+      |SELECT x.media_id AS a, y.media_id AS b,
+      |  bit_count(xor(x.dhash, y.dhash))::BIGINT AS hamming
+      |FROM h x JOIN h y ON x.media_id >= 100 AND y.media_id < 100
+      |WHERE bit_count(xor(x.dhash, y.dhash)) <= 3
+      |ORDER BY a, b""".stripMargin
+
   // ----------------------------------------------------------------------
   // audio fingerprinting + audio near-dup: REAL PCM decode (the JDK's own
   // AudioSystem — WAV container, 8/16-bit, mono/stereo) -> 65-window
@@ -3006,6 +3038,7 @@ object Queries {
     "q_frame_sample"  -> frameSampleQ,
     "q_image_phash"   -> imagePhash,
     "q_image_neardup" -> imageNearDup,
+    "q_image_incr"    -> imageIncr,
     "q_audio_fp"      -> audioFp,
     "q_audio_neardup" -> audioNearDup,
     "q_warc_read"     -> warcRead,
@@ -3101,6 +3134,7 @@ object Queries {
     "q_frame_sample"  -> frameSampleSql,
     "q_image_phash"   -> imagePhashSql,
     "q_image_neardup" -> imageNearDupSql,
+    "q_image_incr"    -> imageIncrSql,
     "q_audio_fp"      -> audioFpSql,
     "q_audio_neardup" -> audioNearDupSql,
     "q_warc_read"     -> warcReadSql,

@@ -454,19 +454,91 @@ object Dedup {
   def hammingPairs(sigs: DataFrame, id: String, sig: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, s"4 bands of 16 bits only guarantee capture up to hamming 3, got $maxHamming")
-    val base = spread(sigs)
-      .select(col(id).as("id"), col(sig).cast("long").as("sig"))
-      .where(col("sig").isNotNull && col("sig") =!= 0L)
-    val ex = base.select(col("id"), col("sig"),
-      explode(array((0 until 4).map(i => struct(lit(i).as("band"),
-        shiftrightunsigned(col("sig"), i * 16).bitwiseAND(lit(0xffffL))
-          .as("bv"))): _*)).as("bb"))
-      .select(col("id"), col("sig"), col("bb.band"), col("bb.bv"))
-      .cache()
+    val ex = bandedSigs(sigs, id, sig).cache()
     ex.as("x")
       .join(ex.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Persist the banded-Hamming index of a 64-bit-signature corpus,
+    * enabling INCREMENTAL signature near-dup ([[incrementalHammingPairs]])
+    * for whatever computed the signatures — perceptual image dHash, audio
+    * fingerprints, SimHash: the production ingestion shape, where the
+    * expensive per-row decode/hash happens once per row ever. Layout:
+    * `path/bands` = (band, bv, id, sig) — the full signature RIDES the
+    * band rows (8 bytes x 4 bands per row; signatures need no second
+    * verification table the way MinHash shingle sets do), so the probe is
+    * ONE equi-join with the bit_count verify inline. All-zero signatures
+    * stay out (the [[hammingPairs]] contentless-code guard — k stored
+    * zeros would candidate-join every later contentless row k times).
+    *
+    * Same commit discipline as [[writeBandIndex]]: a `batch` partition
+    * level via [[IndexIO]] — streaming batchIds write as dynamic partition
+    * overwrites (replay-idempotent), batch = -1 otherwise; a crashed
+    * compaction swap is repaired before any write. */
+  def writeHammingIndex(sigs: DataFrame, id: String, sig: String,
+      path: String, append: Boolean = false, batchId: Option[Long] = None): Unit = {
+    val spark = sigs.sparkSession
+    IndexIO.recoverSwap(spark, path)
+    if (IndexIO.alreadyCompacted(spark, path, batchId)) return
+    val rows = bandedSigs(sigs, id, sig)
+    if (batchId.isDefined)
+      IndexIO.writeBatch(rows, s"$path/bands", batchId, Seq.empty)
+    else
+      rows.withColumn(IndexIO.BatchCol, lit(-1L))
+        .write.mode(if (append) "append" else "overwrite")
+        .partitionBy(IndexIO.BatchCol).parquet(s"$path/bands")
+  }
+
+  /** (id, sig, band, bv) exploded band rows of a signature frame, zero
+    * signatures excluded — shared by the index writer and the probe. */
+  private def bandedSigs(sigs: DataFrame, id: String, sig: String): DataFrame =
+    spread(sigs)
+      .select(col(id).as("id"), col(sig).cast("long").as("sig"))
+      .where(col("sig").isNotNull && col("sig") =!= 0L)
+      .select(col("id"), col("sig"),
+        explode(array((0 until 4).map(i => struct(lit(i).as("band"),
+          shiftrightunsigned(col("sig"), i * 16).bitwiseAND(lit(0xffffL))
+            .as("bv"))): _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bv"))
+
+  /** Near-duplicate pairs (a = new-batch id, b = indexed id, hamming)
+    * between a NEW batch's 64-bit signatures and a persisted
+    * [[writeHammingIndex]] corpus — the signatures are never recomputed
+    * for the stored side. Pigeonhole capture is exhaustive at
+    * maxHamming <= 3, exactly as in [[hammingPairs]].
+    *
+    * The batch side is broadcast ONLY while its optimizer size estimate
+    * stays under the session's broadcast threshold (the
+    * [[AnnIndex.nearDupAgainstIndex]] rationale: a micro-batch skips
+    * shuffling the unbounded index side, but the hint OVERRIDES
+    * `autoBroadcastJoinThreshold`, and a bulk backfill pushed through the
+    * incremental path must fall back to the planner's shuffle join with
+    * AQE free to re-plan). `excludeBatch` drops the current streaming
+    * batch's own partition on replay, as in [[incrementalPairs]]. */
+  def incrementalHammingPairs(batch: DataFrame, id: String, sig: String,
+      indexPath: String, maxHamming: Int = 3,
+      excludeBatch: Option[Long] = None): DataFrame = {
+    require(maxHamming <= 3, s"4 bands of 16 bits only guarantee capture up to hamming 3, got $maxHamming")
+    val spark = batch.sparkSession
+    val banded = bandedSigs(batch, id, sig)
+    val idx = IndexIO.excludeBatch(
+      spark.read.parquet(s"$indexPath/bands"), excludeBatch)
+    val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+    val probe =
+      if (threshold > 0 &&
+          banded.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold)
+        broadcast(banded)
+      else banded
+    probe.as("x")
+      .join(idx.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.id") =!= col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)

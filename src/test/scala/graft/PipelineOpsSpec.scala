@@ -881,6 +881,45 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("writeHammingIndex / incrementalHammingPairs: a new batch checks " +
+    "against the stored signatures without recomputing them; append grows " +
+    "the index; zero signatures stay out; the broadcast hint is gated") {
+    val path = java.nio.file.Files.createTempDirectory("graft-hamidx")
+      .toString + "/idx"
+    val base = 0x7e57ab1e5a5aL
+    val corpus = Seq(
+      10L -> base, 11L -> (base ^ 0xf0f0L), 12L -> 0x31337c0deL, 13L -> 0L)
+      .toDF("id", "sig")
+    Dedup.writeHammingIndex(corpus, "id", "sig", path)
+    // batch: one twin of id 10 (hamming 2), one novel, one contentless
+    val batch = Seq(20L -> (base ^ 3L), 21L -> 0x5ca1ab1eL, 22L -> 0L)
+      .toDF("id", "sig")
+    val got = Dedup.incrementalHammingPairs(batch, "id", "sig", path)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((20L, 10L, 2L)))
+    // append the accepted batch; the NEXT batch's dup of 21 is caught even
+    // though 21 was never in the original corpus
+    Dedup.writeHammingIndex(batch, "id", "sig", path, append = true)
+    val got2 = Dedup.incrementalHammingPairs(
+        Seq(30L -> (0x5ca1ab1eL ^ 1L), 31L -> 0L).toDF("id", "sig"),
+        "id", "sig", path)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got2 == Set((30L, 21L, 1L)))
+    // the contentless code never entered the index or paired (ids 13/22/31)
+    assert(!(got ++ got2).exists(p => Seq(13L, 22L, 31L).contains(p._1) ||
+      Seq(13L, 22L, 31L).contains(p._2)))
+    // broadcast gate: small batch hints broadcast; over-threshold does not
+    def planFor(): String =
+      Dedup.incrementalHammingPairs(batch, "id", "sig", path)
+        .queryExecution.executedPlan.toString
+    assert(planFor().contains("BroadcastHashJoin"), planFor())
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "1")
+    try assert(!planFor().contains("BroadcastHashJoin"), planFor())
+    finally spark.conf.set(key, prev)
+  }
+
   // ---------------------------------------------------------------- quantize
 
   test("int8 quantization: codes in [0,255], extremes map to 0/255, decode error bounded") {
