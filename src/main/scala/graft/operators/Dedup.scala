@@ -545,6 +545,21 @@ object Dedup {
       .distinct()
   }
 
+  /** Fold a grown [[writeHammingIndex]] index's batch partitions back to
+    * well-sized base files — the single-table sibling of
+    * [[compactBandIndex]], same crash-safe swap and `compactedThrough`
+    * bookkeeping (a committed batch re-delivered across the compaction
+    * no-ops). */
+  def compactHammingIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, through: Option[Long] = None): Unit = {
+    IndexIO.recoverSwap(spark, path)
+    val tmp = path + "__compacting"
+    val folded = IndexIO.compactTable(spark, s"$path/bands", s"$tmp/bands", through)
+    IndexIO.writeMeta(spark, tmp,
+      IndexIO.metaWithCompactedThrough(spark, path, folded))
+    IndexIO.swapDirs(spark, path, tmp)
+  }
+
   /** Exact-duplicate groups by normalized-text fingerprint:
     * (fp, cnt, keeper = min id). */
   def exactGroups(docs: DataFrame, id: String, text: Column): DataFrame =

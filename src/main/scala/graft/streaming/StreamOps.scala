@@ -457,6 +457,67 @@ object StreamOps {
     } finally { pairs.unpersist(); signed.unpersist(); b.unpersist() }
   }
 
+  /** Streaming SIGNATURE dedup — the 64-bit-signature twin of
+    * [[incrementalDedupStream]], for streams whose rows already carry a
+    * locality-preserving code: perceptual image dHash or the audio
+    * fingerprint (both are plain Dataset transforms, so
+    * `Multimodal.imageHash` / `audioFingerprint` compose directly into
+    * the streaming graph upstream of this sink), or an
+    * externally-computed SimHash. Per micro-batch:
+    *
+    *  1. in-batch pairs: [[graft.operators.Dedup.hammingPairs]] over the
+    *     batch alone ((a < b) orientation);
+    *  2. cross pairs: [[graft.operators.Dedup.incrementalHammingPairs]]
+    *     against the index built by all PRIOR batches — the stored corpus
+    *     is never re-decoded or re-hashed;
+    *  3. accept: [[graft.operators.Dedup.writeHammingIndex]] appends the
+    *     batch's signatures under its own `batch=<id>` partition.
+    *
+    * Same crash contract as the shingle loop: the append is
+    * replay-idempotent, the candidate read excludes the in-flight batch,
+    * pairs materialize before the index grows, an empty batch commits
+    * nothing, and a crashed compaction swap is repaired at entry. Pass
+    * [[parquetSink]] as `writeBatch` for exactly-once emission;
+    * `compactEvery` folds committed batches with `through = batchId - 1`
+    * via [[graft.operators.Dedup.compactHammingIndex]]. */
+  def signatureDedupStream(sigs: DataFrame, idCol: String, sigCol: String,
+      indexPath: String, maxHamming: Int = 3, compactEvery: Int = 0)
+      (writeBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val ce = resolveCompactEvery(sigs, compactEvery)
+    sigs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      signatureBatch(batch, batchId, idCol, sigCol, indexPath, maxHamming,
+        writeBatch)
+      if (compactDue(ce, batchId))
+        graft.operators.Dedup.compactHammingIndex(batch.sparkSession,
+          indexPath, through = Some(batchId - 1))
+    }.start()
+  }
+
+  /** One [[signatureDedupStream]] micro-batch — package-visible for the
+    * replay spec, like [[dedupBatch]]. */
+  private[graft] def signatureBatch(batch: DataFrame, batchId: Long,
+      idCol: String, sigCol: String, indexPath: String, maxHamming: Int,
+      writeBatch: (DataFrame, Long) => Unit): Unit = {
+    import graft.operators.{Dedup, IndexIO}
+    val spark = batch.sparkSession
+    IndexIO.recoverSwap(spark, indexPath)
+    val hasIndex = IndexIO.hasData(spark, s"$indexPath/bands")
+    val b = batch.cache()
+    val inBatch = Dedup.hammingPairs(b, idCol, sigCol, maxHamming)
+    val pairs = (if (hasIndex)
+        inBatch.union(Dedup.incrementalHammingPairs(b, idCol, sigCol,
+          indexPath, maxHamming, excludeBatch = Some(batchId)))
+      else inBatch).cache()
+    try {
+      pairs.count() // pin results before the index grows (see dedupBatch)
+      writeBatch(pairs, batchId)
+      if (!b.isEmpty) // an empty micro-batch must not commit a file-less dir
+        Dedup.writeHammingIndex(b, idCol, sigCol, indexPath,
+          batchId = Some(batchId))
+    } finally { pairs.unpersist(); b.unpersist() }
+  }
+
   /** Streaming incremental EXACT dedup — the fingerprint twin of
     * [[incrementalDedupStream]]. Per micro-batch, emits one row
     * (id, fp, keeper) for every batch document that exactly duplicates a

@@ -765,4 +765,72 @@ class StreamOpsSpec extends SparkTestBase {
       assert(emitted.last.exists { case (a, b, _) => a == 7L && (b == 1L || b == 5L) })
     } finally q.stop()
   }
+
+  test("signatureDedupStream: in-batch and cross-batch signature near-dups " +
+    "emit per micro-batch; replay is idempotent; compaction preserves " +
+    "answers; real images compose through imageHash in the stream graph") {
+    import graft.streaming.StreamOps
+    val path = java.nio.file.Files.createTempDirectory("graft-sigdd").toString + "/idx"
+    val s = 0x600dc0ffee1234L
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Set[(Long, Long, Long)]]
+    def sink(pairs: org.apache.spark.sql.DataFrame, @annotation.unused bid: Long): Unit =
+      emitted += pairs.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def deliver(bid: Long, rows: (Long, Long)*): Unit =
+      StreamOps.signatureBatch(rows.toDF("id", "sig"), bid,
+        "id", "sig", path, 3, sink)
+    // batch 0: an in-batch twin pair + a novel code (no index yet)
+    deliver(0L, 10L -> s, 11L -> (s ^ 1L), 12L -> 0x17ac0deL)
+    assert(emitted(0) == Set((10L, 11L, 1L)))
+    // batch 1: a late dup — cross pairs against BOTH stored copies
+    deliver(1L, 13L -> (s ^ 2L))
+    assert(emitted(1) == Set((13L, 10L, 1L), (13L, 11L, 2L)))
+    def indexContents() = spark.read.parquet(s"$path/bands").collect()
+      .map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+    val idx1 = indexContents()
+    // at-least-once replay of committed batch 1: same pairs, same index
+    deliver(1L, 13L -> (s ^ 2L))
+    assert(emitted(2) == emitted(1), s"replay emitted ${emitted(2)}")
+    assert(indexContents() == idx1, "replay changed the index")
+    // compaction folds the committed batches; later dups are still caught
+    graft.operators.Dedup.compactHammingIndex(spark, path, through = Some(1L))
+    deliver(2L, 14L -> s)
+    assert(emitted(3) == Set((14L, 10L, 0L), (14L, 11L, 1L), (14L, 13L, 1L)))
+    // replaying the committed batch ACROSS the compaction: same pairs,
+    // idempotent append (its own partition survived the through bound)
+    deliver(2L, 14L -> s)
+    assert(emitted(4) == emitted(3))
+
+    // real images: imageHash composes into the streaming graph upstream
+    val path2 = java.nio.file.Files.createTempDirectory("graft-sigdd2")
+      .toString + "/idx"
+    def png(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(48, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 48) {
+        val g = ((x * 29 + y * 13 + seed * 7) & 0xff)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val o = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", o); o.toByteArray
+    }
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Byte])]
+    val hashed = graft.multimodal.Multimodal.imageHash(
+        input.toDF().toDF("id", "data")
+          .select(col("id"), lit("image").as("kind"), col("data")))
+      .toDF().where(col("decoded")).select(col("id"), col("dhash"))
+    val q = StreamOps.signatureDedupStream(hashed, "id", "dhash", path2)(sink)
+    try {
+      input.addData((100L, png(1)), (101L, png(1)), (102L, png(9)))
+      q.processAllAvailable()
+      assert(emitted.last.contains((100L, 101L, 0L)),
+        s"identical streamed images should pair: ${emitted.last}")
+      input.addData((103L, png(1)))
+      q.processAllAvailable()
+      assert(emitted.last.exists { case (a, b, h) =>
+        a == 103L && (b == 100L || b == 101L) && h == 0L },
+        s"late image dup should cross-pair: ${emitted.last}")
+    } finally q.stop()
+  }
 }
