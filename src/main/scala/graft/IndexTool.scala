@@ -526,6 +526,32 @@ object IndexTool {
         }
         println(s"""{"action":"audio-fp","path":"${args(1)}",""" +
           s""""out":"$out"}"""); 0
+      case "image-resize" =>
+        // real thumbnailing pass parquet -> parquet (decode, box-average,
+        // PNG re-encode; fitting/undecodable rows pass through)
+        val out = opt(args, "--out").getOrElse {
+          System.err.println(s"image-resize needs --out <parquet>\n$usage")
+          return 2
+        }
+        import org.apache.spark.sql.functions.{col, lit}
+        val idCol = opt(args, "--id").getOrElse("id")
+        val box = opt(args, "--box").getOrElse("256x256")
+        val (mw, mh) = box.split("x") match {
+          case Array(w, h) => (w.toInt, h.toInt)
+          case _ =>
+            System.err.println(s"--box must be WxH, got '$box'\n$usage")
+            return 2
+        }
+        graft.multimodal.Multimodal.resizeImage(
+            spark.read.parquet(args(1)).select(
+              col(idCol).cast("long").as("id"),
+              opt(args, "--kind").map(col).getOrElse(lit("image")).as("kind"),
+              col(opt(args, "--data").getOrElse("data")).as("data")),
+            mw, mh).toDF()
+          .withColumnRenamed("id", idCol)
+          .write.mode("overwrite").parquet(out)
+        println(s"""{"action":"image-resize","path":"${args(1)}",""" +
+          s""""out":"$out","box":"$box"}"""); 0
       case other =>
         System.err.println(s"unknown action '$other'\n$usage"); 2
     }
@@ -556,5 +582,6 @@ object IndexTool {
       |  lm-score <modelPath> --source <parquet> --out <parquet> [--id id] [--text text]
       |  rand-project <srcParquet> --out <parquet> --out-dim <N> [--in-dim N] [--id id] [--vector embedding] [--seed s]
       |  image-hash <srcParquet> --out <parquet> [--id id] [--data data] [--kind kindCol] [--pairs-out <parquet>] [--max-hamming 3]
-      |  audio-fp <srcParquet> --out <parquet> [--id id] [--data data] [--kind kindCol] [--pairs-out <parquet>] [--max-hamming 3]""".stripMargin
+      |  audio-fp <srcParquet> --out <parquet> [--id id] [--data data] [--kind kindCol] [--pairs-out <parquet>] [--max-hamming 3]
+      |  image-resize <srcParquet> --out <parquet> [--box 256x256] [--id id] [--data data] [--kind kindCol]""".stripMargin
 }

@@ -2080,6 +2080,34 @@ object Queries {
       |WHERE bit_count(xor(x.dhash, y.dhash)) <= 3
       |ORDER BY a, b""".stripMargin
 
+  // -- REAL image resize: decode -> channel-wise integer box-average onto
+  //    the scale-to-fit grid -> PNG re-encode; already-fitting and
+  //    undecodable payloads pass through byte-identical. Verified
+  //    pixel-wise without assuming encoder bit-stability: the engine
+  //    re-decodes ITS OWN resized output through imageHash, and the oracle
+  //    compares against hashes the generator computed from the pixel
+  //    arrays it downscaled INDEPENDENTLY — a hash match proves the
+  //    resampling arithmetic, not the PNG byte stream.
+  private val imageResize: (SparkSession, String) => DataFrame = (s, _) => {
+    val media = s.read.parquet(imagePhashFixture)
+      .select(col("media_id").as("id"), col("kind"), col("data"))
+    val rz = graft.multimodal.Multimodal.resizeImage(media, 32, 32).toDF()
+    val rehash = graft.multimodal.Multimodal.imageHash(
+        rz.select(col("id"), col("kind"), col("data"))).toDF()
+      .select(col("id"), col("ahash"), col("dhash"))
+    rz.select(col("id"), col("resized"), col("width"), col("height"))
+      .join(rehash, Seq("id"))
+      .select(col("id").as("media_id"), col("resized"),
+        col("width"), col("height"), col("ahash"), col("dhash"))
+      .orderBy(col("media_id"))
+  }
+
+  private val imageResizeSql =
+    s"""SELECT media_id, r_resized AS resized, r_width AS width,
+      |  r_height AS height, r_ahash AS ahash, r_dhash AS dhash
+      |FROM '$imagePhashFixture'
+      |ORDER BY media_id""".stripMargin
+
   // -- incremental image near-dup: the base cards (media_id < 100) hash
   //    ONCE into a persisted banded-Hamming index; the later-arriving
   //    batch (the planted perturbed/re-encoded copies, media_id >= 100)
@@ -3039,6 +3067,7 @@ object Queries {
     "q_image_phash"   -> imagePhash,
     "q_image_neardup" -> imageNearDup,
     "q_image_incr"    -> imageIncr,
+    "q_image_resize"  -> imageResize,
     "q_audio_fp"      -> audioFp,
     "q_audio_neardup" -> audioNearDup,
     "q_warc_read"     -> warcRead,
@@ -3135,6 +3164,7 @@ object Queries {
     "q_image_phash"   -> imagePhashSql,
     "q_image_neardup" -> imageNearDupSql,
     "q_image_incr"    -> imageIncrSql,
+    "q_image_resize"  -> imageResizeSql,
     "q_audio_fp"      -> audioFpSql,
     "q_audio_neardup" -> audioNearDupSql,
     "q_warc_read"     -> warcReadSql,

@@ -662,8 +662,9 @@ object Multimodal {
     media.as[MediaRow].mapPartitions(decodeAvBatch)
   }
 
-  /** STUB resize: a real implementation re-encodes pixels; the fake keeps a
-    * deterministic prefix so byte-size bookkeeping stays testable. */
+  /** STUB byte-budget trim (kept for byte-size bookkeeping tests) — for
+    * REAL pixel resizing use [[resizeImage]], which decodes, box-averages
+    * and re-encodes. */
   def resize(media: DataFrame, maxBytes: Int): DataFrame =
     media.withColumn("data",
       expr(s"substring(data, 1, $maxBytes)"))
@@ -875,6 +876,105 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions(imageHashBatch)
+  }
+
+  /** One resized image row ([[resizeImage]]): the payload re-encoded as
+    * PNG at the scaled-to-fit dimensions, or passed through untouched when
+    * it already fits (`resized = false`, original container preserved).
+    * Undecodable payloads pass through with `decoded = false` — a resize
+    * pass must not DROP rows, downstream filters decide. */
+  final case class ResizedRow(id: Long, kind: String, decoded: Boolean,
+      resized: Boolean, width: Int, height: Int, data: Array[Byte])
+
+  /** REAL image resize (thumbnailing) — the upgrade of the byte-truncating
+    * [[resize]] stub, possible with zero external codecs because the JDK
+    * decodes PNG/JPEG/GIF/BMP and encodes PNG. Per row: the
+    * [[imageHashBatch]] decode guard (header sniff first,
+    * [[MaxHashPixels]] bomb refusal), then scale-to-fit inside
+    * maxW x maxH preserving aspect (integer arithmetic:
+    * outW = floor(w * maxH / h) on the height-constrained side, never
+    * below 1), CHANNEL-WISE integer box-average onto the output grid (the
+    * same floor-partition cells as the hash grids — each output pixel is
+    * the floor mean of its source cell per channel, exact and
+    * engine-reproducible; no resampling filter, no floats), PNG
+    * re-encode. Images already inside the box pass through byte-identical
+    * (no pointless re-encode; their container stays whatever it was).
+    *
+    * Scale: narrow mapPartitions at the codec boundary, task memory
+    * O(source width + out dims) beyond the payload via row-strip reads. */
+  def resizeImageBatch(rows: Iterator[MediaRow], maxW: Int, maxH: Int)
+      : Iterator[ResizedRow] = {
+    require(maxW > 0 && maxH > 0, s"resize box must be positive: $maxW x $maxH")
+    javax.imageio.ImageIO.setUseCache(false)
+    rows.map { r =>
+      val dims = parseDimensions(r.data)
+      val tooBig = dims.exists { case (w, h) => w.toLong * h > MaxHashPixels }
+      val img =
+        if (dims.isEmpty || tooBig) null
+        else
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.data))
+          catch { case _: Exception => null }
+      if (img == null) {
+        val (w0, h0) = dims.getOrElse((0, 0))
+        ResizedRow(r.id, r.kind, decoded = false, resized = false, w0, h0, r.data)
+      } else if (img.getWidth <= maxW && img.getHeight <= maxH)
+        ResizedRow(r.id, r.kind, decoded = true, resized = false,
+          img.getWidth, img.getHeight, r.data)
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        // scale to fit: the tighter axis pins to its bound, the other
+        // scales by the same rational factor (floor, >= 1)
+        val (outW, outH) =
+          if (w.toLong * maxH <= h.toLong * maxW)
+            (math.max(1, (w.toLong * maxH / h).toInt), maxH)
+          else (maxW, math.max(1, (h.toLong * maxW / w).toInt))
+        val rs = new Array[Long](outW * outH)
+        val gs = new Array[Long](outW * outH)
+        val bs = new Array[Long](outW * outH)
+        val cn = new Array[Long](outW * outH)
+        val row = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
+          val gy = (y.toLong * outH / h).toInt
+          var x = 0
+          while (x < w) {
+            val c = gy * outW + (x.toLong * outW / w).toInt
+            val p = row(x)
+            rs(c) += (p >> 16) & 0xff
+            gs(c) += (p >> 8) & 0xff
+            bs(c) += p & 0xff
+            cn(c) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val outImg = new java.awt.image.BufferedImage(outW, outH,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var i = 0
+        while (i < outW * outH) {
+          val n = math.max(cn(i), 1L)
+          outImg.setRGB(i % outW, i / outW,
+            (((rs(i) / n).toInt & 0xff) << 16) |
+            (((gs(i) / n).toInt & 0xff) << 8) |
+            ((bs(i) / n).toInt & 0xff))
+          i += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(outImg, "png", bos)
+        ResizedRow(r.id, "png", decoded = true, resized = true,
+          outW, outH, bos.toByteArray)
+      }
+    }
+  }
+
+  /** Frame form of [[resizeImageBatch]]: (id, kind, data) in,
+    * (id, kind, decoded, resized, width, height, data) out. */
+  def resizeImage(media: DataFrame, maxW: Int, maxH: Int): Dataset[ResizedRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(resizeImageBatch(_, maxW, maxH))
   }
 
   // ------------------------------------------------ audio fingerprinting

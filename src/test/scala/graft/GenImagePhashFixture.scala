@@ -133,9 +133,40 @@ object GenImagePhashFixture {
     out.toByteArray
   }
 
+  // ---- standalone expected-resize arithmetic (channel-wise floor box
+  // ---- average onto the scale-to-fit grid; independent of the engine)
+
+  /** Scale-to-fit output dims inside maxW x maxH (floor, >= 1); None when
+    * the image already fits. */
+  def fitDims(w: Int, h: Int, maxW: Int, maxH: Int): Option[(Int, Int)] =
+    if (w <= maxW && h <= maxH) None
+    else if (w.toLong * maxH <= h.toLong * maxW)
+      Some((math.max(1, (w.toLong * maxH / h).toInt), maxH))
+    else Some((maxW, math.max(1, (h.toLong * maxW / w).toInt)))
+
+  /** Channel-wise floor box average of `px` onto outW x outH. */
+  def downscale(px: Array[Array[Int]], outW: Int, outH: Int): Array[Array[Int]] = {
+    val h = px.length; val w = px(0).length
+    val rs = Array.ofDim[Long](outH, outW); val gs = Array.ofDim[Long](outH, outW)
+    val bs = Array.ofDim[Long](outH, outW); val cn = Array.ofDim[Long](outH, outW)
+    for (y <- 0 until h; x <- 0 until w) {
+      val oy = (y.toLong * outH / h).toInt; val ox = (x.toLong * outW / w).toInt
+      val p = px(y)(x)
+      rs(oy)(ox) += (p >> 16) & 0xff; gs(oy)(ox) += (p >> 8) & 0xff
+      bs(oy)(ox) += p & 0xff; cn(oy)(ox) += 1
+    }
+    Array.tabulate(outH, outW) { (y, x) =>
+      val n = math.max(cn(y)(x), 1L)
+      (((rs(y)(x) / n).toInt & 0xff) << 16) |
+        (((gs(y)(x) / n).toInt & 0xff) << 8) | ((bs(y)(x) / n).toInt & 0xff)
+    }
+  }
+
   final case class Row(media_id: Long, kind: String, data: Array[Byte],
       decoded: Boolean, width: Int, height: Int,
-      ahash: Option[Long], dhash: Option[Long])
+      ahash: Option[Long], dhash: Option[Long],
+      r_resized: Boolean, r_width: Int, r_height: Int,
+      r_ahash: Option[Long], r_dhash: Option[Long])
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
@@ -147,9 +178,20 @@ object GenImagePhashFixture {
     import spark.implicits._
 
     def imgRow(id: Long, kind: String, format: String,
-        px: Array[Array[Int]]): Row =
+        px: Array[Array[Int]]): Row = {
+      // expected 32x32-box resize: either pass-through (original hashes)
+      // or the independently downscaled pixels' hashes
+      val (rr, rw, rh, ra, rd) = fitDims(px(0).length, px.length, 32, 32) match {
+        case None => (false, px(0).length, px.length,
+          expectedAHash(px), expectedDHash(px))
+        case Some((ow, oh)) =>
+          val small = downscale(px, ow, oh)
+          (true, ow, oh, expectedAHash(small), expectedDHash(small))
+      }
       Row(id, kind, encodeLossless(px, format), decoded = true,
-        px(0).length, px.length, Some(expectedAHash(px)), Some(expectedDHash(px)))
+        px(0).length, px.length, Some(expectedAHash(px)), Some(expectedDHash(px)),
+        rr, rw, rh, Some(ra), Some(rd))
+    }
 
     // base cards across formats and sizes (incl. narrower-than-grid)
     val cards = Seq(
@@ -190,12 +232,13 @@ object GenImagePhashFixture {
     // corrupt / hostile rows
     val truncated = {
       val whole = encodeLossless(drawCard(64, 64, 11), "png")
-      Row(200L, "png", whole.take(40), decoded = false, 64, 64, None, None)
+      Row(200L, "png", whole.take(40), decoded = false, 64, 64, None, None,
+        r_resized = false, 64, 64, None, None)
     }
     val bomb = Row(201L, "png", bombPng(100000, 100000), decoded = false,
-      100000, 100000, None, None)
+      100000, 100000, None, None, r_resized = false, 100000, 100000, None, None)
     val garbage = Row(202L, "bin", Array.tabulate[Byte](64)(i => (i * 7).toByte),
-      decoded = false, 0, 0, None, None)
+      decoded = false, 0, 0, None, None, r_resized = false, 0, 0, None, None)
 
     val rows = cards ++ nearDups ++ Seq(sameOtherFormat, truncated, bomb, garbage)
 

@@ -290,6 +290,18 @@ class IndexToolSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$root/apairs")
       .as[(Long, Long, Long)].collect().toSet == Set((1L, 2L, 0L)))
     assert(IndexTool.run(spark, Array("audio-fp", s"$root/clips")) == 2)
+
+    // image-resize: box thumbnailing parquet-to-parquet
+    assert(IndexTool.run(spark, Array("image-resize", s"$root/imgs",
+      "--out", s"$root/thumbs", "--id", "doc_id", "--data", "payload",
+      "--box", "16x16")) == 0)
+    val thumbs = spark.read.parquet(s"$root/thumbs").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(thumbs(1L).getAs[Boolean]("resized") &&
+      thumbs(1L).getAs[Int]("width") == 16 && thumbs(1L).getAs[Int]("height") == 12)
+    assert(!thumbs(4L).getAs[Boolean]("decoded")) // garbage passes through
+    assert(IndexTool.run(spark, Array("image-resize", s"$root/imgs",
+      "--out", s"$root/t2", "--box", "bogus")) == 2)
   }
 
   test("IndexTool: dsir weights/selects and dedup-substr cuts repeated " +

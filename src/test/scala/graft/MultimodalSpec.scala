@@ -521,6 +521,49 @@ class MultimodalSpec extends SparkTestBase {
     assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)))
   }
 
+  test("resizeImage: exact box-average thumbnailing — the half-bright card " +
+    "downscales to the block-exact 8x8 whose hashes equal the original's; " +
+    "fitting and undecodable payloads pass through byte-identical") {
+    val big = grayImage(16, 16)((x, _) => if (x < 8) 255 else 0)
+    val small = grayImage(5, 3)((x, y) => 40 * x + 60 * y)
+    val garbage = "definitely not an image".getBytes("UTF-8")
+    val rows = Multimodal.resizeImage(Seq(
+        (1L, "png", big), (2L, "png", small), (3L, "bin", garbage))
+      .toDF("id", "kind", "data"), 8, 8)
+      .collect().map(r => r.id -> r).toMap
+    assert(rows(1L).resized && rows(1L).width == 8 && rows(1L).height == 8)
+    // 2x2 constant blocks average exactly: the resized image is the same
+    // half-bright pattern, so its perceptual hashes match the original's
+    val rehash = Multimodal.imageHashBatch(Iterator(
+      Multimodal.MediaRow(1L, "png", rows(1L).data))).next()
+    assert(rehash.decoded && rehash.width == 8 && rehash.height == 8)
+    assert(rehash.ahash.get == 0x0f0f0f0f0f0f0f0fL)
+    assert(rehash.dhash.get == 0x0808080808080808L)
+    // fits the box: byte-identical pass-through, original container kept
+    assert(!rows(2L).resized && rows(2L).data.sameElements(small) &&
+      rows(2L).width == 5 && rows(2L).height == 3 && rows(2L).decoded)
+    // undecodable: passes through undecoded, never dropped or mangled
+    assert(!rows(3L).decoded && rows(3L).data.sameElements(garbage))
+  }
+
+  test("resizeImage: aspect is preserved by integer scale-to-fit; the " +
+    "declared-dimension bomb is refused before decode") {
+    val wide = grayImage(100, 40)((x, y) => (3 * x + 5 * y) & 0xff)
+    def be32(v: Int) = Array[Byte](((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val bomb = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ "IHDR".getBytes("US-ASCII") ++
+      be32(1 << 20) ++ be32(1 << 20) ++ Array[Byte](8, 2, 0, 0, 0) ++ be32(0)
+    val rows = Multimodal.resizeImage(Seq(
+        (1L, "png", wide), (2L, "png", bomb)).toDF("id", "kind", "data"), 32, 32)
+      .collect().map(r => r.id -> r).toMap
+    // 100x40 into 32x32: width-constrained -> 32 x floor(40*32/100) = 32x12
+    assert(rows(1L).resized && rows(1L).width == 32 && rows(1L).height == 12)
+    assert(Multimodal.parseDimensions(rows(1L).data).contains((32, 12)))
+    assert(!rows(2L).decoded && rows(2L).width == (1 << 20) &&
+      rows(2L).data.sameElements(bomb))
+  }
+
   // ------------------------------------------------ audio fingerprinting
 
   private def wav16(samples: Array[Int], channels: Int = 1,
