@@ -526,6 +526,48 @@ object IndexTool {
         }
         println(s"""{"action":"audio-fp","path":"${args(1)}",""" +
           s""""out":"$out"}"""); 0
+      case "profile" =>
+        // per-batch mergeable corpus profile (counters + HLL/Theta
+        // sketches) -> parquet; --merge folds an accumulated profile dir
+        // into estimates instead (never rescans the corpus)
+        val out = opt(args, "--out").getOrElse {
+          System.err.println(s"profile needs --out <parquet>\n$usage")
+          return 2
+        }
+        import org.apache.spark.sql.functions.{col, lit}
+        val keys = opt(args, "--keys").map(_.split(",").toSeq).getOrElse(Seq.empty)
+        if (args.contains("--merge")) {
+          graft.operators.Profile.mergeProfiles(
+              spark.read.parquet(args(1)), math.max(keys.size, 1))
+            .write.mode("overwrite").parquet(out)
+        } else {
+          val keyCols = if (keys.isEmpty) Seq(lit("all")) else keys.map(col)
+          val textCol = col(opt(args, "--text").getOrElse("text"))
+          graft.operators.Profile.partialProfile(spark.read.parquet(args(1)),
+              keyCols, textCol,
+              graft.functions.NativeKernels.wordTokens(textCol))
+            .write.mode(if (args.contains("--append")) "append" else "overwrite")
+            .parquet(out)
+        }
+        println(s"""{"action":"profile","path":"${args(1)}","out":"$out",""" +
+          s""""merge":${args.contains("--merge")}}"""); 0
+      case "overlap" =>
+        // theta-sketch set relations of two corpora, printed as one JSON row
+        val other = opt(args, "--other").getOrElse {
+          System.err.println(s"overlap needs --other <parquet>\n$usage")
+          return 2
+        }
+        import org.apache.spark.sql.functions.col
+        val textCol = opt(args, "--text").getOrElse("text")
+        val r = graft.operators.Profile.overlap(
+          spark.read.parquet(args(1)), col(textCol),
+          spark.read.parquet(other),
+          col(opt(args, "--other-text").getOrElse(textCol))).head()
+        println(s"""{"action":"overlap","est_a":${r.getAs[Long]("est_a")},""" +
+          s""""est_b":${r.getAs[Long]("est_b")},""" +
+          s""""est_intersection":${r.getAs[Long]("est_intersection")},""" +
+          s""""est_union":${r.getAs[Long]("est_union")},""" +
+          s""""est_jaccard":${r.getAs[Double]("est_jaccard")}}"""); 0
       case "image-resize" =>
         // real thumbnailing pass parquet -> parquet (decode, box-average,
         // PNG re-encode; fitting/undecodable rows pass through)
@@ -583,5 +625,7 @@ object IndexTool {
       |  rand-project <srcParquet> --out <parquet> --out-dim <N> [--in-dim N] [--id id] [--vector embedding] [--seed s]
       |  image-hash <srcParquet> --out <parquet> [--id id] [--data data] [--kind kindCol] [--pairs-out <parquet>] [--max-hamming 3]
       |  audio-fp <srcParquet> --out <parquet> [--id id] [--data data] [--kind kindCol] [--pairs-out <parquet>] [--max-hamming 3]
-      |  image-resize <srcParquet> --out <parquet> [--box 256x256] [--id id] [--data data] [--kind kindCol]""".stripMargin
+      |  image-resize <srcParquet> --out <parquet> [--box 256x256] [--id id] [--data data] [--kind kindCol]
+      |  profile <srcParquet|profileDir> --out <parquet> [--keys k1,k2] [--text text] [--append] [--merge]
+      |  overlap <aParquet> --other <bParquet> [--text text] [--other-text text]""".stripMargin
 }

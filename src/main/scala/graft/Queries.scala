@@ -2141,6 +2141,36 @@ object Queries {
       |ORDER BY a, b""".stripMargin
 
   // ----------------------------------------------------------------------
+  // corpus profile: per-language counters + distincts, the bookkeeping
+  // frame of Profile.profile. The oracle checks the EXACT columns
+  // (counters and count-distincts are SQL); the mergeable HLL/Theta
+  // sketch twins computed in the same pass are proven by ProfileSpec
+  // (estimate vs exact, batch merge == one-shot, theta overlap algebra) —
+  // DuckDB's approximate distincts use a different algorithm, so the
+  // estimates can never be hash-gated.
+  // ----------------------------------------------------------------------
+  private val corpusProfile: (SparkSession, String) => DataFrame = (s, dir) => {
+    graft.operators.Profile.profile(t(s, dir, "documents"), Seq(col("lang")),
+        col("text"), graft.functions.NativeKernels.wordTokens(col("text")))
+      .select(col("__k0").as("lang"), col("n_docs"), col("n_chars"),
+        col("n_tokens"), col("n_distinct_docs"), col("n_vocab"))
+      .orderBy(col("lang"))
+  }
+
+  private val corpusProfileSql =
+    s"""WITH tk AS (SELECT lang, text, md5(text) AS fp,
+      |    ${sqlWords("text")} AS w FROM documents),
+      |v AS (SELECT lang, count(DISTINCT t.x) AS n_vocab
+      |      FROM tk, unnest(w) AS t(x) GROUP BY lang)
+      |SELECT tk.lang, count(*) AS n_docs,
+      |  sum(length(text))::BIGINT AS n_chars,
+      |  sum(len(w))::BIGINT AS n_tokens,
+      |  count(DISTINCT fp) AS n_distinct_docs,
+      |  any_value(v.n_vocab) AS n_vocab
+      |FROM tk JOIN v USING (lang)
+      |GROUP BY tk.lang ORDER BY tk.lang""".stripMargin
+
+  // ----------------------------------------------------------------------
   // audio fingerprinting + audio near-dup: REAL PCM decode (the JDK's own
   // AudioSystem — WAV container, 8/16-bit, mono/stereo) -> 65-window
   // integer energy envelope -> 64 gradient bits, the audio sibling of
@@ -3068,6 +3098,7 @@ object Queries {
     "q_image_neardup" -> imageNearDup,
     "q_image_incr"    -> imageIncr,
     "q_image_resize"  -> imageResize,
+    "q_corpus_profile" -> corpusProfile,
     "q_audio_fp"      -> audioFp,
     "q_audio_neardup" -> audioNearDup,
     "q_warc_read"     -> warcRead,
@@ -3165,6 +3196,7 @@ object Queries {
     "q_image_neardup" -> imageNearDupSql,
     "q_image_incr"    -> imageIncrSql,
     "q_image_resize"  -> imageResizeSql,
+    "q_corpus_profile" -> corpusProfileSql,
     "q_audio_fp"      -> audioFpSql,
     "q_audio_neardup" -> audioNearDupSql,
     "q_warc_read"     -> warcReadSql,

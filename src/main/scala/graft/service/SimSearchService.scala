@@ -371,7 +371,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
     *               "bpe_train" | "bpe_encode" | "bpe_token_count" |
     *               "split" | "scrub_pii" | "gopher" | "quantile_cut" |
     *               "lm_bigram" | "lm_train" | "lm_score" | "random_project" |
-    *               "image_hash" | "audio_fp",
+    *               "image_hash" | "audio_fp" | "profile" | "overlap",
     *   "input": {"column": "<mounted attribute>"}        // api_key's catalog
     *          | {"path": "/dir", "format": "parquet"|"csv"},
     *   "id": "doc_id", "text": "text",                   // path-input columns
@@ -444,7 +444,12 @@ final class SimSearchService(spark: SparkSession, port: Int,
     * image_hash / audio_fp `data_column` (default "data", path input) —
     * perceptual aHash/dHash from real pixel decode (resp. the 65-window
     * energy fingerprint from real PCM decode), or with `pairs: true` the
-    * banded-Hamming near-dup pairs at `max_hamming` (default 3). The
+    * banded-Hamming near-dup pairs at `max_hamming` (default 3);
+    * profile `keys` (JSON array of group columns, default one "all"
+    * group) — per-group exact counters/distincts with HLL/Theta sketch
+    * twins dropped from the JSON; overlap `other_path` (required),
+    * `other_text` — 1 row of theta-sketch |A|/|B|/intersection/union/
+    * Jaccard estimates vs another corpus, no join. The
     * `output` block also accepts
     * `target_bytes` (parquet only) to route through the calibrated
     * sharded writer — uniform ~N-byte files instead of task-shaped
@@ -464,7 +469,8 @@ final class SimSearchService(spark: SparkSession, port: Int,
         "bpe_train", "bpe_encode", "bpe_token_count", "split",
         "scrub_pii", "gopher", "dsir", "dsir_train", "dsir_score",
         "dedup_spans", "dedup_substr", "quantile_cut", "lm_bigram",
-        "lm_train", "lm_score", "random_project", "image_hash", "audio_fp")
+        "lm_train", "lm_score", "random_project", "image_hash", "audio_fp",
+        "profile", "overlap")
       if (!knownOps.contains(opName))
         throw new IllegalArgumentException(
           s"unknown operator '$opName' — one of ${knownOps.mkString(", ")}")
@@ -619,6 +625,26 @@ final class SimSearchService(spark: SparkSession, port: Int,
               hashed.where(col("decoded")).select(col("id"), col("dhash")),
               "id", "dhash", params.path("max_hamming").asInt(3))
           else hashed.withColumnRenamed("id", idCol)
+        case "profile" =>
+          // per-group corpus profile (exact counters + sketch ESTIMATES;
+          // the binary sketches stay server-side — JSON gets numbers)
+          val keys = Option(params.get("keys"))
+            .map(n => (0 until n.size()).map(i => n.get(i).asText()))
+            .getOrElse(Seq.empty)
+          val keyCols = if (keys.isEmpty) Seq(lit("all")) else keys.map(col)
+          val prof = graft.operators.Profile.profile(df, keyCols,
+            col(textCol), graft.functions.NativeKernels.wordTokens(col(textCol)))
+          val named = keys.zipWithIndex.foldLeft(prof) { case (d, (k, i)) =>
+            d.withColumnRenamed(s"__k$i", k)
+          }
+          (if (keys.isEmpty) named.withColumnRenamed("__k0", "group") else named)
+            .drop("doc_hll", "doc_theta", "vocab_hll")
+        case "overlap" =>
+          // theta-sketch set relations vs another corpus: 1 row of
+          // estimates, no join of the two sides
+          val other = spark.read.parquet(reqParam("other_path").asText())
+          graft.operators.Profile.overlap(df, col(textCol), other,
+            col(params.path("other_text").asText(textCol)))
         case "audio_fp" =>
           // audio fingerprints of a binary PCM column (path input only);
           // "pairs": true returns the banded-Hamming near-dup pairs

@@ -304,6 +304,36 @@ class IndexToolSpec extends SparkTestBase {
       "--out", s"$root/t2", "--box", "bogus")) == 2)
   }
 
+  test("IndexTool: profile accumulates per-batch sketches, --merge folds " +
+    "them to estimates without the corpus; overlap prints set relations") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-proftool").toString
+    def batch(off: Int) = (0 until 300).map(i =>
+      (off + i.toLong, Seq("en", "de")(i % 2), s"tok${i % 40} body $i"))
+      .toDF("doc_id", "lang", "text")
+    batch(0).write.mode("overwrite").parquet(s"$root/b0")
+    batch(1000).write.mode("overwrite").parquet(s"$root/b1")
+    assert(IndexTool.run(spark, Array("profile", s"$root/b0",
+      "--out", s"$root/prof", "--keys", "lang")) == 0)
+    assert(IndexTool.run(spark, Array("profile", s"$root/b1",
+      "--out", s"$root/prof", "--keys", "lang", "--append")) == 0)
+    assert(IndexTool.run(spark, Array("profile", s"$root/prof",
+      "--out", s"$root/merged", "--keys", "lang", "--merge")) == 0)
+    val m = spark.read.parquet(s"$root/merged").collect()
+      .map(r => r.getAs[String]("__k0") -> r).toMap
+    assert(m("en").getAs[Long]("n_docs") == 300)
+    // both batches share text shapes but differ in the trailing counter:
+    // the union estimate must land near the exact distinct count
+    val exact = batch(0).union(batch(1000)).where(col("lang") === "en")
+      .select(col("text")).distinct().count()
+    val est = m("en").getAs[Long]("est_distinct_docs")
+    assert(math.abs(est - exact).toDouble / exact < 0.05, s"$est vs $exact")
+    assert(IndexTool.run(spark, Array("overlap", s"$root/b0",
+      "--other", s"$root/b1")) == 0)
+    assert(IndexTool.run(spark, Array("profile", s"$root/b0")) == 2)
+    assert(IndexTool.run(spark, Array("overlap", s"$root/b0")) == 2)
+  }
+
   test("IndexTool: dsir weights/selects and dedup-substr cuts repeated " +
     "spans parquet-to-parquet; missing flags exit 2") {
     import org.apache.spark.sql.functions.col

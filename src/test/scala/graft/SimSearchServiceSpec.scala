@@ -490,6 +490,32 @@ class SimSearchServiceSpec extends SparkTestBase {
         af.get(0).get("b").asLong() == 2L &&
         af.get(0).get("hamming").asLong() == 0L, bAf)
 
+      // profile + overlap: the corpus bookkeeping ops over the socket
+      val profDir = s"$dir/profdocs"
+      (0 until 200).map(i => (i.toLong, Seq("en", "de")(i % 2),
+          s"word${i % 9} document body $i"))
+        .toDF("doc_id", "lang", "text")
+        .write.mode("overwrite").parquet(profDir)
+      val (cPf, bPf) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "profile", "input": {"path": "$profDir"},
+            "id": "doc_id", "text": "text", "params": {"keys": ["lang"]}}"""))
+      assert(cPf == 200, bPf)
+      val pf = new ObjectMapper().readTree(bPf)
+      assert(pf.size() == 2, bPf)
+      val byLang = (0 until pf.size()).map(i =>
+        pf.get(i).get("lang").asText() -> pf.get(i)).toMap
+      assert(byLang("en").get("n_docs").asLong() == 100, bPf)
+      assert(byLang("en").get("n_distinct_docs").asLong() == 100, bPf)
+      assert(!byLang("en").has("doc_hll"), "sketch binaries must not leak into JSON")
+      val (cOv, bOv) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "overlap", "input": {"path": "$profDir"},
+            "id": "doc_id", "text": "text",
+            "params": {"other_path": "$profDir"}}"""))
+      assert(cOv == 200, bOv)
+      val ov = new ObjectMapper().readTree(bOv).get(0)
+      assert(ov.get("est_a").asLong() == 200 &&
+        ov.get("est_intersection").asLong() == 200, bOv)
+
       // two-table ops: the benchmark ships as its own parquet
       val evalDir = s"$dir/eval"
       Seq((99L, "the quick brown fox jumps over the lazy dog"))
