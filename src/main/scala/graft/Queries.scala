@@ -2108,6 +2108,29 @@ object Queries {
       |FROM '$imagePhashFixture'
       |ORDER BY media_id""".stripMargin
 
+  // -- image quality stats: the gating signals (dark/blown-out/flat/
+  //    grayscale/extreme-aspect) from the REAL decode, exact integers or
+  //    deterministic integer-histogram entropy; expected values computed
+  //    by the generator from the drawn pixels.
+  private val imageStats: (SparkSession, String) => DataFrame = (s, _) => {
+    val media = s.read.parquet(imagePhashFixture)
+      .select(col("media_id").as("id"), col("kind"), col("data"))
+    graft.multimodal.Multimodal.imageStats(media).toDF()
+      .select(col("id").as("media_id"), col("decoded"),
+        col("nPixels").as("n_pixels"), col("lumaSum").as("luma_sum"),
+        col("lumaMin").as("luma_min"), col("lumaMax").as("luma_max"),
+        col("isGray").as("is_gray"), col("entropyMilli").as("entropy_milli"))
+      .orderBy(col("media_id"))
+  }
+
+  private val imageStatsSql =
+    s"""SELECT media_id, decoded, s_n_pixels AS n_pixels,
+      |  s_luma_sum AS luma_sum, s_luma_min AS luma_min,
+      |  s_luma_max AS luma_max, s_is_gray AS is_gray,
+      |  s_entropy_milli AS entropy_milli
+      |FROM '$imagePhashFixture'
+      |ORDER BY media_id""".stripMargin
+
   // -- incremental image near-dup: the base cards (media_id < 100) hash
   //    ONCE into a persisted banded-Hamming index; the later-arriving
   //    batch (the planted perturbed/re-encoded copies, media_id >= 100)
@@ -3098,6 +3121,7 @@ object Queries {
     "q_image_neardup" -> imageNearDup,
     "q_image_incr"    -> imageIncr,
     "q_image_resize"  -> imageResize,
+    "q_image_stats"   -> imageStats,
     "q_corpus_profile" -> corpusProfile,
     "q_audio_fp"      -> audioFp,
     "q_audio_neardup" -> audioNearDup,
@@ -3196,6 +3220,7 @@ object Queries {
     "q_image_neardup" -> imageNearDupSql,
     "q_image_incr"    -> imageIncrSql,
     "q_image_resize"  -> imageResizeSql,
+    "q_image_stats"   -> imageStatsSql,
     "q_corpus_profile" -> corpusProfileSql,
     "q_audio_fp"      -> audioFpSql,
     "q_audio_neardup" -> audioNearDupSql,

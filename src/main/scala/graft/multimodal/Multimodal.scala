@@ -878,6 +878,95 @@ object Multimodal {
     media.as[MediaRow].mapPartitions(imageHashBatch)
   }
 
+  /** One image's quality-statistics row ([[imageStats]]) — the gating
+    * signals an image-corpus curation pass filters on (too dark / blown
+    * out / flat / grayscale / extreme aspect), all EXACT integers or
+    * deterministic functions of exact integer histograms. `lumaSum` with
+    * `nPixels` gives the mean without committing to a rounding;
+    * `entropyMilli` is the Shannon entropy of the 256-bin luma histogram
+    * in millibits (0 = flat single-tone, 8000 = perfectly uniform),
+    * floored to an integer so the value is engine-portable. */
+  final case class ImageStatsRow(id: Long, kind: String, nBytes: Long,
+      decoded: Boolean, width: Int, height: Int, nPixels: Long,
+      lumaSum: Long, lumaMin: Int, lumaMax: Int, isGray: Boolean,
+      entropyMilli: Long)
+
+  /** Per-partition image quality statistics — same decode guard as
+    * [[imageHashBatch]] (header sniff, [[MaxHashPixels]] bomb refusal,
+    * corrupt bodies degrade). One row-strip pass accumulates the 256-bin
+    * luma histogram, min/max, and the exact channel-equality check
+    * (`isGray` = every pixel has r == g == b — screenshots of text and
+    * scanned documents commonly gate on it). Entropy comes from the
+    * histogram: -Σ p·log2(p) over nonzero bins, computed in double from
+    * exact Long counts in ascending bin order (deterministic), floored to
+    * millibits. */
+  def imageStatsBatch(rows: Iterator[MediaRow]): Iterator[ImageStatsRow] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    rows.map { r =>
+      val n = r.data.length.toLong
+      val dims = parseDimensions(r.data)
+      val (w0, h0) = dims.getOrElse((0, 0))
+      val tooBig = dims.exists { case (w, h) => w.toLong * h > MaxHashPixels }
+      val img =
+        if (dims.isEmpty || tooBig) null
+        else
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.data))
+          catch { case _: Exception => null }
+      if (img == null)
+        ImageStatsRow(r.id, r.kind, n, decoded = false, w0, h0, 0L, 0L, 0, 0,
+          isGray = false, 0L)
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val hist = new Array[Long](256)
+        var gray = true
+        val row = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
+          var x = 0
+          while (x < w) {
+            val p = row(x)
+            val rr = (p >> 16) & 0xff
+            val gg = (p >> 8) & 0xff
+            val bb = p & 0xff
+            if (rr != gg || gg != bb) gray = false
+            hist((299 * rr + 587 * gg + 114 * bb) / 1000) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val total = w.toLong * h
+        var sum = 0L
+        var mn = 255
+        var mx = 0
+        var ent = 0.0
+        var i = 0
+        while (i < 256) {
+          val c = hist(i)
+          if (c > 0) {
+            sum += i.toLong * c
+            if (i < mn) mn = i
+            if (i > mx) mx = i
+            val p = c.toDouble / total
+            ent -= p * (math.log(p) / math.log(2.0))
+          }
+          i += 1
+        }
+        ImageStatsRow(r.id, r.kind, n, decoded = true, w, h, total,
+          sum, mn, mx, gray, math.floor(ent * 1000.0).toLong)
+      }
+    }
+  }
+
+  /** Frame form of [[imageStatsBatch]] — narrow mapPartitions at the codec
+    * boundary, the image-side sibling of the text quality battery. */
+  def imageStats(media: DataFrame): Dataset[ImageStatsRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(imageStatsBatch)
+  }
+
   /** One resized image row ([[resizeImage]]): the payload re-encoded as
     * PNG at the scaled-to-fit dimensions, or passed through untouched when
     * it already fits (`resized = false`, original container preserved).

@@ -162,11 +162,36 @@ object GenImagePhashFixture {
     }
   }
 
+  /** Expected quality stats (n_pixels, luma_sum, luma_min, luma_max,
+    * is_gray, entropy_milli) computed from the drawn pixel array — the
+    * same published definitions, re-implemented standalone. */
+  def expectedStats(px: Array[Array[Int]]): (Long, Long, Int, Int, Boolean, Long) = {
+    val hist = new Array[Long](256)
+    var gray = true
+    for (row <- px; p <- row) {
+      val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+      if (r != g || g != b) gray = false
+      hist(lumaOf(p)) += 1
+    }
+    val total = px.length.toLong * px(0).length
+    var sum = 0L; var mn = 255; var mx = 0; var ent = 0.0
+    for (i <- 0 until 256 if hist(i) > 0) {
+      sum += i.toLong * hist(i)
+      if (i < mn) mn = i
+      if (i > mx) mx = i
+      val p = hist(i).toDouble / total
+      ent -= p * (math.log(p) / math.log(2.0))
+    }
+    (total, sum, mn, mx, gray, math.floor(ent * 1000.0).toLong)
+  }
+
   final case class Row(media_id: Long, kind: String, data: Array[Byte],
       decoded: Boolean, width: Int, height: Int,
       ahash: Option[Long], dhash: Option[Long],
       r_resized: Boolean, r_width: Int, r_height: Int,
-      r_ahash: Option[Long], r_dhash: Option[Long])
+      r_ahash: Option[Long], r_dhash: Option[Long],
+      s_n_pixels: Long, s_luma_sum: Long, s_luma_min: Int, s_luma_max: Int,
+      s_is_gray: Boolean, s_entropy_milli: Long)
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
@@ -188,9 +213,10 @@ object GenImagePhashFixture {
           val small = downscale(px, ow, oh)
           (true, ow, oh, expectedAHash(small), expectedDHash(small))
       }
+      val (sp, ss, smn, smx, sg, se) = expectedStats(px)
       Row(id, kind, encodeLossless(px, format), decoded = true,
         px(0).length, px.length, Some(expectedAHash(px)), Some(expectedDHash(px)),
-        rr, rw, rh, Some(ra), Some(rd))
+        rr, rw, rh, Some(ra), Some(rd), sp, ss, smn, smx, sg, se)
     }
 
     // base cards across formats and sizes (incl. narrower-than-grid)
@@ -204,7 +230,12 @@ object GenImagePhashFixture {
       (6L, "png", "png", drawCard(40, 30, 7)),
       (7L, "png", "png", drawCard(5, 3, 8)), // narrower than the 8/9 grids
       (8L, "bmp", "bmp", drawCard(300, 200, 9)),
-      (9L, "png", "png", drawCard(33, 47, 10))
+      (9L, "png", "png", drawCard(33, 47, 10)),
+      // a TRUE grayscale card (r == g == b everywhere): the is_gray gate
+      (10L, "png", "png", Array.tabulate(50, 70) { (y, x) =>
+        val v = (x * 3 + y * 5 + ((x / 8 + y / 8) * 29) % 48) & 0xff
+        (v << 16) | (v << 8) | v
+      })
     ).map { case (id, kind, fmt, px) => imgRow(id, kind, fmt, px) }
 
     // planted near-dups: perturb one base card until dHash hamming lands
@@ -233,12 +264,14 @@ object GenImagePhashFixture {
     val truncated = {
       val whole = encodeLossless(drawCard(64, 64, 11), "png")
       Row(200L, "png", whole.take(40), decoded = false, 64, 64, None, None,
-        r_resized = false, 64, 64, None, None)
+        r_resized = false, 64, 64, None, None, 0L, 0L, 0, 0, s_is_gray = false, 0L)
     }
     val bomb = Row(201L, "png", bombPng(100000, 100000), decoded = false,
-      100000, 100000, None, None, r_resized = false, 100000, 100000, None, None)
+      100000, 100000, None, None, r_resized = false, 100000, 100000, None, None,
+      0L, 0L, 0, 0, s_is_gray = false, 0L)
     val garbage = Row(202L, "bin", Array.tabulate[Byte](64)(i => (i * 7).toByte),
-      decoded = false, 0, 0, None, None, r_resized = false, 0, 0, None, None)
+      decoded = false, 0, 0, None, None, r_resized = false, 0, 0, None, None,
+      0L, 0L, 0, 0, s_is_gray = false, 0L)
 
     val rows = cards ++ nearDups ++ Seq(sameOtherFormat, truncated, bomb, garbage)
 

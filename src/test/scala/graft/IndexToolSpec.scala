@@ -302,6 +302,16 @@ class IndexToolSpec extends SparkTestBase {
     assert(!thumbs(4L).getAs[Boolean]("decoded")) // garbage passes through
     assert(IndexTool.run(spark, Array("image-resize", s"$root/imgs",
       "--out", s"$root/t2", "--box", "bogus")) == 2)
+
+    // image-stats: quality-gate signals parquet-to-parquet
+    assert(IndexTool.run(spark, Array("image-stats", s"$root/imgs",
+      "--out", s"$root/istats", "--id", "doc_id", "--data", "payload")) == 0)
+    val istats = spark.read.parquet(s"$root/istats").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(istats(1L).getAs[Boolean]("isGray") &&
+      istats(1L).getAs[Long]("nPixels") == 64L * 48)
+    assert(!istats(4L).getAs[Boolean]("decoded"))
+    assert(IndexTool.run(spark, Array("image-stats", s"$root/imgs")) == 2)
   }
 
   test("IndexTool: profile accumulates per-batch sketches, --merge folds " +

@@ -564,6 +564,33 @@ class MultimodalSpec extends SparkTestBase {
       rows(2L).data.sameElements(bomb))
   }
 
+  test("imageStats: the half-bright gray card hand-checks exactly — half " +
+    "zeros half 255s give luma_sum 128*255, a 2-bin histogram gives " +
+    "entropy 1000 millibits, and r==g==b everywhere flags is_gray; a " +
+    "colored pixel clears the flag; corrupt rows degrade") {
+    val halfBright = grayImage(16, 16)((x, _) => if (x < 8) 255 else 0)
+    val colored = {
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, 0x102030)
+      val o = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", o); o.toByteArray
+    }
+    val rows = Multimodal.imageStats(Seq(
+        (1L, "png", halfBright), (2L, "png", colored),
+        (3L, "bin", "nope".getBytes("UTF-8")))
+      .toDF("id", "kind", "data")).collect().map(r => r.id -> r).toMap
+    val s1 = rows(1L)
+    assert(s1.decoded && s1.nPixels == 256L && s1.lumaSum == 128L * 255)
+    assert(s1.lumaMin == 0 && s1.lumaMax == 255 && s1.isGray)
+    assert(s1.entropyMilli == 1000L) // two equal bins = exactly 1 bit
+    val s2 = rows(2L)
+    // 0x102030 luma = (299*16 + 587*32 + 114*48) / 1000 = 29, single bin
+    assert(s2.decoded && !s2.isGray && s2.lumaMin == 29 && s2.lumaMax == 29 &&
+      s2.entropyMilli == 0L)
+    assert(!rows(3L).decoded && rows(3L).nPixels == 0L)
+  }
+
   // ------------------------------------------------ audio fingerprinting
 
   private def wav16(samples: Array[Int], channels: Int = 1,
