@@ -543,6 +543,23 @@ object IndexTool {
           .write.mode("overwrite").parquet(out)
         println(s"""{"action":"image-stats","path":"${args(1)}",""" +
           s""""out":"$out"}"""); 0
+      case "audio-stats" =>
+        // audio quality-gate signals parquet -> parquet (real PCM decode)
+        val out = opt(args, "--out").getOrElse {
+          System.err.println(s"audio-stats needs --out <parquet>\n$usage")
+          return 2
+        }
+        import org.apache.spark.sql.functions.{col, lit}
+        val idCol = opt(args, "--id").getOrElse("id")
+        graft.multimodal.Multimodal.audioStats(
+            spark.read.parquet(args(1)).select(
+              col(idCol).cast("long").as("id"),
+              opt(args, "--kind").map(col).getOrElse(lit("audio")).as("kind"),
+              col(opt(args, "--data").getOrElse("data")).as("data"))).toDF()
+          .withColumnRenamed("id", idCol)
+          .write.mode("overwrite").parquet(out)
+        println(s"""{"action":"audio-stats","path":"${args(1)}",""" +
+          s""""out":"$out"}"""); 0
       case "profile" =>
         // per-batch mergeable corpus profile (counters + HLL/Theta
         // sketches) -> parquet; --merge folds an accumulated profile dir
@@ -644,6 +661,7 @@ object IndexTool {
       |  audio-fp <srcParquet> --out <parquet> [--id id] [--data data] [--kind kindCol] [--pairs-out <parquet>] [--max-hamming 3]
       |  image-resize <srcParquet> --out <parquet> [--box 256x256] [--id id] [--data data] [--kind kindCol]
       |  image-stats <srcParquet> --out <parquet> [--id id] [--data data] [--kind kindCol]
+      |  audio-stats <srcParquet> --out <parquet> [--id id] [--data data] [--kind kindCol]
       |  profile <srcParquet|profileDir> --out <parquet> [--keys k1,k2] [--text text] [--append] [--merge]
       |  overlap <aParquet> --other <bParquet> [--text text] [--other-text text]""".stripMargin
 }

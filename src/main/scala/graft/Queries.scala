@@ -2222,6 +2222,27 @@ object Queries {
       |FROM '$audioFpFixture'
       |ORDER BY media_id""".stripMargin
 
+  // -- audio quality stats: duration, peak, digital-silence and hard-clip
+  //    frame counts from the REAL PCM decode — exact integers, expected
+  //    values computed by the generator from the synthesized samples.
+  private val audioStats: (SparkSession, String) => DataFrame = (s, _) => {
+    val media = s.read.parquet(audioFpFixture)
+      .select(col("media_id").as("id"), col("kind"), col("data"))
+    graft.multimodal.Multimodal.audioStats(media).toDF()
+      .select(col("id").as("media_id"), col("decoded"),
+        col("durationMs").as("duration_ms"), col("peak"),
+        col("absSum").as("abs_sum"), col("nSilence").as("n_silence"),
+        col("nClipped").as("n_clipped"))
+      .orderBy(col("media_id"))
+  }
+
+  private val audioStatsSql =
+    s"""SELECT media_id, decoded, s_duration_ms AS duration_ms,
+      |  s_peak AS peak, s_abs_sum AS abs_sum,
+      |  s_n_silence AS n_silence, s_n_clipped AS n_clipped
+      |FROM '$audioFpFixture'
+      |ORDER BY media_id""".stripMargin
+
   private val audioNearDup: (SparkSession, String) => DataFrame = (s, _) => {
     val media = s.read.parquet(audioFpFixture)
       .select(col("media_id").as("id"), col("kind"), col("data"))
@@ -3124,6 +3145,7 @@ object Queries {
     "q_image_stats"   -> imageStats,
     "q_corpus_profile" -> corpusProfile,
     "q_audio_fp"      -> audioFp,
+    "q_audio_stats"   -> audioStats,
     "q_audio_neardup" -> audioNearDup,
     "q_warc_read"     -> warcRead,
     "q_html_text"     -> htmlText,
@@ -3223,6 +3245,7 @@ object Queries {
     "q_image_stats"   -> imageStatsSql,
     "q_corpus_profile" -> corpusProfileSql,
     "q_audio_fp"      -> audioFpSql,
+    "q_audio_stats"   -> audioStatsSql,
     "q_audio_neardup" -> audioNearDupSql,
     "q_warc_read"     -> warcReadSql,
     "q_html_text"     -> htmlTextSql,

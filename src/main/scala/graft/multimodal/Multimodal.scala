@@ -1195,6 +1195,124 @@ object Multimodal {
     finally ais.close()
   }
 
+  /** One audio payload's quality-statistics row ([[audioStats]]) — the
+    * gating signals an audio-corpus curation pass filters on, all exact
+    * integers: `durationMs` = frames*1000/rate (floor), `peak` = max
+    * per-channel |sample|, `absSum` over every sample of every channel
+    * (mean level without committing to a rounding), `nSilence` = frames
+    * where EVERY channel is exactly 0 (digital silence — a dead upload or
+    * padding), `nClipped` = frames where ANY channel sits at the format's
+    * representable extreme (±full scale — hard clipping). */
+  final case class AudioStatsRow(id: Long, kind: String, nBytes: Long,
+      decoded: Boolean, sampleRate: Int, channels: Int, nFrames: Long,
+      durationMs: Long, peak: Long, absSum: Long, nSilence: Long,
+      nClipped: Long)
+
+  /** Per-partition audio quality statistics — the audio sibling of
+    * [[imageStatsBatch]], same PCM decode contract as
+    * [[audioFingerprintBatch]] (WAV/AIFF, integer PCM, honest frame
+    * count, refuse-don't-crash). One streaming pass, O(buffer) memory. */
+  def audioStatsBatch(rows: Iterator[MediaRow]): Iterator[AudioStatsRow] =
+    rows.map { r =>
+      val n = r.data.length.toLong
+      decodeAudioStats(r.data) match {
+        case Some(s) => s.copy(id = r.id, kind = r.kind, nBytes = n)
+        case None => AudioStatsRow(r.id, r.kind, n, decoded = false,
+          0, 0, 0L, 0L, 0L, 0L, 0L, 0L)
+      }
+    }
+
+  private def decodeAudioStats(data: Array[Byte]): Option[AudioStatsRow] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val ais =
+      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(data))
+      catch { case _: Exception => return None }
+    try {
+      val fmt = ais.getFormat
+      val enc = fmt.getEncoding
+      val bits = fmt.getSampleSizeInBits
+      val ch = fmt.getChannels
+      val frameSize = fmt.getFrameSize
+      val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+      val unsigned = enc == AudioFormat.Encoding.PCM_UNSIGNED
+      if (!(signed || unsigned) || ch <= 0 || frameSize <= 0 ||
+        !Seq(8, 16, 24, 32).contains(bits) ||
+        frameSize != ch * (bits / 8)) return None
+      val header = ais.getFrameLength
+      val avail = ais.available().toLong / frameSize
+      val nFrames = math.min(if (header > 0) header else Long.MaxValue, avail)
+      if (nFrames <= 0) return None
+      val bytesPer = bits / 8
+      val big = fmt.isBigEndian
+      val center = if (unsigned) 1L << (bits - 1) else 0L
+      // representable extremes AFTER centering: [-2^(b-1), 2^(b-1)-1]
+      val hi = (1L << (bits - 1)) - 1
+      val lo = -(1L << (bits - 1))
+      val buf = new Array[Byte](frameSize * 1024)
+      var frame = 0L
+      var carry = 0
+      var peak = 0L
+      var absSum = 0L
+      var nSilence = 0L
+      var nClipped = 0L
+      var done = false
+      while (!done && frame < nFrames) {
+        val got = ais.read(buf, carry, buf.length - carry)
+        if (got <= 0) done = true
+        else {
+          val total = carry + got
+          val frames = total / frameSize
+          var f = 0
+          while (f < frames && frame < nFrames) {
+            val base = f * frameSize
+            var allZero = true
+            var clipped = false
+            var c = 0
+            while (c < ch) {
+              val off = base + c * bytesPer
+              var v = 0L
+              if (big) {
+                v = buf(off).toLong
+                var k = 1
+                while (k < bytesPer) { v = (v << 8) | (buf(off + k) & 0xffL); k += 1 }
+              } else {
+                v = buf(off + bytesPer - 1).toLong
+                var k = bytesPer - 2
+                while (k >= 0) { v = (v << 8) | (buf(off + k) & 0xffL); k -= 1 }
+              }
+              if (unsigned) v = (v & ((1L << bits) - 1)) - center
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              absSum += a
+              if (v != 0L) allZero = false
+              if (v == hi || v == lo) clipped = true
+              c += 1
+            }
+            if (allZero) nSilence += 1
+            if (clipped) nClipped += 1
+            frame += 1
+            f += 1
+          }
+          carry = total - frames * frameSize
+          if (carry > 0) System.arraycopy(buf, frames * frameSize, buf, 0, carry)
+        }
+      }
+      if (frame == 0) return None
+      val rate = fmt.getSampleRate.toInt
+      Some(AudioStatsRow(0L, "", 0L, decoded = true, rate, ch, frame,
+        if (rate > 0) frame * 1000L / rate else 0L, peak, absSum,
+        nSilence, nClipped))
+    } catch { case _: Exception => None }
+    finally ais.close()
+  }
+
+  /** Frame form of [[audioStatsBatch]]. */
+  def audioStats(media: DataFrame): Dataset[AudioStatsRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(audioStatsBatch)
+  }
+
   /** Audio fingerprinting over a binary media frame (id, kind, data):
     * (id, kind, nBytes, decoded, sampleRate, channels, nFrames, afp). A
     * narrow mapPartitions at the codec boundary — no shuffle, O(1) state

@@ -106,9 +106,35 @@ object GenAudioFpFixture {
     out.toByteArray
   }
 
+  /** Expected quality stats from the raw per-channel samples (frames x
+    * channels), re-implemented standalone: (duration_ms, peak, abs_sum,
+    * n_silence, n_clipped) with hi/lo the 16-bit (or given) extremes. */
+  def expectedStats(chans: Array[Array[Int]], rate: Int, bits: Int = 16)
+      : (Long, Long, Long, Long, Long) = {
+    val hi = (1L << (bits - 1)) - 1; val lo = -(1L << (bits - 1))
+    val n = chans(0).length
+    var peak = 0L; var absSum = 0L; var sil = 0L; var clip = 0L
+    for (f <- 0 until n) {
+      var allZero = true; var clipped = false
+      for (c <- chans.indices) {
+        val v = chans(c)(f).toLong
+        val a = math.abs(v)
+        if (a > peak) peak = a
+        absSum += a
+        if (v != 0L) allZero = false
+        if (v == hi || v == lo) clipped = true
+      }
+      if (allZero) sil += 1
+      if (clipped) clip += 1
+    }
+    (n.toLong * 1000L / rate, peak, absSum, sil, clip)
+  }
+
   final case class FxRow(media_id: Long, kind: String, data: Array[Byte],
       decoded: Boolean, sample_rate: Int, channels: Int, n_frames: Long,
-      afp: Option[Long])
+      afp: Option[Long],
+      s_duration_ms: Long, s_peak: Long, s_abs_sum: Long,
+      s_n_silence: Long, s_n_clipped: Long)
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
@@ -119,10 +145,12 @@ object GenAudioFpFixture {
       .getOrCreate()
     import spark.implicits._
 
-    def monoRow(id: Long, samples: Array[Int], rate: Float = 16000f): FxRow =
+    def monoRow(id: Long, samples: Array[Int], rate: Float = 16000f): FxRow = {
+      val (dm, pk, as_, sl, cl) = expectedStats(Array(samples), rate.toInt)
       FxRow(id, "wav", wavBytes(Array(samples), rate), decoded = true,
         rate.toInt, 1, samples.length.toLong,
-        Some(expectedFp(samples.map(_.toLong))))
+        Some(expectedFp(samples.map(_.toLong))), dm, pk, as_, sl, cl)
+    }
 
     val base = synth(13000, 1)
     val rows = Seq(
@@ -134,14 +162,17 @@ object GenAudioFpFixture {
     ) ++ {
       // stereo: same program on both channels, fingerprint of the SUM
       val l = synth(9000, 6); val r = synth(9000, 7)
+      val (dm, pk, as_, sl, cl) = expectedStats(Array(l, r), 16000)
       Seq(FxRow(5L, "wav", wavBytes(Array(l, r)), decoded = true, 16000, 2,
         9000L, Some(expectedFp(
-          Array.tabulate(9000)(f => l(f).toLong + r(f).toLong)))))
+          Array.tabulate(9000)(f => l(f).toLong + r(f).toLong))),
+        dm, pk, as_, sl, cl))
     } ++ {
       // 8-bit unsigned mono: engine must center before |.|
       val s8 = Array.tabulate(4000)(t => ((t * 17 + 3) % 251) - 125)
+      val (dm, pk, as_, sl, cl) = expectedStats(Array(s8), 8000, bits = 8)
       Seq(FxRow(6L, "wav", wav8Bytes(s8), decoded = true, 8000, 1, 4000L,
-        Some(expectedFp(s8.map(_.toLong)))))
+        Some(expectedFp(s8.map(_.toLong))), dm, pk, as_, sl, cl))
     } ++ {
       // planted near-dups of row 0: scale a window-aligned region's
       // amplitude until the fingerprint moves by 1..3 bits
@@ -162,6 +193,14 @@ object GenAudioFpFixture {
         monoRow(id, edited)
       }
       Seq(perturb(100L, 10, 12), perturb(101L, 40, 43))
+    } ++ {
+      // planted silence run + hard-clipped frames: the gate signals
+      val gated = Array.tabulate(5000) { t =>
+        if (t >= 1000 && t < 1500) 0
+        else if (t % 997 == 0) (if (t % 2 == 0) 32767 else -32768)
+        else synth(5000, 8)(t)
+      }
+      Seq(monoRow(7L, gated))
     } ++ Seq(
       // corrupt / refused rows
       // cut INSIDE the header (before fmt completes): no parse at all — a
@@ -169,10 +208,11 @@ object GenAudioFpFixture {
       // clip, which the engine's min(header, available) handles, so it
       // would not test the refuse path
       FxRow(200L, "wav", wavBytes(Array(synth(2000, 9))).take(20),
-        decoded = false, 0, 0, 0L, None),
-      FxRow(201L, "wav", floatWav(), decoded = false, 0, 0, 0L, None),
+        decoded = false, 0, 0, 0L, None, 0L, 0L, 0L, 0L, 0L),
+      FxRow(201L, "wav", floatWav(), decoded = false, 0, 0, 0L, None,
+        0L, 0L, 0L, 0L, 0L),
       FxRow(202L, "bin", Array.tabulate[Byte](80)(i => (i * 11).toByte),
-        decoded = false, 0, 0, 0L, None))
+        decoded = false, 0, 0, 0L, None, 0L, 0L, 0L, 0L, 0L))
 
     // sanity: the near-dup oracle is non-trivial and base/others are far
     val sigs = rows.filter(_.decoded).map(r => r.media_id -> r.afp.get)

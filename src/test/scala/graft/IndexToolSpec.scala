@@ -291,6 +291,16 @@ class IndexToolSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().toSet == Set((1L, 2L, 0L)))
     assert(IndexTool.run(spark, Array("audio-fp", s"$root/clips")) == 2)
 
+    // audio-stats: quality-gate signals parquet-to-parquet
+    assert(IndexTool.run(spark, Array("audio-stats", s"$root/clips",
+      "--out", s"$root/astats", "--id", "doc_id", "--data", "payload")) == 0)
+    val astats = spark.read.parquet(s"$root/astats").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(astats(1L).getAs[Boolean]("decoded") &&
+      astats(1L).getAs[Long]("nFrames") == 650L &&
+      astats(1L).getAs[Long]("durationMs") == 650L * 1000 / 16000)
+    assert(!astats(3L).getAs[Boolean]("decoded"))
+
     // image-resize: box thumbnailing parquet-to-parquet
     assert(IndexTool.run(spark, Array("image-resize", s"$root/imgs",
       "--out", s"$root/thumbs", "--id", "doc_id", "--data", "payload",

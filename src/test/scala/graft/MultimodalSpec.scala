@@ -644,6 +644,26 @@ class MultimodalSpec extends SparkTestBase {
     assert(rows.forall(r => !r.decoded && r.afp.isEmpty))
   }
 
+  test("audioStats: hand-checked silence, clipping, peak and duration on " +
+    "a constructed clip; refused formats degrade") {
+    val samples = Array.tabulate(100) { t =>
+      if (t < 10) 0
+      else if (t == 10) 32767
+      else if (t == 11) -32768
+      else 100
+    }
+    val rows = Multimodal.audioStats(Seq(
+        (1L, "wav", wav16(samples, rate = 1000f)),
+        (2L, "bin", "not audio".getBytes("UTF-8")))
+      .toDF("id", "kind", "data")).collect().map(r => r.id -> r).toMap
+    val s = rows(1L)
+    assert(s.decoded && s.sampleRate == 1000 && s.nFrames == 100L)
+    assert(s.durationMs == 100L)
+    assert(s.nSilence == 10L && s.nClipped == 2L && s.peak == 32768L)
+    assert(s.absSum == 32767L + 32768L + 88L * 100)
+    assert(!rows(2L).decoded)
+  }
+
   test("audioFingerprint -> hammingPairs: identical PCM re-encoded pairs " +
     "at hamming 0; an unrelated clip does not pair") {
     // block-varying (non-monotone) envelope so the fingerprint is nonzero
