@@ -30,6 +30,17 @@ object PlanAudit {
     println("=== lm_score ===")
     graft.operators.BigramLm.score(spark, docs, col("doc_id"), w, path)
       .explain("formatted")
+
+    println("=== profile (one shuffle, map-side sketch partials) ===")
+    graft.operators.Profile.partialProfile(docs, Seq(col("lang")),
+      col("text"), w).explain("formatted")
+    println("=== overlap (two scans, 1x1 sketch cross) ===")
+    graft.operators.Profile.overlap(docs, col("text"),
+      docs.where(col("doc_id") % 2 === 0), col("text")).explain("formatted")
+    println("=== hammingPairs (band equi-join, verify inside) ===")
+    val sigs = emb.select(col("vec_id").as("id"),
+      (col("vec_id") * 2654435761L).as("sig"))
+    graft.operators.Dedup.hammingPairs(sigs, "id", "sig").explain("formatted")
     spark.stop()
   }
 }
