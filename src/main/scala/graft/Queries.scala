@@ -2193,6 +2193,64 @@ object Queries {
       |FROM tk JOIN v USING (lang)
       |GROUP BY tk.lang ORDER BY tk.lang""".stripMargin
 
+  // -- cross-corpus overlap via theta sketches: UNDER THE HASH GATE at the
+  //    tested SFs because a DataSketches Theta sketch is EXACT until it
+  //    exceeds its nominal k = 4096 retained entries (sf0.01 halves hold
+  //    <1k distinct fingerprints) — so the sketch estimates, intersection
+  //    and union land on exact integers DuckDB reproduces with plain set
+  //    SQL. At corpus scale the same operator degrades gracefully to
+  //    ~1-2% estimates; ProfileSpec covers that regime.
+  private val corpusOverlap: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    graft.operators.Profile.overlap(
+        docs.where(col("doc_id") % 2 === 1), col("text"),
+        docs.where(col("doc_id") % 2 === 0), col("text"))
+      .select(col("est_a"), col("est_b"), col("est_intersection"),
+        col("est_union"), round(col("est_jaccard"), 6).as("est_jaccard"))
+  }
+
+  private val corpusOverlapSql =
+    s"""WITH a AS (SELECT DISTINCT md5(text) AS f FROM documents WHERE doc_id % 2 = 1),
+      |b AS (SELECT DISTINCT md5(text) AS f FROM documents WHERE doc_id % 2 = 0),
+      |i AS (SELECT count(*)::BIGINT AS n FROM a JOIN b USING (f)),
+      |u AS (SELECT count(*)::BIGINT AS n FROM (SELECT f FROM a UNION SELECT f FROM b))
+      |SELECT (SELECT count(*) FROM a)::BIGINT AS est_a,
+      |  (SELECT count(*) FROM b)::BIGINT AS est_b,
+      |  (SELECT n FROM i) AS est_intersection,
+      |  (SELECT n FROM u) AS est_union,
+      |  round((SELECT n FROM i)::DOUBLE / (SELECT n FROM u), 6) AS est_jaccard""".stripMargin
+
+  // -- image dedup GROUPS: perceptual-hash pairs -> transitive closure ->
+  //    one row per image with its cluster keeper (min member id) — the
+  //    visual twin of q_dedup_cluster, composing imageHash -> hammingPairs
+  //    -> Dedup.clusters. DuckDB closes the same pair set (over stored
+  //    signatures) with a recursive CTE.
+  private val imageCluster: (SparkSession, String) => DataFrame = (s, _) => {
+    val media = s.read.parquet(imagePhashFixture)
+      .select(col("media_id").as("id"), col("kind"), col("data"))
+    val hashed = graft.multimodal.Multimodal.imageHash(media).toDF()
+      .where(col("decoded")).select(col("id"), col("dhash"))
+    graft.operators.Dedup.clusters(
+        graft.operators.Dedup.hammingPairs(hashed, "id", "dhash", 3))
+      .select(col("n").cast("long").as("media_id"),
+        col("c").cast("long").as("cluster"))
+      .orderBy(col("media_id"))
+  }
+
+  private val imageClusterSql =
+    s"""WITH RECURSIVE h AS (
+      |  SELECT media_id, dhash FROM '$imagePhashFixture'
+      |  WHERE decoded AND dhash IS NOT NULL AND dhash <> 0),
+      |prs AS (
+      |  SELECT x.media_id AS a, y.media_id AS b
+      |  FROM h x JOIN h y ON x.media_id < y.media_id
+      |  WHERE bit_count(xor(x.dhash, y.dhash)) <= 3),
+      |edges AS (SELECT a AS x, b AS y FROM prs UNION SELECT b AS x, a AS y FROM prs),
+      |r AS (SELECT x AS n, y AS m FROM edges
+      |      UNION SELECT r.n, e.y FROM r JOIN edges e ON r.m = e.x)
+      |SELECT n::BIGINT AS media_id, least(n, min(m))::BIGINT AS cluster
+      |FROM r GROUP BY n ORDER BY media_id""".stripMargin
+
   // ----------------------------------------------------------------------
   // audio fingerprinting + audio near-dup: REAL PCM decode (the JDK's own
   // AudioSystem — WAV container, 8/16-bit, mono/stereo) -> 65-window
@@ -3144,6 +3202,8 @@ object Queries {
     "q_image_resize"  -> imageResize,
     "q_image_stats"   -> imageStats,
     "q_corpus_profile" -> corpusProfile,
+    "q_corpus_overlap" -> corpusOverlap,
+    "q_image_cluster" -> imageCluster,
     "q_audio_fp"      -> audioFp,
     "q_audio_stats"   -> audioStats,
     "q_audio_neardup" -> audioNearDup,
@@ -3244,6 +3304,8 @@ object Queries {
     "q_image_resize"  -> imageResizeSql,
     "q_image_stats"   -> imageStatsSql,
     "q_corpus_profile" -> corpusProfileSql,
+    "q_corpus_overlap" -> corpusOverlapSql,
+    "q_image_cluster" -> imageClusterSql,
     "q_audio_fp"      -> audioFpSql,
     "q_audio_stats"   -> audioStatsSql,
     "q_audio_neardup" -> audioNearDupSql,
