@@ -2143,8 +2143,10 @@ object Queries {
       .select(col("media_id").as("id"), col("kind"), col("data"))
     def hashed(pred: Column) = graft.multimodal.Multimodal.imageHash(media)
       .toDF().where(col("decoded") && pred).select(col("id"), col("dhash"))
+    // per-process suffix: Verify and Bench can run concurrently as
+    // separate JVMs, and an overwrite index build must not race a reader
     val path = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft-hamidx-imgfx").getAbsolutePath
+      s"graft-hamidx-imgfx-${ProcessHandle.current().pid()}").getAbsolutePath
     buildIndexOnce(path)(
       graft.operators.Dedup.writeHammingIndex(
         hashed(col("id") < 100), "id", "dhash", path))

@@ -46,7 +46,7 @@ object Profile {
       .groupBy(keyCols: _*)
       .agg(count_distinct(col("__t")).as("n_vocab"),
         hll_sketch_agg(col("__t")).as("vocab_hll"))
-    base.groupBy(keyCols: _*)
+    val counters = base.groupBy(keyCols: _*)
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("__chars")).as("n_chars"),
@@ -54,7 +54,25 @@ object Profile {
         count_distinct(col("__fp")).as("n_distinct_docs"),
         hll_sketch_agg(col("__fp")).as("doc_hll"),
         theta_sketch_agg(col("__fp")).as("doc_theta"))
-      .join(vocab, keys.indices.map(i => s"__k$i"))
+    joinOnKeysNullSafe(counters, vocab, keys.size)
+  }
+
+  /** Inner-join two per-key aggregates NULL-SAFELY on the `__k*` columns —
+    * a plain equi-join inserts IsNotNull on its keys and a null-keyed
+    * group (documents with no language tag, say) would silently vanish
+    * from the profile. Both sides are aggregates of the same frame, so
+    * every key exists on both. */
+  private def joinOnKeysNullSafe(left: DataFrame, right: DataFrame,
+      nKeys: Int): DataFrame = {
+    val l = left.as("l")
+    val r = right.as("r")
+    val cond = (0 until nKeys)
+      .map(i => col(s"l.__k$i") <=> col(s"r.__k$i"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    l.join(r, cond)
+      .select((0 until nKeys).map(i => col(s"l.__k$i").as(s"__k$i")) ++
+        left.columns.filterNot(_.startsWith("__k")).map(c => col(s"l.$c")) ++
+        right.columns.filterNot(_.startsWith("__k")).map(c => col(s"r.$c")): _*)
   }
 
   /** The ingestion-scale per-batch profile: counters + sketches only (no
@@ -73,14 +91,14 @@ object Profile {
     val vocab = base.select(keyCols :+ explode_outer(col("__toks")).as("__t"): _*)
       .groupBy(keyCols: _*)
       .agg(hll_sketch_agg(col("__t")).as("vocab_hll"))
-    base.groupBy(keyCols: _*)
+    val counters = base.groupBy(keyCols: _*)
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("__chars")).as("n_chars"),
         sum(col("__ntoks")).as("n_tokens"),
         hll_sketch_agg(col("__fp")).as("doc_hll"),
         theta_sketch_agg(col("__fp")).as("doc_theta"))
-      .join(vocab, keys.indices.map(i => s"__k$i"))
+    joinOnKeysNullSafe(counters, vocab, keys.size)
   }
 
   /** Fold a frame of [[partialProfile]] rows (multiple batches' profiles

@@ -82,6 +82,21 @@ class ProfileSpec extends SparkTestBase {
       s"vocab estimate $estVocab vs exact $exactVocab")
   }
 
+  test("profile: a NULL group key keeps its group (the aggregate join is " +
+    "null-safe — untagged documents must not vanish from the report)") {
+    val docs = Seq(
+      (1L, "en", "hello world"),
+      (2L, null.asInstanceOf[String], "untagged document one"),
+      (3L, null.asInstanceOf[String], "untagged document two"))
+      .toDF("doc_id", "lang", "text")
+    val got = Profile.profile(docs, Seq(col("lang")), col("text"), words)
+      .collect().map(r => Option(r.getAs[String]("__k0")) -> r).toMap
+    assert(got.keySet == Set(Some("en"), None))
+    assert(got(None).getAs[Long]("n_docs") == 2)
+    assert(got(None).getAs[Long]("n_distinct_docs") == 2)
+    assert(got(None).getAs[Long]("n_vocab") == 4) // untagged document one two
+  }
+
   test("overlap: theta-sketch set algebra estimates |A|, |B|, the planted " +
     "intersection, and Jaccard without any join; disjoint corpora " +
     "estimate ~zero overlap") {
