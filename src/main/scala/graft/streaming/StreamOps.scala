@@ -518,6 +518,31 @@ object StreamOps {
     } finally { pairs.unpersist(); b.unpersist() }
   }
 
+  /** Streaming corpus profiling: every micro-batch appends its
+    * [[graft.operators.Profile.partialProfile]] rows (counters + mergeable
+    * HLL/Theta sketches) under its own `batch=<id>` partition — an
+    * at-least-once replay dynamic-overwrites its own partition instead of
+    * double-counting, the same commit discipline as the index loops. The
+    * accumulated directory folds to live corpus statistics at ANY moment
+    * with [[graft.operators.Profile.mergeProfiles]], reading only profile
+    * rows (bytes proportional to groups x batches, never the corpus). */
+  def profileStream(docs: DataFrame, textCol: String, keys: Seq[String],
+      path: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      profileBatch(batch, batchId, textCol, keys, path)
+    }.start()
+
+  /** One [[profileStream]] micro-batch — package-visible for the replay
+    * spec, like [[dedupBatch]]. */
+  private[graft] def profileBatch(batch: DataFrame, batchId: Long,
+      textCol: String, keys: Seq[String], path: String): Unit = {
+    if (batch.isEmpty) return // an empty batch must not commit a file-less dir
+    val prof = graft.operators.Profile.partialProfile(batch,
+      keys.map(col), col(textCol),
+      graft.functions.NativeKernels.wordTokens(col(textCol)))
+    graft.operators.IndexIO.writeBatch(prof, path, Some(batchId), Seq.empty)
+  }
+
   /** Streaming incremental EXACT dedup — the fingerprint twin of
     * [[incrementalDedupStream]]. Per micro-batch, emits one row
     * (id, fp, keeper) for every batch document that exactly duplicates a

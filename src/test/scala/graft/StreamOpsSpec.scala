@@ -766,6 +766,44 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("profileStream: per-batch partial profiles fold to the one-shot " +
+    "statistics; a replayed batch overwrites its own partition instead " +
+    "of double-counting") {
+    import graft.operators.Profile
+    import graft.streaming.StreamOps
+    val path = java.nio.file.Files.createTempDirectory("graft-profstream")
+      .toString + "/prof"
+    def docs(off: Int) = (0 until 400).map(i =>
+      (off + i.toLong, Seq("en", "de")(i % 2), s"w${i % 13} body $i"))
+      .toDF("doc_id", "lang", "text")
+    StreamOps.profileBatch(docs(0), 0L, "text", Seq("lang"), path)
+    StreamOps.profileBatch(docs(5000), 1L, "text", Seq("lang"), path)
+    def merged() = Profile.mergeProfiles(spark.read.parquet(path), 1)
+      .collect().map(r => r.getAs[String]("__k0") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("est_distinct_docs"))).toMap
+    val m1 = merged()
+    assert(m1("en")._1 == 400 && m1("de")._1 == 400)
+    // replay of committed batch 1: identical statistics, no double count
+    StreamOps.profileBatch(docs(5000), 1L, "text", Seq("lang"), path)
+    assert(merged() == m1, "replay must not change the folded profile")
+    // the stream wrapper drives the same batch function — on its OWN dir:
+    // a fresh stream's batchIds restart at 0, and the overwrite-own-
+    // partition discipline would (correctly) replace a same-id partition
+    val path2 = java.nio.file.Files.createTempDirectory("graft-profstream2")
+      .toString + "/prof"
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamOps.profileStream(
+      input.toDF().toDF("doc_id", "lang", "text"), "text", Seq("lang"), path2)
+    try {
+      input.addData((9000L, "en", "streamed doc one"))
+      q.processAllAvailable()
+      val m = Profile.mergeProfiles(spark.read.parquet(path2), 1)
+        .collect().map(r => r.getAs[String]("__k0") -> r.getAs[Long]("n_docs")).toMap
+      assert(m == Map("en" -> 1L))
+    } finally q.stop()
+  }
+
   test("signatureDedupStream: in-batch and cross-batch signature near-dups " +
     "emit per micro-batch; replay is idempotent; compaction preserves " +
     "answers; real images compose through imageHash in the stream graph") {
