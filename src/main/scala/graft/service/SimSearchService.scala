@@ -371,7 +371,8 @@ final class SimSearchService(spark: SparkSession, port: Int,
     *               "bpe_train" | "bpe_encode" | "bpe_token_count" |
     *               "split" | "scrub_pii" | "gopher" | "quantile_cut" |
     *               "lm_bigram" | "lm_train" | "lm_score" | "random_project" |
-    *               "image_hash" | "audio_fp" | "profile" | "overlap",
+    *               "image_hash" | "audio_fp" | "image_stats" |
+    *               "audio_stats" | "profile" | "overlap",
     *   "input": {"column": "<mounted attribute>"}        // api_key's catalog
     *          | {"path": "/dir", "format": "parquet"|"csv"},
     *   "id": "doc_id", "text": "text",                   // path-input columns
@@ -470,7 +471,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
         "scrub_pii", "gopher", "dsir", "dsir_train", "dsir_score",
         "dedup_spans", "dedup_substr", "quantile_cut", "lm_bigram",
         "lm_train", "lm_score", "random_project", "image_hash", "audio_fp",
-        "profile", "overlap")
+        "image_stats", "audio_stats", "profile", "overlap")
       if (!knownOps.contains(opName))
         throw new IllegalArgumentException(
           s"unknown operator '$opName' — one of ${knownOps.mkString(", ")}")
@@ -645,6 +646,20 @@ final class SimSearchService(spark: SparkSession, port: Int,
           val other = spark.read.parquet(reqParam("other_path").asText())
           graft.operators.Profile.overlap(df, col(textCol), other,
             col(params.path("other_text").asText(textCol)))
+        case "image_stats" =>
+          // image quality-gate signals of a binary column (path input)
+          val dataCol = params.path("data_column").asText("data")
+          graft.multimodal.Multimodal.imageStats(
+              df.select(col(idCol).cast("long").as("id"),
+                lit("image").as("kind"), col(dataCol).as("data"))).toDF()
+            .withColumnRenamed("id", idCol)
+        case "audio_stats" =>
+          // audio quality-gate signals of a binary PCM column (path input)
+          val dataCol = params.path("data_column").asText("data")
+          graft.multimodal.Multimodal.audioStats(
+              df.select(col(idCol).cast("long").as("id"),
+                lit("audio").as("kind"), col(dataCol).as("data"))).toDF()
+            .withColumnRenamed("id", idCol)
         case "audio_fp" =>
           // audio fingerprints of a binary PCM column (path input only);
           // "pairs": true returns the banded-Hamming near-dup pairs

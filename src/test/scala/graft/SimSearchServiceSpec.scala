@@ -490,6 +490,30 @@ class SimSearchServiceSpec extends SparkTestBase {
         af.get(0).get("b").asLong() == 2L &&
         af.get(0).get("hamming").asLong() == 0L, bAf)
 
+      // image_stats + audio_stats over the socket (reuse the image and
+      // audio tables written above)
+      val (cIs, bIs) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "image_stats",
+            "input": {"path": "$imgDir"}, "id": "doc_id", "params": {}}"""))
+      assert(cIs == 200, bIs)
+      val is = new ObjectMapper().readTree(bIs)
+      val isById = (0 until is.size()).map(i =>
+        is.get(i).get("doc_id").asLong() -> is.get(i)).toMap
+      assert(isById(1L).get("decoded").asBoolean() &&
+        isById(1L).get("nPixels").asLong() == 32L * 24 &&
+        isById(1L).get("isGray").asBoolean(), bIs)
+      assert(!isById(4L).get("decoded").asBoolean(), bIs)
+      val (cAs, bAs) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "audio_stats",
+            "input": {"path": "$audDir"}, "id": "doc_id", "params": {}}"""))
+      assert(cAs == 200, bAs)
+      val as = new ObjectMapper().readTree(bAs)
+      val asById = (0 until as.size()).map(i =>
+        as.get(i).get("doc_id").asLong() -> as.get(i)).toMap
+      assert(asById(1L).get("decoded").asBoolean() &&
+        asById(1L).get("nFrames").asLong() == 650L, bAs)
+      assert(!asById(3L).get("decoded").asBoolean(), bAs)
+
       // profile + overlap: the corpus bookkeeping ops over the socket
       val profDir = s"$dir/profdocs"
       (0 until 200).map(i => (i.toLong, Seq("en", "de")(i % 2),
