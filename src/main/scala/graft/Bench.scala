@@ -105,7 +105,8 @@ object Bench {
     final case class Run(results: Seq[(String, (Double, Double))],
         setupTimes: Seq[(String, Double)], sentinelTimes: Seq[Double],
         sentinelLoad: Seq[Double], errors: List[String],
-        repFailures: Map[String, Int]) {
+        repFailures: Map[String, Int],
+        querySentinels: Map[String, Seq[Double]]) {
       /** median/min spread of the sentinel series — the run's own noise
         * self-assessment. MEDIAN against min, not max: a quiet host still
         * shows isolated ~5x sentinel spikes (JIT/GC — measured 0.056 min /
@@ -117,6 +118,23 @@ object Bench {
         if (sentinelTimes.nonEmpty && sentinelTimes.min > 0)
           sentinelTimes.sorted.apply(sentinelTimes.size / 2) / sentinelTimes.min
         else Double.MaxValue
+      /** Per-query noise marks: the whole-run median/min test misses a
+        * contention spike that lands on ONE query (a driver round recorded
+        * sentinel max 19x min yet stamped quiet because the median stayed
+        * low). Each query's reps are bracketed by sentinels; a query whose
+        * neighboring sentinel exceeds 3x the run's sentinel min was timed
+        * while the host was demonstrably slow, and its min-of-reps number
+        * should be read with that in mind. Returns name -> worst
+        * neighboring-sentinel ratio for the flagged queries only. */
+      def queryNoise(bound: Double): Seq[(String, Double)] =
+        if (sentinelTimes.isEmpty || sentinelTimes.min <= 0) Seq.empty
+        else {
+          val floor = sentinelTimes.min
+          querySentinels.toSeq.sortBy(_._1).flatMap { case (name, sents) =>
+            val worst = if (sents.isEmpty) 0.0 else sents.max / floor
+            if (worst > bound) Some(name -> worst) else None
+          }
+        }
     }
 
     /** One full measurement pass over every query. */
@@ -145,7 +163,8 @@ object Bench {
         .filter(SparkEntry.queries.contains)
       val setupTimes = indexQueries.map { name =>
         val t0 = System.nanoTime()
-        try materialize(SparkEntry.queries(name)(spark, sfDir))
+        try graft.util.CacheScope.withScope {
+          materialize(SparkEntry.queries(name)(spark, sfDir)) }
         catch { case e: Throwable =>
           System.err.println(s"[bench] setup $name FAILED: ${e.getMessage}")
         }
@@ -158,11 +177,18 @@ object Bench {
       // separately in "rep_failures" so flakiness is visible, not silent
       var errors = List.empty[String]
       var repFailures = Map.empty[String, Int]
+      var querySentinels = Map.empty[String, Seq[Double]]
       val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val times = (1 to reps).flatMap { _ =>
           sentinel()
+          querySentinels = querySentinels.updated(name,
+            querySentinels.getOrElse(name, Seq.empty) :+ sentinelTimes.last)
           val t0 = System.nanoTime()
-          val ok = try { materialize(fn(spark, sfDir)); true }
+          // scope operator-internal caches to the rep (and release them
+          // right after it) — clearCache below stays as the backstop for
+          // frames cached outside a scope (per-JVM index memos)
+          val ok = try { graft.util.CacheScope.withScope {
+              materialize(fn(spark, sfDir)) }; true }
             catch { case e: Throwable =>
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
               repFailures = repFailures.updated(name, repFailures.getOrElse(name, 0) + 1)
@@ -177,7 +203,7 @@ object Bench {
         name -> (if (times.isEmpty) (-1.0, -1.0) else (times.min, times.last))
       }
       Run(results, setupTimes, sentinelTimes.toSeq, sentinelLoad.toSeq,
-        errors, repFailures)
+        errors, repFailures, querySentinels)
     }
 
     // Noise self-invalidation: a sentinel median past ~3x the sentinel min
@@ -214,20 +240,35 @@ object Bench {
     def r3(x: Double) = math.round(x * 1000.0) / 1000.0
     val sentSec = chosen.sentinelTimes.map(r3).mkString("[", ",", "]")
     val sentLoad = chosen.sentinelLoad.map(r3).mkString("[", ",", "]")
+    val queryNoise = chosen.queryNoise(NoisySpread)
+      .map { case (k, ratio) => "\"" + k + "\":" + r3(ratio) }.mkString("{", ",", "}")
+    // traceability: which tree produced this artifact — the tracked
+    // baseline has been overwritten by a contended re-run of a different
+    // checkout before, and without the SHA that is invisible after commit
+    val gitSha = try {
+      val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+        .redirectErrorStream(true).start()
+      val out = scala.io.Source.fromInputStream(p.getInputStream).mkString.trim
+      p.waitFor()
+      if (out.matches("[0-9a-f]+")) out else ""
+    } catch { case _: Throwable => "" }
     val sentSummary = s""""sentinel_min":${r3(chosen.sentinelTimes.min)},""" +
       s""""sentinel_max":${r3(chosen.sentinelTimes.max)},""" +
-      s""""sentinel_sec":$sentSec,"sentinel_loadavg":$sentLoad"""
+      s""""sentinel_sec":$sentSec,"sentinel_loadavg":$sentLoad,""" +
+      s""""query_noise":$queryNoise,"git_sha":"$gitSha""""
     val setup = setupTimes
       .map { case (k, t) => "\"" + k + "\":" + r3(t) }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_last":$qsLast,"index_build_sec":$setup,"reps":$reps,"noisy":$noisy,"attempts":$attempts,"rep_failures":$repFails,"loadavg":"$loadavg",$sentSummary,"errors":$errs,"sf":"$sfDir"}"""
     // the artifact must survive a truncated/noisy log tail: also write the
-    // line to a file. bench/ (TRACKED, unlike target/) so the per-query
-    // numbers land in the repo history — driver-side BENCH artifacts have
-    // truncated the JSON tail every round, which made cross-round
-    // per-query comparison impossible from the repo alone
+    // line to a file. The DEFAULT path is untracked (gitignored) so that a
+    // casual or contended re-run cannot silently replace the committed
+    // quiet baseline bench/bench.json — that happened once (a loadavg-14
+    // session run was committed over the quiet 58.7 s artifact). Updating
+    // the tracked baseline now requires the explicit
+    // SPARK_GRAFT_BENCH_OUT=bench/bench.json opt-in.
     try {
       val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/bench.json"))
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/last_run.json"))
       if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>

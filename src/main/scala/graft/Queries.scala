@@ -1,5 +1,7 @@
 package graft
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -229,6 +231,7 @@ object Queries {
         .cast("double").as("d1"),
       SimKernels.jaccardDistDistinct(SimKernels.tokenize(col("o_orderpriority"), "-"),
         array(lit("1"), lit("URGENT"))).as("d2")).cache()
+      .pipe(graft.util.CacheScope.register(_))
     val fs = Seq(
       RankAggregate.SharedFacet("o_totalprice", col("d0"), combos.map(_(0))),
       RankAggregate.SharedFacet("o_orderdate", col("d1"), combos.map(_(1))),
@@ -1880,6 +1883,7 @@ object Queries {
         graft.functions.NativeKernels.l2Dist(col("v"), qc).as("d0"),
         graft.functions.NativeKernels.l1Dist(col("v"), qc).as("d1"))
       .cache()
+      .pipe(graft.util.CacheScope.register(_))
     val f0 = base.select(col("id"), col("d0").as("d"))
     val f1 = base.select(col("id"), col("d1").as("d"))
     RankAggregate.topK(s,
@@ -3071,7 +3075,8 @@ object Queries {
     // follows the RankAggregate rationale: the returned frame is lazy and
     // still references the entry, so it cannot be unpersisted here;
     // entries are MEMORY_AND_DISK and shed via LRU in long sessions.
-    val survivors = quality.join(keepers, Seq("doc_id"), "left_semi").cache()
+    val survivors = graft.util.CacheScope.register(
+      quality.join(keepers, Seq("doc_id"), "left_semi").cache())
     val shingles = graft.functions.NativeKernels.wordShingles2(col("text"))
     val pairs = Dedup.minhashPairs(survivors, "doc_id", shingles, 0.8)
     val nearDupLosers = Dedup.clusters(pairs)

@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -63,7 +65,8 @@ object Dedup {
     * unfiltered frame — the unpersist handle, guarded frame). */
   private def shingleFrame(docs: DataFrame, id: String, shingles: Column)
       : (DataFrame, DataFrame) = {
-    val all = spread(docs).select(col(id).as("id"), shingles.as("g")).cache()
+    val all = graft.util.CacheScope.register(
+      spread(docs).select(col(id).as("id"), shingles.as("g")).cache())
     (all, all.where(size(col("g")) > 0))
   }
 
@@ -120,6 +123,7 @@ object Dedup {
         graft.functions.NativeKernels.bandKeys(col("g"), NumHashes, NumBands, RowsPerBand))
         .as(Seq("band", "bv")))
       .cache()
+      .pipe(graft.util.CacheScope.register(_))
     val pairs = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
@@ -266,7 +270,13 @@ object Dedup {
       // composed winnowSelect chain, NativeKernelSpec)
       .select(col("id"), explode(
         graft.functions.NativeKernels.winnowSelect(col("hv"), w)).as("fp"))
-      .cache() // feeds the frequency cap and both join sides
+      // eager: the frequency cap and the two self-join sides are three
+      // independent map stages; on a cold lazy cache the scheduler can run
+      // them concurrently and each computes the uncached partitions — up
+      // to 3x the fingerprint kernel cost, interleaving-dependent (the
+      // measured 1.97-5.24 s spread on q_winnow_spans' sibling). One
+      // eager pass makes every consumer a pure cache read.
+      .pipe(graft.util.CacheScope.eager)
     val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf).select(col("fp"))
     val kept = fp.join(rare, Seq("fp"))
@@ -308,7 +318,7 @@ object Dedup {
       .select(col("id"), explode(
         graft.functions.NativeKernels.winnowSelectPos(col("hv"), w)).as("s"))
       .select(col("id"), col("s.fp").as("fp"), col("s.pos").as("pos"))
-      .cache() // feeds the frequency cap and both join sides
+      .pipe(graft.util.CacheScope.eager) // see winnowPairs: one eager pass
     // df = DISTINCT documents (a fingerprint can repeat within one doc at
     // several positions; that must not count toward the boilerplate cap)
     val rare = occ.groupBy("fp").agg(count_distinct(col("id")).as("df"))
@@ -420,8 +430,8 @@ object Dedup {
     // distinct over raw candidates would be the dominant shuffle. Verified
     // survivors carry at most 4 duplicates (one per colliding band), so the
     // final distinct is cheap.
-    val ex = bd.select(col("id"), col("bands"),
-      posexplode(col("bands")).as(Seq("band", "bv"))).cache()
+    val ex = graft.util.CacheScope.eager(bd.select(col("id"), col("bands"),
+      posexplode(col("bands")).as(Seq("band", "bv"))))
     val hamming = (0 until 4).map { i =>
       bit_count(element_at(col("x.bands"), i + 1)
         .bitwiseXOR(element_at(col("y.bands"), i + 1)).cast("long"))
@@ -454,7 +464,7 @@ object Dedup {
   def hammingPairs(sigs: DataFrame, id: String, sig: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, s"4 bands of 16 bits only guarantee capture up to hamming 3, got $maxHamming")
-    val ex = bandedSigs(sigs, id, sig).cache()
+    val ex = graft.util.CacheScope.eager(bandedSigs(sigs, id, sig))
     ex.as("x")
       .join(ex.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
@@ -913,6 +923,6 @@ object Dedup {
           "convergence — the pair graph's diameter exceeds the bound and " +
           "some clusters are split; raise maxRounds")
     e.unpersist()
-    labels
+    graft.util.CacheScope.register(labels)
   }
 }

@@ -82,7 +82,8 @@ object RankAggregate {
   def topKShared(spark: SparkSession, source: DataFrame,
       id: org.apache.spark.sql.Column, facets: Seq[SharedFacet],
       k: Int, m: Int, detailed: Boolean = false): DataFrame = {
-    val multi = graft.plans.MultiTopM(source, id, facets.map(_.dist), m).cache()
+    val multi = graft.util.CacheScope.register(
+      graft.plans.MultiTopM(source, id, facets.map(_.dist), m).cache())
     val topMs = facets.indices.map(i =>
       multi.where(col("facet") === i).select(col("id"), col("d")))
     val bound = facets.map(f => BoundFacet(f.name,
@@ -112,12 +113,14 @@ object RankAggregate {
     // without re-scanning the facet. Cache lifetime: entries are small
     // (<= m rows) and MEMORY_AND_DISK, so a long-lived session sheds them
     // via LRU eviction; they cannot be unpersisted here because the
-    // returned DataFrame is lazy and still references them.
+    // returned DataFrame is lazy and still references them — a consuming
+    // CacheScope.withScope releases them right after its action instead.
     // pre-scored (NRA) facets rank by similarity DESC — their list is the
     // entire knowledge of the facet (no random access)
     val topMs = topMsIn.getOrElse(facets.map(f =>
-      (if (f.preScored) f.dist.orderBy(col("d").desc, col("id")).limit(m)
-       else FacetSearch.topM(f.dist, m)).cache()))
+      graft.util.CacheScope.register(
+        (if (f.preScored) f.dist.orderBy(col("d").desc, col("id")).limit(m)
+         else FacetSearch.topM(f.dist, m)).cache())))
     // Calibrate every facet's scale in ONE Spark job: tag each facet's
     // deterministic top-k with its index, union, and take max(d) per facet
     // (= the k-th candidate distance; boundary ties make the value

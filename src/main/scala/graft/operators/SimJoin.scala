@@ -26,8 +26,10 @@ object SimJoin {
           Dedup.NumHashes, Dedup.NumBands, Dedup.RowsPerBand))
           .as(Seq("band", "bv")))
     }
-    val l = banded(left, leftId, leftShingles, "l").cache()
-    val r = banded(right, rightId, rightShingles, "r").cache()
+    val l = graft.util.CacheScope.register(
+      banded(left, leftId, leftShingles, "l").cache())
+    val r = graft.util.CacheScope.register(
+      banded(right, rightId, rightShingles, "r").cache())
     val cand = l.join(r, Seq("band", "bv"))
       .select(col("l_id"), col("r_id"), col("l_g"), col("r_g"))
       .dropDuplicates("l_id", "r_id")

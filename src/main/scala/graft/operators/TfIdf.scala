@@ -129,9 +129,11 @@ object TfIdf {
     val words = Dedup.spread(docs).select(tokens.as("ts"))
       .select(explode_outer(col("ts")).as("w"))
       .where(col("w").isNotNull)
-    val uni = words.groupBy("w").agg(count(lit(1)).as("cu")).cache()
+    val uni = graft.util.CacheScope.register(
+      words.groupBy("w").agg(count(lit(1)).as("cu")).cache())
     val total = uni.agg(sum("cu").as("t_tok"))
-    val bigCnt = bigrams.groupBy("a", "b").agg(count(lit(1)).as("cb")).cache()
+    val bigCnt = graft.util.CacheScope.register(
+      bigrams.groupBy("a", "b").agg(count(lit(1)).as("cb")).cache())
     val headCnt = bigCnt.groupBy("a").agg(sum("cb").as("ch"))
     // per-DISTINCT-bigram log-probability, each factor in fixed IEEE order
     val logp = bigCnt.join(headCnt, "a")
@@ -156,7 +158,8 @@ object TfIdf {
     // cache lifetime: LRU-shed MEMORY_AND_DISK, same policy as the minhash
     // signature frames — without it the whole tokenize+count subtree runs
     // once per consumer (a third full corpus pass for the 1-row total)
-    val vocab = words.groupBy("tok").agg(count(lit(1)).as("cnt")).cache()
+    val vocab = graft.util.CacheScope.register(
+      words.groupBy("tok").agg(count(lit(1)).as("cnt")).cache())
     val total = vocab.agg(sum("cnt").as("total"))
     words.join(vocab, "tok")
       .groupBy("doc_id").agg(sum("cnt").as("sum_cnt"), count(lit(1)).as("n_tok"))

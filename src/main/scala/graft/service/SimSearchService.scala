@@ -459,7 +459,11 @@ final class SimSearchService(spark: SparkSession, port: Int,
     import org.apache.spark.sql.functions._
     import graft.functions.TextKernels
     import graft.operators.{Dedup, Packing}
-    try {
+    // scope operator-internal caches (fingerprint/band frames) to THIS
+    // request: a long-lived service serving repeated /pipeline calls
+    // otherwise accumulates storage-pool entries until LRU eviction, each
+    // call's caches evicting the previous ones' still-useful blocks
+    try graft.util.CacheScope.withScope {
       val body = new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
       val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
       val opName = root.path("operator").asText("")

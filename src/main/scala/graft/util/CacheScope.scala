@@ -1,0 +1,69 @@
+package graft.util
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Lifecycle scoping for operator-INTERNAL caches.
+  *
+  * Several operators cache an intermediate frame that feeds two or more
+  * consumers inside one returned plan (a fingerprint frame read by a
+  * frequency cap and both sides of a self-join, a banded-signature frame
+  * read by both join sides). Those caches cannot be unpersisted inside
+  * the operator — the returned frame still references them lazily — so
+  * historically they lived until LRU eviction. Bounded, but in a
+  * long-lived REST/stream session repeated `/pipeline` calls accumulate
+  * storage-pool pressure and evict each other's still-useful blocks.
+  *
+  * [[withScope]] brackets a CONSUMING ACTION: any frame an operator
+  * passed to [[register]] while the scope was open on this thread is
+  * unpersisted (non-blocking) when the scope closes. Outside a scope,
+  * [[register]] is a no-op and behavior is exactly the historical one
+  * (cache until LRU) — library users who compose operators lazily and
+  * materialize later on another thread lose nothing.
+  *
+  * [[eager]] additionally MATERIALIZES the cache (one count) before any
+  * consumer is planned. That closes a real nondeterminism-of-cost hole:
+  * a cached frame read by three independent shuffle-map stages (the
+  * frequency-cap aggregate and the two self-join sides) has those stages
+  * submitted concurrently, and each computes whatever partitions are not
+  * cached YET — up to 3x the kernel cost on a cold cache, dependent on
+  * scheduler interleaving. One eager pass makes every consumer a pure
+  * cache read and the operator's cost deterministic.
+  */
+object CacheScope {
+  private val active =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[Dataset[_]]]()
+
+  /** Track `df` (already `.cache()`d by the caller) for unpersist at the
+    * end of the enclosing [[withScope]], if one is open on this thread. */
+  def register[T](df: Dataset[T]): Dataset[T] = {
+    val buf = active.get()
+    if (buf != null) buf += df
+    df
+  }
+
+  /** Cache `df`, materialize it fully (so later concurrent consumers are
+    * pure cache reads), and register it for scope-end unpersist. */
+  def eager(df: DataFrame): DataFrame = {
+    df.cache()
+    df.count()
+    register(df)
+  }
+
+  /** Run `body` (which should CONSUME the frames it builds — write,
+    * collect, or otherwise act); unpersist every frame registered during
+    * it. Nested scopes compose: the inner scope releases only its own
+    * frames. */
+  def withScope[T](body: => T): T = {
+    val outer = active.get()
+    val buf = scala.collection.mutable.ArrayBuffer[Dataset[_]]()
+    active.set(buf)
+    try body
+    finally {
+      active.set(outer)
+      buf.foreach { df =>
+        try df.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+      }
+    }
+  }
+}
