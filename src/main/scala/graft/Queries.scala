@@ -2328,6 +2328,77 @@ object Queries {
       |ORDER BY a, b""".stripMargin
 
   // ----------------------------------------------------------------------
+  // REAL video decode: AVI/MJPEG containers hand-built by the generator
+  // per the published RIFF layout, each movi chunk a JDK-encoded JPEG.
+  // q_video_meta proves the container walk (avih/strh/movi) through
+  // decodeAv; q_video_frames proves frame extraction + JPEG pixel decode +
+  // the exact-integer hash grids against hashes the generator computed
+  // from the pixels it decoded back out of its own JPEG payloads (JPEG is
+  // lossy — drawn pixels are NOT the ground truth, decoded ones are);
+  // q_video_neardup proves the sequence-signature join: a re-encoded copy
+  // pairs on alignment diagonal 0, a trimmed copy on a shifted diagonal,
+  // against DuckDB's all-pairs bit_count(xor) twin over the stored
+  // per-frame signatures. Corrupt rows prove the degrade-to-undecoded
+  // contract end to end.
+  // ----------------------------------------------------------------------
+  private lazy val videoFixture: String = fixturePath("video_mjpeg.parquet")
+  private lazy val videoFramesFixture: String = fixturePath("video_frames.parquet")
+
+  private val videoMeta: (SparkSession, String) => DataFrame = (s, _) => {
+    val media = s.read.parquet(videoFixture)
+      .select(col("media_id").as("id"), col("kind"), col("data"))
+    graft.multimodal.Multimodal.decodeAv(media).toDF()
+      .select(col("id").as("media_id"), col("container"),
+        col("width"), col("height"), col("durationMs").as("duration_ms"))
+      .orderBy(col("media_id"))
+  }
+
+  private val videoMetaSql =
+    s"""SELECT media_id, container, width, height, duration_ms
+      |FROM '$videoFixture'
+      |ORDER BY media_id""".stripMargin
+
+  private val videoFrames: (SparkSession, String) => DataFrame = (s, _) => {
+    val media = s.read.parquet(videoFixture)
+      .select(col("media_id").as("id"), col("kind"), col("data"))
+    graft.multimodal.Multimodal.videoFrameHashes(media, everyMs = 500L).toDF()
+      .select(col("id").as("media_id"), col("frame_idx"), col("ts_ms"),
+        col("decoded"), col("ahash"), col("dhash"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  private val videoFramesSql =
+    s"""SELECT media_id, frame_idx, ts_ms, decoded, ahash, dhash
+      |FROM '$videoFramesFixture'
+      |ORDER BY media_id, frame_idx""".stripMargin
+
+  private val videoNearDup: (SparkSession, String) => DataFrame = (s, _) => {
+    val media = s.read.parquet(videoFixture)
+      .select(col("media_id").as("id"), col("kind"), col("data"))
+    val hashed = graft.multimodal.Multimodal
+      .videoFrameHashes(media, everyMs = 500L).toDF()
+      .where(col("decoded"))
+      .select(col("id"), col("frame_idx"), col("dhash"))
+    graft.operators.Dedup.frameSigPairs(hashed, "id", "frame_idx", "dhash",
+        maxHamming = 3, minMatch = 2)
+      .orderBy(col("a"), col("b"), col("d"))
+  }
+
+  private val videoNearDupSql =
+    s"""WITH f AS (
+      |  SELECT media_id, frame_idx, dhash FROM '$videoFramesFixture'
+      |  WHERE decoded AND dhash IS NOT NULL AND dhash <> 0),
+      |m AS (
+      |  SELECT DISTINCT x.media_id AS a, y.media_id AS b,
+      |    x.frame_idx AS pa, y.frame_idx AS pb
+      |  FROM f x JOIN f y ON x.media_id < y.media_id
+      |  WHERE bit_count(xor(x.dhash, y.dhash)) <= 3)
+      |SELECT a, b, (pa - pb)::BIGINT AS d, count(*)::BIGINT AS n_match
+      |FROM m GROUP BY a, b, pa - pb
+      |HAVING count(*) >= 2
+      |ORDER BY a, b, d""".stripMargin
+
+  // ----------------------------------------------------------------------
   // WARC ingestion + HTML extraction: the crawl-capture front door of the
   // training-data pipeline. The committed fixture holds three WARC files
   // (plain, per-record-gzip, corrupt-tail) the GENERATOR wrote from known
@@ -3214,6 +3285,9 @@ object Queries {
     "q_audio_fp"      -> audioFp,
     "q_audio_stats"   -> audioStats,
     "q_audio_neardup" -> audioNearDup,
+    "q_video_meta"    -> videoMeta,
+    "q_video_frames"  -> videoFrames,
+    "q_video_neardup" -> videoNearDup,
     "q_warc_read"     -> warcRead,
     "q_html_text"     -> htmlText,
     "q_url_dedup"     -> urlDedup,
@@ -3315,6 +3389,9 @@ object Queries {
     "q_image_cluster" -> imageClusterSql,
     "q_audio_fp"      -> audioFpSql,
     "q_audio_stats"   -> audioStatsSql,
+    "q_video_meta"    -> videoMetaSql,
+    "q_video_frames"  -> videoFramesSql,
+    "q_video_neardup" -> videoNearDupSql,
     "q_audio_neardup" -> audioNearDupSql,
     "q_warc_read"     -> warcReadSql,
     "q_html_text"     -> htmlTextSql,

@@ -467,6 +467,13 @@ object Multimodal {
       }
       if (sawAnim && frames > 0) Some(AvInfo("webp", width, height, durMs, 0, 0))
       else None
+    } else if (data.length >= 12 && fourcc(0) == "RIFF" && fourcc(8) == "AVI ") {
+      // AVI: header walk shared with the frame extractor ([[parseAvi]]) —
+      // avih carries usPerFrame + totalFrames + canvas dims; duration uses
+      // the ACTUAL movi frame-chunk count when present (the declared count
+      // in a truncated file overstates what is decodable)
+      parseAvi(data).map(a =>
+        AvInfo("avi", a.width, a.height, a.durationMs, 0, 0))
     } else if (data.length >= 8 && be32(0) == 0x1a45dfa3L) {
       // Matroska/WebM EBML element walk
       var tsScale = 1000000L; var durTicks = 0.0
@@ -590,6 +597,102 @@ object Multimodal {
     } else None
   }
 
+  /** A parsed AVI container: header metadata plus the (offset, length) of
+    * every video-stream frame chunk in `movi` — for MJPEG files each chunk
+    * is a complete JPEG image the JDK can decode. */
+  final case class AviInfo(width: Int, height: Int, usPerFrame: Long,
+      declaredFrames: Long, frames: IndexedSeq[(Int, Int)]) {
+    def durationMs: Long =
+      if (usPerFrame <= 0) 0L
+      else (if (frames.nonEmpty) frames.length.toLong else declaredFrames) *
+        usPerFrame / 1000L
+  }
+
+  /** Parse an AVI (RIFF) container per the published AVI 1.0 layout —
+    * `RIFF....AVI ` magic, then a word-aligned chunk walk:
+    * `LIST hdrl` > `avih` carries microseconds-per-frame, total frames and
+    * the canvas dimensions; each `LIST strl` > `strh` names its stream
+    * type (the Nth strl is stream N — `vids` marks the video stream, and
+    * its scale/rate pair is the authoritative frame timing when avih's
+    * usPerFrame is 0); `LIST movi` holds the frame data as `NNdc`/`NNdb`
+    * chunks (N = 2-digit stream number), possibly nested in `rec ` lists.
+    * Only the VIDEO stream's chunks are collected — for the MJPEG fourcc
+    * family each is a standalone JPEG payload, which is what makes
+    * pure-JVM video pixel decode possible (ImageIO decodes JPEG; no
+    * external codec). Returns None for malformed sizes/truncation —
+    * corrupt payloads must degrade to the stub branch, never throw.
+    * `maxFrames` bounds the collected offset table against a crafted
+    * million-chunk header bomb (the frame BYTES are not copied here). */
+  def parseAvi(data: Array[Byte], maxFrames: Int = 1 << 20): Option[AviInfo] = {
+    def u8(i: Int): Int = data(i) & 0xff
+    def le32(i: Int): Long = (u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)) & 0xffffffffL
+    def fourcc(i: Int): String =
+      new String(data, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (data.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+      return None
+    var usPerFrame = 0L; var declaredFrames = 0L
+    var width = 0; var height = 0
+    var videoStream = -1; var nStreams = 0
+    var scale = 0L; var rate = 0L
+    val frames = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    var malformed = false
+    // real AVI nests 3 deep (RIFF > LIST movi > LIST rec); a crafted file
+    // of back-to-back LIST headers must not recurse O(bytes) deep
+    def walk(from: Long, until: Long, inMovi: Boolean, depth: Int): Unit = {
+      if (depth > 8) { malformed = true; return }
+      var i = from
+      while (i + 8 <= until && !malformed) {
+        val id = fourcc(i.toInt)
+        val size = le32(i.toInt + 4)
+        val end = i + 8 + size
+        if (end > until) { malformed = true; return }
+        if (id == "LIST" && size >= 4) {
+          val lt = fourcc(i.toInt + 8)
+          if (lt == "hdrl" || lt == "strl")
+            walk(i + 12, end, inMovi = false, depth + 1)
+          else if (lt == "movi" || lt == "rec ")
+            walk(i + 12, end, inMovi = true, depth + 1)
+        } else if (id == "avih" && size >= 40) {
+          val p = i.toInt + 8
+          usPerFrame = le32(p)
+          declaredFrames = le32(p + 16)
+          width = le32(p + 32).toInt
+          height = le32(p + 36).toInt
+        } else if (id == "strh" && size >= 32) {
+          val p = i.toInt + 8
+          if (fourcc(p) == "vids" && videoStream < 0) {
+            videoStream = nStreams
+            scale = le32(p + 20)
+            rate = le32(p + 24)
+          }
+          nStreams += 1
+        } else if (inMovi && id.length == 4 &&
+            id(0).isDigit && id(1).isDigit &&
+            (id.endsWith("dc") || id.endsWith("db"))) {
+          val stream = (id(0) - '0') * 10 + (id(1) - '0')
+          // before hdrl is parsed videoStream is unknown; stream 0 is the
+          // overwhelmingly common video stream, but the walk is single-pass
+          // top-to-bottom and hdrl precedes movi by spec, so videoStream is
+          // set by the time frame chunks appear
+          if (stream == videoStream && size > 0 && frames.size < maxFrames)
+            frames += ((i.toInt + 8, size.toInt))
+        }
+        i = end + (size & 1L) // chunks are word-aligned: odd sizes pad
+      }
+    }
+    walk(12L, data.length.toLong, inMovi = false, 0)
+    if (malformed) return None
+    // avih timing is authoritative; a zero usPerFrame falls back to the
+    // video strh's rate/scale (fps = rate/scale => us = 1e6 * scale/rate)
+    val us = if (usPerFrame > 0) usPerFrame
+      else if (rate > 0 && scale > 0) scale * 1000000L / rate
+      else 0L
+    if (videoStream < 0 && frames.isEmpty && width == 0) None
+    else Some(AviInfo(width, height, us, declaredFrames,
+      frames.toIndexedSeq))
+  }
+
   /** A media row: payload + envelope. */
   final case class MediaRow(id: Long, kind: String, data: Array[Byte])
 
@@ -679,25 +782,32 @@ object Multimodal {
     }).toDF()
   }
 
-  /** One sampled frame row. The frame payload is a deterministic STUB (a
-    * real decoder would emit pixels); everything around it — the parsed
-    * duration driving the schedule, the row shape, the narrow explode —
-    * is the production plumbing. */
+  /** One sampled frame row. For AVI/MJPEG payloads `frame` holds the REAL
+    * JPEG bytes of the source frame covering `ts_ms` ([[parseAvi]] — each
+    * `NNdc` chunk is a standalone JPEG the JDK decodes); for containers
+    * with no pure-JVM codec (MP4/WebM payloads) it is a deterministic
+    * md5 stub, while the parsed duration driving the schedule, the row
+    * shape, and the narrow explode are the production plumbing either
+    * way. */
   final case class FrameRow(id: Long, frame_idx: Int, ts_ms: Long,
-      frame: Array[Byte])
+      decoded: Boolean, frame: Array[Byte])
 
   /** TIME-based frame sampling: one row per `everyMs` of each payload's
-    * REAL parsed duration ([[parseAvMeta]] — MP4/WebM/WAV/MP3/FLAC), from
-    * t=0 through the last whole interval before the end; payloads whose
-    * container cannot be parsed (or with zero duration) emit a single
-    * frame at t=0. This is the contact-sheet/CLIP-embedding sampling
-    * schedule a video curation pipeline runs before per-frame scoring.
+    * REAL parsed duration ([[parseAvMeta]] — AVI/MP4/WebM/WAV/MP3/FLAC),
+    * from t=0 through the last whole interval before the end; payloads
+    * whose container cannot be parsed (or with zero duration) emit a
+    * single frame at t=0. This is the contact-sheet/CLIP-embedding
+    * sampling schedule a video curation pipeline runs before per-frame
+    * scoring.
     *
     * Scale shape: a narrow per-row flatMap inside one mapPartitions at the
     * codec boundary — no shuffle, output rows proportional to total
-    * duration, task memory bounded by one payload. The frame bytes are a
-    * deterministic stub (md5 of (id, frame_idx) — this container has no
-    * codecs); a real decoder drops into the same row contract.
+    * duration, task memory bounded by one payload. AVI/MJPEG payloads emit
+    * REAL frame bytes (`decoded = true`): the frame chunk covering the
+    * schedule tick, i.e. source frame floor(ts * 1e6 / usPerFrame),
+    * clamped to the last chunk actually present. Other containers emit a
+    * deterministic stub (md5 of (id, frame_idx) — H.264/VP9 have no
+    * pure-JVM codec); a real decoder drops into the same row contract.
     *
     * `maxFrames` caps one payload's schedule: a corrupt container can
     * parse to an absurd duration (a crafted 32-bit mvhd at timescale 1
@@ -712,13 +822,29 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions(_.flatMap { r =>
-      val durMs = parseAvMeta(r.data).map(_.durationMs).getOrElse(0L)
-      val n = math.min(math.max(1L, durMs / everyMs + 1), maxFrames.toLong).toInt
-      val digest = java.security.MessageDigest.getInstance("MD5")
-      (0 until n).iterator.map { i =>
-        digest.reset()
-        val stub = digest.digest(s"${r.id}/$i".getBytes("UTF-8"))
-        FrameRow(r.id, i, i * everyMs, stub)
+      parseAvi(r.data) match {
+        case Some(avi) if avi.frames.nonEmpty && avi.usPerFrame > 0 =>
+          val durMs = avi.durationMs
+          val n = math.min(math.max(1L, durMs / everyMs + 1),
+            maxFrames.toLong).toInt
+          (0 until n).iterator.map { i =>
+            val ts = i * everyMs
+            val fi = math.min(ts * 1000L / avi.usPerFrame,
+              avi.frames.length - 1L).toInt
+            val (off, len) = avi.frames(fi)
+            FrameRow(r.id, i, ts, decoded = true,
+              java.util.Arrays.copyOfRange(r.data, off, off + len))
+          }
+        case _ =>
+          val durMs = parseAvMeta(r.data).map(_.durationMs).getOrElse(0L)
+          val n = math.min(math.max(1L, durMs / everyMs + 1),
+            maxFrames.toLong).toInt
+          val digest = java.security.MessageDigest.getInstance("MD5")
+          (0 until n).iterator.map { i =>
+            digest.reset()
+            val stub = digest.digest(s"${r.id}/$i".getBytes("UTF-8"))
+            FrameRow(r.id, i, i * everyMs, decoded = false, stub)
+          }
       }
     }).toDF()
   }
@@ -876,6 +1002,76 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions(imageHashBatch)
+  }
+
+  /** One sampled video frame's perceptual-hash row ([[videoFrameHashes]]).
+    * `frame_idx` is the SCHEDULE index (tick i at t = i * everyMs), not
+    * the source frame number — two videos sampled at the same cadence are
+    * comparable position-by-position regardless of their native frame
+    * rates. Undecodable payloads (non-AVI containers, corrupt files)
+    * emit one `decoded = false` marker row so a curation pass never
+    * silently drops media. */
+  final case class VideoFrameHashRow(id: Long, frame_idx: Int, ts_ms: Long,
+      decoded: Boolean, ahash: Option[Long], dhash: Option[Long])
+
+  /** Per-frame perceptual hashes over video payloads — the video charter's
+    * near-dup front end: [[parseAvi]] extracts the MJPEG frame chunks,
+    * the schedule samples one frame per `everyMs` of real duration
+    * (identical arithmetic to [[sampleFramesByTime]]), each sampled JPEG
+    * decodes through the [[imageHashBatch]] guard (header sniff,
+    * [[MaxHashPixels]] bomb refusal, corrupt bodies degrade to an
+    * undecoded row) onto the exact-integer aHash/dHash grids. Feed the
+    * result to [[graft.operators.Dedup.frameSigPairs]] for video near-dup:
+    * a re-encoded copy matches frame-by-frame at Hamming <= 3, a trimmed
+    * copy matches on a shifted diagonal.
+    *
+    * Scale shape: one narrow mapPartitions at the codec boundary — no
+    * shuffle, output rows proportional to sampled duration, task memory
+    * bounded by one frame's pixels (row-strip luma conversion), never the
+    * whole video's. */
+  def videoFrameHashes(media: DataFrame, everyMs: Long,
+      maxFrames: Int = 1 << 20): Dataset[VideoFrameHashRow] = {
+    require(everyMs > 0, s"everyMs must be positive, got $everyMs")
+    require(maxFrames > 0, s"maxFrames must be positive, got $maxFrames")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        parseAvi(r.data) match {
+          case Some(avi) if avi.frames.nonEmpty && avi.usPerFrame > 0 =>
+            val durMs = avi.durationMs
+            val n = math.min(math.max(1L, durMs / everyMs + 1),
+              maxFrames.toLong).toInt
+            (0 until n).iterator.map { i =>
+              val ts = i * everyMs
+              val fi = math.min(ts * 1000L / avi.usPerFrame,
+                avi.frames.length - 1L).toInt
+              val (off, len) = avi.frames(fi)
+              val bytes = java.util.Arrays.copyOfRange(r.data, off, off + len)
+              val dims = parseDimensions(bytes)
+              val tooBig = dims.exists { case (w, h) => w.toLong * h > MaxHashPixels }
+              val img =
+                if (dims.isEmpty || tooBig) null
+                else
+                  try javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(bytes))
+                  catch { case _: Exception => null }
+              if (img == null)
+                VideoFrameHashRow(r.id, i, ts, decoded = false, None, None)
+              else {
+                val (s8, c8) = gridSums(img, 8, 8)
+                val (s9, c9) = gridSums(img, 9, 8)
+                VideoFrameHashRow(r.id, i, ts, decoded = true,
+                  Some(aHash64(s8, c8)), Some(dHash64(s9, c9)))
+              }
+            }
+          case _ =>
+            Iterator.single(
+              VideoFrameHashRow(r.id, 0, 0L, decoded = false, None, None))
+        }
+      }
+    }
   }
 
   /** One image's quality-statistics row ([[imageStats]]) — the gating

@@ -475,6 +475,52 @@ object Dedup {
       .distinct()
   }
 
+  /** Near-duplicate pairs between SEQUENCES of 64-bit signatures —
+    * (a, b, d, n_match): documents a < b share `n_match` positions whose
+    * signatures lie within `maxHamming`, all on alignment diagonal
+    * d = pos_a - pos_b. The video near-dup back end (per-frame dHash
+    * sequences from [[graft.multimodal.Multimodal.videoFrameHashes]]):
+    * a re-encoded copy matches every sampled frame at d = 0; a trimmed
+    * copy matches on one shifted diagonal — the same diagonal-run idea as
+    * [[winnowSpans]], with banded-Hamming frame matching in place of
+    * fingerprint equality. Works unchanged for any signature sequence
+    * (audio energy windows, shingled page hashes).
+    *
+    * Plan: band each frame signature (4 x 16 bits) -> explode ->
+    * self-equi-join on (band, value) across DIFFERENT ids -> verify
+    * hamming = bit_count(xor) INSIDE the join (pigeonhole-exhaustive at
+    * maxHamming <= 3) -> distinct matched (a, b, pa, pb) (a frame pair can
+    * collide in up to 4 bands) -> one map-side-combined count per
+    * (a, b, diagonal). Never all-pairs: candidates come only from band
+    * buckets, and a corpus-wide boilerplate frame (an all-black lead-in)
+    * is excluded by the all-zero guard like every banded operator.
+    * `minMatch` drops coincidental single-frame collisions. */
+  def frameSigPairs(frames: DataFrame, id: String, pos: String, sig: String,
+      maxHamming: Int = 3, minMatch: Long = 2): DataFrame = {
+    require(maxHamming <= 3, s"4 bands of 16 bits only guarantee capture up to hamming 3, got $maxHamming")
+    require(minMatch >= 1, s"minMatch must be at least 1, got $minMatch")
+    val ex = graft.util.CacheScope.eager(spread(frames)
+      .select(col(id).as("id"), col(pos).cast("long").as("pos"),
+        col(sig).cast("long").as("sig"))
+      .where(col("sig").isNotNull && col("sig") =!= 0L)
+      .select(col("id"), col("pos"), col("sig"),
+        explode(array((0 until 4).map(i => struct(lit(i).as("band"),
+          shiftrightunsigned(col("sig"), i * 16).bitwiseAND(lit(0xffffL))
+            .as("bv"))): _*)).as("bb"))
+      .select(col("id"), col("pos"), col("sig"), col("bb.band"), col("bb.bv")))
+    ex.as("x")
+      .join(ex.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.id") < col("y.id"))
+      .where(bit_count(col("x.sig").bitwiseXOR(col("y.sig"))) <= maxHamming)
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        col("x.pos").as("pa"), col("y.pos").as("pb"))
+      .distinct()
+      .groupBy(col("a"), col("b"), (col("pa") - col("pb")).as("d"))
+      .agg(count(lit(1)).as("n_match"))
+      .where(col("n_match") >= minMatch)
+  }
+
   /** Persist the banded-Hamming index of a 64-bit-signature corpus,
     * enabling INCREMENTAL signature near-dup ([[incrementalHammingPairs]])
     * for whatever computed the signatures — perceptual image dHash, audio

@@ -392,7 +392,7 @@ class MultimodalSpec extends SparkTestBase {
       .toDF("id", "kind", "data")
     val frames = Multimodal.sampleFramesByTime(rows, everyMs = 150L)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
-        r.getAs[Array[Byte]](3)))
+        r.getAs[Array[Byte]]("frame")))
     // 500 ms at 150 ms cadence: t = 0, 150, 300, 450
     val byId = frames.groupBy(_._1)
     assert(byId(1L).map(f => (f._2, f._3)).sortBy(_._1).toSeq ==
@@ -682,5 +682,94 @@ class MultimodalSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().map(p => (p._1, p._2) -> p._3).toMap
     assert(pairs((1L, 2L)) == 0L)
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  // ------------------------------------------------ AVI/MJPEG video decode
+
+  /** A tiny MJPEG AVI via the fixture generator's independent RIFF
+    * builder. */
+  private def miniAvi(nFrames: Int, seed: Int, usPerFrame: Long = 100000L)
+      : Array[Byte] =
+    GenVideoFixture.avi(64, 48, usPerFrame,
+      (0 until nFrames).map(t =>
+        GenVideoFixture.encodeJpeg(GenVideoFixture.framePx(seed, t), 0.85f)))
+
+  test("parseAvi: header metadata, frame chunk table, word alignment; " +
+    "corrupt payloads return None") {
+    val bytes = miniAvi(7, seed = 5)
+    val avi = Multimodal.parseAvi(bytes).get
+    assert(avi.width == 64 && avi.height == 48)
+    assert(avi.usPerFrame == 100000L && avi.declaredFrames == 7L)
+    assert(avi.frames.size == 7)
+    assert(avi.durationMs == 700L)
+    // every frame chunk is a standalone JPEG (SOI marker) the JDK decodes
+    avi.frames.foreach { case (off, len) =>
+      assert((bytes(off) & 0xff) == 0xff && (bytes(off + 1) & 0xff) == 0xd8)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        java.util.Arrays.copyOfRange(bytes, off, off + len)))
+      assert(img.getWidth == 64 && img.getHeight == 48)
+    }
+    // at least one odd-sized chunk exercises RIFF's pad byte, else the
+    // alignment path is untested — JPEG sizes vary, so assert it happened
+    assert(avi.frames.exists(_._2 % 2 == 1),
+      "no odd-size frame chunk; change the seed to cover the pad path")
+    assert(Multimodal.parseAvi(bytes.take(60)).isEmpty)   // truncated
+    assert(Multimodal.parseAvi("garbage!".getBytes).isEmpty)
+    // parseAvMeta routes AVI to the real branch
+    val m = Multimodal.parseAvMeta(bytes).get
+    assert(m.container == "avi" && m.width == 64 && m.durationMs == 700L)
+  }
+
+  test("sampleFramesByTime emits REAL JPEG frame bytes for AVI payloads " +
+    "(decoded = true), stubs elsewhere") {
+    val rows = Seq(
+      (1L, "video", miniAvi(12, seed = 3)),        // 1200 ms at 10 fps
+      (2L, "video", "not a container".getBytes))
+      .toDF("id", "kind", "data")
+    val frames = Multimodal.sampleFramesByTime(rows, everyMs = 500L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getBoolean(3), r.getAs[Array[Byte]]("frame"))).toSeq
+    val v1 = frames.filter(_._1 == 1L).sortBy(_._2)
+    assert(v1.map(f => (f._2, f._3, f._4)) ==
+      Seq((0, 0L, true), (1, 500L, true), (2, 1000L, true)))
+    // each sampled frame decodes to the source frame covering its tick
+    v1.foreach { f =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f._5))
+      assert(img != null && img.getWidth == 64 && img.getHeight == 48)
+    }
+    // tick 1 (t=500ms) must be source frame 5 — byte-identical to a
+    // standalone encode of that frame
+    val expect5 = GenVideoFixture.encodeJpeg(GenVideoFixture.framePx(3, 5), 0.85f)
+    assert(v1(1)._5.sameElements(expect5))
+    val v2 = frames.filter(_._1 == 2L)
+    assert(v2.size == 1 && !v2.head._4 && v2.head._5.length == 16) // md5 stub
+  }
+
+  test("videoFrameHashes + frameSigPairs: re-encoded copy pairs on " +
+    "diagonal 0, trimmed copy on a shifted diagonal, unrelated does not") {
+    val src = (0 until 12).map(t => GenVideoFixture.framePx(21, t))
+    val v1f = src.map(GenVideoFixture.encodeJpeg(_, 0.85f))
+    val media = Seq(
+      (1L, "video", GenVideoFixture.avi(64, 48, 100000L, v1f)),
+      (2L, "video", GenVideoFixture.avi(64, 48, 100000L,
+        src.map(GenVideoFixture.encodeJpeg(_, 0.62f)))), // re-encode
+      (3L, "video", GenVideoFixture.avi(64, 48, 100000L, v1f.drop(5))), // trim
+      (4L, "video", GenVideoFixture.avi(64, 48, 100000L,
+        (0 until 10).map(t => GenVideoFixture.encodeJpeg(
+          GenVideoFixture.framePx(77, t + 3), 0.85f)))), // unrelated
+      (5L, "video", "garbage".getBytes))
+      .toDF("id", "kind", "data")
+    val hashed = Multimodal.videoFrameHashes(media, everyMs = 500L).toDF()
+    val marker = hashed.where(col("id") === 5L).collect()
+    assert(marker.length == 1 && !marker.head.getAs[Boolean]("decoded"))
+    val pairs = graft.operators.Dedup.frameSigPairs(
+        hashed.where(col("decoded")), "id", "frame_idx", "dhash",
+        maxHamming = 3, minMatch = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(p => (p._1, p._2, p._3) -> p._4).toMap
+    assert(pairs((1L, 2L, 0L)) == 3L) // all 3 sampled ticks match
+    assert(pairs((1L, 3L, 1L)) == 2L) // trim of 5 frames = 1 tick shift
+    assert(pairs((2L, 3L, 1L)) == 2L)
+    assert(!pairs.keys.exists(k => k._1 == 4L || k._2 == 4L))
   }
 }
