@@ -1282,14 +1282,15 @@ object Multimodal {
     * bit a local comparison, so a small edit touches few bits.
     *
     * Decode is the JDK's own AudioSystem (WAV and AIFF containers, PCM
-    * 8/16/24/32-bit — no external codec; 8-bit WAV is unsigned per spec
-    * and gets centered). Frame count is bounded by
+    * 8/16/24/32-bit plus IEEE-float 32/64-bit — no external codec; 8-bit
+    * WAV is unsigned per spec and gets centered, float samples map onto
+    * the 16-bit integer lattice). Frame count is bounded by
     * min(header frame length, actually-available bytes / frame size): PCM
     * is stored 1:1, so unlike images there is no decompression bomb — a
     * lying header cannot make the decoder allocate more than the payload
     * that is already in the row — but the min keeps a truncated stream's
-    * window assignment honest. Compressed encodings (MP3, float WAV,
-    * a-law) take the undecoded branch. */
+    * window assignment honest. Compressed encodings (MP3, a-law) take
+    * the undecoded branch. */
   def audioFingerprintBatch(rows: Iterator[MediaRow]): Iterator[AudioFpRow] =
     rows.map { r =>
       val n = r.data.length.toLong
@@ -1301,8 +1302,20 @@ object Multimodal {
       }
     }
 
-  /** (sampleRate, channels, frames, fingerprint) of a PCM payload, or None
-    * for anything AudioSystem cannot read as integer PCM. */
+  /** Map one IEEE-float sample's RAW BITS (already assembled little/big-
+    * endian into `v`'s low 32 or 64 bits) onto the signed 16-bit integer
+    * lattice: floor(f * 32768) clamped to [-32768, 32767], NaN -> 0.
+    * Floor + clamp are deterministic IEEE ops, so the mapping — and every
+    * fingerprint/stat downstream of it — is engine-portable. */
+  @inline private def floatToLattice(v: Long, bits: Int): Long = {
+    val f = if (bits == 32) java.lang.Float.intBitsToFloat(v.toInt).toDouble
+      else java.lang.Double.longBitsToDouble(v)
+    if (f.isNaN) 0L
+    else math.max(-32768.0, math.min(32767.0, math.floor(f * 32768.0))).toLong
+  }
+
+  /** (sampleRate, channels, frames, fingerprint) of a PCM or IEEE-float
+    * WAV/AIFF payload, or None for anything AudioSystem cannot read. */
   private[multimodal] def decodeAudioFp(data: Array[Byte])
       : Option[(Int, Int, Long, Long)] = {
     import javax.sound.sampled.{AudioFormat, AudioSystem}
@@ -1317,8 +1330,13 @@ object Multimodal {
       val frameSize = fmt.getFrameSize
       val signed = enc == AudioFormat.Encoding.PCM_SIGNED
       val unsigned = enc == AudioFormat.Encoding.PCM_UNSIGNED
-      if (!(signed || unsigned) || ch <= 0 || frameSize <= 0 ||
-        !Seq(8, 16, 24, 32).contains(bits) ||
+      // IEEE-float WAV (format tag 3) decodes too: samples map onto the
+      // 16-bit integer lattice (floor(f * 32768), clamped, NaN -> 0) so
+      // every downstream window/stat stays exact integer arithmetic and a
+      // float re-encode of the same program fingerprints like its PCM twin
+      val isFloat = enc == AudioFormat.Encoding.PCM_FLOAT
+      if (!(signed || unsigned || isFloat) || ch <= 0 || frameSize <= 0 ||
+        !(if (isFloat) Seq(32, 64) else Seq(8, 16, 24, 32)).contains(bits) ||
         frameSize != ch * (bits / 8)) return None
       // honest frame count: the header's claim capped by the bytes that
       // are actually there (a truncated file must not skew the windows)
@@ -1361,7 +1379,8 @@ object Multimodal {
               }
               // 8-bit PCM carries no sign bit convention of its own in
               // WAV — it is unsigned; center it (and any PCM_UNSIGNED)
-              if (unsigned) v = (v & ((1L << bits) - 1)) - center
+              if (isFloat) v = floatToLattice(v, bits)
+              else if (unsigned) v = (v & ((1L << bits) - 1)) - center
               mixed += v
               c += 1
             }
@@ -1431,8 +1450,9 @@ object Multimodal {
       val frameSize = fmt.getFrameSize
       val signed = enc == AudioFormat.Encoding.PCM_SIGNED
       val unsigned = enc == AudioFormat.Encoding.PCM_UNSIGNED
-      if (!(signed || unsigned) || ch <= 0 || frameSize <= 0 ||
-        !Seq(8, 16, 24, 32).contains(bits) ||
+      val isFloat = enc == AudioFormat.Encoding.PCM_FLOAT // see decodeAudioFp
+      if (!(signed || unsigned || isFloat) || ch <= 0 || frameSize <= 0 ||
+        !(if (isFloat) Seq(32, 64) else Seq(8, 16, 24, 32)).contains(bits) ||
         frameSize != ch * (bits / 8)) return None
       val header = ais.getFrameLength
       val avail = ais.available().toLong / frameSize
@@ -1441,9 +1461,11 @@ object Multimodal {
       val bytesPer = bits / 8
       val big = fmt.isBigEndian
       val center = if (unsigned) 1L << (bits - 1) else 0L
-      // representable extremes AFTER centering: [-2^(b-1), 2^(b-1)-1]
-      val hi = (1L << (bits - 1)) - 1
-      val lo = -(1L << (bits - 1))
+      // representable extremes AFTER centering: [-2^(b-1), 2^(b-1)-1];
+      // float samples live on the 16-bit lattice, so |f| >= 1.0 clamps to
+      // exactly these extremes — the clipping gate falls out unchanged
+      val hi = if (isFloat) 32767L else (1L << (bits - 1)) - 1
+      val lo = if (isFloat) -32768L else -(1L << (bits - 1))
       val buf = new Array[Byte](frameSize * 1024)
       var frame = 0L
       var carry = 0
@@ -1476,7 +1498,8 @@ object Multimodal {
                 var k = bytesPer - 2
                 while (k >= 0) { v = (v << 8) | (buf(off + k) & 0xffL); k -= 1 }
               }
-              if (unsigned) v = (v & ((1L << bits) - 1)) - center
+              if (isFloat) v = floatToLattice(v, bits)
+              else if (unsigned) v = (v & ((1L << bits) - 1)) - center
               val a = math.abs(v)
               if (a > peak) peak = a
               absSum += a

@@ -91,20 +91,28 @@ object GenAudioFpFixture {
     out.toByteArray
   }
 
-  /** A WAV header claiming IEEE-float format (format tag 3) — a real
-    * encoding the PCM-only fingerprint must refuse, not misread. */
-  def floatWav(): Array[Byte] = {
+  /** An IEEE-float WAV (format tag 3, 32-bit mono) hand-built per the
+    * RIFF spec — a real encoding the engine now decodes by mapping each
+    * sample onto the 16-bit integer lattice. */
+  def floatWav(samples: Array[Float], rate: Int = 8000): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
     def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
-    ascii("RIFF"); le32(36 + 16); ascii("WAVE")
+    val dataLen = samples.length * 4
+    ascii("RIFF"); le32(36 + dataLen); ascii("WAVE")
     ascii("fmt "); le32(16)
-    le16(3); le16(1); le32(8000); le32(32000); le16(4); le16(32)
-    ascii("data"); le32(16)
-    (0 until 16).foreach(i => out.write(i * 13 & 0xff))
+    le16(3); le16(1); le32(rate); le32(rate * 4); le16(4); le16(32)
+    ascii("data"); le32(dataLen)
+    samples.foreach(f => le32(java.lang.Float.floatToIntBits(f)))
     out.toByteArray
   }
+
+  /** The published float-to-lattice mapping, re-implemented standalone:
+    * floor(f * 32768) clamped to [-32768, 32767], NaN -> 0. */
+  def lattice(f: Float): Long =
+    if (f.isNaN) 0L
+    else math.max(-32768.0, math.min(32767.0, math.floor(f * 32768.0))).toLong
 
   /** Expected quality stats from the raw per-channel samples (frames x
     * channels), re-implemented standalone: (duration_ms, peak, abs_sum,
@@ -201,6 +209,22 @@ object GenAudioFpFixture {
         else synth(5000, 8)(t)
       }
       Seq(monoRow(7L, gated))
+    } ++ {
+      // IEEE-float WAV: a real float program (an integer program scaled by
+      // 2^-15 maps back onto exactly those integers — v/32768f is exact in
+      // float) plus clamp (|f| >= 1) and NaN edge samples the lattice
+      // mapping must pin
+      val ints = synth(3000, 10)
+      val fs = Array.tabulate(3000) { t =>
+        if (t == 100) 1.5f
+        else if (t == 200) -2.0f
+        else if (t == 300) Float.NaN
+        else ints(t) / 32768f
+      }
+      val lat = fs.map(lattice)
+      val (dm, pk, as_, sl, cl) = expectedStats(Array(lat.map(_.toInt)), 8000)
+      Seq(FxRow(8L, "wav", floatWav(fs), decoded = true, 8000, 1, 3000L,
+        Some(expectedFp(lat)), dm, pk, as_, sl, cl))
     } ++ Seq(
       // corrupt / refused rows
       // cut INSIDE the header (before fmt completes): no parse at all — a
@@ -209,8 +233,7 @@ object GenAudioFpFixture {
       // would not test the refuse path
       FxRow(200L, "wav", wavBytes(Array(synth(2000, 9))).take(20),
         decoded = false, 0, 0, 0L, None, 0L, 0L, 0L, 0L, 0L),
-      FxRow(201L, "wav", floatWav(), decoded = false, 0, 0, 0L, None,
-        0L, 0L, 0L, 0L, 0L),
+
       FxRow(202L, "bin", Array.tabulate[Byte](80)(i => (i * 11).toByte),
         decoded = false, 0, 0, 0L, None, 0L, 0L, 0L, 0L, 0L))
 

@@ -638,10 +638,35 @@ class MultimodalSpec extends SparkTestBase {
     assert(both.channels == 2 && both.afp == mono.afp)
     val rows = Multimodal.audioFingerprint(Seq(
         (1L, "wav", wav16(down).take(20)),              // cut inside header
-        (2L, "wav", GenAudioFpFixture.floatWav()),      // IEEE-float format
         (3L, "bin", "not audio".getBytes("UTF-8")))
       .toDF("id", "kind", "data")).collect()
     assert(rows.forall(r => !r.decoded && r.afp.isEmpty))
+  }
+
+  test("audioFingerprint decodes IEEE-float WAV onto the 16-bit lattice: " +
+    "a float re-encode fingerprints identically to its PCM twin; clamp " +
+    "and NaN samples are pinned") {
+    // block-varying program (same family as the fixture's synth)
+    val ints = Array.tabulate(1300)(f =>
+      (((f / 20) * 2654435761L + 9) >>> 56).toInt % 97 * 30 + f % 7)
+    val floats = ints.map(_ / 32768f) // exact in float: |v| < 2^15
+    val pcm = Multimodal.audioFingerprintBatch(Iterator(
+      Multimodal.MediaRow(0L, "wav", wav16(ints)))).next()
+    val flt = Multimodal.audioFingerprintBatch(Iterator(
+      Multimodal.MediaRow(0L, "wav",
+        GenAudioFpFixture.floatWav(floats, rate = 16000)))).next()
+    assert(flt.decoded && flt.sampleRate == 16000 && flt.nFrames == 1300L)
+    assert(flt.afp == pcm.afp) // identical program => identical fingerprint
+    // clamp + NaN edges: stats over a float clip with out-of-range samples
+    val edge = Array[Float](0.5f, 1.5f, -2.0f, Float.NaN, 0f, 0.25f)
+    val st = Multimodal.audioStats(Seq(
+        (1L, "wav", GenAudioFpFixture.floatWav(edge)))
+      .toDF("id", "kind", "data")).head()
+    assert(st.decoded && st.nFrames == 6L)
+    assert(st.peak == 32768L)            // -2.0 clamps to -32768
+    assert(st.nClipped == 2L)            // 1.5 -> 32767, -2.0 -> -32768
+    assert(st.nSilence == 2L)            // NaN -> 0 plus the literal 0
+    assert(st.absSum == 16384L + 32767L + 32768L + 0L + 0L + 8192L)
   }
 
   test("audioStats: hand-checked silence, clipping, peak and duration on " +
