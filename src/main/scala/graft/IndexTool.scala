@@ -574,17 +574,30 @@ object IndexTool {
           graft.operators.Profile.mergeProfiles(
               spark.read.parquet(args(1)), math.max(keys.size, 1))
             .write.mode("overwrite").parquet(out)
+        } else if (args.contains("--series")) {
+          // the time-series fold of an accumulated profile dir: per-batch
+          // + cumulative rows, computed from profile rows only
+          graft.operators.Profile.profileSeries(
+              spark.read.parquet(args(1)), math.max(keys.size, 1),
+              opt(args, "--batch-col").getOrElse("batch_id"))
+            .write.mode("overwrite").parquet(out)
         } else {
           val keyCols = if (keys.isEmpty) Seq(lit("all")) else keys.map(col)
           val textCol = col(opt(args, "--text").getOrElse("text"))
-          graft.operators.Profile.partialProfile(spark.read.parquet(args(1)),
-              keyCols, textCol,
-              graft.functions.NativeKernels.wordTokens(textCol))
+          val partial = graft.operators.Profile.partialProfile(
+            spark.read.parquet(args(1)), keyCols, textCol,
+            graft.functions.NativeKernels.wordTokens(textCol))
+          // --batch stamps the partial rows so a later --series fold can
+          // order them; without it the dir still merges, just not by time
+          opt(args, "--batch").map(b =>
+              partial.withColumn("batch_id", lit(b.toLong)))
+            .getOrElse(partial)
             .write.mode(if (args.contains("--append")) "append" else "overwrite")
             .parquet(out)
         }
         println(s"""{"action":"profile","path":"${args(1)}","out":"$out",""" +
-          s""""merge":${args.contains("--merge")}}"""); 0
+          s""""merge":${args.contains("--merge")},""" +
+          s""""series":${args.contains("--series")}}"""); 0
       case "overlap" =>
         // theta-sketch set relations of two corpora, printed as one JSON row
         val other = opt(args, "--other").getOrElse {
@@ -662,6 +675,6 @@ object IndexTool {
       |  image-resize <srcParquet> --out <parquet> [--box 256x256] [--id id] [--data data] [--kind kindCol]
       |  image-stats <srcParquet> --out <parquet> [--id id] [--data data] [--kind kindCol]
       |  audio-stats <srcParquet> --out <parquet> [--id id] [--data data] [--kind kindCol]
-      |  profile <srcParquet|profileDir> --out <parquet> [--keys k1,k2] [--text text] [--append] [--merge]
+      |  profile <srcParquet|profileDir> --out <parquet> [--keys k1,k2] [--text text] [--append] [--batch N] [--merge] [--series [--batch-col c]]
       |  overlap <aParquet> --other <bParquet> [--text text] [--other-text text]""".stripMargin
 }

@@ -2226,6 +2226,58 @@ object Queries {
       |  (SELECT n FROM u) AS est_union,
       |  round((SELECT n FROM i)::DOUBLE / (SELECT n FROM u), 6) AS est_jaccard""".stripMargin
 
+  // -- profile TIME SERIES: per-batch + cumulative fold of partial
+  //    profiles, computed from profile rows only. UNDER THE HASH GATE for
+  //    the same reason as q_corpus_overlap: theta sketches are exact below
+  //    k = 4096 retained entries (the largest cumulative group at sf0.1 is
+  //    'en' with 2059 distinct docs), so every estimate lands on the exact
+  //    integer DuckDB computes with windowed set SQL. The HLL vocab
+  //    estimates stay out of the projection (approximate at these
+  //    cardinalities); ProfileSpec covers them.
+  private val profileSeriesQ: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val parts = (0 until 3).map { b =>
+      graft.operators.Profile.partialProfile(
+          docs.where(col("doc_id") % 3 === b),
+          Seq(col("lang")), col("text"),
+          graft.functions.NativeKernels.wordTokens(col("text")))
+        .withColumn("batch_id", lit(b.toLong))
+    }.reduce(_ unionByName _)
+    graft.operators.Profile.profileSeries(parts, 1)
+      .select(col("__k0").as("lang"), col("batch"), col("n_docs"),
+        col("n_chars"), col("n_tokens"), col("est_distinct_docs"),
+        col("cum_n_docs"), col("cum_n_chars"), col("cum_n_tokens"),
+        col("cum_est_distinct_docs"), col("delta_est_docs"))
+      .orderBy(col("lang"), col("batch"))
+  }
+
+  private val profileSeriesSql =
+    s"""WITH tk AS (
+      |  SELECT lang, doc_id % 3 AS batch, md5(text) AS fp,
+      |    length(text)::BIGINT AS chars, len(${sqlWords("text")})::BIGINT AS ntoks
+      |  FROM documents),
+      |pb AS (
+      |  SELECT lang, batch, count(*)::BIGINT AS n_docs,
+      |    sum(chars)::BIGINT AS n_chars, sum(ntoks)::BIGINT AS n_tokens,
+      |    count(DISTINCT fp)::BIGINT AS est_distinct_docs
+      |  FROM tk GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT p.lang, p.batch, count(DISTINCT t.fp)::BIGINT AS cdd
+      |  FROM pb p JOIN tk t ON t.lang = p.lang AND t.batch <= p.batch
+      |  GROUP BY 1, 2)
+      |SELECT pb.lang, pb.batch, pb.n_docs, pb.n_chars, pb.n_tokens,
+      |  pb.est_distinct_docs,
+      |  (sum(pb.n_docs) OVER w)::BIGINT AS cum_n_docs,
+      |  (sum(pb.n_chars) OVER w)::BIGINT AS cum_n_chars,
+      |  (sum(pb.n_tokens) OVER w)::BIGINT AS cum_n_tokens,
+      |  cum.cdd AS cum_est_distinct_docs,
+      |  cum.cdd - coalesce(lag(cum.cdd) OVER
+      |    (PARTITION BY pb.lang ORDER BY pb.batch), 0) AS delta_est_docs
+      |FROM pb JOIN cum ON cum.lang = pb.lang AND cum.batch = pb.batch
+      |WINDOW w AS (PARTITION BY pb.lang ORDER BY pb.batch
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY pb.lang, pb.batch""".stripMargin
+
   // -- image dedup GROUPS: perceptual-hash pairs -> transitive closure ->
   //    one row per image with its cluster keeper (min member id) — the
   //    visual twin of q_dedup_cluster, composing imageHash -> hammingPairs
@@ -3281,6 +3333,7 @@ object Queries {
     "q_image_stats"   -> imageStats,
     "q_corpus_profile" -> corpusProfile,
     "q_corpus_overlap" -> corpusOverlap,
+    "q_profile_series" -> profileSeriesQ,
     "q_image_cluster" -> imageCluster,
     "q_audio_fp"      -> audioFp,
     "q_audio_stats"   -> audioStats,
@@ -3389,6 +3442,7 @@ object Queries {
     "q_image_cluster" -> imageClusterSql,
     "q_audio_fp"      -> audioFpSql,
     "q_audio_stats"   -> audioStatsSql,
+    "q_profile_series" -> profileSeriesSql,
     "q_video_meta"    -> videoMetaSql,
     "q_video_frames"  -> videoFramesSql,
     "q_video_neardup" -> videoNearDupSql,

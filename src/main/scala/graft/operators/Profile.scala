@@ -126,6 +126,56 @@ object Profile {
         col("doc_hll"), col("doc_theta"), col("vocab_hll")): _*)
   }
 
+  /** The profile TIME SERIES behind a stored partial-profile dir: one row
+    * per (batch, key) with that batch's OWN counters and sketch estimates
+    * plus the CUMULATIVE-through-batch fold — "how did the corpus grow,
+    * and how much of each batch was new?" — computed entirely from
+    * profile rows, never rescanning the corpus. A batch that appended
+    * several partial rows per key (multiple shards) folds first; the
+    * cumulative side is a running window union of the batch sketches
+    * ordered by `batchCol` (exact additive sums for the counters).
+    *
+    * Scale shape: the input is PROFILE rows — O(batches x keys), bounded
+    * by bookkeeping cardinality, not corpus size — so the per-key window
+    * is a small shuffle however big the corpus was. `delta_est_docs` =
+    * cumulative-distinct growth vs the previous batch: near-zero marks a
+    * batch of already-seen documents (a stalled or looping crawl) without
+    * any dedup join. */
+  def profileSeries(profiles: DataFrame, nKeys: Int,
+      batchCol: String = "batch_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyCols = (0 until nKeys).map(i => col(s"__k$i"))
+    val perBatch = profiles
+      .groupBy((col(batchCol).as("batch") +: keyCols): _*)
+      .agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_tokens")).as("n_tokens"),
+        hll_union_agg(col("doc_hll")).as("doc_hll"),
+        theta_union_agg(col("doc_theta")).as("doc_theta"),
+        hll_union_agg(col("vocab_hll")).as("vocab_hll"))
+    val w = Window.partitionBy(keyCols: _*).orderBy(col("batch"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBatch.select(keyCols ++ Seq(
+        col("batch"),
+        col("n_docs"), col("n_chars"), col("n_tokens"),
+        round(theta_sketch_estimate(col("doc_theta"))).cast("long")
+          .as("est_distinct_docs"),
+        round(hll_sketch_estimate(col("vocab_hll"))).cast("long")
+          .as("est_vocab"),
+        sum(col("n_docs")).over(w).as("cum_n_docs"),
+        sum(col("n_chars")).over(w).as("cum_n_chars"),
+        sum(col("n_tokens")).over(w).as("cum_n_tokens"),
+        round(theta_sketch_estimate(theta_union_agg(col("doc_theta")).over(w)))
+          .cast("long").as("cum_est_distinct_docs"),
+        round(hll_sketch_estimate(hll_union_agg(col("vocab_hll")).over(w)))
+          .cast("long").as("cum_est_vocab")): _*)
+      .withColumn("delta_est_docs",
+        col("cum_est_distinct_docs") -
+          coalesce(lag(col("cum_est_distinct_docs"), 1).over(
+            Window.partitionBy(keyCols: _*).orderBy(col("batch"))), lit(0L)))
+  }
+
   /** Estimated set relations between two corpora from their document
     * fingerprints — ONE ROW: |A|, |B|, |A ∩ B|, |A ∪ B|, and the Jaccard
     * estimate — computed from two theta sketches, so each corpus is

@@ -475,7 +475,8 @@ final class SimSearchService(spark: SparkSession, port: Int,
         "scrub_pii", "gopher", "dsir", "dsir_train", "dsir_score",
         "dedup_spans", "dedup_substr", "quantile_cut", "lm_bigram",
         "lm_train", "lm_score", "random_project", "image_hash", "audio_fp",
-        "image_stats", "audio_stats", "profile", "overlap")
+        "image_stats", "audio_stats", "profile", "profile_series",
+        "overlap", "video_frames", "video_neardup")
       if (!knownOps.contains(opName))
         throw new IllegalArgumentException(
           s"unknown operator '$opName' — one of ${knownOps.mkString(", ")}")
@@ -644,12 +645,47 @@ final class SimSearchService(spark: SparkSession, port: Int,
           }
           (if (keys.isEmpty) named.withColumnRenamed("__k0", "group") else named)
             .drop("doc_hll", "doc_theta", "vocab_hll")
+        case "profile_series" =>
+          // time-series fold of a stored partial-profile dir (the path
+          // input IS the profile rows): per-batch + cumulative counters
+          // and sketch estimates, never rescanning any corpus
+          val keys = Option(params.get("keys"))
+            .map(n => (0 until n.size()).map(i => n.get(i).asText()))
+            .getOrElse(Seq.empty)
+          val ser = graft.operators.Profile.profileSeries(df,
+            math.max(keys.size, 1),
+            params.path("batch_column").asText("batch_id"))
+          val named = keys.zipWithIndex.foldLeft(ser) { case (d, (k, i)) =>
+            d.withColumnRenamed(s"__k$i", k)
+          }
+          if (keys.isEmpty) named.withColumnRenamed("__k0", "group") else named
         case "overlap" =>
           // theta-sketch set relations vs another corpus: 1 row of
           // estimates, no join of the two sides
           val other = spark.read.parquet(reqParam("other_path").asText())
           graft.operators.Profile.overlap(df, col(textCol), other,
             col(params.path("other_text").asText(textCol)))
+        case "video_frames" =>
+          // per-sampled-frame perceptual hashes of an AVI/MJPEG binary
+          // column (path input): the video near-dup front end
+          val dataCol = params.path("data_column").asText("data")
+          graft.multimodal.Multimodal.videoFrameHashes(
+              df.select(col(idCol).cast("long").as("id"),
+                lit("video").as("kind"), col(dataCol).as("data")),
+              everyMs = params.path("every_ms").asLong(500L)).toDF()
+            .withColumnRenamed("id", idCol)
+        case "video_neardup" =>
+          // frame-sequence near-dup pairs (a, b, diagonal, n_match) over
+          // an AVI/MJPEG binary column
+          val dataCol = params.path("data_column").asText("data")
+          val hashed = graft.multimodal.Multimodal.videoFrameHashes(
+              df.select(col(idCol).cast("long").as("id"),
+                lit("video").as("kind"), col(dataCol).as("data")),
+              everyMs = params.path("every_ms").asLong(500L)).toDF()
+            .where(col("decoded")).select(col("id"), col("frame_idx"), col("dhash"))
+          graft.operators.Dedup.frameSigPairs(hashed, "id", "frame_idx",
+            "dhash", params.path("max_hamming").asInt(3),
+            params.path("min_match").asLong(2L))
         case "image_stats" =>
           // image quality-gate signals of a binary column (path input)
           val dataCol = params.path("data_column").asText("data")

@@ -82,6 +82,47 @@ class ProfileSpec extends SparkTestBase {
       s"vocab estimate $estVocab vs exact $exactVocab")
   }
 
+  test("profileSeries: per-batch AND cumulative rows from the same stored " +
+    "partials — counters exact, cumulative distinct tracks the true " +
+    "union, delta flags a batch of already-seen documents") {
+    // batch 1 is a genuinely NEW corpus (distinct texts); batch 2 repeats
+    // batch 1's documents exactly, so its cumulative growth must be ~zero
+    def mk(n: Int, tag: String) = (0 until n).map { i =>
+      val lang = Seq("en", "de", "fr")(i % 3)
+      val dupOf = if (i % 10 == 9) i - 1 else i
+      (i.toLong, lang, s"$tag words w${dupOf % 7} unique$dupOf tail")
+    }.toDF("doc_id", "lang", "text")
+    val batches = Seq(mk(900, "alpha"), mk(900, "beta"), mk(900, "beta"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-series").toString
+    batches.zipWithIndex.foreach { case (b, i) =>
+      Profile.partialProfile(b, Seq(col("lang")), col("text"), words)
+        .withColumn("batch_id", lit(i.toLong))
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(s"$dir/p")
+    }
+    val series = Profile.profileSeries(spark.read.parquet(s"$dir/p"), 1)
+      .collect()
+      .map(r => (r.getAs[String]("__k0"), r.getAs[Long]("batch")) -> r).toMap
+    assert(series.size == 9) // 3 langs x 3 batches
+    val en = batches.head.where(col("lang") === "en")
+    val enDocs = en.count()
+    val enDistinct = en.select(col("text")).distinct().count()
+    for (b <- 0L to 2L) {
+      val r = series(("en", b))
+      assert(r.getAs[Long]("n_docs") == enDocs)
+      assert(r.getAs[Long]("cum_n_docs") == enDocs * (b + 1))
+      val est = r.getAs[Long]("est_distinct_docs")
+      assert(math.abs(est - enDistinct).toDouble / enDistinct < 0.05)
+    }
+    // cumulative distincts: batch 0 -> d0; batch 1 adds a NEW corpus
+    // (distinct roughly doubles); batch 2 repeats batch 1 (no growth)
+    val cum = (0L to 2L).map(b => series(("en", b)).getAs[Long]("cum_est_distinct_docs"))
+    assert(math.abs(cum(0) - enDistinct).toDouble / enDistinct < 0.05)
+    assert(math.abs(cum(1) - 2 * enDistinct).toDouble / (2 * enDistinct) < 0.05)
+    assert(cum(2) == cum(1), "repeat batch must not grow the cumulative sketch")
+    assert(series(("en", 2L)).getAs[Long]("delta_est_docs") == 0L)
+    assert(series(("en", 1L)).getAs[Long]("delta_est_docs") > 0L)
+  }
+
   test("profile: a NULL group key keeps its group (the aggregate join is " +
     "null-safe — untagged documents must not vanish from the report)") {
     val docs = Seq(
