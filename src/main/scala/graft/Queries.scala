@@ -704,6 +704,20 @@ object Queries {
        |SELECT n::BIGINT AS doc_id, least(n, min(m))::BIGINT AS cluster
        |FROM r GROUP BY n ORDER BY doc_id""".stripMargin
 
+  // -- the DISTRIBUTED clustering branch under the same oracle: identical
+  //    semantics to q_dedup_cluster, but localEdgeLimit = 0 forces the
+  //    min-label-propagation loop (join + map-side min aggregation per
+  //    round, sum-convergence test, periodic checkpoint) instead of the
+  //    driver union-find fast path every small-SF query otherwise takes —
+  //    so the 100 TB code path itself is hash-gated, not just spec'd.
+  private val dedupClusterDist: (SparkSession, String) => DataFrame = (s, dir) => {
+    val pairs = Dedup.minhashPairs(t(s, dir, "documents"), "doc_id",
+      SimKernels.qgrams(substring(col("text"), 1, 200), 10), 0.8)
+    Dedup.clusters(pairs, localEdgeLimit = 0L)
+      .select(col("n").cast("long").as("doc_id"), col("c").cast("long").as("cluster"))
+      .orderBy(col("doc_id"))
+  }
+
   // -- cluster KEEPER SELECTION by quality: near-dup removal has to pick
   //    which copy of each duplicate group survives, and production
   //    pipelines keep the best copy, not the smallest id — here the
@@ -3363,6 +3377,7 @@ object Queries {
     "q_chunk"         -> chunkQ,
     "q_sim_join"      -> simJoinQ,
     "q_dedup_cluster" -> dedupCluster,
+    "q_dedup_cluster_dist" -> dedupClusterDist,
     "q_dedup_keep_best" -> dedupKeepBest,
     "q_curation"      -> curationQ,
     "q_token_budget"  -> tokenBudget,
@@ -3469,6 +3484,7 @@ object Queries {
     "q_chunk"         -> chunkSql,
     "q_sim_join"      -> simJoinSql,
     "q_dedup_cluster" -> dedupClusterSql,
+    "q_dedup_cluster_dist" -> dedupClusterSql,
     "q_dedup_keep_best" -> dedupKeepBestSql,
     "q_curation"      -> curationSql,
     "q_token_budget"  -> tokenBudgetSql,
