@@ -370,6 +370,8 @@ final class SimSearchService(spark: SparkSession, port: Int,
     *               "nb_train" | "nb_score" |
     *               "bpe_train" | "bpe_encode" | "bpe_token_count" |
     *               "split" | "scrub_pii" | "gopher" | "quantile_cut" |
+    *               "ccnet_keep" | "profile_series" |
+    *               "video_frames" | "video_neardup" |
     *               "lm_bigram" | "lm_train" | "lm_score" | "random_project" |
     *               "image_hash" | "audio_fp" | "image_stats" |
     *               "audio_stats" | "profile" | "overlap",
@@ -473,7 +475,8 @@ final class SimSearchService(spark: SparkSession, port: Int,
         "minhash_pairs_between", "domain_cap", "nb_train", "nb_score",
         "bpe_train", "bpe_encode", "bpe_token_count", "split",
         "scrub_pii", "gopher", "dsir", "dsir_train", "dsir_score",
-        "dedup_spans", "dedup_substr", "quantile_cut", "lm_bigram",
+        "dedup_spans", "dedup_substr", "quantile_cut", "ccnet_keep",
+        "lm_bigram",
         "lm_train", "lm_score", "random_project", "image_hash", "audio_fp",
         "image_stats", "audio_stats", "profile", "profile_series",
         "overlap", "video_frames", "video_neardup")
@@ -903,6 +906,30 @@ final class SimSearchService(spark: SparkSession, port: Int,
           val labs = (0 until labArr.size()).map(labArr.get(_).asText())
           graft.operators.Sampling.quantileBuckets(df,
             expr(reqParam("score_expr").asText()), cuts, labs)
+        case "ccnet_keep" =>
+          // the literal CCNet keep rule in ONE call (Wenzek et al. 2020
+          // §4.3): corpus-quantile bands over the score expression, then a
+          // deterministic per-band keep rate — head kept, middle sampled,
+          // tail dropped. quantile_cut + sample composed server-side so
+          // the band column never round-trips through the client;
+          // default_pct 0 drops any band the rates object does not name.
+          val cutsArr = reqParam("cuts_ppm")
+          require(cutsArr.isArray && cutsArr.size() > 0,
+            "params.cuts_ppm must be a non-empty array of ppm fractions")
+          val cuts = (0 until cutsArr.size()).map(cutsArr.get(_).asLong())
+          val labArr = reqParam("labels")
+          require(labArr.isArray,
+            "params.labels must be an array of band names")
+          val labs = (0 until labArr.size()).map(labArr.get(_).asText())
+          import scala.jdk.CollectionConverters._
+          val rates = reqParam("rates").fields().asScala
+            .map(e => e.getKey -> e.getValue.asInt()).toMap
+          require(rates.keySet.subsetOf(labs.toSet),
+            s"rates name unknown bands: ${rates.keySet -- labs.toSet}")
+          val banded = graft.operators.Sampling.quantileBuckets(df,
+            expr(reqParam("score_expr").asText()), cuts, labs)
+          graft.operators.Sampling.mix(banded, col("bucket"), col(idCol),
+            rates, params.path("default_pct").asInt(0))
         case "dedup_spans" =>
           // corpus-global duplicated n-token spans (discovery form)
           graft.operators.SpanDedup.spans(df, col(idCol),

@@ -514,6 +514,25 @@ class SimSearchServiceSpec extends SparkTestBase {
         asById(1L).get("nFrames").asLong() == 650L, bAs)
       assert(!asById(3L).get("decoded").asBoolean(), bAs)
 
+      // video_frames / video_neardup: per-frame hashes and sequence pairs
+      // over the committed AVI/MJPEG fixture, through the socket
+      val vidFix = new java.io.File("fixtures/video_mjpeg.parquet").getAbsolutePath
+      val (cVf, bVf) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "video_frames", "input": {"path": "$vidFix"},
+            "id": "media_id", "params": {"every_ms": 500}}"""))
+      assert(cVf == 200, bVf)
+      val vf = new ObjectMapper().readTree(bVf)
+      assert(vf.size() == 13, bVf) // 3+3+2+3 decoded + 2 undecoded markers
+      val (cVn, bVn) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "video_neardup", "input": {"path": "$vidFix"},
+            "id": "media_id", "params": {"min_match": 2}}"""))
+      assert(cVn == 200, bVn)
+      val vn = new ObjectMapper().readTree(bVn)
+      val vnPairs = (0 until vn.size()).map(i =>
+        (vn.get(i).get("a").asLong(), vn.get(i).get("b").asLong(),
+          vn.get(i).get("d").asLong())).toSet
+      assert(vnPairs == Set((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)), bVn)
+
       // profile + overlap: the corpus bookkeeping ops over the socket
       val profDir = s"$dir/profdocs"
       (0 until 200).map(i => (i.toLong, Seq("en", "de")(i % 2),
@@ -539,6 +558,34 @@ class SimSearchServiceSpec extends SparkTestBase {
       val ov = new ObjectMapper().readTree(bOv).get(0)
       assert(ov.get("est_a").asLong() == 200 &&
         ov.get("est_intersection").asLong() == 200, bOv)
+
+      // profile_series: fold a stored 2-batch partial-profile dir into
+      // per-batch + cumulative rows, entirely from profile rows
+      val seriesDir = s"$dir/profseries"
+      val profDocs = spark.read.parquet(profDir)
+      Seq(0L, 1L).foreach { b =>
+        graft.operators.Profile.partialProfile(
+            profDocs, // batch 1 repeats batch 0 exactly: no distinct growth
+            Seq(org.apache.spark.sql.functions.col("lang")),
+            org.apache.spark.sql.functions.col("text"),
+            graft.functions.NativeKernels.wordTokens(
+              org.apache.spark.sql.functions.col("text")))
+          .withColumn("batch_id", org.apache.spark.sql.functions.lit(b))
+          .write.mode(if (b == 0L) "overwrite" else "append")
+          .parquet(seriesDir)
+      }
+      val (cSe, bSe) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "profile_series", "input": {"path": "$seriesDir"},
+            "params": {"keys": ["lang"]}}"""))
+      assert(cSe == 200, bSe)
+      val se = new ObjectMapper().readTree(bSe)
+      assert(se.size() == 4, bSe) // 2 langs x 2 batches
+      val seRows = (0 until se.size()).map(i =>
+        (se.get(i).get("lang").asText(), se.get(i).get("batch").asLong()) ->
+          se.get(i)).toMap
+      assert(seRows(("en", 1L)).get("cum_n_docs").asLong() == 200, bSe)
+      assert(seRows(("en", 1L)).get("delta_est_docs").asLong() == 0L,
+        "a repeat batch must show zero distinct growth")
 
       // two-table ops: the benchmark ships as its own parquet
       val evalDir = s"$dir/eval"
@@ -633,6 +680,29 @@ class SimSearchServiceSpec extends SparkTestBase {
       val bands = (0 until qc.size()).map(i =>
         qc.get(i).get("doc_id").asLong() -> qc.get(i).get("bucket").asText()).toMap
       assert(bands == Map(1L -> "head", 2L -> "tail", 3L -> "middle"), bQc)
+
+      // ccnet_keep: the same bands + per-band keep in ONE call — head
+      // kept, everything unnamed (middle, tail) dropped by default_pct 0
+      val (cCk, bCk) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "ccnet_keep", "input": {"path": "$dir/docs"},
+            "id": "doc_id",
+            "params": {"score_expr": "CAST(quality * 1000 AS BIGINT)",
+                       "cuts_ppm": [300000, 600000],
+                       "labels": ["tail", "middle", "head"],
+                       "rates": {"head": 100}}}"""))
+      assert(cCk == 200, bCk)
+      val ck = new ObjectMapper().readTree(bCk)
+      assert(ck.size() == 1 && ck.get(0).get("doc_id").asLong() == 1L &&
+        ck.get(0).get("bucket").asText() == "head", bCk)
+      // naming a band the labels don't define is a 400, not a silent drop
+      val (cCkBad, bCkBad) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "ccnet_keep", "input": {"path": "$dir/docs"},
+            "id": "doc_id",
+            "params": {"score_expr": "CAST(quality * 1000 AS BIGINT)",
+                       "cuts_ppm": [300000, 600000],
+                       "labels": ["tail", "middle", "head"],
+                       "rates": {"hed": 100}}}"""))
+      assert(cCkBad == 400 && bCkBad.contains("unknown bands"), bCkBad)
 
       // lm_bigram: the corpus-fit bigram LM score comes back per document
       // (docs 1-3 share enough prose to have corpus-repeated bigrams)
