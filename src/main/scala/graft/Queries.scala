@@ -2464,6 +2464,29 @@ object Queries {
       |HAVING count(*) >= 2
       |ORDER BY a, b, d""".stripMargin
 
+  // -- video quality gates: black/flat sampled-frame counts and exact luma
+  //    mass per clip — the curation signals (dead camera, test pattern)
+  //    from the REAL frame decode; expected values computed by the
+  //    generator from the pixels it decoded back out of its own JPEGs.
+  private val videoStats: (SparkSession, String) => DataFrame = (s, _) => {
+    val media = s.read.parquet(videoFixture)
+      .select(col("media_id").as("id"), col("kind"), col("data"))
+    graft.multimodal.Multimodal.videoStats(media, everyMs = 500L).toDF()
+      .select(col("id").as("media_id"), col("decoded"),
+        col("nSampled").as("n_sampled"), col("nDecoded").as("n_decoded"),
+        col("nBlack").as("n_black"), col("nFlat").as("n_flat"),
+        col("lumaSum").as("luma_sum"), col("nPixels").as("n_pixels"))
+      .orderBy(col("media_id"))
+  }
+
+  private val videoStatsSql =
+    s"""SELECT media_id, container = 'avi' AS decoded,
+      |  s_n_sampled AS n_sampled, s_n_decoded AS n_decoded,
+      |  s_n_black AS n_black, s_n_flat AS n_flat,
+      |  s_luma_sum AS luma_sum, s_n_pixels AS n_pixels
+      |FROM '$videoFixture'
+      |ORDER BY media_id""".stripMargin
+
   // ----------------------------------------------------------------------
   // WARC ingestion + HTML extraction: the crawl-capture front door of the
   // training-data pipeline. The committed fixture holds three WARC files
@@ -3355,6 +3378,7 @@ object Queries {
     "q_video_meta"    -> videoMeta,
     "q_video_frames"  -> videoFrames,
     "q_video_neardup" -> videoNearDup,
+    "q_video_stats"   -> videoStats,
     "q_warc_read"     -> warcRead,
     "q_html_text"     -> htmlText,
     "q_url_dedup"     -> urlDedup,
@@ -3461,6 +3485,7 @@ object Queries {
     "q_video_meta"    -> videoMetaSql,
     "q_video_frames"  -> videoFramesSql,
     "q_video_neardup" -> videoNearDupSql,
+    "q_video_stats"   -> videoStatsSql,
     "q_audio_neardup" -> audioNearDupSql,
     "q_warc_read"     -> warcReadSql,
     "q_html_text"     -> htmlTextSql,

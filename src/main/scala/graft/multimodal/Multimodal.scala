@@ -1074,6 +1074,103 @@ object Multimodal {
     }
   }
 
+  /** One video's quality-statistics row ([[videoStats]]) — the gating
+    * signals a video-corpus curation pass filters on, aggregated over the
+    * SAMPLED frames (the [[videoFrameHashes]] schedule): `nBlack` = frames
+    * whose mean luma < 16 (dead camera, lead-in padding — integer
+    * cross-product compare, lumaSum < 16 * framePixels), `nFlat` = frames
+    * whose 256-bin luma entropy < 1000 millibits (solid color, test
+    * pattern), plus the exact luma mass (`lumaSum`/`nPixels`) for a mean
+    * without committing to a rounding. A clip that is mostly black or
+    * flat is a gate candidate regardless of its container metadata. */
+  final case class VideoStatsRow(id: Long, kind: String, nBytes: Long,
+      decoded: Boolean, nSampled: Int, nDecoded: Int, nBlack: Int,
+      nFlat: Int, lumaSum: Long, nPixels: Long)
+
+  /** Per-video quality statistics over the sampled-frame schedule — the
+    * video sibling of [[imageStats]]: one narrow mapPartitions at the
+    * codec boundary, per-video O(1) aggregation state (each sampled frame
+    * decodes, folds into counters, and is dropped before the next), no
+    * shuffle, one output row per payload. Undecodable containers report
+    * `decoded = false` with zeroed counters — a curation gate must see
+    * every row. */
+  def videoStats(media: DataFrame, everyMs: Long,
+      maxFrames: Int = 1 << 20): Dataset[VideoStatsRow] = {
+    require(everyMs > 0, s"everyMs must be positive, got $everyMs")
+    require(maxFrames > 0, s"maxFrames must be positive, got $maxFrames")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val n = r.data.length.toLong
+        parseAvi(r.data) match {
+          case Some(avi) if avi.frames.nonEmpty && avi.usPerFrame > 0 =>
+            val durMs = avi.durationMs
+            val nSampled = math.min(math.max(1L, durMs / everyMs + 1),
+              maxFrames.toLong).toInt
+            var nDecoded = 0; var nBlack = 0; var nFlat = 0
+            var lumaSum = 0L; var nPixels = 0L
+            var i = 0
+            while (i < nSampled) {
+              val ts = i.toLong * everyMs
+              val fi = math.min(ts * 1000L / avi.usPerFrame,
+                avi.frames.length - 1L).toInt
+              val (off, len) = avi.frames(fi)
+              val bytes = java.util.Arrays.copyOfRange(r.data, off, off + len)
+              val dims = parseDimensions(bytes)
+              val tooBig = dims.exists { case (w, h) => w.toLong * h > MaxHashPixels }
+              val img =
+                if (dims.isEmpty || tooBig) null
+                else
+                  try javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(bytes))
+                  catch { case _: Exception => null }
+              if (img != null) {
+                nDecoded += 1
+                val w = img.getWidth
+                val h = img.getHeight
+                val hist = new Array[Long](256)
+                val row = new Array[Int](w)
+                var sum = 0L
+                var y = 0
+                while (y < h) {
+                  img.getRGB(0, y, w, 1, row, 0, w)
+                  var x = 0
+                  while (x < w) {
+                    val l = luma(row(x))
+                    hist(l) += 1
+                    sum += l
+                    x += 1
+                  }
+                  y += 1
+                }
+                val total = w.toLong * h
+                var ent = 0.0
+                var b = 0
+                while (b < 256) {
+                  if (hist(b) > 0) {
+                    val p = hist(b).toDouble / total
+                    ent -= p * (math.log(p) / math.log(2.0))
+                  }
+                  b += 1
+                }
+                if (sum < 16L * total) nBlack += 1
+                if (math.floor(ent * 1000.0).toLong < 1000L) nFlat += 1
+                lumaSum += sum
+                nPixels += total
+              }
+              i += 1
+            }
+            VideoStatsRow(r.id, r.kind, n, decoded = true, nSampled,
+              nDecoded, nBlack, nFlat, lumaSum, nPixels)
+          case _ =>
+            VideoStatsRow(r.id, r.kind, n, decoded = false, 0, 0, 0, 0, 0L, 0L)
+        }
+      }
+    }
+  }
+
   /** One image's quality-statistics row ([[imageStats]]) — the gating
     * signals an image-corpus curation pass filters on (too dark / blown
     * out / flat / grayscale / extreme aspect), all EXACT integers or

@@ -371,7 +371,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
     *               "bpe_train" | "bpe_encode" | "bpe_token_count" |
     *               "split" | "scrub_pii" | "gopher" | "quantile_cut" |
     *               "ccnet_keep" | "profile_series" |
-    *               "video_frames" | "video_neardup" |
+    *               "video_frames" | "video_neardup" | "video_stats" |
     *               "lm_bigram" | "lm_train" | "lm_score" | "random_project" |
     *               "image_hash" | "audio_fp" | "image_stats" |
     *               "audio_stats" | "profile" | "overlap",
@@ -479,7 +479,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
         "lm_bigram",
         "lm_train", "lm_score", "random_project", "image_hash", "audio_fp",
         "image_stats", "audio_stats", "profile", "profile_series",
-        "overlap", "video_frames", "video_neardup")
+        "overlap", "video_frames", "video_neardup", "video_stats")
       if (!knownOps.contains(opName))
         throw new IllegalArgumentException(
           s"unknown operator '$opName' — one of ${knownOps.mkString(", ")}")
@@ -689,6 +689,15 @@ final class SimSearchService(spark: SparkSession, port: Int,
           graft.operators.Dedup.frameSigPairs(hashed, "id", "frame_idx",
             "dhash", params.path("max_hamming").asInt(3),
             params.path("min_match").asLong(2L))
+        case "video_stats" =>
+          // per-clip quality gates (black/flat sampled-frame counts, luma
+          // mass) over an AVI/MJPEG binary column
+          val dataCol = params.path("data_column").asText("data")
+          graft.multimodal.Multimodal.videoStats(
+              df.select(col(idCol).cast("long").as("id"),
+                lit("video").as("kind"), col(dataCol).as("data")),
+              everyMs = params.path("every_ms").asLong(500L)).toDF()
+            .withColumnRenamed("id", idCol)
         case "image_stats" =>
           // image quality-gate signals of a binary column (path input)
           val dataCol = params.path("data_column").asText("data")

@@ -118,7 +118,9 @@ object GenVideoFixture {
 
   final case class MediaRowF(media_id: Long, kind: String, data: Array[Byte],
       container: String, width: Int, height: Int, duration_ms: Long,
-      n_frames: Int)
+      n_frames: Int,
+      s_n_sampled: Int, s_n_decoded: Int, s_n_black: Int, s_n_flat: Int,
+      s_luma_sum: Long, s_n_pixels: Long)
   final case class FrameRowF(media_id: Long, frame_idx: Int, ts_ms: Long,
       decoded: Boolean, ahash: Option[Long], dhash: Option[Long])
 
@@ -142,11 +144,23 @@ object GenVideoFixture {
     val v4Frames = (0 until 10).map(t => framePx(seed = 77, t + 3))
       .map(encodeJpeg(_, 0.85f))
 
+    // v7: the quality-gate clip — a normal frame plus planted BLACK
+    // (solid 0 -> mean luma < 16) and FLAT (solid gray -> entropy 0)
+    // frames at the sampled ticks (frames 5 and 9 of a 10-frame clip)
+    def solid(v: Int): Array[Array[Int]] =
+      Array.fill(48, 64)((v << 16) | (v << 8) | v)
+    val v7Frames = (0 until 10).map {
+      case 5 => encodeJpeg(solid(0), 0.85f)
+      case 9 => encodeJpeg(solid(128), 0.85f)
+      case t => encodeJpeg(framePx(seed = 55, t), 0.85f)
+    }
+
     val videos = Seq(
       (1L, 64, 48, v1Frames),
       (2L, 64, 48, v2Frames),
       (3L, 64, 48, v3Frames),
-      (4L, 64, 48, v4Frames))
+      (4L, 64, 48, v4Frames),
+      (7L, 64, 48, v7Frames))
 
     /** The sampling schedule (independent re-statement of the published
       * contract): one tick per EveryMs of duration, source frame =
@@ -161,9 +175,29 @@ object GenVideoFixture {
       }
     }
 
+    /** Per-video expected quality stats over the sampled frames — the
+      * published gate definitions (mean luma < 16 = black, entropy <
+      * 1000 millibits = flat), re-implemented standalone over the pixels
+      * decoded back out of each sampled JPEG. */
+    def expectedVideoStats(frames: Seq[Array[Byte]])
+        : (Int, Int, Int, Int, Long, Long) = {
+      val sampled = schedule(frames).map(t => decodePx(t._3))
+      var nBlack = 0; var nFlat = 0; var lumaSum = 0L; var nPixels = 0L
+      sampled.foreach { px =>
+        val (total, sum, _, _, _, entMilli) =
+          GenImagePhashFixture.expectedStats(px)
+        if (sum < 16L * total) nBlack += 1
+        if (entMilli < 1000L) nFlat += 1
+        lumaSum += sum; nPixels += total
+      }
+      (sampled.size, sampled.size, nBlack, nFlat, lumaSum, nPixels)
+    }
+
     val mediaRows = videos.map { case (id, w, h, frames) =>
+      val (ns, nd, nb, nf, ls, np) = expectedVideoStats(frames)
       MediaRowF(id, "video", avi(w, h, UsPerFrame, frames), "avi", w, h,
-        frames.length.toLong * UsPerFrame / 1000L, frames.length)
+        frames.length.toLong * UsPerFrame / 1000L, frames.length,
+        ns, nd, nb, nf, ls, np)
     }
     val frameRows = videos.flatMap { case (id, _, _, frames) =>
       schedule(frames).map { case (i, ts, jpeg) =>
@@ -180,7 +214,7 @@ object GenVideoFixture {
     def stubMeta(id: Long, data: Array[Byte]): MediaRowF =
       MediaRowF(id, "video", data, "opaque",
         16 + (data.length % 64), 16 + (data.length % 48),
-        data.length % 10000L, 0)
+        data.length % 10000L, 0, 0, 0, 0, 0, 0L, 0L)
     val corrupt = Seq(
       stubMeta(5L, mediaRows.head.data.take(60)),
       stubMeta(6L, Array.tabulate[Byte](97)(i => (i * 13).toByte)))
@@ -202,12 +236,22 @@ object GenVideoFixture {
       require(a.dhash == b.dhash,
         s"trimmed copy not byte-aligned at tick ${b.frame_idx}")
     }
-    // unrelated: no v4 sampled frame within hamming 3 of videos 1-3
-    for (b <- byId(4L); a <- byId(1L) ++ byId(2L) ++ byId(3L))
+    // unrelated: no v4/v7 sampled frame within hamming 3 of videos 1-3
+    // (v7's planted flat/black frames carry the all-zero dhash the banded
+    // join excludes by contract, so they cannot pair regardless)
+    for (b <- byId(4L) ++ byId(7L).filter(_.dhash.get != 0L);
+         a <- byId(1L) ++ byId(2L) ++ byId(3L))
       require(ham(a.dhash.get, b.dhash.get) > 3,
-        s"unrelated clip collides: v${a.media_id}#${a.frame_idx} vs v4#${b.frame_idx}")
-    // no degenerate all-zero signatures (they would drop from the join)
-    frameRows.foreach(f => require(f.dhash.get != 0L && f.ahash.get != 0L))
+        s"unrelated clip collides: v${a.media_id}#${a.frame_idx} vs v${b.media_id}#${b.frame_idx}")
+    // no degenerate all-zero signatures among the near-dup clips
+    frameRows.filter(_.media_id <= 4L)
+      .foreach(f => require(f.dhash.get != 0L && f.ahash.get != 0L))
+    // the gate clip planted exactly one black and two flat sampled frames
+    locally {
+      val m = mediaRows.find(_.media_id == 7L).get
+      require(m.s_n_black == 1 && m.s_n_flat == 2,
+        s"v7 gates drifted: black=${m.s_n_black} flat=${m.s_n_flat}")
+    }
 
     def writeOne(df: org.apache.spark.sql.DataFrame, out: String): Unit = {
       df.coalesce(1).write.mode("overwrite").parquet(out + ".dir")

@@ -797,4 +797,28 @@ class MultimodalSpec extends SparkTestBase {
     assert(pairs((2L, 3L, 1L)) == 2L)
     assert(!pairs.keys.exists(k => k._1 == 4L || k._2 == 4L))
   }
+
+  test("videoStats: planted black and flat frames are counted at the " +
+    "sampled ticks; undecodable payloads report decoded = false") {
+    def solid(v: Int): Array[Array[Int]] =
+      Array.fill(48, 64)((v << 16) | (v << 8) | v)
+    // 10 frames at 10 fps, sampled at 500 ms -> ticks hit frames 0, 5, 9
+    val frames = (0 until 10).map {
+      case 5 => GenVideoFixture.encodeJpeg(solid(0), 0.85f)    // black
+      case 9 => GenVideoFixture.encodeJpeg(solid(200), 0.85f)  // flat, bright
+      case t => GenVideoFixture.encodeJpeg(GenVideoFixture.framePx(9, t), 0.85f)
+    }
+    val media = Seq(
+      (1L, "video", GenVideoFixture.avi(64, 48, 100000L, frames)),
+      (2L, "video", "garbage".getBytes))
+      .toDF("id", "kind", "data")
+    val rows = Multimodal.videoStats(media, everyMs = 500L)
+      .collect().map(r => r.id -> r).toMap
+    val v = rows(1L)
+    assert(v.decoded && v.nSampled == 3 && v.nDecoded == 3)
+    assert(v.nBlack == 1)  // the solid-0 frame; solid-200 is flat but bright
+    assert(v.nFlat == 2)   // both solid frames have ~zero entropy
+    assert(v.nPixels == 3L * 64 * 48)
+    assert(!rows(2L).decoded && rows(2L).nSampled == 0)
+  }
 }

@@ -522,7 +522,7 @@ class SimSearchServiceSpec extends SparkTestBase {
             "id": "media_id", "params": {"every_ms": 500}}"""))
       assert(cVf == 200, bVf)
       val vf = new ObjectMapper().readTree(bVf)
-      assert(vf.size() == 13, bVf) // 3+3+2+3 decoded + 2 undecoded markers
+      assert(vf.size() == 16, bVf) // 3+3+2+3+3 decoded + 2 undecoded markers
       val (cVn, bVn) = http("POST", s"$base/pipeline", Some(
         s"""{"operator": "video_neardup", "input": {"path": "$vidFix"},
             "id": "media_id", "params": {"min_match": 2}}"""))
