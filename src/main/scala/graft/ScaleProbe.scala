@@ -67,6 +67,41 @@ object ScaleProbe {
         AudioFileFormat.Type.WAVE, o)
       o.toByteArray
     }
+    // MJPEG/AVI clips hand-built per the RIFF layout (no JDK AVI writer):
+    // 8 JPEG frames each, so a video probe row pays 8 container-walked
+    // JPEG extractions + the sampled decodes — the real per-clip shape
+    val videoTemplates: Seq[Array[Byte]] = (0 until 4).map { s =>
+      def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      def le32(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      def cc(x: String) = x.getBytes("US-ASCII")
+      def chunk(f: String, pl: Array[Byte]) = cc(f) ++ le32(pl.length) ++ pl ++
+        (if (pl.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+      def list(t: String, pl: Array[Byte]) = chunk("LIST", cc(t) ++ pl)
+      val frames = (0 until 8).map { t =>
+        val img = new java.awt.image.BufferedImage(64, 48,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 48; x <- 0 until 64) {
+          val g = (x * 3 + y * 2 + ((x / 8 + y / 8 + s + t) * 41) % 64) & 0xff
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        }
+        val o = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", o); o.toByteArray
+      }
+      val avih = chunk("avih", le32(100000L) ++ le32(0) ++ le32(0) ++
+        le32(0x10) ++ le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(0) ++
+        le32(64) ++ le32(48) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+      val strh = chunk("strh", cc("vids") ++ cc("MJPG") ++ le32(0) ++
+        le16(0) ++ le16(0) ++ le32(0) ++ le32(100000L) ++ le32(1000000L) ++
+        le32(0) ++ le32(frames.length) ++ le32(0) ++ le32(0xffffffffL) ++
+        le32(0) ++ le16(0) ++ le16(0) ++ le16(64) ++ le16(48))
+      val strf = chunk("strf", le32(40) ++ le32(64) ++ le32(48) ++ le16(1) ++
+        le16(24) ++ cc("MJPG") ++ le32(64L * 48 * 3) ++ le32(0) ++ le32(0) ++
+        le32(0) ++ le32(0))
+      val body = cc("AVI ") ++ list("hdrl", avih ++ list("strl", strh ++ strf)) ++
+        list("movi", frames.toArray.flatMap(f => chunk("00dc", f)))
+      cc("RIFF") ++ le32(body.length) ++ body
+    }
 
     // Optimizer-proof sink for scalar-aggregate probes: `.count()` on a
     // global aggregate lets Catalyst PRUNE the aggregate expressions (the
@@ -467,6 +502,17 @@ object ScaleProbe {
               payload.as("data"))).toDF()
           .agg(sum(bit_count(col("afp")))).pipe(force)
       }
+      // round-14: AVI/MJPEG frame decode — container walk + 3 sampled
+      // JPEG decodes per clip (800 ms at 500 ms cadence), one narrow
+      // mapPartitions; wall time must track the clip count exactly
+      val tVideoFrames = timeIt {
+        val payload = element_at(typedlit(videoTemplates),
+          (pmod(col("doc_id"), lit(videoTemplates.size)) + 1).cast("int"))
+        graft.multimodal.Multimodal.videoFrameHashes(
+            docs.select(col("doc_id").as("id"), lit("video").as("kind"),
+              payload.as("data")), everyMs = 500L).toDF()
+          .agg(sum(bit_count(col("dhash")))).pipe(force)
+      }
       // round-13 late: corpus profiling — one groupBy shuffle with
       // map-side sketch partials; overlap is two independent scans and a
       // 1x1 cross of sketch binaries. Both must scale with the scan.
@@ -481,7 +527,7 @@ object ScaleProbe {
           .select(col("est_intersection")).pipe(force)
       }
       if (mult0 > 0)
-        println(s"""{"mult":$mult,"docs":${docs.count()},"minhash_sec":$tMinhash,"ann_sec":$tAnn,"rankagg_sec":$tRankAgg,"cluster_sec":$tCluster,"pack_sec":$tPack,"tfidf_sec":$tTfidf,"simhash_sec":$tSimhash,"quantize_sec":$tQuantize,"contam_sec":$tContam,"chunk_sec":$tChunk,"repetition_sec":$tRepet,"idx_build_sec":$tIdxBuild,"idx_probe_sec":$tIdxProbe,"band_build_sec":$tBandBuild,"incr_probe_sec":$tIncrProbe,"winnow_sec":$tWinnow,"winnow_spans_sec":$tWinnowSpans,"line_dedup_sec":$tLineDedup,"curation_batch_sec":$tCuration,"budget_select_sec":$tBudget,"budget_select_const_sec":$tBudgetConst,"ivf_build_sec":$tIvfBuild,"recall_probe_sec":$tRecall,"ivf_rebuild_sec":$tRebuild,"exact_join_novel_sec":$tExactJoinNovel,"bloom_build_sec":$tBloomBuild,"exact_bloom_novel_sec":$tExactBloomNovel,"semdedup_sec":$tSemDedup,"semdedup_split_adversarial_sec":$tSemDedupSplit,"pq_encode_sec":$tPqEncode,"pq_build_sec":$tPqBuild,"pq_probe_sec":$tPqProbe,"decontam_sec":$tDecontam,"bpe_train_sec":$tBpeTrain,"bpe_encode_sec":$tBpeEncode,"shard_calib_sec":$tCalibFixed,"shard_calib_prefix_shape_sec":$tCalibPreFix,"scrub_pii_sec":$tScrubPii,"clean_sec":$tClean,"gopher_sec":$tGopher,"split_sec":$tSplit,"nb_train_sec":$tNbTrain,"dsir_sec":$tDsir,"span_dedup_sec":$tSpanDedup,"lm_fit_sec":$tLmFit,"lm_score_sec":$tLmScore,"rand_proj_sec":$tRandProj,"image_hash_sec":$tImageHash,"audio_fp_sec":$tAudioFp,"profile_sec":$tProfile,"overlap_sec":$tOverlap}""")
+        println(s"""{"mult":$mult,"docs":${docs.count()},"minhash_sec":$tMinhash,"ann_sec":$tAnn,"rankagg_sec":$tRankAgg,"cluster_sec":$tCluster,"pack_sec":$tPack,"tfidf_sec":$tTfidf,"simhash_sec":$tSimhash,"quantize_sec":$tQuantize,"contam_sec":$tContam,"chunk_sec":$tChunk,"repetition_sec":$tRepet,"idx_build_sec":$tIdxBuild,"idx_probe_sec":$tIdxProbe,"band_build_sec":$tBandBuild,"incr_probe_sec":$tIncrProbe,"winnow_sec":$tWinnow,"winnow_spans_sec":$tWinnowSpans,"line_dedup_sec":$tLineDedup,"curation_batch_sec":$tCuration,"budget_select_sec":$tBudget,"budget_select_const_sec":$tBudgetConst,"ivf_build_sec":$tIvfBuild,"recall_probe_sec":$tRecall,"ivf_rebuild_sec":$tRebuild,"exact_join_novel_sec":$tExactJoinNovel,"bloom_build_sec":$tBloomBuild,"exact_bloom_novel_sec":$tExactBloomNovel,"semdedup_sec":$tSemDedup,"semdedup_split_adversarial_sec":$tSemDedupSplit,"pq_encode_sec":$tPqEncode,"pq_build_sec":$tPqBuild,"pq_probe_sec":$tPqProbe,"decontam_sec":$tDecontam,"bpe_train_sec":$tBpeTrain,"bpe_encode_sec":$tBpeEncode,"shard_calib_sec":$tCalibFixed,"shard_calib_prefix_shape_sec":$tCalibPreFix,"scrub_pii_sec":$tScrubPii,"clean_sec":$tClean,"gopher_sec":$tGopher,"split_sec":$tSplit,"nb_train_sec":$tNbTrain,"dsir_sec":$tDsir,"span_dedup_sec":$tSpanDedup,"lm_fit_sec":$tLmFit,"lm_score_sec":$tLmScore,"rand_proj_sec":$tRandProj,"image_hash_sec":$tImageHash,"audio_fp_sec":$tAudioFp,"video_frames_sec":$tVideoFrames,"profile_sec":$tProfile,"overlap_sec":$tOverlap}""")
       docs.unpersist(); emb.unpersist()
     }
     spark.stop()
