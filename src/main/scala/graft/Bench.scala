@@ -159,7 +159,8 @@ object Bench {
       // the PROBE path. The build cost stays visible as its own artifact
       // field instead of polluting per-query numbers.
       val indexQueries = Seq("q_ann_idx", "q_ann_ivf_idx", "q_pq_ivf_idx",
-        "q_ann_incr", "q_dedup_incr", "q_dedup_incr_exact", "q_lm_model")
+        "q_ann_incr", "q_dedup_incr", "q_dedup_incr_exact", "q_lm_model",
+        "q_image_incr", "q_video_incr")
         .filter(SparkEntry.queries.contains)
       val setupTimes = indexQueries.map { name =>
         val t0 = System.nanoTime()

@@ -2183,6 +2183,48 @@ object Queries {
       |WHERE bit_count(xor(x.dhash, y.dhash)) <= 3
       |ORDER BY a, b""".stripMargin
 
+  // -- incremental VIDEO near-dup: clips 1/4/7 index their sampled-frame
+  //    dHashes ONCE under composite (clip, position) keys in the persisted
+  //    Hamming index; the later-arriving batch (the re-encoded clip 2 and
+  //    trimmed clip 3) probes the stored frames — the stored corpus is
+  //    never re-decoded — and pairs group per alignment diagonal exactly
+  //    like frameSigPairs. DuckDB mirrors the batch/index split over the
+  //    stored per-frame signatures.
+  private val videoIncr: (SparkSession, String) => DataFrame = (s, _) => {
+    val media = s.read.parquet(videoFixture)
+      .select(col("media_id").as("id"), col("kind"), col("data"))
+    def hashed(pred: Column) = graft.multimodal.Multimodal
+      .videoFrameHashes(media, everyMs = 500L).toDF()
+      .where(col("decoded") && pred)
+      .select(col("id"), col("frame_idx"), col("dhash"))
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-hamidx-vidfx-${ProcessHandle.current().pid()}").getAbsolutePath
+    buildIndexOnce(path)(
+      graft.operators.Dedup.writeFrameSigIndex(
+        hashed(col("id") =!= 2L && col("id") =!= 3L),
+        "id", "frame_idx", "dhash", path))
+    graft.operators.Dedup.incrementalFrameSigPairs(
+        hashed(col("id") === 2L || col("id") === 3L),
+        "id", "frame_idx", "dhash", path, maxHamming = 3, minMatch = 2)
+      .orderBy(col("a"), col("b"), col("d"))
+  }
+
+  private val videoIncrSql =
+    s"""WITH f AS (
+      |  SELECT media_id, frame_idx, dhash FROM '$videoFramesFixture'
+      |  WHERE decoded AND dhash IS NOT NULL AND dhash <> 0),
+      |m AS (
+      |  SELECT DISTINCT x.media_id AS a, y.media_id AS b,
+      |    x.frame_idx AS pa, y.frame_idx AS pb
+      |  FROM f x JOIN f y
+      |    ON x.media_id IN (2, 3) AND y.media_id NOT IN (2, 3)
+      |    AND x.media_id <> y.media_id
+      |  WHERE bit_count(xor(x.dhash, y.dhash)) <= 3)
+      |SELECT a, b, (pa - pb)::BIGINT AS d, count(*)::BIGINT AS n_match
+      |FROM m GROUP BY a, b, pa - pb
+      |HAVING count(*) >= 2
+      |ORDER BY a, b, d""".stripMargin
+
   // ----------------------------------------------------------------------
   // corpus profile: per-language counters + distincts, the bookkeeping
   // frame of Profile.profile. The oracle checks the EXACT columns
@@ -3379,6 +3421,7 @@ object Queries {
     "q_video_frames"  -> videoFrames,
     "q_video_neardup" -> videoNearDup,
     "q_video_stats"   -> videoStats,
+    "q_video_incr"    -> videoIncr,
     "q_warc_read"     -> warcRead,
     "q_html_text"     -> htmlText,
     "q_url_dedup"     -> urlDedup,
@@ -3486,6 +3529,7 @@ object Queries {
     "q_video_frames"  -> videoFramesSql,
     "q_video_neardup" -> videoNearDupSql,
     "q_video_stats"   -> videoStatsSql,
+    "q_video_incr"    -> videoIncrSql,
     "q_audio_neardup" -> audioNearDupSql,
     "q_warc_read"     -> warcReadSql,
     "q_html_text"     -> htmlTextSql,

@@ -601,6 +601,58 @@ object Dedup {
       .distinct()
   }
 
+  /** Position base for the composite (document, position) key the
+    * frame-sequence index rides on: positions must stay below it, and
+    * document ids below Long.MaxValue / PosBase (~2^43 — ample for any
+    * media id space). 2^20 matches the frame-sampling `maxFrames` cap. */
+  val PosBase: Long = 1L << 20
+
+  /** Persist the banded-Hamming index of a SEQUENCE-signature corpus
+    * (per-frame video dHashes, windowed audio signatures): each (id, pos,
+    * sig) row is stored under the composite key id * [[PosBase]] + pos, so
+    * the EXISTING Hamming index machinery — batchId partitions, swap
+    * recovery, [[compactHammingIndex]] — serves frame sequences unchanged.
+    * Probe with [[incrementalFrameSigPairs]]. */
+  def writeFrameSigIndex(frames: DataFrame, id: String, pos: String,
+      sig: String, path: String, append: Boolean = false,
+      batchId: Option[Long] = None): Unit = {
+    val comp = spread(frames).select(
+      (col(id).cast("long") * PosBase + col(pos).cast("long")).as("cid"),
+      col(sig).cast("long").as("csig"))
+    writeHammingIndex(comp, "cid", "csig", path, append, batchId)
+  }
+
+  /** Near-duplicate SEQUENCE pairs (a = new-batch id, b = indexed id, d,
+    * n_match) between a NEW batch's frame signatures and a persisted
+    * [[writeFrameSigIndex]] corpus — the incremental form of
+    * [[frameSigPairs]], the production ingestion shape for video: each
+    * incoming clip's sampled-frame hashes probe the stored corpus
+    * (never re-decoded), and a clip matching an indexed one on a
+    * consistent alignment diagonal with >= `minMatch` frames is a
+    * re-encode (d = 0) or trim (d != 0) of it. Positions recover from the
+    * composite key by exact integer div/mod; same-document frame matches
+    * (replay, self-similar clips) are excluded. */
+  def incrementalFrameSigPairs(batch: DataFrame, id: String, pos: String,
+      sig: String, indexPath: String, maxHamming: Int = 3,
+      minMatch: Long = 2, excludeBatch: Option[Long] = None): DataFrame = {
+    require(minMatch >= 1, s"minMatch must be at least 1, got $minMatch")
+    val comp = spread(batch).select(
+      (col(id).cast("long") * PosBase + col(pos).cast("long")).as("cid"),
+      col(sig).cast("long").as("csig"))
+    incrementalHammingPairs(comp, "cid", "csig", indexPath, maxHamming,
+        excludeBatch)
+      // `div`, not `/`: long division through Spark's double `/` loses
+      // bits past the 53-bit mantissa on large composite keys
+      .select(expr(s"a div ${PosBase}L").as("a"),
+        pmod(col("a"), lit(PosBase)).as("pa"),
+        expr(s"b div ${PosBase}L").as("b"),
+        pmod(col("b"), lit(PosBase)).as("pb"))
+      .where(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b"), (col("pa") - col("pb")).as("d"))
+      .agg(count(lit(1)).as("n_match"))
+      .where(col("n_match") >= minMatch)
+  }
+
   /** Fold a grown [[writeHammingIndex]] index's batch partitions back to
     * well-sized base files — the single-table sibling of
     * [[compactBandIndex]], same crash-safe swap and `compactedThrough`

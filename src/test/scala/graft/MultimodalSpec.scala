@@ -798,6 +798,36 @@ class MultimodalSpec extends SparkTestBase {
     assert(!pairs.keys.exists(k => k._1 == 4L || k._2 == 4L))
   }
 
+  test("writeFrameSigIndex + incrementalFrameSigPairs: a new clip's " +
+    "frames probe the persisted composite-key index; diagonals and " +
+    "counts match the one-shot join; same-clip replay does not self-pair") {
+    val src = (0 until 12).map(t => GenVideoFixture.framePx(21, t))
+    val v1f = src.map(GenVideoFixture.encodeJpeg(_, 0.85f))
+    def hashes(media: org.apache.spark.sql.DataFrame) =
+      Multimodal.videoFrameHashes(media, everyMs = 500L).toDF()
+        .where(col("decoded")).select(col("id"), col("frame_idx"), col("dhash"))
+    val indexed = hashes(Seq(
+      (1L, "video", GenVideoFixture.avi(64, 48, 100000L, v1f)))
+      .toDF("id", "kind", "data"))
+    val batch = hashes(Seq(
+      (2L, "video", GenVideoFixture.avi(64, 48, 100000L,
+        src.map(GenVideoFixture.encodeJpeg(_, 0.62f)))),   // re-encode
+      (3L, "video", GenVideoFixture.avi(64, 48, 100000L, v1f.drop(5))), // trim
+      (1L, "video", GenVideoFixture.avi(64, 48, 100000L, v1f))) // replay
+      .toDF("id", "kind", "data"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-vididx").toString + "/idx"
+    graft.operators.Dedup.writeFrameSigIndex(indexed, "id", "frame_idx",
+      "dhash", path)
+    val pairs = graft.operators.Dedup.incrementalFrameSigPairs(batch, "id",
+        "frame_idx", "dhash", path, maxHamming = 3, minMatch = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(p => (p._1, p._2, p._3) -> p._4).toMap
+    assert(pairs((2L, 1L, 0L)) == 3L)  // re-encode: every tick, diagonal 0
+    assert(pairs((3L, 1L, -1L)) == 2L) // 5-frame trim: one tick behind
+    assert(!pairs.keys.exists(k => k._1 == 1L), "replay must not self-pair")
+  }
+
   test("videoStats: planted black and flat frames are counted at the " +
     "sampled ticks; undecodable payloads report decoded = false") {
     def solid(v: Int): Array[Array[Int]] =
