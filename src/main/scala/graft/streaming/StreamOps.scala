@@ -518,6 +518,65 @@ object StreamOps {
     } finally { pairs.unpersist(); b.unpersist() }
   }
 
+  /** Streaming VIDEO near-dup ingestion — the clip-level twin of
+    * [[signatureDedupStream]]: each micro-batch of binary video payloads
+    * (columns `id`, `kind`, `data`) decodes to sampled-frame dHashes
+    * ([[graft.multimodal.Multimodal.videoFrameHashes]] — AVI/MJPEG real
+    * pixels, undecodable clips drop out of the signature flow), pairs
+    * within the batch AND against the persisted frame-signature corpus
+    * ([[graft.operators.Dedup.incrementalFrameSigPairs]] — the stored
+    * clips are never re-decoded), reports (a, b, d, n_match) sequence
+    * matches to `writeBatch`, then commits its own frames into the index
+    * under its batchId partition. Replay-idempotent like every loop here:
+    * a re-delivered batch dynamic-overwrites its own partition and
+    * excludes it from the probe. Operator-internal band caches release at
+    * batch end (CacheScope). `compactEvery` folds the grown index
+    * periodically, same crash-safe swap as the signature loop. */
+  def videoDedupStream(media: DataFrame, everyMs: Long, indexPath: String,
+      maxHamming: Int = 3, minMatch: Long = 2, compactEvery: Int = 0)
+      (writeBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val ce = resolveCompactEvery(media, compactEvery)
+    media.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      videoBatch(batch, batchId, everyMs, indexPath, maxHamming, minMatch,
+        writeBatch)
+      if (compactDue(ce, batchId))
+        graft.operators.Dedup.compactHammingIndex(batch.sparkSession,
+          indexPath, through = Some(batchId - 1))
+    }.start()
+  }
+
+  /** One [[videoDedupStream]] micro-batch — package-visible for the
+    * replay spec, like [[signatureBatch]]. */
+  private[graft] def videoBatch(batch: DataFrame, batchId: Long,
+      everyMs: Long, indexPath: String, maxHamming: Int, minMatch: Long,
+      writeBatch: (DataFrame, Long) => Unit): Unit =
+    graft.util.CacheScope.withScope {
+      import graft.operators.{Dedup, IndexIO}
+      val spark = batch.sparkSession
+      IndexIO.recoverSwap(spark, indexPath)
+      val hasIndex = IndexIO.hasData(spark, s"$indexPath/bands")
+      val frames = graft.multimodal.Multimodal.videoFrameHashes(
+          batch.select(col("id"), col("kind"), col("data")), everyMs).toDF()
+        .where(col("decoded"))
+        .select(col("id"), col("frame_idx"), col("dhash"))
+        .cache()
+      val inBatch = Dedup.frameSigPairs(frames, "id", "frame_idx", "dhash",
+        maxHamming, minMatch)
+      val pairs = (if (hasIndex)
+          inBatch.union(Dedup.incrementalFrameSigPairs(frames, "id",
+            "frame_idx", "dhash", indexPath, maxHamming, minMatch,
+            excludeBatch = Some(batchId)))
+        else inBatch).cache()
+      try {
+        pairs.count() // pin results before the index grows (see dedupBatch)
+        writeBatch(pairs, batchId)
+        if (!frames.isEmpty) // an all-undecodable batch must not commit
+          Dedup.writeFrameSigIndex(frames, "id", "frame_idx", "dhash",
+            indexPath, batchId = Some(batchId))
+      } finally { pairs.unpersist(); frames.unpersist() }
+    }
+
   /** Streaming corpus profiling: every micro-batch appends its
     * [[graft.operators.Profile.partialProfile]] rows (counters + mergeable
     * HLL/Theta sketches) under its own `batch=<id>` partition — an

@@ -871,4 +871,42 @@ class StreamOpsSpec extends SparkTestBase {
         s"late image dup should cross-pair: ${emitted.last}")
     } finally q.stop()
   }
+
+  test("videoDedupStream: real MJPEG clips decode, pair in-batch and " +
+    "against the grown frame index per micro-batch; replay is idempotent") {
+    import graft.streaming.StreamOps
+    val path = java.nio.file.Files.createTempDirectory("graft-viddd").toString + "/idx"
+    val src = (0 until 12).map(t => GenVideoFixture.framePx(21, t))
+    val v1 = GenVideoFixture.avi(64, 48, 100000L, src.map(GenVideoFixture.encodeJpeg(_, 0.85f)))
+    val v2 = GenVideoFixture.avi(64, 48, 100000L, src.map(GenVideoFixture.encodeJpeg(_, 0.62f)))
+    val v3 = GenVideoFixture.avi(64, 48, 100000L,
+      src.drop(5).map(GenVideoFixture.encodeJpeg(_, 0.85f)))
+    val unrelated = GenVideoFixture.avi(64, 48, 100000L,
+      (0 until 10).map(t => GenVideoFixture.encodeJpeg(GenVideoFixture.framePx(77, t + 3), 0.85f)))
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Set[(Long, Long, Long, Long)]]
+    def sink(pairs: org.apache.spark.sql.DataFrame, @annotation.unused bid: Long): Unit =
+      emitted += pairs.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def deliver(bid: Long, rows: (Long, Array[Byte])*): Unit =
+      StreamOps.videoBatch(
+        rows.toDF("id", "data").select(col("id"), lit("video").as("kind"), col("data")),
+        bid, 500L, path, 3, 2L, sink)
+    // batch 0: the base clip + its re-encode pair IN BATCH; one unrelated
+    deliver(0L, 1L -> v1, 2L -> v2, 4L -> unrelated)
+    assert(emitted(0) == Set((1L, 2L, 0L, 3L)))
+    // batch 1: a trimmed late copy — pairs against BOTH stored versions
+    // on the shifted diagonal (a = new clip, b = indexed)
+    deliver(1L, 3L -> v3)
+    assert(emitted(1) == Set((3L, 1L, -1L, 2L), (3L, 2L, -1L, 2L)))
+    // at-least-once replay of committed batch 1: same pairs (its own
+    // partition is excluded from the probe), idempotent index
+    def indexContents() = spark.read.parquet(s"$path/bands").count()
+    val n1 = indexContents()
+    deliver(1L, 3L -> v3)
+    assert(emitted(2) == emitted(1), s"replay emitted ${emitted(2)}")
+    assert(indexContents() == n1, "replay changed the index")
+    // an all-undecodable batch emits nothing and commits nothing
+    deliver(2L, 9L -> "not a container".getBytes)
+    assert(emitted(3).isEmpty && indexContents() == n1)
+  }
 }
