@@ -324,18 +324,22 @@ class MultimodalSpec extends SparkTestBase {
       GenMultimodalFixture.makeWebp("VP8 ", 640, 480, 5),
       GenMultimodalFixture.makeWebp("VP8L", 640, 480, 5),
       GenMultimodalFixture.makeWebp("VP8X", 640, 480, 5),
-      GenMultimodalFixture.makeAvif(640, 480))
+      GenMultimodalFixture.makeAvif(640, 480),
+      GenVideoFixture.avi(64, 48, 100000L, (0 until 3).map(t =>
+        GenVideoFixture.encodeJpeg(GenVideoFixture.framePx(4, t), 0.8f))))
     // a 100 TB crawl truncates files at arbitrary byte offsets: every
     // prefix must parse to Some or None, never throw
     valid.foreach { f =>
       (0 to f.length).foreach { n =>
         Multimodal.parseAvMeta(f.take(n)); Multimodal.parseDimensions(f.take(n))
+        Multimodal.parseAvi(f.take(n))
       }
     }
     val rnd = new scala.util.Random(7)
     (1 to 300).foreach { _ =>
       val b = Array.ofDim[Byte](rnd.nextInt(400)); rnd.nextBytes(b)
       Multimodal.parseAvMeta(b); Multimodal.parseDimensions(b)
+      Multimodal.parseAvi(b)
     }
     // garbage BEHIND a valid magic exercises each walker's bound checks
     val magics = Seq[Array[Byte]](
@@ -365,6 +369,25 @@ class MultimodalSpec extends SparkTestBase {
       0xff.toByte) ++
       Array.fill(5000)(Array(0xae.toByte, 0xff.toByte)).flatten
     assert(Multimodal.parseAvMeta(deep).isEmpty)
+    // adversarial AVI: thousands of nested LIST headers (each declaring
+    // a size running to the container end) must hit parseAvi's depth
+    // bound, not overflow the stack
+    val deepAvi = {
+      val out = new java.io.ByteArrayOutputStream()
+      def le32(v: Long): Unit = (0 until 4).foreach(i =>
+        out.write(((v >> (8 * i)) & 0xff).toInt))
+      out.write("RIFF".getBytes("US-ASCII"))
+      val inner = 5000 * 12
+      le32(4L + inner); out.write("AVI ".getBytes("US-ASCII"))
+      var remaining = inner.toLong
+      (0 until 5000).foreach { _ =>
+        out.write("LIST".getBytes("US-ASCII"))
+        remaining -= 12
+        le32(remaining + 4); out.write("hdrl".getBytes("US-ASCII"))
+      }
+      out.toByteArray
+    }
+    assert(Multimodal.parseAvi(deepAvi).isEmpty)
   }
 
   test("resize and frameSample shrink payloads deterministically") {
