@@ -526,6 +526,52 @@ object IndexTool {
         }
         println(s"""{"action":"audio-fp","path":"${args(1)}",""" +
           s""""out":"$out"}"""); 0
+      case "video-frames" =>
+        // per-sampled-frame perceptual hashes of an AVI/MJPEG corpus
+        // (real container walk + JPEG decode), optionally with
+        // sequence near-dup pairs grouped per alignment diagonal
+        val out = opt(args, "--out").getOrElse {
+          System.err.println(s"video-frames needs --out <parquet>\n$usage")
+          return 2
+        }
+        import org.apache.spark.sql.functions.{col, lit}
+        val idCol = opt(args, "--id").getOrElse("id")
+        val dataCol = opt(args, "--data").getOrElse("data")
+        val everyMs = opt(args, "--every-ms").fold(500L)(_.toLong)
+        graft.multimodal.Multimodal.videoFrameHashes(
+            spark.read.parquet(args(1)).select(
+              col(idCol).cast("long").as("id"), lit("video").as("kind"),
+              col(dataCol).as("data")), everyMs).toDF()
+          .withColumnRenamed("id", idCol)
+          .write.mode("overwrite").parquet(out)
+        opt(args, "--pairs-out").foreach { pairsOut =>
+          graft.operators.Dedup.frameSigPairs(
+              spark.read.parquet(out).where(col("decoded"))
+                .select(col(idCol).as("id"), col("frame_idx"), col("dhash")),
+              "id", "frame_idx", "dhash",
+              opt(args, "--max-hamming").fold(3)(_.toInt),
+              opt(args, "--min-match").fold(2L)(_.toLong))
+            .write.mode("overwrite").parquet(pairsOut)
+        }
+        println(s"""{"action":"video-frames","path":"${args(1)}",""" +
+          s""""out":"$out"}"""); 0
+      case "video-stats" =>
+        // per-clip quality gates (black/flat frame counts, luma mass)
+        val out = opt(args, "--out").getOrElse {
+          System.err.println(s"video-stats needs --out <parquet>\n$usage")
+          return 2
+        }
+        import org.apache.spark.sql.functions.{col, lit}
+        val idCol = opt(args, "--id").getOrElse("id")
+        graft.multimodal.Multimodal.videoStats(
+            spark.read.parquet(args(1)).select(
+              col(idCol).cast("long").as("id"), lit("video").as("kind"),
+              col(opt(args, "--data").getOrElse("data")).as("data")),
+            opt(args, "--every-ms").fold(500L)(_.toLong)).toDF()
+          .withColumnRenamed("id", idCol)
+          .write.mode("overwrite").parquet(out)
+        println(s"""{"action":"video-stats","path":"${args(1)}",""" +
+          s""""out":"$out"}"""); 0
       case "image-stats" =>
         // image quality-gate signals parquet -> parquet (real decode)
         val out = opt(args, "--out").getOrElse {
@@ -675,6 +721,8 @@ object IndexTool {
       |  image-resize <srcParquet> --out <parquet> [--box 256x256] [--id id] [--data data] [--kind kindCol]
       |  image-stats <srcParquet> --out <parquet> [--id id] [--data data] [--kind kindCol]
       |  audio-stats <srcParquet> --out <parquet> [--id id] [--data data] [--kind kindCol]
+      |  video-frames <srcParquet> --out <parquet> [--id id] [--data data] [--every-ms 500] [--pairs-out <parquet> [--max-hamming 3] [--min-match 2]]
+      |  video-stats <srcParquet> --out <parquet> [--id id] [--data data] [--every-ms 500]
       |  profile <srcParquet|profileDir> --out <parquet> [--keys k1,k2] [--text text] [--append] [--batch N] [--merge] [--series [--batch-col c]]
       |  overlap <aParquet> --other <bParquet> [--text text] [--other-text text]""".stripMargin
 }

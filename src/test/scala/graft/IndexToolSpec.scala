@@ -352,6 +352,51 @@ class IndexToolSpec extends SparkTestBase {
       "--other", s"$root/b1")) == 0)
     assert(IndexTool.run(spark, Array("profile", s"$root/b0")) == 2)
     assert(IndexTool.run(spark, Array("overlap", s"$root/b0")) == 2)
+    // --series over --batch-stamped partials: per-batch + cumulative rows
+    assert(IndexTool.run(spark, Array("profile", s"$root/b0",
+      "--out", s"$root/ser", "--keys", "lang", "--batch", "0")) == 0)
+    assert(IndexTool.run(spark, Array("profile", s"$root/b1",
+      "--out", s"$root/ser", "--keys", "lang", "--append", "--batch", "1")) == 0)
+    assert(IndexTool.run(spark, Array("profile", s"$root/ser",
+      "--out", s"$root/series", "--keys", "lang", "--series")) == 0)
+    val ser = spark.read.parquet(s"$root/series").collect()
+      .map(r => (r.getAs[String]("__k0"), r.getAs[Long]("batch")) -> r).toMap
+    assert(ser.size == 4) // 2 langs x 2 batches
+    assert(ser(("en", 1L)).getAs[Long]("cum_n_docs") == 300)
+    // batch 1's texts repeat batch 0's (only doc_ids differ): the
+    // cumulative sketch must not grow — the stalled-crawl signal
+    assert(ser(("en", 1L)).getAs[Long]("delta_est_docs") == 0)
+    assert(ser(("en", 1L)).getAs[Long]("cum_est_distinct_docs") ==
+      ser(("en", 0L)).getAs[Long]("cum_est_distinct_docs"))
+  }
+
+  test("IndexTool: video-frames hashes MJPEG clips with sequence pairs; " +
+    "video-stats reports the black/flat gates; missing flags exit 2") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-vidtool").toString
+    val src = (0 until 12).map(t => GenVideoFixture.framePx(21, t))
+    val v1 = GenVideoFixture.avi(64, 48, 100000L,
+      src.map(GenVideoFixture.encodeJpeg(_, 0.85f)))
+    val v2 = GenVideoFixture.avi(64, 48, 100000L,
+      src.map(GenVideoFixture.encodeJpeg(_, 0.62f)))
+    Seq((1L, v1), (2L, v2), (9L, "garbage".getBytes))
+      .toDF("id", "data").write.parquet(s"$root/vids")
+    assert(IndexTool.run(spark, Array("video-frames", s"$root/vids",
+      "--out", s"$root/fr", "--pairs-out", s"$root/pairs")) == 0)
+    val fr = spark.read.parquet(s"$root/fr")
+    assert(fr.where(col("decoded")).count() == 6) // 3 ticks x 2 clips
+    assert(fr.where(!col("decoded")).count() == 1)
+    val pairs = spark.read.parquet(s"$root/pairs")
+      .as[(Long, Long, Long, Long)].collect().map(p => (p._1, p._2, p._3) -> p._4).toMap
+    assert(pairs((1L, 2L, 0L)) == 3L)
+    assert(IndexTool.run(spark, Array("video-stats", s"$root/vids",
+      "--out", s"$root/vs")) == 0)
+    val vs = spark.read.parquet(s"$root/vs").collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    assert(vs(1L).getAs[Boolean]("decoded") && vs(1L).getAs[Int]("nSampled") == 3)
+    assert(!vs(9L).getAs[Boolean]("decoded"))
+    assert(IndexTool.run(spark, Array("video-frames", s"$root/vids")) == 2)
+    assert(IndexTool.run(spark, Array("video-stats", s"$root/vids")) == 2)
   }
 
   test("IndexTool: dsir weights/selects and dedup-substr cuts repeated " +
