@@ -2183,6 +2183,57 @@ object Queries {
       |WHERE bit_count(xor(x.dhash, y.dhash)) <= 3
       |ORDER BY a, b""".stripMargin
 
+  // -- windowed audio SEQUENCE signatures + containment near-dup: the
+  //    audio twin of the video frame family — fixed 250 ms windows each
+  //    carry their own energy-gradient signature, so a clip trimmed by
+  //    whole windows (or re-encoded as IEEE-float) matches the original on
+  //    an alignment diagonal, which one whole-clip fingerprint cannot see.
+  //    Expected signatures computed by the generator from the raw samples
+  //    it synthesized; the float clip proves lattice equivalence ACROSS
+  //    sample formats under the hash gate.
+  private lazy val audioSeqMediaFixture: String = fixturePath("audio_seq_media.parquet")
+  private lazy val audioSeqWindowsFixture: String = fixturePath("audio_seq_windows.parquet")
+
+  private val audioSeq: (SparkSession, String) => DataFrame = (s, _) => {
+    val media = s.read.parquet(audioSeqMediaFixture)
+      .select(col("media_id").as("id"), col("kind"), col("data"))
+    graft.multimodal.Multimodal.audioSeqSignatures(media, windowMs = 250L)
+      .toDF()
+      .select(col("id").as("media_id"), col("window_idx"), col("decoded"),
+        col("sig"))
+      .orderBy(col("media_id"), col("window_idx"))
+  }
+
+  private val audioSeqSql =
+    s"""SELECT media_id, window_idx, decoded, sig
+      |FROM '$audioSeqWindowsFixture'
+      |ORDER BY media_id, window_idx""".stripMargin
+
+  private val audioSeqNearDup: (SparkSession, String) => DataFrame = (s, _) => {
+    val media = s.read.parquet(audioSeqMediaFixture)
+      .select(col("media_id").as("id"), col("kind"), col("data"))
+    val sigs = graft.multimodal.Multimodal.audioSeqSignatures(media, 250L)
+      .toDF().where(col("decoded"))
+      .select(col("id"), col("window_idx"), col("sig"))
+    graft.operators.Dedup.frameSigPairs(sigs, "id", "window_idx", "sig",
+        maxHamming = 3, minMatch = 2)
+      .orderBy(col("a"), col("b"), col("d"))
+  }
+
+  private val audioSeqNearDupSql =
+    s"""WITH f AS (
+      |  SELECT media_id, window_idx, sig FROM '$audioSeqWindowsFixture'
+      |  WHERE decoded AND sig IS NOT NULL AND sig <> 0),
+      |m AS (
+      |  SELECT DISTINCT x.media_id AS a, y.media_id AS b,
+      |    x.window_idx AS pa, y.window_idx AS pb
+      |  FROM f x JOIN f y ON x.media_id < y.media_id
+      |  WHERE bit_count(xor(x.sig, y.sig)) <= 3)
+      |SELECT a, b, (pa - pb)::BIGINT AS d, count(*)::BIGINT AS n_match
+      |FROM m GROUP BY a, b, pa - pb
+      |HAVING count(*) >= 2
+      |ORDER BY a, b, d""".stripMargin
+
   // -- incremental VIDEO near-dup: clips 1/4/7 index their sampled-frame
   //    dHashes ONCE under composite (clip, position) keys in the persisted
   //    Hamming index; the later-arriving batch (the re-encoded clip 2 and
@@ -3427,6 +3478,8 @@ object Queries {
     "q_video_neardup" -> videoNearDup,
     "q_video_stats"   -> videoStats,
     "q_video_incr"    -> videoIncr,
+    "q_audio_seq"     -> audioSeq,
+    "q_audio_seq_neardup" -> audioSeqNearDup,
     "q_warc_read"     -> warcRead,
     "q_html_text"     -> htmlText,
     "q_url_dedup"     -> urlDedup,
@@ -3535,6 +3588,8 @@ object Queries {
     "q_video_neardup" -> videoNearDupSql,
     "q_video_stats"   -> videoStatsSql,
     "q_video_incr"    -> videoIncrSql,
+    "q_audio_seq"     -> audioSeqSql,
+    "q_audio_seq_neardup" -> audioSeqNearDupSql,
     "q_audio_neardup" -> audioNearDupSql,
     "q_warc_read"     -> warcReadSql,
     "q_html_text"     -> htmlTextSql,

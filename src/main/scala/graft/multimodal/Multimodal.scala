@@ -1641,4 +1641,150 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRow].mapPartitions(audioFingerprintBatch)
   }
+
+  /** One time-window's signature row ([[audioSeqSignatures]]). Undecodable
+    * payloads emit a single `decoded = false` marker row. */
+  final case class AudioSeqRow(id: Long, kind: String, nBytes: Long,
+      decoded: Boolean, sampleRate: Int, channels: Int, window_idx: Int,
+      sig: Option[Long])
+
+  /** Windowed audio SEQUENCE signatures — the audio twin of per-frame
+    * video hashes, for CONTAINMENT and partial-overlap detection that one
+    * whole-clip fingerprint structurally cannot see (a 3-second jingle
+    * inside an hour of audio dilutes the global energy envelope to
+    * nothing): the sample stream splits into fixed `windowMs` time
+    * windows, and each COMPLETE window gets its own 64-bit energy-gradient
+    * signature (the [[audioFingerprintBatch]] recipe — 65 equal
+    * sub-buckets, floor-mean absolute amplitude, bit i = bucket i strictly
+    * louder than i+1 — applied per window; the trailing partial window is
+    * dropped so every emitted signature is a pure function of exactly
+    * `windowMs` of audio, and a copy trimmed by whole windows matches the
+    * original's remaining windows bit-for-bit on a shifted diagonal).
+    * Feed (id, window_idx, sig) to
+    * [[graft.operators.Dedup.frameSigPairs]] /
+    * [[graft.operators.Dedup.incrementalFrameSigPairs]] — the same
+    * sequence-signature joins and persisted index that serve video frames.
+    *
+    * Decode contract identical to [[audioFingerprintBatch]]: WAV/AIFF,
+    * integer PCM 8/16/24/32 and IEEE-float 32/64 via the 16-bit lattice,
+    * honest frame count, refuse-don't-crash. One O(buffer + 65) streaming
+    * pass per row — window state never exceeds the 65 sub-bucket
+    * accumulators however long the clip. */
+  def audioSeqSignatures(media: DataFrame, windowMs: Long)
+      : Dataset[AudioSeqRow] = {
+    require(windowMs > 0, s"windowMs must be positive, got $windowMs")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.flatMap { r =>
+      val n = r.data.length.toLong
+      decodeAudioSeq(r.data, windowMs) match {
+        case Some((sr, ch, sigs)) if sigs.nonEmpty =>
+          sigs.iterator.zipWithIndex.map { case (sig, w) =>
+            AudioSeqRow(r.id, r.kind, n, decoded = true, sr, ch, w, Some(sig))
+          }
+        case _ =>
+          Iterator.single(AudioSeqRow(r.id, r.kind, n, decoded = false,
+            0, 0, 0, None))
+      }
+    })
+  }
+
+  /** (sampleRate, channels, per-complete-window signatures) of a PCM or
+    * IEEE-float payload, or None for anything AudioSystem cannot read. */
+  private[multimodal] def decodeAudioSeq(data: Array[Byte], windowMs: Long)
+      : Option[(Int, Int, IndexedSeq[Long])] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val ais =
+      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(data))
+      catch { case _: Exception => return None }
+    try {
+      val fmt = ais.getFormat
+      val enc = fmt.getEncoding
+      val bits = fmt.getSampleSizeInBits
+      val ch = fmt.getChannels
+      val frameSize = fmt.getFrameSize
+      val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+      val unsigned = enc == AudioFormat.Encoding.PCM_UNSIGNED
+      val isFloat = enc == AudioFormat.Encoding.PCM_FLOAT
+      if (!(signed || unsigned || isFloat) || ch <= 0 || frameSize <= 0 ||
+        !(if (isFloat) Seq(32, 64) else Seq(8, 16, 24, 32)).contains(bits) ||
+        frameSize != ch * (bits / 8)) return None
+      val rate = fmt.getSampleRate.toInt
+      if (rate <= 0) return None
+      // frames per window, floor — a window shorter than its 65 buckets
+      // cannot carry a meaningful gradient
+      val spw = rate.toLong * windowMs / 1000L
+      if (spw < 65) return None
+      val header = ais.getFrameLength
+      val avail = ais.available().toLong / frameSize
+      val nFrames = math.min(if (header > 0) header else Long.MaxValue, avail)
+      if (nFrames <= 0) return None
+      val bytesPer = bits / 8
+      val big = fmt.isBigEndian
+      val center = if (unsigned) 1L << (bits - 1) else 0L
+      val sigs = scala.collection.mutable.ArrayBuffer[Long]()
+      val sums = new Array[Long](65)
+      val cnts = new Array[Long](65)
+      def flushWindow(): Unit = {
+        val mean = (0 until 65).map(i =>
+          if (cnts(i) == 0) 0L else sums(i) / cnts(i))
+        var bitsOut = 0L
+        var i = 0
+        while (i < 64) {
+          if (mean(i) > mean(i + 1)) bitsOut |= 1L << i
+          i += 1
+        }
+        sigs += bitsOut
+        java.util.Arrays.fill(sums, 0L)
+        java.util.Arrays.fill(cnts, 0L)
+      }
+      val buf = new Array[Byte](frameSize * 1024)
+      var frame = 0L
+      var carry = 0
+      var done = false
+      while (!done && frame < nFrames) {
+        val got = ais.read(buf, carry, buf.length - carry)
+        if (got <= 0) done = true
+        else {
+          val total = carry + got
+          val frames = total / frameSize
+          var f = 0
+          while (f < frames && frame < nFrames) {
+            val base = f * frameSize
+            var mixed = 0L
+            var c = 0
+            while (c < ch) {
+              val off = base + c * bytesPer
+              var v = 0L
+              if (big) {
+                v = buf(off).toLong
+                var k = 1
+                while (k < bytesPer) { v = (v << 8) | (buf(off + k) & 0xffL); k += 1 }
+              } else {
+                v = buf(off + bytesPer - 1).toLong
+                var k = bytesPer - 2
+                while (k >= 0) { v = (v << 8) | (buf(off + k) & 0xffL); k -= 1 }
+              }
+              if (isFloat) v = floatToLattice(v, bits)
+              else if (unsigned) v = (v & ((1L << bits) - 1)) - center
+              mixed += v
+              c += 1
+            }
+            val inWin = frame % spw
+            val b = (inWin * 65L / spw).toInt
+            sums(b) += math.abs(mixed)
+            cnts(b) += 1
+            frame += 1
+            if (inWin == spw - 1) flushWindow() // window complete
+            f += 1
+          }
+          carry = total - frames * frameSize
+          if (carry > 0) System.arraycopy(buf, frames * frameSize, buf, 0, carry)
+        }
+      }
+      // the trailing PARTIAL window is dropped by design (no flush)
+      Some((rate, ch, sigs.toIndexedSeq))
+    } catch { case _: Exception => None }
+    finally ais.close()
+  }
 }

