@@ -372,6 +372,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
     *               "split" | "scrub_pii" | "gopher" | "quantile_cut" |
     *               "ccnet_keep" | "profile_series" |
     *               "video_frames" | "video_neardup" | "video_stats" |
+    *               "audio_seq" | "audio_seq_neardup" |
     *               "lm_bigram" | "lm_train" | "lm_score" | "random_project" |
     *               "image_hash" | "audio_fp" | "image_stats" |
     *               "audio_stats" | "profile" | "overlap",
@@ -479,7 +480,8 @@ final class SimSearchService(spark: SparkSession, port: Int,
         "lm_bigram",
         "lm_train", "lm_score", "random_project", "image_hash", "audio_fp",
         "image_stats", "audio_stats", "profile", "profile_series",
-        "overlap", "video_frames", "video_neardup", "video_stats")
+        "overlap", "video_frames", "video_neardup", "video_stats",
+        "audio_seq", "audio_seq_neardup")
       if (!knownOps.contains(opName))
         throw new IllegalArgumentException(
           s"unknown operator '$opName' — one of ${knownOps.mkString(", ")}")
@@ -688,6 +690,28 @@ final class SimSearchService(spark: SparkSession, port: Int,
             .where(col("decoded")).select(col("id"), col("frame_idx"), col("dhash"))
           graft.operators.Dedup.frameSigPairs(hashed, "id", "frame_idx",
             "dhash", params.path("max_hamming").asInt(3),
+            params.path("min_match").asLong(2L))
+        case "audio_seq" =>
+          // windowed audio sequence signatures of a binary column — the
+          // containment-detection front end (video_frames' audio twin)
+          val dataCol = params.path("data_column").asText("data")
+          graft.multimodal.Multimodal.audioSeqSignatures(
+              df.select(col(idCol).cast("long").as("id"),
+                lit("audio").as("kind"), col(dataCol).as("data")),
+              windowMs = params.path("window_ms").asLong(250L)).toDF()
+            .withColumnRenamed("id", idCol)
+        case "audio_seq_neardup" =>
+          // sequence containment pairs (a, b, diagonal, n_match) over a
+          // binary audio column
+          val dataCol = params.path("data_column").asText("data")
+          val sigs = graft.multimodal.Multimodal.audioSeqSignatures(
+              df.select(col(idCol).cast("long").as("id"),
+                lit("audio").as("kind"), col(dataCol).as("data")),
+              windowMs = params.path("window_ms").asLong(250L)).toDF()
+            .where(col("decoded"))
+            .select(col("id"), col("window_idx"), col("sig"))
+          graft.operators.Dedup.frameSigPairs(sigs, "id", "window_idx",
+            "sig", params.path("max_hamming").asInt(3),
             params.path("min_match").asLong(2L))
         case "video_stats" =>
           // per-clip quality gates (black/flat sampled-frame counts, luma
