@@ -878,10 +878,17 @@ object Multimodal {
     * caller decides what an empty cell means. All-integer: no resampling
     * filter, no float accumulation, so the average is a pure function of
     * the decoded pixels. */
-  private def gridSums(img: java.awt.image.BufferedImage, gw: Int, gh: Int)
-      : (Array[Long], Array[Long]) = {
+  private def gridSums(img: java.awt.image.BufferedImage, gw: Int, gh: Int,
+      orientation: Int = 1): (Array[Long], Array[Long]) = {
     val w = img.getWidth
     val h = img.getHeight
+    // EXIF orientations 5-8 transpose the DISPLAY geometry; the grid is
+    // laid over display coordinates so two copies of one scene that differ
+    // only in stored rotation land on the same cells. The transform runs
+    // per COORDINATE, never copies pixels — memory stays O(width).
+    val swap = orientation >= 5
+    val dw = if (swap) h else w
+    val dh = if (swap) w else h
     val sums = new Array[Long](gw * gh)
     val counts = new Array[Long](gw * gh)
     val row = new Array[Int](w)
@@ -890,10 +897,22 @@ object Multimodal {
       // one bulk sRGB conversion per ROW: memory stays O(width) however
       // large the image, and the per-pixel getRGB call overhead is gone
       img.getRGB(0, y, w, 1, row, 0, w)
-      val gy = (y.toLong * gh / h).toInt
       var x = 0
       while (x < w) {
-        val c = gy * gw + (x.toLong * gw / w).toInt
+        // stored (x, y) -> display (dx, dy), per the published EXIF table
+        val dx = orientation match {
+          case 2 | 3 => w - 1 - x
+          case 6 | 7 => h - 1 - y
+          case 5 | 8 => y
+          case _ => x
+        }
+        val dy = orientation match {
+          case 3 | 4 => h - 1 - y
+          case 7 | 8 => w - 1 - x
+          case 5 | 6 => x
+          case _ => y
+        }
+        val c = (dy.toLong * gh / dh).toInt * gw + (dx.toLong * gw / dw).toInt
         sums(c) += luma(row(x))
         counts(c) += 1
         x += 1
@@ -901,6 +920,57 @@ object Multimodal {
       y += 1
     }
     (sums, counts)
+  }
+
+  /** The EXIF orientation (1-8) of a JPEG payload, 1 (normal) when absent
+    * or unparseable — a marker walk to APP1/"Exif\0\0", then the TIFF
+    * header it embeds (II/MM endian, magic 42, IFD0 offset) and IFD0's
+    * 12-byte entries looking for tag 0x0112 (SHORT, inline value). Every
+    * read is bounds-checked; corrupt EXIF degrades to 1, never throws.
+    * Real cameras write rotated sensor data with this tag instead of
+    * rotating pixels — two copies of one photo that differ only in stored
+    * rotation must hash as the near-duplicates they are. */
+  def exifOrientation(data: Array[Byte]): Int = {
+    def u8(i: Int): Int = data(i) & 0xff
+    if (data.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return 1
+    var i = 2
+    while (i + 4 <= data.length && u8(i) == 0xff) {
+      val marker = u8(i + 1)
+      if (marker == 0xda || marker == 0xd9) return 1 // SOS/EOI: no APP1
+      val len = (u8(i + 2) << 8) | u8(i + 3)
+      if (len < 2 || i + 2 + len > data.length) return 1
+      if (marker == 0xe1 && len >= 16 &&
+          new String(data, i + 4, 6, java.nio.charset.StandardCharsets.US_ASCII)
+            == "Exif\u0000\u0000") {
+        val t = i + 10 // TIFF header start
+        val big = u8(t) == 'M' && u8(t + 1) == 'M'
+        val little = u8(t) == 'I' && u8(t + 1) == 'I'
+        if (!big && !little) return 1
+        def u16(p: Int): Int =
+          if (big) (u8(p) << 8) | u8(p + 1) else u8(p) | (u8(p + 1) << 8)
+        def u32(p: Int): Long =
+          if (big) (u16(p).toLong << 16) | u16(p + 2)
+          else u16(p).toLong | (u16(p + 2).toLong << 16)
+        val end = i + 2 + len
+        if (t + 8 > end || u16(t + 2) != 42) return 1
+        val ifd = t + u32(t + 4)
+        if (ifd < t || ifd + 2 > end) return 1
+        val n = u16(ifd.toInt)
+        var e = 0
+        while (e < n) {
+          val p = ifd.toInt + 2 + e * 12
+          if (p + 12 > end) return 1
+          if (u16(p) == 0x0112 && u16(p + 2) == 3 && u32(p + 4) == 1L) {
+            val v = u16(p + 8)
+            return if (v >= 1 && v <= 8) v else 1
+          }
+          e += 1
+        }
+        return 1
+      }
+      i += 2 + len
+    }
+    1
   }
 
   /** aHash (average hash): 8x8 box-averaged luma, bit y*8+x set iff the
@@ -981,8 +1051,13 @@ object Multimodal {
       if (img == null)
         ImageHashRow(r.id, r.kind, n, decoded = false, w0, h0, None, None)
       else {
-        val (s8, c8) = gridSums(img, 8, 8)
-        val (s9, c9) = gridSums(img, 9, 8)
+        // hash over DISPLAY geometry: a camera's EXIF-rotated re-encode of
+        // the same scene must land within near-dup range of the upright
+        // copy. width/height stay the STORED dims (the container's claim,
+        // consistent with the undecoded branch's header sniff).
+        val o = exifOrientation(r.data)
+        val (s8, c8) = gridSums(img, 8, 8, o)
+        val (s9, c9) = gridSums(img, 9, 8, o)
         ImageHashRow(r.id, r.kind, n, decoded = true,
           img.getWidth, img.getHeight,
           Some(aHash64(s8, c8)), Some(dHash64(s9, c9)))

@@ -133,6 +133,60 @@ object GenImagePhashFixture {
     out.toByteArray
   }
 
+  // ---- EXIF-orientation helpers (standalone, independent of the engine)
+
+  /** Rotate a pixel array 90 degrees clockwise. */
+  def rot90cw(px: Array[Array[Int]]): Array[Array[Int]] = {
+    val h = px.length; val w = px(0).length
+    Array.tabulate(w, h)((r, c) => px(h - 1 - c)(r))
+  }
+
+  /** Apply the published EXIF stored-to-display transform (orientation
+    * 1-8) to a pixel array. */
+  def displayPx(px: Array[Array[Int]], o: Int): Array[Array[Int]] = {
+    val h = px.length; val w = px(0).length
+    val (dw, dh) = if (o >= 5) (h, w) else (w, h)
+    val out = Array.ofDim[Int](dh, dw)
+    for (y <- 0 until h; x <- 0 until w) {
+      val dx = o match {
+        case 2 | 3 => w - 1 - x
+        case 6 | 7 => h - 1 - y
+        case 5 | 8 => y
+        case _ => x
+      }
+      val dy = o match {
+        case 3 | 4 => h - 1 - y
+        case 7 | 8 => w - 1 - x
+        case 5 | 6 => x
+        case _ => y
+      }
+      out(dy)(dx) = px(y)(x)
+    }
+    out
+  }
+
+  /** Inject a minimal EXIF APP1 segment (TIFF II header, IFD0 with the
+    * single orientation tag) right after a JPEG's SOI marker — the layout
+    * real cameras write, hand-built per the published TIFF/EXIF spec. */
+  def withExifOrientation(jpeg: Array[Byte], o: Int): Array[Byte] = {
+    require(jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8)
+    val tiff = {
+      val b = new java.io.ByteArrayOutputStream()
+      def le16(v: Int): Unit = { b.write(v & 0xff); b.write((v >> 8) & 0xff) }
+      def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
+      b.write(0x49); b.write(0x49); le16(42); le32(8) // II, magic, IFD0 at 8
+      le16(1)                                         // one entry
+      le16(0x0112); le16(3); le32(1); le16(o); le16(0) // orientation SHORT
+      le32(0)                                         // no next IFD
+      b.toByteArray
+    }
+    val payload = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
+    val seg = Array(0xff.toByte, 0xe1.toByte,
+      (((payload.length + 2) >> 8) & 0xff).toByte,
+      ((payload.length + 2) & 0xff).toByte) ++ payload
+    jpeg.take(2) ++ seg ++ jpeg.drop(2)
+  }
+
   // ---- standalone expected-resize arithmetic (channel-wise floor box
   // ---- average onto the scale-to-fit grid; independent of the engine)
 
@@ -260,6 +314,50 @@ object GenImagePhashFixture {
     val sameOtherFormat = imgRow(102L, "bmp", "bmp", basePx)
     require(sameOtherFormat.dhash.get == baseD)
 
+    // EXIF-rotated near-dup pair: 103 = upright JPEG; 104 = the SAME scene
+    // stored rotated 90 CW with EXIF orientation 8 (display = rotate 270
+    // CW back). Expected hashes come from the pixels ImageIO decodes out
+    // of each JPEG (lossy codec - decoded pixels are the ground truth),
+    // with 104's grid laid over the DISPLAY geometry via the standalone
+    // transform; a camera's rotated re-encode must land in near-dup range
+    // of the upright copy, which unoriented hashing provably misses.
+    def jpegRow(id: Long, jpeg: Array[Byte], o: Int): Row = {
+      val stored = GenVideoFixture.decodePx(jpeg)
+      val disp = displayPx(stored, o)
+      val (sp, ss, smn, smx, sg, se) = expectedStats(stored) // rotation-invariant
+      // dims <= the 32x32 resize box: pass-through, re-hash = main hash
+      Row(id, "jpg", jpeg, decoded = true,
+        stored(0).length, stored.length, // STORED dims, the engine contract
+        Some(expectedAHash(disp)), Some(expectedDHash(disp)),
+        r_resized = false, stored(0).length, stored.length,
+        Some(expectedAHash(disp)), Some(expectedDHash(disp)),
+        sp, ss, smn, smx, sg, se)
+    }
+    // radial luma bowl + soft block texture: non-monotone in BOTH axes so
+    // the dHash gradient bits point in mixed directions (a plain gradient
+    // card is monotone left-to-right at this size and dHashes to the
+    // all-zero contentless code, which the banded joins exclude)
+    val scene = Array.tabulate(20, 28) { (y, x) =>
+      val r2 = (x - 14) * (x - 14) * 100 / 196 + (y - 10) * (y - 10) * 100 / 100
+      val v = math.min(255, 30 + r2 + ((x / 7 + y / 5) * 37) % 48)
+      (v << 16) | (v << 8) | v
+    }
+    val upright = jpegRow(103L, GenVideoFixture.encodeJpeg(scene, 0.9f), 1)
+    val rotated = jpegRow(104L,
+      withExifOrientation(
+        GenVideoFixture.encodeJpeg(rot90cw(scene), 0.9f), 8), 8)
+    locally {
+      require(upright.dhash.get != 0L && rotated.dhash.get != 0L,
+        "EXIF pair content dHashed to the contentless code")
+      val hd = hamming(upright.dhash.get, rotated.dhash.get)
+      require(hd <= 3, s"EXIF pair drifted to hamming $hd")
+      // and WITHOUT orientation the stored-geometry hash is far away -
+      // the pair exists only because of the display transform
+      val raw = expectedDHash(GenVideoFixture.decodePx(rotated.data))
+      require(hamming(upright.dhash.get, raw) > 3,
+        "unoriented hash accidentally matches; the fixture would not prove the feature")
+    }
+
     // corrupt / hostile rows
     val truncated = {
       val whole = encodeLossless(drawCard(64, 64, 11), "png")
@@ -273,7 +371,8 @@ object GenImagePhashFixture {
       decoded = false, 0, 0, None, None, r_resized = false, 0, 0, None, None,
       0L, 0L, 0, 0, s_is_gray = false, 0L)
 
-    val rows = cards ++ nearDups ++ Seq(sameOtherFormat, truncated, bomb, garbage)
+    val rows = cards ++ nearDups ++
+      Seq(sameOtherFormat, upright, rotated, truncated, bomb, garbage)
 
     // fixture-level sanity: at least one hamming<=3 pair exists among
     // DISTINCT decodable signatures, so the near-dup oracle is non-trivial

@@ -732,6 +732,62 @@ class MultimodalSpec extends SparkTestBase {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("exifOrientation: II and MM TIFF layouts parse; absent, corrupt, " +
+    "or out-of-range tags degrade to 1; oriented hashing pairs a rotated " +
+    "re-encode with its upright copy across all 8 orientations") {
+    val scene = Array.tabulate(20, 28) { (y, x) =>
+      val r2 = (x - 14) * (x - 14) * 100 / 196 + (y - 10) * (y - 10) * 100 / 100
+      val v = math.min(255, 30 + r2 + ((x / 7 + y / 5) * 37) % 48)
+      (v << 16) | (v << 8) | v
+    }
+    val plain = GenVideoFixture.encodeJpeg(scene, 0.9f)
+    assert(Multimodal.exifOrientation(plain) == 1)           // no APP1
+    assert(Multimodal.exifOrientation("x".getBytes) == 1)    // not a JPEG
+    (1 to 8).foreach { o =>
+      assert(Multimodal.exifOrientation(
+        GenImagePhashFixture.withExifOrientation(plain, o)) == o)
+    }
+    // out-of-range tag value and truncated APP1 both degrade to 1
+    assert(Multimodal.exifOrientation(
+      GenImagePhashFixture.withExifOrientation(plain, 9)) == 1)
+    val truncated = GenImagePhashFixture.withExifOrientation(plain, 6).take(14)
+    assert(Multimodal.exifOrientation(truncated) == 1)
+    // MM (big-endian) layout: hand-build the same IFD big-endian
+    val mm = {
+      val b = new java.io.ByteArrayOutputStream()
+      def be16(v: Int): Unit = { b.write((v >> 8) & 0xff); b.write(v & 0xff) }
+      def be32(v: Int): Unit = { be16((v >> 16) & 0xffff); be16(v & 0xffff) }
+      b.write('M'); b.write('M'); be16(42); be32(8)
+      be16(1); be16(0x0112); be16(3); be32(1); be16(5); be16(0); be32(0)
+      val payload = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ b.toByteArray
+      plain.take(2) ++ Array(0xff.toByte, 0xe1.toByte,
+        (((payload.length + 2) >> 8) & 0xff).toByte,
+        ((payload.length + 2) & 0xff).toByte) ++ payload ++ plain.drop(2)
+    }
+    assert(Multimodal.exifOrientation(mm) == 5)
+    // end-to-end: every orientation's stored+tagged re-encode hashes into
+    // near-dup range of the upright copy (JPEG artifacts allow hamming<=3)
+    def stored(o: Int): Array[Array[Int]] = {
+      // invert the display transform: find the stored array whose display
+      // under o is `scene` — brute force via the generator's displayPx
+      // (apply to candidates): for orientations 1-4 display dims match,
+      // 5-8 transpose; search is overkill — displayPx is an involution
+      // composition, so just apply the INVERSE orientation
+      val inv = Map(1 -> 1, 2 -> 2, 3 -> 3, 4 -> 4, 5 -> 5, 6 -> 8, 7 -> 7, 8 -> 6)(o)
+      GenImagePhashFixture.displayPx(scene, inv)
+    }
+    val upright = Multimodal.imageHash(Seq((0L, "jpg", plain))
+      .toDF("id", "kind", "data")).head().dhash.get
+    (2 to 8).foreach { o =>
+      val jpeg = GenImagePhashFixture.withExifOrientation(
+        GenVideoFixture.encodeJpeg(stored(o), 0.9f), o)
+      val h = Multimodal.imageHash(Seq((o.toLong, "jpg", jpeg))
+        .toDF("id", "kind", "data")).head().dhash.get
+      assert(java.lang.Long.bitCount(upright ^ h) <= 3,
+        s"orientation $o drifted to hamming ${java.lang.Long.bitCount(upright ^ h)}")
+    }
+  }
+
   // ------------------------------------------------ AVI/MJPEG video decode
 
   /** A tiny MJPEG AVI via the fixture generator's independent RIFF
