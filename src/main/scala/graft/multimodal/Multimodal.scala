@@ -1375,17 +1375,29 @@ object Multimodal {
         val (w0, h0) = dims.getOrElse((0, 0))
         ResizedRow(r.id, r.kind, decoded = false, resized = false, w0, h0, r.data)
       } else if (img.getWidth <= maxW && img.getHeight <= maxH)
+        // pass-through stays BYTE-IDENTICAL by contract, EXIF tag and all —
+        // an already-fitting photo keeps its original container, and any
+        // orientation-aware consumer still sees the tag
         ResizedRow(r.id, r.kind, decoded = true, resized = false,
           img.getWidth, img.getHeight, r.data)
       else {
         val w = img.getWidth
         val h = img.getHeight
+        // thumbnails bake the EXIF orientation in: the PNG re-encode
+        // carries no tag, so an unoriented output would display rotated.
+        // Fit computes over DISPLAY dims; accumulation maps each stored
+        // pixel to its display cell (same per-coordinate transform as the
+        // hash grids — no pixel copy, memory still O(source width)).
+        val o = exifOrientation(r.data)
+        val swap = o >= 5
+        val dw = if (swap) h else w
+        val dh = if (swap) w else h
         // scale to fit: the tighter axis pins to its bound, the other
         // scales by the same rational factor (floor, >= 1)
         val (outW, outH) =
-          if (w.toLong * maxH <= h.toLong * maxW)
-            (math.max(1, (w.toLong * maxH / h).toInt), maxH)
-          else (maxW, math.max(1, (h.toLong * maxW / w).toInt))
+          if (dw.toLong * maxH <= dh.toLong * maxW)
+            (math.max(1, (dw.toLong * maxH / dh).toInt), maxH)
+          else (maxW, math.max(1, (dh.toLong * maxW / dw).toInt))
         val rs = new Array[Long](outW * outH)
         val gs = new Array[Long](outW * outH)
         val bs = new Array[Long](outW * outH)
@@ -1394,10 +1406,22 @@ object Multimodal {
         var y = 0
         while (y < h) {
           img.getRGB(0, y, w, 1, row, 0, w)
-          val gy = (y.toLong * outH / h).toInt
           var x = 0
           while (x < w) {
-            val c = gy * outW + (x.toLong * outW / w).toInt
+            val dx = o match {
+              case 2 | 3 => w - 1 - x
+              case 6 | 7 => h - 1 - y
+              case 5 | 8 => y
+              case _ => x
+            }
+            val dy = o match {
+              case 3 | 4 => h - 1 - y
+              case 7 | 8 => w - 1 - x
+              case 5 | 6 => x
+              case _ => y
+            }
+            val c = (dy.toLong * outH / dh).toInt * outW +
+              (dx.toLong * outW / dw).toInt
             val p = row(x)
             rs(c) += (p >> 16) & 0xff
             gs(c) += (p >> 8) & 0xff

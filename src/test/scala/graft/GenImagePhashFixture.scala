@@ -358,6 +358,33 @@ object GenImagePhashFixture {
         "unoriented hash accidentally matches; the fixture would not prove the feature")
     }
 
+    // 105: a LARGER rotated+tagged JPEG that must actually RESIZE — the
+    // thumbnail bakes the orientation in (PNG carries no tag), so the
+    // expected resized hashes come from downscaling the DISPLAY pixels
+    def jpegRowResized(id: Long, jpeg: Array[Byte], o: Int): Row = {
+      val stored = GenVideoFixture.decodePx(jpeg)
+      val disp = displayPx(stored, o)
+      val (sp, ss, smn, smx, sg, se) = expectedStats(stored)
+      val (ow, oh) = fitDims(disp(0).length, disp.length, 32, 32)
+        .getOrElse(sys.error("row must exceed the resize box"))
+      val small = downscale(disp, ow, oh)
+      Row(id, "jpg", jpeg, decoded = true, stored(0).length, stored.length,
+        Some(expectedAHash(disp)), Some(expectedDHash(disp)),
+        r_resized = true, ow, oh,
+        Some(expectedAHash(small)), Some(expectedDHash(small)),
+        sp, ss, smn, smx, sg, se)
+    }
+    val bigScene = Array.tabulate(36, 48) { (y, x) =>
+      val r2 = (x - 24) * (x - 24) * 100 / 576 + (y - 18) * (y - 18) * 100 / 324
+      val v = math.min(255, 25 + r2 + ((x / 8 + y / 6) * 53) % 56)
+      (v << 16) | (v << 8) | v
+    }
+    val rotatedBig = jpegRowResized(105L,
+      withExifOrientation(
+        GenVideoFixture.encodeJpeg(rot90cw(bigScene), 0.88f), 8), 8)
+    require(rotatedBig.r_width == 32 && rotatedBig.r_height == 24,
+      s"display-fit expected 32x24, got ${rotatedBig.r_width}x${rotatedBig.r_height}")
+
     // corrupt / hostile rows
     val truncated = {
       val whole = encodeLossless(drawCard(64, 64, 11), "png")
@@ -372,7 +399,7 @@ object GenImagePhashFixture {
       0L, 0L, 0, 0, s_is_gray = false, 0L)
 
     val rows = cards ++ nearDups ++
-      Seq(sameOtherFormat, upright, rotated, truncated, bomb, garbage)
+      Seq(sameOtherFormat, upright, rotated, rotatedBig, truncated, bomb, garbage)
 
     // fixture-level sanity: at least one hamming<=3 pair exists among
     // DISTINCT decodable signatures, so the near-dup oracle is non-trivial
