@@ -416,7 +416,14 @@ object Multimodal {
         }
       }
       if (!ok || !sawMoov) None
-      else Some(AvInfo("mp4", width, height,
+      // AVIF image SEQUENCES (`avis` brand) are ISO-BMFF movies too: same
+      // moov/mvhd/tkhd walk, but the container label should say what the
+      // file IS — a consumer routing by container must not mistake an
+      // animated AVIF for generic video-in-mp4
+      else Some(AvInfo(
+        if (data.length >= 12 &&
+            Seq("avif", "avis").contains(fourcc(8))) fourcc(8) else "mp4",
+        width, height,
         if (timescale > 0) duration * 1000L / timescale else 0L, 0, 0))
     } else if (data.length >= 12 && fourcc(0) == "RIFF" && fourcc(8) == "WAVE") {
       var channels = 0; var sampleRate = 0L; var byteRate = 0L

@@ -788,6 +788,15 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("parseAvMeta labels avif/avis ISO-BMFF movies by brand, not mp4") {
+    val mp4 = GenAvFixture.mp4(0, 1000L, 2500L, 320, 240, moovFirst = true)
+    assert(Multimodal.parseAvMeta(mp4).get.container == "mp4")
+    val avis = mp4.clone()
+    System.arraycopy("avis".getBytes("US-ASCII"), 0, avis, 8, 4)
+    val m = Multimodal.parseAvMeta(avis).get
+    assert(m.container == "avis" && m.width == 320 && m.durationMs == 2500L)
+  }
+
   // ------------------------------------------------ AVI/MJPEG video decode
 
   /** A tiny MJPEG AVI via the fixture generator's independent RIFF
