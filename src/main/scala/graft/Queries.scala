@@ -2234,6 +2234,27 @@ object Queries {
       |HAVING count(*) >= 2
       |ORDER BY a, b, d""".stripMargin
 
+  // -- ID3v2 text metadata: the grouping keys an audio curation pass
+  //    caps and dedups by (per-artist caps are the audio twin of
+  //    per-domain caps) — REAL v2.3/v2.4 tag parsing across the three
+  //    published text encodings, unknown binary frames skipped by size,
+  //    corrupt/untagged payloads degrading to null columns.
+  private lazy val audioTagsFixture: String = fixturePath("audio_tags.parquet")
+
+  private val audioTags: (SparkSession, String) => DataFrame = (s, _) => {
+    val media = s.read.parquet(audioTagsFixture)
+      .select(col("media_id").as("id"), col("kind"), col("data"))
+    graft.multimodal.Multimodal.audioTags(media).toDF()
+      .select(col("id").as("media_id"), col("hasTags").as("has_tags"),
+        col("title"), col("artist"), col("album"))
+      .orderBy(col("media_id"))
+  }
+
+  private val audioTagsSql =
+    s"""SELECT media_id, has_tags, title, artist, album
+      |FROM '$audioTagsFixture'
+      |ORDER BY media_id""".stripMargin
+
   // -- incremental VIDEO near-dup: clips 1/4/7 index their sampled-frame
   //    dHashes ONCE under composite (clip, position) keys in the persisted
   //    Hamming index; the later-arriving batch (the re-encoded clip 2 and
@@ -3479,6 +3500,7 @@ object Queries {
     "q_video_stats"   -> videoStats,
     "q_video_incr"    -> videoIncr,
     "q_audio_seq"     -> audioSeq,
+    "q_audio_tags"    -> audioTags,
     "q_audio_seq_neardup" -> audioSeqNearDup,
     "q_warc_read"     -> warcRead,
     "q_html_text"     -> htmlText,
@@ -3589,6 +3611,7 @@ object Queries {
     "q_video_stats"   -> videoStatsSql,
     "q_video_incr"    -> videoIncrSql,
     "q_audio_seq"     -> audioSeqSql,
+    "q_audio_tags"    -> audioTagsSql,
     "q_audio_seq_neardup" -> audioSeqNearDupSql,
     "q_audio_neardup" -> audioNearDupSql,
     "q_warc_read"     -> warcReadSql,

@@ -1748,6 +1748,84 @@ object Multimodal {
     media.as[MediaRow].mapPartitions(audioFingerprintBatch)
   }
 
+  /** Text metadata parsed from an ID3v2 tag ([[audioTags]]). */
+  final case class AudioTagRow(id: Long, kind: String, nBytes: Long,
+      hasTags: Boolean, title: Option[String], artist: Option[String],
+      album: Option[String])
+
+  /** Parse the title/artist/album TEXT frames (TIT2/TPE1/TALB) of an
+    * ID3v2.3/2.4 tag — the metadata an audio-corpus curation pass groups,
+    * caps, and dedups by (per-artist caps are the audio twin of
+    * per-domain caps). Layout per the published id3.org spec: 10-byte
+    * header (`ID3`, version, flags, syncsafe 28-bit size), then frames of
+    * [4-char id, size (v2.4 syncsafe / v2.3 plain u32), 2 flag bytes,
+    * payload]; a text frame's payload is one encoding byte (0 =
+    * ISO-8859-1, 1 = UTF-16 with BOM, 2 = UTF-16BE, 3 = UTF-8) followed
+    * by the string, optionally NUL-terminated. Every read is
+    * bounds-checked; corrupt tags degrade to None, never throw. Frames
+    * the parser does not understand are skipped by size — real tags carry
+    * dozens of frame types, and a curation pass must not refuse a file
+    * over an APIC art blob. */
+  def parseId3Tags(data: Array[Byte]): Option[Map[String, String]] = {
+    def u8(i: Int): Int = data(i) & 0xff
+    if (data.length < 10 || data(0) != 'I' || data(1) != 'D' || data(2) != '3')
+      return None
+    val ver = u8(3) // 3 = v2.3, 4 = v2.4
+    if (ver < 3 || ver > 4) return None
+    if ((u8(5) & 0x80) != 0) return None // unsynchronised tag: not handled
+    def syncsafe(i: Int): Int =
+      ((u8(i) & 0x7f) << 21) | ((u8(i + 1) & 0x7f) << 14) |
+        ((u8(i + 2) & 0x7f) << 7) | (u8(i + 3) & 0x7f)
+    val end = math.min(10L + syncsafe(6), data.length.toLong).toInt
+    var i = 10
+    val out = scala.collection.mutable.Map[String, String]()
+    while (i + 10 <= end) {
+      val id = new String(data, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (!id.forall(c => c.isUpper || c.isDigit)) return wrap(out) // padding
+      val size =
+        if (ver == 4) syncsafe(i + 4)
+        else ((u8(i + 4) << 24) | (u8(i + 5) << 16) | (u8(i + 6) << 8) | u8(i + 7))
+      if (size < 0 || i + 10 + size > end) return wrap(out)
+      if (Seq("TIT2", "TPE1", "TALB").contains(id) && size >= 1) {
+        val p = i + 10
+        val enc = u8(p)
+        val body = java.util.Arrays.copyOfRange(data, p + 1, p + size)
+        val text = enc match {
+          case 0 => new String(body, java.nio.charset.StandardCharsets.ISO_8859_1)
+          case 1 => new String(body, java.nio.charset.StandardCharsets.UTF_16)
+          case 2 => new String(body, java.nio.charset.StandardCharsets.UTF_16BE)
+          case 3 => new String(body, java.nio.charset.StandardCharsets.UTF_8)
+          case _ => ""
+        }
+        val clean = text.takeWhile(_ != '\u0000').trim
+        if (clean.nonEmpty) out(id) = clean
+      }
+      i += 10 + size
+    }
+    wrap(out)
+  }
+
+  private def wrap(m: scala.collection.mutable.Map[String, String])
+      : Option[Map[String, String]] =
+    if (m.isEmpty) None else Some(m.toMap)
+
+  /** ID3 text metadata over a binary media frame — a narrow mapPartitions
+    * at the codec boundary like every decode here; payloads without a
+    * parseable tag report `hasTags = false` with null text columns, so
+    * downstream group-bys and caps see every row. */
+  def audioTags(media: DataFrame): Dataset[AudioTagRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map { r =>
+      parseId3Tags(r.data) match {
+        case Some(t) => AudioTagRow(r.id, r.kind, r.data.length.toLong,
+          hasTags = true, t.get("TIT2"), t.get("TPE1"), t.get("TALB"))
+        case None => AudioTagRow(r.id, r.kind, r.data.length.toLong,
+          hasTags = false, None, None, None)
+      }
+    })
+  }
+
   /** One time-window's signature row ([[audioSeqSignatures]]). Undecodable
     * payloads emit a single `decoded = false` marker row. */
   final case class AudioSeqRow(id: Long, kind: String, nBytes: Long,

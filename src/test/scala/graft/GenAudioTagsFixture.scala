@@ -1,0 +1,127 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.SparkSession
+
+/** One-off generator for `fixtures/audio_tags.parquet` — committed ground
+  * truth for the q_audio_tags oracle. Each row is a REAL ID3v2 tag
+  * hand-built per the published id3.org layouts (v2.3 plain-u32 and v2.4
+  * syncsafe frame sizes, ISO-8859-1 / UTF-16-with-BOM / UTF-8 text
+  * encodings, unknown binary frames the parser must skip by size, NUL
+  * terminators), prepended to MPEG audio frame bytes; expected strings
+  * are the ones the generator wrote. Corrupt/untagged rows prove the
+  * degrade contract. Run once:
+  * `sbt "Test/runMain graft.GenAudioTagsFixture"`, commit the parquet. */
+object GenAudioTagsFixture {
+
+  private def ss28(v: Int): Array[Byte] = Array(
+    ((v >> 21) & 0x7f).toByte, ((v >> 14) & 0x7f).toByte,
+    ((v >> 7) & 0x7f).toByte, (v & 0x7f).toByte)
+  private def u32(v: Int): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  /** One text frame: id + size (version-appropriate) + 2 flag bytes +
+    * encoding byte + encoded text (+ optional NUL terminator). */
+  def textFrame(id: String, text: String, enc: Int, v24: Boolean,
+      nulTerm: Boolean = false): Array[Byte] = {
+    val encoded = enc match {
+      case 0 => text.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      case 1 => // UTF-16 with BOM (the JDK writes the BOM for UTF-16)
+        text.getBytes(java.nio.charset.StandardCharsets.UTF_16)
+      case 3 => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      case _ => sys.error(s"unsupported enc $enc")
+    }
+    val term: Array[Byte] =
+      if (!nulTerm) Array.emptyByteArray
+      else if (enc == 1) Array(0, 0) else Array(0)
+    val payload = enc.toByte +: (encoded ++ term)
+    id.getBytes("US-ASCII") ++
+      (if (v24) ss28(payload.length) else u32(payload.length)) ++
+      Array[Byte](0, 0) ++ payload
+  }
+
+  /** A whole ID3v2 tag (version 3 or 4) followed by MPEG frame bytes. */
+  def tagged(frames: Seq[Array[Byte]], v24: Boolean): Array[Byte] = {
+    val body = frames.toArray.flatten
+    val out = new ByteArrayOutputStream()
+    out.write("ID3".getBytes("US-ASCII"))
+    out.write(if (v24) 4 else 3); out.write(0); out.write(0)
+    out.write(ss28(body.length))
+    out.write(body)
+    // a sliver of MPEG audio so the payload is a plausible mp3
+    out.write(Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x00))
+    (0 until 64).foreach(i => out.write(i * 7 & 0xff))
+    out.toByteArray
+  }
+
+  /** An opaque binary frame (APIC-like) the parser must skip by size. */
+  def binaryFrame(v24: Boolean): Array[Byte] = {
+    val payload = Array.tabulate[Byte](48)(i => (i * 11).toByte)
+    "APIC".getBytes("US-ASCII") ++
+      (if (v24) ss28(payload.length) else u32(payload.length)) ++
+      Array[Byte](0, 0) ++ payload
+  }
+
+  final case class TagRow(media_id: Long, kind: String, data: Array[Byte],
+      has_tags: Boolean, title: Option[String], artist: Option[String],
+      album: Option[String])
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .appName("gen-audio-tags-fixture").master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    import spark.implicits._
+
+    val rows = Seq(
+      // v2.3, ISO-8859-1, all three frames
+      TagRow(1L, "mp3", tagged(Seq(
+          textFrame("TIT2", "Morning Sun", 0, v24 = false),
+          textFrame("TPE1", "The Examples", 0, v24 = false),
+          textFrame("TALB", "Field Notes", 0, v24 = false)), v24 = false),
+        has_tags = true, Some("Morning Sun"), Some("The Examples"),
+        Some("Field Notes")),
+      // v2.4 syncsafe, UTF-8 with non-ASCII, an APIC blob BEFORE the text
+      // frames (skip-by-size), NUL-terminated strings
+      TagRow(2L, "mp3", tagged(Seq(
+          binaryFrame(v24 = true),
+          textFrame("TIT2", "Café Noir", 3, v24 = true, nulTerm = true),
+          textFrame("TPE1", "Müller", 3, v24 = true, nulTerm = true)),
+          v24 = true),
+        has_tags = true, Some("Café Noir"), Some("Müller"), None),
+      // v2.3, UTF-16 with BOM
+      TagRow(3L, "mp3", tagged(Seq(
+          textFrame("TIT2", "Nocturne", 1, v24 = false),
+          textFrame("TALB", "Nuits", 1, v24 = false)), v24 = false),
+        has_tags = true, Some("Nocturne"), None, Some("Nuits")),
+      // no tag at all: bare MPEG frame bytes
+      TagRow(4L, "mp3",
+        Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte, 0) ++
+          Array.tabulate[Byte](40)(i => (i * 3).toByte),
+        has_tags = false, None, None, None),
+      // corrupt: first frame declares a size past the tag end — no frame
+      // parses, degrade to untagged
+      TagRow(5L, "mp3", {
+        val good = tagged(Seq(textFrame("TIT2", "X", 0, v24 = false)), v24 = false)
+        // inflate the frame's u32 size field (tag offset 10 + 4 = 14)
+        good.updated(14, 0x7f.toByte)
+      }, has_tags = false, None, None, None))
+
+    // engine round-trip assert is the SPEC's job; here only structural
+    // sanity: tags declared where written
+    rows.filter(_.has_tags).foreach(r =>
+      require(r.data.startsWith("ID3".getBytes("US-ASCII"))))
+
+    val out = "fixtures/audio_tags.parquet"
+    rows.toDF().coalesce(1).write.mode("overwrite").parquet(out + ".dir")
+    val part = new java.io.File(out + ".dir").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath, new java.io.File(out).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out + ".dir"))
+    println(s"wrote $out with ${rows.size} rows")
+    spark.stop()
+  }
+}

@@ -797,6 +797,30 @@ class MultimodalSpec extends SparkTestBase {
     assert(m.container == "avis" && m.width == 320 && m.durationMs == 2500L)
   }
 
+  test("parseId3Tags: v2.3/v2.4, three text encodings, skip-by-size of " +
+    "binary frames, NUL terminators; corrupt and untagged degrade") {
+    val t1 = GenAudioTagsFixture.tagged(Seq(
+      GenAudioTagsFixture.textFrame("TIT2", "A Title", 0, v24 = false),
+      GenAudioTagsFixture.binaryFrame(v24 = false),
+      GenAudioTagsFixture.textFrame("TPE1", "Ärtist", 1, v24 = false)),
+      v24 = false)
+    val m1 = Multimodal.parseId3Tags(t1).get
+    assert(m1("TIT2") == "A Title" && m1("TPE1") == "Ärtist")
+    val t2 = GenAudioTagsFixture.tagged(Seq(
+      GenAudioTagsFixture.textFrame("TALB", "Großes Album", 3, v24 = true,
+        nulTerm = true)), v24 = true)
+    assert(Multimodal.parseId3Tags(t2).get("TALB") == "Großes Album")
+    assert(Multimodal.parseId3Tags("no tag here".getBytes).isEmpty)
+    assert(Multimodal.parseId3Tags(t1.take(9)).isEmpty)
+    // a frame size past the tag end stops the walk; prior frames survive
+    val corrupt = t1.clone()
+    // second frame (APIC) starts after TIT2; blow up ITS size field:
+    // TIT2 payload = 1 enc + 7 text = 8 -> APIC header at 10 + 10 + 8
+    corrupt(10 + 10 + 8 + 4) = 0x7f.toByte
+    val partial = Multimodal.parseId3Tags(corrupt).get
+    assert(partial.get("TIT2").contains("A Title") && !partial.contains("TPE1"))
+  }
+
   // ------------------------------------------------ AVI/MJPEG video decode
 
   /** A tiny MJPEG AVI via the fixture generator's independent RIFF
