@@ -329,17 +329,21 @@ class MultimodalSpec extends SparkTestBase {
         GenVideoFixture.encodeJpeg(GenVideoFixture.framePx(4, t), 0.8f))))
     // a 100 TB crawl truncates files at arbitrary byte offsets: every
     // prefix must parse to Some or None, never throw
-    valid.foreach { f =>
+    val taggedMp3 = GenAudioTagsFixture.tagged(Seq(
+      GenAudioTagsFixture.textFrame("TIT2", "Fuzz Me", 0, v24 = false),
+      GenAudioTagsFixture.binaryFrame(v24 = false)), v24 = false)
+    (valid :+ taggedMp3).foreach { f =>
       (0 to f.length).foreach { n =>
         Multimodal.parseAvMeta(f.take(n)); Multimodal.parseDimensions(f.take(n))
-        Multimodal.parseAvi(f.take(n))
+        Multimodal.parseAvi(f.take(n)); Multimodal.parseId3Tags(f.take(n))
       }
     }
     val rnd = new scala.util.Random(7)
     (1 to 300).foreach { _ =>
       val b = Array.ofDim[Byte](rnd.nextInt(400)); rnd.nextBytes(b)
       Multimodal.parseAvMeta(b); Multimodal.parseDimensions(b)
-      Multimodal.parseAvi(b)
+      Multimodal.parseAvi(b); Multimodal.parseId3Tags(b)
+      Multimodal.exifOrientation(b)
     }
     // garbage BEHIND a valid magic exercises each walker's bound checks
     val magics = Seq[Array[Byte]](
@@ -351,6 +355,7 @@ class MultimodalSpec extends SparkTestBase {
         val b = Array.ofDim[Byte](m.length + rnd.nextInt(300)); rnd.nextBytes(b)
         System.arraycopy(m, 0, b, 0, m.length)
         Multimodal.parseAvMeta(b)
+        Multimodal.parseId3Tags(b) // garbage behind the ID3 magic too
       }
     }
     // oversized EBML integers (a 9-byte PixelWidth would shift-overflow
