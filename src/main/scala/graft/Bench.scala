@@ -121,7 +121,10 @@ object Bench {
       /** Per-query noise marks: the whole-run median/min test misses a
         * contention spike that lands on ONE query (a driver round recorded
         * sentinel max 19x min yet stamped quiet because the median stayed
-        * low). Each query's reps are bracketed by sentinels; a query whose
+        * low). Each query's reps are bracketed by sentinels — the ones
+        * preceding each rep plus the one FOLLOWING its last rep (the next
+        * query's first, or the run-closing sentinel), so a spike landing
+        * just after a query's final rep is attributed to it; a query whose
         * neighboring sentinel exceeds 3x the run's sentinel min was timed
         * while the host was demonstrably slow, and its min-of-reps number
         * should be read with that in mind. Returns name -> worst
@@ -178,12 +181,11 @@ object Bench {
       // separately in "rep_failures" so flakiness is visible, not silent
       var errors = List.empty[String]
       var repFailures = Map.empty[String, Int]
-      var querySentinels = Map.empty[String, Seq[Double]]
+      var queryRanges = List.empty[(String, Int, Int)]
       val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val sentStart = sentinelTimes.size
         val times = (1 to reps).flatMap { _ =>
           sentinel()
-          querySentinels = querySentinels.updated(name,
-            querySentinels.getOrElse(name, Seq.empty) :+ sentinelTimes.last)
           val t0 = System.nanoTime()
           // scope operator-internal caches to the rep (and release them
           // right after it) — clearCache below stays as the backstop for
@@ -200,9 +202,18 @@ object Bench {
           spark.catalog.clearCache()
           if (ok) Some((System.nanoTime() - t0) / 1e9) else None
         }
+        queryRanges ::= ((name, sentStart, sentinelTimes.size))
         if (times.isEmpty) errors ::= name
         name -> (if (times.isEmpty) (-1.0, -1.0) else (times.min, times.last))
       }
+      // closing sentinel: a spike landing AFTER the final query's last rep
+      // must still be attributable to that query (each query's bracket
+      // below is [its reps' preceding sentinels .. the one sentinel that
+      // FOLLOWS its last rep] — the next query's first, or this one)
+      sentinel()
+      val querySentinels = queryRanges.map { case (name, s, e) =>
+        name -> sentinelTimes.slice(s, math.min(e + 1, sentinelTimes.size)).toSeq
+      }.toMap
       Run(results, setupTimes, sentinelTimes.toSeq, sentinelLoad.toSeq,
         errors, repFailures, querySentinels)
     }
@@ -293,6 +304,24 @@ object Bench {
     // grows the millisecond form past the tail window
     println(if (msLine.length <= 1900) msLine
       else compactLine(x => math.round(x * 100.0) / 100.0))
+    // the per-query map has outgrown even the centisecond form (109
+    // queries ~ 2.5 KB against the collector's ~2000-char tail — every
+    // BENCH_r*.json since has arrived decapitated with "parsed": null).
+    // The FINAL stdout line is therefore a ~300-char summary that always
+    // survives the tail window whole: the full per-query map stays one
+    // line up, in the file artifact, and on stderr.
+    val sentSorted = chosen.sentinelTimes.sorted
+    val sentMedian = if (sentSorted.isEmpty) -1.0
+      else sentSorted(sentSorted.size / 2)
+    val nFlagged = chosen.queryNoise(NoisySpread).size
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""n_queries":${results.size},"n_errors":${chosen.errors.size},""" +
+      s""""noisy":$noisy,"attempts":$attempts,"reps":$reps,""" +
+      s""""sentinel_min":${r3(chosen.sentinelTimes.min)},""" +
+      s""""sentinel_median":${r3(sentMedian)},""" +
+      s""""sentinel_max":${r3(chosen.sentinelTimes.max)},""" +
+      s""""n_query_noise":$nFlagged,"git_sha":"$gitSha",""" +
+      s""""per_query_in":"bench/last_run.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

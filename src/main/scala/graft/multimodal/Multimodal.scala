@@ -700,6 +700,284 @@ object Multimodal {
       frames.toIndexedSeq))
   }
 
+  /** A parsed MP4/ISO-BMFF video track ([[parseMp4]]): geometry, the
+    * sample-entry codec fourcc, and — from the stbl sample tables — the
+    * exact per-sample (offset, length) byte range, per-sample DECODE
+    * timestamp in µs, and the sync-sample (keyframe) indices.
+    * `keyframes` empty means stss was absent, which per 14496-12 declares
+    * EVERY sample a sync sample. */
+  final case class Mp4Track(width: Int, height: Int, codec: String,
+      timescale: Long, durationMs: Long, frames: IndexedSeq[(Int, Int)],
+      tsUs: IndexedSeq[Long], keyframes: IndexedSeq[Int])
+
+  /** Parse an MP4 / ISO-BMFF container DOWN TO THE SAMPLE TABLES, per the
+    * published ISO/IEC 14496-12 layout — the frame-level treatment
+    * [[parseAvMeta]]'s mvhd/tkhd walk stops short of. The box walk finds
+    * `moov` (before or after `mdat` — no-faststart files work), picks the
+    * first track whose `hdlr` handler is `vide`, and reconstructs from
+    * its `stbl`:
+    *  - per-sample BYTE RANGES: `stsc` (chunk → samples-per-chunk runs) ×
+    *    `stco`/`co64` (chunk offsets) × `stsz`/fixed-size (sample sizes)
+    *    — samples within a chunk are contiguous, so sample i's offset is
+    *    its chunk's offset plus the sizes of the samples before it;
+    *  - per-sample DECODE TIMESTAMPS: cumulative `stts` (count, delta)
+    *    runs over the `mdhd` media timescale — honest non-uniform frame
+    *    timing, not a constant-fps estimate;
+    *  - KEYFRAMES: `stss` sync-sample numbers (1-based on disk);
+    *  - geometry from `tkhd` (16.16 fixed point), codec from `stsd`'s
+    *    first sample-entry fourcc.
+    * For MJPEG-in-MP4 (`jpeg`/`mjpa` sample entries) each sample is a
+    * standalone JPEG the JDK decodes — same pure-JVM pixel path as
+    * AVI/MJPEG. Same discipline as [[parseAvi]]: an OFFSET TABLE only
+    * (no frame bytes copied), every table's entry count bounded by its
+    * box size and `maxFrames`, every sample range bounds-checked against
+    * the payload, malformed structure returns None (degrade to the stub
+    * branch, never throw). */
+  def parseMp4(data: Array[Byte], maxFrames: Int = 1 << 20): Option[Mp4Track] = {
+    def u8(i: Int): Int = data(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Long = ((u8(i).toLong << 24) | (u8(i + 1) << 16) |
+      (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def fourcc(i: Int): String =
+      new String(data, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (data.length < 16 || fourcc(4) != "ftyp") return None
+
+    var malformed = false
+    // real MP4 nests ~5 deep (moov>trak>mdia>minf>stbl); cap against a
+    // crafted tower of nested boxes, as in parseAvi
+    def walk(from: Long, until: Long, depth: Int)(
+        f: (String, Int, Int) => Unit): Unit = {
+      if (depth > 8) { malformed = true; return }
+      var i = from
+      while (i + 8 <= until && !malformed) {
+        val size0 = be32(i.toInt)
+        val typ = fourcc(i.toInt + 4)
+        val (size, hdr) =
+          if (size0 == 1L && i + 16 <= until) (be64(i.toInt + 8), 16L)
+          else if (size0 == 0L) (until - i, 8L)
+          else (size0, 8L)
+        if (size < hdr || i + size > until) { malformed = true; return }
+        f(typ, (i + hdr).toInt, (i + size).toInt)
+        i += size
+      }
+    }
+
+    // one track's raw tables, filled during the walk
+    var width = 0; var height = 0
+    var timescale = 0L
+    var isVideo = false
+    var codec = ""
+    var stts: Array[Long] = null   // (count, delta) pairs, flattened
+    var sampleSizes: Array[Int] = null
+    var fixedSize = 0L
+    var sampleCount = 0L
+    var stsc: Array[Long] = null   // (firstChunk, samplesPerChunk) pairs
+    var chunkOffs: Array[Long] = null
+    var stss: Array[Int] = null
+
+    /** entryCount bounded by what the box can actually hold — a declared
+      * count past the payload is a bomb/corruption, not data. */
+    def boundedCount(declared: Long, p: Int, end: Int, entryBytes: Int): Int =
+      if (declared < 0 || declared > (end - p).toLong / entryBytes ||
+        declared > (1L << 24)) { malformed = true; 0 }
+      else declared.toInt
+
+    var best: Option[Mp4Track] = None
+
+    def parseStbl(p0: Int, e0: Int): Unit = walk(p0, e0, 6) { (t, p, e) =>
+      t match {
+        case "stsd" if e >= p + 16 =>
+          // ver/flags + entry_count, then entries of size(4)+format(4)
+          if (be32(p + 4) >= 1 && e >= p + 16) codec = fourcc(p + 12)
+        case "stts" if e >= p + 8 =>
+          val n = boundedCount(be32(p + 4), p + 8, e, 8)
+          stts = new Array[Long](2 * n)
+          var k = 0
+          while (k < n) {
+            stts(2 * k) = be32(p + 8 + 8 * k)
+            stts(2 * k + 1) = be32(p + 12 + 8 * k)
+            k += 1
+          }
+        case "stsz" if e >= p + 12 =>
+          fixedSize = be32(p + 4)
+          sampleCount = be32(p + 8)
+          if (fixedSize == 0L) {
+            val n = boundedCount(sampleCount, p + 12, e, 4)
+            sampleSizes = new Array[Int](n)
+            var k = 0
+            while (k < n) {
+              val sz = be32(p + 12 + 4 * k)
+              if (sz > Int.MaxValue) { malformed = true; return }
+              sampleSizes(k) = sz.toInt
+              k += 1
+            }
+          }
+        case "stsc" if e >= p + 8 =>
+          val n = boundedCount(be32(p + 4), p + 8, e, 12)
+          stsc = new Array[Long](2 * n)
+          var k = 0
+          while (k < n) {
+            stsc(2 * k) = be32(p + 8 + 12 * k)      // first_chunk, 1-based
+            stsc(2 * k + 1) = be32(p + 12 + 12 * k) // samples_per_chunk
+            k += 1
+          }
+        case "stco" if e >= p + 8 =>
+          val n = boundedCount(be32(p + 4), p + 8, e, 4)
+          chunkOffs = Array.tabulate(n)(k => be32(p + 8 + 4 * k))
+        case "co64" if e >= p + 8 =>
+          val n = boundedCount(be32(p + 4), p + 8, e, 8)
+          chunkOffs = Array.tabulate(n)(k => be64(p + 8 + 8 * k))
+        case "stss" if e >= p + 8 =>
+          val n = boundedCount(be32(p + 4), p + 8, e, 4)
+          stss = new Array[Int](n)
+          var k = 0
+          while (k < n) {
+            val s = be32(p + 8 + 4 * k)
+            if (s > Int.MaxValue) { malformed = true; return }
+            stss(k) = s.toInt
+            k += 1
+          }
+        case _ => ()
+      }
+    }
+
+    def finishTrack(): Unit = {
+      if (best.nonEmpty || !isVideo || malformed) return
+      if (stts == null || stsc == null || chunkOffs == null ||
+        (fixedSize == 0L && sampleSizes == null)) return
+      val declared =
+        if (fixedSize != 0L) sampleCount
+        else sampleSizes.length.toLong
+      val n = math.min(declared, maxFrames.toLong).toInt
+      if (n <= 0 || timescale <= 0) return
+      // ---- byte ranges: chunk-relative contiguity per 14496-12 8.7.4
+      val frames = new Array[(Int, Int)](n)
+      var sample = 0
+      var chunk = 0 // 0-based; stsc firstChunk is 1-based
+      var run = 0
+      while (sample < n && chunk < chunkOffs.length) {
+        while (run + 1 < stsc.length / 2 &&
+          stsc(2 * (run + 1)) <= chunk + 1) run += 1
+        val spc = stsc(2 * run + 1)
+        if (spc <= 0) { malformed = true; return }
+        var off = chunkOffs(chunk)
+        var s = 0L
+        while (s < spc && sample < n) {
+          val sz = if (fixedSize != 0L) fixedSize else sampleSizes(sample).toLong
+          if (sz <= 0 || off < 0 || off + sz > data.length) {
+            malformed = true; return
+          }
+          frames(sample) = ((off.toInt, sz.toInt))
+          off += sz
+          sample += 1
+          s += 1
+        }
+        chunk += 1
+      }
+      if (sample < n) { malformed = true; return } // fewer chunks than samples
+      // ---- decode timestamps: cumulative stts deltas on the media scale
+      val tsUs = new Array[Long](n)
+      var t = 0L
+      var k = 0
+      var i = 0
+      var left = if (stts.length >= 2) stts(0) else 0L
+      while (i < n) {
+        while (left <= 0 && 2 * (k + 1) < stts.length) {
+          k += 1; left = stts(2 * k)
+        }
+        if (left <= 0) { malformed = true; return } // stts shorter than stsz
+        tsUs(i) = t * 1000000L / timescale
+        t += stts(2 * k + 1)
+        left -= 1
+        i += 1
+      }
+      val durMs = t * 1000L / timescale
+      val keys =
+        if (stss == null) IndexedSeq.empty[Int]
+        else stss.iterator.filter(s => s >= 1 && s <= n).map(_ - 1).toIndexedSeq
+      best = Some(Mp4Track(width, height, codec, timescale, durMs,
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(frames),
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(tsUs), keys))
+    }
+
+    walk(0L, data.length.toLong, 0) { (typ, p, end) =>
+      if (typ == "moov") walk(p, end, 1) { (t2, p2, e2) =>
+        if (t2 == "trak" && best.isEmpty) {
+          // reset per-track state
+          width = 0; height = 0; timescale = 0L; isVideo = false
+          codec = ""; stts = null; sampleSizes = null; fixedSize = 0L
+          sampleCount = 0L; stsc = null; chunkOffs = null; stss = null
+          walk(p2, e2, 2) { (t3, p3, e3) =>
+            if (t3 == "tkhd" && e3 >= p3 + 4) {
+              val v = u8(p3)
+              if (v == 0 && e3 >= p3 + 84) {
+                width = (be32(p3 + 76) >> 16).toInt
+                height = (be32(p3 + 80) >> 16).toInt
+              } else if (v == 1 && e3 >= p3 + 96) {
+                width = (be32(p3 + 88) >> 16).toInt
+                height = (be32(p3 + 92) >> 16).toInt
+              }
+            } else if (t3 == "mdia") walk(p3, e3, 3) { (t4, p4, e4) =>
+              if (t4 == "mdhd" && e4 >= p4 + 4) {
+                val v = u8(p4)
+                if (v == 0 && e4 >= p4 + 16) timescale = be32(p4 + 12)
+                else if (v == 1 && e4 >= p4 + 24) timescale = be32(p4 + 20)
+              } else if (t4 == "hdlr" && e4 >= p4 + 12) {
+                isVideo = fourcc(p4 + 8) == "vide"
+              } else if (t4 == "minf") walk(p4, e4, 4) { (t5, p5, e5) =>
+                if (t5 == "stbl") parseStbl(p5, e5)
+              }
+            }
+          }
+          finishTrack()
+        }
+      }
+    }
+    if (malformed) None else best
+  }
+
+  /** A uniform frame-table view over every container with pure-JVM frame
+    * access — AVI/MJPEG ([[parseAvi]]) and MP4 sample tables
+    * ([[parseMp4]]): per-frame byte ranges plus per-frame decode
+    * timestamps, so ONE schedule walk serves both the constant-rate AVI
+    * case and MP4's honest non-uniform `stts` timing. */
+  final case class VideoFrameTable(container: String,
+      frames: IndexedSeq[(Int, Int)], tsUs: IndexedSeq[Long],
+      durationMs: Long) {
+    /** Index of the source frame covering timestamp `us` — the LAST frame
+      * whose decode time is <= us (what "the frame on screen at time t"
+      * means), by binary search over the non-decreasing timestamps. */
+    def frameAt(us: Long): Int = {
+      var lo = 0
+      var hi = frames.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi + 1) >>> 1
+        if (tsUs(mid) <= us) lo = mid else hi = mid - 1
+      }
+      lo
+    }
+  }
+
+  /** Frame table of a video payload, whichever parseable container it is
+    * in; None when neither container parses (or carries no usable frame
+    * timing) — callers degrade to the stub branch. AVI timestamps expand
+    * from the constant frame period, MP4's from the stts deltas. */
+  def parseVideoFrameTable(data: Array[Byte], maxFrames: Int = 1 << 20)
+      : Option[VideoFrameTable] =
+    parseAvi(data, maxFrames) match {
+      case Some(avi) if avi.frames.nonEmpty && avi.usPerFrame > 0 =>
+        val ts = IndexedSeq.tabulate(avi.frames.length)(i =>
+          i.toLong * avi.usPerFrame)
+        Some(VideoFrameTable("avi", avi.frames, ts, avi.durationMs))
+      case _ =>
+        parseMp4(data, maxFrames) match {
+          case Some(t) if t.frames.nonEmpty && t.durationMs > 0 =>
+            Some(VideoFrameTable("mp4", t.frames, t.tsUs, t.durationMs))
+          case _ => None
+        }
+    }
+
   /** A media row: payload + envelope. */
   final case class MediaRow(id: Long, kind: String, data: Array[Byte])
 
@@ -1093,6 +1371,17 @@ object Multimodal {
     * rates. Undecodable payloads (non-AVI containers, corrupt files)
     * emit one `decoded = false` marker row so a curation pass never
     * silently drops media. */
+  /** Diagnostic counter of ACTUAL pixel decodes in the video samplers —
+    * per-JVM, test/ScaleProbe instrumentation only (asserts that the
+    * last-frame memo bounds decode work by distinct sampled frames, not
+    * schedule ticks). Never read on the hot path. */
+  object FrameDecodeCounter {
+    private val n = new java.util.concurrent.atomic.LongAdder
+    private[multimodal] def increment(): Unit = n.increment()
+    def sum(): Long = n.sum()
+    def reset(): Unit = n.reset()
+  }
+
   final case class VideoFrameHashRow(id: Long, frame_idx: Int, ts_ms: Long,
       decoded: Boolean, ahash: Option[Long], dhash: Option[Long])
 
@@ -1125,28 +1414,43 @@ object Multimodal {
             val durMs = avi.durationMs
             val n = math.min(math.max(1L, durMs / everyMs + 1),
               maxFrames.toLong).toInt
+            // the schedule's frame indices are non-decreasing, so
+            // memoizing only the LAST decoded frame bounds decode work by
+            // DISTINCT sampled frames, not ticks — on a low-fps clip with
+            // a dense schedule (everyMs shorter than the frame period)
+            // consecutive ticks hit the same source frame repeatedly
+            var lastFi = -1
+            var lastA: Option[Long] = None
+            var lastD: Option[Long] = None
+            var lastOk = false
             (0 until n).iterator.map { i =>
               val ts = i * everyMs
               val fi = math.min(ts * 1000L / avi.usPerFrame,
                 avi.frames.length - 1L).toInt
-              val (off, len) = avi.frames(fi)
-              val bytes = java.util.Arrays.copyOfRange(r.data, off, off + len)
-              val dims = parseDimensions(bytes)
-              val tooBig = dims.exists { case (w, h) => w.toLong * h > MaxHashPixels }
-              val img =
-                if (dims.isEmpty || tooBig) null
-                else
-                  try javax.imageio.ImageIO.read(
-                    new java.io.ByteArrayInputStream(bytes))
-                  catch { case _: Exception => null }
-              if (img == null)
-                VideoFrameHashRow(r.id, i, ts, decoded = false, None, None)
-              else {
-                val (s8, c8) = gridSums(img, 8, 8)
-                val (s9, c9) = gridSums(img, 9, 8)
-                VideoFrameHashRow(r.id, i, ts, decoded = true,
-                  Some(aHash64(s8, c8)), Some(dHash64(s9, c9)))
+              if (fi != lastFi) {
+                lastFi = fi
+                val (off, len) = avi.frames(fi)
+                val bytes = java.util.Arrays.copyOfRange(r.data, off, off + len)
+                val dims = parseDimensions(bytes)
+                val tooBig = dims.exists { case (w, h) => w.toLong * h > MaxHashPixels }
+                val img =
+                  if (dims.isEmpty || tooBig) null
+                  else {
+                    FrameDecodeCounter.increment()
+                    try javax.imageio.ImageIO.read(
+                      new java.io.ByteArrayInputStream(bytes))
+                    catch { case _: Exception => null }
+                  }
+                if (img == null) { lastOk = false; lastA = None; lastD = None }
+                else {
+                  val (s8, c8) = gridSums(img, 8, 8)
+                  val (s9, c9) = gridSums(img, 9, 8)
+                  lastOk = true
+                  lastA = Some(aHash64(s8, c8))
+                  lastD = Some(dHash64(s9, c9))
+                }
               }
+              VideoFrameHashRow(r.id, i, ts, lastOk, lastA, lastD)
             }
           case _ =>
             Iterator.single(
@@ -1193,54 +1497,74 @@ object Multimodal {
               maxFrames.toLong).toInt
             var nDecoded = 0; var nBlack = 0; var nFlat = 0
             var lumaSum = 0L; var nPixels = 0L
+            // last-frame memo (see videoFrameHashes): the schedule's frame
+            // indices are non-decreasing, so caching one frame's fold
+            // contribution bounds decode work by DISTINCT sampled frames
+            var lastFi = -1
+            var lastOk = false; var lastBlack = false; var lastFlat = false
+            var lastSum = 0L; var lastTotal = 0L
             var i = 0
             while (i < nSampled) {
               val ts = i.toLong * everyMs
               val fi = math.min(ts * 1000L / avi.usPerFrame,
                 avi.frames.length - 1L).toInt
-              val (off, len) = avi.frames(fi)
-              val bytes = java.util.Arrays.copyOfRange(r.data, off, off + len)
-              val dims = parseDimensions(bytes)
-              val tooBig = dims.exists { case (w, h) => w.toLong * h > MaxHashPixels }
-              val img =
-                if (dims.isEmpty || tooBig) null
-                else
-                  try javax.imageio.ImageIO.read(
-                    new java.io.ByteArrayInputStream(bytes))
-                  catch { case _: Exception => null }
-              if (img != null) {
+              if (fi != lastFi) {
+                lastFi = fi
+                lastOk = false; lastBlack = false; lastFlat = false
+                lastSum = 0L; lastTotal = 0L
+                val (off, len) = avi.frames(fi)
+                val bytes = java.util.Arrays.copyOfRange(r.data, off, off + len)
+                val dims = parseDimensions(bytes)
+                val tooBig = dims.exists { case (w, h) => w.toLong * h > MaxHashPixels }
+                val img =
+                  if (dims.isEmpty || tooBig) null
+                  else {
+                    FrameDecodeCounter.increment()
+                    try javax.imageio.ImageIO.read(
+                      new java.io.ByteArrayInputStream(bytes))
+                    catch { case _: Exception => null }
+                  }
+                if (img != null) {
+                  val w = img.getWidth
+                  val h = img.getHeight
+                  val hist = new Array[Long](256)
+                  val row = new Array[Int](w)
+                  var sum = 0L
+                  var y = 0
+                  while (y < h) {
+                    img.getRGB(0, y, w, 1, row, 0, w)
+                    var x = 0
+                    while (x < w) {
+                      val l = luma(row(x))
+                      hist(l) += 1
+                      sum += l
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  val total = w.toLong * h
+                  var ent = 0.0
+                  var b = 0
+                  while (b < 256) {
+                    if (hist(b) > 0) {
+                      val p = hist(b).toDouble / total
+                      ent -= p * (math.log(p) / math.log(2.0))
+                    }
+                    b += 1
+                  }
+                  lastOk = true
+                  lastBlack = sum < 16L * total
+                  lastFlat = math.floor(ent * 1000.0).toLong < 1000L
+                  lastSum = sum
+                  lastTotal = total
+                }
+              }
+              if (lastOk) {
                 nDecoded += 1
-                val w = img.getWidth
-                val h = img.getHeight
-                val hist = new Array[Long](256)
-                val row = new Array[Int](w)
-                var sum = 0L
-                var y = 0
-                while (y < h) {
-                  img.getRGB(0, y, w, 1, row, 0, w)
-                  var x = 0
-                  while (x < w) {
-                    val l = luma(row(x))
-                    hist(l) += 1
-                    sum += l
-                    x += 1
-                  }
-                  y += 1
-                }
-                val total = w.toLong * h
-                var ent = 0.0
-                var b = 0
-                while (b < 256) {
-                  if (hist(b) > 0) {
-                    val p = hist(b).toDouble / total
-                    ent -= p * (math.log(p) / math.log(2.0))
-                  }
-                  b += 1
-                }
-                if (sum < 16L * total) nBlack += 1
-                if (math.floor(ent * 1000.0).toLong < 1000L) nFlat += 1
-                lumaSum += sum
-                nPixels += total
+                if (lastBlack) nBlack += 1
+                if (lastFlat) nFlat += 1
+                lumaSum += lastSum
+                nPixels += lastTotal
               }
               i += 1
             }
@@ -1766,39 +2090,92 @@ object Multimodal {
     * the parser does not understand are skipped by size — real tags carry
     * dozens of frame types, and a curation pass must not refuse a file
     * over an APIC art blob. */
+  /** Reverse ID3v2 unsynchronisation over `[from, until)`: every on-disk
+    * `FF 00` byte pair decodes back to the single `FF` the scheme
+    * inserted the `00` after (so MPEG decoders never see a false sync
+    * inside the tag). Output is at most the input's length — no
+    * amplification is possible. */
+  private def deunsync(b: Array[Byte], from: Int, until: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(16, until - from))
+    var i = from
+    while (i < until) {
+      out.write(b(i))
+      if ((b(i) & 0xff) == 0xff && i + 1 < until && b(i + 1) == 0) i += 2
+      else i += 1
+    }
+    out.toByteArray
+  }
+
   def parseId3Tags(data: Array[Byte]): Option[Map[String, String]] = {
-    def u8(i: Int): Int = data(i) & 0xff
     if (data.length < 10 || data(0) != 'I' || data(1) != 'D' || data(2) != '3')
       return None
-    val ver = u8(3) // 3 = v2.3, 4 = v2.4
+    val ver = data(3) & 0xff // 3 = v2.3, 4 = v2.4
     if (ver < 3 || ver > 4) return None
-    if ((u8(5) & 0x80) != 0) return None // unsynchronised tag: not handled
-    def syncsafe(i: Int): Int =
-      ((u8(i) & 0x7f) << 21) | ((u8(i + 1) & 0x7f) << 14) |
-        ((u8(i + 2) & 0x7f) << 7) | (u8(i + 3) & 0x7f)
-    val end = math.min(10L + syncsafe(6), data.length.toLong).toInt
-    var i = 10
+    val flags = data(5) & 0xff
+    val globalUnsync = (flags & 0x80) != 0
+    val hasExt = (flags & 0x40) != 0
+    def ssz(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0x7f) << 21) | ((b(i + 1) & 0x7f) << 14) |
+        ((b(i + 2) & 0x7f) << 7) | (b(i + 3) & 0x7f)
+    val end = math.min(10L + ssz(data, 6), data.length.toLong).toInt
+    // v2.3 unsynchronisation applies to the WHOLE tag body (frame headers
+    // included), so decode it first and parse the decoded buffer; v2.4's
+    // is per-frame (syncsafe frame sizes carry no false syncs by
+    // construction) and each payload decodes at its frame below
+    val buf =
+      if (ver == 3 && globalUnsync) deunsync(data, 10, end)
+      else java.util.Arrays.copyOfRange(data, 10, math.max(10, end))
+    def u8(i: Int): Int = buf(i) & 0xff
+    var i = 0
+    // extended header (flag 0x40): skip by its size field — v2.4's is
+    // syncsafe and INCLUDES its own bytes (minimum 6), v2.3's is a plain
+    // u32 EXCLUDING its own 4 size bytes (6 or 10 by spec)
+    if (hasExt) {
+      if (buf.length < 4) return None
+      if (ver == 4) {
+        val es = ssz(buf, 0)
+        if (es < 6 || es > buf.length) return None
+        i = es
+      } else {
+        val es = (u8(0).toLong << 24) | (u8(1) << 16) | (u8(2) << 8) | u8(3)
+        if (es < 0 || 4L + es > buf.length) return None
+        i = (4L + es).toInt
+      }
+    }
     val out = scala.collection.mutable.Map[String, String]()
-    while (i + 10 <= end) {
-      val id = new String(data, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    while (i + 10 <= buf.length) {
+      val id = new String(buf, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
       if (!id.forall(c => c.isUpper || c.isDigit)) return wrap(out) // padding
       val size =
-        if (ver == 4) syncsafe(i + 4)
+        if (ver == 4) ssz(buf, i + 4)
         else ((u8(i + 4) << 24) | (u8(i + 5) << 16) | (u8(i + 6) << 8) | u8(i + 7))
-      if (size < 0 || i + 10 + size > end) return wrap(out)
+      if (size < 0 || i + 10 + size > buf.length) return wrap(out)
       if (Seq("TIT2", "TPE1", "TALB").contains(id) && size >= 1) {
+        val fmtFlags = u8(i + 9)
         val p = i + 10
-        val enc = u8(p)
-        val body = java.util.Arrays.copyOfRange(data, p + 1, p + size)
-        val text = enc match {
-          case 0 => new String(body, java.nio.charset.StandardCharsets.ISO_8859_1)
-          case 1 => new String(body, java.nio.charset.StandardCharsets.UTF_16)
-          case 2 => new String(body, java.nio.charset.StandardCharsets.UTF_16BE)
-          case 3 => new String(body, java.nio.charset.StandardCharsets.UTF_8)
-          case _ => ""
+        // v2.4 per-frame unsynchronisation (format flag 0x02, implied for
+        // every frame by the global header flag): decode the payload; the
+        // frame size field counts the ON-DISK (synced) bytes either way
+        val body0 =
+          if (ver == 4 && ((fmtFlags & 0x02) != 0 || globalUnsync))
+            deunsync(buf, p, p + size)
+          else java.util.Arrays.copyOfRange(buf, p, p + size)
+        // v2.4 data-length indicator (format flag 0x01): 4 syncsafe bytes
+        // of pre-unsync length prefix the payload — skip, don't decode
+        val dli = if (ver == 4 && (fmtFlags & 0x01) != 0) 4 else 0
+        if (body0.length > dli) {
+          val enc = body0(dli) & 0xff
+          val body = java.util.Arrays.copyOfRange(body0, dli + 1, body0.length)
+          val text = enc match {
+            case 0 => new String(body, java.nio.charset.StandardCharsets.ISO_8859_1)
+            case 1 => new String(body, java.nio.charset.StandardCharsets.UTF_16)
+            case 2 => new String(body, java.nio.charset.StandardCharsets.UTF_16BE)
+            case 3 => new String(body, java.nio.charset.StandardCharsets.UTF_8)
+            case _ => ""
+          }
+          val clean = text.takeWhile(_ != '\u0000').trim
+          if (clean.nonEmpty) out(id) = clean
         }
-        val clean = text.takeWhile(_ != '\u0000').trim
-        if (clean.nonEmpty) out(id) = clean
       }
       i += 10 + size
     }

@@ -607,18 +607,40 @@ object Dedup {
     * media id space). 2^20 matches the frame-sampling `maxFrames` cap. */
   val PosBase: Long = 1L << 20
 
+  /** Build the composite (document, position) key, ENFORCING the contract
+    * the decode side assumes: 0 <= pos < [[PosBase]] (a position at or
+    * past the base would alias into the next document's key space) and
+    * 0 <= id < Long.MaxValue / [[PosBase]] (a negative id composes to a
+    * negative key whose `div`/`pmod` recovery disagree — id -1 at pos 0
+    * would decode as id 0 — and an oversized id overflows the multiply).
+    * Violations raise per-row instead of silently producing wrong
+    * near-dup pairs; the predicate is one codegen'd comparison per row.
+    * The `filter(assert_true(..).isNull)` form survives column pruning —
+    * an unused withColumn would be optimized away. */
+  private def compositeKey(df: DataFrame, id: String, pos: String,
+      sig: String): DataFrame = {
+    val idc = col(id).cast("long")
+    val posc = col(pos).cast("long")
+    val ok = idc.geq(0L) && idc.lt(Long.MaxValue / PosBase) &&
+      posc.geq(0L) && posc.lt(PosBase)
+    df.filter(assert_true(ok, concat_ws(" ",
+        lit(s"composite frame key out of contract (need 0 <= pos < $PosBase, 0 <= id < ${Long.MaxValue / PosBase}): id"),
+        col(id), lit("pos"), col(pos))).isNull)
+      .select((idc * PosBase + posc).as("cid"),
+        col(sig).cast("long").as("csig"))
+  }
+
   /** Persist the banded-Hamming index of a SEQUENCE-signature corpus
     * (per-frame video dHashes, windowed audio signatures): each (id, pos,
-    * sig) row is stored under the composite key id * [[PosBase]] + pos, so
-    * the EXISTING Hamming index machinery — batchId partitions, swap
-    * recovery, [[compactHammingIndex]] — serves frame sequences unchanged.
+    * sig) row is stored under the composite key id * [[PosBase]] + pos
+    * (contract enforced — see [[compositeKey]]), so the EXISTING Hamming
+    * index machinery — batchId partitions, swap recovery,
+    * [[compactHammingIndex]] — serves frame sequences unchanged.
     * Probe with [[incrementalFrameSigPairs]]. */
   def writeFrameSigIndex(frames: DataFrame, id: String, pos: String,
       sig: String, path: String, append: Boolean = false,
       batchId: Option[Long] = None): Unit = {
-    val comp = spread(frames).select(
-      (col(id).cast("long") * PosBase + col(pos).cast("long")).as("cid"),
-      col(sig).cast("long").as("csig"))
+    val comp = compositeKey(spread(frames), id, pos, sig)
     writeHammingIndex(comp, "cid", "csig", path, append, batchId)
   }
 
@@ -636,9 +658,7 @@ object Dedup {
       sig: String, indexPath: String, maxHamming: Int = 3,
       minMatch: Long = 2, excludeBatch: Option[Long] = None): DataFrame = {
     require(minMatch >= 1, s"minMatch must be at least 1, got $minMatch")
-    val comp = spread(batch).select(
-      (col(id).cast("long") * PosBase + col(pos).cast("long")).as("cid"),
-      col(sig).cast("long").as("csig"))
+    val comp = compositeKey(spread(batch), id, pos, sig)
     incrementalHammingPairs(comp, "cid", "csig", indexPath, maxHamming,
         excludeBatch)
       // `div`, not `/`: long division through Spark's double `/` loses

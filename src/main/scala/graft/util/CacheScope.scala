@@ -41,12 +41,24 @@ object CacheScope {
     df
   }
 
-  /** Cache `df`, materialize it fully (so later concurrent consumers are
-    * pure cache reads), and register it for scope-end unpersist. */
+  /** Cache `df` and, WHEN a [[withScope]] is open on this thread,
+    * materialize it fully (one count) and register it for scope-end
+    * unpersist. Inside a scope the materialization makes every later
+    * concurrent consumer a pure cache read — the deterministic-cost
+    * contract the bench/Verify/`/pipeline` paths rely on. Outside a
+    * scope this is a plain lazy `.cache()`: a library user composing
+    * operators lazily pays nothing at plan-construction time and may
+    * consume any subset of the plan — the historical behavior —
+    * trading back the cold-cache cost nondeterminism the scope form
+    * eliminates (concurrent first consumers can race uncached
+    * partitions). */
   def eager(df: DataFrame): DataFrame = {
     df.cache()
-    df.count()
-    register(df)
+    if (active.get() != null) {
+      df.count()
+      register(df)
+    }
+    df
   }
 
   /** Run `body` (which should CONSUME the frames it builds — write,

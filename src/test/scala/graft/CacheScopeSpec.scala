@@ -62,6 +62,30 @@ class CacheScopeSpec extends SparkTestBase {
     assert(eventually(df.storageLevel == StorageLevel.NONE))
   }
 
+  test("eager outside a scope stays LAZY: no job is submitted at plan " +
+    "construction and the cache fills only when a consumer runs") {
+    // a library user composing plans lazily must not pay a count() at
+    // operator-construction time; track job submission via the listener
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Thread.sleep(300) // let earlier tests' job-start events drain
+      val before = counter.get()
+      val df = CacheScope.eager(Seq(10, 11).toDF("a"))
+      Thread.sleep(500) // job-start events are async; give one time to land
+      assert(counter.get() == before,
+        "eager outside a scope must not submit a Spark job")
+      assert(df.count() == 2) // consuming it works and fills the cache
+      assert(cached(df))
+      df.unpersist()
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("a throwing body still releases the scope's frames") {
     var df: org.apache.spark.sql.DataFrame = null
     intercept[RuntimeException] {

@@ -2,6 +2,8 @@ package graft
 
 import java.io.ByteArrayOutputStream
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.SparkSession
 
 /** One-off generator for `fixtures/audio_tags.parquet` — committed ground
@@ -22,10 +24,23 @@ object GenAudioTagsFixture {
     ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
     ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
 
+  /** Unsynchronisation ENCODE per id3.org: insert a 0x00 after every 0xFF
+    * byte (the conservative form every decoder must accept — exactly
+    * invertible by stripping the 0x00 of each FF 00 pair). */
+  def unsyncEnc(b: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(b.length)
+    b.foreach { x => out.write(x); if ((x & 0xff) == 0xff) out.write(0) }
+    out.toByteArray
+  }
+
   /** One text frame: id + size (version-appropriate) + 2 flag bytes +
-    * encoding byte + encoded text (+ optional NUL terminator). */
+    * encoding byte + encoded text (+ optional NUL terminator).
+    * `unsyncFrame` (v2.4 only) sets format flag 0x02 and stores the
+    * payload unsync-ENCODED, with the size field counting the on-disk
+    * (encoded) bytes as the spec requires. */
   def textFrame(id: String, text: String, enc: Int, v24: Boolean,
-      nulTerm: Boolean = false): Array[Byte] = {
+      nulTerm: Boolean = false, unsyncFrame: Boolean = false): Array[Byte] = {
+    require(!unsyncFrame || v24, "per-frame unsync is a v2.4 feature")
     val encoded = enc match {
       case 0 => text.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
       case 1 => // UTF-16 with BOM (the JDK writes the BOM for UTF-16)
@@ -36,18 +51,33 @@ object GenAudioTagsFixture {
     val term: Array[Byte] =
       if (!nulTerm) Array.emptyByteArray
       else if (enc == 1) Array(0, 0) else Array(0)
-    val payload = enc.toByte +: (encoded ++ term)
+    val decoded = enc.toByte +: (encoded ++ term)
+    val payload = if (unsyncFrame) unsyncEnc(decoded) else decoded
     id.getBytes("US-ASCII") ++
       (if (v24) ss28(payload.length) else u32(payload.length)) ++
-      Array[Byte](0, 0) ++ payload
+      Array[Byte](0, if (unsyncFrame) 0x02 else 0) ++ payload
   }
 
-  /** A whole ID3v2 tag (version 3 or 4) followed by MPEG frame bytes. */
-  def tagged(frames: Seq[Array[Byte]], v24: Boolean): Array[Byte] = {
-    val body = frames.toArray.flatten
+  /** A whole ID3v2 tag (version 3 or 4) followed by MPEG frame bytes.
+    * `ext` prepends the version's extended header (v2.3: plain-u32 size
+    * EXCLUDING its own 4 size bytes; v2.4: syncsafe size INCLUDING all
+    * its bytes) and sets header flag 0x40. `unsync` sets header flag
+    * 0x80 and, for v2.3, unsync-encodes the WHOLE tag body (frame
+    * headers included) as that version's spec prescribes; v2.4 callers
+    * combine it with per-frame-encoded frames ([[textFrame]]'s
+    * `unsyncFrame`), since v2.4 unsynchronisation is per-frame. */
+  def tagged(frames: Seq[Array[Byte]], v24: Boolean,
+      ext: Boolean = false, unsync: Boolean = false): Array[Byte] = {
+    val extBytes: Array[Byte] =
+      if (!ext) Array.emptyByteArray
+      else if (v24) ss28(6) ++ Array[Byte](1, 0) // size=6 incl, 1 flag byte
+      else u32(6) ++ Array[Byte](0, 0, 0, 0, 0, 0) // 2 flags + u32 padding
+    val raw = extBytes ++ frames.toArray.flatten
+    val body = if (unsync && !v24) unsyncEnc(raw) else raw
     val out = new ByteArrayOutputStream()
     out.write("ID3".getBytes("US-ASCII"))
-    out.write(if (v24) 4 else 3); out.write(0); out.write(0)
+    out.write(if (v24) 4 else 3); out.write(0)
+    out.write((if (unsync) 0x80 else 0) | (if (ext) 0x40 else 0))
     out.write(ss28(body.length))
     out.write(body)
     // a sliver of MPEG audio so the payload is a plausible mp3
@@ -107,7 +137,34 @@ object GenAudioTagsFixture {
         val good = tagged(Seq(textFrame("TIT2", "X", 0, v24 = false)), v24 = false)
         // inflate the frame's u32 size field (tag offset 10 + 4 = 14)
         good.updated(14, 0x7f.toByte)
-      }, has_tags = false, None, None, None))
+      }, has_tags = false, None, None, None),
+      // v2.3 with EXTENDED HEADER + whole-tag UNSYNCHRONISATION: the
+      // UTF-16 BOM (FF FE) forces real FF->FF 00 encoding, and 'ÿ'
+      // (0xFF in ISO-8859-1) plants an FF inside text too — both common
+      // on older real-world MP3s, both previously degraded to untagged
+      TagRow(6L, "mp3", tagged(Seq(
+          textFrame("TIT2", "Nuit Grise", 1, v24 = false),
+          textFrame("TPE1", "ÿell", 0, v24 = false)),
+          v24 = false, ext = true, unsync = true),
+        has_tags = true, Some("Nuit Grise"), Some("ÿell"), None),
+      // v2.4 with EXTENDED HEADER and a PER-FRAME unsynchronised UTF-16
+      // frame (format flag 0x02, on-disk size counts encoded bytes)
+      TagRow(7L, "mp3", tagged(Seq(
+          textFrame("TALB", "Voilà", 1, v24 = true, unsyncFrame = true),
+          textFrame("TPE1", "Quartet", 3, v24 = true)),
+          v24 = true, ext = true),
+        has_tags = true, None, Some("Quartet"), Some("Voilà")),
+      // v2.4 with the GLOBAL unsync flag (spec: every frame is then
+      // unsync-encoded even without its own 0x02 bit set)
+      TagRow(8L, "mp3", {
+        val f = textFrame("TIT2", "Søvn", 1, v24 = true)
+        // encode the payload but leave the per-frame flag clear: the
+        // header flag alone must drive the decode. Rebuild by hand:
+        val hdr = f.take(10)
+        val enc = unsyncEnc(f.drop(10))
+        hdr.take(4) ++ ss28(enc.length) ++ hdr.slice(8, 10) ++ enc
+      }.pipe(f => tagged(Seq(f), v24 = true, unsync = true)),
+        has_tags = true, Some("Søvn"), None, None))
 
     // engine round-trip assert is the SPEC's job; here only structural
     // sanity: tags declared where written

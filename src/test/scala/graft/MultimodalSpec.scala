@@ -826,6 +826,44 @@ class MultimodalSpec extends SparkTestBase {
     assert(partial.get("TIT2").contains("A Title") && !partial.contains("TPE1"))
   }
 
+  test("parseId3Tags: extended headers are skipped by size and " +
+    "unsynchronised tags decode (v2.3 whole-tag, v2.4 per-frame and " +
+    "global) — UTF-16 BOMs and 0xFF text bytes survive the round trip") {
+    // v2.3: ext header + whole-tag unsync; BOM FF FE and ISO-8859-1 'ÿ'
+    // both plant real FF bytes that the encode/decode must round-trip
+    val t1 = GenAudioTagsFixture.tagged(Seq(
+      GenAudioTagsFixture.textFrame("TIT2", "Nuit Grise", 1, v24 = false),
+      GenAudioTagsFixture.textFrame("TPE1", "ÿell", 0, v24 = false)),
+      v24 = false, ext = true, unsync = true)
+    val m1 = Multimodal.parseId3Tags(t1).get
+    assert(m1("TIT2") == "Nuit Grise" && m1("TPE1") == "ÿell")
+    // v2.3: ext header alone (no unsync)
+    val t2 = GenAudioTagsFixture.tagged(Seq(
+      GenAudioTagsFixture.textFrame("TALB", "Plain", 0, v24 = false)),
+      v24 = false, ext = true)
+    assert(Multimodal.parseId3Tags(t2).get("TALB") == "Plain")
+    // v2.4: ext header + per-frame unsync flag on a UTF-16 frame
+    val t3 = GenAudioTagsFixture.tagged(Seq(
+      GenAudioTagsFixture.textFrame("TALB", "Voilà", 1, v24 = true,
+        unsyncFrame = true),
+      GenAudioTagsFixture.textFrame("TPE1", "Quartet", 3, v24 = true)),
+      v24 = true, ext = true)
+    val m3 = Multimodal.parseId3Tags(t3).get
+    assert(m3("TALB") == "Voilà" && m3("TPE1") == "Quartet")
+    // v2.4: GLOBAL unsync header flag with the frame's own bit clear
+    val f = GenAudioTagsFixture.textFrame("TIT2", "Søvn", 1, v24 = true)
+    val enc = GenAudioTagsFixture.unsyncEnc(f.drop(10))
+    val reframed = f.take(4) ++ Array(
+      ((enc.length >> 21) & 0x7f).toByte, ((enc.length >> 14) & 0x7f).toByte,
+      ((enc.length >> 7) & 0x7f).toByte, (enc.length & 0x7f).toByte) ++
+      f.slice(8, 10) ++ enc
+    val t4 = GenAudioTagsFixture.tagged(Seq(reframed), v24 = true, unsync = true)
+    assert(Multimodal.parseId3Tags(t4).get("TIT2") == "Søvn")
+    // truncated ext headers degrade, never throw
+    assert(Multimodal.parseId3Tags(t1.take(12)).isEmpty)
+    assert(Multimodal.parseId3Tags(t3.take(13)).isEmpty)
+  }
+
   // ------------------------------------------------ AVI/MJPEG video decode
 
   /** A tiny MJPEG AVI via the fixture generator's independent RIFF
@@ -945,6 +983,46 @@ class MultimodalSpec extends SparkTestBase {
     assert(!pairs.keys.exists(k => k._1 == 1L), "replay must not self-pair")
   }
 
+  test("composite frame keys ENFORCE their contract: a position at or " +
+    "past PosBase, or a negative id, raises instead of silently aliasing " +
+    "into another document's key space") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-vididx-bad").toString + "/idx"
+    // pos >= PosBase: would alias into document id+1's key space
+    val badPos = Seq((1L, graft.operators.Dedup.PosBase.toInt, 42L))
+      .toDF("id", "frame_idx", "dhash")
+    val e1 = intercept[Exception] {
+      graft.operators.Dedup.writeFrameSigIndex(badPos, "id", "frame_idx",
+        "dhash", path)
+    }
+    assert(exceptionChain(e1).exists(_.getMessage != null))
+    // negative id: div rounds toward zero while pmod stays non-negative,
+    // so id -1 pos 0 would DECODE as id 0 — must raise at compose time
+    val badId = Seq((-1L, 0, 42L)).toDF("id", "frame_idx", "dhash")
+    val e2 = intercept[Exception] {
+      graft.operators.Dedup.writeFrameSigIndex(badId, "id", "frame_idx",
+        "dhash", path + "2")
+    }
+    assert(exceptionChain(e2).exists(_.getMessage != null))
+    // the probe side enforces the same contract
+    graft.operators.Dedup.writeFrameSigIndex(
+      Seq((1L, 0, 42L)).toDF("id", "frame_idx", "dhash"), "id", "frame_idx",
+      "dhash", path + "3")
+    val e3 = intercept[Exception] {
+      graft.operators.Dedup.incrementalFrameSigPairs(badPos, "id",
+        "frame_idx", "dhash", path + "3").collect()
+    }
+    assert(exceptionChain(e3).exists(_.getMessage != null))
+    // in-contract rows still index and probe fine after the guard
+    val ok = graft.operators.Dedup.incrementalFrameSigPairs(
+      Seq((2L, 0, 42L), (2L, 1, 42L)).toDF("id", "frame_idx", "dhash"),
+      "id", "frame_idx", "dhash", path + "3", minMatch = 1)
+    assert(ok.collect().nonEmpty)
+  }
+
+  private def exceptionChain(t: Throwable): List[Throwable] =
+    if (t == null) Nil else t :: exceptionChain(t.getCause)
+
   test("audioSeqSignatures: windowed signatures detect containment a " +
     "whole-clip fingerprint cannot; partial tail windows are dropped; " +
     "trim by whole windows shifts the alignment diagonal") {
@@ -1010,5 +1088,38 @@ class MultimodalSpec extends SparkTestBase {
     assert(v.nFlat == 2)   // both solid frames have ~zero entropy
     assert(v.nPixels == 3L * 64 * 48)
     assert(!rows(2L).decoded && rows(2L).nSampled == 0)
+  }
+
+  test("video samplers memoize repeated frame decodes: a low-fps clip " +
+    "under a dense schedule decodes each DISTINCT sampled frame once, " +
+    "with identical output to the unmemoized arithmetic") {
+    // 3 source frames at 0.5 fps (2 s per frame), sampled every 100 ms:
+    // 61 ticks over the 6 s duration, but only 3 distinct source frames
+    val frames = (0 until 3).map(t =>
+      GenVideoFixture.encodeJpeg(GenVideoFixture.framePx(33, t), 0.85f))
+    val media = Seq((1L, "video",
+      GenVideoFixture.avi(64, 48, 2000000L, frames))).toDF("id", "kind", "data")
+    Multimodal.FrameDecodeCounter.reset()
+    val hashes = Multimodal.videoFrameHashes(media, everyMs = 100L).collect()
+    val hashDecodes = Multimodal.FrameDecodeCounter.sum()
+    assert(hashes.length == 61, s"expected 61 ticks, got ${hashes.length}")
+    assert(hashDecodes == 3,
+      s"decode work must be bounded by distinct frames, got $hashDecodes")
+    // every tick's hash equals the per-tick (unmemoized) recompute: tick i
+    // covers source frame min(i*100ms / 2000ms, 2)
+    val expected = frames.map { jpeg =>
+      val px = GenVideoFixture.decodePx(jpeg)
+      (GenImagePhashFixture.expectedAHash(px), GenImagePhashFixture.expectedDHash(px))
+    }
+    hashes.foreach { h =>
+      val fi = math.min(h.ts_ms / 2000L, 2L).toInt
+      assert(h.decoded && h.ahash.contains(expected(fi)._1) &&
+        h.dhash.contains(expected(fi)._2), s"tick ${h.frame_idx} drifted")
+    }
+    Multimodal.FrameDecodeCounter.reset()
+    val stats = Multimodal.videoStats(media, everyMs = 100L).collect().head
+    assert(Multimodal.FrameDecodeCounter.sum() == 3)
+    assert(stats.nSampled == 61 && stats.nDecoded == 61)
+    assert(stats.nPixels == 61L * 64 * 48)
   }
 }
