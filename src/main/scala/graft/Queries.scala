@@ -2607,6 +2607,102 @@ object Queries {
       |ORDER BY media_id""".stripMargin
 
   // ----------------------------------------------------------------------
+  // MP4 / ISO-BMFF sample tables: the same four proofs as the AVI family,
+  // over containers hand-built by GenMp4Fixture with FULL
+  // stts/stsz/stsc/stco/co64/stss tables and 'jpeg' (MJPEG-in-MP4)
+  // samples — the most common real-world video container, now with
+  // honest per-frame byte ranges and NON-UNIFORM decode timestamps
+  // (fixture clip 7's frames span 100 ms to 1.4 s each; the schedule
+  // must map ticks by cumulative stts time, which a constant-fps
+  // estimate gets wrong). Layout coverage: moov before AND after mdat,
+  // stco and co64, 1/2/N samples per chunk, stss present and absent.
+  // q_mp4_meta proves mvhd/tkhd metadata on stbl-bearing files plus the
+  // two-layer degrade (row 5's boxes parse but its stco offsets run off
+  // the payload — metadata real, frame path refuses; row 6's moov is
+  // truncated — both stub); q_mp4_frames proves byte-range + timestamp
+  // reconstruction through JPEG pixel decode onto the exact-integer hash
+  // grids; q_mp4_neardup proves the sequence join over MP4 the same way
+  // the AVI twin does (re-encode in a DIFFERENT physical layout pairs on
+  // diagonal 0, trim on diagonal 1); q_mp4_stats proves the quality-gate
+  // fold over the sample-table schedule.
+  // ----------------------------------------------------------------------
+  private lazy val mp4Fixture: String = fixturePath("video_mp4.parquet")
+  private lazy val mp4FramesFixture: String = fixturePath("video_mp4_frames.parquet")
+
+  private val mp4Meta: (SparkSession, String) => DataFrame = (s, _) => {
+    val media = s.read.parquet(mp4Fixture)
+      .select(col("media_id").as("id"), col("kind"), col("data"))
+    graft.multimodal.Multimodal.decodeAv(media).toDF()
+      .select(col("id").as("media_id"), col("container"),
+        col("width"), col("height"), col("durationMs").as("duration_ms"))
+      .orderBy(col("media_id"))
+  }
+
+  private val mp4MetaSql =
+    s"""SELECT media_id, container, width, height, duration_ms
+      |FROM '$mp4Fixture'
+      |ORDER BY media_id""".stripMargin
+
+  private val mp4Frames: (SparkSession, String) => DataFrame = (s, _) => {
+    val media = s.read.parquet(mp4Fixture)
+      .select(col("media_id").as("id"), col("kind"), col("data"))
+    graft.multimodal.Multimodal.videoFrameHashes(media, everyMs = 500L).toDF()
+      .select(col("id").as("media_id"), col("frame_idx"), col("ts_ms"),
+        col("decoded"), col("ahash"), col("dhash"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  private val mp4FramesSql =
+    s"""SELECT media_id, frame_idx, ts_ms, decoded, ahash, dhash
+      |FROM '$mp4FramesFixture'
+      |ORDER BY media_id, frame_idx""".stripMargin
+
+  private val mp4NearDup: (SparkSession, String) => DataFrame = (s, _) => {
+    val media = s.read.parquet(mp4Fixture)
+      .select(col("media_id").as("id"), col("kind"), col("data"))
+    val hashed = graft.multimodal.Multimodal
+      .videoFrameHashes(media, everyMs = 500L).toDF()
+      .where(col("decoded"))
+      .select(col("id"), col("frame_idx"), col("dhash"))
+    graft.operators.Dedup.frameSigPairs(hashed, "id", "frame_idx", "dhash",
+        maxHamming = 3, minMatch = 2)
+      .orderBy(col("a"), col("b"), col("d"))
+  }
+
+  private val mp4NearDupSql =
+    s"""WITH f AS (
+      |  SELECT media_id, frame_idx, dhash FROM '$mp4FramesFixture'
+      |  WHERE decoded AND dhash IS NOT NULL AND dhash <> 0),
+      |m AS (
+      |  SELECT DISTINCT x.media_id AS a, y.media_id AS b,
+      |    x.frame_idx AS pa, y.frame_idx AS pb
+      |  FROM f x JOIN f y ON x.media_id < y.media_id
+      |  WHERE bit_count(xor(x.dhash, y.dhash)) <= 3)
+      |SELECT a, b, (pa - pb)::BIGINT AS d, count(*)::BIGINT AS n_match
+      |FROM m GROUP BY a, b, pa - pb
+      |HAVING count(*) >= 2
+      |ORDER BY a, b, d""".stripMargin
+
+  private val mp4Stats: (SparkSession, String) => DataFrame = (s, _) => {
+    val media = s.read.parquet(mp4Fixture)
+      .select(col("media_id").as("id"), col("kind"), col("data"))
+    graft.multimodal.Multimodal.videoStats(media, everyMs = 500L).toDF()
+      .select(col("id").as("media_id"), col("decoded"),
+        col("nSampled").as("n_sampled"), col("nDecoded").as("n_decoded"),
+        col("nBlack").as("n_black"), col("nFlat").as("n_flat"),
+        col("lumaSum").as("luma_sum"), col("nPixels").as("n_pixels"))
+      .orderBy(col("media_id"))
+  }
+
+  private val mp4StatsSql =
+    s"""SELECT media_id, frames_ok AS decoded,
+      |  s_n_sampled AS n_sampled, s_n_decoded AS n_decoded,
+      |  s_n_black AS n_black, s_n_flat AS n_flat,
+      |  s_luma_sum AS luma_sum, s_n_pixels AS n_pixels
+      |FROM '$mp4Fixture'
+      |ORDER BY media_id""".stripMargin
+
+  // ----------------------------------------------------------------------
   // WARC ingestion + HTML extraction: the crawl-capture front door of the
   // training-data pipeline. The committed fixture holds three WARC files
   // (plain, per-record-gzip, corrupt-tail) the GENERATOR wrote from known
@@ -3499,6 +3595,10 @@ object Queries {
     "q_video_neardup" -> videoNearDup,
     "q_video_stats"   -> videoStats,
     "q_video_incr"    -> videoIncr,
+    "q_mp4_meta"      -> mp4Meta,
+    "q_mp4_frames"    -> mp4Frames,
+    "q_mp4_neardup"   -> mp4NearDup,
+    "q_mp4_stats"     -> mp4Stats,
     "q_audio_seq"     -> audioSeq,
     "q_audio_tags"    -> audioTags,
     "q_audio_seq_neardup" -> audioSeqNearDup,
@@ -3610,6 +3710,10 @@ object Queries {
     "q_video_neardup" -> videoNearDupSql,
     "q_video_stats"   -> videoStatsSql,
     "q_video_incr"    -> videoIncrSql,
+    "q_mp4_meta"      -> mp4MetaSql,
+    "q_mp4_frames"    -> mp4FramesSql,
+    "q_mp4_neardup"   -> mp4NearDupSql,
+    "q_mp4_stats"     -> mp4StatsSql,
     "q_audio_seq"     -> audioSeqSql,
     "q_audio_tags"    -> audioTagsSql,
     "q_audio_seq_neardup" -> audioSeqNearDupSql,

@@ -1067,13 +1067,14 @@ object Multimodal {
     }).toDF()
   }
 
-  /** One sampled frame row. For AVI/MJPEG payloads `frame` holds the REAL
-    * JPEG bytes of the source frame covering `ts_ms` ([[parseAvi]] — each
-    * `NNdc` chunk is a standalone JPEG the JDK decodes); for containers
-    * with no pure-JVM codec (MP4/WebM payloads) it is a deterministic
-    * md5 stub, while the parsed duration driving the schedule, the row
-    * shape, and the narrow explode are the production plumbing either
-    * way. */
+  /** One sampled frame row. For payloads with a parseable frame table
+    * ([[parseVideoFrameTable]] — AVI/MJPEG chunks, MP4 sample tables)
+    * `frame` holds the REAL bytes of the source frame covering `ts_ms`
+    * (for the MJPEG codec family each is a standalone JPEG the JDK
+    * decodes); for containers with no frame-level access (WebM payloads)
+    * it is a deterministic md5 stub, while the parsed duration driving
+    * the schedule, the row shape, and the narrow explode are the
+    * production plumbing either way. */
   final case class FrameRow(id: Long, frame_idx: Int, ts_ms: Long,
       decoded: Boolean, frame: Array[Byte])
 
@@ -1087,12 +1088,15 @@ object Multimodal {
     *
     * Scale shape: a narrow per-row flatMap inside one mapPartitions at the
     * codec boundary — no shuffle, output rows proportional to total
-    * duration, task memory bounded by one payload. AVI/MJPEG payloads emit
-    * REAL frame bytes (`decoded = true`): the frame chunk covering the
-    * schedule tick, i.e. source frame floor(ts * 1e6 / usPerFrame),
-    * clamped to the last chunk actually present. Other containers emit a
-    * deterministic stub (md5 of (id, frame_idx) — H.264/VP9 have no
-    * pure-JVM codec); a real decoder drops into the same row contract.
+    * duration, task memory bounded by one payload. Payloads with a frame
+    * table ([[parseVideoFrameTable]] — AVI/MJPEG and MP4 sample tables)
+    * emit REAL frame bytes (`decoded = true`): the frame covering the
+    * schedule tick, i.e. the LAST frame whose decode timestamp is <= the
+    * tick (for constant-rate AVI that is floor(ts * 1e6 / usPerFrame);
+    * for MP4 it honors the non-uniform stts timing), clamped to the last
+    * frame actually present. Other containers emit a deterministic stub
+    * (md5 of (id, frame_idx) — H.264/VP9 have no pure-JVM codec); a real
+    * decoder drops into the same row contract.
     *
     * `maxFrames` caps one payload's schedule: a corrupt container can
     * parse to an absurd duration (a crafted 32-bit mvhd at timescale 1
@@ -1107,16 +1111,20 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions(_.flatMap { r =>
-      parseAvi(r.data) match {
-        case Some(avi) if avi.frames.nonEmpty && avi.usPerFrame > 0 =>
-          val durMs = avi.durationMs
-          val n = math.min(math.max(1L, durMs / everyMs + 1),
+      parseVideoFrameTable(r.data, maxFrames) match {
+        case Some(tab) =>
+          val n = math.min(math.max(1L, tab.durationMs / everyMs + 1),
             maxFrames.toLong).toInt
+          // ticks are increasing, so the covering-frame lookup is a
+          // monotone pointer advance — O(ticks + frames) total, not a
+          // binary search per tick
+          var fp = 0
           (0 until n).iterator.map { i =>
             val ts = i * everyMs
-            val fi = math.min(ts * 1000L / avi.usPerFrame,
-              avi.frames.length - 1L).toInt
-            val (off, len) = avi.frames(fi)
+            val us = ts * 1000L
+            while (fp + 1 < tab.frames.length && tab.tsUs(fp + 1) <= us)
+              fp += 1
+            val (off, len) = tab.frames(fp)
             FrameRow(r.id, i, ts, decoded = true,
               java.util.Arrays.copyOfRange(r.data, off, off + len))
           }
@@ -1386,9 +1394,11 @@ object Multimodal {
       decoded: Boolean, ahash: Option[Long], dhash: Option[Long])
 
   /** Per-frame perceptual hashes over video payloads — the video charter's
-    * near-dup front end: [[parseAvi]] extracts the MJPEG frame chunks,
-    * the schedule samples one frame per `everyMs` of real duration
-    * (identical arithmetic to [[sampleFramesByTime]]), each sampled JPEG
+    * near-dup front end: [[parseVideoFrameTable]] extracts the frame byte
+    * ranges (AVI/MJPEG chunks, MP4 sample tables — MJPEG-in-MP4 decodes
+    * the same way), the schedule samples one frame per `everyMs` of real
+    * duration (identical arithmetic to [[sampleFramesByTime]], honoring
+    * MP4's non-uniform stts timing), each sampled JPEG
     * decodes through the [[imageHashBatch]] guard (header sniff,
     * [[MaxHashPixels]] bomb refusal, corrupt bodies degrade to an
     * undecoded row) onto the exact-integer aHash/dHash grids. Feed the
@@ -1409,27 +1419,30 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
       rows.flatMap { r =>
-        parseAvi(r.data) match {
-          case Some(avi) if avi.frames.nonEmpty && avi.usPerFrame > 0 =>
-            val durMs = avi.durationMs
-            val n = math.min(math.max(1L, durMs / everyMs + 1),
+        parseVideoFrameTable(r.data, maxFrames) match {
+          case Some(tab) =>
+            val n = math.min(math.max(1L, tab.durationMs / everyMs + 1),
               maxFrames.toLong).toInt
-            // the schedule's frame indices are non-decreasing, so
-            // memoizing only the LAST decoded frame bounds decode work by
-            // DISTINCT sampled frames, not ticks — on a low-fps clip with
-            // a dense schedule (everyMs shorter than the frame period)
-            // consecutive ticks hit the same source frame repeatedly
+            // the schedule's frame indices are non-decreasing (monotone
+            // pointer over the timestamp table), so memoizing only the
+            // LAST decoded frame bounds decode work by DISTINCT sampled
+            // frames, not ticks — on a low-fps clip with a dense schedule
+            // (everyMs shorter than the frame period) consecutive ticks
+            // hit the same source frame repeatedly
+            var fp = 0
             var lastFi = -1
             var lastA: Option[Long] = None
             var lastD: Option[Long] = None
             var lastOk = false
             (0 until n).iterator.map { i =>
               val ts = i * everyMs
-              val fi = math.min(ts * 1000L / avi.usPerFrame,
-                avi.frames.length - 1L).toInt
+              val us = ts * 1000L
+              while (fp + 1 < tab.frames.length && tab.tsUs(fp + 1) <= us)
+                fp += 1
+              val fi = fp
               if (fi != lastFi) {
                 lastFi = fi
-                val (off, len) = avi.frames(fi)
+                val (off, len) = tab.frames(fi)
                 val bytes = java.util.Arrays.copyOfRange(r.data, off, off + len)
                 val dims = parseDimensions(bytes)
                 val tooBig = dims.exists { case (w, h) => w.toLong * h > MaxHashPixels }
@@ -1490,29 +1503,31 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val n = r.data.length.toLong
-        parseAvi(r.data) match {
-          case Some(avi) if avi.frames.nonEmpty && avi.usPerFrame > 0 =>
-            val durMs = avi.durationMs
-            val nSampled = math.min(math.max(1L, durMs / everyMs + 1),
+        parseVideoFrameTable(r.data, maxFrames) match {
+          case Some(tab) =>
+            val nSampled = math.min(math.max(1L, tab.durationMs / everyMs + 1),
               maxFrames.toLong).toInt
             var nDecoded = 0; var nBlack = 0; var nFlat = 0
             var lumaSum = 0L; var nPixels = 0L
             // last-frame memo (see videoFrameHashes): the schedule's frame
             // indices are non-decreasing, so caching one frame's fold
             // contribution bounds decode work by DISTINCT sampled frames
+            var fp = 0
             var lastFi = -1
             var lastOk = false; var lastBlack = false; var lastFlat = false
             var lastSum = 0L; var lastTotal = 0L
             var i = 0
             while (i < nSampled) {
               val ts = i.toLong * everyMs
-              val fi = math.min(ts * 1000L / avi.usPerFrame,
-                avi.frames.length - 1L).toInt
+              val us = ts * 1000L
+              while (fp + 1 < tab.frames.length && tab.tsUs(fp + 1) <= us)
+                fp += 1
+              val fi = fp
               if (fi != lastFi) {
                 lastFi = fi
                 lastOk = false; lastBlack = false; lastFlat = false
                 lastSum = 0L; lastTotal = 0L
-                val (off, len) = avi.frames(fi)
+                val (off, len) = tab.frames(fi)
                 val bytes = java.util.Arrays.copyOfRange(r.data, off, off + len)
                 val dims = parseDimensions(bytes)
                 val tooBig = dims.exists { case (w, h) => w.toLong * h > MaxHashPixels }

@@ -1,0 +1,350 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One-off generator for `fixtures/video_mp4.parquet` (payloads + expected
+  * per-clip metadata and quality stats) and
+  * `fixtures/video_mp4_frames.parquet` (expected per-sampled-frame
+  * perceptual hashes) — committed ground truth for the q_mp4_frames /
+  * q_mp4_neardup / q_mp4_stats oracles.
+  *
+  * Each decodable row is a REAL MP4 (ISO/IEC 14496-12) container
+  * hand-built box by box (no JDK MP4 writer exists): ftyp + mdat + moov
+  * with FULL sample tables — stts (decode deltas, run-length encoded),
+  * stsz (per-sample sizes), stsc (samples-per-chunk runs), stco/co64
+  * (chunk offsets), stss (sync samples) — each sample one JPEG frame from
+  * the JDK's own encoder ('jpeg' sample entry: MJPEG-in-MP4, the one
+  * video codec the JVM decodes natively). Expected hashes are computed
+  * HERE from the pixels ImageIO decodes back out of each JPEG payload,
+  * with the schedule (one tick per 500 ms, source frame = LAST sample
+  * whose cumulative stts decode time <= tick) re-stated independently of
+  * the engine. Layout variants exercised:
+  *  - moov BEFORE and AFTER mdat (faststart and not);
+  *  - one-chunk and 2-samples-per-chunk stsc layouts;
+  *  - stco (u32) and co64 (u64) chunk offsets;
+  *  - uniform and NON-UNIFORM stts (variable frame durations — the
+  *    honest-timing case a constant-fps estimate gets wrong);
+  *  - stss present (keyframe subset) and absent (all sync).
+  *
+  * Planted relationships (asserted below, at the sampled-frame level, as
+  * in [[GenVideoFixture]]):
+  *  - video 2 re-encodes video 1's exact pixel frames at lower JPEG
+  *    quality, in a different chunk/offset/moov layout — every sampled
+  *    frame pair within dHash Hamming 3 on alignment diagonal 0;
+  *  - video 3 is video 1 trimmed by 5 source frames (same JPEG bytes,
+  *    shifted) — matches on diagonal 1;
+  *  - video 4 is unrelated — no sampled frame within Hamming 3 of 1-3;
+  *  - video 7 has NON-UNIFORM frame durations: 4 frames covering
+  *    [0,100), [100,200), [200,1600), [1600,2600) ms, so the 500 ms
+  *    schedule must pick frames 2,2,2,3,3,3 for ticks 0..2500 — a
+  *    constant-rate mapping would pick different frames;
+  *  - video 8 plants black/flat frames at sampled ticks (quality gates);
+  *  - rows 5/6 are corrupt (sample range past EOF, truncated moov) — the
+  *    degrade-to-undecoded contract.
+  *
+  * Run once: `sbt "Test/runMain graft.GenMp4Fixture"`, commit both
+  * parquets. Deterministic: seeded content, explicit JPEG quality. */
+object GenMp4Fixture {
+
+  // ---- ISO-BMFF byte builders (independent of the engine's parser)
+
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+  private def cc(s: String): Array[Byte] = {
+    require(s.length == 4); s.getBytes("US-ASCII")
+  }
+  private def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val p = payload.toArray.flatten
+    be32(p.length + 8L) ++ cc(typ) ++ p
+  }
+  /** FullBox: version byte + 24-bit flags prefix the payload. */
+  private def full(typ: String, flags: Int, payload: Array[Byte]*): Array[Byte] =
+    box(typ, Array(0.toByte, ((flags >> 16) & 0xff).toByte,
+      ((flags >> 8) & 0xff).toByte, (flags & 0xff).toByte),
+      payload.toArray.flatten)
+
+  private val ftyp: Array[Byte] =
+    box("ftyp", cc("isom"), be32(512), cc("isom"), cc("mp41"))
+
+  /** Run-length encode frame durations into stts (count, delta) pairs. */
+  private def sttsRuns(durs: Seq[Long]): Seq[(Long, Long)] =
+    durs.foldLeft(List.empty[(Long, Long)]) {
+      case ((c, d) :: tail, x) if d == x => (c + 1, d) :: tail
+      case (acc, x) => (1L, x) :: acc
+    }.reverse
+
+  /** Hand-built MP4: one 'vide' track with 'jpeg' samples and full sample
+    * tables. `frameDurations` are per-sample decode deltas in MEDIA
+    * timescale ticks (same length as `samples`). */
+  def mp4(w: Int, h: Int, mediaTimescale: Long, frameDurations: Seq[Long],
+      samples: Seq[Array[Byte]], samplesPerChunk: Int, moovFirst: Boolean,
+      useCo64: Boolean, syncEvery: Option[Int],
+      offsetShift: Long = 0L): Array[Byte] = {
+    require(frameDurations.length == samples.length && samples.nonEmpty)
+    val n = samples.length
+    val totalTicks = frameDurations.sum
+    val movieDurMs = totalTicks * 1000L / mediaTimescale
+    val nChunks = (n + samplesPerChunk - 1) / samplesPerChunk
+
+    def moov(chunkOffsets: Seq[Long]): Array[Byte] = {
+      val mvhd = full("mvhd", 0,
+        be32(0), be32(0),              // creation, modification
+        be32(1000), be32(movieDurMs),  // movie timescale 1000 = ms
+        be32(0x00010000), be16(0x0100), be16(0), be32(0), be32(0),
+        // identity matrix
+        be32(0x00010000), be32(0), be32(0), be32(0), be32(0x00010000),
+        be32(0), be32(0), be32(0), be32(0x40000000),
+        Array.fill[Byte](24)(0), be32(2)) // pre_defined, next_track_ID
+      val tkhd = full("tkhd", 7, // enabled | in-movie | in-preview
+        be32(0), be32(0), be32(1), be32(0), be32(movieDurMs),
+        Array.fill[Byte](8)(0), be16(0), be16(0), be16(0), be16(0),
+        be32(0x00010000), be32(0), be32(0), be32(0), be32(0x00010000),
+        be32(0), be32(0), be32(0), be32(0x40000000),
+        be32(w.toLong << 16), be32(h.toLong << 16)) // 16.16 fixed point
+      val mdhd = full("mdhd", 0,
+        be32(0), be32(0), be32(mediaTimescale), be32(totalTicks),
+        be16(0x55c4), be16(0)) // language 'und'
+      val hdlr = full("hdlr", 0,
+        be32(0), cc("vide"), Array.fill[Byte](12)(0),
+        "VideoHandler".getBytes("US-ASCII") :+ 0.toByte)
+      val vmhd = full("vmhd", 1, be16(0), be16(0), be16(0), be16(0))
+      val dinf = box("dinf", full("dref", 0, be32(1), full("url ", 1)))
+      // visual sample entry 'jpeg' per 14496-12 §12.1.3 (86 bytes)
+      val entry = box("jpeg",
+        Array.fill[Byte](6)(0), be16(1),        // reserved, data_ref_index
+        be16(0), be16(0), Array.fill[Byte](12)(0),
+        be16(w), be16(h), be32(0x00480000), be32(0x00480000),
+        be32(0), be16(1),                        // reserved, frame_count
+        Array.fill[Byte](32)(0),                 // compressorname
+        be16(24), be16(0xffff))                  // depth, pre_defined -1
+      val stsd = full("stsd", 0, be32(1), entry)
+      val stts = full("stts", 0, be32(sttsRuns(frameDurations).length.toLong),
+        sttsRuns(frameDurations).toArray.flatMap { case (c, d) =>
+          be32(c) ++ be32(d) })
+      val stsz = full("stsz", 0, be32(0), be32(n.toLong),
+        samples.toArray.flatMap(s => be32(s.length.toLong)))
+      val stsc = full("stsc", 0, be32(1), be32(1),
+        be32(samplesPerChunk.toLong), be32(1))
+      val offs =
+        if (useCo64) full("co64", 0, be32(chunkOffsets.length.toLong),
+          chunkOffsets.toArray.flatMap(be64))
+        else full("stco", 0, be32(chunkOffsets.length.toLong),
+          chunkOffsets.toArray.flatMap(be32))
+      val stss = syncEvery.map(k => full("stss", 0,
+        be32((1 to n by k).length.toLong),
+        (1 to n by k).toArray.flatMap(s => be32(s.toLong))))
+      val stbl = box("stbl",
+        Seq(stsd, stts, stsc, stsz, offs) ++ stss.toSeq: _*)
+      val minf = box("minf", vmhd, dinf, stbl)
+      val mdia = box("mdia", mdhd, hdlr, minf)
+      val trak = box("trak", tkhd, mdia)
+      box("moov", mvhd, trak)
+    }
+
+    val mdat = box("mdat", samples.toArray.flatten)
+    // chunk offsets are absolute file offsets; the moov's byte size does
+    // not depend on the offset VALUES (fixed-width fields), so build it
+    // once with zeros to learn the layout, then rebuild with real offsets
+    val moovLen = moov(Seq.fill(nChunks)(0L)).length
+    val mdatPayloadStart =
+      ftyp.length + (if (moovFirst) moovLen else 0) + 8L
+    val chunkOffsets = samples.grouped(samplesPerChunk)
+      .scanLeft(mdatPayloadStart)((off, chunk) =>
+        off + chunk.map(_.length.toLong).sum)
+      .toSeq.dropRight(1).map(_ + offsetShift) // shift != 0 forges a
+      // structurally-valid moov whose sample ranges run off the payload
+    val m = moov(chunkOffsets)
+    if (moovFirst) ftyp ++ m ++ mdat else ftyp ++ mdat ++ m
+  }
+
+  final case class MediaRowF(media_id: Long, kind: String, data: Array[Byte],
+      container: String, width: Int, height: Int, duration_ms: Long,
+      n_frames: Int, frames_ok: Boolean,
+      s_n_sampled: Int, s_n_decoded: Int, s_n_black: Int, s_n_flat: Int,
+      s_luma_sum: Long, s_n_pixels: Long)
+  final case class FrameRowF(media_id: Long, frame_idx: Int, ts_ms: Long,
+      decoded: Boolean, ahash: Option[Long], dhash: Option[Long])
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .appName("gen-mp4-fixture").master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    import spark.implicits._
+
+    val EveryMs = 500L
+
+    // v1: 12 frames at 10 fps (uniform deltas, media timescale 1000),
+    // moov first, single chunk, stco, keyframe every 5
+    val srcPx = (0 until 12).map(t => GenVideoFixture.framePx(seed = 42, t))
+    val v1Jpeg = srcPx.map(GenVideoFixture.encodeJpeg(_, 0.85f))
+    val uniform = Seq.fill(12)(100L)
+    // v2: same pixels at lower quality, DIFFERENT physical layout:
+    // moov after mdat, 2 samples per chunk, co64, no stss
+    val v2Jpeg = srcPx.map(GenVideoFixture.encodeJpeg(_, 0.62f))
+    // v3: v1 trimmed by 5 source frames — same JPEG bytes, shifted
+    val v3Jpeg = v1Jpeg.drop(5)
+    // v4: unrelated clip
+    val v4Jpeg = (0 until 10).map(t =>
+      GenVideoFixture.framePx(seed = 91, t + 5))
+      .map(GenVideoFixture.encodeJpeg(_, 0.85f))
+    // v7: NON-UNIFORM timing — 4 frames covering [0,100) [100,200)
+    // [200,1600) [1600,2600) ms; 500 ms ticks at 0..2500 must map to
+    // source frames 2,2,2,3,3,3 (a constant-fps estimate would not)
+    val v7Px = (0 until 4).map(t => GenVideoFixture.framePx(seed = 13, t))
+    val v7Jpeg = v7Px.map(GenVideoFixture.encodeJpeg(_, 0.85f))
+    val v7Durs = Seq(100L, 100L, 1400L, 1000L)
+    // v8: quality-gate clip — planted black and flat frames at ticks
+    def solid(v: Int): Array[Array[Int]] =
+      Array.fill(48, 64)((v << 16) | (v << 8) | v)
+    val v8Jpeg = (0 until 10).map {
+      case 5 => GenVideoFixture.encodeJpeg(solid(0), 0.85f)
+      case 9 => GenVideoFixture.encodeJpeg(solid(128), 0.85f)
+      case t => GenVideoFixture.encodeJpeg(GenVideoFixture.framePx(64, t), 0.85f)
+    }
+
+    final case class Clip(id: Long, jpegs: Seq[Array[Byte]], durs: Seq[Long],
+        data: Array[Byte])
+    val clips = Seq(
+      Clip(1L, v1Jpeg, uniform, mp4(64, 48, 1000L, uniform, v1Jpeg,
+        samplesPerChunk = 12, moovFirst = true, useCo64 = false,
+        syncEvery = Some(5))),
+      Clip(2L, v2Jpeg, uniform, mp4(64, 48, 1000L, uniform, v2Jpeg,
+        samplesPerChunk = 2, moovFirst = false, useCo64 = true,
+        syncEvery = None)),
+      Clip(3L, v3Jpeg, uniform.drop(5), mp4(64, 48, 1000L, uniform.drop(5),
+        v3Jpeg, samplesPerChunk = 7, moovFirst = true, useCo64 = false,
+        syncEvery = None)),
+      Clip(4L, v4Jpeg, Seq.fill(10)(100L), mp4(64, 48, 1000L,
+        Seq.fill(10)(100L), v4Jpeg, samplesPerChunk = 3, moovFirst = false,
+        useCo64 = false, syncEvery = Some(1))),
+      Clip(7L, v7Jpeg, v7Durs, mp4(64, 48, 1000L, v7Durs, v7Jpeg,
+        samplesPerChunk = 4, moovFirst = true, useCo64 = false,
+        syncEvery = None)),
+      Clip(8L, v8Jpeg, Seq.fill(10)(100L), mp4(64, 48, 1000L,
+        Seq.fill(10)(100L), v8Jpeg, samplesPerChunk = 10, moovFirst = true,
+        useCo64 = false, syncEvery = Some(5))))
+
+    /** Independent re-statement of the published schedule contract: one
+      * tick per EveryMs of total duration, source frame = LAST sample
+      * whose cumulative decode time (ms, floor from ticks) <= tick. */
+    def schedule(c: Clip): Seq[(Int, Long, Array[Byte])] = {
+      val tsMs = c.durs.scanLeft(0L)(_ + _) // cumulative starts, ms scale
+      val durMs = tsMs.last
+      val nTicks = (durMs / EveryMs + 1).toInt
+      (0 until nTicks).map { i =>
+        val t = i * EveryMs
+        val fi = tsMs.zipWithIndex.takeWhile(_._1 <= t).last._2
+          .min(c.jpegs.length - 1)
+        (i, t, c.jpegs(fi))
+      }
+    }
+
+    def expectedStats(c: Clip): (Int, Int, Int, Int, Long, Long) = {
+      val sampled = schedule(c).map(t => GenVideoFixture.decodePx(t._3))
+      var nBlack = 0; var nFlat = 0; var lumaSum = 0L; var nPixels = 0L
+      sampled.foreach { px =>
+        val (total, sum, _, _, _, entMilli) =
+          GenImagePhashFixture.expectedStats(px)
+        if (sum < 16L * total) nBlack += 1
+        if (entMilli < 1000L) nFlat += 1
+        lumaSum += sum; nPixels += total
+      }
+      (sampled.size, sampled.size, nBlack, nFlat, lumaSum, nPixels)
+    }
+
+    val mediaRows = clips.map { c =>
+      val (ns, nd, nb, nf, ls, np) = expectedStats(c)
+      MediaRowF(c.id, "video", c.data, "mp4", 64, 48,
+        c.durs.sum, c.jpegs.length, frames_ok = true, ns, nd, nb, nf, ls, np)
+    }
+    val frameRows = clips.flatMap { c =>
+      schedule(c).map { case (i, ts, jpeg) =>
+        val px = GenVideoFixture.decodePx(jpeg)
+        FrameRowF(c.id, i, ts, decoded = true,
+          Some(GenImagePhashFixture.expectedAHash(px)),
+          Some(GenImagePhashFixture.expectedDHash(px)))
+      }
+    }
+
+    // corrupt rows, each degrading a DIFFERENT layer:
+    //  5 = structurally-valid boxes whose stco offsets point past EOF —
+    //      the mvhd/tkhd METADATA still parses (container "mp4",
+    //      geometry, duration), but the frame table must refuse on the
+    //      sample-range bounds check (frames_ok = false, marker row);
+    //  6 = moov cut mid-stbl (moov-last layout) — the box walk itself
+    //      bails, degrading metadata AND frames to the stub formulas.
+    val v5 = mp4(64, 48, 1000L, uniform, v1Jpeg, samplesPerChunk = 12,
+      moovFirst = true, useCo64 = false, syncEvery = None,
+      offsetShift = 1L << 24)
+    val v6 = {
+      val whole = mp4(64, 48, 1000L, uniform, v1Jpeg, samplesPerChunk = 12,
+        moovFirst = false, useCo64 = false, syncEvery = None)
+      whole.take(whole.length - 60) // moov is last: cut mid-stbl
+    }
+    val corrupt = Seq(
+      MediaRowF(5L, "video", v5, "mp4", 64, 48, 1200L, 12,
+        frames_ok = false, 0, 0, 0, 0, 0L, 0L),
+      MediaRowF(6L, "video", v6, "opaque", 16 + (v6.length % 64),
+        16 + (v6.length % 48), v6.length % 10000L, 0,
+        frames_ok = false, 0, 0, 0, 0, 0L, 0L))
+    val corruptFrames = corrupt.map(m =>
+      FrameRowF(m.media_id, 0, 0L, decoded = false, None, None))
+
+    // ---- planted-relationship asserts (generator-side arithmetic)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val byId = frameRows.groupBy(_.media_id)
+    require(byId(1L).size == 3 && byId(2L).size == 3 && byId(3L).size == 2)
+    byId(1L).zip(byId(2L)).foreach { case (a, b) =>
+      val d = ham(a.dhash.get, b.dhash.get)
+      require(d <= 3, s"re-encode drifted to hamming $d at tick ${a.frame_idx}")
+    }
+    byId(3L).foreach { b =>
+      val a = byId(1L).find(_.frame_idx == b.frame_idx + 1).get
+      require(a.dhash == b.dhash,
+        s"trimmed copy not byte-aligned at tick ${b.frame_idx}")
+    }
+    for (b <- byId(4L) ++ byId(7L) ++ byId(8L).filter(_.dhash.get != 0L);
+         a <- byId(1L) ++ byId(2L) ++ byId(3L))
+      require(ham(a.dhash.get, b.dhash.get) > 3,
+        s"unrelated clip collides: ${a.media_id}#${a.frame_idx} vs ${b.media_id}#${b.frame_idx}")
+    frameRows.filter(_.media_id <= 4L)
+      .foreach(f => require(f.dhash.get != 0L && f.ahash.get != 0L))
+    // the non-uniform clip's schedule proves timestamp mapping: ticks at
+    // 0,500,...,2500 over durations 100,100,1400,1000 cover frames
+    // 2,2,2,3,3,3 — tick 0 is inside frame 2's [200,1600) span? No:
+    // tick 0 < 100 covers frame 0; re-derive and lock the EXPECTED list
+    locally {
+      val got = schedule(clips.find(_.id == 7L).get).map { case (i, t, j) =>
+        (i, t, v7Jpeg.indexWhere(_ eq j))
+      }
+      val want = Seq((0, 0L, 0), (1, 500L, 2), (2, 1000L, 2),
+        (3, 1500L, 2), (4, 2000L, 3), (5, 2500L, 3))
+      require(got == want, s"non-uniform schedule drifted: $got")
+    }
+    locally {
+      val m = mediaRows.find(_.media_id == 8L).get
+      require(m.s_n_black == 1 && m.s_n_flat == 2,
+        s"v8 gates drifted: black=${m.s_n_black} flat=${m.s_n_flat}")
+    }
+
+    def writeOne(df: org.apache.spark.sql.DataFrame, out: String): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(out + ".dir")
+      val part = new java.io.File(out + ".dir").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, new java.io.File(out).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out + ".dir"))
+    }
+    writeOne((mediaRows ++ corrupt).toDF(), "fixtures/video_mp4.parquet")
+    writeOne((frameRows ++ corruptFrames).toDF(),
+      "fixtures/video_mp4_frames.parquet")
+    println(s"wrote ${mediaRows.size + corrupt.size} media rows, " +
+      s"${frameRows.size + corruptFrames.size} frame rows")
+    spark.stop()
+  }
+}

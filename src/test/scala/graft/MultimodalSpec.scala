@@ -326,7 +326,17 @@ class MultimodalSpec extends SparkTestBase {
       GenMultimodalFixture.makeWebp("VP8X", 640, 480, 5),
       GenMultimodalFixture.makeAvif(640, 480),
       GenVideoFixture.avi(64, 48, 100000L, (0 until 3).map(t =>
-        GenVideoFixture.encodeJpeg(GenVideoFixture.framePx(4, t), 0.8f))))
+        GenVideoFixture.encodeJpeg(GenVideoFixture.framePx(4, t), 0.8f))),
+      GenMp4Fixture.mp4(64, 48, 1000L, Seq(100L, 100L, 300L),
+        (0 until 3).map(t => GenVideoFixture.encodeJpeg(
+          GenVideoFixture.framePx(5, t), 0.8f)),
+        samplesPerChunk = 2, moovFirst = true, useCo64 = false,
+        syncEvery = Some(2)),
+      GenMp4Fixture.mp4(64, 48, 90000L, Seq.fill(3)(9000L),
+        (0 until 3).map(t => GenVideoFixture.encodeJpeg(
+          GenVideoFixture.framePx(6, t), 0.8f)),
+        samplesPerChunk = 1, moovFirst = false, useCo64 = true,
+        syncEvery = None))
     // a 100 TB crawl truncates files at arbitrary byte offsets: every
     // prefix must parse to Some or None, never throw
     val taggedMp3 = GenAudioTagsFixture.tagged(Seq(
@@ -336,6 +346,7 @@ class MultimodalSpec extends SparkTestBase {
       (0 to f.length).foreach { n =>
         Multimodal.parseAvMeta(f.take(n)); Multimodal.parseDimensions(f.take(n))
         Multimodal.parseAvi(f.take(n)); Multimodal.parseId3Tags(f.take(n))
+        Multimodal.parseMp4(f.take(n))
       }
     }
     val rnd = new scala.util.Random(7)
@@ -343,6 +354,7 @@ class MultimodalSpec extends SparkTestBase {
       val b = Array.ofDim[Byte](rnd.nextInt(400)); rnd.nextBytes(b)
       Multimodal.parseAvMeta(b); Multimodal.parseDimensions(b)
       Multimodal.parseAvi(b); Multimodal.parseId3Tags(b)
+      Multimodal.parseMp4(b)
       Multimodal.exifOrientation(b)
     }
     // garbage BEHIND a valid magic exercises each walker's bound checks
@@ -393,6 +405,38 @@ class MultimodalSpec extends SparkTestBase {
       out.toByteArray
     }
     assert(Multimodal.parseAvi(deepAvi).isEmpty)
+    // adversarial MP4: a tower of nested moov headers (each declaring a
+    // size running to the container end) must hit parseMp4's depth
+    // bound, not overflow the stack
+    val deepMp4 = {
+      val out = new java.io.ByteArrayOutputStream()
+      def be32(v: Long): Unit = (3 to 0 by -1).foreach(i =>
+        out.write(((v >> (8 * i)) & 0xff).toInt))
+      be32(16); out.write("ftyp".getBytes("US-ASCII"))
+      be32(512); out.write("isom".getBytes("US-ASCII"))
+      var remaining = 5000L * 8
+      (0 until 5000).foreach { _ =>
+        be32(remaining); out.write("moov".getBytes("US-ASCII"))
+        remaining -= 8
+      }
+      out.toByteArray
+    }
+    assert(Multimodal.parseMp4(deepMp4).isEmpty)
+    // sample-table bombs: entry counts past what the box can hold must
+    // refuse, not allocate (a crafted 2^32-entry stsz would OOM)
+    val bombStsz = {
+      val base = GenMp4Fixture.mp4(64, 48, 1000L, Seq(100L),
+        Seq(GenVideoFixture.encodeJpeg(GenVideoFixture.framePx(8, 0), 0.8f)),
+        samplesPerChunk = 1, moovFirst = true, useCo64 = false,
+        syncEvery = None)
+      // find stsz and inflate its sample_count field (payload offset 8)
+      val idx = base.indexOfSlice("stsz".getBytes("US-ASCII"))
+      val b = base.clone()
+      b(idx + 12) = 0x7f.toByte; b(idx + 13) = 0xff.toByte
+      b(idx + 14) = 0xff.toByte; b(idx + 15) = 0xff.toByte
+      b
+    }
+    assert(Multimodal.parseMp4(bombStsz).isEmpty)
   }
 
   test("resize and frameSample shrink payloads deterministically") {
@@ -1088,6 +1132,85 @@ class MultimodalSpec extends SparkTestBase {
     assert(v.nFlat == 2)   // both solid frames have ~zero entropy
     assert(v.nPixels == 3L * 64 * 48)
     assert(!rows(2L).decoded && rows(2L).nSampled == 0)
+  }
+
+  // ------------------------------------------------ MP4 sample tables
+
+  test("parseMp4: sample tables reconstruct per-frame byte ranges, " +
+    "timestamps and keyframes across layouts (moov first/last, stco/co64, " +
+    "1-per and N-per-chunk, uniform and non-uniform stts)") {
+    val jpegs = (0 until 6).map(t =>
+      GenVideoFixture.encodeJpeg(GenVideoFixture.framePx(11, t), 0.85f))
+    val durs = Seq(100L, 100L, 400L, 400L, 500L, 500L) // non-uniform
+    for ((spc, moovFirst, co64) <- Seq((6, true, false), (2, false, true),
+        (1, true, true), (4, false, false))) {
+      val data = GenMp4Fixture.mp4(64, 48, 1000L, durs, jpegs,
+        samplesPerChunk = spc, moovFirst = moovFirst, useCo64 = co64,
+        syncEvery = Some(3))
+      val t = Multimodal.parseMp4(data).get
+      assert(t.width == 64 && t.height == 48 && t.codec == "jpeg")
+      assert(t.timescale == 1000L && t.durationMs == 2000L)
+      assert(t.frames.length == 6)
+      // byte ranges point at the ACTUAL JPEG bytes
+      t.frames.zip(jpegs).foreach { case ((off, len), j) =>
+        assert(len == j.length)
+        assert(java.util.Arrays.equals(
+          java.util.Arrays.copyOfRange(data, off, off + len), j))
+      }
+      // timestamps are the cumulative stts deltas on the media scale
+      assert(t.tsUs == IndexedSeq(0L, 100000L, 200000L, 600000L,
+        1000000L, 1500000L))
+      assert(t.keyframes == IndexedSeq(0, 3)) // samples 1 and 4, 0-based
+    }
+    // stss absent = every sample sync (empty marker)
+    val noStss = GenMp4Fixture.mp4(64, 48, 1000L, durs, jpegs,
+      samplesPerChunk = 6, moovFirst = true, useCo64 = false,
+      syncEvery = None)
+    assert(Multimodal.parseMp4(noStss).get.keyframes.isEmpty)
+    // offsets past EOF refuse at the bounds check, metadata still parses
+    val badOffs = GenMp4Fixture.mp4(64, 48, 1000L, durs, jpegs,
+      samplesPerChunk = 6, moovFirst = true, useCo64 = false,
+      syncEvery = None, offsetShift = 1L << 24)
+    assert(Multimodal.parseMp4(badOffs).isEmpty)
+    assert(Multimodal.parseAvMeta(badOffs).get.container == "mp4")
+    // GenAvFixture's stbl-less mp4 (mvhd/tkhd only) has no frame tables
+    assert(Multimodal.parseMp4(
+      GenAvFixture.mp4(0, 1000L, 4321L, 640, 480, moovFirst = true)).isEmpty)
+  }
+
+  test("videoFrameHashes and videoStats treat MJPEG-in-MP4 like " +
+    "AVI/MJPEG, honoring non-uniform stts timing (a constant-fps " +
+    "estimate would sample different frames)") {
+    // frames cover [0,100) [100,200) [200,1600) [1600,2600) ms: ticks at
+    // 500 ms must hit source frames 0,2,2,2,3,3 — under a constant-fps
+    // estimate (4 frames / 2.6 s = 650 ms each) tick 1 would hit frame 0
+    val px = (0 until 4).map(t => GenVideoFixture.framePx(13, t))
+    val jpegs = px.map(GenVideoFixture.encodeJpeg(_, 0.85f))
+    val data = GenMp4Fixture.mp4(64, 48, 1000L,
+      Seq(100L, 100L, 1400L, 1000L), jpegs,
+      samplesPerChunk = 4, moovFirst = true, useCo64 = false,
+      syncEvery = None)
+    val media = Seq((1L, "video", data)).toDF("id", "kind", "data")
+    val rows = Multimodal.videoFrameHashes(media, everyMs = 500L)
+      .collect().sortBy(_.frame_idx)
+    assert(rows.length == 6 && rows.forall(_.decoded))
+    val expect = jpegs.map { j =>
+      val p = GenVideoFixture.decodePx(j)
+      GenImagePhashFixture.expectedDHash(p)
+    }
+    assert(rows.map(_.dhash.get).toSeq ==
+      Seq(0, 2, 2, 2, 3, 3).map(expect(_)))
+    // real frame bytes flow out of sampleFramesByTime for MP4 too
+    val frames = Multimodal.sampleFramesByTime(media, everyMs = 500L)
+      .collect().map(r => (r.getInt(1), r.getAs[Array[Byte]]("frame")))
+      .sortBy(_._1)
+    assert(frames.map(_._1).toSeq == (0 until 6))
+    assert(java.util.Arrays.equals(frames(1)._2, jpegs(2)))
+    assert(java.util.Arrays.equals(frames(5)._2, jpegs(3)))
+    // stats fold over the same schedule
+    val st = Multimodal.videoStats(media, everyMs = 500L).collect().head
+    assert(st.decoded && st.nSampled == 6 && st.nDecoded == 6)
+    assert(st.nPixels == 6L * 64 * 48)
   }
 
   test("video samplers memoize repeated frame decodes: a low-fps clip " +
