@@ -2703,6 +2703,146 @@ object Queries {
       |ORDER BY media_id""".stripMargin
 
   // ----------------------------------------------------------------------
+  // q_pipeline_mm — the MULTIMODAL flagship: the text charter has
+  // q_pipeline proving operator COMPOSITION end-to-end; this is its
+  // multimodal twin, one oracle-gated query chaining every modality's
+  // curation stages the way a real media-corpus pass runs them:
+  //   audio      decode -> near-dup keep-lowest-id (a FLAC re-encode of a
+  //              WAV pairs at Hamming 0 and is dropped) -> digital-silence
+  //              gate (>= 10% all-zero frames drops the clip);
+  //   audio_tag  ID3 parse -> PER-ARTIST CAP 1 through the real salted
+  //              capPerKey operator (hash order — the twin replays
+  //              md5-order in SQL; the fixture plants two clips by one
+  //              artist so the cap demonstrably bites);
+  //   image      decode+hash -> dHash near-dup keep-lowest -> minimum-
+  //              resolution gate (width*height >= 1024);
+  //   video      AVI and MP4 fixtures UNIONED (ids offset) through ONE
+  //              container-agnostic pass -> frame-sequence near-dup
+  //              (re-encodes and trims drop) -> quality gate (mostly
+  //              black/flat sampled frames drop the clip).
+  // The DuckDB twin replays the full chain from the fixtures' STORED
+  // expected columns, so a hash match proves the composition logic AND
+  // every per-operator decode it rides on.
+  // ----------------------------------------------------------------------
+  private val pipelineMm: (SparkSession, String) => DataFrame = (s, _) => {
+    val M = graft.multimodal.Multimodal
+    // audio: decode -> near-dup keep-lowest-id -> silence gate
+    val am = s.read.parquet(audioFpFixture)
+      .select(col("media_id").as("id"), col("kind"), col("data"))
+    val afp = M.audioFingerprint(am).toDF().where(col("decoded"))
+      .select(col("id"), col("afp"))
+    val aDrop = graft.operators.Dedup.hammingPairs(afp, "id", "afp",
+        maxHamming = 3)
+      .select(col("b").as("id")).distinct()
+    val aKeep = M.audioStats(am).toDF().where(col("decoded"))
+      .join(aDrop, Seq("id"), "left_anti")
+      .where(col("nSilence") * 10 < col("nFrames"))
+      .select(lit("audio").as("modality"), col("id").as("media_id"))
+    // audio tags: per-artist cap 1 (the salted-rank operator), untagged
+    // rows pass through (a cap cannot apply without a key)
+    val tm = s.read.parquet(audioTagsFixture)
+      .select(col("media_id").as("id"), col("kind"), col("data"))
+    val tags = M.audioTags(tm).toDF()
+    val tKeep = graft.operators.Sampling.capPerKey(
+        tags.where(col("artist").isNotNull), col("artist"), col("id"), 1L)
+      .select(col("id"))
+      .unionByName(tags.where(col("artist").isNull).select(col("id")))
+      .select(lit("audio_tag").as("modality"), col("id").as("media_id"))
+    // image: hash -> near-dup keep-lowest -> resolution gate
+    val im = s.read.parquet(imagePhashFixture)
+      .select(col("media_id").as("id"), col("kind"), col("data"))
+    val ih = M.imageHash(im).toDF().where(col("decoded"))
+    val iDrop = graft.operators.Dedup.hammingPairs(
+        ih.select(col("id"), col("dhash")), "id", "dhash", maxHamming = 3)
+      .select(col("b").as("id")).distinct()
+    val iKeep = ih.join(iDrop, Seq("id"), "left_anti")
+      .where(col("width") * col("height") >= 1024)
+      .select(lit("image").as("modality"), col("id").as("media_id"))
+    // video: AVI + MP4 through one container-agnostic pass
+    val vm = s.read.parquet(videoFixture)
+      .select(col("media_id").as("id"), col("kind"), col("data"))
+      .unionByName(s.read.parquet(mp4Fixture)
+        .select((col("media_id") + 100).as("id"), col("kind"), col("data")))
+    val vh = M.videoFrameHashes(vm, everyMs = 500L).toDF()
+      .where(col("decoded"))
+      .select(col("id"), col("frame_idx"), col("dhash"))
+    val vDrop = graft.operators.Dedup.frameSigPairs(vh, "id", "frame_idx",
+        "dhash", maxHamming = 3, minMatch = 2)
+      .select(col("b").as("id")).distinct()
+    val vKeep = M.videoStats(vm, everyMs = 500L).toDF()
+      .where(col("decoded"))
+      .join(vDrop, Seq("id"), "left_anti")
+      .where(lit(2) * (col("nBlack") + col("nFlat")) <= col("nSampled"))
+      .select(lit("video").as("modality"), col("id").as("media_id"))
+    aKeep.unionByName(tKeep).unionByName(iKeep).unionByName(vKeep)
+      .orderBy(col("modality"), col("media_id"))
+  }
+
+  private val pipelineMmSql =
+    s"""WITH a_h AS (
+      |  SELECT media_id, afp, n_frames, s_n_silence
+      |  FROM '$audioFpFixture' WHERE decoded),
+      |a_drop AS (
+      |  SELECT DISTINCT y.media_id
+      |  FROM a_h x JOIN a_h y ON x.media_id < y.media_id
+      |  WHERE x.afp <> 0 AND y.afp <> 0
+      |    AND bit_count(xor(x.afp, y.afp)) <= 3),
+      |a_keep AS (
+      |  SELECT media_id FROM a_h
+      |  WHERE media_id NOT IN (SELECT media_id FROM a_drop)
+      |    AND s_n_silence * 10 < n_frames),
+      |t AS (SELECT media_id, artist FROM '$audioTagsFixture'),
+      |t_keep AS (
+      |  SELECT media_id FROM (
+      |    SELECT media_id, row_number() OVER (PARTITION BY artist
+      |      ORDER BY md5(CAST(media_id AS VARCHAR)), media_id) AS rn
+      |    FROM t WHERE artist IS NOT NULL) WHERE rn <= 1
+      |  UNION ALL SELECT media_id FROM t WHERE artist IS NULL),
+      |i_h AS (
+      |  SELECT media_id, dhash, width, height
+      |  FROM '$imagePhashFixture' WHERE decoded),
+      |i_drop AS (
+      |  SELECT DISTINCT y.media_id
+      |  FROM i_h x JOIN i_h y ON x.media_id < y.media_id
+      |  WHERE x.dhash <> 0 AND y.dhash <> 0
+      |    AND bit_count(xor(x.dhash, y.dhash)) <= 3),
+      |i_keep AS (
+      |  SELECT media_id FROM i_h
+      |  WHERE media_id NOT IN (SELECT media_id FROM i_drop)
+      |    AND width * height >= 1024),
+      |v_f AS (
+      |  SELECT media_id, frame_idx, dhash FROM '$videoFramesFixture'
+      |  WHERE decoded AND dhash <> 0
+      |  UNION ALL
+      |  SELECT media_id + 100, frame_idx, dhash FROM '$mp4FramesFixture'
+      |  WHERE decoded AND dhash <> 0),
+      |v_m AS (
+      |  SELECT DISTINCT x.media_id AS a, y.media_id AS b,
+      |    x.frame_idx AS pa, y.frame_idx AS pb
+      |  FROM v_f x JOIN v_f y ON x.media_id < y.media_id
+      |  WHERE bit_count(xor(x.dhash, y.dhash)) <= 3),
+      |v_drop AS (
+      |  SELECT DISTINCT b AS media_id FROM (
+      |    SELECT a, b, pa - pb AS d, count(*) AS c
+      |    FROM v_m GROUP BY a, b, pa - pb HAVING count(*) >= 2)),
+      |v_s AS (
+      |  SELECT media_id, s_n_sampled, s_n_black, s_n_flat
+      |  FROM '$videoFixture' WHERE container = 'avi'
+      |  UNION ALL
+      |  SELECT media_id + 100, s_n_sampled, s_n_black, s_n_flat
+      |  FROM '$mp4Fixture' WHERE frames_ok),
+      |v_keep AS (
+      |  SELECT media_id FROM v_s
+      |  WHERE media_id NOT IN (SELECT media_id FROM v_drop)
+      |    AND 2 * (s_n_black + s_n_flat) <= s_n_sampled)
+      |SELECT modality, media_id FROM (
+      |  SELECT 'audio' AS modality, media_id FROM a_keep
+      |  UNION ALL SELECT 'audio_tag', media_id FROM t_keep
+      |  UNION ALL SELECT 'image', media_id FROM i_keep
+      |  UNION ALL SELECT 'video', media_id FROM v_keep)
+      |ORDER BY modality, media_id""".stripMargin
+
+  // ----------------------------------------------------------------------
   // WARC ingestion + HTML extraction: the crawl-capture front door of the
   // training-data pipeline. The committed fixture holds three WARC files
   // (plain, per-record-gzip, corrupt-tail) the GENERATOR wrote from known
@@ -3599,6 +3739,7 @@ object Queries {
     "q_mp4_frames"    -> mp4Frames,
     "q_mp4_neardup"   -> mp4NearDup,
     "q_mp4_stats"     -> mp4Stats,
+    "q_pipeline_mm"   -> pipelineMm,
     "q_audio_seq"     -> audioSeq,
     "q_audio_tags"    -> audioTags,
     "q_audio_seq_neardup" -> audioSeqNearDup,
@@ -3714,6 +3855,7 @@ object Queries {
     "q_mp4_frames"    -> mp4FramesSql,
     "q_mp4_neardup"   -> mp4NearDupSql,
     "q_mp4_stats"     -> mp4StatsSql,
+    "q_pipeline_mm"   -> pipelineMmSql,
     "q_audio_seq"     -> audioSeqSql,
     "q_audio_tags"    -> audioTagsSql,
     "q_audio_seq_neardup" -> audioSeqNearDupSql,

@@ -530,6 +530,34 @@ object ScaleProbe {
         println(s"""{"mult":$mult,"docs":${docs.count()},"minhash_sec":$tMinhash,"ann_sec":$tAnn,"rankagg_sec":$tRankAgg,"cluster_sec":$tCluster,"pack_sec":$tPack,"tfidf_sec":$tTfidf,"simhash_sec":$tSimhash,"quantize_sec":$tQuantize,"contam_sec":$tContam,"chunk_sec":$tChunk,"repetition_sec":$tRepet,"idx_build_sec":$tIdxBuild,"idx_probe_sec":$tIdxProbe,"band_build_sec":$tBandBuild,"incr_probe_sec":$tIncrProbe,"winnow_sec":$tWinnow,"winnow_spans_sec":$tWinnowSpans,"line_dedup_sec":$tLineDedup,"curation_batch_sec":$tCuration,"budget_select_sec":$tBudget,"budget_select_const_sec":$tBudgetConst,"ivf_build_sec":$tIvfBuild,"recall_probe_sec":$tRecall,"ivf_rebuild_sec":$tRebuild,"exact_join_novel_sec":$tExactJoinNovel,"bloom_build_sec":$tBloomBuild,"exact_bloom_novel_sec":$tExactBloomNovel,"semdedup_sec":$tSemDedup,"semdedup_split_adversarial_sec":$tSemDedupSplit,"pq_encode_sec":$tPqEncode,"pq_build_sec":$tPqBuild,"pq_probe_sec":$tPqProbe,"decontam_sec":$tDecontam,"bpe_train_sec":$tBpeTrain,"bpe_encode_sec":$tBpeEncode,"shard_calib_sec":$tCalibFixed,"shard_calib_prefix_shape_sec":$tCalibPreFix,"scrub_pii_sec":$tScrubPii,"clean_sec":$tClean,"gopher_sec":$tGopher,"split_sec":$tSplit,"nb_train_sec":$tNbTrain,"dsir_sec":$tDsir,"span_dedup_sec":$tSpanDedup,"lm_fit_sec":$tLmFit,"lm_score_sec":$tLmScore,"rand_proj_sec":$tRandProj,"image_hash_sec":$tImageHash,"audio_fp_sec":$tAudioFp,"video_frames_sec":$tVideoFrames,"profile_sec":$tProfile,"overlap_sec":$tOverlap}""")
       docs.unpersist(); emb.unpersist()
     }
+
+    // ---- clustering branch crossover: size-gated LOCAL union-find vs the
+    // DISTRIBUTED min-label-propagation loop over the SAME synthetic edge
+    // lists at growing volumes — the measurement that justifies where the
+    // `localEdgeLimit` default (2M edges) sits. Graph shape mirrors a
+    // near-dup graph's (many small components): stars of 64 nodes plus a
+    // within-component chain edge, so propagation converges in a few
+    // rounds rather than a degenerate single-chain worst case.
+    for (m <- Seq(250000L, 1000000L, 4000000L)) {
+      val edges = spark.range(m).select(
+          (col("id") - pmod(col("id"), lit(64))).as("a"),
+          when(pmod(col("id"), lit(64)) === 0, col("id") + 1)
+            .otherwise(col("id")).as("b"))
+        .where(col("a") =!= col("b")).cache()
+      val nEdges = edges.count()
+      def comps(limit: Long): Long =
+        graft.operators.Dedup.clusters(edges, localEdgeLimit = limit)
+          .select(countDistinct(col("c"))).head.getLong(0)
+      val t0 = System.nanoTime()
+      val cLocal = comps(Long.MaxValue)
+      val tLocal = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val cDist = comps(0L)
+      val tDist = (System.nanoTime() - t1) / 1e9
+      require(cLocal == cDist, s"branch disagreement: $cLocal vs $cDist")
+      println(s"""{"cluster_crossover":{"edges":$nEdges,"components":$cLocal,"local_sec":${math.round(tLocal * 1000.0) / 1000.0},"dist_sec":${math.round(tDist * 1000.0) / 1000.0}}}""")
+      edges.unpersist()
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,434 @@
+package graft.multimodal
+
+import javax.sound.sampled.{AudioFormat, AudioInputStream}
+
+/** Pure-JVM FLAC decoder per the published FLAC format specification
+  * (xiph.org / RFC 9639) — no external codec, closing the
+  * compressed-audio gap the same way the AVI/MP4 parsers closed video:
+  * fingerprints, quality stats and sequence signatures all decode FLAC
+  * through the one [[audioInputStream]] adapter.
+  *
+  * Coverage: STREAMINFO + frame decoding with CONSTANT, VERBATIM, FIXED
+  * (orders 0-4) and LPC (orders 1-32) subframes, Rice/Rice2 residual
+  * partitions (escape codes included), wasted bits, and all four channel
+  * assignments (independent, left/side, right/side, mid/side).
+  * Byte-aligned sample sizes only (8/16/24/32 — the 12/20-bit rarities
+  * are refused, not misdecoded). CRC-8 of every frame header and CRC-16
+  * of every frame are VERIFIED — a corrupt frame ends the stream at the
+  * last good frame boundary instead of emitting garbage samples
+  * (truncation semantics, matching the WAV paths' honest-frame-count
+  * contract).
+  *
+  * Memory: decode is streamed FLAC-frame by FLAC-frame through
+  * [[audioInputStream]] — state never exceeds one frame's samples
+  * (<= 65535 x channels ints), regardless of clip length.
+  *
+  * reference: the reference engine (eu.smartdatalake.simsearch) has no
+  * audio support at all; this implements the public FLAC spec directly.
+  */
+object FlacDecoder {
+
+  /** The mandatory first metadata block's fields, plus where the audio
+    * frames start. */
+  final case class StreamInfo(minBlock: Int, maxBlock: Int, sampleRate: Int,
+      channels: Int, bitsPerSample: Int, totalSamples: Long, framesStart: Int)
+
+  private object Truncated extends RuntimeException("flac: truncated") {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  /** MSB-first bit reader. Throws [[Truncated]] past the end — decode
+    * loops catch it and stop at the last verified frame. */
+  private final class Bits(data: Array[Byte], start: Int) {
+    var pos: Int = start
+    var bit: Int = 0
+    def readBits(n: Int): Long = {
+      var v = 0L
+      var need = n
+      while (need > 0) {
+        if (pos >= data.length) throw Truncated
+        val avail = 8 - bit
+        val take = if (avail < need) avail else need
+        val chunk = ((data(pos) & 0xff) >> (avail - take)) & ((1 << take) - 1)
+        v = (v << take) | chunk
+        bit += take
+        if (bit == 8) { bit = 0; pos += 1 }
+        need -= take
+      }
+      v
+    }
+    def readSigned(n: Int): Long = {
+      if (n == 0) return 0L
+      val v = readBits(n)
+      (v << (64 - n)) >> (64 - n)
+    }
+    def readUnary(): Int = {
+      var q = 0
+      while (readBits(1) == 0L) {
+        q += 1
+        // a crafted all-zero region must not spin forever
+        if (q > (1 << 24)) throw Truncated
+      }
+      q
+    }
+    def alignByte(): Unit = if (bit != 0) { bit = 0; pos += 1 }
+    def atEnd: Boolean = pos >= data.length
+  }
+
+  /** CRC-8, polynomial x^8 + x^2 + x + 1 (0x07), init 0 — the FLAC frame
+    * header checksum. */
+  private def crc8(data: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= data(i) & 0xff
+      var b = 0
+      while (b < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff else (crc << 1) & 0xff
+        b += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** CRC-16, polynomial x^16 + x^15 + x^2 + 1 (0x8005), init 0 — the FLAC
+    * whole-frame checksum. */
+  private def crc16(data: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (data(i) & 0xff) << 8
+      var b = 0
+      while (b < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+          else (crc << 1) & 0xffff
+        b += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** Parse the fLaC magic + metadata block walk; None when the payload is
+    * not a FLAC stream, STREAMINFO is malformed, or the sample size is
+    * not byte-aligned. Every read is bounds-checked. */
+  def parseStreamInfo(data: Array[Byte]): Option[StreamInfo] = {
+    if (data.length < 4 + 4 + 34) return None
+    if (data(0) != 'f' || data(1) != 'L' || data(2) != 'a' || data(3) != 'C')
+      return None
+    def u8(i: Int): Int = data(i) & 0xff
+    // first block must be STREAMINFO (type 0, length 34) per spec
+    if ((u8(4) & 0x7f) != 0) return None
+    val len0 = (u8(5) << 16) | (u8(6) << 8) | u8(7)
+    if (len0 != 34) return None
+    val p = 8
+    val minBlock = (u8(p) << 8) | u8(p + 1)
+    val maxBlock = (u8(p + 2) << 8) | u8(p + 3)
+    // 20-bit rate, 3-bit channels-1, 5-bit bps-1, 36-bit total samples
+    val rate = (u8(p + 10) << 12) | (u8(p + 11) << 4) | (u8(p + 12) >> 4)
+    val channels = ((u8(p + 12) >> 1) & 0x7) + 1
+    val bps = (((u8(p + 12) & 1) << 4) | (u8(p + 13) >> 4)) + 1
+    val total = ((u8(p + 13) & 0x0f).toLong << 32) |
+      (u8(p + 14).toLong << 24) | (u8(p + 15) << 16) |
+      (u8(p + 16) << 8) | u8(p + 17)
+    if (rate <= 0 || bps % 8 != 0 || bps < 8 || bps > 32) return None
+    // walk remaining metadata blocks to the audio frames
+    var q = 8 + 34
+    var last = (u8(4) & 0x80) != 0
+    var blocks = 0
+    while (!last) {
+      if (q + 4 > data.length || blocks > 4096) return None
+      last = (u8(q) & 0x80) != 0
+      val len = (u8(q + 1) << 16) | (u8(q + 2) << 8) | u8(q + 3)
+      q += 4 + len
+      if (q > data.length) return None
+      blocks += 1
+    }
+    Some(StreamInfo(minBlock, maxBlock, rate, channels, bps, total, q))
+  }
+
+  /** Decode one frame at the reader's position: returns the per-channel
+    * sample arrays, or throws on any spec violation / CRC mismatch /
+    * truncation (the caller treats all three as end-of-stream). */
+  private def decodeFrame(br: Bits, si: StreamInfo,
+      data: Array[Byte]): Array[Array[Int]] = {
+    val frameStart = br.pos
+    if (br.readBits(14) != 0x3ffe) throw Truncated // sync
+    br.readBits(1) // reserved
+    br.readBits(1) // blocking strategy
+    val bsCode = br.readBits(4).toInt
+    val srCode = br.readBits(4).toInt
+    val chCode = br.readBits(4).toInt
+    val ssCode = br.readBits(3).toInt
+    if (br.readBits(1) != 0L) throw Truncated // reserved bit
+    // coded frame/sample number: UTF-8-style, up to 7 bytes / 36 bits
+    val first = br.readBits(8).toInt
+    val extra =
+      if ((first & 0x80) == 0) 0
+      else if ((first & 0xe0) == 0xc0) 1
+      else if ((first & 0xf0) == 0xe0) 2
+      else if ((first & 0xf8) == 0xf0) 3
+      else if ((first & 0xfc) == 0xf8) 4
+      else if ((first & 0xfe) == 0xfc) 5
+      else if (first == 0xfe) 6
+      else throw Truncated
+    var k = 0
+    while (k < extra) {
+      if ((br.readBits(8).toInt & 0xc0) != 0x80) throw Truncated
+      k += 1
+    }
+    val blockSize = bsCode match {
+      case 0 => throw Truncated // reserved
+      case 1 => 192
+      case c if c <= 5 => 576 << (c - 2)
+      case 6 => br.readBits(8).toInt + 1
+      case 7 => br.readBits(16).toInt + 1
+      case c => 256 << (c - 8)
+    }
+    srCode match { // value itself comes from STREAMINFO; validate fields
+      case 12 => br.readBits(8)
+      case 13 | 14 => br.readBits(16)
+      case 15 => throw Truncated
+      case _ => ()
+    }
+    val channels = if (chCode <= 7) chCode + 1 else 2
+    if (chCode > 10 || channels != si.channels) throw Truncated
+    val bps = ssCode match {
+      case 0 => si.bitsPerSample
+      case 1 => 8
+      case 2 => 12
+      case 4 => 16
+      case 5 => 20
+      case 6 => 24
+      case 7 => 32
+      case _ => throw Truncated
+    }
+    if (bps != si.bitsPerSample) throw Truncated // subset: one size
+    // header CRC-8 (the reader is byte-aligned here by construction)
+    val headerCrc = br.readBits(8).toInt
+    if (crc8(data, frameStart, br.pos - 1) != headerCrc) throw Truncated
+
+    val out = Array.ofDim[Int](channels, blockSize)
+    var ch = 0
+    while (ch < channels) {
+      // side channels carry one extra bit of headroom
+      val chBps = bps + (chCode match {
+        case 8 => if (ch == 1) 1 else 0  // left/side
+        case 9 => if (ch == 0) 1 else 0  // right/side
+        case 10 => if (ch == 1) 1 else 0 // mid/side
+        case _ => 0
+      })
+      decodeSubframe(br, out(ch), blockSize, chBps)
+      ch += 1
+    }
+    br.alignByte()
+    val frameCrc = br.readBits(16).toInt
+    if (crc16(data, frameStart, br.pos - 2) != frameCrc) throw Truncated
+
+    // stereo decorrelation
+    chCode match {
+      case 8 => // left/side: right = left - side
+        var i = 0
+        while (i < blockSize) { out(1)(i) = out(0)(i) - out(1)(i); i += 1 }
+      case 9 => // right/side: left = right + side (ch0 = side, ch1 = right)
+        var i = 0
+        while (i < blockSize) {
+          val side = out(0)(i)
+          out(0)(i) = out(1)(i) + side
+          i += 1
+        }
+      case 10 => // mid/side
+        var i = 0
+        while (i < blockSize) {
+          val side = out(1)(i)
+          val mid = (out(0)(i) << 1) | (side & 1)
+          out(0)(i) = (mid + side) >> 1
+          out(1)(i) = (mid - side) >> 1
+          i += 1
+        }
+      case _ => ()
+    }
+    out
+  }
+
+  private def decodeSubframe(br: Bits, out: Array[Int], blockSize: Int,
+      bps: Int): Unit = {
+    if (br.readBits(1) != 0L) throw Truncated // padding bit
+    val typ = br.readBits(6).toInt
+    val wasted =
+      if (br.readBits(1) == 0L) 0
+      else br.readUnary() + 1
+    val eBps = bps - wasted
+    if (eBps <= 0 || eBps > 33) throw Truncated
+    typ match {
+      case 0 => // CONSTANT
+        val v = br.readSigned(eBps).toInt
+        java.util.Arrays.fill(out, 0, blockSize, v)
+      case 1 => // VERBATIM
+        var i = 0
+        while (i < blockSize) { out(i) = br.readSigned(eBps).toInt; i += 1 }
+      case t if t >= 8 && t <= 12 => // FIXED, order = t - 8
+        val order = t - 8
+        if (order > blockSize) throw Truncated
+        var i = 0
+        while (i < order) { out(i) = br.readSigned(eBps).toInt; i += 1 }
+        decodeResidual(br, out, blockSize, order)
+        restoreFixed(out, blockSize, order)
+      case t if t >= 32 => // LPC, order = t - 31
+        val order = t - 31
+        if (order > blockSize) throw Truncated
+        var i = 0
+        while (i < order) { out(i) = br.readSigned(eBps).toInt; i += 1 }
+        val precision = br.readBits(4).toInt + 1
+        if (precision == 16) throw Truncated // code 15 is invalid
+        val shift = br.readSigned(5).toInt
+        if (shift < 0) throw Truncated
+        val coefs = new Array[Long](order)
+        var j = 0
+        while (j < order) { coefs(j) = br.readSigned(precision); j += 1 }
+        decodeResidual(br, out, blockSize, order)
+        var n = order
+        while (n < blockSize) {
+          var acc = 0L
+          var c = 0
+          while (c < order) { acc += coefs(c) * out(n - 1 - c); c += 1 }
+          out(n) = out(n) + (acc >> shift).toInt
+          n += 1
+        }
+      case _ => throw Truncated // reserved subframe types
+    }
+    if (wasted > 0) {
+      var i = 0
+      while (i < blockSize) { out(i) = out(i) << wasted; i += 1 }
+    }
+  }
+
+  /** Rice-coded residual into out(order until blockSize). */
+  private def decodeResidual(br: Bits, out: Array[Int], blockSize: Int,
+      order: Int): Unit = {
+    val method = br.readBits(2).toInt // 0 = 4-bit params, 1 = 5-bit
+    if (method > 1) throw Truncated
+    val paramBits = if (method == 0) 4 else 5
+    val escape = if (method == 0) 15 else 31
+    val po = br.readBits(4).toInt
+    val partitions = 1 << po
+    if (blockSize % partitions != 0) throw Truncated
+    val partLen = blockSize >> po
+    var p = 0
+    var idx = order
+    while (p < partitions) {
+      val count = if (p == 0) partLen - order else partLen
+      if (count < 0) throw Truncated
+      val param = br.readBits(paramBits).toInt
+      if (param == escape) {
+        val raw = br.readBits(5).toInt
+        var i = 0
+        while (i < count) {
+          out(idx) = if (raw == 0) 0 else br.readSigned(raw).toInt
+          idx += 1; i += 1
+        }
+      } else {
+        var i = 0
+        while (i < count) {
+          val q = br.readUnary()
+          val r = if (param == 0) 0L else br.readBits(param)
+          val zz = (q.toLong << param) | r
+          out(idx) = ((zz >>> 1) ^ -(zz & 1L)).toInt
+          idx += 1; i += 1
+        }
+      }
+      p += 1
+    }
+  }
+
+  /** Undo the fixed polynomial predictors (orders 0-4): out holds warmup
+    * samples then residuals; rewrite in place. */
+  private def restoreFixed(out: Array[Int], blockSize: Int, order: Int): Unit = {
+    var i = order
+    order match {
+      case 0 => ()
+      case 1 => while (i < blockSize) { out(i) += out(i - 1); i += 1 }
+      case 2 => while (i < blockSize) {
+        out(i) += 2 * out(i - 1) - out(i - 2); i += 1 }
+      case 3 => while (i < blockSize) {
+        out(i) += 3 * out(i - 1) - 3 * out(i - 2) + out(i - 3); i += 1 }
+      case 4 => while (i < blockSize) {
+        out(i) += 4 * out(i - 1) - 6 * out(i - 2) + 4 * out(i - 3) - out(i - 4)
+        i += 1 }
+      case _ => throw Truncated
+    }
+  }
+
+  /** Adapter into the JDK audio API: a PCM_SIGNED little-endian
+    * [[AudioInputStream]] whose bytes decode lazily, one FLAC frame at a
+    * time — so [[Multimodal]]'s streaming fingerprint/stats/window loops
+    * serve FLAC through the exact code path that serves WAV/AIFF. Returns
+    * None when the payload is not a supported FLAC stream. A mid-stream
+    * corrupt or truncated frame ends the byte stream at the last
+    * CRC-verified frame boundary. */
+  def audioInputStream(data: Array[Byte]): Option[AudioInputStream] =
+    parseStreamInfo(data).filter(_.totalSamples > 0).map { si =>
+      val bytesPer = si.bitsPerSample / 8
+      val frameSize = bytesPer * si.channels
+      val in = new java.io.InputStream {
+        private val br = new Bits(data, si.framesStart)
+        private var buf: Array[Byte] = Array.emptyByteArray
+        private var bufPos = 0
+        private var served = 0L // decoded samples handed out, per channel
+        private var done = false
+        private def fill(): Boolean = {
+          if (done) return false
+          if (br.atEnd || served >= si.totalSamples) { done = true; return false }
+          val frame =
+            try decodeFrame(br, si, data)
+            catch { case _: Throwable => done = true; return false }
+          val n = frame(0).length
+          // a lying STREAMINFO must not over-serve: clamp to the declared
+          // total so getFrameLength stays the honest upper bound
+          val keep = math.min(n.toLong, si.totalSamples - served).toInt
+          buf = new Array[Byte](keep * frameSize)
+          var i = 0
+          var o = 0
+          while (i < keep) {
+            var c = 0
+            while (c < si.channels) {
+              var v = frame(c)(i)
+              var b = 0
+              while (b < bytesPer) { // little-endian
+                buf(o) = (v & 0xff).toByte
+                v >>= 8
+                o += 1; b += 1
+              }
+              c += 1
+            }
+            i += 1
+          }
+          bufPos = 0
+          served += keep
+          keep > 0
+        }
+        override def read(): Int = {
+          if (bufPos >= buf.length && !fill()) return -1
+          val v = buf(bufPos) & 0xff
+          bufPos += 1
+          v
+        }
+        override def read(b: Array[Byte], off: Int, len: Int): Int = {
+          if (bufPos >= buf.length && !fill()) return -1
+          val n = math.min(len, buf.length - bufPos)
+          System.arraycopy(buf, bufPos, b, off, n)
+          bufPos += n
+          n
+        }
+        override def available(): Int = {
+          val remaining = (si.totalSamples - served) * frameSize +
+            (buf.length - bufPos)
+          if (remaining > Int.MaxValue) Int.MaxValue else remaining.toInt
+        }
+      }
+      val fmt = new AudioFormat(si.sampleRate.toFloat, si.bitsPerSample,
+        si.channels, true, false)
+      new AudioInputStream(in, fmt, si.totalSamples)
+    }
+}

@@ -1824,14 +1824,17 @@ object Multimodal {
     * bit a local comparison, so a small edit touches few bits.
     *
     * Decode is the JDK's own AudioSystem (WAV and AIFF containers, PCM
-    * 8/16/24/32-bit plus IEEE-float 32/64-bit — no external codec; 8-bit
+    * 8/16/24/32-bit plus IEEE-float 32/64-bit) or the pure-JVM
+    * [[FlacDecoder]] for FLAC payloads — no external codec; 8-bit
     * WAV is unsigned per spec and gets centered, float samples map onto
-    * the 16-bit integer lattice). Frame count is bounded by
+    * the 16-bit integer lattice, and a lossless FLAC re-encode
+    * fingerprints identically to its PCM twin (pairing at Hamming 0 in
+    * the near-dup join — the compressed-vs-uncompressed duplicate case). Frame count is bounded by
     * min(header frame length, actually-available bytes / frame size): PCM
     * is stored 1:1, so unlike images there is no decompression bomb — a
     * lying header cannot make the decoder allocate more than the payload
     * that is already in the row — but the min keeps a truncated stream's
-    * window assignment honest. Compressed encodings (MP3, a-law) take
+    * window assignment honest. Lossy encodings (MP3, a-law) take
     * the undecoded branch. */
   def audioFingerprintBatch(rows: Iterator[MediaRow]): Iterator[AudioFpRow] =
     rows.map { r =>
@@ -1856,13 +1859,32 @@ object Multimodal {
     else math.max(-32768.0, math.min(32767.0, math.floor(f * 32768.0))).toLong
   }
 
+  /** Open an audio payload as a PCM [[javax.sound.sampled.AudioInputStream]]:
+    * FLAC decodes through the pure-JVM [[FlacDecoder]] (CONSTANT /
+    * VERBATIM / FIXED / LPC subframes, CRC-verified frames, streamed one
+    * FLAC frame at a time), everything else through the JDK's own
+    * AudioSystem (WAV/AIFF). One adapter means fingerprints, quality
+    * stats AND windowed sequence signatures all gain lossless-compressed
+    * coverage through the exact streaming loops that serve PCM. Throws
+    * for unsupported payloads — every caller catches and degrades. */
+  private[multimodal] def openAudio(data: Array[Byte])
+      : javax.sound.sampled.AudioInputStream =
+    if (data.length >= 4 && data(0) == 'f' && data(1) == 'L' &&
+        data(2) == 'a' && data(3) == 'C')
+      FlacDecoder.audioInputStream(data).getOrElse(
+        throw new javax.sound.sampled.UnsupportedAudioFileException(
+          "unsupported FLAC stream"))
+    else javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(data))
+
   /** (sampleRate, channels, frames, fingerprint) of a PCM or IEEE-float
-    * WAV/AIFF payload, or None for anything AudioSystem cannot read. */
+    * WAV/AIFF payload or a FLAC payload ([[openAudio]]), or None for
+    * anything neither decoder can read. */
   private[multimodal] def decodeAudioFp(data: Array[Byte])
       : Option[(Int, Int, Long, Long)] = {
     import javax.sound.sampled.{AudioFormat, AudioSystem}
     val ais =
-      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(data))
+      try openAudio(data)
       catch { case _: Exception => return None }
     try {
       val fmt = ais.getFormat
@@ -1967,7 +1989,7 @@ object Multimodal {
 
   /** Per-partition audio quality statistics — the audio sibling of
     * [[imageStatsBatch]], same PCM decode contract as
-    * [[audioFingerprintBatch]] (WAV/AIFF, integer PCM, honest frame
+    * [[audioFingerprintBatch]] (WAV/AIFF/FLAC, integer PCM, honest frame
     * count, refuse-don't-crash). One streaming pass, O(buffer) memory. */
   def audioStatsBatch(rows: Iterator[MediaRow]): Iterator[AudioStatsRow] =
     rows.map { r =>
@@ -1982,7 +2004,7 @@ object Multimodal {
   private def decodeAudioStats(data: Array[Byte]): Option[AudioStatsRow] = {
     import javax.sound.sampled.{AudioFormat, AudioSystem}
     val ais =
-      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(data))
+      try openAudio(data)
       catch { case _: Exception => return None }
     try {
       val fmt = ais.getFormat
@@ -2241,7 +2263,7 @@ object Multimodal {
     * [[graft.operators.Dedup.incrementalFrameSigPairs]] — the same
     * sequence-signature joins and persisted index that serve video frames.
     *
-    * Decode contract identical to [[audioFingerprintBatch]]: WAV/AIFF,
+    * Decode contract identical to [[audioFingerprintBatch]]: WAV/AIFF/FLAC,
     * integer PCM 8/16/24/32 and IEEE-float 32/64 via the 16-bit lattice,
     * honest frame count, refuse-don't-crash. One O(buffer + 65) streaming
     * pass per row — window state never exceeds the 65 sub-bucket
@@ -2271,7 +2293,7 @@ object Multimodal {
       : Option[(Int, Int, IndexedSeq[Long])] = {
     import javax.sound.sampled.{AudioFormat, AudioSystem}
     val ais =
-      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(data))
+      try openAudio(data)
       catch { case _: Exception => return None }
     try {
       val fmt = ais.getFormat

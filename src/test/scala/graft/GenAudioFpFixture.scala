@@ -9,7 +9,9 @@ import org.apache.spark.sql.SparkSession
 /** One-off generator for `fixtures/audio_fp.parquet` — committed ground
   * truth for the q_audio_fp / q_audio_neardup oracles. Each decodable row
   * is a REAL WAV the JDK's own AudioSystem wrote from synthesized PCM
-  * samples; the expected fingerprint is computed HERE from those raw
+  * samples — or a REAL FLAC the standalone [[FlacTestEncoder]] wrote from
+  * the same kind of samples (lossless, so the raw samples stay the ground
+  * truth); the expected fingerprint is computed HERE from those raw
   * samples with the windowed-energy arithmetic re-implemented standalone
   * (never by calling the engine), so the engine's hash-match proves
   * container parse + PCM extraction + windowing + bit extraction end to
@@ -225,7 +227,33 @@ object GenAudioFpFixture {
       val (dm, pk, as_, sl, cl) = expectedStats(Array(lat.map(_.toInt)), 8000)
       Seq(FxRow(8L, "wav", floatWav(fs), decoded = true, 8000, 1, 3000L,
         Some(expectedFp(lat)), dm, pk, as_, sl, cl))
+    } ++ {
+      // FLAC rows (the pure-JVM decoder): 9 = a LOSSLESS re-encode of row
+      // 0's exact samples — it must fingerprint IDENTICALLY and pair with
+      // the WAV original at hamming 0 in the near-dup oracle (the
+      // compressed-vs-uncompressed dup case a real corpus is full of);
+      // 10 = stereo mid/side with fixed+LPC subframes, fingerprint of the
+      // channel sum. Expected values come from the RAW samples —
+      // lossless, so the samples ARE the ground truth.
+      val (dm9, pk9, as9, sl9, cl9) = expectedStats(Array(base), 16000)
+      val l = synth(7000, 61); val r = synth(7000, 62)
+      val (dm10, pk10, as10, sl10, cl10) = expectedStats(Array(l, r), 22050)
+      Seq(
+        FxRow(9L, "flac", FlacTestEncoder.encode(Array(base), 16000,
+            blockSize = 2048), decoded = true, 16000, 1, 13000L,
+          Some(expectedFp(base.map(_.toLong))), dm9, pk9, as9, sl9, cl9),
+        FxRow(10L, "flac", FlacTestEncoder.encode(Array(l, r), 22050,
+            blockSize = 1024, chanMode = FlacTestEncoder.MidSide,
+            modes = i => if (i % 2 == 0) FlacTestEncoder.Fixed(2)
+              else FlacTestEncoder.Lpc(Seq(2L, -1L), 0, 4)),
+          decoded = true, 22050, 2, 7000L,
+          Some(expectedFp(Array.tabulate(7000)(f => l(f).toLong + r(f).toLong))),
+          dm10, pk10, as10, sl10, cl10))
     } ++ Seq(
+      // garbage behind the fLaC magic: STREAMINFO malformed, refused
+      FxRow(203L, "flac", "fLaC".getBytes("US-ASCII") ++
+          Array.tabulate[Byte](60)(i => (i * 7).toByte),
+        decoded = false, 0, 0, 0L, None, 0L, 0L, 0L, 0L, 0L),
       // corrupt / refused rows
       // cut INSIDE the header (before fmt completes): no parse at all — a
       // cut inside the data section is legitimately decodable as a shorter

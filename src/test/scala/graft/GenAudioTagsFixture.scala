@@ -164,7 +164,15 @@ object GenAudioTagsFixture {
         val enc = unsyncEnc(f.drop(10))
         hdr.take(4) ++ ss28(enc.length) ++ hdr.slice(8, 10) ++ enc
       }.pipe(f => tagged(Seq(f), v24 = true, unsync = true)),
-        has_tags = true, Some("Søvn"), None, None))
+        has_tags = true, Some("Søvn"), None, None),
+      // a SECOND clip by row 1's artist: the per-artist cap stage of the
+      // multimodal pipeline (q_pipeline_mm) must keep exactly one of the
+      // two "The Examples" rows — without a repeated artist the cap
+      // would be indistinguishable from a no-op
+      TagRow(9L, "mp3", tagged(Seq(
+          textFrame("TIT2", "Evening Sun", 0, v24 = false),
+          textFrame("TPE1", "The Examples", 0, v24 = false)), v24 = false),
+        has_tags = true, Some("Evening Sun"), Some("The Examples"), None))
 
     // engine round-trip assert is the SPEC's job; here only structural
     // sanity: tags declared where written
