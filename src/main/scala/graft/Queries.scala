@@ -2703,6 +2703,34 @@ object Queries {
       |ORDER BY media_id""".stripMargin
 
   // ----------------------------------------------------------------------
+  // MP3 frame-header sequence walk: exact frame counts, duration summed
+  // from real per-frame sample counts (1152 / 576), bitrate range and the
+  // VBR flag — the honest upgrade over the single-header CBR estimate
+  // (the fixture's VBR row is constructed so the two disagree), with zero
+  // sample decode. Trailing junk and mid-frame truncation stop the walk
+  // and report the frames seen; garbage refuses.
+  // ----------------------------------------------------------------------
+  private lazy val mp3Fixture: String = fixturePath("audio_mp3.parquet")
+
+  private val mp3Frames: (SparkSession, String) => DataFrame = (s, _) => {
+    val media = s.read.parquet(mp3Fixture)
+      .select(col("media_id").as("id"), col("kind"), col("data"))
+    graft.multimodal.Multimodal.mp3FrameStats(media).toDF()
+      .select(col("id").as("media_id"), col("parsed"),
+        col("sampleRate").as("sample_rate"), col("channels"),
+        col("nFrames").as("n_frames"), col("durationMs").as("duration_ms"),
+        col("minKbps").as("min_kbps"), col("maxKbps").as("max_kbps"),
+        col("vbr"))
+      .orderBy(col("media_id"))
+  }
+
+  private val mp3FramesSql =
+    s"""SELECT media_id, parsed, sample_rate, channels, n_frames,
+      |  duration_ms, min_kbps, max_kbps, vbr
+      |FROM '$mp3Fixture'
+      |ORDER BY media_id""".stripMargin
+
+  // ----------------------------------------------------------------------
   // q_pipeline_mm — the MULTIMODAL flagship: the text charter has
   // q_pipeline proving operator COMPOSITION end-to-end; this is its
   // multimodal twin, one oracle-gated query chaining every modality's
@@ -3740,6 +3768,7 @@ object Queries {
     "q_mp4_neardup"   -> mp4NearDup,
     "q_mp4_stats"     -> mp4Stats,
     "q_pipeline_mm"   -> pipelineMm,
+    "q_mp3_frames"    -> mp3Frames,
     "q_audio_seq"     -> audioSeq,
     "q_audio_tags"    -> audioTags,
     "q_audio_seq_neardup" -> audioSeqNearDup,
@@ -3856,6 +3885,7 @@ object Queries {
     "q_mp4_neardup"   -> mp4NearDupSql,
     "q_mp4_stats"     -> mp4StatsSql,
     "q_pipeline_mm"   -> pipelineMmSql,
+    "q_mp3_frames"    -> mp3FramesSql,
     "q_audio_seq"     -> audioSeqSql,
     "q_audio_tags"    -> audioTagsSql,
     "q_audio_seq_neardup" -> audioSeqNearDupSql,

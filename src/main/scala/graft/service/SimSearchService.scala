@@ -373,6 +373,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
     *               "ccnet_keep" | "profile_series" |
     *               "video_frames" | "video_neardup" | "video_stats" |
     *               "audio_seq" | "audio_seq_neardup" | "audio_tags" |
+    *               "mp3_frames" |
     *               "lm_bigram" | "lm_train" | "lm_score" | "random_project" |
     *               "image_hash" | "audio_fp" | "image_stats" |
     *               "audio_stats" | "profile" | "overlap",
@@ -481,7 +482,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
         "lm_train", "lm_score", "random_project", "image_hash", "audio_fp",
         "image_stats", "audio_stats", "profile", "profile_series",
         "overlap", "video_frames", "video_neardup", "video_stats",
-        "audio_seq", "audio_seq_neardup", "audio_tags")
+        "audio_seq", "audio_seq_neardup", "audio_tags", "mp3_frames")
       if (!knownOps.contains(opName))
         throw new IllegalArgumentException(
           s"unknown operator '$opName' — one of ${knownOps.mkString(", ")}")
@@ -713,6 +714,14 @@ final class SimSearchService(spark: SparkSession, port: Int,
           graft.operators.Dedup.frameSigPairs(sigs, "id", "window_idx",
             "sig", params.path("max_hamming").asInt(3),
             params.path("min_match").asLong(2L))
+        case "mp3_frames" =>
+          // MP3 frame-header sequence walk of a binary column: exact frame
+          // counts, summed duration, bitrate range + VBR flag, no decode
+          val dataCol = params.path("data_column").asText("data")
+          graft.multimodal.Multimodal.mp3FrameStats(
+              df.select(col(idCol).cast("long").as("id"),
+                lit("audio").as("kind"), col(dataCol).as("data"))).toDF()
+            .withColumnRenamed("id", idCol)
         case "audio_tags" =>
           // ID3v2 text metadata (title/artist/album) of a binary column —
           // the grouping keys per-artist caps and metadata dedup need

@@ -1134,6 +1134,37 @@ class MultimodalSpec extends SparkTestBase {
     assert(!rows(2L).decoded && rows(2L).nSampled == 0)
   }
 
+  test("parseMp3Frames: whole-sequence frame walk — exact counts, summed " +
+    "duration, VBR detection; trailing junk/truncation stop and report; " +
+    "a mid-stream sample-rate change stops the walk") {
+    // VBR: the summed duration disagrees with the CBR estimate
+    val vbr = (0 until 30).toArray.flatMap(i =>
+      GenMp3Fixture.frame(mpeg1 = true, if (i % 2 == 0) 96 else 192, 0, mono = false))
+    val m = Multimodal.parseMp3Frames(vbr).get
+    assert(m.nFrames == 30 && m.sampleRate == 44100 && m.channels == 2)
+    assert(m.durationMs == 30L * 1152 * 1000 / 44100)
+    assert(m.minKbps == 96 && m.maxKbps == 192 && m.vbr)
+    // behind an ID3 tag, MPEG2 mono (576-sample frames)
+    val m2 = Multimodal.parseMp3Frames(GenMp3Fixture.id3(64) ++
+      (0 until 8).toArray.flatMap(_ =>
+        GenMp3Fixture.frame(mpeg1 = false, 64, 0, mono = true))).get
+    assert(m2.nFrames == 8 && m2.sampleRate == 22050 && m2.channels == 1 &&
+      !m2.vbr && m2.durationMs == 8L * 576 * 1000 / 22050)
+    // junk after 3 frames: stats over the prefix
+    val threeThenJunk = (0 until 3).toArray.flatMap(_ =>
+      GenMp3Fixture.frame(mpeg1 = true, 128, 0, mono = false)) ++
+      Array.tabulate[Byte](50)(i => (i * 3).toByte)
+    assert(Multimodal.parseMp3Frames(threeThenJunk).get.nFrames == 3)
+    // a sample-rate change mid-stream = concatenated files, not one
+    val concat = GenMp3Fixture.frame(mpeg1 = true, 128, 0, mono = false) ++
+      GenMp3Fixture.frame(mpeg1 = true, 128, 1, mono = false)
+    assert(Multimodal.parseMp3Frames(concat).get.nFrames == 1)
+    // garbage refuses
+    assert(Multimodal.parseMp3Frames("definitely not mpeg".getBytes).isEmpty)
+    // every prefix degrades, never throws
+    (0 to vbr.length by 7).foreach(k => Multimodal.parseMp3Frames(vbr.take(k)))
+  }
+
   // ------------------------------------------------ MP4 sample tables
 
   test("parseMp4: sample tables reconstruct per-frame byte ranges, " +

@@ -533,6 +533,20 @@ class SimSearchServiceSpec extends SparkTestBase {
           vn.get(i).get("d").asLong())).toSet
       assert(vnPairs == Set((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)), bVn)
 
+      // mp3_frames: the frame-header walk over the committed MP3 fixture
+      val mp3Fix = new java.io.File("fixtures/audio_mp3.parquet").getAbsolutePath
+      val (cM3, bM3) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "mp3_frames", "input": {"path": "$mp3Fix"},
+            "id": "media_id", "params": {}}"""))
+      assert(cM3 == 200, bM3)
+      val m3 = new ObjectMapper().readTree(bM3)
+      val m3ById = (0 until m3.size()).map(i =>
+        m3.get(i).get("media_id").asLong() -> m3.get(i)).toMap
+      assert(m3ById(2L).get("parsed").asBoolean() &&
+        m3ById(2L).get("vbr").asBoolean() &&
+        m3ById(2L).get("nFrames").asLong() == 30L, bM3)
+      assert(!m3ById(5L).get("parsed").asBoolean(), bM3)
+
       // profile + overlap: the corpus bookkeeping ops over the socket
       val profDir = s"$dir/profdocs"
       (0 until 200).map(i => (i.toLong, Seq("en", "de")(i % 2),
