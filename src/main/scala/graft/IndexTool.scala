@@ -572,6 +572,50 @@ object IndexTool {
           .write.mode("overwrite").parquet(out)
         println(s"""{"action":"video-stats","path":"${args(1)}",""" +
           s""""out":"$out"}"""); 0
+      case "video-dedup-stream" | "audio-seq-stream" =>
+        // the STREAMING ingestion loops as spark-submit runbook commands:
+        // watch a parquet directory as a file stream, near-dup each
+        // micro-batch in-batch AND against the persisted composite-key
+        // frame-signature index, emit (a, b, d, n_match) pairs through
+        // the exactly-once parquet sink, and commit the batch's
+        // signatures under its batchId partition. `--once` drains
+        // whatever is available and exits (the batch-backfill /
+        // cron-drain mode); without it the command serves until killed.
+        val video = args.head == "video-dedup-stream"
+        val name = args.head
+        val index = opt(args, "--index").getOrElse {
+          System.err.println(s"$name needs --index <path>\n$usage")
+          return 2
+        }
+        val sink = opt(args, "--sink").getOrElse {
+          System.err.println(s"$name needs --sink <path>\n$usage")
+          return 2
+        }
+        import org.apache.spark.sql.functions.{col, lit}
+        val idCol = opt(args, "--id").getOrElse("id")
+        val dataCol = opt(args, "--data").getOrElse("data")
+        // file streams need an explicit schema: take the static dir's
+        val schema = spark.read.parquet(args(1)).schema
+        val media = spark.readStream.schema(schema).parquet(args(1))
+          .select(col(idCol).cast("long").as("id"),
+            lit(if (video) "video" else "audio").as("kind"),
+            col(dataCol).as("data"))
+        val writeBatch = graft.streaming.StreamOps.parquetSink(sink)
+        val minMatch = opt(args, "--min-match").fold(2L)(_.toLong)
+        val maxHamming = opt(args, "--max-hamming").fold(3)(_.toInt)
+        val compactEvery = opt(args, "--compact-every").fold(0)(_.toInt)
+        val q =
+          if (video) graft.streaming.StreamOps.videoDedupStream(media,
+            opt(args, "--every-ms").fold(500L)(_.toLong), index,
+            maxHamming, minMatch, compactEvery)(writeBatch)
+          else graft.streaming.StreamOps.audioSeqDedupStream(media,
+            opt(args, "--window-ms").fold(250L)(_.toLong), index,
+            maxHamming, minMatch, compactEvery)(writeBatch)
+        if (args.contains("--once")) {
+          q.processAllAvailable(); q.stop()
+        } else q.awaitTermination()
+        println(s"""{"action":"$name","path":"${args(1)}",""" +
+          s""""index":"$index","sink":"$sink"}"""); 0
       case "image-stats" =>
         // image quality-gate signals parquet -> parquet (real decode)
         val out = opt(args, "--out").getOrElse {
@@ -723,6 +767,8 @@ object IndexTool {
       |  audio-stats <srcParquet> --out <parquet> [--id id] [--data data] [--kind kindCol]
       |  video-frames <srcParquet> --out <parquet> [--id id] [--data data] [--every-ms 500] [--pairs-out <parquet> [--max-hamming 3] [--min-match 2]]
       |  video-stats <srcParquet> --out <parquet> [--id id] [--data data] [--every-ms 500]
+      |  video-dedup-stream <watchDir> --index <path> --sink <parquet> [--id id] [--data data] [--every-ms 500] [--max-hamming 3] [--min-match 2] [--compact-every N] [--once]
+      |  audio-seq-stream <watchDir> --index <path> --sink <parquet> [--id id] [--data data] [--window-ms 250] [--max-hamming 3] [--min-match 2] [--compact-every N] [--once]
       |  profile <srcParquet|profileDir> --out <parquet> [--keys k1,k2] [--text text] [--append] [--batch N] [--merge] [--series [--batch-col c]]
       |  overlap <aParquet> --other <bParquet> [--text text] [--other-text text]""".stripMargin
 }

@@ -577,6 +577,62 @@ object StreamOps {
       } finally { pairs.unpersist(); frames.unpersist() }
     }
 
+  /** Streaming AUDIO containment near-dup ingestion — the windowed-audio
+    * twin of [[videoDedupStream]]: each micro-batch of binary audio
+    * payloads (columns `id`, `kind`, `data`) decodes to per-window
+    * energy-gradient signatures
+    * ([[graft.multimodal.Multimodal.audioSeqSignatures]] — WAV/AIFF/FLAC,
+    * undecodable clips drop out of the signature flow), pairs within the
+    * batch AND against the persisted window-signature corpus, reports
+    * (a, b, d, n_match) sequence matches, then commits its own windows
+    * under its batchId partition. Same replay-idempotence, CacheScope
+    * release, and `compactEvery` fold as the video loop — they share the
+    * composite-key frame-signature index machinery end to end. */
+  def audioSeqDedupStream(media: DataFrame, windowMs: Long, indexPath: String,
+      maxHamming: Int = 3, minMatch: Long = 2, compactEvery: Int = 0)
+      (writeBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val ce = resolveCompactEvery(media, compactEvery)
+    media.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      audioSeqBatch(batch, batchId, windowMs, indexPath, maxHamming,
+        minMatch, writeBatch)
+      if (compactDue(ce, batchId))
+        graft.operators.Dedup.compactHammingIndex(batch.sparkSession,
+          indexPath, through = Some(batchId - 1))
+    }.start()
+  }
+
+  /** One [[audioSeqDedupStream]] micro-batch — package-visible for the
+    * replay spec, like [[videoBatch]]. */
+  private[graft] def audioSeqBatch(batch: DataFrame, batchId: Long,
+      windowMs: Long, indexPath: String, maxHamming: Int, minMatch: Long,
+      writeBatch: (DataFrame, Long) => Unit): Unit =
+    graft.util.CacheScope.withScope {
+      import graft.operators.{Dedup, IndexIO}
+      val spark = batch.sparkSession
+      IndexIO.recoverSwap(spark, indexPath)
+      val hasIndex = IndexIO.hasData(spark, s"$indexPath/bands")
+      val wins = graft.multimodal.Multimodal.audioSeqSignatures(
+          batch.select(col("id"), col("kind"), col("data")), windowMs).toDF()
+        .where(col("decoded"))
+        .select(col("id"), col("window_idx"), col("sig"))
+        .cache()
+      val inBatch = Dedup.frameSigPairs(wins, "id", "window_idx", "sig",
+        maxHamming, minMatch)
+      val pairs = (if (hasIndex)
+          inBatch.union(Dedup.incrementalFrameSigPairs(wins, "id",
+            "window_idx", "sig", indexPath, maxHamming, minMatch,
+            excludeBatch = Some(batchId)))
+        else inBatch).cache()
+      try {
+        pairs.count() // pin results before the index grows (see dedupBatch)
+        writeBatch(pairs, batchId)
+        if (!wins.isEmpty) // an all-undecodable batch must not commit
+          Dedup.writeFrameSigIndex(wins, "id", "window_idx", "sig",
+            indexPath, batchId = Some(batchId))
+      } finally { pairs.unpersist(); wins.unpersist() }
+    }
+
   /** Streaming corpus profiling: every micro-batch appends its
     * [[graft.operators.Profile.partialProfile]] rows (counters + mergeable
     * HLL/Theta sketches) under its own `batch=<id>` partition — an

@@ -67,8 +67,9 @@ object GenMp4Fixture {
       ((flags >> 8) & 0xff).toByte, (flags & 0xff).toByte),
       payload.toArray.flatten)
 
-  private val ftyp: Array[Byte] =
-    box("ftyp", cc("isom"), be32(512), cc("isom"), cc("mp41"))
+  private def ftypOf(brand: String): Array[Byte] =
+    box("ftyp", cc(brand), be32(512), cc(brand), cc("mp41"))
+  private val ftyp: Array[Byte] = ftypOf("isom")
 
   /** Run-length encode frame durations into stts (count, delta) pairs. */
   private def sttsRuns(durs: Seq[Long]): Seq[(Long, Long)] =
@@ -83,7 +84,8 @@ object GenMp4Fixture {
   def mp4(w: Int, h: Int, mediaTimescale: Long, frameDurations: Seq[Long],
       samples: Seq[Array[Byte]], samplesPerChunk: Int, moovFirst: Boolean,
       useCo64: Boolean, syncEvery: Option[Int],
-      offsetShift: Long = 0L): Array[Byte] = {
+      offsetShift: Long = 0L, brand: String = "isom"): Array[Byte] = {
+    val ftyp = ftypOf(brand)
     require(frameDurations.length == samples.length && samples.nonEmpty)
     val n = samples.length
     val totalTicks = frameDurations.sum
@@ -201,6 +203,9 @@ object GenMp4Fixture {
     // v8: quality-gate clip — planted black and flat frames at ticks
     def solid(v: Int): Array[Array[Int]] =
       Array.fill(48, 64)((v << 16) | (v << 8) | v)
+    val v9Jpeg = (0 until 6).map(t =>
+      GenVideoFixture.framePx(seed = 99, t + 11))
+      .map(GenVideoFixture.encodeJpeg(_, 0.85f))
     val v8Jpeg = (0 until 10).map {
       case 5 => GenVideoFixture.encodeJpeg(solid(0), 0.85f)
       case 9 => GenVideoFixture.encodeJpeg(solid(128), 0.85f)
@@ -227,7 +232,13 @@ object GenMp4Fixture {
         syncEvery = None)),
       Clip(8L, v8Jpeg, Seq.fill(10)(100L), mp4(64, 48, 1000L,
         Seq.fill(10)(100L), v8Jpeg, samplesPerChunk = 10, moovFirst = true,
-        useCo64 = false, syncEvery = Some(5))))
+        useCo64 = false, syncEvery = Some(5))),
+      // 9: an AVIF image SEQUENCE ('avis' brand) — ISO-BMFF movies too;
+      // the container label must say what the file IS while the sample
+      // tables drive the exact same frame path
+      Clip(9L, v9Jpeg, Seq.fill(6)(200L), mp4(64, 48, 1000L,
+        Seq.fill(6)(200L), v9Jpeg, samplesPerChunk = 6, moovFirst = true,
+        useCo64 = false, syncEvery = None, brand = "avis")))
 
     /** Independent re-statement of the published schedule contract: one
       * tick per EveryMs of total duration, source frame = LAST sample
@@ -259,7 +270,8 @@ object GenMp4Fixture {
 
     val mediaRows = clips.map { c =>
       val (ns, nd, nb, nf, ls, np) = expectedStats(c)
-      MediaRowF(c.id, "video", c.data, "mp4", 64, 48,
+      MediaRowF(c.id, "video", c.data,
+        if (c.id == 9L) "avis" else "mp4", 64, 48,
         c.durs.sum, c.jpegs.length, frames_ok = true, ns, nd, nb, nf, ls, np)
     }
     val frameRows = clips.flatMap { c =>
@@ -308,7 +320,8 @@ object GenMp4Fixture {
       require(a.dhash == b.dhash,
         s"trimmed copy not byte-aligned at tick ${b.frame_idx}")
     }
-    for (b <- byId(4L) ++ byId(7L) ++ byId(8L).filter(_.dhash.get != 0L);
+    for (b <- byId(4L) ++ byId(7L) ++ byId(9L) ++
+           byId(8L).filter(_.dhash.get != 0L);
          a <- byId(1L) ++ byId(2L) ++ byId(3L))
       require(ham(a.dhash.get, b.dhash.get) > 3,
         s"unrelated clip collides: ${a.media_id}#${a.frame_idx} vs ${b.media_id}#${b.frame_idx}")

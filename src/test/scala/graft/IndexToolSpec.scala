@@ -399,6 +399,47 @@ class IndexToolSpec extends SparkTestBase {
     assert(IndexTool.run(spark, Array("video-stats", s"$root/vids")) == 2)
   }
 
+  test("IndexTool: video-dedup-stream and audio-seq-stream --once drain " +
+    "a watched directory through the streaming loops into the exactly-" +
+    "once sink and the persisted index; missing flags exit 2") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-streamtool").toString
+    // video: a clip and its re-encode pair at diagonal 0 across 3 ticks
+    val src = (0 until 12).map(t => GenVideoFixture.framePx(21, t))
+    Seq(
+      (1L, GenVideoFixture.avi(64, 48, 100000L,
+        src.map(GenVideoFixture.encodeJpeg(_, 0.85f)))),
+      (2L, GenVideoFixture.avi(64, 48, 100000L,
+        src.map(GenVideoFixture.encodeJpeg(_, 0.62f)))))
+      .toDF("id", "data").write.parquet(s"$root/vids")
+    assert(IndexTool.run(spark, Array("video-dedup-stream", s"$root/vids",
+      "--index", s"$root/vididx", "--sink", s"$root/vidpairs",
+      "--once")) == 0)
+    val vp = spark.read.parquet(s"$root/vidpairs")
+      .select("a", "b", "d", "n_match")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(vp == Set((1L, 2L, 0L, 3L)), vp)
+    assert(spark.read.parquet(s"$root/vididx/bands").count() > 0)
+    // audio: byte-identical PCM clips pair on all 4 whole windows
+    // (per-window distinct seeds — see StreamOpsSpec's audio loop test)
+    val base = (0 until 4).toArray.flatMap(w =>
+      GenAudioFpFixture.synth(4000, 73 + 13 * w))
+    Seq((1L, GenAudioFpFixture.wavBytes(Array(base))),
+        (2L, GenAudioFpFixture.wavBytes(Array(base))))
+      .toDF("id", "data").write.parquet(s"$root/auds")
+    assert(IndexTool.run(spark, Array("audio-seq-stream", s"$root/auds",
+      "--index", s"$root/audidx", "--sink", s"$root/audpairs",
+      "--once")) == 0)
+    val ap = spark.read.parquet(s"$root/audpairs")
+      .select("a", "b", "d", "n_match")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(ap == Set((1L, 2L, 0L, 4L)), ap)
+    assert(IndexTool.run(spark, Array("video-dedup-stream", s"$root/vids",
+      "--sink", s"$root/x")) == 2)
+    assert(IndexTool.run(spark, Array("audio-seq-stream", s"$root/auds",
+      "--index", s"$root/audidx")) == 2)
+  }
+
   test("IndexTool: dsir weights/selects and dedup-substr cuts repeated " +
     "spans parquet-to-parquet; missing flags exit 2") {
     import org.apache.spark.sql.functions.col

@@ -909,4 +909,39 @@ class StreamOpsSpec extends SparkTestBase {
     deliver(2L, 9L -> "not a container".getBytes)
     assert(emitted(3).isEmpty && indexContents() == n1)
   }
+
+  test("audioSeqDedupStream: windowed signatures pair in-batch and " +
+    "against the grown index per micro-batch; a whole-window trim pairs " +
+    "on the shifted diagonal; replay is idempotent") {
+    import graft.streaming.StreamOps
+    val path = java.nio.file.Files.createTempDirectory("graft-auddd").toString + "/idx"
+    // 1 s at 16 kHz, 250 ms windows -> 4 whole windows of 4000 frames;
+    // each window gets its own synth seed so windows are mutually
+    // DISTINCT (one seed's block structure is self-similar enough that
+    // different windows can land within hamming 3 — a legitimate match
+    // the operator reports, but noise for this test's planted diagonals)
+    val base = (0 until 4).toArray.flatMap(w =>
+      GenAudioFpFixture.synth(4000, 71 + 13 * w))
+    val wavA = GenAudioFpFixture.wavBytes(Array(base))
+    val wavB = GenAudioFpFixture.wavBytes(Array(base)) // byte-identical PCM
+    val wavC = GenAudioFpFixture.wavBytes(Array(base.drop(4000))) // -1 window
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Set[(Long, Long, Long, Long)]]
+    def sink(pairs: org.apache.spark.sql.DataFrame, @annotation.unused bid: Long): Unit =
+      emitted += pairs.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def deliver(bid: Long, rows: (Long, Array[Byte])*): Unit =
+      StreamOps.audioSeqBatch(
+        rows.toDF("id", "data").select(col("id"), lit("audio").as("kind"), col("data")),
+        bid, 250L, path, 3, 2L, sink)
+    deliver(0L, 1L -> wavA, 2L -> wavB, 9L -> "not audio".getBytes)
+    assert(emitted(0) == Set((1L, 2L, 0L, 4L)))
+    // the trimmed copy arrives later: its window j holds the stored
+    // clips' window j+1 -> diagonal -1 across the 3 shared windows
+    deliver(1L, 3L -> wavC)
+    assert(emitted(1) == Set((3L, 1L, -1L, 3L), (3L, 2L, -1L, 3L)))
+    def indexContents() = spark.read.parquet(s"$path/bands").count()
+    val n1 = indexContents()
+    deliver(1L, 3L -> wavC)
+    assert(emitted(2) == emitted(1) && indexContents() == n1)
+  }
 }
