@@ -724,6 +724,12 @@ object Multimodal {
     *    runs over the `mdhd` media timescale — honest non-uniform frame
     *    timing, not a constant-fps estimate;
     *  - KEYFRAMES: `stss` sync-sample numbers (1-based on disk);
+    *  - EDIT LISTS: the first non-empty `edts`>`elst` entry's media_time
+    *    (v0 and v1 layouts) becomes the presentation start offset —
+    *    samples decoding before it are edited out of the table and the
+    *    rest shift so presentation t=0 lands where the edit says (the
+    *    common iPhone-style single-entry case; splicing lists beyond the
+    *    first offset are deliberately not interpreted);
     *  - geometry from `tkhd` (16.16 fixed point), codec from `stsd`'s
     *    first sample-entry fourcc.
     * For MJPEG-in-MP4 (`jpeg`/`mjpa` sample entries) each sample is a
@@ -775,6 +781,7 @@ object Multimodal {
     var stsc: Array[Long] = null   // (firstChunk, samplesPerChunk) pairs
     var chunkOffs: Array[Long] = null
     var stss: Array[Int] = null
+    var editOffsetTicks = 0L // elst media_time of the first non-empty edit
 
     /** entryCount bounded by what the box can actually hold — a declared
       * count past the payload is a bomb/corruption, not data. */
@@ -892,13 +899,32 @@ object Multimodal {
         left -= 1
         i += 1
       }
-      val durMs = t * 1000L / timescale
+      // apply the edit-list presentation offset: samples decoding before
+      // media_time are edited OUT of presentation (their bytes stay in
+      // mdat but no schedule tick can land on them), the rest shift so
+      // presentation time 0 = the edit's media_time. Bounded: the offset
+      // can only shrink the table, never grow it.
+      var firstShown = 0
+      if (editOffsetTicks > 0) {
+        val offUs = editOffsetTicks * 1000000L / timescale
+        while (firstShown < n - 1 && tsUs(firstShown + 1) <= offUs)
+          firstShown += 1
+        var j = firstShown
+        while (j < n) { tsUs(j) = math.max(0L, tsUs(j) - offUs); j += 1 }
+      }
+      val shownFrames = if (firstShown == 0) frames else
+        java.util.Arrays.copyOfRange(frames, firstShown, n)
+      val shownTs = if (firstShown == 0) tsUs else
+        java.util.Arrays.copyOfRange(tsUs, firstShown, n)
+      val durMs = math.max(0L,
+        t * 1000L / timescale - editOffsetTicks * 1000L / timescale)
       val keys =
         if (stss == null) IndexedSeq.empty[Int]
-        else stss.iterator.filter(s => s >= 1 && s <= n).map(_ - 1).toIndexedSeq
+        else stss.iterator.filter(s => s >= 1 && s <= n).map(_ - 1)
+          .filter(_ >= firstShown).map(_ - firstShown).toIndexedSeq
       best = Some(Mp4Track(width, height, codec, timescale, durMs,
-        scala.collection.immutable.ArraySeq.unsafeWrapArray(frames),
-        scala.collection.immutable.ArraySeq.unsafeWrapArray(tsUs), keys))
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(shownFrames),
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(shownTs), keys))
     }
 
     walk(0L, data.length.toLong, 0) { (typ, p, end) =>
@@ -908,6 +934,7 @@ object Multimodal {
           width = 0; height = 0; timescale = 0L; isVideo = false
           codec = ""; stts = null; sampleSizes = null; fixedSize = 0L
           sampleCount = 0L; stsc = null; chunkOffs = null; stss = null
+          editOffsetTicks = 0L
           walk(p2, e2, 2) { (t3, p3, e3) =>
             if (t3 == "tkhd" && e3 >= p3 + 4) {
               val v = u8(p3)
@@ -917,6 +944,28 @@ object Multimodal {
               } else if (v == 1 && e3 >= p3 + 96) {
                 width = (be32(p3 + 88) >> 16).toInt
                 height = (be32(p3 + 92) >> 16).toInt
+              }
+            } else if (t3 == "edts") walk(p3, e3, 3) { (t4, p4, e4) =>
+              // edit list: the common real-world case (iPhone-style
+              // files) is ONE entry whose media_time shifts presentation
+              // into the media timeline; take the first non-empty entry's
+              // media_time as the presentation start offset. Empty edits
+              // (media_time -1 = initial delay) and splicing lists are
+              // ignored beyond that first offset — the conservative
+              // subset that can only move timestamps, never invent them.
+              if (t4 == "elst" && e4 >= p4 + 8) {
+                val v = u8(p4)
+                val cnt = be32(p4 + 4)
+                val entry = if (v == 1) 20 else 12
+                var k = 0
+                var q = p4 + 8
+                var found = false
+                while (!found && k < cnt && q + entry <= e4) {
+                  val mt = if (v == 1) be64(q + 8)
+                    else (be32(q + 4) << 32) >> 32 // sign-extend s32
+                  if (mt >= 0) { editOffsetTicks = mt; found = true }
+                  q += entry; k += 1
+                }
               }
             } else if (t3 == "mdia") walk(p3, e3, 3) { (t4, p4, e4) =>
               if (t4 == "mdhd" && e4 >= p4 + 4) {
@@ -2217,8 +2266,9 @@ object Multimodal {
       hasTags: Boolean, title: Option[String], artist: Option[String],
       album: Option[String])
 
-  /** Parse the title/artist/album TEXT frames (TIT2/TPE1/TALB) of an
-    * ID3v2.3/2.4 tag — the metadata an audio-corpus curation pass groups,
+  /** Parse the title/artist/album TEXT frames (TIT2/TPE1/TALB — or their
+    * three-letter v2.2 ancestors TT2/TP1/TAL, mapped to the modern
+    * names) of an ID3v2.2/2.3/2.4 tag — the metadata an audio-corpus curation pass groups,
     * caps, and dedups by (per-artist caps are the audio twin of
     * per-domain caps). Layout per the published id3.org spec: 10-byte
     * header (`ID3`, version, flags, syncsafe 28-bit size), then frames of
@@ -2249,11 +2299,15 @@ object Multimodal {
   def parseId3Tags(data: Array[Byte]): Option[Map[String, String]] = {
     if (data.length < 10 || data(0) != 'I' || data(1) != 'D' || data(2) != '3')
       return None
-    val ver = data(3) & 0xff // 3 = v2.3, 4 = v2.4
-    if (ver < 3 || ver > 4) return None
+    val ver = data(3) & 0xff // 2 = v2.2, 3 = v2.3, 4 = v2.4
+    if (ver < 2 || ver > 4) return None
     val flags = data(5) & 0xff
     val globalUnsync = (flags & 0x80) != 0
-    val hasExt = (flags & 0x40) != 0
+    // in v2.2 flag 0x40 means COMPRESSION, undefined scheme — the spec's
+    // own advice is to ignore such a tag entirely; v2.3/2.4 use it for
+    // the extended header handled below
+    if (ver == 2 && (flags & 0x40) != 0) return None
+    val hasExt = ver >= 3 && (flags & 0x40) != 0
     def ssz(b: Array[Byte], i: Int): Int =
       ((b(i) & 0x7f) << 21) | ((b(i + 1) & 0x7f) << 14) |
         ((b(i + 2) & 0x7f) << 7) | (b(i + 3) & 0x7f)
@@ -2263,7 +2317,7 @@ object Multimodal {
     // is per-frame (syncsafe frame sizes carry no false syncs by
     // construction) and each payload decodes at its frame below
     val buf =
-      if (ver == 3 && globalUnsync) deunsync(data, 10, end)
+      if (ver <= 3 && globalUnsync) deunsync(data, 10, end)
       else java.util.Arrays.copyOfRange(data, 10, math.max(10, end))
     def u8(i: Int): Int = buf(i) & 0xff
     var i = 0
@@ -2282,17 +2336,25 @@ object Multimodal {
         i = (4L + es).toInt
       }
     }
+    // v2.2 frames are 6-byte headers (3-char id + 24-bit size) with the
+    // three-letter ancestors of the text frames; map to the v2.3+ names
+    val hdrLen = if (ver == 2) 6 else 10
+    val idLen = if (ver == 2) 3 else 4
+    val wanted =
+      if (ver == 2) Map("TT2" -> "TIT2", "TP1" -> "TPE1", "TAL" -> "TALB")
+      else Map("TIT2" -> "TIT2", "TPE1" -> "TPE1", "TALB" -> "TALB")
     val out = scala.collection.mutable.Map[String, String]()
-    while (i + 10 <= buf.length) {
-      val id = new String(buf, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    while (i + hdrLen <= buf.length) {
+      val id = new String(buf, i, idLen, java.nio.charset.StandardCharsets.US_ASCII)
       if (!id.forall(c => c.isUpper || c.isDigit)) return wrap(out) // padding
       val size =
         if (ver == 4) ssz(buf, i + 4)
+        else if (ver == 2) (u8(i + 3) << 16) | (u8(i + 4) << 8) | u8(i + 5)
         else ((u8(i + 4) << 24) | (u8(i + 5) << 16) | (u8(i + 6) << 8) | u8(i + 7))
-      if (size < 0 || i + 10 + size > buf.length) return wrap(out)
-      if (Seq("TIT2", "TPE1", "TALB").contains(id) && size >= 1) {
-        val fmtFlags = u8(i + 9)
-        val p = i + 10
+      if (size < 0 || i + hdrLen + size > buf.length) return wrap(out)
+      if (wanted.contains(id) && size >= 1) {
+        val fmtFlags = if (ver == 2) 0 else u8(i + 9)
+        val p = i + hdrLen
         // v2.4 per-frame unsynchronisation (format flag 0x02, implied for
         // every frame by the global header flag): decode the payload; the
         // frame size field counts the ON-DISK (synced) bytes either way
@@ -2314,10 +2376,10 @@ object Multimodal {
             case _ => ""
           }
           val clean = text.takeWhile(_ != '\u0000').trim
-          if (clean.nonEmpty) out(id) = clean
+          if (clean.nonEmpty) out(wanted(id)) = clean
         }
       }
-      i += 10 + size
+      i += hdrLen + size
     }
     wrap(out)
   }

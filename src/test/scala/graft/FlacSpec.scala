@@ -37,6 +37,7 @@ class FlacSpec extends SparkTestBase {
       case 6 => FlacTestEncoder.Lpc(Seq(2L, -1L), 0, 4)
       case 7 => FlacTestEncoder.Lpc(Seq(3L, -3L, 1L), 1, 5)
       case 8 => FlacTestEncoder.EscapeFixed(1, 18)
+      case 9 => FlacTestEncoder.Rice2Fixed(2) // method 1: 5-bit params
       case _ => FlacTestEncoder.Auto
     }
     val flac = FlacTestEncoder.encode(mono, 16000, blockSize = 256,

@@ -76,6 +76,9 @@ object FlacTestEncoder {
     * a residual feature); EscapeFixed forces the raw-bits escape in the
     * Rice partition of a fixed-order subframe. */
   final case class EscapeFixed(order: Int, rawBits: Int) extends Mode
+  /** Fixed-order subframe whose residual uses coding method 1 (RICE2:
+    * 5-bit parameters, escape code 31). */
+  final case class Rice2Fixed(order: Int) extends Mode
   /** Verbatim of right-shifted samples with `wasted` wasted bits — every
     * input sample must be divisible by 2^wasted. */
   final case class Wasted(wasted: Int) extends Mode
@@ -99,17 +102,18 @@ object FlacTestEncoder {
   }
 
   private def encodeResidual(w: BitWriter, res: Seq[Long],
-      escapeRaw: Option[Int]): Unit = {
-    w.writeBits(0, 2) // method 0: 4-bit Rice parameters
+      escapeRaw: Option[Int], rice2: Boolean = false): Unit = {
+    w.writeBits(if (rice2) 1 else 0, 2) // method: 4-bit vs 5-bit params
+    val paramBits = if (rice2) 5 else 4
     w.writeBits(0, 4) // partition order 0: one partition
     escapeRaw match {
       case Some(raw) =>
-        w.writeBits(15, 4) // escape code
+        w.writeBits(if (rice2) 31 else 15, paramBits) // escape code
         w.writeBits(raw.toLong, 5)
         res.foreach(r => if (raw > 0) w.writeBits(r & ((1L << raw) - 1), raw))
       case None =>
         val p = riceParam(res)
-        w.writeBits(p.toLong, 4)
+        w.writeBits(p.toLong, paramBits)
         res.foreach { r =>
           val z = zigzag(r)
           w.writeUnary((z >> p).toInt)
@@ -151,6 +155,8 @@ object FlacTestEncoder {
         s.foreach(v => w.writeBits((v >> k) & ((1L << eBps) - 1), eBps))
       case Fixed(order) =>
         encodeSubframeBody(w, s, bps, order, None)
+      case Rice2Fixed(order) =>
+        encodeSubframeBody(w, s, bps, order, None, rice2 = true)
       case EscapeFixed(order, raw) =>
         encodeSubframeBody(w, s, bps, order, Some(raw))
       case Lpc(coefs, shift, precision) =>
@@ -170,10 +176,10 @@ object FlacTestEncoder {
   }
 
   private def encodeSubframeBody(w: BitWriter, s: Seq[Long], bps: Int,
-      order: Int, escapeRaw: Option[Int]): Unit = {
+      order: Int, escapeRaw: Option[Int], rice2: Boolean = false): Unit = {
     w.writeBits(8L + order, 6); w.writeBits(0, 1)
     s.take(order).foreach(v => w.writeBits(v & ((1L << bps) - 1), bps))
-    encodeResidual(w, fixedResidual(s, order), escapeRaw)
+    encodeResidual(w, fixedResidual(s, order), escapeRaw, rice2)
   }
 
   private def sampleSizeCode(bps: Int): Int = bps match {

@@ -86,6 +86,38 @@ object GenAudioTagsFixture {
     out.toByteArray
   }
 
+  /** One ID3v2.2 text frame: 3-char id + 24-bit size + encoding byte +
+    * text (v2.2 has no frame flag bytes). */
+  def textFrame22(id: String, text: String, enc: Int): Array[Byte] = {
+    require(id.length == 3)
+    val encoded = enc match {
+      case 0 => text.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      case 1 => text.getBytes(java.nio.charset.StandardCharsets.UTF_16)
+      case _ => sys.error(s"v2.2 has no enc $enc")
+    }
+    val payload = enc.toByte +: encoded
+    id.getBytes("US-ASCII") ++ Array(
+      ((payload.length >> 16) & 0xff).toByte,
+      ((payload.length >> 8) & 0xff).toByte,
+      (payload.length & 0xff).toByte) ++ payload
+  }
+
+  /** A whole ID3v2.2 tag (6-byte frame headers, optional whole-tag
+    * unsynchronisation) followed by MPEG frame bytes. */
+  def tagged22(frames: Seq[Array[Byte]], unsync: Boolean = false): Array[Byte] = {
+    val raw = frames.toArray.flatten
+    val body = if (unsync) unsyncEnc(raw) else raw
+    val out = new ByteArrayOutputStream()
+    out.write("ID3".getBytes("US-ASCII"))
+    out.write(2); out.write(0)
+    out.write(if (unsync) 0x80 else 0)
+    out.write(ss28(body.length))
+    out.write(body)
+    out.write(Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x00))
+    (0 until 64).foreach(i => out.write(i * 7 & 0xff))
+    out.toByteArray
+  }
+
   /** An opaque binary frame (APIC-like) the parser must skip by size. */
   def binaryFrame(v24: Boolean): Array[Byte] = {
     val payload = Array.tabulate[Byte](48)(i => (i * 11).toByte)
@@ -172,7 +204,15 @@ object GenAudioTagsFixture {
       TagRow(9L, "mp3", tagged(Seq(
           textFrame("TIT2", "Evening Sun", 0, v24 = false),
           textFrame("TPE1", "The Examples", 0, v24 = false)), v24 = false),
-        has_tags = true, Some("Evening Sun"), Some("The Examples"), None))
+        has_tags = true, Some("Evening Sun"), Some("The Examples"), None),
+      // ID3v2.2 (ancient iTunes-era files): 3-char frame ids, 6-byte
+      // headers, UCS-2 text, whole-tag unsynchronisation
+      TagRow(10L, "mp3", tagged22(Seq(
+          textFrame22("TT2", "Vieux Morceau", 1),
+          textFrame22("TP1", "Les Anciens", 0),
+          textFrame22("TAL", "Archives", 0)), unsync = true),
+        has_tags = true, Some("Vieux Morceau"), Some("Les Anciens"),
+        Some("Archives")))
 
     // engine round-trip assert is the SPEC's job; here only structural
     // sanity: tags declared where written

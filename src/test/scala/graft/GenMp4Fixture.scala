@@ -84,12 +84,16 @@ object GenMp4Fixture {
   def mp4(w: Int, h: Int, mediaTimescale: Long, frameDurations: Seq[Long],
       samples: Seq[Array[Byte]], samplesPerChunk: Int, moovFirst: Boolean,
       useCo64: Boolean, syncEvery: Option[Int],
-      offsetShift: Long = 0L, brand: String = "isom"): Array[Byte] = {
+      offsetShift: Long = 0L, brand: String = "isom",
+      editMediaTime: Long = -1L): Array[Byte] = {
     val ftyp = ftypOf(brand)
     require(frameDurations.length == samples.length && samples.nonEmpty)
     val n = samples.length
     val totalTicks = frameDurations.sum
-    val movieDurMs = totalTicks * 1000L / mediaTimescale
+    // mvhd/tkhd carry the PRESENTATION duration (what real muxers write:
+    // an edit list shortens it); mdhd keeps the full media duration
+    val movieDurMs =
+      (totalTicks - math.max(0L, editMediaTime)) * 1000L / mediaTimescale
     val nChunks = (n + samplesPerChunk - 1) / samplesPerChunk
 
     def moov(chunkOffsets: Seq[Long]): Array[Byte] = {
@@ -143,7 +147,13 @@ object GenMp4Fixture {
         Seq(stsd, stts, stsc, stsz, offs) ++ stss.toSeq: _*)
       val minf = box("minf", vmhd, dinf, stbl)
       val mdia = box("mdia", mdhd, hdlr, minf)
-      val trak = box("trak", tkhd, mdia)
+      // optional single-entry edit list (v0): presentation starts at
+      // editMediaTime on the media timeline — the iPhone-style layout
+      val edts =
+        if (editMediaTime < 0) Array.emptyByteArray
+        else box("edts", full("elst", 0, be32(1),
+          be32(movieDurMs), be32(editMediaTime), be32(0x00010000)))
+      val trak = box("trak", tkhd, edts, mdia)
       box("moov", mvhd, trak)
     }
 
@@ -206,6 +216,9 @@ object GenMp4Fixture {
     val v9Jpeg = (0 until 6).map(t =>
       GenVideoFixture.framePx(seed = 99, t + 11))
       .map(GenVideoFixture.encodeJpeg(_, 0.85f))
+    val v10Jpeg = (0 until 6).map(t =>
+      GenVideoFixture.framePx(seed = 123, t + 17))
+      .map(GenVideoFixture.encodeJpeg(_, 0.85f))
     val v8Jpeg = (0 until 10).map {
       case 5 => GenVideoFixture.encodeJpeg(solid(0), 0.85f)
       case 9 => GenVideoFixture.encodeJpeg(solid(128), 0.85f)
@@ -238,7 +251,15 @@ object GenMp4Fixture {
       // tables drive the exact same frame path
       Clip(9L, v9Jpeg, Seq.fill(6)(200L), mp4(64, 48, 1000L,
         Seq.fill(6)(200L), v9Jpeg, samplesPerChunk = 6, moovFirst = true,
-        useCo64 = false, syncEvery = None, brand = "avis")))
+        useCo64 = false, syncEvery = None, brand = "avis")),
+      // EDIT LIST (iPhone-style): the data holds SIX frames but the
+      // Clip's expected jpegs/durations describe the FOUR presented ones
+      // (t=0 at the edit's 400 ms media_time) — the oracle locks the
+      // presentation shift, the honest duration, and the edited-out
+      // leading frames end to end
+      Clip(10L, v10Jpeg.drop(2), Seq.fill(4)(200L), mp4(64, 48, 1000L,
+        Seq.fill(6)(200L), v10Jpeg, samplesPerChunk = 6, moovFirst = true,
+        useCo64 = false, syncEvery = None, editMediaTime = 400L)))
 
     /** Independent re-statement of the published schedule contract: one
       * tick per EveryMs of total duration, source frame = LAST sample
@@ -320,7 +341,7 @@ object GenMp4Fixture {
       require(a.dhash == b.dhash,
         s"trimmed copy not byte-aligned at tick ${b.frame_idx}")
     }
-    for (b <- byId(4L) ++ byId(7L) ++ byId(9L) ++
+    for (b <- byId(4L) ++ byId(7L) ++ byId(9L) ++ byId(10L) ++
            byId(8L).filter(_.dhash.get != 0L);
          a <- byId(1L) ++ byId(2L) ++ byId(3L))
       require(ham(a.dhash.get, b.dhash.get) > 3,

@@ -906,6 +906,19 @@ class MultimodalSpec extends SparkTestBase {
     // truncated ext headers degrade, never throw
     assert(Multimodal.parseId3Tags(t1.take(12)).isEmpty)
     assert(Multimodal.parseId3Tags(t3.take(13)).isEmpty)
+    // ID3v2.2: 3-char ids map to the modern names; 6-byte frame headers;
+    // whole-tag unsync; UCS-2 BOMs survive
+    val t5 = GenAudioTagsFixture.tagged22(Seq(
+      GenAudioTagsFixture.textFrame22("TT2", "Vieux Morceau", 1),
+      GenAudioTagsFixture.textFrame22("TP1", "Les Anciens", 0),
+      GenAudioTagsFixture.textFrame22("TAL", "Archives", 0)), unsync = true)
+    val m5 = Multimodal.parseId3Tags(t5).get
+    assert(m5("TIT2") == "Vieux Morceau" && m5("TPE1") == "Les Anciens" &&
+      m5("TALB") == "Archives")
+    // v2.2 compression flag (0x40): the spec's advice is refuse the tag
+    val t6 = t5.clone(); t6(5) = (t6(5) | 0x40).toByte
+    assert(Multimodal.parseId3Tags(t6).isEmpty)
+    (0 to t5.length by 3).foreach(k => Multimodal.parseId3Tags(t5.take(k)))
   }
 
   // ------------------------------------------------ AVI/MJPEG video decode
@@ -1207,6 +1220,33 @@ class MultimodalSpec extends SparkTestBase {
     // GenAvFixture's stbl-less mp4 (mvhd/tkhd only) has no frame tables
     assert(Multimodal.parseMp4(
       GenAvFixture.mp4(0, 1000L, 4321L, 640, 480, moovFirst = true)).isEmpty)
+    // EDIT LIST: a 400 ms media_time offset edits the first frames out of
+    // presentation and shifts the rest so t=0 is the edit point
+    val edited = GenMp4Fixture.mp4(64, 48, 1000L, Seq.fill(6)(200L), jpegs,
+      samplesPerChunk = 6, moovFirst = true, useCo64 = false,
+      syncEvery = Some(3), editMediaTime = 400L)
+    val te = Multimodal.parseMp4(edited).get
+    assert(te.frames.length == 4, s"got ${te.frames.length} frames")
+    assert(te.tsUs == IndexedSeq(0L, 200000L, 400000L, 600000L))
+    assert(te.durationMs == 800L)
+    // sample 4 (0-based 3) was the second sync point; after dropping two
+    // leading samples it is shown index 1
+    assert(te.keyframes == IndexedSeq(1))
+    // the shown byte ranges are the LAST 4 source JPEGs
+    te.frames.zip(jpegs.drop(2)).foreach { case ((off, len), j) =>
+      assert(len == j.length && java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(edited, off, off + len), j))
+    }
+    // an empty edit (media_time -1) alone leaves the table untouched
+    // (initial-delay-only lists are ignored by the conservative subset):
+    // patch the single entry's media_time to -1
+    val neg = edited.clone()
+    val ei = neg.indexOfSlice("elst".getBytes("US-ASCII"))
+    // media_time sits at elst+16: fourcc(4) + ver/flags(4) + count(4) +
+    // segment_duration(4) precede it in the v0 layout
+    (0 until 4).foreach(k => neg(ei + 16 + k) = 0xff.toByte)
+    val tn = Multimodal.parseMp4(neg).get
+    assert(tn.frames.length == 6 && tn.durationMs == 1200L)
   }
 
   test("videoFrameHashes and videoStats treat MJPEG-in-MP4 like " +
