@@ -2731,6 +2731,35 @@ object Queries {
       |ORDER BY media_id""".stripMargin
 
   // ----------------------------------------------------------------------
+  // WebM/Matroska Cluster/SimpleBlock walk: honest per-frame metadata for
+  // VP8/VP9 payloads whose PIXELS have no pure-JVM codec — exact video
+  // block counts, keyframe density (the seek-ability gate), duration
+  // from the last block's cluster-base + signed relative timestamp
+  // through TimestampScale, and total video payload bytes (with
+  // duration: real bitrate). Interleaved audio-track blocks are excluded
+  // via TrackNumber; metadata-only files refuse rather than guess.
+  // ----------------------------------------------------------------------
+  private lazy val webmFixture: String = fixturePath("webm_blocks.parquet")
+
+  private val webmBlocks: (SparkSession, String) => DataFrame = (s, _) => {
+    val media = s.read.parquet(webmFixture)
+      .select(col("media_id").as("id"), col("kind"), col("data"))
+    graft.multimodal.Multimodal.webmBlockStats(media).toDF()
+      .select(col("id").as("media_id"), col("parsed"),
+        col("videoTrack").as("video_track"), col("nBlocks").as("n_blocks"),
+        col("nKeyframes").as("n_keyframes"),
+        col("durationMs").as("duration_ms"),
+        col("totalBlockBytes").as("total_block_bytes"))
+      .orderBy(col("media_id"))
+  }
+
+  private val webmBlocksSql =
+    s"""SELECT media_id, parsed, video_track, n_blocks, n_keyframes,
+      |  duration_ms, total_block_bytes
+      |FROM '$webmFixture'
+      |ORDER BY media_id""".stripMargin
+
+  // ----------------------------------------------------------------------
   // q_pipeline_mm — the MULTIMODAL flagship: the text charter has
   // q_pipeline proving operator COMPOSITION end-to-end; this is its
   // multimodal twin, one oracle-gated query chaining every modality's
@@ -3769,6 +3798,7 @@ object Queries {
     "q_mp4_stats"     -> mp4Stats,
     "q_pipeline_mm"   -> pipelineMm,
     "q_mp3_frames"    -> mp3Frames,
+    "q_webm_blocks"   -> webmBlocks,
     "q_audio_seq"     -> audioSeq,
     "q_audio_tags"    -> audioTags,
     "q_audio_seq_neardup" -> audioSeqNearDup,
@@ -3886,6 +3916,7 @@ object Queries {
     "q_mp4_stats"     -> mp4StatsSql,
     "q_pipeline_mm"   -> pipelineMmSql,
     "q_mp3_frames"    -> mp3FramesSql,
+    "q_webm_blocks"   -> webmBlocksSql,
     "q_audio_seq"     -> audioSeqSql,
     "q_audio_tags"    -> audioTagsSql,
     "q_audio_seq_neardup" -> audioSeqNearDupSql,

@@ -1105,6 +1105,137 @@ object Multimodal {
       minK, maxK, minK != maxK))
   }
 
+  /** One WebM/Matroska payload's block-walk result ([[parseWebmBlocks]]). */
+  final case class WebmBlocksInfo(videoTrack: Long, nBlocks: Long,
+      nKeyframes: Long, durationMs: Long, totalBlockBytes: Long)
+
+  /** Walk a WebM/Matroska payload's Cluster/SimpleBlock structure — the
+    * honest per-frame metadata for VP8/VP9 files whose PIXELS have no
+    * pure-JVM codec: exact video-frame (block) counts, keyframe counts
+    * (SimpleBlock flag 0x80 — keyframe density is the seek-ability /
+    * re-encode-cost signal a video curation pass gates on), the last
+    * block's presentation time (cluster Timestamp + the block's signed
+    * 16-bit relative timestamp, scaled by TimestampScale), and the total
+    * video payload bytes (with duration: the real bitrate, where the
+    * container's declared Duration can lie). Blocks of non-video tracks
+    * (audio muxed alongside) are excluded via the Tracks walk's
+    * TrackNumber; when no video TrackEntry declares one, the walk refuses
+    * rather than guessing. Same EBML discipline as [[parseAvMeta]]'s
+    * walker: 8-byte integer bound, depth cap, unknown-size elements run
+    * to the enclosing bound, malformed structure returns None. */
+  def parseWebmBlocks(data: Array[Byte],
+      maxBlocks: Long = 1L << 22): Option[WebmBlocksInfo] = {
+    def u8(i: Int): Int = data(i) & 0xff
+    def be32(i: Int): Long = ((u8(i).toLong << 24) | (u8(i + 1) << 16) |
+      (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    if (data.length < 8 || be32(0) != 0x1a45dfa3L) return None
+    var malformed = false
+    def uintAt(p: Int, end: Int): Long = {
+      if (end - p > 8) { malformed = true; return 0L }
+      var v = 0L; var j = p
+      while (j < end) { v = (v << 8) | u8(j); j += 1 }
+      v
+    }
+    var tsScale = 1000000L // ns per tick, Matroska default
+    var videoTrack = -1L
+    var curTrackNo = -1L
+    var curIsVideo = false
+    var nBlocks = 0L; var nKey = 0L
+    var clusterTicks = 0L
+    var lastTicks = Long.MinValue
+    var totalBytes = 0L
+    val masters = Set(0x1a45dfa3L, 0x18538067L, 0x1549a966L, 0x1654ae6bL,
+      0xaeL, 0xe0L, 0x1f43b675L)
+    val maxDepth = 16
+    def walk(from: Int, until: Int, depth: Int): Boolean = {
+      if (depth > maxDepth) return false
+      var i = from
+      while (i < until && nBlocks < maxBlocks) {
+        val b0 = u8(i)
+        if (b0 == 0) return false
+        val idLen = java.lang.Integer.numberOfLeadingZeros(b0) - 23
+        if (idLen > 4 || i + idLen >= until) return false
+        val id = uintAt(i, i + idLen)
+        var p = i + idLen
+        val s0 = u8(p)
+        if (s0 == 0) return false
+        val szLen = java.lang.Integer.numberOfLeadingZeros(s0) - 23
+        if (szLen > 8 || p + szLen > until) return false
+        var sz = (s0 & (0xff >>> szLen)).toLong
+        var j = 1
+        while (j < szLen) { sz = (sz << 8) | u8(p + j); j += 1 }
+        p += szLen
+        val end =
+          if (sz == (1L << (7 * szLen)) - 1) until
+          else if (p + sz > until) return false
+          else (p + sz).toInt
+        id match {
+          case 0xaeL => // TrackEntry: scope the number/type pair
+            curTrackNo = -1L; curIsVideo = false
+            if (!walk(p, end, depth + 1)) return false
+            if (curIsVideo && videoTrack < 0 && curTrackNo > 0)
+              videoTrack = curTrackNo
+          case m if masters(m) =>
+            if (!walk(p, end, depth + 1)) return false
+          case 0xd7L => curTrackNo = uintAt(p, end) // TrackNumber
+          case 0x83L => // TrackType: 1 = video
+            if (uintAt(p, end) == 1L) curIsVideo = true
+          case 0x2ad7b1L => tsScale = uintAt(p, end)
+          case 0xe7L => clusterTicks = uintAt(p, end) // cluster Timestamp
+          case 0xa3L => // SimpleBlock: track vint, s16 rel ts, flags
+            if (end - p < 4) return false
+            val t0 = u8(p)
+            if (t0 == 0) return false
+            val tLen = java.lang.Integer.numberOfLeadingZeros(t0) - 23
+            if (tLen > 8 || p + tLen + 3 > end) return false
+            var trk = (t0 & (0xff >>> tLen)).toLong
+            var k = 1
+            while (k < tLen) { trk = (trk << 8) | u8(p + k); k += 1 }
+            if (videoTrack > 0 && trk == videoTrack) {
+              val rel = ((u8(p + tLen) << 8) | u8(p + tLen + 1)).toShort.toLong
+              val flags = u8(p + tLen + 2)
+              nBlocks += 1
+              if ((flags & 0x80) != 0) nKey += 1
+              val ticks = clusterTicks + rel
+              if (ticks > lastTicks) lastTicks = ticks
+              totalBytes += end - (p + tLen + 3)
+            }
+          case _ => ()
+        }
+        if (malformed) return false
+        i = end
+      }
+      true
+    }
+    if (!walk(0, data.length, 0) || malformed) None
+    else if (videoTrack <= 0 || nBlocks == 0) None
+    else Some(WebmBlocksInfo(videoTrack, nBlocks, nKey,
+      if (lastTicks == Long.MinValue) 0L
+      else lastTicks * tsScale / 1000000L, totalBytes))
+  }
+
+  /** One WebM payload's block-walk row ([[webmBlockStats]]): unparseable
+    * payloads report `parsed = false` with zeroed columns. */
+  final case class WebmStatsRow(id: Long, kind: String, nBytes: Long,
+      parsed: Boolean, videoTrack: Long, nBlocks: Long, nKeyframes: Long,
+      durationMs: Long, totalBlockBytes: Long)
+
+  /** WebM/Matroska block statistics over a binary media frame — a narrow
+    * mapPartitions at the codec boundary like every decode here. */
+  def webmBlockStats(media: DataFrame): Dataset[WebmStatsRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map { r =>
+      parseWebmBlocks(r.data) match {
+        case Some(w) => WebmStatsRow(r.id, r.kind, r.data.length.toLong,
+          parsed = true, w.videoTrack, w.nBlocks, w.nKeyframes,
+          w.durationMs, w.totalBlockBytes)
+        case None => WebmStatsRow(r.id, r.kind, r.data.length.toLong,
+          parsed = false, 0L, 0L, 0L, 0L, 0L)
+      }
+    })
+  }
+
   /** One MP3 payload's frame-walk row ([[mp3FrameStats]]): unparseable
     * payloads report `parsed = false` with zeroed columns — a curation
     * gate must see every row. */

@@ -134,6 +134,48 @@ object GenAvFixture {
   private[graft] def webmDurationMs(durTicks: Float, tsScale: Long): Long =
     (durTicks.toDouble * tsScale / 1e6).toLong
 
+  /** A WebM with CLUSTERS of SimpleBlocks — the per-frame layer the block
+    * walk reads: per the published Matroska layout, each Cluster carries
+    * a Timestamp (0xE7, cluster base in ticks) and SimpleBlocks (0xA3:
+    * track vint + s16 relative timestamp + flags byte, bit 0x80 =
+    * keyframe, then frame data). `videoBlocks` = per-cluster lists of
+    * (relativeTicks, keyframe, payloadBytes); interleaved AUDIO blocks
+    * (track 2) are written after every video block so the walk's
+    * track filter is exercised. TrackNumber elements (0xD7) are written
+    * here (the metadata-only [[webm]] omits them). */
+  private[graft] def webmClusters(w: Int, h: Int, tsScale: Long,
+      clusters: Seq[(Long, Seq[(Int, Boolean, Int)])],
+      withAudioBlocks: Boolean = true): Array[Byte] = {
+    val header = el(0x1a45dfa3L,
+      el(0x4286L, ebmlUint(1)) ++
+      el(0x4282L, "webm".getBytes("US-ASCII")) ++
+      el(0x4287L, ebmlUint(4)))
+    val info = el(0x1549a966L, el(0x2ad7b1L, ebmlUint(tsScale)))
+    val videoTrack = el(0xaeL,
+      el(0xd7L, ebmlUint(1)) ++ el(0x83L, ebmlUint(1)) ++
+      el(0xe0L, el(0xb0L, ebmlUint(w)) ++ el(0xbaL, ebmlUint(h))))
+    val audioTrack = el(0xaeL,
+      el(0xd7L, ebmlUint(2)) ++ el(0x83L, ebmlUint(2)) ++
+      el(0xe1L, el(0xb5L, ebmlFloat(48000f)) ++ el(0x9fL, ebmlUint(2))))
+    val tracks = el(0x1654ae6bL, videoTrack ++ audioTrack)
+    def simpleBlock(track: Int, rel: Int, key: Boolean, n: Int): Array[Byte] = {
+      val payload = Array.tabulate[Byte](n)(i => ((i * 31 + n) & 0x7f).toByte)
+      el(0xa3L, Array((0x80 | track).toByte,
+        ((rel >> 8) & 0xff).toByte, (rel & 0xff).toByte,
+        (if (key) 0x80 else 0).toByte) ++ payload)
+    }
+    val clusterEls = clusters.toArray.flatMap { case (baseTicks, blocks) =>
+      el(0x1f43b675L,
+        el(0xe7L, ebmlUint(baseTicks)) ++
+        blocks.toArray.flatMap { case (rel, key, n) =>
+          simpleBlock(1, rel, key, n) ++
+            (if (withAudioBlocks) simpleBlock(2, rel, key = true, 11)
+             else Array.emptyByteArray)
+        })
+    }
+    header ++ el(0x18538067L, info ++ tracks ++ clusterEls)
+  }
+
   // ----- MP3: frame header per the published MPEG audio layout
 
   /** brIdx/srIdx index the standard Layer III tables; `id3Pad` prepends an

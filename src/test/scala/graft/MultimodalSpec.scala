@@ -346,7 +346,8 @@ class MultimodalSpec extends SparkTestBase {
       (0 to f.length).foreach { n =>
         Multimodal.parseAvMeta(f.take(n)); Multimodal.parseDimensions(f.take(n))
         Multimodal.parseAvi(f.take(n)); Multimodal.parseId3Tags(f.take(n))
-        Multimodal.parseMp4(f.take(n))
+        Multimodal.parseMp4(f.take(n)); Multimodal.parseWebmBlocks(f.take(n))
+        Multimodal.parseMp3Frames(f.take(n))
       }
     }
     val rnd = new scala.util.Random(7)
@@ -354,7 +355,8 @@ class MultimodalSpec extends SparkTestBase {
       val b = Array.ofDim[Byte](rnd.nextInt(400)); rnd.nextBytes(b)
       Multimodal.parseAvMeta(b); Multimodal.parseDimensions(b)
       Multimodal.parseAvi(b); Multimodal.parseId3Tags(b)
-      Multimodal.parseMp4(b)
+      Multimodal.parseMp4(b); Multimodal.parseWebmBlocks(b)
+      Multimodal.parseMp3Frames(b)
       Multimodal.exifOrientation(b)
     }
     // garbage BEHIND a valid magic exercises each walker's bound checks
@@ -1176,6 +1178,34 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.parseMp3Frames("definitely not mpeg".getBytes).isEmpty)
     // every prefix degrades, never throws
     (0 to vbr.length by 7).foreach(k => Multimodal.parseMp3Frames(vbr.take(k)))
+  }
+
+  test("parseWebmBlocks: Cluster/SimpleBlock walk counts VIDEO blocks " +
+    "and keyframes, excludes interleaved audio-track blocks, and times " +
+    "by cluster base + signed relative ticks; metadata-only files and " +
+    "garbage refuse") {
+    val data = GenAvFixture.webmClusters(640, 360, 1000000L, Seq(
+      (0L, Seq((0, true, 100), (40, false, 60), (80, false, 60))),
+      (120L, Seq((0, true, 90), (40, false, 55)))))
+    val w = Multimodal.parseWebmBlocks(data).get
+    assert(w.videoTrack == 1 && w.nBlocks == 5 && w.nKeyframes == 2)
+    assert(w.durationMs == 160L) // cluster 120 + rel 40, 1 ms ticks
+    assert(w.totalBlockBytes == 100L + 60 + 60 + 90 + 55,
+      s"audio blocks leaked into ${w.totalBlockBytes}")
+    // negative relative timestamps resolve via the s16 sign
+    val neg = GenAvFixture.webmClusters(64, 48, 1000000L,
+      Seq((100L, Seq((-20, true, 10)))))
+    assert(Multimodal.parseWebmBlocks(neg).get.durationMs == 80L)
+    // a coarser TimestampScale rescales to ms
+    val coarse = GenAvFixture.webmClusters(64, 48, 2000000L,
+      Seq((10L, Seq((5, true, 10)))))
+    assert(Multimodal.parseWebmBlocks(coarse).get.durationMs == 30L)
+    // metadata-only webm (no TrackNumber, no clusters) refuses honestly
+    assert(Multimodal.parseWebmBlocks(
+      GenAvFixture.webm(640, 360, 1234f, 1000000L, 48000f, 2)).isEmpty)
+    assert(Multimodal.parseWebmBlocks("not ebml at all".getBytes).isEmpty)
+    // every prefix degrades, never throws
+    (0 to data.length).foreach(k => Multimodal.parseWebmBlocks(data.take(k)))
   }
 
   // ------------------------------------------------ MP4 sample tables

@@ -547,6 +547,20 @@ class SimSearchServiceSpec extends SparkTestBase {
         m3ById(2L).get("nFrames").asLong() == 30L, bM3)
       assert(!m3ById(5L).get("parsed").asBoolean(), bM3)
 
+      // webm_blocks: the Cluster/SimpleBlock walk over the socket
+      val webmFix = new java.io.File("fixtures/webm_blocks.parquet").getAbsolutePath
+      val (cWb, bWb) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "webm_blocks", "input": {"path": "$webmFix"},
+            "id": "media_id", "params": {}}"""))
+      assert(cWb == 200, bWb)
+      val wb = new ObjectMapper().readTree(bWb)
+      val wbById = (0 until wb.size()).map(i =>
+        wb.get(i).get("media_id").asLong() -> wb.get(i)).toMap
+      assert(wbById(1L).get("parsed").asBoolean() &&
+        wbById(1L).get("nBlocks").asLong() == 15L &&
+        wbById(1L).get("nKeyframes").asLong() == 3L, bWb)
+      assert(!wbById(3L).get("parsed").asBoolean(), bWb)
+
       // profile + overlap: the corpus bookkeeping ops over the socket
       val profDir = s"$dir/profdocs"
       (0 until 200).map(i => (i.toLong, Seq("en", "de")(i % 2),
