@@ -2760,6 +2760,33 @@ object Queries {
       |ORDER BY media_id""".stripMargin
 
   // ----------------------------------------------------------------------
+  // OGG page walk (RFC 3533): honest duration + packet accounting for
+  // Vorbis/Opus payloads with zero sample decode — granule positions are
+  // the authoritative clock (tags can lie; granules cannot without
+  // breaking playback), CRC-verified page by page with stop-at-last-good
+  // truncation semantics, muxed secondary bitstreams filtered by serial.
+  // ----------------------------------------------------------------------
+  private lazy val oggFixture: String = fixturePath("ogg_pages.parquet")
+
+  private val oggPages: (SparkSession, String) => DataFrame = (s, _) => {
+    val media = s.read.parquet(oggFixture)
+      .select(col("media_id").as("id"), col("kind"), col("data"))
+    graft.multimodal.Multimodal.oggPageStats(media).toDF()
+      .select(col("id").as("media_id"), col("parsed"), col("codec"),
+        col("sampleRate").as("sample_rate"), col("channels"),
+        col("nPages").as("n_pages"), col("nPackets").as("n_packets"),
+        col("durationMs").as("duration_ms"),
+        col("totalPayloadBytes").as("total_payload_bytes"))
+      .orderBy(col("media_id"))
+  }
+
+  private val oggPagesSql =
+    s"""SELECT media_id, parsed, codec, sample_rate, channels, n_pages,
+      |  n_packets, duration_ms, total_payload_bytes
+      |FROM '$oggFixture'
+      |ORDER BY media_id""".stripMargin
+
+  // ----------------------------------------------------------------------
   // q_pipeline_mm — the MULTIMODAL flagship: the text charter has
   // q_pipeline proving operator COMPOSITION end-to-end; this is its
   // multimodal twin, one oracle-gated query chaining every modality's
@@ -3799,6 +3826,7 @@ object Queries {
     "q_pipeline_mm"   -> pipelineMm,
     "q_mp3_frames"    -> mp3Frames,
     "q_webm_blocks"   -> webmBlocks,
+    "q_ogg_pages"     -> oggPages,
     "q_audio_seq"     -> audioSeq,
     "q_audio_tags"    -> audioTags,
     "q_audio_seq_neardup" -> audioSeqNearDup,
@@ -3917,6 +3945,7 @@ object Queries {
     "q_pipeline_mm"   -> pipelineMmSql,
     "q_mp3_frames"    -> mp3FramesSql,
     "q_webm_blocks"   -> webmBlocksSql,
+    "q_ogg_pages"     -> oggPagesSql,
     "q_audio_seq"     -> audioSeqSql,
     "q_audio_tags"    -> audioTagsSql,
     "q_audio_seq_neardup" -> audioSeqNearDupSql,

@@ -1214,6 +1214,156 @@ object Multimodal {
       else lastTicks * tsScale / 1000000L, totalBytes))
   }
 
+  /** One OGG payload's page-walk result ([[parseOggPages]]). */
+  final case class OggInfo(codec: String, sampleRate: Int, channels: Int,
+      nPages: Long, nPackets: Long, durationMs: Long, totalPayloadBytes: Long)
+
+  /** Walk an OGG container's page structure per the published framing
+    * spec (RFC 3533) — honest duration and packet accounting for
+    * Vorbis/Opus payloads with zero sample decode: each page is `OggS` +
+    * version + header-type + a signed 64-bit GRANULE POSITION + serial +
+    * sequence + CRC + a lacing table whose 255-terminated runs delimit
+    * packets. Duration comes from the LAST page's granule position — PCM
+    * samples at the ID header's rate for Vorbis, the fixed 48 kHz clock
+    * minus pre-skip for Opus (per RFC 7845) — which is the authoritative
+    * value (tags can lie; granules cannot without breaking playback).
+    * The codec and its parameters come from the first (BOS) page's ID
+    * packet (`\\x01vorbis` / `OpusHead`). Only the FIRST bitstream's
+    * serial is tracked (chained/muxed secondary streams are skipped,
+    * not miscounted). Every page's CRC-32 (the spec's 0x04c11db7
+    * non-reflected polynomial, CRC field zeroed during computation) is
+    * VERIFIED — a corrupt page ends the walk at the last good page
+    * boundary, and a payload with not one valid page refuses. */
+  def parseOggPages(data: Array[Byte],
+      maxPages: Long = 1L << 22): Option[OggInfo] = {
+    def u8(i: Int): Int = data(i) & 0xff
+    def le32(i: Int): Long = (u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)) & 0xffffffffL
+    def le64(i: Int): Long = le32(i) | (le32(i + 4) << 32)
+    if (data.length < 27 || data(0) != 'O' || data(1) != 'g' ||
+      data(2) != 'g' || data(3) != 'S') return None
+    // CRC-32, polynomial 0x04c11db7, init 0, not reflected, no final xor
+    // — the OGG framing spec's exact parameters
+    val crcTable = Array.tabulate(256) { n =>
+      var c = n << 24
+      var k = 0
+      while (k < 8) {
+        c = if ((c & 0x80000000) != 0) (c << 1) ^ 0x04c11db7 else c << 1
+        k += 1
+      }
+      c
+    }
+    def pageCrc(from: Int, until: Int, crcAt: Int): Int = {
+      var crc = 0
+      var i = from
+      while (i < until) {
+        val b = if (i >= crcAt && i < crcAt + 4) 0 else u8(i)
+        crc = (crc << 8) ^ crcTable(((crc >>> 24) ^ b) & 0xff)
+        i += 1
+      }
+      crc
+    }
+    var serial = -1L
+    var codec = ""
+    var rate = 0
+    var channels = 0
+    var preSkip = 0
+    var nPages = 0L
+    var nPackets = 0L
+    var lastGranule = -1L
+    var payloadBytes = 0L
+    var pos = 0
+    var stop = false
+    while (!stop && pos + 27 <= data.length && nPages < maxPages) {
+      if (!(data(pos) == 'O' && data(pos + 1) == 'g' &&
+        data(pos + 2) == 'g' && data(pos + 3) == 'S' && u8(pos + 4) == 0))
+        stop = true
+      else {
+        val headerType = u8(pos + 5)
+        val granule = le64(pos + 6)
+        val pageSerial = le32(pos + 14)
+        val nSegs = u8(pos + 26)
+        val segTable = pos + 27
+        if (segTable + nSegs > data.length) stop = true
+        else {
+          var bodyLen = 0
+          var packetEnds = 0
+          var k = 0
+          while (k < nSegs) {
+            val l = u8(segTable + k)
+            bodyLen += l
+            if (l < 255) packetEnds += 1
+            k += 1
+          }
+          val body = segTable + nSegs
+          val pageEnd = body + bodyLen
+          if (pageEnd > data.length) stop = true
+          else if (pageCrc(pos, pageEnd, pos + 22) != le32(pos + 22).toInt)
+            stop = true // corrupt page: end at the last verified boundary
+          else {
+            if (serial == -1L && (headerType & 0x02) != 0) {
+              serial = pageSerial
+              // the BOS page's first packet is the codec ID header
+              if (bodyLen >= 19 && data(body) == 'O' && data(body + 1) == 'p' &&
+                new String(data, body, 8, java.nio.charset.StandardCharsets.US_ASCII) == "OpusHead") {
+                codec = "opus"
+                channels = u8(body + 9)
+                preSkip = (u8(body + 10) | (u8(body + 11) << 8))
+                rate = 48000 // the Opus granule clock is always 48 kHz
+              } else if (bodyLen >= 30 && u8(body) == 1 &&
+                new String(data, body + 1, 6, java.nio.charset.StandardCharsets.US_ASCII) == "vorbis") {
+                codec = "vorbis"
+                channels = u8(body + 11)
+                rate = le32(body + 12).toInt
+              } else codec = "unknown"
+            }
+            if (pageSerial == serial) {
+              nPages += 1
+              nPackets += packetEnds
+              payloadBytes += bodyLen
+              // -1 = no packet finishes on this page; skip as unpositioned
+              if (granule != -1L && granule > lastGranule)
+                lastGranule = granule
+            }
+            pos = pageEnd
+          }
+        }
+      }
+    }
+    if (nPages == 0 || serial == -1L) None
+    else {
+      val durMs =
+        if (lastGranule < 0 || rate <= 0) 0L
+        else if (codec == "opus")
+          math.max(0L, lastGranule - preSkip) * 1000L / 48000L
+        else lastGranule * 1000L / rate
+      Some(OggInfo(codec, rate, channels, nPages, nPackets, durMs,
+        payloadBytes))
+    }
+  }
+
+  /** One OGG payload's page-walk row ([[oggPageStats]]). */
+  final case class OggStatsRow(id: Long, kind: String, nBytes: Long,
+      parsed: Boolean, codec: String, sampleRate: Int, channels: Int,
+      nPages: Long, nPackets: Long, durationMs: Long,
+      totalPayloadBytes: Long)
+
+  /** OGG page statistics over a binary media frame — a narrow
+    * mapPartitions at the codec boundary like every decode here. */
+  def oggPageStats(media: DataFrame): Dataset[OggStatsRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map { r =>
+      parseOggPages(r.data) match {
+        case Some(o) => OggStatsRow(r.id, r.kind, r.data.length.toLong,
+          parsed = true, o.codec, o.sampleRate, o.channels, o.nPages,
+          o.nPackets, o.durationMs, o.totalPayloadBytes)
+        case None => OggStatsRow(r.id, r.kind, r.data.length.toLong,
+          parsed = false, "", 0, 0, 0L, 0L, 0L, 0L)
+      }
+    })
+  }
+
   /** One WebM payload's block-walk row ([[webmBlockStats]]): unparseable
     * payloads report `parsed = false` with zeroed columns. */
   final case class WebmStatsRow(id: Long, kind: String, nBytes: Long,

@@ -347,7 +347,7 @@ class MultimodalSpec extends SparkTestBase {
         Multimodal.parseAvMeta(f.take(n)); Multimodal.parseDimensions(f.take(n))
         Multimodal.parseAvi(f.take(n)); Multimodal.parseId3Tags(f.take(n))
         Multimodal.parseMp4(f.take(n)); Multimodal.parseWebmBlocks(f.take(n))
-        Multimodal.parseMp3Frames(f.take(n))
+        Multimodal.parseMp3Frames(f.take(n)); Multimodal.parseOggPages(f.take(n))
       }
     }
     val rnd = new scala.util.Random(7)
@@ -356,20 +356,22 @@ class MultimodalSpec extends SparkTestBase {
       Multimodal.parseAvMeta(b); Multimodal.parseDimensions(b)
       Multimodal.parseAvi(b); Multimodal.parseId3Tags(b)
       Multimodal.parseMp4(b); Multimodal.parseWebmBlocks(b)
-      Multimodal.parseMp3Frames(b)
+      Multimodal.parseMp3Frames(b); Multimodal.parseOggPages(b)
       Multimodal.exifOrientation(b)
     }
     // garbage BEHIND a valid magic exercises each walker's bound checks
     val magics = Seq[Array[Byte]](
       Array(0x1a, 0x45, 0xdf.toByte, 0xa3.toByte),
       "fLaC".getBytes("US-ASCII"), "RIFF".getBytes("US-ASCII"),
-      "ID3".getBytes("US-ASCII"), Array(0xff.toByte, 0xfb.toByte))
+      "ID3".getBytes("US-ASCII"), "OggS".getBytes("US-ASCII"),
+      Array(0xff.toByte, 0xfb.toByte))
     magics.foreach { m =>
       (1 to 100).foreach { _ =>
         val b = Array.ofDim[Byte](m.length + rnd.nextInt(300)); rnd.nextBytes(b)
         System.arraycopy(m, 0, b, 0, m.length)
         Multimodal.parseAvMeta(b)
         Multimodal.parseId3Tags(b) // garbage behind the ID3 magic too
+        Multimodal.parseOggPages(b); Multimodal.parseMp3Frames(b)
       }
     }
     // oversized EBML integers (a 9-byte PixelWidth would shift-overflow
@@ -1206,6 +1208,37 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.parseWebmBlocks("not ebml at all".getBytes).isEmpty)
     // every prefix degrades, never throws
     (0 to data.length).foreach(k => Multimodal.parseWebmBlocks(data.take(k)))
+  }
+
+  test("parseOggPages: RFC 3533 page walk — CRC-verified pages, lacing " +
+    "packet counts incl. 255-continuations, granule-position durations " +
+    "(Vorbis PCM rate, Opus 48 kHz minus pre-skip), muxed-serial " +
+    "filtering; corruption stops at the last good page") {
+    val v = GenOggFixture.page(5L, 0, 0, 0x02,
+        Seq(GenOggFixture.vorbisId(32000, 1))) ++
+      GenOggFixture.page(5L, 1, 16000L, 0x04,
+        Seq(Array.tabulate[Byte](300)(i => (i * 3).toByte),
+          Array.tabulate[Byte](20)(i => (i * 7).toByte)))
+    val o = Multimodal.parseOggPages(v).get
+    assert(o.codec == "vorbis" && o.sampleRate == 32000 && o.channels == 1)
+    assert(o.nPages == 2 && o.nPackets == 3) // id + 2 audio (one spans 255)
+    assert(o.durationMs == 500L && o.totalPayloadBytes == 30L + 300 + 20)
+    // opus: fixed 48 kHz granule clock, pre-skip subtracted
+    val op = GenOggFixture.page(6L, 0, 0, 0x02,
+        Seq(GenOggFixture.opusHead(2, 648, 24000))) ++
+      GenOggFixture.page(6L, 1, 96648L, 0x04,
+        Seq(Array.tabulate[Byte](44)(i => i.toByte)))
+    val oo = Multimodal.parseOggPages(op).get
+    assert(oo.codec == "opus" && oo.sampleRate == 48000)
+    assert(oo.durationMs == 2000L) // (96648 - 648) / 48
+    // a flipped byte voids that page's CRC: the walk ends before it
+    val bad = v.clone()
+    bad(v.length - 5) = (bad(v.length - 5) ^ 0x11).toByte
+    val ob = Multimodal.parseOggPages(bad).get
+    assert(ob.nPages == 1 && ob.durationMs == 0L)
+    // not ogg / truncated prefixes degrade, never throw
+    assert(Multimodal.parseOggPages("OggX nope".getBytes).isEmpty)
+    (0 to v.length).foreach(k => Multimodal.parseOggPages(v.take(k)))
   }
 
   // ------------------------------------------------ MP4 sample tables

@@ -35,6 +35,19 @@ class PlanSpec extends SparkTestBase {
       "facet scans must stream against the broadcast candidates")
   }
 
+  test("multimodal pipeline: every near-dup stage is a bucketed " +
+    "equi-join and every keep-survivors step an anti-join — no cartesian " +
+    "product or nested-loop join anywhere in the composition") {
+    val plan = planOf(Queries.all("q_pipeline_mm")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    // the dropped-id sets are tiny: the anti-joins must broadcast them,
+    // never shuffle the survivor side
+    assert(plan.contains("LeftAnti"), "keep-survivors must be anti-joins")
+    assert(!plan.contains("SortMergeJoin(leftanti"),
+      "anti-joins must broadcast the bounded dropped-id sets")
+  }
+
   test("minhash dedup: bucket equi-join, no cartesian product") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val sh = TextKernels.wordShingles2(TextKernels.wordTokens(col("text")))

@@ -561,6 +561,20 @@ class SimSearchServiceSpec extends SparkTestBase {
         wbById(1L).get("nKeyframes").asLong() == 3L, bWb)
       assert(!wbById(3L).get("parsed").asBoolean(), bWb)
 
+      // ogg_pages: the RFC 3533 page walk over the socket
+      val oggFix = new java.io.File("fixtures/ogg_pages.parquet").getAbsolutePath
+      val (cOg, bOg) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "ogg_pages", "input": {"path": "$oggFix"},
+            "id": "media_id", "params": {}}"""))
+      assert(cOg == 200, bOg)
+      val og = new ObjectMapper().readTree(bOg)
+      val ogById = (0 until og.size()).map(i =>
+        og.get(i).get("media_id").asLong() -> og.get(i)).toMap
+      assert(ogById(2L).get("parsed").asBoolean() &&
+        ogById(2L).get("codec").asText() == "opus" &&
+        ogById(2L).get("durationMs").asLong() == 1000L, bOg)
+      assert(!ogById(4L).get("parsed").asBoolean(), bOg)
+
       // profile + overlap: the corpus bookkeeping ops over the socket
       val profDir = s"$dir/profdocs"
       (0 until 200).map(i => (i.toLong, Seq("en", "de")(i % 2),
