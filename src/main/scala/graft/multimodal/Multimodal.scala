@@ -991,8 +991,8 @@ object Multimodal {
     * ([[parseMp4]]): per-frame byte ranges plus per-frame decode
     * timestamps, so ONE schedule walk serves both the constant-rate AVI
     * case and MP4's honest non-uniform `stts` timing. */
-  final case class VideoFrameTable(container: String,
-      frames: IndexedSeq[(Int, Int)], tsUs: IndexedSeq[Long],
+  final case class VideoFrameTable(container: String, width: Int,
+      height: Int, frames: IndexedSeq[(Int, Int)], tsUs: IndexedSeq[Long],
       durationMs: Long) {
     /** Index of the source frame covering timestamp `us` — the LAST frame
       * whose decode time is <= us (what "the frame on screen at time t"
@@ -1018,11 +1018,13 @@ object Multimodal {
       case Some(avi) if avi.frames.nonEmpty && avi.usPerFrame > 0 =>
         val ts = IndexedSeq.tabulate(avi.frames.length)(i =>
           i.toLong * avi.usPerFrame)
-        Some(VideoFrameTable("avi", avi.frames, ts, avi.durationMs))
+        Some(VideoFrameTable("avi", avi.width, avi.height, avi.frames, ts,
+          avi.durationMs))
       case _ =>
         parseMp4(data, maxFrames) match {
           case Some(t) if t.frames.nonEmpty && t.durationMs > 0 =>
-            Some(VideoFrameTable("mp4", t.frames, t.tsUs, t.durationMs))
+            Some(VideoFrameTable("mp4", t.width, t.height, t.frames,
+              t.tsUs, t.durationMs))
           case _ => None
         }
     }
@@ -1425,23 +1427,27 @@ object Multimodal {
       encode(col(strCol), "UTF-8").as("data"))
 
   /** Decode one partition's rows in a single pass (the shape a vectorized
-    * codec call needs). Image containers (PNG/GIF/JPEG) get REAL
-    * header-parsed dimensions ([[parseDimensions]], 1 frame). Everything
-    * else — corrupt or opaque payloads — takes the deterministic STUB
-    * branch: fake dimensions and frame counts derived from the byte
-    * length (??? a real frame-accurate video codec goes there, and only
-    * there — per-frame COUNTS need sample tables, unlike the container
-    * metadata [[decodeAvBatch]] parses for real). */
+    * codec call needs). Image containers (PNG/GIF/JPEG/...) get REAL
+    * header-parsed dimensions ([[parseDimensions]], 1 frame); video
+    * containers with sample-level tables (AVI chunk walks, MP4 sample
+    * tables — [[parseVideoFrameTable]]) get REAL geometry and EXACT
+    * per-frame counts. Only corrupt or genuinely opaque payloads take
+    * the deterministic STUB branch: fake dimensions and frame counts
+    * derived from the byte length. */
   def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaMeta] =
     rows.map { r =>
       val n = r.data.length.toLong
       parseDimensions(r.data) match {
         case Some((w, h)) => MediaMeta(r.id, r.kind, n, w, h, 1)
-        case None =>
-          val w = 16 + (n % 64).toInt
-          val h = 16 + (n % 48).toInt
-          val f = if (r.kind == "video") 1 + (n % 30).toInt else 1
-          MediaMeta(r.id, r.kind, n, w, h, f)
+        case None => parseVideoFrameTable(r.data) match {
+          case Some(t) =>
+            MediaMeta(r.id, r.kind, n, t.width, t.height, t.frames.length)
+          case None =>
+            val w = 16 + (n % 64).toInt
+            val h = 16 + (n % 48).toInt
+            val f = if (r.kind == "video") 1 + (n % 30).toInt else 1
+            MediaMeta(r.id, r.kind, n, w, h, f)
+        }
       }
     }
 

@@ -244,6 +244,23 @@ object GenMultimodalFixture {
           (82L, "tiff", makeTiffMM(70000, 42), 70000, 42, 1),
           (83L, "bmp", makeBmp(641, 482, core = true), 641, 482, 1),
           (84L, "bmp", makeBmp(333, 777, topDown = true), 333, 777, 1))
+      } ++ {
+        // REAL video containers: decode's frame counts are now EXACT for
+        // AVI/MP4 (the sample-table walk), no longer the stub formula —
+        // incl. an edit-list MP4 whose PRESENTED frame count (4 of 6) is
+        // the honest one
+        val jp = (0 until 5).map(t =>
+          GenVideoFixture.encodeJpeg(GenVideoFixture.framePx(201, t), 0.85f))
+        val jp6 = (0 until 6).map(t =>
+          GenVideoFixture.encodeJpeg(GenVideoFixture.framePx(202, t), 0.85f))
+        Seq(
+          (85L, "video", GenVideoFixture.avi(64, 48, 100000L, jp), 64, 48, 5),
+          (86L, "video", GenMp4Fixture.mp4(64, 48, 1000L, Seq.fill(6)(150L),
+            jp6, samplesPerChunk = 3, moovFirst = false, useCo64 = false,
+            syncEvery = None), 64, 48, 6),
+          (87L, "video", GenMp4Fixture.mp4(64, 48, 1000L, Seq.fill(6)(150L),
+            jp6, samplesPerChunk = 6, moovFirst = true, useCo64 = false,
+            syncEvery = None, editMediaTime = 300L), 64, 48, 4))
       }
     }
     val out = "fixtures/multimodal_media.parquet"
