@@ -2787,6 +2787,32 @@ object Queries {
       |ORDER BY media_id""".stripMargin
 
   // ----------------------------------------------------------------------
+  // MPEG-TS packet walk (ISO/IEC 13818-1): broadcast-capture accounting —
+  // packet counts on the fixed 188-byte sync lattice, distinct PIDs,
+  // payload-unit starts, null-stuffing waste, and an honest duration
+  // from the first/last 90 kHz PCR (the mux's own clock). A garbage tail
+  // stops the count at the lattice break.
+  // ----------------------------------------------------------------------
+  private lazy val tsFixture: String = fixturePath("ts_packets.parquet")
+
+  private val tsPackets: (SparkSession, String) => DataFrame = (s, _) => {
+    val media = s.read.parquet(tsFixture)
+      .select(col("media_id").as("id"), col("kind"), col("data"))
+    graft.multimodal.Multimodal.tsPacketStats(media).toDF()
+      .select(col("id").as("media_id"), col("parsed"),
+        col("nPackets").as("n_packets"), col("nPids").as("n_pids"),
+        col("nPes").as("n_pes"), col("nNull").as("n_null"),
+        col("durationMs").as("duration_ms"))
+      .orderBy(col("media_id"))
+  }
+
+  private val tsPacketsSql =
+    s"""SELECT media_id, parsed, n_packets, n_pids, n_pes, n_null,
+      |  duration_ms
+      |FROM '$tsFixture'
+      |ORDER BY media_id""".stripMargin
+
+  // ----------------------------------------------------------------------
   // q_pipeline_mm — the MULTIMODAL flagship: the text charter has
   // q_pipeline proving operator COMPOSITION end-to-end; this is its
   // multimodal twin, one oracle-gated query chaining every modality's
@@ -3827,6 +3853,7 @@ object Queries {
     "q_mp3_frames"    -> mp3Frames,
     "q_webm_blocks"   -> webmBlocks,
     "q_ogg_pages"     -> oggPages,
+    "q_ts_packets"    -> tsPackets,
     "q_audio_seq"     -> audioSeq,
     "q_audio_tags"    -> audioTags,
     "q_audio_seq_neardup" -> audioSeqNearDup,
@@ -3946,6 +3973,7 @@ object Queries {
     "q_mp3_frames"    -> mp3FramesSql,
     "q_webm_blocks"   -> webmBlocksSql,
     "q_ogg_pages"     -> oggPagesSql,
+    "q_ts_packets"    -> tsPacketsSql,
     "q_audio_seq"     -> audioSeqSql,
     "q_audio_tags"    -> audioTagsSql,
     "q_audio_seq_neardup" -> audioSeqNearDupSql,

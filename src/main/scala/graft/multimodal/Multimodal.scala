@@ -1344,6 +1344,90 @@ object Multimodal {
     }
   }
 
+  /** One MPEG-TS payload's packet-walk result ([[parseTsPackets]]). */
+  final case class TsInfo(nPackets: Long, nPids: Int, nPes: Long,
+      nNull: Long, durationMs: Long)
+
+  /** Walk an MPEG transport stream's fixed 188-byte packet lattice per
+    * the published ISO/IEC 13818-1 framing — the broadcast-capture
+    * container a crawl corpus's `.ts` files arrive in: packet counts,
+    * distinct PIDs (the stream-multiplex width), payload-unit starts
+    * (PES/section count), null-stuffing packets (PID 0x1FFF — wasted
+    * bandwidth a curation pass can gate on), and an honest duration from
+    * the first/last PCR (the 33-bit 90 kHz program clock carried in
+    * adaptation fields — the mux's own clock, not a tag). The walk stops
+    * at the first byte that is not a sync (0x47) on the lattice —
+    * truncation/garbage tails report the packets seen; not one valid
+    * packet refuses. PCR wraparound (~26.5 h) is not unwrapped — a
+    * single capture spanning a wrap reports only the post-wrap span. */
+  def parseTsPackets(data: Array[Byte],
+      maxPackets: Long = 1L << 24): Option[TsInfo] = {
+    def u8(i: Int): Int = data(i) & 0xff
+    if (data.length < 188 || u8(0) != 0x47) return None
+    val pidSeen = new Array[Boolean](8192)
+    var nPids = 0
+    var nPackets = 0L
+    var nPes = 0L
+    var nNull = 0L
+    var firstPcr = -1L
+    var lastPcr = -1L
+    var pos = 0
+    var stop = false
+    while (!stop && pos + 188 <= data.length && nPackets < maxPackets) {
+      if (u8(pos) != 0x47) stop = true
+      else {
+        val b1 = u8(pos + 1); val b2 = u8(pos + 2); val b3 = u8(pos + 3)
+        val pusi = (b1 & 0x40) != 0
+        val pid = ((b1 & 0x1f) << 8) | b2
+        val afc = (b3 >> 4) & 0x3
+        nPackets += 1
+        if (pid == 0x1fff) nNull += 1
+        else {
+          if (!pidSeen(pid)) { pidSeen(pid) = true; nPids += 1 }
+          if (pusi) nPes += 1
+        }
+        if ((afc & 0x2) != 0) { // adaptation field present
+          val afLen = u8(pos + 4)
+          if (afLen >= 7 && pos + 11 < data.length &&
+            (u8(pos + 5) & 0x10) != 0) { // PCR flag
+            // 33-bit base at 90 kHz across bytes 6..10
+            val base = (u8(pos + 6).toLong << 25) | (u8(pos + 7).toLong << 17) |
+              (u8(pos + 8).toLong << 9) | (u8(pos + 9).toLong << 1) |
+              ((u8(pos + 10) >> 7) & 1)
+            if (firstPcr < 0) firstPcr = base
+            lastPcr = base
+          }
+        }
+        pos += 188
+      }
+    }
+    if (nPackets == 0) None
+    else Some(TsInfo(nPackets, nPids, nPes, nNull,
+      if (firstPcr >= 0 && lastPcr > firstPcr)
+        (lastPcr - firstPcr) / 90L
+      else 0L))
+  }
+
+  /** One MPEG-TS payload's packet-walk row ([[tsPacketStats]]). */
+  final case class TsStatsRow(id: Long, kind: String, nBytes: Long,
+      parsed: Boolean, nPackets: Long, nPids: Int, nPes: Long,
+      nNull: Long, durationMs: Long)
+
+  /** MPEG-TS packet statistics over a binary media frame — a narrow
+    * mapPartitions at the codec boundary like every decode here. */
+  def tsPacketStats(media: DataFrame): Dataset[TsStatsRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map { r =>
+      parseTsPackets(r.data) match {
+        case Some(t) => TsStatsRow(r.id, r.kind, r.data.length.toLong,
+          parsed = true, t.nPackets, t.nPids, t.nPes, t.nNull, t.durationMs)
+        case None => TsStatsRow(r.id, r.kind, r.data.length.toLong,
+          parsed = false, 0L, 0, 0L, 0L, 0L)
+      }
+    })
+  }
+
   /** One OGG payload's page-walk row ([[oggPageStats]]). */
   final case class OggStatsRow(id: Long, kind: String, nBytes: Long,
       parsed: Boolean, codec: String, sampleRate: Int, channels: Int,

@@ -373,7 +373,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
     *               "ccnet_keep" | "profile_series" |
     *               "video_frames" | "video_neardup" | "video_stats" |
     *               "audio_seq" | "audio_seq_neardup" | "audio_tags" |
-    *               "mp3_frames" | "webm_blocks" | "ogg_pages" |
+    *               "mp3_frames" | "webm_blocks" | "ogg_pages" | "ts_packets" |
     *               "lm_bigram" | "lm_train" | "lm_score" | "random_project" |
     *               "image_hash" | "audio_fp" | "image_stats" |
     *               "audio_stats" | "profile" | "overlap",
@@ -483,7 +483,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
         "image_stats", "audio_stats", "profile", "profile_series",
         "overlap", "video_frames", "video_neardup", "video_stats",
         "audio_seq", "audio_seq_neardup", "audio_tags", "mp3_frames",
-        "webm_blocks", "ogg_pages")
+        "webm_blocks", "ogg_pages", "ts_packets")
       if (!knownOps.contains(opName))
         throw new IllegalArgumentException(
           s"unknown operator '$opName' — one of ${knownOps.mkString(", ")}")
@@ -715,6 +715,14 @@ final class SimSearchService(spark: SparkSession, port: Int,
           graft.operators.Dedup.frameSigPairs(sigs, "id", "window_idx",
             "sig", params.path("max_hamming").asInt(3),
             params.path("min_match").asLong(2L))
+        case "ts_packets" =>
+          // MPEG-TS packet walk of a binary column: lattice/PID/PES
+          // accounting and PCR-clock durations, no decode
+          val dataCol = params.path("data_column").asText("data")
+          graft.multimodal.Multimodal.tsPacketStats(
+              df.select(col(idCol).cast("long").as("id"),
+                lit("video").as("kind"), col(dataCol).as("data"))).toDF()
+            .withColumnRenamed("id", idCol)
         case "ogg_pages" =>
           // OGG page walk of a binary column: CRC-verified page/packet
           // counts and granule-position durations, no sample decode

@@ -348,6 +348,7 @@ class MultimodalSpec extends SparkTestBase {
         Multimodal.parseAvi(f.take(n)); Multimodal.parseId3Tags(f.take(n))
         Multimodal.parseMp4(f.take(n)); Multimodal.parseWebmBlocks(f.take(n))
         Multimodal.parseMp3Frames(f.take(n)); Multimodal.parseOggPages(f.take(n))
+        Multimodal.parseTsPackets(f.take(n))
       }
     }
     val rnd = new scala.util.Random(7)
@@ -357,6 +358,7 @@ class MultimodalSpec extends SparkTestBase {
       Multimodal.parseAvi(b); Multimodal.parseId3Tags(b)
       Multimodal.parseMp4(b); Multimodal.parseWebmBlocks(b)
       Multimodal.parseMp3Frames(b); Multimodal.parseOggPages(b)
+      Multimodal.parseTsPackets(b)
       Multimodal.exifOrientation(b)
     }
     // garbage BEHIND a valid magic exercises each walker's bound checks
@@ -1239,6 +1241,29 @@ class MultimodalSpec extends SparkTestBase {
     // not ogg / truncated prefixes degrade, never throw
     assert(Multimodal.parseOggPages("OggX nope".getBytes).isEmpty)
     (0 to v.length).foreach(k => Multimodal.parseOggPages(v.take(k)))
+  }
+
+  test("parseTsPackets: 188-byte sync-lattice walk — packet/PID/PES/null " +
+    "accounting and PCR-clock durations; lattice breaks stop the count; " +
+    "garbage refuses") {
+    val stream = (
+      Seq(GenTsFixture.packet(0, pusi = true, 0)) ++
+      (0 until 10).map(i => GenTsFixture.packet(42, pusi = i == 0, i,
+        pcrBase = if (i == 0 || i == 9) 1000000L + i * 45000L else -1L)) ++
+      Seq(GenTsFixture.packet(0x1fff, pusi = false, 0))
+    ).toArray.flatten
+    val t = Multimodal.parseTsPackets(stream).get
+    assert(t.nPackets == 12 && t.nPids == 2 && t.nNull == 1)
+    assert(t.nPes == 2) // the PAT's PUSI + the first PID-42 packet's
+    assert(t.durationMs == 9L * 45000L / 90L) // 4500 ms of 90 kHz clock
+    // a lattice break (garbage where sync must be) stops the count
+    val broken = stream.take(188 * 3) ++
+      Array.tabulate[Byte](400)(i => (i * 3 + 1).toByte)
+    assert(Multimodal.parseTsPackets(broken).get.nPackets == 3)
+    assert(Multimodal.parseTsPackets(
+      Array.tabulate[Byte](300)(i => (i * 7 + 2).toByte)).isEmpty)
+    (0 to stream.length by 11).foreach(k =>
+      Multimodal.parseTsPackets(stream.take(k)))
   }
 
   // ------------------------------------------------ MP4 sample tables

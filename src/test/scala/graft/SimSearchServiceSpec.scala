@@ -575,6 +575,20 @@ class SimSearchServiceSpec extends SparkTestBase {
         ogById(2L).get("durationMs").asLong() == 1000L, bOg)
       assert(!ogById(4L).get("parsed").asBoolean(), bOg)
 
+      // ts_packets: the MPEG-TS lattice walk over the socket
+      val tsFix = new java.io.File("fixtures/ts_packets.parquet").getAbsolutePath
+      val (cTs, bTs) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "ts_packets", "input": {"path": "$tsFix"},
+            "id": "media_id", "params": {}}"""))
+      assert(cTs == 200, bTs)
+      val ts = new ObjectMapper().readTree(bTs)
+      val tsById = (0 until ts.size()).map(i =>
+        ts.get(i).get("media_id").asLong() -> ts.get(i)).toMap
+      assert(tsById(1L).get("parsed").asBoolean() &&
+        tsById(1L).get("nPackets").asLong() == 32L &&
+        tsById(1L).get("durationMs").asLong() == 1500L, bTs)
+      assert(!tsById(3L).get("parsed").asBoolean(), bTs)
+
       // profile + overlap: the corpus bookkeeping ops over the socket
       val profDir = s"$dir/profdocs"
       (0 until 200).map(i => (i.toLong, Seq("en", "de")(i % 2),
