@@ -581,9 +581,9 @@ class SimSearchServiceSpec extends SparkTestBase {
         s"""{"operator": "ts_packets", "input": {"path": "$tsFix"},
             "id": "media_id", "params": {}}"""))
       assert(cTs == 200, bTs)
-      val ts = new ObjectMapper().readTree(bTs)
-      val tsById = (0 until ts.size()).map(i =>
-        ts.get(i).get("media_id").asLong() -> ts.get(i)).toMap
+      val tsj = new ObjectMapper().readTree(bTs)
+      val tsById = (0 until tsj.size()).map(i =>
+        tsj.get(i).get("media_id").asLong() -> tsj.get(i)).toMap
       assert(tsById(1L).get("parsed").asBoolean() &&
         tsById(1L).get("nPackets").asLong() == 32L &&
         tsById(1L).get("durationMs").asLong() == 1500L, bTs)
