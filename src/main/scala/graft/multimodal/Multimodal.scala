@@ -601,6 +601,17 @@ object Multimodal {
             if (mode == 3) 1 else 2))
         }
       }
+    } else if (data.length >= 27 && data(0) == 'O' && data(1) == 'g' &&
+        data(2) == 'g' && data(3) == 'S') {
+      // OGG: the CRC-verified page walk ([[parseOggPages]]) — the CRC
+      // gate means text or garbage behind the 4-byte magic cannot fake a
+      // stream, so this routing is safe for exact-oracle purposes (the
+      // reason MPEG-TS does NOT route here: its sync byte 0x47 is the
+      // letter 'G', ambiguous with text payloads — TS stays an
+      // explicitly-invoked operator). Container labels the codec.
+      parseOggPages(data).map(o =>
+        AvInfo("ogg-" + (if (o.codec.isEmpty) "unknown" else o.codec),
+          0, 0, o.durationMs, o.sampleRate, o.channels))
     } else None
   }
 

@@ -363,6 +363,37 @@ object GenAvFixture {
           rnd.nextBytes(data)
           stub("video", data)
       }
+    } ++ (72 until 76).map { i =>
+      // OGG rows (r15): parseAvMeta routes OggS payloads through the
+      // CRC-verified page walk — codec-labeled containers with
+      // granule-position durations; corrupt CRCs and junk-behind-magic
+      // stub (the CRC gate is what makes the routing oracle-safe)
+      def stub(kind: String, data: Array[Byte]) = {
+        val n = data.length.toLong
+        (i.toLong, kind, data, "opaque",
+          16 + (n % 64).toInt, 16 + (n % 48).toInt, n % 10000L, 0, 0)
+      }
+      (i - 72) match {
+        case 0 =>
+          val data = GenOggFixture.page(3L, 0, 0, 0x02,
+              Seq(GenOggFixture.vorbisId(22050, 1))) ++
+            GenOggFixture.page(3L, 1, 33075L, 0x04,
+              Seq(Array.tabulate[Byte](64)(j => (j * 5).toByte)))
+          (i.toLong, "audio", data, "ogg-vorbis", 0, 0, 1500L, 22050, 1)
+        case 1 =>
+          val data = GenOggFixture.page(4L, 0, 0, 0x02,
+              Seq(GenOggFixture.opusHead(2, 312, 48000))) ++
+            GenOggFixture.page(4L, 1, 24312L, 0x04,
+              Seq(Array.tabulate[Byte](80)(j => (j * 11).toByte)))
+          (i.toLong, "audio", data, "ogg-opus", 0, 0, 500L, 48000, 2)
+        case 2 => // first page's CRC corrupted: not one valid page, stub
+          val good = GenOggFixture.page(5L, 0, 0, 0x02,
+            Seq(GenOggFixture.vorbisId(44100, 2)))
+          stub("audio", good.updated(40, (good(40) ^ 0x0f).toByte))
+        case _ => // junk behind the magic: stub
+          stub("audio", "OggS".getBytes("US-ASCII") ++
+            Array.tabulate[Byte](60)(j => (j * 17 + 1).toByte))
+      }
     }
     val out = "fixtures/multimodal_av.parquet"
     rows.toDF("media_id", "kind", "data", "container", "width", "height",
