@@ -402,15 +402,20 @@ object Dedup {
     * SimHash hamming distance <= maxHamming (<= 3 is exhaustive).
     *
     * Plan: one-pass 64-bit SimHash signed bit-sums -> 4 x 16-bit band
-    * values -> explode -> self-equi-join on (band, value) -> distinct pairs
-    * -> re-join the bands -> hamming = sum of per-band bit_count(xor).
-    * By pigeonhole, two fingerprints within hamming 3 agree on at least one
-    * of the 4 bands, so maxHamming <= 3 misses nothing; the 16-bit band
-    * space (65536 values/band) keeps buckets sparse at corpus scale — the
-    * same never-all-pairs discipline as [[minhashPairs]]. Unlike MinHash
-    * (set Jaccard), SimHash hamming tracks weighted feature overlap and
-    * runs one cheap verify op per candidate instead of an array
-    * intersection. */
+    * values -> exact-fingerprint collapse (the [[hammingPairs]] hot-band
+    * skew guard): the band self-equi-join runs over DISTINCT fingerprints
+    * only, with hamming = sum of per-band bit_count(xor) verified INSIDE
+    * the join; verified fingerprint pairs expand back to doc pairs
+    * through two linear joins, and each repeated fingerprint's carrier
+    * pairs (hamming 0) come from a plain fingerprint-equi self-join AQE
+    * can skew-split — k boilerplate docs cost the band join one row, not
+    * k per band. By pigeonhole, two fingerprints within hamming 3 agree
+    * on at least one of the 4 bands, so maxHamming <= 3 misses nothing;
+    * the 16-bit band space (65536 values/band) keeps buckets sparse at
+    * corpus scale — the same never-all-pairs discipline as
+    * [[minhashPairs]]. Unlike MinHash (set Jaccard), SimHash hamming
+    * tracks weighted feature overlap and runs one cheap verify op per
+    * candidate instead of an array intersection. */
   def simhashPairs(docs: DataFrame, id: String, tokens: Column, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, s"4 bands of 16 bits only guarantee capture up to hamming 3, got $maxHamming")
     // Native one-pass fingerprint (bit-identical to the composed
@@ -421,28 +426,38 @@ object Dedup {
     // otherwise collide on every band into k(k-1)/2 hamming-0 pairs —
     // the same degenerate blowup minhashPairs excludes up front (empty
     // shingle sets share one constant band key).
-    val bd = spread(docs).select(col(id).as("id"),
+    val bd = graft.util.CacheScope.eager(spread(docs).select(col(id).as("id"),
         graft.functions.NativeKernels.simhashBands(tokens).as("bands"))
-      .where(col("bands") =!= array(lit(0), lit(0), lit(0), lit(0)))
+      .where(col("bands") =!= array(lit(0), lit(0), lit(0), lit(0))))
     // The bands array rides along through the explode so the hamming verify
-    // runs INSIDE the bucket join, before any distinct: on a self-similar
-    // corpus the candidate volume can be 1000x the result volume, and a
-    // distinct over raw candidates would be the dominant shuffle. Verified
-    // survivors carry at most 4 duplicates (one per colliding band), so the
-    // final distinct is cheap.
-    val ex = graft.util.CacheScope.eager(bd.select(col("id"), col("bands"),
-      posexplode(col("bands")).as(Seq("band", "bv"))))
+    // runs INSIDE the bucket join, before any distinct — and it runs over
+    // DISTINCT fingerprints only: on a self-similar corpus the candidate
+    // volume can be 1000x the result volume, and the collapse keeps that
+    // quadratic in distinct fingerprints per bucket, never in carriers.
+    val reps = graft.util.CacheScope.eager(bd.select(col("bands")).distinct()
+      .select(col("bands"), posexplode(col("bands")).as(Seq("band", "bv"))))
     val hamming = (0 until 4).map { i =>
       bit_count(element_at(col("x.bands"), i + 1)
         .bitwiseXOR(element_at(col("y.bands"), i + 1)).cast("long"))
     }.reduce(_ + _)
-    ex.as("x")
-      .join(ex.as("y"),
+    val sigPairs = reps.as("x")
+      .join(reps.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"), hamming.cast("long").as("hamming"))
+          col("x.bands") < col("y.bands"))
+      .select(col("x.bands").as("ba"), col("y.bands").as("bb"),
+        hamming.cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
+    val cross = sigPairs
+      .join(bd.select(col("bands").as("ba"), col("id").as("ia")), "ba")
+      .join(bd.select(col("bands").as("bb"), col("id").as("ib")), "bb")
+      .where(col("ia") =!= col("ib"))
+      .select(least(col("ia"), col("ib")).as("a"),
+        greatest(col("ia"), col("ib")).as("b"), col("hamming"))
+    val within = bd.as("x")
+      .join(bd.as("y"), col("x.bands") === col("y.bands") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"), lit(0L).as("hamming"))
+    cross.union(within).distinct()
   }
 
   /** Near-duplicate pairs (a, b, hamming) over an ARBITRARY 64-bit
@@ -452,27 +467,41 @@ object Dedup {
     * [[graft.multimodal.Multimodal.imageHash]], an externally-computed
     * SimHash, any 64-bit locality-preserving code).
     *
-    * Plan: split the signature into 4 x 16-bit bands (pure shift/mask
-    * Catalyst expressions — no kernel needed) -> explode -> self-equi-join
-    * on (band, value) -> verify hamming = bit_count(xor) INSIDE the join
-    * -> distinct. Pigeonhole: two signatures within hamming 3 agree on at
-    * least one band, so maxHamming <= 3 is exhaustive — identical
-    * guarantees and shuffle shape to [[simhashPairs]]. The all-zero
-    * signature is excluded (the degenerate contentless code — a flat
-    * image, an empty document — whose k carriers would flood the join
-    * with k(k-1)/2 hamming-0 pairs). */
+    * Plan (exact-signature collapse — the hot-band skew guard): the band
+    * join runs over DISTINCT signatures only. 1) collapse carriers to
+    * their distinct signatures; 2) band the distinct signatures (4 x
+    * 16-bit shift/mask Catalyst expressions), self-equi-join on
+    * (band, value), verify hamming = bit_count(xor) INSIDE the join
+    * ([[distinctSigPairs]]); 3) expand verified signature pairs back to
+    * id pairs through two linear joins on the signature, plus the
+    * hamming-0 pairs of each multi-carrier signature group. Pigeonhole:
+    * two signatures within hamming 3 agree on at least one band, so
+    * maxHamming <= 3 is exhaustive — capture is IDENTICAL to banding
+    * every carrier, but a corpus-wide boilerplate signature (a constant
+    * white frame, a site-wide intro card) with k carriers now costs the
+    * band join ONE row instead of k rows per band: verify work is
+    * quadratic in distinct signatures per bucket, never in carriers, and
+    * the k(k-1)/2 hamming-0 carrier pairs (the operator's actual output)
+    * are produced by a plain sig-equi self-join AQE can skew-split. The
+    * all-zero signature is still excluded (the degenerate contentless
+    * code — a flat image, an empty document). */
   def hammingPairs(sigs: DataFrame, id: String, sig: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, s"4 bands of 16 bits only guarantee capture up to hamming 3, got $maxHamming")
-    val ex = graft.util.CacheScope.eager(bandedSigs(sigs, id, sig))
-    ex.as("x")
-      .join(ex.as("y"),
-        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("long").as("hamming"))
-      .where(col("hamming") <= maxHamming)
-      .distinct()
+    val base = graft.util.CacheScope.eager(spread(sigs)
+      .select(col(id).as("id"), col(sig).cast("long").as("sig"))
+      .where(col("sig").isNotNull && col("sig") =!= 0L))
+    val sigPairs = distinctSigPairs(base.select(col("sig")).distinct(), maxHamming)
+    val cross = sigPairs
+      .join(base.select(col("sig").as("sa"), col("id").as("ia")), "sa")
+      .join(base.select(col("sig").as("sb"), col("id").as("ib")), "sb")
+      .where(col("ia") =!= col("ib"))
+      .select(least(col("ia"), col("ib")).as("a"),
+        greatest(col("ia"), col("ib")).as("b"), col("hamming"))
+    val within = base.as("x")
+      .join(base.as("y"), col("x.sig") === col("y.sig") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"), lit(0L).as("hamming"))
+    cross.union(within).distinct()
   }
 
   /** Near-duplicate pairs between SEQUENCES of 64-bit signatures —
@@ -486,40 +515,105 @@ object Dedup {
     * fingerprint equality. Works unchanged for any signature sequence
     * (audio energy windows, shingled page hashes).
     *
-    * Plan: band each frame signature (4 x 16 bits) -> explode ->
-    * self-equi-join on (band, value) across DIFFERENT ids -> verify
-    * hamming = bit_count(xor) INSIDE the join (pigeonhole-exhaustive at
-    * maxHamming <= 3) -> distinct matched (a, b, pa, pb) (a frame pair can
-    * collide in up to 4 bands) -> one map-side-combined count per
-    * (a, b, diagonal). Never all-pairs: candidates come only from band
-    * buckets, and a corpus-wide boilerplate frame (an all-black lead-in)
-    * is excluded by the all-zero guard like every banded operator.
-    * `minMatch` drops coincidental single-frame collisions. */
+    * Plan (exact-signature collapse, as in [[hammingPairs]]): collapse
+    * frames to their DISTINCT signatures; band those (4 x 16 bits),
+    * self-equi-join on (band, value), verify hamming = bit_count(xor)
+    * INSIDE the join ([[distinctSigPairs]], pigeonhole-exhaustive at
+    * maxHamming <= 3); expand verified signature pairs back to frame
+    * pairs through two linear joins plus the cross-id frame pairs of
+    * each repeated-signature group; distinct (a, b, pa, pb) (a frame
+    * pair whose two positions carry multiple signatures could expand
+    * twice) -> one map-side-combined count per (a, b, diagonal). Never
+    * all-pairs, and — the skew guard — a boilerplate frame shared by k
+    * clips (a constant intro card, identical silence windows) costs the
+    * band join ONE row instead of k x 4: verify work is quadratic only
+    * in distinct signatures per bucket; the carrier expansion is a plain
+    * sig-equi join AQE can skew-split. The all-zero signature stays
+    * excluded. `minMatch` drops coincidental single-frame collisions.
+    *
+    * `maxDf` is the boilerplate policy (the [[winnowPairs]] df-cap,
+    * recall trade documented there): a signature carried by more than
+    * `maxDf` DISTINCT documents — a site-wide intro card, a constant
+    * white frame, identical silence windows — contributes no match
+    * evidence. Without it the carrier expansion of that one signature is
+    * k(k-1)/2 frame pairs that minMatch then discards almost entirely;
+    * with it the expansion is bounded by maxDf^2 per signature. The
+    * default (4096) is far above any genuine re-encode group and far
+    * below corpus boilerplate carrier counts; a pair that IS a true
+    * near-dup loses only its ultra-common frames' votes and still
+    * matches on the rest of its schedule. */
   def frameSigPairs(frames: DataFrame, id: String, pos: String, sig: String,
-      maxHamming: Int = 3, minMatch: Long = 2): DataFrame = {
+      maxHamming: Int = 3, minMatch: Long = 2, maxDf: Long = 4096): DataFrame = {
     require(maxHamming <= 3, s"4 bands of 16 bits only guarantee capture up to hamming 3, got $maxHamming")
     require(minMatch >= 1, s"minMatch must be at least 1, got $minMatch")
-    val ex = graft.util.CacheScope.eager(spread(frames)
+    require(maxDf >= 1, s"maxDf must be at least 1, got $maxDf")
+    val base0 = graft.util.CacheScope.eager(spread(frames)
       .select(col(id).as("id"), col(pos).cast("long").as("pos"),
         col(sig).cast("long").as("sig"))
-      .where(col("sig").isNotNull && col("sig") =!= 0L)
-      .select(col("id"), col("pos"), col("sig"),
-        explode(array((0 until 4).map(i => struct(lit(i).as("band"),
-          shiftrightunsigned(col("sig"), i * 16).bitwiseAND(lit(0xffffL))
-            .as("bv"))): _*)).as("bb"))
-      .select(col("id"), col("pos"), col("sig"), col("bb.band"), col("bb.bv")))
-    ex.as("x")
-      .join(ex.as("y"),
-        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-          col("x.id") < col("y.id"))
-      .where(bit_count(col("x.sig").bitwiseXOR(col("y.sig"))) <= maxHamming)
+      .where(col("sig").isNotNull && col("sig") =!= 0L))
+    // df over DISTINCT documents (a signature repeating within one clip —
+    // a static shot — must not count toward the boilerplate cap)
+    val rare = base0.groupBy("sig")
+      .agg(count_distinct(col("id")).as("df"))
+      .where(col("df") <= maxDf).select(col("sig"))
+    // eager too: the capped frame feeds five consumers (the distinct-sig
+    // pairs and both sides of each expansion join); the (id, pos, sig)
+    // triple is tiny next to the decode that produced it
+    val base = graft.util.CacheScope.eager(base0.join(rare, Seq("sig")))
+    val sigPairs = distinctSigPairs(base.select(col("sig")).distinct(), maxHamming)
+    val flip = col("ia") < col("ib")
+    val cross = sigPairs
+      .join(base.select(col("sig").as("sa"), col("id").as("ia"),
+        col("pos").as("qa")), "sa")
+      .join(base.select(col("sig").as("sb"), col("id").as("ib"),
+        col("pos").as("qb")), "sb")
+      .where(col("ia") =!= col("ib"))
+      .select(when(flip, col("ia")).otherwise(col("ib")).as("a"),
+        when(flip, col("ib")).otherwise(col("ia")).as("b"),
+        when(flip, col("qa")).otherwise(col("qb")).as("pa"),
+        when(flip, col("qb")).otherwise(col("qa")).as("pb"))
+    val within = base.as("x")
+      .join(base.as("y"), col("x.sig") === col("y.sig") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         col("x.pos").as("pa"), col("y.pos").as("pb"))
+    cross.union(within)
       .distinct()
       .groupBy(col("a"), col("b"), (col("pa") - col("pb")).as("d"))
       .agg(count(lit(1)).as("n_match"))
       .where(col("n_match") >= minMatch)
   }
+
+  /** Candidate pairs (sa, sb), sa < sb, of a one-column `sig` frame of
+    * DISTINCT 64-bit signatures that collide in at least one of the 4 x
+    * 16-bit bands — the pre-verify stage of [[distinctSigPairs]], exposed
+    * separately so specs and [[graft.ScaleProbe]] can count exactly the
+    * verify work the banded join performs: the count is bounded by
+    * distinct-signature pairs per bucket, independent of how many
+    * carriers each signature has. */
+  private[graft] def sigBandCandidates(distinctSigs: DataFrame): DataFrame = {
+    val ex = distinctSigs.select(col("sig"),
+        explode(array((0 until 4).map(i => struct(lit(i).as("band"),
+          shiftrightunsigned(col("sig"), i * 16).bitwiseAND(lit(0xffffL))
+            .as("bv"))): _*)).as("bb"))
+      .select(col("sig"), col("bb.band"), col("bb.bv"))
+    ex.as("x")
+      .join(ex.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.sig") < col("y.sig"))
+      .select(col("x.sig").as("sa"), col("y.sig").as("sb"))
+  }
+
+  /** Verified near-dup signature pairs (sa, sb, hamming), sa < sb, over a
+    * one-column `sig` frame of DISTINCT 64-bit signatures: band candidates
+    * ([[sigBandCandidates]]) -> bit_count(xor) verify INSIDE the join ->
+    * distinct (a pair can collide in up to 4 bands — the distinct runs at
+    * the distinct-signature level, never over carrier pairs). */
+  private[graft] def distinctSigPairs(distinctSigs: DataFrame, maxHamming: Int): DataFrame =
+    sigBandCandidates(distinctSigs)
+      .select(col("sa"), col("sb"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
 
   /** Persist the banded-Hamming index of a 64-bit-signature corpus,
     * enabling INCREMENTAL signature near-dup ([[incrementalHammingPairs]])

@@ -881,6 +881,77 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("hot-band skew guard: banded verify work is quadratic in DISTINCT " +
+    "signatures, independent of carrier multiplicity; carrier pairs stay exact") {
+    // adversarial corpus: one boilerplate signature carried by k ids (a
+    // corpus-wide intro card / constant white frame), plus a handful of
+    // genuinely distinct codes. Before the collapse the band join put all
+    // k carriers in one (band, value) bucket -> k(k-1)/2 * 4 verify pairs;
+    // now the band join sees ONE row for the boilerplate signature.
+    val boiler = 0x5a5a1234deadbeefL
+    val others = Seq(0x123456789abcdef0L, boiler ^ 1L, ~boiler,
+      0x0f0f0f0f0f0f0f0fL, 0x7777000011112222L)
+    def corpus(k: Int) =
+      ((0 until k).map(i => (i.toLong, boiler)) ++
+        others.zipWithIndex.map { case (s, i) => ((1000 + i).toLong, s) })
+        .toDF("id", "sig")
+    def candidateCount(k: Int): Long =
+      Dedup.sigBandCandidates(
+        corpus(k).select(col("sig")).distinct()).count()
+    // the verify-pair count must NOT grow with carriers
+    val c10 = candidateCount(10)
+    val c120 = candidateCount(120)
+    assert(c10 == c120, s"verify pairs grew with carrier count: $c10 -> $c120")
+    val d = 1 + others.size // distinct signatures
+    assert(c120 <= d.toLong * (d - 1) / 2,
+      s"verify pairs $c120 exceed distinct-signature pairs ${d * (d - 1) / 2}")
+
+    // exactness at k = 120: every carrier pair (hamming 0) plus the one
+    // cross pair boiler <-> boiler^1 per carrier
+    val k = 120
+    val got = Dedup.hammingPairs(corpus(k), "id", "sig")
+      .as[(Long, Long, Long)].collect().toSet
+    val expectWithin = (for { a <- 0 until k; b <- a + 1 until k }
+      yield (a.toLong, b.toLong, 0L)).toSet
+    val expectCross = (0 until k).map(i => (i.toLong, 1001L, 1L)).toSet
+    assert(got == expectWithin ++ expectCross)
+  }
+
+  test("hot-band skew guard (sequences): a boilerplate frame in every clip " +
+    "does not blow up the band join, and single-frame collisions stay " +
+    "below minMatch") {
+    // k clips, each opening on the SAME boilerplate frame (pos 0); clips 0
+    // and 1 additionally share two more aligned frames (a true re-encode
+    // pair); everything else distinct.
+    val boiler = 0x00ffcc11aa22bb33L
+    val k = 60
+    val rows = (0 until k).flatMap { i =>
+      val tail =
+        if (i <= 1) Seq(1L -> 0x1111222233334444L, 2L -> 0x5555666677778888L)
+        else Seq(1L -> (0x1010101010101010L + i * 7919L),
+          2L -> (0x2020202020202020L + i * 104729L))
+      (Seq(0L -> boiler) ++ tail).map { case (p, s) => (i.toLong, p, s) }
+    }.toDF("id", "frame_idx", "sig")
+    val cands = Dedup.sigBandCandidates(
+      rows.select(col("sig")).distinct()).count()
+    val d = rows.select("sig").distinct().count()
+    assert(cands <= d * (d - 1) / 2,
+      s"verify pairs $cands exceed distinct-signature pairs ${d * (d - 1) / 2}")
+    val pairs = Dedup.frameSigPairs(rows, "id", "frame_idx", "sig")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // only (0, 1) reaches minMatch = 2 (three aligned frames on d = 0);
+    // every other clip pair shares just the boilerplate frame
+    assert(pairs == Set((0L, 1L, 0L, 3L)))
+
+    // df-cap boilerplate policy: with maxDf below the boilerplate's
+    // carrier count, that frame contributes no votes — the true pair
+    // still matches on its two remaining aligned frames
+    val capped = Dedup.frameSigPairs(rows, "id", "frame_idx", "sig",
+        maxDf = 10)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(capped == Set((0L, 1L, 0L, 2L)))
+  }
+
   test("writeHammingIndex / incrementalHammingPairs: a new batch checks " +
     "against the stored signatures without recomputing them; append grows " +
     "the index; zero signatures stay out; the broadcast hint is gated") {
