@@ -238,13 +238,18 @@ object FlacDecoder {
           out(0)(i) = out(1)(i) + side
           i += 1
         }
-      case 10 => // mid/side
+      case 10 => // mid/side — Long intermediates: (mid << 1) +- side is a
+        // (bps + 2)-bit value, so Int arithmetic wraps from bps = 31 up
+        // and the >> 1 then drops the carry, silently decoding wrong
+        // samples (CRC covers the coded bytes, not the reconstruction).
+        // Inputs are exact in Int up to 32 effective bits (the subframe
+        // guard refuses wider), so widening here restores exactness.
         var i = 0
         while (i < blockSize) {
-          val side = out(1)(i)
-          val mid = (out(0)(i) << 1) | (side & 1)
-          out(0)(i) = (mid + side) >> 1
-          out(1)(i) = (mid - side) >> 1
+          val side = out(1)(i).toLong
+          val mid = (out(0)(i).toLong << 1) | (side & 1L)
+          out(0)(i) = ((mid + side) >> 1).toInt
+          out(1)(i) = ((mid - side) >> 1).toInt
           i += 1
         }
       case _ => ()
@@ -260,7 +265,12 @@ object FlacDecoder {
       if (br.readBits(1) == 0L) 0
       else br.readUnary() + 1
     val eBps = bps - wasted
-    if (eBps <= 0 || eBps > 33) throw Truncated
+    // > 32 refused, not just > 33: samples are stored in Int, and a 33-bit
+    // side channel (bps = 32 with a non-independent channel assignment)
+    // would wrap at storage — reconstruction could then be silently wrong.
+    // Refuse-don't-guess: 32-bit audio decodes exactly with independent
+    // channels and is rejected with stereo decorrelation.
+    if (eBps <= 0 || eBps > 32) throw Truncated
     typ match {
       case 0 => // CONSTANT
         val v = br.readSigned(eBps).toInt

@@ -1246,7 +1246,13 @@ object Multimodal {
     * not miscounted). Every page's CRC-32 (the spec's 0x04c11db7
     * non-reflected polynomial, CRC field zeroed during computation) is
     * VERIFIED — a corrupt page ends the walk at the last good page
-    * boundary, and a payload with not one valid page refuses. */
+    * boundary, and a payload with not one valid page refuses. The granule
+    * clock itself is cross-checked (CRC only proves framing, not honesty):
+    * granule positions must be non-negative and non-decreasing (RFC 3533),
+    * the Vorbis ID header's rate must be a real audio rate (1 Hz..768
+    * kHz), scaling is divide-first (a 63-bit granule times 1000 wraps),
+    * and a duration past a century refuses — contradictions take the
+    * stub branch instead of reporting a number off a lying header. */
   def parseOggPages(data: Array[Byte],
       maxPages: Long = 1L << 22): Option[OggInfo] = {
     def u8(i: Int): Int = data(i) & 0xff
@@ -1287,6 +1293,7 @@ object Multimodal {
     var payloadBytes = 0L
     var pos = 0
     var stop = false
+    var corrupt = false
     while (!stop && pos + 27 <= data.length && nPages < maxPages) {
       if (!(data(pos) == 'O' && data(pos + 1) == 'g' &&
         data(pos + 2) == 'g' && data(pos + 3) == 'S' && u8(pos + 4) == 0))
@@ -1328,6 +1335,11 @@ object Multimodal {
                 codec = "vorbis"
                 channels = u8(body + 11)
                 rate = le32(body + 12).toInt
+                // plausibility gate on the ID header's clock: granule
+                // durations are only honest if the claimed rate is a real
+                // audio rate (1 Hz..768 kHz); a lying header is a
+                // contradiction, not a value — refuse the payload
+                if (rate < 1 || rate > 768000) corrupt = true
               } else codec = "unknown"
             }
             if (pageSerial == serial) {
@@ -1335,22 +1347,34 @@ object Multimodal {
               nPackets += packetEnds
               payloadBytes += bodyLen
               // -1 = no packet finishes on this page; skip as unpositioned
-              if (granule != -1L && granule > lastGranule)
-                lastGranule = granule
+              if (granule != -1L) {
+                // RFC 3533: granule positions are non-decreasing across a
+                // logical bitstream's pages — a regression or a negative
+                // position (CRC-valid or not) is a corrupt/crafted stream;
+                // refuse rather than report a duration off a lying clock
+                if (granule < 0L || granule < lastGranule) corrupt = true
+                else lastGranule = granule
+              }
             }
             pos = pageEnd
           }
         }
       }
     }
-    if (nPages == 0 || serial == -1L) None
+    if (nPages == 0 || serial == -1L || corrupt) None
     else {
+      // overflow-safe scaling (granule is a full signed 64-bit field, so
+      // granule * 1000 can wrap even on a CRC-valid stream): divide first,
+      // carry the remainder, and refuse durations past a century — no real
+      // recording is that long, only a crafted granule
+      val g =
+        if (codec == "opus") math.max(0L, lastGranule - preSkip)
+        else lastGranule
       val durMs =
         if (lastGranule < 0 || rate <= 0) 0L
-        else if (codec == "opus")
-          math.max(0L, lastGranule - preSkip) * 1000L / 48000L
-        else lastGranule * 1000L / rate
-      Some(OggInfo(codec, rate, channels, nPages, nPackets, durMs,
+        else g / rate * 1000L + g % rate * 1000L / rate
+      if (durMs > 100L * 366 * 24 * 3600 * 1000) None
+      else Some(OggInfo(codec, rate, channels, nPages, nPackets, durMs,
         payloadBytes))
     }
   }

@@ -51,13 +51,32 @@ object CacheScope {
     * consume any subset of the plan — the historical behavior —
     * trading back the cold-cache cost nondeterminism the scope form
     * eliminates (concurrent first consumers can race uncached
-    * partitions). */
+    * partitions). NOT a snapshot: a caller that needs
+    * materialize-before-mutation semantics (read an index before
+    * compacting it) must use [[pin]], which counts unconditionally. */
   def eager(df: DataFrame): DataFrame = {
     df.cache()
     if (active.get() != null) {
       df.count()
       register(df)
     }
+    df
+  }
+
+  /** Cache `df` and materialize it NOW, scope or no scope — the
+    * read-before-mutation pin: a frame that must capture the CURRENT
+    * state of something about to be mutated underneath it (an index
+    * directory about to be compacted/overwritten, a table about to be
+    * replaced) cannot rely on [[eager]], whose outside-a-scope form is a
+    * plain lazy cache that would read post-mutation state at first
+    * consumption. Registered for scope-end unpersist when a scope is
+    * open; otherwise lives until the caller unpersists (or LRU). Use
+    * [[eager]] for cost determinism inside scopes; use pin when
+    * correctness depends on the snapshot. */
+  def pin(df: DataFrame): DataFrame = {
+    df.cache()
+    df.count()
+    register(df)
     df
   }
 

@@ -86,6 +86,33 @@ class CacheScopeSpec extends SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("pin materializes unconditionally — scope or no scope — so a " +
+    "snapshot taken before mutating its source is really taken") {
+    // outside any scope: pin must submit the count NOW (unlike eager,
+    // which is lazy outside scopes and would read post-mutation state)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pin").toString
+    Seq(1, 2, 3).toDF("a").write.mode("overwrite").parquet(dir)
+    val snap = CacheScope.pin(spark.read.parquet(dir))
+    assert(cached(snap))
+    // mutate the source underneath the pinned frame the way the index
+    // lifecycle does — a filesystem-level swap (IndexIO.swapDirs), which
+    // Spark gets no refresh notification for
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator()
+      .asScala.toList.foreach(java.nio.file.Files.delete)
+    assert(snap.count() == 3, "pin must have captured the pre-mutation rows")
+    snap.unpersist()
+    // inside a scope it registers for release like eager
+    var df: org.apache.spark.sql.DataFrame = null
+    CacheScope.withScope {
+      df = CacheScope.pin(Seq(4, 5).toDF("a"))
+      assert(cached(df))
+    }
+    def eventually(f: => Boolean): Boolean =
+      (0 until 50).exists { _ => if (f) true else { Thread.sleep(100); false } }
+    assert(eventually(df.storageLevel == StorageLevel.NONE))
+  }
+
   test("a throwing body still releases the scope's frames") {
     var df: org.apache.spark.sql.DataFrame = null
     intercept[RuntimeException] {

@@ -74,6 +74,32 @@ class FlacSpec extends SparkTestBase {
     }
   }
 
+  test("32-bit samples: independent channels decode bit-exactly at full " +
+    "Int range; stereo decorrelation at 32 bps is refused, not misdecoded " +
+    "(a 33-bit side channel cannot be stored exactly)") {
+    val l = Array(Int.MaxValue, Int.MinValue, 123456789, -987654321) ++
+      Array.tabulate(508)(i => (i - 254) * 8388607)
+    val r = Array(Int.MinValue, Int.MaxValue, -123456789, 987654321) ++
+      Array.tabulate(508)(i => (254 - i) * 8380417)
+    val chans = Array(l, r)
+    val indep = FlacTestEncoder.encode(chans, 48000, bps = 32,
+      blockSize = 512, chanMode = FlacTestEncoder.Independent,
+      modes = _ => FlacTestEncoder.Verbatim)
+    assert(java.util.Arrays.equals(decodeAll(indep),
+      FlacTestEncoder.expectedPcm(chans, bps = 32)))
+    // mid/side at bps = 32: the side subframe is 33 bits wide — the old
+    // Int intermediates decoded WRONG samples with a passing CRC; now the
+    // whole stream refuses (zero frames), per the refuse-don't-guess
+    // contract
+    for (cm <- Seq(FlacTestEncoder.LeftSide, FlacTestEncoder.RightSide,
+        FlacTestEncoder.MidSide)) {
+      val flac = FlacTestEncoder.encode(chans, 48000, bps = 32,
+        blockSize = 512, chanMode = cm,
+        modes = _ => FlacTestEncoder.Verbatim)
+      assert(decodeAll(flac).isEmpty, s"32-bit $cm must refuse")
+    }
+  }
+
   test("CRC enforcement: flipping one residual byte drops that frame and " +
     "everything after it (no garbage samples); a corrupt header CRC " +
     "yields zero frames; truncation serves only whole verified frames") {

@@ -187,6 +187,7 @@ object FlacTestEncoder {
     case 16 => 4
     case 24 => 6
     case 32 => 7
+    case _ => 0 // not directly expressible: get from STREAMINFO
   }
 
   /** Encode per-channel samples as one FLAC stream. `modes(frameIdx)`
@@ -252,7 +253,10 @@ object FlacTestEncoder {
           encodeSubframe(w2, side, bps + 1, mode)
           encodeSubframe(w2, slice(1), bps, mode)
         case MidSide =>
-          val mid = Array.tabulate(len)(i => (slice(0)(i) + slice(1)(i)) >> 1)
+          // Long sum: l + r is a (bps + 1)-bit value, so Int wraps at
+          // bps = 31 extremes; mid itself fits bps bits after the shift
+          val mid = Array.tabulate(len)(i =>
+            ((slice(0)(i).toLong + slice(1)(i).toLong) >> 1).toInt)
           val side = Array.tabulate(len)(i => slice(0)(i) - slice(1)(i))
           encodeSubframe(w2, mid, bps, mode)
           encodeSubframe(w2, side, bps + 1, mode)

@@ -1243,6 +1243,37 @@ class MultimodalSpec extends SparkTestBase {
     (0 to v.length).foreach(k => Multimodal.parseOggPages(v.take(k)))
   }
 
+  test("parseOggPages: a lying granule clock is refused, not reported — " +
+    "CRC-valid pages with an implausible rate, a granule regression, a " +
+    "negative granule, or a century-plus duration all take the stub branch") {
+    def stream(rate: Int, granules: Seq[Long]): Array[Byte] =
+      GenOggFixture.page(9L, 0, 0, 0x02,
+        Seq(GenOggFixture.vorbisId(rate, 1))) ++
+        granules.zipWithIndex.map { case (g, i) =>
+          GenOggFixture.page(9L, i + 1L, g,
+            if (i == granules.size - 1) 0x04 else 0,
+            Seq(Array.tabulate[Byte](16)(j => (j * 3 + i).toByte)))
+        }.reduce(_ ++ _)
+    // the honest baseline parses
+    assert(Multimodal.parseOggPages(stream(16000, Seq(8000L, 16000L)))
+      .get.durationMs == 1000L)
+    // ID header claims a non-audio rate: contradiction, refuse
+    assert(Multimodal.parseOggPages(stream(0, Seq(8000L))).isEmpty)
+    assert(Multimodal.parseOggPages(stream(900000, Seq(8000L))).isEmpty)
+    // granule positions must be non-decreasing (RFC 3533) and non-negative
+    assert(Multimodal.parseOggPages(stream(16000, Seq(16000L, 8000L))).isEmpty)
+    assert(Multimodal.parseOggPages(stream(16000, Seq(-2L))).isEmpty)
+    // a crafted near-2^63 granule: the old *1000 scaling wrapped Long and
+    // reported garbage; now the divide-first form computes an honest
+    // duration which the century gate then refuses
+    assert(Multimodal.parseOggPages(
+      stream(16000, Seq(Long.MaxValue - 1))).isEmpty)
+    // just-under-a-century still reports (the gate is a ceiling, not a cap)
+    val okGranule = 99L * 366 * 24 * 3600 * 16000
+    assert(Multimodal.parseOggPages(stream(16000, Seq(okGranule)))
+      .get.durationMs == okGranule / 16L)
+  }
+
   test("parseTsPackets: 188-byte sync-lattice walk — packet/PID/PES/null " +
     "accounting and PCR-clock durations; lattice breaks stop the count; " +
     "garbage refuses") {
