@@ -2873,14 +2873,23 @@ object Queries {
       .select(col("media_id").as("id"), col("kind"), col("data"))
       .unionByName(s.read.parquet(mp4Fixture)
         .select((col("media_id") + 100).as("id"), col("kind"), col("data")))
-    val vh = M.videoFrameHashes(vm, everyMs = 500L).toDF()
-      .where(col("decoded"))
+    // ONE decode pass serves both the near-dup hashes and the quality
+    // gate (videoFrameSignals = videoFrameHashes + videoStats signals,
+    // bit-identical); eager-scoped so the hash join sides and the stats
+    // aggregate all read the same materialized frame
+    val vsig = graft.util.CacheScope.eager(
+      M.videoFrameSignals(vm, everyMs = 500L).toDF())
+    val vh = vsig.where(col("decoded"))
       .select(col("id"), col("frame_idx"), col("dhash"))
     val vDrop = graft.operators.Dedup.frameSigPairs(vh, "id", "frame_idx",
         "dhash", maxHamming = 3, minMatch = 2)
       .select(col("b").as("id")).distinct()
-    val vKeep = M.videoStats(vm, everyMs = 500L).toDF()
-      .where(col("decoded"))
+    val vKeep = vsig.groupBy(col("id"))
+      .agg(max(col("parsed")).as("parsed"),
+        sum(when(col("black"), 1).otherwise(0)).as("nBlack"),
+        sum(when(col("flat"), 1).otherwise(0)).as("nFlat"),
+        sum(when(col("parsed"), 1).otherwise(0)).as("nSampled"))
+      .where(col("parsed"))
       .join(vDrop, Seq("id"), "left_anti")
       .where(lit(2) * (col("nBlack") + col("nFlat")) <= col("nSampled"))
       .select(lit("video").as("modality"), col("id").as("media_id"))

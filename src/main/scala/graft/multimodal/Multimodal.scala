@@ -2150,6 +2150,119 @@ object Multimodal {
     }
   }
 
+  /** One schedule tick's combined near-dup + quality signals
+    * ([[videoFrameSignals]]). `parsed` is container-level (an unparseable
+    * payload emits a single `parsed = false` marker row); `decoded` is
+    * frame-level, exactly [[VideoFrameHashRow]]'s flag. */
+  final case class VideoFrameSignalRow(id: Long, frame_idx: Int, ts_ms: Long,
+      parsed: Boolean, decoded: Boolean, ahash: Option[Long],
+      dhash: Option[Long], black: Boolean, flat: Boolean,
+      lumaSum: Long, nPixels: Long)
+
+  /** ONE decode pass serving BOTH the video near-dup front end and the
+    * quality gates — for pipelines (the multimodal flagship) that need
+    * [[videoFrameHashes]] AND [[videoStats]] over the same corpus: each
+    * sampled frame decodes ONCE and yields its perceptual hashes plus the
+    * per-frame gating signals ([[VideoStatsRow]]'s black/flat/luma
+    * definitions, bit-identical). The per-tick hash rows equal
+    * [[videoFrameHashes]]' output column-for-column; grouping by id and
+    * counting parsed/decoded/black/flat ticks reproduces [[videoStats]]'
+    * counters exactly. Same schedule, same last-frame memo (decode work
+    * bounded by DISTINCT sampled frames), same bomb guard, same
+    * marker-row degrade; pixels are re-read per signal (three cheap
+    * row-strip passes) but the JPEG entropy decode — the actual cost —
+    * happens once instead of twice. */
+  def videoFrameSignals(media: DataFrame, everyMs: Long,
+      maxFrames: Int = 1 << 20): Dataset[VideoFrameSignalRow] = {
+    require(everyMs > 0, s"everyMs must be positive, got $everyMs")
+    require(maxFrames > 0, s"maxFrames must be positive, got $maxFrames")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        parseVideoFrameTable(r.data, maxFrames) match {
+          case Some(tab) =>
+            val n = math.min(math.max(1L, tab.durationMs / everyMs + 1),
+              maxFrames.toLong).toInt
+            var fp = 0
+            var lastFi = -1
+            var lastOk = false
+            var lastA: Option[Long] = None
+            var lastD: Option[Long] = None
+            var lastBlack = false; var lastFlat = false
+            var lastSum = 0L; var lastTotal = 0L
+            (0 until n).iterator.map { i =>
+              val ts = i * everyMs
+              val us = ts * 1000L
+              while (fp + 1 < tab.frames.length && tab.tsUs(fp + 1) <= us)
+                fp += 1
+              val fi = fp
+              if (fi != lastFi) {
+                lastFi = fi
+                lastOk = false; lastA = None; lastD = None
+                lastBlack = false; lastFlat = false
+                lastSum = 0L; lastTotal = 0L
+                val (off, len) = tab.frames(fi)
+                val bytes = java.util.Arrays.copyOfRange(r.data, off, off + len)
+                val dims = parseDimensions(bytes)
+                val tooBig = dims.exists { case (w, h) => w.toLong * h > MaxHashPixels }
+                val img =
+                  if (dims.isEmpty || tooBig) null
+                  else {
+                    FrameDecodeCounter.increment()
+                    try javax.imageio.ImageIO.read(
+                      new java.io.ByteArrayInputStream(bytes))
+                    catch { case _: Exception => null }
+                  }
+                if (img != null) {
+                  val (s8, c8) = gridSums(img, 8, 8)
+                  val (s9, c9) = gridSums(img, 9, 8)
+                  lastA = Some(aHash64(s8, c8))
+                  lastD = Some(dHash64(s9, c9))
+                  val w = img.getWidth
+                  val h = img.getHeight
+                  val hist = new Array[Long](256)
+                  val row = new Array[Int](w)
+                  var sum = 0L
+                  var y = 0
+                  while (y < h) {
+                    img.getRGB(0, y, w, 1, row, 0, w)
+                    var x = 0
+                    while (x < w) {
+                      val l = luma(row(x)); hist(l) += 1; sum += l; x += 1
+                    }
+                    y += 1
+                  }
+                  val total = w.toLong * h
+                  var ent = 0.0
+                  var b = 0
+                  while (b < 256) {
+                    if (hist(b) > 0) {
+                      val p = hist(b).toDouble / total
+                      ent -= p * (math.log(p) / math.log(2.0))
+                    }
+                    b += 1
+                  }
+                  lastOk = true
+                  lastBlack = sum < 16L * total
+                  lastFlat = math.floor(ent * 1000.0).toLong < 1000L
+                  lastSum = sum
+                  lastTotal = total
+                }
+              }
+              VideoFrameSignalRow(r.id, i, ts, parsed = true, lastOk,
+                lastA, lastD, lastBlack, lastFlat, lastSum, lastTotal)
+            }
+          case _ =>
+            Iterator.single(VideoFrameSignalRow(r.id, 0, 0L, parsed = false,
+              decoded = false, None, None, black = false, flat = false,
+              0L, 0L))
+        }
+      }
+    }
+  }
+
   /** One image's quality-statistics row ([[imageStats]]) — the gating
     * signals an image-corpus curation pass filters on (too dark / blown
     * out / flat / grayscale / extreme aspect), all EXACT integers or

@@ -1435,4 +1435,41 @@ class MultimodalSpec extends SparkTestBase {
     assert(stats.nSampled == 61 && stats.nDecoded == 61)
     assert(stats.nPixels == 61L * 64 * 48)
   }
+
+  test("videoFrameSignals: ONE decode pass reproduces videoFrameHashes " +
+    "and videoStats bit-identically — per-tick hashes, per-clip counters, " +
+    "marker-row degrade — at half the decode count") {
+    val frames = (0 until 4).map(t =>
+      GenVideoFixture.encodeJpeg(GenVideoFixture.framePx(47, t), 0.85f))
+    val media = Seq(
+      (1L, "video", GenVideoFixture.avi(64, 48, 500000L, frames)),
+      (2L, "video", Array.tabulate[Byte](64)(i => (i * 7).toByte))) // junk
+      .toDF("id", "kind", "data")
+    Multimodal.FrameDecodeCounter.reset()
+    val sig = Multimodal.videoFrameSignals(media, everyMs = 250L).collect()
+    val sigDecodes = Multimodal.FrameDecodeCounter.sum()
+    // equivalence to the two separate passes
+    val hashes = Multimodal.videoFrameHashes(media, everyMs = 250L).collect()
+    val stats = Multimodal.videoStats(media, everyMs = 250L)
+      .collect().map(r => r.id -> r).toMap
+    assert(Multimodal.FrameDecodeCounter.sum() == 3 * sigDecodes,
+      "hashes + stats must decode twice what signals decodes once")
+    assert(sig.map(r => (r.id, r.frame_idx, r.ts_ms, r.decoded, r.ahash,
+        r.dhash)).sortBy(r => (r._1, r._2)).toSeq ==
+      hashes.map(h => (h.id, h.frame_idx, h.ts_ms, h.decoded, h.ahash,
+        h.dhash)).sortBy(r => (r._1, r._2)).toSeq)
+    for (id <- Seq(1L, 2L)) {
+      val rows = sig.filter(_.id == id)
+      val st = stats(id)
+      assert(rows.forall(_.parsed == st.decoded))
+      assert(rows.count(r => r.parsed) == st.nSampled)
+      assert(rows.count(_.decoded) == st.nDecoded)
+      assert(rows.count(_.black) == st.nBlack)
+      assert(rows.count(_.flat) == st.nFlat)
+      assert(rows.map(_.lumaSum).sum == st.lumaSum)
+      assert(rows.map(_.nPixels).sum == st.nPixels)
+    }
+    // the junk payload degrades to exactly one marker row
+    assert(sig.count(_.id == 2L) == 1 && !sig.find(_.id == 2L).get.parsed)
+  }
 }
