@@ -28,6 +28,12 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("md5(cast(id as string))").count() // warmup
 
+    if (sys.env.get("SPARK_GRAFT_PROBE").contains("skew")) {
+      runSkew(spark)
+      spark.stop()
+      return
+    }
+
     val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
     val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -559,5 +565,115 @@ object ScaleProbe {
       edges.unpersist()
     }
     spark.stop()
+  }
+
+  /** Adversarial-SKEW probe family (SPARK_GRAFT_PROBE=skew): boilerplate-
+    * heavy corpora — a frame shared by EVERY clip, an exact-duplicate
+    * signature carried by a growing cohort, a constant document, a
+    * corpus-wide license header — at 1x/4x/16x CARRIER multiplicity with
+    * the banded verify-pair counts printed alongside the times. The
+    * worst case these target is quadratic in carriers per bucket; the
+    * exact-signature collapse keeps the banded verify work quadratic only
+    * in DISTINCT signatures, and frameSigPairs' df-cap bounds the carrier
+    * expansion. Signatures are constructed on the 0x0001000100010001
+    * lattice (each 16-bit band = the counter) so distinct signatures
+    * never share a band — the printed verify_pairs isolates exactly the
+    * skew-induced candidates, not banding's background collision rate.
+    * Results recorded in SCALING.md. */
+  private def runSkew(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val Boiler = -1L // all four bands = 0xffff, off the counter lattice
+    def sig(c: Int): Long = { require(c >= 1 && c < 65000); c * 0x0001000100010001L }
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    def r3(x: Double): Double = math.round(x * 1000.0) / 1000.0
+
+    // frame corpus: every clip opens on the SAME boilerplate frame; 20
+    // clone pairs (ids 2i/2i+1 < 40 share all 5 content sigs) are the
+    // true re-encodes the operator must keep finding
+    def frameCorpus(nClips: Int) =
+      (0 until nClips).flatMap { id =>
+        (0 to 5).map { p =>
+          val s = if (p == 0) Boiler
+            else if (id < 40) sig(40 + (id / 2) * 8 + p)
+            else sig(1000 + id * 8 + p)
+          (id.toLong, p.toLong, s)
+        }
+      }.toDF("id", "pos", "sig").repartition(32)
+
+    for (mult <- Seq(1, 4, 16)) {
+      // ---- frameSigPairs: one boilerplate frame in EVERY clip
+      val nClips = 400 * mult
+      val frames = frameCorpus(nClips).cache(); frames.count()
+      val verifyPairs = Dedup.sigBandCandidates(
+        frames.select(col("sig")).distinct()).count()
+      val (tDef, outDef) = time(Dedup.frameSigPairs(
+        frames, "id", "pos", "sig").count())
+      val (tCap, outCap) = time(Dedup.frameSigPairs(
+        frames, "id", "pos", "sig", maxDf = 64).count())
+      println(s"""{"skew_probe":"frame_boilerplate","mult":$mult,"clips":$nClips,"distinct_sigs":${frames.select("sig").distinct().count()},"verify_pairs":$verifyPairs,"out_default":$outDef,"sec_default":${r3(tDef)},"out_capped":$outCap,"sec_capped":${r3(tCap)}}""")
+
+      // ---- hammingPairs: an exact-dup cohort (1% of ids) — the OUTPUT is
+      // quadratic in the cohort by contract; verify pairs must not be
+      val nIds = 2000 * mult
+      val sigs = (0 until nIds).map { id =>
+        val s = if (id % 100 == 0) Boiler
+          else if (id >= 101 && id <= 110 && id % 2 == 0) sig(1 + id - 1) ^ 1L
+          else sig(1 + id)
+        (id.toLong, s)
+      }.toDF("id", "sig").repartition(32).cache()
+      sigs.count()
+      val vH = Dedup.sigBandCandidates(sigs.select(col("sig")).distinct()).count()
+      val (tH, outH) = time(Dedup.hammingPairs(sigs, "id", "sig").count())
+      println(s"""{"skew_probe":"hamming_cohort","mult":$mult,"ids":$nIds,"cohort":${nIds / 100},"verify_pairs":$vH,"out_rows":$outH,"sec":${r3(tH)}}""")
+
+      // ---- simhashPairs: a constant document carried by 2% of the corpus
+      val nDocs = 1500 * mult
+      val docs = (0 until nDocs).map { id =>
+        val text = if (id % 50 == 0)
+          "terms of service apply to all content on this mirror page"
+        else (0 until 12).map(j => s"w${id}t$j").mkString(" ")
+        (id.toLong, text)
+      }.toDF("doc_id", "text").repartition(32).cache()
+      docs.count()
+      val (tS, outS) = time(Dedup.simhashPairs(docs, "doc_id",
+        graft.functions.NativeKernels.wordTokens(col("text"))).count())
+      println(s"""{"skew_probe":"simhash_constant","mult":$mult,"docs":$nDocs,"constant":${nDocs / 50},"out_rows":$outS,"sec":${r3(tS)}}""")
+
+      // ---- winnowSpans: a license header on EVERY doc (df-cap policy)
+      val header = (0 until 40).map(j => s"licensed under clause$j terms")
+        .mkString(" ")
+      val shared = (0 until 30).map(j => s"copied passage token$j").mkString(" ")
+      val wdocs = (0 until 600 * mult).map { id =>
+        val body = (0 until 40).map(j => s"b${id}x$j").mkString(" ")
+        val text = if (id < 20 && id % 2 == 0) s"$header $shared $body"
+          else if (id < 20) s"$header $body $shared"
+          else s"$header $body"
+        (id.toLong, text)
+      }.toDF("id", "text").repartition(32).cache()
+      wdocs.count()
+      val (tW, outW) = time(Dedup.winnowSpans(wdocs, "id", col("text")).count())
+      println(s"""{"skew_probe":"winnow_header","mult":$mult,"docs":${600 * mult},"out_rows":$outW,"sec":${r3(tW)}}""")
+
+      // ---- incrementalFrameSigPairs: boilerplate-heavy INDEX, fixed batch
+      val idxPath = java.nio.file.Files.createTempDirectory("graft-skewidx")
+        .toString + "/idx"
+      Dedup.writeFrameSigIndex(frames, "id", "pos", "sig", idxPath)
+      val batch = (0 until 50).flatMap { j =>
+        (0 to 5).map { p =>
+          val s = if (p == 0) Boiler
+            else if (j < 5) sig(1000 + (100 + j) * 8 + p) // clones of indexed
+            else sig(60000 + j * 8 + p)
+          (10000000L + j, p.toLong, s)
+        }
+      }.toDF("id", "pos", "sig")
+      val (tI, outI) = time(Dedup.incrementalFrameSigPairs(
+        batch, "id", "pos", "sig", idxPath).count())
+      println(s"""{"skew_probe":"incr_frame_boilerplate","mult":$mult,"index_clips":$nClips,"batch_clips":50,"out_rows":$outI,"sec":${r3(tI)}}""")
+
+      frames.unpersist(); sigs.unpersist(); docs.unpersist(); wdocs.unpersist()
+    }
   }
 }
