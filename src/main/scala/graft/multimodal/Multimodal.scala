@@ -1875,7 +1875,8 @@ object Multimodal {
 
   /** Per-partition batch pixel decode + perceptual hash — unlike
     * [[decodeBatch]] (headers only) this decodes ACTUAL PIXELS, via the
-    * JDK's own ImageIO readers (PNG/JPEG/GIF/BMP — no external codec).
+    * JDK's own ImageIO readers (PNG/JPEG/GIF/BMP) plus the pure-JVM
+    * [[Vp8lDecoder]] for lossless WebP — no external codec.
     * The pipeline per row: header sniff ([[parseDimensions]]) first — an
     * unrecognized container, or one whose DECLARED dimensions exceed
     * [[MaxHashPixels]] (decompression-bomb defense), is reported
@@ -1885,6 +1886,18 @@ object Multimodal {
     * -> [[aHash64]]/[[dHash64]]. All arithmetic after decode is exact
     * integer math — the hash is a pure function of the decoded sRGB
     * pixels, reproducible across partitionings, JVMs, and engines. */
+  /** Decode a STILL-image payload to pixels: the pure-JVM [[Vp8lDecoder]]
+    * for lossless WebP (which ImageIO cannot read), else the JDK's own
+    * ImageIO readers (PNG/JPEG/GIF/BMP). Returns null on failure — the
+    * callers' degrade-to-undecoded contract. The VP8L path is gated by
+    * its RIFF sniff (three fourcc compares on a non-WebP payload). */
+  private[multimodal] def readImage(data: Array[Byte])
+      : java.awt.image.BufferedImage =
+    Vp8lDecoder.decode(data).getOrElse {
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+      catch { case _: Exception => null }
+    }
+
   def imageHashBatch(rows: Iterator[MediaRow]): Iterator[ImageHashRow] = {
     // ImageIO's default ImageInputStream spools through TEMP FILES — at
     // corpus scale that is an extra disk write per image; keep it in memory
@@ -1896,9 +1909,7 @@ object Multimodal {
       val tooBig = dims.exists { case (w, h) => w.toLong * h > MaxHashPixels }
       val img =
         if (dims.isEmpty || tooBig) null
-        else
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.data))
-          catch { case _: Exception => null }
+        else readImage(r.data)
       if (img == null)
         ImageHashRow(r.id, r.kind, n, decoded = false, w0, h0, None, None)
       else {
@@ -2294,9 +2305,7 @@ object Multimodal {
       val tooBig = dims.exists { case (w, h) => w.toLong * h > MaxHashPixels }
       val img =
         if (dims.isEmpty || tooBig) null
-        else
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.data))
-          catch { case _: Exception => null }
+        else readImage(r.data)
       if (img == null)
         ImageStatsRow(r.id, r.kind, n, decoded = false, w0, h0, 0L, 0L, 0, 0,
           isGray = false, 0L)
@@ -2385,9 +2394,7 @@ object Multimodal {
       val tooBig = dims.exists { case (w, h) => w.toLong * h > MaxHashPixels }
       val img =
         if (dims.isEmpty || tooBig) null
-        else
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.data))
-          catch { case _: Exception => null }
+        else readImage(r.data)
       if (img == null) {
         val (w0, h0) = dims.getOrElse((0, 0))
         ResizedRow(r.id, r.kind, decoded = false, resized = false, w0, h0, r.data)

@@ -256,7 +256,7 @@ object GenImagePhashFixture {
       .getOrCreate()
     import spark.implicits._
 
-    def imgRow(id: Long, kind: String, format: String,
+    def rowFor(id: Long, kind: String, data: Array[Byte],
         px: Array[Array[Int]]): Row = {
       // expected 32x32-box resize: either pass-through (original hashes)
       // or the independently downscaled pixels' hashes
@@ -268,10 +268,14 @@ object GenImagePhashFixture {
           (true, ow, oh, expectedAHash(small), expectedDHash(small))
       }
       val (sp, ss, smn, smx, sg, se) = expectedStats(px)
-      Row(id, kind, encodeLossless(px, format), decoded = true,
+      Row(id, kind, data, decoded = true,
         px(0).length, px.length, Some(expectedAHash(px)), Some(expectedDHash(px)),
         rr, rw, rh, Some(ra), Some(rd), sp, ss, smn, smx, sg, se)
     }
+
+    def imgRow(id: Long, kind: String, format: String,
+        px: Array[Array[Int]]): Row =
+      rowFor(id, kind, encodeLossless(px, format), px)
 
     // base cards across formats and sizes (incl. narrower-than-grid)
     val cards = Seq(
@@ -291,6 +295,35 @@ object GenImagePhashFixture {
         (v << 16) | (v << 8) | v
       })
     ).map { case (id, kind, fmt, px) => imgRow(id, kind, fmt, px) }
+
+    // WebP-lossless rows: REAL libwebp-encoded payloads from the committed
+    // golden parquet (tools/webp_golden.py — generator-known pixels, the
+    // reference encoder's own transform/entropy choices), with expected
+    // hashes/stats computed HERE from the known RGBA. Opaque cards only:
+    // this fixture's luma arithmetic is RGB. Plus a PNG twin of one card's
+    // pixels — a hamming-0 cross-CONTAINER near-dup pair proving the VP8L
+    // decode lands on exactly the pixels the JDK PNG decoder produces.
+    val webpGolden = spark.read.parquet("fixtures/webp_golden.parquet")
+      .collect().map(r => r.getAs[String]("name") ->
+        (r.getAs[Int]("width"), r.getAs[Int]("height"),
+          r.getAs[Array[Byte]]("webp"), r.getAs[Array[Byte]]("rgba"))).toMap
+    def rgbaPx(w: Int, h: Int, rgba: Array[Byte]): Array[Array[Int]] =
+      Array.tabulate(h, w) { (y, x) =>
+        val i = 4 * (y * w + x)
+        ((rgba(i) & 0xff) << 16) | ((rgba(i + 1) & 0xff) << 8) |
+          (rgba(i + 2) & 0xff)
+      }
+    val webpRows = Seq(20L -> "gradient", 21L -> "palette13",
+      22L -> "tiles", 23L -> "text_like").map { case (id, name) =>
+      val (w, h, webp, rgba) = webpGolden(name)
+      rowFor(id, "webp", webp, rgbaPx(w, h, rgba))
+    }
+    val webpTwin = {
+      val (w, h, _, rgba) = webpGolden("gradient")
+      imgRow(24L, "png", "png", rgbaPx(w, h, rgba))
+    }
+    require(webpTwin.dhash == webpRows.head.dhash,
+      "webp/png twin must be a hamming-0 pair")
 
     // planted near-dups: perturb one base card until dHash hamming lands
     // in 1..3 — re-encoded, so the pair exists only at the pixel level
@@ -398,7 +431,7 @@ object GenImagePhashFixture {
       decoded = false, 0, 0, None, None, r_resized = false, 0, 0, None, None,
       0L, 0L, 0, 0, s_is_gray = false, 0L)
 
-    val rows = cards ++ nearDups ++
+    val rows = cards ++ webpRows ++ Seq(webpTwin) ++ nearDups ++
       Seq(sameOtherFormat, upright, rotated, rotatedBig, truncated, bomb, garbage)
 
     // fixture-level sanity: at least one hamming<=3 pair exists among
