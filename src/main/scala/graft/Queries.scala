@@ -2703,6 +2703,62 @@ object Queries {
       |ORDER BY media_id""".stripMargin
 
   // ----------------------------------------------------------------------
+  // Animated WebP through the container-agnostic video path (honest
+  // subset: full-canvas, no-blend, VP8L frames — each a standalone still
+  // the pure-JVM Vp8lDecoder reads; sub-canvas patches, alpha-BLENDED and
+  // lossy frames refuse to the one-marker-row undecoded branch, their
+  // metadata still served by parseAvMeta). Frame payloads are REAL libwebp
+  // encoder output over generator-known pixels; expected hashes come from
+  // those known pixels through the standalone grid arithmetic, over an
+  // independent re-statement of the cumulative-ANMF-duration schedule.
+  // q_webp_anim_neardup proves the sequence join: a one-frame-trimmed
+  // twin pairs on alignment diagonal 1, exactly like the AVI/MP4 cases.
+  // ----------------------------------------------------------------------
+  private lazy val webpAnimFixture: String = fixturePath("webp_anim.parquet")
+  private lazy val webpAnimFramesFixture: String =
+    fixturePath("webp_anim_frames.parquet")
+
+  private val webpAnimFrames: (SparkSession, String) => DataFrame = (s, _) => {
+    val media = s.read.parquet(webpAnimFixture)
+      .select(col("media_id").as("id"), col("kind"), col("data"))
+    graft.multimodal.Multimodal.videoFrameHashes(media, everyMs = 100L).toDF()
+      .select(col("id").as("media_id"), col("frame_idx"), col("ts_ms"),
+        col("decoded"), col("ahash"), col("dhash"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  private val webpAnimFramesSql =
+    s"""SELECT media_id, frame_idx, ts_ms, decoded, ahash, dhash
+      |FROM '$webpAnimFramesFixture'
+      |ORDER BY media_id, frame_idx""".stripMargin
+
+  private val webpAnimNearDup: (SparkSession, String) => DataFrame = (s, _) => {
+    val media = s.read.parquet(webpAnimFixture)
+      .select(col("media_id").as("id"), col("kind"), col("data"))
+    val hashed = graft.multimodal.Multimodal
+      .videoFrameHashes(media, everyMs = 100L).toDF()
+      .where(col("decoded"))
+      .select(col("id"), col("frame_idx"), col("dhash"))
+    graft.operators.Dedup.frameSigPairs(hashed, "id", "frame_idx", "dhash",
+        maxHamming = 3, minMatch = 2)
+      .orderBy(col("a"), col("b"), col("d"))
+  }
+
+  private val webpAnimNearDupSql =
+    s"""WITH f AS (
+      |  SELECT media_id, frame_idx, dhash FROM '$webpAnimFramesFixture'
+      |  WHERE decoded AND dhash IS NOT NULL AND dhash <> 0),
+      |m AS (
+      |  SELECT DISTINCT x.media_id AS a, y.media_id AS b,
+      |    x.frame_idx AS pa, y.frame_idx AS pb
+      |  FROM f x JOIN f y ON x.media_id < y.media_id
+      |  WHERE bit_count(xor(x.dhash, y.dhash)) <= 3)
+      |SELECT a, b, (pa - pb)::BIGINT AS d, count(*)::BIGINT AS n_match
+      |FROM m GROUP BY a, b, pa - pb
+      |HAVING count(*) >= 2
+      |ORDER BY a, b, d""".stripMargin
+
+  // ----------------------------------------------------------------------
   // MP3 frame-header sequence walk: exact frame counts, duration summed
   // from real per-frame sample counts (1152 / 576), bitrate range and the
   // VBR flag — the honest upgrade over the single-header CBR estimate
@@ -3858,6 +3914,8 @@ object Queries {
     "q_mp4_frames"    -> mp4Frames,
     "q_mp4_neardup"   -> mp4NearDup,
     "q_mp4_stats"     -> mp4Stats,
+    "q_webp_anim_frames"  -> webpAnimFrames,
+    "q_webp_anim_neardup" -> webpAnimNearDup,
     "q_pipeline_mm"   -> pipelineMm,
     "q_mp3_frames"    -> mp3Frames,
     "q_webm_blocks"   -> webmBlocks,
@@ -3978,6 +4036,8 @@ object Queries {
     "q_mp4_frames"    -> mp4FramesSql,
     "q_mp4_neardup"   -> mp4NearDupSql,
     "q_mp4_stats"     -> mp4StatsSql,
+    "q_webp_anim_frames"  -> webpAnimFramesSql,
+    "q_webp_anim_neardup" -> webpAnimNearDupSql,
     "q_pipeline_mm"   -> pipelineMmSql,
     "q_mp3_frames"    -> mp3FramesSql,
     "q_webm_blocks"   -> webmBlocksSql,

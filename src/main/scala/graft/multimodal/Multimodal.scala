@@ -1022,7 +1022,8 @@ object Multimodal {
   /** Frame table of a video payload, whichever parseable container it is
     * in; None when neither container parses (or carries no usable frame
     * timing) — callers degrade to the stub branch. AVI timestamps expand
-    * from the constant frame period, MP4's from the stts deltas. */
+    * from the constant frame period, MP4's from the stts deltas, animated
+    * WebP's from the cumulative ANMF durations. */
   def parseVideoFrameTable(data: Array[Byte], maxFrames: Int = 1 << 20)
       : Option[VideoFrameTable] =
     parseAvi(data, maxFrames) match {
@@ -1036,9 +1037,103 @@ object Multimodal {
           case Some(t) if t.frames.nonEmpty && t.durationMs > 0 =>
             Some(VideoFrameTable("mp4", t.width, t.height, t.frames,
               t.tsUs, t.durationMs))
-          case _ => None
+          case _ =>
+            parseWebpAnim(data, maxFrames) match {
+              case Some(t) if t.frames.nonEmpty && t.durationMs > 0 => Some(t)
+              case _ => None
+            }
         }
     }
+
+  /** RIFF-wrap a bare VP8L chunk (header + payload, as stored inside an
+    * ANMF frame) into a standalone still `.webp` file — what the
+    * schedule samplers hand to [[readImage]] / downstream consumers. */
+  private[multimodal] def riffWrapVp8l(chunk: Array[Byte]): Array[Byte] = {
+    val n = chunk.length + (chunk.length & 1)
+    val out = new Array[Byte](12 + n)
+    val sz = 4 + n
+    out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+    out(4) = (sz & 0xff).toByte; out(5) = ((sz >> 8) & 0xff).toByte
+    out(6) = ((sz >> 16) & 0xff).toByte; out(7) = ((sz >> 24) & 0xff).toByte
+    out(8) = 'W'; out(9) = 'E'; out(10) = 'B'; out(11) = 'P'
+    System.arraycopy(chunk, 0, out, 12, chunk.length)
+    out
+  }
+
+  /** Frame table for an ANIMATED WebP in the HONEST-DECODE SUBSET: every
+    * ANMF frame must be full-canvas, no-blend (flags bit 1 set), and
+    * carry a lossless `VP8L` payload — then each frame is a standalone
+    * still image ([[Vp8lDecoder]] behind [[riffWrapVp8l]]) and no
+    * compositing state exists to get wrong. Anything else — sub-canvas
+    * patches, alpha-BLENDED frames (the spec leaves the blend color
+    * space ambiguous and this environment has no libwebpdemux to pin it
+    * against), lossy `VP8 ` frames — refuses the whole payload: the
+    * metadata walk ([[parseAvMeta]]) still reports canvas and duration
+    * for those. Timestamps are the cumulative per-frame ANMF durations
+    * (non-uniform timing, like MP4's stts); a truncated tail stops at
+    * the last whole chunk. Frames beyond `maxFrames` are not tabled but
+    * still count toward the duration. */
+  def parseWebpAnim(data: Array[Byte], maxFrames: Int = 1 << 20)
+      : Option[VideoFrameTable] = {
+    def cc(i: Int): String =
+      if (i + 4 <= data.length)
+        new String(data, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      else ""
+    def u8(i: Int): Int = data(i) & 0xff
+    def le24(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)
+    def le32(i: Int): Long = le24(i).toLong | (u8(i + 3).toLong << 24)
+    if (data.length < 30 || cc(0) != "RIFF" || cc(8) != "WEBP") return None
+    var i = 12
+    var cw = 0
+    var ch = 0
+    var sawAnim = false
+    val frames = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    val starts = scala.collection.mutable.ArrayBuffer[Long]()
+    var tUs = 0L
+    var stop = false
+    while (!stop && i + 8 <= data.length) {
+      val id = cc(i)
+      val size = le32(i + 4)
+      if (size > Int.MaxValue - 8) return None
+      val body = i + 8
+      val end = body + size.toInt
+      if (end > data.length) stop = true // truncated: last whole chunk
+      else {
+        id match {
+          case "VP8X" if size >= 10 =>
+            cw = le24(body + 4) + 1
+            ch = le24(body + 7) + 1
+          case "ANIM" => sawAnim = true
+          case "VP8 " | "VP8L" => return None // a still, not an animation
+          case "ANMF" if size >= 24 =>
+            if (!sawAnim || cw == 0) return None
+            val fx = le24(body) * 2
+            val fy = le24(body + 3) * 2
+            val fw = le24(body + 6) + 1
+            val fh = le24(body + 9) + 1
+            val dur = le24(body + 12)
+            val flags = u8(body + 15)
+            if (fx != 0 || fy != 0 || fw != cw || fh != ch ||
+              (flags & 2) == 0) return None // outside the honest subset
+            val sub = body + 16
+            if (cc(sub) != "VP8L") return None
+            val subSize = le32(sub + 4)
+            if (subSize > Int.MaxValue - 8 ||
+              sub + 8 + subSize > end) return None
+            if (frames.length < maxFrames) {
+              frames += ((sub, 8 + subSize.toInt))
+              starts += tUs
+            }
+            tUs += dur.toLong * 1000L
+          case _ => ()
+        }
+        i = end + (size.toInt & 1)
+      }
+    }
+    if (frames.isEmpty || tUs <= 0) None
+    else Some(VideoFrameTable("webp", cw, ch, frames.toIndexedSeq,
+      starts.toIndexedSeq, tUs / 1000L))
+  }
 
   /** One MP3 payload's frame-SEQUENCE statistics ([[parseMp3Frames]]). */
   final case class Mp3FramesInfo(sampleRate: Int, channels: Int,
@@ -1683,8 +1778,9 @@ object Multimodal {
             while (fp + 1 < tab.frames.length && tab.tsUs(fp + 1) <= us)
               fp += 1
             val (off, len) = tab.frames(fp)
+            val raw = java.util.Arrays.copyOfRange(r.data, off, off + len)
             FrameRow(r.id, i, ts, decoded = true,
-              java.util.Arrays.copyOfRange(r.data, off, off + len))
+              if (tab.container == "webp") riffWrapVp8l(raw) else raw)
           }
         case _ =>
           val durMs = parseAvMeta(r.data).map(_.durationMs).getOrElse(0L)
@@ -2012,16 +2108,18 @@ object Multimodal {
               if (fi != lastFi) {
                 lastFi = fi
                 val (off, len) = tab.frames(fi)
-                val bytes = java.util.Arrays.copyOfRange(r.data, off, off + len)
+                val raw = java.util.Arrays.copyOfRange(r.data, off, off + len)
+                // animated-WebP frames are bare VP8L chunks: wrap into a
+                // standalone still so the sniff/decode guard serves them
+                val bytes =
+                  if (tab.container == "webp") riffWrapVp8l(raw) else raw
                 val dims = parseDimensions(bytes)
                 val tooBig = dims.exists { case (w, h) => w.toLong * h > MaxHashPixels }
                 val img =
                   if (dims.isEmpty || tooBig) null
                   else {
                     FrameDecodeCounter.increment()
-                    try javax.imageio.ImageIO.read(
-                      new java.io.ByteArrayInputStream(bytes))
-                    catch { case _: Exception => null }
+                    readImage(bytes)
                   }
                 if (img == null) { lastOk = false; lastA = None; lastD = None }
                 else {
@@ -2097,16 +2195,18 @@ object Multimodal {
                 lastOk = false; lastBlack = false; lastFlat = false
                 lastSum = 0L; lastTotal = 0L
                 val (off, len) = tab.frames(fi)
-                val bytes = java.util.Arrays.copyOfRange(r.data, off, off + len)
+                val raw = java.util.Arrays.copyOfRange(r.data, off, off + len)
+                // animated-WebP frames are bare VP8L chunks: wrap into a
+                // standalone still so the sniff/decode guard serves them
+                val bytes =
+                  if (tab.container == "webp") riffWrapVp8l(raw) else raw
                 val dims = parseDimensions(bytes)
                 val tooBig = dims.exists { case (w, h) => w.toLong * h > MaxHashPixels }
                 val img =
                   if (dims.isEmpty || tooBig) null
                   else {
                     FrameDecodeCounter.increment()
-                    try javax.imageio.ImageIO.read(
-                      new java.io.ByteArrayInputStream(bytes))
-                    catch { case _: Exception => null }
+                    readImage(bytes)
                   }
                 if (img != null) {
                   val w = img.getWidth
@@ -2215,16 +2315,18 @@ object Multimodal {
                 lastBlack = false; lastFlat = false
                 lastSum = 0L; lastTotal = 0L
                 val (off, len) = tab.frames(fi)
-                val bytes = java.util.Arrays.copyOfRange(r.data, off, off + len)
+                val raw = java.util.Arrays.copyOfRange(r.data, off, off + len)
+                // animated-WebP frames are bare VP8L chunks: wrap into a
+                // standalone still so the sniff/decode guard serves them
+                val bytes =
+                  if (tab.container == "webp") riffWrapVp8l(raw) else raw
                 val dims = parseDimensions(bytes)
                 val tooBig = dims.exists { case (w, h) => w.toLong * h > MaxHashPixels }
                 val img =
                   if (dims.isEmpty || tooBig) null
                   else {
                     FrameDecodeCounter.increment()
-                    try javax.imageio.ImageIO.read(
-                      new java.io.ByteArrayInputStream(bytes))
-                    catch { case _: Exception => null }
+                    readImage(bytes)
                   }
                 if (img != null) {
                   val (s8, c8) = gridSums(img, 8, 8)

@@ -428,7 +428,8 @@ object Dedup {
     // shingle sets share one constant band key).
     val bd = graft.util.CacheScope.eager(spread(docs).select(col(id).as("id"),
         graft.functions.NativeKernels.simhashBands(tokens).as("bands"))
-      .where(col("bands") =!= array(lit(0), lit(0), lit(0), lit(0))))
+      .where(col("bands") =!= array(lit(0), lit(0), lit(0), lit(0)))
+      .distinct())
     // The bands array rides along through the explode so the hamming verify
     // runs INSIDE the bucket join, before any distinct — and it runs over
     // DISTINCT fingerprints only: on a self-similar corpus the candidate
@@ -457,7 +458,9 @@ object Dedup {
     val within = bd.as("x")
       .join(bd.as("y"), col("x.bands") === col("y.bands") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"), lit(0L).as("hamming"))
-    cross.union(within).distinct()
+    // no final distinct: bd is (id, fingerprint)-deduped and each doc has
+    // one fingerprint, so no pair can repeat (see hammingPairs)
+    cross.union(within)
   }
 
   /** Near-duplicate pairs (a, b, hamming) over an ARBITRARY 64-bit
@@ -488,9 +491,18 @@ object Dedup {
   def hammingPairs(sigs: DataFrame, id: String, sig: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, s"4 bands of 16 bits only guarantee capture up to hamming 3, got $maxHamming")
+    // (id, sig)-dedup up front, then NO distinct over the result: with one
+    // signature per id (the contract of every producer — one hash per
+    // image/clip/document), cross pairs appear once per distinct-signature
+    // pair and within pairs once per carrier pair, so a final distinct
+    // would shuffle the (possibly cohort-quadratic) OUTPUT for nothing.
+    // An id carrying several DIFFERENT signatures emits one row per
+    // matching signature pair — documented divergence from a per-id
+    // contract no caller relies on.
     val base = graft.util.CacheScope.eager(spread(sigs)
       .select(col(id).as("id"), col(sig).cast("long").as("sig"))
-      .where(col("sig").isNotNull && col("sig") =!= 0L))
+      .where(col("sig").isNotNull && col("sig") =!= 0L)
+      .distinct())
     val sigPairs = distinctSigPairs(base.select(col("sig")).distinct(), maxHamming)
     val cross = sigPairs
       .join(base.select(col("sig").as("sa"), col("id").as("ia")), "sa")
@@ -501,7 +513,7 @@ object Dedup {
     val within = base.as("x")
       .join(base.as("y"), col("x.sig") === col("y.sig") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"), lit(0L).as("hamming"))
-    cross.union(within).distinct()
+    cross.union(within)
   }
 
   /** Near-duplicate pairs between SEQUENCES of 64-bit signatures —
@@ -550,7 +562,8 @@ object Dedup {
     val base0 = graft.util.CacheScope.eager(spread(frames)
       .select(col(id).as("id"), col(pos).cast("long").as("pos"),
         col(sig).cast("long").as("sig"))
-      .where(col("sig").isNotNull && col("sig") =!= 0L))
+      .where(col("sig").isNotNull && col("sig") =!= 0L)
+      .distinct())
     // df over DISTINCT documents (a signature repeating within one clip —
     // a static shot — must not count toward the boilerplate cap)
     val rare = base0.groupBy("sig")
@@ -576,8 +589,11 @@ object Dedup {
       .join(base.as("y"), col("x.sig") === col("y.sig") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         col("x.pos").as("pa"), col("y.pos").as("pb"))
+    // no distinct before the count: base is (id, pos, sig)-deduped and one
+    // signature per (id, pos) is the producers' contract, so each matched
+    // (a, b, pa, pb) is emitted exactly once — a distinct here would
+    // shuffle the whole expansion a second time
     cross.union(within)
-      .distinct()
       .groupBy(col("a"), col("b"), (col("pa") - col("pb")).as("d"))
       .agg(count(lit(1)).as("n_match"))
       .where(col("n_match") >= minMatch)
