@@ -419,48 +419,20 @@ object Dedup {
   def simhashPairs(docs: DataFrame, id: String, tokens: Column, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, s"4 bands of 16 bits only guarantee capture up to hamming 3, got $maxHamming")
     // Native one-pass fingerprint (bit-identical to the composed
-    // simhash64Sums -> simhash64Bands chain, NativeKernelSpec). The
-    // all-zero fingerprint is excluded: it marks a contentless document
-    // (empty/null/null-poisoned token array — a contentful doc hits it
-    // only with probability ~2^-64), and k contentless docs would
-    // otherwise collide on every band into k(k-1)/2 hamming-0 pairs —
-    // the same degenerate blowup minhashPairs excludes up front (empty
-    // shingle sets share one constant band key).
-    val bd = graft.util.CacheScope.eager(spread(docs).select(col(id).as("id"),
-        graft.functions.NativeKernels.simhashBands(tokens).as("bands"))
-      .where(col("bands") =!= array(lit(0), lit(0), lit(0), lit(0)))
-      .distinct())
-    // The bands array rides along through the explode so the hamming verify
-    // runs INSIDE the bucket join, before any distinct — and it runs over
-    // DISTINCT fingerprints only: on a self-similar corpus the candidate
-    // volume can be 1000x the result volume, and the collapse keeps that
-    // quadratic in distinct fingerprints per bucket, never in carriers.
-    val reps = graft.util.CacheScope.eager(bd.select(col("bands")).distinct()
-      .select(col("bands"), posexplode(col("bands")).as(Seq("band", "bv"))))
-    val hamming = (0 until 4).map { i =>
-      bit_count(element_at(col("x.bands"), i + 1)
-        .bitwiseXOR(element_at(col("y.bands"), i + 1)).cast("long"))
-    }.reduce(_ + _)
-    val sigPairs = reps.as("x")
-      .join(reps.as("y"),
-        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-          col("x.bands") < col("y.bands"))
-      .select(col("x.bands").as("ba"), col("y.bands").as("bb"),
-        hamming.cast("long").as("hamming"))
-      .where(col("hamming") <= maxHamming)
-      .distinct()
-    val cross = sigPairs
-      .join(bd.select(col("bands").as("ba"), col("id").as("ia")), "ba")
-      .join(bd.select(col("bands").as("bb"), col("id").as("ib")), "bb")
-      .where(col("ia") =!= col("ib"))
-      .select(least(col("ia"), col("ib")).as("a"),
-        greatest(col("ia"), col("ib")).as("b"), col("hamming"))
-    val within = bd.as("x")
-      .join(bd.as("y"), col("x.bands") === col("y.bands") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"), lit(0L).as("hamming"))
-    // no final distinct: bd is (id, fingerprint)-deduped and each doc has
-    // one fingerprint, so no pair can repeat (see hammingPairs)
-    cross.union(within)
+    // simhash64Sums -> simhash64Bands chain, NativeKernelSpec), with the
+    // four 16-bit bands composed back into ONE 64-bit code: shuffles and
+    // joins key on a long instead of an int array, and the whole operator
+    // IS [[hammingPairs]] — same banding (band i = bits [16i, 16i+16)),
+    // same verify (bit_count of the 64-bit xor == the per-band sum), same
+    // exact-fingerprint collapse, same all-zero contentless-code guard
+    // (the zero fingerprint is exactly the all-zero band array).
+    val bands = graft.functions.NativeKernels.simhashBands(tokens)
+    val fp = (0 until 4).map(i =>
+        shiftleft(element_at(bands, i + 1).cast("long")
+          .bitwiseAND(lit(0xffffL)), i * 16))
+      .reduce(_ bitwiseOR _)
+    hammingPairs(docs.select(col(id).as("id"), fp.as("sig")), "id", "sig",
+      maxHamming)
   }
 
   /** Near-duplicate pairs (a, b, hamming) over an ARBITRARY 64-bit
@@ -491,29 +463,31 @@ object Dedup {
   def hammingPairs(sigs: DataFrame, id: String, sig: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, s"4 bands of 16 bits only guarantee capture up to hamming 3, got $maxHamming")
-    // (id, sig)-dedup up front, then NO distinct over the result: with one
-    // signature per id (the contract of every producer — one hash per
-    // image/clip/document), cross pairs appear once per distinct-signature
-    // pair and within pairs once per carrier pair, so a final distinct
-    // would shuffle the (possibly cohort-quadratic) OUTPUT for nothing.
-    // An id carrying several DIFFERENT signatures emits one row per
-    // matching signature pair — documented divergence from a per-id
-    // contract no caller relies on.
+    // Input contract: ONE signature row per id (every producer — one hash
+    // per image/clip/document — satisfies it). Under it no pair can
+    // repeat: cross pairs appear once per distinct-signature pair, within
+    // pairs once per carrier pair — so there is NO distinct over the
+    // (possibly cohort-quadratic) output, and no input dedup either.
+    // Duplicate input rows would emit duplicate pairs.
     val base = graft.util.CacheScope.eager(spread(sigs)
       .select(col(id).as("id"), col(sig).cast("long").as("sig"))
-      .where(col("sig").isNotNull && col("sig") =!= 0L)
-      .distinct())
-    val sigPairs = distinctSigPairs(base.select(col("sig")).distinct(), maxHamming)
-    val cross = sigPairs
+      .where(col("sig").isNotNull && col("sig") =!= 0L))
+    // one aggregate yields the distinct signatures for the band join AND
+    // the multi-carrier groups, whose hamming-0 SELF pairs ride the same
+    // expansion joins as the cross pairs (one plan, and AQE's exchange
+    // reuse computes the aggregate once)
+    val sigStats = base.groupBy("sig").agg(count(lit(1)).as("n"))
+    val selfPairs = sigStats.where(col("n") >= 2)
+      .select(col("sig").as("sa"), col("sig").as("sb"), lit(0L).as("hamming"))
+    val sigPairs = distinctSigPairs(sigStats.select(col("sig")), maxHamming)
+      .union(selfPairs)
+    sigPairs
       .join(base.select(col("sig").as("sa"), col("id").as("ia")), "sa")
       .join(base.select(col("sig").as("sb"), col("id").as("ib")), "sb")
-      .where(col("ia") =!= col("ib"))
+      .where((col("sa") =!= col("sb") && col("ia") =!= col("ib")) ||
+        (col("sa") === col("sb") && col("ia") < col("ib")))
       .select(least(col("ia"), col("ib")).as("a"),
         greatest(col("ia"), col("ib")).as("b"), col("hamming"))
-    val within = base.as("x")
-      .join(base.as("y"), col("x.sig") === col("y.sig") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"), lit(0L).as("hamming"))
-    cross.union(within)
   }
 
   /** Near-duplicate pairs between SEQUENCES of 64-bit signatures —
@@ -533,9 +507,9 @@ object Dedup {
     * INSIDE the join ([[distinctSigPairs]], pigeonhole-exhaustive at
     * maxHamming <= 3); expand verified signature pairs back to frame
     * pairs through two linear joins plus the cross-id frame pairs of
-    * each repeated-signature group; distinct (a, b, pa, pb) (a frame
-    * pair whose two positions carry multiple signatures could expand
-    * twice) -> one map-side-combined count per (a, b, diagonal). Never
+    * each repeated-signature group (each matched frame pair emitted
+    * exactly once — one signature per (id, pos) is the producers'
+    * contract) -> one map-side-combined count per (a, b, diagonal). Never
     * all-pairs, and — the skew guard — a boilerplate frame shared by k
     * clips (a constant intro card, identical silence windows) costs the
     * band join ONE row instead of k x 4: verify work is quadratic only
@@ -562,38 +536,35 @@ object Dedup {
     val base0 = graft.util.CacheScope.eager(spread(frames)
       .select(col(id).as("id"), col(pos).cast("long").as("pos"),
         col(sig).cast("long").as("sig"))
-      .where(col("sig").isNotNull && col("sig") =!= 0L)
-      .distinct())
-    // df over DISTINCT documents (a signature repeating within one clip —
-    // a static shot — must not count toward the boilerplate cap)
-    val rare = base0.groupBy("sig")
-      .agg(count_distinct(col("id")).as("df"))
-      .where(col("df") <= maxDf).select(col("sig"))
-    // eager too: the capped frame feeds five consumers (the distinct-sig
-    // pairs and both sides of each expansion join); the (id, pos, sig)
-    // triple is tiny next to the decode that produced it
-    val base = graft.util.CacheScope.eager(base0.join(rare, Seq("sig")))
-    val sigPairs = distinctSigPairs(base.select(col("sig")).distinct(), maxHamming)
+      .where(col("sig").isNotNull && col("sig") =!= 0L))
+    // ONE aggregate serves the boilerplate cap, the distinct-sig frame
+    // the band join runs on, AND the multi-carrier groups whose
+    // same-signature frame pairs ride the same expansion joins as the
+    // cross pairs (df counts DISTINCT documents — a signature repeating
+    // within one clip, a static shot, must not count toward the cap).
+    val sigStats = base0.groupBy("sig")
+      .agg(count_distinct(col("id")).as("df"), count(lit(1)).as("n"))
+      .where(col("df") <= maxDf)
+    val okSigs = sigStats.select(col("sig"))
+    val selfPairs = sigStats.where(col("n") >= 2)
+      .select(col("sig").as("sa"), col("sig").as("sb"), lit(0L).as("hamming"))
+    val sigPairs = distinctSigPairs(okSigs, maxHamming).union(selfPairs)
+    val base = base0.join(okSigs, Seq("sig"), "left_semi")
     val flip = col("ia") < col("ib")
-    val cross = sigPairs
+    // no distinct before the count: one signature per (id, pos) is the
+    // producers' contract, so each matched (a, b, pa, pb) is emitted
+    // exactly once — a distinct would shuffle the whole expansion again
+    sigPairs
       .join(base.select(col("sig").as("sa"), col("id").as("ia"),
         col("pos").as("qa")), "sa")
       .join(base.select(col("sig").as("sb"), col("id").as("ib"),
         col("pos").as("qb")), "sb")
-      .where(col("ia") =!= col("ib"))
+      .where((col("sa") =!= col("sb") && col("ia") =!= col("ib")) ||
+        (col("sa") === col("sb") && col("ia") < col("ib")))
       .select(when(flip, col("ia")).otherwise(col("ib")).as("a"),
         when(flip, col("ib")).otherwise(col("ia")).as("b"),
         when(flip, col("qa")).otherwise(col("qb")).as("pa"),
         when(flip, col("qb")).otherwise(col("qa")).as("pb"))
-    val within = base.as("x")
-      .join(base.as("y"), col("x.sig") === col("y.sig") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        col("x.pos").as("pa"), col("y.pos").as("pb"))
-    // no distinct before the count: base is (id, pos, sig)-deduped and one
-    // signature per (id, pos) is the producers' contract, so each matched
-    // (a, b, pa, pb) is emitted exactly once — a distinct here would
-    // shuffle the whole expansion a second time
-    cross.union(within)
       .groupBy(col("a"), col("b"), (col("pa") - col("pb")).as("d"))
       .agg(count(lit(1)).as("n_match"))
       .where(col("n_match") >= minMatch)
