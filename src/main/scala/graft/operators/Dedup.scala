@@ -758,12 +758,34 @@ object Dedup {
     * well-sized base files — the single-table sibling of
     * [[compactBandIndex]], same crash-safe swap and `compactedThrough`
     * bookkeeping (a committed batch re-delivered across the compaction
-    * no-ops). */
+    * no-ops).
+    *
+    * `maxDf` is the INDEX-SIDE boilerplate policy (the [[frameSigPairs]]
+    * df-cap applied where the incremental path can afford it — at
+    * compaction, when the whole table is being rewritten anyway): a
+    * signature carried by more than `maxDf` DISTINCT stored ids is
+    * corpus boilerplate (a constant intro frame, identical silence
+    * windows) whose band rows cost every future
+    * [[incrementalHammingPairs]] probe batch_carriers x index_carriers
+    * candidate rows; capping drops it from the index entirely. Recall
+    * trade: dropped signatures never match again — for frame-sequence
+    * indexes a true near-dup still matches on its non-boilerplate
+    * frames, exactly as in [[frameSigPairs]]. Default None = unchanged
+    * behavior. */
   def compactHammingIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, through: Option[Long] = None): Unit = {
+      path: String, through: Option[Long] = None,
+      maxDf: Option[Long] = None): Unit = {
     IndexIO.recoverSwap(spark, path)
     val tmp = path + "__compacting"
-    val folded = IndexIO.compactTable(spark, s"$path/bands", s"$tmp/bands", through)
+    val dropBoilerplate: DataFrame => DataFrame =
+      maxDf.fold(identity[DataFrame] _) { cap => df =>
+        val keep = df.groupBy("sig")
+          .agg(count_distinct(col("id")).as("df"))
+          .where(col("df") <= cap).select(col("sig"))
+        df.join(keep, Seq("sig"))
+      }
+    val folded = IndexIO.compactTable(spark, s"$path/bands", s"$tmp/bands",
+      through, dropBoilerplate)
     IndexIO.writeMeta(spark, tmp,
       IndexIO.metaWithCompactedThrough(spark, path, folded))
     IndexIO.swapDirs(spark, path, tmp)

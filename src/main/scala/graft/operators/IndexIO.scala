@@ -114,7 +114,8 @@ private[graft] object IndexIO {
     * `maxPartitionBytes`, newer batch partitions carried over unchanged;
     * returns the highest folded batchId. */
   private[graft] def compactTable(spark: SparkSession,
-      dir: String, tmp: String, through: Option[Long]): Long = {
+      dir: String, tmp: String, through: Option[Long],
+      transform: DataFrame => DataFrame = identity): Long = {
     val df = spark.read.parquet(dir)
     val maxBatch = df.agg(max(col(BatchCol).cast("long"))).head.getLong(0)
     val fold = math.min(through.getOrElse(maxBatch), maxBatch)
@@ -124,7 +125,7 @@ private[graft] object IndexIO {
         math.max(1L, (l.relation.sizeInBytes + maxSplit - 1) / maxSplit).toInt
     }.getOrElse(1)
     val b = col(BatchCol).cast("long")
-    df.withColumn(BatchCol, when(b <= fold, lit(-1L)).otherwise(b))
+    transform(df).withColumn(BatchCol, when(b <= fold, lit(-1L)).otherwise(b))
       .repartition(nFiles)
       .write.mode("overwrite").partitionBy(BatchCol).parquet(tmp)
     fold

@@ -952,6 +952,31 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(capped == Set((0L, 1L, 0L, 2L)))
   }
 
+  test("compactHammingIndex maxDf drops corpus-boilerplate signatures " +
+    "from the index: probes stop paying carrier-x-carrier candidates for " +
+    "them while true pairs keep matching") {
+    val path = java.nio.file.Files.createTempDirectory("graft-hamdf")
+      .toString + "/idx"
+    val boiler = 0x00ffcc11aa22bb33L
+    val corpus = ((0 until 30).map(i => (i.toLong, boiler)) ++
+      Seq(100L -> 0x1111222233334444L, 101L -> 0x5555666677778888L))
+      .toDF("id", "sig")
+    Dedup.writeHammingIndex(corpus, "id", "sig", path)
+    // batch: one boilerplate carrier, one hamming-1 twin of stored id 100
+    val batch = Seq(200L -> boiler, 201L -> 0x1111222233334445L)
+      .toDF("id", "sig")
+    val before = Dedup.incrementalHammingPairs(batch, "id", "sig", path)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(before.count(_._1 == 200L) == 30,
+      "uncapped: the boilerplate batch row pairs with every stored carrier")
+    assert(before.contains((201L, 100L, 1L)))
+    Dedup.compactHammingIndex(spark, path, maxDf = Some(10L))
+    val after = Dedup.incrementalHammingPairs(batch, "id", "sig", path)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(after == Set((201L, 100L, 1L)),
+      s"capped index must keep only the true pair, got $after")
+  }
+
   test("writeHammingIndex / incrementalHammingPairs: a new batch checks " +
     "against the stored signatures without recomputing them; append grows " +
     "the index; zero signatures stay out; the broadcast hint is gated") {
