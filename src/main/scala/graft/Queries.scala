@@ -2759,6 +2759,37 @@ object Queries {
       |ORDER BY a, b, d""".stripMargin
 
   // ----------------------------------------------------------------------
+  // Per-track MP4 codec identity: the stsd sample-entry fourcc plus, for
+  // AVC tracks, the SPS's own profile/level and TRUE coded dimensions
+  // (Exp-Golomb per the published syntax — fully algorithmic, the honest
+  // curation surface for files whose pixel decode is refused; tkhd
+  // geometry is display intent, the SPS is what a decoder allocates).
+  // Fixture SPS payloads come from an independent test writer over chosen
+  // parameters (profiles incl. the high-profile chroma block, a present
+  // scaling matrix, both pic_order_cnt layouts, interlaced double-height,
+  // 4:2:2 and monochrome crop units, a forced emulation-prevention byte);
+  // expected dims from those parameters through the published formulas.
+  // ----------------------------------------------------------------------
+  private lazy val mp4CodecsFixture: String = fixturePath("mp4_codecs.parquet")
+
+  private val mp4Codecs: (SparkSession, String) => DataFrame = (s, _) => {
+    val media = s.read.parquet(mp4CodecsFixture)
+      .select(col("media_id").as("id"), col("kind"), col("data"))
+    graft.multimodal.Multimodal.mp4CodecStats(media).toDF()
+      .select(col("id").as("media_id"), col("parsed"), col("track"),
+        col("codec"), col("isVideo").as("is_video"), col("profile"),
+        col("level"), col("spsWidth").as("sps_width"),
+        col("spsHeight").as("sps_height"))
+      .orderBy(col("media_id"), col("track"))
+  }
+
+  private val mp4CodecsSql =
+    s"""SELECT media_id, parsed, track, codec, is_video, profile, level,
+      |  sps_width, sps_height
+      |FROM '$mp4CodecsFixture'
+      |ORDER BY media_id, track""".stripMargin
+
+  // ----------------------------------------------------------------------
   // MP3 frame-header sequence walk: exact frame counts, duration summed
   // from real per-frame sample counts (1152 / 576), bitrate range and the
   // VBR flag — the honest upgrade over the single-header CBR estimate
@@ -3915,6 +3946,7 @@ object Queries {
     "q_mp4_neardup"   -> mp4NearDup,
     "q_mp4_stats"     -> mp4Stats,
     "q_webp_anim_frames"  -> webpAnimFrames,
+    "q_mp4_codecs"    -> mp4Codecs,
     "q_webp_anim_neardup" -> webpAnimNearDup,
     "q_pipeline_mm"   -> pipelineMm,
     "q_mp3_frames"    -> mp3Frames,
@@ -4037,6 +4069,7 @@ object Queries {
     "q_mp4_neardup"   -> mp4NearDupSql,
     "q_mp4_stats"     -> mp4StatsSql,
     "q_webp_anim_frames"  -> webpAnimFramesSql,
+    "q_mp4_codecs"    -> mp4CodecsSql,
     "q_webp_anim_neardup" -> webpAnimNearDupSql,
     "q_pipeline_mm"   -> pipelineMmSql,
     "q_mp3_frames"    -> mp3FramesSql,

@@ -1135,6 +1135,244 @@ object Multimodal {
       starts.toIndexedSeq, tUs / 1000L))
   }
 
+  /** One MP4 track's codec identity ([[parseMp4Codecs]]): the stsd sample
+    * entry's fourcc plus, for AVC tracks, the Sequence Parameter Set's own
+    * profile/level and TRUE coded dimensions. */
+  final case class Mp4CodecInfo(track: Int, codec: String, isVideo: Boolean,
+      profile: Option[Int], level: Option[Int],
+      spsWidth: Option[Int], spsHeight: Option[Int])
+
+  /** Per-track codec identity of an MP4 — the honest curation metadata
+    * for the files whose PIXELS this engine deliberately refuses (H.264's
+    * CAVLC coefficient tables cannot be verified offline — COVERAGE.md):
+    * walk moov > trak > mdia > (hdlr, minf > stbl > stsd), report each
+    * track's sample-entry fourcc, and for `avc1`/`avc2`/`avc3` entries
+    * parse the avcC record's first SPS — Exp-Golomb syntax per the
+    * published H.264 spec (fully algorithmic, no numeric tables): profile
+    * and level from the SPS itself (the container's claim can lie; the
+    * decoder configuration cannot), and the TRUE coded dimensions from
+    * pic_width_in_mbs / pic_height_in_map_units minus the frame cropping
+    * in chroma-dependent crop units (tkhd geometry is display intent;
+    * the SPS is what a decoder allocates). High-profile chroma blocks,
+    * scaling matrices, both pic_order_cnt layouts, interlaced
+    * (frame_mbs_only = 0) heights, and emulation-prevention stripping are
+    * handled; any SPS anomaly degrades that track to fourcc-only rather
+    * than guessing. None when the payload is not an MP4. */
+  def parseMp4Codecs(data: Array[Byte]): Option[Seq[Mp4CodecInfo]] = {
+    def u8(i: Int): Int = data(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Long = ((u8(i).toLong << 24) | (u8(i + 1) << 16) |
+      (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def fourcc(i: Int): String =
+      new String(data, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (data.length < 16 || fourcc(4) != "ftyp") return None
+    var malformed = false
+    def walk(from: Long, until: Long, depth: Int)(
+        f: (String, Int, Int) => Unit): Unit = {
+      if (depth > 8) { malformed = true; return }
+      var i = from
+      while (i + 8 <= until && !malformed) {
+        val size0 = be32(i.toInt)
+        val typ = fourcc(i.toInt + 4)
+        val (size, hdr) =
+          if (size0 == 1L && i + 16 <= until) (be64(i.toInt + 8), 16L)
+          else if (size0 == 0L) (until - i, 8L)
+          else (size0, 8L)
+        if (size < hdr || i + size > until) { malformed = true; return }
+        f(typ, (i + hdr).toInt, (i + size).toInt)
+        i += size
+      }
+    }
+    val out = scala.collection.mutable.ArrayBuffer[Mp4CodecInfo]()
+    walk(0, data.length, 0) { (t0, p0, e0) =>
+      if (t0 == "moov") walk(p0, e0, 1) { (t1, p1, e1) =>
+        if (t1 == "trak") {
+          val track = out.length + 1
+          var isVideo = false
+          var codec = ""
+          var avcC: Option[(Int, Int)] = None
+          walk(p1, e1, 2) { (t2, p2, e2) =>
+            if (t2 == "mdia") walk(p2, e2, 3) { (t3, p3, e3) =>
+              t3 match {
+                case "hdlr" if e3 >= p3 + 12 =>
+                  isVideo = fourcc(p3 + 8) == "vide"
+                case "minf" => walk(p3, e3, 4) { (t4, p4, e4) =>
+                  if (t4 == "stbl") walk(p4, e4, 5) { (t5, p5, e5) =>
+                    if (t5 == "stsd" && e5 >= p5 + 16 && be32(p5 + 4) >= 1) {
+                      codec = fourcc(p5 + 12)
+                      // visual sample entry: 8 (entry box header) + 78
+                      // bytes of fixed fields before the child boxes
+                      val entryEnd = math.min(e5.toLong,
+                        p5 + 8L + be32(p5 + 8)).toInt
+                      val kids = p5 + 8 + 8 + 78
+                      if ((codec == "avc1" || codec == "avc2" ||
+                        codec == "avc3") && kids < entryEnd)
+                        walk(kids, entryEnd, 6) { (t6, p6, e6) =>
+                          if (t6 == "avcC" && avcC.isEmpty)
+                            avcC = Some((p6, e6))
+                        }
+                    }
+                  }
+                }
+                case _ => ()
+              }
+            }
+          }
+          if (codec.nonEmpty) {
+            val sps = avcC.flatMap { case (p, e) =>
+              // AVCDecoderConfigurationRecord: version, profile, compat,
+              // level, lengthSize, numSPS (low 5 bits), then u16-length SPS
+              if (e < p + 8 || u8(p) != 1 || (u8(p + 5) & 0x1f) < 1) None
+              else {
+                val len = be16(p + 6)
+                if (p + 8 + len > e || len < 4) None
+                else parseSpsDims(
+                  java.util.Arrays.copyOfRange(data, p + 8, p + 8 + len))
+              }
+            }
+            out += Mp4CodecInfo(track, codec, isVideo,
+              sps.map(_._1), sps.map(_._2), sps.map(_._3), sps.map(_._4))
+          }
+        }
+      }
+    }
+    if (malformed || out.isEmpty) None else Some(out.toSeq)
+  }
+
+  /** Parse one SPS NAL's (profile, level, coded width, coded height) per
+    * the published Exp-Golomb syntax; None on any anomaly (refuse, don't
+    * guess). Package-visible for the spec's fuzzing. */
+  private[graft] def parseSpsDims(nal: Array[Byte])
+      : Option[(Int, Int, Int, Int)] = {
+    object Truncated extends RuntimeException { override def fillInStackTrace(): Throwable = this }
+    try {
+      if (nal.length < 4 || (nal(0) & 0x1f) != 7) return None
+      // strip emulation prevention: a 0x03 after two zero bytes is an
+      // escape, not data
+      val rbsp = new java.io.ByteArrayOutputStream()
+      var zeros = 0
+      var i = 1
+      while (i < nal.length) {
+        val b = nal(i) & 0xff
+        if (zeros >= 2 && b == 3) zeros = 0
+        else { rbsp.write(b); zeros = if (b == 0) zeros + 1 else 0 }
+        i += 1
+      }
+      val d = rbsp.toByteArray
+      var pos = 0
+      var bit = 0
+      def u(n: Int): Int = {
+        var v = 0
+        var k = 0
+        while (k < n) {
+          if (pos >= d.length) throw Truncated
+          v = (v << 1) | ((d(pos) >> (7 - bit)) & 1)
+          bit += 1
+          if (bit == 8) { bit = 0; pos += 1 }
+          k += 1
+        }
+        v
+      }
+      def ue(): Int = {
+        var z = 0
+        while (u(1) == 0) { z += 1; if (z > 31) throw Truncated }
+        (1 << z) - 1 + (if (z == 0) 0 else u(z))
+      }
+      def se(): Int = {
+        val k = ue()
+        if ((k & 1) == 1) (k + 1) / 2 else -(k / 2)
+      }
+      val profile = u(8)
+      u(8) // constraint flags + reserved
+      val level = u(8)
+      ue() // seq_parameter_set_id
+      var chroma = 1
+      var separateColour = false
+      if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
+        .contains(profile)) {
+        chroma = ue()
+        if (chroma > 3) throw Truncated
+        if (chroma == 3) separateColour = u(1) == 1
+        ue(); ue(); u(1) // bit depths, transform bypass
+        if (u(1) == 1) { // seq_scaling_matrix_present
+          val lists = if (chroma == 3) 12 else 8
+          var k = 0
+          while (k < lists) {
+            if (u(1) == 1) { // scaling_list_present
+              val size = if (k < 6) 16 else 64
+              var last = 8
+              var next = 8
+              var j = 0
+              while (j < size) {
+                if (next != 0) next = (last + se() + 256) % 256
+                if (next != 0) last = next
+                j += 1
+              }
+            }
+            k += 1
+          }
+        }
+      }
+      ue() // log2_max_frame_num_minus4
+      ue() match { // pic_order_cnt_type
+        case 0 => ue()
+        case 1 =>
+          u(1); se(); se()
+          val n = ue()
+          if (n > 255) throw Truncated
+          var k = 0
+          while (k < n) { se(); k += 1 }
+        case _ => ()
+      }
+      ue(); u(1) // max_num_ref_frames, gaps allowed
+      val wMbs = ue() + 1
+      val hUnits = ue() + 1
+      val fmo = u(1)
+      if (fmo == 0) u(1) // mb_adaptive_frame_field_flag
+      u(1) // direct_8x8_inference
+      var (cl, cr, ct, cb) = (0, 0, 0, 0)
+      if (u(1) == 1) { cl = ue(); cr = ue(); ct = ue(); cb = ue() }
+      val chromaArray = if (separateColour) 0 else chroma
+      val (cux, cuy) = chromaArray match {
+        case 0 => (1, 2 - fmo)
+        case 1 => (2, 2 * (2 - fmo))
+        case 2 => (2, 2 - fmo)
+        case _ => (1, 2 - fmo)
+      }
+      val w = wMbs * 16 - cux * (cl + cr)
+      val h = (2 - fmo) * hUnits * 16 - cuy * (ct + cb)
+      if (wMbs > 16384 || hUnits > 16384 || w <= 0 || h <= 0) None
+      else Some((profile, level, w, h))
+    } catch {
+      case _: RuntimeException => None
+    }
+  }
+
+  /** One payload's per-track codec rows ([[mp4CodecStats]]); unparseable
+    * payloads report a single `parsed = false` marker row. */
+  final case class Mp4CodecRow(id: Long, parsed: Boolean, track: Int,
+      codec: String, isVideo: Boolean, profile: Option[Int],
+      level: Option[Int], spsWidth: Option[Int], spsHeight: Option[Int])
+
+  /** Per-track MP4 codec identity over a binary media frame — one narrow
+    * mapPartitions, no shuffle, no sample decode: the honest gate a video
+    * curation pass filters on (codec family, H.264 profile/level caps,
+    * SPS-true dimensions) for payloads whose pixel decode is refused. */
+  def mp4CodecStats(media: DataFrame): Dataset[Mp4CodecRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.flatMap { r =>
+      parseMp4Codecs(r.data) match {
+        case Some(tracks) => tracks.map(t =>
+          Mp4CodecRow(r.id, parsed = true, t.track, t.codec, t.isVideo,
+            t.profile, t.level, t.spsWidth, t.spsHeight))
+        case None => Seq(Mp4CodecRow(r.id, parsed = false, 0, "",
+          isVideo = false, None, None, None, None))
+      }
+    })
+  }
+
   /** One MP3 payload's frame-SEQUENCE statistics ([[parseMp3Frames]]). */
   final case class Mp3FramesInfo(sampleRate: Int, channels: Int,
       nFrames: Long, durationMs: Long, minKbps: Int, maxKbps: Int,

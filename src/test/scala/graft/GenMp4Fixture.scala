@@ -48,21 +48,21 @@ object GenMp4Fixture {
 
   // ---- ISO-BMFF byte builders (independent of the engine's parser)
 
-  private def be16(v: Int): Array[Byte] =
+  private[graft] def be16(v: Int): Array[Byte] =
     Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
-  private def be32(v: Long): Array[Byte] =
+  private[graft] def be32(v: Long): Array[Byte] =
     Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
       ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
-  private def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
-  private def cc(s: String): Array[Byte] = {
+  private[graft] def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+  private[graft] def cc(s: String): Array[Byte] = {
     require(s.length == 4); s.getBytes("US-ASCII")
   }
-  private def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+  private[graft] def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
     val p = payload.toArray.flatten
     be32(p.length + 8L) ++ cc(typ) ++ p
   }
   /** FullBox: version byte + 24-bit flags prefix the payload. */
-  private def full(typ: String, flags: Int, payload: Array[Byte]*): Array[Byte] =
+  private[graft] def full(typ: String, flags: Int, payload: Array[Byte]*): Array[Byte] =
     box(typ, Array(0.toByte, ((flags >> 16) & 0xff).toByte,
       ((flags >> 8) & 0xff).toByte, (flags & 0xff).toByte),
       payload.toArray.flatten)

@@ -1436,6 +1436,31 @@ class MultimodalSpec extends SparkTestBase {
     assert(stats.nPixels == 61L * 64 * 48)
   }
 
+  test("parseMp4Codecs / parseSpsDims: per-track fourcc with SPS-true " +
+    "profile/level/dims for AVC; refusals degrade to fourcc-only; fuzz " +
+    "never throws") {
+    import GenMp4CodecFixture.{SpsParams, buildSps, expectedDims, avcC, mp4With}
+    val p = SpsParams(100, 31, widthMbs = 80, heightUnits = 45)
+    val sps = buildSps(p)
+    val (ew, eh) = expectedDims(p)
+    assert(Multimodal.parseSpsDims(sps).contains((100, 31, ew, eh)))
+    // a non-SPS NAL refuses
+    val notSps = sps.clone(); notSps(0) = 0x61.toByte
+    assert(Multimodal.parseSpsDims(notSps).isEmpty)
+    // bit flips degrade to Some-or-None, never throw
+    for (i <- 1 until math.min(sps.length, 24); b <- 0 until 8) {
+      val mut = sps.clone(); mut(i) = (mut(i) ^ (1 << b)).toByte
+      Multimodal.parseSpsDims(mut)
+    }
+    val file = mp4With("avc1", avcC(sps))
+    val tracks = Multimodal.parseMp4Codecs(file).get
+    assert(tracks == Seq(Multimodal.Mp4CodecInfo(1, "avc1", isVideo = true,
+      Some(100), Some(31), Some(ew), Some(eh))))
+    // every prefix degrades (None or fewer tracks), never throws
+    (0 to file.length).foreach(k => Multimodal.parseMp4Codecs(file.take(k)))
+    assert(Multimodal.parseMp4Codecs("garbage".getBytes).isEmpty)
+  }
+
   test("videoFrameSignals: ONE decode pass reproduces videoFrameHashes " +
     "and videoStats bit-identically — per-tick hashes, per-clip counters, " +
     "marker-row degrade — at half the decode count") {
