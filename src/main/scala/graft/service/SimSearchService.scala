@@ -374,6 +374,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
     *               "video_frames" | "video_neardup" | "video_stats" |
     *               "audio_seq" | "audio_seq_neardup" | "audio_tags" |
     *               "mp3_frames" | "webm_blocks" | "ogg_pages" | "ts_packets" |
+    *               "mp4_codecs" |
     *               "lm_bigram" | "lm_train" | "lm_score" | "random_project" |
     *               "image_hash" | "audio_fp" | "image_stats" |
     *               "audio_stats" | "profile" | "overlap",
@@ -483,7 +484,7 @@ final class SimSearchService(spark: SparkSession, port: Int,
         "image_stats", "audio_stats", "profile", "profile_series",
         "overlap", "video_frames", "video_neardup", "video_stats",
         "audio_seq", "audio_seq_neardup", "audio_tags", "mp3_frames",
-        "webm_blocks", "ogg_pages", "ts_packets")
+        "webm_blocks", "ogg_pages", "ts_packets", "mp4_codecs")
       if (!knownOps.contains(opName))
         throw new IllegalArgumentException(
           s"unknown operator '$opName' — one of ${knownOps.mkString(", ")}")
@@ -736,6 +737,14 @@ final class SimSearchService(spark: SparkSession, port: Int,
           // + keyframe counts, honest duration, payload bytes, no decode
           val dataCol = params.path("data_column").asText("data")
           graft.multimodal.Multimodal.webmBlockStats(
+              df.select(col(idCol).cast("long").as("id"),
+                lit("video").as("kind"), col(dataCol).as("data"))).toDF()
+            .withColumnRenamed("id", idCol)
+        case "mp4_codecs" =>
+          // per-track MP4 codec identity of a binary column: stsd fourcc
+          // plus SPS-true profile/level/coded dims for AVC tracks
+          val dataCol = params.path("data_column").asText("data")
+          graft.multimodal.Multimodal.mp4CodecStats(
               df.select(col(idCol).cast("long").as("id"),
                 lit("video").as("kind"), col(dataCol).as("data"))).toDF()
             .withColumnRenamed("id", idCol)

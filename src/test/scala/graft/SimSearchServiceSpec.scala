@@ -575,6 +575,24 @@ class SimSearchServiceSpec extends SparkTestBase {
         ogById(2L).get("durationMs").asLong() == 1000L, bOg)
       assert(!ogById(4L).get("parsed").asBoolean(), bOg)
 
+      // mp4_codecs: per-track codec identity + SPS metadata over the socket
+      val mcFix = new java.io.File("fixtures/mp4_codecs.parquet").getAbsolutePath
+      val (cMc, bMc) = http("POST", s"$base/pipeline", Some(
+        s"""{"operator": "mp4_codecs", "input": {"path": "$mcFix"},
+            "id": "media_id", "params": {}}"""))
+      assert(cMc == 200, bMc)
+      val mc = new ObjectMapper().readTree(bMc)
+      val mcById = (0 until mc.size()).map(i =>
+        mc.get(i).get("media_id").asLong() -> mc.get(i)).toMap
+      assert(mcById(1L).get("codec").asText() == "avc1" &&
+        mcById(1L).get("profile").asInt() == 66 &&
+        mcById(1L).get("spsWidth").asInt() == 1920 &&
+        mcById(1L).get("spsHeight").asInt() == 1080, bMc)
+      assert(mcById(8L).get("codec").asText() == "hev1", bMc)
+      val p8 = mcById(8L).get("profile")
+      assert(p8 == null || p8.isNull, "hev1 must be fourcc-only")
+      assert(!mcById(11L).get("parsed").asBoolean(), bMc)
+
       // ts_packets: the MPEG-TS lattice walk over the socket
       val tsFix = new java.io.File("fixtures/ts_packets.parquet").getAbsolutePath
       val (cTs, bTs) = http("POST", s"$base/pipeline", Some(
