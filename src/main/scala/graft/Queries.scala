@@ -2923,15 +2923,17 @@ object Queries {
   // ----------------------------------------------------------------------
   private val pipelineMm: (SparkSession, String) => DataFrame = (s, _) => {
     val M = graft.multimodal.Multimodal
-    // audio: decode -> near-dup keep-lowest-id -> silence gate
+    // audio: ONE decode pass (audioSignals = fingerprint + stats,
+    // bit-identical) feeds both the near-dup join and the silence gate,
+    // eager-scoped — the audio twin of the video single-pass below
     val am = s.read.parquet(audioFpFixture)
       .select(col("media_id").as("id"), col("kind"), col("data"))
-    val afp = M.audioFingerprint(am).toDF().where(col("decoded"))
-      .select(col("id"), col("afp"))
-    val aDrop = graft.operators.Dedup.hammingPairs(afp, "id", "afp",
-        maxHamming = 3)
+    val asig = graft.util.CacheScope.eager(
+      M.audioSignals(am).toDF().where(col("decoded")))
+    val aDrop = graft.operators.Dedup.hammingPairs(
+        asig.select(col("id"), col("afp")), "id", "afp", maxHamming = 3)
       .select(col("b").as("id")).distinct()
-    val aKeep = M.audioStats(am).toDF().where(col("decoded"))
+    val aKeep = asig
       .join(aDrop, Seq("id"), "left_anti")
       .where(col("nSilence") * 10 < col("nFrames"))
       .select(lit("audio").as("modality"), col("id").as("media_id"))

@@ -3107,6 +3107,136 @@ object Multimodal {
     finally ais.close()
   }
 
+  /** One audio payload's COMBINED fingerprint + quality row
+    * ([[audioSignals]]): [[AudioFpRow]]'s and [[AudioStatsRow]]'s fields,
+    * bit-identical, from one decode pass. */
+  final case class AudioSignalsRow(id: Long, kind: String, nBytes: Long,
+      decoded: Boolean, sampleRate: Int, channels: Int, nFrames: Long,
+      afp: Option[Long], durationMs: Long, peak: Long, absSum: Long,
+      nSilence: Long, nClipped: Long)
+
+  /** ONE decode pass serving BOTH the audio near-dup front end and the
+    * quality gates — for pipelines (the multimodal flagship) that need
+    * [[audioFingerprint]] AND [[audioStats]] over the same corpus: the
+    * sample stream decodes ONCE and folds into the 65-window energy
+    * envelope and the peak/absSum/silence/clipping counters in the same
+    * per-frame walk. Same decode contract ([[openAudio]]: WAV/AIFF/FLAC,
+    * integer PCM + IEEE-float lattice, honest frame counts), same
+    * refuse-don't-crash degrade; fields equal the two separate operators'
+    * outputs bit-for-bit (spec-asserted). */
+  def audioSignals(media: DataFrame): Dataset[AudioSignalsRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map { r =>
+      decodeAudioSignals(r.data) match {
+        case Some(s) => s.copy(id = r.id, kind = r.kind,
+          nBytes = r.data.length.toLong)
+        case None => AudioSignalsRow(r.id, r.kind, r.data.length.toLong,
+          decoded = false, 0, 0, 0L, None, 0L, 0L, 0L, 0L, 0L)
+      }
+    })
+  }
+
+  private def decodeAudioSignals(data: Array[Byte]): Option[AudioSignalsRow] = {
+    import javax.sound.sampled.AudioFormat
+    val ais =
+      try openAudio(data)
+      catch { case _: Exception => return None }
+    try {
+      val fmt = ais.getFormat
+      val enc = fmt.getEncoding
+      val bits = fmt.getSampleSizeInBits
+      val ch = fmt.getChannels
+      val frameSize = fmt.getFrameSize
+      val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+      val unsigned = enc == AudioFormat.Encoding.PCM_UNSIGNED
+      val isFloat = enc == AudioFormat.Encoding.PCM_FLOAT
+      if (!(signed || unsigned || isFloat) || ch <= 0 || frameSize <= 0 ||
+        !(if (isFloat) Seq(32, 64) else Seq(8, 16, 24, 32)).contains(bits) ||
+        frameSize != ch * (bits / 8)) return None
+      val header = ais.getFrameLength
+      val avail = ais.available().toLong / frameSize
+      val nFrames = math.min(if (header > 0) header else Long.MaxValue, avail)
+      if (nFrames <= 0) return None
+      val bytesPer = bits / 8
+      val big = fmt.isBigEndian
+      val center = if (unsigned) 1L << (bits - 1) else 0L
+      val hi = if (isFloat) 32767L else (1L << (bits - 1)) - 1
+      val lo = if (isFloat) -32768L else -(1L << (bits - 1))
+      val sums = new Array[Long](65)
+      val cnts = new Array[Long](65)
+      val buf = new Array[Byte](frameSize * 1024)
+      var frame = 0L
+      var carry = 0
+      var peak = 0L
+      var absSum = 0L
+      var nSilence = 0L
+      var nClipped = 0L
+      var done = false
+      while (!done && frame < nFrames) {
+        val got = ais.read(buf, carry, buf.length - carry)
+        if (got <= 0) done = true
+        else {
+          val total = carry + got
+          val frames = total / frameSize
+          var f = 0
+          while (f < frames && frame < nFrames) {
+            val base = f * frameSize
+            var allZero = true
+            var clipped = false
+            var mixed = 0L
+            var c = 0
+            while (c < ch) {
+              val off = base + c * bytesPer
+              var v = 0L
+              if (big) {
+                v = buf(off).toLong
+                var k = 1
+                while (k < bytesPer) { v = (v << 8) | (buf(off + k) & 0xffL); k += 1 }
+              } else {
+                v = buf(off + bytesPer - 1).toLong
+                var k = bytesPer - 2
+                while (k >= 0) { v = (v << 8) | (buf(off + k) & 0xffL); k -= 1 }
+              }
+              if (isFloat) v = floatToLattice(v, bits)
+              else if (unsigned) v = (v & ((1L << bits) - 1)) - center
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              absSum += a
+              if (v != 0L) allZero = false
+              if (v == hi || v == lo) clipped = true
+              mixed += v
+              c += 1
+            }
+            if (allZero) nSilence += 1
+            if (clipped) nClipped += 1
+            val w = (frame * 65L / nFrames).toInt
+            sums(w) += math.abs(mixed)
+            cnts(w) += 1
+            frame += 1
+            f += 1
+          }
+          carry = total - frames * frameSize
+          if (carry > 0) System.arraycopy(buf, frames * frameSize, buf, 0, carry)
+        }
+      }
+      if (frame == 0) return None
+      val mean = (0 until 65).map(i =>
+        if (cnts(i) == 0) 0L else sums(i) / cnts(i))
+      var bitsOut = 0L
+      var i = 0
+      while (i < 64) {
+        if (mean(i) > mean(i + 1)) bitsOut |= 1L << i
+        i += 1
+      }
+      val rate = fmt.getSampleRate.toInt
+      Some(AudioSignalsRow(0L, "", 0L, decoded = true, rate, ch, frame,
+        Some(bitsOut), if (rate > 0) frame * 1000L / rate else 0L,
+        peak, absSum, nSilence, nClipped))
+    } catch { case _: Exception => None }
+    finally ais.close()
+  }
+
   /** Frame form of [[audioStatsBatch]]. */
   def audioStats(media: DataFrame): Dataset[AudioStatsRow] = {
     val spark = media.sparkSession

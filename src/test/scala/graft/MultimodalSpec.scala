@@ -1436,6 +1436,28 @@ class MultimodalSpec extends SparkTestBase {
     assert(stats.nPixels == 61L * 64 * 48)
   }
 
+  test("audioSignals: ONE decode pass reproduces audioFingerprint and " +
+    "audioStats bit-identically over the committed audio fixture") {
+    val media = spark.read.parquet("fixtures/audio_fp.parquet")
+      .select(col("media_id").as("id"), col("kind"), col("data"))
+    val sig = Multimodal.audioSignals(media).collect()
+      .map(r => r.id -> r).toMap
+    val fp = Multimodal.audioFingerprint(media).collect()
+    val st = Multimodal.audioStats(media).collect()
+    assert(fp.nonEmpty && fp.exists(_.decoded))
+    fp.foreach { f =>
+      val s = sig(f.id)
+      assert((s.decoded, s.sampleRate, s.channels, s.nFrames, s.afp) ==
+        (f.decoded, f.sampleRate, f.channels, f.nFrames, f.afp), s"fp ${f.id}")
+    }
+    st.foreach { t =>
+      val s = sig(t.id)
+      assert((s.decoded, s.durationMs, s.peak, s.absSum, s.nSilence,
+        s.nClipped) == (t.decoded, t.durationMs, t.peak, t.absSum,
+        t.nSilence, t.nClipped), s"stats ${t.id}")
+    }
+  }
+
   test("parseMp4Codecs / parseSpsDims: per-track fourcc with SPS-true " +
     "profile/level/dims for AVC; refusals degrade to fourcc-only; fuzz " +
     "never throws") {
