@@ -297,17 +297,25 @@ object Queries {
   private val combos1 = Seq(Seq(0.4, 0.35, 0.25))
   private val combos2 = Seq(Seq(0.4, 0.35, 0.25), Seq(0.2, 0.3, 0.5))
 
-  private val multiFacet: (SparkSession, String) => DataFrame = (s, dir) =>
-    RankAggregate.topK(s, orderFacets(s, dir, combos1), 10, 10000)
+  private val multiFacet: (SparkSession, String) => DataFrame = (s, dir) => {
+    // fused shared-source scoring (optimization r16): the three facets are
+    // distance columns over ONE cached projection, so phase 2 is a single
+    // broadcast-semi pass instead of 3 scans + union + pivot aggregate —
+    // bit-identical results (OperatorSpec asserts row-for-row vs topK)
+    val (o, oid, fs) = orderShared(s, dir, combos1)
+    RankAggregate.topKSharedScan(s, o, oid, fs, 10, 10000)
       .withColumnRenamed("id", "o_orderkey")
+  }
 
   private val multiFacetSql = rankAggSql(orderFacetSqls, combos1, 10, 10000, "o_orderkey")
 
   // R5 multi-weight: every weight combination evaluated in one pass
   // (reference: RankAggregator.java:104-129)
-  private val multiWeight: (SparkSession, String) => DataFrame = (s, dir) =>
-    RankAggregate.topK(s, orderFacets(s, dir, combos2), 10, 10000)
+  private val multiWeight: (SparkSession, String) => DataFrame = (s, dir) => {
+    val (o, oid, fs) = orderShared(s, dir, combos2)
+    RankAggregate.topKSharedScan(s, o, oid, fs, 10, 10000)
       .withColumnRenamed("id", "o_orderkey")
+  }
 
   private val multiWeightSql = rankAggSql(orderFacetSqls, combos2, 10, 10000, "o_orderkey")
 
@@ -328,15 +336,12 @@ object Queries {
       if (dk <= 0.0) 1.0 else dk
     }
     val cal = fs.zip(scales).map { case (f, sc) => f.copy(scale = Some(sc)) }
-    val bound = cal.zipWithIndex.map { case (f, i) =>
-      BoundFacet(f.name, o.select(oid.as("id"), col(s"d$i").as("d")),
-        f.weightPerCombo, f.decay, f.scale, f.jaccard)
-    }
     // k <= K_MAX = 50 ids: collect them once so the k x k matrix job filters
     // the value scan directly instead of re-executing the whole rank-agg DAG
     // as a join input (the reference's ResultMatrix also works off the
-    // already-materialized ranked list, ResultMatrix.java:62-71)
-    val ids = RankAggregate.topK(s, bound, k, 1000 * k)
+    // already-materialized ranked list, ResultMatrix.java:62-71); fused
+    // shared-source scoring (optimization r16, see multiFacet)
+    val ids = RankAggregate.topKSharedScan(s, o, oid, cal, k, 1000 * k)
       .select(col("id")).collect().map(_.getLong(0)).toSeq
     val vals = t(s, dir, "orders").select(col("o_orderkey").as("id"),
       col("o_totalprice").as("v0"),
@@ -2923,66 +2928,85 @@ object Queries {
   // ----------------------------------------------------------------------
   private val pipelineMm: (SparkSession, String) => DataFrame = (s, _) => {
     val M = graft.multimodal.Multimodal
-    // audio: ONE decode pass (audioSignals = fingerprint + stats,
-    // bit-identical) feeds both the near-dup join and the silence gate,
-    // eager-scoped — the audio twin of the video single-pass below
-    val am = s.read.parquet(audioFpFixture)
-      .select(col("media_id").as("id"), col("kind"), col("data"))
-    val asig = graft.util.CacheScope.eager(
-      M.audioSignals(am).toDF().where(col("decoded")))
-    val aDrop = graft.operators.Dedup.hammingPairs(
-        asig.select(col("id"), col("afp")), "id", "afp", maxHamming = 3)
-      .select(col("b").as("id")).distinct()
-    val aKeep = asig
-      .join(aDrop, Seq("id"), "left_anti")
-      .where(col("nSilence") * 10 < col("nFrames"))
-      .select(lit("audio").as("modality"), col("id").as("media_id"))
-    // audio tags: per-artist cap 1 (the salted-rank operator), untagged
-    // rows pass through (a cap cannot apply without a key)
-    val tm = s.read.parquet(audioTagsFixture)
-      .select(col("media_id").as("id"), col("kind"), col("data"))
-    val tags = M.audioTags(tm).toDF()
-    val tKeep = graft.operators.Sampling.capPerKey(
-        tags.where(col("artist").isNotNull), col("artist"), col("id"), 1L)
-      .select(col("id"))
-      .unionByName(tags.where(col("artist").isNull).select(col("id")))
-      .select(lit("audio_tag").as("modality"), col("id").as("media_id"))
-    // image: hash -> near-dup keep-lowest -> resolution gate
-    val im = s.read.parquet(imagePhashFixture)
-      .select(col("media_id").as("id"), col("kind"), col("data"))
-    val ih = M.imageHash(im).toDF().where(col("decoded"))
-    val iDrop = graft.operators.Dedup.hammingPairs(
-        ih.select(col("id"), col("dhash")), "id", "dhash", maxHamming = 3)
-      .select(col("b").as("id")).distinct()
-    val iKeep = ih.join(iDrop, Seq("id"), "left_anti")
-      .where(col("width") * col("height") >= 1024)
-      .select(lit("image").as("modality"), col("id").as("media_id"))
-    // video: AVI + MP4 through one container-agnostic pass
-    val vm = s.read.parquet(videoFixture)
-      .select(col("media_id").as("id"), col("kind"), col("data"))
-      .unionByName(s.read.parquet(mp4Fixture)
-        .select((col("media_id") + 100).as("id"), col("kind"), col("data")))
-    // ONE decode pass serves both the near-dup hashes and the quality
-    // gate (videoFrameSignals = videoFrameHashes + videoStats signals,
-    // bit-identical); eager-scoped so the hash join sides and the stats
-    // aggregate all read the same materialized frame
-    val vsig = graft.util.CacheScope.eager(
-      M.videoFrameSignals(vm, everyMs = 500L).toDF())
-    val vh = vsig.where(col("decoded"))
-      .select(col("id"), col("frame_idx"), col("dhash"))
-    val vDrop = graft.operators.Dedup.frameSigPairs(vh, "id", "frame_idx",
-        "dhash", maxHamming = 3, minMatch = 2)
-      .select(col("b").as("id")).distinct()
-    val vKeep = vsig.groupBy(col("id"))
-      .agg(max(col("parsed")).as("parsed"),
-        sum(when(col("black"), 1).otherwise(0)).as("nBlack"),
-        sum(when(col("flat"), 1).otherwise(0)).as("nFlat"),
-        sum(when(col("parsed"), 1).otherwise(0)).as("nSampled"))
-      .where(col("parsed"))
-      .join(vDrop, Seq("id"), "left_anti")
-      .where(lit(2) * (col("nBlack") + col("nFlat")) <= col("nSampled"))
-      .select(lit("video").as("modality"), col("id").as("media_id"))
-    aKeep.unionByName(tKeep).unionByName(iKeep).unionByName(vKeep)
+    // The four modality chains are INDEPENDENT until the final union, and
+    // each serializes on its own eager decode materializations — so they
+    // are built on concurrent driver threads (CacheScope.parallel, the
+    // guide's overlap-independent-jobs pattern): the audio, image and
+    // video decode jobs back-fill each other's idle executors instead of
+    // running one after another. Results are unchanged (same plans, same
+    // union); only the construction-time jobs overlap. Drop-sets feed
+    // left_anti joins, which ignore duplicate build rows, so no distinct
+    // pass is spent on them (optimization r16: 3 exchanges + aggregates
+    // removed vs the r15 shape).
+    val chains = graft.util.CacheScope.parallel(Seq(
+      () => {
+        // audio: ONE decode pass (audioSignals = fingerprint + stats,
+        // bit-identical) feeds both the near-dup join and the silence
+        // gate, eager-scoped
+        val am = s.read.parquet(audioFpFixture)
+          .select(col("media_id").as("id"), col("kind"), col("data"))
+        val asig = graft.util.CacheScope.eager(
+          M.audioSignals(am).toDF().where(col("decoded")))
+        val aDrop = graft.operators.Dedup.hammingPairs(
+            asig.select(col("id"), col("afp")), "id", "afp", maxHamming = 3)
+          .select(col("b").as("id"))
+        asig
+          .join(aDrop, Seq("id"), "left_anti")
+          .where(col("nSilence") * 10 < col("nFrames"))
+          .select(lit("audio").as("modality"), col("id").as("media_id"))
+      },
+      () => {
+        // audio tags: per-artist cap 1 (the salted-rank operator), untagged
+        // rows pass through (a cap cannot apply without a key)
+        val tm = s.read.parquet(audioTagsFixture)
+          .select(col("media_id").as("id"), col("kind"), col("data"))
+        val tags = M.audioTags(tm).toDF()
+        graft.operators.Sampling.capPerKey(
+            tags.where(col("artist").isNotNull), col("artist"), col("id"), 1L)
+          .select(col("id"))
+          .unionByName(tags.where(col("artist").isNull).select(col("id")))
+          .select(lit("audio_tag").as("modality"), col("id").as("media_id"))
+      },
+      () => {
+        // image: hash -> near-dup keep-lowest -> resolution gate
+        val im = s.read.parquet(imagePhashFixture)
+          .select(col("media_id").as("id"), col("kind"), col("data"))
+        val ih = M.imageHash(im).toDF().where(col("decoded"))
+        val iDrop = graft.operators.Dedup.hammingPairs(
+            ih.select(col("id"), col("dhash")), "id", "dhash", maxHamming = 3)
+          .select(col("b").as("id"))
+        ih.join(iDrop, Seq("id"), "left_anti")
+          .where(col("width") * col("height") >= 1024)
+          .select(lit("image").as("modality"), col("id").as("media_id"))
+      },
+      () => {
+        // video: AVI + MP4 through one container-agnostic pass
+        val vm = s.read.parquet(videoFixture)
+          .select(col("media_id").as("id"), col("kind"), col("data"))
+          .unionByName(s.read.parquet(mp4Fixture)
+            .select((col("media_id") + 100).as("id"), col("kind"), col("data")))
+        // ONE decode pass serves both the near-dup hashes and the quality
+        // gate (videoFrameSignals = videoFrameHashes + videoStats signals,
+        // bit-identical); eager-scoped so the hash join sides and the
+        // stats aggregate all read the same materialized frame
+        val vsig = graft.util.CacheScope.eager(
+          M.videoFrameSignals(vm, everyMs = 500L).toDF())
+        val vh = vsig.where(col("decoded"))
+          .select(col("id"), col("frame_idx"), col("dhash"))
+        val vDrop = graft.operators.Dedup.frameSigPairs(vh, "id", "frame_idx",
+            "dhash", maxHamming = 3, minMatch = 2)
+          .select(col("b").as("id"))
+        vsig.groupBy(col("id"))
+          .agg(max(col("parsed")).as("parsed"),
+            sum(when(col("black"), 1).otherwise(0)).as("nBlack"),
+            sum(when(col("flat"), 1).otherwise(0)).as("nFlat"),
+            sum(when(col("parsed"), 1).otherwise(0)).as("nSampled"))
+          .where(col("parsed"))
+          .join(vDrop, Seq("id"), "left_anti")
+          .where(lit(2) * (col("nBlack") + col("nFlat")) <= col("nSampled"))
+          .select(lit("video").as("modality"), col("id").as("media_id"))
+      }))
+    chains.reduce(_ unionByName _)
       .orderBy(col("modality"), col("media_id"))
   }
 

@@ -92,6 +92,83 @@ object RankAggregate {
     run(spark, bound, k, m, detailed, Some(topMs))
   }
 
+  /** As [[topK]] for facets sharing ONE source frame, with a FUSED exact-
+    * scoring phase: because every facet is a distance COLUMN over the same
+    * source and ids are unique in it, the per-candidate facet scores need no
+    * per-facet stream + union + pivot aggregation — one broadcast-semi pass
+    * over the source computes every `s_i` side by side. Plan effect vs
+    * [[topK]] over per-facet projections of the same frame: |facets| scans
+    * + union + HashAggregate (+ its Exchange) collapse into ONE scan and
+    * zero aggregates; at cluster scale that is |facets| full corpus passes
+    * → 1. Results are bit-identical for the shared-source shape (each
+    * candidate id appears exactly once per facet stream either way, so the
+    * pivot's conditional sum was a no-op re-expression of the same decayed
+    * similarity — asserted row-for-row against [[topK]] in OperatorSpec).
+    * Phase 1 stays the per-facet codegen'd TakeOrderedAndProject over the
+    * (typically cached) source — the measured winner at m comparable to
+    * rows-per-partition (see [[topKShared]]'s scaladoc for the MultiTopM
+    * alternative at m << rows-per-partition). */
+  def topKSharedScan(spark: SparkSession, source: DataFrame,
+      id: org.apache.spark.sql.Column, facets: Seq[SharedFacet],
+      k: Int, m: Int, detailed: Boolean = false): DataFrame = {
+    require(facets.nonEmpty)
+    val nCombos = facets.head.weightPerCombo.size
+    require(facets.forall(_.weightPerCombo.size == nCombos))
+    facets.foreach(f => f.weightPerCombo.foreach(w =>
+      require(w > 0 && w <= 1, s"weight $w out of (0,1] for facet ${f.name}")))
+    // Phase 1: deterministic per-facet top-M, one TakeOrderedAndProject
+    // per facet over the shared source (cached by the caller), cached so
+    // calibration and the candidate union read each list once.
+    val topMs = facets.map(f => graft.util.CacheScope.register(
+      FacetSearch.topM(source.select(id.as("id"),
+        f.dist.cast("double").as("d")), m).cache()))
+    val needScale = facets.zipWithIndex.filter(_._1.scale.isEmpty)
+    val kth: Map[Int, Double] =
+      if (needScale.isEmpty) Map.empty
+      else needScale.map { case (_, i) =>
+        topMs(i).orderBy(col("d"), col("id")).limit(k)
+          .select(lit(i).as("f"), col("d"))
+      }.reduce(_ union _)
+        .groupBy(col("f")).agg(max(col("d")).as("dk"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val scales = facets.zipWithIndex.map { case (f, i) =>
+      f.scale.getOrElse {
+        val dk = kth.getOrElse(i, 0.0)
+        if (dk <= 0.0) 1.0 else dk
+      }
+    }
+    val cands = topMs.map(_.select(col("id"))).reduce(_ union _).distinct()
+    // Phase 2 (fused): one broadcast-semi pass computes all facet scores.
+    val simCols = facets.zip(scales).zipWithIndex.map { case ((f, sc), i) =>
+      val d = f.dist.cast("double")
+      val s =
+        if (f.jaccard) graft.functions.SimKernels.decaySimJaccard(d, f.decay, lit(sc))
+        else graft.functions.SimKernels.decaySim(d, f.decay, lit(sc))
+      s.as(s"s_$i")
+    }
+    val pivoted = source.select((id.as("id") +: simCols): _*)
+      .join(broadcast(cands), Seq("id"))
+    // TA-style exactness bound for detailed mode — same derivation as
+    // [[run]]'s sMth, restricted to the shared-source facet shape (no
+    // pre-scored facets possible here).
+    lazy val sMth: Seq[Double] = {
+      val stats = topMs.zipWithIndex.map { case (tm, i) =>
+        tm.select(lit(i).as("f"), col("d"))
+      }.reduce(_ union _)
+        .groupBy(col("f"))
+        .agg(count(lit(1)).as("n"), max(col("d")).as("maxd"))
+        .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      facets.zip(scales).zipWithIndex.map { case ((f, sc), i) =>
+        val (n, maxd) = stats.getOrElse(i, (0L, 0.0))
+        if (n < m) 0.0
+        else if (f.jaccard && maxd == 1.0) 0.0
+        else math.exp(-f.decay * maxd / sc)
+      }
+    }
+    finish(pivoted, facets.map(f => (f.name, f.weightPerCombo)), k, nCombos,
+      detailed, if (detailed) Some(sMth) else None)
+  }
+
   private def run(spark: SparkSession, facets: Seq[BoundFacet], k: Int, m: Int,
       detailed: Boolean, topMsIn: Option[Seq[DataFrame]] = None): DataFrame = {
     require(facets.nonEmpty)
@@ -251,16 +328,24 @@ object RankAggregate {
       }
     }
 
-    // All combos in ONE pass: per-combo scores become an exploded
-    // (combo, score) column pair, ranked by a single window partitioned by
-    // combo. A per-combo union of branches would re-execute the whole
-    // pivot subtree once per combination (Spark unions share no common
-    // subexpressions) and sort each branch on a single partition.
+    finish(pivoted, facets.map(f => (f.name, f.weightPerCombo)), k, nCombos,
+      detailed, if (detailed) Some(sMth) else None)
+  }
+
+  /** Shared ranking tail: pivoted (id, s_0..s_n) -> per-combo global top-k.
+    * All combos in ONE pass: per-combo scores become an exploded
+    * (combo, score) column pair, ranked by a single window partitioned by
+    * combo. A per-combo union of branches would re-execute the whole
+    * pivot subtree once per combination (Spark unions share no common
+    * subexpressions) and sort each branch on a single partition. */
+  private def finish(pivoted: DataFrame, facetMeta: Seq[(String, Seq[Double])],
+      k: Int, nCombos: Int, detailed: Boolean,
+      sMthOpt: Option[Seq[Double]]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scoreCols: Seq[Column] = (0 until nCombos).map { c =>
-      val ws = facets.map(_.weightPerCombo(c))
-      val num = facets.zipWithIndex
-        .map { case (f, i) => lit(f.weightPerCombo(c)) * col(s"s_$i") }
+      val ws = facetMeta.map(_._2(c))
+      val num = facetMeta.zipWithIndex
+        .map { case ((_, wpc), i) => lit(wpc(c)) * col(s"s_$i") }
         .reduce(_ + _) // left-assoc
       round(num / lit(ws.sum), 6)
     }
@@ -274,8 +359,9 @@ object RankAggregate {
     val result =
       if (!detailed) base
       else {
+        val sMth = sMthOpt.get
         val taus = (0 until nCombos).map { c =>
-          val ws = facets.map(_.weightPerCombo(c))
+          val ws = facetMeta.map(_._2(c))
           ws.zip(sMth).map { case (wf, s) => wf * s }.sum / ws.sum
         }
         base.withColumn("exact", col("score") >=
@@ -287,9 +373,9 @@ object RankAggregate {
       // twice with different values/weights): a repeated name would yield
       // two identically-named s_ columns and serializers would silently
       // drop one facet's score
-      val names = facets.map(_.name)
-      val perFacetCols = facets.zipWithIndex.map { case (f, i) =>
-        val n = if (names.count(_ == f.name) > 1) s"s_${f.name}_$i" else s"s_${f.name}"
+      val names = facetMeta.map(_._1)
+      val perFacetCols = facetMeta.zipWithIndex.map { case ((nm, _), i) =>
+        val n = if (names.count(_ == nm) > 1) s"s_${nm}_$i" else s"s_$nm"
         col(s"s_$i").as(n)
       }
       result.join(pivoted.select(col("id") +: perFacetCols: _*), Seq("id"))

@@ -34,11 +34,47 @@ object CacheScope {
     new ThreadLocal[scala.collection.mutable.ArrayBuffer[Dataset[_]]]()
 
   /** Track `df` (already `.cache()`d by the caller) for unpersist at the
-    * end of the enclosing [[withScope]], if one is open on this thread. */
+    * end of the enclosing [[withScope]], if one is open on this thread.
+    * Appends under the buffer's lock: [[parallel]] shares one scope buffer
+    * across its worker threads. */
   def register[T](df: Dataset[T]): Dataset[T] = {
     val buf = active.get()
-    if (buf != null) buf += df
+    if (buf != null) buf.synchronized { buf += df }
     df
+  }
+
+  /** Run the bodies CONCURRENTLY, each on its own thread with the CALLING
+    * thread's open scope shared (registrations land in the enclosing
+    * scope), and return their results in order. The overlap-independent-
+    * jobs pattern: Spark's scheduler runs jobs submitted from several
+    * driver threads at once, so independent chains' eager materializations
+    * back-fill each other's stragglers instead of serializing — the wall
+    * clock of N independent eager chains drops toward the longest one.
+    * Thread-safety: SparkSession job submission is thread-safe; the scope
+    * buffer append is synchronized in [[register]]. Any body throwing
+    * rethrows after all bodies settle (no orphaned running jobs). */
+  def parallel[T](bodies: Seq[() => T]): Seq[T] = {
+    if (bodies.sizeIs <= 1) return bodies.map(_())
+    val outer = active.get()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(bodies.size)
+    try {
+      val futures = bodies.map { b =>
+        pool.submit(new java.util.concurrent.Callable[T] {
+          override def call(): T = {
+            active.set(outer)
+            try b() finally active.remove()
+          }
+        })
+      }
+      // get() each in order; the first failure propagates after every
+      // other body has settled (futures are all submitted already)
+      val results = futures.map { f =>
+        try Right(f.get())
+        catch { case e: java.util.concurrent.ExecutionException => Left(e.getCause) }
+      }
+      results.collectFirst { case Left(e) => e }.foreach(throw _)
+      results.collect { case Right(v) => v }
+    } finally pool.shutdown()
   }
 
   /** Cache `df` and, WHEN a [[withScope]] is open on this thread,

@@ -52,6 +52,61 @@ class OperatorSpec extends SparkTestBase {
     assert(got == exp)
   }
 
+  test("RankAggregate.topKSharedScan: bit-identical to topK over the same " +
+      "shared source (fused phase 2, multi-combo, jaccard facet)") {
+    val rnd = new scala.util.Random(11)
+    val n = 80
+    val rows = (0 until n).map(i =>
+      (i.toLong, rnd.nextDouble() * 100, rnd.nextDouble() * 10,
+        if (i % 3 == 0) 0.25 else if (i % 3 == 1) 1.0 else 0.6))
+    val src = rows.toDF("id", "v0", "v1", "dj")
+      .select(col("id"), abs(col("v0") - 50.0).as("d0"),
+        abs(col("v1") - 5.0).as("d1"), col("dj").as("d2"))
+    val combos = Seq(Seq(0.5, 0.3, 0.2), Seq(0.2, 0.2, 0.6))
+    val shared = Seq(
+      RankAggregate.SharedFacet("f0", col("d0"), combos.map(_(0))),
+      RankAggregate.SharedFacet("f1", col("d1"), combos.map(_(1))),
+      RankAggregate.SharedFacet("f2", col("d2"), combos.map(_(2)), jaccard = true))
+    val bound = shared.zipWithIndex.map { case (f, i) =>
+      BoundFacet(f.name, src.select(col("id"), col(s"d$i").as("d")),
+        f.weightPerCombo, f.decay, f.scale, f.jaccard)
+    }
+    val (k, m) = (7, 25)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("combo", "rank").collect().map(_.toSeq).toSeq
+    assert(rowsOf(RankAggregate.topKSharedScan(spark, src, col("id"), shared, k, m))
+      == rowsOf(RankAggregate.topK(spark, bound, k, m)))
+    // detailed mode too: exact flag + per-facet score columns
+    assert(rowsOf(RankAggregate.topKSharedScan(spark, src, col("id"), shared,
+        k, m, detailed = true).select("combo", "rank", "id", "score", "exact",
+          "s_f0", "s_f1", "s_f2"))
+      == rowsOf(RankAggregate.topKDetailed(spark, bound, k, m)
+          .select("combo", "rank", "id", "score", "exact",
+            "s_f0", "s_f1", "s_f2")))
+  }
+
+  test("CacheScope.parallel: results in order, registrations land in the " +
+      "enclosing scope, failures propagate") {
+    val df1 = Seq(1, 2).toDF("a").cache()
+    val df2 = Seq(3).toDF("a").cache()
+    var seen: Seq[Int] = Nil
+    graft.util.CacheScope.withScope {
+      seen = graft.util.CacheScope.parallel(Seq(
+        () => { graft.util.CacheScope.register(df1); df1.count().toInt },
+        () => { graft.util.CacheScope.register(df2); df2.count().toInt }))
+    }
+    assert(seen == Seq(2, 1))
+    // scope closed -> both unpersisted (storage level NONE)
+    assert(df1.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    assert(df2.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    val boom = intercept[RuntimeException] {
+      graft.util.CacheScope.parallel(Seq(
+        () => 1,
+        () => throw new RuntimeException("chain failed")))
+    }
+    assert(boom.getMessage == "chain failed")
+  }
+
   test("RankAggregate: missing facet value contributes similarity 0") {
     val f0 = Seq((1L, 0.0), (2L, 1.0)).toDF("id", "d")
     val f1 = Seq((1L, 5.0)).toDF("id", "d") // id 2 missing here
