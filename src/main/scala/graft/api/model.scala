@@ -115,11 +115,20 @@ object Knobs {
     * read ONCE when the stream is built — SET before starting the stream;
     * restart a running stream to change its cadence. */
   val AnnIndexCompactEvery = "spark.graft.annindex.compactEvery"
+  /** Edge rows per partition of the distributed clustering loop
+    * ([[graft.operators.Dedup.clusters]]): the loop's shuffle partition
+    * count is ceil(measured edges / this), clamped to the session's
+    * shuffle-partition setting — partitions sized by the data, not a
+    * constant (a 32-partition loop over a thousand edges pays 32 tasks of
+    * pure overhead per round; a fixed small count would starve a trillion-
+    * edge graph). long > 0, default 1,000,000 (~tens of MB of (long, long)
+    * rows per task). */
+  val DedupEdgesPerPartition = "spark.graft.dedup.edgesPerPartition"
   /** All deployment knobs with their defaults — the set a REST tenant sees
     * under /_settings and the console's `SET` accepts. */
   val AllWithDefaults: Seq[(String, String)] = Seq(
     DedupCheckpointEvery -> "5", AnnProbes -> "1", SampleSaltWidth -> "2",
-    AnnIndexCompactEvery -> "0")
+    AnnIndexCompactEvery -> "0", DedupEdgesPerPartition -> "1000000")
 }
 
 object Limits {

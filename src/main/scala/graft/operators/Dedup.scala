@@ -1023,10 +1023,19 @@ object Dedup {
       s"checkpointEvery must be positive, got $ckptEvery " +
         "(use a value > maxRounds to effectively disable checkpointing)")
     // duplicate edges are harmless to a min-aggregation, so no distinct()
-    // pass; near-dup pair generators emit unique (a < b) pairs anyway
-    val e = pairs.select(col(a).as("x"), col(b).as("y"))
-      .union(pairs.select(col(b).as("x"), col(a).as("y")))
-      .cache()
+    // pass; near-dup pair generators emit unique (a < b) pairs anyway.
+    // The symmetric edge view is built as two scans of ONE pinned pair
+    // frame: caching the union instead (the historical shape) made its
+    // cold materialization run the whole upstream pair-generation chain —
+    // the banded candidate join plus the exact verify join — once PER
+    // UNION BRANCH, i.e. twice, on every clustering query. The pin's
+    // count doubles as the edge count the local/distributed decision
+    // needs (the union counts each pair in both directions: 2x).
+    val p = graft.util.CacheScope.register(
+      pairs.select(col(a).as("x0"), col(b).as("y0")).cache())
+    val nPairs = p.count()
+    val e = p.select(col("x0").as("x"), col("y0").as("y"))
+      .union(p.select(col("y0").as("x"), col("x0").as("y")))
     // Size-gated local fast path — the same philosophy as Spark's broadcast
     // join: when the EDGE LIST (not the corpus) fits on the driver, a local
     // union-find beats rounds of tiny distributed jobs by orders of
@@ -1067,12 +1076,14 @@ object Dedup {
       val reps = withOrig.groupBy(col("c")).agg(min(col("__orig")).as("__repr"))
       val out = withOrig.join(reps, "c")
         .select(col("__orig").as("n"), col("__repr").as("c"))
-      e.unpersist()
+      p.unpersist()
       return out
     }
-    val nEdges = e.count()
+    val nEdges = 2 * nPairs // both directions, matching the union's count
     if (nEdges <= localEdgeLimit) {
-      val edges = e.select(col("x").cast("long"), col("y").cast("long"))
+      // union-find is direction-blind: collect the pinned HALF the
+      // symmetric view doubles (half the driver transfer and memory)
+      val edges = p.select(col("x0").cast("long"), col("y0").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(v: Long): Long = {
@@ -1093,14 +1104,36 @@ object Dedup {
         val r = find(n)
         minOfRoot(r) = math.min(minOfRoot.getOrElse(r, n), n)
       }
-      e.unpersist()
+      p.unpersist()
       val spark = pairs.sparkSession
       import spark.implicits._
       val out = nodes.sorted.map(n => (n, minOfRoot(find(n)))).toSeq
         .toDF("n", "c")
       return out.select(col("n").cast(idType).as("n"), col("c").cast(idType).as("c"))
     }
-    var labels = e.select(col("x").as("n")).distinct()
+    // Loop partitioning derived from the MEASURED edge count (scale-
+    // adaptive, not a constant): tiny forced-distributed graphs run
+    // single-task rounds instead of paying the session's full shuffle
+    // width per round, while a graph past edgesPerPartition x shuffle
+    // partitions uses the session setting unchanged. Keying the cached
+    // edge frame by the join key ONCE makes every round's join
+    // exchange-free on the edge side (the loop-invariant shuffle was paid
+    // per round before); when loopParts equals the session width the
+    // round aggregate's output partitioning (n, loopParts) then matches
+    // the next round's join requirement, so the only per-round exchange
+    // left is the label aggregate itself.
+    val sess = pairs.sparkSession
+    val edgesPerPart = math.max(1L, sess.conf
+      .get(graft.api.Knobs.DedupEdgesPerPartition, "1000000").toLong)
+    val sessParts = sess.sessionState.conf.numShufflePartitions
+    val loopParts = math.max(1, math.min(
+      ((nEdges + edgesPerPart - 1) / edgesPerPart).toInt, sessParts))
+    val ek = graft.util.CacheScope.register(
+      e.repartition(loopParts, col("y")).cache())
+    // keep the small-loopParts repartition BELOW the distinct so the
+    // aggregate satisfies its distribution from it (no second exchange)
+    var labels = ek.select(col("x").as("n"))
+      .repartition(loopParts, col("n")).distinct()
       .select(col("n"), col("n").as("c")).cache()
     // Convergence test in the SAME job that materializes the round (ids
     // are integral here — the non-integral branch above mapped-and-
@@ -1114,9 +1147,15 @@ object Dedup {
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      val next = e.as("e").join(labels.as("l"), col("e.y") === col("l.n"))
+      val joined = ek.as("e").join(labels.as("l"), col("e.y") === col("l.n"))
         .select(col("e.x").as("n"), col("l.c").as("c"))
         .union(labels)
+      // below the session width, pin the aggregate to loopParts via an
+      // explicit repartition (the map-side partial aggregate it forfeits
+      // only matters when the per-round data is big — exactly when
+      // loopParts == sessParts and this branch is skipped)
+      val next = (if (loopParts < sessParts)
+          joined.repartition(loopParts, col("n")) else joined)
         .groupBy("n").agg(min("c").as("c"))
         .cache()
       val s = labelSum(next)
@@ -1143,7 +1182,8 @@ object Dedup {
         s"label propagation stopped at maxRounds=$maxRounds before " +
           "convergence — the pair graph's diameter exceeds the bound and " +
           "some clusters are split; raise maxRounds")
-    e.unpersist()
+    ek.unpersist()
+    p.unpersist()
     graft.util.CacheScope.register(labels)
   }
 }
