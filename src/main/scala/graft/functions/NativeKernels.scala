@@ -1390,38 +1390,7 @@ object NativeKernels {
     def computeSelect(input: ArrayData): ArrayData = {
       val n = input.numElements()
       if (n < 1) return new GenericArrayData(Array.empty[Any])
-      val h = input.toLongArray()
-      val nWin = math.max(n - (w - 1), 1)
-      val deque = new Array[Int](n)
-      var head = 0; var tail = 0
-      var j = 0
-      // dedup on the selected INDEX: within one document a position
-      // determines its hash, so (fp, pos) dedup == pos dedup, and the
-      // plain-fp variant dedups on the value itself
-      val seenPos = new java.util.HashSet[Integer]()
-      val seenFp = new java.util.HashSet[java.lang.Long]()
-      val out = new scala.collection.mutable.ArrayBuffer[Any](nWin)
-      var win = 0
-      while (win < nWin) {
-        val end = math.min(win + w - 1, n - 1)
-        while (j <= end) {
-          // STRICT pop: an equal later value never evicts an earlier one,
-          // so the front stays the leftmost minimum of the window
-          while (tail > head && h(deque(tail - 1)) > h(j)) tail -= 1
-          deque(tail) = j; tail += 1
-          j += 1
-        }
-        while (deque(head) < win) head += 1
-        val m = deque(head)
-        if (withPos) {
-          if (seenPos.add(m)) out += new org.apache.spark.sql.catalyst
-            .expressions.GenericInternalRow(Array[Any](h(m), m + 1))
-        } else {
-          if (seenFp.add(h(m))) out += (h(m): java.lang.Long)
-        }
-        win += 1
-      }
-      new GenericArrayData(out.toArray)
+      winnowSelectFrom(input.toLongArray(), w, withPos)
     }
 
     override protected def nullSafeEval(v: Any): Any =
@@ -1434,6 +1403,151 @@ object NativeKernels {
         s"${ev.value} = ($arrCls) $ref.computeSelect($c);")
     }
   }
+
+  /** Shared winnowing selection core (monotonic deque over the hash
+    * array): deduplicated per-window minima, with or without 1-based
+    * k-gram positions. Extracted so the fused text->fingerprints kernel
+    * below runs the identical selection on its freshly hashed array. */
+  private def winnowSelectFrom(h: Array[Long], w: Int, withPos: Boolean)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val n = h.length
+    if (n < 1) return new GenericArrayData(Array.empty[Any])
+    val nWin = math.max(n - (w - 1), 1)
+    val deque = new Array[Int](n)
+    var head = 0; var tail = 0
+    var j = 0
+    // dedup on the selected INDEX: within one document a position
+    // determines its hash, so (fp, pos) dedup == pos dedup, and the
+    // plain-fp variant dedups on the value itself
+    val seenPos = new java.util.HashSet[Integer]()
+    val seenFp = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](nWin)
+    var win = 0
+    while (win < nWin) {
+      val end = math.min(win + w - 1, n - 1)
+      while (j <= end) {
+        // STRICT pop: an equal later value never evicts an earlier one,
+        // so the front stays the leftmost minimum of the window
+        while (tail > head && h(deque(tail - 1)) > h(j)) tail -= 1
+        deque(tail) = j; tail += 1
+        j += 1
+      }
+      while (deque(head) < win) head += 1
+      val m = deque(head)
+      if (withPos) {
+        if (seenPos.add(m)) out += new org.apache.spark.sql.catalyst
+          .expressions.GenericInternalRow(Array[Any](h(m), m + 1))
+      } else {
+        if (seenFp.add(h(m))) out += (h(m): java.lang.Long)
+      }
+      win += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Fused text -> winnowing fingerprints in ONE native pass: the md5
+    * k-gram hashing ([[TextKernels.winnowHashes]]) and the deque window
+    * selection ([[WinnowSelectExpr]]) without materializing the
+    * per-gram hash array as a column between two projections. Hash
+    * semantics are bit-identical to the composed chain: the hash of gram
+    * i is the first 12 hex chars of md5 of the UTF-8 bytes of the k-CHAR
+    * substring at 1-based char position i, read as a 48-bit integer —
+    * here taken directly as the first 6 digest bytes, skipping the
+    * hex-string round trip, `conv`, and the per-gram UTF8String substring
+    * copies the interpreted higher-order `transform` chain pays (plus its
+    * per-element closure dispatch). NULL text -> NULL; shorter than k ->
+    * empty array (the composed chain's `when` guard). */
+  private[functions] case class WinnowFingerprintsExpr(child: Expression,
+      k: Int, w: Int, withPos: Boolean)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+    require(k >= 1, s"gram length must be >= 1, got $k")
+    require(w >= 1, s"window must be >= 1, got $w")
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      child.dataType match {
+        case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string text, got ${other.simpleString}")
+      }
+    }
+    override def dataType: DataType =
+      if (withPos) org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("fp",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("pos",
+            org.apache.spark.sql.types.IntegerType, nullable = false))),
+        containsNull = false)
+      else org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String =
+      if (withPos) "winnow_fingerprints_pos_native" else "winnow_fingerprints_native"
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+
+    // one digest instance per thread (MessageDigest is stateful and not
+    // thread-safe; expression objects are shared across a stage's tasks)
+    @transient private lazy val mdLocal =
+      new ThreadLocal[java.security.MessageDigest] {
+        override def initialValue(): java.security.MessageDigest =
+          java.security.MessageDigest.getInstance("MD5")
+      }
+
+    def computeFingerprints(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      val bytes = s.getBytes
+      val nChars = s.numChars()
+      val nGrams = nChars - (k - 1)
+      if (nGrams < 1) return new GenericArrayData(Array.empty[Any])
+      // char -> byte offset table (UTF-8 boundaries), one walk
+      val off = new Array[Int](nChars + 1)
+      var c = 0; var b = 0
+      while (c < nChars) {
+        off(c) = b
+        b += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(bytes(b))
+        c += 1
+      }
+      off(nChars) = bytes.length
+      val md = mdLocal.get()
+      val h = new Array[Long](nGrams)
+      var i = 0
+      while (i < nGrams) {
+        md.update(bytes, off(i), off(i + k) - off(i))
+        val d = md.digest() // returns the digest and resets the instance
+        // first 12 hex chars of md5 == first 6 digest bytes, big-endian
+        h(i) = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+          ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+          ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+        i += 1
+      }
+      winnowSelectFrom(h, w, withPos)
+    }
+
+    override protected def nullSafeEval(v: Any): Any =
+      computeFingerprints(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("winnowFpExpr", this)
+      val arrCls = classOf[ArrayData].getName
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = ($arrCls) $ref.computeFingerprints($c);")
+    }
+  }
+
+  /** Fused one-pass text -> deduplicated winnowing fingerprint minima
+    * (bit-identical to winnowHashes -> winnowSelect, NativeKernelSpec). */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    column(WinnowFingerprintsExpr(expression(text), k, w, withPos = false))
+
+  /** Fused positional variant: array<struct<fp,pos>> — bit-identical to
+    * winnowHashes -> winnowSelectPos. */
+  def winnowFingerprintsPos(text: Column, k: Int, w: Int): Column =
+    column(WinnowFingerprintsExpr(expression(text), k, w, withPos = true))
 
   /** One-pass winnowing selection (deduplicated window minima) of a
     * materialized hash-array column. */

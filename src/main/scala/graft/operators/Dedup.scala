@@ -261,15 +261,12 @@ object Dedup {
     * classic k = 8 setting floods prose with coincidental matches. */
   def winnowPairs(docs: DataFrame, id: String, text: Column,
       k: Int = 16, w: Int = 8, minShared: Long = 10, maxDf: Long = 20): DataFrame = {
-    // two projections with the Generate boundary between them: the hash
-    // array materializes once per row before the window pass reads it
-    // (see TextKernels.winnowHashes on the O(n^2) re-evaluation otherwise)
+    // fused native hash+select kernel: one projection, no materialized
+    // per-gram hash array between phases (bit-identical to the composed
+    // winnowHashes -> winnowSelect chain, NativeKernelSpec)
     val fp = spread(docs)
-      .select(col(id).as("id"), TextKernels.winnowHashes(text, k).as("hv"))
-      // native one-pass monotonic-deque selection (bit-identical to the
-      // composed winnowSelect chain, NativeKernelSpec)
-      .select(col("id"), explode(
-        graft.functions.NativeKernels.winnowSelect(col("hv"), w)).as("fp"))
+      .select(col(id).as("id"), explode(
+        graft.functions.NativeKernels.winnowFingerprints(text, k, w)).as("fp"))
       // eager: the frequency cap and the two self-join sides are three
       // independent map stages; on a cold lazy cache the scheduler can run
       // them concurrently and each computes the uncached partitions — up
@@ -312,11 +309,10 @@ object Dedup {
       k: Int = 16, w: Int = 8, minFp: Long = 3, maxDf: Long = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val occ = spread(docs)
-      .select(col(id).as("id"), TextKernels.winnowHashes(text, k).as("hv"))
-      // native one-pass positional selection (bit-identical to the
-      // composed winnowSelectPos chain, NativeKernelSpec)
-      .select(col("id"), explode(
-        graft.functions.NativeKernels.winnowSelectPos(col("hv"), w)).as("s"))
+      // fused native hash+positional-select kernel (bit-identical to the
+      // composed winnowHashes -> winnowSelectPos chain, NativeKernelSpec)
+      .select(col(id).as("id"), explode(
+        graft.functions.NativeKernels.winnowFingerprintsPos(text, k, w)).as("s"))
       .select(col("id"), col("s.fp").as("fp"), col("s.pos").as("pos"))
       .pipe(graft.util.CacheScope.eager) // see winnowPairs: one eager pass
     // df = DISTINCT documents (a fingerprint can repeat within one doc at
@@ -587,20 +583,30 @@ object Dedup {
       .join(ex.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.sig") < col("y.sig"))
-      .select(col("x.sig").as("sa"), col("y.sig").as("sb"))
+      .select(col("x.sig").as("sa"), col("y.sig").as("sb"), col("x.band").as("band"))
   }
 
   /** Verified near-dup signature pairs (sa, sb, hamming), sa < sb, over a
     * one-column `sig` frame of DISTINCT 64-bit signatures: band candidates
-    * ([[sigBandCandidates]]) -> bit_count(xor) verify INSIDE the join ->
-    * distinct (a pair can collide in up to 4 bands — the distinct runs at
-    * the distinct-signature level, never over carrier pairs). */
-  private[graft] def distinctSigPairs(distinctSigs: DataFrame, maxHamming: Int): DataFrame =
+    * ([[sigBandCandidates]]) -> bit_count(xor) verify INSIDE the join.
+    * A pair within hamming <= 3 can collide in up to 4 bands; instead of a
+    * `distinct` pass (an Exchange + two HashAggregates over every verified
+    * pair) each pair survives only from its FIRST agreeing band — for
+    * every earlier band the two signatures must differ — which is a pure
+    * row-local expression filter: exactly one copy per pair, zero extra
+    * shuffles (optimization r16; the output set is provably identical). */
+  private[graft] def distinctSigPairs(distinctSigs: DataFrame, maxHamming: Int): DataFrame = {
+    def bandVal(c: Column, j: Int) =
+      shiftrightunsigned(c, j * 16).bitwiseAND(lit(0xffffL))
+    val noEarlierAgreement = (0 until 3).map(j =>
+        col("band") <= j || bandVal(col("sa"), j) =!= bandVal(col("sb"), j))
+      .reduce(_ && _)
     sigBandCandidates(distinctSigs)
+      .where(noEarlierAgreement)
       .select(col("sa"), col("sb"),
         bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .distinct()
+  }
 
   /** Persist the banded-Hamming index of a 64-bit-signature corpus,
     * enabling INCREMENTAL signature near-dup ([[incrementalHammingPairs]])

@@ -154,6 +154,49 @@ class NativeKernelSpec extends SparkTestBase {
     }
   }
 
+  test("winnow_fingerprints_native (plain and positional) is bit-identical " +
+    "to the composed winnowHashes -> select chain, incl. multi-byte UTF-8") {
+    import graft.functions.TextKernels
+    for ((k, w) <- Seq((16, 8), (8, 4), (4, 1))) {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        // edges: shorter than k, empty, null, tied minima, and multi-byte
+        // chars (the fused kernel slices UTF-8 bytes at CHAR boundaries —
+        // this pins substr's character semantics, not byte semantics)
+        .union(Seq((99990L, Some("abc")), (99991L, Some("")),
+          (99992L, Option.empty[String]),
+          (99993L, Some("ababababababababababababababab")),
+          (99994L, Some("x" * 40)),
+          (99995L, Some("héllo wörld — çafé über ñoño 漢字かな한글 test")),
+          (99996L, Some("€" * 30))).toDF("doc_id", "text"))
+      val composed = docs
+        .select(col("doc_id"), TextKernels.winnowHashes(col("text"), k).as("hv"))
+        .cache() // materialization barrier, see the test above
+      val c = composed.select(col("doc_id"),
+        NativeKernels.winnowSelect(col("hv"), w).as("c"),
+        NativeKernels.winnowSelectPos(col("hv"), w).as("cp"))
+      val n = docs.select(col("doc_id"),
+        NativeKernels.winnowFingerprints(col("text"), k, w).as("n"),
+        NativeKernels.winnowFingerprintsPos(col("text"), k, w).as("np"))
+      val mm = c.join(n, Seq("doc_id"))
+        .where(not(col("c") <=> col("n")) || not(col("cp") <=> col("np")))
+        .count()
+      composed.unpersist()
+      assert(mm == 0, s"k=$k w=$w diverged")
+    }
+  }
+
+  test("winnow_fingerprints_native runs inside whole-stage codegen") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nkwf").toString
+    Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/p")
+    val df = spark.read.parquet(s"$dir/p")
+      .select(NativeKernels.winnowFingerprints(col("text"), 8, 4))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan.take(300))
+    assert(plan.contains("winnow_fingerprints_native"))
+  }
+
   test("winnow_select_native runs inside whole-stage codegen") {
     // feed a MATERIALIZED hash array: the composed winnowHashes chain is
     // higher-order lambdas (no codegen), which is exactly why production
