@@ -222,7 +222,12 @@ object Sampling {
     require(cutsPpm == cutsPpm.sorted && cutsPpm.distinct == cutsPpm,
       s"cuts must be strictly increasing: $cutsPpm")
     val s = score.cast("long")
-    val dist = df.select(s.as("__qb_s")).where(col("__qb_s").isNotNull)
+    // the input feeds BOTH the threshold derivation and the final label
+    // pass: cached, or the caller's entire upstream DAG (often a full
+    // corpus scoring pipeline — q_ppl_buckets' corpus-frequency scorer)
+    // executes twice. Callers pass the narrow (id, score) projection.
+    val in = graft.util.CacheScope.register(df.cache())
+    val dist = in.select(s.as("__qb_s")).where(col("__qb_s").isNotNull)
       .groupBy("__qb_s").agg(count(lit(1)).as("__qb_c"))
     val cum = dist.select(col("__qb_s"),
       sum("__qb_c").over(Window.orderBy("__qb_s")
@@ -241,7 +246,7 @@ object Sampling {
     val label = cutsPpm.indices.foldRight(lit(labels.last): Column) {
       case (i, rest) => when(s <= col(s"__qb_t$i"), labels(i)).otherwise(rest)
     }
-    df.crossJoin(broadcast(thr))
+    in.crossJoin(broadcast(thr))
       .withColumn(outCol, when(s.isNull, lit(null)).otherwise(label))
       .drop(cutsPpm.indices.map(i => s"__qb_t$i"): _*)
   }

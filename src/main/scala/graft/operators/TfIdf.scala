@@ -36,7 +36,12 @@ object TfIdf {
     val words = Dedup.spread(docs).select(id.as("doc_id"), tokens.as("ts"))
       .select(col("doc_id"), explode_outer(col("ts")).as("term"))
       .where(col("term").isNotNull)
-    val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // (doc, term) counts feed BOTH the document-frequency aggregate and
+    // the scoring join: cached, or the whole tokenize + count subtree runs
+    // once per consumer (a second full corpus pass). Distinct-terms-per-
+    // doc sized, far below the occurrence stream it reduces.
+    val tf = graft.util.CacheScope.register(
+      words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")).cache())
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
@@ -118,7 +123,13 @@ object TfIdf {
     val lam = lambdaPpm.toDouble / 1000000.0
     // (doc_id, a, b) per bigram occurrence; the token array materializes
     // above the spread repartition (see topTerms on why)
-    val bigrams = Dedup.spread(docs).select(id.as("doc_id"), tokens.as("ts"))
+    // ONE tokenize pass, eager-cached: the bigram stream is consumed
+    // twice (its count aggregate and the final scoring join) and the
+    // unigram stream once more — without the cache the corpus pays the
+    // tokenize kernel three times (see corpusFreqQuality).
+    val toks = graft.util.CacheScope.eager(
+      Dedup.spread(docs).select(id.as("doc_id"), tokens.as("ts")))
+    val bigrams = toks
       .select(col("doc_id"), explode_outer(
         arrays_zip(
           slice(col("ts"), lit(1), greatest(size(col("ts")) - 1, lit(0))),
@@ -126,7 +137,7 @@ object TfIdf {
         .as("__bg"))
       .where(col("__bg").isNotNull)
       .select(col("doc_id"), col("__bg.0").as("a"), col("__bg.1").as("b"))
-    val words = Dedup.spread(docs).select(tokens.as("ts"))
+    val words = toks
       .select(explode_outer(col("ts")).as("w"))
       .where(col("w").isNotNull)
     val uni = graft.util.CacheScope.register(
@@ -151,8 +162,15 @@ object TfIdf {
 
   def corpusFreqQuality(docs: DataFrame, id: Column, tokens: Column): DataFrame = {
     // explode_outer + not-null guard: see topTerms on why the token array
-    // materializes above the spread repartition
-    val words = Dedup.spread(docs).select(id.as("doc_id"), tokens.as("ts"))
+    // materializes above the spread repartition. The token frame is
+    // tokenized ONCE and eager-cached: both consumers below (vocabulary
+    // aggregate, scoring stream) would otherwise each pay the full corpus
+    // tokenize pass — the cache trades one columnar write + two reads for
+    // the second pass, the same call the winnowing operators make for
+    // their fingerprint frames.
+    val toks = graft.util.CacheScope.eager(
+      Dedup.spread(docs).select(id.as("doc_id"), tokens.as("ts")))
+    val words = toks
       .select(col("doc_id"), explode_outer(col("ts")).as("tok"))
       .where(col("tok").isNotNull)
     // cache lifetime: LRU-shed MEMORY_AND_DISK, same policy as the minhash
