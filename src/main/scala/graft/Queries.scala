@@ -3373,8 +3373,11 @@ object Queries {
   // sum-then-divide ulp difference between engine and oracle.
   // ----------------------------------------------------------------------
   private val word2vecQ: (SparkSession, String) => DataFrame = (s, dir) => {
-    val docs = spread(t(s, dir, "documents"))
-      .select(col("doc_id").as("id"), graft.functions.NativeKernels.wordTokens(col("text")).as("tokens"))
+    // tokenize once: the token frame feeds the dictionary distinct, the
+    // component stream, AND transform's final ntok join — three corpus
+    // tokenize passes without the eager cache
+    val docs = graft.util.CacheScope.eager(spread(t(s, dir, "documents"))
+      .select(col("doc_id").as("id"), graft.functions.NativeKernels.wordTokens(col("text")).as("tokens")))
     val dict = docs.select(explode(col("tokens")).as("term")).distinct()
       .select(col("term"), org.apache.spark.sql.functions.transform(
         sequence(lit(1), lit(16)),
@@ -3806,9 +3809,14 @@ object Queries {
   private val pipelineQ: (SparkSession, String) => DataFrame = (s, dir) => {
     val docs = spread(t(s, dir, "documents"))
     val w = graft.functions.NativeKernels.wordTokens(col("text"))
-    val quality = docs
+    // cached: the quality gate feeds BOTH the exact-dedup keeper aggregate
+    // and the survivor semi-join's left side — one tokenize+filter pass
+    // instead of two (the keeper aggregate materializes it as the semi
+    // join's build stage, so the probe side reads a warm cache)
+    val quality = graft.util.CacheScope.register(docs
       .select(col("doc_id"), col("text"), size(w).cast("long").as("n_tokens"))
       .where(col("n_tokens") >= 40)
+      .cache())
     val keepers = quality
       .select(col("doc_id"), TextKernels.fingerprint(col("text")).as("fp"))
       .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))

@@ -34,14 +34,19 @@ object Word2Vec {
       size(split(col("term"), "\\+")).as("ncomp"),
       explode(split(col("term"), "\\+")).as("c"))
     val joined = comps.join(broadcast(d), lower(col("c")) === col("_t"))
+    // one aggregation with `dim` parallel sums instead of posexplode (a
+    // dim-x row blow-up) -> (id, pos) aggregate -> (id) collect_list +
+    // sort: same addends per (id, dimension), one exchange instead of
+    // two, no array re-assembly. Summation order within a dimension is
+    // partition-dependent either way; callers round to 6 decimals, the
+    // library-wide discipline that absorbs the <= 1-ulp spread.
+    val dimSums = (0 until dim).map(j =>
+      sum(element_at(col("_v"), j + 1) / (col("ncomp") * col("ntok"))).as(s"_x$j"))
     val dims = joined
-      .select(col("id"), col("ntok"), col("ncomp"), posexplode(col("_v")).as(Seq("pos", "x")))
-      .groupBy(col("id"), col("pos"))
-      .agg(sum(col("x") / (col("ncomp") * col("ntok"))).as("x"))
       .groupBy(col("id"))
-      .agg(org.apache.spark.sql.functions.transform(
-        array_sort(collect_list(struct(col("pos"), col("x")))),
-        s => s.getField("x")).as("vec"))
+      .agg(dimSums.head, dimSums.tail: _*)
+      .select(col("id"),
+        array((0 until dim).map(j => col(s"_x$j")): _*).as("vec"))
     val zeros = array_repeat(lit(0.0), dim)
     val nans = array_repeat(lit(Double.NaN), dim)
     tokensDf.select(col("id"), size(col("tokens")).as("ntok"))
