@@ -20,6 +20,30 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   */
 object NativeKernels {
 
+  /** One MD5 instance per thread, shared by every hashing kernel:
+    * DigestUtils.md5Hex constructs a fresh MessageDigest (provider lookup +
+    * allocation) per CALL — per token / per shingle on the dedup hot path —
+    * and round-trips through a 32-char hex String even when the caller only
+    * needs bits. digest() resets the instance, so reuse is safe. */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private[functions] def md5Of(bytes: Array[Byte]): Array[Byte] =
+    md5Local.get().digest(bytes)
+  private val HexDigits = "0123456789abcdef".toCharArray
+  /** Lowercase-hex md5 into the caller's reusable 32-char buffer
+    * (bit-identical to DigestUtils.md5Hex without the String per call). */
+  private[functions] def md5HexInto(bytes: Array[Byte], out: Array[Char]): Unit = {
+    val d = md5Of(bytes)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexDigits(d(i) & 0xf)
+      i += 1
+    }
+  }
+
   private[functions] abstract class ArrayPairExpression extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullIntolerant: Boolean = true
@@ -198,28 +222,41 @@ object NativeKernels {
     def computeKeys(input: ArrayData): ArrayData = {
       val n = if (input == null) 0 else input.numElements()
       val sigs = new Array[String](numHashes)
+      val hex = new Array[Char](32) // reused per shingle
       var i = 0
       while (i < n) {
         if (!input.isNullAt(i)) {
-          val hex = org.apache.commons.codec.digest.DigestUtils
-            .md5Hex(input.getUTF8String(i).getBytes)
+          md5HexInto(input.getUTF8String(i).getBytes, hex)
           var j = 0
           while (j < numHashes) {
-            val w = hex.substring(j, j + 8)
-            if (sigs(j) == null || w.compareTo(sigs(j)) < 0) sigs(j) = w
+            val cur = sigs(j)
+            // compare the 8-char window in place; allocate only on a new
+            // minimum (String.compareTo is the same char-wise order)
+            var lt = cur == null
+            if (!lt) {
+              var c = 0
+              var cmp = 0
+              while (c < 8 && cmp == 0) {
+                cmp = hex(j + c) - cur.charAt(c)
+                c += 1
+              }
+              lt = cmp < 0
+            }
+            if (lt) sigs(j) = new String(hex, j, 8)
             j += 1
           }
         }
         i += 1
       }
+      val hexOut = new Array[Char](32)
       val keys = new Array[Any](numBands)
       var b = 0
       while (b < numBands) {
         // concat_ws semantics: null signatures are skipped entirely
         val parts = sigs.slice(b * rowsPerBand, (b + 1) * rowsPerBand).filter(_ != null)
-        keys(b) = UTF8String.fromString(
-          org.apache.commons.codec.digest.DigestUtils.md5Hex(
-            parts.mkString("|").getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        md5HexInto(parts.mkString("|")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8), hexOut)
+        keys(b) = UTF8String.fromString(new String(hexOut))
         b += 1
       }
       new GenericArrayData(keys)
@@ -838,11 +875,14 @@ object NativeKernels {
           else {
             val t = input.getUTF8String(i)
             if (seen.add(t.clone())) { // clone: the backing buffer may be reused
-              val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(t.getBytes)
+              // raw digest bytes: hex char `nib` of md5Hex is the high
+              // (even nib) / low (odd nib) nibble of digest byte nib/2 —
+              // no hex String round trip
+              val d = md5Of(t.getBytes)
               var nib = 0
               while (nib < 16) {
-                val c = hex.charAt(nib)
-                val v = if (c <= '9') c - '0' else c - 'a' + 10
+                val b = d(nib >> 1) & 0xff
+                val v = if ((nib & 1) == 0) b >>> 4 else b & 0xf
                 var k = 0
                 while (k < 4) {
                   sums(nib * 4 + k) += (((v >> k) & 1) << 1) - 1
