@@ -117,7 +117,10 @@ object Dsir {
       buckets: Int = 10000): DataFrame = {
     require(buckets >= 2 && buckets <= MaxBuckets,
       s"buckets must be in [2, $MaxBuckets]: $buckets")
-    val rawFeats = featureStream(raw, rawId, rawTokens, buckets)
+    // cached: consumed by the raw bucket counts AND the scoring join's
+    // probe side (see weights below)
+    val rawFeats = graft.util.CacheScope.register(
+      featureStream(raw, rawId, rawTokens, buckets).cache())
     val rawCnt = rawFeats.where(col("b").isNotNull)
       .groupBy("b").agg(count(lit(1)).as("cr"))
     val tgtCnt = featureStream(target, lit(0L), targetTokens, buckets)
@@ -137,10 +140,15 @@ object Dsir {
       buckets: Int = 10000): DataFrame = {
     require(buckets >= 2 && buckets <= MaxBuckets,
       s"buckets must be in [2, $MaxBuckets]: $buckets")
-    val feats = Dedup.spread(df)
+    // cached: the feature stream feeds BOTH the bucket-count aggregate
+    // (the broadcast model side) and the scoring join's probe side in one
+    // plan — without the cache the tokenize + feature-hash pass runs
+    // twice (the model stage materializes the cache; the probe reads it)
+    val feats = graft.util.CacheScope.register(Dedup.spread(df)
       .select(id.as("id"), isTarget.as("__t"),
         explode_outer(features(tokens)).as("__g"))
       .select(col("id"), col("__t"), bucket(col("__g"), buckets).as("b"))
+      .cache())
     val cnt = feats.where(col("b").isNotNull)
       .groupBy("b").agg(count(lit(1)).as("cr"),
         sum(when(col("__t"), 1L).otherwise(0L)).as("ct"))

@@ -65,7 +65,10 @@ object SpanDedup {
     * both shuffles carry 16-byte keys. */
   private def duplicateWindows(df: DataFrame, id: Column, tokens: Column,
       n: Int, minCount: Long): DataFrame = {
-    val win = windows(df, id, tokens, n)
+    // cached: the window stream feeds BOTH the repeated-fingerprint
+    // aggregate and the occurrence join — one tokenize + fingerprint pass
+    // instead of two (the aggregate materializes the cache first)
+    val win = graft.util.CacheScope.register(windows(df, id, tokens, n).cache())
     val dupF = win.groupBy("f").agg(count(lit(1)).as("__c"))
       .where(col("__c") >= minCount)
       .select("f")
