@@ -260,19 +260,27 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("simhash pairs: band-bucket equi-join, verify before distinct, no cartesian") {
+  test("simhash pairs: band-bucket equi-join, verify inside the join, " +
+      "first-band dedup instead of a distinct, no cartesian") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val plan = planOf(Dedup.simhashPairs(docs, "doc_id",
       TextKernels.wordTokens(col("text"))))
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
-    // the hamming filter must sit below the distinct's exchange: on a
-    // self-similar corpus raw candidates can be 1000x the verified pairs,
-    // and a distinct-first plan would shuffle all of them
+    // the hamming verify must run INSIDE the band join (bit_count in the
+    // plan): on a self-similar corpus raw candidates can be 1000x the
+    // verified pairs, and a verify-after-shuffle plan would move all of
+    // them. Cross-band duplicate pairs are removed by the row-local
+    // first-agreeing-band condition (shiftrightunsigned comparisons in
+    // the join filter) — there must be NO distinct aggregate over the
+    // verified pair stream (the pre-r16 shape paid an exchange + two
+    // HashAggregates for it); the only aggregate upstream of the
+    // expansion joins is the signature-stats groupBy.
     val filterIdx = plan.indexOf("bit_count")
-    val distinctIdx = plan.indexOf("HashAggregate")
-    assert(filterIdx >= 0 && distinctIdx >= 0 && distinctIdx < filterIdx,
-      "hamming verify must run inside the join, upstream of the distinct:\n" + plan.take(1200))
+    assert(filterIdx >= 0,
+      "hamming verify must run inside the join:\n" + plan.take(1200))
+    assert(plan.contains("shiftrightunsigned"),
+      "first-agreeing-band dedup filter missing:\n" + plan.take(1200))
   }
 
   test("contamination: eval shingle set broadcasts into the corpus scan") {
