@@ -934,6 +934,62 @@ object NativeKernels {
   def simhashBands(tokens: Column): Column =
     column(SimhashBandsExpr(expression(tokens)))
 
+  /** The composed 64-bit SimHash fingerprint in ONE expression — band i =
+    * bits [16i, 16i+16), identical to OR-shifting [[simhashBands]]'s four
+    * elements. The composed element_at x 4 form repeats the whole
+    * per-token hashing child once per band in the filter AND the
+    * projection wherever common-subexpression elimination does not reach
+    * (the pushed-down not-zero guard); one scalar expression makes the
+    * kernel cost appear exactly once per row. */
+  private[functions] case class Simhash64Expr(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      child.dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string> tokens, got ${other.simpleString}")
+      }
+    }
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def nullable: Boolean = false
+    override def prettyName: String = "simhash64_native"
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    private val bands = SimhashBandsExpr(child)
+    def compute(input: ArrayData): Long = {
+      val arr = bands.computeBands(input)
+      var fp = 0L
+      var b = 0
+      while (b < 4) {
+        fp |= (arr.getInt(b).toLong & 0xffffL) << (b * 16)
+        b += 1
+      }
+      fp
+    }
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+      compute(child.eval(input).asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+      val ref = ctx.addReferenceObj("simhash64Expr", this)
+      val childGen = child.genCode(ctx)
+      ev.copy(
+        code = code"""
+          ${childGen.code}
+          long ${ev.value} = $ref.compute(
+            ${childGen.isNull} ? null : ${childGen.value});
+        """,
+        isNull = FalseLiteral)
+    }
+  }
+
+  /** Composed 64-bit SimHash fingerprint (see [[Simhash64Expr]]). */
+  def simhash64(tokens: Column): Column =
+    column(Simhash64Expr(expression(tokens)))
+
   // --------------------------------------------------- IVF centroid argmin
 
   /** Index of the nearest centroid (L2, ties to the lowest index) with the

@@ -422,11 +422,7 @@ object Dedup {
     // same verify (bit_count of the 64-bit xor == the per-band sum), same
     // exact-fingerprint collapse, same all-zero contentless-code guard
     // (the zero fingerprint is exactly the all-zero band array).
-    val bands = graft.functions.NativeKernels.simhashBands(tokens)
-    val fp = (0 until 4).map(i =>
-        shiftleft(element_at(bands, i + 1).cast("long")
-          .bitwiseAND(lit(0xffffL)), i * 16))
-      .reduce(_ bitwiseOR _)
+    val fp = graft.functions.NativeKernels.simhash64(tokens)
     hammingPairs(docs.select(col(id).as("id"), fp.as("sig")), "id", "sig",
       maxHamming)
   }
