@@ -452,6 +452,23 @@ object Dedup {
     * are produced by a plain sig-equi self-join AQE can skew-split. The
     * all-zero signature is still excluded (the degenerate contentless
     * code — a flat image, an empty document). */
+  /** The banded joins read their guarded signature projection from
+    * several consumers (stats aggregate + both expansion sides), so a
+    * producer handing a RAW decode/hash chain gets it eager-cached (the
+    * deterministic-cost contract — racing cold consumers would re-run the
+    * decode per side). A producer whose plan ALREADY reads from a cached
+    * relation (the flagship's signal frames, an operator composing on an
+    * eager upstream) owns materialization itself: the projection above
+    * the cache is a narrow column select, and a second cache + count job
+    * per near-dup stage is pure overhead — skip it. */
+  private def materializedOnce(input: DataFrame, projected: DataFrame): DataFrame = {
+    val readsFromCache = input.queryExecution.withCachedData.exists {
+      case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => true
+      case _ => false
+    }
+    if (readsFromCache) projected else graft.util.CacheScope.eager(projected)
+  }
+
   def hammingPairs(sigs: DataFrame, id: String, sig: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, s"4 bands of 16 bits only guarantee capture up to hamming 3, got $maxHamming")
@@ -461,7 +478,7 @@ object Dedup {
     // pairs once per carrier pair — so there is NO distinct over the
     // (possibly cohort-quadratic) output, and no input dedup either.
     // Duplicate input rows would emit duplicate pairs.
-    val base = graft.util.CacheScope.eager(spread(sigs)
+    val base = materializedOnce(sigs, spread(sigs)
       .select(col(id).as("id"), col(sig).cast("long").as("sig"))
       .where(col("sig").isNotNull && col("sig") =!= 0L))
     // one aggregate yields the distinct signatures for the band join AND
@@ -525,7 +542,7 @@ object Dedup {
     require(maxHamming <= 3, s"4 bands of 16 bits only guarantee capture up to hamming 3, got $maxHamming")
     require(minMatch >= 1, s"minMatch must be at least 1, got $minMatch")
     require(maxDf >= 1, s"maxDf must be at least 1, got $maxDf")
-    val base0 = graft.util.CacheScope.eager(spread(frames)
+    val base0 = materializedOnce(frames, spread(frames)
       .select(col(id).as("id"), col(pos).cast("long").as("pos"),
         col(sig).cast("long").as("sig"))
       .where(col("sig").isNotNull && col("sig") =!= 0L))
