@@ -37,14 +37,14 @@ object Contamination {
     // outer generate, and a predicate on the GENERATED column cannot be
     // pushed below the Generate, so the guard stays where the work is
     // already parallel.
-    // the shingle-array frame is cached BELOW the explode: both consumers
-    // (the eval-set distinct and the non-eval scoring stream) would
-    // otherwise each pay the full corpus shingle pass; exploding twice
-    // from the cached arrays is a narrow re-read (optimization r16)
-    val base = graft.util.CacheScope.register(Dedup.spread(docs)
+    // NOT cached (optimization r16 note): the two consumers below filter
+    // on is_eval — a plain column predicate Catalyst pushes below the
+    // shingle projection onto the scan — so they shingle DISJOINT row
+    // subsets and together cost one corpus pass; caching the array frame
+    // would shingle every row once AND pay the columnar write/read on
+    // top (measured slower).
+    val sh = Dedup.spread(docs)
       .select(id.as("id"), isEval.as("is_eval"), shingles.as("gs"))
-      .cache())
-    val sh = base
       .select(col("id"), col("is_eval"), explode_outer(col("gs")).as("g"))
       .where(col("g").isNotNull)
     val evalSet = sh.where(col("is_eval")).select(col("g")).distinct()
