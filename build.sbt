@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench collector parses the LAST line of `sbt "runMain graft.Bench"`
+// stdout as one JSON object, keeping only a ~2000-char tail. sbt's default
+// LoggedOutput decorates every forked-output line with "[info] " and
+// appends its own "[success] Total time ..." banner after the run — either
+// one defeats a last-line JSON parse, and BENCH_r*.json has carried
+// "parsed": null in every round because of it. Forked run/runMain output
+// therefore passes through verbatim, and the success banner is disabled
+// (task success/failure is still signalled by the exit code, which the
+// collector records as `rc`).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

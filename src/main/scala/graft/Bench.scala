@@ -301,7 +301,12 @@ object Bench {
     }
     val msLine = compactLine(r3)
     // degrade to centisecond per-query resolution if the inventory ever
-    // grows the millisecond form past the tail window
+    // grows the millisecond form past the tail window. NOTE (measured,
+    // r17): at 121 queries even the 1-decimal form is ~2.5 KB — the full
+    // per-query map can no longer fit a ~2000-char tail at any numeric
+    // resolution (the names alone are ~2 KB), so the tail-surviving
+    // record is the SUMMARY line below; the per-query map lives here, in
+    // bench/last_run.json, and on stderr.
     println(if (msLine.length <= 1900) msLine
       else compactLine(x => math.round(x * 100.0) / 100.0))
     // the per-query map has outgrown even the centisecond form (109
@@ -318,7 +323,7 @@ object Bench {
     // artifact captures setup-cost drift even when the per-query map line
     // is decapitated (the full per-build breakdown stays in the file)
     val setupTotal = setupTimes.collect { case (_, t) if t >= 0 => t }.sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+    val summaryLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""index_build_total_sec":${r3(setupTotal)},""" +
       s""""n_queries":${results.size},"n_errors":${chosen.errors.size},""" +
       s""""noisy":$noisy,"attempts":$attempts,"reps":$reps,""" +
@@ -326,7 +331,12 @@ object Bench {
       s""""sentinel_median":${r3(sentMedian)},""" +
       s""""sentinel_max":${r3(chosen.sentinelTimes.max)},""" +
       s""""n_query_noise":$nFlagged,"git_sha":"$gitSha",""" +
-      s""""per_query_in":"bench/last_run.json","sf":"$sfDir"}""")
-    spark.stop()
+      s""""per_query_in":"bench/last_run.json","sf":"$sfDir"}"""
+    // stop BEFORE the final print: nothing (a late executor WARN line, a
+    // stop-time log) may land on the output after the summary — it must be
+    // the literal last line of the process for the collector's last-line
+    // JSON parse (sbt's own decoration is disabled in build.sbt)
+    try spark.stop() catch { case _: Throwable => () }
+    println(summaryLine)
   }
 }
