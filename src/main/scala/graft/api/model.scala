@@ -124,11 +124,38 @@ object Knobs {
     * edge graph). long > 0, default 1,000,000 (~tens of MB of (long, long)
     * rows per task). */
   val DedupEdgesPerPartition = "spark.graft.dedup.edgesPerPartition"
+  /** Hot-signature carrier threshold of the banded-Hamming joins
+    * ([[graft.operators.Dedup.hammingPairs]]/`frameSigPairs`): the
+    * exact-signature collapse (the 100 TB skew guard) engages only when
+    * the measured carrier histogram shows a signature with MORE than this
+    * many carriers — below it the operators band the carrier rows
+    * directly, skipping the collapse's two expansion joins (identical
+    * output either way). Sizing: a k-carrier signature puts all k band
+    * rows of a band in ONE join bucket (one task), costing ~k^2/2
+    * row-local verify comparisons per band — at the default 1024 that is
+    * <= ~2M cheap codegen comparisons per bucket (well under a second),
+    * while genuine corpus boilerplate (a constant white frame, a
+    * site-wide intro card at 100 TB) has k orders of magnitude past it
+    * and gets the collapse. long, default 1024; <= 0 forces the collapse
+    * path unconditionally. */
+  val DedupHotSigCarriers = "spark.graft.dedup.hotSigCarriers"
+  /** Inline-filter bound of the winnowing df-cap
+    * ([[graft.operators.Dedup.winnowPairs]]/`winnowSpans`): inside a
+    * consume-now scope the MEASURED corpus-hot fingerprint set (df above
+    * the boilerplate cap) is collected and applied as a row-local InSet
+    * filter when it has at most this many entries — the fingerprint
+    * stream then never joins against the cap set and the df aggregate
+    * runs once (the probe) instead of once per self-join side. A larger
+    * measured hot set falls back to a broadcast-friendly anti-join
+    * (scale-safe at any size). int > 0, default 65536 (~0.5 MB of longs
+    * on the driver); <= 0 disables inlining. */
+  val DedupHotFpInlineMax = "spark.graft.dedup.hotFpInlineMax"
   /** All deployment knobs with their defaults — the set a REST tenant sees
     * under /_settings and the console's `SET` accepts. */
   val AllWithDefaults: Seq[(String, String)] = Seq(
     DedupCheckpointEvery -> "5", AnnProbes -> "1", SampleSaltWidth -> "2",
-    AnnIndexCompactEvery -> "0", DedupEdgesPerPartition -> "1000000")
+    AnnIndexCompactEvery -> "0", DedupEdgesPerPartition -> "1000000",
+    DedupHotSigCarriers -> "1024", DedupHotFpInlineMax -> "65536")
 }
 
 object Limits {

@@ -237,6 +237,45 @@ object Dedup {
       .where(col("j") >= minJ)
   }
 
+  /** Drop occurrence rows whose fingerprint is corpus-HOT (df above the
+    * boilerplate cap) from an already-cached occurrence stream. Inverted
+    * vs the r16 shape: instead of inner-joining the stream with the
+    * `df <= maxDf` RARE set — nearly every distinct fingerprint, which
+    * the planner was broadcasting wholesale — the stream is filtered
+    * against the HOT complement, bounded by occurrences/maxDf at any
+    * scale (same kept rows: every fingerprint of the stream has a df, so
+    * rare and hot partition it; null never occurs but is excluded either
+    * way, as the inner join did). Inside a CacheScope the hot set is
+    * MEASURED — the probe job doubles as the materializer of the cached
+    * stream, replacing the bare eager count — and, when it has at most
+    * [[graft.api.Knobs.DedupHotFpInlineMax]] entries, inlined as a
+    * row-local InSet filter: no cap join at all, and the df aggregate
+    * runs exactly once (the r16 plan recomputed it under BOTH self-join
+    * sides). A larger measured hot set, or an unmeasured (lazy,
+    * out-of-scope) composition, anti-joins instead — scale-safe
+    * unconditionally. */
+  private def dropHotFingerprints(occ: DataFrame, hot: DataFrame): DataFrame = {
+    val inlineMax = occ.sparkSession.conf
+      .get(graft.api.Knobs.DedupHotFpInlineMax, "65536").toInt
+    val inlined =
+      if (graft.util.CacheScope.inScope && inlineMax > 0) {
+        val h = hot.limit(inlineMax + 1).collect().map(_.getLong(0))
+        if (h.length <= inlineMax) Some(h.toSeq) else None
+      } else {
+        // no probe ran: keep the deterministic-cost contract for the
+        // scoped consume-now shape (concurrent cold consumers must not
+        // race the kernel) with the old dedicated materialization
+        if (graft.util.CacheScope.inScope) occ.count()
+        None
+      }
+    inlined match {
+      case Some(hs) if hs.isEmpty => occ
+      case Some(hs) => occ.where(!col("fp").isInCollection(hs))
+      case None =>
+        occ.where(col("fp").isNotNull).join(hot, Seq("fp"), "left_anti")
+    }
+  }
+
   /** Partial-overlap pairs by winnowing fingerprints
     * ([[TextKernels.winnowHashes]] -> [[TextKernels.winnowSelect]]):
     * (a, b, shared) where `shared`
@@ -267,16 +306,15 @@ object Dedup {
     val fp = spread(docs)
       .select(col(id).as("id"), explode(
         graft.functions.NativeKernels.winnowFingerprints(text, k, w)).as("fp"))
-      // eager: the frequency cap and the two self-join sides are three
-      // independent map stages; on a cold lazy cache the scheduler can run
-      // them concurrently and each computes the uncached partitions — up
-      // to 3x the fingerprint kernel cost, interleaving-dependent (the
-      // measured 1.97-5.24 s spread on q_winnow_spans' sibling). One
-      // eager pass makes every consumer a pure cache read.
-      .pipe(graft.util.CacheScope.eager)
-    val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDf).select(col("fp"))
-    val kept = fp.join(rare, Seq("fp"))
+      // cached: the frequency cap's aggregate and the two self-join sides
+      // all read it; inside a scope the df-cap probe below is the
+      // materializing pass that makes every later consumer a pure cache
+      // read (the deterministic-cost contract the bare eager count used
+      // to pay a dedicated job for)
+      .cache().pipe(graft.util.CacheScope.register(_))
+    val hot = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select(col("fp"))
+    val kept = dropHotFingerprints(fp, hot)
     kept.as("x")
       .join(kept.as("y"),
         col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
@@ -314,12 +352,13 @@ object Dedup {
       .select(col(id).as("id"), explode(
         graft.functions.NativeKernels.winnowFingerprintsPos(text, k, w)).as("s"))
       .select(col("id"), col("s.fp").as("fp"), col("s.pos").as("pos"))
-      .pipe(graft.util.CacheScope.eager) // see winnowPairs: one eager pass
+      // cached + materialized by the df-cap probe, see winnowPairs
+      .cache().pipe(graft.util.CacheScope.register(_))
     // df = DISTINCT documents (a fingerprint can repeat within one doc at
     // several positions; that must not count toward the boilerplate cap)
-    val rare = occ.groupBy("fp").agg(count_distinct(col("id")).as("df"))
-      .where(col("df") <= maxDf).select(col("fp"))
-    val kept = occ.join(rare, Seq("fp"))
+    val hot = occ.groupBy("fp").agg(count_distinct(col("id")).as("df"))
+      .where(col("df") > maxDf).select(col("fp"))
+    val kept = dropHotFingerprints(occ, hot)
     val matches = kept.as("x")
       .join(kept.as("y"),
         col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
@@ -453,21 +492,59 @@ object Dedup {
     * all-zero signature is still excluded (the degenerate contentless
     * code — a flat image, an empty document). */
   /** The banded joins read their guarded signature projection from
-    * several consumers (stats aggregate + both expansion sides), so a
-    * producer handing a RAW decode/hash chain gets it eager-cached (the
-    * deterministic-cost contract — racing cold consumers would re-run the
-    * decode per side). A producer whose plan ALREADY reads from a cached
-    * relation (the flagship's signal frames, an operator composing on an
-    * eager upstream) owns materialization itself: the projection above
-    * the cache is a narrow column select, and a second cache + count job
-    * per near-dup stage is pure overhead — skip it. */
-  private def materializedOnce(input: DataFrame, projected: DataFrame): DataFrame = {
-    val readsFromCache = input.queryExecution.withCachedData.exists {
-      case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => true
+    * several consumers (histogram aggregate + join sides), so a producer
+    * handing a RAW decode/hash chain gets it cached (the deterministic-
+    * cost contract — racing cold consumers would re-run the decode per
+    * side). A producer whose plan is a TRIVIAL projection/filter over an
+    * already-cached relation owns materialization itself: a second cache
+    * + materialization job per near-dup stage would be pure overhead.
+    * "Trivial" is checked structurally — only column-shuffling Projects
+    * (attribute / cast / struct-field / literal expressions), Filters and
+    * repartitions may sit between the root and the cache; an expensive
+    * uncached map ABOVE a deep cache (a decode projection over a cached
+    * scan fragment) still gets the guard, which the blunt any-cache-
+    * anywhere test this replaces (r16) did not guarantee. */
+  private[graft] def ownsCache(projected: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, GetStructField, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical
+    def trivial(e: Expression): Boolean = e match {
+      case _: AttributeReference | _: Literal => true
+      case a: Alias => trivial(a.child)
+      case c: Cast => trivial(c.child)
+      case g: GetStructField => trivial(g.child)
       case _ => false
     }
-    if (readsFromCache) projected else graft.util.CacheScope.eager(projected)
+    def rootedInCache(p: logical.LogicalPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => true
+      case pr: logical.Project if pr.projectList.forall(trivial) =>
+        rootedInCache(pr.child)
+      case f: logical.Filter => rootedInCache(f.child)
+      case r: logical.RepartitionOperation => rootedInCache(r.child)
+      case _ => false
+    }
+    !rootedInCache(projected.queryExecution.withCachedData)
   }
+
+  /** Carrier-histogram probe of the adaptive skew guard: inside a
+    * [[graft.util.CacheScope]] (the bench/Verify/service consume-now
+    * shape) run ONE narrow aggregate job over the cached `stats` frame —
+    * it doubles as the materializer of both `stats` and the signature
+    * frame beneath it, replacing the bare eager count the deterministic-
+    * cost contract used to pay — and report the measured maxima of the
+    * requested aggregate expressions (an empty/all-null aggregate reads
+    * as 0). Outside a scope (lazy library composition: no
+    * construction-time jobs) returns None and the caller keeps the
+    * unconditionally scale-safe collapse path. */
+  private def measuredMaxima(stats: DataFrame, aggs: Column*): Option[Seq[Long]] =
+    if (!graft.util.CacheScope.inScope) None
+    else {
+      val st = graft.util.CacheScope.register(stats.cache())
+      val r = st.agg(aggs.head, aggs.tail: _*).head
+      Some(aggs.indices.map(i => if (r.isNullAt(i)) 0L else r.getLong(i)))
+    }
+
+  private def hotSigThreshold(df: DataFrame): Long =
+    df.sparkSession.conf.get(graft.api.Knobs.DedupHotSigCarriers, "1024").toLong
 
   def hammingPairs(sigs: DataFrame, id: String, sig: String,
       maxHamming: Int = 3): DataFrame = {
@@ -478,25 +555,52 @@ object Dedup {
     // pairs once per carrier pair — so there is NO distinct over the
     // (possibly cohort-quadratic) output, and no input dedup either.
     // Duplicate input rows would emit duplicate pairs.
-    val base = materializedOnce(sigs, spread(sigs)
+    val projected = spread(sigs)
       .select(col(id).as("id"), col(sig).cast("long").as("sig"))
-      .where(col("sig").isNotNull && col("sig") =!= 0L))
-    // one aggregate yields the distinct signatures for the band join AND
-    // the multi-carrier groups, whose hamming-0 SELF pairs ride the same
-    // expansion joins as the cross pairs (one plan, and AQE's exchange
-    // reuse computes the aggregate once)
+      .where(col("sig").isNotNull && col("sig") =!= 0L)
+    val base =
+      if (ownsCache(projected)) graft.util.CacheScope.register(projected.cache())
+      else projected
+    // one aggregate yields the carrier histogram steering the adaptive
+    // guard, the distinct signatures for the collapse's band join, AND the
+    // multi-carrier groups whose hamming-0 SELF pairs ride the expansion
+    // joins (cached narrow; its probe job materializes `base` too)
     val sigStats = base.groupBy("sig").agg(count(lit(1)).as("n"))
-    val selfPairs = sigStats.where(col("n") >= 2)
-      .select(col("sig").as("sa"), col("sig").as("sb"), lit(0L).as("hamming"))
-    val sigPairs = distinctSigPairs(sigStats.select(col("sig")), maxHamming)
-      .union(selfPairs)
-    sigPairs
-      .join(base.select(col("sig").as("sa"), col("id").as("ia")), "sa")
-      .join(base.select(col("sig").as("sb"), col("id").as("ib")), "sb")
-      .where((col("sa") =!= col("sb") && col("ia") =!= col("ib")) ||
-        (col("sa") === col("sb") && col("ia") < col("ib")))
-      .select(least(col("ia"), col("ib")).as("a"),
-        greatest(col("ia"), col("ib")).as("b"), col("hamming"))
+    // Adaptive hot-band skew guard (r17): the exact-signature collapse
+    // protects the band join from carrier cohorts whose bucket work is
+    // quadratic in carriers — but when the MEASURED histogram shows no
+    // signature past the Knobs.DedupHotSigCarriers threshold, the
+    // collapse's aggregate + two expansion joins are pure overhead and the
+    // carrier rows are banded directly (identical output by construction:
+    // both paths emit each colliding pair once from its first agreeing
+    // band). Unmeasured (outside a scope), the collapse stays on.
+    val hot = measuredMaxima(sigStats, max(col("n"))) match {
+      case Some(Seq(maxCarriers)) =>
+        val t = hotSigThreshold(sigs); t <= 0 || maxCarriers > t
+      case _ => true
+    }
+    if (hot) {
+      val selfPairs = sigStats.where(col("n") >= 2)
+        .select(col("sig").as("sa"), col("sig").as("sb"), lit(0L).as("hamming"))
+      val sigPairs = distinctSigPairs(sigStats.select(col("sig")), maxHamming)
+        .union(selfPairs)
+      sigPairs
+        .join(base.select(col("sig").as("sa"), col("id").as("ia")), "sa")
+        .join(base.select(col("sig").as("sb"), col("id").as("ib")), "sb")
+        .where((col("sa") =!= col("sb") && col("ia") =!= col("ib")) ||
+          (col("sa") === col("sb") && col("ia") < col("ib")))
+        .select(least(col("ia"), col("ib")).as("a"),
+          greatest(col("ia"), col("ib")).as("b"), col("hamming"))
+    } else {
+      val banded = explodeBands(base)
+      banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+            col("x.id") < col("y.id"))
+        .where(firstAgreeingBandOnly(col("x.sig"), col("y.sig"), col("x.band")))
+        .select(col("x.id").as("a"), col("y.id").as("b"),
+          bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("long").as("hamming"))
+        .where(col("hamming") <= maxHamming)
+    }
   }
 
   /** Near-duplicate pairs between SEQUENCES of 64-bit signatures —
@@ -542,41 +646,108 @@ object Dedup {
     require(maxHamming <= 3, s"4 bands of 16 bits only guarantee capture up to hamming 3, got $maxHamming")
     require(minMatch >= 1, s"minMatch must be at least 1, got $minMatch")
     require(maxDf >= 1, s"maxDf must be at least 1, got $maxDf")
-    val base0 = materializedOnce(frames, spread(frames)
+    val projected = spread(frames)
       .select(col(id).as("id"), col(pos).cast("long").as("pos"),
         col(sig).cast("long").as("sig"))
-      .where(col("sig").isNotNull && col("sig") =!= 0L))
+      .where(col("sig").isNotNull && col("sig") =!= 0L)
+    val base0 =
+      if (ownsCache(projected)) graft.util.CacheScope.register(projected.cache())
+      else projected
     // ONE aggregate serves the boilerplate cap, the distinct-sig frame
-    // the band join runs on, AND the multi-carrier groups whose
+    // the collapse's band join runs on, the multi-carrier groups whose
     // same-signature frame pairs ride the same expansion joins as the
-    // cross pairs (df counts DISTINCT documents — a signature repeating
-    // within one clip, a static shot, must not count toward the cap).
-    val sigStats = base0.groupBy("sig")
+    // cross pairs, AND the histograms steering the adaptive guard (df
+    // counts DISTINCT documents — a signature repeating within one clip,
+    // a static shot, must not count toward the cap).
+    val sigStatsAll = base0.groupBy("sig")
       .agg(count_distinct(col("id")).as("df"), count(lit(1)).as("n"))
-      .where(col("df") <= maxDf)
-    val okSigs = sigStats.select(col("sig"))
-    val selfPairs = sigStats.where(col("n") >= 2)
-      .select(col("sig").as("sa"), col("sig").as("sb"), lit(0L).as("hamming"))
-    val sigPairs = distinctSigPairs(okSigs, maxHamming).union(selfPairs)
-    val base = base0.join(okSigs, Seq("sig"), "left_semi")
-    val flip = col("ia") < col("ib")
-    // no distinct before the count: one signature per (id, pos) is the
-    // producers' contract, so each matched (a, b, pa, pb) is emitted
-    // exactly once — a distinct would shuffle the whole expansion again
-    sigPairs
-      .join(base.select(col("sig").as("sa"), col("id").as("ia"),
-        col("pos").as("qa")), "sa")
-      .join(base.select(col("sig").as("sb"), col("id").as("ib"),
-        col("pos").as("qb")), "sb")
-      .where((col("sa") =!= col("sb") && col("ia") =!= col("ib")) ||
-        (col("sa") === col("sb") && col("ia") < col("ib")))
-      .select(when(flip, col("ia")).otherwise(col("ib")).as("a"),
-        when(flip, col("ib")).otherwise(col("ia")).as("b"),
-        when(flip, col("qa")).otherwise(col("qb")).as("pa"),
-        when(flip, col("qb")).otherwise(col("qa")).as("pb"))
-      .groupBy(col("a"), col("b"), (col("pa") - col("pb")).as("d"))
-      .agg(count(lit(1)).as("n_match"))
-      .where(col("n_match") >= minMatch)
+    // Measured (inside a scope; the probe job materializes base0 too):
+    // is the boilerplate cap binding at all, and does any CAP-SURVIVING
+    // signature's carrier cohort make band-bucket work quadratic?
+    val maxima = measuredMaxima(sigStatsAll, max(col("df")),
+      max(when(col("df") <= maxDf, col("n"))))
+    // unmeasured -> assume the cap binds and the collapse is needed
+    val capNeeded = maxima.forall(_.head > maxDf)
+    val sigStats =
+      if (capNeeded) sigStatsAll.where(col("df") <= maxDf) else sigStatsAll
+    val hot = maxima match {
+      case Some(Seq(_, maxCarriers)) =>
+        val t = hotSigThreshold(frames); t <= 0 || maxCarriers > t
+      case _ => true
+    }
+    if (hot) {
+      val okSigs = sigStats.select(col("sig"))
+      val selfPairs = sigStats.where(col("n") >= 2)
+        .select(col("sig").as("sa"), col("sig").as("sb"), lit(0L).as("hamming"))
+      val sigPairs = distinctSigPairs(okSigs, maxHamming).union(selfPairs)
+      val base =
+        if (capNeeded) base0.join(okSigs, Seq("sig"), "left_semi") else base0
+      val flip = col("ia") < col("ib")
+      // no distinct before the count: one signature per (id, pos) is the
+      // producers' contract, so each matched (a, b, pa, pb) is emitted
+      // exactly once — a distinct would shuffle the whole expansion again
+      sigPairs
+        .join(base.select(col("sig").as("sa"), col("id").as("ia"),
+          col("pos").as("qa")), "sa")
+        .join(base.select(col("sig").as("sb"), col("id").as("ib"),
+          col("pos").as("qb")), "sb")
+        .where((col("sa") =!= col("sb") && col("ia") =!= col("ib")) ||
+          (col("sa") === col("sb") && col("ia") < col("ib")))
+        .select(when(flip, col("ia")).otherwise(col("ib")).as("a"),
+          when(flip, col("ib")).otherwise(col("ia")).as("b"),
+          when(flip, col("qa")).otherwise(col("qb")).as("pa"),
+          when(flip, col("qb")).otherwise(col("qa")).as("pb"))
+        .groupBy(col("a"), col("b"), (col("pa") - col("pb")).as("d"))
+        .agg(count(lit(1)).as("n_match"))
+        .where(col("n_match") >= minMatch)
+    } else {
+      // Direct banding (no hot signature measured): band every carrier
+      // frame row, self-equi-join on (band, bv) with a < b, row-local
+      // first-agreeing-band + hamming verify — identical matched frame
+      // pairs, none of the collapse's expansion joins. The boilerplate
+      // cap still applies (identity when the measured max df is under
+      // the cap, so the semi-join is skipped too).
+      val capped =
+        if (capNeeded) base0.join(sigStats.select(col("sig")), Seq("sig"), "left_semi")
+        else base0
+      val banded = explodeBands(capped)
+      banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+            col("x.id") < col("y.id"))
+        .where(firstAgreeingBandOnly(col("x.sig"), col("y.sig"), col("x.band")))
+        .where(bit_count(col("x.sig").bitwiseXOR(col("y.sig"))) <= maxHamming)
+        .groupBy(col("x.id").as("a"), col("y.id").as("b"),
+          (col("x.pos") - col("y.pos")).as("d"))
+        .agg(count(lit(1)).as("n_match"))
+        .where(col("n_match") >= minMatch)
+    }
+  }
+
+  /** Fan an already-guarded carrier frame (id, [pos,] sig) out to its 4
+    * 16-bit band rows (band i = bits [16i, 16i+16)), every input column
+    * riding along — the direct-banding path of the adaptive skew guard,
+    * where carrier rows are banded without the exact-signature
+    * collapse. */
+  private def explodeBands(base: DataFrame): DataFrame = {
+    val keep = base.columns.map(col)
+    base.select(keep :+ explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band"),
+          shiftrightunsigned(col("sig"), i * 16).bitwiseAND(lit(0xffffL))
+            .as("bv"))): _*)).as("bb"): _*)
+      .select(keep :+ col("bb.band") :+ col("bb.bv"): _*)
+  }
+
+  /** Keep a band-`band` collision only when the two signatures DISAGREE
+    * in every band j < band: a pair within hamming <= 3 collides in 1..4
+    * bands, and exactly one copy — the first agreeing band's — survives
+    * this row-local filter, eliminating the distinct pass (an Exchange +
+    * two HashAggregates over every verified pair) the banded joins once
+    * paid (r16; the output set is provably identical). */
+  private def firstAgreeingBandOnly(sa: Column, sb: Column, band: Column): Column = {
+    def bandVal(c: Column, j: Int) =
+      shiftrightunsigned(c, j * 16).bitwiseAND(lit(0xffffL))
+    (0 until 3).map(j => band <= j || bandVal(sa, j) =!= bandVal(sb, j))
+      .reduce(_ && _)
   }
 
   /** Candidate pairs (sa, sb), sa < sb, of a one-column `sig` frame of
@@ -602,20 +773,12 @@ object Dedup {
   /** Verified near-dup signature pairs (sa, sb, hamming), sa < sb, over a
     * one-column `sig` frame of DISTINCT 64-bit signatures: band candidates
     * ([[sigBandCandidates]]) -> bit_count(xor) verify INSIDE the join.
-    * A pair within hamming <= 3 can collide in up to 4 bands; instead of a
-    * `distinct` pass (an Exchange + two HashAggregates over every verified
-    * pair) each pair survives only from its FIRST agreeing band — for
-    * every earlier band the two signatures must differ — which is a pure
-    * row-local expression filter: exactly one copy per pair, zero extra
-    * shuffles (optimization r16; the output set is provably identical). */
+    * Each pair survives only from its FIRST agreeing band
+    * ([[firstAgreeingBandOnly]]): exactly one copy per pair, zero extra
+    * shuffles. */
   private[graft] def distinctSigPairs(distinctSigs: DataFrame, maxHamming: Int): DataFrame = {
-    def bandVal(c: Column, j: Int) =
-      shiftrightunsigned(c, j * 16).bitwiseAND(lit(0xffffL))
-    val noEarlierAgreement = (0 until 3).map(j =>
-        col("band") <= j || bandVal(col("sa"), j) =!= bandVal(col("sb"), j))
-      .reduce(_ && _)
     sigBandCandidates(distinctSigs)
-      .where(noEarlierAgreement)
+      .where(firstAgreeingBandOnly(col("sa"), col("sb"), col("band")))
       .select(col("sa"), col("sb"),
         bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)

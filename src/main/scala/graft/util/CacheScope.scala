@@ -37,6 +37,13 @@ object CacheScope {
     * end of the enclosing [[withScope]], if one is open on this thread.
     * Appends under the buffer's lock: [[parallel]] shares one scope buffer
     * across its worker threads. */
+  /** Whether a [[withScope]] is open on this thread — operators use it to
+    * decide if construction-time measurement actions (an eager count, a
+    * histogram probe steering an adaptive plan) are inside the scoped
+    * consume-now shape (bench/Verify/service) or a lazy library
+    * composition that must not run jobs at plan-construction time. */
+  def inScope: Boolean = active.get() != null
+
   def register[T](df: Dataset[T]): Dataset[T] = {
     val buf = active.get()
     if (buf != null) buf.synchronized { buf += df }

@@ -774,6 +774,51 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(justPassage.length == 1 && justPassage.head._3 >= 10)
   }
 
+  test("winnow df-cap inversion: the measured InSet filter (in-scope), the " +
+    "forced anti-join fallback, and the unmeasured anti-join path all keep " +
+    "exactly the rows the r16 rare-set inner join kept") {
+    import graft.operators.Dedup
+    val passage = "the winnowing guarantee selects at least one shared " +
+      "fingerprint for every sufficiently long common substring of two texts"
+    val header = "this license header is boilerplate appearing on every " +
+      "single document of the corpus and must be capped out of the join"
+    def filler(seed: Int, n: Int): String = {
+      val rnd = new scala.util.Random(seed)
+      (0 until n).map(_ => (0 until 6).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+        .mkString(" ")
+    }
+    // the header rides EVERY doc (df = 25 > maxDf = 20 -> hot, capped);
+    // only docs 1 and 2 additionally share the passage
+    val docs = ((1L to 2L).map(i =>
+        (i, header + " " + filler(i.toInt, 40) + " " + passage)) ++
+      (3L to 25L).map(i => (i, header + " " + filler(100 + i.toInt, 40))))
+      .toDF("doc_id", "text")
+    // out-of-scope: unmeasured -> anti-join path (no driver jobs at
+    // construction)
+    val antiP = Dedup.winnowPairs(docs, "doc_id", col("text"))
+      .as[(Long, Long, Long)].collect().toSet
+    val antiS = Dedup.winnowSpans(docs, "doc_id", col("text"))
+      .collect().map(_.toSeq).toSet
+    assert(antiP.map(p => (p._1, p._2)) == Set((1L, 2L)),
+      "the capped header must contribute no votes: " + antiP)
+    def inScope[T](body: => T): T = graft.util.CacheScope.withScope(body)
+    // in-scope measured: small hot set -> InSet filter
+    val inP = inScope(Dedup.winnowPairs(docs, "doc_id", col("text"))
+      .as[(Long, Long, Long)].collect().toSet)
+    val inS = inScope(Dedup.winnowSpans(docs, "doc_id", col("text"))
+      .collect().map(_.toSeq).toSet)
+    assert(inP == antiP)
+    assert(inS == antiS)
+    // hot set larger than the inline bound -> measured fallback to the
+    // anti-join; inline disabled entirely -> same
+    for (bound <- Seq("1", "0")) {
+      spark.conf.set(graft.api.Knobs.DedupHotFpInlineMax, bound)
+      try assert(inScope(Dedup.winnowPairs(docs, "doc_id", col("text"))
+        .as[(Long, Long, Long)].collect().toSet) == antiP)
+      finally spark.conf.unset(graft.api.Knobs.DedupHotFpInlineMax)
+    }
+  }
+
   test("winnowSpans: recovers WHERE the copied passage sits in both " +
     "documents, on the correct alignment diagonal") {
     import graft.operators.Dedup
@@ -950,6 +995,65 @@ class PipelineOpsSpec extends SparkTestBase {
         maxDf = 10)
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(capped == Set((0L, 1L, 0L, 2L)))
+  }
+
+  test("adaptive hot-band skew guard: direct banding (measured-cold) and " +
+    "exact-signature collapse (measured-hot / unmeasured) emit identical " +
+    "pair sets, for both hammingPairs and frameSigPairs") {
+    // Inside a CacheScope the operators MEASURE the carrier histogram and
+    // band the carrier rows directly when no signature exceeds
+    // Knobs.DedupHotSigCarriers; outside a scope (or measured-hot) they
+    // keep the exact-signature collapse. The output must be identical
+    // either way.
+    val base = 0x5a5a1234deadbeefL
+    val sigRows = Seq(
+      1L -> base, 2L -> (base ^ 1L), 3L -> (base ^ (1L << 17) ^ (1L << 63)),
+      4L -> (base ^ 0x0fL), 5L -> ~base, 6L -> 0x123456789abcdef0L,
+      7L -> base, 8L -> 0L // a same-sig carrier pair + a contentless row
+    ).toDF("id", "sig")
+    val frameRows = Seq(
+      (0L, 0L, 0x00ffcc11aa22bb33L), (0L, 1L, 0x1111222233334444L),
+      (0L, 2L, 0x5555666677778888L),
+      (1L, 0L, 0x00ffcc11aa22bb33L), (1L, 1L, 0x1111222233334444L),
+      (1L, 2L, 0x5555666677778888L),
+      (2L, 0L, 0x00ffcc11aa22bb33L), (2L, 1L, 0x9999aaaabbbbccccL)
+    ).toDF("id", "frame_idx", "sig")
+    val collapseHam = Dedup.hammingPairs(sigRows, "id", "sig")
+      .as[(Long, Long, Long)].collect().toSet
+    val collapseFrm = Dedup.frameSigPairs(frameRows, "id", "frame_idx", "sig",
+        minMatch = 1)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    def inScope[T](body: => T): T = graft.util.CacheScope.withScope(body)
+    // measured-cold: max carriers (2) is far under the default threshold
+    val directHam = inScope(Dedup.hammingPairs(sigRows, "id", "sig")
+      .as[(Long, Long, Long)].collect().toSet)
+    val directFrm = inScope(
+      Dedup.frameSigPairs(frameRows, "id", "frame_idx", "sig", minMatch = 1)
+        .as[(Long, Long, Long, Long)].collect().toSet)
+    assert(directHam == collapseHam)
+    assert(directFrm == collapseFrm)
+    // measured-hot: threshold 1 forces the collapse even in-scope; <= 0
+    // forces it unconditionally — same results again
+    for (t <- Seq("1", "0")) {
+      spark.conf.set(graft.api.Knobs.DedupHotSigCarriers, t)
+      try {
+        assert(inScope(Dedup.hammingPairs(sigRows, "id", "sig")
+          .as[(Long, Long, Long)].collect().toSet) == collapseHam)
+        assert(inScope(
+          Dedup.frameSigPairs(frameRows, "id", "frame_idx", "sig", minMatch = 1)
+            .as[(Long, Long, Long, Long)].collect().toSet) == collapseFrm)
+      } finally spark.conf.unset(graft.api.Knobs.DedupHotSigCarriers)
+    }
+    // the df cap holds on the direct path too: boilerplate frame at pos 0
+    // is carried by all 3 clips — capping it to df <= 2 removes its votes
+    val cappedCollapse = Dedup.frameSigPairs(frameRows, "id", "frame_idx",
+        "sig", minMatch = 1, maxDf = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val cappedDirect = inScope(Dedup.frameSigPairs(frameRows, "id",
+        "frame_idx", "sig", minMatch = 1, maxDf = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet)
+    assert(cappedDirect == cappedCollapse)
+    assert(cappedCollapse != collapseFrm) // the cap actually bound
   }
 
   test("compactHammingIndex maxDf drops corpus-boilerplate signatures " +
