@@ -2942,11 +2942,14 @@ object Queries {
       () => {
         // audio: ONE decode pass (audioSignals = fingerprint + stats,
         // bit-identical) feeds both the near-dup join and the silence
-        // gate, eager-scoped
+        // gate. Lazily cached: the hammingPairs carrier-histogram probe
+        // right below is the first consumer and materializes the cache
+        // in its own (mandatory) job — the former dedicated eager count
+        // was a second full pass bookkeeping job (r17, VERDICT item 3).
         val am = s.read.parquet(audioFpFixture)
           .select(col("media_id").as("id"), col("kind"), col("data"))
-        val asig = graft.util.CacheScope.eager(
-          M.audioSignals(am).toDF().where(col("decoded")))
+        val asig = graft.util.CacheScope.register(
+          M.audioSignals(am).toDF().where(col("decoded")).cache())
         val aDrop = graft.operators.Dedup.hammingPairs(
             asig.select(col("id"), col("afp")), "id", "afp", maxHamming = 3)
           .select(col("b").as("id"))
@@ -2987,10 +2990,11 @@ object Queries {
             .select((col("media_id") + 100).as("id"), col("kind"), col("data")))
         // ONE decode pass serves both the near-dup hashes and the quality
         // gate (videoFrameSignals = videoFrameHashes + videoStats signals,
-        // bit-identical); eager-scoped so the hash join sides and the
-        // stats aggregate all read the same materialized frame
-        val vsig = graft.util.CacheScope.eager(
-          M.videoFrameSignals(vm, everyMs = 500L).toDF())
+        // bit-identical). Lazily cached: frameSigPairs' histogram probe
+        // below is the first consumer and materializes the cache in its
+        // own job (see the audio chain's note).
+        val vsig = graft.util.CacheScope.register(
+          M.videoFrameSignals(vm, everyMs = 500L).toDF().cache())
         val vh = vsig.where(col("decoded"))
           .select(col("id"), col("frame_idx"), col("dhash"))
         val vDrop = graft.operators.Dedup.frameSigPairs(vh, "id", "frame_idx",

@@ -104,6 +104,10 @@ object RankAggregate {
     * candidate id appears exactly once per facet stream either way, so the
     * pivot's conditional sum was a no-op re-expression of the same decayed
     * similarity — asserted row-for-row against [[topK]] in OperatorSpec).
+    * PRECONDITION (as in [[topKShared]]): the facet distance expressions
+    * must be null-free over the source — [[run]]'s pivot coalesces a
+    * missing facet score to 0.0, while the fused weighted sum would carry
+    * a null distance into a null score.
     * Phase 1 stays the per-facet codegen'd TakeOrderedAndProject over the
     * (typically cached) source — the measured winner at m comparable to
     * rows-per-partition (see [[topKShared]]'s scaladoc for the MultiTopM

@@ -212,7 +212,15 @@ object Sampling {
     * the corpus (the [[graft.operators.Packing]] discipline). Thresholds
     * reduce to ONE broadcast row and the labeling is a narrow codegen
     * projection: no corpus sort, no corpus shuffle beyond the score
-    * aggregate, no driver collect. */
+    * aggregate, no driver collect.
+    *
+    * CACHE-WIDTH CONTRACT: `df` is cached verbatim (it feeds both the
+    * threshold derivation and the label pass; without the cache an
+    * expensive upstream scorer executes twice). Pass the NARROW
+    * (id, score) projection and join any wide payload back afterwards —
+    * a caller handing a full corpus frame caches its text columns
+    * wholesale, and outside a [[graft.util.CacheScope]] that cache lives
+    * until LRU eviction. */
   def quantileBuckets(df: DataFrame, score: Column, cutsPpm: Seq[Long],
       labels: Seq[String], outCol: String = "bucket"): DataFrame = {
     require(labels.size == cutsPpm.size + 1,

@@ -30,6 +30,19 @@ class Word2VecSpec extends SparkTestBase {
     assert(vecOf(out, 5L) == Seq(0.0, 0.0))
   }
 
+  test("transform: a dictionary vector shorter than dim fails loudly " +
+    "instead of yielding silent null dimensions") {
+    val dict = Seq(("alpha", Seq(1.0, 2.0)), ("short", Seq(9.0)))
+      .toDF("term", "vector")
+    val docs = Seq((1L, Seq("alpha", "short"))).toDF("id", "tokens")
+    val e = intercept[Exception] {
+      Word2Vec.transform(docs, dict, 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("shorter than dim")), e.toString)
+  }
+
   test("transform: compound '+' tokens average their components") {
     val dict = Seq(("new", Seq(2.0)), ("york", Seq(4.0))).toDF("term", "vector")
     val docs = Seq((1L, Seq("new+york")), (2L, Seq("new+missing"))).toDF("id", "tokens")
